@@ -1,0 +1,130 @@
+"""Datasource registry — the engine's "table catalog".
+
+Reference: Druid's seven datasource kinds
+(processing/src/main/java/org/apache/druid/query/DataSource.java:33-39):
+table, query, union, join, lookup, inline, globalTable. Here a
+*registered* datasource is a named DataFrame (usually a parquet/Delta
+read) with a mandatory ``__time`` TimestampType column (reference:
+processing/src/main/java/org/apache/druid/segment/column/ColumnHolder.java:31).
+The remaining kinds are resolved structurally by the query compiler
+(plans/compiler.py): ``query`` nests, ``union`` -> unionByName,
+``join`` -> df.join(broadcast(...)), ``inline`` -> createDataFrame,
+``lookup``/``globalTable`` -> broadcast.
+
+At 100 TB the registry maps a datasource to a time-partitioned table;
+``__time`` range predicates become partition pruning, which is why the
+compiler funnels every interval filter through the ``__time`` column
+rather than post-filtering.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TIME_COLUMN = "__time"
+
+
+@dataclass
+class DatasourceRegistry:
+    """Name -> DataFrame catalog plus lookup maps.
+
+    ``time_columns`` remembers which source column was renamed to
+    ``__time`` so scans can expose the original name when asked.
+    """
+
+    spark: SparkSession
+    _tables: dict[str, DataFrame] = field(default_factory=dict)
+    _lookups: dict[str, DataFrame] = field(default_factory=dict)
+    time_columns: dict[str, str] = field(default_factory=dict)
+
+    # -- registration ---------------------------------------------------
+    def register(
+        self, name: str, df: DataFrame, time_column: str | None = None
+    ) -> DataFrame:
+        """Register a table datasource; optionally adopt ``time_column``
+        as the Druid ``__time`` column (kept under both names).
+
+        Nanosecond-precision parquet timestamps arrive as LongType under
+        spark.sql.legacy.parquet.nanosAsLong — normalize them to
+        TimestampType (micros) here so every downstream operator sees a
+        real timestamp."""
+        if time_column is not None:
+            from pyspark.sql import types as T
+
+            dt = df.schema[time_column].dataType
+            if isinstance(dt, T.LongType):
+                converted = F.timestamp_micros(
+                    (F.col(time_column) / F.lit(1000)).cast("long"))
+                df = df.withColumn(time_column, converted)
+            if time_column != TIME_COLUMN:
+                df = df.withColumn(TIME_COLUMN, F.col(time_column))
+                self.time_columns[name] = time_column
+        self._tables[name] = df
+        return df
+
+    def register_parquet(
+        self, name: str, path: str, time_column: str | None = None
+    ) -> DataFrame:
+        return self.register(name, self.spark.read.parquet(path), time_column)
+
+    def register_lookup(self, name: str, mapping_or_df) -> None:
+        """Lookup datasource: key->value string map, broadcast to all
+        tasks (reference: processing/.../query/lookup/LookupSegment.java).
+        Accepts a dict or a 2-column (k, v) DataFrame."""
+        if isinstance(mapping_or_df, dict):
+            df = self.spark.createDataFrame(
+                list(mapping_or_df.items()), schema="k string, v string"
+            )
+        else:
+            df = mapping_or_df.toDF("k", "v")
+        self._lookups[name] = df
+
+    # -- resolution -----------------------------------------------------
+    def table(self, name: str) -> DataFrame:
+        if name in self._tables:
+            return self._tables[name]
+        if name in self._lookups:
+            return self.lookup_df(name)
+        raise KeyError(f"unknown datasource: {name!r}")
+
+    def lookup_df(self, name: str) -> DataFrame:
+        if name not in self._lookups:
+            raise KeyError(f"unknown lookup: {name!r}")
+        return self._lookups[name]
+
+    def lookup_map_expr(self, name: str):
+        """The lookup as a Spark map literal column for LOOKUP(col, name).
+
+        Collects the lookup to the driver once (lookups are by contract
+        small, broadcast-able structures in the reference too) and embeds
+        it as a ``map(...)`` literal, which Catalyst constant-folds and
+        ships with the plan — the Spark analogue of Druid's broadcast
+        lookup container.
+        """
+        rows = self.lookup_df(name).collect()
+        kv = []
+        for r in rows:
+            kv.append(F.lit(r[0]))
+            kv.append(F.lit(r[1]))
+        if not kv:
+            return F.lit(None).cast("map<string,string>")
+        return F.create_map(*kv)
+
+    def names(self) -> list[str]:
+        return sorted(self._tables)
+
+
+def register_testdata(registry: DatasourceRegistry, sf_dir: str) -> None:
+    """Register the driver's synthetic tables (TESTDATA.md) with their
+    natural time columns as ``__time`` where one exists."""
+    time_cols = {"events": "ts", "orders": "o_orderdate", "lineitem": "l_shipdate"}
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        registry.register_parquet(
+            name, f"{sf_dir}/{name}.parquet", time_cols.get(name)
+        )

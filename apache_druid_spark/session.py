@@ -1,0 +1,59 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on local[N]; the same configuration scales to a real
+cluster — AQE handles runtime re-planning (partition coalescing, skew
+joins, dynamic broadcast), and UTC session time zone pins Druid's
+millis-since-epoch semantics (reference:
+core/src/main/java/org/apache/druid/java/util/common/DateTimes.java).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "apache_druid_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    Defaults favor the local[32] test rig but every knob here is the
+    one you would also set on a 1000-executor cluster: AQE on, UTC,
+    Arrow for the pandas paths, shuffle partitions sized to the
+    parallelism at hand rather than the 200 default.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local mode: ~cores; on a real cluster this would be
+        # 2-3x total executor cores (set via extra_conf).
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # parquet TIMESTAMP(NANOS) (e.g. pandas-written data) reads as
+        # long nanos; sources convert to TimestampType on registration
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

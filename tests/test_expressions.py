@@ -1,0 +1,135 @@
+"""Druid native expression translator tests (SURVEY.md §2.12).
+
+Mirrors semantics asserted in the reference's FunctionTest/ExprTest
+(core/src/test/java/org/apache/druid/math/expr/FunctionTest.java).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_druid_spark.operators.expressions import compile_expression
+
+
+def _one(spark, expr_text):
+    return spark.range(1).select(
+        compile_expression(expr_text).alias("v")).collect()[0]["v"]
+
+
+@pytest.mark.parametrize("expr,expected", [
+    ("1 + 2 * 3", 7),
+    ("(1 + 2) * 3", 9),
+    ("2 ^ 10", 1024.0),
+    ("7 % 3", 1),
+    ("div(7, 2)", 3),
+    ("abs(-5)", 5),
+    ("floor(3.7)", 3),
+    ("ceil(3.2)", 4),
+    ("round(3.456, 2)", 3.46),
+    ("max(3, 9)", 9),
+    ("min(3, 9)", 3),
+    ("sqrt(16.0)", 4.0),
+    ("mod(10, 3)", 1),
+    ("bitwiseAnd(12, 10)", 8),
+    ("bitwiseOr(12, 10)", 14),
+    ("bitwiseXor(12, 10)", 6),
+    ("bitwiseShiftLeft(1, 4)", 16),
+])
+def test_math(spark, expr, expected):
+    assert _one(spark, expr) == expected
+
+
+@pytest.mark.parametrize("expr,expected", [
+    ("concat('a', 'b', 'c')", "abc"),
+    ("strlen('hello')", 5),
+    ("upper('ab')", "AB"),
+    ("lower('AB')", "ab"),
+    ("substring('hello', 1, 3)", "ell"),
+    ("substring('hello', 1, -1)", "ello"),
+    ("strpos('hello', 'llo')", 2),
+    ("strpos('hello', 'zzz')", -1),
+    ("left('hello', 2)", "he"),
+    ("right('hello', 2)", "lo"),
+    ("replace('aaa', 'a', 'b')", "bbb"),
+    ("trim('  x  ')", "x"),
+    ("repeat('ab', 3)", "ababab"),
+    ("lpad('7', 3, '0')", "007"),
+    ("reverse('abc')", "cba"),
+    ("regexp_extract('foo123bar', '([0-9]+)', 1)", "123"),
+    ("regexp_like('foo123', '[0-9]+')", True),
+    ("contains_string('hello', 'ell')", True),
+    ("icontains_string('HELLO', 'ell')", True),
+    ("parse_long('42')", 42),
+])
+def test_string(spark, expr, expected):
+    assert _one(spark, expr) == expected
+
+
+@pytest.mark.parametrize("expr,expected", [
+    ("if(1 == 1, 'y', 'n')", "y"),
+    ("if(1 == 2, 'y', 'n')", "n"),
+    ("nvl(null, 'd')", "d"),
+    ("coalesce(null, null, 3)", 3),
+    ("isnull(null)", True),
+    ("notnull(1)", True),
+    ("case_searched(1 == 2, 'a', 1 == 1, 'b', 'c')", "b"),
+    ("case_simple('x', 'x', 'matched', 'other')", "matched"),
+    ("1 == 1 && 2 == 2", True),
+    ("1 == 2 || 2 == 2", True),
+    ("!(1 == 1)", False),
+])
+def test_control(spark, expr, expected):
+    assert _one(spark, expr) == expected
+
+
+@pytest.mark.parametrize("expr,expected", [
+    ("array_length([1,2,3])", 3),
+    ("array_offset([10,20,30], 1)", 20),
+    ("array_ordinal([10,20,30], 1)", 10),
+    ("array_contains([1,2,3], 2)", True),
+    ("array_overlap([1,2], [2,3])", True),
+    ("array_offset_of([10,20,30], 20)", 1),
+    ("array_append([1,2], 3)", [1, 2, 3]),
+    ("array_prepend(0, [1,2])", [0, 1, 2]),
+    ("array_concat([1], [2,3])", [1, 2, 3]),
+    ("array_to_string([1,2,3], ',')", "1,2,3"),
+    ("array_slice([1,2,3,4], 1, 3)", [2, 3]),
+    ("fold((x, acc) -> x + acc, [1,2,3], 0)", 6),
+    ("map(x -> x * 2, [1,2,3])", [2, 4, 6]),
+    ("filter(x -> x > 1, [1,2,3])", [2, 3]),
+    ("any(x -> x > 2, [1,2,3])", True),
+    ("all(x -> x > 2, [1,2,3])", False),
+])
+def test_array_and_lambda(spark, expr, expected):
+    assert _one(spark, expr) == expected
+
+
+@pytest.mark.parametrize("expr,expected", [
+    ("timestamp_extract(timestamp_parse('2024-03-15T13:45:10'), 'HOUR')", 13),
+    ("timestamp_extract(timestamp_parse('2024-03-15T13:45:10'), 'YEAR')", 2024),
+    ("timestamp_format(timestamp_parse('2024-03-15T13:45:10'), 'yyyy-MM-dd')",
+     "2024-03-15"),
+    ("ipv4_parse('192.168.0.1')", 3232235521),
+    ("ipv4_stringify(3232235521)", "192.168.0.1"),
+    ("ipv4_match('192.168.0.55', '192.168.0.0/24')", True),
+    ("ipv4_match('10.0.0.1', '192.168.0.0/24')", False),
+])
+def test_time_misc(spark, expr, expected):
+    assert _one(spark, expr) == expected
+
+
+def test_timestamp_floor_period(spark):
+    assert str(_one(
+        spark,
+        "timestamp_floor(timestamp_parse('2024-03-15T13:45:00'), 'PT6H')"
+    )) == "2024-03-15 12:00:00"
+    assert str(_one(
+        spark,
+        "timestamp_floor(timestamp_parse('2024-05-15T13:45:00'), 'P3M')"
+    )) == "2024-04-01 00:00:00"
+
+
+def test_column_reference(spark):
+    rows = (spark.range(5)
+            .select(compile_expression("if(id > 2, id * 10, id)").alias("v"))
+            .collect())
+    assert [r["v"] for r in rows] == [0, 1, 2, 30, 40]

@@ -1,0 +1,113 @@
+"""DimFilter compiler tests (SURVEY.md §2.4) on the `foo` golden fixture
+— multi-value ANY-match semantics mirror the reference's
+CalciteMultiValueStringQueryTest expectations."""
+
+from apache_druid_spark.operators.filters import compile_filter
+
+
+def _dim1s(foo, flt, registry=None):
+    df = foo
+    rows = df.filter(compile_filter(flt, df, registry)).select("dim1").collect()
+    return sorted(r["dim1"] for r in rows)
+
+
+def test_selector(foo):
+    assert _dim1s(foo, {"type": "selector", "dimension": "dim1", "value": "abc"}) == ["abc"]
+
+
+def test_selector_null(foo):
+    # null array AND empty array rows both behave as a null value
+    # (Druid ingests [] as a no-value row)
+    flt = {"type": "selector", "dimension": "dim2", "value": None}
+    rows = foo.filter(compile_filter(flt, foo)).select("dim1").collect()
+    assert sorted(r["dim1"] for r in rows) == ["10.1", "abc"]
+
+
+def test_in(foo):
+    flt = {"type": "in", "dimension": "dim1", "values": ["abc", "def", "nope"]}
+    assert _dim1s(foo, flt) == ["abc", "def"]
+
+
+def test_bound_numeric(foo):
+    flt = {"type": "bound", "dimension": "m1", "lower": "2", "upper": "4",
+           "ordering": "numeric"}
+    assert _dim1s(foo, flt) == ["1", "10.1", "2"]
+
+
+def test_bound_numeric_strict(foo):
+    flt = {"type": "bound", "dimension": "m1", "lower": "2", "upper": "4",
+           "lowerStrict": True, "upperStrict": True, "ordering": "numeric"}
+    assert _dim1s(foo, flt) == ["2"]
+
+
+def test_bound_lexicographic(foo):
+    flt = {"type": "bound", "dimension": "dim1", "lower": "a", "upper": "e"}
+    assert _dim1s(foo, flt) == ["abc", "def"]
+
+
+def test_like(foo):
+    assert _dim1s(foo, {"type": "like", "dimension": "dim1", "pattern": "a%"}) == ["abc"]
+
+
+def test_regex(foo):
+    flt = {"type": "regex", "dimension": "dim1", "pattern": "^[0-9]+$"}
+    assert _dim1s(foo, flt) == ["1", "2"]
+
+
+def test_search_contains(foo):
+    flt = {"type": "search", "dimension": "dim1",
+           "query": {"type": "insensitive_contains", "value": "B"}}
+    assert _dim1s(foo, flt) == ["abc"]
+
+
+def test_and_or_not(foo):
+    flt = {"type": "and", "fields": [
+        {"type": "not", "field": {"type": "selector", "dimension": "dim1", "value": "abc"}},
+        {"type": "or", "fields": [
+            {"type": "selector", "dimension": "dim1", "value": "def"},
+            {"type": "selector", "dimension": "dim1", "value": "2"},
+        ]},
+    ]}
+    assert _dim1s(foo, flt) == ["2", "def"]
+
+
+def test_interval(foo):
+    flt = {"type": "interval", "dimension": "__time",
+           "intervals": ["2000-01-01T00:00:00Z/2001-01-01T00:00:00Z"]}
+    assert _dim1s(foo, flt) == ["", "10.1", "2"]
+
+
+def test_expression_filter(foo):
+    flt = {"type": "expression", "expression": "m1 > 4.5"}
+    assert _dim1s(foo, flt) == ["abc", "def"]
+
+
+def test_column_comparison(foo):
+    flt = {"type": "columnComparison", "dimensions": ["m1", "m2"]}
+    assert len(_dim1s(foo, flt)) == 6  # m1 == m2 on every row
+
+
+def test_multivalue_any_match(foo):
+    # dim3 = ['a','b'] / ['b','c'] / ['d'] / [''] / [] / null
+    flt = {"type": "selector", "dimension": "dim3", "value": "b"}
+    assert _dim1s(foo, flt) == ["", "10.1"]
+
+
+def test_multivalue_in(foo):
+    flt = {"type": "in", "dimension": "dim3", "values": ["c", "d"]}
+    assert _dim1s(foo, flt) == ["10.1", "2"]
+
+
+def test_extraction_fn_on_filter(foo):
+    flt = {"type": "selector", "dimension": "dim1", "value": "AB",
+           "extractionFn": {"type": "substring", "index": 0, "length": 2}}
+    # upper not applied; substring('abc')='ab' != 'AB'
+    assert _dim1s(foo, flt) == []
+    flt2 = {"type": "selector", "dimension": "dim1", "value": "ab",
+            "extractionFn": {"type": "substring", "index": 0, "length": 2}}
+    assert _dim1s(foo, flt2) == ["abc"]
+
+
+def test_true_false(foo):
+    assert len(_dim1s(foo, {"type": "true"})) == 6
+    assert _dim1s(foo, {"type": "false"}) == []
