@@ -1,0 +1,173 @@
+"""Druid-named SQL functions over Spark SQL.
+
+Reference operator table: sql/src/main/java/org/apache/druid/sql/calcite/
+planner/DruidOperatorTable.java (14 time operators at lines 160-175, MV_*
+conversions in sql/.../expression/builtin/MultiValueStringOperatorConversions.java:54-302).
+
+Every function is a Spark *SQL UDF* (CREATE TEMPORARY FUNCTION ... RETURN
+<expr>) — a named Catalyst expression, inlined and codegen'd like a macro,
+NOT a Python UDF. Druid SQL that uses these names runs verbatim through
+``spark.sql`` after ``register_druid_functions``.
+
+TIME_FLOOR/CEIL/SHIFT accept arbitrary ISO-8601 periods at runtime; the
+period parse is pure SQL (regexp on the argument), so for the common case
+of a literal period Catalyst constant-folds it away entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+# SQL fragments that parse an ISO-8601 period string `{p}` into months /
+# milliseconds. Groups: 1=Y 2=M 3=W 4=D 5=H 6=Min 7=S
+_PERIOD_RE_SQL = r"'^P(?:(\\d+)Y)?(?:(\\d+)M)?(?:(\\d+)W)?(?:(\\d+)D)?(?:T(?:(\\d+)H)?(?:(\\d+)M)?(?:(\\d+)S)?)?$'"
+
+
+def _months(p: str) -> str:
+    return (f"(coalesce(try_cast(regexp_extract({p}, {_PERIOD_RE_SQL}, 1) AS BIGINT), 0) * 12"
+            f" + coalesce(try_cast(regexp_extract({p}, {_PERIOD_RE_SQL}, 2) AS BIGINT), 0))")
+
+
+def _millis(p: str) -> str:
+    return (f"(coalesce(try_cast(regexp_extract({p}, {_PERIOD_RE_SQL}, 3) AS BIGINT), 0) * 604800000"
+            f" + coalesce(try_cast(regexp_extract({p}, {_PERIOD_RE_SQL}, 4) AS BIGINT), 0) * 86400000"
+            f" + coalesce(try_cast(regexp_extract({p}, {_PERIOD_RE_SQL}, 5) AS BIGINT), 0) * 3600000"
+            f" + coalesce(try_cast(regexp_extract({p}, {_PERIOD_RE_SQL}, 6) AS BIGINT), 0) * 60000"
+            f" + coalesce(try_cast(regexp_extract({p}, {_PERIOD_RE_SQL}, 7) AS BIGINT), 0) * 1000)")
+
+
+def _time_floor_body(ts: str, p: str) -> str:
+    months, millis = _months(p), _millis(p)
+    total_m = f"((year({ts}) * 12 + month({ts}) - 1) - pmod(year({ts}) * 12 + month({ts}) - 1, {months}))"
+    return f"""CASE
+      WHEN {months} > 0 THEN
+        make_timestamp(CAST(floor({total_m} / 12) AS INT),
+                       CAST(pmod({total_m}, 12) + 1 AS INT), 1, 0, 0, 0)
+      ELSE timestamp_millis(unix_millis({ts}) - pmod(unix_millis({ts}), {millis}))
+    END"""
+
+
+def _time_shift_body(ts: str, p: str, step: str) -> str:
+    months, millis = _months(p), _millis(p)
+    return f"""CASE
+      WHEN {months} > 0 THEN
+        CAST(add_months({ts}, CAST({months} * {step} AS INT)) AS TIMESTAMP)
+      ELSE timestamp_millis(unix_millis({ts}) + {millis} * {step})
+    END"""
+
+
+_FUNCTION_DEFS: list[tuple[str, str, str, str]] = [
+    # (name, arg signature, return type, body)
+    ("TIME_FLOOR", "ts TIMESTAMP, period STRING", "TIMESTAMP",
+     _time_floor_body("ts", "period")),
+    ("TIME_CEIL", "ts TIMESTAMP, period STRING", "TIMESTAMP",
+     f"""CASE WHEN {_time_floor_body("ts", "period")} = ts THEN ts
+          ELSE {_time_shift_body(_time_floor_body("ts", "period"), "period", "1")} END"""),
+    ("TIME_SHIFT", "ts TIMESTAMP, period STRING, step BIGINT", "TIMESTAMP",
+     _time_shift_body("ts", "period", "step")),
+    ("TIME_EXTRACT", "ts TIMESTAMP, unit STRING", "BIGINT",
+     """CASE upper(unit)
+         WHEN 'EPOCH' THEN unix_timestamp(ts)
+         WHEN 'SECOND' THEN second(ts) WHEN 'MINUTE' THEN minute(ts)
+         WHEN 'HOUR' THEN hour(ts) WHEN 'DAY' THEN day(ts)
+         WHEN 'DOW' THEN dayofweek(ts)
+         WHEN 'ISODOW' THEN pmod(dayofweek(ts) + 5, 7) + 1
+         WHEN 'DOY' THEN dayofyear(ts) WHEN 'WEEK' THEN weekofyear(ts)
+         WHEN 'MONTH' THEN month(ts) WHEN 'QUARTER' THEN quarter(ts)
+         WHEN 'YEAR' THEN year(ts) END"""),
+    ("TIME_FORMAT", "ts TIMESTAMP, pattern STRING", "STRING",
+     "date_format(ts, pattern)"),
+    ("TIME_PARSE", "s STRING", "TIMESTAMP", "to_timestamp(s)"),
+    ("MILLIS_TO_TIMESTAMP", "ms BIGINT", "TIMESTAMP", "timestamp_millis(ms)"),
+    ("TIMESTAMP_TO_MILLIS", "ts TIMESTAMP", "BIGINT", "unix_millis(ts)"),
+    # -- multi-value string functions (ARRAY<STRING> columns) ------------
+    ("MV_LENGTH", "a ARRAY<STRING>", "INT", "size(a)"),
+    ("MV_OFFSET", "a ARRAY<STRING>, i INT", "STRING", "get(a, i)"),
+    ("MV_ORDINAL", "a ARRAY<STRING>, i INT", "STRING", "get(a, i - 1)"),
+    ("MV_CONTAINS", "a ARRAY<STRING>, v STRING", "BOOLEAN",
+     "array_contains(a, v)"),
+    ("MV_OVERLAP", "a ARRAY<STRING>, b ARRAY<STRING>", "BOOLEAN",
+     "arrays_overlap(a, b)"),
+    ("MV_OFFSET_OF", "a ARRAY<STRING>, v STRING", "INT",
+     "CASE WHEN array_position(a, v) = 0 THEN NULL ELSE CAST(array_position(a, v) - 1 AS INT) END"),
+    ("MV_ORDINAL_OF", "a ARRAY<STRING>, v STRING", "INT",
+     "CASE WHEN array_position(a, v) = 0 THEN NULL ELSE CAST(array_position(a, v) AS INT) END"),
+    ("MV_APPEND", "a ARRAY<STRING>, v STRING", "ARRAY<STRING>",
+     "array_append(a, v)"),
+    ("MV_PREPEND", "v STRING, a ARRAY<STRING>", "ARRAY<STRING>",
+     "array_prepend(a, v)"),
+    ("MV_CONCAT", "a ARRAY<STRING>, b ARRAY<STRING>", "ARRAY<STRING>",
+     "concat(a, b)"),
+    ("MV_SLICE", "a ARRAY<STRING>, s INT, e INT", "ARRAY<STRING>",
+     "slice(a, s + 1, e - s)"),
+    ("MV_TO_STRING", "a ARRAY<STRING>, d STRING", "STRING",
+     "array_join(a, d)"),
+    ("STRING_TO_MV", "s STRING, d STRING", "ARRAY<STRING>", "split(s, d)"),
+    ("MV_FILTER_ONLY", "a ARRAY<STRING>, keep ARRAY<STRING>", "ARRAY<STRING>",
+     "filter(a, x -> array_contains(keep, x))"),
+    ("MV_FILTER_NONE", "a ARRAY<STRING>, drop ARRAY<STRING>", "ARRAY<STRING>",
+     "filter(a, x -> NOT array_contains(drop, x))"),
+    # -- string / math shims ---------------------------------------------
+    ("TEXTCAT", "a STRING, b STRING", "STRING", "concat(a, b)"),
+    ("CONTAINS_STRING", "h STRING, n STRING", "BOOLEAN", "contains(h, n)"),
+    ("ICONTAINS_STRING", "h STRING, n STRING", "BOOLEAN",
+     "contains(lower(h), lower(n))"),
+    ("STRING_FORMAT", "fmt STRING, a STRING", "STRING",
+     "format_string(fmt, a)"),
+    ("PARSE_LONG", "s STRING", "BIGINT", "try_cast(s AS BIGINT)"),
+    ("SAFE_DIVIDE", "a DOUBLE, b DOUBLE", "DOUBLE",
+     "CASE WHEN b = 0 THEN NULL ELSE a / b END"),
+    ("BITWISE_AND", "a BIGINT, b BIGINT", "BIGINT", "a & b"),
+    ("BITWISE_OR", "a BIGINT, b BIGINT", "BIGINT", "a | b"),
+    ("BITWISE_XOR", "a BIGINT, b BIGINT", "BIGINT", "a ^ b"),
+    ("BITWISE_COMPLEMENT", "a BIGINT", "BIGINT", "~a"),
+    ("BITWISE_SHIFT_LEFT", "a BIGINT, n INT", "BIGINT", "shiftleft(a, n)"),
+    ("BITWISE_SHIFT_RIGHT", "a BIGINT, n INT", "BIGINT", "shiftright(a, n)"),
+    # DIV is already a Spark builtin with identical semantics
+    # -- ipv4 --------------------------------------------------------------
+    ("IPV4_PARSE", "s STRING", "BIGINT",
+     """cast(split(s, '\\\\.')[0] AS BIGINT) * 16777216
+        + cast(split(s, '\\\\.')[1] AS BIGINT) * 65536
+        + cast(split(s, '\\\\.')[2] AS BIGINT) * 256
+        + cast(split(s, '\\\\.')[3] AS BIGINT)"""),
+    ("IPV4_STRINGIFY", "n BIGINT", "STRING",
+     """concat_ws('.', cast(floor(n / 16777216) % 256 AS STRING),
+                      cast(floor(n / 65536) % 256 AS STRING),
+                      cast(floor(n / 256) % 256 AS STRING),
+                      cast(n % 256 AS STRING))"""),
+    ("HUMAN_READABLE_BINARY_BYTE_FORMAT", "n BIGINT", "STRING",
+     """format_string('%.2f %s',
+          n / power(1024, floor(log(1024, greatest(abs(n), 1)))),
+          element_at(array('B','KiB','MiB','GiB','TiB','PiB'),
+                     cast(floor(log(1024, greatest(abs(n), 1))) AS INT) + 1))"""),
+]
+
+
+def register_druid_functions(spark: SparkSession, registry=None) -> None:
+    """Register the Druid SQL surface as temporary SQL functions.
+
+    ``registry`` (optional DatasourceRegistry) adds LOOKUP(key, name)
+    dispatching over the registered lookup maps as an inline CASE of
+    map literals — the broadcast-lookup analogue."""
+    for name, sig, ret, body in _FUNCTION_DEFS:
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({sig}) "
+            f"RETURNS {ret} RETURN {body}"
+        )
+    if registry is not None and getattr(registry, "_lookups", None):
+        arms = []
+        for lname in registry._lookups:
+            rows = registry.lookup_df(lname).collect()
+            if not rows:
+                continue
+            pairs = ", ".join(
+                f"'{_esc(r[0])}', '{_esc(r[1])}'" for r in rows)
+            arms.append(f"WHEN '{_esc(lname)}' THEN element_at(map({pairs}), k)")
+        if arms:
+            spark.sql(
+                "CREATE OR REPLACE TEMPORARY FUNCTION LOOKUP(k STRING, name STRING) "
+                "RETURNS STRING RETURN CASE name " + " ".join(arms) + " END")
+
+
+def _esc(s: str) -> str:
+    return str(s).replace("\\", "\\\\").replace("'", "\\'")

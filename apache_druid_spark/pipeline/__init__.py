@@ -1,0 +1,26 @@
+"""Large-scale training-data pipeline operators.
+
+These are first-class engine components (not demos): each is a
+declarative DataFrame plan built from built-in expressions so it scales
+the way a 100 TB corpus requires — shingling/hashing stay in codegen,
+candidate generation is a bucket join (never an all-pairs product),
+and the only Python that ever runs per-row is the clearly-marked
+multimodal decode stubs (Arrow-batched mapInPandas).
+"""
+
+from apache_druid_spark.pipeline.dedup import (
+    exact_dedup, minhash_signatures, minhash_lsh_pairs, simhash,
+    ngram_jaccard_pairs,
+)
+from apache_druid_spark.pipeline.similarity import (
+    cosine_topk, lsh_bucket_topk,
+)
+from apache_druid_spark.pipeline.text import (
+    token_stats, language_id, quality_score, fingerprint,
+)
+
+__all__ = [
+    "exact_dedup", "minhash_signatures", "minhash_lsh_pairs", "simhash",
+    "ngram_jaccard_pairs", "cosine_topk", "lsh_bucket_topk",
+    "token_stats", "language_id", "quality_score", "fingerprint",
+]

@@ -1,0 +1,93 @@
+"""Text analysis operators for training-data curation.
+
+All pure built-in expressions (split/regexp/length/aggregate) — no
+Python in the row path; every operator is a single-pass projection
+that Catalyst fuses into the scan."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal per-language stopword marker lists for the n-gram/stopword
+# language-ID heuristic (public common-word lists).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "des", "est", "un", "une", "du", "que"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una", "del", "que"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "就", "不", "人"],
+}
+
+
+def _tokens(text_col: Column) -> Column:
+    return F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish subword estimate
+    (words + punctuation clusters + CJK chars counted individually)."""
+    toks = _tokens(F.col(text_col))
+    # BPE-ish: alnum runs, punct runs, and CJK codepoints each count
+    bpe_ish = F.size(F.filter(
+        F.split(F.col(text_col),
+                r"(?<=[一-鿿])|(?=[一-鿿])|\s+|(?=[^\w\s])"),
+        lambda t: t != ""))
+    return df.withColumns({
+        "n_tokens": F.size(toks),
+        "n_tokens_bpe_ish": bpe_ish,
+        "avg_token_len": F.round(
+            F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+            / F.greatest(F.size(toks), F.lit(1)), 4),
+    })
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-ratio language ID: score each language by marker-token
+    hits; argmax wins (ties broken by language code order).
+    Reference behavior modeled on common n-gram language-ID heuristics."""
+    toks = _tokens(F.col(text_col))
+    scores = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t)))
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    # array_max on (hits, lang) structs: max hits, then max lang code —
+    # deterministic; flip lang ordering by sorting desc on code
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(out_col, best["lang"]).withColumn(
+        f"{out_col}_hits", best["hits"])
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality: length, punctuation density, stopword
+    ratio, uppercase ratio, repetition — composed into [0,1]."""
+    text = F.col(text_col)
+    toks = _tokens(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(text, r"[A-Z]", ""))
+    en = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(en, t)))
+    uniq_ratio = F.size(F.array_distinct(toks)) / F.greatest(n_tokens, F.lit(1))
+    return df.withColumns({
+        "q_len": F.round(F.least(n_chars / F.lit(500.0), F.lit(1.0)), 4),
+        "q_punct_ratio": F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4),
+        "q_upper_ratio": F.round(n_upper / F.greatest(n_chars, F.lit(1)), 4),
+        "q_stopword_ratio": F.round(stop_hits / F.greatest(n_tokens, F.lit(1)), 4),
+        "q_uniq_ratio": F.round(uniq_ratio, 4),
+        "quality": F.round(
+            F.least(n_chars / F.lit(500.0), F.lit(1.0)) * 0.3
+            + F.least(stop_hits / F.greatest(n_tokens, F.lit(1)) * 5, F.lit(1.0)) * 0.3
+            + uniq_ratio * 0.4, 4),
+    })
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprint robust to token order and duplication:
+    md5 over the sorted distinct token set (a set-hash 'rolling hash'
+    analogue that any engine can reproduce)."""
+    toks = F.array_sort(F.array_distinct(_tokens(F.col(text_col))))
+    return df.withColumn("fingerprint", F.md5(F.array_join(toks, " ")))

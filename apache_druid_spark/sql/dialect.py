@@ -1,0 +1,173 @@
+"""Druid SQL dialect shim -> Spark SQL.
+
+Reference: the Calcite layer (sql/src/main/java/org/apache/druid/sql/
+calcite/planner/DruidOperatorTable.java — 18 SQL aggregators at lines
+132-151). Scalar Druid functions are registered as real SQL UDFs
+(functions/registry.py); *aggregate* functions can't be SQL UDFs, so
+this shim rewrites their names/arguments textually before ``spark.sql``.
+The rewrite is token-aware (skips string literals, matches parens), and
+everything it emits is a built-in Spark aggregate, so the plan is
+identical to hand-written Spark SQL.
+
+  EARLIEST(x)            -> min_by(x, __time)      (time-ordered first)
+  LATEST(x)              -> max_by(x, __time)
+  EARLIEST_BY(x, t)      -> min_by(x, t)
+  LATEST_BY(x, t)        -> max_by(x, t)
+  ANY_VALUE(x)           -> any_value(x)            (built-in)
+  APPROX_COUNT_DISTINCT[_DS_HLL|_DS_THETA|_BUILTIN] -> approx_count_distinct
+  APPROX_QUANTILE[_DS|_FIXED_BUCKETS](x, q[, k])    -> percentile_approx(x, q)
+  DS_HLL / DS_THETA      -> approx_count_distinct   (estimate at build)
+  ARRAY_CONCAT_AGG(x)    -> flatten(collect_list(x))
+  STRING_AGG(x, sep)     -> listagg(x, sep)
+  BIT_AND/BIT_OR/BIT_XOR -> bit_and/bit_or/bit_xor  (built-ins)
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from apache_druid_spark.model.datasource import TIME_COLUMN
+
+_SIMPLE_RENAMES = {
+    "APPROX_COUNT_DISTINCT_DS_HLL": "approx_count_distinct",
+    "APPROX_COUNT_DISTINCT_DS_THETA": "approx_count_distinct",
+    "APPROX_COUNT_DISTINCT_BUILTIN": "approx_count_distinct",
+    "APPROX_QUANTILE_DS": "percentile_approx",
+    "APPROX_QUANTILE_FIXED_BUCKETS": "percentile_approx",
+    "APPROX_QUANTILE": "percentile_approx",
+    "DS_HLL": "approx_count_distinct",
+    "DS_THETA": "approx_count_distinct",
+    "STRING_AGG": "listagg",
+    "ARRAY_AGG": "collect_list",
+    "BIT_AND": "bit_and",
+    "BIT_OR": "bit_or",
+    "BIT_XOR": "bit_xor",
+    "STRPOS": "instr",
+}
+
+
+def _string_spans(text: str) -> list[tuple[int, int]]:
+    spans, i, n = [], 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch in ("'", '"'):
+            j = i + 1
+            while j < n and text[j] != ch:
+                j += 1
+            spans.append((i, j))
+            i = j + 1
+        else:
+            i += 1
+    return spans
+
+
+def _find_calls(text: str, name: str):
+    """Yield (start, open_paren, close_paren) for each call of `name`,
+    skipping string literals."""
+    pat = re.compile(rf"\b{re.escape(name)}\s*\(", re.IGNORECASE)
+    spans = _string_spans(text)
+    i = 0
+    while True:
+        m = pat.search(text, i)
+        if not m:
+            return
+        # don't match inside a longer identifier (e.g. MY_EARLIEST)
+        # or inside a string literal
+        if m.start() > 0 and (text[m.start() - 1].isalnum()
+                              or text[m.start() - 1] == "_"):
+            i = m.end()
+            continue
+        if any(lo <= m.start() <= hi for lo, hi in spans):
+            i = m.end()
+            continue
+        depth, j, in_str = 1, m.end(), None
+        while j < len(text) and depth:
+            ch = text[j]
+            if in_str:
+                if ch == in_str:
+                    in_str = None
+            elif ch in ("'", '"'):
+                in_str = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            j += 1
+        yield m.start(), m.end() - 1, j - 1
+        i = j
+
+
+def _rewrite_call(text: str, name: str, new_name: str,
+                  append_arg: str | None = None) -> str:
+    out, last = [], 0
+    for start, op, cp in _find_calls(text, name):
+        out.append(text[last:start])
+        out.append(new_name)
+        inner = text[op:cp + 1]
+        if append_arg is not None:
+            inner = inner[:-1] + f", {append_arg})"
+        out.append(inner)
+        last = cp + 1
+    out.append(text[last:])
+    return "".join(out)
+
+
+def translate(text: str, time_column: str = TIME_COLUMN) -> str:
+    """Rewrite Druid SQL aggregate surface into Spark SQL."""
+    # ordered: _BY variants first so bare EARLIEST doesn't eat them
+    text = _rewrite_call(text, "EARLIEST_BY", "min_by")
+    text = _rewrite_call(text, "LATEST_BY", "max_by")
+    text = _rewrite_call(text, "EARLIEST", "min_by",
+                         append_arg=f"`{time_column}`")
+    text = _rewrite_call(text, "LATEST", "max_by",
+                         append_arg=f"`{time_column}`")
+    text = _rewrite_call(text, "ARRAY_CONCAT_AGG", "flatten(collect_list")
+    # fix the extra paren from the compound rename above
+    if "flatten(collect_list(" in text:
+        text = _close_extra_paren(text, "flatten(collect_list(")
+    for druid, spark_name in _SIMPLE_RENAMES.items():
+        text = _rewrite_call(text, druid, spark_name)
+    return text
+
+
+def _close_extra_paren(text: str, marker: str) -> str:
+    out = []
+    i = 0
+    while True:
+        k = text.find(marker, i)
+        if k < 0:
+            out.append(text[i:])
+            return "".join(out)
+        j = k + len(marker)
+        depth, in_str = 1, None
+        while j < len(text) and depth:
+            ch = text[j]
+            if in_str:
+                if ch == in_str:
+                    in_str = None
+            elif ch in ("'", '"'):
+                in_str = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            j += 1
+        out.append(text[i:j])
+        out.append(")")
+        i = j
+
+
+def druid_sql(spark: SparkSession, text: str, registry=None) -> DataFrame:
+    """Run a Druid SQL string on Spark: register scalar shims, translate
+    the aggregate surface, and hand the rest to Catalyst (parse/validate/
+    optimize — the entire SqlLifecycle of the reference,
+    sql/.../SqlLifecycle.java, collapses into this call)."""
+    from apache_druid_spark.functions.registry import register_druid_functions
+
+    register_druid_functions(spark, registry)
+    if registry is not None:
+        for name in registry.names():
+            registry.table(name).createOrReplaceTempView(name)
+    return spark.sql(translate(text))

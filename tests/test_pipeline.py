@@ -1,0 +1,142 @@
+"""Training-data pipeline operator tests on the driver's documents/
+embeddings tables (sf0.001)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_druid_spark.pipeline import (
+    exact_dedup, minhash_signatures, minhash_lsh_pairs, simhash,
+    ngram_jaccard_pairs, cosine_topk, lsh_bucket_topk,
+    token_stats, language_id, quality_score, fingerprint,
+)
+from apache_druid_spark.pipeline.multimodal import (
+    attach_fake_payload, extract_features, sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(registry):
+    return registry.table("documents")
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, docs):
+    # duplicate 5 docs under new ids so dedup has work to do
+    dups = (docs.limit(5)
+                .withColumn("doc_id", F.col("doc_id") + 100000))
+    return docs.unionByName(dups)
+
+
+@pytest.fixture(scope="module")
+def emb(registry):
+    return registry.table("embeddings")
+
+
+def test_exact_dedup(docs_with_dups, docs):
+    res = exact_dedup(docs_with_dups).filter(F.col("dup_count") > 1).collect()
+    assert len(res) == 5
+    # survivor is always the original (lower id)
+    assert all(r["survivor_id"] < 100000 for r in res)
+
+
+def test_minhash_signatures_shape(docs):
+    row = minhash_signatures(docs, num_hashes=8).first()
+    assert len(row["minhash"]) == 8
+    assert all(len(h) == 32 for h in row["minhash"])  # md5 hex
+
+
+def test_minhash_lsh_finds_duplicates(docs_with_dups):
+    pairs = minhash_lsh_pairs(docs_with_dups, num_hashes=8, bands=4).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    # the 5 exact dup pairs must be candidates (identical shingle sets)
+    orig = sorted(r["id_a"] for r in pairs if r["id_b"] == r["id_a"] + 100000)
+    assert len(orig) == 5
+
+
+def test_simhash_near_dup_property(spark):
+    rows = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words about database engines here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["simhash"] for r in simhash(df, bits=32).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(got[1], got[2]) < ham(got[1], got[3])
+
+
+def test_ngram_jaccard(docs_with_dups):
+    pairs = ngram_jaccard_pairs(docs_with_dups, threshold=0.99).collect()
+    assert len(pairs) >= 5
+    assert all(r["jaccard"] == 1.0 for r in pairs
+               if r["id_b"] == r["id_a"] + 100000)
+
+
+def test_cosine_topk_self_is_top(emb):
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    top = cosine_topk(emb, list(q), k=5).collect()
+    assert top[0]["vec_id"] == 0
+    assert abs(top[0]["cosine"] - 1.0) < 1e-4
+    scores = [r["cosine"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_lsh_bucket_topk_finds_self(emb):
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    top = lsh_bucket_topk(emb, list(q), k=5, bits=8, hamming_radius=2).collect()
+    assert top[0]["vec_id"] == 0
+
+
+def test_lsh_is_subset_of_exact(emb):
+    q = emb.filter(F.col("vec_id") == 3).first()["embedding"]
+    exact = [r["vec_id"] for r in cosine_topk(emb, list(q), k=50).collect()]
+    approx = [r["vec_id"] for r in
+              lsh_bucket_topk(emb, list(q), k=5, bits=8,
+                              hamming_radius=4).collect()]
+    # ANN top hit should be in the exact top-50 (sanity, not tight recall)
+    assert approx[0] in exact
+
+
+def test_token_stats(spark):
+    df = spark.createDataFrame([(1, "hello  world foo")], "id long, text string")
+    r = token_stats(df).first()
+    assert r["n_tokens"] == 3
+    assert r["avg_token_len"] == pytest.approx((5 + 5 + 3) / 3, abs=0.001)
+
+
+def test_language_id(spark):
+    rows = [(1, "the cat and the dog is in the house"),
+            (2, "der hund und die katze ist nicht da"),
+            (3, "le chat et la maison est une grande")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["lang_pred"] for r in language_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr"}
+
+
+def test_quality_score_bounds(docs):
+    rows = quality_score(docs).select("quality").collect()
+    assert all(0.0 <= r["quality"] <= 1.0 for r in rows)
+
+
+def test_fingerprint_order_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta alpha")],
+        "id long, text string")
+    rows = fingerprint(df).collect()
+    assert rows[0]["fingerprint"] == rows[1]["fingerprint"]
+
+
+def test_multimodal_features(docs):
+    media = attach_fake_payload(docs.limit(20))
+    feats = extract_features(media).collect()
+    assert len(feats) == 20
+    assert all(len(r["feature"]) == 8 for r in feats)
+    assert all(r["n_bytes"] > 0 for r in feats)
+    kinds = {r["kind"] for r in feats}
+    assert kinds <= {"image", "audio", "video"}
+
+
+def test_multimodal_frame_sampling(docs):
+    media = attach_fake_payload(docs.limit(9))
+    frames = sample_frames(media, every_ms=1000)
+    rows = frames.collect()
+    assert len(rows) > 0
+    assert all(r["frame_ms"] % 1000 == 0 for r in rows)

@@ -1,0 +1,114 @@
+"""Druid SQL surface tests: registered SQL UDFs + dialect translation
+(SURVEY.md §2.13) — modeled on the reference's CalciteQueryTest golden
+pattern but oracle-checked inline."""
+
+import pytest
+
+from apache_druid_spark.functions.registry import register_druid_functions
+from apache_druid_spark.sql.dialect import druid_sql, translate
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _funcs(spark, registry):
+    register_druid_functions(spark, registry)
+
+
+def _one(spark, expr):
+    return spark.sql(f"SELECT {expr} AS v").collect()[0]["v"]
+
+
+def test_time_floor_hour(spark):
+    assert str(_one(spark, "TIME_FLOOR(TIMESTAMP '2024-03-15 13:45:10', 'PT1H')")) \
+        == "2024-03-15 13:00:00"
+
+
+def test_time_floor_month_multiple(spark):
+    assert str(_one(spark, "TIME_FLOOR(TIMESTAMP '2024-05-02 00:00:00', 'P3M')")) \
+        == "2024-04-01 00:00:00"
+
+
+def test_time_ceil(spark):
+    assert str(_one(spark, "TIME_CEIL(TIMESTAMP '2024-03-15 13:45:10', 'PT1H')")) \
+        == "2024-03-15 14:00:00"
+    assert str(_one(spark, "TIME_CEIL(TIMESTAMP '2024-03-15 13:00:00', 'PT1H')")) \
+        == "2024-03-15 13:00:00"
+
+
+def test_time_shift(spark):
+    assert str(_one(spark, "TIME_SHIFT(TIMESTAMP '2024-01-31 00:00:00', 'P1M', 1)")) \
+        == "2024-02-29 00:00:00"
+    assert str(_one(spark, "TIME_SHIFT(TIMESTAMP '2024-03-15 12:00:00', 'PT6H', -2)")) \
+        == "2024-03-15 00:00:00"
+
+
+def test_time_extract_parse_format(spark):
+    assert _one(spark, "TIME_EXTRACT(TIMESTAMP '2024-03-15 13:45:10', 'HOUR')") == 13
+    assert _one(spark, "TIME_FORMAT(TIME_PARSE('2024-03-15T13:45:10'), 'yyyy-MM')") == "2024-03"
+    assert _one(spark, "TIMESTAMP_TO_MILLIS(MILLIS_TO_TIMESTAMP(1700000000000))") == 1700000000000
+
+
+def test_mv_functions(spark):
+    assert _one(spark, "MV_LENGTH(array('a','b','c'))") == 3
+    assert _one(spark, "MV_OFFSET(array('a','b','c'), 1)") == "b"
+    assert _one(spark, "MV_ORDINAL(array('a','b','c'), 1)") == "a"
+    assert _one(spark, "MV_CONTAINS(array('a','b'), 'b')") is True
+    assert _one(spark, "MV_OVERLAP(array('a','b'), array('b','z'))") is True
+    assert _one(spark, "MV_OFFSET_OF(array('a','b'), 'b')") == 1
+    assert _one(spark, "MV_TO_STRING(array('a','b'), '-')") == "a-b"
+    assert _one(spark, "STRING_TO_MV('a-b-c', '-')") == ["a", "b", "c"]
+    assert _one(spark, "MV_FILTER_ONLY(array('a','b','c'), array('a','c'))") == ["a", "c"]
+    assert _one(spark, "MV_FILTER_NONE(array('a','b','c'), array('a','c'))") == ["b"]
+
+
+def test_scalar_shims(spark):
+    assert _one(spark, "TEXTCAT('a', 'b')") == "ab"
+    assert _one(spark, "CONTAINS_STRING('hello', 'ell')") is True
+    assert _one(spark, "ICONTAINS_STRING('HELLO', 'ell')") is True
+    assert _one(spark, "SAFE_DIVIDE(1.0, 0.0)") is None
+    assert _one(spark, "7 div 2") == 3
+    assert _one(spark, "BITWISE_AND(12, 10)") == 8
+    assert _one(spark, "IPV4_STRINGIFY(IPV4_PARSE('10.1.2.3'))") == "10.1.2.3"
+    assert _one(spark, "PARSE_LONG('42')") == 42
+
+
+def test_lookup_sql_function(spark, registry):
+    register_druid_functions(spark, registry)
+    assert _one(spark, "LOOKUP('abc', 'lookyloo')") == "xabc"
+    assert _one(spark, "LOOKUP('zzz', 'lookyloo')") is None
+
+
+def test_translate_earliest_latest():
+    out = translate("SELECT EARLIEST(x), LATEST(y), EARLIEST_BY(a, t) FROM f")
+    assert "min_by(x, `__time`)" in out
+    assert "max_by(y, `__time`)" in out
+    assert "min_by(a, t)" in out
+
+
+def test_translate_respects_strings():
+    out = translate("SELECT 'EARLIEST(x)' AS s, LATEST(y) FROM f")
+    assert "'EARLIEST(x)'" in out  # literal untouched
+    assert "max_by(y, `__time`)" in out
+
+
+def test_translate_approx():
+    out = translate("SELECT APPROX_COUNT_DISTINCT_DS_HLL(x), APPROX_QUANTILE_DS(y, 0.5) FROM f")
+    assert "approx_count_distinct(x)" in out
+    assert "percentile_approx(y, 0.5)" in out
+
+
+def test_druid_sql_end_to_end(spark, registry, foo):
+    df = druid_sql(spark, """
+        SELECT dim1, EARLIEST(m1) AS first_m1, LATEST(m1) AS last_m1
+        FROM foo GROUP BY dim1 ORDER BY dim1 LIMIT 2
+    """, registry)
+    rows = df.collect()
+    assert rows[0]["dim1"] == "" and rows[0]["first_m1"] == 1.0
+
+
+def test_druid_sql_time_floor_groupby(spark, registry, foo):
+    df = druid_sql(spark, """
+        SELECT TIME_FLOOR(__time, 'P1Y') AS y, SUM(m1) AS s
+        FROM foo GROUP BY 1 ORDER BY 1
+    """, registry)
+    rows = df.collect()
+    assert [r["s"] for r in rows] == [6.0, 15.0]
