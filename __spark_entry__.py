@@ -1,10 +1,19 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry in ``queries()`` exercises the engine surface from
+SURVEY.md §2 — native JSON query types compiled by
+``apache_druid_spark.plans.compiler``, the Druid SQL dialect shim,
+the superset operators (windows, anti-join, INTERSECT/EXCEPT), and the
+training-data pipeline (dedup / similarity / text analysis).
+``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL; entries without
+an oracle are approximate (HLL) or not SQL-expressible (LSH pairs,
+streaming) and get the driver's rows-only check.
+
+Determinism rules applied throughout (both engines identically):
+  * every double aggregate is ROUND()ed in BOTH Spark and the oracle;
+  * every LIMIT has a full deterministic tiebreak chain;
+  * time buckets are CAST(date_trunc(..) AS TIMESTAMP) on the DuckDB
+    side because DuckDB's date_trunc returns DATE.
 """
 
 from __future__ import annotations
@@ -12,27 +21,794 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+from apache_druid_spark.model.datasource import (
+    DatasourceRegistry, register_testdata,
+)
+from apache_druid_spark.plans.compiler import compile_query
+from apache_druid_spark.sql.dialect import druid_sql
+from apache_druid_spark.pipeline import (
+    cosine_topk, exact_dedup, fingerprint, language_id, lsh_bucket_topk,
+    minhash_lsh_pairs, quality_score, simhash, token_stats,
+)
+
+ALL_TIME = ["1970-01-01/2100-01-01"]
+
+_REGISTRIES: dict[str, DatasourceRegistry] = {}
+
+
+def _registry(spark: SparkSession, sf_dir: str) -> DatasourceRegistry:
+    reg = _REGISTRIES.get(sf_dir)
+    if reg is None or reg.spark is not spark:
+        reg = DatasourceRegistry(spark)
+        register_testdata(reg, sf_dir)
+        nation = reg.table("nation")
+        reg.register_lookup(
+            "nation_name",
+            nation.select(F.col("n_nationkey").cast("string"),
+                          F.col("n_name")),
+        )
+        _REGISTRIES[sf_dir] = reg
+    return reg
+
+
+def _round(df: DataFrame, cols: dict[str, int]) -> DataFrame:
+    for c, n in cols.items():
+        df = df.withColumn(c, F.round(F.col(c), n))
+    return df
+
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Native query types (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+@_q("timeseries_month_revenue", """
+SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS __time,
+       ROUND(SUM(l_extendedprice), 2) AS revenue,
+       COUNT(*) AS cnt
+FROM lineitem GROUP BY 1
+""")
+def _timeseries_month_revenue(spark, sf_dir):
+    df = compile_query({
+        "queryType": "timeseries", "dataSource": "lineitem",
+        "granularity": "month", "intervals": ALL_TIME,
+        "aggregations": [
+            {"type": "doubleSum", "name": "revenue",
+             "fieldName": "l_extendedprice"},
+            {"type": "count", "name": "cnt"},
+        ],
+    }, _registry(spark, sf_dir))
+    return _round(df, {"revenue": 2})
+
+
+@_q("timeseries_day_clicks", """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS __time,
+       ROUND(SUM(value), 4) AS total_value,
+       COUNT(*) AS cnt
+FROM events WHERE event_type = 'click' GROUP BY 1
+""")
+def _timeseries_day_clicks(spark, sf_dir):
+    df = compile_query({
+        "queryType": "timeseries", "dataSource": "events",
+        "granularity": "day", "intervals": ALL_TIME,
+        "filter": {"type": "selector", "dimension": "event_type",
+                   "value": "click"},
+        "aggregations": [
+            {"type": "doubleSum", "name": "total_value", "fieldName": "value"},
+            {"type": "count", "name": "cnt"},
+        ],
+    }, _registry(spark, sf_dir))
+    return _round(df, {"total_value": 4})
+
+
+@_q("timeboundary_lineitem", """
+SELECT MIN(l_shipdate) AS minTime, MAX(l_shipdate) AS maxTime FROM lineitem
+""")
+def _timeboundary_lineitem(spark, sf_dir):
+    return compile_query(
+        {"queryType": "timeBoundary", "dataSource": "lineitem"},
+        _registry(spark, sf_dir))
+
+
+@_q("topn_priority_revenue", """
+SELECT o_orderpriority,
+       ROUND(SUM(o_totalprice), 2) AS revenue,
+       COUNT(*) AS cnt
+FROM orders GROUP BY 1
+ORDER BY SUM(o_totalprice) DESC, o_orderpriority LIMIT 3
+""")
+def _topn_priority_revenue(spark, sf_dir):
+    df = compile_query({
+        "queryType": "topN", "dataSource": "orders", "granularity": "all",
+        "dimension": "o_orderpriority", "metric": "revenue", "threshold": 3,
+        "aggregations": [
+            {"type": "doubleSum", "name": "revenue",
+             "fieldName": "o_totalprice"},
+            {"type": "count", "name": "cnt"},
+        ],
+    }, _registry(spark, sf_dir))
+    return _round(df, {"revenue": 2})
+
+
+@_q("groupby_flag_status", """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+       COUNT(*) AS cnt
+FROM lineitem GROUP BY 1, 2
+""")
+def _groupby_flag_status(spark, sf_dir):
+    df = compile_query({
+        "queryType": "groupBy", "dataSource": "lineitem",
+        "granularity": "all",
+        "dimensions": ["l_returnflag", "l_linestatus"],
+        "aggregations": [
+            {"type": "doubleSum", "name": "sum_qty", "fieldName": "l_quantity"},
+            {"type": "doubleSum", "name": "sum_price",
+             "fieldName": "l_extendedprice"},
+            {"type": "count", "name": "cnt"},
+        ],
+    }, _registry(spark, sf_dir))
+    return _round(df, {"sum_qty": 2, "sum_price": 2})
+
+
+@_q("groupby_having_segment", """
+SELECT c_mktsegment, ROUND(SUM(c_acctbal), 2) AS balance, COUNT(*) AS cnt
+FROM customer GROUP BY 1 HAVING SUM(c_acctbal) > 1300000
+""")
+def _groupby_having_segment(spark, sf_dir):
+    df = compile_query({
+        "queryType": "groupBy", "dataSource": "customer",
+        "granularity": "all", "dimensions": ["c_mktsegment"],
+        "aggregations": [
+            {"type": "doubleSum", "name": "balance", "fieldName": "c_acctbal"},
+            {"type": "count", "name": "cnt"},
+        ],
+        "having": {"type": "greaterThan", "aggregation": "balance",
+                   "value": 1300000},
+    }, _registry(spark, sf_dir))
+    return _round(df, {"balance": 2})
+
+
+@_q("groupby_subtotals", """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS cnt, ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""")
+def _groupby_subtotals(spark, sf_dir):
+    df = compile_query({
+        "queryType": "groupBy", "dataSource": "lineitem",
+        "granularity": "all",
+        "dimensions": ["l_returnflag", "l_linestatus"],
+        "subtotalsSpec": [["l_returnflag", "l_linestatus"],
+                          ["l_returnflag"], []],
+        "aggregations": [
+            {"type": "count", "name": "cnt"},
+            {"type": "doubleSum", "name": "sum_qty", "fieldName": "l_quantity"},
+        ],
+    }, _registry(spark, sf_dir))
+    return _round(df.select("l_returnflag", "l_linestatus", "cnt", "sum_qty"),
+                  {"sum_qty": 2})
+
+
+@_q("scan_high_value_orders", """
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+WHERE o_totalprice >= 400000 ORDER BY o_orderkey LIMIT 50 OFFSET 5
+""")
+def _scan_high_value_orders(spark, sf_dir):
+    return compile_query({
+        "queryType": "scan", "dataSource": "orders",
+        "columns": ["o_orderkey", "o_orderstatus", "o_totalprice"],
+        "filter": {"type": "bound", "dimension": "o_totalprice",
+                   "lower": "400000", "ordering": "numeric"},
+        "orderBy": [{"columnName": "o_orderkey", "order": "ascending"}],
+        "offset": 5, "limit": 50,
+    }, _registry(spark, sf_dir))
+
+
+@_q("search_nation_names", """
+SELECT 'n_name' AS dimension, n_name AS value, COUNT(*) AS cnt
+FROM nation WHERE contains(lower(n_name), 'ion_1')
+GROUP BY n_name ORDER BY value, dimension LIMIT 100
+""")
+def _search_nation_names(spark, sf_dir):
+    df = compile_query({
+        "queryType": "search", "dataSource": "nation",
+        "searchDimensions": ["n_name"],
+        "query": {"type": "insensitive_contains", "value": "ion_1"},
+        "limit": 100,
+    }, _registry(spark, sf_dir))
+    return df.withColumnRenamed("count", "cnt")
+
+
+# ---------------------------------------------------------------------------
+# Filters / projections (SURVEY §2.4, §2.5)
+# ---------------------------------------------------------------------------
+
+@_q("filter_combo_parts", """
+SELECT p_brand, COUNT(*) AS cnt, ROUND(AVG(p_retailprice), 4) AS avg_price
+FROM part
+WHERE p_type IN ('ECONOMY', 'PROMO') AND p_size >= 10 AND p_size <= 40
+  AND p_name LIKE '%e%'
+GROUP BY 1
+""")
+def _filter_combo_parts(spark, sf_dir):
+    df = compile_query({
+        "queryType": "groupBy", "dataSource": "part", "granularity": "all",
+        "dimensions": ["p_brand"],
+        "filter": {"type": "and", "fields": [
+            {"type": "in", "dimension": "p_type",
+             "values": ["ECONOMY", "PROMO"]},
+            {"type": "bound", "dimension": "p_size", "lower": "10",
+             "upper": "40", "ordering": "numeric"},
+            {"type": "like", "dimension": "p_name", "pattern": "%e%"},
+        ]},
+        "aggregations": [
+            {"type": "count", "name": "cnt"},
+            {"type": "doubleMean", "name": "avg_price",
+             "fieldName": "p_retailprice"},
+        ],
+    }, _registry(spark, sf_dir))
+    return _round(df, {"avg_price": 4})
+
+
+@_q("filter_regex_not", """
+SELECT event_type, COUNT(*) AS cnt FROM events
+WHERE regexp_matches(event_type, '^(click|view)$') OR NOT (value >= 10)
+GROUP BY 1
+""")
+def _filter_regex_not(spark, sf_dir):
+    return compile_query({
+        "queryType": "groupBy", "dataSource": "events", "granularity": "all",
+        "dimensions": ["event_type"],
+        "filter": {"type": "or", "fields": [
+            {"type": "regex", "dimension": "event_type",
+             "pattern": "^(click|view)$"},
+            {"type": "not", "field": {
+                "type": "bound", "dimension": "value", "lower": "10",
+                "ordering": "numeric"}},
+        ]},
+        "aggregations": [{"type": "count", "name": "cnt"}],
+    }, _registry(spark, sf_dir))
+
+
+@_q("virtual_column_bucket", """
+SELECT CAST(floor(l_discount * 100) AS BIGINT) AS disc_bucket,
+       COUNT(*) AS cnt, ROUND(SUM(l_extendedprice), 2) AS sum_price
+FROM lineitem GROUP BY 1
+""")
+def _virtual_column_bucket(spark, sf_dir):
+    df = compile_query({
+        "queryType": "groupBy", "dataSource": "lineitem",
+        "granularity": "all",
+        "virtualColumns": [{
+            "type": "expression", "name": "disc_bucket",
+            "expression": 'floor("l_discount" * 100)', "outputType": "LONG"}],
+        "dimensions": [{"type": "default", "dimension": "disc_bucket",
+                        "outputType": "LONG"}],
+        "aggregations": [
+            {"type": "count", "name": "cnt"},
+            {"type": "doubleSum", "name": "sum_price",
+             "fieldName": "l_extendedprice"},
+        ],
+    }, _registry(spark, sf_dir))
+    return _round(df, {"sum_price": 2})
+
+
+@_q("extraction_regex_brand", """
+SELECT regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS brand_num,
+       COUNT(*) AS cnt, ROUND(SUM(p_retailprice), 2) AS retail
+FROM part GROUP BY 1
+""")
+def _extraction_regex_brand(spark, sf_dir):
+    df = compile_query({
+        "queryType": "groupBy", "dataSource": "part", "granularity": "all",
+        "dimensions": [{
+            "type": "extraction", "dimension": "p_brand",
+            "outputName": "brand_num",
+            "extractionFn": {"type": "regex", "expr": "Brand#(\\d+)",
+                             "index": 1}}],
+        "aggregations": [
+            {"type": "count", "name": "cnt"},
+            {"type": "doubleSum", "name": "retail",
+             "fieldName": "p_retailprice"},
+        ],
+    }, _registry(spark, sf_dir))
+    return _round(df, {"retail": 2})
+
+
+@_q("time_extract_hour", """
+SELECT lpad(CAST(EXTRACT(hour FROM ts) AS VARCHAR), 2, '0') AS hour,
+       COUNT(*) AS cnt, ROUND(SUM(value), 4) AS total_value
+FROM events GROUP BY 1
+""")
+def _time_extract_hour(spark, sf_dir):
+    df = compile_query({
+        "queryType": "groupBy", "dataSource": "events", "granularity": "all",
+        "dimensions": [{
+            "type": "extraction", "dimension": "__time",
+            "outputName": "hour",
+            "extractionFn": {"type": "timeFormat", "format": "HH"}}],
+        "aggregations": [
+            {"type": "count", "name": "cnt"},
+            {"type": "doubleSum", "name": "total_value", "fieldName": "value"},
+        ],
+    }, _registry(spark, sf_dir))
+    return _round(df, {"total_value": 4})
+
+
+# ---------------------------------------------------------------------------
+# Aggregators (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+@_q("agg_first_last_events", """
+SELECT event_type,
+       min_by(value, ts) AS first_value,
+       max_by(value, ts) AS last_value,
+       COUNT(*) AS cnt
+FROM events GROUP BY 1
+""")
+def _agg_first_last_events(spark, sf_dir):
+    return compile_query({
+        "queryType": "groupBy", "dataSource": "events", "granularity": "all",
+        "dimensions": ["event_type"],
+        "aggregations": [
+            {"type": "doubleFirst", "name": "first_value",
+             "fieldName": "value"},
+            {"type": "doubleLast", "name": "last_value", "fieldName": "value"},
+            {"type": "count", "name": "cnt"},
+        ],
+    }, _registry(spark, sf_dir))
+
+
+@_q("agg_stats_lineitem", """
+SELECT l_linestatus,
+       ROUND(MIN(l_discount), 4) AS min_disc,
+       ROUND(MAX(l_discount), 4) AS max_disc,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(var_samp(l_quantity), 4) AS var_qty,
+       ROUND(stddev_samp(l_quantity), 4) AS std_qty
+FROM lineitem GROUP BY 1
+""")
+def _agg_stats_lineitem(spark, sf_dir):
+    df = compile_query({
+        "queryType": "groupBy", "dataSource": "lineitem",
+        "granularity": "all", "dimensions": ["l_linestatus"],
+        "aggregations": [
+            {"type": "doubleMin", "name": "min_disc",
+             "fieldName": "l_discount"},
+            {"type": "doubleMax", "name": "max_disc",
+             "fieldName": "l_discount"},
+            {"type": "doubleMean", "name": "avg_qty",
+             "fieldName": "l_quantity"},
+            {"type": "variance", "name": "var_qty", "fieldName": "l_quantity"},
+            {"type": "stddev", "name": "std_qty", "fieldName": "l_quantity"},
+        ],
+    }, _registry(spark, sf_dir))
+    return _round(df, {"min_disc": 4, "max_disc": 4, "avg_qty": 4,
+                       "var_qty": 4, "std_qty": 4})
+
+
+@_q("agg_filtered_sum", """
+SELECT l_linestatus,
+       ROUND(SUM(l_extendedprice) FILTER (WHERE l_returnflag = 'R'), 2)
+           AS returned_price,
+       SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned_cnt,
+       COUNT(*) AS cnt
+FROM lineitem GROUP BY 1
+""")
+def _agg_filtered_sum(spark, sf_dir):
+    df = compile_query({
+        "queryType": "groupBy", "dataSource": "lineitem",
+        "granularity": "all", "dimensions": ["l_linestatus"],
+        "aggregations": [
+            {"type": "filtered", "name": "returned_price",
+             "filter": {"type": "selector", "dimension": "l_returnflag",
+                        "value": "R"},
+             "aggregator": {"type": "doubleSum", "name": "returned_price",
+                            "fieldName": "l_extendedprice"}},
+            {"type": "filtered", "name": "returned_cnt",
+             "filter": {"type": "selector", "dimension": "l_returnflag",
+                        "value": "R"},
+             "aggregator": {"type": "count", "name": "returned_cnt"}},
+            {"type": "count", "name": "cnt"},
+        ],
+    }, _registry(spark, sf_dir))
+    return _round(df, {"returned_price": 2})
+
+
+@_q("hll_user_cardinality")  # approximate (HLL++) — rows-only check
+def _hll_user_cardinality(spark, sf_dir):
+    return compile_query({
+        "queryType": "timeseries", "dataSource": "events",
+        "granularity": "all",
+        "aggregations": [
+            {"type": "cardinality", "name": "uniq_users",
+             "fields": ["user_id"], "byRow": True},
+            {"type": "count", "name": "cnt"},
+        ],
+    }, _registry(spark, sf_dir))
+
+
+@_q("theta_exact_distinct", """
+SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS uniq_cust
+FROM orders GROUP BY 1
+""")
+def _theta_exact_distinct(spark, sf_dir):
+    # thetaSketch maps to exact count_distinct (strict accuracy upgrade:
+    # Spark can shuffle, Druid's sketch exists because it cannot)
+    return compile_query({
+        "queryType": "groupBy", "dataSource": "orders", "granularity": "all",
+        "dimensions": ["o_orderpriority"],
+        "aggregations": [{"type": "thetaSketch", "name": "uniq_cust",
+                          "fieldName": "o_custkey"}],
+    }, _registry(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Joins / lookups / set ops (SURVEY §2.6, §2.11)
+# ---------------------------------------------------------------------------
+
+@_q("join_orders_customers", """
+SELECT c_mktsegment AS mktsegment,
+       ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS cnt
+FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1
+""")
+def _join_orders_customers(spark, sf_dir):
+    df = compile_query({
+        "queryType": "groupBy",
+        "dataSource": {
+            "type": "join", "left": "orders", "right": "customer",
+            "rightPrefix": "j0.",
+            "condition": '"o_custkey" == "j0.c_custkey"',
+            "joinType": "INNER"},
+        "granularity": "all",
+        "dimensions": [{"type": "default", "dimension": "j0.c_mktsegment",
+                        "outputName": "mktsegment"}],
+        "aggregations": [
+            {"type": "doubleSum", "name": "revenue",
+             "fieldName": "o_totalprice"},
+            {"type": "count", "name": "cnt"},
+        ],
+    }, _registry(spark, sf_dir))
+    return _round(df, {"revenue": 2})
+
+
+@_q("lookup_nation_name", """
+SELECT n.n_name AS nation_name, COUNT(*) AS cnt,
+       ROUND(SUM(c.c_acctbal), 2) AS balance
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+""")
+def _lookup_nation_name(spark, sf_dir):
+    df = compile_query({
+        "queryType": "groupBy", "dataSource": "customer",
+        "granularity": "all",
+        "dimensions": [{"type": "lookup", "dimension": "c_nationkey",
+                        "outputName": "nation_name", "name": "nation_name"}],
+        "aggregations": [
+            {"type": "count", "name": "cnt"},
+            {"type": "doubleSum", "name": "balance", "fieldName": "c_acctbal"},
+        ],
+    }, _registry(spark, sf_dir))
+    return _round(df, {"balance": 2})
+
+
+@_q("sql_semi_join", """
+SELECT COUNT(*) AS cnt FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'BUILDING')
+""")
+def _sql_semi_join(spark, sf_dir):
+    reg = _registry(spark, sf_dir)
+    return druid_sql(spark, """
+        SELECT COUNT(*) AS cnt FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'BUILDING')
+    """, reg)
+
+
+@_q("anti_join_customers", """
+SELECT COUNT(*) AS cnt FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""")
+def _anti_join_customers(spark, sf_dir):
+    # anti-join: unsupported in reference SQL (SURVEY §2.6) — superset
+    reg = _registry(spark, sf_dir)
+    cust, orders = reg.table("customer"), reg.table("orders")
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+                .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+@_q("union_scan_orders", """
+SELECT o_orderstatus, COUNT(*) AS cnt
+FROM (SELECT * FROM orders UNION ALL SELECT * FROM orders)
+GROUP BY 1
+""")
+def _union_scan_orders(spark, sf_dir):
+    return compile_query({
+        "queryType": "groupBy",
+        "dataSource": {"type": "union", "dataSources": ["orders", "orders"]},
+        "granularity": "all", "dimensions": ["o_orderstatus"],
+        "aggregations": [{"type": "count", "name": "cnt"}],
+    }, _registry(spark, sf_dir))
+
+
+@_q("intersect_nationkeys", """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+""")
+def _intersect_nationkeys(spark, sf_dir):
+    # INTERSECT: rejected by the reference planner (SURVEY §2.11) — superset
+    reg = _registry(spark, sf_dir)
+    return (reg.table("customer").select(F.col("c_nationkey").alias("nationkey"))
+            .intersect(reg.table("supplier")
+                       .select(F.col("s_nationkey").alias("nationkey"))))
+
+
+@_q("except_nationkeys", """
+SELECT n_nationkey AS nationkey FROM nation
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier
+""")
+def _except_nationkeys(spark, sf_dir):
+    reg = _registry(spark, sf_dir)
+    return (reg.table("nation").select(F.col("n_nationkey").alias("nationkey"))
+            .exceptAll(reg.table("supplier")
+                       .select(F.col("s_nationkey").alias("nationkey")))
+            .distinct())
+
+
+# ---------------------------------------------------------------------------
+# Window functions (superset — absent in reference, SURVEY §2.10)
+# ---------------------------------------------------------------------------
+
+@_q("window_moving_avg", """
+WITH d AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+         SUM(o_totalprice) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT day, ROUND(rev, 2) AS revenue,
+       ROUND(AVG(rev) OVER (ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7
+FROM d
+""")
+def _window_moving_avg(spark, sf_dir):
+    # moving-average semantics of the contrib moving-average-query
+    # (extensions-contrib/moving-average-query/.../MovingAverageQuery.java)
+    # expressed as a Spark window over the (tiny) day-level pre-aggregate.
+    reg = _registry(spark, sf_dir)
+    daily = (reg.table("orders")
+             .groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
+             .agg(F.sum("o_totalprice").alias("rev")))
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day", F.round("rev", 2).alias("revenue"),
+        F.round(F.avg("rev").over(w), 2).alias("ma7"))
+
+
+# ---------------------------------------------------------------------------
+# Druid SQL dialect (SURVEY §2.13)
+# ---------------------------------------------------------------------------
+
+@_q("sql_time_floor_revenue", """
+SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+       ROUND(SUM(l_extendedprice), 2) AS revenue
+FROM lineitem GROUP BY 1
+""")
+def _sql_time_floor_revenue(spark, sf_dir):
+    reg = _registry(spark, sf_dir)
+    df = druid_sql(spark, """
+        SELECT TIME_FLOOR(__time, 'P1M') AS month,
+               SUM(l_extendedprice) AS revenue
+        FROM lineitem GROUP BY TIME_FLOOR(__time, 'P1M')
+    """, reg)
+    return _round(df, {"revenue": 2})
+
+
+@_q("sql_earliest_latest", """
+SELECT event_type,
+       min_by(value, ts) AS first_value,
+       max_by(value, ts) AS last_value
+FROM events GROUP BY 1
+""")
+def _sql_earliest_latest(spark, sf_dir):
+    reg = _registry(spark, sf_dir)
+    return druid_sql(spark, """
+        SELECT event_type,
+               EARLIEST(value) AS first_value,
+               LATEST(value) AS last_value
+        FROM events GROUP BY event_type
+    """, reg)
+
+
+# ---------------------------------------------------------------------------
+# Multi-value string dimensions (SURVEY §1.1, §2.12 MV_*)
+# ---------------------------------------------------------------------------
+
+@_q("mv_token_counts", """
+SELECT token, COUNT(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY 1 ORDER BY cnt DESC, token LIMIT 30
+""")
+def _mv_token_counts(spark, sf_dir):
+    # groupBy on a multi-value (array) dimension explodes one row per
+    # element — the reference's defining MV behavior.
+    return compile_query({
+        "queryType": "groupBy", "dataSource": "documents",
+        "granularity": "all",
+        "virtualColumns": [{
+            "type": "expression", "name": "token",
+            "expression": "string_to_array(\"text\", ' ')"}],
+        "dimensions": [{"type": "default", "dimension": "token"}],
+        "aggregations": [{"type": "count", "name": "cnt"}],
+        "limitSpec": {"type": "default", "limit": 30, "columns": [
+            {"dimension": "cnt", "direction": "descending",
+             "dimensionOrder": "numeric"},
+            {"dimension": "token", "direction": "ascending"},
+        ]},
+    }, _registry(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline (dedup / similarity / text)
+# ---------------------------------------------------------------------------
+
+@_q("dedup_exact", """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS survivor_id,
+       COUNT(*) AS dup_count
+FROM documents GROUP BY 1
+""")
+def _dedup_exact(spark, sf_dir):
+    return exact_dedup(_registry(spark, sf_dir).table("documents"))
+
+
+@_q("dedup_minhash_lsh")  # pair generation — not SQL-expressible concisely
+def _dedup_minhash_lsh(spark, sf_dir):
+    return minhash_lsh_pairs(_registry(spark, sf_dir).table("documents"),
+                             num_hashes=16, bands=4, shingle_k=3)
+
+
+@_q("dedup_simhash")  # rows-only: 32-bit fingerprint per doc
+def _dedup_simhash(spark, sf_dir):
+    return simhash(_registry(spark, sf_dir).table("documents"), bits=32)
+
+
+@_q("text_token_stats", """
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+           x -> x <> '')) AS n_tokens,
+       ROUND(list_sum(list_transform(
+           list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x <> ''), x -> len(x)))
+         / GREATEST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                        x -> x <> '')), 1), 4) AS avg_token_len
+FROM documents
+""")
+def _text_token_stats(spark, sf_dir):
+    df = token_stats(_registry(spark, sf_dir).table("documents"))
+    return df.select("doc_id", "n_tokens", "avg_token_len")
+
+
+@_q("text_fingerprint", """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(
+           list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       x -> x <> ''))), ' ')) AS fingerprint
+FROM documents
+""")
+def _text_fingerprint(spark, sf_dir):
+    df = fingerprint(_registry(spark, sf_dir).table("documents"))
+    return df.select("doc_id", "fingerprint")
+
+
+@_q("text_language_id")  # heuristic scorer — rows-only this round
+def _text_language_id(spark, sf_dir):
+    df = language_id(_registry(spark, sf_dir).table("documents"))
+    return df.select("doc_id", "lang_pred", "lang_pred_hits")
+
+
+@_q("text_quality")  # heuristic scorer — rows-only this round
+def _text_quality(spark, sf_dir):
+    df = quality_score(_registry(spark, sf_dir).table("documents"))
+    return df.select("doc_id", "q_len", "q_punct_ratio", "q_stopword_ratio",
+                     "q_uniq_ratio", "quality")
+
+
+_QUERY_VEC = [1.0] * 64
+
+
+def _vec_literal() -> str:
+    return "[" + ", ".join(f"{x:.1f}" for x in _QUERY_VEC) + "]"
+
+
+@_q("similarity_cosine_topk", f"""
+SELECT vec_id, cosine FROM (
+  SELECT vec_id,
+         ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+               CAST({_vec_literal()} AS DOUBLE[])), 6) AS cosine
+  FROM embeddings
+) ORDER BY cosine DESC, vec_id LIMIT 10
+""")
+def _similarity_cosine_topk(spark, sf_dir):
+    return cosine_topk(_registry(spark, sf_dir).table("embeddings"),
+                       _QUERY_VEC, k=10)
+
+
+@_q("similarity_lsh_topk")  # ANN path — rows-only (bucket pruning)
+def _similarity_lsh_topk(spark, sf_dir):
+    return lsh_bucket_topk(_registry(spark, sf_dir).table("embeddings"),
+                           _QUERY_VEC, k=10, bits=12, hamming_radius=4)
+
+
+# ---------------------------------------------------------------------------
+# Streaming rollup (SURVEY §2.15) — Structured Streaming, availableNow
+# ---------------------------------------------------------------------------
+
+@_q("streaming_rollup_hourly", """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS __time,
+       event_type, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+""")
+def _streaming_rollup_hourly(spark, sf_dir):
+    """Ingest-time rollup (IncrementalIndexSchema.java:42 semantics) as a
+    Structured Streaming query: file source -> event-time tumbling window
+    aggregation -> in-memory sink, trigger availableNow (exactly-once
+    batch-over-stream). The same plan against Kafka is the reference's
+    supervisor/task pipeline collapsed into one streaming query."""
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the file stream source wants a directory: stream the sf dir with a
+    # glob filter selecting just the events table
+    stream = (spark.readStream.schema(batch.schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    from pyspark.sql import types as T
+    if isinstance(stream.schema["ts"].dataType, T.LongType):
+        # TIMESTAMP(NANOS) parquet read as long under nanosAsLong
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    agg = (stream.groupBy(F.window("ts", "1 hour"), "event_type")
+           .agg(F.count(F.lit(1)).alias("cnt"),
+                F.sum("value").alias("total_value")))
+    name = "stream_rollup_hourly"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+            .select(F.col("window.start").alias("__time"), "event_type",
+                    "cnt", F.round("total_value", 4).alias("total_value")))
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _QUERIES["timeseries_month_revenue"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

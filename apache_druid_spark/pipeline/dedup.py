@@ -12,15 +12,17 @@ Scale notes (the whole point):
     whole-stage codegen, no Python.
   * Candidate generation is a groupBy/join on (band, hash) buckets —
     work is proportional to bucket collisions, never |docs|^2.
-  * MinHash here takes the lexicographic MIN of salted md5 hex digests
-    per shingle set — same guarantees as integer minhash, and exactly
-    reproducible in any engine with md5() (DuckDB oracle parity).
+  * MinHash hashes each shingle ONCE (md5 -> 32-bit int), then applies
+    num_hashes universal-hash variants (a*h + b mod 2^31-1) — standard
+    minhash guarantees, deterministic and engine-agnostic.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from apache_druid_spark.pipeline._util import parallelize_scan
 
 
 def _tokens(text_col):
@@ -53,20 +55,48 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     )
 
 
+_MERSENNE_P = (1 << 31) - 1
+
+
+def _hash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) universal-hash coefficients derived from
+    md5 of the index — engine-agnostic and seedless."""
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        h = hashlib.md5(f"minhash-{i}".encode()).hexdigest()
+        a = int(h[:8], 16) % (_MERSENNE_P - 1) + 1
+        b = int(h[8:16], 16) % _MERSENNE_P
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 16,
                        shingle_k: int = 3) -> DataFrame:
-    """Per-doc MinHash signature: for salt i, sig_i = min(md5(i||shingle)).
+    """Per-doc MinHash signature via universal hashing:
+    h = md5(shingle) taken as a 32-bit int (ONE md5 per shingle), then
+    sig_i = min((a_i*h + b_i) mod p) with p = 2^31-1.
 
-    array_min over a transform — zero shuffles to build signatures;
-    each doc is processed where it lives."""
+    Zero shuffles to build signatures — each doc is processed where it
+    lives; the per-shingle base hash is materialized once (``__h``
+    column) so the num_hashes variants are multiply-adds, not repeated
+    digests."""
+    df = parallelize_scan(df)
     sh = _shingles(F.col(text_col), shingle_k)
+    base = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
+                       .cast("long"))
+    hashed = df.select(F.col(id_col), base.alias("__h"))
+    def _universal(a: int, b: int):
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)
+
     sig = F.array(*[
-        F.array_min(F.transform(sh, lambda s, i=i: F.md5(
-            F.concat(F.lit(f"{i}|"), s))))
-        for i in range(num_hashes)
+        F.array_min(F.transform(F.col("__h"), _universal(a, b)))
+        for a, b in _hash_coeffs(num_hashes)
     ])
-    return df.select(F.col(id_col), sig.alias("minhash"))
+    return hashed.select(F.col(id_col), sig.alias("minhash"))
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
@@ -106,27 +136,43 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 32) -> DataFrame:
     """SimHash fingerprint: per token take `bits` bits of md5; each bit
     votes +1/-1; fingerprint bit = sign of the vote sum. Near-dups have
-    small Hamming distance. Pure expressions: the token hash is
-    conv(md5-hex-prefix, 16, 10) and bit votes are shifts/masks."""
+    small Hamming distance.
+
+    One md5 per token: tokens hash to 48-bit longs in a materialized
+    array column, then a single aggregate() pass folds the per-bit vote
+    vector (zip_with over a bit-index sequence). 48-bit hashes are
+    exactly representable as doubles, so floor(h / 2^i) % 2 extracts
+    bit i without a variable-shift primitive."""
+    if bits > 48:
+        raise ValueError("simhash supports at most 48 bits")
+    df = parallelize_scan(df)
     toks = _tokens(F.col(text_col))
-    # hash every token ONCE (transform), then fold bit votes over the
-    # long hashes — 1 md5 per token, not `bits` md5s per token
-    hashes = F.transform(
-        toks,
-        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
+    base = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10)
+                         .cast("long"))
+    hashed = df.select(F.col(id_col), base.alias("__h"))
 
-    def vote(i: int):
-        def step(acc, h):
-            on = F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
-            return acc + F.when(on, F.lit(1)).otherwise(F.lit(-1))
-        return F.aggregate(hashes, F.lit(0), step)
+    idx = F.sequence(F.lit(0), F.lit(bits - 1))
 
-    bit_votes = [vote(i) for i in range(bits)]
-    fp = None
-    for i, v in enumerate(bit_votes):
-        bit = F.when(v > 0, F.lit(2 ** i)).otherwise(F.lit(0)).cast("long")
-        fp = bit if fp is None else (fp + bit)
-    return df.select(F.col(id_col), fp.alias("simhash"))
+    def bit_of(h, i):
+        return F.floor(h.cast("double") / F.pow(F.lit(2.0), i.cast("double"))
+                       ).cast("long") % 2
+
+    votes = F.aggregate(
+        F.col("__h"),
+        F.expr(f"array_repeat(0, {bits})"),
+        lambda acc, h: F.zip_with(
+            acc, idx,
+            lambda v, i: v + F.when(bit_of(h, i) == 1, 1).otherwise(-1)))
+    fp = F.aggregate(
+        F.zip_with(
+            votes, idx,
+            lambda v, i: F.when(
+                v > 0,
+                F.pow(F.lit(2.0), i.cast("double")).cast("long"))
+             .otherwise(F.lit(0))),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return hashed.select(F.col(id_col), fp.alias("simhash"))
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
@@ -140,7 +186,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     on shingle, count shared, then |A u B| = |A| + |B| - shared.
     This is the exact verification pass to run AFTER minhash_lsh_pairs
     at full scale; on its own it is fine up to ~10M docs."""
-    sh = df.select(
+    sh = parallelize_scan(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(_shingles(F.col(text_col), shingle_k))
                   ).alias("shingle"),

@@ -19,6 +19,8 @@ import hashlib
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from apache_druid_spark.pipeline._util import parallelize_scan
+
 
 def _dot_literal(vec_col, query: list[float]):
     """dot(vec, literal query) without UDFs: aggregate over zip index."""
@@ -40,6 +42,7 @@ def cosine_topk(df: DataFrame, query: list[float], k: int = 10,
     """Exact cosine top-k against a literal query vector."""
     import math
 
+    df = parallelize_scan(df)
     qnorm = math.sqrt(sum(float(x) * float(x) for x in query)) or 1.0
     score = _dot_literal(F.col(vec_col), query) / (_norm(F.col(vec_col)) * F.lit(qnorm))
     if round_to is not None:
@@ -90,6 +93,7 @@ def lsh_bucket_topk(df: DataFrame, query: list[float], k: int = 10,
     `bit_count(bucket ^ qbucket) <= r` prunes before any sort. At 100 TB
     the bucket would be precomputed at ingest and the table clustered by
     it, turning this into a file-skipping scan."""
+    df = parallelize_scan(df)
     planes = hyperplanes(bits, len(query))
     qb = query_bucket(query, planes)
     with_bucket = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))

@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from apache_druid_spark.pipeline._util import parallelize_scan
+
 # Minimal per-language stopword marker lists for the n-gram/stopword
 # language-ID heuristic (public common-word lists).
 LANG_MARKERS: dict[str, list[str]] = {
@@ -27,6 +29,7 @@ def _tokens(text_col: Column) -> Column:
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting: whitespace tokens plus a BPE-ish subword estimate
     (words + punctuation clusters + CJK chars counted individually)."""
+    df = parallelize_scan(df)
     toks = _tokens(F.col(text_col))
     # BPE-ish: alnum runs, punct runs, and CJK codepoints each count
     bpe_ish = F.size(F.filter(
@@ -47,6 +50,7 @@ def language_id(df: DataFrame, text_col: str = "text",
     """Stopword-ratio language ID: score each language by marker-token
     hits; argmax wins (ties broken by language code order).
     Reference behavior modeled on common n-gram language-ID heuristics."""
+    df = parallelize_scan(df)
     toks = _tokens(F.col(text_col))
     scores = []
     for lang, markers in sorted(LANG_MARKERS.items()):
@@ -63,6 +67,7 @@ def language_id(df: DataFrame, text_col: str = "text",
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic document quality: length, punctuation density, stopword
     ratio, uppercase ratio, repetition — composed into [0,1]."""
+    df = parallelize_scan(df)
     text = F.col(text_col)
     toks = _tokens(text)
     n_chars = F.length(text)
@@ -89,5 +94,6 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprint robust to token order and duplication:
     md5 over the sorted distinct token set (a set-hash 'rolling hash'
     analogue that any engine can reproduce)."""
+    df = parallelize_scan(df)
     toks = F.array_sort(F.array_distinct(_tokens(F.col(text_col))))
     return df.withColumn("fingerprint", F.md5(F.array_join(toks, " ")))

@@ -163,11 +163,18 @@ def druid_sql(spark: SparkSession, text: str, registry=None) -> DataFrame:
     """Run a Druid SQL string on Spark: register scalar shims, translate
     the aggregate surface, and hand the rest to Catalyst (parse/validate/
     optimize — the entire SqlLifecycle of the reference,
-    sql/.../SqlLifecycle.java, collapses into this call)."""
+    sql/.../SqlLifecycle.java, collapses into this call).
+
+    Function/view registration is idempotent and driver-side chatty
+    (~40 CREATE FUNCTION round trips), so it runs once per
+    (session, registry) and is remembered on the session object."""
     from apache_druid_spark.functions.registry import register_druid_functions
 
-    register_druid_functions(spark, registry)
-    if registry is not None:
-        for name in registry.names():
-            registry.table(name).createOrReplaceTempView(name)
+    marker = getattr(spark, "_druid_sql_registered", None)
+    if marker is not id(registry):
+        register_druid_functions(spark, registry)
+        if registry is not None:
+            for name in registry.names():
+                registry.table(name).createOrReplaceTempView(name)
+        spark._druid_sql_registered = id(registry)
     return spark.sql(translate(text))

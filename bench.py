@@ -1,0 +1,89 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Mirrors the reference's JMH SqlBenchmark workload shape
+(benchmarks/src/test/java/org/apache/druid/benchmark/query/SqlBenchmark.java:91-158
+— count(*), filtered sums, time-floor groupBy, N-dim groupBy, topN,
+approx distinct) plus the training-data pipeline operators. Prints ONE
+JSON line with per-query wall seconds.
+
+Run: python bench.py
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# The headline subset — one per workload class. Names refer to
+# __spark_entry__.queries() entries.
+HEADLINE = [
+    "timeseries_month_revenue",    # time-floor groupBy + sums
+    "timeseries_day_clicks",       # filtered timeseries
+    "groupby_flag_status",         # 2-dim groupBy, 3 aggs
+    "topn_priority_revenue",       # topN
+    "theta_exact_distinct",        # distinct count
+    "scan_high_value_orders",      # filtered scan + order + limit
+    "filter_combo_parts",          # in/bound/like filter stack
+    "join_orders_customers",       # broadcast join + agg
+    "window_moving_avg",           # window functions
+    "virtual_column_bucket",       # expression virtual column
+    "dedup_exact",                 # pipeline: exact dedup
+    "dedup_minhash_lsh",           # pipeline: minhash LSH pairs
+    "text_token_stats",            # pipeline: token stats
+    "similarity_cosine_topk",      # pipeline: embedding top-k
+    "sql_time_floor_revenue",      # Druid SQL dialect path
+]
+
+
+def _load_entry():
+    here = os.path.dirname(os.path.abspath(__file__))
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry", os.path.join(here, "__spark_entry__.py"))
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def _materialize(df) -> None:
+    """Force full execution without driver collection overhead."""
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    from apache_druid_spark.session import get_spark
+
+    entry = _load_entry()
+    spark = get_spark("bench")
+    qs = entry.queries()
+
+    # warm the JVM/codegen path and the one-time SQL function/view
+    # registration outside the timed region (JMH-style warmup)
+    _materialize(qs["timeboundary_lineitem"](spark, SF_DIR))
+    _materialize(qs["timeseries_month_revenue"](spark, SF_DIR))
+    _materialize(qs["sql_earliest_latest"](spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        _materialize(qs[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    m = re.search(r"sf([\d.]+)", SF_DIR)
+    sf = float(m.group(1)) if m else None
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total", "value": total, "unit": "sec",
+        "queries": timings, "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -42,7 +42,8 @@ def test_exact_dedup(docs_with_dups, docs):
 def test_minhash_signatures_shape(docs):
     row = minhash_signatures(docs, num_hashes=8).first()
     assert len(row["minhash"]) == 8
-    assert all(len(h) == 32 for h in row["minhash"])  # md5 hex
+    # universal-hash values live in [0, 2^31 - 1)
+    assert all(0 <= h < (1 << 31) - 1 for h in row["minhash"])
 
 
 def test_minhash_lsh_finds_duplicates(docs_with_dups):
