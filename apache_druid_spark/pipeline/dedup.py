@@ -103,8 +103,14 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 16,
                       bands: int = 4, shingle_k: int = 3) -> DataFrame:
     """Banded LSH candidate pairs: docs agreeing on any band of the
-    signature. rows/bands/hash-join only — never an all-pairs product.
-    Returns distinct (id_a < id_b) candidate pairs."""
+    signature. Returns distinct (id_a < id_b) candidate pairs.
+
+    Shape matters at scale: signatures are computed ONCE (a self-join
+    on the banded view would duplicate the md5-per-shingle work on both
+    probe sides), then ONE groupBy shuffles just (band, bucket, id) —
+    a few dozen bytes per doc — and pairs expand inside each bucket
+    with array HOFs. Work is proportional to bucket collisions, never
+    |docs|^2."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
     banded = sigs.select(
@@ -120,16 +126,17 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
             for b in range(bands)
         ])).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (
-        left.join(right, [F.col(f"l.band") == F.col("r.band"),
-                          F.col(f"l.bucket") == F.col("r.bucket"),
-                          F.col(f"l.{id_col}") < F.col(f"r.{id_col}")])
-            .select(F.col(f"l.{id_col}").alias("id_a"),
-                    F.col(f"r.{id_col}").alias("id_b"))
-            .distinct()
-    )
+    buckets = (banded.groupBy("band", "bucket")
+               .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+               .filter(F.size("ids") > 1))
+    pairs = F.flatten(F.transform(
+        F.col("ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+    return (buckets.select(F.explode(pairs).alias("p"))
+            .select("p.id_a", "p.id_b")
+            .distinct())
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

