@@ -798,6 +798,363 @@ def _streaming_rollup_hourly(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Post-aggregators, granularity variants, orderings (SURVEY §2.8, §2.9)
+# ---------------------------------------------------------------------------
+
+@_q("postagg_arithmetic", """
+SELECT l_returnflag,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       COUNT(*) AS cnt,
+       ROUND(SUM(l_extendedprice) / COUNT(*), 4) AS avg_price,
+       ROUND(GREATEST(SUM(l_quantity), CAST(COUNT(*) AS DOUBLE)), 2)
+           AS greatest_qty_cnt
+FROM lineitem GROUP BY 1
+""")
+def _postagg_arithmetic(spark, sf_dir):
+    df = compile_query({
+        "queryType": "groupBy", "dataSource": "lineitem",
+        "granularity": "all", "dimensions": ["l_returnflag"],
+        "aggregations": [
+            {"type": "doubleSum", "name": "sum_price",
+             "fieldName": "l_extendedprice"},
+            {"type": "doubleSum", "name": "sum_qty", "fieldName": "l_quantity"},
+            {"type": "count", "name": "cnt"},
+        ],
+        "postAggregations": [
+            {"type": "arithmetic", "name": "avg_price", "fn": "/",
+             "fields": [{"type": "fieldAccess", "fieldName": "sum_price"},
+                        {"type": "fieldAccess", "fieldName": "cnt"}]},
+            {"type": "doubleGreatest", "name": "greatest_qty_cnt",
+             "fields": [{"type": "fieldAccess", "fieldName": "sum_qty"},
+                        {"type": "fieldAccess", "fieldName": "cnt"}]},
+        ],
+    }, _registry(spark, sf_dir))
+    return _round(df, {"sum_price": 2, "sum_qty": 2, "avg_price": 4,
+                       "greatest_qty_cnt": 2})
+
+
+@_q("granularity_period_2w", """
+SELECT CAST(make_timestamp((epoch_ms(ts) - epoch_ms(ts) % 1209600000) * 1000)
+            AS TIMESTAMP) AS __time,
+       COUNT(*) AS cnt, ROUND(SUM(value), 4) AS total_value
+FROM events GROUP BY 1
+""")
+def _granularity_period_2w(spark, sf_dir):
+    df = compile_query({
+        "queryType": "timeseries", "dataSource": "events",
+        "granularity": {"type": "period", "period": "P2W"},
+        "aggregations": [
+            {"type": "count", "name": "cnt"},
+            {"type": "doubleSum", "name": "total_value", "fieldName": "value"},
+        ],
+    }, _registry(spark, sf_dir))
+    return _round(df, {"total_value": 4})
+
+
+@_q("granularity_quarter", """
+SELECT CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS __time,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders GROUP BY 1
+""")
+def _granularity_quarter(spark, sf_dir):
+    df = compile_query({
+        "queryType": "timeseries", "dataSource": "orders",
+        "granularity": "quarter",
+        "aggregations": [{"type": "doubleSum", "name": "revenue",
+                          "fieldName": "o_totalprice"}],
+    }, _registry(spark, sf_dir))
+    return _round(df, {"revenue": 2})
+
+
+@_q("timeseries_grand_total", """
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS __time,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders GROUP BY 1
+UNION ALL
+SELECT NULL AS __time, ROUND(SUM(o_totalprice), 2) AS revenue FROM orders
+""")
+def _timeseries_grand_total(spark, sf_dir):
+    df = compile_query({
+        "queryType": "timeseries", "dataSource": "orders",
+        "granularity": "month", "descending": True,
+        "context": {"grandTotal": True},
+        "aggregations": [{"type": "doubleSum", "name": "revenue",
+                          "fieldName": "o_totalprice"}],
+    }, _registry(spark, sf_dir))
+    return _round(df, {"revenue": 2})
+
+
+@_q("topn_inverted_lexicographic", """
+SELECT c_mktsegment, COUNT(*) AS cnt FROM customer GROUP BY 1
+ORDER BY c_mktsegment DESC LIMIT 3
+""")
+def _topn_inverted_lexicographic(spark, sf_dir):
+    return compile_query({
+        "queryType": "topN", "dataSource": "customer", "granularity": "all",
+        "dimension": "c_mktsegment", "threshold": 3,
+        "metric": {"type": "inverted",
+                   "metric": {"type": "dimension",
+                              "ordering": "lexicographic"}},
+        "aggregations": [{"type": "count", "name": "cnt"}],
+    }, _registry(spark, sf_dir))
+
+
+@_q("scan_orderby_key_desc", """
+SELECT event_id, event_type, value FROM events
+ORDER BY event_id DESC LIMIT 20
+""")
+def _scan_orderby_key_desc(spark, sf_dir):
+    # general (non-__time) scan ordering — the 0.23 orderBys feature
+    # (processing/.../query/scan/ScanQuery.java:175-186)
+    return compile_query({
+        "queryType": "scan", "dataSource": "events",
+        "columns": ["event_id", "event_type", "value"],
+        "orderBy": [{"columnName": "event_id", "order": "descending"}],
+        "limit": 20,
+    }, _registry(spark, sf_dir))
+
+
+@_q("limitspec_alphanumeric", """
+SELECT n_name, COUNT(*) AS cnt FROM nation GROUP BY 1
+ORDER BY regexp_extract(n_name, '^([^0-9]*)', 1),
+         CAST(regexp_extract(n_name, '([0-9]+)', 1) AS INT), n_name
+LIMIT 10
+""")
+def _limitspec_alphanumeric(spark, sf_dir):
+    # alphanumeric StringComparator (core/.../guava/StringComparators.java)
+    return compile_query({
+        "queryType": "groupBy", "dataSource": "nation", "granularity": "all",
+        "dimensions": ["n_name"],
+        "aggregations": [{"type": "count", "name": "cnt"}],
+        "limitSpec": {"type": "default", "limit": 10, "columns": [
+            {"dimension": "n_name", "direction": "ascending",
+             "dimensionOrder": "alphanumeric"}]},
+    }, _registry(spark, sf_dir))
+
+
+@_q("having_composite", """
+SELECT event_type, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS total_value
+FROM events GROUP BY 1
+HAVING COUNT(*) > 1900 AND event_type <> 'error'
+""")
+def _having_composite(spark, sf_dir):
+    df = compile_query({
+        "queryType": "groupBy", "dataSource": "events", "granularity": "all",
+        "dimensions": ["event_type"],
+        "aggregations": [
+            {"type": "count", "name": "cnt"},
+            {"type": "doubleSum", "name": "total_value", "fieldName": "value"},
+        ],
+        "having": {"type": "and", "havingSpecs": [
+            {"type": "greaterThan", "aggregation": "cnt", "value": 1900},
+            {"type": "not", "havingSpec": {
+                "type": "dimSelector", "dimension": "event_type",
+                "value": "error"}},
+        ]},
+    }, _registry(spark, sf_dir))
+    return _round(df, {"total_value": 4})
+
+
+# ---------------------------------------------------------------------------
+# More filters (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+@_q("filter_interval_expression", """
+SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_quantity > 45 AND l_discount < 0.05
+GROUP BY 1
+""")
+def _filter_interval_expression(spark, sf_dir):
+    return compile_query({
+        "queryType": "groupBy", "dataSource": "lineitem",
+        "granularity": "all", "dimensions": ["l_returnflag"],
+        "filter": {"type": "and", "fields": [
+            {"type": "interval", "dimension": "__time",
+             "intervals": ["1996-01-01/1997-01-01"]},
+            {"type": "expression",
+             "expression": '"l_quantity" > 45 && "l_discount" < 0.05'},
+        ]},
+        "aggregations": [{"type": "count", "name": "cnt"}],
+    }, _registry(spark, sf_dir))
+
+
+@_q("filter_bound_lexicographic", """
+SELECT p_type, COUNT(*) AS cnt FROM part
+WHERE p_name >= 'blue' AND p_name <= 'red' GROUP BY 1
+""")
+def _filter_bound_lexicographic(spark, sf_dir):
+    return compile_query({
+        "queryType": "groupBy", "dataSource": "part", "granularity": "all",
+        "dimensions": ["p_type"],
+        "filter": {"type": "bound", "dimension": "p_name",
+                   "lower": "blue", "upper": "red",
+                   "ordering": "lexicographic"},
+        "aggregations": [{"type": "count", "name": "cnt"}],
+    }, _registry(spark, sf_dir))
+
+
+@_q("datasource_metadata_lineitem", """
+SELECT MAX(l_shipdate) AS maxIngestedEventTime FROM lineitem
+""")
+def _datasource_metadata_lineitem(spark, sf_dir):
+    return compile_query({
+        "queryType": "dataSourceMetadata", "dataSource": "lineitem",
+    }, _registry(spark, sf_dir))
+
+
+@_q("segment_metadata_orders")  # cardinalities are approximate — rows-only
+def _segment_metadata_orders(spark, sf_dir):
+    return compile_query({
+        "queryType": "segmentMetadata", "dataSource": "orders",
+    }, _registry(spark, sf_dir))
+
+
+@_q("agg_string_first_last", """
+SELECT min_by(event_type, ts) AS first_type,
+       max_by(event_type, ts) AS last_type,
+       COUNT(*) AS cnt
+FROM events
+""")
+def _agg_string_first_last(spark, sf_dir):
+    df = compile_query({
+        "queryType": "timeseries", "dataSource": "events",
+        "granularity": "all",
+        "aggregations": [
+            {"type": "stringFirst", "name": "first_type",
+             "fieldName": "event_type"},
+            {"type": "stringLast", "name": "last_type",
+             "fieldName": "event_type"},
+            {"type": "count", "name": "cnt"},
+        ],
+    }, _registry(spark, sf_dir))
+    return df.select("first_type", "last_type", "cnt")
+
+
+@_q("virtual_column_case_tier", """
+SELECT CASE WHEN o_totalprice >= 300000 THEN 'high' ELSE 'low' END AS tier,
+       COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders GROUP BY 1
+""")
+def _virtual_column_case_tier(spark, sf_dir):
+    df = compile_query({
+        "queryType": "groupBy", "dataSource": "orders", "granularity": "all",
+        "virtualColumns": [{
+            "type": "expression", "name": "tier",
+            "expression": "if(\"o_totalprice\" >= 300000, 'high', 'low')"}],
+        "dimensions": [{"type": "default", "dimension": "tier"}],
+        "aggregations": [
+            {"type": "count", "name": "cnt"},
+            {"type": "doubleSum", "name": "revenue",
+             "fieldName": "o_totalprice"},
+        ],
+    }, _registry(spark, sf_dir))
+    return _round(df, {"revenue": 2})
+
+
+# ---------------------------------------------------------------------------
+# SQL dialect: time ops, MV functions, LOOKUP, SAFE_DIVIDE, IPV4
+# ---------------------------------------------------------------------------
+
+@_q("sql_time_ops", """
+SELECT EXTRACT(year FROM o_orderdate) AS yr,
+       strftime(o_orderdate + INTERVAL 1 MONTH, '%Y-%m') AS next_month,
+       COUNT(*) AS cnt
+FROM orders GROUP BY 1, 2
+""")
+def _sql_time_ops(spark, sf_dir):
+    return druid_sql(spark, """
+        SELECT TIME_EXTRACT(__time, 'YEAR') AS yr,
+               TIME_FORMAT(TIME_SHIFT(__time, 'P1M', 1), 'yyyy-MM')
+                   AS next_month,
+               COUNT(*) AS cnt
+        FROM orders GROUP BY 1, 2
+    """, _registry(spark, sf_dir))
+
+
+@_q("sql_mv_first_word", """
+SELECT string_split(p_name, ' ')[1] AS first_word, COUNT(*) AS cnt
+FROM part GROUP BY 1
+""")
+def _sql_mv_first_word(spark, sf_dir):
+    return druid_sql(spark, """
+        SELECT MV_OFFSET(STRING_TO_MV(p_name, ' '), 0) AS first_word,
+               COUNT(*) AS cnt
+        FROM part GROUP BY 1
+    """, _registry(spark, sf_dir))
+
+
+@_q("sql_lookup_fn", """
+SELECT n.n_name AS nation_name, COUNT(*) AS cnt
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+""")
+def _sql_lookup_fn(spark, sf_dir):
+    return druid_sql(spark, """
+        SELECT LOOKUP(CAST(c_nationkey AS STRING), 'nation_name')
+                   AS nation_name,
+               COUNT(*) AS cnt
+        FROM customer GROUP BY 1
+    """, _registry(spark, sf_dir))
+
+
+@_q("sql_safe_divide", """
+SELECT l_linestatus,
+       ROUND(SUM(l_extendedprice / l_quantity), 2) AS price_per_unit
+FROM lineitem GROUP BY 1
+""")
+def _sql_safe_divide(spark, sf_dir):
+    df = druid_sql(spark, """
+        SELECT l_linestatus,
+               SUM(SAFE_DIVIDE(l_extendedprice, l_quantity))
+                   AS price_per_unit
+        FROM lineitem GROUP BY 1
+    """, _registry(spark, sf_dir))
+    return _round(df, {"price_per_unit": 2})
+
+
+@_q("sql_ipv4", """
+SELECT '192.168.1.' || CAST(1 + o_orderkey % 100 AS VARCHAR) AS ip,
+       COUNT(*) AS cnt
+FROM orders GROUP BY 1
+""")
+def _sql_ipv4(spark, sf_dir):
+    return druid_sql(spark, """
+        SELECT IPV4_STRINGIFY(IPV4_PARSE('192.168.1.1') + o_orderkey % 100)
+                   AS ip,
+               COUNT(*) AS cnt
+        FROM orders GROUP BY 1
+    """, _registry(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Pipeline: exact jaccard verification + multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@_q("dedup_ngram_jaccard")  # exact verification pass — rows-only
+def _dedup_ngram_jaccard(spark, sf_dir):
+    from apache_druid_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _registry(spark, sf_dir).table("documents"),
+        shingle_k=5, threshold=0.2, max_shingle_freq=100)
+
+
+@_q("multimodal_features")  # Arrow mapInPandas path — rows-only
+def _multimodal_features(spark, sf_dir):
+    from apache_druid_spark.pipeline.multimodal import (
+        attach_fake_payload, extract_features,
+    )
+
+    docs = _registry(spark, sf_dir).table("documents")
+    media = attach_fake_payload(docs)
+    return extract_features(media).select(
+        "media_id", "kind", "n_bytes", "byte_mean")
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
