@@ -760,8 +760,67 @@ def _similarity_lsh_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Streaming rollup (SURVEY §2.15) — Structured Streaming, availableNow
+# Ingestion: batch rollup + re-aggregation, inline CSV, streaming rollup
 # ---------------------------------------------------------------------------
+
+_EVENTS_METRICS = [
+    {"type": "count", "name": "cnt"},
+    {"type": "doubleSum", "name": "total_value", "fieldName": "value"},
+]
+
+
+@_q("rollup_reaggregate", """
+SELECT event_type, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS total_value
+FROM events GROUP BY 1
+""")
+def _rollup_reaggregate(spark, sf_dir):
+    """Ingest-time rollup to hourly grain, then query-time combining
+    re-aggregation (count -> sum) — must reproduce the raw-table query
+    exactly (the SURVEY §7 rollup-correctness hard part)."""
+    from apache_druid_spark.ingest import ingest, reaggregate
+
+    rolled = ingest(spark, {
+        "ioConfig": {
+            "inputSource": {"type": "local",
+                            "files": [f"{sf_dir}/events.parquet"]},
+            "inputFormat": {"type": "parquet"}},
+        "dataSchema": {
+            "timestampSpec": {"column": "ts", "format": "nano"},
+            "dimensionsSpec": {"dimensions": ["event_type"]},
+            "metricsSpec": _EVENTS_METRICS,
+            "granularitySpec": {"rollup": True,
+                                "queryGranularity": "hour"}},
+    })
+    df = rolled.groupBy("event_type").agg(*reaggregate(_EVENTS_METRICS))
+    return _round(df, {"total_value": 4})
+
+
+@_q("ingest_inline_csv", """
+SELECT __time, id, CAST(v2 AS DOUBLE) AS v2 FROM (VALUES
+  (TIMESTAMP '2024-01-01 00:10:00', '1', 7.0),
+  (TIMESTAMP '2024-01-01 01:40:00', '3', 4.0)
+) AS t(__time, id, v2)
+""")
+def _ingest_inline_csv(spark, sf_dir):
+    from apache_druid_spark.ingest import ingest
+
+    df = ingest(spark, {
+        "ioConfig": {
+            "inputSource": {"type": "inline", "data":
+                            "id,ts,etype,v\n"
+                            "1,2024-01-01T00:10:00,click,3.5\n"
+                            "2,2024-01-01T01:20:00,view,1.0\n"
+                            "3,2024-01-01T01:40:00,click,2.0\n"},
+            "inputFormat": {"type": "csv", "findColumnsFromHeader": True}},
+        "dataSchema": {
+            "timestampSpec": {"column": "ts", "format": "iso"},
+            "transformSpec": {
+                "transforms": [{"name": "v2", "expression": '"v" * 2.0'}],
+                "filter": {"type": "selector", "dimension": "etype",
+                           "value": "click"}}},
+    })
+    return df.select("__time", "id", "v2")
+
 
 @_q("streaming_rollup_hourly", """
 SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS __time,
@@ -769,32 +828,23 @@ SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS __time,
 FROM events GROUP BY 1, 2
 """)
 def _streaming_rollup_hourly(spark, sf_dir):
-    """Ingest-time rollup (IncrementalIndexSchema.java:42 semantics) as a
-    Structured Streaming query: file source -> event-time tumbling window
-    aggregation -> in-memory sink, trigger availableNow (exactly-once
-    batch-over-stream). The same plan against Kafka is the reference's
-    supervisor/task pipeline collapsed into one streaming query."""
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # the file stream source wants a directory: stream the sf dir with a
-    # glob filter selecting just the events table
-    stream = (spark.readStream.schema(batch.schema)
-              .option("pathGlobFilter", "events.parquet")
-              .parquet(sf_dir))
-    from pyspark.sql import types as T
-    if isinstance(stream.schema["ts"].dataType, T.LongType):
-        # TIMESTAMP(NANOS) parquet read as long under nanosAsLong
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-    agg = (stream.groupBy(F.window("ts", "1 hour"), "event_type")
-           .agg(F.count(F.lit(1)).alias("cnt"),
-                F.sum("value").alias("total_value")))
+    """The reference's supervisor/task pipeline (SURVEY §2.15) as one
+    Structured Streaming query: file source -> event-time tumbling
+    window rollup -> sink, trigger availableNow (exactly-once
+    batch-over-stream)."""
+    from apache_druid_spark.streaming import file_stream, stream_rollup
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = file_stream(spark, sf_dir, schema, "ts", glob="events.parquet")
+    rolled = stream_rollup(stream, ["event_type"], _EVENTS_METRICS,
+                           query_granularity="hour", watermark=None)
     name = "stream_rollup_hourly"
-    q = (agg.writeStream.format("memory").queryName(name)
+    q = (rolled.writeStream.format("memory").queryName(name)
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination()
     return (spark.table(name)
-            .select(F.col("window.start").alias("__time"), "event_type",
-                    "cnt", F.round("total_value", 4).alias("total_value")))
+            .select("__time", "event_type", "cnt",
+                    F.round("total_value", 4).alias("total_value")))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,248 @@
+"""Batch ingestion with Druid ingestion-spec semantics.
+
+Reference pipeline: InputSource/InputFormat (core/src/main/java/org/
+apache/druid/data/input/impl/*.java) -> TimestampSpec
+(core/.../data/input/impl/TimestampSpec.java) -> TransformSpec
+(processing/src/main/java/org/apache/druid/segment/transform/
+TransformSpec.java) -> optional ingest-time rollup
+(processing/.../segment/incremental/IncrementalIndexSchema.java:42,95)
+-> segment persist+publish (server/.../appenderator/AppenderatorImpl.java).
+
+Spark shape: every step is a DataFrame transformation, the "segment
+publish" is an atomic parquet/Delta write partitioned by the segment
+granularity bucket, and the rollup groupBy is Spark's partial/final
+hash aggregate — the OnheapIncrementalIndex's per-sink aggregation
+buffer generalized across executors.
+
+Rollup invariant (the §7 "hard part"): a `count` metric counts RAW
+rows, so re-aggregating a rolled-up table must SUM it; every other
+standard metric re-aggregates with its own combining function
+(AggregatorFactory.getCombiningFactory semantics) — ``reaggregate``
+builds exactly those.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from apache_druid_spark.model.datasource import TIME_COLUMN
+from apache_druid_spark.model.granularity import time_floor_col
+from apache_druid_spark.operators.aggregations import compile_aggregations
+from apache_druid_spark.operators.expressions import compile_expression
+from apache_druid_spark.operators.filters import compile_filter
+
+# ---------------------------------------------------------------------------
+# Input sources / formats (SURVEY §2.1)
+# ---------------------------------------------------------------------------
+
+_FORMAT_READERS = {
+    "csv": "csv", "tsv": "csv", "json": "json", "parquet": "parquet",
+    "orc": "orc", "avro": "avro",
+}
+
+
+def read_input(spark: SparkSession, io_config: dict) -> DataFrame:
+    """inputSource + inputFormat -> DataFrame.
+
+    local/http map onto Spark's file readers (Hadoop FS handles http(s)
+    only via mounted connectors — pre-fetching is the documented path);
+    inline materializes literal data; sql uses spark.read.jdbc.
+    """
+    src = io_config.get("inputSource", {})
+    fmt = io_config.get("inputFormat", {"type": "parquet"})
+    stype = src.get("type", "local")
+
+    if stype == "inline":
+        return _read_inline(spark, src, fmt)
+    if stype in ("local", "hdfs", "s3", "google", "azure", "http"):
+        paths = (src.get("uris") or src.get("files")
+                 or [src.get("baseDir", ".")])
+        return _file_reader(spark, fmt).load(paths)
+    if stype == "combining":
+        dfs = [read_input(spark, {"inputSource": d, "inputFormat": fmt})
+               for d in src["delegates"]]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
+    if stype == "sql":
+        uri = src["connectorConfig"]["connectURI"]
+        reader = spark.read.format("jdbc").option("url", uri)
+        return reader.option("query", src["sqls"][0]).load()
+    raise ValueError(f"unknown inputSource type: {stype!r}")
+
+
+def _file_reader(spark: SparkSession, fmt: dict):
+    ftype = fmt.get("type", "parquet")
+    if ftype == "regex":
+        raise ValueError("regex format: read as text + regexp_extract "
+                         "(use parse_regex)")
+    reader = spark.read.format(_FORMAT_READERS.get(ftype, ftype))
+    if ftype in ("csv", "tsv"):
+        reader = reader.option("header", str(fmt.get("findColumnsFromHeader",
+                                                     False)).lower())
+        delim = fmt.get("delimiter", "\t" if ftype == "tsv" else ",")
+        reader = reader.option("sep", delim)
+        if fmt.get("columns"):
+            reader = reader.schema(" string, ".join(fmt["columns"]) + " string")
+    return reader
+
+
+def _read_inline(spark: SparkSession, src: dict, fmt: dict) -> DataFrame:
+    data: str = src.get("data", "")
+    ftype = fmt.get("type", "csv")
+    lines = [ln for ln in data.splitlines() if ln.strip()]
+    if ftype == "json":
+        import json as _json
+
+        return spark.createDataFrame([_json.loads(ln) for ln in lines])
+    if ftype in ("csv", "tsv"):
+        delim = fmt.get("delimiter", "\t" if ftype == "tsv" else ",")
+        cols = fmt.get("columns")
+        start = 0
+        if fmt.get("findColumnsFromHeader") and lines:
+            cols = lines[0].split(delim)
+            start = 1
+        rows = [ln.split(delim) for ln in lines[start:]]
+        return spark.createDataFrame(
+            rows, schema=" string, ".join(cols) + " string")
+    raise ValueError(f"inline inputFormat {ftype!r} unsupported")
+
+
+def parse_regex(spark: SparkSession, path: str, pattern: str,
+                columns: list[str]) -> DataFrame:
+    """RegexInputFormat (core/.../data/input/impl/RegexInputFormat.java):
+    text source + one regexp_extract per capture group."""
+    df = spark.read.text(path)
+    return df.select(*[
+        F.regexp_extract(F.col("value"), pattern, i + 1).alias(c)
+        for i, c in enumerate(columns)
+    ])
+
+
+# ---------------------------------------------------------------------------
+# TimestampSpec / TransformSpec
+# ---------------------------------------------------------------------------
+
+def apply_timestamp_spec(df: DataFrame, spec: dict | None) -> DataFrame:
+    """TimestampSpec (core/.../data/input/impl/TimestampSpec.java):
+    column + format in {iso, millis, posix, auto, <java format>}."""
+    spec = spec or {}
+    col = spec.get("column", "timestamp")
+    fmt = spec.get("format", "auto")
+    c: Column = F.col(col)
+    if fmt in ("iso", "auto"):
+        ts = F.coalesce(F.to_timestamp(c), F.to_timestamp(c.cast("string")))
+    elif fmt == "millis":
+        ts = F.timestamp_millis(c.cast("long"))
+    elif fmt == "posix":
+        ts = F.timestamp_seconds(c.cast("long"))
+    elif fmt == "micro":
+        ts = F.timestamp_micros(c.cast("long"))
+    elif fmt == "nano":
+        ts = F.timestamp_micros((c.cast("long") / 1000).cast("long"))
+    else:
+        ts = F.to_timestamp(c.cast("string"), fmt)
+    missing = spec.get("missingValue")
+    if missing is not None:
+        ts = F.coalesce(ts, F.lit(missing).cast("timestamp"))
+    return df.withColumn(TIME_COLUMN, ts)
+
+
+def apply_transform_spec(df: DataFrame, spec: dict | None,
+                         registry=None) -> DataFrame:
+    """TransformSpec (processing/.../segment/transform/TransformSpec.java):
+    named expression transforms (see themselves like virtual columns)
+    then a row filter."""
+    if not spec:
+        return df
+    for tr in spec.get("transforms", []) or []:
+        df = df.withColumn(tr["name"],
+                           compile_expression(tr["expression"], registry))
+    flt = spec.get("filter")
+    if flt is not None:
+        df = df.filter(compile_filter(flt, df, registry))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Rollup
+# ---------------------------------------------------------------------------
+
+def rollup(df: DataFrame, dimensions: list[str], metrics: list[dict],
+           query_granularity="hour", registry=None) -> DataFrame:
+    """Ingest-time rollup: rows with equal (floor(__time), dims) are
+    pre-aggregated by the metric aggregators
+    (processing/.../incremental/IncrementalIndexSchema.java:42)."""
+    bucketed = df.withColumn(
+        TIME_COLUMN, time_floor_col(F.col(TIME_COLUMN), query_granularity))
+    aggs = compile_aggregations(metrics, bucketed, registry)
+    return bucketed.groupBy(TIME_COLUMN, *dimensions).agg(*aggs)
+
+
+_COMBINING = {
+    # aggregator type -> combining aggregation over the stored metric
+    "count": F.sum,                       # count of RAW rows -> sum
+    "longSum": F.sum, "doubleSum": F.sum, "floatSum": F.sum,
+    "longMin": F.min, "doubleMin": F.min, "floatMin": F.min,
+    "longMax": F.max, "doubleMax": F.max, "floatMax": F.max,
+}
+
+
+def reaggregate(metrics: list[dict]) -> list[Column]:
+    """Query-time combining aggregators for a rolled-up table —
+    AggregatorFactory.getCombiningFactory() semantics
+    (processing/.../aggregation/AggregatorFactory.java). The critical
+    case: a `count` metric must re-aggregate as SUM."""
+    out = []
+    for m in metrics:
+        t, name = m["type"], m["name"]
+        fn = _COMBINING.get(t)
+        if fn is None:
+            raise ValueError(
+                f"no combining aggregator for {t!r}; first/last/sketch "
+                "metrics need their pair/sketch state kept (v2)")
+        out.append(fn(F.col(name)).alias(name))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Ingest driver + segment write
+# ---------------------------------------------------------------------------
+
+def ingest(spark: SparkSession, spec: dict, registry=None) -> DataFrame:
+    """Run a batch ingestion spec end-to-end, returning the DataFrame
+    that would be persisted (call ``write_segments`` to publish).
+
+    Spec shape mirrors the reference's dataSchema/ioConfig:
+    {"ioConfig": {inputSource, inputFormat},
+     "dataSchema": {timestampSpec, transformSpec, dimensionsSpec,
+                    metricsSpec, granularitySpec}}"""
+    ds = spec.get("dataSchema", {})
+    df = read_input(spark, spec.get("ioConfig", {}))
+    df = apply_timestamp_spec(df, ds.get("timestampSpec"))
+    df = apply_transform_spec(df, ds.get("transformSpec"), registry)
+    gran = ds.get("granularitySpec", {})
+    dims = [d if isinstance(d, str) else d["name"]
+            for d in ds.get("dimensionsSpec", {}).get("dimensions", [])]
+    if gran.get("rollup", False):
+        df = rollup(df, dims, ds.get("metricsSpec", []),
+                    gran.get("queryGranularity", "hour"), registry)
+    elif dims:
+        df = df.select(TIME_COLUMN, *dims)
+    return df
+
+
+def write_segments(df: DataFrame, path: str,
+                   segment_granularity="day", mode: str = "overwrite") -> None:
+    """Publish as time-partitioned parquet — the segment analogue.
+
+    Partition dir = segment-granularity bucket (VersionedIntervalTimeline
+    time chunks); atomic replace of a chunk = dynamic partition
+    overwrite, which is Druid's segment versioning collapsed into the
+    table format."""
+    seg = time_floor_col(F.col(TIME_COLUMN), segment_granularity)
+    (df.withColumn("__segment", F.date_format(seg, "yyyy-MM-dd'T'HH"))
+       .repartition(F.col("__segment"))
+       .write.mode(mode).partitionBy("__segment").parquet(path))

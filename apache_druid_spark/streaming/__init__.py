@@ -1,0 +1,8 @@
+"""Structured Streaming ingestion — the reference's supervisor/task
+pipeline (SURVEY §2.15) collapsed into declarative streaming queries."""
+
+from apache_druid_spark.streaming.rollup import (
+    file_stream, kafka_stream, realtime_union, stream_rollup,
+)
+
+__all__ = ["file_stream", "kafka_stream", "realtime_union", "stream_rollup"]

@@ -1,0 +1,115 @@
+"""Batch ingestion: timestampSpec, transformSpec, rollup + combining
+re-aggregation (the count->sum invariant), segment write layout."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from apache_druid_spark.ingest import (
+    apply_timestamp_spec, ingest, reaggregate, write_segments,
+)
+from apache_druid_spark.model.datasource import TIME_COLUMN
+
+SF_DIR = "/root/testdata/sf0.001"
+
+METRICS = [
+    {"type": "count", "name": "cnt"},
+    {"type": "doubleSum", "name": "total_value", "fieldName": "value"},
+    {"type": "doubleMax", "name": "max_value", "fieldName": "value"},
+]
+
+SPEC = {
+    "ioConfig": {
+        "inputSource": {"type": "local",
+                        "files": [f"{SF_DIR}/events.parquet"]},
+        "inputFormat": {"type": "parquet"},
+    },
+    "dataSchema": {
+        "timestampSpec": {"column": "ts", "format": "nano"},
+        "dimensionsSpec": {"dimensions": ["event_type"]},
+        "metricsSpec": METRICS,
+        "granularitySpec": {"rollup": True, "queryGranularity": "hour"},
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def raw_events(spark):
+    df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    return df.withColumn(
+        TIME_COLUMN,
+        F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def test_rollup_reduces_rows(spark, raw_events):
+    rolled = ingest(spark, SPEC)
+    assert rolled.count() < raw_events.count()
+    assert set(rolled.columns) == {TIME_COLUMN, "event_type", "cnt",
+                                   "total_value", "max_value"}
+
+
+def test_rollup_reaggregation_matches_raw(spark, raw_events):
+    """Re-aggregating the rolled-up table must reproduce the raw query:
+    count -> sum(cnt), sums -> sum, max -> max."""
+    rolled = ingest(spark, SPEC)
+    re = (rolled.groupBy("event_type").agg(*reaggregate(METRICS))
+          .orderBy("event_type").collect())
+    raw = (raw_events.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("cnt"),
+                F.sum("value").alias("total_value"),
+                F.max("value").alias("max_value"))
+           .orderBy("event_type").collect())
+    for a, b in zip(re, raw):
+        assert a["event_type"] == b["event_type"]
+        assert a["cnt"] == b["cnt"]
+        assert abs(a["total_value"] - b["total_value"]) < 1e-6
+        assert a["max_value"] == b["max_value"]
+
+
+def test_timestamp_spec_formats(spark):
+    df = spark.createDataFrame(
+        [("2024-01-02T03:04:05", 1704164645000, 1704164645)],
+        "iso string, ms long, s long")
+    out = apply_timestamp_spec(df, {"column": "iso", "format": "iso"})
+    assert out.first()[TIME_COLUMN].isoformat() == "2024-01-02T03:04:05"
+    out = apply_timestamp_spec(df, {"column": "ms", "format": "millis"})
+    assert out.first()[TIME_COLUMN].isoformat() == "2024-01-02T03:04:05"
+    out = apply_timestamp_spec(df, {"column": "s", "format": "posix"})
+    assert out.first()[TIME_COLUMN].isoformat() == "2024-01-02T03:04:05"
+
+
+def test_inline_csv_ingest_with_transform(spark):
+    spec = {
+        "ioConfig": {
+            "inputSource": {"type": "inline", "data":
+                            "id,ts,etype,v\n"
+                            "1,2024-01-01T00:10:00,click,3.5\n"
+                            "2,2024-01-01T01:20:00,view,1.0\n"
+                            "3,2024-01-01T01:40:00,click,2.0\n"},
+            "inputFormat": {"type": "csv", "findColumnsFromHeader": True},
+        },
+        "dataSchema": {
+            "timestampSpec": {"column": "ts", "format": "iso"},
+            "transformSpec": {
+                "transforms": [{"name": "v2", "expression": '"v" * 2.0'}],
+                "filter": {"type": "selector", "dimension": "etype",
+                           "value": "click"},
+            },
+        },
+    }
+    rows = ingest(spark, spec).orderBy("id").collect()
+    assert [r["id"] for r in rows] == ["1", "3"]
+    assert [r["v2"] for r in rows] == [7.0, 4.0]
+
+
+def test_write_segments_layout(spark, tmp_path):
+    rolled = ingest(spark, SPEC)
+    out = str(tmp_path / "seg")
+    write_segments(rolled, out, segment_granularity="day")
+    import os
+
+    parts = sorted(p for p in os.listdir(out) if p.startswith("__segment="))
+    assert len(parts) >= 2  # events span multiple days
+    back = spark.read.parquet(out)
+    assert back.count() == rolled.count()

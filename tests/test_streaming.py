@@ -1,0 +1,42 @@
+"""Streaming rollup: file source -> windowed rollup -> sink, checked
+against the equivalent batch rollup (streaming/batch agreement is the
+SURVEY §5 parameterized-run requirement)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from apache_druid_spark.model.datasource import TIME_COLUMN
+from apache_druid_spark.streaming import file_stream, stream_rollup
+
+SF_DIR = "/root/testdata/sf0.001"
+
+METRICS = [
+    {"type": "count", "name": "cnt"},
+    {"type": "doubleSum", "name": "total_value", "fieldName": "value"},
+]
+
+
+def test_stream_rollup_matches_batch(spark, tmp_path):
+    batch_schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
+    stream = file_stream(spark, SF_DIR, batch_schema, "ts",
+                         glob="events.parquet")
+    rolled = stream_rollup(stream, ["event_type"], METRICS,
+                           query_granularity="hour", watermark=None)
+    q = (rolled.writeStream.format("memory").queryName("t_stream_rollup")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r[TIME_COLUMN], r["event_type"]): (r["cnt"], r["total_value"])
+           for r in spark.table("t_stream_rollup").collect()}
+
+    raw = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        TIME_COLUMN, F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    want = {(r[TIME_COLUMN], r["event_type"]): (r["cnt"], r["total_value"])
+            for r in (raw.groupBy(F.date_trunc("hour", F.col(TIME_COLUMN))
+                                  .alias(TIME_COLUMN), "event_type")
+                      .agg(F.count(F.lit(1)).alias("cnt"),
+                           F.sum("value").alias("total_value"))).collect()}
+    assert set(got) == set(want)
+    for k, (cnt, tv) in want.items():
+        assert got[k][0] == cnt
+        assert abs(got[k][1] - tv) < 1e-6
