@@ -681,13 +681,83 @@ def _dedup_exact(spark, sf_dir):
     return exact_dedup(_registry(spark, sf_dir).table("documents"))
 
 
-@_q("dedup_minhash_lsh")  # pair generation — not SQL-expressible concisely
+_TOKS_SQL = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+
+
+def _shingles_sql(k: int) -> str:
+    """DuckDB replica of dedup._shingles (k-token shingles, whole-text
+    fallback under k tokens)."""
+    return f"""CASE WHEN len(t) < {k} THEN [array_to_string(t, ' ')]
+    ELSE list_transform(generate_series(1, len(t) - {k - 1}),
+                        i -> array_to_string(t[i:i + {k - 1}], ' ')) END"""
+
+
+def _hex_to_long_sql(hex_expr: str, digits: int) -> str:
+    """First `digits` hex chars of an md5 hex string -> BIGINT."""
+    return (f"CAST(list_sum(list_transform(generate_series(1, {digits}), "
+            f"i -> (strpos('0123456789abcdef', substr({hex_expr}, i, 1)) - 1)"
+            f" * CAST(power(16, {digits} - i) AS BIGINT))) AS BIGINT)")
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4,
+                    shingle_k: int = 3) -> str:
+    """DuckDB replica of minhash_lsh_pairs: identical md5-derived base
+    hash, universal-hash coefficients, banding, bucket join."""
+    from apache_druid_spark.pipeline.dedup import _MERSENNE_P, _hash_coeffs
+
+    coeffs = _hash_coeffs(num_hashes)
+    h = _hex_to_long_sql("md5(s)", 8)
+    sig_cols = ", ".join(
+        f"MIN((h * {a} + {b}) % {_MERSENNE_P}) AS s{i}"
+        for i, (a, b) in enumerate(coeffs))
+    rpb = num_hashes // bands
+    band_selects = []
+    for b in range(bands):
+        concat = " || '|' || ".join(
+            f"CAST(s{b * rpb + r} AS VARCHAR)" for r in range(rpb))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({concat}) AS bucket FROM sig")
+    banded = " UNION ALL ".join(band_selects)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+sh0 AS (SELECT doc_id, {_shingles_sql(shingle_k)} AS shingles FROM toks),
+sh AS (SELECT doc_id, unnest(shingles) AS s FROM sh0),
+hs AS (SELECT doc_id, {h} AS h FROM sh),
+sig AS (SELECT doc_id, {sig_cols} FROM hs GROUP BY doc_id),
+banded AS ({banded})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+@_q("dedup_minhash_lsh", _minhash_oracle())
 def _dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(_registry(spark, sf_dir).table("documents"),
                              num_hashes=16, bands=4, shingle_k=3)
 
 
-@_q("dedup_simhash")  # rows-only: 32-bit fingerprint per doc
+def _simhash_oracle(bits: int = 32) -> str:
+    """DuckDB replica of simhash: 48-bit md5 token hash, per-bit +-1
+    votes, sign fingerprint."""
+    h = _hex_to_long_sql("md5(x)", 12)
+    votes = ", ".join(
+        f"list_sum(list_transform(hs, h -> CASE WHEN "
+        f"CAST(floor(h / CAST(power(2, {i}) AS BIGINT)) AS BIGINT) % 2 = 1 "
+        f"THEN 1 ELSE -1 END)) AS v{i}"
+        for i in range(bits))
+    fp = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN CAST(power(2, {i}) AS BIGINT) ELSE 0 END"
+        for i in range(bits))
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+hs AS (SELECT doc_id, list_transform(t, x -> {h}) AS hs FROM toks),
+v AS (SELECT doc_id, {votes} FROM hs)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM v
+"""
+
+
+@_q("dedup_simhash", _simhash_oracle())
 def _dedup_simhash(spark, sf_dir):
     return simhash(_registry(spark, sf_dir).table("documents"), bits=32)
 
@@ -720,13 +790,78 @@ def _text_fingerprint(spark, sf_dir):
     return df.select("doc_id", "fingerprint")
 
 
-@_q("text_language_id")  # heuristic scorer — rows-only this round
+def _lang_oracle() -> str:
+    """DuckDB replica of language_id: per-language marker-hit counts,
+    argmax with ties going to the greater language code (matching the
+    struct array_max in pipeline/text.py)."""
+    from apache_druid_spark.pipeline.text import LANG_MARKERS
+
+    toks = ("list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+            "x -> x <> '')")
+    hit_cols = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        lit = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+        hit_cols.append(
+            f"len(list_filter({toks}, t -> list_contains({lit}, t))) "
+            f"AS h_{lang}")
+    langs_desc = sorted(LANG_MARKERS, reverse=True)
+    arms = []
+    for i, lang in enumerate(langs_desc):
+        rest = langs_desc[i + 1:]
+        if rest:
+            cond = " AND ".join(f"h_{lang} >= h_{o}" for o in rest)
+            arms.append(f"WHEN {cond} THEN '{lang}'")
+        else:
+            arms.append(f"ELSE '{lang}'")
+    case_lang = "CASE " + " ".join(arms) + " END"
+    case_hits = ("CASE " + " ".join(
+        a.replace(f"THEN '{lang_}'", f"THEN h_{lang_}")
+         .replace(f"ELSE '{lang_}'", f"ELSE h_{lang_}")
+        for a, lang_ in zip(arms, langs_desc)) + " END")
+    return f"""
+WITH h AS (SELECT doc_id, {', '.join(hit_cols)} FROM documents)
+SELECT doc_id, {case_lang} AS lang_pred, {case_hits} AS lang_pred_hits
+FROM h
+"""
+
+
+@_q("text_language_id", _lang_oracle())
 def _text_language_id(spark, sf_dir):
     df = language_id(_registry(spark, sf_dir).table("documents"))
     return df.select("doc_id", "lang_pred", "lang_pred_hits")
 
 
-@_q("text_quality")  # heuristic scorer — rows-only this round
+_QUALITY_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS toks,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+             AS n_punct
+  FROM documents
+), s AS (
+  SELECT doc_id, n_chars, n_punct,
+         len(toks) AS n_tokens,
+         len(list_filter(toks, x -> list_contains(
+             ['the','and','of','to','in','is','that','it','was','for'], x)))
+             AS stop_hits,
+         len(list_distinct(toks)) AS n_uniq
+  FROM t
+)
+SELECT doc_id,
+       ROUND(LEAST(n_chars / 500.0, 1.0), 4) AS q_len,
+       ROUND(n_punct / GREATEST(n_chars, 1), 4) AS q_punct_ratio,
+       ROUND(stop_hits / GREATEST(n_tokens, 1), 4) AS q_stopword_ratio,
+       ROUND(n_uniq / GREATEST(n_tokens, 1), 4) AS q_uniq_ratio,
+       ROUND(LEAST(n_chars / 500.0, 1.0) * 0.3
+             + LEAST(stop_hits / GREATEST(n_tokens, 1) * 5, 1.0) * 0.3
+             + n_uniq / GREATEST(n_tokens, 1) * 0.4, 4) AS quality
+FROM s
+"""
+
+
+@_q("text_quality", _QUALITY_ORACLE)
 def _text_quality(spark, sf_dir):
     df = quality_score(_registry(spark, sf_dir).table("documents"))
     return df.select("doc_id", "q_len", "q_punct_ratio", "q_stopword_ratio",
@@ -753,10 +888,89 @@ def _similarity_cosine_topk(spark, sf_dir):
                        _QUERY_VEC, k=10)
 
 
-@_q("similarity_lsh_topk")  # ANN path — rows-only (bucket pruning)
+def _lsh_oracle(bits: int = 12, radius: int = 4) -> str:
+    """DuckDB replica of lsh_bucket_topk: same md5-derived hyperplanes,
+    sign-bit bucket, Hamming-radius prune, exact cosine re-rank."""
+    from apache_druid_spark.pipeline.similarity import (
+        hyperplanes, query_bucket,
+    )
+
+    planes = hyperplanes(bits, len(_QUERY_VEC))
+    qb = query_bucket(_QUERY_VEC, planes)
+    bucket_terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(f"{x:.1f}" for x in p) + "]"
+        bucket_terms.append(
+            f"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"CAST({lit} AS DOUBLE[])) > 0 THEN {1 << i} ELSE 0 END")
+    bucket = " + ".join(bucket_terms)
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, ({bucket}) AS bucket FROM embeddings
+), c AS (
+  SELECT vec_id,
+         ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+               CAST({_vec_literal()} AS DOUBLE[])), 6) AS cosine
+  FROM b WHERE bit_count(CAST(xor(bucket, {qb}) AS BIGINT)) <= {radius}
+)
+SELECT vec_id, cosine FROM c ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+@_q("similarity_lsh_topk", _lsh_oracle())
 def _similarity_lsh_topk(spark, sf_dir):
     return lsh_bucket_topk(_registry(spark, sf_dir).table("embeddings"),
                            _QUERY_VEC, k=10, bits=12, hamming_radius=4)
+
+
+@_q("timeseries_zero_fill", """
+WITH b AS (
+  SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                TIMESTAMP '2024-01-30',
+                                INTERVAL 1 DAY)) AS __time),
+a AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS __time,
+         COUNT(*) AS cnt, ROUND(SUM(value), 4) AS total_value
+  FROM events WHERE value > 300 GROUP BY 1)
+SELECT b.__time, COALESCE(a.cnt, 0) AS cnt, a.total_value
+FROM b LEFT JOIN a USING (__time)
+""")
+def _timeseries_zero_fill(spark, sf_dir):
+    # skipEmptyBuckets:false — empty buckets appear with count 0 and
+    # null sums (SQL-compatible null mode)
+    df = compile_query({
+        "queryType": "timeseries", "dataSource": "events",
+        "granularity": "day",
+        "intervals": ["2024-01-01/2024-01-31"],
+        "filter": {"type": "bound", "dimension": "value", "lower": "300",
+                   "lowerStrict": True, "ordering": "numeric"},
+        "context": {"skipEmptyBuckets": False},
+        "aggregations": [
+            {"type": "count", "name": "cnt"},
+            {"type": "doubleSum", "name": "total_value", "fieldName": "value"},
+        ],
+    }, _registry(spark, sf_dir))
+    return _round(df, {"total_value": 4})
+
+
+@_q("granularity_week_p1w", """
+SELECT CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS __time,
+       ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS cnt
+FROM orders GROUP BY 1
+""")
+def _granularity_week_p1w(spark, sf_dir):
+    # P1W floors to MONDAY (PeriodGranularity.java:295-299), unlike
+    # epoch-aligned multi-week periods
+    df = compile_query({
+        "queryType": "timeseries", "dataSource": "orders",
+        "granularity": {"type": "period", "period": "P1W"},
+        "aggregations": [
+            {"type": "doubleSum", "name": "revenue",
+             "fieldName": "o_totalprice"},
+            {"type": "count", "name": "cnt"},
+        ],
+    }, _registry(spark, sf_dir))
+    return _round(df, {"revenue": 2})
 
 
 # ---------------------------------------------------------------------------
@@ -1183,13 +1397,37 @@ def _sql_ipv4(spark, sf_dir):
 # Pipeline: exact jaccard verification + multimodal plumbing
 # ---------------------------------------------------------------------------
 
-@_q("dedup_ngram_jaccard")  # exact verification pass — rows-only
+def _jaccard_oracle(shingle_k: int = 5, threshold: float = 0.2,
+                    max_freq: int = 100) -> str:
+    """DuckDB replica of ngram_jaccard_pairs (inverted-index join)."""
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+sh0 AS (SELECT doc_id, {_shingles_sql(shingle_k)} AS shingles FROM toks),
+sh AS (SELECT doc_id, unnest(list_distinct(shingles)) AS shingle FROM sh0),
+ok AS (SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) <= {max_freq}),
+shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN ok USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shf GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       ROUND(shared / (sa.set_size + sb.set_size - shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE shared / (sa.set_size + sb.set_size - shared) >= {threshold}
+"""
+
+
+@_q("dedup_ngram_jaccard", _jaccard_oracle())
 def _dedup_ngram_jaccard(spark, sf_dir):
     from apache_druid_spark.pipeline.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(
+    df = ngram_jaccard_pairs(
         _registry(spark, sf_dir).table("documents"),
         shingle_k=5, threshold=0.2, max_shingle_freq=100)
+    return _round(df, {"jaccard": 6})
 
 
 @_q("multimodal_features")  # Arrow mapInPandas path — rows-only

@@ -37,12 +37,22 @@ def _millis(p: str) -> str:
 
 
 def _time_floor_body(ts: str, p: str) -> str:
+    """Common periods fold to date_trunc: with a literal period the CASE
+    predicates are constants, so Catalyst keeps exactly one branch."""
     months, millis = _months(p), _millis(p)
     total_m = f"((year({ts}) * 12 + month({ts}) - 1) - pmod(year({ts}) * 12 + month({ts}) - 1, {months}))"
     return f"""CASE
+      WHEN upper({p}) = 'P1W' THEN date_trunc('WEEK', {ts})
+      WHEN {months} = 12 THEN date_trunc('YEAR', {ts})
+      WHEN {months} = 3 THEN date_trunc('QUARTER', {ts})
+      WHEN {months} = 1 THEN date_trunc('MONTH', {ts})
       WHEN {months} > 0 THEN
         make_timestamp(CAST(floor({total_m} / 12) AS INT),
                        CAST(pmod({total_m}, 12) + 1 AS INT), 1, 0, 0, 0)
+      WHEN {millis} = 86400000 THEN date_trunc('DAY', {ts})
+      WHEN {millis} = 3600000 THEN date_trunc('HOUR', {ts})
+      WHEN {millis} = 60000 THEN date_trunc('MINUTE', {ts})
+      WHEN {millis} = 1000 THEN date_trunc('SECOND', {ts})
       ELSE timestamp_millis(unix_millis({ts}) - pmod(unix_millis({ts}), {millis}))
     END"""
 

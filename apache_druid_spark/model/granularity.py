@@ -147,6 +147,10 @@ def time_floor_col(col: Column, gran, timezone: str | None = None) -> Column:
 
     months, millis = parse_period(period)
     tz = period_tz or timezone
+    # P1W with no origin floors to MONDAY (PeriodGranularity.java:295-299
+    # — dayOfWeek roundFloor + set to 1); PnW n>1 aligns on multiples
+    # from the epoch origin like every other millis period
+    week_one = (period.strip().upper() == "P1W" and origin_ms == 0)
 
     def _f(c: Column) -> Column:
         if months == 1 and origin_ms == 0:
@@ -155,6 +159,8 @@ def time_floor_col(col: Column, gran, timezone: str | None = None) -> Column:
             return F.date_trunc("year", c)
         if months:
             return _floor_months(c, months)
+        if week_one:
+            return F.date_trunc("week", c)
         return _floor_millis(c, millis, origin_ms)
 
     return _with_tz(col, tz, _f)

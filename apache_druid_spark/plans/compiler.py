@@ -199,7 +199,16 @@ def _explode_multivalue_dims(df: DataFrame, dim_cols: list[tuple[str, Column]]
 
 def compile_timeseries(q: dict, registry: DatasourceRegistry) -> DataFrame:
     """timeseries (processing/.../timeseries/TimeseriesQueryEngine.java):
-    bucket __time by granularity, aggregate per bucket."""
+    bucket __time by granularity, aggregate per bucket.
+
+    Zero-filling of empty buckets (the toolchest's bucket iteration in
+    TimeseriesQueryQueryToolChest) runs when the context sets
+    ``skipEmptyBuckets: false`` explicitly: bucket sequence generated
+    over the query intervals, left-joined, count aggregators
+    coalesced to 0 (other aggregators stay null — SQL-compatible null
+    mode, SURVEY §1.2). Divergence: the reference default is
+    fill-empty-buckets; ours is skip, because unbounded interval specs
+    (ALL eternity) would explode the generated sequence."""
     df = _base_frame(q, registry)
     aggs = compile_aggregations(q.get("aggregations", []), df, registry)
     if not aggs:
@@ -213,6 +222,8 @@ def compile_timeseries(q: dict, registry: DatasourceRegistry) -> DataFrame:
         out = (df.groupBy(time_floor_col(F.col(TIME_COLUMN), bucket[1], tz)
                           .alias(TIME_COLUMN))
                  .agg(*aggs))
+        if q.get("context", {}).get("skipEmptyBuckets", True) is False:
+            out = _zero_fill(out, q, registry, bucket[1], tz)
     out = apply_post_aggregations(out, q.get("postAggregations", []), registry)
     desc = bool(q.get("descending", False))
     out = out.orderBy(F.col(TIME_COLUMN).desc() if desc
@@ -234,6 +245,56 @@ def _tz_of(q: dict) -> str | None:
     if isinstance(gran, dict):
         return gran.get("timeZone")
     return None
+
+
+def _granularity_interval_sql(gran) -> str:
+    """Granularity -> Spark INTERVAL literal for bucket-sequence steps."""
+    from apache_druid_spark.model.granularity import parse_period
+
+    named_months = {"month": 1, "quarter": 3, "year": 12}
+    if isinstance(gran, dict):
+        if gran.get("type") == "duration":
+            return f"{int(gran['duration'])} MILLISECOND"
+        period = gran.get("period", "P1D")
+    elif str(gran).lower() in named_months:
+        return f"{named_months[str(gran).lower()]} MONTH"
+    else:
+        from apache_druid_spark.model.granularity import granularity_to_duration
+
+        return granularity_to_duration(gran).replace(
+            "milliseconds", "MILLISECOND")
+    months, millis = parse_period(period)
+    if months:
+        return f"{months} MONTH"
+    return f"{millis} MILLISECOND"
+
+
+def _zero_fill(out: DataFrame, q: dict, registry, gran, tz) -> DataFrame:
+    """Left-join the aggregate onto the full bucket sequence of the
+    query intervals; count aggregators fill with 0."""
+    intervals = _intervals_of(q)
+    if not intervals:
+        return out
+    step = _granularity_interval_sql(gran)
+    parts = []
+    for iv in intervals:
+        start_s, end_s = iv.split("/")
+        start = time_floor_col(F.lit(start_s).cast("timestamp"), gran, tz)
+        stop = F.lit(end_s).cast("timestamp") - F.expr("INTERVAL 1 MILLISECOND")
+        parts.append(
+            registry.spark.range(1).select(
+                F.explode(F.sequence(start, stop, F.expr(f"INTERVAL {step}"))
+                          ).alias(TIME_COLUMN)))
+    buckets = parts[0]
+    for p in parts[1:]:
+        buckets = buckets.unionByName(p)
+    filled = buckets.join(F.broadcast(out), TIME_COLUMN, "left")
+    count_names = [a.get("name", "count")
+                   for a in q.get("aggregations", []) or []
+                   if a.get("type") == "count"]
+    for n in count_names:
+        filled = filled.withColumn(n, F.coalesce(F.col(n), F.lit(0)))
+    return filled
 
 
 def compile_topn(q: dict, registry: DatasourceRegistry) -> DataFrame:
