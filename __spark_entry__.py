@@ -1269,11 +1269,34 @@ def _datasource_metadata_lineitem(spark, sf_dir):
     }, _registry(spark, sf_dir))
 
 
-@_q("segment_metadata_orders")  # cardinalities are approximate — rows-only
+@_q("segment_metadata_orders", """
+SELECT * FROM (
+  SELECT 'o_orderkey' AS column, 'bigint' AS type,
+         COUNT(DISTINCT o_orderkey) AS cardinality,
+         CAST(MIN(o_orderkey) AS VARCHAR) AS minValue,
+         CAST(MAX(o_orderkey) AS VARCHAR) AS maxValue,
+         SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nullCount
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey', 'bigint', COUNT(DISTINCT o_custkey),
+         CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR),
+         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', 'string', COUNT(DISTINCT o_orderstatus),
+         MIN(o_orderstatus), MAX(o_orderstatus),
+         SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', 'string', COUNT(DISTINCT o_orderpriority),
+         MIN(o_orderpriority), MAX(o_orderpriority),
+         SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) FROM orders
+)
+""")
 def _segment_metadata_orders(spark, sf_dir):
-    return compile_query({
+    df = compile_query({
         "queryType": "segmentMetadata", "dataSource": "orders",
     }, _registry(spark, sf_dir))
+    return df.filter(F.col("column").isin(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
 
 
 @_q("agg_string_first_last", """
@@ -1391,6 +1414,209 @@ def _sql_ipv4(spark, sf_dir):
                COUNT(*) AS cnt
         FROM orders GROUP BY 1
     """, _registry(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Nested datasources, lookup joins, filtered MV dims, extraction chains
+# ---------------------------------------------------------------------------
+
+@_q("query_datasource_nested", """
+SELECT order_cnt, COUNT(*) AS n_customers FROM (
+  SELECT o_custkey, COUNT(*) AS order_cnt FROM orders GROUP BY 1
+) GROUP BY 1
+""")
+def _query_datasource_nested(spark, sf_dir):
+    # `query` datasource: the inner groupBy result is the outer's table
+    # (ClientQuerySegmentWalker subquery inlining — here just a subplan)
+    return compile_query({
+        "queryType": "groupBy",
+        "dataSource": {"type": "query", "query": {
+            "queryType": "groupBy", "dataSource": "orders",
+            "granularity": "all", "dimensions": ["o_custkey"],
+            "aggregations": [{"type": "count", "name": "order_cnt"}]}},
+        "granularity": "all",
+        "dimensions": [{"type": "default", "dimension": "order_cnt",
+                        "outputType": "LONG"}],
+        "aggregations": [{"type": "count", "name": "n_customers"}],
+    }, _registry(spark, sf_dir))
+
+
+@_q("join_lookup_datasource", """
+SELECT n.n_name AS nation_name, COUNT(*) AS cnt
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1
+""")
+def _join_lookup_datasource(spark, sf_dir):
+    # lookup as a joinable datasource (LookupJoinable semantics)
+    return compile_query({
+        "queryType": "groupBy",
+        "dataSource": {
+            "type": "join", "left": "supplier",
+            "right": {"type": "lookup", "lookup": "nation_name"},
+            "rightPrefix": "j0.",
+            "condition": "cast(\"s_nationkey\", 'STRING') == \"j0.k\"",
+            "joinType": "INNER"},
+        "granularity": "all",
+        "dimensions": [{"type": "default", "dimension": "j0.v",
+                        "outputName": "nation_name"}],
+        "aggregations": [{"type": "count", "name": "cnt"}],
+    }, _registry(spark, sf_dir))
+
+
+@_q("dim_list_filtered_tokens", """
+SELECT token, COUNT(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token IN ('the', 'and', 'of') GROUP BY 1
+""")
+def _dim_list_filtered_tokens(spark, sf_dir):
+    # ListFilteredDimensionSpec: whitelist elements of an MV dim, then
+    # the groupBy explode sees only kept elements
+    return compile_query({
+        "queryType": "groupBy", "dataSource": "documents",
+        "granularity": "all",
+        "virtualColumns": [{
+            "type": "expression", "name": "tokens",
+            "expression": "string_to_array(\"text\", ' ')"}],
+        "dimensions": [{
+            "type": "listFiltered", "dimension": "tokens",
+            "outputName": "token", "values": ["the", "and", "of"],
+            "isWhitelist": True}],
+        "aggregations": [{"type": "count", "name": "cnt"}],
+        "having": {"type": "not", "havingSpec": {
+            "type": "dimSelector", "dimension": "token", "value": None}},
+    }, _registry(spark, sf_dir))
+
+
+@_q("extraction_cascade", """
+SELECT substr(lower(c_mktsegment), 1, 4) AS seg4, COUNT(*) AS cnt
+FROM customer GROUP BY 1
+""")
+def _extraction_cascade(spark, sf_dir):
+    return compile_query({
+        "queryType": "groupBy", "dataSource": "customer",
+        "granularity": "all",
+        "dimensions": [{
+            "type": "extraction", "dimension": "c_mktsegment",
+            "outputName": "seg4",
+            "extractionFn": {"type": "cascade", "extractionFns": [
+                {"type": "lower"},
+                {"type": "substring", "index": 0, "length": 4}]}}],
+        "aggregations": [{"type": "count", "name": "cnt"}],
+    }, _registry(spark, sf_dir))
+
+
+@_q("extraction_bucket", """
+SELECT floor(p_retailprice / 50) * 50 AS price_bucket, COUNT(*) AS cnt
+FROM part GROUP BY 1
+""")
+def _extraction_bucket(spark, sf_dir):
+    return compile_query({
+        "queryType": "groupBy", "dataSource": "part", "granularity": "all",
+        "dimensions": [{
+            "type": "extraction", "dimension": "p_retailprice",
+            "outputName": "price_bucket", "outputType": "DOUBLE",
+            "extractionFn": {"type": "bucket", "size": 50, "offset": 0}}],
+        "aggregations": [{"type": "count", "name": "cnt"}],
+    }, _registry(spark, sf_dir))
+
+
+@_q("search_fragment_multi", """
+SELECT 'n_name' AS dimension, n_name AS value, COUNT(*) AS cnt
+FROM nation
+WHERE contains(lower(n_name), 'ion') AND contains(lower(n_name), '1')
+GROUP BY n_name ORDER BY value, dimension LIMIT 50
+""")
+def _search_fragment_multi(spark, sf_dir):
+    df = compile_query({
+        "queryType": "search", "dataSource": "nation",
+        "searchDimensions": ["n_name"],
+        "query": {"type": "fragment", "values": ["ion", "1"],
+                  "caseSensitive": False},
+        "limit": 50,
+    }, _registry(spark, sf_dir))
+    return df.withColumnRenamed("count", "cnt")
+
+
+@_q("bound_version_comparator", """
+SELECT v FROM (VALUES ('1.10.0'), ('1.9.1')) AS t(v)
+""")
+def _bound_version_comparator(spark, sf_dir):
+    # version StringComparator over an inline datasource
+    return compile_query({
+        "queryType": "scan",
+        "dataSource": {"type": "inline", "columnNames": ["v"],
+                       "columnTypes": ["STRING"],
+                       "rows": [["1.2.3"], ["1.10.0"], ["1.9.1"]]},
+        "columns": ["v"],
+        "filter": {"type": "bound", "dimension": "v", "lower": "1.9.0",
+                   "ordering": "version"},
+    }, _registry(spark, sf_dir))
+
+
+@_q("grouping_id_subtotals", """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+       GROUPING(l_returnflag, l_linestatus) AS g
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""")
+def _grouping_id_subtotals(spark, sf_dir):
+    return compile_query({
+        "queryType": "groupBy", "dataSource": "lineitem",
+        "granularity": "all",
+        "dimensions": ["l_returnflag", "l_linestatus"],
+        "subtotalsSpec": [["l_returnflag", "l_linestatus"],
+                          ["l_returnflag"], []],
+        "aggregations": [
+            {"type": "count", "name": "cnt"},
+            {"type": "grouping", "name": "g",
+             "groupings": ["l_returnflag", "l_linestatus"]},
+        ],
+    }, _registry(spark, sf_dir)).select(
+        "l_returnflag", "l_linestatus", "cnt", "g")
+
+
+@_q("sql_bit_aggs", """
+SELECT o_orderpriority,
+       bit_and(o_orderkey % 256) AS b_and,
+       bit_or(o_orderkey % 256) AS b_or,
+       bit_xor(o_orderkey % 256) AS b_xor
+FROM orders GROUP BY 1
+""")
+def _sql_bit_aggs(spark, sf_dir):
+    return druid_sql(spark, """
+        SELECT o_orderpriority,
+               BIT_AND(o_orderkey % 256) AS b_and,
+               BIT_OR(o_orderkey % 256) AS b_or,
+               BIT_XOR(o_orderkey % 256) AS b_xor
+        FROM orders GROUP BY 1
+    """, _registry(spark, sf_dir))
+
+
+@_q("sql_earliest_by", """
+SELECT user_id % 10 AS user_bucket,
+       min_by(value, event_id) AS first_by_id,
+       max_by(value, event_id) AS last_by_id
+FROM events GROUP BY 1
+""")
+def _sql_earliest_by(spark, sf_dir):
+    return druid_sql(spark, """
+        SELECT user_id % 10 AS user_bucket,
+               EARLIEST_BY(value, event_id) AS first_by_id,
+               LATEST_BY(value, event_id) AS last_by_id
+        FROM events GROUP BY 1
+    """, _registry(spark, sf_dir))
+
+
+@_q("scan_time_desc", """
+SELECT CAST(ts AS TIMESTAMP) AS __time, event_id, event_type FROM events
+ORDER BY ts DESC LIMIT 20
+""")
+def _scan_time_desc(spark, sf_dir):
+    return compile_query({
+        "queryType": "scan", "dataSource": "events",
+        "columns": ["__time", "event_id", "event_type"],
+        "order": "descending", "limit": 20,
+    }, _registry(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

@@ -141,7 +141,7 @@ def apply_timestamp_spec(df: DataFrame, spec: dict | None) -> DataFrame:
     elif fmt == "micro":
         ts = F.timestamp_micros(c.cast("long"))
     elif fmt == "nano":
-        ts = F.timestamp_micros((c.cast("long") / 1000).cast("long"))
+        ts = F.timestamp_micros(F.expr(f"CAST(`{col}` AS LONG) div 1000"))
     else:
         ts = F.to_timestamp(c.cast("string"), fmt)
     missing = spec.get("missingValue")

@@ -56,8 +56,10 @@ class DatasourceRegistry:
 
             dt = df.schema[time_column].dataType
             if isinstance(dt, T.LongType):
+                # integer division: float division loses precision
+                # above 2^53 ns (~epoch 2255 in µs, but ns hit it now)
                 converted = F.timestamp_micros(
-                    (F.col(time_column) / F.lit(1000)).cast("long"))
+                    F.expr(f"`{time_column}` div 1000"))
                 df = df.withColumn(time_column, converted)
             if time_column != TIME_COLUMN:
                 df = df.withColumn(TIME_COLUMN, F.col(time_column))

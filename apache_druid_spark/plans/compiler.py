@@ -529,7 +529,9 @@ def compile_segment_metadata(q: dict, registry: DatasourceRegistry) -> DataFrame
             continue
         c = F.col(f.name)
         aggs += [
-            F.approx_count_distinct(c).alias(f"{f.name}__card"),
+            # exact: SegmentAnalyzer reports dictionary cardinality,
+            # which is exact per segment — count_distinct matches it
+            F.count_distinct(c).alias(f"{f.name}__card"),
             F.min(c).cast("string").alias(f"{f.name}__min"),
             F.max(c).cast("string").alias(f"{f.name}__max"),
             F.sum(F.when(c.isNull(), 1).otherwise(0)).alias(f"{f.name}__nulls"),

@@ -51,7 +51,7 @@ def file_stream(spark: SparkSession, path: str, schema,
     df = reader.parquet(path)
     c = F.col(time_column)
     if isinstance(df.schema[time_column].dataType, T.LongType):
-        c = F.timestamp_micros((c / 1000).cast("long"))
+        c = F.timestamp_micros(F.expr(f"`{time_column}` div 1000"))
     return df.withColumn(TIME_COLUMN, c)
 
 
