@@ -1619,6 +1619,27 @@ def _scan_time_desc(spark, sf_dir):
     }, _registry(spark, sf_dir))
 
 
+@_q("mv_filter_any_match", """
+SELECT lang, COUNT(*) AS cnt FROM documents
+WHERE list_contains(string_split(text, ' '), 'the')
+GROUP BY 1
+""")
+def _mv_filter_any_match(spark, sf_dir):
+    # filter on a multi-value dim matches if ANY element matches
+    # (ColumnarMultiInts semantics)
+    return compile_query({
+        "queryType": "groupBy", "dataSource": "documents",
+        "granularity": "all",
+        "virtualColumns": [{
+            "type": "expression", "name": "tokens",
+            "expression": "string_to_array(\"text\", ' ')"}],
+        "dimensions": ["lang"],
+        "filter": {"type": "selector", "dimension": "tokens",
+                   "value": "the"},
+        "aggregations": [{"type": "count", "name": "cnt"}],
+    }, _registry(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Pipeline: exact jaccard verification + multimodal plumbing
 # ---------------------------------------------------------------------------
