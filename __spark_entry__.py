@@ -1640,6 +1640,148 @@ def _mv_filter_any_match(spark, sf_dir):
     }, _registry(spark, sf_dir))
 
 
+@_q("spatial_rectangular", """
+SELECT event_type, COUNT(*) AS cnt FROM (
+  SELECT event_type,
+         CAST(user_id % 100 AS DOUBLE) AS x,
+         CAST(event_id % 100 AS DOUBLE) AS y
+  FROM events
+) WHERE x >= 20 AND x <= 40 AND y >= 10 AND y <= 60
+GROUP BY 1
+""")
+def _spatial_rectangular(spark, sf_dir):
+    # spatial dims are 'x,y'-encoded strings; rectangular bound becomes
+    # numeric range predicates (SpatialDimFilter.java, R-tree replaced
+    # by parquet stats at scale)
+    return compile_query({
+        "queryType": "groupBy", "dataSource": "events",
+        "granularity": "all",
+        "virtualColumns": [{
+            "type": "expression", "name": "coord",
+            "expression": "concat(cast(\"user_id\" % 100, 'STRING'), ',', "
+                          "cast(\"event_id\" % 100, 'STRING'))"}],
+        "dimensions": ["event_type"],
+        "filter": {"type": "spatial", "dimension": "coord",
+                   "bound": {"type": "rectangular",
+                             "minCoords": [20, 10], "maxCoords": [40, 60]}},
+        "aggregations": [{"type": "count", "name": "cnt"}],
+    }, _registry(spark, sf_dir))
+
+
+@_q("null_dim_three_valued", """
+SELECT CASE WHEN value > 250 THEN event_type END AS hot_type,
+       COUNT(*) AS cnt, ROUND(SUM(value), 4) AS total_value
+FROM events GROUP BY 1
+""")
+def _null_dim_three_valued(spark, sf_dir):
+    # SQL-compatible null handling (SURVEY §1.2 decision): the null
+    # group is a real group; sums don't treat null as 0
+    df = compile_query({
+        "queryType": "groupBy", "dataSource": "events",
+        "granularity": "all",
+        "virtualColumns": [{
+            "type": "expression", "name": "hot_type",
+            "expression": "if(\"value\" > 250, \"event_type\", null)"}],
+        "dimensions": ["hot_type"],
+        "aggregations": [
+            {"type": "count", "name": "cnt"},
+            {"type": "doubleSum", "name": "total_value", "fieldName": "value"},
+        ],
+    }, _registry(spark, sf_dir))
+    return _round(df, {"total_value": 4})
+
+
+@_q("expression_array_fold", """
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+           AS n_tok,
+       list_sum(list_transform(
+           list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+           x -> len(x))) AS total_len
+FROM documents
+""")
+def _expression_array_fold(spark, sf_dir):
+    # native expression lambdas: filter/map/fold -> Spark HOFs
+    # (core/.../math/expr/ApplyFunction.java)
+    return compile_query({
+        "queryType": "scan", "dataSource": "documents",
+        "virtualColumns": [
+            {"type": "expression", "name": "toks",
+             "expression": "filter((t) -> t != '', "
+                           "string_to_array(\"text\", '\\\\s+'))"},
+            {"type": "expression", "name": "n_tok",
+             "expression": "array_length(\"toks\")", "outputType": "LONG"},
+            {"type": "expression", "name": "total_len",
+             "expression": "fold((t, acc) -> acc + strlen(t), \"toks\", 0)",
+             "outputType": "LONG"},
+        ],
+        "columns": ["doc_id", "n_tok", "total_len"],
+    }, _registry(spark, sf_dir))
+
+
+@_q("sql_array_agg_sorted", """
+SELECT l_returnflag, list_sort(list(DISTINCT l_linestatus)) AS statuses
+FROM lineitem GROUP BY 1
+""")
+def _sql_array_agg_sorted(spark, sf_dir):
+    df = druid_sql(spark, """
+        SELECT l_returnflag, ARRAY_AGG(DISTINCT l_linestatus) AS statuses
+        FROM lineitem GROUP BY l_returnflag
+    """, _registry(spark, sf_dir))
+    return df.select("l_returnflag", F.array_sort("statuses").alias("statuses"))
+
+
+@_q("limitspec_offset", """
+SELECT * FROM (
+  SELECT c_mktsegment, COUNT(*) AS cnt FROM customer GROUP BY 1
+  ORDER BY cnt DESC, c_mktsegment
+) LIMIT 2 OFFSET 2
+""")
+def _limitspec_offset(spark, sf_dir):
+    return compile_query({
+        "queryType": "groupBy", "dataSource": "customer",
+        "granularity": "all", "dimensions": ["c_mktsegment"],
+        "aggregations": [{"type": "count", "name": "cnt"}],
+        "limitSpec": {"type": "default", "limit": 2, "offset": 2,
+                      "columns": [
+                          {"dimension": "cnt", "direction": "descending",
+                           "dimensionOrder": "numeric"},
+                          {"dimension": "c_mktsegment"}]},
+    }, _registry(spark, sf_dir))
+
+
+@_q("extraction_time_format_gran", """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour_str,
+       COUNT(*) AS cnt
+FROM events GROUP BY 1
+""")
+def _extraction_time_format_gran(spark, sf_dir):
+    # timeFormat extraction with granularity pre-floor
+    # (processing/.../extraction/TimeFormatExtractionFn.java)
+    return compile_query({
+        "queryType": "groupBy", "dataSource": "events", "granularity": "all",
+        "dimensions": [{
+            "type": "extraction", "dimension": "__time",
+            "outputName": "hour_str",
+            "extractionFn": {"type": "timeFormat",
+                             "format": "yyyy-MM-dd HH",
+                             "granularity": "hour"}}],
+        "aggregations": [{"type": "count", "name": "cnt"}],
+    }, _registry(spark, sf_dir))
+
+
+@_q("timeboundary_filtered_min", """
+SELECT MIN(ts) AS minTime FROM events WHERE event_type = 'signup'
+""")
+def _timeboundary_filtered_min(spark, sf_dir):
+    return compile_query({
+        "queryType": "timeBoundary", "dataSource": "events",
+        "bound": "minTime",
+        "filter": {"type": "selector", "dimension": "event_type",
+                   "value": "signup"},
+    }, _registry(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Pipeline: exact jaccard verification + multimodal plumbing
 # ---------------------------------------------------------------------------
