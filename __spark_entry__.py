@@ -1782,6 +1782,51 @@ def _timeboundary_filtered_min(spark, sf_dir):
     }, _registry(spark, sf_dir))
 
 
+@_q("moving_average_monthly", """
+WITH m AS (
+  SELECT unnest(generate_series(TIMESTAMP '1995-04-01',
+                                TIMESTAMP '2000-12-01',
+                                INTERVAL 1 MONTH)) AS __time
+), combos AS (SELECT DISTINCT o_orderpriority FROM orders),
+agg AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS __time,
+         o_orderpriority, SUM(o_totalprice) AS revenue
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-04-01'
+    AND o_orderdate < TIMESTAMP '2001-01-01'
+  GROUP BY 1, 2
+), grid AS (
+  SELECT m.__time, combos.o_orderpriority, COALESCE(agg.revenue, 0) AS rev,
+         agg.revenue AS revenue
+  FROM m CROSS JOIN combos
+  LEFT JOIN agg USING (__time, o_orderpriority)
+), win AS (
+  SELECT __time, o_orderpriority, revenue,
+         SUM(rev) OVER (PARTITION BY o_orderpriority ORDER BY __time
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 3
+             AS rev_ma3
+  FROM grid
+)
+SELECT __time, o_orderpriority, ROUND(revenue, 2) AS revenue,
+       ROUND(rev_ma3, 2) AS rev_ma3
+FROM win WHERE __time >= TIMESTAMP '1995-06-01'
+""")
+def _moving_average_monthly(spark, sf_dir):
+    # contrib movingAverage query type: trailing 3-month mean of monthly
+    # revenue per priority; missing months contribute 0 to the mean
+    df = compile_query({
+        "queryType": "movingAverage", "dataSource": "orders",
+        "granularity": "month",
+        "intervals": ["1995-06-01/2001-01-01"],
+        "dimensions": ["o_orderpriority"],
+        "aggregations": [{"type": "doubleSum", "name": "revenue",
+                          "fieldName": "o_totalprice"}],
+        "averagers": [{"type": "doubleMean", "name": "rev_ma3",
+                       "fieldName": "revenue", "buckets": 3}],
+    }, _registry(spark, sf_dir))
+    return _round(df, {"revenue": 2, "rev_ma3": 2})
+
+
 # ---------------------------------------------------------------------------
 # Pipeline: exact jaccard verification + multimodal plumbing
 # ---------------------------------------------------------------------------

@@ -548,8 +548,15 @@ def compile_segment_metadata(q: dict, registry: DatasourceRegistry) -> DataFrame
         "(column, type, cardinality, minValue, maxValue, nullCount)")
 
 
+def _compile_moving_average(q, registry):
+    from apache_druid_spark.plans.moving_average import compile_moving_average
+
+    return compile_moving_average(q, registry)
+
+
 _COMPILERS = {
     "timeseries": compile_timeseries,
+    "movingAverage": _compile_moving_average,
     "topN": compile_topn,
     "groupBy": compile_groupby,
     "scan": compile_scan,
