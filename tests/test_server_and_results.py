@@ -1,0 +1,98 @@
+"""HTTP facade + result formats + compaction."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from apache_druid_spark.model.datasource import (
+    DatasourceRegistry, register_testdata,
+)
+from apache_druid_spark.sql.results import format_results
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def reg(spark):
+    r = DatasourceRegistry(spark)
+    register_testdata(r, SF_DIR)
+    return r
+
+
+def test_result_formats(spark):
+    df = spark.createDataFrame([(1, "a"), (2, None)], "n long, s string")
+    assert json.loads(format_results(df, "object")) == [
+        {"n": 1, "s": "a"}, {"n": 2, "s": None}]
+    assert json.loads(format_results(df, "array", header=True)) == [
+        ["n", "s"], [1, "a"], [2, None]]
+    lines = format_results(df, "objectLines").splitlines()
+    assert len(lines) == 2 and json.loads(lines[0]) == {"n": 1, "s": "a"}
+    csv_text = format_results(df, "csv", header=True)
+    assert csv_text.splitlines()[0] == "n,s"
+    assert csv_text.splitlines()[2] == "2,"
+
+
+def test_http_native_and_sql(spark, reg):
+    from apache_druid_spark.server import DruidHttpServer
+
+    srv = DruidHttpServer(spark, reg, port=0)
+    srv.start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        q = {"queryType": "timeBoundary", "dataSource": "orders"}
+        req = urllib.request.Request(
+            f"{base}/druid/v2", json.dumps(q).encode(),
+            {"Content-Type": "application/json"})
+        rows = json.loads(urllib.request.urlopen(req).read())
+        assert rows and "minTime" in rows[0]
+
+        body = {"query": "SELECT COUNT(*) AS cnt FROM orders",
+                "resultFormat": "object"}
+        req = urllib.request.Request(
+            f"{base}/druid/v2/sql", json.dumps(body).encode(),
+            {"Content-Type": "application/json"})
+        rows = json.loads(urllib.request.urlopen(req).read())
+        assert rows[0]["cnt"] > 0
+
+        bad = urllib.request.Request(
+            f"{base}/druid/v2", json.dumps({"queryType": "nope"}).encode(),
+            {"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(bad)
+        assert e.value.code == 400
+    finally:
+        srv.stop()
+
+
+def test_compaction_rollup(spark, tmp_path):
+    from apache_druid_spark.ingest import ingest, write_segments
+    from apache_druid_spark.ingest.compact import compact
+
+    metrics = [{"type": "count", "name": "cnt"},
+               {"type": "doubleSum", "name": "tv", "fieldName": "value"}]
+    rolled = ingest(spark, {
+        "ioConfig": {"inputSource": {
+            "type": "local", "files": [f"{SF_DIR}/events.parquet"]},
+            "inputFormat": {"type": "parquet"}},
+        "dataSchema": {
+            "timestampSpec": {"column": "ts", "format": "nano"},
+            "dimensionsSpec": {"dimensions": ["event_type"]},
+            "metricsSpec": metrics,
+            "granularitySpec": {"rollup": True, "queryGranularity": "hour"}},
+    })
+    path = str(tmp_path / "events_rolled")
+    write_segments(rolled, path, segment_granularity="day")
+
+    # compact hourly -> daily rollup; count must survive as sum
+    out = compact(spark, path, segment_granularity="week", rollup={
+        "dimensions": ["event_type"],
+        "queryGranularity": "day",
+        "metricsSpec": metrics,
+    })
+    assert out.count() < spark.read.parquet(path).count()
+    total_before = rolled.groupBy().sum("cnt").first()[0]
+    total_after = out.groupBy().sum("cnt").first()[0]
+    assert total_before == total_after

@@ -1,0 +1,50 @@
+"""INSERT INTO ... SELECT ... FROM TABLE(EXTERN(...)) PARTITIONED BY."""
+
+from __future__ import annotations
+
+import pytest
+
+from apache_druid_spark.model.datasource import DatasourceRegistry
+from apache_druid_spark.sql.insert import druid_sql_insert, parse_insert
+
+
+def test_parse_insert_shapes():
+    spec = parse_insert(
+        "INSERT INTO wiki SELECT * FROM src PARTITIONED BY day")
+    assert spec["verb"] == "INSERT" and spec["target"] == "wiki"
+    assert spec["granularity"] == "day"
+    spec = parse_insert(
+        "REPLACE INTO wiki OVERWRITE ALL SELECT * FROM src "
+        "PARTITIONED BY hour CLUSTERED BY page, user")
+    assert spec["verb"] == "REPLACE"
+    assert spec["clustered_by"] == ["page", "user"]
+    assert parse_insert("SELECT 1") is None
+
+
+def test_insert_extern_end_to_end(spark, tmp_path):
+    reg = DatasourceRegistry(spark)
+    inline = (
+        '{"type": "inline", "data": "ts,page,views\\n'
+        '2024-01-01T01:00:00,home,3\\n'
+        '2024-01-02T05:00:00,docs,7\\n'
+        '2024-01-02T06:00:00,home,2\\n"}'
+    )
+    fmt = '{"type": "csv", "findColumnsFromHeader": true}'
+    sig = ('[{"name": "ts", "type": "string"}, '
+           '{"name": "page", "type": "string"}, '
+           '{"name": "views", "type": "long"}]')
+    sql = f"""INSERT INTO pageviews
+        SELECT CAST(ts AS TIMESTAMP) AS __time, page, views
+        FROM TABLE(EXTERN('{inline}', '{fmt}', '{sig}'))
+        PARTITIONED BY day"""
+    out = druid_sql_insert(spark, sql, reg, str(tmp_path))
+    rows = out.orderBy("__time").collect()
+    assert [r["page"] for r in rows] == ["home", "docs", "home"]
+    assert [r["views"] for r in rows] == [3, 7, 2]
+    # registered as a queryable datasource; day-partitioned on disk
+    assert reg.table("pageviews").count() == 3
+    import os
+
+    parts = [p for p in os.listdir(f"{tmp_path}/pageviews")
+             if p.startswith("__segment=")]
+    assert len(parts) == 2
