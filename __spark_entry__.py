@@ -1782,6 +1782,58 @@ def _timeboundary_filtered_min(spark, sf_dir):
     }, _registry(spark, sf_dir))
 
 
+@_q("expression_lambda_agg", """
+SELECT l_returnflag,
+       ROUND(SUM(l_quantity * l_quantity), 2) AS sum_sq,
+       COUNT(*) AS cnt
+FROM lineitem GROUP BY 1
+""")
+def _expression_lambda_agg(spark, sf_dir):
+    # ExpressionLambdaAggregatorFactory: init/fold in the native
+    # expression language -> collect_list + aggregate() HOF
+    df = compile_query({
+        "queryType": "groupBy", "dataSource": "lineitem",
+        "granularity": "all", "dimensions": ["l_returnflag"],
+        "aggregations": [
+            {"type": "expression", "name": "sum_sq",
+             "fields": ["l_quantity"],
+             "initialValue": "0.0",
+             "fold": '__acc + "l_quantity" * "l_quantity"'},
+            {"type": "count", "name": "cnt"},
+        ],
+    }, _registry(spark, sf_dir))
+    return _round(df, {"sum_sq": 2})
+
+
+@_q("histogram_quantity", """
+SELECT l_returnflag,
+       [SUM(CASE WHEN l_quantity >= 0 AND l_quantity < 10 THEN 1 ELSE 0 END),
+        SUM(CASE WHEN l_quantity >= 10 AND l_quantity < 25 THEN 1 ELSE 0 END),
+        SUM(CASE WHEN l_quantity >= 25 AND l_quantity < 50 THEN 1 ELSE 0 END)]
+           AS hist
+FROM lineitem GROUP BY 1
+""")
+def _histogram_quantity(spark, sf_dir):
+    return compile_query({
+        "queryType": "groupBy", "dataSource": "lineitem",
+        "granularity": "all", "dimensions": ["l_returnflag"],
+        "aggregations": [{"type": "histogram", "name": "hist",
+                          "fieldName": "l_quantity",
+                          "breaks": [0, 10, 25, 50]}],
+    }, _registry(spark, sf_dir))
+
+
+@_q("quantiles_sketch_median")  # approximate (percentile_approx) — rows-only
+def _quantiles_sketch_median(spark, sf_dir):
+    return compile_query({
+        "queryType": "groupBy", "dataSource": "lineitem",
+        "granularity": "all", "dimensions": ["l_linestatus"],
+        "aggregations": [{"type": "quantilesDoublesSketch",
+                          "name": "median_qty",
+                          "fieldName": "l_quantity"}],
+    }, _registry(spark, sf_dir))
+
+
 @_q("moving_average_monthly", """
 WITH m AS (
   SELECT unnest(generate_series(TIMESTAMP '1995-04-01',

@@ -94,9 +94,8 @@ def _read_inline(spark: SparkSession, src: dict, fmt: dict) -> DataFrame:
     ftype = fmt.get("type", "csv")
     lines = [ln for ln in data.splitlines() if ln.strip()]
     if ftype == "json":
-        import json as _json
-
-        return spark.createDataFrame([_json.loads(ln) for ln in lines])
+        # spark.read.json gives proper struct inference for nested docs
+        return spark.read.json(spark.sparkContext.parallelize(lines))
     if ftype in ("csv", "tsv"):
         delim = fmt.get("delimiter", "\t" if ftype == "tsv" else ",")
         cols = fmt.get("columns")
@@ -108,6 +107,50 @@ def _read_inline(spark: SparkSession, src: dict, fmt: dict) -> DataFrame:
         return spark.createDataFrame(
             rows, schema=" string, ".join(cols) + " string")
     raise ValueError(f"inline inputFormat {ftype!r} unsupported")
+
+
+def apply_flatten_spec(df: DataFrame, flatten_spec: dict | None) -> DataFrame:
+    """JSON flattenSpec (core/.../data/input/impl/JsonInputFormat.java +
+    core/.../parsers/JSONPathSpec.java): extract nested fields as
+    top-level columns.
+
+    `path` fields take a JSONPath subset ($.a.b[0].c) compiled to
+    struct/array access on the parsed document — Catalyst expressions,
+    not per-row JSON re-parsing. `root` fields reference top-level
+    keys."""
+    if not flatten_spec:
+        return df
+    for field in flatten_spec.get("fields", []) or []:
+        ftype = field.get("type", "root")
+        name = field["name"]
+        if ftype == "root":
+            df = df.withColumn(name, F.col(field.get("expr", name)))
+        elif ftype == "path":
+            df = df.withColumn(name, _jsonpath_col(field["expr"]))
+        else:
+            raise NotImplementedError(f"flattenSpec field type {ftype!r} "
+                                      "(jq is not supported)")
+    return df
+
+
+def _jsonpath_col(expr: str) -> Column:
+    """$.a.b[0].c -> nested struct/array access Column."""
+    if not expr.startswith("$"):
+        raise ValueError(f"JSONPath must start with $: {expr!r}")
+    import re as _re
+
+    col: Column | None = None
+    for part in _re.findall(r"\.([A-Za-z_][\w]*)|\[(\d+)\]", expr):
+        key, idx = part
+        if key:
+            col = F.col(key) if col is None else col.getField(key)
+        else:
+            if col is None:
+                raise ValueError(f"JSONPath cannot start with index: {expr!r}")
+            col = col.getItem(int(idx))
+    if col is None:
+        raise ValueError(f"empty JSONPath: {expr!r}")
+    return col
 
 
 def parse_regex(spark: SparkSession, path: str, pattern: str,
@@ -221,6 +264,9 @@ def ingest(spark: SparkSession, spec: dict, registry=None) -> DataFrame:
                     metricsSpec, granularitySpec}}"""
     ds = spec.get("dataSchema", {})
     df = read_input(spark, spec.get("ioConfig", {}))
+    fmt = spec.get("ioConfig", {}).get("inputFormat", {})
+    if fmt.get("flattenSpec"):
+        df = apply_flatten_spec(df, fmt["flattenSpec"])
     df = apply_timestamp_spec(df, ds.get("timestampSpec"))
     df = apply_transform_spec(df, ds.get("transformSpec"), registry)
     gran = ds.get("granularitySpec", {})

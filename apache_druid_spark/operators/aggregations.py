@@ -125,11 +125,39 @@ def compile_aggregator(spec: dict, df=None, registry=None) -> Column:
     if t == "longAnyValue":
         return F.any_value(_field(spec, registry)).alias(name)
     if t == "expression":
-        raise NotImplementedError(
-            "expressionLambda aggregator: use SQL aggregate()/pandas UDAF (v2)")
+        return _expression_lambda(spec, registry).alias(name)
     if t == "javascript":
         raise NotImplementedError("javascript aggregators unsupported")
     raise ValueError(f"unknown aggregator type: {t!r}")
+
+
+def _expression_lambda(spec: dict, registry) -> Column:
+    """ExpressionLambdaAggregatorFactory
+    (processing/.../aggregation/ExpressionLambdaAggregatorFactory.java):
+    init/fold[/finalize] expressions in the native language, accumulator
+    bound as `__acc` (line 63), finalize input bound as `o` (line 60).
+
+    Spark shape: collect_list + the aggregate() higher-order function —
+    the fold runs element-wise inside codegen. Group state materializes
+    as an array, which Druid also bounds (maxSizeBytes); for the common
+    numeric folds this is fine, for giant groups use a built-in
+    aggregator instead."""
+    fields = list(spec.get("fields") or [])
+    if len(fields) != 1:
+        raise NotImplementedError(
+            "expression lambda aggregator needs exactly one field in v1")
+    acc_id = spec.get("accumulatorIdentifier", "__acc")
+    field = fields[0]
+    init = compile_expression(spec["initialValue"], registry)
+    values = F.collect_list(fcol(field))
+    folded = F.aggregate(
+        values, init,
+        lambda acc, x: compile_expression(
+            spec["fold"], registry, env={acc_id: acc, field: x}))
+    fin = spec.get("finalize")
+    if fin:
+        return compile_expression(fin, registry, env={"o": folded})
+    return folded
 
 
 def _filtered(inner: dict, cond: Column, df, registry) -> Column:

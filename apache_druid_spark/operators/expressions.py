@@ -638,10 +638,15 @@ _FUNCTIONS["bitwiseshiftleft"] = _shiftleft
 _FUNCTIONS["bitwiseshiftright"] = _shiftright
 
 
-def compile_expression(text: str, registry=None) -> Column:
+def compile_expression(text: str, registry=None,
+                       env: dict | None = None) -> Column:
     """Compile a Druid native expression string to a Column.
+
+    ``env`` pre-binds identifiers to Columns (lambda parameters of an
+    enclosing context, e.g. the accumulator/element of an
+    expression-lambda aggregator fold).
 
     >>> compile_expression("floor(value / 10) * 10")
     >>> compile_expression("if(x > 3 && y == 'a', 1, 0)")
     """
-    return _Parser(_tokenize(text), {}, registry).parse()
+    return _Parser(_tokenize(text), dict(env or {}), registry).parse()

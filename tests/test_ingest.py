@@ -103,6 +103,27 @@ def test_inline_csv_ingest_with_transform(spark):
     assert [r["v2"] for r in rows] == [7.0, 4.0]
 
 
+def test_json_flatten_spec(spark):
+    spec = {
+        "ioConfig": {
+            "inputSource": {"type": "inline", "data":
+                            '{"ts": "2024-01-01T00:00:00", "user": '
+                            '{"id": 7, "tags": ["a", "b"]}, "v": 1.5}\n'
+                            '{"ts": "2024-01-01T01:00:00", "user": '
+                            '{"id": 9, "tags": ["c"]}, "v": 2.5}\n'},
+            "inputFormat": {"type": "json", "flattenSpec": {"fields": [
+                {"type": "path", "name": "user_id", "expr": "$.user.id"},
+                {"type": "path", "name": "first_tag",
+                 "expr": "$.user.tags[0]"},
+            ]}},
+        },
+        "dataSchema": {"timestampSpec": {"column": "ts", "format": "iso"}},
+    }
+    rows = ingest(spark, spec).orderBy("user_id").collect()
+    assert [r["user_id"] for r in rows] == [7, 9]
+    assert [r["first_tag"] for r in rows] == ["a", "c"]
+
+
 def test_write_segments_layout(spark, tmp_path):
     rolled = ingest(spark, SPEC)
     out = str(tmp_path / "seg")
