@@ -103,10 +103,17 @@ def _bound_predicate(spec: dict):
     def key(c: Column) -> Column:
         if ordering == "numeric":
             return c.cast("double")
+        if ordering in ("alphanumeric", "version", "strlen"):
+            # same comparator keys as ORDER BY (StringComparators.java)
+            from apache_druid_spark.operators.limitspec import _sort_key
+
+            return _sort_key(c, ordering)
         return c.cast("string")
 
     def klit(v) -> Column:
-        return F.lit(float(v)) if ordering == "numeric" else F.lit(str(v))
+        if ordering == "numeric":
+            return F.lit(float(v))
+        return key(F.lit(str(v)))
 
     def pred(c: Column) -> Column:
         k = key(c)
