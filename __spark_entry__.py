@@ -1782,6 +1782,49 @@ def _timeboundary_filtered_min(spark, sf_dir):
     }, _registry(spark, sf_dir))
 
 
+@_q("topn_per_month", """
+WITH a AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS __time,
+         o_orderpriority, SUM(o_totalprice) AS revenue
+  FROM orders GROUP BY 1, 2
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY __time
+            ORDER BY revenue DESC, o_orderpriority) AS rk
+  FROM a
+)
+SELECT __time, o_orderpriority, ROUND(revenue, 2) AS revenue
+FROM r WHERE rk <= 2
+""")
+def _topn_per_month(spark, sf_dir):
+    # topN with a non-all granularity: top K per time bucket
+    df = compile_query({
+        "queryType": "topN", "dataSource": "orders",
+        "granularity": "month", "dimension": "o_orderpriority",
+        "metric": "revenue", "threshold": 2,
+        "aggregations": [{"type": "doubleSum", "name": "revenue",
+                          "fieldName": "o_totalprice"}],
+    }, _registry(spark, sf_dir))
+    return _round(df, {"revenue": 2})
+
+
+@_q("groupby_month_and_dim", """
+SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS __time,
+       l_returnflag, COUNT(*) AS cnt, ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY 1, 2
+""")
+def _groupby_month_and_dim(spark, sf_dir):
+    df = compile_query({
+        "queryType": "groupBy", "dataSource": "lineitem",
+        "granularity": "month", "dimensions": ["l_returnflag"],
+        "aggregations": [
+            {"type": "count", "name": "cnt"},
+            {"type": "doubleSum", "name": "sum_qty",
+             "fieldName": "l_quantity"},
+        ],
+    }, _registry(spark, sf_dir))
+    return _round(df, {"sum_qty": 2})
+
+
 @_q("expression_lambda_agg", """
 SELECT l_returnflag,
        ROUND(SUM(l_quantity * l_quantity), 2) AS sum_sq,
