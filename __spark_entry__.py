@@ -1782,6 +1782,36 @@ def _timeboundary_filtered_min(spark, sf_dir):
     }, _registry(spark, sf_dir))
 
 
+@_q("granularity_day_tz", """
+WITH l AS (
+  SELECT timezone('America/New_York',
+                  timezone('UTC', CAST(ts AS TIMESTAMP))) AS lts, value
+  FROM events
+), b AS (
+  SELECT CAST(date_trunc('day', lts) AS TIMESTAMP) AS lday, value FROM l
+)
+SELECT epoch_ms(timezone('America/New_York', lday)) AS bucket_ms,
+       COUNT(*) AS cnt, ROUND(SUM(value), 4) AS total_value
+FROM b GROUP BY 1
+""")
+def _granularity_day_tz(spark, sf_dir):
+    # period granularity with timeZone: buckets are local (NY) days,
+    # emitted as their UTC instants (PeriodGranularity timeZone
+    # semantics). Compared via epoch millis so the oracle is
+    # independent of DuckDB's session time zone.
+    df = compile_query({
+        "queryType": "timeseries", "dataSource": "events",
+        "granularity": {"type": "period", "period": "P1D",
+                        "timeZone": "America/New_York"},
+        "aggregations": [
+            {"type": "count", "name": "cnt"},
+            {"type": "doubleSum", "name": "total_value", "fieldName": "value"},
+        ],
+    }, _registry(spark, sf_dir))
+    return df.select(F.unix_millis("__time").alias("bucket_ms"), "cnt",
+                     F.round("total_value", 4).alias("total_value"))
+
+
 @_q("topn_per_month", """
 WITH a AS (
   SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS __time,
