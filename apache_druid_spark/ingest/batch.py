@@ -213,14 +213,37 @@ def apply_transform_spec(df: DataFrame, spec: dict | None,
 # Rollup
 # ---------------------------------------------------------------------------
 
+_FIRST_LAST_TYPES = {
+    "longFirst": "first", "doubleFirst": "first", "floatFirst": "first",
+    "stringFirst": "first", "longLast": "last", "doubleLast": "last",
+    "floatLast": "last", "stringLast": "last",
+}
+
+
 def rollup(df: DataFrame, dimensions: list[str], metrics: list[dict],
            query_granularity="hour", registry=None) -> DataFrame:
     """Ingest-time rollup: rows with equal (floor(__time), dims) are
     pre-aggregated by the metric aggregators
-    (processing/.../incremental/IncrementalIndexSchema.java:42)."""
+    (processing/.../incremental/IncrementalIndexSchema.java:42).
+
+    first/last metrics store their MERGEABLE pair state —
+    struct(t, v), the SerializablePairLongString analogue — because the
+    plain value cannot re-aggregate across buckets; ``reaggregate``
+    folds pairs with min_by/max_by on the stored event time and
+    ``finalize_metrics`` unwraps to the value."""
     bucketed = df.withColumn(
+        "__raw_time", F.col(TIME_COLUMN)).withColumn(
         TIME_COLUMN, time_floor_col(F.col(TIME_COLUMN), query_granularity))
-    aggs = compile_aggregations(metrics, bucketed, registry)
+    aggs = []
+    for m in metrics:
+        which = _FIRST_LAST_TYPES.get(m["type"])
+        if which is None:
+            aggs.extend(compile_aggregations([m], bucketed, registry))
+            continue
+        pair = F.struct(F.col("__raw_time").alias("t"),
+                        F.col(m["fieldName"]).alias("v"))
+        fn = F.min_by if which == "first" else F.max_by
+        aggs.append(fn(pair, F.col("__raw_time")).alias(m["name"]))
     return bucketed.groupBy(TIME_COLUMN, *dimensions).agg(*aggs)
 
 
@@ -237,17 +260,32 @@ def reaggregate(metrics: list[dict]) -> list[Column]:
     """Query-time combining aggregators for a rolled-up table —
     AggregatorFactory.getCombiningFactory() semantics
     (processing/.../aggregation/AggregatorFactory.java). The critical
-    case: a `count` metric must re-aggregate as SUM."""
+    case: a `count` metric must re-aggregate as SUM; first/last fold
+    their struct(t, v) pair state by stored event time."""
     out = []
     for m in metrics:
         t, name = m["type"], m["name"]
+        which = _FIRST_LAST_TYPES.get(t)
+        if which is not None:
+            fn = F.min_by if which == "first" else F.max_by
+            out.append(fn(F.col(name), F.col(name)["t"]).alias(name))
+            continue
         fn = _COMBINING.get(t)
         if fn is None:
             raise ValueError(
-                f"no combining aggregator for {t!r}; first/last/sketch "
-                "metrics need their pair/sketch state kept (v2)")
+                f"no combining aggregator for {t!r}; sketch metrics "
+                "need their sketch state kept (v2)")
         out.append(fn(F.col(name)).alias(name))
     return out
+
+
+def finalize_metrics(df: DataFrame, metrics: list[dict]) -> DataFrame:
+    """MetricManipulatorFns analogue: unwrap mergeable intermediates to
+    their final values (first/last pairs -> the value)."""
+    for m in metrics:
+        if m["type"] in _FIRST_LAST_TYPES:
+            df = df.withColumn(m["name"], F.col(m["name"])["v"])
+    return df
 
 
 # ---------------------------------------------------------------------------

@@ -103,6 +103,32 @@ def test_inline_csv_ingest_with_transform(spark):
     assert [r["v2"] for r in rows] == [7.0, 4.0]
 
 
+def test_first_last_rollup_pair_state(spark, raw_events):
+    """first/last metrics survive rollup via struct(t, v) pair state:
+    re-aggregating the hourly rollup must reproduce the raw query
+    (the SerializablePairLongString merge semantics)."""
+    from apache_druid_spark.ingest import finalize_metrics
+    from apache_druid_spark.ingest.batch import reaggregate, rollup
+
+    metrics = [
+        {"type": "doubleFirst", "name": "first_v", "fieldName": "value"},
+        {"type": "stringLast", "name": "last_t", "fieldName": "event_type"},
+        {"type": "count", "name": "cnt"},
+    ]
+    rolled = rollup(raw_events, ["event_type"], metrics,
+                    query_granularity="hour")
+    re = (rolled.groupBy("event_type").agg(*reaggregate(metrics)))
+    re = finalize_metrics(re, metrics).orderBy("event_type").collect()
+    raw = (raw_events.groupBy("event_type")
+           .agg(F.min_by("value", TIME_COLUMN).alias("first_v"),
+                F.max_by("event_type", TIME_COLUMN).alias("last_t"),
+                F.count(F.lit(1)).alias("cnt"))
+           .orderBy("event_type").collect())
+    for a, b in zip(re, raw):
+        assert (a["event_type"], a["first_v"], a["last_t"], a["cnt"]) == \
+               (b["event_type"], b["first_v"], b["last_t"], b["cnt"])
+
+
 def test_json_flatten_spec(spark):
     spec = {
         "ioConfig": {
