@@ -1782,6 +1782,27 @@ def _timeboundary_filtered_min(spark, sf_dir):
     }, _registry(spark, sf_dir))
 
 
+@_q("sql_scalar_shims", """
+SELECT p_type,
+       SUM(CASE WHEN contains(lower(p_name), 'e') THEN 1 ELSE 0 END)
+           AS has_e,
+       SUM(CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS BIGINT))
+           AS brand_sum,
+       MAX(strpos(p_name, ' ')) AS max_space_pos
+FROM part GROUP BY 1
+""")
+def _sql_scalar_shims(spark, sf_dir):
+    return druid_sql(spark, """
+        SELECT p_type,
+               SUM(CASE WHEN ICONTAINS_STRING(p_name, 'E') THEN 1 ELSE 0 END)
+                   AS has_e,
+               SUM(PARSE_LONG(REGEXP_EXTRACT(p_brand, 'Brand#(\\\\d+)', 1)))
+                   AS brand_sum,
+               MAX(STRPOS(p_name, ' ')) AS max_space_pos
+        FROM part GROUP BY 1
+    """, _registry(spark, sf_dir))
+
+
 @_q("granularity_day_tz", """
 WITH l AS (
   SELECT timezone('America/New_York',
