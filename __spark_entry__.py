@@ -1782,6 +1782,54 @@ def _timeboundary_filtered_min(spark, sf_dir):
     }, _registry(spark, sf_dir))
 
 
+@_q("filter_column_comparison", """
+SELECT l_returnflag, COUNT(*) AS cnt FROM lineitem
+WHERE l_linenumber = l_partkey % 7 + 1 GROUP BY 1
+""")
+def _filter_column_comparison(spark, sf_dir):
+    return compile_query({
+        "queryType": "groupBy", "dataSource": "lineitem",
+        "granularity": "all",
+        "virtualColumns": [{
+            "type": "expression", "name": "pk_mod",
+            "expression": '"l_partkey" % 7 + 1', "outputType": "LONG"}],
+        "dimensions": ["l_returnflag"],
+        "filter": {"type": "columnComparison",
+                   "dimensions": ["l_linenumber", "pk_mod"]},
+        "aggregations": [{"type": "count", "name": "cnt"}],
+    }, _registry(spark, sf_dir))
+
+
+@_q("extraction_strlen", """
+SELECT CAST(length(p_name) AS VARCHAR) AS name_len, COUNT(*) AS cnt
+FROM part GROUP BY 1
+""")
+def _extraction_strlen(spark, sf_dir):
+    return compile_query({
+        "queryType": "groupBy", "dataSource": "part", "granularity": "all",
+        "dimensions": [{
+            "type": "extraction", "dimension": "p_name",
+            "outputName": "name_len",
+            "extractionFn": {"type": "strlen"}}],
+        "aggregations": [{"type": "count", "name": "cnt"}],
+    }, _registry(spark, sf_dir))
+
+
+@_q("extraction_string_format", """
+SELECT 'sz-' || CAST(p_size AS VARCHAR) AS size_tag, COUNT(*) AS cnt
+FROM part GROUP BY 1
+""")
+def _extraction_string_format(spark, sf_dir):
+    return compile_query({
+        "queryType": "groupBy", "dataSource": "part", "granularity": "all",
+        "dimensions": [{
+            "type": "extraction", "dimension": "p_size",
+            "outputName": "size_tag",
+            "extractionFn": {"type": "stringFormat", "format": "sz-%s"}}],
+        "aggregations": [{"type": "count", "name": "cnt"}],
+    }, _registry(spark, sf_dir))
+
+
 @_q("sql_scalar_shims", """
 SELECT p_type,
        SUM(CASE WHEN contains(lower(p_name), 'e') THEN 1 ELSE 0 END)

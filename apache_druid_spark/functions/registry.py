@@ -58,10 +58,15 @@ def _time_floor_body(ts: str, p: str) -> str:
 
 
 def _time_shift_body(ts: str, p: str, step: str) -> str:
+    # add_months returns DATE — re-attach time-of-day (Druid
+    # chronology.add preserves sub-day precision)
     months, millis = _months(p), _millis(p)
     return f"""CASE
       WHEN {months} > 0 THEN
-        CAST(add_months({ts}, CAST({months} * {step} AS INT)) AS TIMESTAMP)
+        timestamp_millis(
+          unix_millis(CAST(add_months(date_trunc('DAY', {ts}),
+                           CAST({months} * {step} AS INT)) AS TIMESTAMP))
+          + (unix_millis({ts}) - unix_millis(date_trunc('DAY', {ts}))))
       ELSE timestamp_millis(unix_millis({ts}) + {millis} * {step})
     END"""
 

@@ -197,7 +197,12 @@ def time_shift_col(
             period = gran
     months, millis = parse_period(period)
     if months:
-        return F.add_months(col, months * step).cast("timestamp")
+        # add_months returns DATE; re-attach the time-of-day so P1M
+        # shifts preserve sub-day precision (Druid chronology.add)
+        day = F.date_trunc("day", col)
+        tod = F.unix_millis(col) - F.unix_millis(day)
+        base = F.add_months(day, months * step).cast("timestamp")
+        return F.timestamp_millis(F.unix_millis(base) + tod)
     return F.timestamp_millis(F.unix_millis(col) + F.lit(millis * step))
 
 

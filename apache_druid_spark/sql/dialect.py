@@ -171,7 +171,7 @@ def druid_sql(spark: SparkSession, text: str, registry=None) -> DataFrame:
     from apache_druid_spark.functions.registry import register_druid_functions
 
     marker = getattr(spark, "_druid_sql_registered", None)
-    if marker is not id(registry):
+    if marker != id(registry):
         register_druid_functions(spark, registry)
         if registry is not None:
             for name in registry.names():
