@@ -1466,7 +1466,7 @@ def _join_lookup_datasource(spark, sf_dir):
 @_q("dim_list_filtered_tokens", """
 SELECT token, COUNT(*) AS cnt
 FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-WHERE token IN ('the', 'and', 'of') GROUP BY 1
+WHERE token IN ('join', 'hash', 'row') GROUP BY 1
 """)
 def _dim_list_filtered_tokens(spark, sf_dir):
     # ListFilteredDimensionSpec: whitelist elements of an MV dim, then
@@ -1479,7 +1479,7 @@ def _dim_list_filtered_tokens(spark, sf_dir):
             "expression": "string_to_array(\"text\", ' ')"}],
         "dimensions": [{
             "type": "listFiltered", "dimension": "tokens",
-            "outputName": "token", "values": ["the", "and", "of"],
+            "outputName": "token", "values": ["join", "hash", "row"],
             "isWhitelist": True}],
         "aggregations": [{"type": "count", "name": "cnt"}],
         "having": {"type": "not", "havingSpec": {
@@ -1827,6 +1827,123 @@ def _extraction_string_format(spark, sf_dir):
             "outputName": "size_tag",
             "extractionFn": {"type": "stringFormat", "format": "sz-%s"}}],
         "aggregations": [{"type": "count", "name": "cnt"}],
+    }, _registry(spark, sf_dir))
+
+
+@_q("union_hetero_schemas", """
+SELECT kind, COUNT(*) AS cnt, ROUND(SUM(acctbal), 2) AS balance
+FROM (
+  SELECT 'cust' AS kind, c_acctbal AS acctbal FROM customer
+  UNION ALL
+  SELECT 'supp' AS kind, s_acctbal AS acctbal FROM supplier
+) GROUP BY 1
+""")
+def _union_hetero_schemas(spark, sf_dir):
+    # unionByName(allowMissingColumns) over differently-shaped tables —
+    # the reference's UnionDataSource aligns by column list
+    reg = _registry(spark, sf_dir)
+    cust = reg.table("customer").select(
+        F.lit("cust").alias("kind"), F.col("c_acctbal").alias("acctbal"))
+    supp = reg.table("supplier").select(
+        F.lit("supp").alias("kind"), F.col("s_acctbal").alias("acctbal"))
+    df = (cust.unionByName(supp, allowMissingColumns=True)
+          .groupBy("kind")
+          .agg(F.count(F.lit(1)).alias("cnt"),
+               F.round(F.sum("acctbal"), 2).alias("balance")))
+    return df
+
+
+@_q("lambda_realtime_union", """
+SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY 1
+""")
+def _lambda_realtime_union(spark, sf_dir):
+    """The realtime∪historical lambda view (SinkQuerySegmentWalker
+    semantics): committed history (events before Jan 16) union the
+    in-flight streaming rollup (Jan 16 on); re-aggregated counts must
+    equal the full-table query."""
+    from apache_druid_spark.streaming import (
+        file_stream, realtime_union, stream_rollup,
+    )
+
+    reg = _registry(spark, sf_dir)
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    historical = (reg.table("events").filter(F.col("__time") < cutoff)
+                  .groupBy("event_type")
+                  .agg(F.count(F.lit(1)).alias("cnt")))
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = file_stream(spark, sf_dir, schema, "ts", glob="events.parquet")
+    rolled = stream_rollup(
+        stream.filter(F.col("__time") >= cutoff), ["event_type"],
+        [{"type": "count", "name": "cnt"}],
+        query_granularity="day", watermark=None)
+    name = "lambda_rt"
+    q = (rolled.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    realtime = (spark.table(name).groupBy("event_type")
+                .agg(F.sum("cnt").alias("cnt")))
+    return (realtime_union(historical, realtime)
+            .groupBy("event_type").agg(F.sum("cnt").alias("cnt")))
+
+
+@_q("salted_groupby_skew", """
+SELECT l_returnflag, COUNT(*) AS cnt,
+       ROUND(SUM(l_extendedprice), 2) AS total
+FROM lineitem GROUP BY 1
+""")
+def _salted_groupby_skew(spark, sf_dir):
+    from apache_druid_spark.operators.skew import salted_groupby
+
+    df = salted_groupby(
+        _registry(spark, sf_dir).table("lineitem"), ["l_returnflag"],
+        [("cnt", "count", None), ("total", "sum", "l_extendedprice")],
+        salt_buckets=16)
+    return _round(df, {"total": 2})
+
+
+@_q("mv_filter_in", """
+SELECT lang, COUNT(*) AS cnt FROM documents
+WHERE list_has_any(string_split(text, ' '), ['join', 'vector'])
+GROUP BY 1
+""")
+def _mv_filter_in(spark, sf_dir):
+    # `in` filter on a multi-value dim: ANY element in the value set
+    return compile_query({
+        "queryType": "groupBy", "dataSource": "documents",
+        "granularity": "all",
+        "virtualColumns": [{
+            "type": "expression", "name": "tokens",
+            "expression": "string_to_array(\"text\", ' ')"}],
+        "dimensions": ["lang"],
+        "filter": {"type": "in", "dimension": "tokens",
+                   "values": ["join", "vector"]},
+        "aggregations": [{"type": "count", "name": "cnt"}],
+    }, _registry(spark, sf_dir))
+
+
+@_q("dim_prefix_filtered", """
+SELECT token, COUNT(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token LIKE 'th%' GROUP BY 1 ORDER BY cnt DESC, token LIMIT 10
+""")
+def _dim_prefix_filtered(spark, sf_dir):
+    return compile_query({
+        "queryType": "groupBy", "dataSource": "documents",
+        "granularity": "all",
+        "virtualColumns": [{
+            "type": "expression", "name": "tokens",
+            "expression": "string_to_array(\"text\", ' ')"}],
+        "dimensions": [{
+            "type": "prefixFiltered", "dimension": "tokens",
+            "outputName": "token", "prefix": "th"}],
+        "aggregations": [{"type": "count", "name": "cnt"}],
+        "having": {"type": "not", "havingSpec": {
+            "type": "dimSelector", "dimension": "token", "value": None}},
+        "limitSpec": {"type": "default", "limit": 10, "columns": [
+            {"dimension": "cnt", "direction": "descending",
+             "dimensionOrder": "numeric"},
+            {"dimension": "token"}]},
     }, _registry(spark, sf_dir))
 
 
