@@ -1947,6 +1947,66 @@ def _dim_prefix_filtered(spark, sf_dir):
     }, _registry(spark, sf_dir))
 
 
+@_q("search_regex", """
+SELECT 'p_type' AS dimension, p_type AS value, COUNT(*) AS cnt
+FROM part WHERE regexp_matches(p_type, '^(SM|LG|MED|LARGE|SMALL)')
+GROUP BY p_type ORDER BY value, dimension LIMIT 50
+""")
+def _search_regex(spark, sf_dir):
+    df = compile_query({
+        "queryType": "search", "dataSource": "part",
+        "searchDimensions": ["p_type"],
+        "query": {"type": "regex", "pattern": "^(SM|LG|MED|LARGE|SMALL)"},
+        "limit": 50,
+    }, _registry(spark, sf_dir))
+    return df.withColumnRenamed("count", "cnt")
+
+
+@_q("dim_regex_filtered", """
+SELECT token, COUNT(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE regexp_matches(token, '^[a-z]{4}$')
+GROUP BY 1 ORDER BY cnt DESC, token LIMIT 10
+""")
+def _dim_regex_filtered(spark, sf_dir):
+    return compile_query({
+        "queryType": "groupBy", "dataSource": "documents",
+        "granularity": "all",
+        "virtualColumns": [{
+            "type": "expression", "name": "tokens",
+            "expression": "string_to_array(\"text\", ' ')"}],
+        "dimensions": [{
+            "type": "regexFiltered", "dimension": "tokens",
+            "outputName": "token", "pattern": "^[a-z]{4}$"}],
+        "aggregations": [{"type": "count", "name": "cnt"}],
+        "having": {"type": "not", "havingSpec": {
+            "type": "dimSelector", "dimension": "token", "value": None}},
+        "limitSpec": {"type": "default", "limit": 10, "columns": [
+            {"dimension": "cnt", "direction": "descending",
+             "dimensionOrder": "numeric"},
+            {"dimension": "token"}]},
+    }, _registry(spark, sf_dir))
+
+
+@_q("expression_time_format", """
+SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders GROUP BY 1
+""")
+def _expression_time_format(spark, sf_dir):
+    # native expression timestamp_format as a virtual column
+    df = compile_query({
+        "queryType": "groupBy", "dataSource": "orders", "granularity": "all",
+        "virtualColumns": [{
+            "type": "expression", "name": "ym",
+            "expression": "timestamp_format(\"__time\", 'yyyy-MM')"}],
+        "dimensions": ["ym"],
+        "aggregations": [{"type": "doubleSum", "name": "revenue",
+                          "fieldName": "o_totalprice"}],
+    }, _registry(spark, sf_dir))
+    return _round(df, {"revenue": 2})
+
+
 @_q("sql_scalar_shims", """
 SELECT p_type,
        SUM(CASE WHEN contains(lower(p_name), 'e') THEN 1 ELSE 0 END)

@@ -81,15 +81,19 @@ def compile_aggregator(spec: dict, df=None, registry=None) -> Column:
         fields = spec.get("fields", [])
         cols = [fcol(f) if isinstance(f, str) else fcol(f["dimension"])
                 for f in fields]
-        if spec.get("byRow", False):
+        if spec.get("byRow", False) or len(cols) == 1:
+            # byRow: distinct dim tuples (NUL separator avoids
+            # ("ab","c") == ("a","bc") collisions)
             return F.approx_count_distinct(
-                F.concat_ws("", *[c.cast("string") for c in cols])
+                F.concat_ws("\x00", *[c.cast("string") for c in cols])
             ).alias(name)
-        # byValue: count distinct values across all dims (union semantics)
-        return F.approx_count_distinct(
-            F.explode_outer(F.array(*[c.cast("string") for c in cols]))
-            if False else F.concat_ws("", *[c.cast("string") for c in cols])
-        ).alias(name)
+        # byValue over multiple dims: cardinality of the UNION of the
+        # dims' value sets (CardinalityAggregatorFactory byValue) needs
+        # a pre-agg explode, which one aggregate expression cannot
+        # express; use one aggregator per dim or explode first
+        raise NotImplementedError(
+            "cardinality byValue over multiple dims: explode the dims "
+            "into one column first (or use one aggregator per dim)")
     if t == "filtered":
         inner = spec["aggregator"]
         cond = compile_filter(spec["filter"], df, registry)

@@ -40,6 +40,8 @@ HEADLINE = [
     "text_token_stats",            # pipeline: token stats
     "similarity_cosine_topk",      # pipeline: embedding top-k
     "sql_time_floor_revenue",      # Druid SQL dialect path
+    "moving_average_monthly",      # windowed averagers over bucket grid
+    "mv_token_counts",             # multi-value explode groupBy
 ]
 
 
