@@ -2007,6 +2007,40 @@ def _expression_time_format(spark, sf_dir):
     return _round(df, {"revenue": 2})
 
 
+@_q("join_left_deep_tree", """
+SELECT n.n_name AS nation, COUNT(*) AS cnt,
+       ROUND(SUM(o.o_totalprice), 2) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+""")
+def _join_left_deep_tree(spark, sf_dir):
+    # left-deep join tree: (orders ⋈ customer) ⋈ nation — the
+    # JoinDataSource nesting shape (DataSourceAnalysis.java:78-183)
+    return _round(compile_query({
+        "queryType": "groupBy",
+        "dataSource": {
+            "type": "join",
+            "left": {
+                "type": "join", "left": "orders", "right": "customer",
+                "rightPrefix": "j0.",
+                "condition": '"o_custkey" == "j0.c_custkey"',
+                "joinType": "INNER"},
+            "right": "nation", "rightPrefix": "j1.",
+            "condition": '"j0.c_nationkey" == "j1.n_nationkey"',
+            "joinType": "INNER"},
+        "granularity": "all",
+        "dimensions": [{"type": "default", "dimension": "j1.n_name",
+                        "outputName": "nation"}],
+        "aggregations": [
+            {"type": "count", "name": "cnt"},
+            {"type": "doubleSum", "name": "revenue",
+             "fieldName": "o_totalprice"},
+        ],
+    }, _registry(spark, sf_dir)), {"revenue": 2})
+
+
 @_q("sql_scalar_shims", """
 SELECT p_type,
        SUM(CASE WHEN contains(lower(p_name), 'e') THEN 1 ELSE 0 END)

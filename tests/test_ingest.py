@@ -150,6 +150,78 @@ def test_json_flatten_spec(spark):
     assert [r["first_tag"] for r in rows] == ["a", "c"]
 
 
+def test_publish_then_query_lifecycle(spark, tmp_path):
+    """Full lifecycle: ingest -> publish segments -> register -> native
+    query over the published table equals the same query on raw data."""
+    from apache_druid_spark.model.datasource import DatasourceRegistry
+    from apache_druid_spark.plans.compiler import compile_query
+
+    rolled = ingest(spark, SPEC)
+    path = str(tmp_path / "events_pub")
+    write_segments(rolled, path, segment_granularity="day")
+
+    reg = DatasourceRegistry(spark)
+    reg.register(
+        "events_pub", spark.read.parquet(path).drop("__segment"))
+    out = compile_query({
+        "queryType": "timeseries", "dataSource": "events_pub",
+        "granularity": "day",
+        "aggregations": [
+            {"type": "longSum", "name": "rows", "fieldName": "cnt"},
+            {"type": "doubleSum", "name": "tv", "fieldName": "total_value"},
+        ],
+    }, reg).collect()
+    raw = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+           .groupBy(F.date_trunc(
+               "day", F.timestamp_micros(F.expr("ts div 1000")))
+               .alias("d"))
+           .agg(F.count(F.lit(1)).alias("rows"),
+                F.sum("value").alias("tv"))
+           .orderBy("d").collect())
+    assert len(out) == len(raw)
+    for a, b in zip(out, raw):
+        assert a["rows"] == b["rows"]
+        assert abs(a["tv"] - b["tv"]) < 1e-6
+
+
+def test_tsv_and_regex_formats(spark, tmp_path):
+    from apache_druid_spark.ingest.batch import parse_regex
+
+    p = tmp_path / "log.txt"
+    p.write_text("2024-01-01 GET /a 200\n2024-01-02 POST /b 500\n")
+    df = parse_regex(spark, str(p),
+                     r"^(\S+) (\S+) (\S+) (\d+)$",
+                     ["day", "method", "path", "status"])
+    rows = df.orderBy("day").collect()
+    assert rows[0]["method"] == "GET" and rows[1]["status"] == "500"
+
+    spec = {
+        "ioConfig": {
+            "inputSource": {"type": "inline",
+                            "data": "a\t2024-01-01T00:00:00\t1\n"
+                                    "b\t2024-01-02T00:00:00\t2\n"},
+            "inputFormat": {"type": "tsv", "columns": ["k", "ts", "v"]},
+        },
+        "dataSchema": {"timestampSpec": {"column": "ts", "format": "iso"}},
+    }
+    rows = ingest(spark, spec).orderBy("k").collect()
+    assert [r["k"] for r in rows] == ["a", "b"]
+
+
+def test_combining_input_source(spark):
+    spec = {
+        "ioConfig": {
+            "inputSource": {"type": "combining", "delegates": [
+                {"type": "inline", "data": "k,ts\na,2024-01-01T00:00:00\n"},
+                {"type": "inline", "data": "k,ts\nb,2024-01-02T00:00:00\n"},
+            ]},
+            "inputFormat": {"type": "csv", "findColumnsFromHeader": True},
+        },
+        "dataSchema": {"timestampSpec": {"column": "ts", "format": "iso"}},
+    }
+    assert sorted(r["k"] for r in ingest(spark, spec).collect()) == ["a", "b"]
+
+
 def test_write_segments_layout(spark, tmp_path):
     rolled = ingest(spark, SPEC)
     out = str(tmp_path / "seg")
