@@ -138,6 +138,43 @@ def test_time_boundary_foo(spark, reg):
     assert out["maxTime"] == datetime(2001, 1, 3)
 
 
+def test_numfoo_numeric_null_aggregation(spark):
+    """numfoo (FIXTURES.md §2): numeric dims null on later rows —
+    SQL-compatible mode aggregates ignore nulls, all-null groups sum
+    to null (not 0), count(col) skips nulls."""
+    r = DatasourceRegistry(spark)
+    rows = [
+        (datetime(2000, 1, 1), "a", 1.0, 7),
+        (datetime(2000, 1, 2), "a", 1.7, 325323),
+        (datetime(2000, 1, 3), "b", 0.0, 0),
+        (datetime(2001, 1, 1), "b", None, None),
+        (datetime(2001, 1, 2), "c", None, None),
+    ]
+    schema = T.StructType([
+        T.StructField("__time", T.TimestampType()),
+        T.StructField("dim4", T.StringType()),
+        T.StructField("d1", T.DoubleType()),
+        T.StructField("l1", T.LongType()),
+    ])
+    r.register("numfoo", spark.createDataFrame(rows, schema))
+    out = compile_query({
+        "queryType": "groupBy", "dataSource": "numfoo",
+        "granularity": "all", "dimensions": ["dim4"],
+        "aggregations": [
+            {"type": "doubleSum", "name": "sd", "fieldName": "d1"},
+            {"type": "longSum", "name": "sl", "fieldName": "l1"},
+            {"type": "longMax", "name": "ml", "fieldName": "l1"},
+            {"type": "count", "name": "n"},
+        ],
+        "limitSpec": {"type": "default",
+                      "columns": [{"dimension": "dim4"}]},
+    }, r).collect()
+    got = [(x["dim4"], x["sd"], x["sl"], x["ml"], x["n"]) for x in out]
+    assert got[0] == ("a", 2.7, 325330, 325323, 2)
+    assert got[1] == ("b", 0.0, 0, 0, 2)       # null rows ignored in sum
+    assert got[2] == ("c", None, None, None, 1)  # all-null -> null, not 0
+
+
 def test_filter_empty_string_vs_null(spark, reg):
     # selector '' matches only the empty string, not null
     out = compile_query({
