@@ -2062,6 +2062,22 @@ def _sql_scalar_shims(spark, sf_dir):
     """, _registry(spark, sf_dir))
 
 
+@_q("granularity_five_minute", """
+SELECT CAST(make_timestamp((epoch_ms(ts) - epoch_ms(ts) % 300000) * 1000)
+            AS TIMESTAMP) AS __time,
+       COUNT(*) AS cnt
+FROM events WHERE event_type = 'purchase' GROUP BY 1
+""")
+def _granularity_five_minute(spark, sf_dir):
+    return compile_query({
+        "queryType": "timeseries", "dataSource": "events",
+        "granularity": "five_minute",
+        "filter": {"type": "selector", "dimension": "event_type",
+                   "value": "purchase"},
+        "aggregations": [{"type": "count", "name": "cnt"}],
+    }, _registry(spark, sf_dir))
+
+
 @_q("granularity_day_tz", """
 WITH l AS (
   SELECT timezone('America/New_York',

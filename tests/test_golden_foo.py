@@ -138,6 +138,30 @@ def test_time_boundary_foo(spark, reg):
     assert out["maxTime"] == datetime(2001, 1, 3)
 
 
+def test_visits_earliest_latest_by(spark):
+    """visits fixture (FIXTURES.md §4, CalciteTests.java:410-415):
+    EARLIEST/LATEST over hourly user visits."""
+    r = DatasourceRegistry(spark)
+    rows = [
+        (datetime(2021, 1, 1, 1), "alice", "canada"),
+        (datetime(2021, 1, 1, 2), "alice", "india"),
+        (datetime(2021, 1, 1, 3), "bob", "canada"),
+        (datetime(2021, 1, 2, 1), "alice", "usa"),
+        (datetime(2021, 1, 2, 2), "bob", "usa"),
+    ]
+    r.register("visits", spark.createDataFrame(
+        rows, "__time timestamp, user string, country string"))
+    out = druid_sql(spark, """
+        SELECT user,
+               EARLIEST(country) AS first_country,
+               LATEST(country) AS last_country
+        FROM visits GROUP BY user
+    """, r).orderBy("user").collect()
+    assert [(x["user"], x["first_country"], x["last_country"])
+            for x in out] == [("alice", "canada", "usa"),
+                              ("bob", "canada", "usa")]
+
+
 def test_numfoo_numeric_null_aggregation(spark):
     """numfoo (FIXTURES.md §2): numeric dims null on later rows —
     SQL-compatible mode aggregates ignore nulls, all-null groups sum
