@@ -2041,6 +2041,39 @@ def _join_left_deep_tree(spark, sf_dir):
     }, _registry(spark, sf_dir)), {"revenue": 2})
 
 
+@_q("sql_floor_to_unit", """
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
+       COUNT(*) AS cnt
+FROM orders GROUP BY 1
+""")
+def _sql_floor_to_unit(spark, sf_dir):
+    # Calcite syntax FLOOR(ts TO MONTH) — 14 time operators at
+    # DruidOperatorTable.java:160-175
+    return druid_sql(spark, """
+        SELECT FLOOR(__time TO MONTH) AS m, COUNT(*) AS cnt
+        FROM orders GROUP BY FLOOR(__time TO MONTH)
+    """, _registry(spark, sf_dir))
+
+
+@_q("topn_time_extraction", """
+SELECT lpad(CAST(EXTRACT(hour FROM ts) AS VARCHAR), 2, '0') AS hour,
+       COUNT(*) AS cnt
+FROM events GROUP BY 1 ORDER BY cnt DESC, hour LIMIT 5
+""")
+def _topn_time_extraction(spark, sf_dir):
+    # TimeExtractionTopNAlgorithm shape: topN whose dimension is a time
+    # extraction (processing/.../topn/TimeExtractionTopNAlgorithm.java)
+    return compile_query({
+        "queryType": "topN", "dataSource": "events", "granularity": "all",
+        "dimension": {"type": "extraction", "dimension": "__time",
+                      "outputName": "hour",
+                      "extractionFn": {"type": "timeFormat",
+                                       "format": "HH"}},
+        "metric": "cnt", "threshold": 5,
+        "aggregations": [{"type": "count", "name": "cnt"}],
+    }, _registry(spark, sf_dir))
+
+
 @_q("sql_scalar_shims", """
 SELECT p_type,
        SUM(CASE WHEN contains(lower(p_name), 'e') THEN 1 ELSE 0 END)

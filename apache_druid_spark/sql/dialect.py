@@ -114,8 +114,31 @@ def _rewrite_call(text: str, name: str, new_name: str,
     return "".join(out)
 
 
+_FLOOR_TO_RE = re.compile(
+    r"\b(FLOOR|CEIL)\s*\(\s*([^()]+?)\s+TO\s+"
+    r"(SECOND|MINUTE|HOUR|DAY|WEEK|MONTH|QUARTER|YEAR)\s*\)",
+    re.IGNORECASE)
+
+
+def _rewrite_floor_to(text: str) -> str:
+    """Calcite time syntax FLOOR(ts TO MONTH) / CEIL(ts TO DAY)
+    (DruidOperatorTable.java time operators) -> date_trunc /
+    TIME_CEIL."""
+    def sub(m):
+        fn, arg, unit = m.group(1).upper(), m.group(2), m.group(3).upper()
+        if fn == "FLOOR":
+            return f"date_trunc('{unit}', {arg})"
+        period = {"SECOND": "PT1S", "MINUTE": "PT1M", "HOUR": "PT1H",
+                  "DAY": "P1D", "WEEK": "P1W", "MONTH": "P1M",
+                  "QUARTER": "P3M", "YEAR": "P1Y"}[unit]
+        return f"TIME_CEIL({arg}, '{period}')"
+
+    return _FLOOR_TO_RE.sub(sub, text)
+
+
 def translate(text: str, time_column: str = TIME_COLUMN) -> str:
     """Rewrite Druid SQL aggregate surface into Spark SQL."""
+    text = _rewrite_floor_to(text)
     # ordered: _BY variants first so bare EARLIEST doesn't eat them
     text = _rewrite_call(text, "EARLIEST_BY", "min_by")
     text = _rewrite_call(text, "LATEST_BY", "max_by")
