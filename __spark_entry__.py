@@ -2095,6 +2095,51 @@ def _sql_scalar_shims(spark, sf_dir):
     """, _registry(spark, sf_dir))
 
 
+@_q("granularity_none_identity", """
+SELECT CAST(ts AS TIMESTAMP) AS __time, COUNT(*) AS cnt,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-01 06:00:00'
+GROUP BY 1
+""")
+def _granularity_none_identity(spark, sf_dir):
+    # granularity "none": buckets are the raw timestamps
+    # (GranularityType.NONE — identity bucketing)
+    df = compile_query({
+        "queryType": "timeseries", "dataSource": "events",
+        "granularity": "none",
+        "intervals": ["2024-01-01/2024-01-01T06:00:00"],
+        "filter": {"type": "selector", "dimension": "event_type",
+                   "value": "purchase"},
+        "aggregations": [
+            {"type": "count", "name": "cnt"},
+            {"type": "doubleSum", "name": "total_value", "fieldName": "value"},
+        ],
+    }, _registry(spark, sf_dir))
+    return _round(df, {"total_value": 4})
+
+
+@_q("groupby_double_dim", """
+SELECT l_discount, COUNT(*) AS cnt,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price
+FROM lineitem GROUP BY 1
+""")
+def _groupby_double_dim(spark, sf_dir):
+    # numeric (double) grouping dimension with DOUBLE output type
+    df = compile_query({
+        "queryType": "groupBy", "dataSource": "lineitem",
+        "granularity": "all",
+        "dimensions": [{"type": "default", "dimension": "l_discount",
+                        "outputType": "DOUBLE"}],
+        "aggregations": [
+            {"type": "count", "name": "cnt"},
+            {"type": "doubleSum", "name": "sum_price",
+             "fieldName": "l_extendedprice"},
+        ],
+    }, _registry(spark, sf_dir))
+    return _round(df, {"sum_price": 2})
+
+
 @_q("granularity_five_minute", """
 SELECT CAST(make_timestamp((epoch_ms(ts) - epoch_ms(ts) % 300000) * 1000)
             AS TIMESTAMP) AS __time,
