@@ -993,6 +993,7 @@ def _rollup_reaggregate(spark, sf_dir):
     exactly (the SURVEY §7 rollup-correctness hard part)."""
     from apache_druid_spark.ingest import ingest, reaggregate
 
+    _registry(spark, sf_dir)  # ensures nanosAsLong on vanilla sessions
     rolled = ingest(spark, {
         "ioConfig": {
             "inputSource": {"type": "local",
@@ -1048,6 +1049,7 @@ def _streaming_rollup_hourly(spark, sf_dir):
     batch-over-stream)."""
     from apache_druid_spark.streaming import file_stream, stream_rollup
 
+    _registry(spark, sf_dir)  # ensures nanosAsLong on vanilla sessions
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = file_stream(spark, sf_dir, schema, "ts", glob="events.parquet")
     rolled = stream_rollup(stream, ["event_type"], _EVENTS_METRICS,

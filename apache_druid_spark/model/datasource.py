@@ -121,7 +121,12 @@ class DatasourceRegistry:
 
 def register_testdata(registry: DatasourceRegistry, sf_dir: str) -> None:
     """Register the driver's synthetic tables (TESTDATA.md) with their
-    natural time columns as ``__time`` where one exists."""
+    natural time columns as ``__time`` where one exists.
+
+    Sets nanosAsLong on the session (runtime-settable) so
+    TIMESTAMP(NANOS) parquet (events.ts) reads as long even when the
+    session wasn't built by our ``get_spark``."""
+    registry.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     time_cols = {"events": "ts", "orders": "o_orderdate", "lineitem": "l_shipdate"}
     for name in (
         "region nation customer supplier part orders lineitem events "
