@@ -2142,6 +2142,46 @@ def _groupby_double_dim(spark, sf_dir):
     return _round(df, {"sum_price": 2})
 
 
+@_q("timeseries_desc_limit", """
+SELECT * FROM (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS __time,
+         ROUND(SUM(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1 ORDER BY __time DESC LIMIT 6
+)
+""")
+def _timeseries_desc_limit(spark, sf_dir):
+    df = compile_query({
+        "queryType": "timeseries", "dataSource": "orders",
+        "granularity": "month", "descending": True, "limit": 6,
+        "aggregations": [{"type": "doubleSum", "name": "revenue",
+                          "fieldName": "o_totalprice"}],
+    }, _registry(spark, sf_dir))
+    return _round(df, {"revenue": 2})
+
+
+@_q("having_equalto_lessthan", """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem
+GROUP BY 1, 2
+HAVING COUNT(*) < 10010 AND NOT (l_returnflag = 'N' AND l_linestatus = 'O')
+""")
+def _having_equalto_lessthan(spark, sf_dir):
+    return compile_query({
+        "queryType": "groupBy", "dataSource": "lineitem",
+        "granularity": "all",
+        "dimensions": ["l_returnflag", "l_linestatus"],
+        "aggregations": [{"type": "count", "name": "cnt"}],
+        "having": {"type": "and", "havingSpecs": [
+            {"type": "lessThan", "aggregation": "cnt", "value": 10010},
+            {"type": "not", "havingSpec": {"type": "and", "havingSpecs": [
+                {"type": "dimSelector", "dimension": "l_returnflag",
+                 "value": "N"},
+                {"type": "dimSelector", "dimension": "l_linestatus",
+                 "value": "O"},
+            ]}},
+        ]},
+    }, _registry(spark, sf_dir))
+
+
 @_q("granularity_five_minute", """
 SELECT CAST(make_timestamp((epoch_ms(ts) - epoch_ms(ts) % 300000) * 1000)
             AS TIMESTAMP) AS __time,
