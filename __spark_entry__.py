@@ -2182,6 +2182,56 @@ def _having_equalto_lessthan(spark, sf_dir):
     }, _registry(spark, sf_dir))
 
 
+@_q("postagg_expression", """
+SELECT l_linestatus,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+       COUNT(*) AS cnt,
+       ROUND(SUM(l_extendedprice) / COUNT(*), 4) AS unit_price
+FROM lineitem GROUP BY 1
+""")
+def _postagg_expression(spark, sf_dir):
+    # expression post-aggregator: native-expr over aggregate outputs
+    df = compile_query({
+        "queryType": "groupBy", "dataSource": "lineitem",
+        "granularity": "all", "dimensions": ["l_linestatus"],
+        "aggregations": [
+            {"type": "doubleSum", "name": "sum_price",
+             "fieldName": "l_extendedprice"},
+            {"type": "count", "name": "cnt"},
+        ],
+        "postAggregations": [{
+            "type": "expression", "name": "unit_price",
+            "expression": '"sum_price" / "cnt"'}],
+    }, _registry(spark, sf_dir))
+    return _round(df, {"sum_price": 2, "unit_price": 4})
+
+
+@_q("timeseries_over_join", """
+SELECT CAST(date_trunc('year', o_orderdate) AS TIMESTAMP) AS __time,
+       ROUND(SUM(o_totalprice), 2) AS building_revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY 1
+""")
+def _timeseries_over_join(spark, sf_dir):
+    # composition: timeseries over a join datasource with a filter on
+    # the broadcast side
+    df = compile_query({
+        "queryType": "timeseries",
+        "dataSource": {
+            "type": "join", "left": "orders", "right": "customer",
+            "rightPrefix": "j0.",
+            "condition": '"o_custkey" == "j0.c_custkey"',
+            "joinType": "INNER"},
+        "granularity": "year",
+        "filter": {"type": "selector", "dimension": "j0.c_mktsegment",
+                   "value": "BUILDING"},
+        "aggregations": [{"type": "doubleSum", "name": "building_revenue",
+                          "fieldName": "o_totalprice"}],
+    }, _registry(spark, sf_dir))
+    return _round(df, {"building_revenue": 2})
+
+
 @_q("granularity_five_minute", """
 SELECT CAST(make_timestamp((epoch_ms(ts) - epoch_ms(ts) % 300000) * 1000)
             AS TIMESTAMP) AS __time,
