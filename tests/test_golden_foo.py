@@ -138,6 +138,41 @@ def test_time_boundary_foo(spark, reg):
     assert out["maxTime"] == datetime(2001, 1, 3)
 
 
+def test_exact_count_distinct(spark, reg):
+    # CalciteQueryTest testExactCountDistinct shape: COUNT(DISTINCT dim1)
+    out = druid_sql(spark,
+                    "SELECT COUNT(DISTINCT dim1) AS n FROM foo", reg).first()
+    assert out["n"] == 6  # '' counts, null would not (none in dim1)
+
+
+def test_approx_count_distinct_accuracy(spark):
+    """hyperUnique/cardinality -> HLL++: within rsd bounds on a known
+    cardinality (the driver's rows-only entries lean on this)."""
+    r = DatasourceRegistry(spark)
+    df = spark.range(50_000).select(
+        (F.col("id") % 10_000).alias("k"),
+        F.lit(datetime(2024, 1, 1)).alias("__time"))
+    r.register("ids", df)
+    out = compile_query({
+        "queryType": "timeseries", "dataSource": "ids",
+        "granularity": "all",
+        "aggregations": [{"type": "cardinality", "name": "card",
+                          "fields": ["k"], "byRow": True}],
+    }, r).first()
+    assert abs(out["card"] - 10_000) / 10_000 < 0.05
+
+
+def test_search_over_mv_dim(spark, reg):
+    # search explodes array dims and matches elements
+    out = compile_query({
+        "queryType": "search", "dataSource": "foo",
+        "searchDimensions": ["dim3"],
+        "query": {"type": "insensitive_contains", "value": "b"},
+    }, reg).collect()
+    got = {(r["dimension"], r["value"]): r["count"] for r in out}
+    assert got == {("dim3", "b"): 2}
+
+
 def test_visits_earliest_latest_by(spark):
     """visits fixture (FIXTURES.md §4, CalciteTests.java:410-415):
     EARLIEST/LATEST over hourly user visits."""
