@@ -2,7 +2,9 @@
 pipeline (SURVEY §2.15) collapsed into declarative streaming queries."""
 
 from apache_druid_spark.streaming.rollup import (
-    file_stream, kafka_stream, realtime_union, stream_rollup,
+    file_stream, kafka_stream, realtime_union, run_to_table,
+    stream_rollup,
 )
 
-__all__ = ["file_stream", "kafka_stream", "realtime_union", "stream_rollup"]
+__all__ = ["file_stream", "kafka_stream", "realtime_union",
+           "run_to_table", "stream_rollup"]

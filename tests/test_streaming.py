@@ -17,6 +17,35 @@ METRICS = [
 ]
 
 
+def test_run_to_table_exactly_once(spark, tmp_path):
+    """Checkpointed sink restart is idempotent: a second availableNow
+    run over the same source with the same checkpoint commits nothing
+    new (the offsets+publish single-transaction analogue,
+    SeekableStreamIndexTaskRunner.java:951)."""
+    from apache_druid_spark.streaming import run_to_table
+
+    spark.conf.set("spark.sql.streaming.schemaInference", "false")
+    batch_schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
+    ckpt = str(tmp_path / "ckpt")
+    spark.sql("DROP TABLE IF EXISTS t_once")
+
+    def run():
+        stream = file_stream(spark, SF_DIR, batch_schema, "ts",
+                             glob="events.parquet")
+        rolled = stream_rollup(stream, ["event_type"], METRICS,
+                               query_granularity="hour",
+                               watermark="30 minutes")
+        q = run_to_table(rolled, "t_once", ckpt, output_mode="append",
+                         available_now=True)
+        q.awaitTermination()
+        return spark.table("t_once").count()
+
+    first = run()
+    assert first > 0  # finalized windows emitted via the no-data batch
+    second = run()
+    assert second == first  # nothing reprocessed
+
+
 def test_stream_rollup_matches_batch(spark, tmp_path):
     batch_schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
     stream = file_stream(spark, SF_DIR, batch_schema, "ts",
