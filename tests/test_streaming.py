@@ -28,6 +28,13 @@ def test_run_to_table_exactly_once(spark, tmp_path):
     batch_schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
     ckpt = str(tmp_path / "ckpt")
     spark.sql("DROP TABLE IF EXISTS t_once")
+    # a stale managed-table location from a previous session survives
+    # the DROP (metadata is per-catalog, the dir is not)
+    import os
+    import shutil
+
+    shutil.rmtree(os.path.join(os.getcwd(), "spark-warehouse", "t_once"),
+                  ignore_errors=True)
 
     def run():
         stream = file_stream(spark, SF_DIR, batch_schema, "ts",
