@@ -1037,6 +1037,67 @@ def _ingest_inline_csv(spark, sf_dir):
     return df.select("__time", "id", "v2")
 
 
+@_q("lifecycle_publish_query", """
+SELECT event_type, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS total_value
+FROM events GROUP BY 1
+""")
+def _lifecycle_publish_query(spark, sf_dir):
+    """Full segment lifecycle inside the gate: ingest with hourly
+    rollup -> publish day-partitioned segments -> register -> query
+    with combining re-aggregation; must equal the raw-table query."""
+    import tempfile
+
+    from apache_druid_spark.ingest import ingest, reaggregate, write_segments
+
+    reg = _registry(spark, sf_dir)
+    rolled = ingest(spark, {
+        "ioConfig": {"inputSource": {
+            "type": "local", "files": [f"{sf_dir}/events.parquet"]},
+            "inputFormat": {"type": "parquet"}},
+        "dataSchema": {
+            "timestampSpec": {"column": "ts", "format": "nano"},
+            "dimensionsSpec": {"dimensions": ["event_type"]},
+            "metricsSpec": _EVENTS_METRICS,
+            "granularitySpec": {"rollup": True,
+                                "queryGranularity": "hour"}},
+    })
+    path = tempfile.mkdtemp(prefix="seg_lifecycle_") + "/events_pub"
+    write_segments(rolled, path, segment_granularity="day")
+    published = spark.read.parquet(path).drop("__segment")
+    df = (published.groupBy("event_type")
+          .agg(*reaggregate(_EVENTS_METRICS)))
+    return _round(df, {"total_value": 4})
+
+
+@_q("sql_insert_extern", """
+SELECT page, SUM(views) AS views FROM (VALUES
+  ('home', 3), ('docs', 7), ('home', 2)
+) AS t(page, views) GROUP BY 1
+""")
+def _sql_insert_extern(spark, sf_dir):
+    """INSERT INTO ... SELECT ... FROM TABLE(EXTERN(...)) PARTITIONED
+    BY day, then aggregate the published table."""
+    import tempfile
+
+    from apache_druid_spark.sql.insert import druid_sql_insert
+
+    reg = _registry(spark, sf_dir)
+    inline = ('{"type": "inline", "data": "ts,page,views\\n'
+              '2024-01-01T01:00:00,home,3\\n'
+              '2024-01-02T05:00:00,docs,7\\n'
+              '2024-01-02T06:00:00,home,2\\n"}')
+    fmt = '{"type": "csv", "findColumnsFromHeader": true}'
+    sig = ('[{"name": "ts", "type": "string"}, '
+           '{"name": "page", "type": "string"}, '
+           '{"name": "views", "type": "long"}]')
+    base = tempfile.mkdtemp(prefix="sql_insert_")
+    out = druid_sql_insert(spark, f"""INSERT INTO pageviews_gate
+        SELECT CAST(ts AS TIMESTAMP) AS __time, page, views
+        FROM TABLE(EXTERN('{inline}', '{fmt}', '{sig}'))
+        PARTITIONED BY day""", reg, base)
+    return out.groupBy("page").agg(F.sum("views").alias("views"))
+
+
 @_q("streaming_rollup_hourly", """
 SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS __time,
        event_type, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS total_value
