@@ -1731,6 +1731,142 @@ def _spatial_rectangular(spark, sf_dir):
     }, _registry(spark, sf_dir))
 
 
+def _polygon_oracle(abscissa, ordinate) -> str:
+    """DuckDB replica of filters._polygon_contains: identical unrolled
+    even-odd ray cast with the same precomputed double slopes."""
+    inside = "FALSE"
+    n = len(abscissa)
+    for i in range(n):
+        j = (i - 1) % n
+        xi, yi = float(abscissa[i]), float(ordinate[i])
+        xj, yj = float(abscissa[j]), float(ordinate[j])
+        slope = (xj - xi) / (yj - yi) if yj != yi else 0.0
+        crosses = (f"((({yi!r} > y) <> ({yj!r} > y)) AND "
+                   f"(x < (y - {yi!r}) * {slope!r} + {xi!r}))")
+        inside = f"(({inside}) <> {crosses})"
+    return inside
+
+
+_POLY_ABSCISSA = [10.0, 90.0, 90.0, 50.0, 10.0]
+_POLY_ORDINATE = [10.0, 20.0, 80.0, 95.0, 60.0]
+
+
+@_q("spatial_polygon", f"""
+SELECT event_type, COUNT(*) AS cnt FROM (
+  SELECT event_type,
+         CAST(user_id % 100 AS DOUBLE) AS x,
+         CAST(event_id % 100 AS DOUBLE) AS y
+  FROM events
+) WHERE {_polygon_oracle(_POLY_ABSCISSA, _POLY_ORDINATE)}
+GROUP BY 1
+""")
+def _spatial_polygon(spark, sf_dir):
+    # polygon spatial bound (PolygonBound.java) — unrolled ray cast,
+    # one codegen'd boolean expression, no UDF
+    return compile_query({
+        "queryType": "groupBy", "dataSource": "events",
+        "granularity": "all",
+        "virtualColumns": [{
+            "type": "expression", "name": "coord",
+            "expression": "concat(cast(\"user_id\" % 100, 'STRING'), ',', "
+                          "cast(\"event_id\" % 100, 'STRING'))"}],
+        "dimensions": ["event_type"],
+        "filter": {"type": "spatial", "dimension": "coord",
+                   "bound": {"type": "polygon",
+                             "abscissa": _POLY_ABSCISSA,
+                             "ordinate": _POLY_ORDINATE}},
+        "aggregations": [{"type": "count", "name": "cnt"}],
+    }, _registry(spark, sf_dir))
+
+
+@_q("cardinality_by_value", """
+SELECT CAST(date_trunc('year', o_orderdate) AS TIMESTAMP) AS __time,
+       COUNT(DISTINCT v) AS value_card FROM (
+  SELECT o_orderdate, o_orderstatus AS v FROM orders
+  UNION ALL
+  SELECT o_orderdate, o_orderpriority FROM orders
+) WHERE v IS NOT NULL GROUP BY 1
+""")
+def _cardinality_by_value(spark, sf_dir):
+    # cardinality byValue over multiple dims: size of the UNION of the
+    # dims' value sets (CardinalityAggregatorFactory.java byValue path)
+    # — exact here vs the reference's HLL
+    return compile_query({
+        "queryType": "timeseries", "dataSource": "orders",
+        "granularity": "year", "intervals": ALL_TIME,
+        "aggregations": [{
+            "type": "cardinality", "name": "value_card",
+            "fields": ["o_orderstatus", "o_orderpriority"],
+            "byRow": False}],
+    }, _registry(spark, sf_dir))
+
+
+@_q("tdigest_quantile_price", """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
+FROM lineitem GROUP BY 1
+""")
+def _tdigest_quantile_price(spark, sf_dir):
+    # contrib tdigest quantiles (extensions-contrib/tdigestsketch) —
+    # exact PERCENTILE_CONT rewrite, strictly more accurate
+    df = compile_query({
+        "queryType": "groupBy", "dataSource": "lineitem",
+        "granularity": "all",
+        "dimensions": ["l_returnflag"],
+        "aggregations": [{
+            "type": "tDigestSketch", "name": "median_price",
+            "fieldName": "l_extendedprice", "fractions": [0.5]}],
+    }, _registry(spark, sf_dir))
+    return _round(df, {"median_price": 4})
+
+
+@_q("momentsketch_quartiles", """
+SELECT ROUND(quantile_cont(value, 0.25), 4) AS p25,
+       ROUND(quantile_cont(value, 0.75), 4) AS p75,
+       COUNT(*) AS cnt
+FROM events WHERE event_type = 'purchase'
+""")
+def _momentsketch_quartiles(spark, sf_dir):
+    # contrib momentsketch quantile solve — exact rewrite
+    df = compile_query({
+        "queryType": "groupBy", "dataSource": "events",
+        "granularity": "all", "dimensions": [],
+        "filter": {"type": "selector", "dimension": "event_type",
+                   "value": "purchase"},
+        "aggregations": [
+            {"type": "momentSketch", "name": "p25", "fieldName": "value",
+             "fractions": [0.25]},
+            {"type": "momentSketch", "name": "p75", "fieldName": "value",
+             "fractions": [0.75]},
+            {"type": "count", "name": "cnt"},
+        ],
+    }, _registry(spark, sf_dir))
+    return _round(df, {"p25": 4, "p75": 4})
+
+
+@_q("tuple_sketch_order_totals", """
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS distinct_customers,
+       ROUND(SUM(o_totalprice), 2) AS metric_sum,
+       ROUND(SUM(o_totalprice) / COUNT(DISTINCT o_custkey), 4)
+         AS mean_per_customer
+FROM orders GROUP BY 1
+""")
+def _tuple_sketch_order_totals(spark, sf_dir):
+    # ArrayOfDoublesSketch (datasketches tuple): per-key summed metric
+    # + distinct-key estimate + metricsSum/average post-aggs
+    # (extensions-core/datasketches/.../tuple/) — exact rewrite: the
+    # sketch's estimate() is COUNT(DISTINCT key), its metrics sum is
+    # SUM(value); never approximate because Spark shuffles fine
+    df = (_registry(spark, sf_dir).table("orders")
+          .groupBy("o_orderpriority")
+          .agg(F.count_distinct("o_custkey").alias("distinct_customers"),
+               F.sum("o_totalprice").alias("metric_sum"))
+          .withColumn("mean_per_customer",
+                      F.col("metric_sum") / F.col("distinct_customers")))
+    return _round(df, {"metric_sum": 2, "mean_per_customer": 4})
+
+
 @_q("null_dim_three_valued", """
 SELECT CASE WHEN value > 250 THEN event_type END AS hot_type,
        COUNT(*) AS cnt, ROUND(SUM(value), 4) AS total_value

@@ -91,12 +91,19 @@ def compile_aggregator(spec: dict, df=None, registry=None) -> Column:
                 F.concat_ws("\x00", *[c.cast("string") for c in cols]), 0.02
             ).alias(name)
         # byValue over multiple dims: cardinality of the UNION of the
-        # dims' value sets (CardinalityAggregatorFactory byValue) needs
-        # a pre-agg explode, which one aggregate expression cannot
-        # express; use one aggregator per dim or explode first
-        raise NotImplementedError(
-            "cardinality byValue over multiple dims: explode the dims "
-            "into one column first (or use one aggregator per dim)")
+        # dims' value sets (CardinalityAggregatorFactory.java byValue
+        # path adds every dim's value to one collector, so 'x' seen in
+        # dim1 and dim2 counts once). Exact here — collect_set per dim
+        # then union — a strict-accuracy upgrade over the reference's
+        # HLL. Nulls are skipped, matching the collector. Memory note:
+        # per-group set size is the value-set cardinality, the same
+        # state bound a Druid HLL avoids only by approximating; for
+        # ultra-high-cardinality dims use byRow or hyperUnique instead.
+        sets = [F.collect_set(c.cast("string")) for c in cols]
+        out = sets[0]
+        for s in sets[1:]:
+            out = F.array_union(out, s)
+        return F.size(out).cast("long").alias(name)
     if t == "filtered":
         inner = spec["aggregator"]
         cond = compile_filter(spec["filter"], df, registry)
@@ -113,6 +120,18 @@ def compile_aggregator(spec: dict, df=None, registry=None) -> Column:
     if t in ("quantilesDoublesSketch",):
         return F.percentile_approx(
             _field(spec, registry).cast("double"), 0.5, 10000).alias(name)
+    if t in ("tDigestSketch", "buildTDigestSketch",
+             "momentSketch", "momentSketchMerge"):
+        # contrib tdigest/momentsketch quantiles
+        # (extensions-contrib/{tdigestsketch,momentsketch}) — exact
+        # percentile (SQL PERCENTILE_CONT), a strict-accuracy upgrade;
+        # Spark's sort-based exact percentile distributes fine and the
+        # fraction list is a query constant
+        fracs = spec.get("fractions", [0.5])
+        frac = F.lit(fracs[0]) if len(fracs) == 1 else F.array(
+            *[F.lit(float(p)) for p in fracs])
+        return F.percentile(
+            _field(spec, registry).cast("double"), frac).alias(name)
     if t == "variance":
         est = spec.get("estimator", "")
         fn = F.var_pop if est == "population" else F.var_samp

@@ -276,5 +276,26 @@ def _spatial_predicate(spec: dict) -> Column:
             d2 = d2 + (c - F.lit(float(ctr))) * (c - F.lit(float(ctr)))
         return d2 <= F.lit(radius * radius)
     if bt == "polygon":
-        raise NotImplementedError("polygon spatial bounds: v2")
+        return _polygon_contains(coords[0], coords[1],
+                                 bound["abscissa"], bound["ordinate"])
     raise ValueError(f"unknown spatial bound: {bt}")
+
+
+def _polygon_contains(x: Column, y: Column,
+                      abscissa: list, ordinate: list) -> Column:
+    """Even-odd ray casting, unrolled over the literal vertex list
+    (reference: collections/spatial/search/PolygonBound.java contains()).
+    The vertex count is a query constant, so the whole test stays one
+    codegen'd boolean expression — no UDF, no shuffle; at scale it
+    runs inside the same WholeStageCodegen span as the scan filter."""
+    n = len(abscissa)
+    inside = F.lit(False)
+    for i in range(n):
+        j = (i - 1) % n
+        xi, yi = float(abscissa[i]), float(ordinate[i])
+        xj, yj = float(abscissa[j]), float(ordinate[j])
+        crosses = ((F.lit(yi) > y) != (F.lit(yj) > y)) & (
+            x < (y - F.lit(yi)) * F.lit((xj - xi) / (yj - yi) if yj != yi
+                                        else 0.0) + F.lit(xi))
+        inside = inside != crosses
+    return inside

@@ -111,3 +111,31 @@ def test_extraction_fn_on_filter(foo):
 def test_true_false(foo):
     assert len(_dim1s(foo, {"type": "true"})) == 6
     assert _dim1s(foo, {"type": "false"}) == []
+
+
+def test_spatial_polygon(spark):
+    # unrolled even-odd ray cast (PolygonBound.java) vs a pure-python
+    # reference over a point grid, including edge-adjacent points
+    absc, ordi = [2.0, 8.0, 8.0, 2.0], [2.0, 3.0, 9.0, 7.0]
+
+    def py_inside(x, y):
+        inside = False
+        n = len(absc)
+        for i in range(n):
+            j = (i - 1) % n
+            xi, yi, xj, yj = absc[i], ordi[i], absc[j], ordi[j]
+            if (yi > y) != (yj > y):
+                slope = (xj - xi) / (yj - yi)
+                if x < (y - yi) * slope + xi:
+                    inside = not inside
+        return inside
+
+    pts = [(float(x), float(y)) for x in range(11) for y in range(11)]
+    df = spark.createDataFrame(
+        [(f"{x},{y}", x, y) for x, y in pts], "coord string, x double, y double")
+    flt = {"type": "spatial", "dimension": "coord",
+           "bound": {"type": "polygon", "abscissa": absc, "ordinate": ordi}}
+    got = {(r["x"], r["y"]) for r in
+           df.filter(compile_filter(flt, df)).select("x", "y").collect()}
+    want = {(x, y) for x, y in pts if py_inside(x, y)}
+    assert got == want and len(want) > 5

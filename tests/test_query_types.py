@@ -261,3 +261,28 @@ def test_lookup_dimension(foo, registry):
     rows = compile_query(q, registry).collect()
     vals = {r["v"]: r["rows"] for r in rows}
     assert vals["xabc"] == 1 and vals["missing"] == 5
+
+
+def test_cardinality_by_value_union_semantics(spark):
+    # 'x' present in both dims counts once (CardinalityAggregatorFactory
+    # byValue adds every dim's value to one collector)
+    from apache_druid_spark.operators.aggregations import compile_aggregator
+    df = spark.createDataFrame(
+        [("x", "x"), ("x", "y"), ("z", None)], "d1 string, d2 string")
+    agg = compile_aggregator(
+        {"type": "cardinality", "name": "card",
+         "fields": ["d1", "d2"], "byRow": False}, df)
+    assert df.agg(agg).collect()[0]["card"] == 3  # {x, y, z}
+
+
+def test_tdigest_momentsketch_exact_percentile(spark):
+    from apache_druid_spark.operators.aggregations import compile_aggregator
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "v double")
+    med = compile_aggregator(
+        {"type": "tDigestSketch", "name": "m", "fieldName": "v",
+         "fractions": [0.5]}, df)
+    p25 = compile_aggregator(
+        {"type": "momentSketch", "name": "q", "fieldName": "v",
+         "fractions": [0.25]}, df)
+    row = df.agg(med, p25).collect()[0]
+    assert row["m"] == 50.5 and row["q"] == 25.75
