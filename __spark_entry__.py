@@ -1479,6 +1479,59 @@ def _sql_ipv4(spark, sf_dir):
     """, _registry(spark, sf_dir))
 
 
+def _bloom_fixture() -> str:
+    # client-built bloom over custkeys 1..150 (the BloomKFilter-literal
+    # pattern: an external system ships the filter inside the query)
+    from apache_druid_spark.functions.bloom import bloom_build
+    return bloom_build([str(i) for i in range(1, 151)], m_bits=1024)
+
+
+def _bloom_oracle() -> str:
+    from apache_druid_spark.functions.bloom import bloom_test_sql
+    test = bloom_test_sql("CAST(o_custkey AS VARCHAR)",
+                          f"'{_bloom_fixture()}'", "duckdb")
+    return f"""
+SELECT o_orderstatus, COUNT(*) AS cnt,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders WHERE {test} GROUP BY 1
+"""
+
+
+@_q("sql_bloom_filter_test", _bloom_oracle())
+def _sql_bloom_filter_test(spark, sf_dir):
+    # BLOOM_FILTER_TEST SQL function (druid-bloom-filter extension) —
+    # false positives included, identical hash math in the oracle
+    return druid_sql(spark, f"""
+        SELECT o_orderstatus, COUNT(*) AS cnt,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders
+        WHERE BLOOM_FILTER_TEST(CAST(o_custkey AS STRING),
+                                '{_bloom_fixture()}')
+        GROUP BY 1
+    """, _registry(spark, sf_dir))
+
+
+@_q("bloom_dim_filter", _bloom_oracle())
+def _bloom_dim_filter(spark, sf_dir):
+    # native bloom DimFilter (BloomDimFilter.java) through the JSON
+    # query compiler — same fixture, groupBy path
+    return compile_query({
+        "queryType": "groupBy", "dataSource": "orders",
+        "granularity": "all",
+        "dimensions": ["o_orderstatus"],
+        "virtualColumns": [{
+            "type": "expression", "name": "custkey_str",
+            "expression": "cast(\"o_custkey\", 'STRING')"}],
+        "filter": {"type": "bloom", "dimension": "custkey_str",
+                   "bloomKFilter": _bloom_fixture()},
+        "aggregations": [
+            {"type": "count", "name": "cnt"},
+            {"type": "doubleSum", "name": "total",
+             "fieldName": "o_totalprice"},
+        ],
+    }, _registry(spark, sf_dir)).withColumn("total", F.round("total", 2))
+
+
 # ---------------------------------------------------------------------------
 # Nested datasources, lookup joins, filtered MV dims, extraction chains
 # ---------------------------------------------------------------------------

@@ -158,6 +158,18 @@ _FUNCTION_DEFS: list[tuple[str, str, str, str]] = [
 ]
 
 
+def _bloom_test_def() -> tuple[str, str, str, str]:
+    # extensions-core/druid-bloom-filter BloomFilterOperatorConversion:
+    # BLOOM_FILTER_TEST(expr, serialized) — see functions/bloom.py for
+    # the hex serialization + md5 double-hashing contract
+    from apache_druid_spark.functions.bloom import bloom_test_sql
+    return ("BLOOM_FILTER_TEST", "x STRING, bloom STRING", "BOOLEAN",
+            bloom_test_sql("x", "bloom", "spark"))
+
+
+_FUNCTION_DEFS.append(_bloom_test_def())
+
+
 def register_druid_functions(spark: SparkSession, registry=None) -> None:
     """Register the Druid SQL surface as temporary SQL functions.
 

@@ -245,6 +245,14 @@ def compile_filter(spec: dict | None, df: DataFrame | None = None,
             spec.get("extractionFn"))
     if t == "spatial":
         return _spatial_predicate(spec)
+    if t == "bloom":
+        # BloomDimFilter (extensions-core/druid-bloom-filter): test the
+        # dim against a serialized bloom shipped inside the query
+        from apache_druid_spark.functions.bloom import bloom_test_column
+        return _dim_predicate(
+            df, spec["dimension"],
+            lambda c: bloom_test_column(c, spec["bloomKFilter"]),
+            spec.get("extractionFn"))
     if t == "javascript":
         raise NotImplementedError(
             "javascript filters are not supported; use an 'expression' filter "

@@ -139,6 +139,8 @@ def _rewrite_floor_to(text: str) -> str:
 def translate(text: str, time_column: str = TIME_COLUMN) -> str:
     """Rewrite Druid SQL aggregate surface into Spark SQL."""
     text = _rewrite_floor_to(text)
+    # Calcite accepts unsized VARCHAR in CASTs; Spark wants STRING
+    text = _rewrite_bare_varchar(text)
     # ordered: _BY variants first so bare EARLIEST doesn't eat them
     text = _rewrite_call(text, "EARLIEST_BY", "min_by")
     text = _rewrite_call(text, "LATEST_BY", "max_by")
@@ -153,6 +155,21 @@ def translate(text: str, time_column: str = TIME_COLUMN) -> str:
     for druid, spark_name in _SIMPLE_RENAMES.items():
         text = _rewrite_call(text, druid, spark_name)
     return text
+
+
+def _rewrite_bare_varchar(text: str) -> str:
+    import re as _re
+    spans = _string_spans(text)
+    out, last = [], 0
+    for m in _re.finditer(r"\bAS\s+VARCHAR\b(?!\s*\()", text,
+                          _re.IGNORECASE):
+        if any(a <= m.start() < b for a, b in spans):
+            continue
+        out.append(text[last:m.start()])
+        out.append("AS STRING")
+        last = m.end()
+    out.append(text[last:])
+    return "".join(out)
 
 
 def _close_extra_paren(text: str, marker: str) -> str:

@@ -139,3 +139,15 @@ def test_spatial_polygon(spark):
            df.filter(compile_filter(flt, df)).select("x", "y").collect()}
     want = {(x, y) for x, y in pts if py_inside(x, y)}
     assert got == want and len(want) > 5
+
+
+def test_bloom_dim_filter(spark):
+    from apache_druid_spark.functions.bloom import bloom_build, bloom_contains
+    keys = [str(i) for i in range(50)]
+    ser = bloom_build(keys, m_bits=512)
+    assert all(bloom_contains(k, ser) for k in keys)  # no false negatives
+    df = spark.createDataFrame([(str(i),) for i in range(200)], "k string")
+    flt = {"type": "bloom", "dimension": "k", "bloomKFilter": ser}
+    got = {r["k"] for r in df.filter(compile_filter(flt, df)).collect()}
+    want = {str(i) for i in range(200) if bloom_contains(str(i), ser)}
+    assert set(keys) <= got == want

@@ -112,3 +112,17 @@ def test_druid_sql_time_floor_groupby(spark, registry, foo):
     """, registry)
     rows = df.collect()
     assert [r["s"] for r in rows] == [6.0, 15.0]
+
+
+def test_bloom_filter_test_sql(spark, registry):
+    from apache_druid_spark.functions.bloom import bloom_build, bloom_contains
+    from apache_druid_spark.sql.dialect import druid_sql
+    ser = bloom_build(["abc", "def"], m_bits=256)
+    hits = druid_sql(spark, f"""
+        SELECT dim1 FROM foo
+        WHERE BLOOM_FILTER_TEST(CAST(dim1 AS VARCHAR), '{ser}')
+    """, registry).collect()
+    got = sorted(r["dim1"] for r in hits)
+    want = sorted(v for v in ["", "10.1", "2", "1", "def", "abc"]
+                  if bloom_contains(v, ser))
+    assert got == want and "abc" in got and "def" in got
