@@ -127,10 +127,33 @@ def apply_flatten_spec(df: DataFrame, flatten_spec: dict | None) -> DataFrame:
             df = df.withColumn(name, F.col(field.get("expr", name)))
         elif ftype == "path":
             df = df.withColumn(name, _jsonpath_col(field["expr"]))
+        elif ftype == "jq":
+            df = df.withColumn(name, _jsonpath_col(_jq_to_jsonpath(
+                field["expr"])))
         else:
-            raise NotImplementedError(f"flattenSpec field type {ftype!r} "
-                                      "(jq is not supported)")
+            raise NotImplementedError(f"flattenSpec field type {ftype!r}")
     return df
+
+
+def _jq_to_jsonpath(expr: str) -> str:
+    """The jq path subset Druid docs use for flattenSpecs (`.a.b[0]`,
+    pipe chains of such paths) -> the JSONPath subset above. jackson-jq
+    programs beyond pure navigation (functions, arithmetic) are out of
+    scope — the reference escape hatch is a transformSpec expression."""
+    import re as _re
+
+    parts = [p.strip() for p in expr.split("|")]
+    out = "$"
+    for p in parts:
+        if p in (".", ""):
+            continue
+        if not _re.fullmatch(r"(\.[A-Za-z_][\w]*(\[\d+\])?)+|\.\[\d+\]", p):
+            raise NotImplementedError(
+                f"jq flattenSpec supports path navigation only: {p!r}")
+        out += p[1:] if p.startswith(".[") else p
+    if out == "$":
+        raise ValueError(f"empty jq path: {expr!r}")
+    return out
 
 
 def _jsonpath_col(expr: str) -> Column:

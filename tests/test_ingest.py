@@ -150,6 +150,31 @@ def test_json_flatten_spec(spark):
     assert [r["first_tag"] for r in rows] == ["a", "c"]
 
 
+def test_jq_flatten_spec(spark):
+    from apache_druid_spark.ingest.batch import _jq_to_jsonpath
+    assert _jq_to_jsonpath(".user.id") == "$.user.id"
+    assert _jq_to_jsonpath(".user.tags[0]") == "$.user.tags[0]"
+    assert _jq_to_jsonpath(".user | .tags[1]") == "$.user.tags[1]"
+    import pytest as _pt
+    with _pt.raises(NotImplementedError):
+        _jq_to_jsonpath(".user.tags | length")
+    spec = {
+        "ioConfig": {
+            "inputSource": {"type": "inline", "data":
+                            '{"ts": "2024-01-01T00:00:00", "user": '
+                            '{"id": 7, "tags": ["a", "b"]}, "v": 1.5}\n'},
+            "inputFormat": {"type": "json", "flattenSpec": {"fields": [
+                {"type": "jq", "name": "user_id", "expr": ".user.id"},
+                {"type": "jq", "name": "second_tag",
+                 "expr": ".user | .tags[1]"},
+            ]}},
+        },
+        "dataSchema": {"timestampSpec": {"column": "ts", "format": "iso"}},
+    }
+    row = ingest(spark, spec).collect()[0]
+    assert row["user_id"] == 7 and row["second_tag"] == "b"
+
+
 def test_publish_then_query_lifecycle(spark, tmp_path):
     """Full lifecycle: ingest -> publish segments -> register -> native
     query over the published table equals the same query on raw data."""
