@@ -461,6 +461,39 @@ def _theta_exact_distinct(spark, sf_dir):
     }, _registry(spark, sf_dir))
 
 
+@_q("theta_set_ops", """
+WITH flags AS (
+  SELECT user_id,
+         bool_or(event_type = 'purchase') AS p,
+         bool_or(event_type = 'click') AS c
+  FROM events GROUP BY 1
+)
+SELECT CAST(SUM(CASE WHEN p AND c THEN 1 ELSE 0 END) AS BIGINT)
+         AS intersect_card,
+       CAST(SUM(CASE WHEN p OR c THEN 1 ELSE 0 END) AS BIGINT)
+         AS union_card,
+       CAST(SUM(CASE WHEN p AND NOT c THEN 1 ELSE 0 END) AS BIGINT)
+         AS not_card
+FROM flags
+""")
+def _theta_set_ops(spark, sf_dir):
+    # ThetaSketchSetPostAggregator INTERSECT/UNION/NOT
+    # (datasketches/.../theta/SketchSetPostAggregator.java) — exact
+    # rewrite: one groupBy(user) pass builds membership flags, one
+    # reduce produces all three set cardinalities. Single shuffle on
+    # user_id; partial aggregation keeps the map side combining, so it
+    # scales like the sketch union without the error bars.
+    ev = _registry(spark, sf_dir).table("events")
+    flags = ev.groupBy("user_id").agg(
+        F.bool_or(F.col("event_type") == "purchase").alias("p"),
+        F.bool_or(F.col("event_type") == "click").alias("c"))
+    one = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+    return flags.agg(
+        one(F.col("p") & F.col("c")).alias("intersect_card"),
+        one(F.col("p") | F.col("c")).alias("union_card"),
+        one(F.col("p") & ~F.col("c")).alias("not_card"))
+
+
 # ---------------------------------------------------------------------------
 # Joins / lookups / set ops (SURVEY §2.6, §2.11)
 # ---------------------------------------------------------------------------
