@@ -58,6 +58,9 @@ def read_input(spark: SparkSession, io_config: dict) -> DataFrame:
     if stype in ("local", "hdfs", "s3", "google", "azure", "http"):
         paths = (src.get("uris") or src.get("files")
                  or [src.get("baseDir", ".")])
+        if fmt.get("type") == "protobuf":
+            raw = spark.read.format("binaryFile").load(paths)
+            return decode_protobuf(raw, fmt, value_col="content")
         return _file_reader(spark, fmt).load(paths)
     if stype == "combining":
         dfs = [read_input(spark, {"inputSource": d, "inputFormat": fmt})
@@ -107,6 +110,36 @@ def _read_inline(spark: SparkSession, src: dict, fmt: dict) -> DataFrame:
         return spark.createDataFrame(
             rows, schema=" string, ".join(cols) + " string")
     raise ValueError(f"inline inputFormat {ftype!r} unsupported")
+
+
+def decode_protobuf(df: DataFrame, fmt: dict,
+                    value_col: str = "value") -> DataFrame:
+    """Protobuf inputFormat (extensions-core/protobuf-extensions
+    ProtobufInputFormat + FileBasedProtobufBytesDecoder): decode a
+    binary column into top-level fields via spark-protobuf's
+    `from_protobuf` (JVM-side, vectorized — not a Python UDF).
+
+    Spec shape: {"type": "protobuf", "protoBytesDecoder": {"type":
+    "file", "descriptor": <path>, "protoMessageType": <name>}}.
+    Requires the org.apache.spark:spark-protobuf runtime jar (not
+    bundled in this rig) — absence surfaces as a clear error here
+    rather than an opaque analysis failure."""
+    dec = fmt.get("protoBytesDecoder", {})
+    desc, msg = dec.get("descriptor"), dec.get("protoMessageType")
+    if not desc or not msg:
+        raise ValueError("protobuf inputFormat needs protoBytesDecoder "
+                         "with 'descriptor' and 'protoMessageType'")
+    from pyspark.sql.protobuf.functions import from_protobuf
+    try:
+        decoded = df.withColumn(
+            "__proto__", from_protobuf(value_col, msg, descFilePath=desc))
+        return decoded.select("__proto__.*")
+    except Exception as e:  # jar missing → actionable message
+        raise NotImplementedError(
+            "protobuf decode needs the org.apache.spark:spark-protobuf "
+            "jar on the cluster (--packages org.apache.spark:spark-"
+            f"protobuf_2.13:<spark-version>); underlying error: {e}"
+        ) from e
 
 
 def apply_flatten_spec(df: DataFrame, flatten_spec: dict | None) -> DataFrame:

@@ -257,3 +257,24 @@ def test_write_segments_layout(spark, tmp_path):
     assert len(parts) >= 2  # events span multiple days
     back = spark.read.parquet(out)
     assert back.count() == rolled.count()
+
+
+def test_protobuf_wiring_gated(spark):
+    # spec validation is eager; the jar-dependent decode surfaces a
+    # clear NotImplementedError when spark-protobuf is absent
+    import pytest as _pt
+    from apache_druid_spark.ingest.batch import decode_protobuf
+    df = spark.createDataFrame([(b"\x08\x01",)], "value binary")
+    with _pt.raises(ValueError, match="protoBytesDecoder"):
+        decode_protobuf(df, {"type": "protobuf"})
+    try:
+        out = decode_protobuf(df, {
+            "type": "protobuf",
+            "protoBytesDecoder": {"type": "file",
+                                  "descriptor": "/tmp/nonexistent.desc",
+                                  "protoMessageType": "M"}})
+        out.collect()
+    except NotImplementedError:
+        pass  # jar absent in this rig — documented path
+    except Exception as e:
+        _pt.fail(f"expected gated NotImplementedError, got {type(e)}: {e}")
