@@ -644,24 +644,50 @@ WITH d AS (
   SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
          SUM(o_totalprice) AS rev
   FROM orders GROUP BY 1
+),
+grid AS (
+  SELECT unnest(generate_series((SELECT MIN(day) FROM d),
+                                (SELECT MAX(day) FROM d),
+                                INTERVAL 1 DAY)) AS day
+),
+f AS (
+  SELECT g.day, COALESCE(d.rev, 0) AS rev
+  FROM grid g LEFT JOIN d ON g.day = d.day
 )
 SELECT day, ROUND(rev, 2) AS revenue,
        ROUND(AVG(rev) OVER (ORDER BY day
              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma7
-FROM d
+FROM f
 """)
 def _window_moving_avg(spark, sf_dir):
     # moving-average semantics of the contrib moving-average-query
-    # (extensions-contrib/moving-average-query/.../MovingAverageQuery.java)
-    # expressed as a Spark window over the (tiny) day-level pre-aggregate.
+    # (extensions-contrib/moving-average-query/.../MovingAverageQuery.java).
+    # The trailing window runs chunk-partitioned (operators/windows.py)
+    # so the plan has no single-partition WindowExec — at minute/second
+    # granularity over years an unpartitioned ORDER BY window is a
+    # genuine scale-killer.
+    from apache_druid_spark.operators.windows import (
+        chunked_trailing_window, finalize_chunked,
+    )
+
     reg = _registry(spark, sf_dir)
     daily = (reg.table("orders")
              .groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
              .agg(F.sum("o_totalprice").alias("rev")))
-    w = Window.orderBy("day").rowsBetween(-6, 0)
-    return daily.select(
-        "day", F.round("rev", 2).alias("revenue"),
-        F.round(F.avg("rev").over(w), 2).alias("ma7"))
+    # Zero-fill the day grid (missing buckets contribute 0, matching
+    # DoubleMeanAverager.java:31-46) — also makes the grid dense, which
+    # the chunk stitch requires. The generated side is provably small;
+    # broadcast it, not the aggregate.
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    grid = bounds.select(F.explode(
+        F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day"))
+    dense = (F.broadcast(grid).join(daily, "day", "left")
+             .withColumn("rev", F.coalesce("rev", F.lit(0.0))))
+    stitched, w = chunked_trailing_window(dense, "day", 7,
+                                          millis=86_400_000)
+    out = stitched.withColumn("ma7", F.round(F.avg("rev").over(w), 2))
+    return finalize_chunked(out).select(
+        "day", F.round("rev", 2).alias("revenue"), "ma7")
 
 
 # ---------------------------------------------------------------------------
@@ -759,7 +785,8 @@ def _hex_to_long_sql(hex_expr: str, digits: int) -> str:
 
 
 def _minhash_oracle(num_hashes: int = 16, bands: int = 4,
-                    shingle_k: int = 3) -> str:
+                    shingle_k: int = 3,
+                    max_bucket_size: int = 1000) -> str:
     """DuckDB replica of minhash_lsh_pairs: identical md5-derived base
     hash, universal-hash coefficients, banding, bucket join."""
     from apache_druid_spark.pipeline.dedup import _MERSENNE_P, _hash_coeffs
@@ -783,10 +810,13 @@ sh0 AS (SELECT doc_id, {_shingles_sql(shingle_k)} AS shingles FROM toks),
 sh AS (SELECT doc_id, unnest(shingles) AS s FROM sh0),
 hs AS (SELECT doc_id, {h} AS h FROM sh),
 sig AS (SELECT doc_id, {sig_cols} FROM hs GROUP BY doc_id),
-banded AS ({banded})
+banded AS ({banded}),
+ok AS (SELECT band, bucket FROM banded GROUP BY 1, 2
+       HAVING COUNT(*) BETWEEN 2 AND {max_bucket_size})
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+JOIN ok ON a.band = ok.band AND a.bucket = ok.bucket
 """
 
 

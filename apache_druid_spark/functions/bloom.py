@@ -30,6 +30,25 @@ from pyspark.sql import functions as F
 
 _K = 3  # fixed hash count; Druid sizes k from expectedEntries/fpp
 
+_HEX = set("0123456789abcdef")
+
+
+def validate_serialized(serialized: str) -> str:
+    """Reject payloads that are not this module's hex-word wire format.
+
+    The reference ships BloomKFilter as Murmur3-based base64 bytes
+    (BloomKFilter.java serialization); feeding such a payload here
+    would silently filter rows arbitrarily (conv() on base64 text
+    yields garbage words). Hex charset + length % 8 == 0 cheaply
+    distinguishes the two — raise rather than misinterpret."""
+    s = str(serialized).lower()
+    if not s or len(s) % 8 or not set(s) <= _HEX:
+        raise ValueError(
+            "bloom payload is not this engine's hex-word format (got "
+            f"{len(s)} chars); reference base64 BloomKFilter payloads "
+            "must be rebuilt with bloom_build()/the bloom aggregator")
+    return s
+
 
 def _hash_pair(value: str) -> tuple[int, int]:
     h = hashlib.md5(value.encode("utf-8")).hexdigest()
@@ -80,6 +99,8 @@ def bloom_test_sql(x: str, bloom: str, dialect: str = "spark") -> str:
     `bloom` (both SQL fragments). Identical integer math in both
     dialects — floor/power instead of shifts because DuckDB lacks
     64-bit shift ops and doubles are exact below 2^52 here."""
+    if bloom.startswith("'") and bloom.endswith("'"):
+        validate_serialized(bloom[1:-1])
     hx = _hex2long_spark if dialect == "spark" else _hex2long_duckdb
     m = f"(length({bloom}) * 4)"
     h1, h2 = hx(f"md5({x})", 1, 8), hx(f"md5({x})", 9, 8)
@@ -98,6 +119,7 @@ def bloom_test_sql(x: str, bloom: str, dialect: str = "spark") -> str:
 def bloom_test_column(col: Column, serialized: str) -> Column:
     """Catalyst predicate: does `col` (cast to string) hit the bloom?
     Used by the native `bloom` DimFilter (BloomDimFilter.java)."""
+    serialized = validate_serialized(serialized)
     c = col.cast("string")
     m = len(serialized) * 4
     blit = F.lit(serialized)

@@ -383,6 +383,12 @@ def write_segments(df: DataFrame, path: str,
     overwrite, which is Druid's segment versioning collapsed into the
     table format."""
     seg = time_floor_col(F.col(TIME_COLUMN), segment_granularity)
-    (df.withColumn("__segment", F.date_format(seg, "yyyy-MM-dd'T'HH"))
-       .repartition(F.col("__segment"))
-       .write.mode(mode).partitionBy("__segment").parquet(path))
+    writer = (df.withColumn("__segment", F.date_format(seg, "yyyy-MM-dd'T'HH"))
+                .repartition(F.col("__segment"))
+                .write.mode(mode).partitionBy("__segment"))
+    if mode == "overwrite":
+        # Only replace the segment-granularity chunks actually touched
+        # (Druid replaces per time chunk, not the whole datasource —
+        # VersionedIntervalTimeline overshadowing)
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.parquet(path)

@@ -107,7 +107,6 @@ def compile_aggregator(spec: dict, df=None, registry=None) -> Column:
     if t == "filtered":
         inner = spec["aggregator"]
         cond = compile_filter(spec["filter"], df, registry)
-        inner_col = compile_aggregator(inner, df, registry)
         # Rebuild with FILTER semantics: agg(CASE WHEN cond THEN input END)
         return _filtered(inner, cond, df, registry).alias(
             spec.get("name", inner.get("name")))
@@ -205,9 +204,44 @@ def _filtered(inner: dict, cond: Column, df, registry) -> Column:
         v = F.when(cond, _field(inner, registry).cast(typ))
         tc = F.when(cond, time_col)
         return F.min_by(v, tc) if which == "first" else F.max_by(v, tc)
-    if t in ("hyperUnique", "cardinality"):
-        return F.approx_count_distinct(F.when(cond, _field(inner, registry)))
-    return F.any_value(F.when(cond, _field(inner, registry)))
+    if t in ("hyperUnique", "HLLSketchBuild", "HLLSketchMerge"):
+        # same rsd as the unfiltered path (0.02 ~ Druid's 2048-bucket HLL)
+        return F.approx_count_distinct(
+            F.when(cond, _field(inner, registry)), 0.02)
+    if t == "cardinality":
+        cols = [fcol(f) if isinstance(f, str) else fcol(f["dimension"])
+                for f in inner.get("fields", [])]
+        tup = (F.concat_ws("\x00", *[c.cast("string") for c in cols])
+               if len(cols) > 1 else cols[0])
+        return F.approx_count_distinct(F.when(cond, tup), 0.02)
+    if t in ("thetaSketch", "sketchMerge", "sketchBuild"):
+        return F.count_distinct(F.when(cond, _field(inner, registry)))
+    if t == "variance":
+        fn = (F.var_pop if inner.get("estimator", "") == "population"
+              else F.var_samp)
+        return fn(F.when(cond, _field(inner, registry).cast("double")))
+    if t == "stddev":
+        fn = (F.stddev_pop if inner.get("estimator", "") == "population"
+              else F.stddev_samp)
+        return fn(F.when(cond, _field(inner, registry).cast("double")))
+    if t in ("quantilesDoublesSketch",):
+        return F.percentile_approx(
+            F.when(cond, _field(inner, registry).cast("double")), 0.5, 10000)
+    if t in ("tDigestSketch", "buildTDigestSketch",
+             "momentSketch", "momentSketchMerge"):
+        fracs = inner.get("fractions", [0.5])
+        frac = F.lit(fracs[0]) if len(fracs) == 1 else F.array(
+            *[F.lit(float(p)) for p in fracs])
+        return F.percentile(
+            F.when(cond, _field(inner, registry).cast("double")), frac)
+    if t in _ANY:
+        return F.any_value(
+            F.when(cond, _field(inner, registry).cast(_ANY[t])),
+            ignoreNulls=True)
+    # Erroring beats any_value() silently standing in for an aggregate
+    # the caller asked for (FilteredAggregatorFactory wraps ANY factory).
+    raise NotImplementedError(
+        f"filtered aggregator does not support inner type {t!r}")
 
 
 def compile_aggregations(specs: list[dict], df=None, registry=None) -> list[Column]:

@@ -325,6 +325,10 @@ _DRUID_TO_SPARK_TYPE = {
 }
 
 
+def _raise_unsupported(name: str):
+    raise NotImplementedError(f"expression function {name} is unsupported")
+
+
 def _fn_cast(x: Column, t: Column) -> Column:
     # type name must be a literal string
     import json as _json
@@ -417,8 +421,11 @@ _EXTRACT_UNITS = {
     "minute": lambda c: F.minute(c),
     "hour": lambda c: F.hour(c),
     "day": lambda c: F.dayofmonth(c),
-    "dow": lambda c: F.dayofweek(c),           # 1=Sunday (Druid: 1=Monday ISO)
-    "isodow": lambda c: F.expr("null"),         # patched below
+    # Druid returns Joda dayOfWeek (1=Monday..7=Sunday) for BOTH DOW and
+    # ISODOW (TimestampExtractExprMacro.java:130-133) — not Spark's
+    # 1=Sunday dayofweek.
+    "dow": lambda c: F.pmod(F.dayofweek(c) + F.lit(5), F.lit(7)) + F.lit(1),
+    "isodow": lambda c: F.pmod(F.dayofweek(c) + F.lit(5), F.lit(7)) + F.lit(1),
     "doy": lambda c: F.dayofyear(c),
     "week": lambda c: F.weekofyear(c),
     "month": lambda c: F.month(c),
@@ -433,9 +440,11 @@ def _fn_timestamp_extract(ts, unit, *rest):
     if rest:
         v = _extract_literal(rest[0])
         tz = str(v) if v is not None else None
+    if u == "epoch":
+        # epoch is an absolute instant — never wall-clock-shifted by tz
+        # (TimestampExtractExprMacro.java EPOCH uses millis directly)
+        return F.unix_timestamp(ts)
     c = F.from_utc_timestamp(ts, tz) if tz and tz.upper() != "UTC" else ts
-    if u == "isodow":
-        return F.pmod(F.dayofweek(c) + F.lit(5), F.lit(7)) + F.lit(1)
     if u not in _EXTRACT_UNITS:
         raise ValueError(f"bad extract unit: {u}")
     return _EXTRACT_UNITS[u](c)
@@ -529,8 +538,12 @@ _FUNCTIONS: dict[str, Callable] = {
     "bitwiseor": lambda a, b: a.cast("long").bitwiseOR(b.cast("long")),
     "bitwisexor": lambda a, b: a.cast("long").bitwiseXOR(b.cast("long")),
     "bitwisecomplement": lambda a: F.bitwise_not(a.cast("long")),
-    "bitwiseconvertdoubletolongbits": lambda a: F.expr("null"),  # no Catalyst analogue; v2
-    "bitwiseconvertlongbitstodouble": lambda a: F.expr("null"),
+    # No Catalyst bit-cast builtin; erroring beats silently returning
+    # null (ExprEval would produce real IEEE754 bits in the reference)
+    "bitwiseconvertdoubletolongbits": lambda a: _raise_unsupported(
+        "bitwiseConvertDoubleToLongBits"),
+    "bitwiseconvertlongbitstodouble": lambda a: _raise_unsupported(
+        "bitwiseConvertLongBitsToDouble"),
     # string
     "concat": F.concat, "format": F.format_string,
     "parse_long": lambda s, *r: (F.conv(s, int(_extract_literal(r[0])), 10).cast("long")

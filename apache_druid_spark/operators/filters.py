@@ -226,8 +226,22 @@ def compile_filter(spec: dict | None, df: DataFrame | None = None,
             return _dim_predicate(df, spec["dimension"], pred, efn)
         raise ValueError(f"unknown search query type: {qt}")
     if t == "interval":
+        # Non-__time numeric dims hold epoch MILLIS in the reference
+        # (IntervalDimFilter via DimFilterUtils millis semantics); a
+        # plain long->timestamp cast in Spark reads SECONDS — a silent
+        # 1000x offset. Branch on the column's type when we can see it.
         dim = spec["dimension"]
-        return interval_predicate(fcol(dim).cast("timestamp"), spec["intervals"])
+        c = fcol(dim)
+        if df is not None and dim in dict(df.dtypes):
+            dt = dict(df.dtypes)[dim]
+            if dt in ("bigint", "int", "smallint", "tinyint", "double",
+                      "float"):
+                c = F.timestamp_millis(c.cast("long"))
+            else:
+                c = c.cast("timestamp")
+        else:
+            c = c.cast("timestamp")
+        return interval_predicate(c, spec["intervals"])
     if t == "columnComparison":
         dims = spec["dimensions"]
         names = [d if isinstance(d, str) else d["dimension"] for d in dims]

@@ -19,6 +19,13 @@ def parallelize_scan(df: DataFrame) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    # Input-file count from the catalog, NOT df.rdd.getNumPartitions():
+    # the RDD conversion forces a full plan re-derivation per call,
+    # which on a 100 TB table is a real planning cost.
+    try:
+        nfiles = len(df.inputFiles())
+    except Exception:
+        nfiles = 0
+    if nfiles >= target:
+        return df
+    return df.repartition(target)

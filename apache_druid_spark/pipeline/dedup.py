@@ -101,7 +101,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 16,
-                      bands: int = 4, shingle_k: int = 3) -> DataFrame:
+                      bands: int = 4, shingle_k: int = 3,
+                      max_bucket_size: int = 1000) -> DataFrame:
     """Banded LSH candidate pairs: docs agreeing on any band of the
     signature. Returns distinct (id_a < id_b) candidate pairs.
 
@@ -110,7 +111,14 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     probe sides), then ONE groupBy shuffles just (band, bucket, id) —
     a few dozen bytes per doc — and pairs expand inside each bucket
     with array HOFs. Work is proportional to bucket collisions, never
-    |docs|^2."""
+    |docs|^2.
+
+    ``max_bucket_size`` bounds the per-bucket state: a degenerate
+    bucket (thousands of byte-identical docs sharing a signature band)
+    would otherwise build one giant collect_set array and O(n^2)
+    in-bucket pairs on a single task. Buckets past the cap are dropped
+    here — exactly-identical docs are the job of exact_dedup (one
+    hash-groupBy), which handles them without pair expansion."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
     banded = sigs.select(
@@ -128,7 +136,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     ).select(id_col, "bb.band", "bb.bucket")
     buckets = (banded.groupBy("band", "bucket")
                .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
-               .filter(F.size("ids") > 1))
+               .filter((F.size("ids") > 1)
+                       & (F.size("ids") <= max_bucket_size)))
     pairs = F.flatten(F.transform(
         F.col("ids"),
         lambda x, i: F.transform(
@@ -198,11 +207,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         F.explode(F.array_distinct(_shingles(F.col(text_col), shingle_k))
                   ).alias("shingle"),
     )
-    # shingle doc-frequency cap
-    freq_ok = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-                 .filter(F.col("df") <= max_shingle_freq)
-                 .select("shingle"))
-    sh = sh.join(F.broadcast(freq_ok), "shingle")
+    # Shingle doc-frequency cap. Broadcast the STOP-shingle set (df >
+    # cap) and anti-join: at corpus scale the kept vocabulary is
+    # billions of rows (would blow any broadcast ceiling) while the
+    # stop set is tiny by construction — broadcasting the small,
+    # bounded side is the only direction that survives 100 TB.
+    stop = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+              .filter(F.col("df") > max_shingle_freq)
+              .select("shingle"))
+    sh = sh.join(F.broadcast(stop), "shingle", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (

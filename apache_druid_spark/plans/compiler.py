@@ -288,7 +288,13 @@ def _zero_fill(out: DataFrame, q: dict, registry, gran, tz) -> DataFrame:
     buckets = parts[0]
     for p in parts[1:]:
         buckets = buckets.unionByName(p)
-    filled = buckets.join(F.broadcast(out), TIME_COLUMN, "left")
+    # No forced broadcast: the aggregate has the same cardinality as the
+    # generated bucket sequence, so F.broadcast(out) would blow the
+    # broadcast ceiling at fine granularities. The preserved (bucket)
+    # side of a left-outer can't be the BHJ build side in Spark, so let
+    # AQE pick — broadcast of `out` when it's genuinely small, shuffle
+    # join (tiny bucket side + unavoidable aggregate shuffle) otherwise.
+    filled = buckets.join(out, TIME_COLUMN, "left")
     count_names = [a.get("name", "count")
                    for a in q.get("aggregations", []) or []
                    if a.get("type") == "count"]

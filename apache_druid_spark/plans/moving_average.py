@@ -89,14 +89,29 @@ def compile_moving_average(q: dict, registry) -> DataFrame:
         grid = buckets_df
     filled = grid.join(inner, [TIME_COLUMN, *dims], "left")
 
-    # 3. averagers over the trailing n-bucket window
+    # 3. averagers over the trailing n-bucket window. With dims the
+    # window partitions by dims; without, a bare orderBy would drag the
+    # whole grid to one task — chunk it instead (operators/windows.py).
     order = [F.col(TIME_COLUMN).asc()]
-    w = (Window.partitionBy(*[F.col(d) for d in dims]).orderBy(*order)
-         .rowsBetween(-(n - 1), 0)) if dims else (
-        Window.orderBy(*order).rowsBetween(-(n - 1), 0))
-    out = filled
+    finalize = None
+    if dims:
+        w = (Window.partitionBy(*[F.col(d) for d in dims])
+             .orderBy(*order).rowsBetween(-(n - 1), 0))
+        out = filled
+    else:
+        from apache_druid_spark.model.granularity import parse_period
+        from apache_druid_spark.operators.windows import (
+            chunked_trailing_window, finalize_chunked,
+        )
+
+        months, millis = parse_period(_period_of(gran))
+        out, w = chunked_trailing_window(filled, TIME_COLUMN, n,
+                                         months=months, millis=millis)
+        finalize = finalize_chunked
     for spec in averagers:
         out = out.withColumn(spec["name"], _averager_col(spec, w))
+    if finalize is not None:
+        out = finalize(out)
 
     out = apply_post_aggregations(out, q.get("postAveragers", []), registry)
 
@@ -162,6 +177,16 @@ def _averager_col(spec: dict, w) -> Column:
     return col
 
 
+def _period_of(gran) -> str:
+    """Granularity spec -> ISO period string."""
+    if isinstance(gran, dict):
+        return gran.get("period", "P1D")
+    named = {"second": "PT1S", "minute": "PT1M", "hour": "PT1H",
+             "day": "P1D", "week": "P1W", "month": "P1M",
+             "quarter": "P3M", "year": "P1Y"}
+    return named.get(str(gran).lower(), str(gran))
+
+
 def _extend_interval(iv: str, gran, back: int) -> str:
     """Move an ISO interval's start back by `back` granularity periods."""
     start_s, end_s = iv.split("/")
@@ -174,14 +199,7 @@ def _extend_interval(iv: str, gran, back: int) -> str:
     # common cases
     from apache_druid_spark.model.granularity import parse_period
 
-    if isinstance(gran, dict):
-        period = gran.get("period", "P1D")
-    else:
-        named = {"second": "PT1S", "minute": "PT1M", "hour": "PT1H",
-                 "day": "P1D", "week": "P1W", "month": "P1M",
-                 "quarter": "P3M", "year": "P1Y"}
-        period = named.get(str(gran).lower(), str(gran))
-    months, millis = parse_period(period)
+    months, millis = parse_period(_period_of(gran))
     if months:
         total = dt.year * 12 + (dt.month - 1) - months * back
         dt = dt.replace(year=total // 12, month=total % 12 + 1)

@@ -102,8 +102,13 @@ def druid_sql_insert(spark: SparkSession, text: str, registry,
     if spec["clustered_by"]:
         out = out.repartitionByRange(*[F.col(c) for c in spec["clustered_by"]])
     path = f"{base_path}/{spec['target']}"
+    # DruidSqlInsert semantics: INSERT *appends* segments to the
+    # datasource; REPLACE overwrites — and only the touched
+    # segment-granularity chunks (dynamic partition overwrite), matching
+    # OVERWRITE WHERE/ALL timeline overshadowing.
+    mode = "append" if spec["verb"] == "INSERT" else "overwrite"
     write_segments(out, path, segment_granularity=spec["granularity"],
-                   mode="overwrite")
+                   mode=mode)
     df = spark.read.parquet(path).drop("__segment")
     registry.register(spec["target"], df)
     return df

@@ -125,3 +125,26 @@ def test_pipeline_hashing_stays_in_codegen(reg):
 
     plan = plan_of(minhash_lsh_pairs(reg.table("documents")))
     assert "EvalPython" not in plan
+
+
+def test_ngram_jaccard_broadcasts_stop_shingles(reg):
+    """The shingle-frequency cap must broadcast the tiny STOP-shingle
+    set (anti-join), never the kept vocabulary — at corpus scale the
+    kept side is essentially the whole vocabulary (VERDICT r1 #5)."""
+    from apache_druid_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    docs = reg.table("documents")
+    plan = plan_of(ngram_jaccard_pairs(docs))
+    lines = plan.splitlines()
+    anti = [i for i, ln in enumerate(lines)
+            if "BroadcastHashJoin" in ln and "LeftAnti" in ln]
+    assert anti, f"no broadcast anti-join in plan:\n{plan}"
+
+
+def test_minhash_bucket_cap_in_plan(reg):
+    """Degenerate LSH buckets are dropped before pair expansion."""
+    from apache_druid_spark.pipeline.dedup import minhash_lsh_pairs
+
+    docs = reg.table("documents")
+    plan = plan_of(minhash_lsh_pairs(docs, max_bucket_size=77))
+    assert "77" in plan  # size(ids) <= 77 filter survives to the plan
