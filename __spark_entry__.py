@@ -1099,6 +1099,60 @@ def _rollup_reaggregate(spark, sf_dir):
     return _round(df, {"total_value": 4})
 
 
+@_q("hll_sketch_rollup_merge", """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uniq_exact,
+       TRUE AS hll_within_5pct
+FROM events GROUP BY 1
+""")
+def _hll_sketch_rollup_merge(spark, sf_dir):
+    """Mergeable HLL sketch state through the full segment lifecycle
+    (VERDICT r1 missing #2): ingest-time rollup stores DataSketches
+    HLL binary state as a metric column (the reference's COMPLEX
+    column, HllSketchBuildAggregatorFactory.java), the state survives
+    a parquet publish round-trip, re-aggregates across hour buckets
+    with hll_union_agg (getCombiningFactory = HllSketchMerge), and
+    finalizes to an estimate within the documented +-5% tolerance of
+    exact (same deterministic-oracle pattern as hll_user_cardinality)."""
+    import tempfile
+
+    from apache_druid_spark.ingest import (
+        finalize_metrics, ingest, reaggregate,
+    )
+    from apache_druid_spark.ingest.batch import write_segments
+
+    metrics = [
+        {"type": "count", "name": "cnt"},
+        {"type": "HLLSketchBuild", "name": "uniq_users",
+         "fieldName": "user_id"},
+    ]
+    reg = _registry(spark, sf_dir)
+    rolled = ingest(spark, {
+        "ioConfig": {
+            "inputSource": {"type": "local",
+                            "files": [f"{sf_dir}/events.parquet"]},
+            "inputFormat": {"type": "parquet"}},
+        "dataSchema": {
+            "timestampSpec": {"column": "ts", "format": "nano"},
+            "dimensionsSpec": {"dimensions": ["event_type"]},
+            "metricsSpec": metrics,
+            "granularitySpec": {"rollup": True,
+                                "queryGranularity": "hour"}},
+    })
+    path = tempfile.mkdtemp(prefix="hll_seg_") + "/events_hll"
+    write_segments(rolled, path, segment_granularity="day")
+    published = spark.read.parquet(path).drop("__segment")
+    merged = finalize_metrics(
+        published.groupBy("event_type").agg(*reaggregate(metrics)), metrics)
+    exact = (reg.table("events").groupBy("event_type")
+             .agg(F.count_distinct("user_id").cast("long")
+                  .alias("uniq_exact")))
+    return (merged.join(F.broadcast(exact), "event_type")
+            .select("event_type", "uniq_exact",
+                    (F.abs(F.col("uniq_users") - F.col("uniq_exact"))
+                     <= 0.05 * F.col("uniq_exact")).alias("hll_within_5pct")))
+
+
 @_q("ingest_inline_csv", """
 SELECT __time, id, CAST(v2 AS DOUBLE) AS v2 FROM (VALUES
   (TIMESTAMP '2024-01-01 00:10:00', '1', 7.0),
@@ -2844,6 +2898,7 @@ _R01_RED = ("agg_filtered_sum", "sql_insert_extern", "hll_user_cardinality")
 # Highest-risk never-checked families, per VERDICT.md #1 (spatial, bloom,
 # movingAverage, limitspec comparators, MV specs, streaming union, ...).
 _PROMOTE = (
+    "hll_sketch_rollup_merge",
     "spatial_rectangular", "spatial_polygon", "bloom_dim_filter",
     "moving_average_monthly", "limitspec_alphanumeric", "limitspec_offset",
     "dim_list_filtered_tokens", "dim_regex_filtered", "dim_prefix_filtered",

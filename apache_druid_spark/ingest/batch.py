@@ -275,6 +275,19 @@ _FIRST_LAST_TYPES = {
     "floatLast": "last", "stringLast": "last",
 }
 
+# Sketch metrics whose ROLLED-UP state must stay mergeable: the
+# reference stores HLL state as a COMPLEX column and merges it across
+# segments (extensions-core/datasketches/.../hll/HllSketchBuild
+# AggregatorFactory.java, processing/.../serde/ComplexMetrics.java).
+# Spark's hll_sketch_agg/hll_union_agg use the same Apache DataSketches
+# HLL format, so the state is a plain binary column — no UDFs.
+_HLL_SKETCH_TYPES = {"HLLSketchBuild", "HLLSketchMerge", "hyperUnique"}
+_DEFAULT_LGK = 12  # HllSketchAggregatorFactory.DEFAULT_LG_K
+
+
+def _hll_lgk(m: dict) -> int:
+    return int(m.get("lgK", _DEFAULT_LGK))
+
 
 def rollup(df: DataFrame, dimensions: list[str], metrics: list[dict],
            query_granularity="hour", registry=None) -> DataFrame:
@@ -292,6 +305,10 @@ def rollup(df: DataFrame, dimensions: list[str], metrics: list[dict],
         TIME_COLUMN, time_floor_col(F.col(TIME_COLUMN), query_granularity))
     aggs = []
     for m in metrics:
+        if m["type"] in _HLL_SKETCH_TYPES:
+            aggs.append(F.hll_sketch_agg(
+                F.col(m["fieldName"]), _hll_lgk(m)).alias(m["name"]))
+            continue
         which = _FIRST_LAST_TYPES.get(m["type"])
         if which is None:
             aggs.extend(compile_aggregations([m], bucketed, registry))
@@ -321,6 +338,11 @@ def reaggregate(metrics: list[dict]) -> list[Column]:
     out = []
     for m in metrics:
         t, name = m["type"], m["name"]
+        if t in _HLL_SKETCH_TYPES:
+            # merge stored sketch state (getCombiningFactory of
+            # HllSketchBuildAggregatorFactory = HllSketchMerge)
+            out.append(F.hll_union_agg(F.col(name)).alias(name))
+            continue
         which = _FIRST_LAST_TYPES.get(t)
         if which is not None:
             fn = F.min_by if which == "first" else F.max_by
@@ -328,19 +350,22 @@ def reaggregate(metrics: list[dict]) -> list[Column]:
             continue
         fn = _COMBINING.get(t)
         if fn is None:
-            raise ValueError(
-                f"no combining aggregator for {t!r}; sketch metrics "
-                "need their sketch state kept (v2)")
+            raise ValueError(f"no combining aggregator for {t!r}")
         out.append(fn(F.col(name)).alias(name))
     return out
 
 
 def finalize_metrics(df: DataFrame, metrics: list[dict]) -> DataFrame:
     """MetricManipulatorFns analogue: unwrap mergeable intermediates to
-    their final values (first/last pairs -> the value)."""
+    their final values (first/last pairs -> the value, HLL sketch
+    state -> the distinct estimate)."""
     for m in metrics:
         if m["type"] in _FIRST_LAST_TYPES:
             df = df.withColumn(m["name"], F.col(m["name"])["v"])
+        elif m["type"] in _HLL_SKETCH_TYPES:
+            df = df.withColumn(
+                m["name"],
+                F.hll_sketch_estimate(F.col(m["name"])).cast("long"))
     return df
 
 

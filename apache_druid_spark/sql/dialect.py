@@ -16,7 +16,10 @@ identical to hand-written Spark SQL.
   ANY_VALUE(x)           -> any_value(x)            (built-in)
   APPROX_COUNT_DISTINCT[_DS_HLL|_DS_THETA|_BUILTIN] -> approx_count_distinct
   APPROX_QUANTILE[_DS|_FIXED_BUCKETS](x, q[, k])    -> percentile_approx(x, q)
-  DS_HLL / DS_THETA      -> approx_count_distinct   (estimate at build)
+  DS_HLL(x[, lgK])       -> hll_sketch_agg           (mergeable state)
+  HLL_SKETCH_ESTIMATE / HLL_SKETCH_UNION[_AGG] -> hll_sketch_estimate /
+                            hll_union[_agg]          (finalize / merge)
+  DS_THETA               -> approx_count_distinct    (estimate at build)
   ARRAY_CONCAT_AGG(x)    -> flatten(collect_list(x))
   STRING_AGG(x, sep)     -> listagg(x, sep)
   BIT_AND/BIT_OR/BIT_XOR -> bit_and/bit_or/bit_xor  (built-ins)
@@ -37,7 +40,14 @@ _SIMPLE_RENAMES = {
     "APPROX_QUANTILE_DS": "percentile_approx",
     "APPROX_QUANTILE_FIXED_BUCKETS": "percentile_approx",
     "APPROX_QUANTILE": "percentile_approx",
-    "DS_HLL": "approx_count_distinct",
+    # DS_HLL builds REAL mergeable sketch state (Spark's hll_sketch_agg
+    # emits the same Apache DataSketches HLL binary the reference stores
+    # as a COMPLEX column — HllSketchBuildAggregatorFactory.java);
+    # HLL_SKETCH_* finalize/merge it.
+    "DS_HLL": "hll_sketch_agg",
+    "HLL_SKETCH_ESTIMATE": "hll_sketch_estimate",
+    "HLL_SKETCH_UNION": "hll_union",
+    "HLL_SKETCH_UNION_AGG": "hll_union_agg",
     "DS_THETA": "approx_count_distinct",
     "STRING_AGG": "listagg",
     "ARRAY_AGG": "collect_list",

@@ -126,3 +126,21 @@ def test_bloom_filter_test_sql(spark, registry):
     want = sorted(v for v in ["", "10.1", "2", "1", "def", "abc"]
                   if bloom_contains(v, ser))
     assert got == want and "abc" in got and "def" in got
+
+
+def test_ds_hll_builds_mergeable_state(spark, registry):
+    """DS_HLL -> hll_sketch_agg (real DataSketches state), finalized by
+    HLL_SKETCH_ESTIMATE; HLL_SKETCH_UNION_AGG merges stored state."""
+    from apache_druid_spark.sql.dialect import druid_sql
+
+    inner = druid_sql(spark, """
+        SELECT n_regionkey, DS_HLL(n_name) AS sk
+        FROM nation GROUP BY n_regionkey
+    """, registry)
+    assert dict(inner.dtypes)["sk"] == "binary"
+    inner.createOrReplaceTempView("__hll_state")
+    out = druid_sql(spark, """
+        SELECT HLL_SKETCH_ESTIMATE(HLL_SKETCH_UNION_AGG(sk)) AS uniq
+        FROM __hll_state
+    """, registry)
+    assert out.collect()[0]["uniq"] == 25
