@@ -1506,6 +1506,98 @@ def _segment_metadata_orders(spark, sf_dir):
         "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
 
 
+@_q("sys_segments_catalog", """
+WITH rolled AS (
+  SELECT date_trunc('hour', ts) AS h, event_type FROM events GROUP BY 1, 2
+),
+days AS (
+  SELECT CAST(date_trunc('day', h) AS TIMESTAMP) AS d,
+         COUNT(*) AS num_rows
+  FROM rolled GROUP BY 1
+)
+SELECT 'events_sys_pub' AS datasource,
+       strftime(d, '%Y-%m-%dT%H:%M:%S.000Z') AS seg_start,
+       strftime(d + INTERVAL 1 DAY, '%Y-%m-%dT%H:%M:%S.000Z') AS seg_end,
+       num_rows, CAST(1 AS BIGINT) AS is_published
+FROM days
+""")
+def _sys_segments_catalog(spark, sf_dir):
+    """sys.segments (SystemSchema.java:134-150): publish a rolled-up
+    datasource, then list its segments through the Druid SQL catalog
+    spelling. start/end/num_rows are deterministic functions of the
+    events table, so the catalog is fully oracle-checkable."""
+    import tempfile
+
+    from apache_druid_spark.ingest import ingest
+    from apache_druid_spark.ingest.batch import write_segments
+
+    reg = _registry(spark, sf_dir)
+    rolled = ingest(spark, {
+        "ioConfig": {
+            "inputSource": {"type": "local",
+                            "files": [f"{sf_dir}/events.parquet"]},
+            "inputFormat": {"type": "parquet"}},
+        "dataSchema": {
+            "timestampSpec": {"column": "ts", "format": "nano"},
+            "dimensionsSpec": {"dimensions": ["event_type"]},
+            "metricsSpec": [{"type": "count", "name": "cnt"}],
+            "granularitySpec": {"rollup": True,
+                                "queryGranularity": "hour"}},
+    })
+    path = tempfile.mkdtemp(prefix="sys_seg_") + "/events_sys_pub"
+    write_segments(rolled, path, segment_granularity="day")
+    reg.register("events_sys_pub", spark.read.parquet(path)
+                 .drop("__segment"))
+    reg.record_segments("events_sys_pub", path, "day")
+    return druid_sql(spark, """
+        SELECT datasource, start AS seg_start, `end` AS seg_end,
+               num_rows, is_published
+        FROM sys.segments WHERE datasource = 'events_sys_pub'
+    """, reg)
+
+
+@_q("info_schema_columns", """
+SELECT * FROM (VALUES
+  ('nation', 'n_nationkey', '1', 'INTEGER', 'YES'),
+  ('nation', 'n_name', '2', 'VARCHAR', 'YES'),
+  ('nation', 'n_regionkey', '3', 'INTEGER', 'YES')
+) AS t(TABLE_NAME, COLUMN_NAME, ORDINAL_POSITION, DATA_TYPE, IS_NULLABLE)
+""")
+def _info_schema_columns(spark, sf_dir):
+    """INFORMATION_SCHEMA.COLUMNS (InformationSchema.java:96-112) via
+    the Druid SQL spelling."""
+    reg = _registry(spark, sf_dir)
+    return druid_sql(spark, """
+        SELECT TABLE_NAME, COLUMN_NAME, ORDINAL_POSITION, DATA_TYPE,
+               IS_NULLABLE
+        FROM INFORMATION_SCHEMA.COLUMNS
+        WHERE TABLE_SCHEMA = 'druid' AND TABLE_NAME = 'nation'
+    """, reg)
+
+
+@_q("contrib_time_min_max", """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uniq_users,
+       epoch_ms(MIN(ts)) AS first_ms,
+       epoch_ms(MAX(ts)) AS last_ms
+FROM events GROUP BY 1
+""")
+def _contrib_time_min_max(spark, sf_dir):
+    """contrib distinctCount + timeMin/timeMax aggregators
+    (extensions-contrib/distinctcount/DistinctCountAggregatorFactory.java,
+    extensions-contrib/time-min-max/TimestampMinMaxModule.java:38-40)."""
+    return compile_query({
+        "queryType": "groupBy", "dataSource": "events",
+        "granularity": "all", "dimensions": ["event_type"],
+        "aggregations": [
+            {"type": "distinctCount", "name": "uniq_users",
+             "fieldName": "user_id"},
+            {"type": "timeMin", "name": "first_ms"},
+            {"type": "timeMax", "name": "last_ms"},
+        ],
+    }, _registry(spark, sf_dir))
+
+
 @_q("agg_string_first_last", """
 SELECT min_by(event_type, ts) AS first_type,
        max_by(event_type, ts) AS last_type,
@@ -2898,7 +2990,8 @@ _R01_RED = ("agg_filtered_sum", "sql_insert_extern", "hll_user_cardinality")
 # Highest-risk never-checked families, per VERDICT.md #1 (spatial, bloom,
 # movingAverage, limitspec comparators, MV specs, streaming union, ...).
 _PROMOTE = (
-    "hll_sketch_rollup_merge",
+    "hll_sketch_rollup_merge", "sys_segments_catalog",
+    "info_schema_columns", "contrib_time_min_max",
     "spatial_rectangular", "spatial_polygon", "bloom_dim_filter",
     "moving_average_monthly", "limitspec_alphanumeric", "limitspec_offset",
     "dim_list_filtered_tokens", "dim_regex_filtered", "dim_prefix_filtered",

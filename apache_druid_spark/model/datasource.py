@@ -39,6 +39,9 @@ class DatasourceRegistry:
     _tables: dict[str, DataFrame] = field(default_factory=dict)
     _lookups: dict[str, DataFrame] = field(default_factory=dict)
     time_columns: dict[str, str] = field(default_factory=dict)
+    # datasource -> {"path", "granularity"} for published segment sets
+    # (feeds sys.segments, sql/catalog.py)
+    _segments: dict[str, dict] = field(default_factory=dict)
 
     # -- registration ---------------------------------------------------
     def register(
@@ -114,6 +117,14 @@ class DatasourceRegistry:
         if not kv:
             return F.lit(None).cast("map<string,string>")
         return F.create_map(*kv)
+
+    def record_segments(self, name: str, path: str,
+                        segment_granularity: str = "day") -> None:
+        """Remember where a datasource's published segment set lives so
+        the sys.segments catalog (sql/catalog.py) can enumerate it —
+        the metadata-store SegmentsTable analogue."""
+        self._segments[name] = {"path": path,
+                                "granularity": str(segment_granularity)}
 
     def names(self) -> list[str]:
         return sorted(self._tables)

@@ -116,6 +116,22 @@ def compile_aggregator(spec: dict, df=None, registry=None) -> Column:
         # exact distinct — a strict-accuracy upgrade Druid can't do
         # without sketches because it never shuffles (SURVEY §2.7)
         return F.count_distinct(_field(spec, registry)).alias(name)
+    if t == "distinctCount":
+        # contrib extensions-contrib/distinctcount/
+        # DistinctCountAggregatorFactory.java (exact per-segment bitmap
+        # count; Spark's shuffled count_distinct is globally exact, so
+        # this is the same strict-accuracy upgrade as thetaSketch)
+        return F.count_distinct(_field(spec, registry)).alias(name)
+    if t in ("timeMin", "timeMax"):
+        # contrib extensions-contrib/time-min-max/
+        # TimestampMinMaxModule.java:38-40; fieldName defaults to the
+        # row timestamp, result is epoch millis
+        # (TimestampAggregatorFactory stores long millis)
+        src = (fcol(spec["fieldName"]) if spec.get("fieldName")
+               else fcol(TIME_COLUMN))
+        millis = F.unix_millis(src.cast("timestamp"))
+        fn = F.min if t == "timeMin" else F.max
+        return fn(millis).alias(name)
     if t in ("quantilesDoublesSketch",):
         return F.percentile_approx(
             _field(spec, registry).cast("double"), 0.5, 10000).alias(name)

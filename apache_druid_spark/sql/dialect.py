@@ -146,8 +146,30 @@ def _rewrite_floor_to(text: str) -> str:
     return _FLOOR_TO_RE.sub(sub, text)
 
 
+_CATALOG_RE = re.compile(
+    r"\b(sys)\.(segments|servers|tasks|supervisors)\b"
+    r"|\b(INFORMATION_SCHEMA)\.(SCHEMATA|TABLES|COLUMNS)\b",
+    re.IGNORECASE)
+
+
+def _rewrite_catalog_tables(text: str) -> str:
+    """sys.segments / INFORMATION_SCHEMA.COLUMNS -> flat view names
+    registered by sql/catalog.py (Spark temp views can't be dotted)."""
+    spans = _string_spans(text)
+
+    def sub(m: re.Match) -> str:
+        if any(a <= m.start() < b for a, b in spans):
+            return m.group(0)
+        if m.group(1):
+            return f"sys_{m.group(2).lower()}"
+        return f"information_schema_{m.group(4).lower()}"
+
+    return _CATALOG_RE.sub(sub, text)
+
+
 def translate(text: str, time_column: str = TIME_COLUMN) -> str:
     """Rewrite Druid SQL aggregate surface into Spark SQL."""
+    text = _rewrite_catalog_tables(text)
     text = _rewrite_floor_to(text)
     # Calcite accepts unsized VARCHAR in CASTs; Spark wants STRING
     text = _rewrite_bare_varchar(text)
@@ -227,4 +249,12 @@ def druid_sql(spark: SparkSession, text: str, registry=None) -> DataFrame:
             for name in registry.names():
                 registry.table(name).createOrReplaceTempView(name)
         spark._druid_sql_registered = id(registry)
-    return spark.sql(translate(text))
+    translated = translate(text)
+    if registry is not None and ("sys_" in translated
+                                 or "information_schema_" in translated):
+        # rebuild the catalog views so they reflect publishes/streams
+        # that happened since the last call (broker metadata refresh)
+        from apache_druid_spark.sql.catalog import register_system_views
+
+        register_system_views(registry)
+    return spark.sql(translated)

@@ -111,4 +111,5 @@ def druid_sql_insert(spark: SparkSession, text: str, registry,
                    mode=mode)
     df = spark.read.parquet(path).drop("__segment")
     registry.register(spec["target"], df)
+    registry.record_segments(spec["target"], path, spec["granularity"])
     return df
