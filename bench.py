@@ -42,6 +42,11 @@ HEADLINE = [
     "sql_time_floor_revenue",      # Druid SQL dialect path
     "moving_average_monthly",      # windowed averagers over bucket grid
     "mv_token_counts",             # multi-value explode groupBy
+    "groupby_subtotals",           # grouping-sets subtotals
+    "salted_groupby_skew",         # two-phase skew-salted aggregation
+    "dedup_ngram_jaccard",         # pipeline: inverted-index jaccard
+    "hll_sketch_rollup_merge",     # sketch-state rollup/publish/merge
+    "streaming_rollup_hourly",     # structured-streaming rollup (cold)
 ]
 
 
