@@ -1012,6 +1012,128 @@ def _similarity_lsh_topk(spark, sf_dir):
                            _QUERY_VEC, k=10, bits=12, hamming_radius=4)
 
 
+def _ivf_oracle(n_cells: int = 16, n_probe: int = 4, k: int = 10) -> str:
+    """DuckDB replica of ivf_topk: identical centroid literals,
+    ROW_NUMBER argmax with the same score-DESC/cell-DESC tie-break as
+    Spark's array_max over (score, cell) structs, same probe set."""
+    import math
+
+    from apache_druid_spark.pipeline.similarity import (
+        ivf_centroids, ivf_probe_cells,
+    )
+
+    cents = ivf_centroids(n_cells, len(_QUERY_VEC))
+    probes = ivf_probe_cells(_QUERY_VEC, cents, n_probe)
+    rows = []
+    for i, c in enumerate(cents):
+        nrm = math.sqrt(sum(x * x for x in c)) or 1.0
+        lit = "[" + ", ".join(repr(x) for x in c) + "]"
+        rows.append(f"({i}, CAST({lit} AS DOUBLE[]), {nrm!r})")
+    values = ",\n       ".join(rows)
+    probe_csv = ", ".join(str(p) for p in probes)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c(cell, cen, nrm) AS (VALUES {values}),
+s AS (
+  SELECT vec_id, v, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY list_dot_product(v, cen) / nrm DESC, cell DESC) AS rn
+  FROM e CROSS JOIN c),
+a AS (SELECT vec_id, v FROM s WHERE rn = 1 AND cell IN ({probe_csv})),
+r AS (SELECT vec_id,
+             ROUND(list_cosine_similarity(v, CAST({_vec_literal()}
+                   AS DOUBLE[])), 6) AS cosine
+      FROM a)
+SELECT vec_id, cosine FROM r ORDER BY cosine DESC, vec_id LIMIT {k}
+"""
+
+
+@_q("similarity_ivf_topk", _ivf_oracle())
+def _similarity_ivf_topk(spark, sf_dir):
+    """IVF ANN: nearest-centroid cell assignment, probe the 4 nearest
+    cells, exact cosine re-rank (pipeline/similarity.py:ivf_topk)."""
+    from apache_druid_spark.pipeline import ivf_topk
+
+    return ivf_topk(_registry(spark, sf_dir).table("embeddings"),
+                    _QUERY_VEC, k=10, n_cells=16, n_probe=4)
+
+
+def _emb_pairs_oracle(bits: int = 8, tables: int = 2,
+                      threshold: float = 0.35) -> str:
+    """DuckDB replica of embedding_cosine_pairs: same seeded
+    hyperplane sign buckets per table, blocked self-join, exact cosine
+    rounded to 6, distinct pairs across tables."""
+    from apache_druid_spark.pipeline.similarity import hyperplanes
+
+    selects = []
+    for t in range(tables):
+        planes = hyperplanes(bits, len(_QUERY_VEC), seed=f"emb{t}:")
+        terms = []
+        for i, p in enumerate(planes):
+            lit = "[" + ", ".join(f"{x:.1f}" for x in p) + "]"
+            terms.append(
+                f"CASE WHEN list_dot_product(v, CAST({lit} AS DOUBLE[]))"
+                f" > 0 THEN {1 << i} ELSE 0 END")
+        bucket = " + ".join(terms)
+        selects.append(
+            f"SELECT vec_id, v, {t} AS tbl, ({bucket}) AS bkt FROM e")
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS ({union})
+SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.v, b2.v), 6) AS cosine
+FROM b a JOIN b b2
+  ON a.tbl = b2.tbl AND a.bkt = b2.bkt AND a.vec_id < b2.vec_id
+WHERE ROUND(list_cosine_similarity(a.v, b2.v), 6) >= {threshold}
+"""
+
+
+@_q("dedup_embedding_cosine", _emb_pairs_oracle())
+def _dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: 2-table LSH sign-bucket
+    blocking + exact cosine >= 0.35 (pipeline/dedup.py:
+    embedding_cosine_pairs)."""
+    from apache_druid_spark.pipeline import embedding_cosine_pairs
+
+    return embedding_cosine_pairs(
+        _registry(spark, sf_dir).table("embeddings"), dim=64,
+        threshold=0.35, bits=8, tables=2)
+
+
+@_q("streaming_stateful_running_agg", """
+SELECT event_type, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS total
+FROM events GROUP BY 1
+""")
+def _streaming_stateful_running_agg(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState): per-key
+    running (count, sum) carried across micro-batches — the
+    queryable-in-flight-sink state no tumbling window holds
+    (streaming/stateful.py). Final state == batch aggregate."""
+    import tempfile
+
+    from apache_druid_spark.streaming import (
+        final_state, run_updates_to_memory, running_rollup,
+    )
+
+    reg = _registry(spark, sf_dir)
+    src = reg.table("events").select("event_type", "value")
+    tmp = tempfile.mkdtemp(prefix="stateful_src_")
+    # two part-files + maxFilesPerTrigger=1 => state provably carries
+    # across at least two micro-batches
+    src.repartition(2).write.mode("overwrite").parquet(tmp)
+    schema = spark.read.parquet(tmp).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(tmp))
+    updates = running_rollup(stream, "event_type", "value")
+    name = "stateful_running_agg"
+    ckpt = tempfile.mkdtemp(prefix="stateful_ckpt_")
+    run_updates_to_memory(updates, name, ckpt)
+    return (final_state(spark, name, "event_type")
+            .select("event_type", "cnt",
+                    F.round("total", 4).alias("total")))
+
+
 @_q("timeseries_zero_fill", """
 WITH b AS (
   SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
@@ -2992,6 +3114,8 @@ _R01_RED = ("agg_filtered_sum", "sql_insert_extern", "hll_user_cardinality")
 _PROMOTE = (
     "hll_sketch_rollup_merge", "sys_segments_catalog",
     "info_schema_columns", "contrib_time_min_max",
+    "similarity_ivf_topk", "dedup_embedding_cosine",
+    "streaming_stateful_running_agg",
     "spatial_rectangular", "spatial_polygon", "bloom_dim_filter",
     "moving_average_monthly", "limitspec_alphanumeric", "limitspec_offset",
     "dim_list_filtered_tokens", "dim_regex_filtered", "dim_prefix_filtered",

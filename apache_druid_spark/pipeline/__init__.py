@@ -9,11 +9,11 @@ multimodal decode stubs (Arrow-batched mapInPandas).
 """
 
 from apache_druid_spark.pipeline.dedup import (
-    exact_dedup, minhash_signatures, minhash_lsh_pairs, simhash,
-    ngram_jaccard_pairs,
+    embedding_cosine_pairs, exact_dedup, minhash_signatures,
+    minhash_lsh_pairs, simhash, ngram_jaccard_pairs,
 )
 from apache_druid_spark.pipeline.similarity import (
-    cosine_topk, lsh_bucket_topk,
+    cosine_topk, ivf_topk, lsh_bucket_topk,
 )
 from apache_druid_spark.pipeline.text import (
     token_stats, language_id, quality_score, fingerprint,
@@ -21,6 +21,7 @@ from apache_druid_spark.pipeline.text import (
 
 __all__ = [
     "exact_dedup", "minhash_signatures", "minhash_lsh_pairs", "simhash",
-    "ngram_jaccard_pairs", "cosine_topk", "lsh_bucket_topk",
+    "ngram_jaccard_pairs", "embedding_cosine_pairs",
+    "cosine_topk", "ivf_topk", "lsh_bucket_topk",
     "token_stats", "language_id", "quality_score", "fingerprint",
 ]

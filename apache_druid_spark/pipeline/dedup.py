@@ -191,6 +191,69 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return hashed.select(F.col(id_col), fp.alias("simhash"))
 
 
+def embedding_cosine_pairs(df: DataFrame, dim: int,
+                           threshold: float = 0.35, bits: int = 8,
+                           tables: int = 2, vec_col: str = "embedding",
+                           id_col: str = "vec_id",
+                           max_bucket_size: int = 10000,
+                           round_to: int | None = 6) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked.
+
+    Each of ``tables`` independent random-hyperplane sign buckets blocks
+    the self-join: only vectors sharing a (table, bucket) cell are
+    compared, so work scales with bucket collisions (n^2 / 2^bits per
+    table in expectation), never |docs|^2. Exact cosine on candidates,
+    keep pairs >= threshold, distinct across tables. More tables raise
+    recall at linear candidate cost — the standard LSH amplification.
+
+    ``max_bucket_size`` drops degenerate cells (a pile of identical
+    embeddings) the same way minhash_lsh_pairs does: identical vectors
+    are exact_dedup's job, not pair expansion's. At 100 TB the buckets
+    are materialized at ingest and the table clustered by them, making
+    the self-join co-partitioned."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    from apache_druid_spark.pipeline.similarity import (
+        _norm, hyperplanes, lsh_bucket,
+    )
+
+    base = parallelize_scan(df).select(F.col(id_col), F.col(vec_col))
+    views = []
+    for t in range(tables):
+        planes = hyperplanes(bits, dim, seed=f"emb{t}:")
+        views.append(base.select(
+            F.col(id_col), F.col(vec_col),
+            F.lit(t).alias("__table"),
+            lsh_bucket(F.col(vec_col), planes).alias("__bucket")))
+    blocked = reduce(lambda x, y: x.unionAll(y), views)
+    blocked = blocked.withColumn(
+        "__bsz",
+        F.count(F.lit(1)).over(Window.partitionBy("__table", "__bucket")))
+    blocked = (blocked.filter(F.col("__bsz") <= max_bucket_size)
+               .withColumn("__nrm", _norm(F.col(vec_col))))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    cosine = dot / (F.col("a.__nrm") * F.col("b.__nrm"))
+    if round_to is not None:
+        cosine = F.round(cosine, round_to)
+    pairs = (
+        a.join(b, [F.col("a.__table") == F.col("b.__table"),
+                   F.col("a.__bucket") == F.col("b.__bucket"),
+                   F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+         .select(F.col(f"a.{id_col}").alias("id_a"),
+                 F.col(f"b.{id_col}").alias("id_b"),
+                 cosine.alias("cosine"))
+         .filter(F.col("cosine") >= threshold)
+         .distinct()
+    )
+    return pairs
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", shingle_k: int = 3,
                         threshold: float = 0.8,

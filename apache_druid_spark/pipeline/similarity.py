@@ -36,13 +36,12 @@ def _norm(vec_col):
         F.lit(0.0), lambda acc, x: acc + x))
 
 
-def cosine_topk(df: DataFrame, query: list[float], k: int = 10,
-                vec_col: str = "embedding", id_col: str = "vec_id",
-                round_to: int | None = 6) -> DataFrame:
-    """Exact cosine top-k against a literal query vector."""
+def _rank_topk(df: DataFrame, query: list[float], k: int,
+               vec_col: str, id_col: str,
+               round_to: int | None) -> DataFrame:
+    """Exact cosine re-rank (no repartition — callers own layout)."""
     import math
 
-    df = parallelize_scan(df)
     qnorm = math.sqrt(sum(float(x) * float(x) for x in query)) or 1.0
     score = _dot_literal(F.col(vec_col), query) / (_norm(F.col(vec_col)) * F.lit(qnorm))
     if round_to is not None:
@@ -52,13 +51,23 @@ def cosine_topk(df: DataFrame, query: list[float], k: int = 10,
               .limit(k))
 
 
-def hyperplanes(bits: int, dim: int) -> list[list[float]]:
-    """Deterministic +-1 hyperplanes from md5 parity (engine-agnostic)."""
+def cosine_topk(df: DataFrame, query: list[float], k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                round_to: int | None = 6) -> DataFrame:
+    """Exact cosine top-k against a literal query vector."""
+    return _rank_topk(parallelize_scan(df), query, k, vec_col, id_col,
+                      round_to)
+
+
+def hyperplanes(bits: int, dim: int, seed: str = "") -> list[list[float]]:
+    """Deterministic +-1 hyperplanes from md5 parity (engine-agnostic).
+    ``seed`` prefixes the digest input so callers can derive multiple
+    independent plane sets (multi-table LSH)."""
     planes = []
     for b in range(bits):
         row = []
         for d in range(dim):
-            h = hashlib.md5(f"{b}-{d}".encode()).hexdigest()
+            h = hashlib.md5(f"{seed}{b}-{d}".encode()).hexdigest()
             row.append(1.0 if int(h[:8], 16) % 2 == 0 else -1.0)
         planes.append(row)
     return planes
@@ -82,6 +91,77 @@ def query_bucket(query: list[float], planes: list[list[float]]) -> int:
     return out
 
 
+def ivf_centroids(n_cells: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random centroids, uniform in [-1, 1).
+
+    Components are md5-derived and rounded to 6 decimals so the exact
+    same literals can be embedded in any engine's SQL (the decimal
+    string parses to the identical IEEE double everywhere). At 100 TB
+    these would instead come from MLlib KMeans over an ingest-time
+    sample; everything downstream is unchanged."""
+    cells = []
+    for c in range(n_cells):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"ivf-{c}-{d}".encode()).hexdigest()
+            row.append(round(int(h[:8], 16) / 2.0 ** 31 - 1.0, 6))
+        cells.append(row)
+    return cells
+
+
+def ivf_assign(vec_col, centroids: list[list[float]]):
+    """Cell id = argmax over centroids of dot(vec, c)/||c||, computed
+    as array_max over (score, cell) structs — ties break to the
+    highest cell id, mirrored by the oracle's ORDER BY score DESC,
+    cell DESC."""
+    import math
+
+    scored = []
+    for i, c in enumerate(centroids):
+        nrm = math.sqrt(sum(x * x for x in c)) or 1.0
+        scored.append(F.struct(
+            (_dot_literal(vec_col, c) / F.lit(nrm)).alias("score"),
+            F.lit(i).alias("cell")))
+    return F.array_max(F.array(*scored)).getField("cell")
+
+
+def ivf_probe_cells(query: list[float], centroids: list[list[float]],
+                    n_probe: int) -> list[int]:
+    """Driver-side probe-set selection: the n_probe cells whose
+    centroid is closest to the query."""
+    import math
+
+    scores = []
+    for i, c in enumerate(centroids):
+        nrm = math.sqrt(sum(x * x for x in c)) or 1.0
+        scores.append((sum(a * b for a, b in zip(query, c)) / nrm, i))
+    scores.sort(key=lambda t: (-t[0], -t[1]))
+    return sorted(i for _, i in scores[:n_probe])
+
+
+def ivf_topk(df: DataFrame, query: list[float], k: int = 10,
+             n_cells: int = 16, n_probe: int = 4,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             round_to: int | None = 6) -> DataFrame:
+    """IVF ANN top-k: assign every vector to its nearest of ``n_cells``
+    centroids (one codegen scan), prune to the ``n_probe`` cells
+    nearest the query, exact cosine re-rank on the survivors.
+
+    Scale path (100 TB): the cell id is materialized at ingest and the
+    table is clustered/partitioned by it, so the probe filter becomes
+    partition pruning — the scan touches n_probe/n_cells of the files.
+    n_probe trades recall for latency exactly as in FAISS-style IVF.
+
+    Reference has no ANN surface; this extends the engine for
+    embedding-scale training-data pipelines."""
+    df = parallelize_scan(df)
+    centroids = ivf_centroids(n_cells, len(query))
+    probes = ivf_probe_cells(query, centroids, n_probe)
+    with_cell = df.withColumn("__cell", ivf_assign(F.col(vec_col), centroids))
+    candidates = with_cell.filter(F.col("__cell").isin(probes))
+    return _rank_topk(candidates, query, k, vec_col, id_col, round_to)
+
+
 def lsh_bucket_topk(df: DataFrame, query: list[float], k: int = 10,
                     bits: int = 12, hamming_radius: int = 3,
                     vec_col: str = "embedding", id_col: str = "vec_id",
@@ -99,4 +179,4 @@ def lsh_bucket_topk(df: DataFrame, query: list[float], k: int = 10,
     with_bucket = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
     candidates = with_bucket.filter(
         F.bit_count(F.col("__bucket").bitwiseXOR(F.lit(qb))) <= hamming_radius)
-    return cosine_topk(candidates, query, k, vec_col, id_col, round_to)
+    return _rank_topk(candidates, query, k, vec_col, id_col, round_to)

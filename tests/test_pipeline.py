@@ -141,3 +141,53 @@ def test_multimodal_frame_sampling(docs):
     rows = frames.collect()
     assert len(rows) > 0
     assert all(r["frame_ms"] % 1000 == 0 for r in rows)
+
+
+def test_ivf_topk_equals_exact_when_probing_all_cells(emb):
+    from apache_druid_spark.pipeline import ivf_topk
+
+    q = [1.0] * 64
+    exact = cosine_topk(emb, q, k=5).collect()
+    ivf_all = ivf_topk(emb, q, k=5, n_cells=8, n_probe=8).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in ivf_all] == \
+           [(r["vec_id"], r["cosine"]) for r in exact]
+
+
+def test_ivf_topk_pruned_is_subset_of_exact_scores(emb):
+    from apache_druid_spark.pipeline import ivf_topk
+
+    q = [1.0] * 64
+    n = emb.count()
+    exact = {(r["vec_id"], r["cosine"])
+             for r in cosine_topk(emb, q, k=n).collect()}
+    pruned = ivf_topk(emb, q, k=5, n_cells=8, n_probe=2).collect()
+    assert 0 < len(pruned) <= 5
+    # descending score order and scores identical to the exact ranking
+    scores = [r["cosine"] for r in pruned]
+    assert scores == sorted(scores, reverse=True)
+    assert all((r["vec_id"], r["cosine"]) in exact for r in pruned)
+
+
+def test_embedding_cosine_pairs_finds_planted_dups(emb):
+    from apache_druid_spark.pipeline import embedding_cosine_pairs
+
+    dups = emb.limit(3).withColumn("vec_id", F.col("vec_id") + 100000)
+    with_dups = emb.unionByName(dups)
+    pairs = embedding_cosine_pairs(with_dups, dim=64, threshold=0.99,
+                                   bits=8, tables=2).collect()
+    # identical vectors share every sign bucket -> all 3 pairs found
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    expected = {(r["vec_id"], r["vec_id"] + 100000)
+                for r in emb.limit(3).collect()}
+    assert expected <= found
+    assert all(r["cosine"] >= 0.99 for r in pairs)
+    assert all(r["id_a"] < r["id_b"] for r in pairs)
+
+
+def test_embedding_cosine_pairs_distinct_across_tables(emb):
+    from apache_druid_spark.pipeline import embedding_cosine_pairs
+
+    pairs = embedding_cosine_pairs(emb, dim=64, threshold=0.2,
+                                   bits=6, tables=2).collect()
+    keys = [(r["id_a"], r["id_b"]) for r in pairs]
+    assert len(keys) == len(set(keys))

@@ -76,3 +76,36 @@ def test_stream_rollup_matches_batch(spark, tmp_path):
     for k, (cnt, tv) in want.items():
         assert got[k][0] == cnt
         assert abs(got[k][1] - tv) < 1e-6
+
+
+def test_stateful_running_rollup_carries_state(spark, registry, tmp_path):
+    """applyInPandasWithState: final per-key state equals the batch
+    aggregate, and state provably crosses micro-batch boundaries."""
+    from pyspark.sql import functions as F
+
+    from apache_druid_spark.streaming import (
+        final_state, run_updates_to_memory, running_rollup,
+    )
+
+    src = registry.table("events").select("event_type", "value")
+    path = str(tmp_path / "src")
+    src.repartition(2).write.parquet(path)
+    schema = spark.read.parquet(path).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(path))
+    updates = running_rollup(stream, "event_type", "value")
+    run_updates_to_memory(updates, "t_stateful", str(tmp_path / "ckpt"))
+
+    log = spark.table("t_stateful")
+    # at least one key must have been updated in 2+ micro-batches
+    multi = (log.groupBy("event_type").count()
+             .filter(F.col("count") > 1).count())
+    assert multi > 0
+
+    got = {r["event_type"]: (r["cnt"], round(r["total"], 4))
+           for r in final_state(spark, "t_stateful", "event_type").collect()}
+    want = {r["event_type"]: (r["cnt"], round(r["total"], 4))
+            for r in src.groupBy("event_type")
+                        .agg(F.count(F.lit(1)).alias("cnt"),
+                             F.sum("value").alias("total")).collect()}
+    assert got == want
