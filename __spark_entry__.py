@@ -3032,17 +3032,20 @@ def _moving_average_monthly(spark, sf_dir):
 
 def _jaccard_oracle(shingle_k: int = 5, threshold: float = 0.2,
                     max_freq: int = 100) -> str:
-    """DuckDB replica of ngram_jaccard_pairs (inverted-index join)."""
+    """DuckDB replica of ngram_jaccard_pairs (inverted index over
+    60-bit md5-prefix shingle hashes, same hash as the Spark plan)."""
+    h = _hex_to_long_sql("md5(shingle)", 15)
     return f"""
 WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
 sh0 AS (SELECT doc_id, {_shingles_sql(shingle_k)} AS shingles FROM toks),
 sh AS (SELECT doc_id, unnest(list_distinct(shingles)) AS shingle FROM sh0),
-ok AS (SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) <= {max_freq}),
-shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN ok USING (shingle)),
+hs AS (SELECT doc_id, {h} AS h FROM sh),
+ok AS (SELECT h FROM hs GROUP BY 1 HAVING COUNT(*) <= {max_freq}),
+shf AS (SELECT hs.doc_id, hs.h FROM hs JOIN ok USING (h)),
 sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM shf GROUP BY 1),
 shared AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shf a JOIN shf b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT id_a, id_b,
        ROUND(shared / (sa.set_size + sb.set_size - shared), 6) AS jaccard

@@ -260,34 +260,46 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         max_shingle_freq: int = 1000) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing >=1 shingle.
 
-    Inverted-index join: explode distinct shingles, drop ultra-common
-    shingles (stop-shingles would create quadratic buckets), self-join
-    on shingle, count shared, then |A u B| = |A| + |B| - shared.
-    This is the exact verification pass to run AFTER minhash_lsh_pairs
-    at full scale; on its own it is fine up to ~10M docs."""
+    Inverted index: explode each doc's distinct shingles as 60-bit
+    md5-prefix hashes (the shuffle/join payload is an 8-byte long, not
+    the shingle text; a 2^-60 collision rate is far below any near-dup
+    noise floor), drop ultra-common shingles, then expand candidate
+    pairs per posting list and count shared shingles per pair.
+    |A u B| = |A| + |B| - shared.
+
+    Shape at scale: stop-shingles (doc-freq > cap) are found first and
+    broadcast as a LEFT ANTI join — the stop set is tiny by
+    construction while the kept vocabulary is billions of rows, so
+    broadcasting any other side would die at corpus scale; the anti
+    join also keeps degenerate posting lists from ever materializing.
+    Pair generation is a hash self-join on the 8-byte shingle hash —
+    with millions of tiny posting lists a groupBy+collect_list bucket
+    expansion (minhash's shape, right for its few large buckets)
+    degrades to object-hash aggregation over per-group arrays, while
+    the join stays in codegen. This is the exact verification pass to
+    run AFTER minhash_lsh_pairs at full scale; on its own it is fine
+    up to ~10M docs."""
     sh = parallelize_scan(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(_shingles(F.col(text_col), shingle_k))
                   ).alias("shingle"),
+    ).select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+         .cast("long").alias("h"),
     )
-    # Shingle doc-frequency cap. Broadcast the STOP-shingle set (df >
-    # cap) and anti-join: at corpus scale the kept vocabulary is
-    # billions of rows (would blow any broadcast ceiling) while the
-    # stop set is tiny by construction — broadcasting the small,
-    # bounded side is the only direction that survives 100 TB.
-    stop = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    stop = (sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
               .filter(F.col("df") > max_shingle_freq)
-              .select("shingle"))
-    sh = sh.join(F.broadcast(stop), "shingle", "left_anti")
+              .select("h"))
+    sh = sh.join(F.broadcast(stop), "h", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
-        a.join(b, [F.col("a.shingle") == F.col("b.shingle"),
+        a.join(b, [F.col("a.h") == F.col("b.h"),
                    F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
          .groupBy(F.col(f"a.{id_col}").alias("id_a"),
                   F.col(f"b.{id_col}").alias("id_b"))
-         .agg(F.count(F.lit(1)).alias("shared"))
-    )
+         .agg(F.count(F.lit(1)).alias("shared")))
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     out = (
