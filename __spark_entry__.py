@@ -1275,6 +1275,48 @@ def _hll_sketch_rollup_merge(spark, sf_dir):
                      <= 0.05 * F.col("uniq_exact")).alias("hll_within_5pct")))
 
 
+@_q("segment_pruned_timeseries", """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS __time,
+       COUNT(*) AS cnt
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-08'
+GROUP BY 1
+""")
+def _segment_pruned_timeseries(spark, sf_dir):
+    """Interval -> __segment partition pruning on a published segment
+    set (VersionedIntervalTimeline.lookup as directory pruning): the
+    scan's PartitionFilters touch only the 3 queried day-chunks of the
+    datasource (asserted in tests/test_plan_shapes.py)."""
+    import tempfile
+
+    from apache_druid_spark.ingest import ingest
+    from apache_druid_spark.ingest.batch import write_segments
+
+    reg = _registry(spark, sf_dir)
+    rolled = ingest(spark, {
+        "ioConfig": {
+            "inputSource": {"type": "local",
+                            "files": [f"{sf_dir}/events.parquet"]},
+            "inputFormat": {"type": "parquet"}},
+        "dataSchema": {
+            "timestampSpec": {"column": "ts", "format": "nano"},
+            "dimensionsSpec": {"dimensions": ["event_type"]},
+            "metricsSpec": [{"type": "count", "name": "cnt"}],
+            "granularitySpec": {"rollup": True,
+                                "queryGranularity": "hour"}},
+    })
+    path = tempfile.mkdtemp(prefix="seg_prune_") + "/events_pruned"
+    write_segments(rolled, path, segment_granularity="day")
+    reg.register_published("events_pruned", path, "day")
+    return compile_query({
+        "queryType": "timeseries", "dataSource": "events_pruned",
+        "granularity": "day",
+        "intervals": ["2024-01-05/2024-01-08"],
+        "aggregations": [{"type": "longSum", "name": "cnt",
+                          "fieldName": "cnt"}],
+    }, reg)
+
+
 @_q("ingest_inline_csv", """
 SELECT __time, id, CAST(v2 AS DOUBLE) AS v2 FROM (VALUES
   (TIMESTAMP '2024-01-01 00:10:00', '1', 7.0),
@@ -3118,7 +3160,7 @@ _PROMOTE = (
     "hll_sketch_rollup_merge", "sys_segments_catalog",
     "info_schema_columns", "contrib_time_min_max",
     "similarity_ivf_topk", "dedup_embedding_cosine",
-    "streaming_stateful_running_agg",
+    "streaming_stateful_running_agg", "segment_pruned_timeseries",
     "spatial_rectangular", "spatial_polygon", "bloom_dim_filter",
     "moving_average_monthly", "limitspec_alphanumeric", "limitspec_offset",
     "dim_list_filtered_tokens", "dim_regex_filtered", "dim_prefix_filtered",

@@ -126,6 +126,27 @@ class DatasourceRegistry:
         self._segments[name] = {"path": path,
                                 "granularity": str(segment_granularity)}
 
+    def segment_info(self, name: str) -> dict | None:
+        return self._segments.get(name)
+
+    def register_published(self, name: str, path: str,
+                           segment_granularity: str = "day") -> DataFrame:
+        """Register a published segment set (write_segments output),
+        KEEPING the ``__segment`` partition column so the query
+        compiler can turn interval predicates into partition-directory
+        pruning — Druid's timeline segment pruning
+        (VersionedIntervalTimeline.lookup). The column is stripped
+        before query operators see the frame (plans/compiler.py), so it
+        is an implementation detail exactly like Druid's segment ids.
+
+        At 100 TB this is the difference between listing/opening every
+        segment file for footer stats and never touching directories
+        outside the queried interval."""
+        df = self.spark.read.parquet(path)
+        self._tables[name] = df
+        self.record_segments(name, path, segment_granularity)
+        return df
+
     def names(self) -> list[str]:
         return sorted(self._tables)
 

@@ -124,20 +124,90 @@ def _join_condition(expr_text: str, left: DataFrame, right: DataFrame,
 # ---------------------------------------------------------------------------
 
 def _base_frame(q: dict, registry: DatasourceRegistry) -> DataFrame:
-    """datasource -> intervals filter -> virtual columns -> filter.
+    """datasource -> segment pruning -> intervals filter -> virtual
+    columns -> filter.
 
     Interval predicates go first so Catalyst pushes the ``__time`` range
-    into the scan (partition pruning at scale)."""
+    into the scan (partition pruning at scale). For published segment
+    sets (register_published) the interval additionally becomes a
+    predicate on the ``__segment`` partition column — Druid's timeline
+    lookup (VersionedIntervalTimeline) as directory-level pruning."""
     df = resolve_datasource(q["dataSource"], registry)
     intervals = _intervals_of(q)
     if intervals:
+        df = _prune_segments(df, q["dataSource"], intervals, registry)
         df = df.filter(interval_predicate(F.col(TIME_COLUMN), intervals))
+    if "__segment" in df.columns:
+        df = df.drop("__segment")  # segment id is not query-visible
     for vc in q.get("virtualColumns", []) or []:
         df = _apply_virtual_column(df, vc, registry)
     flt = q.get("filter")
     if flt is not None:
         df = df.filter(compile_filter(flt, df, registry))
     return df
+
+
+def _segment_floor(dt, gran: str):
+    """Python replica of time_floor_col for the named segment
+    granularities write_segments accepts (UTC, week starts Monday)."""
+    from datetime import timedelta
+
+    dt = dt.replace(minute=0, second=0, microsecond=0)
+    if gran == "hour":
+        return dt
+    dt = dt.replace(hour=0)
+    if gran == "day":
+        return dt
+    if gran == "week":
+        return dt - timedelta(days=dt.weekday())
+    dt = dt.replace(day=1)
+    if gran == "month":
+        return dt
+    if gran == "quarter":
+        return dt.replace(month=(dt.month - 1) // 3 * 3 + 1)
+    if gran == "year":
+        return dt.replace(month=1)
+    return None
+
+
+def _prune_segments(df: DataFrame, datasource, intervals: list[str],
+                    registry: DatasourceRegistry) -> DataFrame:
+    """Add a ``__segment`` range predicate derived from the query
+    intervals. Segment ids are ``yyyy-MM-dd'T'HH`` strings, so
+    lexicographic comparison is chronological; the predicate lands on
+    the partition column and prunes directories before any file is
+    listed or opened."""
+    from datetime import datetime, timedelta, timezone as _tz
+
+    if not isinstance(datasource, str) or "__segment" not in df.columns:
+        return df
+    info = registry.segment_info(datasource)
+    if not info:
+        return df
+    gran = info["granularity"].lower()
+    preds = []
+    for iv in intervals:
+        try:
+            start_s, end_s = iv.split("/")
+            parse = lambda s: datetime.fromisoformat(
+                s.replace("Z", "+00:00"))
+            s, e = parse(start_s), parse(end_s)
+            norm = lambda d: (d.astimezone(_tz.utc).replace(tzinfo=None)
+                              if d.tzinfo else d)
+            s, e = norm(s), norm(e)
+        except ValueError:
+            return df
+        lo = _segment_floor(s, gran)
+        hi = _segment_floor(e - timedelta(microseconds=1), gran)
+        if lo is None or hi is None:
+            return df  # unknown granularity: skip pruning, stay correct
+        fmt = "%Y-%m-%dT%H"
+        preds.append((F.col("__segment") >= lo.strftime(fmt))
+                     & (F.col("__segment") <= hi.strftime(fmt)))
+    out = preds[0]
+    for p in preds[1:]:
+        out = out | p
+    return df.filter(out)
 
 
 def _intervals_of(q: dict) -> list[str]:

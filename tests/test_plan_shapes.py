@@ -148,3 +148,45 @@ def test_minhash_bucket_cap_in_plan(reg):
     docs = reg.table("documents")
     plan = plan_of(minhash_lsh_pairs(docs, max_bucket_size=77))
     assert "77" in plan  # size(ids) <= 77 filter survives to the plan
+
+
+def test_segment_pruning_partition_filters(spark, reg, tmp_path):
+    """Interval queries on a published segment set must prune on the
+    __segment partition column (Druid's timeline lookup), and the
+    pruned result must equal the unpruned raw-table aggregate."""
+    from apache_druid_spark.ingest import ingest
+    from apache_druid_spark.ingest.batch import write_segments
+
+    rolled = ingest(spark, {
+        "ioConfig": {
+            "inputSource": {"type": "local",
+                            "files": ["/root/testdata/sf0.001/events.parquet"]},
+            "inputFormat": {"type": "parquet"}},
+        "dataSchema": {
+            "timestampSpec": {"column": "ts", "format": "nano"},
+            "dimensionsSpec": {"dimensions": ["event_type"]},
+            "metricsSpec": [{"type": "count", "name": "cnt"}],
+            "granularitySpec": {"rollup": True,
+                                "queryGranularity": "hour"}},
+    })
+    path = str(tmp_path / "events_pub")
+    write_segments(rolled, path, segment_granularity="day")
+    reg.register_published("events_pub_prune", path, "day")
+    q = {"queryType": "timeseries", "dataSource": "events_pub_prune",
+         "granularity": "day", "intervals": ["2024-01-05/2024-01-08"],
+         "aggregations": [{"type": "longSum", "name": "cnt",
+                           "fieldName": "cnt"}]}
+    df = compile_query(q, reg)
+    plan = plan_of(df)
+    assert "PartitionFilters: [isnotnull(__segment" in plan
+    assert "__segment" not in df.columns  # not query-visible
+
+    from pyspark.sql import functions as F
+
+    raw = (reg.table("events")
+           .filter("__time >= '2024-01-05' AND __time < '2024-01-08'")
+           .groupBy(F.date_trunc("day", "__time").alias("__time"))
+           .count())
+    got = {(r["__time"], r["cnt"]) for r in df.collect()}
+    want = {(r["__time"], r["count"]) for r in raw.collect()}
+    assert got == want
