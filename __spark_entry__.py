@@ -1317,6 +1317,46 @@ def _segment_pruned_timeseries(spark, sf_dir):
     }, reg)
 
 
+@_q("compaction_lifecycle", """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS __time,
+       event_type, COUNT(*) AS cnt
+FROM events GROUP BY 1, 2
+""")
+def _compaction_lifecycle(spark, sf_dir):
+    """CompactionTask analogue: publish hour-grain day-segments, then
+    compact to month segment granularity with day-grain re-rollup
+    (combining aggregators: count re-aggregates as sum) — the
+    compacted table must agree with a direct day rollup of the raw
+    rows (ingest/compact.py)."""
+    import tempfile
+
+    from apache_druid_spark.ingest import ingest
+    from apache_druid_spark.ingest.batch import write_segments
+    from apache_druid_spark.ingest.compact import compact
+
+    _registry(spark, sf_dir)
+    rolled = ingest(spark, {
+        "ioConfig": {
+            "inputSource": {"type": "local",
+                            "files": [f"{sf_dir}/events.parquet"]},
+            "inputFormat": {"type": "parquet"}},
+        "dataSchema": {
+            "timestampSpec": {"column": "ts", "format": "nano"},
+            "dimensionsSpec": {"dimensions": ["event_type"]},
+            "metricsSpec": [{"type": "count", "name": "cnt"}],
+            "granularitySpec": {"rollup": True,
+                                "queryGranularity": "hour"}},
+    })
+    path = tempfile.mkdtemp(prefix="compact_") + "/events_cmp"
+    write_segments(rolled, path, segment_granularity="day")
+    compacted = compact(spark, path, segment_granularity="month",
+                        rollup={"dimensions": ["event_type"],
+                                "metricsSpec": [{"type": "count",
+                                                 "name": "cnt"}],
+                                "queryGranularity": "day"})
+    return compacted.drop("__segment").select("__time", "event_type", "cnt")
+
+
 @_q("ingest_inline_csv", """
 SELECT __time, id, CAST(v2 AS DOUBLE) AS v2 FROM (VALUES
   (TIMESTAMP '2024-01-01 00:10:00', '1', 7.0),
@@ -3161,6 +3201,7 @@ _PROMOTE = (
     "info_schema_columns", "contrib_time_min_max",
     "similarity_ivf_topk", "dedup_embedding_cosine",
     "streaming_stateful_running_agg", "segment_pruned_timeseries",
+    "compaction_lifecycle",
     "spatial_rectangular", "spatial_polygon", "bloom_dim_filter",
     "moving_average_monthly", "limitspec_alphanumeric", "limitspec_offset",
     "dim_list_filtered_tokens", "dim_regex_filtered", "dim_prefix_filtered",

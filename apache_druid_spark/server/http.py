@@ -1,11 +1,14 @@
-"""Minimal HTTP facade: POST /druid/v2 (native JSON queries) and
-POST /druid/v2/sql (Druid SQL), mirroring the reference's endpoints.
+"""Minimal HTTP facade: POST /druid/v2 (native JSON queries),
+POST /druid/v2/sql (Druid SQL), GET /status[/health] and
+GET /druid/v2/datasources[/{name}], mirroring the reference's endpoints.
 
 Reference: server/src/main/java/org/apache/druid/server/QueryResource.java:89,143
-(native) and sql/src/main/java/org/apache/druid/sql/http/SqlResource.java:72,102
-(SQL, resultFormat field). Stdlib http.server — the broker's whole
-scatter/gather behind these endpoints is the Spark driver; this class
-is just serialization.
+(native), sql/src/main/java/org/apache/druid/sql/http/SqlResource.java:72,102
+(SQL, resultFormat field), server/.../StatusResource.java (GET /status),
+server/.../ClientInfoResource.java (GET /druid/v2/datasources — the
+endpoint consoles/clients use for discovery). Stdlib http.server — the
+broker's whole scatter/gather behind these endpoints is the Spark
+driver; this class is just serialization.
 """
 
 from __future__ import annotations
@@ -38,6 +41,43 @@ class DruidHttpServer:
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # quiet
                 pass
+
+            def do_GET(self):
+                path = self.path.rstrip("/")
+                try:
+                    if path in ("/status", "/status/health"):
+                        payload = json.dumps(
+                            {"version": "druid-on-spark",
+                             "status": "healthy"}
+                            if path.endswith("health") else
+                            {"version": "druid-on-spark",
+                             "modules": [],
+                             "memory": {}})
+                    elif path == "/druid/v2/datasources":
+                        payload = json.dumps(outer.registry.names())
+                    elif path.startswith("/druid/v2/datasources/"):
+                        name = path.rsplit("/", 1)[1]
+                        df = outer.registry.table(name)
+                        time_cols = {"__time",
+                                     outer.registry.time_columns.get(name)}
+                        payload = json.dumps({
+                            "dimensions": [c for c, t in df.dtypes
+                                           if c not in time_cols
+                                           and t == "string"],
+                            "metrics": [c for c, t in df.dtypes
+                                        if c not in time_cols
+                                        and t != "string"],
+                        })
+                    else:
+                        self.send_error(404)
+                        return
+                except KeyError as e:
+                    self.send_error(404, str(e))
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(payload.encode())
 
             def do_POST(self):
                 n = int(self.headers.get("Content-Length", 0))

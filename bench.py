@@ -47,6 +47,9 @@ HEADLINE = [
     "dedup_ngram_jaccard",         # pipeline: inverted-index jaccard
     "hll_sketch_rollup_merge",     # sketch-state rollup/publish/merge
     "streaming_rollup_hourly",     # structured-streaming rollup (cold)
+    "similarity_ivf_topk",         # IVF ANN cell-pruned top-k
+    "dedup_embedding_cosine",      # LSH-blocked embedding near-dup
+    "segment_pruned_timeseries",   # publish + partition-pruned query
 ]
 
 

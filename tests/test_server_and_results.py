@@ -96,3 +96,35 @@ def test_compaction_rollup(spark, tmp_path):
     total_before = rolled.groupBy().sum("cnt").first()[0]
     total_after = out.groupBy().sum("cnt").first()[0]
     assert total_before == total_after
+
+
+def test_http_get_endpoints(spark, reg):
+    import json
+    import urllib.request
+
+    from apache_druid_spark.server import DruidHttpServer
+
+    srv = DruidHttpServer(spark, reg, port=0)
+    srv.start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        health = json.loads(urllib.request.urlopen(
+            f"{base}/status/health").read())
+        assert health["status"] == "healthy"
+        status = json.loads(urllib.request.urlopen(f"{base}/status").read())
+        assert status["version"]
+        names = json.loads(urllib.request.urlopen(
+            f"{base}/druid/v2/datasources").read())
+        assert "nation" in names and "events" in names
+        info = json.loads(urllib.request.urlopen(
+            f"{base}/druid/v2/datasources/events").read())
+        assert "event_type" in info["dimensions"]
+        assert "value" in info["metrics"]
+        assert "__time" not in info["dimensions"] + info["metrics"]
+        try:
+            urllib.request.urlopen(f"{base}/druid/v2/datasources/nope")
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.stop()
