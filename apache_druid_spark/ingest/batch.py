@@ -55,7 +55,10 @@ def read_input(spark: SparkSession, io_config: dict) -> DataFrame:
 
     if stype == "inline":
         return _read_inline(spark, src, fmt)
-    if stype in ("local", "hdfs", "s3", "google", "azure", "http"):
+    if stype == "http":
+        paths = _fetch_http(src)
+        return _file_reader(spark, fmt).load(paths)
+    if stype in ("local", "hdfs", "s3", "google", "azure"):
         paths = (src.get("uris") or src.get("files")
                  or [src.get("baseDir", ".")])
         if fmt.get("type") == "protobuf":
@@ -74,6 +77,51 @@ def read_input(spark: SparkSession, io_config: dict) -> DataFrame:
         reader = spark.read.format("jdbc").option("url", uri)
         return reader.option("query", src["sqls"][0]).load()
     raise ValueError(f"unknown inputSource type: {stype!r}")
+
+
+def _fetch_http(src: dict) -> list[str]:
+    """HttpInputSource analogue (reference:
+    processing/src/main/java/org/apache/druid/data/input/impl/
+    HttpInputSource.java): fetch each URI to a local staging file, then
+    hand the staged paths to the ordinary file reader. Basic auth via
+    httpAuthenticationUsername/Password mirrors the reference's spec
+    keys. Fetches run in a thread pool — the reference also pulls on
+    the task, not in the query path; at cluster scale the staged files
+    land on shared storage and every split reads locally."""
+    import base64
+    import tempfile
+    import urllib.request
+    from concurrent.futures import ThreadPoolExecutor
+    from urllib.parse import urlparse
+
+    uris = src.get("uris") or []
+    if not uris:
+        raise ValueError("http inputSource requires 'uris'")
+    user = src.get("httpAuthenticationUsername")
+    pw = src.get("httpAuthenticationPassword")
+    staging = tempfile.mkdtemp(prefix="http_ingest_")
+
+    def fetch(iu):
+        i, uri = iu
+        if urlparse(uri).scheme not in ("http", "https"):
+            raise ValueError(f"http inputSource got non-http uri: {uri!r}")
+        req = urllib.request.Request(uri)
+        if user is not None:
+            token = base64.b64encode(
+                f"{user}:{pw or ''}".encode()).decode()
+            req.add_header("Authorization", f"Basic {token}")
+        name = urlparse(uri).path.rsplit("/", 1)[-1] or "part"
+        out = f"{staging}/{i:05d}-{name}"
+        with urllib.request.urlopen(req) as r, open(out, "wb") as f:
+            while True:
+                chunk = r.read(1 << 20)
+                if not chunk:
+                    break
+                f.write(chunk)
+        return out
+
+    with ThreadPoolExecutor(max_workers=min(8, len(uris))) as pool:
+        return list(pool.map(fetch, enumerate(uris)))
 
 
 def _file_reader(spark: SparkSession, fmt: dict):

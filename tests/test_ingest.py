@@ -324,3 +324,71 @@ def test_hll_sketch_state_survives_parquet(spark, tmp_path):
     back = spark.read.parquet(path)
     merged = finalize_metrics(back.agg(*reaggregate(metrics)), metrics)
     assert merged.collect()[0]["uniq"] == 12
+
+
+def test_http_input_source_fetches_and_parses(spark, tmp_path):
+    """HttpInputSource analogue: fetch over real HTTP (local server,
+    basic auth enforced) then parse with the csv inputFormat."""
+    import base64
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from apache_druid_spark.ingest import ingest
+
+    body = b"ts,id,v\n2024-01-01T00:10:00,1,7.5\n2024-01-01T01:40:00,3,4.25\n"
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            auth = self.headers.get("Authorization", "")
+            want = "Basic " + base64.b64encode(b"bob:sekrit").decode()
+            if auth != want:
+                self.send_error(401)
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "text/csv")
+            self.end_headers()
+            self.wfile.write(body)
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        port = httpd.server_address[1]
+        df = ingest(spark, {
+            "ioConfig": {
+                "inputSource": {
+                    "type": "http",
+                    "uris": [f"http://127.0.0.1:{port}/data.csv"],
+                    "httpAuthenticationUsername": "bob",
+                    "httpAuthenticationPassword": "sekrit"},
+                "inputFormat": {"type": "csv", "findColumnsFromHeader": True}},
+            "dataSchema": {
+                "timestampSpec": {"column": "ts", "format": "iso"},
+                "dimensionsSpec": {"dimensions": ["id"]},
+            },
+        })
+        rows = df.orderBy("__time").collect()
+        assert len(rows) == 2
+        assert rows[0]["id"] == "1"
+
+        # wrong credentials must fail loudly, not silently return empty
+        import pytest as _pytest
+        import urllib.error
+        with _pytest.raises(urllib.error.HTTPError):
+            ingest(spark, {
+                "ioConfig": {
+                    "inputSource": {
+                        "type": "http",
+                        "uris": [f"http://127.0.0.1:{port}/data.csv"]},
+                    "inputFormat": {"type": "csv",
+                                    "findColumnsFromHeader": True}},
+                "dataSchema": {
+                    "timestampSpec": {"column": "ts", "format": "iso"},
+                    "dimensionsSpec": {"dimensions": ["id"]},
+                },
+            })
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
