@@ -231,6 +231,29 @@ def _close_extra_paren(text: str, marker: str) -> str:
         i = j
 
 
+def _explain_plan_for(spark: SparkSession, inner: str,
+                      registry) -> DataFrame:
+    """EXPLAIN PLAN FOR (reference: sql/.../DruidPlanner.java explain
+    path, SqlResource returns PLAN/RESOURCES/ATTRIBUTES columns). PLAN
+    is Catalyst's formatted physical plan — the honest equivalent of
+    the reference's native-query JSON; RESOURCES lists the referenced
+    datasources; ATTRIBUTES carries the statement type."""
+    import json
+
+    df = druid_sql(spark, inner, registry)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    names = registry.names() if registry is not None else []
+    tokens = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", inner.lower()))
+    resources = [{"name": n, "type": "DATASOURCE"}
+                 for n in names if n.lower() in tokens]
+    return spark.createDataFrame(
+        [(plan, json.dumps(resources),
+          json.dumps({"statementType": "SELECT"}))],
+        "PLAN string, RESOURCES string, ATTRIBUTES string")
+
+
 def druid_sql(spark: SparkSession, text: str, registry=None) -> DataFrame:
     """Run a Druid SQL string on Spark: register scalar shims, translate
     the aggregate surface, and hand the rest to Catalyst (parse/validate/
@@ -249,6 +272,9 @@ def druid_sql(spark: SparkSession, text: str, registry=None) -> DataFrame:
             for name in registry.names():
                 registry.table(name).createOrReplaceTempView(name)
         spark._druid_sql_registered = id(registry)
+    explain = re.match(r"(?is)^\s*EXPLAIN\s+PLAN\s+FOR\s+(.+)$", text)
+    if explain:
+        return _explain_plan_for(spark, explain.group(1), registry)
     translated = translate(text)
     if registry is not None and ("sys_" in translated
                                  or "information_schema_" in translated):

@@ -144,3 +144,20 @@ def test_ds_hll_builds_mergeable_state(spark, registry):
         FROM __hll_state
     """, registry)
     assert out.collect()[0]["uniq"] == 25
+
+
+def test_explain_plan_for(spark, registry):
+    import json
+
+    from apache_druid_spark.sql.dialect import druid_sql
+
+    row = druid_sql(spark, """
+        EXPLAIN PLAN FOR
+        SELECT n_regionkey, COUNT(*) AS cnt
+        FROM nation GROUP BY 1
+    """, registry).first()
+    assert "HashAggregate" in row["PLAN"] or "Aggregate" in row["PLAN"]
+    assert "nation" in row["PLAN"]
+    res = json.loads(row["RESOURCES"])
+    assert {"name": "nation", "type": "DATASOURCE"} in res
+    assert json.loads(row["ATTRIBUTES"])["statementType"] == "SELECT"
