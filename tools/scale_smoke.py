@@ -1,0 +1,88 @@
+"""Scale-up smoke: run the heavy pipeline operators on N-times-amplified
+synthetic data and print per-op seconds at 1x and Nx.
+
+The point is the RATIO: a bucket-blocked design should scale roughly
+linearly in rows (candidate pairs grow with collisions, not |docs|^2);
+anything super-linear here would be a red flag for the 100 TB target.
+
+Amplification cross-joins each row with a replica index and perturbs
+the id so replicas are distinct documents/vectors (no artificial exact
+dups beyond the natural rate).
+
+Usage: PYTHONPATH=/root/repo python tools/scale_smoke.py [N]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def amplify(df, n: int, id_col: str):
+    if n <= 1:
+        return df
+    replicas = F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("__rep")
+    out = df.select("*", replicas)
+    # distinct ids per replica; shift text/embedding identity is kept —
+    # near-dup rates scale with the data like a real crawl re-crawl
+    return (out.withColumn(id_col,
+                           F.col(id_col).cast("long")
+                           + F.col("__rep").cast("long") * F.lit(10 ** 9))
+               .drop("__rep"))
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = "/root/testdata/sf0.1"
+
+    from apache_druid_spark import DatasourceRegistry, get_spark
+    from apache_druid_spark.model.datasource import register_testdata
+    from apache_druid_spark.pipeline import (
+        dedup as dd, similarity as sim,
+    )
+
+    spark = get_spark("scale_smoke")
+    reg = DatasourceRegistry(spark)
+    register_testdata(reg, sf_dir)
+    docs = reg.table("documents")
+    emb = reg.table("embeddings")
+
+    # the shingle-frequency cap is a data-size-relative knob: scale it
+    # with the corpus so stop-shingle semantics match across scales
+    ops = {
+        "exact_dedup": lambda d, s: dd.exact_dedup(d),
+        "minhash_lsh": lambda d, s: dd.minhash_lsh_pairs(d, num_hashes=16,
+                                                         bands=4),
+        "simhash": lambda d, s: dd.simhash(d),
+        "ngram_jaccard": lambda d, s: dd.ngram_jaccard_pairs(
+            d, shingle_k=5, threshold=0.2, max_shingle_freq=100 * s),
+    }
+    emb_ops = {
+        "cosine_topk": lambda e, s: sim.cosine_topk(e, [1.0] * 64, k=10),
+        "ivf_topk": lambda e, s: sim.ivf_topk(e, [1.0] * 64, k=10),
+        "embedding_pairs": lambda e, s: dd.embedding_cosine_pairs(
+            e, dim=64, threshold=0.35, bits=8, tables=2),
+    }
+
+    report = {"n": n, "ops": {}}
+    for name, fn in list(ops.items()) + list(emb_ops.items()):
+        src, idc = (docs, "doc_id") if name in ops else (emb, "vec_id")
+        times = {}
+        fn(src, 1).write.format("noop").mode("overwrite").save()  # warmup
+        for scale in (1, n):
+            d = amplify(src, scale, idc)
+            t0 = time.time()
+            fn(d, scale).write.format("noop").mode("overwrite").save()
+            times[f"x{scale}"] = round(time.time() - t0, 3)
+        times["ratio"] = round(times[f"x{n}"] / max(times["x1"], 1e-9), 2)
+        report["ops"][name] = times
+        print(f"{name}: {times}", file=sys.stderr)
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
