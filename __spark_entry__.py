@@ -3148,6 +3148,42 @@ def _dedup_ngram_jaccard(spark, sf_dir):
     return _round(df, {"jaccard": 6})
 
 
+def _winnowing_oracle(k: int = 5, w: int = 4) -> str:
+    """DuckDB replica of winnowing_fingerprint: same per-k-gram
+    60-bit md5-prefix hash, same window minima."""
+    h = _hex_to_long_sql("md5(substr(text, CAST(p AS INTEGER), {}))"
+                         .format(k), 15)
+    h_whole = _hex_to_long_sql("md5(text)", 15)
+    return f"""
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN length(text) < {k} THEN [{h_whole}]
+         ELSE list_transform(generate_series(1, length(text) - {k - 1}),
+                             p -> {h}) END AS grams
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         CASE WHEN len(grams) < {w} THEN [list_min(grams)]
+         ELSE list_transform(generate_series(1, len(grams) - {w - 1}),
+                             j -> list_min(grams[j:j + {w - 1}])) END AS mins
+  FROM g),
+f AS (SELECT doc_id, list_sort(list_distinct(mins)) AS fps FROM m)
+SELECT doc_id, len(fps) AS fp_count, fps[1] AS fp_min, fps[-1] AS fp_max
+FROM f
+"""
+
+
+@_q("text_winnowing_fingerprint", _winnowing_oracle())
+def _text_winnowing_fingerprint(spark, sf_dir):
+    """Winnowing rolling-hash fingerprints (MOSS): shared substrings of
+    length >= w + k - 1 share a fingerprint (pipeline/text.py)."""
+    from apache_druid_spark.pipeline import winnowing_fingerprint
+
+    return winnowing_fingerprint(
+        _registry(spark, sf_dir).table("documents"), k=5, window=4
+    ).select("doc_id", "fp_count", "fp_min", "fp_max")
+
+
 @_q("multimodal_features")  # Arrow mapInPandas path — rows-only
 def _multimodal_features(spark, sf_dir):
     from apache_druid_spark.pipeline.multimodal import (
@@ -3201,7 +3237,7 @@ _PROMOTE = (
     "info_schema_columns", "contrib_time_min_max",
     "similarity_ivf_topk", "dedup_embedding_cosine",
     "streaming_stateful_running_agg", "segment_pruned_timeseries",
-    "compaction_lifecycle",
+    "compaction_lifecycle", "text_winnowing_fingerprint",
     "spatial_rectangular", "spatial_polygon", "bloom_dim_filter",
     "moving_average_monthly", "limitspec_alphanumeric", "limitspec_offset",
     "dim_list_filtered_tokens", "dim_regex_filtered", "dim_prefix_filtered",

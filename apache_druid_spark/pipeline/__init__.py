@@ -17,6 +17,7 @@ from apache_druid_spark.pipeline.similarity import (
 )
 from apache_druid_spark.pipeline.text import (
     token_stats, language_id, quality_score, fingerprint,
+    winnowing_fingerprint,
 )
 
 __all__ = [
@@ -24,4 +25,5 @@ __all__ = [
     "ngram_jaccard_pairs", "embedding_cosine_pairs",
     "cosine_topk", "ivf_topk", "lsh_bucket_topk",
     "token_stats", "language_id", "quality_score", "fingerprint",
+    "winnowing_fingerprint",
 ]

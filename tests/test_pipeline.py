@@ -191,3 +191,31 @@ def test_embedding_cosine_pairs_distinct_across_tables(emb):
                                    bits=6, tables=2).collect()
     keys = [(r["id_a"], r["id_b"]) for r in pairs]
     assert len(keys) == len(set(keys))
+
+
+def test_winnowing_detects_shared_substring(spark):
+    from apache_druid_spark.pipeline import winnowing_fingerprint
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [(1, "AAAA " + shared + " BBBB"),
+         (2, "CCCC " + shared + " DDDD"),
+         (3, "completely different words here entirely")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: set(r["fingerprints"])
+            for r in winnowing_fingerprint(df, k=5, window=4).collect()}
+    # guarantee: substrings >= w + k - 1 = 8 chars shared => overlap
+    assert rows[1] & rows[2]
+    # overlap between 1 and 2 is much larger than with the unrelated doc
+    assert len(rows[1] & rows[2]) > len(rows[1] & rows[3])
+
+
+def test_winnowing_short_text_fallbacks(spark):
+    from apache_druid_spark.pipeline import winnowing_fingerprint
+
+    df = spark.createDataFrame([(1, "ab"), (2, "abcdef")],
+                               "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            winnowing_fingerprint(df, k=5, window=4).collect()}
+    assert rows[1]["fp_count"] == 1  # text shorter than k
+    assert rows[2]["fp_count"] >= 1  # fewer grams than the window
