@@ -139,11 +139,59 @@ def _base_frame(q: dict, registry: DatasourceRegistry) -> DataFrame:
         df = df.filter(interval_predicate(F.col(TIME_COLUMN), intervals))
     if "__segment" in df.columns:
         df = df.drop("__segment")  # segment id is not query-visible
+    df = _materialize_missing_dims(df, q)
     for vc in q.get("virtualColumns", []) or []:
         df = _apply_virtual_column(df, vc, registry)
     flt = q.get("filter")
     if flt is not None:
         df = df.filter(compile_filter(flt, df, registry))
+    return df
+
+
+def _materialize_missing_dims(df: DataFrame, q: dict) -> DataFrame:
+    """Druid's schema-evolution semantics: a dimension or filter column
+    the segments don't have behaves as an all-null STRING column — a
+    topN/groupBy on it yields one null bucket over every matching row,
+    and a null-selector filter on it matches everything
+    (TopNQueryRunnerTest.java:1856-1960). Spark would instead fail
+    analysis, so materialize the missing names as null literals (which
+    Catalyst constant-folds — no scan cost)."""
+    referenced: set[str] = set()
+
+    def dim_name(d) -> None:
+        if isinstance(d, str):
+            referenced.add(d)
+        elif isinstance(d, dict) and isinstance(d.get("dimension"), str):
+            referenced.add(d["dimension"])
+
+    for d in q.get("dimensions", []) or []:
+        dim_name(d)
+    if q.get("dimension") is not None:
+        dim_name(q["dimension"])
+    for d in q.get("searchDimensions", []) or []:
+        dim_name(d)
+    for c in q.get("columns", []) or []:  # scan projection
+        if isinstance(c, str):
+            referenced.add(c)
+
+    def walk_filter(f) -> None:
+        if not isinstance(f, dict):
+            return
+        dim_name(f)
+        for d in f.get("dimensions", []) or []:  # columnComparison
+            dim_name(d)
+        for key in ("fields", "filters"):
+            for sub in f.get(key) or []:
+                walk_filter(sub)
+        if isinstance(f.get("field"), dict):
+            walk_filter(f["field"])
+
+    walk_filter(q.get("filter"))
+    vc_names = {vc.get("name") for vc in q.get("virtualColumns", []) or []}
+    for name in sorted(referenced):
+        if ("." not in name and name != TIME_COLUMN
+                and name not in vc_names and name not in df.columns):
+            df = df.withColumn(name, F.lit(None).cast("string"))
     return df
 
 

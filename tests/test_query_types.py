@@ -286,3 +286,49 @@ def test_tdigest_momentsketch_exact_percentile(spark):
          "fractions": [0.25]}, df)
     row = df.agg(med, p25).collect()[0]
     assert row["m"] == 50.5 and row["q"] == 25.75
+
+
+def test_topn_nonexistent_dimension(spark, registry):
+    """TopNQueryRunnerTest.java:1856-1886 — topN on a dimension the
+    table lacks yields ONE null bucket aggregating every row."""
+    rows = compile_query({
+        "queryType": "topN", "dataSource": "nation",
+        "dimension": "does_not_exist", "metric": "cnt", "threshold": 3,
+        "granularity": "all",
+        "aggregations": [{"type": "count", "name": "cnt"}],
+    }, registry).collect()
+    assert len(rows) == 1
+    assert rows[0]["does_not_exist"] is None
+    assert rows[0]["cnt"] == 25
+
+
+def test_null_selector_on_nonexistent_dimension_matches_all(spark, registry):
+    """TopNQueryRunnerTest.java:1923-1958 — a null-selector filter on a
+    missing column matches every row; a non-null selector matches none."""
+    base = {"queryType": "timeseries", "dataSource": "nation",
+            "granularity": "all",
+            "aggregations": [{"type": "count", "name": "cnt"}]}
+    all_rows = compile_query(
+        {**base, "filter": {"type": "selector",
+                            "dimension": "does_not_exist",
+                            "value": None}}, registry).first()
+    assert all_rows["cnt"] == 25
+    none_rows = compile_query(
+        {**base, "filter": {"type": "selector",
+                            "dimension": "does_not_exist",
+                            "value": "x"}}, registry).first()
+    assert none_rows["cnt"] == 0
+
+
+def test_groupby_existing_and_nonexistent_dimension(spark, registry):
+    """Mixed schema: groupBy over (real dim, missing dim) keeps the real
+    grouping and nulls the missing one (schema-evolution reads)."""
+    rows = compile_query({
+        "queryType": "groupBy", "dataSource": "nation",
+        "granularity": "all",
+        "dimensions": ["n_regionkey", "not_there_yet"],
+        "aggregations": [{"type": "count", "name": "cnt"}],
+    }, registry).collect()
+    assert len(rows) == 5
+    assert all(r["not_there_yet"] is None for r in rows)
+    assert sum(r["cnt"] for r in rows) == 25
