@@ -187,6 +187,20 @@ def _materialize_missing_dims(df: DataFrame, q: dict) -> DataFrame:
             walk_filter(f["field"])
 
     walk_filter(q.get("filter"))
+
+    def walk_agg(a) -> None:
+        if not isinstance(a, dict):
+            return
+        if isinstance(a.get("fieldName"), str):
+            referenced.add(a["fieldName"])
+        for d in a.get("fields", []) or []:  # cardinality-style
+            if isinstance(d, str):
+                referenced.add(d)
+        walk_agg(a.get("aggregator"))  # filtered wrapper
+        walk_filter(a.get("filter"))
+
+    for a in q.get("aggregations", []) or []:
+        walk_agg(a)
     vc_names = {vc.get("name") for vc in q.get("virtualColumns", []) or []}
     for name in sorted(referenced):
         if ("." not in name and name != TIME_COLUMN

@@ -332,3 +332,17 @@ def test_groupby_existing_and_nonexistent_dimension(spark, registry):
     assert len(rows) == 5
     assert all(r["not_there_yet"] is None for r in rows)
     assert sum(r["cnt"] for r in rows) == 25
+
+
+def test_aggregate_on_nonexistent_metric_is_null(spark, registry):
+    """SQL-compatible null mode: aggregating a column the segments lack
+    yields null, not an analysis error."""
+    row = compile_query({
+        "queryType": "timeseries", "dataSource": "nation",
+        "granularity": "all",
+        "aggregations": [
+            {"type": "doubleSum", "name": "s", "fieldName": "no_metric"},
+            {"type": "count", "name": "cnt"}],
+    }, registry).first()
+    assert row["s"] is None
+    assert row["cnt"] == 25
