@@ -55,12 +55,12 @@ def read_input(spark: SparkSession, io_config: dict) -> DataFrame:
 
     if stype == "inline":
         return _read_inline(spark, src, fmt)
-    if stype == "http":
-        paths = _fetch_http(src)
-        return _file_reader(spark, fmt).load(paths)
-    if stype in ("local", "hdfs", "s3", "google", "azure"):
-        paths = (src.get("uris") or src.get("files")
-                 or [src.get("baseDir", ".")])
+    if stype in ("local", "hdfs", "s3", "google", "azure", "http"):
+        if stype == "http":
+            paths = _fetch_http(src)
+        else:
+            paths = (src.get("uris") or src.get("files")
+                     or [src.get("baseDir", ".")])
         if fmt.get("type") == "protobuf":
             raw = spark.read.format("binaryFile").load(paths)
             return decode_protobuf(raw, fmt, value_col="content")
@@ -112,7 +112,8 @@ def _fetch_http(src: dict) -> list[str]:
             req.add_header("Authorization", f"Basic {token}")
         name = urlparse(uri).path.rsplit("/", 1)[-1] or "part"
         out = f"{staging}/{i:05d}-{name}"
-        with urllib.request.urlopen(req) as r, open(out, "wb") as f:
+        with urllib.request.urlopen(req, timeout=60) as r, \
+                open(out, "wb") as f:
             while True:
                 chunk = r.read(1 << 20)
                 if not chunk:

@@ -98,6 +98,12 @@ def _join_datasource(spec: dict, registry: DatasourceRegistry) -> DataFrame:
     """
     left = resolve_datasource(spec["left"], registry)
     right = resolve_datasource(spec["right"], registry)
+    # the internal segment-partition id must not leak through join
+    # prefixes (the top-level path strips it in _base_frame)
+    if "__segment" in left.columns:
+        left = left.drop("__segment")
+    if "__segment" in right.columns:
+        right = right.drop("__segment")
     prefix = spec.get("rightPrefix", "j0.")
     for c in right.columns:
         right = right.withColumnRenamed(c, prefix + c)
@@ -194,8 +200,7 @@ def _materialize_missing_dims(df: DataFrame, q: dict) -> DataFrame:
         if isinstance(a.get("fieldName"), str):
             referenced.add(a["fieldName"])
         for d in a.get("fields", []) or []:  # cardinality-style
-            if isinstance(d, str):
-                referenced.add(d)
+            dim_name(d)  # plain string or DimensionSpec dict
         walk_agg(a.get("aggregator"))  # filtered wrapper
         walk_filter(a.get("filter"))
 

@@ -58,14 +58,14 @@ class DruidHttpServer:
                     elif path.startswith("/druid/v2/datasources/"):
                         name = path.rsplit("/", 1)[1]
                         df = outer.registry.table(name)
-                        time_cols = {"__time",
-                                     outer.registry.time_columns.get(name)}
+                        hidden = {"__time", "__segment",
+                                  outer.registry.time_columns.get(name)}
                         payload = json.dumps({
                             "dimensions": [c for c, t in df.dtypes
-                                           if c not in time_cols
+                                           if c not in hidden
                                            and t == "string"],
                             "metrics": [c for c, t in df.dtypes
-                                        if c not in time_cols
+                                        if c not in hidden
                                         and t != "string"],
                         })
                     else:
@@ -73,6 +73,13 @@ class DruidHttpServer:
                         return
                 except KeyError as e:
                     self.send_error(404, str(e))
+                    return
+                except Exception as e:  # noqa: BLE001 — HTTP error surface
+                    msg = json.dumps({"error": str(e)})
+                    self.send_response(500)
+                    self.send_header("Content-Type", "application/json")
+                    self.end_headers()
+                    self.wfile.write(msg.encode())
                     return
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")

@@ -262,16 +262,23 @@ def druid_sql(spark: SparkSession, text: str, registry=None) -> DataFrame:
 
     Function/view registration is idempotent and driver-side chatty
     (~40 CREATE FUNCTION round trips), so it runs once per
-    (session, registry) and is remembered on the session object."""
+    (session, registry, table-set) and is remembered on the session
+    object; registering a new datasource (e.g. a publish/compaction
+    mid-session) re-registers just the views on the next call."""
     from apache_druid_spark.functions.registry import register_druid_functions
 
+    names = tuple(registry.names()) if registry is not None else ()
     marker = getattr(spark, "_druid_sql_registered", None)
-    if marker != id(registry):
-        register_druid_functions(spark, registry)
+    if marker != (id(registry), names):
+        if marker is None or marker[0] != id(registry):
+            register_druid_functions(spark, registry)
         if registry is not None:
-            for name in registry.names():
-                registry.table(name).createOrReplaceTempView(name)
-        spark._druid_sql_registered = id(registry)
+            for name in names:
+                df = registry.table(name)
+                if "__segment" in df.columns:  # internal partition id
+                    df = df.drop("__segment")
+                df.createOrReplaceTempView(name)
+        spark._druid_sql_registered = (id(registry), names)
     explain = re.match(r"(?is)^\s*EXPLAIN\s+PLAN\s+FOR\s+(.+)$", text)
     if explain:
         return _explain_plan_for(spark, explain.group(1), registry)

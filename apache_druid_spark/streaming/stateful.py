@@ -61,10 +61,11 @@ def running_rollup(stream: DataFrame, key_col: str,
                                     GroupStateTimeout.NoTimeout))
 
 
-def run_updates_to_memory(updates: DataFrame, name: str, checkpoint: str,
-                          max_files_per_trigger: int | None = None):
+def run_updates_to_memory(updates: DataFrame, name: str, checkpoint: str):
     """Drain a bounded update-mode stream into an in-memory sink and
-    block until done (availableNow). Returns the started query."""
+    block until done (availableNow). Returns the started query.
+    Micro-batch sizing (e.g. maxFilesPerTrigger) belongs on the source
+    reader, not here."""
     q = (updates.writeStream.outputMode("update")
          .format("memory").queryName(name)
          .option("checkpointLocation", checkpoint)

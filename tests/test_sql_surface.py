@@ -161,3 +161,25 @@ def test_explain_plan_for(spark, registry):
     res = json.loads(row["RESOURCES"])
     assert {"name": "nation", "type": "DATASOURCE"} in res
     assert json.loads(row["ATTRIBUTES"])["statementType"] == "SELECT"
+
+
+def test_sql_sees_datasources_registered_after_first_call(spark, registry):
+    """A publish/compaction mid-session must be queryable by the next
+    druid_sql call (view cache refreshes on table-set change), and the
+    internal __segment partition column must not leak into SQL."""
+    from pyspark.sql import functions as F
+
+    from apache_druid_spark.sql.dialect import druid_sql
+
+    druid_sql(spark, "SELECT 1 AS x", registry).collect()  # prime cache
+    late = (registry.table("nation")
+            .select("n_nationkey", "n_name",
+                    F.lit("2024-01-01T00").alias("__segment")))
+    registry.register("late_published", late)
+    try:
+        rows = druid_sql(spark, "SELECT * FROM late_published "
+                                "ORDER BY n_nationkey LIMIT 2", registry)
+        assert "__segment" not in rows.columns
+        assert rows.count() == 2
+    finally:
+        registry._tables.pop("late_published", None)
