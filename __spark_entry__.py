@@ -3196,6 +3196,21 @@ def _multimodal_features(spark, sf_dir):
         "media_id", "kind", "n_bytes", "byte_mean")
 
 
+@_q("multimodal_frame_sample")  # Arrow mapInPandas path — rows-only
+def _multimodal_frame_sample(spark, sf_dir):
+    """Video frame sampling over opaque binary payloads: one output row
+    per sampled frame timestamp (pipeline/multimodal.py:sample_frames;
+    codec stubbed, Spark-side batching/schema real)."""
+    from apache_druid_spark.pipeline.multimodal import (
+        attach_fake_payload, sample_frames,
+    )
+
+    docs = _registry(spark, sf_dir).table("documents")
+    media = attach_fake_payload(docs)
+    return sample_frames(media, every_ms=1000).select(
+        "media_id", "frame_ms", "frame_hash")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

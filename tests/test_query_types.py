@@ -346,3 +346,14 @@ def test_aggregate_on_nonexistent_metric_is_null(spark, registry):
     }, registry).first()
     assert row["s"] is None
     assert row["cnt"] == 25
+
+
+def test_scan_projects_nonexistent_column_as_null(spark, registry):
+    """Scan on a column the table lacks returns it as an all-null
+    column (schema-evolution reads), not an analysis error."""
+    rows = compile_query({
+        "queryType": "scan", "dataSource": "nation",
+        "columns": ["n_name", "added_later"], "limit": 3,
+    }, registry).collect()
+    assert len(rows) == 3
+    assert all(r["added_later"] is None for r in rows)
