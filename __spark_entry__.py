@@ -409,7 +409,8 @@ def _agg_stats_lineitem(spark, sf_dir):
 SELECT l_linestatus,
        SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
            FILTER (WHERE l_returnflag = 'R') / 100.0 AS returned_price,
-       SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned_cnt,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS returned_cnt,
        COUNT(*) AS cnt
 FROM lineitem GROUP BY 1
 """)
@@ -681,7 +682,13 @@ def _window_moving_avg(spark, sf_dir):
     bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     grid = bounds.select(F.explode(
         F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day"))
-    dense = (F.broadcast(grid).join(daily, "day", "left")
+    # No broadcast hint: the preserved (grid) side can never be the BHJ
+    # build side — a build-left hint on a LEFT join is silently dropped
+    # with a HintErrorLogger warning — and force-broadcasting the
+    # aggregate would blow up at fine granularities. AQE broadcasts
+    # `daily` when it is genuinely small (same policy as the compiler's
+    # zero-fill, plans/compiler.py).
+    dense = (grid.join(daily, "day", "left")
              .withColumn("rev", F.coalesce("rev", F.lit(0.0))))
     stitched, w = chunked_trailing_window(dense, "day", 7,
                                           millis=86_400_000)
@@ -943,9 +950,11 @@ SELECT doc_id,
        ROUND(n_punct / GREATEST(n_chars, 1), 4) AS q_punct_ratio,
        ROUND(stop_hits / GREATEST(n_tokens, 1), 4) AS q_stopword_ratio,
        ROUND(n_uniq / GREATEST(n_tokens, 1), 4) AS q_uniq_ratio,
-       ROUND(LEAST(n_chars / 500.0, 1.0) * 0.3
-             + LEAST(stop_hits / GREATEST(n_tokens, 1) * 5, 1.0) * 0.3
-             + n_uniq / GREATEST(n_tokens, 1) * 0.4, 4) AS quality
+       -- integer-exact basis points: float ROUND of the composite lands
+       -- on half-points (0.48415) that Spark/DuckDB round differently
+       (2 * (3 * LEAST(n_chars, 500) * GREATEST(n_tokens, 1)
+             + 1500 * LEAST(5 * stop_hits, GREATEST(n_tokens, 1))
+             + 2000 * n_uniq)) // GREATEST(n_tokens, 1) AS quality_bp
 FROM s
 """
 
@@ -954,7 +963,69 @@ FROM s
 def _text_quality(spark, sf_dir):
     df = quality_score(_registry(spark, sf_dir).table("documents"))
     return df.select("doc_id", "q_len", "q_punct_ratio", "q_stopword_ratio",
-                     "q_uniq_ratio", "quality")
+                     "q_uniq_ratio", "quality_bp")
+
+
+def _u60_oracle(key_sql: str, seed: str) -> str:
+    """DuckDB replica of sampling._hash_u60 (same md5, same 15 digits)."""
+    return _hex_to_long_sql(f"md5('{seed}:' || {key_sql})", 15)
+
+
+_STRAT_FRACTIONS = {"en": 0.5, "zh": 0.2, "es": 0.05}
+_STRAT_DEFAULT = 0.1
+_SPLIT_RATE = 0.125
+
+
+def _strat_oracle() -> str:
+    from apache_druid_spark.pipeline.sampling import _SPACE
+
+    u = _u60_oracle("CAST(doc_id AS VARCHAR)", "sample")
+    case = "CASE lang " + " ".join(
+        f"WHEN '{v}' THEN {int(r * _SPACE)}"
+        for v, r in sorted(_STRAT_FRACTIONS.items())
+    ) + f" ELSE {int(_STRAT_DEFAULT * _SPACE)} END"
+    return f"""
+SELECT doc_id, lang FROM documents WHERE {u} < {case}
+"""
+
+
+@_q("stratified_sample_documents", _strat_oracle())
+def _stratified_sample_documents(spark, sf_dir):
+    """Deterministic per-language downsampling (pipeline/sampling.py):
+    md5-gated, shuffle-free, reproducible across engines — the
+    training-pipeline replacement for rand()-based sampleBy."""
+    from apache_druid_spark.pipeline.sampling import stratified_sample
+
+    docs = _registry(spark, sf_dir).table("documents")
+    return stratified_sample(
+        docs, "lang", "doc_id", _STRAT_FRACTIONS,
+        default_rate=_STRAT_DEFAULT).select("doc_id", "lang")
+
+
+def _split_oracle() -> str:
+    from apache_druid_spark.pipeline.sampling import _SPACE
+
+    u = _u60_oracle("CAST(doc_id AS VARCHAR)", "split")
+    return f"""
+SELECT lang,
+       CASE WHEN {u} < {int(_SPLIT_RATE * _SPACE)}
+            THEN 'test' ELSE 'train' END AS split,
+       COUNT(*) AS cnt
+FROM documents GROUP BY 1, 2
+"""
+
+
+@_q("train_test_split_counts", _split_oracle())
+def _train_test_split_counts(spark, sf_dir):
+    """Content-keyed train/test assignment: stable under re-ingestion
+    and dedup reshuffles, so documents can never migrate between
+    splits across runs (pipeline/sampling.py)."""
+    from apache_druid_spark.pipeline.sampling import train_test_split_col
+
+    docs = _registry(spark, sf_dir).table("documents")
+    return (train_test_split_col(docs, "doc_id", _SPLIT_RATE)
+            .groupBy("lang", "split")
+            .agg(F.count(F.lit(1)).alias("cnt")))
 
 
 _QUERY_VEC = [1.0] * 64
@@ -1686,20 +1757,24 @@ SELECT * FROM (
          COUNT(DISTINCT o_orderkey) AS cardinality,
          CAST(MIN(o_orderkey) AS VARCHAR) AS minValue,
          CAST(MAX(o_orderkey) AS VARCHAR) AS maxValue,
-         SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nullCount
+         CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS nullCount
   FROM orders
   UNION ALL
   SELECT 'o_custkey', 'bigint', COUNT(DISTINCT o_custkey),
          CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR),
-         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) FROM orders
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
   UNION ALL
   SELECT 'o_orderstatus', 'string', COUNT(DISTINCT o_orderstatus),
          MIN(o_orderstatus), MAX(o_orderstatus),
-         SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) FROM orders
+         CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
   UNION ALL
   SELECT 'o_orderpriority', 'string', COUNT(DISTINCT o_orderpriority),
          MIN(o_orderpriority), MAX(o_orderpriority),
-         SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) FROM orders
+         CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
 )
 """)
 def _segment_metadata_orders(spark, sf_dir):
@@ -1873,6 +1948,39 @@ def _sql_mv_first_word(spark, sf_dir):
         SELECT MV_OFFSET(STRING_TO_MV(p_name, ' '), 0) AS first_word,
                COUNT(*) AS cnt
         FROM part GROUP BY 1
+    """, _registry(spark, sf_dir))
+
+
+@_q("sql_array_fns", """
+SELECT p_partkey,
+       CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+       string_split(p_name, ' ')[1] AS w0,
+       string_split(p_name, ' ')[3] AS w2,
+       array_to_string(string_split(p_name, ' ')[2:3], '-') AS mid,
+       NULLIF(list_position(string_split(p_name, ' '), 'green'), 0) - 1
+           AS green_off,
+       list_contains(string_split(p_name, ' '), 'green') AS has_green
+FROM part
+""")
+def _sql_array_fns(spark, sf_dir):
+    """ARRAY_* scalar family (sql/.../builtin/Array*OperatorConversion
+    .java): type-generic name maps in the dialect + arithmetic UDF
+    shims; ARRAY_CONTAINS resolves to Spark's builtin of the same
+    name/semantics."""
+    return druid_sql(spark, """
+        SELECT p_partkey,
+               CAST(ARRAY_LENGTH(STRING_TO_ARRAY(p_name, ' ')) AS BIGINT)
+                   AS n_words,
+               ARRAY_OFFSET(STRING_TO_ARRAY(p_name, ' '), 0) AS w0,
+               ARRAY_ORDINAL(STRING_TO_ARRAY(p_name, ' '), 3) AS w2,
+               ARRAY_TO_STRING(
+                   ARRAY_SLICE(STRING_TO_ARRAY(p_name, ' '), 1, 3), '-')
+                   AS mid,
+               ARRAY_OFFSET_OF(STRING_TO_ARRAY(p_name, ' '), 'green')
+                   AS green_off,
+               ARRAY_CONTAINS(STRING_TO_ARRAY(p_name, ' '), 'green')
+                   AS has_green
+        FROM part
     """, _registry(spark, sf_dir))
 
 
@@ -2387,9 +2495,9 @@ def _null_dim_three_valued(spark, sf_dir):
 SELECT doc_id,
        len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
            AS n_tok,
-       list_sum(list_transform(
+       CAST(list_sum(list_transform(
            list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
-           x -> len(x))) AS total_len
+           x -> len(x))) AS BIGINT) AS total_len
 FROM documents
 """)
 def _expression_array_fold(spark, sf_dir):
@@ -2768,10 +2876,10 @@ def _topn_time_extraction(spark, sf_dir):
 
 @_q("sql_scalar_shims", """
 SELECT p_type,
-       SUM(CASE WHEN contains(lower(p_name), 'e') THEN 1 ELSE 0 END)
-           AS has_e,
-       SUM(CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS BIGINT))
-           AS brand_sum,
+       CAST(SUM(CASE WHEN contains(lower(p_name), 'e') THEN 1 ELSE 0 END)
+            AS BIGINT) AS has_e,
+       CAST(SUM(CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS BIGINT))
+            AS BIGINT) AS brand_sum,
        MAX(strpos(p_name, ' ')) AS max_space_pos
 FROM part GROUP BY 1
 """)
@@ -2782,7 +2890,7 @@ def _sql_scalar_shims(spark, sf_dir):
                    AS has_e,
                SUM(PARSE_LONG(REGEXP_EXTRACT(p_brand, 'Brand#(\\\\d+)', 1)))
                    AS brand_sum,
-               MAX(STRPOS(p_name, ' ')) AS max_space_pos
+               CAST(MAX(STRPOS(p_name, ' ')) AS BIGINT) AS max_space_pos
         FROM part GROUP BY 1
     """, _registry(spark, sf_dir))
 
@@ -3036,24 +3144,43 @@ def _expression_lambda_agg(spark, sf_dir):
 
 @_q("histogram_quantity", """
 SELECT l_returnflag,
-       [SUM(CASE WHEN l_quantity >= 0 AND l_quantity < 10 THEN 1 ELSE 0 END),
-        SUM(CASE WHEN l_quantity >= 10 AND l_quantity < 25 THEN 1 ELSE 0 END),
-        SUM(CASE WHEN l_quantity >= 25 AND l_quantity < 50 THEN 1 ELSE 0 END)]
-           AS hist
+       CAST(SUM(CASE WHEN l_quantity >= 0 AND l_quantity < 10
+                THEN 1 ELSE 0 END) AS BIGINT) AS bucket_0,
+       CAST(SUM(CASE WHEN l_quantity >= 10 AND l_quantity < 25
+                THEN 1 ELSE 0 END) AS BIGINT) AS bucket_1,
+       CAST(SUM(CASE WHEN l_quantity >= 25 AND l_quantity < 50
+                THEN 1 ELSE 0 END) AS BIGINT) AS bucket_2
 FROM lineitem GROUP BY 1
 """)
 def _histogram_quantity(spark, sf_dir):
-    return compile_query({
+    # The histogram aggregator itself returns array<long> bucket counts
+    # (HistogramAggregatorFactory — counts between breaks); the driver's
+    # hasher cannot canonicalize array cells, so the entry projects each
+    # bucket to a scalar column. The array path stays covered by
+    # tests/test_aggregations.py.
+    df = compile_query({
         "queryType": "groupBy", "dataSource": "lineitem",
         "granularity": "all", "dimensions": ["l_returnflag"],
         "aggregations": [{"type": "histogram", "name": "hist",
                           "fieldName": "l_quantity",
                           "breaks": [0, 10, 25, 50]}],
     }, _registry(spark, sf_dir))
+    return df.select(
+        "l_returnflag",
+        F.element_at("hist", 1).cast("long").alias("bucket_0"),
+        F.element_at("hist", 2).cast("long").alias("bucket_1"),
+        F.element_at("hist", 3).cast("long").alias("bucket_2"))
 
 
-@_q("quantiles_sketch_median")  # approximate (percentile_approx) — rows-only
+@_q("quantiles_sketch_median", """
+SELECT l_linestatus, quantile_disc(l_quantity, 0.5) AS median_qty
+FROM lineitem GROUP BY 1
+""")
 def _quantiles_sketch_median(spark, sf_dir):
+    # percentile_approx(accuracy=10000) has rank error <= n/10000 (~6
+    # rows at sf0.01); l_quantity is a discrete domain (~50 values,
+    # thousands of rows per value), so the sketch answer provably snaps
+    # to the exact discrete median — safe to hash against quantile_disc.
     return compile_query({
         "queryType": "groupBy", "dataSource": "lineitem",
         "granularity": "all", "dimensions": ["l_linestatus"],
@@ -3243,28 +3370,34 @@ _R01_GREEN = frozenset({
     "lifecycle_publish_query", "mv_token_counts", "except_nationkeys",
     "intersect_nationkeys", "timeseries_zero_fill", "granularity_week_p1w",
 })
-# Fixed round-1 reds — first so the driver re-verifies them.
-_R01_RED = ("agg_filtered_sum", "sql_insert_extern", "hll_user_cardinality")
-# Highest-risk never-checked families, per VERDICT.md #1 (spatial, bloom,
-# movingAverage, limitspec comparators, MV specs, streaming union, ...).
+# Round-2 reds fixed this round — first so the driver re-verifies them
+# (agg_filtered_sum/segment_metadata: HUGEINT→float64 dtype drift fixed
+# with BIGINT casts; histogram: array cells broke the driver hasher,
+# now scalar bucket columns; quantiles: gained an oracle; text_quality:
+# output changed to integer-exact quality_bp).
+_R01_RED = ("agg_filtered_sum", "segment_metadata_orders",
+            "histogram_quantity", "quantiles_sketch_median", "text_quality")
+# Every entry with no CORRECTNESS_r01/r02 row yet (37), so round 3's
+# 50-entry gate window covers all remaining unverified evidence.
 _PROMOTE = (
-    "hll_sketch_rollup_merge", "sys_segments_catalog",
-    "info_schema_columns", "contrib_time_min_max",
-    "similarity_ivf_topk", "dedup_embedding_cosine",
-    "streaming_stateful_running_agg", "segment_pruned_timeseries",
-    "compaction_lifecycle", "text_winnowing_fingerprint",
-    "spatial_rectangular", "spatial_polygon", "bloom_dim_filter",
-    "moving_average_monthly", "limitspec_alphanumeric", "limitspec_offset",
-    "dim_list_filtered_tokens", "dim_regex_filtered", "dim_prefix_filtered",
-    "mv_filter_any_match", "mv_filter_in", "lambda_realtime_union",
-    "union_hetero_schemas", "segment_metadata_orders",
-    "datasource_metadata_lineitem", "dedup_ngram_jaccard",
-    "salted_groupby_skew", "multimodal_features", "cardinality_by_value",
-    "grouping_id_subtotals", "expression_lambda_agg", "histogram_quantity",
-    "quantiles_sketch_median", "tuple_sketch_order_totals",
-    "bound_version_comparator", "filter_interval_expression",
-    "filter_column_comparison", "join_lookup_datasource",
-    "join_left_deep_tree", "query_datasource_nested",
+    "sql_time_ops", "sql_mv_first_word", "sql_lookup_fn",
+    "sql_safe_divide", "sql_ipv4", "sql_bloom_filter_test",
+    "extraction_cascade", "extraction_bucket", "search_fragment_multi",
+    "sql_bit_aggs", "sql_earliest_by", "scan_time_desc",
+    "tdigest_quantile_price", "momentsketch_quartiles",
+    "null_dim_three_valued", "expression_array_fold",
+    "sql_array_agg_sorted", "extraction_time_format_gran",
+    "timeboundary_filtered_min", "extraction_strlen",
+    "extraction_string_format", "search_regex", "expression_time_format",
+    "sql_floor_to_unit", "topn_time_extraction", "sql_scalar_shims",
+    "granularity_none_identity", "groupby_double_dim",
+    "timeseries_desc_limit", "having_equalto_lessthan",
+    "postagg_expression", "timeseries_over_join",
+    "granularity_five_minute", "granularity_day_tz", "topn_per_month",
+    "groupby_month_and_dim", "multimodal_frame_sample",
+    # new round-3 entries
+    "sql_array_fns", "stratified_sample_documents",
+    "train_test_split_counts",
 )
 
 

@@ -118,6 +118,16 @@ _FUNCTION_DEFS: list[tuple[str, str, str, str]] = [
     ("MV_TO_STRING", "a ARRAY<STRING>, d STRING", "STRING",
      "array_join(a, d)"),
     ("STRING_TO_MV", "s STRING, d STRING", "ARRAY<STRING>", "split(s, d)"),
+    # ARRAY_* arithmetic shims (Array{Slice,OffsetOf,OrdinalOf}
+    # OperatorConversion.java); the direct name maps live in
+    # sql/dialect.py _SIMPLE_RENAMES. String-element arrays — the only
+    # array type the reference's MV columns produce.
+    ("ARRAY_SLICE", "a ARRAY<STRING>, s INT, e INT", "ARRAY<STRING>",
+     "slice(a, s + 1, e - s)"),
+    ("ARRAY_OFFSET_OF", "a ARRAY<STRING>, v STRING", "INT",
+     "CASE WHEN array_position(a, v) = 0 THEN NULL ELSE CAST(array_position(a, v) - 1 AS INT) END"),
+    ("ARRAY_ORDINAL_OF", "a ARRAY<STRING>, v STRING", "INT",
+     "CASE WHEN array_position(a, v) = 0 THEN NULL ELSE CAST(array_position(a, v) AS INT) END"),
     ("MV_FILTER_ONLY", "a ARRAY<STRING>, keep ARRAY<STRING>", "ARRAY<STRING>",
      "filter(a, x -> array_contains(keep, x))"),
     ("MV_FILTER_NONE", "a ARRAY<STRING>, drop ARRAY<STRING>", "ARRAY<STRING>",

@@ -57,7 +57,7 @@ def read_input(spark: SparkSession, io_config: dict) -> DataFrame:
         return _read_inline(spark, src, fmt)
     if stype in ("local", "hdfs", "s3", "google", "azure", "http"):
         if stype == "http":
-            paths = _fetch_http(src)
+            paths = _fetch_http(spark, src)
         else:
             paths = (src.get("uris") or src.get("files")
                      or [src.get("baseDir", ".")])
@@ -79,18 +79,27 @@ def read_input(spark: SparkSession, io_config: dict) -> DataFrame:
     raise ValueError(f"unknown inputSource type: {stype!r}")
 
 
-def _fetch_http(src: dict) -> list[str]:
+def _fetch_http(spark: SparkSession, src: dict) -> list[str]:
     """HttpInputSource analogue (reference:
     processing/src/main/java/org/apache/druid/data/input/impl/
-    HttpInputSource.java): fetch each URI to a local staging file, then
-    hand the staged paths to the ordinary file reader. Basic auth via
+    HttpInputSource.java): fetch each URI to a staging file, then hand
+    the staged paths to the ordinary file reader. Basic auth via
     httpAuthenticationUsername/Password mirrors the reference's spec
     keys. Fetches run in a thread pool — the reference also pulls on
-    the task, not in the query path; at cluster scale the staged files
-    land on shared storage and every split reads locally."""
+    the task, not in the query path.
+
+    Staging location: ``spark.druid.http.stagingDir`` (a shared
+    filesystem every executor can read — required on a real cluster),
+    falling back to a driver-local tempdir ONLY in local mode, where
+    driver and executors share a filesystem. Local staging dirs are
+    removed at interpreter exit (after all lazy reads have run)."""
+    import atexit
     import base64
+    import os
+    import shutil
     import tempfile
     import urllib.request
+    import uuid
     from concurrent.futures import ThreadPoolExecutor
     from urllib.parse import urlparse
 
@@ -99,7 +108,19 @@ def _fetch_http(src: dict) -> list[str]:
         raise ValueError("http inputSource requires 'uris'")
     user = src.get("httpAuthenticationUsername")
     pw = src.get("httpAuthenticationPassword")
-    staging = tempfile.mkdtemp(prefix="http_ingest_")
+    shared = spark.conf.get("spark.druid.http.stagingDir", None)
+    if shared:
+        staging = os.path.join(shared, f"http_ingest_{uuid.uuid4().hex}")
+        os.makedirs(staging, exist_ok=True)
+    else:
+        master = spark.conf.get("spark.master", "local")
+        if not master.startswith("local"):
+            raise ValueError(
+                "http inputSource on a non-local master needs "
+                "spark.druid.http.stagingDir pointing at shared storage "
+                "(executors cannot read driver-local staging files)")
+        staging = tempfile.mkdtemp(prefix="http_ingest_")
+        atexit.register(shutil.rmtree, staging, ignore_errors=True)
 
     def fetch(iu):
         i, uri = iu

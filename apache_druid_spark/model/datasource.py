@@ -42,6 +42,10 @@ class DatasourceRegistry:
     # datasource -> {"path", "granularity"} for published segment sets
     # (feeds sys.segments, sql/catalog.py)
     _segments: dict[str, dict] = field(default_factory=dict)
+    # bumped on every register() so cached SQL temp-view registration
+    # (sql/dialect.py) refreshes when a name is re-registered with a
+    # new DataFrame (e.g. a second INSERT into the same target)
+    epoch: int = 0
 
     # -- registration ---------------------------------------------------
     def register(
@@ -68,6 +72,7 @@ class DatasourceRegistry:
                 df = df.withColumn(TIME_COLUMN, F.col(time_column))
                 self.time_columns[name] = time_column
         self._tables[name] = df
+        self.epoch += 1
         return df
 
     def register_parquet(
@@ -86,6 +91,7 @@ class DatasourceRegistry:
         else:
             df = mapping_or_df.toDF("k", "v")
         self._lookups[name] = df
+        self.epoch += 1
 
     # -- resolution -----------------------------------------------------
     def table(self, name: str) -> DataFrame:
@@ -144,6 +150,7 @@ class DatasourceRegistry:
         outside the queried interval."""
         df = self.spark.read.parquet(path)
         self._tables[name] = df
+        self.epoch += 1
         self.record_segments(name, path, segment_granularity)
         return df
 

@@ -84,6 +84,8 @@ def compile_aggregator(spec: dict, df=None, registry=None) -> Column:
         fields = spec.get("fields", [])
         cols = [fcol(f) if isinstance(f, str) else fcol(f["dimension"])
                 for f in fields]
+        if not cols:  # no dims → empty collector → 0, not IndexError
+            return F.approx_count_distinct(F.lit(None)).alias(name)
         if spec.get("byRow", False) or len(cols) == 1:
             # byRow: distinct dim tuples (NUL separator avoids
             # ("ab","c") == ("a","bc") collisions)
@@ -227,9 +229,20 @@ def _filtered(inner: dict, cond: Column, df, registry) -> Column:
     if t == "cardinality":
         cols = [fcol(f) if isinstance(f, str) else fcol(f["dimension"])
                 for f in inner.get("fields", [])]
-        tup = (F.concat_ws("\x00", *[c.cast("string") for c in cols])
-               if len(cols) > 1 else cols[0])
-        return F.approx_count_distinct(F.when(cond, tup), 0.02)
+        if not cols:  # no dims → empty collector → 0, not IndexError
+            return F.approx_count_distinct(F.lit(None))
+        if inner.get("byRow", False) or len(cols) == 1:
+            tup = (F.concat_ws("\x00", *[c.cast("string") for c in cols])
+                   if len(cols) > 1 else cols[0])
+            return F.approx_count_distinct(F.when(cond, tup), 0.02)
+        # byValue multi-dim: union of per-dim value sets, same
+        # construction as the unfiltered branch (collect_set skips the
+        # filtered-out NULLs that F.when produces)
+        sets = [F.collect_set(F.when(cond, c.cast("string"))) for c in cols]
+        out = sets[0]
+        for s in sets[1:]:
+            out = F.array_union(out, s)
+        return F.size(out).cast("long")
     if t in ("thetaSketch", "sketchMerge", "sketchBuild"):
         return F.count_distinct(F.when(cond, _field(inner, registry)))
     if t == "variance":

@@ -1,0 +1,74 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Large-scale corpus work needs samples that are (a) reproducible across
+runs and engines — no ``rand()`` — and (b) computable in a single
+narrow projection with no shuffle. Both come from keying the decision
+on a content hash: a row is kept iff
+
+    md5(seed ':' key)  as a 60-bit integer  <  rate * 2^60
+
+which is a pure per-row filter Catalyst pushes straight into the scan.
+Stratified rates compile to one ``CASE`` over the stratum column —
+still a single-pass projection, no per-stratum jobs, no
+``sampleBy``-style RNG (Spark's ``sampleBy`` draws per-row randoms, so
+two runs disagree; hash gating never does).
+
+At 100 TB: zero shuffles, zero driver state; the md5 is whole-stage
+codegen JVM work. The same construction (same md5, same threshold)
+is reproducible in any engine, which is how the oracle checks it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 16^15 = 2^60 — the value space of the first 15 md5 hex digits
+_SPACE = 1 << 60
+
+
+def _hash_u60(key: Column, seed: str) -> Column:
+    """First 15 hex digits of md5(seed:key) as a uniform [0, 2^60) long."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + ":"), key.cast("string"))),
+                    1, 15), 16, 10).cast("long")
+
+
+def _threshold(rate: float) -> int:
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return int(rate * _SPACE)
+
+
+def hash_sample(df: DataFrame, key_col: str, rate: float,
+                seed: str = "sample") -> DataFrame:
+    """Keep a deterministic ``rate`` fraction of rows, keyed on
+    ``key_col``. Same key + seed → same decision, every run, every
+    engine, any partitioning."""
+    return df.filter(_hash_u60(F.col(key_col), seed) < _threshold(rate))
+
+
+def stratified_sample(df: DataFrame, strata_col: str, key_col: str,
+                      fractions: dict[str, float],
+                      default_rate: float = 0.0,
+                      seed: str = "sample") -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample dominant
+    languages, keep all of rare ones). ``fractions`` maps stratum value
+    → keep-rate; strata not listed use ``default_rate``."""
+    thr = F.lit(_threshold(default_rate))
+    for value, rate in sorted(fractions.items()):
+        thr = F.when(F.col(strata_col) == value,
+                     F.lit(_threshold(rate))).otherwise(thr)
+    return df.filter(_hash_u60(F.col(key_col), seed) < thr)
+
+
+def train_test_split_col(df: DataFrame, key_col: str, test_rate: float,
+                         seed: str = "split",
+                         out_col: str = "split") -> DataFrame:
+    """Add a deterministic 'train'/'test' column. Content-keyed, so the
+    assignment survives re-ingestion and dedup reshuffles — a document
+    can never leak from train to test between runs."""
+    return df.withColumn(
+        out_col,
+        F.when(_hash_u60(F.col(key_col), seed) < _threshold(test_rate),
+               F.lit("test")).otherwise(F.lit("train")))

@@ -77,6 +77,17 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     en = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
     stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(en, t)))
     uniq_ratio = F.size(F.array_distinct(toks)) / F.greatest(n_tokens, F.lit(1))
+    # integer-exact composite: quality = N / (5000*t) with
+    # N = 3*min(nc,500)*t + 1500*min(5*s, t) + 2000*u — all integers, so
+    # quality_bp (basis points, floor(2N/t)) is engine-independent: no
+    # float rounding half-point can flip it (0.48415 rounded to 4dp
+    # differs Spark vs DuckDB; 4841 bp does not)
+    a = F.least(n_chars, F.lit(500)).cast("long")
+    t = F.greatest(n_tokens, F.lit(1)).cast("long")
+    s = stop_hits.cast("long")
+    u = F.size(F.array_distinct(toks)).cast("long")
+    n_exact = (F.lit(3) * a * t + F.lit(1500) * F.least(F.lit(5) * s, t)
+               + F.lit(2000) * u)
     return df.withColumns({
         "q_len": F.round(F.least(n_chars / F.lit(500.0), F.lit(1.0)), 4),
         "q_punct_ratio": F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4),
@@ -87,6 +98,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.least(n_chars / F.lit(500.0), F.lit(1.0)) * 0.3
             + F.least(stop_hits / F.greatest(n_tokens, F.lit(1)) * 5, F.lit(1.0)) * 0.3
             + uniq_ratio * 0.4, 4),
+        "quality_bp": F.floor(F.lit(2) * n_exact / t).cast("long"),
     })
 
 

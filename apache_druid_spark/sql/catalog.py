@@ -127,13 +127,27 @@ def sys_segments(registry: DatasourceRegistry) -> DataFrame:
     return spark.createDataFrame(rows, _SEGMENTS_SCHEMA)
 
 
+def _parse_mem(text: str, default: int = 1 << 30) -> int:
+    """Spark memory string → bytes. Bare numbers are MiB (Spark's
+    spark.driver.memory convention); k/m/g/t suffixes with optional
+    trailing 'b'. Unparseable input falls back to *default* rather
+    than failing the whole sys.servers query."""
+    import re as _re
+
+    m = _re.fullmatch(r"\s*(\d+)\s*([kmgt]?)b?\s*", text.lower())
+    if not m:
+        return default
+    mult = {"": 1 << 20, "k": 1 << 10, "m": 1 << 20,
+            "g": 1 << 30, "t": 1 << 40}[m.group(2)]
+    return int(m.group(1)) * mult
+
+
 def sys_servers(registry: DatasourceRegistry) -> DataFrame:
     """One row per Spark executor set — the engine's 'historical'."""
     spark = registry.spark
     sc = spark.sparkContext
     host = sc.getConf().get("spark.driver.host", "localhost")
-    mem = int(sc.getConf().get("spark.driver.memory", "1g")
-              .lower().rstrip("gmk")) * (1 << 30)
+    mem = _parse_mem(sc.getConf().get("spark.driver.memory", "1g"))
     rows = [(f"{host}:0", host, 0, -1, "historical", "_default_tier",
              0, mem, 1)]
     return spark.createDataFrame(rows, _SERVERS_SCHEMA)

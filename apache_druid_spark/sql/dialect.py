@@ -51,6 +51,20 @@ _SIMPLE_RENAMES = {
     "DS_THETA": "approx_count_distinct",
     "STRING_AGG": "listagg",
     "ARRAY_AGG": "collect_list",
+    # ARRAY_* scalar family (sql/.../builtin/Array*OperatorConversion.java)
+    # — type-generic name maps onto Spark natives; ARRAY_APPEND /
+    # ARRAY_PREPEND / ARRAY_CONTAINS already match Spark builtins by
+    # name+semantics and need no entry. The arithmetic ones
+    # (ARRAY_SLICE, ARRAY_OFFSET_OF, ARRAY_ORDINAL_OF) are registered
+    # as SQL UDFs in functions/registry.py.
+    "ARRAY_LENGTH": "array_size",
+    "ARRAY_OFFSET": "get",           # 0-based, null out of range
+    "ARRAY_ORDINAL": "try_element_at",  # 1-based, null out of range
+                                        # (ANSI element_at would throw)
+    "ARRAY_OVERLAP": "arrays_overlap",
+    "ARRAY_TO_STRING": "array_join",
+    "STRING_TO_ARRAY": "split",
+    "ARRAY_CONCAT": "concat",
     "BIT_AND": "bit_and",
     "BIT_OR": "bit_or",
     "BIT_XOR": "bit_xor",
@@ -268,17 +282,21 @@ def druid_sql(spark: SparkSession, text: str, registry=None) -> DataFrame:
     from apache_druid_spark.functions.registry import register_druid_functions
 
     names = tuple(registry.names()) if registry is not None else ()
+    epoch = registry.epoch if registry is not None else 0
     marker = getattr(spark, "_druid_sql_registered", None)
-    if marker != (id(registry), names):
+    if marker != (id(registry), epoch, names):
         if marker is None or marker[0] != id(registry):
             register_druid_functions(spark, registry)
         if registry is not None:
+            # epoch changes on ANY register(), including same-name
+            # re-registration — refresh all views so a second INSERT
+            # into an existing target is visible to later SELECTs
             for name in names:
                 df = registry.table(name)
                 if "__segment" in df.columns:  # internal partition id
                     df = df.drop("__segment")
                 df.createOrReplaceTempView(name)
-        spark._druid_sql_registered = (id(registry), names)
+        spark._druid_sql_registered = (id(registry), epoch, names)
     explain = re.match(r"(?is)^\s*EXPLAIN\s+PLAN\s+FOR\s+(.+)$", text)
     if explain:
         return _explain_plan_for(spark, explain.group(1), registry)

@@ -165,3 +165,74 @@ def test_insert_appends_replace_overwrites_partition(spark, tmp_path):
     out = druid_sql_insert(spark, rep, reg, base)
     rows = {(r["page"], r["views"]) for r in out.collect()}
     assert rows == {("p1", 10), ("p2b", 99)}
+
+
+# --- round-2 advisor findings (ADVICE.md round 2) ---
+
+def test_sql_view_refresh_on_reregister(spark):
+    """Re-registering an existing datasource name must refresh the SQL
+    temp view (ADVICE r2: stale (id, names) marker served old data)."""
+    from apache_druid_spark import DatasourceRegistry
+    from apache_druid_spark.sql.dialect import druid_sql
+
+    reg = DatasourceRegistry(spark)
+    reg.register("advice_t", spark.createDataFrame([(1,)], "x long"))
+    r1 = druid_sql(spark, "SELECT SUM(x) AS s FROM advice_t", reg).collect()
+    assert r1[0]["s"] == 1
+    # same name, new frame — names() unchanged, epoch must catch it
+    reg.register("advice_t", spark.createDataFrame([(5,), (6,)], "x long"))
+    r2 = druid_sql(spark, "SELECT SUM(x) AS s FROM advice_t", reg).collect()
+    assert r2[0]["s"] == 11
+
+
+def test_parse_mem_suffixes():
+    from apache_druid_spark.sql.catalog import _parse_mem
+
+    assert _parse_mem("512m") == 512 * (1 << 20)
+    assert _parse_mem("2048k") == 2048 * (1 << 10)
+    assert _parse_mem("1g") == 1 << 30
+    assert _parse_mem("1gb") == 1 << 30
+    assert _parse_mem("3") == 3 * (1 << 20)  # bare = MiB (Spark docs)
+    assert _parse_mem("weird", default=7) == 7  # fallback, not raise
+
+
+def test_filtered_cardinality_empty_and_byvalue(spark):
+    df = spark.createDataFrame(
+        [("a", "x", "y"), ("a", "y", "z"), ("b", "x", "x")],
+        "k string, d1 string, d2 string")
+    sel = {"type": "selector", "dimension": "k", "value": "a"}
+    # empty fields: 0, not IndexError
+    agg = compile_aggregator(
+        {"type": "filtered", "name": "c", "filter": sel,
+         "aggregator": {"type": "cardinality", "name": "c", "fields": []}},
+        df)
+    assert df.agg(agg).collect()[0]["c"] == 0
+    # byRow=false multi-dim: union of value sets over filtered rows
+    # rows with k='a': d1 {x,y}, d2 {y,z} -> union {x,y,z} = 3
+    # (distinct tuples would give 2 — the old wrong answer)
+    agg = compile_aggregator(
+        {"type": "filtered", "name": "c", "filter": sel,
+         "aggregator": {"type": "cardinality", "name": "c",
+                        "fields": ["d1", "d2"], "byRow": False}},
+        df)
+    assert df.agg(agg).collect()[0]["c"] == 3
+    # unfiltered empty-fields guard too
+    agg = compile_aggregator(
+        {"type": "cardinality", "name": "c", "fields": []}, df)
+    assert df.agg(agg).collect()[0]["c"] == 0
+
+
+def test_http_staging_requires_shared_dir_when_not_local(spark, monkeypatch):
+    from apache_druid_spark.ingest.batch import _fetch_http
+
+    class FakeConf:
+        def get(self, k, d=None):
+            if k == "spark.master":
+                return "spark://cluster:7077"
+            return d
+
+    class FakeSpark:
+        conf = FakeConf()
+
+    with pytest.raises(ValueError, match="stagingDir"):
+        _fetch_http(FakeSpark(), {"uris": ["http://x/y.csv"]})

@@ -16,6 +16,8 @@ import time
 
 import duckdb
 
+sys.path.insert(0, "/root/repo")
+
 SF_DIR = "/root/testdata/sf0.01"
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
