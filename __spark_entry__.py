@@ -1346,6 +1346,148 @@ def _hll_sketch_rollup_merge(spark, sf_dir):
                      <= 0.05 * F.col("uniq_exact")).alias("hll_within_5pct")))
 
 
+@_q("theta_rollup_merge", """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uniq_users
+FROM events GROUP BY 1
+""")
+def _theta_rollup_merge(spark, sf_dir):
+    """Mergeable THETA sketch state through the segment lifecycle:
+    ingest-time rollup stores DataSketches theta binaries as a metric
+    column (SketchMergeAggregatorFactory.java's COMPLEX state — the
+    set-op-capable sketch HLL can't replace), the state survives a
+    parquet publish round-trip, re-aggregates across hour buckets with
+    theta_union_agg (getCombiningFactory = SketchMerge), and finalizes
+    via theta_sketch_estimate. Theta is deterministic and EXACT below
+    its 4096-entry nominal capacity, so the estimate equals the exact
+    distinct count at gate scale — a hash oracle, not a tolerance."""
+    import tempfile
+
+    from apache_druid_spark.ingest import (
+        finalize_metrics, ingest, reaggregate,
+    )
+    from apache_druid_spark.ingest.batch import write_segments
+
+    metrics = [
+        {"type": "count", "name": "cnt"},
+        {"type": "thetaSketch", "name": "uniq_users",
+         "fieldName": "user_id"},
+    ]
+    rolled = ingest(spark, {
+        "ioConfig": {
+            "inputSource": {"type": "local",
+                            "files": [f"{sf_dir}/events.parquet"]},
+            "inputFormat": {"type": "parquet"}},
+        "dataSchema": {
+            "timestampSpec": {"column": "ts", "format": "nano"},
+            "dimensionsSpec": {"dimensions": ["event_type"]},
+            "metricsSpec": metrics,
+            "granularitySpec": {"rollup": True,
+                                "queryGranularity": "hour"}},
+    })
+    path = tempfile.mkdtemp(prefix="theta_seg_") + "/events_theta"
+    write_segments(rolled, path, segment_granularity="day")
+    published = spark.read.parquet(path).drop("__segment")
+    merged = finalize_metrics(
+        published.groupBy("event_type").agg(*reaggregate(metrics)), metrics)
+    return merged.select("event_type",
+                         F.col("uniq_users").cast("long").alias("uniq_users"))
+
+
+@_q("sql_theta_set_ops", """
+SELECT
+ (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+     AND o_custkey IN (SELECT o_custkey FROM orders
+                       WHERE o_orderpriority = '2-HIGH')) AS both_prio,
+ (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+    FROM orders
+   WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS either_prio,
+ (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+     AND o_custkey NOT IN (SELECT o_custkey FROM orders
+                           WHERE o_orderpriority = '2-HIGH')) AS only_urgent
+""")
+def _sql_theta_set_ops(spark, sf_dir):
+    """THETA_SKETCH_* SQL over REAL theta state (SketchSetPostAggregator
+    semantics): DS_THETA builds DataSketches theta binaries via Spark's
+    native theta_sketch_agg; INTERSECT/UNION/NOT run on state
+    (theta_intersection/theta_union/theta_difference) before the
+    estimate finalizer. Deterministic, and exact below the 4096-entry
+    capacity — hash-checked against exact set arithmetic."""
+    return druid_sql(spark, """
+SELECT
+  CAST(THETA_SKETCH_ESTIMATE(THETA_SKETCH_INTERSECT(
+    DS_THETA(CASE WHEN o_orderpriority = '1-URGENT' THEN o_custkey END),
+    DS_THETA(CASE WHEN o_orderpriority = '2-HIGH' THEN o_custkey END)))
+    AS BIGINT) AS both_prio,
+  CAST(THETA_SKETCH_ESTIMATE(THETA_SKETCH_UNION(
+    DS_THETA(CASE WHEN o_orderpriority = '1-URGENT' THEN o_custkey END),
+    DS_THETA(CASE WHEN o_orderpriority = '2-HIGH' THEN o_custkey END)))
+    AS BIGINT) AS either_prio,
+  CAST(THETA_SKETCH_ESTIMATE(THETA_SKETCH_NOT(
+    DS_THETA(CASE WHEN o_orderpriority = '1-URGENT' THEN o_custkey END),
+    DS_THETA(CASE WHEN o_orderpriority = '2-HIGH' THEN o_custkey END)))
+    AS BIGINT) AS only_urgent
+FROM orders
+""", _registry(spark, sf_dir))
+
+
+@_q("expression_cartesian", """
+SELECT n_name,
+       6 * n_nationkey + 6 AS dotfold,
+       'a' || n_name || ',b' || n_name AS crossmap
+FROM nation
+ORDER BY n_name
+""")
+def _expression_cartesian(spark, sf_dir):
+    """cartesian_fold / cartesian_map apply functions
+    (core/.../math/expr/ApplyFunction.java Cartesian*Function):
+    nested codegen transform+flatten over the array product, fold via
+    aggregate() — no UDFs."""
+    nation = _registry(spark, sf_dir).table("nation")
+    from apache_druid_spark.operators.expressions import compile_expression
+
+    fold = compile_expression(
+        "cartesian_fold((x, y, acc) -> acc + x * y,"
+        " [1, 2, 3], [n_nationkey, 1], 0)")
+    cmap = compile_expression(
+        "array_to_string(cartesian_map((x, y) -> concat(x, y),"
+        " ['a', 'b'], [n_name]), ',')")
+    return (nation.select(
+        "n_name",
+        fold.cast("long").alias("dotfold"),
+        cmap.alias("crossmap"))
+        .orderBy("n_name"))
+
+
+@_q("sql_scalar_shims2", """
+SELECT CAST(0 AS BIGINT) AS zero_sum,
+       floor((AVG(n_nationkey) + 0.0555) * 100) / 100 AS trunc_avg,
+       TRUE AS ip_in, FALSE AS ip_out,
+       '1.50 MB' AS dec_bytes,
+       '1.23 M' AS dec_fmt,
+       'a,b,c' AS mv_arr
+FROM nation
+""")
+def _sql_scalar_shims2(spark, sf_dir):
+    """Round-3 scalar shims in one oracle row: SUM0 (null-as-zero sum),
+    TRUNCATE (truncate-toward-zero at digits), IPV4_MATCH (subnet
+    test), HUMAN_READABLE_DECIMAL_[BYTE_]FORMAT, and MV_TO_ARRAY
+    (identity over array dims) — DruidOperatorTable.java names over
+    Spark natives, zero UDFs."""
+    return druid_sql(spark, """
+SELECT CAST(SUM0(CASE WHEN n_name = 'ZZZ' THEN 1 END) AS BIGINT) AS zero_sum,
+       TRUNCATE(AVG(n_nationkey) + 0.0555, 2) AS trunc_avg,
+       ANY_VALUE(IPV4_MATCH('192.168.0.55', '192.168.0.0/24')) AS ip_in,
+       ANY_VALUE(IPV4_MATCH('10.0.0.1', '192.168.0.0/24')) AS ip_out,
+       ANY_VALUE(HUMAN_READABLE_DECIMAL_BYTE_FORMAT(1500000)) AS dec_bytes,
+       ANY_VALUE(HUMAN_READABLE_DECIMAL_FORMAT(1230000)) AS dec_fmt,
+       ANY_VALUE(ARRAY_TO_STRING(MV_TO_ARRAY(STRING_TO_MV('a,b,c', ',')), ','))
+         AS mv_arr
+FROM nation
+""", _registry(spark, sf_dir))
+
+
 @_q("segment_pruned_timeseries", """
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS __time,
        COUNT(*) AS cnt
@@ -3398,6 +3540,9 @@ _PROMOTE = (
     # new round-3 entries
     "sql_array_fns", "stratified_sample_documents",
     "train_test_split_counts",
+    # round-3 sketch-state + expression additions
+    "theta_rollup_merge", "sql_theta_set_ops", "expression_cartesian",
+    "sql_scalar_shims2",
 )
 
 

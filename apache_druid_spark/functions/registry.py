@@ -118,6 +118,10 @@ _FUNCTION_DEFS: list[tuple[str, str, str, str]] = [
     ("MV_TO_STRING", "a ARRAY<STRING>, d STRING", "STRING",
      "array_join(a, d)"),
     ("STRING_TO_MV", "s STRING, d STRING", "ARRAY<STRING>", "split(s, d)"),
+    # MV_TO_ARRAY is the identity here: multi-value dims ARE array
+    # columns in this engine (MultiValueStringOperatorConversions.java
+    # MV_TO_ARRAY reinterprets the MV column as ARRAY — same value)
+    ("MV_TO_ARRAY", "a ARRAY<STRING>", "ARRAY<STRING>", "a"),
     # ARRAY_* arithmetic shims (Array{Slice,OffsetOf,OrdinalOf}
     # OperatorConversion.java); the direct name maps live in
     # sql/dialect.py _SIMPLE_RENAMES. String-element arrays — the only
@@ -165,6 +169,37 @@ _FUNCTION_DEFS: list[tuple[str, str, str, str]] = [
           n / power(1024, floor(log(1024, greatest(abs(n), 1)))),
           element_at(array('B','KiB','MiB','GiB','TiB','PiB'),
                      cast(floor(log(1024, greatest(abs(n), 1))) AS INT) + 1))"""),
+    ("HUMAN_READABLE_DECIMAL_BYTE_FORMAT", "n BIGINT", "STRING",
+     """format_string('%.2f %s',
+          n / power(1000, floor(log(1000, greatest(abs(n), 1)))),
+          element_at(array('B','KB','MB','GB','TB','PB'),
+                     cast(floor(log(1000, greatest(abs(n), 1))) AS INT) + 1))"""),
+    ("HUMAN_READABLE_DECIMAL_FORMAT", "n BIGINT", "STRING",
+     """CASE WHEN abs(n) < 1000 THEN cast(n AS STRING)
+        ELSE format_string('%.2f %s',
+          n / power(1000, floor(log(1000, abs(n)))),
+          element_at(array('', 'K','M','G','T','P'),
+                     cast(floor(log(1000, abs(n))) AS INT) + 1)) END"""),
+    # Druid TRUNCATE(x, digits): truncate toward zero at `digits`
+    # decimal places (Function.java Truncate)
+    ("TRUNCATE", "x DOUBLE, d INT", "DOUBLE",
+     """CASE WHEN x >= 0 THEN floor(x * power(10, d)) / power(10, d)
+        ELSE -floor(-x * power(10, d)) / power(10, d) END"""),
+    ("IPV4_MATCH", "addr STRING, subnet STRING", "BOOLEAN",
+     """floor((cast(split(addr, '\\\\.')[0] AS BIGINT) * 16777216
+        + cast(split(addr, '\\\\.')[1] AS BIGINT) * 65536
+        + cast(split(addr, '\\\\.')[2] AS BIGINT) * 256
+        + cast(split(addr, '\\\\.')[3] AS BIGINT))
+        / power(2, 32 - cast(split(subnet, '/')[1] AS INT)))
+      = floor((cast(split(split(subnet, '/')[0], '\\\\.')[0] AS BIGINT) * 16777216
+        + cast(split(split(subnet, '/')[0], '\\\\.')[1] AS BIGINT) * 65536
+        + cast(split(split(subnet, '/')[0], '\\\\.')[2] AS BIGINT) * 256
+        + cast(split(split(subnet, '/')[0], '\\\\.')[3] AS BIGINT))
+        / power(2, 32 - cast(split(subnet, '/')[1] AS INT)))"""),
+    # THETA_SKETCH_ESTIMATE / _INTERSECT / _UNION / _NOT need no shim:
+    # Spark 4.1 ships native DataSketches theta builtins
+    # (theta_sketch_estimate / theta_intersection / theta_union /
+    # theta_difference) — name maps live in sql/dialect.py.
 ]
 
 

@@ -354,6 +354,17 @@ _FIRST_LAST_TYPES = {
 _HLL_SKETCH_TYPES = {"HLLSketchBuild", "HLLSketchMerge", "hyperUnique"}
 _DEFAULT_LGK = 12  # HllSketchAggregatorFactory.DEFAULT_LG_K
 
+# Theta sketch state (extensions-core/datasketches/.../theta/
+# SketchMergeAggregatorFactory.java): Spark 4.1's theta_sketch_agg /
+# theta_union_agg emit/merge the same Apache DataSketches theta
+# binaries, giving the rolled-up table set-op-capable distinct state
+# (intersect/diff — the one thing HLL state can't do).
+_THETA_SKETCH_TYPES = {"thetaSketch", "sketchBuild", "sketchMerge"}
+# Quantiles sketch state (extensions-core/datasketches/.../quantiles/
+# DoublesSketchAggregatorFactory.java) via DataSketches KLL:
+# kll_sketch_agg_double builds, kll_sketch_merge_double combines.
+_KLL_SKETCH_TYPES = {"quantilesDoublesSketch"}
+
 
 def _hll_lgk(m: dict) -> int:
     return int(m.get("lgK", _DEFAULT_LGK))
@@ -378,6 +389,14 @@ def rollup(df: DataFrame, dimensions: list[str], metrics: list[dict],
         if m["type"] in _HLL_SKETCH_TYPES:
             aggs.append(F.hll_sketch_agg(
                 F.col(m["fieldName"]), _hll_lgk(m)).alias(m["name"]))
+            continue
+        if m["type"] in _THETA_SKETCH_TYPES:
+            aggs.append(F.theta_sketch_agg(
+                F.col(m["fieldName"])).alias(m["name"]))
+            continue
+        if m["type"] in _KLL_SKETCH_TYPES:
+            aggs.append(F.kll_sketch_agg_double(
+                F.col(m["fieldName"]).cast("double")).alias(m["name"]))
             continue
         which = _FIRST_LAST_TYPES.get(m["type"])
         if which is None:
@@ -413,6 +432,23 @@ def reaggregate(metrics: list[dict]) -> list[Column]:
             # HllSketchBuildAggregatorFactory = HllSketchMerge)
             out.append(F.hll_union_agg(F.col(name)).alias(name))
             continue
+        if t in _THETA_SKETCH_TYPES:
+            # SketchMergeAggregatorFactory.getCombiningFactory -> merge
+            out.append(F.theta_union_agg(F.col(name)).alias(name))
+            continue
+        if t in _KLL_SKETCH_TYPES:
+            # kll_sketch_merge_double is a binary scalar (no union
+            # aggregate in Spark 4.1): fold the group's states with
+            # aggregate() — states are KB-sized, groups are segment
+            # counts, so the collect_list payload is tiny
+            lst = F.collect_list(F.col(name))
+            merged = F.aggregate(
+                F.slice(lst, F.lit(2),
+                        F.greatest(F.size(lst) - 1, F.lit(0))),
+                F.element_at(lst, 1),
+                lambda acc, x: F.kll_sketch_merge_double(acc, x))
+            out.append(merged.alias(name))
+            continue
         which = _FIRST_LAST_TYPES.get(t)
         if which is not None:
             fn = F.min_by if which == "first" else F.max_by
@@ -436,6 +472,17 @@ def finalize_metrics(df: DataFrame, metrics: list[dict]) -> DataFrame:
             df = df.withColumn(
                 m["name"],
                 F.hll_sketch_estimate(F.col(m["name"])).cast("long"))
+        elif m["type"] in _THETA_SKETCH_TYPES:
+            df = df.withColumn(
+                m["name"],
+                F.theta_sketch_estimate(F.col(m["name"])).cast("long"))
+        elif m["type"] in _KLL_SKETCH_TYPES:
+            # finalize to the median, the DoublesSketch default readout;
+            # DS_GET_QUANTILE over the stored state serves other ranks
+            df = df.withColumn(
+                m["name"],
+                F.kll_sketch_get_quantile_double(F.col(m["name"]),
+                                                 F.lit(0.5)))
     return df
 
 

@@ -115,8 +115,15 @@ def compile_aggregator(spec: dict, df=None, registry=None) -> Column:
     if t == "grouping":
         return F.grouping_id().alias(name)
     if t in ("thetaSketch", "sketchMerge", "sketchBuild"):
-        # exact distinct — a strict-accuracy upgrade Druid can't do
-        # without sketches because it never shuffles (SURVEY §2.7)
+        # Over raw values: exact distinct — a strict-accuracy upgrade
+        # Druid can't do without sketches because it never shuffles
+        # (SURVEY §2.7). Over stored theta STATE (sketchMerge /
+        # isInputThetaSketch, SketchMergeAggregatorFactory.java): merge
+        # with Spark's native DataSketches theta union and finalize.
+        if t == "sketchMerge" or spec.get("isInputThetaSketch"):
+            return F.theta_sketch_estimate(
+                F.theta_union_agg(_field(spec, registry))
+            ).cast("long").alias(name)
         return F.count_distinct(_field(spec, registry)).alias(name)
     if t == "distinctCount":
         # contrib extensions-contrib/distinctcount/

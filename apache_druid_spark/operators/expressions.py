@@ -305,12 +305,54 @@ def _apply_all(p: _Parser) -> Column:
     return F.forall(arr, lambda x: _as_bool(body(x)))
 
 
+def _cartesian(arrs: list, fn: Callable) -> Column:
+    """Nested transform over the cartesian product of ``arrs``,
+    flattened to a single array: cartesian over k arrays is k-1 nested
+    transforms + flattens, all codegen HOFs."""
+    if len(arrs) == 1:
+        return F.transform(arrs[0], lambda x: fn(x))
+    return F.flatten(F.transform(
+        arrs[0], lambda x: _cartesian(arrs[1:], lambda *ys: fn(x, *ys))))
+
+
+def _apply_cartesian_map(p: _Parser) -> Column:
+    # cartesian_map((x, y, ...) -> expr, arr1, arr2, ...)
+    params, body = p._parse_lambda()
+    arrs = []
+    while p.peek()[1] == ",":
+        p.next()
+        arrs.append(p.parse_or())
+    if len(arrs) != len(params):
+        raise ValueError("cartesian_map: lambda arity != array count")
+    return _cartesian(arrs, body)
+
+
+def _apply_cartesian_fold(p: _Parser) -> Column:
+    # cartesian_fold((x, y, ..., acc) -> expr, arr1, arr2, ..., init)
+    params, body = p._parse_lambda()
+    rest = []
+    while p.peek()[1] == ",":
+        p.next()
+        rest.append(p.parse_or())
+    arrs, init = rest[:-1], rest[-1]
+    if len(arrs) != len(params) - 1:
+        raise ValueError("cartesian_fold: lambda arity != array count + 1")
+    pairs = _cartesian(
+        arrs, lambda *xs: F.struct(*[x.alias(f"_{i}")
+                                     for i, x in enumerate(xs)]))
+    return F.aggregate(
+        pairs, init,
+        lambda acc, s: body(*[s[f"_{i}"] for i in range(len(arrs))], acc))
+
+
 _APPLY_FUNCTIONS: dict[str, Callable] = {
     "map": _apply_map,
     "filter": _apply_filter,
     "fold": _apply_fold,
     "any": _apply_any,
     "all": _apply_all,
+    "cartesian_map": _apply_cartesian_map,
+    "cartesian_fold": _apply_cartesian_fold,
 }
 
 # ---------------------------------------------------------------------------
@@ -323,6 +365,41 @@ _DRUID_TO_SPARK_TYPE = {
     "array<string>": "array<string>", "long_array": "array<long>",
     "double_array": "array<double>", "string_array": "array<string>",
 }
+
+
+def _fn_get_exponent(d: Column) -> Column:
+    """Math.getExponent: unbiased IEEE-754 exponent. Derived from log2
+    with a pow-back correction (log2 alone can land one below at exact
+    powers of two); zero/subnormals -> -1023, NaN/Inf -> 1024, matching
+    Java (Function.java GetExponent)."""
+    x = F.abs(d.cast("double"))
+    e0 = F.round(F.log2(x)).cast("int")
+    e = F.when(F.power(F.lit(2.0), e0.cast("double")) <= x, e0) \
+         .otherwise(e0 - 1)
+    return (F.when(F.isnan(x) | (x == F.lit(float("inf"))), F.lit(1024))
+             .when(x < F.lit(2.0 ** -1022), F.lit(-1023))
+             .otherwise(e))
+
+
+def _fn_ulp(d: Column) -> Column:
+    """Math.ulp via 2^(getExponent-52); zero/subnormal -> MIN_VALUE,
+    Inf -> Inf, NaN -> NaN."""
+    x = F.abs(d.cast("double"))
+    return (F.when(F.isnan(x) | (x == F.lit(float("inf"))), x)
+             .when(x < F.lit(2.0 ** -1022), F.lit(4.9e-324))
+             .otherwise(F.power(
+                 F.lit(2.0), (_fn_get_exponent(d) - 52).cast("double"))))
+
+
+def _fn_next_up(d: Column) -> Column:
+    """Math.nextUp approximated as d + ulp(d). Exact everywhere except
+    exact negative powers of two, where the true step is ulp/2 (the
+    spacing halves below the boundary) — documented divergence."""
+    dd = d.cast("double")
+    return (F.when(F.isnan(dd), dd)
+             .when(dd == F.lit(float("inf")), dd)
+             .when(dd == F.lit(0.0), F.lit(4.9e-324))
+             .otherwise(dd + _fn_ulp(dd)))
 
 
 def _raise_unsupported(name: str):
@@ -530,6 +607,13 @@ _FUNCTIONS: dict[str, Callable] = {
     "tan": F.tan, "tanh": F.tanh,
     "todegrees": F.degrees, "toradians": F.radians,
     "max": F.greatest, "min": F.least,
+    # IEEE-754 float helpers (Function.java GetExponent/Ulp/NextUp/Scalb)
+    "getexponent": _fn_get_exponent,
+    "ulp": _fn_ulp,
+    "nextup": _fn_next_up,
+    "nextafter": lambda a, b: _raise_unsupported("nextAfter"),
+    "scalb": lambda d, sb: d.cast("double")
+    * F.power(F.lit(2.0), sb.cast("double")),
     "mod": lambda a, b: a % b,
     "remainder": lambda a, b: a % b,
     "safe_divide": lambda a, b: F.when(b == 0, F.lit(None)).otherwise(a / b),
@@ -544,6 +628,17 @@ _FUNCTIONS: dict[str, Callable] = {
         "bitwiseConvertDoubleToLongBits"),
     "bitwiseconvertlongbitstodouble": lambda a: _raise_unsupported(
         "bitwiseConvertLongBitsToDouble"),
+    # HLL-state expression builders (HyperUniqueExpressions.java) carry
+    # COMPLEX sketch state through scalar expressions; our engine holds
+    # mergeable HLL state in columns via hll_sketch_agg/hll_union_agg
+    # (ingest/batch.py rollup metrics) instead — same capability, the
+    # idiomatic Spark shape.
+    "hyper_unique": lambda *a: _raise_unsupported(
+        "hyper_unique (use DS_HLL / hll_sketch_agg rollup metrics)"),
+    "hyper_unique_add": lambda *a: _raise_unsupported(
+        "hyper_unique_add (use DS_HLL / hll_sketch_agg rollup metrics)"),
+    "hyper_unique_estimate": lambda *a: _raise_unsupported(
+        "hyper_unique_estimate (use HLL_SKETCH_ESTIMATE)"),
     # string
     "concat": F.concat, "format": F.format_string,
     "parse_long": lambda s, *r: (F.conv(s, int(_extract_literal(r[0])), 10).cast("long")

@@ -228,6 +228,16 @@ def embedding_cosine_pairs(df: DataFrame, dim: int,
             F.lit(t).alias("__table"),
             lsh_bucket(F.col(vec_col), planes).alias("__bucket")))
     blocked = reduce(lambda x, y: x.unionAll(y), views)
+    # The bucketed union feeds the oversized-cell aggregate AND (via
+    # the anti join) both self-join sides; persist it so the
+    # tables×bits hyperplane dot products run once per row, not once
+    # per consumer. The 100 TB shape is the same buckets materialized
+    # at ingest; this is the ad-hoc analog. (The a/b join sides share
+    # one shuffle via ReusedExchange — the cross-branch recompute is
+    # the one Catalyst can't dedupe.)
+    from pyspark import StorageLevel
+
+    blocked = blocked.persist(StorageLevel.MEMORY_AND_DISK)
     oversized = (blocked.select("__table", "__bucket")
                  .groupBy("__table", "__bucket")
                  .agg(F.count(F.lit(1)).alias("__bsz"))
@@ -281,7 +291,17 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     degrades to object-hash aggregation over per-group arrays, while
     the join stays in codegen. This is the exact verification pass to
     run AFTER minhash_lsh_pairs at full scale; on its own it is fine
-    up to ~10M docs."""
+    up to ~10M docs.
+
+    The posting table (id, h) feeds three consumers — the stop-list
+    aggregate, the per-doc set sizes, and both sides of the pair
+    self-join — so it is persisted (memory, spill-to-disk) rather than
+    re-deriving the shingle explode + md5 per branch. At full corpus
+    scale the same role is played by writing the posting table to a
+    staging table once and reading it thrice; either way the shingling
+    pass runs exactly once."""
+    from pyspark import StorageLevel
+
     sh = parallelize_scan(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(_shingles(F.col(text_col), shingle_k))
@@ -290,7 +310,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         F.col(id_col),
         F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
          .cast("long").alias("h"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     stop = (sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
               .filter(F.col("df") > max_shingle_freq)
               .select("h"))

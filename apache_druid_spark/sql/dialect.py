@@ -14,12 +14,23 @@ identical to hand-written Spark SQL.
   EARLIEST_BY(x, t)      -> min_by(x, t)
   LATEST_BY(x, t)        -> max_by(x, t)
   ANY_VALUE(x)           -> any_value(x)            (built-in)
-  APPROX_COUNT_DISTINCT[_DS_HLL|_DS_THETA|_BUILTIN] -> approx_count_distinct
+  APPROX_COUNT_DISTINCT[_DS_HLL|_BUILTIN] -> approx_count_distinct
+  APPROX_COUNT_DISTINCT_DS_THETA(x) -> theta_sketch_estimate(
+                            theta_sketch_agg(x))     (real theta state)
   APPROX_QUANTILE[_DS|_FIXED_BUCKETS](x, q[, k])    -> percentile_approx(x, q)
+                           (deterministic approximation; KLL state via
+                            DS_QUANTILES_SKETCH when mergeability matters)
   DS_HLL(x[, lgK])       -> hll_sketch_agg           (mergeable state)
   HLL_SKETCH_ESTIMATE / HLL_SKETCH_UNION[_AGG] -> hll_sketch_estimate /
                             hll_union[_agg]          (finalize / merge)
-  DS_THETA               -> approx_count_distinct    (estimate at build)
+  DS_THETA(x)            -> theta_sketch_agg         (mergeable state)
+  THETA_SKETCH_ESTIMATE / _INTERSECT / _UNION / _NOT ->
+                            theta_sketch_estimate / theta_intersection /
+                            theta_union / theta_difference (on state)
+  DS_QUANTILES_SKETCH / DS_GET_QUANTILE / DS_RANK ->
+                            kll_sketch_agg_double / kll_sketch_get_
+                            quantile_double / ..get_rank_double
+  SUM0(x)                -> coalesce(sum(x), 0)
   ARRAY_CONCAT_AGG(x)    -> flatten(collect_list(x))
   STRING_AGG(x, sep)     -> listagg(x, sep)
   BIT_AND/BIT_OR/BIT_XOR -> bit_and/bit_or/bit_xor  (built-ins)
@@ -35,7 +46,8 @@ from apache_druid_spark.model.datasource import TIME_COLUMN
 
 _SIMPLE_RENAMES = {
     "APPROX_COUNT_DISTINCT_DS_HLL": "approx_count_distinct",
-    "APPROX_COUNT_DISTINCT_DS_THETA": "approx_count_distinct",
+    # APPROX_COUNT_DISTINCT_DS_THETA is a wrap (theta_sketch_estimate
+    # over theta_sketch_agg state), handled in _rewrite_aggregates
     "APPROX_COUNT_DISTINCT_BUILTIN": "approx_count_distinct",
     "APPROX_QUANTILE_DS": "percentile_approx",
     "APPROX_QUANTILE_FIXED_BUCKETS": "percentile_approx",
@@ -48,7 +60,22 @@ _SIMPLE_RENAMES = {
     "HLL_SKETCH_ESTIMATE": "hll_sketch_estimate",
     "HLL_SKETCH_UNION": "hll_union",
     "HLL_SKETCH_UNION_AGG": "hll_union_agg",
-    "DS_THETA": "approx_count_distinct",
+    # DS_THETA builds REAL mergeable theta state (Spark 4.1's
+    # theta_sketch_agg emits Apache DataSketches theta binaries — the
+    # same COMPLEX state SketchMergeAggregatorFactory.java stores);
+    # the THETA_SKETCH_* post-aggs then run on state, exactly like the
+    # reference's SketchSetPostAggregator.
+    "DS_THETA": "theta_sketch_agg",
+    "THETA_SKETCH_ESTIMATE": "theta_sketch_estimate",
+    "THETA_SKETCH_INTERSECT": "theta_intersection",
+    "THETA_SKETCH_UNION": "theta_union",
+    "THETA_SKETCH_NOT": "theta_difference",
+    # Quantiles sketch state via Spark 4.1 KLL builtins (DataSketches
+    # KLL — the modern quantiles sketch; kll_sketch_merge_double gives
+    # the mergeable-state path DoublesSketchAggregatorFactory has)
+    "DS_QUANTILES_SKETCH": "kll_sketch_agg_double",
+    "DS_GET_QUANTILE": "kll_sketch_get_quantile_double",
+    "DS_RANK": "kll_sketch_get_rank_double",
     "STRING_AGG": "listagg",
     "ARRAY_AGG": "collect_list",
     # ARRAY_* scalar family (sql/.../builtin/Array*OperatorConversion.java)
@@ -198,6 +225,23 @@ def translate(text: str, time_column: str = TIME_COLUMN) -> str:
     # fix the extra paren from the compound rename above
     if "flatten(collect_list(" in text:
         text = _close_extra_paren(text, "flatten(collect_list(")
+    # SUM0: null-as-zero sum (DruidOperatorTable.java SUM0 — the
+    # rollup-count re-aggregation form): SUM0(x) -> coalesce(sum(x), 0)
+    # via a collision-proof temp marker so pre-existing coalesce(sum(
+    # text in the input is never touched.
+    rewritten = _rewrite_call(text, "SUM0", "__SUM0_TMP__")
+    if rewritten != text:
+        rewritten = _close_extra_paren(rewritten, "__SUM0_TMP__(", ", 0)")
+        text = rewritten.replace("__SUM0_TMP__(", "coalesce(sum(")
+    # APPROX_COUNT_DISTINCT_DS_THETA(x) -> finalized theta estimate
+    # over real sketch state (same DataSketches theta the reference's
+    # ThetaSketchApproxCountDistinctSqlAggregator produces)
+    rewritten = _rewrite_call(text, "APPROX_COUNT_DISTINCT_DS_THETA",
+                              "__ACDT_TMP__")
+    if rewritten != text:
+        rewritten = _close_extra_paren(rewritten, "__ACDT_TMP__(", ")")
+        text = rewritten.replace(
+            "__ACDT_TMP__(", "theta_sketch_estimate(theta_sketch_agg(")
     for druid, spark_name in _SIMPLE_RENAMES.items():
         text = _rewrite_call(text, druid, spark_name)
     return text
@@ -218,7 +262,7 @@ def _rewrite_bare_varchar(text: str) -> str:
     return "".join(out)
 
 
-def _close_extra_paren(text: str, marker: str) -> str:
+def _close_extra_paren(text: str, marker: str, closing: str = ")") -> str:
     out = []
     i = 0
     while True:
@@ -241,7 +285,7 @@ def _close_extra_paren(text: str, marker: str) -> str:
                 depth -= 1
             j += 1
         out.append(text[i:j])
-        out.append(")")
+        out.append(closing)
         i = j
 
 

@@ -33,6 +33,14 @@ def _one(spark, expr_text):
     ("bitwiseOr(12, 10)", 14),
     ("bitwiseXor(12, 10)", 6),
     ("bitwiseShiftLeft(1, 4)", 16),
+    # IEEE-754 helpers (Function.java GetExponent/Ulp/NextUp/Scalb)
+    ("scalb(3.0, 4)", 48.0),
+    ("ulp(1.0)", 2.220446049250313e-16),
+    ("ulp(0.0)", 5e-324),
+    ("getExponent(8.0)", 3),
+    ("getExponent(7.9)", 2),
+    ("getExponent(0.0)", -1023),
+    ("nextUp(1.0)", 1.0000000000000002),
 ])
 def test_math(spark, expr, expected):
     assert _one(spark, expr) == expected
@@ -98,6 +106,9 @@ def test_control(spark, expr, expected):
     ("filter(x -> x > 1, [1,2,3])", [2, 3]),
     ("any(x -> x > 2, [1,2,3])", True),
     ("all(x -> x > 2, [1,2,3])", False),
+    # ApplyFunction.java CartesianMapFunction / CartesianFoldFunction
+    ("cartesian_map((x, y) -> x + y, [1,2], [10,20])", [11, 21, 12, 22]),
+    ("cartesian_fold((x, y, acc) -> acc + x * y, [1,2], [3,4], 0)", 21),
 ])
 def test_array_and_lambda(spark, expr, expected):
     assert _one(spark, expr) == expected

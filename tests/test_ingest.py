@@ -326,6 +326,58 @@ def test_hll_sketch_state_survives_parquet(spark, tmp_path):
     assert merged.collect()[0]["uniq"] == 12
 
 
+def test_theta_sketch_state_rollup_merge(spark, tmp_path):
+    """Theta metric state stays mergeable across rollup -> publish ->
+    re-aggregation (SketchMergeAggregatorFactory getCombiningFactory);
+    exact below the 4096-entry nominal capacity."""
+    from datetime import datetime
+
+    from apache_druid_spark.ingest import (
+        finalize_metrics, reaggregate, rollup, write_segments,
+    )
+
+    rows = [(datetime(2024, 1, 1, h, mi), "e%d" % (h % 2), "u%03d" % u)
+            for h in range(4) for mi, u in [(5, h * 10), (25, h * 10 + 1),
+                                            (45, 999)]]
+    df = spark.createDataFrame(rows, "__time timestamp, et string, uid string")
+    metrics = [{"type": "count", "name": "cnt"},
+               {"type": "thetaSketch", "name": "uniq", "fieldName": "uid"}]
+    rolled = rollup(df, ["et"], metrics, query_granularity="hour")
+    assert dict(rolled.dtypes)["uniq"] == "binary"
+    path = str(tmp_path / "theta_seg")
+    write_segments(rolled, path, segment_granularity="day")
+    back = spark.read.parquet(path).drop("__segment")
+    merged = finalize_metrics(
+        back.groupBy("et").agg(*reaggregate(metrics)), metrics)
+    got = {r["et"]: (r["cnt"], r["uniq"]) for r in merged.collect()}
+    assert got["e0"] == (6, 5)
+    assert got["e1"] == (6, 5)
+
+
+def test_kll_quantiles_state_rollup_merge(spark):
+    """quantilesDoublesSketch metric -> KLL state (DataSketches KLL,
+    DoublesSketchAggregatorFactory analogue): builds per bucket, merges
+    with kll_sketch_merge_double, finalizes to the median. KLL is a
+    randomized sketch — assert tolerance vs the exact median, not
+    equality."""
+    from datetime import datetime
+
+    from apache_druid_spark.ingest import (
+        finalize_metrics, reaggregate, rollup,
+    )
+
+    rows = [(datetime(2024, 1, 1, i % 24), float(i % 101))
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "__time timestamp, v double")
+    metrics = [{"type": "quantilesDoublesSketch", "name": "med",
+                "fieldName": "v"}]
+    rolled = rollup(df, [], metrics, query_granularity="hour")
+    assert dict(rolled.dtypes)["med"] == "binary"
+    merged = finalize_metrics(rolled.agg(*reaggregate(metrics)), metrics)
+    med = merged.collect()[0]["med"]
+    assert abs(med - 50.0) <= 5.0  # exact median of 0..100 cycle is ~50
+
+
 def test_http_input_source_fetches_and_parses(spark, tmp_path):
     """HttpInputSource analogue: fetch over real HTTP (local server,
     basic auth enforced) then parse with the csv inputFormat."""

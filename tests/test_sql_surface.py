@@ -146,6 +146,50 @@ def test_ds_hll_builds_mergeable_state(spark, registry):
     assert out.collect()[0]["uniq"] == 25
 
 
+def test_ds_theta_state_and_set_ops(spark, registry):
+    """DS_THETA -> theta_sketch_agg (real DataSketches theta state);
+    THETA_SKETCH_INTERSECT/UNION/NOT run on state, THETA_SKETCH_ESTIMATE
+    finalizes (SketchSetPostAggregator semantics); exact below 4k."""
+    from apache_druid_spark.sql.dialect import druid_sql
+
+    out = druid_sql(spark, """
+        SELECT
+          CAST(THETA_SKETCH_ESTIMATE(THETA_SKETCH_INTERSECT(
+            DS_THETA(CASE WHEN n_regionkey < 3 THEN n_name END),
+            DS_THETA(CASE WHEN n_regionkey > 1 THEN n_name END)))
+            AS BIGINT) AS i,
+          CAST(THETA_SKETCH_ESTIMATE(THETA_SKETCH_UNION(
+            DS_THETA(CASE WHEN n_regionkey < 3 THEN n_name END),
+            DS_THETA(CASE WHEN n_regionkey > 1 THEN n_name END)))
+            AS BIGINT) AS u,
+          CAST(THETA_SKETCH_ESTIMATE(THETA_SKETCH_NOT(
+            DS_THETA(CASE WHEN n_regionkey < 3 THEN n_name END),
+            DS_THETA(CASE WHEN n_regionkey > 1 THEN n_name END)))
+            AS BIGINT) AS d
+        FROM nation
+    """, registry)
+    row = out.collect()[0]
+    # regions 0,1,2 = 15 nations; 2,3,4 = 15; overlap region 2 = 5
+    assert (row["i"], row["u"], row["d"]) == (5, 25, 10)
+
+
+def test_sum0_and_new_scalar_shims(spark, registry):
+    from apache_druid_spark.sql.dialect import druid_sql
+
+    out = druid_sql(spark, """
+        SELECT SUM0(CASE WHEN n_name = 'NOPE' THEN 1 END) AS z,
+               TRUNCATE(-3.789, 1) AS t,
+               IPV4_MATCH('192.168.0.55', '192.168.0.0/24') AS m,
+               HUMAN_READABLE_DECIMAL_FORMAT(999) AS hf,
+               ARRAY_TO_STRING(MV_TO_ARRAY(STRING_TO_MV('x,y', ',')), '-')
+                 AS mv
+        FROM nation
+    """, registry)
+    row = out.collect()[0]
+    assert (row["z"], row["t"], row["m"], row["hf"], row["mv"]) == \
+        (0, -3.7, True, "999", "x-y")
+
+
 def test_explain_plan_for(spark, registry):
     import json
 
