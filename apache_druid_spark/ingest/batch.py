@@ -301,6 +301,24 @@ def apply_timestamp_spec(df: DataFrame, spec: dict | None) -> DataFrame:
     col = spec.get("column", "timestamp")
     fmt = spec.get("format", "auto")
     c: Column = F.col(col)
+    # Lenient on already-parsed time columns (Druid's TimestampSpec is
+    # forgiving the same way for non-string inputs): if the source read
+    # the column as a timestamp — e.g. parquet TIMESTAMP(MICROS), which
+    # arrives as TIMESTAMP_NTZ when isAdjustedToUTC=false — a declared
+    # numeric format like "nano" must not reinterpret it (casting a
+    # timestamp to long yields SECONDS in Spark: silent 1e9x offset).
+    try:
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema[col].dataType,
+                      (T.TimestampType, T.TimestampNTZType)):
+            ts = c.cast("timestamp")
+            missing = spec.get("missingValue")
+            if missing is not None:
+                ts = F.coalesce(ts, F.lit(missing).cast("timestamp"))
+            return df.withColumn(TIME_COLUMN, ts)
+    except KeyError:
+        pass
     if fmt in ("iso", "auto"):
         ts = F.coalesce(F.to_timestamp(c), F.to_timestamp(c.cast("string")))
     elif fmt == "millis":

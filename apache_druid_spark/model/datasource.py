@@ -57,10 +57,17 @@ class DatasourceRegistry:
         Nanosecond-precision parquet timestamps arrive as LongType under
         spark.sql.legacy.parquet.nanosAsLong — normalize them to
         TimestampType (micros) here so every downstream operator sees a
-        real timestamp."""
-        if time_column is not None:
-            from pyspark.sql import types as T
+        real timestamp. Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false)
+        reads as TIMESTAMP_NTZ; with the session pinned to UTC the cast
+        to TIMESTAMP is value-preserving, and normalizing here keeps the
+        whole engine on one timestamp flavor (unix_millis & friends
+        reject NTZ)."""
+        from pyspark.sql import types as T
 
+        for f in df.schema.fields:
+            if isinstance(f.dataType, T.TimestampNTZType):
+                df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+        if time_column is not None:
             dt = df.schema[time_column].dataType
             if isinstance(dt, T.LongType):
                 # integer division: float division loses precision

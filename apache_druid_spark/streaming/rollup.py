@@ -50,8 +50,11 @@ def file_stream(spark: SparkSession, path: str, schema,
         reader = reader.option("pathGlobFilter", glob)
     df = reader.parquet(path)
     c = F.col(time_column)
-    if isinstance(df.schema[time_column].dataType, T.LongType):
+    dt = df.schema[time_column].dataType
+    if isinstance(dt, T.LongType):
         c = F.timestamp_micros(F.expr(f"`{time_column}` div 1000"))
+    elif isinstance(dt, T.TimestampNTZType):
+        c = c.cast("timestamp")  # session pinned UTC: value-preserving
     return df.withColumn(TIME_COLUMN, c)
 
 

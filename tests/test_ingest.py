@@ -34,12 +34,19 @@ SPEC = {
 }
 
 
+def _ts_col(df):
+    """testdata has shipped ts both as nano longs and as TIMESTAMP(_NTZ)."""
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        return F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    return F.col("ts").cast("timestamp")
+
+
 @pytest.fixture(scope="module")
 def raw_events(spark):
     df = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    return df.withColumn(
-        TIME_COLUMN,
-        F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df.withColumn(TIME_COLUMN, _ts_col(df))
 
 
 def test_rollup_reduces_rows(spark, raw_events):
@@ -196,10 +203,9 @@ def test_publish_then_query_lifecycle(spark, tmp_path):
             {"type": "doubleSum", "name": "tv", "fieldName": "total_value"},
         ],
     }, reg).collect()
-    raw = (spark.read.parquet(f"{SF_DIR}/events.parquet")
-           .groupBy(F.date_trunc(
-               "day", F.timestamp_micros(F.expr("ts div 1000")))
-               .alias("d"))
+    raw_df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    raw = (raw_df
+           .groupBy(F.date_trunc("day", _ts_col(raw_df)).alias("d"))
            .agg(F.count(F.lit(1)).alias("rows"),
                 F.sum("value").alias("tv"))
            .orderBy("d").collect())

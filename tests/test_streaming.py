@@ -65,8 +65,14 @@ def test_stream_rollup_matches_batch(spark, tmp_path):
     got = {(r[TIME_COLUMN], r["event_type"]): (r["cnt"], r["total_value"])
            for r in spark.table("t_stream_rollup").collect()}
 
-    raw = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
-        TIME_COLUMN, F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    from pyspark.sql import types as T
+
+    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    if isinstance(raw.schema["ts"].dataType, T.LongType):
+        tcol = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    else:
+        tcol = F.col("ts").cast("timestamp")
+    raw = raw.withColumn(TIME_COLUMN, tcol)
     want = {(r[TIME_COLUMN], r["event_type"]): (r["cnt"], r["total_value"])
             for r in (raw.groupBy(F.date_trunc("hour", F.col(TIME_COLUMN))
                                   .alias(TIME_COLUMN), "event_type")
