@@ -3480,6 +3480,123 @@ def _multimodal_frame_sample(spark, sf_dir):
         "media_id", "frame_ms", "frame_hash")
 
 
+def _components_oracle() -> str:
+    """Recursive transitive closure over the minhash-LSH pair graph:
+    component = min reachable doc_id (the exact spec of the Spark
+    min-label propagation in pipeline/graph.py)."""
+    pairs = _minhash_oracle()
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
+reach(node, root) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node
+)
+SELECT node AS doc_id, CAST(MIN(root) AS BIGINT) AS component
+FROM reach GROUP BY node
+"""
+
+
+@_q("dedup_components", _components_oracle())
+def _dedup_components(spark, sf_dir):
+    """Near-dup clusters: connected components over the banded-LSH
+    candidate-pair graph (pipeline/graph.py) — the step that turns
+    pairwise dedup output into keep-one-per-cluster decisions."""
+    from apache_druid_spark.pipeline import connected_components
+
+    docs = _registry(spark, sf_dir).table("documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_k=3)
+    comps = connected_components(
+        pairs, nodes=docs.select(F.col("doc_id").alias("node")))
+    return comps.select(F.col("node").alias("doc_id"),
+                        F.col("component").cast("long").alias("component"))
+
+
+@_q("doc_chunks", """
+WITH toks AS (SELECT doc_id,
+       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                   x -> x <> '') AS t
+       FROM documents),
+idx AS (SELECT doc_id, t,
+        unnest(range(0, GREATEST(len(t) - 1, 0) + 1, 24)) AS s
+        FROM toks)
+SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_idx,
+       array_to_string(t[s + 1 : s + 32], ' ') AS chunk_text,
+       CAST(CASE WHEN len(t) = 0 THEN 0
+                 ELSE LEAST(32, len(t) - s) END AS INT) AS chunk_tokens
+FROM idx
+""")
+def _doc_chunks(spark, sf_dir):
+    """RAG-style overlapping token chunking (pipeline/text.py): one
+    posexplode fan-out, no shuffle."""
+    from apache_druid_spark.pipeline import chunk_documents
+
+    docs = _registry(spark, sf_dir).table("documents")
+    return chunk_documents(docs, size=32, stride=24)
+
+
+@_q("text_normalize_scrub", r"""
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(
+    'user' || doc_id || '@example.com ip 10.' || (doc_id % 250)
+      || '.0.1 acct 9' || doc_id || '0123456 ' || text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+    '\b\d{7,}\b', '<NUMBER>', 'g') AS scrubbed,
+  trim(regexp_replace(regexp_replace(lower(text),
+    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS text_norm
+FROM documents
+""")
+def _text_normalize_scrub(spark, sf_dir):
+    """PII scrubbing + canonical normalization (pipeline/text.py).
+    The synthetic corpus carries no PII, so the entry plants a
+    deterministic email/IP/account prefix per doc and scrubs it —
+    both engines build the identical input."""
+    from apache_druid_spark.pipeline import normalize, pii_scrub
+
+    docs = _registry(spark, sf_dir).table("documents")
+    planted = docs.withColumn(
+        "pii_text",
+        F.format_string("user%d@example.com ip 10.%d.0.1 acct 9%d0123456 %s",
+                        F.col("doc_id"), F.col("doc_id") % 250,
+                        F.col("doc_id"), F.col("text")))
+    out = pii_scrub(planted, text_col="pii_text", out_col="scrubbed")
+    out = normalize(out, text_col="text", out_col="text_norm")
+    return out.select("doc_id", "scrubbed", "text_norm")
+
+
+@_q("session_window_user", """
+WITH o AS (SELECT user_id, ts,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              < INTERVAL 6 HOUR THEN 0 ELSE 1 END AS brk
+    FROM events),
+s AS (SELECT user_id,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sess
+    FROM o),
+g AS (SELECT user_id, sess, COUNT(*) AS n_events FROM s GROUP BY 1, 2)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(MAX(n_events) AS BIGINT) AS max_session_events
+FROM g GROUP BY user_id
+""")
+def _session_window_user(spark, sf_dir):
+    """Batch session windows (6h inactivity gap) via Spark's native
+    session_window — the same merge semantics Structured Streaming
+    uses for stateful session aggregation (streaming/rollup.py), here
+    oracle-checked against a gaps-and-islands SQL formulation."""
+    from apache_druid_spark.model.datasource import TIME_COLUMN
+
+    ev = _registry(spark, sf_dir).table("events")
+    sess = (ev.groupBy("user_id",
+                       F.session_window(F.col(TIME_COLUMN), "6 hours"))
+            .agg(F.count(F.lit(1)).alias("n_events")))
+    return (sess.groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"),
+                 F.max("n_events").cast("long").alias("max_session_events")))
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3541,8 +3658,15 @@ _PROMOTE = (
     "sql_array_fns", "stratified_sample_documents",
     "train_test_split_counts",
     # round-3 sketch-state + expression additions
-    "theta_rollup_merge", "sql_theta_set_ops", "expression_cartesian",
-    "sql_scalar_shims2",
+    "theta_rollup_merge",
+    # round-3 pipeline additions (CC clustering, chunking, scrub,
+    # session windows)
+    "dedup_components", "doc_chunks", "text_normalize_scrub",
+    "session_window_user",
+    # families with an existing driver-green sibling — safe past the
+    # 50-entry window if it truncates (theta_set_ops r01,
+    # expression_lambda_agg r02, sql_scalar_shims r02-family)
+    "sql_theta_set_ops", "expression_cartesian", "sql_scalar_shims2",
 )
 
 

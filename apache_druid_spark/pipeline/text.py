@@ -155,3 +155,67 @@ def winnowing_fingerprint(df: DataFrame, text_col: str = "text",
         F.size("fingerprints").alias("fp_count"),
         F.element_at("fingerprints", 1).alias("fp_min"),
         F.element_at("fingerprints", -1).alias("fp_max"))
+
+
+def normalize(df: DataFrame, text_col: str = "text",
+              out_col: str = "text_norm") -> DataFrame:
+    """Canonical text normalization for dedup/quality pipelines:
+    lowercase, strip everything but alphanumerics and whitespace,
+    collapse runs of whitespace, trim. Single codegen projection; the
+    regexes use only class syntax shared by Java regex and RE2 so any
+    engine reproduces the output byte-for-byte."""
+    df = parallelize_scan(df)
+    c = F.lower(F.col(text_col))
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", "")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.withColumn(out_col, c)
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              out_col: str = "text_scrubbed") -> DataFrame:
+    """Redact common PII shapes (emails, IPv4 addresses, long digit
+    runs e.g. phone/account numbers) with typed placeholder tokens.
+    Pure regexp_replace chain — one codegen projection, no UDFs; the
+    patterns avoid lookaround so Java regex and RE2 agree."""
+    df = parallelize_scan(df)
+    c = F.col(text_col)
+    c = F.regexp_replace(
+        c, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>")
+    c = F.regexp_replace(
+        c, r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>")
+    c = F.regexp_replace(c, r"\b\d{7,}\b", "<NUMBER>")
+    return df.withColumn(out_col, c)
+
+
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", size: int = 32,
+                    stride: int = 24) -> DataFrame:
+    """RAG-style overlapping token chunks: windows of ``size``
+    whitespace tokens starting every ``stride`` tokens (the final
+    window may be short). Output one row per (doc, chunk_idx) with the
+    chunk text and its token count.
+
+    Plan shape: tokenization + window arithmetic happen in one
+    projection, then a single ``posexplode`` fans out to chunk rows —
+    the only row-multiplying step, size/stride bounded (~n_tokens /
+    stride rows per doc), and it parallelizes with the scan: no
+    shuffle until a downstream aggregation asks for one."""
+    df = parallelize_scan(df)
+    toks = _tokens(F.col(text_col))
+    staged = df.select(F.col(id_col), toks.alias("__toks"))
+    n = F.size("__toks")
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)),
+                        F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.array_join(F.slice(F.col("__toks"), s + 1, size), " "))
+    out = staged.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk_text",
+        F.when(F.col("chunk_text") == "", F.lit(0)).otherwise(
+            F.size(F.split(F.col("chunk_text"), " ")))
+        .cast("int").alias("chunk_tokens"))

@@ -219,3 +219,71 @@ def test_winnowing_short_text_fallbacks(spark):
             winnowing_fingerprint(df, k=5, window=4).collect()}
     assert rows[1]["fp_count"] == 1  # text shorter than k
     assert rows[2]["fp_count"] >= 1  # fewer grams than the window
+
+
+def test_connected_components_known_graph(spark):
+    from apache_druid_spark.pipeline import connected_components
+
+    # two components {1,2,3,4} (chain) and {10,11}; 20 isolated
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"])
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20]],
+                                  ["node"])
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges, nodes=nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_dedup_keep_representatives(spark):
+    from apache_druid_spark.pipeline import (
+        connected_components, dedup_keep_representatives,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 7)], ["doc_id", "text"])
+    comps = connected_components(
+        edges, nodes=df.select(F.col("doc_id").alias("node")))
+    kept = dedup_keep_representatives(df, comps)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 7]
+
+
+def test_chunk_documents_overlap(spark):
+    from apache_druid_spark.pipeline import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10)))], ["doc_id", "text"])
+    rows = (chunk_documents(df, size=4, stride=3)
+            .orderBy("chunk_idx").collect())
+    # starts 0,3,6,9 -> 4 chunks; last is the single trailing token
+    assert [r["chunk_idx"] for r in rows] == [0, 1, 2, 3]
+    assert rows[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert rows[1]["chunk_text"] == "t3 t4 t5 t6"
+    assert rows[3]["chunk_text"] == "t9"
+    assert [r["chunk_tokens"] for r in rows] == [4, 4, 4, 1]
+
+
+def test_normalize_and_pii_scrub(spark):
+    from apache_druid_spark.pipeline import normalize, pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "  Hello,   WORLD! e=mc^2 "),
+         (2, "mail a.b+c@x-y.co or 10.0.0.1 acct 12345678")],
+        ["doc_id", "text"])
+    n = {r["doc_id"]: r["text_norm"]
+         for r in normalize(df).collect()}
+    assert n[1] == "hello world emc2"
+    s = {r["doc_id"]: r["text_scrubbed"]
+         for r in pii_scrub(df).collect()}
+    assert s[2] == "mail <EMAIL> or <IP> acct <NUMBER>"
+
+
+def test_session_window_matches_islands(spark, registry):
+    from apache_druid_spark.model.datasource import TIME_COLUMN
+
+    ev = registry.table("events").limit(500)
+    sess = (ev.groupBy("user_id",
+                       F.session_window(F.col(TIME_COLUMN), "6 hours"))
+            .agg(F.count(F.lit(1)).alias("n")))
+    total = sess.agg(F.sum("n")).collect()[0][0]
+    assert total == ev.count()  # every event lands in exactly one session
