@@ -47,8 +47,8 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
         vertices = nodes.select(F.col(node_col)).distinct()
     labels = vertices.select(node_col, F.col(node_col).alias("component"))
 
+    prev_persisted = None
     for _ in range(max_iterations):
-        labels = labels.persist()
         # min label among each node's neighbors (one join + one groupBy,
         # both partitioned on the id)
         neighbor_min = (bidir.join(labels,
@@ -66,14 +66,21 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
                            .alias("__changed"))
                    .persist())
         changed = updated.filter(F.col("__changed")).limit(1).count()
-        new_labels = updated.select(node_col, "component")
-        labels.unpersist()
-        labels = new_labels
+        # previous round's cache is dead once `updated` materialized;
+        # release it so a long run holds exactly one label generation
+        if prev_persisted is not None:
+            prev_persisted.unpersist()
+        prev_persisted = updated
+        labels = updated.select(node_col, "component")
         if changed == 0:
-            updated.unpersist()
             break
+    result = labels
+    if prev_persisted is not None:
+        # hand the caller a plan that doesn't depend on loop caches
+        result = labels.localCheckpoint(eager=True)
+        prev_persisted.unpersist()
     bidir.unpersist()
-    return labels
+    return result
 
 
 def dedup_keep_representatives(df: DataFrame, components: DataFrame,

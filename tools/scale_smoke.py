@@ -41,7 +41,7 @@ def main() -> int:
     from apache_druid_spark import DatasourceRegistry, get_spark
     from apache_druid_spark.model.datasource import register_testdata
     from apache_druid_spark.pipeline import (
-        dedup as dd, similarity as sim,
+        dedup as dd, graph as gr, similarity as sim, text as tx,
     )
 
     spark = get_spark("scale_smoke")
@@ -59,6 +59,10 @@ def main() -> int:
         "simhash": lambda d, s: dd.simhash(d),
         "ngram_jaccard": lambda d, s: dd.ngram_jaccard_pairs(
             d, shingle_k=5, threshold=0.2, max_shingle_freq=100 * s),
+        "connected_components": lambda d, s: gr.connected_components(
+            dd.minhash_lsh_pairs(d, num_hashes=16, bands=4),
+            nodes=d.select(F.col("doc_id").alias("node"))),
+        "doc_chunks": lambda d, s: tx.chunk_documents(d),
     }
     emb_ops = {
         "cosine_topk": lambda e, s: sim.cosine_topk(e, [1.0] * 64, k=10),
