@@ -64,6 +64,11 @@ def read_input(spark: SparkSession, io_config: dict) -> DataFrame:
         if fmt.get("type") == "protobuf":
             raw = spark.read.format("binaryFile").load(paths)
             return decode_protobuf(raw, fmt, value_col="content")
+        if fmt.get("type") == "thrift":
+            from apache_druid_spark.ingest.thrift import read_thrift
+
+            return read_thrift(spark, paths,
+                               [tuple(f) for f in fmt["fields"]])
         return _file_reader(spark, fmt).load(paths)
     if stype == "combining":
         dfs = [read_input(spark, {"inputSource": d, "inputFormat": fmt})

@@ -450,3 +450,78 @@ def test_http_input_source_fetches_and_parses(spark, tmp_path):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def _thrift_encode(fields):
+    """Minimal TBinaryProtocol struct encoder for the decode tests
+    (field list of (fid, wire_type, python value))."""
+    import struct as s
+
+    out = b""
+    for fid, wt, val in fields:
+        out += s.pack(">bh", wt, fid)
+        if wt == 2:
+            out += s.pack(">b", 1 if val else 0)
+        elif wt == 3:
+            out += s.pack(">b", val)
+        elif wt == 4:
+            out += s.pack(">d", val)
+        elif wt == 6:
+            out += s.pack(">h", val)
+        elif wt == 8:
+            out += s.pack(">i", val)
+        elif wt == 10:
+            out += s.pack(">q", val)
+        elif wt == 11:
+            b = val.encode() if isinstance(val, str) else val
+            out += s.pack(">i", len(b)) + b
+        elif wt == 15:
+            etype, items = val
+            out += s.pack(">bi", etype, len(items))
+            for x in items:
+                out += s.pack(">q", x)
+        else:
+            raise AssertionError(wt)
+    return out + b"\x00"
+
+
+def test_thrift_decode_column(spark):
+    from apache_druid_spark.ingest.thrift import decode_thrift
+
+    recs = [
+        _thrift_encode([(1, 10, 42), (2, 11, "hello"), (3, 4, 2.5),
+                        (4, 2, True), (5, 15, (10, [1, 2, 3]))]),
+        _thrift_encode([(1, 10, -7), (2, 11, "wörld"), (3, 4, -0.5),
+                        (4, 2, False), (5, 15, (10, []))]),
+        b"\xff garbage",  # unparseable -> nulls
+    ]
+    df = spark.createDataFrame([(i, r) for i, r in enumerate(recs)],
+                               "k INT, content BINARY")
+    out = decode_thrift(
+        df,
+        [(1, "id", "i64"), (2, "msg", "string"), (3, "score", "double"),
+         (4, "ok", "bool"), (5, "tags", "list<i64>")],
+        keep_cols=["k"]).orderBy("k").collect()
+    assert (out[0]["id"], out[0]["msg"], out[0]["score"], out[0]["ok"],
+            out[0]["tags"]) == (42, "hello", 2.5, True, [1, 2, 3])
+    assert out[1]["msg"] == "wörld" and out[1]["tags"] == []
+    assert out[2]["id"] is None and out[2]["msg"] is None
+
+
+def test_thrift_input_format(spark, tmp_path):
+    from apache_druid_spark.ingest.batch import read_input
+
+    d = tmp_path / "thrift"
+    d.mkdir()
+    for i in range(3):
+        (d / f"r{i}.bin").write_bytes(
+            _thrift_encode([(1, 10, i), (2, 11, f"doc {i}")]))
+    df = read_input(spark, {
+        "inputSource": {"type": "local", "files": [str(d)]},
+        "inputFormat": {"type": "thrift",
+                        "fields": [[1, "id", "i64"],
+                                   [2, "body", "string"]]},
+    })
+    rows = df.orderBy("id").collect()
+    assert [r["id"] for r in rows] == [0, 1, 2]
+    assert rows[2]["body"] == "doc 2"
