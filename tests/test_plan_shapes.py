@@ -190,3 +190,57 @@ def test_segment_pruning_partition_filters(spark, reg, tmp_path):
     got = {(r["__time"], r["cnt"]) for r in df.collect()}
     want = {(r["__time"], r["count"]) for r in raw.collect()}
     assert got == want
+
+
+def test_doc_chunks_no_shuffle(reg):
+    """Chunk fan-out is a scan + posexplode projection: any Exchange in
+    the plan means the fan-out shuffles chunk text, which at corpus
+    scale multiplies the heaviest column through the network."""
+    from apache_druid_spark.pipeline import chunk_documents
+
+    plan = plan_of(chunk_documents(reg.table("documents")))
+    body = plan.split("== Physical Plan ==")[-1]
+    # parallelize_scan may add one round-robin repartition of the raw
+    # scan; no exchange may appear above the generator
+    gen_at = body.find("Generate")
+    assert gen_at != -1
+    assert "Exchange" not in body[:gen_at], body
+    assert "EvalPython" not in body
+
+
+def test_scrub_normalize_single_projection(reg):
+    """normalize + pii_scrub must fuse into the scan's codegen stage:
+    no exchange, no Python."""
+    from apache_druid_spark.pipeline import normalize, pii_scrub
+
+    df = normalize(pii_scrub(reg.table("documents")))
+    body = plan_of(df).split("== Physical Plan ==")[-1]
+    proj_at = body.find("Project")
+    assert proj_at != -1
+    assert "Exchange" not in body[:proj_at]
+    assert "EvalPython" not in body
+
+
+def test_connected_components_round_is_join_plus_partial_min(spark):
+    """One CC round = shuffle join of labels onto edges + a min
+    aggregate that must split partial/final (map-side combine keeps
+    the shuffle payload at one (node, min) row per partition)."""
+    from apache_druid_spark.pipeline.graph import connected_components
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    out = connected_components(edges, max_iterations=1)
+    # the result after localCheckpoint hides the loop plan; assert on
+    # the loop body instead by rebuilding one round manually
+    import pyspark.sql.functions as F
+
+    bidir = (edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+             .unionAll(edges.select(F.col("id_b").alias("u"),
+                                    F.col("id_a").alias("v"))))
+    labels = bidir.select(F.col("u").alias("node")).distinct() \
+                  .withColumn("component", F.col("node"))
+    round1 = (bidir.join(labels, bidir["v"] == labels["node"])
+              .groupBy("u").agg(F.min("component").alias("nmin")))
+    plan = plan_of(round1)
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+    assert "EvalPython" not in plan
+    assert out.count() == 3
