@@ -2662,15 +2662,21 @@ def _expression_array_fold(spark, sf_dir):
 
 
 @_q("sql_array_agg_sorted", """
-SELECT l_returnflag, list_sort(list(DISTINCT l_linestatus)) AS statuses
+SELECT l_returnflag,
+       array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses
 FROM lineitem GROUP BY 1
 """)
 def _sql_array_agg_sorted(spark, sf_dir):
+    # Serialized to a scalar string: the driver's pandas hasher cannot
+    # hash array-typed cells (same fix as histogram_quantity in r3).
+    # The ARRAY_AGG path under test is unchanged.
     df = druid_sql(spark, """
         SELECT l_returnflag, ARRAY_AGG(DISTINCT l_linestatus) AS statuses
         FROM lineitem GROUP BY l_returnflag
     """, _registry(spark, sf_dir))
-    return df.select("l_returnflag", F.array_sort("statuses").alias("statuses"))
+    return df.select(
+        "l_returnflag",
+        F.array_join(F.array_sort("statuses"), ",").alias("statuses"))
 
 
 @_q("limitspec_offset", """
@@ -3453,8 +3459,26 @@ def _text_winnowing_fingerprint(spark, sf_dir):
     ).select("doc_id", "fp_count", "fp_min", "fp_max")
 
 
-@_q("multimodal_features")  # Arrow mapInPandas path — rows-only
+@_q("multimodal_features", """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         hex(encode(text)) AS h,
+         octet_length(encode(text)) AS nb
+  FROM documents)
+SELECT media_id, kind, CAST(nb AS BIGINT) AS n_bytes,
+       CASE WHEN nb = 0 THEN 0.0 ELSE
+         CAST(list_sum(list_transform(range(1, nb + 1),
+              i -> ('0x' || h[2*i-1 : 2*i])::INT)) AS DOUBLE) / nb
+       END AS byte_mean
+FROM m
+""")
 def _multimodal_features(spark, sf_dir):
+    """Arrow mapInPandas feature extraction over opaque binary payloads.
+    The codec stub is deterministic arithmetic over the utf-8 payload
+    (pipeline/multimodal.py:58), so the oracle reproduces n_bytes and
+    byte_mean exactly via hex-pair byte sums in DuckDB."""
     from apache_druid_spark.pipeline.multimodal import (
         attach_fake_payload, extract_features,
     )
@@ -3465,11 +3489,19 @@ def _multimodal_features(spark, sf_dir):
         "media_id", "kind", "n_bytes", "byte_mean")
 
 
-@_q("multimodal_frame_sample")  # Arrow mapInPandas path — rows-only
+@_q("multimodal_frame_sample", """
+SELECT doc_id AS media_id, CAST(s AS BIGINT) AS frame_ms,
+       CAST((octet_length(encode(text)) * 31 + s) % 2147483648 AS BIGINT)
+           AS frame_hash
+FROM documents, unnest(generate_series(0, length(text) * 10, 1000)) AS t(s)
+WHERE doc_id % 3 = 2
+""")
 def _multimodal_frame_sample(spark, sf_dir):
     """Video frame sampling over opaque binary payloads: one output row
     per sampled frame timestamp (pipeline/multimodal.py:sample_frames;
-    codec stubbed, Spark-side batching/schema real)."""
+    codec stubbed, Spark-side batching/schema real). The stub hash is
+    (len(payload)*31 + frame_ms) % 2^31 over frame_ms in
+    range(0, duration_ms, 1000) — exactly reproducible in DuckDB."""
     from apache_druid_spark.pipeline.multimodal import (
         attach_fake_payload, sample_frames,
     )
@@ -3606,78 +3638,68 @@ def entry(spark: SparkSession) -> DataFrame:
     return _QUERIES["timeseries_month_revenue"](spark, "/root/testdata/sf0.001")
 
 
-# Round-1 driver gate checked only the FIRST 50 entries (CORRECTNESS_r01
-# covers 50 of 123). Order the dict so the driver's window lands on new
-# evidence first: the three round-1 reds (now fixed), then entries the
-# driver has never checked (highest-risk operator families promoted),
-# then the 47 entries already driver-green in round 1.
-_R01_GREEN = frozenset({
+# Round-4 gate window — the driver checks the FIRST 50 entries of
+# queries(). Priority: the three rows that were not green after r3
+# (hasher-red sql_array_agg_sorted, the two formerly oracle-less
+# multimodal entries — all fixed this round), the three entries never
+# covered by any window, then the 44 oldest r1-era greens whose
+# evidence predates the 2026-08 testdata regeneration. 3 + 3 + 44 = 50.
+_R04_WINDOW = (
+    # fixed reds
+    "sql_array_agg_sorted", "multimodal_features", "multimodal_frame_sample",
+    # never driver-checked
+    "sql_theta_set_ops", "expression_cartesian", "sql_scalar_shims2",
+    # r1-era greens, stale vs regenerated testdata (file order)
     "timeseries_month_revenue", "timeseries_day_clicks",
     "timeboundary_lineitem", "topn_priority_revenue", "groupby_flag_status",
     "groupby_having_segment", "groupby_subtotals", "scan_high_value_orders",
     "search_nation_names", "filter_combo_parts", "filter_regex_not",
     "virtual_column_bucket", "extraction_regex_brand", "time_extract_hour",
     "agg_first_last_events", "agg_stats_lineitem", "theta_exact_distinct",
-    "theta_set_ops", "streaming_rollup_hourly", "postagg_arithmetic",
-    "granularity_period_2w", "granularity_quarter", "lookup_nation_name",
-    "join_orders_customers", "sql_semi_join", "anti_join_customers",
-    "union_scan_orders", "window_moving_avg", "sql_time_floor_revenue",
-    "sql_earliest_latest", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_simhash", "similarity_cosine_topk", "similarity_lsh_topk",
-    "text_token_stats", "text_language_id", "text_quality",
-    "text_fingerprint", "rollup_reaggregate", "ingest_inline_csv",
-    "lifecycle_publish_query", "mv_token_counts", "except_nationkeys",
-    "intersect_nationkeys", "timeseries_zero_fill", "granularity_week_p1w",
-})
-# Round-2 reds fixed this round — first so the driver re-verifies them
-# (agg_filtered_sum/segment_metadata: HUGEINT→float64 dtype drift fixed
-# with BIGINT casts; histogram: array cells broke the driver hasher,
-# now scalar bucket columns; quantiles: gained an oracle; text_quality:
-# output changed to integer-exact quality_bp).
-_R01_RED = ("agg_filtered_sum", "segment_metadata_orders",
-            "histogram_quantity", "quantiles_sketch_median", "text_quality")
-# Every entry with no CORRECTNESS_r01/r02 row yet (37), so round 3's
-# 50-entry gate window covers all remaining unverified evidence.
-_PROMOTE = (
-    "sql_time_ops", "sql_mv_first_word", "sql_lookup_fn",
-    "sql_safe_divide", "sql_ipv4", "sql_bloom_filter_test",
-    "extraction_cascade", "extraction_bucket", "search_fragment_multi",
-    "sql_bit_aggs", "sql_earliest_by", "scan_time_desc",
-    "tdigest_quantile_price", "momentsketch_quartiles",
-    "null_dim_three_valued", "expression_array_fold",
-    "sql_array_agg_sorted", "extraction_time_format_gran",
-    "timeboundary_filtered_min", "extraction_strlen",
-    "extraction_string_format", "search_regex", "expression_time_format",
-    "sql_floor_to_unit", "topn_time_extraction", "sql_scalar_shims",
-    "granularity_none_identity", "groupby_double_dim",
-    "timeseries_desc_limit", "having_equalto_lessthan",
-    "postagg_expression", "timeseries_over_join",
-    "granularity_five_minute", "granularity_day_tz", "topn_per_month",
-    "groupby_month_and_dim", "multimodal_frame_sample",
-    # new round-3 entries
-    "sql_array_fns", "stratified_sample_documents",
-    "train_test_split_counts",
-    # round-3 sketch-state + expression additions
-    "theta_rollup_merge",
-    # round-3 pipeline additions (CC clustering, chunking, scrub,
-    # session windows)
-    "dedup_components", "doc_chunks", "text_normalize_scrub",
-    "session_window_user",
-    # families with an existing driver-green sibling — safe past the
-    # 50-entry window if it truncates (theta_set_ops r01,
-    # expression_lambda_agg r02, sql_scalar_shims r02-family)
-    "sql_theta_set_ops", "expression_cartesian", "sql_scalar_shims2",
+    "theta_set_ops", "join_orders_customers", "lookup_nation_name",
+    "sql_semi_join", "anti_join_customers", "union_scan_orders",
+    "intersect_nationkeys", "window_moving_avg", "sql_time_floor_revenue",
+    "sql_earliest_latest", "mv_token_counts", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_simhash", "text_token_stats",
+    "text_fingerprint", "text_language_id", "similarity_cosine_topk",
+    "similarity_lsh_topk", "timeseries_zero_fill", "granularity_week_p1w",
+    "rollup_reaggregate", "ingest_inline_csv", "lifecycle_publish_query",
+    "streaming_rollup_hourly", "postagg_arithmetic", "granularity_period_2w",
+)
+# Round-5 plan (committed now per VERDICT r3 #8): the two r1 greens
+# that did not fit the r4 window (both have an r3-green family
+# sibling), then every entry whose latest evidence is r2 — so the
+# whole registry sits on post-regeneration evidence within two rounds.
+# r3-green entries sort last (freshest evidence).
+_R05_NEXT = (
+    "granularity_quarter", "except_nationkeys",
+    "hll_user_cardinality", "similarity_ivf_topk", "dedup_embedding_cosine",
+    "streaming_stateful_running_agg", "hll_sketch_rollup_merge",
+    "segment_pruned_timeseries", "compaction_lifecycle", "sql_insert_extern",
+    "timeseries_grand_total", "topn_inverted_lexicographic",
+    "scan_orderby_key_desc", "limitspec_alphanumeric", "having_composite",
+    "filter_interval_expression", "filter_bound_lexicographic",
+    "datasource_metadata_lineitem", "sys_segments_catalog",
+    "info_schema_columns", "contrib_time_min_max", "agg_string_first_last",
+    "virtual_column_case_tier", "bloom_dim_filter",
+    "query_datasource_nested", "join_lookup_datasource",
+    "dim_list_filtered_tokens", "bound_version_comparator",
+    "grouping_id_subtotals", "mv_filter_any_match", "spatial_rectangular",
+    "spatial_polygon", "cardinality_by_value", "tuple_sketch_order_totals",
+    "limitspec_offset", "filter_column_comparison", "union_hetero_schemas",
+    "lambda_realtime_union", "salted_groupby_skew", "mv_filter_in",
+    "dim_prefix_filtered", "dim_regex_filtered", "join_left_deep_tree",
+    "expression_lambda_agg", "moving_average_monthly", "dedup_ngram_jaccard",
+    "text_winnowing_fingerprint",
 )
 
 
 def _entry_order(name: str) -> tuple:
-    if name in _R01_RED:
-        return (0, _R01_RED.index(name))
-    if name in _PROMOTE:
-        return (1, _PROMOTE.index(name))
-    if name not in _R01_GREEN:
-        return (2, 0)  # stable within group (dict preserves file order)
-    return (3, 0)
+    if name in _R04_WINDOW:
+        return (0, _R04_WINDOW.index(name))
+    if name in _R05_NEXT:
+        return (1, _R05_NEXT.index(name))
+    return (2, 0)  # r3-green; stable within group (dict keeps file order)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
