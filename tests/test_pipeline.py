@@ -234,6 +234,67 @@ def test_connected_components_known_graph(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
 
 
+def test_connected_components_star_known_graph(spark):
+    from apache_druid_spark.pipeline import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"])
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20]],
+                                  ["node"])
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges, nodes=nodes,
+                                         algorithm="star").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_label_raises_on_nonconvergence(spark):
+    """ADVICE r3: a diameter > max_iterations graph must fail loudly,
+    not silently return a partial clustering."""
+    import pytest
+    from apache_druid_spark.pipeline import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iterations=3)
+
+
+def test_connected_components_star_long_chain_logsq_rounds(spark):
+    """Kiveris et al. large-star/small-star: a 256-node path graph —
+    the adversarial case for diameter-bound label propagation (255
+    rounds) — must converge in O(log^2 n) alternating rounds."""
+    from pyspark.sql import functions as F
+    from apache_druid_spark.pipeline.graph import _alternating_star
+
+    n = 256
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"])
+    bidir = (edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+             .unionAll(edges.select(F.col("id_b").alias("u"),
+                                    F.col("id_a").alias("v")))
+             .distinct())
+    vertices = bidir.select(F.col("u").alias("node")).distinct()
+    labels, rounds = _alternating_star(bidir, vertices, "node",
+                                       max_iterations=16)
+    assert rounds <= 8, rounds
+    got = {r["node"]: r["component"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_star_matches_label(spark):
+    """Both algorithms are exact — identical labels on a random-ish
+    multi-component graph."""
+    from apache_druid_spark.pipeline import connected_components
+
+    pairs = [(i, (i * 7) % 60) for i in range(0, 60, 2)] + [(80, 81)]
+    edges = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    a = {(r["node"], r["component"])
+         for r in connected_components(edges, algorithm="label").collect()}
+    b = {(r["node"], r["component"])
+         for r in connected_components(edges, algorithm="star").collect()}
+    assert a == b
+
+
 def test_dedup_keep_representatives(spark):
     from apache_druid_spark.pipeline import (
         connected_components, dedup_keep_representatives,

@@ -228,7 +228,7 @@ def test_connected_components_round_is_join_plus_partial_min(spark):
     from apache_druid_spark.pipeline.graph import connected_components
 
     edges = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
-    out = connected_components(edges, max_iterations=1)
+    out = connected_components(edges)
     # the result after localCheckpoint hides the loop plan; assert on
     # the loop body instead by rebuilding one round manually
     import pyspark.sql.functions as F
