@@ -56,6 +56,11 @@ def _read_value(buf: bytes, off: int, ttype: int):
     if ttype == _STR:
         n = _struct.unpack_from(">i", buf, off)[0]
         off += 4
+        # a crafted negative length would move `off` BACKWARDS and can
+        # cycle the field loop forever; bad records must raise into the
+        # caller's null-row path, never hang the executor task
+        if n < 0 or off + n > len(buf):
+            raise ValueError(f"thrift string length {n} out of bounds")
         return bytes(buf[off:off + n]), off + n
     if ttype == _STRUCT:
         return _read_struct(buf, off)
@@ -63,6 +68,8 @@ def _read_value(buf: bytes, off: int, ttype: int):
         etype = buf[off]
         n = _struct.unpack_from(">i", buf, off + 1)[0]
         off += 5
+        if n < 0 or off + n > len(buf):  # every element is >= 1 byte
+            raise ValueError(f"thrift list length {n} out of bounds")
         out = []
         for _ in range(n):
             v, off = _read_value(buf, off, etype)
@@ -104,10 +111,53 @@ def _convert(val, ftype: str):
     if val is None:
         return None
     if ftype == "string":
-        return val.decode("utf-8", errors="replace")
+        # wire/declared mismatch (non-bytes) falls through for _coerce
+        # to null the single field rather than raising out the row
+        if isinstance(val, (bytes, bytearray)):
+            return val.decode("utf-8", errors="replace")
+        return val
     if ftype.startswith("list<"):
+        if not isinstance(val, list):
+            return val
         inner = ftype[5:-1]
         return [_convert(v, inner) for v in val]
+    return val
+
+
+_INT_RANGES = {
+    "byte": (-2 ** 7, 2 ** 7 - 1), "i16": (-2 ** 15, 2 ** 15 - 1),
+    "i32": (-2 ** 31, 2 ** 31 - 1), "i64": (-2 ** 63, 2 ** 63 - 1),
+}
+
+
+def _coerce(val, ftype: str):
+    """Null out wire/declared type mismatches that survive _convert
+    (e.g. a field declared i32 but wire-encoded i64 out of int32
+    range). Without this the error surfaces at pandas->Arrow
+    serialization OUTSIDE the per-row try/except and kills the whole
+    batch instead of nulling the one bad value."""
+    if val is None:
+        return None
+    if ftype in _INT_RANGES:
+        if isinstance(val, bool) or not isinstance(val, int):
+            return None
+        lo, hi = _INT_RANGES[ftype]
+        return val if lo <= val <= hi else None
+    if ftype == "bool":
+        return val if isinstance(val, bool) else None
+    if ftype == "double":
+        if isinstance(val, bool) or not isinstance(val, (int, float)):
+            return None
+        return float(val)
+    if ftype == "string":
+        return val if isinstance(val, str) else None
+    if ftype == "binary":
+        return bytes(val) if isinstance(val, (bytes, bytearray)) else None
+    if ftype.startswith("list<"):
+        if not isinstance(val, list):
+            return None
+        inner = ftype[5:-1]
+        return [_coerce(v, inner) for v in val]
     return val
 
 
@@ -134,7 +184,7 @@ def decode_thrift(df: DataFrame, fields: list[tuple[int, str, str]],
                 try:
                     raw, _ = _read_struct(bytes(row[bin_col]))
                     rows.append(base + [
-                        _convert(raw.get(fid), ftype)
+                        _coerce(_convert(raw.get(fid), ftype), ftype)
                         for fid, _n, ftype in fields])
                 except Exception:
                     rows.append(base + [None] * len(fields))

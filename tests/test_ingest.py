@@ -508,6 +508,52 @@ def test_thrift_decode_column(spark):
     assert out[2]["id"] is None and out[2]["msg"] is None
 
 
+def test_thrift_malformed_lengths_null_not_hang(spark):
+    """ADVICE r3: a crafted negative string/list length moved the
+    decode offset backwards — unbounded loop, hung executor. Such
+    records must decode to null rows instead."""
+    import struct as s
+
+    from apache_druid_spark.ingest.thrift import decode_thrift
+
+    neg_str = s.pack(">bh", 11, 2) + s.pack(">i", -5) + b"x\x00"
+    neg_list = s.pack(">bh", 15, 5) + s.pack(">bi", 10, -3) + b"\x00"
+    huge_list = s.pack(">bh", 15, 5) + s.pack(">bi", 10, 2 ** 30) + b"\x00"
+    good = _thrift_encode([(1, 10, 7), (2, 11, "ok")])
+    df = spark.createDataFrame(
+        [(0, neg_str), (1, neg_list), (2, huge_list), (3, good)],
+        "k INT, content BINARY")
+    out = decode_thrift(
+        df, [(1, "id", "i64"), (2, "msg", "string"),
+             (5, "tags", "list<i64>")],
+        keep_cols=["k"]).orderBy("k").collect()
+    assert [r["msg"] for r in out] == [None, None, None, "ok"]
+    assert out[3]["id"] == 7
+
+
+def test_thrift_declared_type_mismatch_nulls_field(spark):
+    """ADVICE r3: a wire/declared mismatch that survives decoding
+    (i64 wire value, i32 declared) must null the one field, not kill
+    the batch at Arrow serialization."""
+    from apache_druid_spark.ingest.thrift import decode_thrift
+
+    recs = [
+        # id declared i32 below, but wire i64 beyond int32 range
+        _thrift_encode([(1, 10, 2 ** 40), (2, 11, "big")]),
+        # msg declared string, wire i64
+        _thrift_encode([(1, 10, 5), (2, 10, 99)]),
+        _thrift_encode([(1, 10, 6), (2, 11, "fine")]),
+    ]
+    df = spark.createDataFrame([(i, r) for i, r in enumerate(recs)],
+                               "k INT, content BINARY")
+    out = decode_thrift(
+        df, [(1, "id", "i32"), (2, "msg", "string")],
+        keep_cols=["k"]).orderBy("k").collect()
+    assert out[0]["id"] is None and out[0]["msg"] == "big"
+    assert out[1]["id"] == 5 and out[1]["msg"] is None
+    assert out[2]["id"] == 6 and out[2]["msg"] == "fine"
+
+
 def test_thrift_input_format(spark, tmp_path):
     from apache_druid_spark.ingest.batch import read_input
 
