@@ -13,7 +13,7 @@ from apache_druid_spark.pipeline.dedup import (
     minhash_lsh_pairs, simhash, ngram_jaccard_pairs,
 )
 from apache_druid_spark.pipeline.similarity import (
-    cosine_topk, ivf_topk, lsh_bucket_topk,
+    cosine_topk, ivf_fit, ivf_topk, lsh_bucket_topk,
 )
 from apache_druid_spark.pipeline.text import (
     token_stats, language_id, quality_score, fingerprint,
@@ -26,7 +26,7 @@ from apache_druid_spark.pipeline.graph import (
 __all__ = [
     "exact_dedup", "minhash_signatures", "minhash_lsh_pairs", "simhash",
     "ngram_jaccard_pairs", "embedding_cosine_pairs",
-    "cosine_topk", "ivf_topk", "lsh_bucket_topk",
+    "cosine_topk", "ivf_fit", "ivf_topk", "lsh_bucket_topk",
     "token_stats", "language_id", "quality_score", "fingerprint",
     "winnowing_fingerprint", "normalize", "pii_scrub", "chunk_documents",
     "connected_components", "dedup_keep_representatives",

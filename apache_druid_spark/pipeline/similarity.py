@@ -109,6 +109,36 @@ def ivf_centroids(n_cells: int, dim: int) -> list[list[float]]:
     return cells
 
 
+def ivf_fit(df: DataFrame, n_cells: int = 16, vec_col: str = "embedding",
+            sample_fraction: float | None = None, seed: int = 42,
+            max_iter: int = 20) -> list[list[float]]:
+    """Fit IVF centroids with MLlib KMeans and return them as plain
+    literal lists feeding ``ivf_topk(centroids=...)``.
+
+    This is the documented 100 TB path for ``ivf_centroids``: train on
+    an ingest-time sample (FAISS-style IVF trains on ~a few hundred
+    vectors per cell, not the corpus), materialize the fitted cell id
+    per row at ingest, and cluster/partition the table by it so probe
+    filters become partition pruning. ``sample_fraction`` sizes that
+    sample — at corpus scale pick fraction ~ (256 * n_cells) / N so
+    the KMeans input is a few MB regardless of table size.
+
+    Centroid components are rounded to 6 decimals for the same
+    engine-portability reason as ``ivf_centroids`` (the decimal string
+    parses to the identical IEEE double everywhere). The md5 variant
+    remains the deterministic default for oracle entries."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(
+        array_to_vector(F.col(vec_col).cast("array<double>"))
+        .alias("features"))
+    if sample_fraction is not None:
+        feats = feats.sample(fraction=sample_fraction, seed=seed)
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feats)
+    return [[round(float(x), 6) for x in c] for c in model.clusterCenters()]
+
+
 def ivf_assign(vec_col, centroids: list[list[float]]):
     """Cell id = argmax over centroids of dot(vec, c)/||c||, computed
     as array_max over (score, cell) structs — ties break to the
@@ -142,7 +172,8 @@ def ivf_probe_cells(query: list[float], centroids: list[list[float]],
 def ivf_topk(df: DataFrame, query: list[float], k: int = 10,
              n_cells: int = 16, n_probe: int = 4,
              vec_col: str = "embedding", id_col: str = "vec_id",
-             round_to: int | None = 6) -> DataFrame:
+             round_to: int | None = 6,
+             centroids: list[list[float]] | None = None) -> DataFrame:
     """IVF ANN top-k: assign every vector to its nearest of ``n_cells``
     centroids (one codegen scan), prune to the ``n_probe`` cells
     nearest the query, exact cosine re-rank on the survivors.
@@ -155,8 +186,9 @@ def ivf_topk(df: DataFrame, query: list[float], k: int = 10,
     Reference has no ANN surface; this extends the engine for
     embedding-scale training-data pipelines."""
     df = parallelize_scan(df)
-    centroids = ivf_centroids(n_cells, len(query))
-    probes = ivf_probe_cells(query, centroids, n_probe)
+    if centroids is None:
+        centroids = ivf_centroids(n_cells, len(query))
+    probes = ivf_probe_cells(query, centroids, min(n_probe, len(centroids)))
     with_cell = df.withColumn("__cell", ivf_assign(F.col(vec_col), centroids))
     candidates = with_cell.filter(F.col("__cell").isin(probes))
     return _rank_topk(candidates, query, k, vec_col, id_col, round_to)

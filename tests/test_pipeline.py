@@ -168,6 +168,33 @@ def test_ivf_topk_pruned_is_subset_of_exact_scores(emb):
     assert all((r["vec_id"], r["cosine"]) in exact for r in pruned)
 
 
+def test_ivf_fit_centroids_roundtrip(emb):
+    """VERDICT r3 #7: the documented KMeans path. Fitted centroids must
+    feed ivf_topk unchanged — probing every fitted cell reduces IVF to
+    the exact ranking, and fitted cells must actually partition the
+    data (no degenerate single-cell clustering)."""
+    from apache_druid_spark.pipeline import ivf_fit, ivf_topk
+    from apache_druid_spark.pipeline.similarity import ivf_assign
+
+    q = [1.0] * 64
+    cents = ivf_fit(emb, n_cells=8, max_iter=10)
+    assert len(cents) == 8 and all(len(c) == 64 for c in cents)
+
+    exact = cosine_topk(emb, q, k=5).collect()
+    got = ivf_topk(emb, q, k=5, n_probe=8, centroids=cents).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got] == \
+           [(r["vec_id"], r["cosine"]) for r in exact]
+
+    n_cells_used = (emb.select(ivf_assign(F.col("embedding"), cents)
+                               .alias("c")).distinct().count())
+    assert n_cells_used >= 4  # KMeans spread the data across cells
+
+    # sampled fit is deterministic under a fixed seed
+    s1 = ivf_fit(emb, n_cells=4, sample_fraction=0.5, seed=7, max_iter=5)
+    s2 = ivf_fit(emb, n_cells=4, sample_fraction=0.5, seed=7, max_iter=5)
+    assert s1 == s2
+
+
 def test_embedding_cosine_pairs_finds_planted_dups(emb):
     from apache_druid_spark.pipeline import embedding_cosine_pairs
 
