@@ -62,6 +62,11 @@ def read_input(spark: SparkSession, io_config: dict) -> DataFrame:
             paths = (src.get("uris") or src.get("files")
                      or [src.get("baseDir", ".")])
         if fmt.get("type") == "protobuf":
+            if "fields" in fmt:  # jar-free pure wire-format decoder
+                from apache_druid_spark.ingest.protobuf import read_protobuf
+
+                return read_protobuf(spark, paths,
+                                     [tuple(f) for f in fmt["fields"]])
             raw = spark.read.format("binaryFile").load(paths)
             return decode_protobuf(raw, fmt, value_col="content")
         if fmt.get("type") == "thrift":

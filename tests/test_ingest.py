@@ -554,6 +554,121 @@ def test_thrift_declared_type_mismatch_nulls_field(spark):
     assert out[2]["id"] == 6 and out[2]["msg"] == "fine"
 
 
+def _pb_varint(v):
+    out = b""
+    v &= (1 << 64) - 1
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out += bytes([b | 0x80])
+        else:
+            return out + bytes([b])
+
+
+def _pb_field(fnum, wt, payload):
+    return _pb_varint((fnum << 3) | wt) + payload
+
+
+def _pb_encode(fields):
+    """Minimal protobuf wire encoder: (fnum, kind, value) where kind is
+    'varint'|'zigzag'|'fix64'|'fix32'|'len'|'packed_varint'."""
+    import struct as s
+
+    out = b""
+    for fnum, kind, val in fields:
+        if kind == "varint":
+            out += _pb_field(fnum, 0, _pb_varint(val))
+        elif kind == "zigzag":
+            out += _pb_field(fnum, 0, _pb_varint((val << 1) ^ (val >> 63)))
+        elif kind == "fix64":
+            out += _pb_field(fnum, 1, s.pack("<d", val))
+        elif kind == "fix32":
+            out += _pb_field(fnum, 5, s.pack("<f", val))
+        elif kind == "len":
+            b = val.encode() if isinstance(val, str) else val
+            out += _pb_field(fnum, 2, _pb_varint(len(b)) + b)
+        elif kind == "packed_varint":
+            p = b"".join(_pb_varint(x) for x in val)
+            out += _pb_field(fnum, 2, _pb_varint(len(p)) + p)
+        else:
+            raise AssertionError(kind)
+    return out
+
+
+def test_protobuf_wire_decode_column(spark):
+    from apache_druid_spark.ingest.protobuf import decode_protobuf_wire
+
+    recs = [
+        _pb_encode([(1, "varint", 42), (2, "len", "hello"),
+                    (3, "fix64", 2.5), (4, "varint", 1),
+                    (5, "packed_varint", [1, 2, 3]),
+                    (6, "zigzag", -12345), (7, "fix32", 0.5)]),
+        _pb_encode([(1, "varint", (1 << 64) - 7),  # int64 -7 on the wire
+                    (2, "len", "wörld"),
+                    # unpacked repeated: three separate varint entries
+                    (5, "varint", 9), (5, "varint", 8), (5, "varint", 7),
+                    (6, "zigzag", 0), (99, "varint", 5)]),  # unknown field
+        b"\xff\xff\xff",  # truncated varint -> null row
+    ]
+    df = spark.createDataFrame([(i, r) for i, r in enumerate(recs)],
+                               "k INT, content BINARY")
+    out = decode_protobuf_wire(
+        df,
+        [(1, "id", "int64"), (2, "msg", "string"), (3, "score", "double"),
+         (4, "ok", "bool"), (5, "tags", "repeated<int64>"),
+         (6, "delta", "sint64"), (7, "ratio", "float")],
+        keep_cols=["k"]).orderBy("k").collect()
+    r0, r1, r2 = out
+    assert (r0["id"], r0["msg"], r0["score"], r0["ok"]) == \
+        (42, "hello", 2.5, True)
+    assert r0["tags"] == [1, 2, 3] and r0["delta"] == -12345
+    assert abs(r0["ratio"] - 0.5) < 1e-6
+    assert r1["id"] == -7 and r1["msg"] == "wörld"
+    assert r1["tags"] == [9, 8, 7] and r1["delta"] == 0
+    assert r2["id"] is None and r2["msg"] is None
+
+
+def test_protobuf_wire_mismatch_nulls_field(spark):
+    from apache_druid_spark.ingest.protobuf import decode_protobuf_wire
+
+    recs = [
+        # id declared int32 but wire value beyond int32 range;
+        # msg declared string but wire varint
+        _pb_encode([(1, "varint", 2 ** 40), (2, "varint", 9),
+                    (3, "fix64", 1.5)]),
+        _pb_encode([(1, "varint", 7), (2, "len", "ok"), (3, "fix64", 2.5)]),
+    ]
+    df = spark.createDataFrame([(i, r) for i, r in enumerate(recs)],
+                               "k INT, content BINARY")
+    out = decode_protobuf_wire(
+        df, [(1, "id", "int32"), (2, "msg", "string"),
+             (3, "score", "double")],
+        keep_cols=["k"]).orderBy("k").collect()
+    assert out[0]["id"] is None and out[0]["msg"] is None
+    assert out[0]["score"] == 1.5
+    assert out[1]["id"] == 7 and out[1]["msg"] == "ok"
+
+
+def test_protobuf_input_format(spark, tmp_path):
+    from apache_druid_spark.ingest.batch import read_input
+
+    d = tmp_path / "pb"
+    d.mkdir()
+    for i in range(3):
+        (d / f"r{i}.bin").write_bytes(
+            _pb_encode([(1, "varint", i), (2, "len", f"doc {i}")]))
+    df = read_input(spark, {
+        "inputSource": {"type": "local", "files": [str(d)]},
+        "inputFormat": {"type": "protobuf",
+                        "fields": [[1, "id", "int64"],
+                                   [2, "body", "string"]]},
+    })
+    rows = df.orderBy("id").collect()
+    assert [r["id"] for r in rows] == [0, 1, 2]
+    assert rows[2]["body"] == "doc 2"
+
+
 def test_thrift_input_format(spark, tmp_path):
     from apache_druid_spark.ingest.batch import read_input
 
