@@ -3586,6 +3586,40 @@ def _dedup_components(spark, sf_dir):
                         F.col("component").cast("long").alias("component"))
 
 
+def _decontam_oracle(ngram: int = 8) -> str:
+    """DuckDB replica of contamination_report: identical shingling and
+    60-bit md5-prefix hash, test set = documents with doc_id % 10 = 0."""
+    h = _hex_to_long_sql("md5(s)", 15)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+sh0 AS (SELECT doc_id, {_shingles_sql(ngram)} AS shingles FROM toks),
+tr AS (SELECT DISTINCT doc_id, s FROM sh0, unnest(shingles) AS u(s)),
+trh AS (SELECT doc_id, {h} AS h FROM tr),
+te AS (SELECT DISTINCT h FROM trh WHERE doc_id % 10 = 0),
+sizes AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM trh GROUP BY 1),
+hits AS (SELECT trh.doc_id, COUNT(*) AS n_contaminated
+         FROM trh JOIN te USING (h) GROUP BY 1)
+SELECT s.doc_id, CAST(s.n_ngrams AS BIGINT) AS n_ngrams,
+       CAST(COALESCE(hits.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       COALESCE(hits.n_contaminated, 0) >= 1 AS is_contaminated
+FROM sizes s LEFT JOIN hits ON s.doc_id = hits.doc_id
+"""
+
+
+@_q("decontaminate_report", _decontam_oracle())
+def _decontaminate_report(spark, sf_dir):
+    """Benchmark decontamination (pipeline/decontam.py): the held-out
+    set is every 10th document; each such doc must flag itself (and any
+    natural near-dup) as contaminated via shared 8-gram hashes. The
+    broadcast-test semi-join shape is plan-pinned in
+    tests/test_plan_shapes.py."""
+    from apache_druid_spark.pipeline import contamination_report
+
+    docs = _registry(spark, sf_dir).table("documents")
+    test = docs.filter(F.col("doc_id") % 10 == 0)
+    return contamination_report(docs, test, ngram=8, min_matches=1)
+
+
 @_q("dedup_components_star", _components_oracle())
 def _dedup_components_star(spark, sf_dir):
     """Same clustering as dedup_components but via the alternating
@@ -3705,9 +3739,9 @@ def entry(spark: SparkSession) -> DataFrame:
 _R04_WINDOW = (
     # fixed reds
     "sql_array_agg_sorted", "multimodal_features", "multimodal_frame_sample",
-    # never driver-checked (+ the new star-CC entry)
+    # never driver-checked (+ the new r4 entries)
     "sql_theta_set_ops", "expression_cartesian", "sql_scalar_shims2",
-    "dedup_components_star",
+    "dedup_components_star", "decontaminate_report",
     # r1-era greens, stale vs regenerated testdata (file order)
     "timeseries_month_revenue", "timeseries_day_clicks",
     "timeboundary_lineitem", "topn_priority_revenue", "groupby_flag_status",
@@ -3723,7 +3757,7 @@ _R04_WINDOW = (
     "text_fingerprint", "text_language_id", "similarity_cosine_topk",
     "similarity_lsh_topk", "timeseries_zero_fill", "granularity_week_p1w",
     "rollup_reaggregate", "ingest_inline_csv", "lifecycle_publish_query",
-    "streaming_rollup_hourly", "postagg_arithmetic",
+    "streaming_rollup_hourly",
 )
 # Round-5 plan (committed now per VERDICT r3 #8): the two r1 greens
 # that did not fit the r4 window (both have an r3-green family
@@ -3731,7 +3765,8 @@ _R04_WINDOW = (
 # whole registry sits on post-regeneration evidence within two rounds.
 # r3-green entries sort last (freshest evidence).
 _R05_NEXT = (
-    "granularity_period_2w", "granularity_quarter", "except_nationkeys",
+    "postagg_arithmetic", "granularity_period_2w", "granularity_quarter",
+    "except_nationkeys",
     "hll_user_cardinality", "similarity_ivf_topk", "dedup_embedding_cosine",
     "streaming_stateful_running_agg", "hll_sketch_rollup_merge",
     "segment_pruned_timeseries", "compaction_lifecycle", "sql_insert_extern",

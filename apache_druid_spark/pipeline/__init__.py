@@ -22,6 +22,9 @@ from apache_druid_spark.pipeline.text import (
 from apache_druid_spark.pipeline.graph import (
     connected_components, dedup_keep_representatives,
 )
+from apache_druid_spark.pipeline.decontam import (
+    contamination_report, decontaminate,
+)
 
 __all__ = [
     "exact_dedup", "minhash_signatures", "minhash_lsh_pairs", "simhash",
@@ -30,4 +33,5 @@ __all__ = [
     "token_stats", "language_id", "quality_score", "fingerprint",
     "winnowing_fingerprint", "normalize", "pii_scrub", "chunk_documents",
     "connected_components", "dedup_keep_representatives",
+    "contamination_report", "decontaminate",
 ]

@@ -1,0 +1,86 @@
+"""Benchmark decontamination: flag training documents that share
+n-gram overlap with an evaluation/test set.
+
+The standard LLM-training hygiene pass (the reference engine has no
+analog — this extends the engine for training-data pipelines, like the
+dedup family): any train document containing an n-gram that also
+appears in the held-out set is contamination and must be dropped or
+audited before training.
+
+Shape at scale (100 TB train corpus vs a benchmark suite):
+
+- Both sides shingle to k-token n-grams hashed to 60-bit md5 prefixes
+  — the join key is an 8-byte long, never the n-gram text.
+- The test-set n-gram vocabulary is TINY by construction (benchmarks
+  are thousands of documents, not billions), so it broadcasts: the
+  contamination check is a broadcast semi-join against every train
+  partition — zero shuffle of the train corpus. ``broadcast_test=
+  False`` falls back to a shuffle hash join for the rare
+  train-vs-train audit.
+- The per-doc report is one partial/final count aggregate keyed on
+  doc id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from apache_druid_spark.pipeline._util import parallelize_scan
+from apache_druid_spark.pipeline.dedup import _shingles
+
+
+def _gram_hashes(df: DataFrame, text_col: str, id_col: str | None,
+                 ngram: int) -> DataFrame:
+    """Distinct (id?, h) rows: 60-bit md5-prefix hashes of k-token
+    n-grams (same hash family as ngram_jaccard_pairs — 2^-60
+    collisions are far below any contamination noise floor)."""
+    cols = ([F.col(id_col)] if id_col else [])
+    return (parallelize_scan(df).select(
+        *cols,
+        F.explode(F.array_distinct(_shingles(F.col(text_col), ngram))
+                  ).alias("__gram"))
+        .select(*cols,
+                F.conv(F.substring(F.md5("__gram"), 1, 15), 16, 10)
+                .cast("long").alias("h")))
+
+
+def contamination_report(train: DataFrame, test: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         ngram: int = 13, min_matches: int = 1,
+                         broadcast_test: bool = True) -> DataFrame:
+    """Per-train-document contamination counts against the test set.
+
+    Returns (id, n_ngrams, n_contaminated, is_contaminated): total
+    distinct n-grams, how many also occur anywhere in ``test``, and
+    whether that meets ``min_matches`` (the GPT-3-style rule is any
+    single 13-gram collision; raise ``min_matches`` to tolerate
+    boilerplate)."""
+    tr = _gram_hashes(train, text_col, id_col, ngram)
+    te = _gram_hashes(test, text_col, None, ngram).distinct()
+    if broadcast_test:
+        te = F.broadcast(te)
+    sizes = tr.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_ngrams"))
+    hits = (tr.join(te, "h")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_contaminated")))
+    return (sizes.join(hits, id_col, "left")
+            .select(id_col, "n_ngrams",
+                    F.coalesce("n_contaminated", F.lit(0)).cast("long")
+                    .alias("n_contaminated"))
+            .withColumn("is_contaminated",
+                        F.col("n_contaminated") >= min_matches))
+
+
+def decontaminate(train: DataFrame, test: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  ngram: int = 13, min_matches: int = 1,
+                  broadcast_test: bool = True) -> DataFrame:
+    """Drop contaminated rows from ``train``: one broadcast-driven
+    LEFT ANTI join against the flagged id set — the train corpus
+    streams through unshuffled."""
+    bad = (contamination_report(train, test, text_col, id_col, ngram,
+                                min_matches, broadcast_test)
+           .filter(F.col("is_contaminated"))
+           .select(id_col))
+    return train.join(bad, id_col, "left_anti")

@@ -248,6 +248,51 @@ def test_winnowing_short_text_fallbacks(spark):
     assert rows[2]["fp_count"] >= 1  # fewer grams than the window
 
 
+def test_contamination_report_flags_test_copies(docs):
+    from apache_druid_spark.pipeline import contamination_report
+
+    test = docs.filter(F.col("doc_id") % 7 == 0)
+    rep = {r["doc_id"]: r for r in
+           contamination_report(docs, test, ngram=8).collect()}
+    assert len(rep) == docs.count()  # every train doc reported
+    # every test doc is its own contamination (identical text)
+    for r in rep.values():
+        if r["doc_id"] % 7 == 0:
+            assert r["is_contaminated"] and \
+                r["n_contaminated"] == r["n_ngrams"]
+
+
+def test_decontaminate_drops_only_contaminated(docs):
+    from apache_druid_spark.pipeline import (
+        contamination_report, decontaminate,
+    )
+
+    test = docs.filter(F.col("doc_id") % 7 == 0)
+    flagged = {r["doc_id"] for r in
+               contamination_report(docs, test, ngram=8)
+               .filter("is_contaminated").collect()}
+    kept = {r["doc_id"] for r in
+            decontaminate(docs, test, ngram=8).collect()}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert kept == all_ids - flagged
+    assert not (kept & {i for i in all_ids if i % 7 == 0})
+
+
+def test_decontaminate_short_doc_whole_text_gram(spark):
+    """Docs shorter than the n-gram fall back to a whole-text gram —
+    an exact-copy short doc must still be caught."""
+    from apache_druid_spark.pipeline import contamination_report
+
+    train = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "completely different words")],
+        "doc_id long, text string")
+    test = spark.createDataFrame([(9, "tiny doc")],
+                                 "doc_id long, text string")
+    rep = {r["doc_id"]: r["is_contaminated"]
+           for r in contamination_report(train, test, ngram=13).collect()}
+    assert rep == {1: True, 2: False}
+
+
 def test_connected_components_known_graph(spark):
     from apache_druid_spark.pipeline import connected_components
 

@@ -221,6 +221,19 @@ def test_scrub_normalize_single_projection(reg):
     assert "EvalPython" not in body
 
 
+def test_contamination_check_broadcasts_test_grams(spark, registry):
+    """The test-set n-gram vocabulary is tiny by construction (a
+    benchmark suite vs a 100 TB corpus); the contamination join must
+    broadcast it so the train side streams through unshuffled."""
+    from apache_druid_spark.pipeline import contamination_report
+
+    docs = registry.table("documents")
+    test = docs.limit(20)
+    plan = plan_of(contamination_report(docs, test, ngram=8))
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
 def test_connected_components_round_is_join_plus_partial_min(spark):
     """One CC round = shuffle join of labels onto edges + a min
     aggregate that must split partial/final (map-side combine keeps
