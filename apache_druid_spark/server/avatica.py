@@ -1,0 +1,300 @@
+"""Avatica JSON-RPC endpoint: the protocol Druid's JDBC driver speaks.
+
+Reference: sql/src/main/java/org/apache/druid/sql/avatica/DruidMeta.java
++ DruidAvaticaHandler.java (mounted at POST /druid/v2/sql/avatica/).
+The wire protocol is Apache Calcite Avatica's public JSON RPC
+(calcite.apache.org/avatica/docs/json_reference.html): one JSON
+request per POST, dispatched on the "request" field. Any Avatica JSON
+client (`jdbc:avatica:remote:url=...;serialization=json`) can run SQL
+against the engine through this endpoint.
+
+Design: ``AvaticaMeta`` is pure request->response dict logic
+(connection/statement bookkeeping, type mapping, frame paging) so the
+protocol is testable without sockets; ``server/http.py`` mounts it.
+Results are collected once per execute and paged driver-side into
+Avatica frames — the same legitimately-driver-side result path as
+``sql/results.py`` (this is the HTTP boundary, not a query plan).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import threading
+import uuid
+
+from apache_druid_spark.sql.dialect import druid_sql
+
+# Spark simpleString -> (JDBC java.sql.Types id, Avatica type name, rep)
+_JDBC_TYPES = {
+    "string": (12, "VARCHAR", "STRING"),
+    "bigint": (-5, "BIGINT", "PRIMITIVE_LONG"),
+    "int": (4, "INTEGER", "PRIMITIVE_INT"),
+    "smallint": (5, "SMALLINT", "PRIMITIVE_SHORT"),
+    "tinyint": (-6, "TINYINT", "PRIMITIVE_BYTE"),
+    "double": (8, "DOUBLE", "PRIMITIVE_DOUBLE"),
+    "float": (6, "FLOAT", "PRIMITIVE_FLOAT"),
+    "boolean": (16, "BOOLEAN", "PRIMITIVE_BOOLEAN"),
+    "timestamp": (93, "TIMESTAMP", "JAVA_SQL_TIMESTAMP"),
+    "timestamp_ntz": (93, "TIMESTAMP", "JAVA_SQL_TIMESTAMP"),
+    "date": (91, "DATE", "JAVA_SQL_DATE"),
+    "binary": (-2, "BINARY", "BYTE_STRING"),
+}
+
+
+def _jdbc_type(dtype: str) -> tuple[int, str, str]:
+    base = dtype.split("(")[0]
+    if base.startswith("array<"):
+        return (2003, "ARRAY", "ARRAY")
+    if base.startswith("decimal"):
+        return (3, "DECIMAL", "NUMBER")
+    if base.startswith(("struct<", "map<")):
+        return (2000, "JAVA_OBJECT", "OBJECT")
+    return _JDBC_TYPES.get(base, (12, "VARCHAR", "STRING"))
+
+
+def _column_meta(ordinal: int, name: str, dtype: str) -> dict:
+    tid, tname, rep = _jdbc_type(dtype)
+    return {
+        "ordinal": ordinal, "autoIncrement": False, "caseSensitive": True,
+        "searchable": True, "currency": False, "nullable": 1,
+        "signed": tid in (-6, -5, 3, 4, 5, 6, 8),
+        "displaySize": 40, "label": name, "columnName": name,
+        "schemaName": "", "precision": 0, "scale": 0, "tableName": "",
+        "catalogName": "",
+        "type": {"type": "scalar", "id": tid, "name": tname, "rep": rep},
+        "readOnly": True, "writable": False, "definitelyWritable": False,
+        "columnClassName": "java.lang.Object",
+    }
+
+
+def _avatica_value(v):
+    """JDBC-facing cell values: temporals as epoch numbers (Avatica's
+    JAVA_SQL_* reps), bytes hex-encoded, everything else JSON-native."""
+    if isinstance(v, _dt.datetime):
+        epoch = (_dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+                 if v.tzinfo else _dt.datetime(1970, 1, 1))
+        return int((v - epoch).total_seconds() * 1000)
+    if isinstance(v, _dt.date):
+        return (v - _dt.date(1970, 1, 1)).days
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, list):
+        return [_avatica_value(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _avatica_value(x) for k, x in v.items()}
+    return v
+
+
+class AvaticaMeta:
+    """Connection/statement registry + request dispatch (DruidMeta
+    analog). Thread-safe: the HTTP server is threading."""
+
+    def __init__(self, spark, registry, frame_max_rows: int = 100):
+        self.spark = spark
+        self.registry = registry
+        self.frame_max_rows = frame_max_rows
+        self._lock = threading.Lock()
+        self._connections: dict[str, dict] = {}
+        # (connection_id, statement_id) -> {"rows", "columns", "sql"}
+        self._statements: dict[tuple[str, int], dict] = {}
+        self._next_statement_id = 0
+
+    # -- dispatch ----------------------------------------------------------
+
+    def handle(self, req: dict) -> dict:
+        kind = req.get("request")
+        fn = getattr(self, f"_req_{kind}", None)
+        if fn is None:
+            return self._error(f"unsupported Avatica request {kind!r}")
+        try:
+            return fn(req)
+        except Exception as e:  # noqa: BLE001 — protocol error surface
+            return self._error(str(e))
+
+    @staticmethod
+    def _error(msg: str) -> dict:
+        return {"response": "error", "errorMessage": msg,
+                "errorCode": -1, "sqlState": "00000", "severity": "ERROR"}
+
+    # -- connection lifecycle ---------------------------------------------
+
+    def _req_openConnection(self, req: dict) -> dict:
+        cid = req.get("connectionId") or str(uuid.uuid4())
+        with self._lock:
+            self._connections[cid] = dict(req.get("info") or {})
+        return {"response": "openConnection", "connectionId": cid}
+
+    def _req_closeConnection(self, req: dict) -> dict:
+        cid = req.get("connectionId")
+        with self._lock:
+            self._connections.pop(cid, None)
+            for key in [k for k in self._statements if k[0] == cid]:
+                self._statements.pop(key, None)
+        return {"response": "closeConnection", "connectionId": cid}
+
+    def _req_connectionSync(self, req: dict) -> dict:
+        return {"response": "connectionSync",
+                "connectionId": req.get("connectionId"),
+                "connProps": req.get("connProps") or {}}
+
+    def _req_createStatement(self, req: dict) -> dict:
+        cid = req.get("connectionId")
+        with self._lock:
+            self._next_statement_id += 1
+            sid = self._next_statement_id
+            self._statements[(cid, sid)] = {}
+        return {"response": "createStatement", "connectionId": cid,
+                "statementId": sid}
+
+    def _req_closeStatement(self, req: dict) -> dict:
+        cid, sid = req.get("connectionId"), req.get("statementId")
+        with self._lock:
+            self._statements.pop((cid, sid), None)
+        return {"response": "closeStatement", "connectionId": cid,
+                "statementId": sid}
+
+    # -- execution ---------------------------------------------------------
+
+    def _signature(self, columns: list[dict], sql: str) -> dict:
+        return {"columns": columns, "sql": sql, "parameters": [],
+                "cursorFactory": {"style": "LIST", "clazz": None},
+                "statementType": "SELECT"}
+
+    def _run_sql(self, cid: str, sid: int, sql: str) -> dict:
+        df = druid_sql(self.spark, sql, self.registry)
+        columns = [_column_meta(i, name, dtype)
+                   for i, (name, dtype) in enumerate(df.dtypes)]
+        rows = [[_avatica_value(v) for v in row] for row in df.collect()]
+        with self._lock:
+            self._statements[(cid, sid)] = {
+                "rows": rows, "columns": columns, "sql": sql}
+        first = rows[:self.frame_max_rows]
+        return {
+            "response": "resultSet", "connectionId": cid,
+            "statementId": sid, "ownStatement": True,
+            "signature": self._signature(columns, sql),
+            "firstFrame": {"offset": 0,
+                           "done": len(first) == len(rows),
+                           "rows": first},
+            "updateCount": -1,
+        }
+
+    def _req_prepareAndExecute(self, req: dict) -> dict:
+        cid, sid = req.get("connectionId"), req.get("statementId")
+        rs = self._run_sql(cid, sid, req["sql"])
+        return {"response": "executeResults", "missingStatement": False,
+                "results": [rs]}
+
+    def _req_prepare(self, req: dict) -> dict:
+        cid = req.get("connectionId")
+        sql = req["sql"]
+        df = druid_sql(self.spark, sql, self.registry)
+        columns = [_column_meta(i, name, dtype)
+                   for i, (name, dtype) in enumerate(df.dtypes)]
+        with self._lock:
+            self._next_statement_id += 1
+            sid = self._next_statement_id
+            self._statements[(cid, sid)] = {"sql": sql}
+        return {"response": "prepare",
+                "statement": {"connectionId": cid, "id": sid,
+                              "signature": self._signature(columns, sql)}}
+
+    def _req_execute(self, req: dict) -> dict:
+        h = req.get("statementHandle") or {}
+        cid, sid = h.get("connectionId"), h.get("id")
+        with self._lock:
+            st = self._statements.get((cid, sid))
+        if st is None or "sql" not in st:
+            return {"response": "executeResults", "missingStatement": True,
+                    "results": []}
+        rs = self._run_sql(cid, sid, st["sql"])
+        return {"response": "executeResults", "missingStatement": False,
+                "results": [rs]}
+
+    def _req_fetch(self, req: dict) -> dict:
+        cid, sid = req.get("connectionId"), req.get("statementId")
+        offset = int(req.get("offset", 0))
+        limit = int(req.get("fetchMaxRowCount",
+                            req.get("fetchMaxRowCount0",
+                                    self.frame_max_rows)) or
+                    self.frame_max_rows)
+        if limit < 0:
+            limit = self.frame_max_rows
+        with self._lock:
+            st = self._statements.get((cid, sid))
+        if st is None or "rows" not in st:
+            return self._error(f"no results for statement {sid}")
+        rows = st["rows"]
+        chunk = rows[offset:offset + limit]
+        return {"response": "fetch",
+                "connectionId": cid, "statementId": sid,
+                "frame": {"offset": offset,
+                          "done": offset + len(chunk) >= len(rows),
+                          "rows": chunk}}
+
+    def _req_syncResults(self, req: dict) -> dict:
+        return {"response": "syncResults", "moreResults": False,
+                "missingStatement": False}
+
+    # -- metadata ----------------------------------------------------------
+
+    def _req_databaseProperty(self, req: dict) -> dict:
+        props = [
+            {"key": {"name": "GET_S_S_NAME"}, "value": "druid-on-spark"},
+            {"key": {"name": "GET_S_S_VERSION"}, "value": "1.0"},
+            {"key": {"name": "GET_DRIVER_NAME"},
+             "value": "apache_druid_spark avatica json"},
+            {"key": {"name": "GET_DRIVER_VERSION"}, "value": "1.0"},
+        ]
+        return {"response": "databaseProperty", "map": props}
+
+    def _meta_result(self, cid, names: list[str],
+                     rows: list[list]) -> dict:
+        columns = [_column_meta(i, n, "string") for i, n in enumerate(names)]
+        return {"response": "resultSet", "connectionId": cid,
+                "statementId": -1, "ownStatement": True,
+                "signature": self._signature(columns, ""),
+                "firstFrame": {"offset": 0, "done": True, "rows": rows},
+                "updateCount": -1}
+
+    def _req_getCatalogs(self, req: dict) -> dict:
+        return self._meta_result(req.get("connectionId"),
+                                 ["TABLE_CAT"], [["druid"]])
+
+    def _req_getSchemas(self, req: dict) -> dict:
+        return self._meta_result(
+            req.get("connectionId"),
+            ["TABLE_SCHEM", "TABLE_CATALOG"],
+            [["druid", "druid"], ["INFORMATION_SCHEMA", "druid"],
+             ["sys", "druid"]])
+
+    def _req_getTables(self, req: dict) -> dict:
+        rows = [["druid", "druid", name, "TABLE", None]
+                for name in sorted(self.registry.names())]
+        return self._meta_result(
+            req.get("connectionId"),
+            ["TABLE_CAT", "TABLE_SCHEM", "TABLE_NAME", "TABLE_TYPE",
+             "REMARKS"], rows)
+
+    def _req_getColumns(self, req: dict) -> dict:
+        pattern = req.get("tableNamePattern")
+        rows = []
+        for name in sorted(self.registry.names()):
+            if pattern and pattern not in ("%", name):
+                continue
+            df = self.registry.table(name)
+            for i, (col, dtype) in enumerate(df.dtypes):
+                tid, tname, _ = _jdbc_type(dtype)
+                rows.append(["druid", "druid", name, col,
+                             str(tid), tname, str(i + 1)])
+        return self._meta_result(
+            req.get("connectionId"),
+            ["TABLE_CAT", "TABLE_SCHEM", "TABLE_NAME", "COLUMN_NAME",
+             "DATA_TYPE", "TYPE_NAME", "ORDINAL_POSITION"], rows)
+
+    # transactions are meaningless for a read-only engine; ack them
+    def _req_commit(self, req: dict) -> dict:
+        return {"response": "commit"}
+
+    def _req_rollback(self, req: dict) -> dict:
+        return {"response": "rollback"}

@@ -1,10 +1,12 @@
 """Minimal HTTP facade: POST /druid/v2 (native JSON queries),
-POST /druid/v2/sql (Druid SQL), GET /status[/health] and
+POST /druid/v2/sql (Druid SQL), POST /druid/v2/sql/avatica (Avatica
+JSON RPC — the JDBC protocol), GET /status[/health] and
 GET /druid/v2/datasources[/{name}], mirroring the reference's endpoints.
 
 Reference: server/src/main/java/org/apache/druid/server/QueryResource.java:89,143
 (native), sql/src/main/java/org/apache/druid/sql/http/SqlResource.java:72,102
-(SQL, resultFormat field), server/.../StatusResource.java (GET /status),
+(SQL, resultFormat field), sql/.../avatica/DruidAvaticaHandler.java
+(JDBC endpoint path), server/.../StatusResource.java (GET /status),
 server/.../ClientInfoResource.java (GET /druid/v2/datasources — the
 endpoint consoles/clients use for discovery). Stdlib http.server — the
 broker's whole scatter/gather behind these endpoints is the Spark
@@ -18,6 +20,7 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from apache_druid_spark.plans.compiler import compile_query
+from apache_druid_spark.server.avatica import AvaticaMeta
 from apache_druid_spark.sql.dialect import druid_sql
 from apache_druid_spark.sql.results import format_results
 
@@ -36,6 +39,7 @@ class DruidHttpServer:
                  port: int = 8082):
         self.spark = spark
         self.registry = registry
+        self.avatica = AvaticaMeta(spark, registry)
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -90,7 +94,9 @@ class DruidHttpServer:
                 n = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(n) or b"{}")
                 try:
-                    if self.path.rstrip("/") == "/druid/v2/sql":
+                    if self.path.rstrip("/") == "/druid/v2/sql/avatica":
+                        payload = json.dumps(outer.avatica.handle(body))
+                    elif self.path.rstrip("/") == "/druid/v2/sql":
                         df = druid_sql(outer.spark, body["query"],
                                        outer.registry)
                         fmt = body.get("resultFormat", "object")

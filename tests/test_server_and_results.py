@@ -67,6 +67,87 @@ def test_http_native_and_sql(spark, reg):
         srv.stop()
 
 
+def test_avatica_meta_protocol(spark, reg):
+    """Avatica JSON RPC (DruidMeta analog): connection/statement
+    lifecycle, prepareAndExecute with frame paging, fetch, metadata."""
+    from apache_druid_spark.server.avatica import AvaticaMeta
+
+    meta = AvaticaMeta(spark, reg, frame_max_rows=10)
+    conn = meta.handle({"request": "openConnection"})
+    cid = conn["connectionId"]
+    assert conn["response"] == "openConnection" and cid
+
+    st = meta.handle({"request": "createStatement", "connectionId": cid})
+    sid = st["statementId"]
+
+    ex = meta.handle({
+        "request": "prepareAndExecute", "connectionId": cid,
+        "statementId": sid,
+        "sql": "SELECT n_nationkey, n_name FROM nation ORDER BY 1"})
+    assert ex["response"] == "executeResults" and not ex["missingStatement"]
+    rs = ex["results"][0]
+    cols = [c["columnName"] for c in rs["signature"]["columns"]]
+    assert cols == ["n_nationkey", "n_name"]
+    assert rs["signature"]["columns"][0]["type"]["name"] in (
+        "INTEGER", "BIGINT")  # testdata stores nationkey as int32
+    frame = rs["firstFrame"]
+    assert len(frame["rows"]) == 10 and frame["done"] is False
+    assert frame["rows"][0][1] == "NATION_0"  # synthetic nation names
+
+    f = meta.handle({"request": "fetch", "connectionId": cid,
+                     "statementId": sid, "offset": 10,
+                     "fetchMaxRowCount": 100})
+    assert f["response"] == "fetch"
+    assert len(f["frame"]["rows"]) == 15 and f["frame"]["done"] is True
+
+    tables = meta.handle({"request": "getTables", "connectionId": cid})
+    names = {r[2] for r in tables["firstFrame"]["rows"]}
+    assert {"nation", "orders", "lineitem"} <= names
+
+    cols = meta.handle({"request": "getColumns", "connectionId": cid,
+                        "tableNamePattern": "nation"})
+    assert ["druid", "druid", "nation", "n_name", "12", "VARCHAR", "2"] in \
+        cols["firstFrame"]["rows"]
+
+    err = meta.handle({"request": "prepareAndExecute",
+                       "connectionId": cid, "statementId": sid,
+                       "sql": "SELECT FROM nowhere"})
+    assert err["response"] == "error"
+
+    meta.handle({"request": "closeStatement", "connectionId": cid,
+                 "statementId": sid})
+    meta.handle({"request": "closeConnection", "connectionId": cid})
+    assert meta._statements == {}
+
+
+def test_avatica_http_endpoint(spark, reg):
+    """End-to-end over HTTP: the /druid/v2/sql/avatica route a JDBC
+    JSON client would hit."""
+    from apache_druid_spark.server import DruidHttpServer
+
+    srv = DruidHttpServer(spark, reg, port=0)
+    srv.start()
+    base = f"http://127.0.0.1:{srv.port}/druid/v2/sql/avatica"
+    try:
+        def rpc(payload):
+            req = urllib.request.Request(
+                base, json.dumps(payload).encode(),
+                {"Content-Type": "application/json"})
+            return json.loads(urllib.request.urlopen(req).read())
+
+        cid = rpc({"request": "openConnection"})["connectionId"]
+        sid = rpc({"request": "createStatement",
+                   "connectionId": cid})["statementId"]
+        ex = rpc({"request": "prepareAndExecute", "connectionId": cid,
+                  "statementId": sid, "maxRowCount": -1,
+                  "sql": "SELECT COUNT(*) AS cnt FROM orders"})
+        assert ex["results"][0]["firstFrame"]["rows"][0][0] > 0
+        props = rpc({"request": "databaseProperty", "connectionId": cid})
+        assert props["response"] == "databaseProperty"
+    finally:
+        srv.stop()
+
+
 def test_compaction_rollup(spark, tmp_path):
     from apache_druid_spark.ingest import ingest, write_segments
     from apache_druid_spark.ingest.compact import compact
