@@ -41,7 +41,8 @@ def main() -> int:
     from apache_druid_spark import DatasourceRegistry, get_spark
     from apache_druid_spark.model.datasource import register_testdata
     from apache_druid_spark.pipeline import (
-        dedup as dd, graph as gr, similarity as sim, text as tx,
+        decontam as dc, dedup as dd, graph as gr, similarity as sim,
+        text as tx,
     )
 
     spark = get_spark("scale_smoke")
@@ -62,7 +63,15 @@ def main() -> int:
         "connected_components": lambda d, s: gr.connected_components(
             dd.minhash_lsh_pairs(d, num_hashes=16, bands=4),
             nodes=d.select(F.col("doc_id").alias("node"))),
+        "connected_components_star": lambda d, s: gr.connected_components(
+            dd.minhash_lsh_pairs(d, num_hashes=16, bands=4),
+            nodes=d.select(F.col("doc_id").alias("node")),
+            algorithm="star"),
         "doc_chunks": lambda d, s: tx.chunk_documents(d),
+        # test set stays FIXED as the corpus grows (benchmarks don't
+        # scale with the crawl) — the op should be linear in train rows
+        "decontaminate": lambda d, s: dc.contamination_report(
+            d, docs.filter(F.col("doc_id") % 20 == 0), ngram=8),
     }
     emb_ops = {
         "cosine_topk": lambda e, s: sim.cosine_topk(e, [1.0] * 64, k=10),
