@@ -3586,6 +3586,54 @@ def _dedup_components(spark, sf_dir):
                         F.col("component").cast("long").alias("component"))
 
 
+def _pack_oracle(budget: int = 512) -> str:
+    """DuckDB replica of pack_sequences: identical md5-60bit shuffle
+    hash; the global cumsum here equals the engine's two-phase
+    bucketed prefix sum because (bucket, hash) order == hash order."""
+    h = _hex_to_long_sql("md5('epoch0:' || CAST(doc_id AS VARCHAR))", 15)
+    return f"""
+WITH b AS (SELECT doc_id, {h} AS h, len({_TOKS_SQL}) AS n_tokens
+           FROM documents),
+s AS (SELECT doc_id, n_tokens,
+        COALESCE(SUM(n_tokens) OVER (ORDER BY h
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS start_offset
+      FROM b)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(start_offset // {budget} AS BIGINT) AS pack_id
+FROM s
+"""
+
+
+@_q("pack_sequences_budget", _pack_oracle())
+def _pack_sequences_budget(spark, sf_dir):
+    """Concat-and-chunk sequence packing (pipeline/packing.py): docs
+    laid end to end in deterministic-shuffle order, cut into 512-token
+    windows via a two-phase distributed prefix sum (no
+    single-partition window)."""
+    from apache_druid_spark.pipeline import pack_sequences
+
+    docs = _registry(spark, sf_dir).table("documents")
+    return pack_sequences(docs, budget=512, seed="epoch0", n_buckets=16)
+
+
+@_q("deterministic_shuffle_order", """
+SELECT doc_id, """ + _hex_to_long_sql(
+    "md5('epoch1:' || CAST(doc_id AS VARCHAR))", 15) + """ AS shuffle_order
+FROM documents
+""")
+def _deterministic_shuffle_order(spark, sf_dir):
+    """Reproducible epoch permutation (pipeline/packing.py): the rank
+    key is a content hash, so every run and engine agrees — no rand()
+    anywhere."""
+    from apache_druid_spark.pipeline import deterministic_shuffle
+
+    docs = _registry(spark, sf_dir).table("documents")
+    return deterministic_shuffle(docs, seed="epoch1").select(
+        "doc_id", "shuffle_order")
+
+
 def _decontam_oracle(ngram: int = 8) -> str:
     """DuckDB replica of contamination_report: identical shingling and
     60-bit md5-prefix hash, test set = documents with doc_id % 10 = 0."""
@@ -3742,6 +3790,7 @@ _R04_WINDOW = (
     # never driver-checked (+ the new r4 entries)
     "sql_theta_set_ops", "expression_cartesian", "sql_scalar_shims2",
     "dedup_components_star", "decontaminate_report",
+    "pack_sequences_budget", "deterministic_shuffle_order",
     # r1-era greens, stale vs regenerated testdata (file order)
     "timeseries_month_revenue", "timeseries_day_clicks",
     "timeboundary_lineitem", "topn_priority_revenue", "groupby_flag_status",
@@ -3755,7 +3804,7 @@ _R04_WINDOW = (
     "sql_earliest_latest", "mv_token_counts", "dedup_exact",
     "dedup_minhash_lsh", "dedup_simhash", "text_token_stats",
     "text_fingerprint", "text_language_id", "similarity_cosine_topk",
-    "similarity_lsh_topk", "timeseries_zero_fill", "granularity_week_p1w",
+    "similarity_lsh_topk",
     "rollup_reaggregate", "ingest_inline_csv", "lifecycle_publish_query",
     "streaming_rollup_hourly",
 )
@@ -3765,6 +3814,7 @@ _R04_WINDOW = (
 # whole registry sits on post-regeneration evidence within two rounds.
 # r3-green entries sort last (freshest evidence).
 _R05_NEXT = (
+    "timeseries_zero_fill", "granularity_week_p1w",
     "postagg_arithmetic", "granularity_period_2w", "granularity_quarter",
     "except_nationkeys",
     "hll_user_cardinality", "similarity_ivf_topk", "dedup_embedding_cosine",

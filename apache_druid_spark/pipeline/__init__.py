@@ -25,6 +25,9 @@ from apache_druid_spark.pipeline.graph import (
 from apache_druid_spark.pipeline.decontam import (
     contamination_report, decontaminate,
 )
+from apache_druid_spark.pipeline.packing import (
+    deterministic_shuffle, pack_sequences,
+)
 
 __all__ = [
     "exact_dedup", "minhash_signatures", "minhash_lsh_pairs", "simhash",
@@ -34,4 +37,5 @@ __all__ = [
     "winnowing_fingerprint", "normalize", "pii_scrub", "chunk_documents",
     "connected_components", "dedup_keep_representatives",
     "contamination_report", "decontaminate",
+    "deterministic_shuffle", "pack_sequences",
 ]

@@ -248,6 +248,53 @@ def test_winnowing_short_text_fallbacks(spark):
     assert rows[2]["fp_count"] >= 1  # fewer grams than the window
 
 
+def test_pack_sequences_contiguous_stream(docs):
+    """Packing invariants: in shuffle-hash order the start offsets are
+    exactly contiguous (each doc starts where the previous ended) and
+    pack_id = start // budget."""
+    from apache_druid_spark.pipeline import (
+        deterministic_shuffle, pack_sequences,
+    )
+
+    packed = pack_sequences(docs, budget=512, n_buckets=8).collect()
+    order = {r["doc_id"]: r["shuffle_order"] for r in
+             deterministic_shuffle(docs).collect()}
+    rows = sorted(packed, key=lambda r: order[r["doc_id"]])
+    pos = 0
+    for r in rows:
+        assert r["start_offset"] == pos
+        assert r["pack_id"] == pos // 512
+        pos += r["n_tokens"]
+    assert pos == sum(r["n_tokens"] for r in rows)
+
+
+def test_pack_sequences_bucket_count_invariant(docs):
+    """The two-phase distributed prefix sum must give the identical
+    packing regardless of bucket fan-out (n_buckets is a parallelism
+    knob, not a semantics knob)."""
+    from apache_druid_spark.pipeline import pack_sequences
+
+    a = {r["doc_id"]: (r["start_offset"], r["pack_id"])
+         for r in pack_sequences(docs, budget=256, n_buckets=1).collect()}
+    b = {r["doc_id"]: (r["start_offset"], r["pack_id"])
+         for r in pack_sequences(docs, budget=256, n_buckets=64).collect()}
+    assert a == b
+
+
+def test_deterministic_shuffle_is_stable_and_seeded(docs):
+    from apache_druid_spark.pipeline import deterministic_shuffle
+
+    a = [r["doc_id"] for r in deterministic_shuffle(docs, seed="e0")
+         .orderBy("shuffle_order").collect()]
+    b = [r["doc_id"] for r in deterministic_shuffle(docs, seed="e0")
+         .orderBy("shuffle_order").collect()]
+    c = [r["doc_id"] for r in deterministic_shuffle(docs, seed="e1")
+         .orderBy("shuffle_order").collect()]
+    assert a == b          # reproducible
+    assert a != c          # seed changes the permutation
+    assert sorted(a) == sorted(c)  # but it IS a permutation
+
+
 def test_contamination_report_flags_test_copies(docs):
     from apache_druid_spark.pipeline import contamination_report
 
