@@ -53,6 +53,8 @@ HEADLINE = [
     "dedup_components",            # iterative connected components
     "doc_chunks",                  # RAG chunk fan-out (posexplode)
     "session_window_user",         # batch session windows
+    "decontaminate_report",        # n-gram overlap vs held-out set
+    "pack_sequences_budget",       # shuffle + distributed prefix-sum pack
 ]
 
 
