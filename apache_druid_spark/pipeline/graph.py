@@ -86,19 +86,6 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
     return labels
 
 
-def _materialized_persist(df: DataFrame, round_no: int) -> DataFrame:
-    """Persist ``df`` and force a FULL materialization so every
-    partition lands in the cache before the parent generation is
-    unpersisted (a partial action like limit(1).count() would leave
-    uncached partitions recomputing through the released lineage).
-    Every few rounds, localCheckpoint instead to truncate lineage."""
-    if round_no % _CHECKPOINT_EVERY == _CHECKPOINT_EVERY - 1:
-        return df.localCheckpoint(eager=True)
-    df = df.persist()
-    df.count()
-    return df
-
-
 def _min_label_propagation(bidir: DataFrame, vertices: DataFrame,
                            node_col: str, max_iterations: int):
     labels = vertices.select(node_col, F.col(node_col).alias("component"))
@@ -122,8 +109,18 @@ def _min_label_propagation(bidir: DataFrame, vertices: DataFrame,
                            .alias("component"),
                            (F.col("nmin") < F.col("component"))
                            .alias("__changed")))
-        updated = _materialized_persist(updated, i)
-        changed = updated.filter(F.col("__changed")).limit(1).count()
+        # one action per round: the full-pass aggregate both counts the
+        # changed labels AND materializes every partition into the
+        # persisted generation before the parent is released (a partial
+        # action like limit(1).count() would leave uncached partitions
+        # recomputing through the unpersisted lineage). Every few
+        # rounds, localCheckpoint instead to truncate the logical plan.
+        if i % _CHECKPOINT_EVERY == _CHECKPOINT_EVERY - 1:
+            updated = updated.localCheckpoint(eager=True)
+        else:
+            updated = updated.persist()
+        changed = updated.agg(
+            F.count_if(F.col("__changed")).alias("c")).first()["c"]
         # previous generation's cache is dead once `updated` is fully
         # materialized; release it so a long run holds one generation
         if prev_persisted is not None:
