@@ -221,6 +221,20 @@ def test_scrub_normalize_single_projection(reg):
     assert "EvalPython" not in body
 
 
+def test_pack_sequences_window_is_bucket_partitioned(spark, registry):
+    """The packing prefix sum must run as a PARTITIONED window (over
+    the hash buckets), never the single-task no-partition Window —
+    the classic global-cumsum bottleneck at scale."""
+    from apache_druid_spark.pipeline import pack_sequences
+
+    docs = registry.table("documents")
+    plan = plan_of(pack_sequences(docs, budget=512, n_buckets=16))
+    assert "Window" in plan
+    assert "hashpartitioning(__bucket" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "EvalPython" not in plan
+
+
 def test_contamination_check_broadcasts_test_grams(spark, registry):
     """The test-set n-gram vocabulary is tiny by construction (a
     benchmark suite vs a 100 TB corpus); the contamination join must
