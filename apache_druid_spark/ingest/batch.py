@@ -70,10 +70,14 @@ def read_input(spark: SparkSession, io_config: dict) -> DataFrame:
             raw = spark.read.format("binaryFile").load(paths)
             return decode_protobuf(raw, fmt, value_col="content")
         if fmt.get("type") == "thrift":
-            from apache_druid_spark.ingest.thrift import read_thrift
+            from apache_druid_spark.ingest.thrift import (
+                read_thrift, read_thrift_sequence,
+            )
 
-            return read_thrift(spark, paths,
-                               [tuple(f) for f in fmt["fields"]])
+            tf = [tuple(f) for f in fmt["fields"]]
+            if fmt.get("container") in ("sequence", "sequenceFile"):
+                return read_thrift_sequence(spark, paths, tf)
+            return read_thrift(spark, paths, tf)
         return _file_reader(spark, fmt).load(paths)
     if stype == "combining":
         dfs = [read_input(spark, {"inputSource": d, "inputFormat": fmt})

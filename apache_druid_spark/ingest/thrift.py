@@ -195,11 +195,34 @@ def decode_thrift(df: DataFrame, fields: list[tuple[int, str, str]],
 
 def read_thrift(spark, paths, fields: list[tuple[int, str, str]],
                 recursive: bool = True) -> DataFrame:
-    """One serialized struct per file via the binaryFile source (the
-    v1 container format; the reference pairs Thrift with sequence/LZO
-    containers that have no Spark-native reader)."""
+    """One serialized struct per file via the binaryFile source."""
     reader = spark.read.format("binaryFile")
     if recursive:
         reader = reader.option("recursiveFileLookup", "true")
     raw = reader.load(paths)
+    return decode_thrift(raw, fields, bin_col="content")
+
+
+def read_thrift_sequence(spark, paths,
+                         fields: list[tuple[int, str, str]]) -> DataFrame:
+    """Thrift structs packed in Hadoop SequenceFiles — the container
+    the reference's thrift extension actually ships
+    (extensions-contrib/thrift-extensions pairs ThriftInputRowParser
+    with SequenceFile/LZO inputs): one TBinaryProtocol struct per
+    record VALUE, keys ignored.
+
+    The sequenceFile read deserializes BytesWritable records; the RDD
+    hop exists only to reach Hadoop's container reader and converts to
+    a binary-column DataFrame immediately (per-partition, no driver
+    collect) — decode then follows the standard Arrow-batched path.
+    LZO-compressed inputs additionally need the hadoop-lzo codec jar
+    on the cluster (not bundled here); absence surfaces as Hadoop's
+    own 'codec not found' error."""
+    from pyspark.sql import types as T
+
+    rdd = spark.sparkContext.sequenceFile(
+        paths if isinstance(paths, str) else ",".join(paths))
+    rows = rdd.map(lambda kv: (bytes(kv[1]),))
+    raw = spark.createDataFrame(
+        rows, T.StructType([T.StructField("content", T.BinaryType())]))
     return decode_thrift(raw, fields, bin_col="content")

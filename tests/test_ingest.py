@@ -650,6 +650,28 @@ def test_protobuf_wire_mismatch_nulls_field(spark):
     assert out[1]["id"] == 7 and out[1]["msg"] == "ok"
 
 
+def test_thrift_sequence_file_container(spark, tmp_path):
+    """Thrift structs inside Hadoop SequenceFiles — the reference
+    extension's actual container (extensions-contrib/thrift-extensions);
+    values decode, keys are ignored."""
+    from apache_druid_spark.ingest.batch import read_input
+
+    d = str(tmp_path / "thrift_seq")
+    recs = [(f"key{i}".encode(),
+             _thrift_encode([(1, 10, i), (2, 11, f"doc {i}")]))
+            for i in range(4)]
+    spark.sparkContext.parallelize(recs, 2).saveAsSequenceFile(d)
+    df = read_input(spark, {
+        "inputSource": {"type": "local", "files": [d]},
+        "inputFormat": {"type": "thrift", "container": "sequenceFile",
+                        "fields": [[1, "id", "i64"],
+                                   [2, "body", "string"]]},
+    })
+    rows = df.orderBy("id").collect()
+    assert [r["id"] for r in rows] == [0, 1, 2, 3]
+    assert rows[3]["body"] == "doc 3"
+
+
 def test_protobuf_input_format(spark, tmp_path):
     from apache_druid_spark.ingest.batch import read_input
 
