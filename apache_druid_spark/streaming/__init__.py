@@ -3,12 +3,12 @@ pipeline (SURVEY §2.15) collapsed into declarative streaming queries."""
 
 from apache_druid_spark.streaming.rollup import (
     file_stream, kafka_stream, realtime_union, run_to_table,
-    stream_rollup,
+    stream_dedup, stream_rollup,
 )
 from apache_druid_spark.streaming.stateful import (
     final_state, run_updates_to_memory, running_rollup,
 )
 
 __all__ = ["file_stream", "kafka_stream", "realtime_union",
-           "run_to_table", "stream_rollup", "running_rollup",
-           "run_updates_to_memory", "final_state"]
+           "run_to_table", "stream_dedup", "stream_rollup",
+           "running_rollup", "run_updates_to_memory", "final_state"]

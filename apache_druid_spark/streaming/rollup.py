@@ -86,6 +86,39 @@ def stream_rollup(stream: DataFrame, dimensions: list[str],
                         if c not in ("window", *dimensions)])
 
 
+def stream_dedup(stream: DataFrame, key_cols: list[str] | None = None,
+                 content_col: str | None = None,
+                 watermark: str | None = "1 hour",
+                 time_col: str = TIME_COLUMN) -> DataFrame:
+    """Streaming exact dedup — the ingest-time counterpart to
+    pipeline.exact_dedup: drop records whose key (or content hash) was
+    already seen.
+
+    With a ``watermark`` the dedup state is BOUNDED
+    (dropDuplicatesWithinWatermark): a duplicate arriving within the
+    watermark horizon of the original is dropped, state older than the
+    horizon is evicted — the only formulation that survives an
+    unbounded 100 TB/day stream. ``watermark=None`` falls back to
+    global dropDuplicates (exact across all time, state grows with
+    distinct keys — only for bounded replays).
+
+    ``content_col`` hashes document text to a 16-byte md5 key first —
+    the state store holds hashes, not documents."""
+    df = stream
+    keys = list(key_cols or [])
+    if content_col is not None:
+        df = df.withColumn("__content_hash", F.md5(F.col(content_col)))
+        keys.append("__content_hash")
+    if not keys:
+        raise ValueError("stream_dedup needs key_cols or content_col")
+    if watermark:
+        df = df.withWatermark(time_col, watermark)
+        out = df.dropDuplicatesWithinWatermark(keys)
+    else:
+        out = df.dropDuplicates(keys)
+    return out.drop("__content_hash")
+
+
 def realtime_union(historical: DataFrame, realtime: DataFrame) -> DataFrame:
     """The lambda view: committed history UNION ALL in-flight rows —
     the reference's queryable-before-publish behavior

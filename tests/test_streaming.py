@@ -115,3 +115,36 @@ def test_stateful_running_rollup_carries_state(spark, registry, tmp_path):
                         .agg(F.count(F.lit(1)).alias("cnt"),
                              F.sum("value").alias("total")).collect()}
     assert got == want
+
+
+def test_stream_dedup_drops_duplicates(spark, tmp_path):
+    """Streaming exact dedup: duplicated content within the watermark
+    horizon is dropped; output matches batch exact-dedup survivors."""
+    import datetime as dt
+
+    from apache_druid_spark.streaming import stream_dedup
+
+    src = str(tmp_path / "docs_stream")
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(20):
+        # ids 10..19 duplicate the text of 0..9 a few minutes later
+        rows.append((i, f"text {i % 10}",
+                     base + dt.timedelta(minutes=i)))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, ts timestamp"
+    ).write.mode("overwrite").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema).parquet(src)
+              .withColumn("__time", F.col("ts")))
+    deduped = stream_dedup(stream, content_col="text",
+                           watermark="2 hours")
+    q = (deduped.writeStream.format("memory").queryName("dedup_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = spark.table("dedup_out").collect()
+    assert len(out) == 10
+    texts = sorted(r["text"] for r in out)
+    assert texts == sorted(f"text {i}" for i in range(10))
+    assert "__content_hash" not in spark.table("dedup_out").columns
