@@ -21,6 +21,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from apache_druid_spark.plans.compiler import compile_query
 from apache_druid_spark.server.avatica import AvaticaMeta
+from apache_druid_spark.server.cache import ResultCache
 from apache_druid_spark.sql.dialect import druid_sql
 from apache_druid_spark.sql.results import format_results
 
@@ -36,10 +37,13 @@ class DruidHttpServer:
     """
 
     def __init__(self, spark, registry, host: str = "127.0.0.1",
-                 port: int = 8082):
+                 port: int = 8082, use_cache: bool = True):
         self.spark = spark
         self.registry = registry
         self.avatica = AvaticaMeta(spark, registry)
+        # result-level cache (CachingClusteredClient analog); keyed on
+        # registry.epoch so any register/publish invalidates
+        self.cache = ResultCache() if use_cache else None
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -93,18 +97,39 @@ class DruidHttpServer:
             def do_POST(self):
                 n = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(n) or b"{}")
+                path = self.path.rstrip("/")
+                cache_state = None
                 try:
-                    if self.path.rstrip("/") == "/druid/v2/sql/avatica":
+                    if path == "/druid/v2/sql/avatica":
+                        # JDBC statements are stateful; never cached
                         payload = json.dumps(outer.avatica.handle(body))
-                    elif self.path.rstrip("/") == "/druid/v2/sql":
-                        df = druid_sql(outer.spark, body["query"],
-                                       outer.registry)
-                        fmt = body.get("resultFormat", "object")
-                        payload = format_results(
-                            df, fmt, header=bool(body.get("header")))
-                    elif self.path.rstrip("/") == "/druid/v2":
-                        df = compile_query(body, outer.registry)
-                        payload = format_results(df, "object")
+                    elif path in ("/druid/v2/sql", "/druid/v2"):
+                        key = None
+                        payload = None
+                        # context.useCache: false opts a request out,
+                        # mirroring the reference's query context flag
+                        use = (outer.cache is not None and
+                               (body.get("context") or {})
+                               .get("useCache", True) is not False)
+                        if use:
+                            key = outer.cache.key(
+                                path, body, outer.registry.epoch)
+                            payload = outer.cache.get(key)
+                            cache_state = ("HIT" if payload is not None
+                                           else "MISS")
+                        if payload is None:
+                            if path == "/druid/v2/sql":
+                                df = druid_sql(outer.spark, body["query"],
+                                               outer.registry)
+                                fmt = body.get("resultFormat", "object")
+                                payload = format_results(
+                                    df, fmt,
+                                    header=bool(body.get("header")))
+                            else:
+                                df = compile_query(body, outer.registry)
+                                payload = format_results(df, "object")
+                            if key is not None:
+                                outer.cache.put(key, payload)
                     else:
                         self.send_error(404)
                         return
@@ -119,6 +144,8 @@ class DruidHttpServer:
                 ctype = ("text/csv" if body.get("resultFormat") == "csv"
                          else "application/json")
                 self.send_header("Content-Type", ctype)
+                if cache_state is not None:
+                    self.send_header("X-Druid-Cache", cache_state)
                 self.end_headers()
                 self.wfile.write(payload.encode())
 

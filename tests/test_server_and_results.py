@@ -67,6 +67,56 @@ def test_http_native_and_sql(spark, reg):
         srv.stop()
 
 
+def test_result_cache_hit_miss_invalidate(spark, reg):
+    """Result-level cache (CachingClusteredClient analog): identical
+    requests hit; registry epoch bump (re-registration/publish)
+    invalidates; context.useCache=false bypasses."""
+    from apache_druid_spark.server import DruidHttpServer
+
+    srv = DruidHttpServer(spark, reg, port=0)
+    srv.start()
+    base = f"http://127.0.0.1:{srv.port}"
+    body = json.dumps({"query": "SELECT COUNT(*) AS cnt FROM region"})
+
+    def post(payload=body):
+        req = urllib.request.Request(
+            f"{base}/druid/v2/sql", payload.encode(),
+            {"Content-Type": "application/json"})
+        resp = urllib.request.urlopen(req)
+        return resp.headers.get("X-Druid-Cache"), resp.read()
+
+    try:
+        s1, r1 = post()
+        s2, r2 = post()
+        assert (s1, s2) == ("MISS", "HIT") and r1 == r2
+        # epoch bump (any re-registration) invalidates everything
+        reg.register("region", reg.table("region"))
+        s3, _ = post()
+        assert s3 == "MISS"
+        # explicit opt-out is never cached
+        off = json.dumps({"query": "SELECT COUNT(*) AS cnt FROM region",
+                          "context": {"useCache": False}})
+        s4, _ = post(off)
+        assert s4 is None
+    finally:
+        srv.stop()
+
+
+def test_result_cache_lru_eviction():
+    from apache_druid_spark.server.cache import ResultCache
+
+    c = ResultCache(max_entries=2, max_bytes=1000)
+    k1, k2, k3 = (c.key("/q", {"q": i}, 0) for i in (1, 2, 3))
+    c.put(k1, "a")
+    c.put(k2, "b")
+    assert c.get(k1) == "a"      # touch k1 -> k2 is now LRU
+    c.put(k3, "c")
+    assert c.get(k2) is None     # evicted
+    assert c.get(k1) == "a" and c.get(k3) == "c"
+    c.put(c.key("/q", {"q": 4}, 0), "x" * 2000)  # oversized: ignored
+    assert c.get(c.key("/q", {"q": 4}, 0)) is None
+
+
 def test_avatica_meta_protocol(spark, reg):
     """Avatica JSON RPC (DruidMeta analog): connection/statement
     lifecycle, prepareAndExecute with frame paging, fetch, metadata."""
