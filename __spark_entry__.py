@@ -2719,6 +2719,34 @@ def _sql_array_agg_sorted(spark, sf_dir):
         F.array_join(F.array_sort("statuses"), ",").alias("statuses"))
 
 
+@_q("sql_scalar_shims3", """
+SELECT 2 AS nested_len, '0,1,2' AS prep, '12' AS rx_whole,
+       CAST(NULL AS VARCHAR) AS rx_null, 'ab' AS rx_g1,
+       CAST(-3.7 AS DOUBLE) AS trunc2, CAST(9.0 AS DOUBLE) AS trunc1,
+       'hi' AS b64, TRUE AS tii
+""")
+def _sql_scalar_shims3(spark, sf_dir):
+    """Round-4 dialect coverage in one oracle row: Calcite ARRAY[...]
+    constructor, ARRAY_LENGTH/ARRAY_TO_STRING/ARRAY_PREPEND (Druid arg
+    order), Druid REGEXP_EXTRACT (group-0 default, NULL on no-match —
+    RegexpExtractOperatorConversion), 1-arg TRUNC/TRUNCATE,
+    DECODE_BASE64_UTF8, TIME_IN_INTERVAL."""
+    return druid_sql(spark, """
+SELECT ANY_VALUE(ARRAY_LENGTH(ARRAY[ARRAY[1], ARRAY[2, 3]])) AS nested_len,
+       ANY_VALUE(ARRAY_TO_STRING(ARRAY_PREPEND(0, ARRAY[1, 2]), ','))
+           AS prep,
+       ANY_VALUE(REGEXP_EXTRACT('ab12', '[0-9]+')) AS rx_whole,
+       ANY_VALUE(REGEXP_EXTRACT('abcd', '[0-9]+')) AS rx_null,
+       ANY_VALUE(REGEXP_EXTRACT('ab12', '([a-z]+)([0-9]+)', 1)) AS rx_g1,
+       ANY_VALUE(TRUNC(-3.77, 1)) AS trunc2,
+       ANY_VALUE(TRUNCATE(9.99)) AS trunc1,
+       ANY_VALUE(DECODE_BASE64_UTF8('aGk=')) AS b64,
+       ANY_VALUE(TIME_IN_INTERVAL(TIMESTAMP '2024-01-06',
+                                  '2024-01-05/2024-01-08')) AS tii
+FROM nation
+""", _registry(spark, sf_dir))
+
+
 @_q("limitspec_offset", """
 SELECT * FROM (
   SELECT c_mktsegment, COUNT(*) AS cnt FROM customer GROUP BY 1
@@ -3791,6 +3819,7 @@ _R04_WINDOW = (
     "sql_theta_set_ops", "expression_cartesian", "sql_scalar_shims2",
     "dedup_components_star", "decontaminate_report",
     "pack_sequences_budget", "deterministic_shuffle_order",
+    "sql_scalar_shims3",
     # r1-era greens, stale vs regenerated testdata (file order)
     "timeseries_month_revenue", "timeseries_day_clicks",
     "timeboundary_lineitem", "topn_priority_revenue", "groupby_flag_status",
@@ -3800,7 +3829,7 @@ _R04_WINDOW = (
     "agg_first_last_events", "agg_stats_lineitem", "theta_exact_distinct",
     "theta_set_ops", "join_orders_customers", "lookup_nation_name",
     "sql_semi_join", "anti_join_customers", "union_scan_orders",
-    "intersect_nationkeys", "window_moving_avg", "sql_time_floor_revenue",
+    "window_moving_avg", "sql_time_floor_revenue",
     "sql_earliest_latest", "mv_token_counts", "dedup_exact",
     "dedup_minhash_lsh", "dedup_simhash", "text_token_stats",
     "text_fingerprint", "text_language_id", "similarity_cosine_topk",
@@ -3814,7 +3843,7 @@ _R04_WINDOW = (
 # whole registry sits on post-regeneration evidence within two rounds.
 # r3-green entries sort last (freshest evidence).
 _R05_NEXT = (
-    "timeseries_zero_fill", "granularity_week_p1w",
+    "intersect_nationkeys", "timeseries_zero_fill", "granularity_week_p1w",
     "postagg_arithmetic", "granularity_period_2w", "granularity_quarter",
     "except_nationkeys",
     "hll_user_cardinality", "similarity_ivf_topk", "dedup_embedding_cosine",

@@ -196,6 +196,19 @@ _FUNCTION_DEFS: list[tuple[str, str, str, str]] = [
         + cast(split(split(subnet, '/')[0], '\\\\.')[2] AS BIGINT) * 256
         + cast(split(split(subnet, '/')[0], '\\\\.')[3] AS BIGINT))
         / power(2, 32 - cast(split(subnet, '/')[1] AS INT)))"""),
+    # DECODE_BASE64_UTF8 (expression/builtin — decodes a base64 string
+    # payload to utf-8 text)
+    ("DECODE_BASE64_UTF8", "s STRING", "STRING",
+     "decode(unbase64(s), 'UTF-8')"),
+    # TIME_IN_INTERVAL(t, 'start/end') — ISO interval membership
+    # (sql/.../expression/builtin/TimeInIntervalOperatorConversion).
+    # start/end datetime form only; period-anchored forms ('P1D/...')
+    # yield NULL rather than a wrong answer.
+    ("TIME_IN_INTERVAL", "t TIMESTAMP, iv STRING", "BOOLEAN",
+     """CASE WHEN split(iv, '/')[0] NOT LIKE 'P%'
+              AND split(iv, '/')[1] NOT LIKE 'P%'
+        THEN t >= cast(split(iv, '/')[0] AS TIMESTAMP)
+             AND t < cast(split(iv, '/')[1] AS TIMESTAMP) END"""),
     # THETA_SKETCH_ESTIMATE / _INTERSECT / _UNION / _NOT need no shim:
     # Spark 4.1 ships native DataSketches theta builtins
     # (theta_sketch_estimate / theta_intersection / theta_union /

@@ -96,6 +96,7 @@ _SIMPLE_RENAMES = {
     "BIT_OR": "bit_or",
     "BIT_XOR": "bit_xor",
     "STRPOS": "instr",
+    "TRUNC": "TRUNCATE",  # numeric-truncate alias (not Spark date trunc)
 }
 
 
@@ -165,6 +166,119 @@ def _rewrite_call(text: str, name: str, new_name: str,
     return "".join(out)
 
 
+def _rewrite_array_literal(text: str) -> str:
+    """Calcite array constructor ARRAY[a, b, ...] (SqlStdOperatorTable
+    ARRAY_VALUE_CONSTRUCTOR, used throughout Druid SQL) -> Spark's
+    array(a, b, ...). Bracket-matching, nest-safe, string-safe."""
+    pat = re.compile(r"\bARRAY\s*\[", re.IGNORECASE)
+    while True:
+        spans = _string_spans(text)
+        m = None
+        for cand in pat.finditer(text):
+            if not any(a <= cand.start() <= b for a, b in spans):
+                m = cand
+                break
+        if m is None:
+            return text
+        depth, j, in_str = 1, m.end(), None
+        while j < len(text) and depth:
+            ch = text[j]
+            if in_str:
+                if ch == in_str:
+                    in_str = None
+            elif ch in ("'", '"'):
+                in_str = ch
+            elif ch == "[":
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+            j += 1
+        inner = text[m.end():j - 1]
+        text = text[:m.start()] + "array(" + inner + ")" + text[j:]
+
+
+def _split_top_args(inner: str) -> list[str]:
+    """Split 'a, f(b, c), d' at top-level commas (paren/string aware)."""
+    args, depth, in_str, start = [], 0, None, 0
+    for i, ch in enumerate(inner):
+        if in_str:
+            if ch == in_str:
+                in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            args.append(inner[start:i])
+            start = i + 1
+    tail = inner[start:]
+    if tail.strip() or args:
+        args.append(tail)
+    return args
+
+
+def _rewrite_regexp_extract(text: str) -> str:
+    """Druid's REGEXP_EXTRACT (RegexpExtractOperatorConversion):
+    default group is 0 (the whole match — Spark defaults to group 1)
+    and a non-match yields NULL (Spark yields ''). Rewritten to
+    nullif(regexp_extract(s, p, idx|0), '')."""
+    while True:
+        found = None
+        for start, op, cp in _find_calls(text, "REGEXP_EXTRACT"):
+            found = (start, op, cp)
+            break
+        if found is None:
+            return text
+        start, op, cp = found
+        args = _split_top_args(text[op + 1:cp])
+        if len(args) == 2:
+            args.append(" 0")
+        call = f"nullif(__RX_EXTRACT__({','.join(args)}), '')"
+        text = text[:start] + call + text[cp + 1:]
+    return text
+
+
+def _rewrite_array_prepend(text: str) -> str:
+    """Druid ARRAY_PREPEND(expr, arr) vs Spark array_prepend(arr, el):
+    same name, swapped arguments."""
+    while True:
+        found = None
+        for start, op, cp in _find_calls(text, "ARRAY_PREPEND"):
+            found = (start, op, cp)
+            break
+        if found is None:
+            return text
+        start, op, cp = found
+        args = _split_top_args(text[op + 1:cp])
+        if len(args) == 2:
+            call = f"__ARR_PREP__({args[1]}, {args[0]})"
+        else:  # malformed; leave for Spark's own error
+            call = f"__ARR_PREP__({text[op + 1:cp]})"
+        text = text[:start] + call + text[cp + 1:]
+    return text
+
+
+def _rewrite_truncate_default(text: str) -> str:
+    """TRUNC/TRUNCATE with one arg: Druid defaults digits to 0; the
+    registered TRUNCATE UDF is fixed 2-arity (SQL functions can't
+    overload)."""
+    for name in ("TRUNCATE", "TRUNC"):
+        while True:
+            found = None
+            for start, op, cp in _find_calls(text, name):
+                if len(_split_top_args(text[op + 1:cp])) == 1:
+                    found = (start, op, cp)
+                    break
+            if found is None:
+                break
+            start, op, cp = found
+            text = (text[:start] + "TRUNCATE(" + text[op + 1:cp]
+                    + ", 0)" + text[cp + 1:])
+    return text
+
+
 _FLOOR_TO_RE = re.compile(
     r"\b(FLOOR|CEIL)\s*\(\s*([^()]+?)\s+TO\s+"
     r"(SECOND|MINUTE|HOUR|DAY|WEEK|MONTH|QUARTER|YEAR)\s*\)",
@@ -214,6 +328,12 @@ def translate(text: str, time_column: str = TIME_COLUMN) -> str:
     text = _rewrite_floor_to(text)
     # Calcite accepts unsized VARCHAR in CASTs; Spark wants STRING
     text = _rewrite_bare_varchar(text)
+    text = _rewrite_array_literal(text)
+    text = _rewrite_regexp_extract(text)
+    text = text.replace("__RX_EXTRACT__", "regexp_extract")
+    text = _rewrite_array_prepend(text)
+    text = text.replace("__ARR_PREP__", "array_prepend")
+    text = _rewrite_truncate_default(text)
     # ordered: _BY variants first so bare EARLIEST doesn't eat them
     text = _rewrite_call(text, "EARLIEST_BY", "min_by")
     text = _rewrite_call(text, "LATEST_BY", "max_by")

@@ -227,3 +227,32 @@ def test_sql_sees_datasources_registered_after_first_call(spark, registry):
         assert rows.count() == 2
     finally:
         registry._tables.pop("late_published", None)
+
+
+def test_array_literal_and_scalar_shims_r4(spark, registry):
+    """Round-4 dialect additions: Calcite ARRAY[...] literals, Druid
+    REGEXP_EXTRACT semantics (group 0 default, NULL on no-match),
+    ARRAY_PREPEND arg order, 1-arg TRUNC/TRUNCATE, DECODE_BASE64_UTF8,
+    TIME_IN_INTERVAL."""
+    from apache_druid_spark.sql.dialect import druid_sql
+
+    row = druid_sql(spark, """
+        SELECT ARRAY_LENGTH(ARRAY[ARRAY[1], ARRAY[2, 3]]) AS nested_len,
+               ARRAY_TO_STRING(ARRAY_PREPEND(0, ARRAY[1, 2]), ',') AS prep,
+               REGEXP_EXTRACT('ab12', '[0-9]+') AS rx_whole,
+               REGEXP_EXTRACT('abcd', '[0-9]+') AS rx_null,
+               REGEXP_EXTRACT('ab12', '([a-z]+)([0-9]+)', 1) AS rx_g1,
+               TRUNC(-3.77, 1) AS trunc2,
+               TRUNCATE(9.99) AS trunc1,
+               DECODE_BASE64_UTF8('aGk=') AS b64,
+               TIME_IN_INTERVAL(TIMESTAMP '2024-01-06',
+                                '2024-01-05/2024-01-08') AS tii,
+               'ARRAY[kept]' AS lit
+    """, registry).first()
+    assert row["nested_len"] == 2
+    assert row["prep"] == "0,1,2"
+    assert row["rx_whole"] == "12" and row["rx_null"] is None
+    assert row["rx_g1"] == "ab"
+    assert row["trunc2"] == -3.7 and row["trunc1"] == 9.0
+    assert row["b64"] == "hi" and row["tii"] is True
+    assert row["lit"] == "ARRAY[kept]"  # string literals untouched
