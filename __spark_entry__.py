@@ -3580,6 +3580,28 @@ def _multimodal_frame_sample(spark, sf_dir):
         "media_id", "frame_ms", "frame_hash")
 
 
+@_q("multimodal_resize", """
+SELECT doc_id AS media_id, 64 AS width, 48 AS height,
+       CAST(3072 AS BIGINT) AS resized_n_bytes,
+       CAST((octet_length(encode(text)) * 131 + 3072) % 2147483648
+            AS BIGINT) AS resized_hash
+FROM documents WHERE doc_id % 3 = 0
+""")
+def _multimodal_resize(spark, sf_dir):
+    """Image resize plumbing (pipeline/multimodal.py:resize_images):
+    stubbed resample, real Arrow mapInPandas schema/batching; the
+    deterministic fake is pure arithmetic over payload length, so the
+    whole path hash-oracles."""
+    from apache_druid_spark.pipeline.multimodal import (
+        attach_fake_payload, resize_images,
+    )
+
+    docs = _registry(spark, sf_dir).table("documents")
+    media = attach_fake_payload(docs)
+    return resize_images(media, width=64, height=48).select(
+        "media_id", "width", "height", "resized_n_bytes", "resized_hash")
+
+
 def _components_oracle() -> str:
     """Recursive transitive closure over the minhash-LSH pair graph:
     component = min reachable doc_id (the exact spec of the Spark
@@ -3819,7 +3841,7 @@ _R04_WINDOW = (
     "sql_theta_set_ops", "expression_cartesian", "sql_scalar_shims2",
     "dedup_components_star", "decontaminate_report",
     "pack_sequences_budget", "deterministic_shuffle_order",
-    "sql_scalar_shims3",
+    "sql_scalar_shims3", "multimodal_resize",
     # r1-era greens, stale vs regenerated testdata (file order)
     "timeseries_month_revenue", "timeseries_day_clicks",
     "timeboundary_lineitem", "topn_priority_revenue", "groupby_flag_status",
@@ -3828,7 +3850,7 @@ _R04_WINDOW = (
     "virtual_column_bucket", "extraction_regex_brand", "time_extract_hour",
     "agg_first_last_events", "agg_stats_lineitem", "theta_exact_distinct",
     "theta_set_ops", "join_orders_customers", "lookup_nation_name",
-    "sql_semi_join", "anti_join_customers", "union_scan_orders",
+    "sql_semi_join", "anti_join_customers",
     "window_moving_avg", "sql_time_floor_revenue",
     "sql_earliest_latest", "mv_token_counts", "dedup_exact",
     "dedup_minhash_lsh", "dedup_simhash", "text_token_stats",
@@ -3843,7 +3865,8 @@ _R04_WINDOW = (
 # whole registry sits on post-regeneration evidence within two rounds.
 # r3-green entries sort last (freshest evidence).
 _R05_NEXT = (
-    "intersect_nationkeys", "timeseries_zero_fill", "granularity_week_p1w",
+    "union_scan_orders", "intersect_nationkeys", "timeseries_zero_fill",
+    "granularity_week_p1w",
     "postagg_arithmetic", "granularity_period_2w", "granularity_quarter",
     "except_nationkeys",
     "hll_user_cardinality", "similarity_ivf_topk", "dedup_embedding_cosine",

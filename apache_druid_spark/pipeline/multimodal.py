@@ -101,6 +101,43 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return media.mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
+def resize_images(media: DataFrame, width: int = 224,
+                  height: int = 224) -> DataFrame:
+    """Image-resize plumbing: filter to image payloads, emit the
+    resized payload + updated metadata through the same Arrow-batched
+    mapInPandas shape as extract_features. The pixel resample itself is
+    the codec STUB (no PIL in this rig): the fake 'resized' payload is
+    the input truncated/cycled to width*height bytes, and resized_hash
+    is deterministic arithmetic over (n_bytes, w, h) so the plumbing is
+    oracle-checkable end to end. Swap ``_resize_stub`` for a real
+    PIL/cv2 resample without touching the plan."""
+    w, h = int(width), int(height)
+
+    def _resize_stub(p: bytes | None) -> bytes:
+        if not p:
+            return b"\x00" * (w * h)
+        reps = (w * h + len(p) - 1) // len(p)
+        return (bytes(p) * reps)[:w * h]
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [_resize_stub(p) for p in pdf["payload"]]
+            n_in = [0 if p is None else len(p) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "width": w, "height": h,
+                "resized_n_bytes": [len(r) for r in resized],
+                "resized_hash": [(n * 131 + w * h) % 2 ** 31
+                                 for n in n_in],
+                "payload": resized,
+            })
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        op, schema="media_id long, width int, height int, "
+                   "resized_n_bytes long, resized_hash long, "
+                   "payload binary")
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plumbing for video payloads: one output row per
     sampled timestamp. The frame decode is the same stub; the plan shape

@@ -143,6 +143,19 @@ def test_multimodal_frame_sampling(docs):
     assert all(r["frame_ms"] % 1000 == 0 for r in rows)
 
 
+def test_multimodal_resize_shapes(docs):
+    from apache_druid_spark.pipeline.multimodal import (
+        attach_fake_payload, resize_images,
+    )
+
+    out = resize_images(attach_fake_payload(docs), width=8, height=4)
+    rows = out.collect()
+    assert rows and all(r["media_id"] % 3 == 0 for r in rows)  # images
+    assert all(r["resized_n_bytes"] == 32 for r in rows)
+    assert all(len(r["payload"]) == 32 for r in rows)
+    assert all(r["width"] == 8 and r["height"] == 4 for r in rows)
+
+
 def test_ivf_topk_equals_exact_when_probing_all_cells(emb):
     from apache_druid_spark.pipeline import ivf_topk
 
