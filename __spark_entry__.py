@@ -3649,6 +3649,32 @@ def _dedup_components(spark, sf_dir):
                         F.col("component").cast("long").alias("component"))
 
 
+@_q("text_repetition", f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+g AS (SELECT doc_id, {{shingles}} AS grams,
+             list_filter(string_split(text, chr(10)), x -> trim(x) <> '')
+               AS lines
+      FROM toks JOIN documents USING (doc_id))
+SELECT doc_id,
+  CAST(len(grams) AS BIGINT) AS n_ngrams,
+  CAST(len(grams) - len(list_distinct(grams)) AS BIGINT) AS dup_ngrams,
+  CAST((len(grams) - len(list_distinct(grams))) * 10000
+       // GREATEST(len(grams), 1) AS BIGINT) AS dup_ngram_bp,
+  CAST(len(lines) AS BIGINT) AS n_lines,
+  CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS dup_lines
+FROM g
+""".replace("{shingles}", "(SELECT " + _shingles_sql(3).replace(chr(10), " ")
+            + ")"))
+def _text_repetition(spark, sf_dir):
+    """Gopher-style repetition filters (pipeline/text.py:
+    repetition_score): duplicate n-gram and duplicate-line fractions —
+    the standard boilerplate/spam drop signal for LLM corpora."""
+    from apache_druid_spark.pipeline import repetition_score
+
+    docs = _registry(spark, sf_dir).table("documents")
+    return repetition_score(docs, ngram=3)
+
+
 def _pack_oracle(budget: int = 512) -> str:
     """DuckDB replica of pack_sequences: identical md5-60bit shuffle
     hash; the global cumsum here equals the engine's two-phase
@@ -3854,7 +3880,7 @@ _R04_WINDOW = (
     "sql_theta_set_ops", "expression_cartesian", "sql_scalar_shims2",
     "dedup_components_star", "decontaminate_report",
     "pack_sequences_budget", "deterministic_shuffle_order",
-    "sql_scalar_shims3", "multimodal_resize",
+    "sql_scalar_shims3", "multimodal_resize", "text_repetition",
     # r1-era greens, stale vs regenerated testdata (file order)
     "timeseries_month_revenue", "timeseries_day_clicks",
     "timeboundary_lineitem", "topn_priority_revenue", "groupby_flag_status",
@@ -3863,7 +3889,7 @@ _R04_WINDOW = (
     "virtual_column_bucket", "extraction_regex_brand", "time_extract_hour",
     "agg_first_last_events", "agg_stats_lineitem", "theta_exact_distinct",
     "theta_set_ops", "join_orders_customers", "lookup_nation_name",
-    "sql_semi_join", "anti_join_customers",
+    "sql_semi_join",
     "window_moving_avg", "sql_time_floor_revenue",
     "sql_earliest_latest", "mv_token_counts", "dedup_exact",
     "dedup_minhash_lsh", "dedup_simhash", "text_token_stats",
@@ -3878,8 +3904,8 @@ _R04_WINDOW = (
 # whole registry sits on post-regeneration evidence within two rounds.
 # r3-green entries sort last (freshest evidence).
 _R05_NEXT = (
-    "union_scan_orders", "intersect_nationkeys", "timeseries_zero_fill",
-    "granularity_week_p1w",
+    "anti_join_customers", "union_scan_orders", "intersect_nationkeys",
+    "timeseries_zero_fill", "granularity_week_p1w",
     "postagg_arithmetic", "granularity_period_2w", "granularity_quarter",
     "except_nationkeys",
     "hll_user_cardinality", "similarity_ivf_topk", "dedup_embedding_cosine",

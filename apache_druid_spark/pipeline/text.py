@@ -102,6 +102,42 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     })
 
 
+def repetition_score(df: DataFrame, text_col: str = "text",
+                     ngram: int = 3) -> DataFrame:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021
+    §A1.1 'repetition filters'): the fraction of duplicate token
+    n-grams and duplicate lines inside each document. High values mean
+    boilerplate/spam (nav bars, keyword stuffing) — a standard drop
+    rule for LLM corpora.
+
+    Single codegen projection, no shuffle, no Python: n-grams via
+    transform over a token index range, dedup via array_distinct.
+    Counts are emitted as exact integers (engine-independent); the
+    fraction is dup/total in basis points for hash-stable comparison.
+    """
+    df = parallelize_scan(df)
+    toks = _tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    grams = F.when(n_tok < ngram, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(F.sequence(F.lit(0), n_tok - ngram),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, ngram))))
+    total = F.size(grams).cast("long")
+    distinct = F.size(F.array_distinct(grams)).cast("long")
+    lines = F.filter(F.split(F.col(text_col), "\n"),
+                     lambda x: F.trim(x) != "")
+    n_lines = F.size(lines).cast("long")
+    d_lines = F.size(F.array_distinct(lines)).cast("long")
+    return df.select(
+        "doc_id",
+        total.alias("n_ngrams"),
+        (total - distinct).alias("dup_ngrams"),
+        F.floor((total - distinct) * 10000 / F.greatest(total, F.lit(1)))
+        .cast("long").alias("dup_ngram_bp"),
+        n_lines.alias("n_lines"),
+        (n_lines - d_lines).alias("dup_lines"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprint robust to token order and duplication:
     md5 over the sorted distinct token set (a set-hash 'rolling hash'

@@ -143,6 +143,19 @@ def test_multimodal_frame_sampling(docs):
     assert all(r["frame_ms"] % 1000 == 0 for r in rows)
 
 
+def test_repetition_score_flags_planted_boilerplate(spark):
+    from apache_druid_spark.pipeline import repetition_score
+
+    df = spark.createDataFrame(
+        [(1, "buy now " * 20), (2, "a perfectly normal plain sentence"),
+         (3, "line\nline\nline\nother")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in repetition_score(df, ngram=3).collect()}
+    assert rows[1]["dup_ngram_bp"] > 9000       # heavy n-gram repetition
+    assert rows[2]["dup_ngrams"] == 0
+    assert rows[3]["n_lines"] == 4 and rows[3]["dup_lines"] == 2
+
+
 def test_multimodal_resize_shapes(docs):
     from apache_druid_spark.pipeline.multimodal import (
         attach_fake_payload, resize_images,
