@@ -55,6 +55,8 @@ HEADLINE = [
     "session_window_user",         # batch session windows
     "decontaminate_report",        # n-gram overlap vs held-out set
     "pack_sequences_budget",       # shuffle + distributed prefix-sum pack
+    "text_repetition",             # Gopher repetition filters
+    "multimodal_resize",           # Arrow mapInPandas resize plumbing
 ]
 
 

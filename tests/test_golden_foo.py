@@ -252,3 +252,66 @@ def test_filter_empty_string_vs_null(spark, reg):
         "aggregations": [{"type": "count", "name": "n"}],
     }, reg).first()
     assert out["n"] == 2
+
+
+def test_regexp_extract_golden(spark, reg):
+    """CalciteQueryTest.java:7620 testRegexpExtract — group-0 default,
+    NULL on no-match, over foo.dim1."""
+    rows = {r["dim1"]: r["d"] for r in druid_sql(spark, """
+        SELECT dim1, REGEXP_EXTRACT(dim1, '^[0-9]+') AS d FROM foo
+    """, reg).collect()}
+    assert rows == {"": None, "10.1": "10", "2": "2", "1": "1",
+                    "def": None, "abc": None}
+
+
+def test_union_all_queries(spark, reg):
+    """CalciteQueryTest.java:2521 testUnionAllQueries — UNION ALL of
+    the same table aggregates each branch."""
+    out = druid_sql(spark, """
+        SELECT COUNT(*) AS c FROM foo
+        UNION ALL SELECT COUNT(*) AS c FROM foo
+    """, reg).collect()
+    assert sorted(r["c"] for r in out) == [6, 6]
+
+
+def test_group_by_case_when(spark, reg):
+    """CalciteQueryTest.java:3132 testGroupByCaseWhen shape: CASE over
+    a dim feeding GROUP BY."""
+    rows = {r["bucket"]: r["c"] for r in druid_sql(spark, """
+        SELECT CASE WHEN dim1 = '' THEN 'empty'
+                    WHEN dim1 RLIKE '^[0-9.]+$' THEN 'numeric'
+                    ELSE 'word' END AS bucket,
+               COUNT(*) AS c
+        FROM foo GROUP BY 1
+    """, reg).collect()}
+    assert rows == {"empty": 1, "numeric": 3, "word": 2}
+
+
+def test_concat_golden(spark, reg):
+    """CalciteQueryTest.java:11508 testConcat — CONCAT/TEXTCAT null
+    propagation in SQL-compatible mode."""
+    rows = druid_sql(spark, """
+        SELECT dim1, CONCAT(dim1, '-', dim1) AS c2,
+               TEXTCAT(dim1, dim1) AS t2
+        FROM foo WHERE dim1 = 'def'
+    """, reg).collect()
+    assert rows[0]["c2"] == "def-def" and rows[0]["t2"] == "defdef"
+
+
+def test_extract_year_group(spark, reg):
+    """EXTRACT(YEAR FROM __time) grouping (testTimeExtract family,
+    CalciteQueryTest.java:10908 vicinity): 3 rows per year in foo."""
+    rows = {int(r["y"]): r["c"] for r in druid_sql(spark, """
+        SELECT EXTRACT(YEAR FROM __time) AS y, COUNT(*) AS c
+        FROM foo GROUP BY 1
+    """, reg).collect()}
+    assert rows == {2000: 3, 2001: 3}
+
+
+def test_latest_string_over_foo(spark, reg):
+    """EARLIEST/LATEST string aggregation over the fixture's time
+    order (EarliestLatestAnySqlAggregator)."""
+    row = druid_sql(spark, """
+        SELECT EARLIEST(dim1) AS first_d, LATEST(dim1) AS last_d FROM foo
+    """, reg).first()
+    assert row["first_d"] == "" and row["last_d"] == "abc"
