@@ -3675,6 +3675,43 @@ def _text_repetition(spark, sf_dir):
     return repetition_score(docs, ngram=3)
 
 
+@_q("scrub_common_lines", """
+WITH planted AS (
+  SELECT doc_id,
+         'AD: buy now' || chr(10) || text || chr(10)
+           || 'AD: unsubscribe link' AS t
+  FROM documents),
+lsts AS (
+  SELECT doc_id, list_filter(string_split(t, chr(10)),
+                             x -> trim(x) <> '') AS lst
+  FROM planted),
+lines AS (
+  SELECT doc_id, g.p, lst[g.p] AS l
+  FROM lsts, unnest(generate_series(1, len(lst))) AS g(p)),
+freq AS (SELECT l, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY 1),
+kept AS (SELECT doc_id, p, l FROM lines JOIN freq USING (l)
+         WHERE df <= 1)
+SELECT d.doc_id,
+       COALESCE(k.s, '') AS text_scrubbed
+FROM documents d LEFT JOIN (
+  SELECT doc_id, string_agg(l, chr(10) ORDER BY p) AS s
+  FROM kept GROUP BY doc_id) k ON d.doc_id = k.doc_id
+""")
+def _scrub_common_lines(spark, sf_dir):
+    """C4-style cross-corpus line dedup (pipeline/text.py:
+    scrub_common_lines): two boilerplate ad lines planted around every
+    document must vanish corpus-wide, leaving each doc's own (unique)
+    text. Both engines build the identical planted input."""
+    from apache_druid_spark.pipeline import scrub_common_lines
+
+    docs = _registry(spark, sf_dir).table("documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(F.lit("AD: buy now\n"), F.col("text"),
+                 F.lit("\nAD: unsubscribe link")).alias("text"))
+    return scrub_common_lines(planted)
+
+
 def _pack_oracle(budget: int = 512) -> str:
     """DuckDB replica of pack_sequences: identical md5-60bit shuffle
     hash; the global cumsum here equals the engine's two-phase
@@ -3881,11 +3918,12 @@ _R04_WINDOW = (
     "dedup_components_star", "decontaminate_report",
     "pack_sequences_budget", "deterministic_shuffle_order",
     "sql_scalar_shims3", "multimodal_resize", "text_repetition",
+    "scrub_common_lines",
     # r1-era greens, stale vs regenerated testdata (file order)
     "timeseries_month_revenue", "timeseries_day_clicks",
     "timeboundary_lineitem", "topn_priority_revenue", "groupby_flag_status",
     "groupby_having_segment", "groupby_subtotals", "scan_high_value_orders",
-    "search_nation_names", "filter_combo_parts", "filter_regex_not",
+    "filter_combo_parts", "filter_regex_not",
     "virtual_column_bucket", "extraction_regex_brand", "time_extract_hour",
     "agg_first_last_events", "agg_stats_lineitem", "theta_exact_distinct",
     "theta_set_ops", "join_orders_customers", "lookup_nation_name",
@@ -3904,7 +3942,8 @@ _R04_WINDOW = (
 # whole registry sits on post-regeneration evidence within two rounds.
 # r3-green entries sort last (freshest evidence).
 _R05_NEXT = (
-    "anti_join_customers", "union_scan_orders", "intersect_nationkeys",
+    "search_nation_names", "anti_join_customers", "union_scan_orders",
+    "intersect_nationkeys",
     "timeseries_zero_fill", "granularity_week_p1w",
     "postagg_arithmetic", "granularity_period_2w", "granularity_quarter",
     "except_nationkeys",

@@ -138,6 +138,48 @@ def repetition_score(df: DataFrame, text_col: str = "text",
     )
 
 
+def scrub_common_lines(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", max_df: int = 1,
+                       out_col: str = "text_scrubbed") -> DataFrame:
+    """C4-style cross-corpus line dedup (Raffel et al. 2020 §2.2:
+    'we discarded any line that occurred more than once in the data
+    set'): drop lines whose document frequency exceeds ``max_df``,
+    reassemble the remaining lines in order.
+
+    Shape at scale: lines are keyed by a 60-bit md5 prefix (8-byte
+    shuffle payload, not line text); doc-frequency is one partial/final
+    aggregate; the removal is a hash anti-join (AQE broadcasts it when
+    the common-line set is small, shuffles when it is not — at C4 scale
+    it is NOT small, which is why this never hard-codes broadcast);
+    reassembly is one groupBy with an in-order array rebuild. Order is
+    preserved via posexplode positions, no window needed."""
+    line_h = F.conv(F.substring(F.md5("__line"), 1, 15), 16, 10) \
+        .cast("long")
+    lines = (parallelize_scan(df).select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("__pos", "__line"))
+        .filter(F.trim(F.col("__line")) != "")
+        .withColumn("__h", line_h))
+    freq = (lines.select("__h", id_col).distinct()
+            .groupBy("__h")
+            .agg(F.count(F.lit(1)).alias("__df")))
+    common = freq.filter(F.col("__df") > max_df).select("__h")
+    kept = lines.join(common, "__h", "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("__pos", "__line"))),
+                       lambda s: s.getField("__line")),
+                   "\n").alias(out_col)))
+    # docs whose every line was scrubbed (or had no lines) come back
+    # with an empty string, not a dropped row
+    return (df.select(id_col).join(rebuilt, id_col, "left")
+            .select(id_col,
+                    F.coalesce(out_col, F.lit("")).alias(out_col)))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprint robust to token order and duplication:
     md5 over the sorted distinct token set (a set-hash 'rolling hash'

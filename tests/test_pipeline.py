@@ -143,6 +143,27 @@ def test_multimodal_frame_sampling(docs):
     assert all(r["frame_ms"] % 1000 == 0 for r in rows)
 
 
+def test_scrub_common_lines_c4(spark):
+    """C4 line dedup: a boilerplate line shared across docs is removed
+    everywhere; unique lines survive in order; fully-scrubbed docs come
+    back empty, not dropped."""
+    from apache_druid_spark.pipeline import scrub_common_lines
+
+    ad = "SUBSCRIBE TO OUR NEWSLETTER"
+    df = spark.createDataFrame(
+        [(1, f"{ad}\nunique one\nmore text"),
+         (2, f"intro line\n{ad}\ntail two"),
+         (3, ad),
+         (4, "standalone doc")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r["text_scrubbed"]
+            for r in scrub_common_lines(df).collect()}
+    assert rows[1] == "unique one\nmore text"
+    assert rows[2] == "intro line\ntail two"
+    assert rows[3] == ""          # every line was boilerplate
+    assert rows[4] == "standalone doc"
+
+
 def test_repetition_score_flags_planted_boilerplate(spark):
     from apache_druid_spark.pipeline import repetition_score
 
