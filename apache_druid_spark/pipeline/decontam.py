@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from apache_druid_spark.pipeline._util import parallelize_scan
-from apache_druid_spark.pipeline.dedup import _shingles
+from apache_druid_spark.pipeline.dedup import _shingles, _tokens
 
 
 def _gram_hashes(df: DataFrame, text_col: str, id_col: str | None,
@@ -37,8 +37,11 @@ def _gram_hashes(df: DataFrame, text_col: str, id_col: str | None,
     collisions are far below any contamination noise floor)."""
     cols = ([F.col(id_col)] if id_col else [])
     return (parallelize_scan(df).select(
+        # stage tokens first — see _shingles docstring (O(n^2) otherwise)
+        *cols, _tokens(F.col(text_col)).alias("__toks"))
+        .select(
         *cols,
-        F.explode(F.array_distinct(_shingles(F.col(text_col), ngram))
+        F.explode(F.array_distinct(_shingles(F.col("__toks"), ngram))
                   ).alias("__gram"))
         .select(*cols,
                 F.conv(F.substring(F.md5("__gram"), 1, 15), 16, 10)

@@ -30,9 +30,18 @@ def _tokens(text_col):
     return F.filter(F.split(text_col, r"\s+"), lambda t: t != "")
 
 
-def _shingles(text_col, k: int):
-    """k-token shingles as strings: transform over token index range."""
-    toks = _tokens(text_col)
+def _shingles(toks, k: int):
+    """k-token shingles as strings: transform over token index range.
+
+    ``toks`` MUST be a materialized token-array column (a plain column
+    reference), never an inline ``_tokens(...)`` expression: the
+    transform lambda references it once per shingle, and Catalyst
+    re-evaluates a computed closure reference per element — inlining
+    the split turns an O(n) projection into O(n^2) per document
+    (measured 5x wall on sf0.1, and the factor grows with doc length).
+    Callers stage ``_tokens`` into a ``__toks`` column first; the extra
+    Project is collapsed-safe because Catalyst declines to inline
+    multi-referenced non-cheap expressions."""
     n = F.size(toks)
     return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
         F.transform(
@@ -83,12 +92,14 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     lives; the per-shingle base hash is materialized once (``__h``
     column) so the num_hashes variants are multiply-adds, not repeated
     digests."""
-    df = parallelize_scan(df)
-    sh = _shingles(F.col(text_col), shingle_k)
+    # stage tokens first — see _shingles docstring (O(n^2) otherwise)
+    staged = parallelize_scan(df).select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("__toks"))
+    sh = _shingles(F.col("__toks"), shingle_k)
     base = F.transform(
         sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
                        .cast("long"))
-    hashed = df.select(F.col(id_col), base.alias("__h"))
+    hashed = staged.select(F.col(id_col), base.alias("__h"))
     def _universal(a: int, b: int):
         return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)
 
@@ -303,8 +314,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     from pyspark import StorageLevel
 
     sh = parallelize_scan(df).select(
+        # stage tokens first — see _shingles docstring (O(n^2) otherwise)
+        F.col(id_col), _tokens(F.col(text_col)).alias("__toks"),
+    ).select(
         F.col(id_col),
-        F.explode(F.array_distinct(_shingles(F.col(text_col), shingle_k))
+        F.explode(F.array_distinct(_shingles(F.col("__toks"), shingle_k))
                   ).alias("shingle"),
     ).select(
         F.col(id_col),

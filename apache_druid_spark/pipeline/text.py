@@ -115,8 +115,13 @@ def repetition_score(df: DataFrame, text_col: str = "text",
     Counts are emitted as exact integers (engine-independent); the
     fraction is dup/total in basis points for hash-stable comparison.
     """
-    df = parallelize_scan(df)
-    toks = _tokens(F.col(text_col))
+    # stage the token array: the gram lambda references it per element,
+    # and an inlined split re-evaluates O(n^2) per doc (see
+    # dedup._shingles docstring)
+    staged = parallelize_scan(df).select(
+        "doc_id", F.col(text_col),
+        _tokens(F.col(text_col)).alias("__toks"))
+    toks = F.col("__toks")
     n_tok = F.size(toks)
     grams = F.when(n_tok < ngram, F.array(F.concat_ws(" ", toks))).otherwise(
         F.transform(F.sequence(F.lit(0), n_tok - ngram),
@@ -127,7 +132,7 @@ def repetition_score(df: DataFrame, text_col: str = "text",
                      lambda x: F.trim(x) != "")
     n_lines = F.size(lines).cast("long")
     d_lines = F.size(F.array_distinct(lines)).cast("long")
-    return df.select(
+    return staged.select(
         "doc_id",
         total.alias("n_ngrams"),
         (total - distinct).alias("dup_ngrams"),
