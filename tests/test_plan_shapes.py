@@ -271,3 +271,26 @@ def test_connected_components_round_is_join_plus_partial_min(spark):
     assert plan.count("HashAggregate") >= 2, plan  # partial + final
     assert "EvalPython" not in plan
     assert out.count() == 3
+
+
+def test_shingle_token_staging_survives_optimizer(reg):
+    """The token array feeding k-gram HOF lambdas must stay a staged
+    projection: Catalyst re-evaluates a computed closure reference per
+    lambda element, so collapsing `__toks` back into the transform
+    would turn shingling O(n^2) per document (measured 5x wall at
+    sf0.1, growing with document length — SCALE.md round-4 note)."""
+    from apache_druid_spark.pipeline.dedup import (
+        minhash_signatures, ngram_jaccard_pairs,
+    )
+    from apache_druid_spark.pipeline.decontam import _gram_hashes
+    from apache_druid_spark.pipeline.text import repetition_score
+
+    docs = reg.table("documents")
+    for df in (
+        ngram_jaccard_pairs(docs),
+        minhash_signatures(docs),
+        _gram_hashes(docs, "text", "doc_id", 13),
+        repetition_score(docs),
+    ):
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "__toks" in optimized, optimized
