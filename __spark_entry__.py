@@ -1190,6 +1190,133 @@ def _dedup_embedding_cosine(spark, sf_dir):
         threshold=0.35, bits=8, tables=2)
 
 
+def _semdedup_oracle(n_cells: int = 16, threshold: float = 0.35) -> str:
+    """DuckDB replica of semantic_dedup: identical centroid literals
+    and argmax tie-break as _ivf_oracle, within-cell pairwise cosine,
+    greedy min-id keep."""
+    import math
+
+    from apache_druid_spark.pipeline.similarity import ivf_centroids
+
+    cents = ivf_centroids(n_cells, len(_QUERY_VEC))
+    rows = []
+    for i, c in enumerate(cents):
+        nrm = math.sqrt(sum(x * x for x in c)) or 1.0
+        lit = "[" + ", ".join(repr(x) for x in c) + "]"
+        rows.append(f"({i}, CAST({lit} AS DOUBLE[]), {nrm!r})")
+    values = ",\n       ".join(rows)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c(cell, cen, nrm) AS (VALUES {values}),
+s AS (
+  SELECT vec_id, v, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY list_dot_product(v, cen) / nrm DESC, cell DESC) AS rn
+  FROM e CROSS JOIN c),
+a AS (SELECT vec_id, v, cell FROM s WHERE rn = 1),
+p AS (SELECT DISTINCT b.vec_id AS dropped
+      FROM a x JOIN a b ON x.cell = b.cell AND x.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(x.v, b.v), 6) >= {threshold})
+SELECT a.vec_id, a.cell, (d.dropped IS NULL) AS is_kept
+FROM a LEFT JOIN p d ON a.vec_id = d.dropped
+"""
+
+
+@_q("semantic_dedup_embeddings", _semdedup_oracle())
+def _semantic_dedup_embeddings(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means-cell blocking + within-
+    cell cosine prune, greedy min-id representative
+    (pipeline/semdedup.py). Reference has no embedding surface; this
+    extends the engine for training-data curation."""
+    from apache_druid_spark.pipeline import semantic_dedup
+
+    return semantic_dedup(
+        _registry(spark, sf_dir).table("embeddings"), dim=64,
+        n_cells=16, threshold=0.35)
+
+
+def _dsir_oracle(n_buckets: int = 1024) -> str:
+    """DuckDB replica of importance_weights: same md5 gram buckets,
+    +1-smoothed hashed-multinomial log ratio, per-doc occurrence sum.
+    Natural log (ln) — DuckDB's log() is base 10."""
+    h = _hex_to_long_sql("md5(gram)", 15)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+g1 AS (SELECT doc_id, unnest({_shingles_sql(1)}) AS gram FROM toks),
+g2 AS (SELECT doc_id, unnest({_shingles_sql(2)}) AS gram FROM toks),
+g AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2),
+gb AS (SELECT doc_id, ({h}) % {n_buckets} AS bucket FROM g),
+tgt_docs AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+raw_counts AS (SELECT bucket, COUNT(*) AS c_raw FROM gb GROUP BY 1),
+tgt_counts AS (SELECT bucket, COUNT(*) AS c_tgt
+               FROM gb JOIN tgt_docs USING (doc_id) GROUP BY 1),
+j AS (SELECT COALESCE(r.bucket, t.bucket) AS bucket,
+             COALESCE(c_raw, 0) AS c_raw, COALESCE(c_tgt, 0) AS c_tgt
+      FROM raw_counts r FULL JOIN tgt_counts t ON r.bucket = t.bucket),
+tot AS (SELECT SUM(c_raw) AS t_raw, SUM(c_tgt) AS t_tgt FROM j),
+lr AS (SELECT bucket,
+              ln((c_tgt + 1) / (t_tgt + {n_buckets}))
+              - ln((c_raw + 1) / (t_raw + {n_buckets})) AS log_ratio
+       FROM j CROSS JOIN tot)
+SELECT doc_id, COUNT(*) AS n_grams, ROUND(SUM(log_ratio), 4) AS weight
+FROM gb JOIN lr USING (bucket) GROUP BY doc_id
+"""
+
+
+@_q("dsir_importance_weights", _dsir_oracle())
+def _dsir_importance_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al., NeurIPS 2023): hashed
+    (1,2)-gram log ratios of an English target slice vs the raw
+    corpus, summed per document (pipeline/importance.py)."""
+    from apache_druid_spark.pipeline import importance_weights
+
+    docs = _registry(spark, sf_dir).table("documents")
+    return importance_weights(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=1024)
+
+
+@_q("corpus_top_ngrams", f"""
+WITH toks AS (SELECT {_TOKS_SQL} AS t FROM documents),
+g AS (SELECT unnest({{sh3}}) AS gram FROM toks)
+SELECT gram, COUNT(*) AS occurrences FROM g GROUP BY 1
+ORDER BY occurrences DESC, gram ASC LIMIT 20
+""".replace("{sh3}", _shingles_sql(3)))
+def _corpus_top_ngrams(spark, sf_dir):
+    """Corpus heavy hitters: top-20 most frequent 3-grams
+    (pipeline/text.py:top_ngrams) — partial/final count agg +
+    TakeOrderedAndProject, the boilerplate-discovery pass."""
+    from apache_druid_spark.pipeline import top_ngrams
+
+    return top_ngrams(_registry(spark, sf_dir).table("documents"),
+                      ngram=3, k=20)
+
+
+@_q("asof_join_events", """
+WITH l AS (SELECT event_id, ts, user_id, value FROM events
+           WHERE event_type = 'purchase'),
+r0 AS (SELECT user_id, ts, max_by(event_id, event_id) AS event_id,
+              max_by(value, event_id) AS value
+       FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+SELECT l.event_id, l.ts, l.user_id, l.value,
+       r0.ts AS ts_r, r0.event_id AS event_id_r, r0.value AS value_r
+FROM l ASOF LEFT JOIN r0 ON l.user_id = r0.user_id AND l.ts >= r0.ts
+""")
+def _asof_join_events(spark, sf_dir):
+    """As-of join (operators/asof.py): every purchase gets the user's
+    latest prior-or-simultaneous click. Union+window shape — one
+    shuffle on the key, no range-join explosion; DuckDB's native
+    ASOF JOIN is the oracle."""
+    from apache_druid_spark.operators.asof import asof_join
+
+    ev = _registry(spark, sf_dir).table("events")
+    left = (ev.filter(F.col("event_type") == "purchase")
+            .select("event_id", "ts", "user_id", "value"))
+    right = (ev.filter(F.col("event_type") == "click")
+             .select("user_id", "ts", "event_id", "value"))
+    return asof_join(left, right, on="ts", by="user_id",
+                     right_cols=["event_id", "value"])
+
+
 @_q("streaming_stateful_running_agg", """
 SELECT event_type, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS total
 FROM events GROUP BY 1
@@ -3919,6 +4046,9 @@ _R04_WINDOW = (
     "pack_sequences_budget", "deterministic_shuffle_order",
     "sql_scalar_shims3", "multimodal_resize", "text_repetition",
     "scrub_common_lines",
+    # new this round (never checked)
+    "semantic_dedup_embeddings", "dsir_importance_weights",
+    "corpus_top_ngrams", "asof_join_events",
     # r1-era greens, stale vs regenerated testdata (file order)
     "timeseries_month_revenue", "timeseries_day_clicks",
     "timeboundary_lineitem", "topn_priority_revenue", "groupby_flag_status",
@@ -3933,15 +4063,15 @@ _R04_WINDOW = (
     "dedup_minhash_lsh", "dedup_simhash", "text_token_stats",
     "text_fingerprint", "text_language_id", "similarity_cosine_topk",
     "similarity_lsh_topk",
+)
+# Round-5 plan (committed now per VERDICT r3 #8): the r1 greens that
+# did not fit the r4 window (each has an r3/r4-green family sibling),
+# then every entry whose latest evidence is r2 — so the whole registry
+# sits on post-regeneration evidence within two rounds. r3-green
+# entries sort last (freshest evidence).
+_R05_NEXT = (
     "rollup_reaggregate", "ingest_inline_csv", "lifecycle_publish_query",
     "streaming_rollup_hourly",
-)
-# Round-5 plan (committed now per VERDICT r3 #8): the two r1 greens
-# that did not fit the r4 window (both have an r3-green family
-# sibling), then every entry whose latest evidence is r2 — so the
-# whole registry sits on post-regeneration evidence within two rounds.
-# r3-green entries sort last (freshest evidence).
-_R05_NEXT = (
     "search_nation_names", "anti_join_customers", "union_scan_orders",
     "intersect_nationkeys",
     "timeseries_zero_fill", "granularity_week_p1w",

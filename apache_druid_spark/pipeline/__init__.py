@@ -17,8 +17,12 @@ from apache_druid_spark.pipeline.similarity import (
 )
 from apache_druid_spark.pipeline.text import (
     token_stats, language_id, quality_score, fingerprint,
-    repetition_score, scrub_common_lines, winnowing_fingerprint,
-    normalize, pii_scrub, chunk_documents,
+    repetition_score, scrub_common_lines, top_ngrams,
+    winnowing_fingerprint, normalize, pii_scrub, chunk_documents,
+)
+from apache_druid_spark.pipeline.semdedup import semantic_dedup
+from apache_druid_spark.pipeline.importance import (
+    bucket_log_ratios, importance_weights, dsir_select,
 )
 from apache_druid_spark.pipeline.graph import (
     connected_components, dedup_keep_representatives,
@@ -35,8 +39,10 @@ __all__ = [
     "ngram_jaccard_pairs", "embedding_cosine_pairs",
     "cosine_topk", "ivf_fit", "ivf_topk", "lsh_bucket_topk",
     "token_stats", "language_id", "quality_score", "fingerprint",
-    "repetition_score", "scrub_common_lines", "winnowing_fingerprint",
-    "normalize", "pii_scrub", "chunk_documents",
+    "repetition_score", "scrub_common_lines", "top_ngrams",
+    "winnowing_fingerprint", "normalize", "pii_scrub", "chunk_documents",
+    "semantic_dedup", "bucket_log_ratios", "importance_weights",
+    "dsir_select",
     "connected_components", "dedup_keep_representatives",
     "contamination_report", "decontaminate",
     "deterministic_shuffle", "pack_sequences",

@@ -1,0 +1,116 @@
+"""DSIR-style importance weighting for data selection.
+
+Xie et al., "Data Selection for Language Models via Importance
+Resampling" (NeurIPS 2023, arXiv:2302.03169): score every raw document
+by how target-like its hashed n-gram distribution is —
+``w(doc) = sum over gram occurrences of log p_target(bucket) -
+log p_raw(bucket)`` with n-grams feature-hashed into a fixed bucket
+table — then resample the raw corpus proportionally to the weights.
+This is the standard cheap alternative to classifier-based quality
+filtering when a high-quality target corpus (Wikipedia, books) exists.
+
+Spark-first shape (100 TB raw corpus, small-ish target):
+
+- Both corpora stream once through a tokenize→shingle→hash projection
+  (codegen; token arrays staged per the ``dedup._shingles`` contract).
+- Bucket counts are one partial/final aggregate per corpus; the result
+  is at most ``n_buckets`` rows (fixed, small) regardless of corpus
+  size, so the log-ratio table BROADCASTS.
+- Per-document weights are one broadcast join + one groupBy(doc) sum —
+  a single shuffle of (doc_id, bucket) longs over the raw corpus.
+- Laplace (+1) smoothing keeps unseen buckets finite; the bucket count
+  is the denominator correction, matching the paper's hashed
+  multinomial estimate.
+
+Determinism: buckets are md5-prefix hashes mod ``n_buckets`` — any
+engine reproduces them, so the weights are oracle-checkable to fixed
+rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from apache_druid_spark.pipeline._util import parallelize_scan
+from apache_druid_spark.pipeline.dedup import _shingles, _tokens
+
+
+def _gram_buckets(df: DataFrame, text_col: str, id_col: str | None,
+                  n_buckets: int, ngrams: tuple[int, ...]) -> DataFrame:
+    """(id?, bucket) — one row per n-gram OCCURRENCE (bag semantics,
+    not set: DSIR weights count every occurrence)."""
+    cols = [F.col(id_col)] if id_col else []
+    # stage tokens first — see dedup._shingles docstring (O(n^2) otherwise)
+    staged = parallelize_scan(df).select(
+        *cols, _tokens(F.col(text_col)).alias("__toks"))
+    gram_arrays = [_shingles(F.col("__toks"), n) for n in ngrams]
+    grams = (staged.select(
+        *cols,
+        F.explode(F.flatten(F.array(*gram_arrays))).alias("__gram")))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("__gram"), 1, 15), 16, 10).cast("long"),
+        F.lit(n_buckets))
+    return grams.select(*cols, bucket.alias("bucket"))
+
+
+def bucket_log_ratios(raw: DataFrame, target: DataFrame,
+                      text_col: str = "text", n_buckets: int = 8192,
+                      ngrams: tuple[int, ...] = (1, 2)) -> DataFrame:
+    """(bucket, log_ratio): log p_target - log p_raw with +1 smoothing.
+    At most ``n_buckets`` rows — broadcastable by construction."""
+    raw_counts = (_gram_buckets(raw, text_col, None, n_buckets, ngrams)
+                  .groupBy("bucket")
+                  .agg(F.count(F.lit(1)).alias("c_raw")))
+    tgt_counts = (_gram_buckets(target, text_col, None, n_buckets, ngrams)
+                  .groupBy("bucket")
+                  .agg(F.count(F.lit(1)).alias("c_tgt")))
+    # totals via an unpartitioned window over the tiny bucket tables —
+    # never a driver collect, never a scan of the corpora
+    joined = (raw_counts.join(tgt_counts, "bucket", "full")
+              .select("bucket",
+                      F.coalesce("c_raw", F.lit(0)).alias("c_raw"),
+                      F.coalesce("c_tgt", F.lit(0)).alias("c_tgt")))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy()
+    t_raw = F.sum("c_raw").over(w)
+    t_tgt = F.sum("c_tgt").over(w)
+    log_ratio = (
+        F.log((F.col("c_tgt") + 1) / (t_tgt + F.lit(n_buckets)))
+        - F.log((F.col("c_raw") + 1) / (t_raw + F.lit(n_buckets))))
+    return joined.select("bucket", log_ratio.alias("log_ratio"))
+
+
+def importance_weights(raw: DataFrame, target: DataFrame,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       n_buckets: int = 8192,
+                       ngrams: tuple[int, ...] = (1, 2),
+                       round_to: int | None = 4) -> DataFrame:
+    """(id, n_grams, weight) per raw document: the DSIR log importance
+    weight. Higher = more target-like; resample/top-k on it to select."""
+    ratios = F.broadcast(
+        bucket_log_ratios(raw, target, text_col, n_buckets, ngrams))
+    doc_grams = _gram_buckets(raw, text_col, id_col, n_buckets, ngrams)
+    weight = F.sum("log_ratio")
+    if round_to is not None:
+        weight = F.round(weight, round_to)
+    return (doc_grams.join(ratios, "bucket")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 weight.alias("weight")))
+
+
+def dsir_select(raw: DataFrame, target: DataFrame, k: int,
+                text_col: str = "text", id_col: str = "doc_id",
+                n_buckets: int = 8192,
+                ngrams: tuple[int, ...] = (1, 2)) -> DataFrame:
+    """Top-k most target-like raw documents (deterministic id
+    tie-break). The paper resamples with Gumbel noise; top-k is the
+    deterministic variant (its 'top-k heuristic' baseline) and the
+    plan is one TakeOrderedAndProject over the weight table."""
+    w = importance_weights(raw, target, text_col, id_col, n_buckets,
+                           ngrams)
+    return (raw.join(w.select(id_col, "weight"), id_col)
+            .orderBy(F.col("weight").desc(), F.col(id_col).asc())
+            .limit(k))

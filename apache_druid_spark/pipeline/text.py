@@ -185,6 +185,32 @@ def scrub_common_lines(df: DataFrame, text_col: str = "text",
                     F.coalesce(out_col, F.lit("")).alias(out_col)))
 
 
+def top_ngrams(df: DataFrame, text_col: str = "text", ngram: int = 3,
+               k: int = 20) -> DataFrame:
+    """Corpus-level heavy hitters: the ``k`` most frequent token
+    n-grams with their occurrence counts (bag semantics). The standard
+    corpus-inspection pass before writing boilerplate filters — the
+    top repeated n-grams ARE the nav bars / license headers / spam
+    templates that repetition and line-dedup rules then target.
+
+    Plan shape at scale: tokenize→gram→explode is one codegen
+    projection (token array staged per dedup._shingles' contract), the
+    count is a partial/final hash aggregate keyed on the gram, and the
+    top-k is TakeOrderedAndProject (per-partition k-heaps, driver
+    merges k*P rows) — never a global sort. Count-desc then gram-asc
+    makes the cut deterministic."""
+    from apache_druid_spark.pipeline.dedup import _shingles, _tokens
+
+    staged = parallelize_scan(df).select(
+        _tokens(F.col(text_col)).alias("__toks"))
+    grams = _shingles(F.col("__toks"), ngram)
+    return (staged.select(F.explode(grams).alias("gram"))
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("occurrences"))
+            .orderBy(F.col("occurrences").desc(), F.col("gram").asc())
+            .limit(k))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprint robust to token order and duplication:
     md5 over the sorted distinct token set (a set-hash 'rolling hash'

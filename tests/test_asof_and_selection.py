@@ -1,0 +1,115 @@
+"""As-of join and data-selection operator tests (asof_join,
+semantic_dedup, importance_weights, top_ngrams)."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_druid_spark.operators.asof import asof_join
+from apache_druid_spark.pipeline import (
+    dsir_select, importance_weights, semantic_dedup, top_ngrams,
+)
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:05"), "A", 100.0),
+         (2, _ts("2024-01-01T10:00:10"), "A", 101.0),
+         (3, _ts("2024-01-01T09:59:00"), "B", 50.0),
+         (4, _ts("2024-01-01T10:05:00"), "C", 70.0)],
+        ["trade_id", "ts", "sym", "px"])
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [(_ts("2024-01-01T10:00:00"), "A", 99.0, 10),
+         (_ts("2024-01-01T10:00:10"), "A", 100.5, 11),
+         # duplicate (sym, ts): greatest payload must win deterministically
+         (_ts("2024-01-01T10:00:10"), "A", 100.7, 12),
+         (_ts("2024-01-01T10:01:00"), "B", 48.0, 20)],
+        ["ts", "sym", "bid", "qid"])
+
+
+def test_asof_backward_inclusive(trades, quotes):
+    out = {r["trade_id"]: r for r in
+           asof_join(trades, quotes, on="ts", by="sym",
+                     right_cols=["bid", "qid"]).collect()}
+    assert out[1]["bid"] == 99.0          # 10:00:05 -> 10:00:00 quote
+    # equal timestamps match (<=), and the max-payload duplicate wins
+    assert out[2]["bid"] == 100.7 and out[2]["qid"] == 12
+    assert out[3]["bid"] is None          # B trade precedes every B quote
+    assert out[4]["bid"] is None          # no C quotes at all
+    assert out[2]["ts_r"] == _ts("2024-01-01T10:00:10")
+
+
+def test_asof_forward(trades, quotes):
+    out = {r["trade_id"]: r for r in
+           asof_join(trades, quotes, on="ts", by="sym",
+                     right_cols=["bid"], direction="forward").collect()}
+    assert out[1]["bid"] == 100.7         # earliest quote >= 10:00:05
+    assert out[3]["bid"] == 48.0          # 09:59 -> 10:01 B quote
+    assert out[4]["bid"] is None
+
+
+def test_asof_tolerance_nulls_stale_matches(trades, quotes):
+    out = {r["trade_id"]: r for r in
+           asof_join(trades, quotes, on="ts", by="sym",
+                     right_cols=["bid"],
+                     tolerance_seconds=3).collect()}
+    assert out[1]["bid"] is None          # 5s gap > 3s tolerance
+    assert out[2]["bid"] == 100.7         # exact-ts match, gap 0
+
+
+def test_asof_plan_is_single_key_shuffle(trades, quotes):
+    plan = (asof_join(trades, quotes, on="ts", by="sym")
+            ._jdf.queryExecution().executedPlan().toString())
+    # union+window shape: no nested-loop / cartesian range join
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_semantic_dedup_drops_near_identical(spark):
+    base = [float(i % 7 - 3) for i in range(8)]
+    near = list(base)
+    near[0] += 1e-4
+    far = [float((i * 3) % 5 - 2) for i in range(8)]
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)],
+        "vec_id: long, embedding: array<float>")
+    out = {r["vec_id"]: r["is_kept"]
+           for r in semantic_dedup(df, dim=8, n_cells=2,
+                                   threshold=0.999).collect()}
+    assert out[1] is True                 # min-id representative kept
+    assert out[2] is False                # its near-dup dropped
+    assert out[3] is True
+
+
+def test_importance_weights_prefer_target_like_docs(spark):
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta") for i in range(5)],
+        ["doc_id", "text"])
+    raw = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),        # exactly target-like
+         (2, "zeta eta theta iota kappa")],    # disjoint vocabulary
+        ["doc_id", "text"])
+    w = {r["doc_id"]: r["weight"]
+         for r in importance_weights(raw, target,
+                                     n_buckets=256).collect()}
+    assert w[1] > w[2]
+    sel = dsir_select(raw, target, k=1, n_buckets=256).collect()
+    assert [r["doc_id"] for r in sel] == [1]
+
+
+def test_top_ngrams_count_then_lexicographic(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b c"), (3, "x y z")],
+        ["doc_id", "text"])
+    rows = top_ngrams(df, ngram=3, k=3).collect()
+    assert [r["gram"] for r in rows] == ["a b c", "b c a", "c a b"]
+    assert rows[0]["occurrences"] == 3
