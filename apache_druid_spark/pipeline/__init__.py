@@ -20,7 +20,7 @@ from apache_druid_spark.pipeline.text import (
     repetition_score, scrub_common_lines, top_ngrams,
     winnowing_fingerprint, normalize, pii_scrub, chunk_documents,
 )
-from apache_druid_spark.pipeline.semdedup import semantic_dedup
+from apache_druid_spark.pipeline.semdedup import assign_cells, semantic_dedup
 from apache_druid_spark.pipeline.importance import (
     bucket_log_ratios, importance_weights, dsir_select,
 )
@@ -41,7 +41,7 @@ __all__ = [
     "token_stats", "language_id", "quality_score", "fingerprint",
     "repetition_score", "scrub_common_lines", "top_ngrams",
     "winnowing_fingerprint", "normalize", "pii_scrub", "chunk_documents",
-    "semantic_dedup", "bucket_log_ratios", "importance_weights",
+    "assign_cells", "semantic_dedup", "bucket_log_ratios", "importance_weights",
     "dsir_select",
     "connected_components", "dedup_keep_representatives",
     "contamination_report", "decontaminate",

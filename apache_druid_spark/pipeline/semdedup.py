@@ -38,6 +38,43 @@ from pyspark.sql import functions as F
 from apache_druid_spark.pipeline._util import parallelize_scan
 
 
+def assign_cells(df: DataFrame, centroids: DataFrame,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 out_col: str = "__cell") -> DataFrame:
+    """Nearest-centroid assignment against a centroid *DataFrame*
+    ``(cell int, centroid array<double>)`` — the scale path.
+
+    ``similarity.ivf_assign`` inlines every centroid as a literal
+    expression: perfect for oracle determinism at tens of cells, but
+    the codegen expression grows with n_cells and the paper-scale
+    SemDeDup configuration (~100k clusters) would not even compile.
+    This variant broadcasts the centroid table (100k x dim doubles is
+    tens of MB), scores each (row, centroid) on the map side, and
+    reduces to the per-row argmax with a partial/final max aggregate
+    keyed on the id — the fan-out never hits the shuffle (map-side
+    combine leaves one (id, best, vec) row per input row), and the
+    tie-break (score DESC, cell DESC) matches ivf_assign. The vector
+    rides along via ``first`` so downstream pair pruning needs no
+    re-join."""
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("centroid"),
+                   lambda x, y: x.cast("double") * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    cnorm = F.sqrt(F.aggregate(
+        F.transform(F.col("centroid"), lambda a: a * a),
+        F.lit(0.0), lambda acc, x: acc + x))
+    scored = (df.select(F.col(id_col), F.col(vec_col))
+              .join(F.broadcast(centroids))
+              .select(F.col(id_col), F.col(vec_col),
+                      F.struct((dot / cnorm).alias("score"),
+                               F.col("cell").alias("cell")).alias("__sc")))
+    return (scored.groupBy(id_col)
+            .agg(F.max("__sc").alias("__best"),
+                 F.first(vec_col).alias(vec_col))
+            .select(id_col, vec_col,
+                    F.col("__best.cell").alias(out_col)))
+
+
 def semantic_dedup(df: DataFrame, dim: int, n_cells: int = 16,
                    threshold: float = 0.9, vec_col: str = "embedding",
                    id_col: str = "vec_id",
@@ -47,7 +84,15 @@ def semantic_dedup(df: DataFrame, dim: int, n_cells: int = 16,
     """(id, cell, is_kept) for every row: ``is_kept`` is False iff the
     row has a within-cell neighbor with cosine >= ``threshold`` and a
     smaller id. ``df.join(result.filter('is_kept'), id)`` is the
-    deduplicated corpus."""
+    deduplicated corpus.
+
+    Literal centroids (the default, or ``centroids=[[...], ...]``) keep
+    the assignment a single codegen scan — right up to a few hundred
+    cells and exactly reproducible by the oracle. Past that (SemDeDup's
+    web-scale configuration is ~100k clusters from ``ivf_fit``), build
+    a ``(cell, centroid)`` DataFrame and use ``assign_cells`` — the
+    broadcast-join argmax — then feed its output through the same
+    pair-prune below; the grouping cap applies unchanged."""
     from pyspark import StorageLevel
 
     from apache_druid_spark.pipeline.similarity import _norm, ivf_assign

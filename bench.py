@@ -57,6 +57,10 @@ HEADLINE = [
     "pack_sequences_budget",       # shuffle + distributed prefix-sum pack
     "text_repetition",             # Gopher repetition filters
     "multimodal_resize",           # Arrow mapInPandas resize plumbing
+    "semantic_dedup_embeddings",   # SemDeDup cell-blocked cosine prune
+    "dsir_importance_weights",     # DSIR hashed-ngram importance
+    "corpus_top_ngrams",           # corpus heavy hitters (TakeOrdered)
+    "asof_join_events",            # as-of join (union+window shape)
 ]
 
 

@@ -113,3 +113,25 @@ def test_top_ngrams_count_then_lexicographic(spark):
     rows = top_ngrams(df, ngram=3, k=3).collect()
     assert [r["gram"] for r in rows] == ["a b c", "b c a", "c a b"]
     assert rows[0]["occurrences"] == 3
+
+
+def test_assign_cells_matches_literal_ivf_assign(spark, registry):
+    """The broadcast-table assignment (scale path) must agree row-for-
+    row with the literal-expression ivf_assign (oracle path) on the
+    same centroids."""
+    from apache_druid_spark.pipeline.semdedup import assign_cells
+    from apache_druid_spark.pipeline.similarity import (
+        ivf_assign, ivf_centroids,
+    )
+
+    emb = registry.table("embeddings")
+    cents = ivf_centroids(8, 64)
+    lit = emb.select("vec_id",
+                     ivf_assign(F.col("embedding"), cents).alias("cell"))
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cell: int, centroid: array<double>")
+    tab = assign_cells(emb, cdf).select(
+        "vec_id", F.col("__cell").alias("cell"))
+    assert lit.exceptAll(tab).count() == 0
+    assert tab.exceptAll(lit).count() == 0

@@ -294,3 +294,41 @@ def test_shingle_token_staging_survives_optimizer(reg):
     ):
         optimized = df._jdf.queryExecution().optimizedPlan().toString()
         assert "__toks" in optimized, optimized
+
+
+def test_semantic_dedup_cap_is_vector_free_broadcast(reg):
+    """The oversized-cell cap must aggregate (cell) counts WITHOUT the
+    embedding payload and reach the join as a broadcast — shuffling
+    vectors for the cap was the exact superlinear bug scale_smoke
+    caught in embedding_cosine_pairs (SCALE.md)."""
+    from apache_druid_spark.pipeline.semdedup import semantic_dedup
+
+    df = semantic_dedup(reg.table("embeddings"), dim=64, n_cells=4,
+                        threshold=0.9)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_dsir_ratio_table_broadcasts(reg):
+    """The bucket log-ratio table is <= n_buckets rows by construction;
+    the per-doc weight join must broadcast it so the raw corpus is
+    shuffled once (the groupBy), never for the join."""
+    from apache_druid_spark.pipeline.importance import importance_weights
+
+    docs = reg.table("documents")
+    import pyspark.sql.functions as F
+
+    df = importance_weights(docs, docs.filter(F.col("lang") == "en"),
+                            n_buckets=512)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_top_ngrams_is_take_ordered(reg):
+    """Corpus heavy hitters must be TakeOrderedAndProject (per-partition
+    k-heaps), never a global sort of the gram counts."""
+    from apache_druid_spark.pipeline.text import top_ngrams
+
+    plan = plan_of(top_ngrams(reg.table("documents"), ngram=3, k=20))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final

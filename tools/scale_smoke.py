@@ -41,8 +41,8 @@ def main() -> int:
     from apache_druid_spark import DatasourceRegistry, get_spark
     from apache_druid_spark.model.datasource import register_testdata
     from apache_druid_spark.pipeline import (
-        decontam as dc, dedup as dd, graph as gr, similarity as sim,
-        text as tx,
+        decontam as dc, dedup as dd, graph as gr, importance as imp,
+        semdedup as sd, similarity as sim, text as tx,
     )
 
     spark = get_spark("scale_smoke")
@@ -72,12 +72,22 @@ def main() -> int:
         # scale with the crawl) — the op should be linear in train rows
         "decontaminate": lambda d, s: dc.contamination_report(
             d, docs.filter(F.col("doc_id") % 20 == 0), ngram=8),
+        # target corpus stays FIXED (same rationale as decontaminate);
+        # weights should be linear in raw gram occurrences
+        "dsir_weights": lambda d, s: imp.importance_weights(
+            d, docs.filter(F.col("lang") == "en"), n_buckets=1024),
+        "top_ngrams": lambda d, s: tx.top_ngrams(d, ngram=3, k=20),
     }
     emb_ops = {
         "cosine_topk": lambda e, s: sim.cosine_topk(e, [1.0] * 64, k=10),
         "ivf_topk": lambda e, s: sim.ivf_topk(e, [1.0] * 64, k=10),
         "embedding_pairs": lambda e, s: dd.embedding_cosine_pairs(
             e, dim=64, threshold=0.35, bits=8, tables=2),
+        # the paper's scale knob is the CLUSTER COUNT (∝ corpus size;
+        # SemDeDup uses ~100k clusters at web scale) — per-cell
+        # population stays constant, so within-cell pairs stay linear
+        "semantic_dedup": lambda e, s: sd.semantic_dedup(
+            e, dim=64, n_cells=16 * s, threshold=0.35),
     }
 
     report = {"n": n, "ops": {}}
