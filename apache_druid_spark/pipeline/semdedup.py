@@ -48,37 +48,57 @@ def assign_cells(df: DataFrame, centroids: DataFrame,
     expression: perfect for oracle determinism at tens of cells, but
     the codegen expression grows with n_cells and the paper-scale
     SemDeDup configuration (~100k clusters) would not even compile.
-    This variant broadcasts the centroid table (100k x dim doubles is
-    tens of MB), scores each (row, centroid) on the map side, and
-    reduces to the per-row argmax with a partial/final max aggregate
-    keyed on the id — the fan-out never hits the shuffle (map-side
-    combine leaves one (id, best, vec) row per input row), and the
-    tie-break (score DESC, cell DESC) matches ivf_assign. The vector
-    rides along via ``first`` so downstream pair pruning needs no
-    re-join."""
-    dot = F.aggregate(
-        F.zip_with(F.col(vec_col), F.col("centroid"),
-                   lambda x, y: x.cast("double") * y),
-        F.lit(0.0), lambda acc, x: acc + x)
-    cnorm = F.sqrt(F.aggregate(
-        F.transform(F.col("centroid"), lambda a: a * a),
-        F.lit(0.0), lambda acc, x: acc + x))
-    scored = (df.select(F.col(id_col), F.col(vec_col))
-              .join(F.broadcast(centroids))
-              .select(F.col(id_col), F.col(vec_col),
-                      F.struct((dot / cnorm).alias("score"),
-                               F.col("cell").alias("cell")).alias("__sc")))
-    return (scored.groupBy(id_col)
-            .agg(F.max("__sc").alias("__best"),
-                 F.first(vec_col).alias(vec_col))
-            .select(id_col, vec_col,
-                    F.col("__best.cell").alias(out_col)))
+
+    This variant is an Arrow-batched pandas UDF doing ONE numpy
+    ``(batch x dim) @ (dim x cells)`` matmul per batch — deliberately
+    Python, and the only row-path Python outside the multimodal codec
+    stubs. The expression alternatives were measured and rejected:
+    Catalyst evaluates higher-order functions interpreted per element
+    (a broadcast-join + HOF-dot argmax took 37 s for 20k rows x 160
+    cells where the matmul takes well under a second), and a literal
+    expression does not scale past a few hundred cells. The centroid
+    table is collected once at plan time (small by construction —
+    100k x 64 doubles ~ 50 MB) and ships to executors inside the UDF
+    closure, exactly like FAISS loads its coarse quantizer onto every
+    worker. No shuffle at all: assignment happens where the rows live.
+    Tie-break (score DESC, cell DESC) matches ivf_assign."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    rows = centroids.select("cell", "centroid").collect()
+    cell_ids = np.array([r["cell"] for r in rows], dtype=np.int64)
+    cmat = np.array([r["centroid"] for r in rows], dtype=np.float64)
+    norms = np.sqrt((cmat * cmat).sum(axis=1))
+    norms[norms == 0.0] = 1.0
+    scoremat = (cmat / norms[:, None]).T  # (dim, cells)
+    # order columns by cell id so the ties-to-last trick below breaks
+    # ties toward the HIGHEST cell id, mirroring ivf_assign's
+    # array_max over (score, cell) structs
+    order = np.argsort(cell_ids)
+    cell_ids = cell_ids[order]
+    scoremat = scoremat[:, order]
+
+    def _assign_batch(vecs):
+        v = np.stack(vecs.to_numpy()).astype(np.float64)
+        scores = v @ scoremat
+        # np.argmax takes the FIRST max; flipping columns makes it the
+        # last (= highest cell id), matching the struct-max tie-break
+        flipped = scores[:, ::-1]
+        idx = scores.shape[1] - 1 - np.argmax(flipped, axis=1)
+        return pd.Series(cell_ids[idx])
+
+    _assign = pandas_udf(_assign_batch, "int")
+
+    return df.select(F.col(id_col), F.col(vec_col),
+                     _assign(F.col(vec_col)).alias(out_col))
 
 
 def semantic_dedup(df: DataFrame, dim: int, n_cells: int = 16,
                    threshold: float = 0.9, vec_col: str = "embedding",
                    id_col: str = "vec_id",
                    centroids: list[list[float]] | None = None,
+                   centroid_table: DataFrame | None = None,
                    max_cell_size: int = 10000,
                    round_to: int | None = 6) -> DataFrame:
     """(id, cell, is_kept) for every row: ``is_kept`` is False iff the
@@ -89,24 +109,38 @@ def semantic_dedup(df: DataFrame, dim: int, n_cells: int = 16,
     Literal centroids (the default, or ``centroids=[[...], ...]``) keep
     the assignment a single codegen scan — right up to a few hundred
     cells and exactly reproducible by the oracle. Past that (SemDeDup's
-    web-scale configuration is ~100k clusters from ``ivf_fit``), build
-    a ``(cell, centroid)`` DataFrame and use ``assign_cells`` — the
-    broadcast-join argmax — then feed its output through the same
-    pair-prune below; the grouping cap applies unchanged."""
+    web-scale configuration is ~100k clusters from ``ivf_fit``), pass
+    ``centroid_table`` — a ``(cell int, centroid array<double>)``
+    DataFrame — and the whole operator switches to the scale mode:
+    assignment goes through ``assign_cells``'s numpy matmul, and the
+    within-cell prune becomes ONE Arrow group batch per cell with a
+    single normalized ``(p x dim) @ (dim x p)`` matmul (the SemDeDup
+    reference implementation's own shape — per-cluster similarity
+    matrix on one worker, bounded by ``max_cell_size``). The
+    expression path below stays the oracle-exact default: per-pair
+    HOF dot products are evaluated interpreted by Catalyst, which is
+    fine for the small-cell oracle config but measured ~13 µs/pair —
+    the matmul is two orders cheaper when cells carry real load."""
     from pyspark import StorageLevel
 
     from apache_druid_spark.pipeline.similarity import _norm, ivf_assign
 
+    base = parallelize_scan(df).select(F.col(id_col), F.col(vec_col))
+    if centroid_table is not None:
+        assigned = assign_cells(base, centroid_table, vec_col, id_col)
+        return _prune_cells_grouped(assigned, threshold, vec_col,
+                                    id_col, max_cell_size)
     if centroids is None:
         from apache_druid_spark.pipeline.similarity import ivf_centroids
 
         centroids = ivf_centroids(n_cells, dim)
-    base = parallelize_scan(df).select(F.col(id_col), F.col(vec_col))
+    assigned = base.select(
+        F.col(id_col), F.col(vec_col),
+        ivf_assign(F.col(vec_col), centroids).alias("__cell"))
     # one scan: cell argmax + norm; persisted because it feeds the cap
     # aggregate and both self-join sides (ingest-materialized at 100 TB)
-    cells = base.select(
-        F.col(id_col), F.col(vec_col),
-        ivf_assign(F.col(vec_col), centroids).alias("__cell"),
+    cells = assigned.select(
+        F.col(id_col), F.col(vec_col), F.col("__cell"),
         _norm(F.col(vec_col)).alias("__nrm"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     oversized = (cells.groupBy("__cell")
@@ -134,3 +168,38 @@ def semantic_dedup(df: DataFrame, dim: int, n_cells: int = 16,
             .select(id_col, "cell",
                     F.coalesce(~F.col("__drop"), F.lit(True))
                     .alias("is_kept")))
+
+
+def _prune_cells_grouped(assigned: DataFrame, threshold: float,
+                         vec_col: str, id_col: str,
+                         max_cell_size: int) -> DataFrame:
+    """Scale-mode within-cell prune: one shuffle on the cell id, then
+    one Arrow batch per cell — normalize, one p x p cosine matmul,
+    drop every row with a smaller-id neighbor >= threshold. Cells past
+    ``max_cell_size`` are passed through un-pruned (identical vectors
+    are exact_dedup's job), mirroring the expression path's cap, and
+    the memory bound per task is max_cell_size^2 doubles."""
+    import numpy as np
+    import pandas as pd
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        cell = int(pdf["__cell"].iloc[0])
+        ids = pdf[id_col].to_numpy()
+        if len(pdf) > max_cell_size or len(pdf) < 2:
+            return pd.DataFrame(
+                {id_col: ids, "cell": cell, "is_kept": True})
+        order = np.argsort(ids)
+        ids = ids[order]
+        v = np.stack(pdf[vec_col].to_numpy())[order].astype(np.float64)
+        n = np.sqrt((v * v).sum(axis=1))
+        n[n == 0.0] = 1.0
+        sims = (v / n[:, None]) @ (v / n[:, None]).T
+        near = np.round(sims, 6) >= threshold
+        # row j dropped iff any i < j is near (ids sorted ascending)
+        dropped = np.triu(near, k=1).any(axis=0)
+        return pd.DataFrame(
+            {id_col: ids, "cell": cell, "is_kept": ~dropped})
+
+    return (assigned.groupBy("__cell")
+            .applyInPandas(prune,
+                           f"{id_col} long, cell int, is_kept boolean"))

@@ -328,6 +328,13 @@ def translate(text: str, time_column: str = TIME_COLUMN) -> str:
     text = _rewrite_floor_to(text)
     # Calcite accepts unsized VARCHAR in CASTs; Spark wants STRING
     text = _rewrite_bare_varchar(text)
+    # Druid CAST never throws — malformed input is NULL in
+    # SQL-compatible null mode (sql/.../expression/builtin — Calcite
+    # CastOperatorConversion over ExprEval coercion), so ANSI Spark's
+    # throwing CAST must become TRY_CAST (CalciteQueryTest
+    # testGroupByFloor pins this: FLOOR(CAST(dim1 AS FLOAT)) over
+    # non-numeric strings groups them under NULL)
+    text = _rewrite_call(text, "CAST", "TRY_CAST")
     text = _rewrite_array_literal(text)
     text = _rewrite_regexp_extract(text)
     text = text.replace("__RX_EXTRACT__", "regexp_extract")

@@ -135,3 +135,21 @@ def test_assign_cells_matches_literal_ivf_assign(spark, registry):
         "vec_id", F.col("__cell").alias("cell"))
     assert lit.exceptAll(tab).count() == 0
     assert tab.exceptAll(lit).count() == 0
+
+
+def test_semantic_dedup_scale_mode_matches_literal_mode(spark, registry):
+    """The centroid_table scale mode (numpy assign + grouped matmul
+    prune) must produce exactly the keep/drop set of the literal
+    expression mode for the same centroids."""
+    from apache_druid_spark.pipeline import semantic_dedup
+    from apache_druid_spark.pipeline.similarity import ivf_centroids
+
+    emb = registry.table("embeddings")
+    cents = ivf_centroids(8, 64)
+    lit = semantic_dedup(emb, dim=64, threshold=0.35, centroids=cents)
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cell: int, centroid: array<double>")
+    tab = semantic_dedup(emb, dim=64, threshold=0.35, centroid_table=cdf)
+    assert lit.exceptAll(tab).count() == 0
+    assert tab.exceptAll(lit).count() == 0

@@ -315,3 +315,97 @@ def test_latest_string_over_foo(spark, reg):
         SELECT EARLIEST(dim1) AS first_d, LATEST(dim1) AS last_d FROM foo
     """, reg).first()
     assert row["first_d"] == "" and row["last_d"] == "abc"
+
+
+def test_having_on_ratio(spark, reg):
+    """CalciteQueryTest.java:2326 testHavingOnRatio (issue #4264):
+    COUNT(*) FILTER(dim2 <> 'a') / COUNT(*) with HAVING ratio = 1.
+    Ported via the NATIVE shape the SQL plans to — filtered agg over
+    not(selector), expression post-agg, expression having — because
+    the divergence under test is Druid's two-valued native NOT filter:
+    null/empty dim2 rows COUNT as <> 'a' (reference expected rows
+    include 'abc' whose dim2 is null and '10.1' whose dim2 is [])."""
+    out = compile_query({
+        "queryType": "groupBy", "dataSource": "foo",
+        "granularity": "all", "dimensions": ["dim1"],
+        "aggregations": [
+            {"type": "filtered",
+             "filter": {"type": "not",
+                        "field": {"type": "selector",
+                                  "dimension": "dim2", "value": "a"}},
+             "aggregator": {"type": "count", "name": "a0"}},
+            {"type": "count", "name": "a1"},
+        ],
+        "postAggregations": [
+            {"type": "expression", "name": "ratio",
+             "expression": "(\"a0\" / \"a1\")"}],
+        "having": {"type": "equalTo", "aggregation": "ratio", "value": 1},
+    }, reg).collect()
+    assert {(r["dim1"], r["ratio"]) for r in out} == {
+        ("10.1", 1), ("2", 1), ("abc", 1), ("def", 1)}
+
+
+def test_groupby_sort_on_postagg_is_topn(spark, reg):
+    """CalciteQueryTest.java:4688 testGroupByWithSortOnPostAggregation-
+    Default: MIN+MAX post-agg ordered ascending with LIMIT — Druid
+    plans an inverted-metric topN; rows are the three smallest."""
+    out = druid_sql(spark, """
+        SELECT dim1, MIN(m1) + MAX(m1) AS x
+        FROM foo GROUP BY dim1 ORDER BY x LIMIT 3
+    """, reg).collect()
+    assert [(r["dim1"], r["x"]) for r in out] == [
+        ("", 2.0), ("10.1", 4.0), ("2", 6.0)]
+
+
+def test_case_filtered_aggregation_with_groupby(spark, reg):
+    """CalciteQueryTest.java:4909 testCaseFilteredAggregationWithGroupBy:
+    SUM(CASE WHEN dim1 <> '1' THEN 1 ELSE 0 END) + SUM(cnt) grouped by
+    cnt -> one row (1, 11)."""
+    out = druid_sql(spark, """
+        SELECT cnt,
+               SUM(CASE WHEN dim1 <> '1' THEN 1 ELSE 0 END) + SUM(cnt) AS s
+        FROM foo GROUP BY cnt
+    """, reg).collect()
+    assert [(r["cnt"], r["s"]) for r in out] == [(1, 11)]
+
+
+def test_nested_groupby(spark, reg):
+    """CalciteQueryTest.java:6438 testNestedGroupBy: outer hour-floor
+    groupBy over an inner groupBy datasource filtered to m1 = '5.0'
+    (string-to-float coercion) -> one row for the 'def' document."""
+    out = druid_sql(spark, """
+        SELECT FLOOR(__time TO HOUR) AS __time, dim1, COUNT(m2) AS c
+        FROM (
+            SELECT MAX(__time) AS __time, m2, dim1
+            FROM foo
+            WHERE 1=1 AND m1 = '5.0'
+            GROUP BY m2, dim1
+        )
+        GROUP BY FLOOR(__time TO HOUR), dim1
+    """, reg).collect()
+    assert [(r["__time"], r["dim1"], r["c"]) for r in out] == [
+        (datetime(2001, 1, 2), "def", 1)]
+
+
+def test_groupby_floor_cast(spark, reg):
+    """CalciteQueryTest.java:8251 testGroupByFloor: FLOOR over
+    CAST(dim1 AS FLOAT) — non-numeric strings cast to NULL (Druid
+    casts never throw; the dialect must map CAST to try_cast under
+    ANSI Spark), null group counts 3."""
+    out = druid_sql(spark, """
+        SELECT FLOOR(CAST(dim1 AS FLOAT)) AS f, COUNT(*) AS c
+        FROM foo GROUP BY FLOOR(CAST(dim1 AS FLOAT))
+    """, reg).collect()
+    assert {(r["f"], r["c"]) for r in out} == {
+        (None, 3), (1.0, 1), (2.0, 1), (10.0, 1)}
+
+
+def test_left_right_string_operators(spark, reg):
+    """CalciteQueryTest.java:12240 testLeftRightStringOperators."""
+    out = druid_sql(spark, """
+        SELECT dim1, LEFT(dim1, 2) AS l, RIGHT(dim1, 2) AS r
+        FROM foo GROUP BY dim1
+    """, reg).collect()
+    assert {(r["dim1"], r["l"], r["r"]) for r in out} == {
+        ("", "", ""), ("1", "1", "1"), ("10.1", "10", ".1"),
+        ("2", "2", "2"), ("abc", "ab", "bc"), ("def", "de", "ef")}

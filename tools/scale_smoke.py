@@ -85,10 +85,21 @@ def main() -> int:
             e, dim=64, threshold=0.35, bits=8, tables=2),
         # the paper's scale knob is the CLUSTER COUNT (∝ corpus size;
         # SemDeDup uses ~100k clusters at web scale) — per-cell
-        # population stays constant, so within-cell pairs stay linear
+        # population stays constant, so within-cell CANDIDATE work
+        # stays linear (the amplifier's identical replicas still land
+        # in one cell and pair quadratically — output-bound, like
+        # embedding_pairs). Past a few dozen cells the assignment
+        # switches to the broadcast centroid-table path.
         "semantic_dedup": lambda e, s: sd.semantic_dedup(
-            e, dim=64, n_cells=16 * s, threshold=0.35),
+            e, dim=64, threshold=0.35,
+            centroid_table=_centroid_df(e.sparkSession, 16 * s)),
     }
+
+    def _centroid_df(sess, k):
+        cents = sim.ivf_centroids(k, 64)
+        return sess.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            "cell: int, centroid: array<double>")
 
     report = {"n": n, "ops": {}}
     for name, fn in list(ops.items()) + list(emb_ops.items()):
