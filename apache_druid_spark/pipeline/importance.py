@@ -56,11 +56,15 @@ def _gram_buckets(df: DataFrame, text_col: str, id_col: str | None,
 
 def bucket_log_ratios(raw: DataFrame, target: DataFrame,
                       text_col: str = "text", n_buckets: int = 8192,
-                      ngrams: tuple[int, ...] = (1, 2)) -> DataFrame:
+                      ngrams: tuple[int, ...] = (1, 2),
+                      raw_grams: DataFrame | None = None) -> DataFrame:
     """(bucket, log_ratio): log p_target - log p_raw with +1 smoothing.
-    At most ``n_buckets`` rows — broadcastable by construction."""
-    raw_counts = (_gram_buckets(raw, text_col, None, n_buckets, ngrams)
-                  .groupBy("bucket")
+    At most ``n_buckets`` rows — broadcastable by construction.
+    ``raw_grams`` lets importance_weights share one materialized raw
+    gram table between the corpus counts and the per-doc weights."""
+    if raw_grams is None:
+        raw_grams = _gram_buckets(raw, text_col, None, n_buckets, ngrams)
+    raw_counts = (raw_grams.groupBy("bucket")
                   .agg(F.count(F.lit(1)).alias("c_raw")))
     tgt_counts = (_gram_buckets(target, text_col, None, n_buckets, ngrams)
                   .groupBy("bucket")
@@ -88,10 +92,20 @@ def importance_weights(raw: DataFrame, target: DataFrame,
                        ngrams: tuple[int, ...] = (1, 2),
                        round_to: int | None = 4) -> DataFrame:
     """(id, n_grams, weight) per raw document: the DSIR log importance
-    weight. Higher = more target-like; resample/top-k on it to select."""
+    weight. Higher = more target-like; resample/top-k on it to select.
+
+    The raw corpus is shingled ONCE: the (id, bucket) gram table is
+    persisted and feeds both the corpus bucket counts and the per-doc
+    weight sum (at full scale the same role is a staging table written
+    once, read twice — either way one tokenize/hash pass over 100 TB,
+    not two)."""
+    from pyspark import StorageLevel
+
+    doc_grams = _gram_buckets(raw, text_col, id_col, n_buckets, ngrams
+                              ).persist(StorageLevel.MEMORY_AND_DISK)
     ratios = F.broadcast(
-        bucket_log_ratios(raw, target, text_col, n_buckets, ngrams))
-    doc_grams = _gram_buckets(raw, text_col, id_col, n_buckets, ngrams)
+        bucket_log_ratios(raw, target, text_col, n_buckets, ngrams,
+                          raw_grams=doc_grams.select("bucket")))
     weight = F.sum("log_ratio")
     if round_to is not None:
         weight = F.round(weight, round_to)
