@@ -92,7 +92,8 @@ _FUNCTION_DEFS: list[tuple[str, str, str, str]] = [
          WHEN 'YEAR' THEN year(ts) END"""),
     ("TIME_FORMAT", "ts TIMESTAMP, pattern STRING", "STRING",
      "date_format(ts, pattern)"),
-    ("TIME_PARSE", "s STRING", "TIMESTAMP", "to_timestamp(s)"),
+    # Druid TIME_PARSE returns NULL on unparseable input
+    ("TIME_PARSE", "s STRING", "TIMESTAMP", "try_to_timestamp(s)"),
     ("MILLIS_TO_TIMESTAMP", "ms BIGINT", "TIMESTAMP", "timestamp_millis(ms)"),
     ("TIMESTAMP_TO_MILLIS", "ts TIMESTAMP", "BIGINT", "unix_millis(ts)"),
     # -- multi-value string functions (ARRAY<STRING> columns) ------------

@@ -240,6 +240,34 @@ def _rewrite_regexp_extract(text: str) -> str:
     return text
 
 
+def _rewrite_time_parse(text: str) -> str:
+    """Druid TIME_PARSE(s[, pattern[, tz]]) — TimeParseOperatorConversion:
+    optional Joda pattern (NULL = ISO), optional origin timezone (the
+    string is read in ``tz`` and the result is the UTC instant), and
+    unparseable input is NULL, never an error. The registered 1-arg SQL
+    macro handles the common form; multi-arg calls are rewritten here
+    to try_to_timestamp (+ to_utc_timestamp for the tz form) since SQL
+    macros cannot overload arity."""
+    while True:
+        found = None
+        for start, op, cp in _find_calls(text, "TIME_PARSE"):
+            args = _split_top_args(text[op + 1:cp])
+            if len(args) > 1:
+                found = (start, op, cp, args)
+                break
+        if found is None:
+            return text
+        start, op, cp, args = found
+        s = args[0]
+        pattern = args[1].strip()
+        parse = (f"try_to_timestamp({s})" if pattern.upper() == "NULL"
+                 else f"try_to_timestamp({s}, {pattern})")
+        if len(args) >= 3:
+            parse = f"to_utc_timestamp({parse}, {args[2]})"
+        text = text[:start] + parse + text[cp + 1:]
+    return text
+
+
 def _rewrite_array_prepend(text: str) -> str:
     """Druid ARRAY_PREPEND(expr, arr) vs Spark array_prepend(arr, el):
     same name, swapped arguments."""
@@ -337,6 +365,7 @@ def translate(text: str, time_column: str = TIME_COLUMN) -> str:
     text = _rewrite_call(text, "CAST", "TRY_CAST")
     text = _rewrite_array_literal(text)
     text = _rewrite_regexp_extract(text)
+    text = _rewrite_time_parse(text)
     text = text.replace("__RX_EXTRACT__", "regexp_extract")
     text = _rewrite_array_prepend(text)
     text = text.replace("__ARR_PREP__", "array_prepend")

@@ -409,3 +409,56 @@ def test_left_right_string_operators(spark, reg):
     assert {(r["dim1"], r["l"], r["r"]) for r in out} == {
         ("", "", ""), ("1", "1", "1"), ("10.1", "10", ".1"),
         ("2", "2", "2"), ("abc", "ab", "bc"), ("def", "de", "ef")}
+
+
+def test_count_star_with_time_filter(spark, reg):
+    """CalciteQueryTest.java:5468 testCountStarWithTimeFilter: the
+    __time range becomes the query interval -> 3 rows in year 2000."""
+    out = druid_sql(spark, """
+        SELECT COUNT(*) AS c FROM foo
+        WHERE __time >= TIMESTAMP '2000-01-01 00:00:00'
+          AND __time < TIMESTAMP '2001-01-01 00:00:00'
+    """, reg).collect()
+    assert out[0]["c"] == 3
+
+
+def test_filter_on_time_floor(spark, reg):
+    """CalciteQueryTest.java:7872 testFilterOnTimeFloor: equality on
+    FLOOR(__time TO MONTH) is the interval [month, month+1) -> the 3
+    Jan-2000 rows (Feb 2000 has none)."""
+    out = druid_sql(spark, """
+        SELECT COUNT(*) AS c FROM foo
+        WHERE FLOOR(__time TO MONTH) = TIMESTAMP '2000-01-01 00:00:00'
+           OR FLOOR(__time TO MONTH) = TIMESTAMP '2000-02-01 00:00:00'
+    """, reg).collect()
+    assert out[0]["c"] == 3
+
+
+def test_remove_useless_case_when(spark, reg):
+    """CalciteQueryTest.java:5489 testRemoveUselessCaseWhen: a CASE
+    wrapping a time range ORed with an empty decade -> still 3."""
+    out = druid_sql(spark, """
+        SELECT COUNT(*) AS c FROM foo
+        WHERE
+          CASE
+            WHEN __time >= TIME_PARSE('2000-01-01 00:00:00',
+                                      'yyyy-MM-dd HH:mm:ss')
+                 AND __time < TIMESTAMP '2001-01-01 00:00:00'
+            THEN true ELSE false
+          END
+        OR __time >= TIMESTAMP '2010-01-01 00:00:00'
+           AND __time < TIMESTAMP '2011-01-01 00:00:00'
+    """, reg).collect()
+    assert out[0]["c"] == 3
+
+
+def test_timeseries_descending_golden(spark, reg):
+    """CalciteQueryTest.java:9147 testTimeseriesDescending: month
+    buckets of SUM(cnt), descending."""
+    out = druid_sql(spark, """
+        SELECT gran, SUM(cnt) AS s FROM (
+            SELECT FLOOR(__time TO MONTH) AS gran, cnt FROM foo
+        ) AS x GROUP BY gran ORDER BY gran DESC
+    """, reg).collect()
+    assert [(r["gran"], r["s"]) for r in out] == [
+        (datetime(2001, 1, 1), 3), (datetime(2000, 1, 1), 3)]
