@@ -3643,6 +3643,48 @@ FROM f
 """
 
 
+def _winnowing_pairs_oracle(k: int = 16, w: int = 8, min_shared: int = 3,
+                            max_fp_freq: int = 50) -> str:
+    """DuckDB replica of winnowing_overlap_pairs: same fingerprints as
+    _winnowing_oracle, then the inverted-index pair count."""
+    h = _hex_to_long_sql("md5(substr(text, CAST(p AS INTEGER), {}))"
+                         .format(k), 15)
+    h_whole = _hex_to_long_sql("md5(text)", 15)
+    return f"""
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN length(text) < {k} THEN [{h_whole}]
+         ELSE list_transform(generate_series(1, length(text) - {k - 1}),
+                             p -> {h}) END AS grams
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         CASE WHEN len(grams) < {w} THEN [list_min(grams)]
+         ELSE list_transform(generate_series(1, len(grams) - {w - 1}),
+                             j -> list_min(grams[j:j + {w - 1}])) END AS mins
+  FROM g),
+e AS (SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM m),
+stop AS (SELECT fp FROM e GROUP BY fp HAVING COUNT(*) > {max_fp_freq}),
+kept AS (SELECT e.* FROM e LEFT JOIN stop USING (fp)
+         WHERE stop.fp IS NULL)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fps
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}
+"""
+
+
+@_q("dedup_substring_overlap", _winnowing_pairs_oracle())
+def _dedup_substring_overlap(spark, sf_dir):
+    """Verbatim-substring overlap pairs via winnowing fingerprints —
+    the distributed stand-in for Lee et al. (2021) suffix-array
+    substring dedup (pipeline/text.py:winnowing_overlap_pairs)."""
+    from apache_druid_spark.pipeline import winnowing_overlap_pairs
+
+    return winnowing_overlap_pairs(
+        _registry(spark, sf_dir).table("documents"),
+        k=16, window=8, min_shared=3, max_fp_freq=50)
+
+
 @_q("text_winnowing_fingerprint", _winnowing_oracle())
 def _text_winnowing_fingerprint(spark, sf_dir):
     """Winnowing rolling-hash fingerprints (MOSS): shared substrings of
@@ -4048,7 +4090,7 @@ _R04_WINDOW = (
     "scrub_common_lines",
     # new this round (never checked)
     "semantic_dedup_embeddings", "dsir_importance_weights",
-    "corpus_top_ngrams", "asof_join_events",
+    "corpus_top_ngrams", "asof_join_events", "dedup_substring_overlap",
     # r1-era greens, stale vs regenerated testdata (file order)
     "timeseries_month_revenue", "timeseries_day_clicks",
     "timeboundary_lineitem", "topn_priority_revenue", "groupby_flag_status",
@@ -4062,7 +4104,6 @@ _R04_WINDOW = (
     "sql_earliest_latest", "mv_token_counts", "dedup_exact",
     "dedup_minhash_lsh", "dedup_simhash", "text_token_stats",
     "text_fingerprint", "text_language_id", "similarity_cosine_topk",
-    "similarity_lsh_topk",
 )
 # Round-5 plan (committed now per VERDICT r3 #8): the r1 greens that
 # did not fit the r4 window (each has an r3/r4-green family sibling),
@@ -4070,7 +4111,7 @@ _R04_WINDOW = (
 # sits on post-regeneration evidence within two rounds. r3-green
 # entries sort last (freshest evidence).
 _R05_NEXT = (
-    "rollup_reaggregate", "ingest_inline_csv", "lifecycle_publish_query",
+    "similarity_lsh_topk", "rollup_reaggregate", "ingest_inline_csv", "lifecycle_publish_query",
     "streaming_rollup_hourly",
     "search_nation_names", "anti_join_customers", "union_scan_orders",
     "intersect_nationkeys",

@@ -18,7 +18,8 @@ from apache_druid_spark.pipeline.similarity import (
 from apache_druid_spark.pipeline.text import (
     token_stats, language_id, quality_score, fingerprint,
     repetition_score, scrub_common_lines, top_ngrams,
-    winnowing_fingerprint, normalize, pii_scrub, chunk_documents,
+    winnowing_fingerprint, winnowing_overlap_pairs, normalize,
+    pii_scrub, chunk_documents,
 )
 from apache_druid_spark.pipeline.semdedup import assign_cells, semantic_dedup
 from apache_druid_spark.pipeline.importance import (
@@ -40,7 +41,8 @@ __all__ = [
     "cosine_topk", "ivf_fit", "ivf_topk", "lsh_bucket_topk",
     "token_stats", "language_id", "quality_score", "fingerprint",
     "repetition_score", "scrub_common_lines", "top_ngrams",
-    "winnowing_fingerprint", "normalize", "pii_scrub", "chunk_documents",
+    "winnowing_fingerprint", "winnowing_overlap_pairs", "normalize",
+    "pii_scrub", "chunk_documents",
     "assign_cells", "semantic_dedup", "bucket_log_ratios", "importance_weights",
     "dsir_select",
     "connected_components", "dedup_keep_representatives",

@@ -266,6 +266,52 @@ def winnowing_fingerprint(df: DataFrame, text_col: str = "text",
         F.element_at("fingerprints", -1).alias("fp_max"))
 
 
+def winnowing_overlap_pairs(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", k: int = 8,
+                            window: int = 4, min_shared: int = 2,
+                            max_fp_freq: int = 100) -> DataFrame:
+    """Document pairs sharing long verbatim substrings — the
+    distributed stand-in for suffix-array substring dedup (Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better":
+    their dedup removes exact substrings >= 50 tokens via a corpus
+    suffix array, which does not distribute; winnowing gives the same
+    detection guarantee probabilistically).
+
+    By the winnowing theorem any shared substring of length >=
+    ``window + k - 1`` chars yields a shared fingerprint, so a pair
+    sharing ``min_shared`` fingerprints shares (at least) that much
+    verbatim text. Plan shape is the ngram_jaccard inverted-index
+    shape on fingerprint hashes: explode the per-doc fingerprint set
+    (computed in one codegen scan, no shuffle), drop boilerplate
+    fingerprints above ``max_fp_freq`` doc-frequency via a broadcast
+    LEFT ANTI (the stop set is tiny by construction; posting lists are
+    not), self-join on the 8-byte hash, count shared per pair. Work is
+    posting-list-collision bounded, never |docs|^2."""
+    # explode_OUTER on purpose: plain explode lets Spark's
+    # InferFiltersFromGenerate add `size(fingerprints) > 0`, and
+    # predicate pushdown then substitutes the whole fingerprint
+    # expression through the staging projects — re-inlining the
+    # O(len * window) mins computation into a per-row Filter (measured
+    # 60x: 1.4 s -> 91 s on sf0.01). Outer explode infers nothing; the
+    # null rows (docs with zero fingerprints — impossible here, every
+    # doc yields >= 1) are dropped above the Generate.
+    fps = (winnowing_fingerprint(df, text_col, id_col, k, window)
+           .select(F.col(id_col),
+                   F.explode_outer("fingerprints").alias("fp"))
+           .filter(F.col("fp").isNotNull()))
+    stop = (fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_fp_freq)
+            .select("fp"))
+    kept = fps.join(F.broadcast(stop), "fp", "left_anti")
+    a, b = kept.alias("a"), kept.alias("b")
+    return (a.join(b, [F.col("a.fp") == F.col("b.fp"),
+                       F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+            .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("shared_fps"))
+            .filter(F.col("shared_fps") >= min_shared))
+
+
 def normalize(df: DataFrame, text_col: str = "text",
               out_col: str = "text_norm") -> DataFrame:
     """Canonical text normalization for dedup/quality pipelines:

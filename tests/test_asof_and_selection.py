@@ -153,3 +153,19 @@ def test_semantic_dedup_scale_mode_matches_literal_mode(spark, registry):
     tab = semantic_dedup(emb, dim=64, threshold=0.35, centroid_table=cdf)
     assert lit.exceptAll(tab).count() == 0
     assert tab.exceptAll(lit).count() == 0
+
+
+def test_winnowing_overlap_pairs_detects_shared_substring(spark):
+    """Docs sharing a >= window+k-1 char substring must pair; disjoint
+    docs must not."""
+    from apache_druid_spark.pipeline import winnowing_overlap_pairs
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    df = spark.createDataFrame(
+        [(1, "AAA " + shared + " BBB"),
+         (2, "CCC " + shared + " DDD"),
+         (3, "completely different words with zero overlap here ok")],
+        ["doc_id", "text"])
+    pairs = winnowing_overlap_pairs(df, k=16, window=8, min_shared=2,
+                                    max_fp_freq=100).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]

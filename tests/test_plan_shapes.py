@@ -332,3 +332,19 @@ def test_top_ngrams_is_take_ordered(reg):
     plan = plan_of(top_ngrams(reg.table("documents"), ngram=3, k=20))
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("HashAggregate") >= 2, plan  # partial + final
+
+
+def test_winnowing_explode_infers_no_pushed_filter(reg):
+    """winnowing_overlap_pairs must not carry an InferFiltersFromGenerate
+    size() filter below the fingerprint staging: pushdown substitutes
+    the whole mins expression into the Filter (measured 60x). The
+    operator uses explode_outer + isnotnull above the Generate; the
+    only Filter below the join must be the cheap null check."""
+    from apache_druid_spark.pipeline.text import winnowing_overlap_pairs
+
+    plan = (winnowing_overlap_pairs(reg.table("documents"))
+            ._jdf.queryExecution().optimizedPlan().toString())
+    for line in plan.splitlines():
+        if "Filter" in line and "array_min" in line:
+            raise AssertionError(f"mins expression inlined into a "
+                                 f"Filter:\n{line[:400]}")

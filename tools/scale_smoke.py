@@ -77,6 +77,9 @@ def main() -> int:
         "dsir_weights": lambda d, s: imp.importance_weights(
             d, docs.filter(F.col("lang") == "en"), n_buckets=1024),
         "top_ngrams": lambda d, s: tx.top_ngrams(d, ngram=3, k=20),
+        # fp doc-frequency cap is corpus-size-relative, like ngram's
+        "substring_overlap": lambda d, s: tx.winnowing_overlap_pairs(
+            d, k=16, window=8, min_shared=3, max_fp_freq=50 * s),
     }
     emb_ops = {
         "cosine_topk": lambda e, s: sim.cosine_topk(e, [1.0] * 64, k=10),
