@@ -462,3 +462,37 @@ def test_timeseries_descending_golden(spark, reg):
     """, reg).collect()
     assert [(r["gran"], r["s"]) for r in out] == [
         (datetime(2001, 1, 1), 3), (datetime(2000, 1, 1), 3)]
+
+
+def test_min_max_avg_daily_count_with_limit(spark, reg):
+    """CalciteQueryTest.java:6706 testMinMaxAvgDailyCountWithLimit:
+    aggregates over an inner daily-count timeseries -> one row
+    (1, 1, 1, epoch-of-last-day, 6)."""
+    out = druid_sql(spark, """
+        SELECT * FROM (
+          SELECT max(cnt) AS mx, min(cnt) AS mn, avg(cnt) AS av,
+                 TIME_EXTRACT(max(t), 'EPOCH') AS last_time,
+                 count(1) AS num_days FROM (
+              SELECT TIME_FLOOR(__time, 'P1D') AS t, count(1) AS cnt
+              FROM foo GROUP BY 1
+          )
+        ) LIMIT 1
+    """, reg).collect()
+    r = out[0]
+    assert (r["mx"], r["mn"], r["av"], r["last_time"], r["num_days"]) == \
+        (1, 1, 1.0, 978480000, 6)
+
+
+def test_textcat(spark, reg):
+    """CalciteQueryTest.java:11633 testTextcat: 2-arg concat, and
+    double-to-string CAST formats as '1.0' (Druid ExprEval string
+    coercion of doubles keeps the decimal)."""
+    out = druid_sql(spark, "SELECT textcat(dim1, dim1) AS dimX FROM foo",
+                    reg).collect()
+    assert sorted(r["dimX"] for r in out) == [
+        "", "10.110.1", "11", "22", "abcabc", "defdef"]
+    out2 = druid_sql(spark, """
+        SELECT textcat(dim1, CAST(m2 AS VARCHAR)) AS dimX FROM foo
+    """, reg).collect()
+    assert sorted(r["dimX"] for r in out2) == [
+        "1.0", "10.12.0", "14.0", "23.0", "abc6.0", "def5.0"]
