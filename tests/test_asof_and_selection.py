@@ -169,3 +169,16 @@ def test_winnowing_overlap_pairs_detects_shared_substring(spark):
     pairs = winnowing_overlap_pairs(df, k=16, window=8, min_shared=2,
                                     max_fp_freq=100).collect()
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_embedding_pairs_numpy_verify_matches_expression(registry):
+    """verify='numpy' (grouped matmul) must reproduce the expression
+    path's pair set and cosines exactly at the rounded precision."""
+    from apache_druid_spark.pipeline import embedding_cosine_pairs
+
+    emb = registry.table("embeddings")
+    expr = embedding_cosine_pairs(emb, dim=64, threshold=0.35)
+    np_ = embedding_cosine_pairs(emb, dim=64, threshold=0.35,
+                                 verify="numpy")
+    assert expr.exceptAll(np_).count() == 0
+    assert np_.exceptAll(expr).count() == 0
