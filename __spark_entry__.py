@@ -4064,6 +4064,100 @@ def _session_window_user(spark, sf_dir):
                  F.max("n_events").cast("long").alias("max_session_events")))
 
 
+def _edit_distance_oracle(max_rel_bp: int = 5000) -> str:
+    """Levenshtein verify over the same LSH candidate pairs as the CC
+    entries: DuckDB's levenshtein == Spark's (classic unit-cost DP)."""
+    pairs = _minhash_oracle()
+    return f"""
+WITH pairs AS ({pairs})
+SELECT p.id_a, p.id_b,
+       CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+       CAST(levenshtein(da.text, db.text) * 10000
+            // GREATEST(GREATEST(length(da.text), length(db.text)), 1)
+            AS BIGINT) AS rel_dist_bp
+FROM pairs p
+JOIN documents da ON p.id_a = da.doc_id
+JOIN documents db ON p.id_b = db.doc_id
+WHERE levenshtein(da.text, db.text) * 10000
+      // GREATEST(GREATEST(length(da.text), length(db.text)), 1)
+      <= {max_rel_bp}
+"""
+
+
+@_q("dedup_edit_distance", _edit_distance_oracle())
+def _dedup_edit_distance(spark, sf_dir):
+    """Character-level exact verify pass over the LSH candidate graph
+    (pipeline/dedup.py:edit_distance_verify): Levenshtein distance +
+    integer basis-point relative threshold. The post-blocking exact
+    stage of a Lee-et-al-style dedup pipeline, all in codegen."""
+    from apache_druid_spark.pipeline import edit_distance_verify
+
+    docs = _registry(spark, sf_dir).table("documents")
+    pairs = _lsh_pairs_once(spark, sf_dir)
+    return edit_distance_verify(docs, pairs, max_rel_bp=5000)
+
+
+@_q("tfidf_top_terms", r"""
+WITH toks AS (SELECT doc_id,
+        unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                           x -> x <> '')) AS term
+      FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS term_df
+          FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (SELECT doc_id, tf.term, tf.tf, dfreq.term_df,
+           tf.tf * (ln((n.n_docs + 1.0) / (dfreq.term_df + 1.0)) + 1)
+               AS score
+           FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n),
+r AS (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY doc_id
+          ORDER BY ROUND(score, 6) DESC, term) AS term_rank
+      FROM scored)
+SELECT doc_id, term, tf, term_df, ROUND(score, 4) AS tfidf,
+       CAST(term_rank AS INTEGER) AS term_rank
+FROM r WHERE term_rank <= 3
+""")
+def _tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms (pipeline/text.py:
+    tfidf_top_terms): one tokenize pass -> (doc, term) counts, DF
+    derived from the tf table, broadcast doc-count, windowed top-k
+    with an engine-independent (rounded score, term) sort."""
+    from apache_druid_spark.pipeline import tfidf_top_terms
+
+    return tfidf_top_terms(_registry(spark, sf_dir).table("documents"),
+                           top_k=3)
+
+
+@_q("mixture_weights_lang", r"""
+WITH per AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(len(list_filter(
+            regexp_split_to_array(lower(text), '\s+'), x -> x <> '')))
+            AS BIGINT) AS n_tokens
+     FROM documents GROUP BY 1),
+tot AS (SELECT SUM(n_tokens) AS total FROM per),
+tgt(lang, target_share) AS (VALUES
+    ('de', CAST(0.1 AS DOUBLE)), ('en', CAST(0.5 AS DOUBLE)),
+    ('es', CAST(0.1 AS DOUBLE)), ('fr', CAST(0.1 AS DOUBLE)),
+    ('zh', CAST(0.2 AS DOUBLE)))
+SELECT per.lang, n_docs, n_tokens,
+       CAST(n_tokens * 10000 // total AS BIGINT) AS obs_share_bp,
+       COALESCE(target_share, 0.0) AS target_share,
+       ROUND(COALESCE(target_share, 0.0) * total / n_tokens, 4) AS weight
+FROM per CROSS JOIN tot LEFT JOIN tgt ON per.lang = tgt.lang
+""")
+def _mixture_weights_lang(spark, sf_dir):
+    """Training-mix reweighting (pipeline/sampling.py:mixture_weights):
+    per-language token shares vs a target mixture -> resampling
+    weights. The static form of DoReMi-style domain reweighting."""
+    from apache_druid_spark.pipeline.sampling import mixture_weights
+
+    return mixture_weights(
+        _registry(spark, sf_dir).table("documents"),
+        {"en": 0.5, "zh": 0.2, "de": 0.1, "es": 0.1, "fr": 0.1})
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4091,6 +4185,7 @@ _R04_WINDOW = (
     # new this round (never checked)
     "semantic_dedup_embeddings", "dsir_importance_weights",
     "corpus_top_ngrams", "asof_join_events", "dedup_substring_overlap",
+    "dedup_edit_distance", "tfidf_top_terms", "mixture_weights_lang",
     # r1-era greens, stale vs regenerated testdata (file order)
     "timeseries_month_revenue", "timeseries_day_clicks",
     "timeboundary_lineitem", "topn_priority_revenue", "groupby_flag_status",
@@ -4103,7 +4198,6 @@ _R04_WINDOW = (
     "window_moving_avg", "sql_time_floor_revenue",
     "sql_earliest_latest", "mv_token_counts", "dedup_exact",
     "dedup_minhash_lsh", "dedup_simhash", "text_token_stats",
-    "text_fingerprint", "text_language_id", "similarity_cosine_topk",
 )
 # Round-5 plan (committed now per VERDICT r3 #8): the r1 greens that
 # did not fit the r4 window (each has an r3/r4-green family sibling),
@@ -4111,6 +4205,7 @@ _R04_WINDOW = (
 # sits on post-regeneration evidence within two rounds. r3-green
 # entries sort last (freshest evidence).
 _R05_NEXT = (
+    "text_fingerprint", "text_language_id", "similarity_cosine_topk",
     "similarity_lsh_topk", "rollup_reaggregate", "ingest_inline_csv", "lifecycle_publish_query",
     "streaming_rollup_hourly",
     "search_nation_names", "anti_join_customers", "union_scan_orders",

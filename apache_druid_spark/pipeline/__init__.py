@@ -9,15 +9,15 @@ multimodal decode stubs (Arrow-batched mapInPandas).
 """
 
 from apache_druid_spark.pipeline.dedup import (
-    embedding_cosine_pairs, exact_dedup, minhash_signatures,
-    minhash_lsh_pairs, simhash, ngram_jaccard_pairs,
+    edit_distance_verify, embedding_cosine_pairs, exact_dedup,
+    minhash_signatures, minhash_lsh_pairs, simhash, ngram_jaccard_pairs,
 )
 from apache_druid_spark.pipeline.similarity import (
     cosine_topk, ivf_fit, ivf_topk, lsh_bucket_topk,
 )
 from apache_druid_spark.pipeline.text import (
     token_stats, language_id, quality_score, fingerprint,
-    repetition_score, scrub_common_lines, top_ngrams,
+    repetition_score, scrub_common_lines, tfidf_top_terms, top_ngrams,
     winnowing_fingerprint, winnowing_overlap_pairs, normalize,
     pii_scrub, chunk_documents,
 )
@@ -36,13 +36,14 @@ from apache_druid_spark.pipeline.packing import (
 )
 
 __all__ = [
-    "exact_dedup", "minhash_signatures", "minhash_lsh_pairs", "simhash",
+    "edit_distance_verify", "exact_dedup", "minhash_signatures",
+    "minhash_lsh_pairs", "simhash",
     "ngram_jaccard_pairs", "embedding_cosine_pairs",
     "cosine_topk", "ivf_fit", "ivf_topk", "lsh_bucket_topk",
     "token_stats", "language_id", "quality_score", "fingerprint",
     "repetition_score", "scrub_common_lines", "top_ngrams",
     "winnowing_fingerprint", "winnowing_overlap_pairs", "normalize",
-    "pii_scrub", "chunk_documents",
+    "pii_scrub", "chunk_documents", "tfidf_top_terms",
     "assign_cells", "semantic_dedup", "bucket_log_ratios", "importance_weights",
     "dsir_select",
     "connected_components", "dedup_keep_representatives",

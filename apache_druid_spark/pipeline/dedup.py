@@ -402,3 +402,40 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                    ).alias("jaccard"))
     )
     return out.filter(F.col("jaccard") >= threshold)
+
+
+def edit_distance_verify(df: DataFrame, pairs: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         max_rel_bp: int = 10000) -> DataFrame:
+    """Exact Levenshtein verification of candidate near-dup pairs.
+
+    The blocking stages (minhash LSH, simhash, embedding buckets) emit
+    candidate ``(id_a, id_b)`` pairs; this is the character-level exact
+    pass that runs after them: join each side's text back, compute
+    unit-cost Levenshtein distance, and keep pairs whose relative
+    distance — ``dist / max(len_a, len_b)`` in basis points — is at
+    most ``max_rel_bp``. All outputs are integer-exact (distance and
+    basis points), so ranking/thresholding is engine-independent.
+
+    Scale shape: two hash joins gather the text payload (each side's
+    text moves exactly once — the standard gather for a verify pass);
+    the candidate set is ~linear in corpus size by LSH construction, so
+    this never goes quadratic. Levenshtein itself is
+    O(len_a * len_b) per pair in whole-stage codegen (the same DP the
+    reference would run in a historical's merge buffer) — cost scales
+    with candidate count, not corpus size. For multi-KB documents cap
+    the compared prefix upstream or verify on shingle Jaccard instead
+    (``ngram_jaccard_pairs``).
+    """
+    a = df.select(F.col(id_col).alias("id_a"),
+                  F.col(text_col).alias("__text_a"))
+    b = df.select(F.col(id_col).alias("id_b"),
+                  F.col(text_col).alias("__text_b"))
+    joined = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    dist = F.levenshtein("__text_a", "__text_b").cast("long")
+    max_len = F.greatest(F.length("__text_a"), F.length("__text_b"),
+                         F.lit(1)).cast("long")
+    rel_bp = F.floor(dist * F.lit(10000) / max_len).cast("long")
+    return (joined.select("id_a", "id_b", dist.alias("edit_dist"),
+                          rel_bp.alias("rel_dist_bp"))
+                  .filter(F.col("rel_dist_bp") <= F.lit(int(max_rel_bp))))

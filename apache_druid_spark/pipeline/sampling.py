@@ -72,3 +72,47 @@ def train_test_split_col(df: DataFrame, key_col: str, test_rate: float,
         out_col,
         F.when(_hash_u60(F.col(key_col), seed) < _threshold(test_rate),
                F.lit("test")).otherwise(F.lit("train")))
+
+
+def mixture_weights(df: DataFrame, target: dict[str, float],
+                    group_col: str = "lang", text_col: str = "text",
+                    round_to: int = 4) -> DataFrame:
+    """Per-group resampling weights that shift the observed corpus
+    mixture toward a ``target`` token-share mixture (the static form
+    of domain reweighting à la DoReMi/data-mixing recipes):
+
+        weight(g) = target_share(g) / observed_token_share(g)
+
+    Rows: one per group — ``(group, n_docs, n_tokens, obs_share_bp,
+    target_share, weight)``. ``obs_share_bp`` is integer basis points
+    (engine-exact); ``weight`` > 1 means upsample, < 1 downsample, 0
+    for groups absent from ``target``. Feed the weights to
+    ``stratified_sample`` (weights clamped to [0, 1]) or a repetition
+    factor for epochs > 1.
+
+    Shape at scale: token counting fuses into the scan, the groupBy is
+    partial-aggregated map-side into ≤ |groups| rows, totals join in
+    as a broadcast single-row aggregate, and the target table is a
+    broadcast literal. One shuffle of group-count size; no collects.
+    """
+    from apache_druid_spark.pipeline._util import parallelize_scan
+
+    toks = F.size(F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                           lambda t: t != ""))
+    per = (parallelize_scan(df).groupBy(F.col(group_col).alias("grp"))
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(toks).alias("n_tokens")))
+    total = per.agg(F.sum("n_tokens").alias("__total"))
+    tgt = df.sparkSession.createDataFrame(
+        [(str(k), float(v)) for k, v in sorted(target.items())],
+        "grp string, target_share double")
+    return (per.crossJoin(F.broadcast(total))
+            .join(F.broadcast(tgt), "grp", "left")
+            .select(
+                F.col("grp").alias(group_col), "n_docs", "n_tokens",
+                F.floor(F.col("n_tokens") * F.lit(10000) / F.col("__total"))
+                 .cast("long").alias("obs_share_bp"),
+                F.coalesce("target_share", F.lit(0.0)).alias("target_share"),
+                F.round(F.coalesce("target_share", F.lit(0.0))
+                        * F.col("__total") / F.col("n_tokens"), round_to)
+                 .alias("weight")))

@@ -374,3 +374,49 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
         F.when(F.col("chunk_text") == "", F.lit(0)).otherwise(
             F.size(F.split(F.col("chunk_text"), " ")))
         .cast("int").alias("chunk_tokens"))
+
+
+def tfidf_top_terms(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", top_k: int = 5,
+                    round_to: int = 4) -> DataFrame:
+    """Per-document top-k TF-IDF terms (smoothed sklearn-style idf).
+
+    ``score = tf * (ln((N + 1) / (df + 1)) + 1)`` over lowercased
+    whitespace terms. Ranking is ``row_number`` over
+    ``(round(score, 6) DESC, term ASC)`` — the explicit rounding plus
+    the total lexicographic tiebreak makes the cut engine-independent
+    (equal (tf, df) pairs produce bit-identical doubles in any IEEE
+    engine; the 6-dp guard absorbs sub-ulp library drift in ``ln``).
+
+    Shape at scale: one tokenize+explode pass feeds a (doc, term)
+    count — partial-aggregated map-side, one shuffle on (doc, term).
+    Document frequency is derived from that tf table (GROUP BY term —
+    vocabulary-sized, never a second corpus pass), the corpus doc
+    count joins in as a broadcast single-row aggregate, and the final
+    top-k is one window shuffle on the doc id. Four keyed shuffles
+    total, each on a natural key; no driver state, no collects.
+    """
+    from pyspark.sql.window import Window
+
+    staged = parallelize_scan(df).select(
+        F.col(id_col), _tokens(F.col(text_col)).alias("__toks"))
+    tf = (staged.select(F.col(id_col), F.explode("__toks").alias("term"))
+          .groupBy(id_col, "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n_docs"))
+    scored = (tf.join(dfreq, "term")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn(
+                  "score",
+                  F.col("tf") * (F.log((F.col("__n_docs") + F.lit(1.0))
+                                       / (F.col("df") + F.lit(1.0)))
+                                 + F.lit(1.0))))
+    w = (Window.partitionBy(id_col)
+         .orderBy(F.round("score", 6).desc(), F.col("term").asc()))
+    return (scored.withColumn("term_rank", F.row_number().over(w))
+            .filter(F.col("term_rank") <= F.lit(int(top_k)))
+            .select(id_col, "term", "tf",
+                    F.col("df").alias("term_df"),
+                    F.round("score", round_to).alias("tfidf"),
+                    F.col("term_rank").cast("int").alias("term_rank")))

@@ -514,3 +514,69 @@ def test_session_window_matches_islands(spark, registry):
             .agg(F.count(F.lit(1)).alias("n")))
     total = sess.agg(F.sum("n")).collect()[0][0]
     assert total == ev.count()  # every event lands in exactly one session
+
+
+def test_edit_distance_verify_exact_dup_is_zero(spark, docs_with_dups):
+    from apache_druid_spark.pipeline import edit_distance_verify
+
+    pairs = spark.createDataFrame(
+        [(1, 100001)], "id_a long, id_b long")  # doc 1 and its copy
+    out = edit_distance_verify(docs_with_dups, pairs).collect()
+    assert len(out) == 1
+    assert out[0]["edit_dist"] == 0 and out[0]["rel_dist_bp"] == 0
+
+
+def test_edit_distance_verify_threshold(spark):
+    from apache_druid_spark.pipeline import edit_distance_verify
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abcdefghiX"), (3, "zzzzzzzzzz")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a long, id_b long")
+    # 1<->2: dist 1 over len 10 = 1000bp (kept); 1<->3: 10000bp (cut)
+    out = edit_distance_verify(docs, pairs, max_rel_bp=5000).collect()
+    assert [(r["id_a"], r["id_b"], r["edit_dist"], r["rel_dist_bp"])
+            for r in out] == [(1, 2, 1, 1000)]
+
+
+def test_tfidf_top_terms_known_corpus(spark):
+    from apache_druid_spark.pipeline import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry")],
+        "doc_id long, text string")
+    out = tfidf_top_terms(docs, top_k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: apple tf=2 df=1 beats banana tf=1 df=2
+    d1 = sorted(by_doc[1], key=lambda r: r["term_rank"])
+    assert [r["term"] for r in d1] == ["apple", "banana"]
+    assert d1[0]["tf"] == 2 and d1[0]["term_df"] == 1
+    # ranks are 1..k dense per doc, scores non-increasing
+    for rows in by_doc.values():
+        rows = sorted(rows, key=lambda r: r["term_rank"])
+        assert [r["term_rank"] for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r["tfidf"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_mixture_weights_shares_and_inversion(spark):
+    from apache_druid_spark.pipeline.sampling import mixture_weights
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "en"), (2, "e f", "en"), (3, "g h", "de")],
+        "doc_id long, text string, lang string")
+    out = {r["lang"]: r for r in
+           mixture_weights(docs, {"en": 0.5, "de": 0.5}).collect()}
+    # en: 6 of 8 tokens = 7500bp; de: 2 of 8 = 2500bp
+    assert out["en"]["obs_share_bp"] == 7500
+    assert out["de"]["obs_share_bp"] == 2500
+    # weight = target/observed: en 0.5/0.75, de 0.5/0.25
+    assert abs(out["en"]["weight"] - 0.6667) < 1e-9
+    assert abs(out["de"]["weight"] - 2.0) < 1e-9
+    # group absent from target gets weight 0
+    out2 = {r["lang"]: r for r in
+            mixture_weights(docs, {"en": 1.0}).collect()}
+    assert out2["de"]["weight"] == 0.0 and out2["de"]["target_share"] == 0.0
