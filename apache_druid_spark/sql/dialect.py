@@ -468,6 +468,97 @@ def _explain_plan_for(spark: SparkSession, inner: str,
         "PLAN string, RESOURCES string, ATTRIBUTES string")
 
 
+def _sub_outside_strings(text: str, pattern: str, repl) -> str:
+    """re.sub that skips matches starting inside string literals."""
+    spans = _string_spans(text)
+    out, last = [], 0
+    for m in re.finditer(pattern, text, re.IGNORECASE):
+        if any(a <= m.start() < b for a, b in spans):
+            continue
+        out.append(text[last:m.start()])
+        out.append(repl(m) if callable(repl) else m.expand(repl))
+        last = m.end()
+    out.append(text[last:])
+    return "".join(out)
+
+
+# a "simple operand": string literal, number, or identifier — enough
+# for the comparison forms Druid SQL uses against MV dims
+_MV_LIT = r"(?:'(?:[^']|'')*'|[0-9]+(?:\.[0-9]+)?|[A-Za-z_][\w.]*)"
+
+
+def _rewrite_mv_semantics(text: str, mv_cols) -> str:
+    """Druid multi-value string semantics over SQL (docs/querying/
+    multi-value-dimensions.md; selector filters match ANY element —
+    processing/.../filter/SelectorFilter.java — and an empty MV row
+    reads as null):
+
+      c IS [NOT] NULL    -> empty array counts as null
+      c = x / c <> x     -> any-element match (array_contains)
+      c [NOT] IN (...)   -> any-element overlap
+      COUNT(c)           -> counts non-null non-empty rows
+      COUNT(DISTINCT c)  -> counts distinct element VALUES (exact,
+                            the CardinalityAggregator byValue=false
+                            per-value mode)
+
+    Applied only to columns the registry schema says are
+    array<string>; scalar columns and array<numeric> (real ARRAY
+    types) are untouched. GROUP BY explode of MV dims stays on the
+    native-query path (plans/compiler.py MV dimension explode)."""
+    for col in mv_cols:
+        c = re.escape(col)
+        text = _sub_outside_strings(
+            text, rf"\bCOUNT\s*\(\s*DISTINCT\s+{c}\s*\)",
+            f"CAST(size(array_distinct(flatten(collect_set({col})))) "
+            f"AS BIGINT)")
+        text = _sub_outside_strings(
+            text, rf"\bCOUNT\s*\(\s*{c}\s*\)",
+            f"COUNT(CASE WHEN {col} IS NOT NULL AND size({col}) > 0 "
+            f"THEN 1 END)")
+        text = _sub_outside_strings(
+            text, rf"\b{c}\s+IS\s+NOT\s+NULL\b",
+            f"({col} IS NOT NULL AND size({col}) > 0)")
+        text = _sub_outside_strings(
+            text, rf"\b{c}\s+IS\s+NULL\b",
+            f"({col} IS NULL OR size({col}) = 0)")
+        text = _sub_outside_strings(
+            text, rf"\b{c}\s+NOT\s+IN\s*\(([^()]*)\)",
+            lambda m: f"(NOT arrays_overlap({col}, array({m.group(1)})))")
+        text = _sub_outside_strings(
+            text, rf"\b{c}\s+IN\s*\(([^()]*)\)",
+            lambda m: f"arrays_overlap({col}, array({m.group(1)}))")
+        text = _sub_outside_strings(
+            text, rf"\b{c}\s*(<>|!=)\s*({_MV_LIT})",
+            lambda m: f"(NOT array_contains({col}, {m.group(2)}))")
+        text = _sub_outside_strings(
+            text, rf"({_MV_LIT})\s*(<>|!=)\s*{c}\b",
+            lambda m: f"(NOT array_contains({col}, {m.group(1)}))")
+        text = _sub_outside_strings(
+            text, rf"\b{c}\s*(?<![<>!])=(?!=)\s*({_MV_LIT})",
+            lambda m: f"array_contains({col}, {m.group(1)})")
+        text = _sub_outside_strings(
+            text, rf"({_MV_LIT})\s*(?<![<>!])=(?!=)\s*{c}\b",
+            lambda m: f"array_contains({col}, {m.group(1)})")
+    return text
+
+
+def _mv_string_columns(registry, names) -> tuple:
+    """Names of array<string> columns across the registered tables."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    cols = set()
+    for name in names:
+        try:
+            fields = registry.table(name).schema.fields
+        except Exception:  # noqa: BLE001 — unresolvable view: skip
+            continue
+        for f in fields:
+            if (isinstance(f.dataType, ArrayType)
+                    and isinstance(f.dataType.elementType, StringType)):
+                cols.add(f.name)
+    return tuple(sorted(cols))
+
+
 def druid_sql(spark: SparkSession, text: str, registry=None) -> DataFrame:
     """Run a Druid SQL string on Spark: register scalar shims, translate
     the aggregate surface, and hand the rest to Catalyst (parse/validate/
@@ -501,6 +592,16 @@ def druid_sql(spark: SparkSession, text: str, registry=None) -> DataFrame:
     if explain:
         return _explain_plan_for(spark, explain.group(1), registry)
     translated = translate(text)
+    if registry is not None:
+        cache_key = (id(registry), epoch, names)
+        cached = getattr(spark, "_druid_sql_mv_cols", None)
+        if cached is not None and cached[0] == cache_key:
+            mv_cols = cached[1]
+        else:
+            mv_cols = _mv_string_columns(registry, names)
+            spark._druid_sql_mv_cols = (cache_key, mv_cols)
+        if mv_cols:
+            translated = _rewrite_mv_semantics(translated, mv_cols)
     if registry is not None and ("sys_" in translated
                                  or "information_schema_" in translated):
         # rebuild the catalog views so they reflect publishes/streams

@@ -496,3 +496,106 @@ def test_textcat(spark, reg):
     """, reg).collect()
     assert sorted(r["dimX"] for r in out2) == [
         "1.0", "10.12.0", "14.0", "23.0", "abc6.0", "def5.0"]
+
+
+def test_column_is_null_mv(spark, reg):
+    """CalciteQueryTest.java:3711 testColumnIsNull: dim2 IS NULL counts
+    the null row AND the empty-MV row (an empty multi-value row reads
+    as null — SQL-compatible mode expects 2)."""
+    out = druid_sql(spark, "SELECT COUNT(*) AS c FROM foo WHERE dim2 IS NULL",
+                    reg).collect()
+    assert out[0]["c"] == 2
+
+
+def test_count_nullable_mv_column(spark, reg):
+    """CalciteQueryTest.java:4087 testCountNullableColumn: COUNT(dim2)
+    counts non-null non-empty MV rows -> 4 in SQL-compatible mode."""
+    out = druid_sql(spark, "SELECT COUNT(dim2) AS c FROM foo",
+                    reg).collect()
+    assert out[0]["c"] == 4
+
+
+def test_count_nullable_expression_mv(spark, reg):
+    """CalciteQueryTest.java:4116 testCountNullableExpression: the CASE
+    plans as a filtered count with an IN filter — selector semantics on
+    the MV dim match any element -> 1 (only the ['abc'] row)."""
+    out = druid_sql(spark, """
+        SELECT COUNT(CASE WHEN dim2 = 'abc' THEN 'yes'
+                          WHEN dim2 = 'def' THEN 'yes' END) AS c FROM foo
+    """, reg).collect()
+    assert out[0]["c"] == 1
+
+
+def test_two_exact_count_distincts(spark, reg):
+    """CalciteQueryTest.java:3819 testTwoExactCountDistincts: distinct
+    dim1 counts '' as a value (6); distinct over the MV dim2 counts
+    distinct element VALUES {'a', '', 'abc'} -> 3 (SQL-compatible)."""
+    out = druid_sql(spark, """
+        SELECT COUNT(DISTINCT dim1) AS a, COUNT(DISTINCT dim2) AS b
+        FROM foo
+    """, reg).collect()
+    assert (out[0]["a"], out[0]["b"]) == (6, 3)
+
+
+def test_groupby_nothing_literally_false_filter(spark, reg):
+    """CalciteQueryTest.java:3895 testGroupByNothingWithLiterallyFalse
+    Filter: WHERE 1 = 0 -> one row (0, null) for a no-group aggregate."""
+    out = druid_sql(spark, """
+        SELECT COUNT(*) AS c, MAX(cnt) AS m FROM foo WHERE 1 = 0
+    """, reg).collect()
+    assert len(out) == 1
+    assert out[0]["c"] == 0 and out[0]["m"] is None
+
+
+def test_self_join_count(spark, reg):
+    """CalciteQueryTest.java:3735 testSelfJoin: comma cross join of foo
+    with itself -> 36 rows counted."""
+    out = druid_sql(spark, "SELECT COUNT(*) AS c FROM foo x, foo y",
+                    reg).collect()
+    assert out[0]["c"] == 36
+
+
+def test_count_distinct_of_substring(spark, reg):
+    """CalciteQueryTest.java:7510 testCountDistinctOfSubstring: first
+    chars of non-empty dim1 = {1, 2, d, a} -> 4."""
+    out = druid_sql(spark, """
+        SELECT COUNT(DISTINCT SUBSTRING(dim1, 1, 1)) AS c
+        FROM foo WHERE dim1 <> ''
+    """, reg).collect()
+    assert out[0]["c"] == 4
+
+
+def test_count_distinct_of_trim(spark, reg):
+    """CalciteQueryTest.java:7550 testCountDistinctOfTrim: TRIM(BOTH
+    ' ' FROM dim1) syntax variant; 5 distinct non-empty values."""
+    out = druid_sql(spark, """
+        SELECT COUNT(DISTINCT TRIM(BOTH ' ' FROM dim1)) AS c
+        FROM foo WHERE TRIM(dim1) <> ''
+    """, reg).collect()
+    assert out[0]["c"] == 5
+
+
+def test_silly_quarters(spark, reg):
+    """CalciteQueryTest.java:7587 testSillyQuarters: arithmetic on
+    EXTRACT(MONTH ...) groups all 6 rows (all January) into quarter 1."""
+    out = druid_sql(spark, """
+        SELECT CAST((EXTRACT(MONTH FROM __time) - 1) / 3 + 1 AS INTEGER)
+                   AS quarter, COUNT(*) AS c
+        FROM foo
+        GROUP BY CAST((EXTRACT(MONTH FROM __time) - 1) / 3 + 1 AS INTEGER)
+    """, reg).collect()
+    assert [(r["quarter"], r["c"]) for r in out] == [(1, 6)]
+
+
+def test_mv_filter_eq_and_in_sql(spark, reg):
+    """docs/querying/multi-value-dimensions.md filter semantics through
+    SQL: equality and IN on an MV dim match ANY element (the selector
+    filter's behavior — processing/.../filter/SelectorFilter.java)."""
+    out = druid_sql(spark,
+                    "SELECT COUNT(*) AS c FROM foo WHERE dim3 = 'b'",
+                    reg).collect()
+    assert out[0]["c"] == 2
+    out2 = druid_sql(spark, """
+        SELECT COUNT(*) AS c FROM foo WHERE dim3 IN ('b', 'd')
+    """, reg).collect()
+    assert out2[0]["c"] == 3
