@@ -420,22 +420,34 @@ def edit_distance_verify(df: DataFrame, pairs: DataFrame,
     Scale shape: two hash joins gather the text payload (each side's
     text moves exactly once — the standard gather for a verify pass);
     the candidate set is ~linear in corpus size by LSH construction, so
-    this never goes quadratic. Levenshtein itself is
-    O(len_a * len_b) per pair in whole-stage codegen (the same DP the
-    reference would run in a historical's merge buffer) — cost scales
-    with candidate count, not corpus size. For multi-KB documents cap
-    the compared prefix upstream or verify on shingle Jaccard instead
-    (``ngram_jaccard_pairs``).
+    this never goes quadratic. The DP itself is BAND-LIMITED: the
+    per-pair distance bound implied by ``max_rel_bp`` is passed as
+    Spark's levenshtein threshold, so a dissimilar candidate costs
+    O(len * bound) and early-exits instead of O(len_a * len_b) —
+    filtering is exactly equivalent (dist <= floor(max_rel_bp *
+    max_len / 10000) iff rel_bp <= max_rel_bp, both integer), and kept
+    distances are exact. For multi-KB documents still prefer a tight
+    ``max_rel_bp`` or shingle-Jaccard verify (``ngram_jaccard_pairs``).
     """
     a = df.select(F.col(id_col).alias("id_a"),
                   F.col(text_col).alias("__text_a"))
     b = df.select(F.col(id_col).alias("id_b"),
                   F.col(text_col).alias("__text_b"))
     joined = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
-    dist = F.levenshtein("__text_a", "__text_b").cast("long")
     max_len = F.greatest(F.length("__text_a"), F.length("__text_b"),
                          F.lit(1)).cast("long")
-    rel_bp = F.floor(dist * F.lit(10000) / max_len).cast("long")
-    return (joined.select("id_a", "id_b", dist.alias("edit_dist"),
+    bound = F.floor(max_len * F.lit(int(max_rel_bp)) / F.lit(10000))
+    staged = joined.withColumn("__lev_bound", bound.cast("int"))
+    # threshold-limited levenshtein returns -1 past the bound; the
+    # Column-threshold form only exists via SQL expr. Exact-duplicate
+    # pairs (the bulk of a crawl's candidate set) short-circuit to 0
+    # on an O(len) equality check instead of running the DP at all.
+    dist = F.when(F.col("__text_a") == F.col("__text_b"), F.lit(0))\
+        .otherwise(F.expr("levenshtein(__text_a, __text_b, __lev_bound)")
+                   ).cast("long")
+    max_len_s = F.greatest(F.length("__text_a"), F.length("__text_b"),
+                           F.lit(1)).cast("long")
+    rel_bp = F.floor(dist * F.lit(10000) / max_len_s).cast("long")
+    return (staged.select("id_a", "id_b", dist.alias("edit_dist"),
                           rel_bp.alias("rel_dist_bp"))
-                  .filter(F.col("rel_dist_bp") <= F.lit(int(max_rel_bp))))
+                  .filter(F.col("edit_dist") >= 0))

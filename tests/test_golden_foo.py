@@ -599,3 +599,57 @@ def test_mv_filter_eq_and_in_sql(spark, reg):
         SELECT COUNT(*) AS c FROM foo WHERE dim3 IN ('b', 'd')
     """, reg).collect()
     assert out2[0]["c"] == 3
+
+
+def test_in_filter_with_23_elements(spark, reg):
+    """CalciteQueryTest.java:5208 testInFilterWith23Elements (Druid
+    issue #4203 regression): a 23-element IN stays a single filter."""
+    elements = ["abc", "def", "ghi"] + [f"dummy{i}" for i in range(20)]
+    in_list = ", ".join(f"'{e}'" for e in elements)
+    out = druid_sql(spark, f"""
+        SELECT dim1, COUNT(*) AS c FROM foo
+        WHERE dim1 IN ({in_list}) GROUP BY dim1 ORDER BY dim1
+    """, reg).collect()
+    assert [(r["dim1"], r["c"]) for r in out] == [("abc", 1), ("def", 1)]
+
+
+def test_regexp_like_filter(spark, reg):
+    """CalciteQueryTest.java:7705 testRegexpLikeFilter: REGEXP_LIKE on
+    the raw dim and on a concat virtual column -> 3 rows."""
+    out = druid_sql(spark, """
+        SELECT COUNT(*) AS c FROM foo
+        WHERE REGEXP_LIKE(dim1, '^1') OR REGEXP_LIKE('Z' || dim1, '^Z2')
+    """, reg).collect()
+    assert out[0]["c"] == 3
+
+
+def test_count_star_complex_disjoint_time_filter(spark, reg):
+    """CalciteQueryTest.java:5633 testCountStarWithComplexDisjointTime
+    Filter: MV any-match on dim2='a' AND (a 2000 interval OR an
+    intersected 2002 interval + dim1) -> 1."""
+    out = druid_sql(spark, """
+        SELECT COUNT(*) AS c FROM foo
+        WHERE dim2 = 'a' and (
+          (__time >= TIMESTAMP '2000-01-01 00:00:00'
+           AND __time < TIMESTAMP '2001-01-01 00:00:00')
+          OR (
+            (__time >= TIMESTAMP '2002-01-01 00:00:00'
+             AND __time < TIMESTAMP '2003-05-01 00:00:00')
+            and (__time >= TIMESTAMP '2002-05-01 00:00:00'
+                 AND __time < TIMESTAMP '2004-01-01 00:00:00')
+            and dim1 = 'abc'
+          )
+        )
+    """, reg).collect()
+    assert out[0]["c"] == 1
+
+
+def test_filter_on_time_extract(spark, reg):
+    """CalciteQueryTest.java:8092 testFilterOnTimeExtract: YEAR/MONTH
+    extraction equality filters -> the 3 rows of 2000-01."""
+    out = druid_sql(spark, """
+        SELECT COUNT(*) AS c FROM foo
+        WHERE EXTRACT(YEAR FROM __time) = 2000
+        AND EXTRACT(MONTH FROM __time) = 1
+    """, reg).collect()
+    assert out[0]["c"] == 3

@@ -42,7 +42,7 @@ def main() -> int:
     from apache_druid_spark.model.datasource import register_testdata
     from apache_druid_spark.pipeline import (
         decontam as dc, dedup as dd, graph as gr, importance as imp,
-        semdedup as sd, similarity as sim, text as tx,
+        sampling as sp, semdedup as sd, similarity as sim, text as tx,
     )
 
     spark = get_spark("scale_smoke")
@@ -80,6 +80,17 @@ def main() -> int:
         # fp doc-frequency cap is corpus-size-relative, like ngram's
         "substring_overlap": lambda d, s: tx.winnowing_overlap_pairs(
             d, k=16, window=8, min_shared=3, max_fp_freq=50 * s),
+        # exact verify over LSH candidates: cost tracks pair count
+        # (amplifier replicas pair quadratically — output-bound, like
+        # minhash itself), never corpus^2. The 20% bound engages the
+        # banded DP + equality short-circuit (the realistic setting;
+        # bound=100% degenerates to full O(L^2) per pair)
+        "edit_distance": lambda d, s: dd.edit_distance_verify(
+            d, dd.minhash_lsh_pairs(d, num_hashes=16, bands=4),
+            max_rel_bp=2000),
+        "tfidf_top_terms": lambda d, s: tx.tfidf_top_terms(d, top_k=5),
+        "mixture_weights": lambda d, s: sp.mixture_weights(
+            d, {"en": 0.5, "zh": 0.2, "de": 0.1, "es": 0.1, "fr": 0.1}),
     }
     emb_ops = {
         "cosine_topk": lambda e, s: sim.cosine_topk(e, [1.0] * 64, k=10),
