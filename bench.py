@@ -61,6 +61,9 @@ HEADLINE = [
     "dsir_importance_weights",     # DSIR hashed-ngram importance
     "corpus_top_ngrams",           # corpus heavy hitters (TakeOrdered)
     "asof_join_events",            # as-of join (union+window shape)
+    "dedup_edit_distance",         # banded Levenshtein verify over LSH
+    "tfidf_top_terms",             # tf/df two-level agg + window top-k
+    "mixture_weights_lang",        # domain-mix reweighting aggregate
 ]
 
 
@@ -96,10 +99,18 @@ def main() -> None:
         _materialize(qs[name](spark, SF_DIR))
 
     # best-of-2 per query (JMH-style): one measured run can eat a GC
-    # pause or compilation stall; the min is the steady-state number
+    # pause or compilation stall; the min is the steady-state number.
+    # clearCache between queries: operators that persist intermediates
+    # (posting tables, LSH buckets) re-persist per pass, and the dead
+    # generations otherwise accumulate in executor storage until
+    # eviction pressure taxes whoever runs next (the r3
+    # dedup_ngram_jaccard regression). localCheckpoint-backed memoized
+    # state (_prepare_once) lives outside the Dataset cache and
+    # survives this.
     timings: dict[str, float] = {}
     for _ in range(2):
         for name in HEADLINE:
+            spark.catalog.clearCache()
             t0 = time.time()
             _materialize(qs[name](spark, SF_DIR))
             dt = round(time.time() - t0, 3)
