@@ -653,3 +653,51 @@ def test_filter_on_time_extract(spark, reg):
         AND EXTRACT(MONTH FROM __time) = 1
     """, reg).collect()
     assert out[0]["c"] == 3
+
+
+def test_groupby_with_impossible_time_filter(spark, reg):
+    """CalciteQueryTest.java:3944 testGroupByWithImpossibleTimeFilter:
+    FLOOR(__time TO DAY) compared to a non-floor-aligned timestamp can
+    never match — empty grouped result."""
+    out = druid_sql(spark, """
+        SELECT dim1, COUNT(*) AS c FROM foo
+        WHERE FLOOR(__time TO DAY) = TIMESTAMP '2000-01-02 01:00:00'
+        OR FLOOR(__time TO DAY) = TIMESTAMP '2000-01-02 02:00:00'
+        GROUP BY 1
+    """, reg).collect()
+    assert out == []
+
+
+def test_groupby_one_column_literally_false_filter(spark, reg):
+    """CalciteQueryTest.java:3967 testGroupByOneColumnWithLiterallyFalse
+    Filter: WHERE 1 = 0 with a GROUP BY produces ZERO rows (contrast
+    with the no-group form, which produces one (0, null) row)."""
+    out = druid_sql(spark, """
+        SELECT COUNT(*) AS c, MAX(cnt) AS m FROM foo
+        WHERE 1 = 0 GROUP BY dim1
+    """, reg).collect()
+    assert out == []
+
+
+def test_count_star_with_time_millisecond_filters(spark, reg):
+    """CalciteQueryTest.java:5517 testCountStarWithTimeMillisecondFilters:
+    millisecond-precision point + range time filters -> 1 row."""
+    out = druid_sql(spark, """
+        SELECT COUNT(*) AS c FROM foo
+        WHERE __time = TIMESTAMP '2000-01-01 00:00:00.111'
+        OR (__time >= TIMESTAMP '2000-01-01 00:00:00.888'
+            AND __time < TIMESTAMP '2000-01-02 00:00:00.222')
+    """, reg).collect()
+    assert out[0]["c"] == 1
+
+
+def test_filter_on_time_floor_comparison(spark, reg):
+    """CalciteQueryTest.java:8048/8070 testFilterOnTimeFloorComparison
+    (+Misaligned): FLOOR(__time TO MONTH) < ts counts all 2000-01 rows;
+    a misaligned bound (00:00:01) must not change the answer."""
+    for bound in ("2000-02-01 00:00:00", "2000-02-01 00:00:01"):
+        out = druid_sql(spark, f"""
+            SELECT COUNT(*) AS c FROM foo
+            WHERE FLOOR(__time TO MONTH) < TIMESTAMP '{bound}'
+        """, reg).collect()
+        assert out[0]["c"] == 3
