@@ -487,6 +487,34 @@ def _sub_outside_strings(text: str, pattern: str, repl) -> str:
 _MV_LIT = r"(?:'(?:[^']|'')*'|[0-9]+(?:\.[0-9]+)?|[A-Za-z_][\w.]*)"
 
 
+def _map_mv_in_minmax(text: str, mv_cols) -> str:
+    """MAX/MIN(scalar-expr-of-one-MV-col) -> element-mapped fold (see
+    _rewrite_mv_semantics docstring). Bare MAX(mv) is left alone."""
+    for agg, arrfn in (("MAX", "array_max"), ("MIN", "array_min")):
+        changed = True
+        while changed:
+            changed = False
+            for _, op, cp in _find_calls(text, agg):
+                inner = text[op + 1:cp]
+                if "__mv_e" in inner:  # already mapped
+                    continue
+                hits = [c for c in mv_cols
+                        if re.search(rf"\b{re.escape(c)}\b", inner,
+                                     re.IGNORECASE)]
+                if len(hits) != 1 or inner.strip().lower() == \
+                        hits[0].lower():
+                    continue
+                col = hits[0]
+                mapped = _sub_outside_strings(
+                    inner, rf"\b{re.escape(col)}\b", lambda m: "__mv_e")
+                text = (text[:op + 1]
+                        + f"{arrfn}(transform({col}, __mv_e -> {mapped}))"
+                        + text[cp:])
+                changed = True
+                break  # offsets shifted — rescan
+    return text
+
+
 def _rewrite_mv_semantics(text: str, mv_cols) -> str:
     """Druid multi-value string semantics over SQL (docs/querying/
     multi-value-dimensions.md; selector filters match ANY element —
@@ -504,7 +532,18 @@ def _rewrite_mv_semantics(text: str, mv_cols) -> str:
     Applied only to columns the registry schema says are
     array<string>; scalar columns and array<numeric> (real ARRAY
     types) are untouched. GROUP BY explode of MV dims stays on the
-    native-query path (plans/compiler.py MV dimension explode)."""
+    native-query path (plans/compiler.py MV dimension explode).
+
+    Additionally, MAX/MIN over a scalar expression of ONE MV column
+    (Druid's implicit element-wise mapping — math-expr docs: a scalar
+    function over an MV input applies per element, and the aggregate
+    then folds the element results) maps the expression over the
+    elements: ``MAX(f(mv))`` -> ``MAX(array_max(transform(mv,
+    e -> f(e))))``. Empty arrays map to null (ignored by the
+    aggregate), matching empty-MV ≡ null. Expressions referencing two
+    different MV columns are left untouched — the reference rejects
+    those too (one implicit MV input per expression)."""
+    text = _map_mv_in_minmax(text, mv_cols)
     for col in mv_cols:
         c = re.escape(col)
         text = _sub_outside_strings(

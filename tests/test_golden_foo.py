@@ -701,3 +701,28 @@ def test_filter_on_time_floor_comparison(spark, reg):
             WHERE FLOOR(__time TO MONTH) < TIMESTAMP '{bound}'
         """, reg).collect()
         assert out[0]["c"] == 3
+
+
+def test_expression_aggregations(spark, reg):
+    """CalciteQueryTest.java:4982 testExpressionAggregations: expression
+    virtual columns under aggregates, including MAX/MIN over
+    CHARACTER_LENGTH(dim2) — an element-wise scalar over the MV dim
+    (empty MV rows contribute null and drop out; SQL-compatible MIN is
+    1.0 = strlen('a') + ln(1))."""
+    import math
+
+    out = druid_sql(spark, """
+        SELECT
+          SUM(cnt * 3) AS s3,
+          LN(SUM(cnt) + SUM(m1)) AS lnsum,
+          MOD(SUM(cnt), 4) AS md,
+          SUM(CHARACTER_LENGTH(CAST(cnt * 10 AS VARCHAR))) AS slen,
+          MAX(CHARACTER_LENGTH(dim2) + LN(m1)) AS mx,
+          MIN(CHARACTER_LENGTH(dim2) + LN(m1)) AS mn
+        FROM foo
+    """, reg).collect()
+    r = out[0]
+    assert r["s3"] == 18 and r["md"] == 2 and r["slen"] == 12
+    assert abs(r["lnsum"] - 3.295836866004329) < 1e-12
+    assert abs(r["mx"] - (3.0 + math.log(5.0))) < 1e-12
+    assert abs(r["mn"] - 1.0) < 1e-12
