@@ -726,3 +726,35 @@ def test_expression_aggregations(spark, reg):
     assert abs(r["lnsum"] - 3.295836866004329) < 1e-12
     assert abs(r["mx"] - (3.0 + math.log(5.0))) < 1e-12
     assert abs(r["mn"] - 1.0) < 1e-12
+
+
+def test_count_star_long_column_float_literal_filters(spark, reg):
+    """CalciteQueryTest.java:4379 testCountStarWithLongColumnFiltersOn
+    FloatLiterals: float literals against the long cnt column — exact
+    fractional bounds match nothing, whole-valued literals coerce."""
+    cases = [
+        ("cnt > 1.1 and cnt < 100000001.0", 0),
+        ("cnt = 1.0", 6),
+        ("cnt = 100000001.0", 0),
+        ("cnt = 1.0 or cnt = 100000001.0", 6),
+    ]
+    for where, expected in cases:
+        out = druid_sql(spark,
+                        f"SELECT COUNT(*) AS c FROM foo WHERE {where}",
+                        reg).collect()
+        assert out[0]["c"] == expected, where
+
+
+def test_count_distinct_of_case_when(spark, reg):
+    """CalciteQueryTest.java:6041 testCountDistinctOfCaseWhen: CASE
+    inside COUNT(DISTINCT) plans as filtered cardinality — 3 distinct
+    m1 values >= 4 and 3 distinct dim1 values on those rows (the
+    unique_dim1 sketch column variant needs the HLL ingest column the
+    fixture doesn't carry; DS_HLL covers that path elsewhere)."""
+    out = druid_sql(spark, """
+        SELECT
+          COUNT(DISTINCT CASE WHEN m1 >= 4 THEN m1 END) AS a,
+          COUNT(DISTINCT CASE WHEN m1 >= 4 THEN dim1 END) AS b
+        FROM foo
+    """, reg).collect()
+    assert (out[0]["a"], out[0]["b"]) == (3, 3)
