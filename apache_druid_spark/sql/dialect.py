@@ -307,8 +307,11 @@ def _rewrite_truncate_default(text: str) -> str:
     return text
 
 
+# the ts operand may itself be a (one-level-nested) call, e.g.
+# FLOOR(MILLIS_TO_TIMESTAMP(cnt) TO YEAR) or FLOOR(CAST(x AS TIMESTAMP)
+# TO DAY) — CalciteQueryTest.java:5965
 _FLOOR_TO_RE = re.compile(
-    r"\b(FLOOR|CEIL)\s*\(\s*([^()]+?)\s+TO\s+"
+    r"\b(FLOOR|CEIL)\s*\(\s*((?:[^()]|\([^()]*\))+?)\s+TO\s+"
     r"(SECOND|MINUTE|HOUR|DAY|WEEK|MONTH|QUARTER|YEAR)\s*\)",
     re.IGNORECASE)
 

@@ -758,3 +758,31 @@ def test_count_distinct_of_case_when(spark, reg):
         FROM foo
     """, reg).collect()
     assert (out[0]["a"], out[0]["b"]) == (3, 3)
+
+
+def test_time_filter_on_long_column_millis_to_timestamp(spark, reg):
+    """CalciteQueryTest.java:5965 testTimeseriesWithTimeFilterOnLong
+    ColumnUsingMillisToTimestamp: MILLIS_TO_TIMESTAMP over a long
+    metric, floored to YEAR — all six cnt=1 rows land in 1970."""
+    out = druid_sql(spark, """
+        SELECT FLOOR(MILLIS_TO_TIMESTAMP(cnt) TO YEAR) AS y,
+               COUNT(*) AS c
+        FROM foo
+        WHERE MILLIS_TO_TIMESTAMP(cnt) >= TIMESTAMP '1970-01-01 00:00:00'
+          AND MILLIS_TO_TIMESTAMP(cnt) < TIMESTAMP '1970-01-02 00:00:00'
+        GROUP BY FLOOR(MILLIS_TO_TIMESTAMP(cnt) TO YEAR)
+    """, reg).collect()
+    assert len(out) == 1 and out[0]["c"] == 6
+    assert str(out[0]["y"]).startswith("1970-01-01")
+
+
+def test_avg_daily_count_distinct(spark, reg):
+    """CalciteQueryTest.java:6783 testAvgDailyCountDistinct: AVG over a
+    per-day APPROX_COUNT_DISTINCT subquery -> 1.0 (cnt is constant)."""
+    out = druid_sql(spark, """
+        SELECT AVG(u) AS avg_u
+        FROM (SELECT FLOOR(__time TO DAY) AS d,
+                     APPROX_COUNT_DISTINCT(cnt) AS u
+              FROM foo GROUP BY 1)
+    """, reg).collect()
+    assert out[0]["avg_u"] == 1.0
