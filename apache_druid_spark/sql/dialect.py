@@ -490,6 +490,160 @@ def _sub_outside_strings(text: str, pattern: str, repl) -> str:
 _MV_LIT = r"(?:'(?:[^']|'')*'|[0-9]+(?:\.[0-9]+)?|[A-Za-z_][\w.]*)"
 
 
+def _depths(text: str) -> list[int]:
+    """Paren depth at each character position (string-literal aware)."""
+    spans = _string_spans(text)
+    in_str = [False] * len(text)
+    for a, b in spans:
+        for i in range(a, min(b + 1, len(text))):
+            in_str[i] = True
+    out, d = [], 0
+    for i, ch in enumerate(text):
+        if not in_str[i]:
+            if ch == "(":
+                out.append(d)
+                d += 1
+                continue
+            if ch == ")":
+                d -= 1
+        out.append(d)
+    return out
+
+
+def _rewrite_mv_groupby(text: str, mv_cols) -> str:
+    """GROUP BY on a bare MV column explodes to element values —
+    Druid's defining multi-value behavior (docs/querying/
+    multi-value-dimensions.md; GroupByQueryEngine explodes each row
+    into one group per value, and a null/empty MV row contributes a
+    null group).
+
+    Scoped rewrite: applies when the SELECT block's FROM is a single
+    table (no JOIN, no comma list). The table gains ``LATERAL VIEW
+    OUTER explode(col)`` (OUTER = null row for null/empty, matching
+    empty ≡ null) and every reference to the column OUTSIDE the WHERE
+    clause switches to the exploded element. WHERE keeps the original
+    column so filters stay pre-explode any-element matches — exactly
+    the reference's ordering (dim filters select ROWS, the groupBy
+    then explodes every value of the surviving rows)."""
+    for col in mv_cols:
+        c = re.escape(col)
+        changed = True
+        while changed:
+            changed = False
+            depths = _depths(text)
+            spans = _string_spans(text)
+
+            def _outside(i):
+                return not any(a <= i <= b for a, b in spans)
+
+            for m in re.finditer(r"\bGROUP\s+BY\b", text, re.IGNORECASE):
+                if not _outside(m.start()):
+                    continue
+                d = depths[m.start()]
+                # block = this SELECT's span at depth d
+                bstart = 0
+                for i in range(m.start() - 1, -1, -1):
+                    if depths[i] < d:
+                        bstart = i + 1
+                        break
+                bend = len(text)
+                for i in range(m.end(), len(text)):
+                    if depths[i] < d:
+                        bend = i
+                        break
+                # group clause = GROUP BY .. HAVING/ORDER/LIMIT/bend
+                gend = bend
+                tail = re.compile(r"\b(HAVING|ORDER\s+BY|LIMIT)\b",
+                                  re.IGNORECASE)
+                for t in tail.finditer(text, m.end(), bend):
+                    if depths[t.start()] == d and _outside(t.start()):
+                        gend = t.start()
+                        break
+                clause = text[m.end():gend]
+                if not re.search(rf"\b{c}\b", clause, re.IGNORECASE):
+                    continue
+                if f"__mv_g_{col}" in text[bstart:bend]:
+                    continue  # already exploded in this block
+                # nearest FROM before GROUP BY at this depth
+                fstart = None
+                for f in re.finditer(r"\bFROM\b", text, re.IGNORECASE):
+                    if (f.start() < m.start() and depths[f.start()] == d
+                            and f.start() >= bstart and _outside(f.start())):
+                        fstart = f
+                if fstart is None:
+                    continue
+                tbl = re.compile(
+                    r"\s+([A-Za-z_][\w.$]*)"
+                    r"(\s+(?:AS\s+)?(?!WHERE\b|GROUP\b|LATERAL\b)"
+                    r"[A-Za-z_]\w*)?",
+                    re.IGNORECASE).match(text, fstart.end())
+                if tbl is None:
+                    continue
+                between = text[tbl.end():m.start()]
+                wmatch = None
+                for w in re.finditer(r"\bWHERE\b", text,
+                                     re.IGNORECASE):
+                    if (tbl.end() <= w.start() < m.start()
+                            and depths[w.start()] == d
+                            and _outside(w.start())):
+                        wmatch = w
+                        break
+                pre_where_end = wmatch.start() if wmatch else m.start()
+                if re.search(r"\bJOIN\b|,", text[tbl.end():pre_where_end]
+                             ) or text[tbl.end():pre_where_end].strip():
+                    continue  # not a bare single-table FROM
+                alias = f"__mv_g_{col}"
+
+                def _alias_col(seg: str) -> str:
+                    # (?<![\w.]) — leave qualified refs (t.col) alone
+                    return _sub_outside_strings(
+                        seg, rf"(?<![\w.]){c}\b", lambda _: alias)
+
+                def _keep_output_name(seg: str) -> str:
+                    """A bare ``col`` select item must still be NAMED
+                    col in the output: patch exact-item occurrences of
+                    the exploded alias to ``alias AS col``."""
+                    sel = re.search(r"\bSELECT\b", seg, re.IGNORECASE)
+                    frm = None
+                    for f2 in re.finditer(r"\bFROM\b", seg,
+                                          re.IGNORECASE):
+                        frm = f2
+                    if sel is None or frm is None:
+                        return seg
+                    inner, parts, depth2, last = \
+                        seg[sel.end():frm.start()], [], 0, 0
+                    for i2, ch in enumerate(inner):
+                        if ch == "(":
+                            depth2 += 1
+                        elif ch == ")":
+                            depth2 -= 1
+                        elif ch == "," and depth2 == 0:
+                            parts.append(inner[last:i2])
+                            last = i2 + 1
+                    parts.append(inner[last:])
+                    patched = [f" {alias} AS {col} "
+                               if p.strip() == alias else p
+                               for p in parts]
+                    return (seg[:sel.end()] + ",".join(patched)
+                            + seg[frm.start():])
+
+                where_span = ((wmatch.start(), m.start()) if wmatch
+                              else (m.start(), m.start()))
+                new = (text[:bstart]
+                       + _keep_output_name(
+                           _alias_col(text[bstart:tbl.end()]))
+                       + f" LATERAL VIEW OUTER explode({col}) AS {alias} "
+                       + text[tbl.end():where_span[0]]
+                       + text[where_span[0]:where_span[1]]
+                       + _alias_col(text[where_span[1]:bend])
+                       + text[bend:])
+                if new != text:
+                    text = new
+                    changed = True
+                    break
+    return text
+
+
 def _map_mv_in_minmax(text: str, mv_cols) -> str:
     """MAX/MIN(scalar-expr-of-one-MV-col) -> element-mapped fold (see
     _rewrite_mv_semantics docstring). Bare MAX(mv) is left alone."""
@@ -546,6 +700,7 @@ def _rewrite_mv_semantics(text: str, mv_cols) -> str:
     aggregate), matching empty-MV ≡ null. Expressions referencing two
     different MV columns are left untouched — the reference rejects
     those too (one implicit MV input per expression)."""
+    text = _rewrite_mv_groupby(text, mv_cols)
     text = _map_mv_in_minmax(text, mv_cols)
     for col in mv_cols:
         c = re.escape(col)

@@ -786,3 +786,39 @@ def test_avg_daily_count_distinct(spark, reg):
               FROM foo GROUP BY 1)
     """, reg).collect()
     assert out[0]["avg_u"] == 1.0
+
+
+def test_mv_groupby_explode_sql(spark, reg):
+    """docs/querying/multi-value-dimensions.md grouping semantics via
+    SQL: GROUP BY an MV dim explodes to one group per element value;
+    null and empty MV rows contribute a null group."""
+    out = druid_sql(spark,
+                    "SELECT dim3, COUNT(*) AS c FROM foo GROUP BY dim3",
+                    reg).collect()
+    groups = sorted((r["dim3"], r["c"]) for r in out
+                    if r["dim3"] is not None)
+    assert groups == [("", 1), ("a", 1), ("b", 2), ("c", 1), ("d", 1)]
+    assert [r["c"] for r in out if r["dim3"] is None] == [2]
+
+
+def test_mv_groupby_filter_is_pre_explode(spark, reg):
+    """Same doc, filter ordering: WHERE dim3 = 'b' selects ROWS with
+    any element 'b', and the groupBy then explodes ALL their values
+    (the t3 example's famous non-intuitive result)."""
+    out = druid_sql(spark, """
+        SELECT dim3, COUNT(*) AS c FROM foo
+        WHERE dim3 = 'b' GROUP BY dim3 ORDER BY dim3
+    """, reg).collect()
+    assert [(r["dim3"], r["c"]) for r in out] == \
+        [("a", 1), ("b", 2), ("c", 1)]
+
+
+def test_exact_count_distinct_using_subquery(spark, reg):
+    """CalciteQueryTest.java:6613 testExactCountDistinctUsingSubquery:
+    inner GROUP BY on the MV dim2 explodes to 4 value groups (a, '',
+    abc, null) whose cnt sums re-aggregate to (6, 4)."""
+    out = druid_sql(spark, """
+        SELECT SUM(cnt) AS s, COUNT(*) AS c
+        FROM (SELECT dim2, SUM(cnt) AS cnt FROM foo GROUP BY dim2)
+    """, reg).collect()
+    assert (out[0]["s"], out[0]["c"]) == (6, 4)
