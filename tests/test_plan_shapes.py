@@ -348,3 +348,30 @@ def test_winnowing_explode_infers_no_pushed_filter(reg):
         if "Filter" in line and "array_min" in line:
             raise AssertionError(f"mins expression inlined into a "
                                  f"Filter:\n{line[:400]}")
+
+
+def test_tfidf_topk_is_window_group_limit(reg):
+    """The per-doc top-k must push the rank cut below the full sort
+    (WindowGroupLimit: per-partition k-heaps before the window), and
+    the corpus doc-count side must broadcast — never shuffle the tf
+    table against a 1-row aggregate."""
+    from apache_druid_spark.pipeline.text import tfidf_top_terms
+
+    plan = plan_of(tfidf_top_terms(reg.table("documents"), top_k=3))
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" \
+        in plan, plan
+
+
+def test_edit_distance_no_cartesian(reg):
+    """The verify pass must gather text via hash/broadcast joins keyed
+    on the pair ids — never a cartesian product of the corpus."""
+    from apache_druid_spark.pipeline.dedup import (
+        edit_distance_verify, minhash_lsh_pairs,
+    )
+
+    docs = reg.table("documents")
+    plan = plan_of(edit_distance_verify(
+        docs, minhash_lsh_pairs(docs), max_rel_bp=2000))
+    assert "CartesianProduct" not in plan, plan
+    assert "levenshtein" in plan, plan
