@@ -822,3 +822,15 @@ def test_exact_count_distinct_using_subquery(spark, reg):
         FROM (SELECT dim2, SUM(cnt) AS cnt FROM foo GROUP BY dim2)
     """, reg).collect()
     assert (out[0]["s"], out[0]["c"]) == (6, 4)
+
+
+def test_histogram_using_subquery(spark, reg):
+    """CalciteQueryTest.java:7367 testHistogramUsingSubquery: histogram
+    of per-dim2-value cnt sums (MV explode: a->2, ''->1, abc->1,
+    null->2) -> {'1': 2, '2': 2} in SQL-compatible mode."""
+    out = druid_sql(spark, """
+        SELECT CAST(thecnt AS VARCHAR) AS h, COUNT(*) AS c
+        FROM (SELECT dim2, SUM(cnt) AS thecnt FROM foo GROUP BY dim2)
+        GROUP BY CAST(thecnt AS VARCHAR)
+    """, reg).collect()
+    assert sorted((r["h"], r["c"]) for r in out) == [("1", 2), ("2", 2)]
