@@ -133,10 +133,17 @@ _FUNCTION_DEFS: list[tuple[str, str, str, str]] = [
      "CASE WHEN array_position(a, v) = 0 THEN NULL ELSE CAST(array_position(a, v) - 1 AS INT) END"),
     ("ARRAY_ORDINAL_OF", "a ARRAY<STRING>, v STRING", "INT",
      "CASE WHEN array_position(a, v) = 0 THEN NULL ELSE CAST(array_position(a, v) AS INT) END"),
+    # a filter result with no surviving elements is NULL, not []: the
+    # native ListFilteredVirtualColumn selector treats a 0-length row
+    # as null (pinned by CalciteMultiValueStringQueryTest
+    # testMultiValueListFilterComposed, which documents the divergence
+    # from the plain array_filter expression)
     ("MV_FILTER_ONLY", "a ARRAY<STRING>, keep ARRAY<STRING>", "ARRAY<STRING>",
-     "filter(a, x -> array_contains(keep, x))"),
+     "CASE WHEN size(filter(a, x -> array_contains(keep, x))) = 0 "
+     "THEN NULL ELSE filter(a, x -> array_contains(keep, x)) END"),
     ("MV_FILTER_NONE", "a ARRAY<STRING>, drop ARRAY<STRING>", "ARRAY<STRING>",
-     "filter(a, x -> NOT array_contains(drop, x))"),
+     "CASE WHEN size(filter(a, x -> NOT array_contains(drop, x))) = 0 "
+     "THEN NULL ELSE filter(a, x -> NOT array_contains(drop, x)) END"),
     # -- string / math shims ---------------------------------------------
     ("TEXTCAT", "a STRING, b STRING", "STRING", "concat(a, b)"),
     ("CONTAINS_STRING", "h STRING, n STRING", "BOOLEAN", "contains(h, n)"),
@@ -227,6 +234,20 @@ def _bloom_test_def() -> tuple[str, str, str, str]:
 
 
 _FUNCTION_DEFS.append(_bloom_test_def())
+
+
+def mv_macro_bodies() -> dict[str, tuple[list[str], str]]:
+    """{NAME: ([arg names], body SQL)} for the MV/array macros, so the
+    dialect can inline-expand them where Spark disallows SQL UDFs
+    (inside a Generate / LATERAL VIEW — UNSUPPORTED_SQL_UDF_USAGE)."""
+    out = {}
+    for name, sig, _ret, body in _FUNCTION_DEFS:
+        if not (name.startswith("MV_") or name.startswith("ARRAY_")
+                or name == "STRING_TO_MV"):
+            continue
+        argnames = [p.strip().split()[0] for p in sig.split(",")]
+        out[name] = (argnames, body)
+    return out
 
 
 def register_druid_functions(spark: SparkSession, registry=None) -> None:

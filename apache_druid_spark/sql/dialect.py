@@ -288,6 +288,53 @@ def _rewrite_array_prepend(text: str) -> str:
     return text
 
 
+def _rewrite_mv_slice_2arg(text: str) -> str:
+    """Druid MV_SLICE/ARRAY_SLICE with two args slices to the end of
+    the array (ArraySliceOperatorConversion end defaults to length);
+    the registered SQL macro is fixed 3-arity."""
+    for name in ("MV_SLICE", "ARRAY_SLICE"):
+        while True:
+            found = None
+            for start, op, cp in _find_calls(text, name):
+                args = _split_top_args(text[op + 1:cp])
+                if len(args) == 2:
+                    found = (start, op, cp, args)
+                    break
+            if found is None:
+                break
+            start, op, cp, args = found
+            a, s = args[0].strip(), args[1].strip()
+            text = (text[:start]
+                    + f"slice({a}, ({s}) + 1, "
+                    + f"greatest(size({a}) - ({s}), 0))"
+                    + text[cp + 1:])
+    return text
+
+
+def _rewrite_mv_contains_array(text: str) -> str:
+    """Druid MV_CONTAINS/ARRAY_CONTAINS with an ARRAY second argument
+    is contains-ALL (MultiValueStringOperatorConversions.Contains);
+    the registered macro and the Spark builtin take a scalar needle."""
+    for name in ("MV_CONTAINS", "ARRAY_CONTAINS"):
+        while True:
+            found = None
+            for start, op, cp in _find_calls(text, name):
+                args = _split_top_args(text[op + 1:cp])
+                if (len(args) == 2
+                        and re.match(r"\s*array\s*\(", args[1],
+                                     re.IGNORECASE)):
+                    found = (start, op, cp, args)
+                    break
+            if found is None:
+                break
+            start, op, cp, args = found
+            text = (text[:start]
+                    + f"forall({args[1].strip()}, __mv_c -> "
+                    + f"array_contains({args[0].strip()}, __mv_c))"
+                    + text[cp + 1:])
+    return text
+
+
 def _rewrite_truncate_default(text: str) -> str:
     """TRUNC/TRUNCATE with one arg: Druid defaults digits to 0; the
     registered TRUNCATE UDF is fixed 2-arity (SQL functions can't
@@ -372,6 +419,8 @@ def translate(text: str, time_column: str = TIME_COLUMN) -> str:
     text = text.replace("__RX_EXTRACT__", "regexp_extract")
     text = _rewrite_array_prepend(text)
     text = text.replace("__ARR_PREP__", "array_prepend")
+    text = _rewrite_mv_slice_2arg(text)
+    text = _rewrite_mv_contains_array(text)
     text = _rewrite_truncate_default(text)
     # ordered: _BY variants first so bare EARLIEST doesn't eat them
     text = _rewrite_call(text, "EARLIEST_BY", "min_by")
@@ -510,6 +559,188 @@ def _depths(text: str) -> list[int]:
     return out
 
 
+def _resolve_group_items(text: str, sel_end: int, from_start: int,
+                         clause: str) -> list[str]:
+    """GROUP BY items with ordinals resolved to their select items
+    (minus any trailing ``AS alias``)."""
+    items = _split_top_args(text[sel_end:from_start])
+    out = []
+    for gi in _split_top_args(clause):
+        s = gi.strip()
+        if re.fullmatch(r"\d+", s) and 1 <= int(s) <= len(items):
+            it = items[int(s) - 1]
+            it = re.sub(r"\s+AS\s+[A-Za-z_]\w*\s*$", "", it,
+                        flags=re.IGNORECASE)
+            out.append(it.strip())
+        elif s:
+            out.append(s)
+    return out
+
+
+def _has_bare_ref(seg: str, col: str) -> bool:
+    """True if ``seg`` references ``col`` outside any function call
+    (operators and grouping parens don't count as calls)."""
+    depths = _depths(seg)
+    spans = _string_spans(seg)
+    for m in re.finditer(rf"(?<![\w.]){re.escape(col)}\b", seg,
+                         re.IGNORECASE):
+        if any(a <= m.start() <= b for a, b in spans):
+            continue
+        bare = True
+        for name, _, _ in _enclosing_calls(seg, m.start(), depths, spans):
+            if name == "":
+                continue
+            bare = False
+            break
+        if bare:
+            return True
+    return False
+
+
+def _expand_mv_macros(expr: str) -> str:
+    """Inline-expand registered MV/array SQL macros inside ``expr`` —
+    Spark refuses SQL UDFs inside a Generate (LATERAL VIEW explode),
+    so an exploded item must be pure built-in expressions."""
+    from apache_druid_spark.functions.registry import mv_macro_bodies
+
+    macros = mv_macro_bodies()
+    changed = True
+    while changed:
+        changed = False
+        for name, (argnames, body) in macros.items():
+            for start, op, cp in _find_calls(expr, name):
+                args = _split_top_args(expr[op + 1:cp])
+                if len(args) != len(argnames):
+                    continue
+                # two-phase: placeholders first, so an argument VALUE
+                # that happens to equal a later parameter name is never
+                # re-substituted
+                rep = body
+                for i2, an in enumerate(argnames):
+                    rep = re.sub(rf"\b{re.escape(an)}\b",
+                                 f"__MVARG{i2}__", rep)
+                for i2, av in enumerate(args):
+                    rep = rep.replace(f"__MVARG{i2}__",
+                                      f"({av.strip()})")
+                expr = expr[:start] + "(" + rep + ")" + expr[cp + 1:]
+                changed = True
+                break
+            if changed:
+                break
+    return expr
+
+
+def _explode_mv_array_items(text: str, mv_cols) -> str:
+    """GROUP BY an ARRAY-VALUED expression of an MV column (MV_APPEND,
+    MV_FILTER_ONLY, a transform-mapped scalar expression, ...) explodes
+    the expression's elements — grouping on an array-typed virtual
+    column unnests each row into one group per element
+    (GroupByQueryEngine MV explode; CalciteMultiValueStringQueryTest
+    testMultiValueStringAppend/Concat/ListFilter). The item becomes a
+    ``LATERAL VIEW OUTER explode(item)`` (OUTER: a null/empty result
+    contributes a null group) and non-WHERE references to the item
+    switch to the element alias; WHERE keeps the original expression —
+    filters are pre-explode row predicates."""
+    n_alias = 0
+    changed = True
+    while changed:
+        changed = False
+        depths = _depths(text)
+        spans = _string_spans(text)
+
+        def _outside(i):
+            return not any(a <= i <= b for a, b in spans)
+
+        for m in re.finditer(r"\bGROUP\s+BY\b", text, re.IGNORECASE):
+            if not _outside(m.start()):
+                continue
+            d = depths[m.start()]
+            bstart = 0
+            for i in range(m.start() - 1, -1, -1):
+                if depths[i] < d:
+                    bstart = i + 1
+                    break
+            bend = len(text)
+            for i in range(m.end(), len(text)):
+                if depths[i] < d:
+                    bend = i
+                    break
+            gend = bend
+            tail = re.compile(r"\b(HAVING|ORDER\s+BY|LIMIT)\b",
+                              re.IGNORECASE)
+            for t in tail.finditer(text, m.end(), bend):
+                if depths[t.start()] == d and _outside(t.start()):
+                    gend = t.start()
+                    break
+            clause = text[m.end():gend]
+            sel = None
+            for s2 in re.finditer(r"\bSELECT\b", text, re.IGNORECASE):
+                if (bstart <= s2.start() < m.start()
+                        and depths[s2.start()] == d
+                        and _outside(s2.start())):
+                    sel = s2
+                    break
+            fstart = None
+            for f in re.finditer(r"\bFROM\b", text, re.IGNORECASE):
+                if (f.start() < m.start() and depths[f.start()] == d
+                        and f.start() >= bstart and _outside(f.start())):
+                    fstart = f
+            if sel is None or fstart is None:
+                continue
+            tbl = re.compile(
+                r"\s+([A-Za-z_][\w.$]*)"
+                r"(\s+(?:AS\s+)?(?!WHERE\b|GROUP\b|LATERAL\b)"
+                r"[A-Za-z_]\w*)?",
+                re.IGNORECASE).match(text, fstart.end())
+            if tbl is None:
+                continue
+            wmatch = None
+            for w in re.finditer(r"\bWHERE\b", text, re.IGNORECASE):
+                if (tbl.end() <= w.start() < m.start()
+                        and depths[w.start()] == d and _outside(w.start())):
+                    wmatch = w
+                    break
+            pre_where_end = wmatch.start() if wmatch else m.start()
+            between = text[tbl.end():pre_where_end].strip()
+            if between and not between.upper().startswith("LATERAL VIEW"):
+                continue  # not a single-table FROM we understand
+            items = _resolve_group_items(text, sel.end(), fstart.start(),
+                                         clause)
+            for it in items:
+                head = re.match(r"([A-Za-z_][\w]*)\s*\(", it)
+                if (head is None
+                        or head.group(1).lower() not in _MV_ARRAY_RET_FNS):
+                    continue
+                cp_it = _matching_close(it, head.end() - 1)
+                if cp_it != len(it.rstrip()) - 1:
+                    continue  # item is not one complete call
+                if "__mv_g_" in it:
+                    continue
+                if not any(re.search(rf"(?<![\w.]){re.escape(c)}\b", it,
+                                     re.IGNORECASE) for c in mv_cols):
+                    continue
+                n_alias += 1
+                alias = f"__mv_g_x{n_alias}"
+
+                def _rep(seg):
+                    return seg.replace(it, f" {alias} ")
+
+                new = (text[:bstart]
+                       + _rep(text[bstart:pre_where_end])
+                       + f" LATERAL VIEW OUTER explode("
+                       + f"{_expand_mv_macros(it)}) AS {alias} "
+                       + text[pre_where_end:m.start()]
+                       + _rep(text[m.start():bend])
+                       + text[bend:])
+                if new != text:
+                    text = new
+                    changed = True
+                    break
+            if changed:
+                break
+    return text
+
+
 def _rewrite_mv_groupby(text: str, mv_cols) -> str:
     """GROUP BY on a bare MV column explodes to element values —
     Druid's defining multi-value behavior (docs/querying/
@@ -560,8 +791,6 @@ def _rewrite_mv_groupby(text: str, mv_cols) -> str:
                         gend = t.start()
                         break
                 clause = text[m.end():gend]
-                if not re.search(rf"\b{c}\b", clause, re.IGNORECASE):
-                    continue
                 if f"__mv_g_{col}" in text[bstart:bend]:
                     continue  # already exploded in this block
                 # nearest FROM before GROUP BY at this depth
@@ -571,6 +800,25 @@ def _rewrite_mv_groupby(text: str, mv_cols) -> str:
                             and f.start() >= bstart and _outside(f.start())):
                         fstart = f
                 if fstart is None:
+                    continue
+                # trigger: a BARE reference (not an argument of any
+                # function call) in a group item — ordinals resolve to
+                # their select items so ``GROUP BY 1`` works; a col
+                # consumed as an array (MV_TO_STRING(col, ..)) or
+                # already mapped (transform(...)) is NOT a bare ref and
+                # is handled by _explode_mv_array_items / left scalar
+                sel2 = None
+                for s2 in re.finditer(r"\bSELECT\b", text, re.IGNORECASE):
+                    if (bstart <= s2.start() < m.start()
+                            and depths[s2.start()] == d
+                            and _outside(s2.start())):
+                        sel2 = s2
+                        break
+                probe_items = (
+                    _resolve_group_items(text, sel2.end(), fstart.start(),
+                                         clause)
+                    if sel2 is not None else _split_top_args(clause))
+                if not any(_has_bare_ref(it, col) for it in probe_items):
                     continue
                 tbl = re.compile(
                     r"\s+([A-Za-z_][\w.$]*)"
@@ -672,6 +920,235 @@ def _map_mv_in_minmax(text: str, mv_cols) -> str:
     return text
 
 
+# -- Druid implicit element-wise mapping over MV columns ---------------
+# (math-expr docs + ExpressionVirtualColumn: a scalar function applied
+# to a multi-value string input maps over the elements and yields an MV;
+# CalciteMultiValueStringQueryTest pins the SQL-visible behavior.)
+
+# call heads that consume an ARRAY argument as an array — an MV column
+# reference directly inside one of these is NOT element-mapped
+_MV_ARRAY_ARG_FNS = frozenset((
+    "mv_length mv_offset mv_ordinal mv_contains mv_overlap mv_offset_of "
+    "mv_ordinal_of mv_append mv_prepend mv_concat mv_slice mv_to_string "
+    "mv_to_array mv_filter_only mv_filter_none array_slice array_offset_of "
+    "array_ordinal_of array_prepend array_append array_concat "
+    "array_to_string array_contains arrays_overlap array_length "
+    "array_offset array_ordinal array_overlap size cardinality slice "
+    "filter transform exists forall aggregate array_sort array_distinct "
+    "array_max array_min array_join array_position flatten coalesce "
+    "element_at get explode explode_outer posexplode string_to_array "
+    "unnest array struct map named_struct"
+).split())
+
+# aggregate heads form a mapping boundary (COUNT/MIN/MAX have their own
+# dedicated MV rules; the mapped expression must stay INSIDE the agg)
+_MV_AGG_BOUNDARY = frozenset((
+    "count sum sum0 min max avg any_value any first last earliest latest "
+    "earliest_by latest_by min_by max_by string_agg array_agg listagg "
+    "collect_list collect_set approx_count_distinct grouping var_samp "
+    "var_pop variance stddev stddev_samp stddev_pop bit_and bit_or "
+    "bit_xor percentile_approx approx_quantile"
+).split())
+
+# array-RETURNING call heads: a GROUP BY item of this shape is an MV
+# value and explodes to one group per element (groupBy on an array-typed
+# virtual column — GroupByQueryEngine MV explode)
+_MV_ARRAY_RET_FNS = frozenset((
+    "mv_append mv_prepend mv_concat mv_slice mv_filter_only "
+    "mv_filter_none mv_to_array string_to_mv string_to_array "
+    "array_prepend array_append array_concat array_slice slice filter "
+    "transform split"
+).split())
+
+# marker for a null MV row: expressions over null map to a single-null
+# MV ([null]), matching modern reference behavior (ExpressionProcessing
+# non-legacy; testMultiValueStringWorksLikeStringScan expects [null])
+_MV_NULL_ROW = "array(CAST(NULL AS STRING))"
+
+# SQL keywords that look like call heads when followed by "(" — a ref
+# under one of these is not inside a mappable scalar function call
+_MV_KEYWORD_STOP = frozenset(
+    "in and or not values on when then else case exists between "
+    "select from where group having order limit join using over "
+    "partition row rows range interval".split())
+
+
+def _enclosing_calls(text: str, pos: int, depths, spans):
+    """Yield (fn_name_lower, call_start, open_paren) innermost-first for
+    every call enclosing ``pos``; bare grouping parens yield ("", start,
+    open)."""
+    d = depths[pos]
+    i = pos
+    while d > 0:
+        j = i - 1
+        while j >= 0:
+            if (text[j] == "(" and depths[j] == d - 1
+                    and not any(a <= j <= b for a, b in spans)):
+                break
+            j -= 1
+        if j < 0:
+            return
+        m = re.search(r"([A-Za-z_][\w]*)\s*\Z", text[:j])
+        if m:
+            yield m.group(1).lower(), m.start(1), j
+        else:
+            yield "", j, j
+        d -= 1
+        i = j
+
+
+def _matching_close(text: str, op: int) -> int:
+    """Index of the ')' matching the '(' at ``op`` (string-aware)."""
+    depth, j, in_str = 1, op + 1, None
+    while j < len(text) and depth:
+        ch = text[j]
+        if in_str:
+            if ch == in_str:
+                in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        j += 1
+    return j - 1
+
+
+def _map_mv_scalar_exprs(text: str, mv_cols) -> str:
+    """Scalar-function expressions over an MV column map element-wise
+    and yield an MV: ``concat(mv,'foo')`` becomes ``transform(
+    coalesce(mv, [null]), e -> concat(e,'foo'))`` — an array — which
+    later stages explode (GROUP BY), any-element match (comparisons) or
+    return as-is (scan). The maximal enclosing scalar call is mapped as
+    one unit; the walk outward stops at array-consuming functions and
+    aggregates. Expressions referencing two different MV columns are
+    left untouched (the reference allows one implicit MV input per
+    expression)."""
+    changed = True
+    while changed:
+        changed = False
+        depths = _depths(text)
+        spans = _string_spans(text)
+        for col in mv_cols:
+            c = re.escape(col)
+            for m in re.finditer(rf"(?<![\w.]){c}\b", text, re.IGNORECASE):
+                pos = m.start()
+                if any(a <= pos <= b for a, b in spans):
+                    continue
+                target = None  # (fn_start, open_paren) of the call to map
+                for name, fstart, op in _enclosing_calls(
+                        text, pos, depths, spans):
+                    if name == "":
+                        continue  # grouping parens are transparent
+                    if name in _MV_AGG_BOUNDARY:
+                        # inside an aggregate: the MIN/MAX element-fold
+                        # (_map_mv_in_minmax) owns this shape
+                        target = None
+                        break
+                    if (name in _MV_ARRAY_ARG_FNS
+                            or name in _MV_KEYWORD_STOP
+                            or name.startswith("__")):
+                        break
+                    target = (fstart, op)
+                if target is None:
+                    continue
+                fstart, op = target
+                cp = _matching_close(text, op)
+                span = text[fstart:cp + 1]
+                if "__mv_e" in span or "__mv_g_" in span:
+                    continue  # already mapped / exploded
+                others = [o for o in mv_cols if o.lower() != col.lower()
+                          and re.search(rf"(?<![\w.]){re.escape(o)}\b",
+                                        span, re.IGNORECASE)]
+                if others:
+                    continue
+                mapped = _sub_outside_strings(
+                    span, rf"(?<![\w.]){c}\b", lambda _: "__mv_e")
+                new_span = (f"transform(coalesce({col}, {_MV_NULL_ROW}), "
+                            f"__mv_e -> {mapped})")
+                text = text[:fstart] + new_span + text[cp + 1:]
+                changed = True
+                break
+            if changed:
+                break
+    return text
+
+
+def _unwrap_mv_array_wrap(text: str, mv_cols) -> str:
+    """``MV_OVERLAP(x, ARRAY[mv])`` wraps an MV column in an ARRAY
+    constructor; in the reference the MV column IS the array, so the
+    wrap is the identity (testMultiValueStringOverlapFilterNonLiteral)
+    — unwrap it rather than building array<array<string>>."""
+    lower = {c.lower() for c in mv_cols}
+    for fn in ("MV_OVERLAP", "MV_CONTAINS", "ARRAY_OVERLAP",
+               "ARRAY_CONTAINS"):
+        changed = True
+        while changed:
+            changed = False
+            for start, op, cp in _find_calls(text, fn):
+                args = _split_top_args(text[op + 1:cp])
+                if len(args) != 2:
+                    continue
+                m2 = re.fullmatch(r"\s*array\s*\(\s*([A-Za-z_]\w*)\s*\)"
+                                  r"\s*", args[1], re.IGNORECASE)
+                if m2 and m2.group(1).lower() in lower:
+                    text = (text[:op + 1] + args[0].strip() + ", "
+                            + m2.group(1) + text[cp:])
+                    changed = True
+                    break
+    # the contains-ALL rewrite (translate) may already have produced
+    # forall(array(mv), ...) from MV_CONTAINS(x, ARRAY[mv]) — same
+    # identity unwrap applies
+    for col in mv_cols:
+        text = _sub_outside_strings(
+            text,
+            rf"\bforall\(\s*array\s*\(\s*({re.escape(col)})\s*\)\s*,",
+            lambda m: f"forall({m.group(1)},")
+    return text
+
+
+def _eq_any_element(text: str, mv_cols) -> str:
+    """A comparison of an array-valued MV expression against a literal
+    is an any-element (selector) match: ``MV_FILTER_ONLY(mv, ..) = 'x'``
+    -> ``array_contains(.., 'x')``; ``<>`` negates; ``LIKE`` maps to an
+    exists() over the elements (LikeDimFilter on an MV virtual
+    column)."""
+    fns = sorted(_MV_ARRAY_RET_FNS)
+    changed = True
+    while changed:
+        changed = False
+        for fn in fns:
+            for fstart, op, cp in _find_calls(text, fn):
+                span = text[fstart:cp + 1]
+                if not any(re.search(rf"(?<![\w.]){re.escape(c)}\b",
+                                     span, re.IGNORECASE)
+                           for c in mv_cols):
+                    continue
+                after = text[cp + 1:]
+                m = re.match(rf"\s*(=|<>|!=)\s*({_MV_LIT})", after)
+                if m:
+                    contains = f"array_contains({span}, {m.group(2)})"
+                    repl = (contains if m.group(1) == "="
+                            else f"(NOT {contains})")
+                    text = (text[:fstart] + repl
+                            + text[cp + 1 + m.end():])
+                    changed = True
+                    break
+                m = re.match(r"\s+LIKE\s+('(?:[^']|'')*')", after,
+                             re.IGNORECASE)
+                if m:
+                    repl = (f"exists({span}, __mv_l -> "
+                            f"__mv_l LIKE {m.group(1)})")
+                    text = (text[:fstart] + repl
+                            + text[cp + 1 + m.end():])
+                    changed = True
+                    break
+            if changed:
+                break
+    return text
+
+
 def _rewrite_mv_semantics(text: str, mv_cols) -> str:
     """Druid multi-value string semantics over SQL (docs/querying/
     multi-value-dimensions.md; selector filters match ANY element —
@@ -700,8 +1177,12 @@ def _rewrite_mv_semantics(text: str, mv_cols) -> str:
     aggregate), matching empty-MV ≡ null. Expressions referencing two
     different MV columns are left untouched — the reference rejects
     those too (one implicit MV input per expression)."""
+    text = _unwrap_mv_array_wrap(text, mv_cols)
+    text = _map_mv_scalar_exprs(text, mv_cols)
+    text = _explode_mv_array_items(text, mv_cols)
     text = _rewrite_mv_groupby(text, mv_cols)
     text = _map_mv_in_minmax(text, mv_cols)
+    text = _eq_any_element(text, mv_cols)
     for col in mv_cols:
         c = re.escape(col)
         text = _sub_outside_strings(

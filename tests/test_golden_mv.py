@@ -1,0 +1,335 @@
+"""Golden tests ported from the reference's
+CalciteMultiValueStringQueryTest.java (sql/src/test/java/org/apache/
+druid/sql/calcite/) over the `numfoo` fixture's MV column dim3
+(CalciteTests.java DATASOURCE3). Expected rows are the SQL-compatible
+null mode branch (useDefault=false) of each test.
+
+The fixture is registered in POST-INGEST state: Druid ingests an empty
+multi-value row ([]) as null (IncrementalIndex no-value row — pinned by
+testMultiValueStringWorksLikeStringScan, where rows 5 and 6 both read
+as null), so dim2 row 2 and dim3 row 5 are None here.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import types as T
+
+from apache_druid_spark.model.datasource import DatasourceRegistry
+from apache_druid_spark.sql.dialect import druid_sql
+
+SCHEMA = T.StructType([
+    T.StructField("__time", T.TimestampType()),
+    T.StructField("dim1", T.StringType()),
+    T.StructField("dim2", T.ArrayType(T.StringType())),
+    T.StructField("dim3", T.ArrayType(T.StringType())),
+    T.StructField("cnt", T.LongType()),
+    T.StructField("m1", T.FloatType()),
+])
+
+ROWS = [
+    (datetime(2000, 1, 1), "", ["a"], ["a", "b"], 1, 1.0),
+    (datetime(2000, 1, 2), "10.1", None, ["b", "c"], 1, 2.0),
+    (datetime(2000, 1, 3), "2", [""], ["d"], 1, 3.0),
+    (datetime(2001, 1, 1), "1", ["a"], [""], 1, 4.0),
+    (datetime(2001, 1, 2), "def", ["abc"], None, 1, 5.0),
+    (datetime(2001, 1, 3), "abc", None, None, 1, 6.0),
+]
+
+
+@pytest.fixture(scope="module")
+def reg(spark):
+    r = DatasourceRegistry(spark)
+    r.register("numfoo", spark.createDataFrame(ROWS, SCHEMA))
+    return r
+
+
+def _counts(df):
+    return {tuple(r)[:-1] if len(r) > 2 else r[0]: tuple(r)[-1]
+            for r in df.collect()}
+
+
+# -- implicit element-wise mapping (concat over an MV input) ----------
+
+def test_works_like_string_group_by(spark, reg):
+    # testMultiValueStringWorksLikeStringGroupBy
+    out = _counts(druid_sql(spark, """
+        SELECT CONCAT(dim3, 'foo') AS c, SUM(cnt) AS s
+        FROM numfoo GROUP BY 1 ORDER BY 2 DESC
+    """, reg))
+    assert out == {None: 2, "bfoo": 2, "afoo": 1, "cfoo": 1,
+                   "dfoo": 1, "foo": 1}
+
+
+def test_works_like_string_group_by_with_filter(spark, reg):
+    # testMultiValueStringWorksLikeStringGroupByWithFilter — the WHERE
+    # is a pre-explode any-element row filter
+    out = _counts(druid_sql(spark, """
+        SELECT CONCAT(dim3, 'foo') AS c, SUM(cnt) AS s
+        FROM numfoo WHERE CONCAT(dim3, 'foo') = 'bfoo'
+        GROUP BY 1 ORDER BY 2 DESC
+    """, reg))
+    assert out == {"bfoo": 2, "afoo": 1, "cfoo": 1}
+
+
+def test_works_like_string_scan(spark, reg):
+    # testMultiValueStringWorksLikeStringScan — null rows map to [null]
+    out = druid_sql(spark, """
+        SELECT CONCAT(dim3, 'foo') AS c FROM numfoo
+    """, reg).collect()
+    assert [r.c for r in out] == [
+        ["afoo", "bfoo"], ["bfoo", "cfoo"], ["dfoo"], ["foo"],
+        [None], [None]]
+
+
+def test_self_concat_scan(spark, reg):
+    # testMultiValueStringWorksLikeStringSelfConcatScan — two refs of
+    # the SAME MV column map in lockstep over one element variable
+    out = druid_sql(spark, """
+        SELECT CONCAT(dim3, '-lol-', dim3) AS c FROM numfoo
+    """, reg).collect()
+    assert [r.c for r in out] == [
+        ["a-lol-a", "b-lol-b"], ["b-lol-b", "c-lol-c"], ["d-lol-d"],
+        ["-lol-"], [None], [None]]
+
+
+def test_scan_with_filter(spark, reg):
+    # testMultiValueStringWorksLikeStringScanWithFilter
+    out = druid_sql(spark, """
+        SELECT CONCAT(dim3, 'foo') AS c FROM numfoo
+        WHERE CONCAT(dim3, 'foo') = 'bfoo'
+    """, reg).collect()
+    assert [r.c for r in out] == [["afoo", "bfoo"], ["bfoo", "cfoo"]]
+
+
+# -- MV_OVERLAP / MV_CONTAINS filters ---------------------------------
+
+def test_overlap_filter(spark, reg):
+    # testMultiValueStringOverlapFilter
+    out = druid_sql(spark, """
+        SELECT dim3 FROM numfoo
+        WHERE MV_OVERLAP(dim3, ARRAY['a', 'b']) LIMIT 5
+    """, reg).collect()
+    assert [r.dim3 for r in out] == [["a", "b"], ["b", "c"]]
+
+
+def test_overlap_filter_non_literal(spark, reg):
+    # testMultiValueStringOverlapFilterNonLiteral — ARRAY[mv] is the
+    # identity wrap of the MV column
+    out = druid_sql(spark, """
+        SELECT dim3 FROM numfoo
+        WHERE MV_OVERLAP(dim3, ARRAY[dim2]) LIMIT 5
+    """, reg).collect()
+    assert [r.dim3 for r in out] == [["a", "b"]]
+
+
+def test_contains_filter(spark, reg):
+    # testMultiValueStringContainsFilter — ARRAY needle = contains ALL
+    out = druid_sql(spark, """
+        SELECT dim3 FROM numfoo
+        WHERE MV_CONTAINS(dim3, ARRAY['a', 'b']) LIMIT 5
+    """, reg).collect()
+    assert [r.dim3 for r in out] == [["a", "b"]]
+
+
+def test_contains_one_element(spark, reg):
+    # testMultiValueStringContainsArrayOfOneElement
+    out = druid_sql(spark, """
+        SELECT dim3 FROM numfoo
+        WHERE MV_CONTAINS(dim3, ARRAY['a']) LIMIT 5
+    """, reg).collect()
+    assert [r.dim3 for r in out] == [["a", "b"]]
+
+
+def test_contains_non_literal(spark, reg):
+    # testMultiValueStringContainsArrayOfNonLiteral
+    out = druid_sql(spark, """
+        SELECT dim3 FROM numfoo
+        WHERE MV_CONTAINS(dim3, ARRAY[dim2]) LIMIT 5
+    """, reg).collect()
+    assert [r.dim3 for r in out] == [["a", "b"]]
+
+
+# -- MV_* function surface over the golden fixture --------------------
+
+def test_slice_two_arg(spark, reg):
+    # testMultiValueStringSlice — 2-arg form slices to the end
+    out = druid_sql(spark,
+                    "SELECT MV_SLICE(dim3, 1) AS s FROM numfoo",
+                    reg).collect()
+    assert [r.s for r in out] == [["b"], ["c"], [], [], None, None]
+
+
+def test_length_group_by(spark, reg):
+    # testMultiValueStringLength — array-consuming scalar: NO explode
+    out = _counts(druid_sql(spark, """
+        SELECT dim1, MV_LENGTH(dim3) AS l, SUM(cnt) AS s
+        FROM numfoo GROUP BY 1, 2 ORDER BY 2 DESC
+    """, reg))
+    assert out == {("", 2): 1, ("10.1", 2): 1, ("1", 1): 1, ("2", 1): 1,
+                   ("abc", None): 1, ("def", None): 1}
+
+
+def test_append_group_by(spark, reg):
+    # testMultiValueStringAppend — array-valued item: explode
+    out = _counts(druid_sql(spark, """
+        SELECT MV_APPEND(dim3, 'foo') AS a, SUM(cnt) AS s
+        FROM numfoo GROUP BY 1 ORDER BY 2 DESC
+    """, reg))
+    assert out == {"foo": 4, None: 2, "b": 2, "": 1, "a": 1,
+                   "c": 1, "d": 1}
+
+
+def test_prepend_group_by(spark, reg):
+    # testMultiValueStringPrepend
+    out = _counts(druid_sql(spark, """
+        SELECT MV_PREPEND('foo', dim3) AS a, SUM(cnt) AS s
+        FROM numfoo GROUP BY 1 ORDER BY 2 DESC
+    """, reg))
+    assert out == {"foo": 4, None: 2, "b": 2, "": 1, "a": 1,
+                   "c": 1, "d": 1}
+
+
+def test_prepend_append_scalarized(spark, reg):
+    # testMultiValueStringPrependAppend — MV_TO_STRING of the modified
+    # arrays is scalar: no explode, one group per row value
+    out = _counts(druid_sql(spark, """
+        SELECT MV_TO_STRING(MV_PREPEND('foo', dim3), ',') AS p,
+               MV_TO_STRING(MV_APPEND(dim3, 'foo'), ',') AS a,
+               SUM(cnt) AS s
+        FROM numfoo GROUP BY 1, 2 ORDER BY 3 DESC
+    """, reg))
+    assert out == {(None, None): 2, ("foo,", ",foo"): 1,
+                   ("foo,a,b", "a,b,foo"): 1, ("foo,b,c", "b,c,foo"): 1,
+                   ("foo,d", "d,foo"): 1}
+
+
+def test_concat_self_group_by(spark, reg):
+    # testMultiValueStringConcat
+    out = _counts(druid_sql(spark, """
+        SELECT MV_CONCAT(dim3, dim3) AS c, SUM(cnt) AS s
+        FROM numfoo GROUP BY 1 ORDER BY 2 DESC
+    """, reg))
+    assert out == {"b": 4, None: 2, "": 2, "a": 2, "c": 2, "d": 2}
+
+
+def test_offset_group_by(spark, reg):
+    # testMultiValueStringOffset — scalar element access: no explode
+    out = _counts(druid_sql(spark, """
+        SELECT MV_OFFSET(dim3, 1) AS o, SUM(cnt) AS s
+        FROM numfoo GROUP BY 1 ORDER BY 2 DESC
+    """, reg))
+    assert out == {None: 4, "b": 1, "c": 1}
+
+
+def test_ordinal_group_by(spark, reg):
+    # testMultiValueStringOrdinal
+    out = _counts(druid_sql(spark, """
+        SELECT MV_ORDINAL(dim3, 2) AS o, SUM(cnt) AS s
+        FROM numfoo GROUP BY 1 ORDER BY 2 DESC
+    """, reg))
+    assert out == {None: 4, "b": 1, "c": 1}
+
+
+def test_offset_of_group_by(spark, reg):
+    # testMultiValueStringOffsetOf
+    out = _counts(druid_sql(spark, """
+        SELECT MV_OFFSET_OF(dim3, 'b') AS o, SUM(cnt) AS s
+        FROM numfoo GROUP BY 1 ORDER BY 2 DESC
+    """, reg))
+    assert out == {None: 4, 1: 1, 0: 1}
+
+
+def test_ordinal_of_group_by(spark, reg):
+    # testMultiValueStringOrdinalOf
+    out = _counts(druid_sql(spark, """
+        SELECT MV_ORDINAL_OF(dim3, 'b') AS o, SUM(cnt) AS s
+        FROM numfoo GROUP BY 1 ORDER BY 2 DESC
+    """, reg))
+    assert out == {None: 4, 1: 1, 2: 1}
+
+
+def test_to_string_group_by(spark, reg):
+    # testMultiValueStringToString
+    out = _counts(druid_sql(spark, """
+        SELECT MV_TO_STRING(dim3, ',') AS t, SUM(cnt) AS s
+        FROM numfoo GROUP BY 1 ORDER BY 2 DESC
+    """, reg))
+    assert out == {None: 2, "": 1, "a,b": 1, "b,c": 1, "d": 1}
+
+
+def test_to_string_to_mv_roundtrip(spark, reg):
+    # testMultiValueStringToStringToMultiValueString — STRING_TO_MV of
+    # a scalar derived from the MV is array-valued again: explode
+    out = _counts(druid_sql(spark, """
+        SELECT STRING_TO_MV(CONCAT(MV_TO_STRING(dim3, ','), ',d'),
+                            ',') AS v, SUM(cnt) AS s
+        FROM numfoo WHERE MV_LENGTH(dim3) > 0
+        GROUP BY 1 ORDER BY 2 DESC
+    """, reg))
+    assert out == {"d": 5, "b": 2, "": 1, "a": 1, "c": 1}
+
+
+# -- ListFilteredVirtualColumn (MV_FILTER_ONLY / MV_FILTER_NONE) ------
+
+def test_list_filter(spark, reg):
+    # testMultiValueListFilter — 0-length filter result reads as null
+    out = _counts(druid_sql(spark, """
+        SELECT MV_FILTER_ONLY(dim3, ARRAY['b']) AS f, SUM(cnt) AS s
+        FROM numfoo GROUP BY 1 ORDER BY 2 DESC
+    """, reg))
+    assert out == {None: 4, "b": 2}
+
+
+def test_list_filter_deny(spark, reg):
+    # testMultiValueListFilterDeny
+    out = _counts(druid_sql(spark, """
+        SELECT MV_FILTER_NONE(dim3, ARRAY['b']) AS f, SUM(cnt) AS s
+        FROM numfoo GROUP BY 1 ORDER BY 2 DESC
+    """, reg))
+    assert out == {None: 2, "": 1, "a": 1, "c": 1, "d": 1}
+
+
+def test_list_filter_composed(spark, reg):
+    # testMultiValueListFilterComposed — the reference comment pins the
+    # native semantics: a 0-length filtered row is null, so its length
+    # is null (not 0)
+    out = _counts(druid_sql(spark, """
+        SELECT MV_LENGTH(MV_FILTER_ONLY(dim3, ARRAY['b'])) AS l,
+               SUM(cnt) AS s
+        FROM numfoo GROUP BY 1 ORDER BY 2 DESC
+    """, reg))
+    assert out == {None: 4, 1: 2}
+
+
+def test_list_filter_composed_deny(spark, reg):
+    # testMultiValueListFilterComposedDeny
+    out = _counts(druid_sql(spark, """
+        SELECT MV_LENGTH(MV_FILTER_NONE(dim3, ARRAY['b'])) AS l,
+               SUM(cnt) AS s
+        FROM numfoo GROUP BY 1 ORDER BY 2 DESC
+    """, reg))
+    assert out == {1: 4, None: 2}
+
+
+def test_filter_on_list_filter_no_match(spark, reg):
+    # testFilterOnMultiValueListFilterNoMatch — selector on the
+    # filtered VC is any-element; 'a' never survives the allow-list
+    out = druid_sql(spark, """
+        SELECT dim3, SUM(cnt) AS s FROM numfoo
+        WHERE MV_FILTER_ONLY(dim3, ARRAY['b']) = 'a'
+        GROUP BY 1 ORDER BY 2 DESC
+    """, reg).collect()
+    assert out == []
+
+
+def test_filter_on_list_filter_match(spark, reg):
+    # testFilterOnMultiValueListFilterMatch
+    out = _counts(druid_sql(spark, """
+        SELECT dim3, SUM(cnt) AS s FROM numfoo
+        WHERE MV_FILTER_ONLY(dim3, ARRAY['b']) = 'b'
+        GROUP BY 1 ORDER BY 2 DESC
+    """, reg))
+    assert out == {"b": 2, "a": 1, "c": 1}
