@@ -164,6 +164,9 @@ class DatasourceRegistry:
     def names(self) -> list[str]:
         return sorted(self._tables)
 
+    def lookup_names(self) -> list[str]:
+        return sorted(self._lookups)
+
 
 def register_testdata(registry: DatasourceRegistry, sf_dir: str) -> None:
     """Register the driver's synthetic tables (TESTDATA.md) with their

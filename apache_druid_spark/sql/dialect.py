@@ -288,6 +288,37 @@ def _rewrite_array_prepend(text: str) -> str:
     return text
 
 
+# keywords that can follow a table ref — NOT an alias
+_LOOKUP_ALIAS_STOP = frozenset(
+    "on where group order limit left right inner full cross join "
+    "having union intersect except lateral natural using".split())
+
+
+def _rewrite_lookup_schema(text: str) -> str:
+    """Druid's ``lookup`` SQL schema (sql/.../schema/LookupSchema.java;
+    DruidSchemaCatalog registers it next to ``druid`` and ``sys``):
+    ``lookup.<name>`` table refs resolve to the registered lookup views
+    (k, v columns). Calcite exposes the table under its bare name, so
+    when no explicit alias follows one is added (``lookyloo.k`` keeps
+    resolving)."""
+    spans = _string_spans(text)
+    out, last = [], 0
+    for m in re.finditer(r"\blookup\.([A-Za-z_]\w*)", text, re.IGNORECASE):
+        if any(a <= m.start() <= b for a, b in spans):
+            continue
+        name = m.group(1)
+        am = re.match(r"\s+(?:AS\s+)?([A-Za-z_]\w*)", text[m.end():],
+                      re.IGNORECASE)
+        has_alias = bool(am
+                         and am.group(1).lower() not in _LOOKUP_ALIAS_STOP)
+        out.append(text[last:m.start()])
+        out.append(f"lookup_{name}" if has_alias
+                   else f"lookup_{name} AS {name}")
+        last = m.end()
+    out.append(text[last:])
+    return "".join(out)
+
+
 def _rewrite_mv_slice_2arg(text: str) -> str:
     """Druid MV_SLICE/ARRAY_SLICE with two args slices to the end of
     the array (ArraySliceOperatorConversion end defaults to length);
@@ -403,6 +434,7 @@ def _rewrite_catalog_tables(text: str) -> str:
 def translate(text: str, time_column: str = TIME_COLUMN) -> str:
     """Rewrite Druid SQL aggregate surface into Spark SQL."""
     text = _rewrite_catalog_tables(text)
+    text = _rewrite_lookup_schema(text)
     text = _rewrite_floor_to(text)
     # Calcite accepts unsized VARCHAR in CASTs; Spark wants STRING
     text = _rewrite_bare_varchar(text)
@@ -1265,6 +1297,14 @@ def druid_sql(spark: SparkSession, text: str, registry=None) -> DataFrame:
                 if "__segment" in df.columns:  # internal partition id
                     df = df.drop("__segment")
                 df.createOrReplaceTempView(name)
+            # the `lookup` schema: lookup.<name> -> lookup_<name> view,
+            # broadcast-hinted — lookups are by contract small and the
+            # reference ships them whole to every task (LookupSegment)
+            from pyspark.sql.functions import broadcast as _bc
+
+            for name in registry.lookup_names():
+                _bc(registry.lookup_df(name)).createOrReplaceTempView(
+                    f"lookup_{name}")
         spark._druid_sql_registered = (id(registry), epoch, names)
     explain = re.match(r"(?is)^\s*EXPLAIN\s+PLAN\s+FOR\s+(.+)$", text)
     if explain:
