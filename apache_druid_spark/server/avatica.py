@@ -85,6 +85,36 @@ def _avatica_value(v):
     return v
 
 
+# Avatica TypedValue rep -> SqlParameter type for bind_parameters
+_AVATICA_REP_TYPES = {
+    "STRING": "VARCHAR", "CHARACTER": "VARCHAR", "BYTE": "INTEGER",
+    "SHORT": "INTEGER", "INTEGER": "INTEGER", "LONG": "BIGINT",
+    "FLOAT": "FLOAT", "DOUBLE": "DOUBLE", "NUMBER": "DOUBLE",
+    "BOOLEAN": "BOOLEAN", "JAVA_SQL_TIMESTAMP": "TIMESTAMP",
+    "JAVA_UTIL_DATE": "TIMESTAMP", "JAVA_SQL_DATE": "DATE",
+}
+
+
+def _parameter_metas(sql: str) -> list[dict]:
+    """Avatica AvaticaParameter metadata for each unquoted ``?`` —
+    types are unknown until bind, so generic VARCHAR metas (the
+    reference's DruidMeta reports Calcite-inferred types; clients only
+    require the COUNT to drive setObject binding)."""
+    from apache_druid_spark.sql.dialect import _string_spans
+
+    spans = _string_spans(sql)
+    metas = []
+    for i, ch in enumerate(sql):
+        if ch == "?" and not any(a <= i <= b for a, b in spans):
+            metas.append({
+                "signed": False, "precision": 0, "scale": 0,
+                "parameterType": 12, "typeName": "VARCHAR",
+                "className": "java.lang.String",
+                "name": f"?{len(metas)}",
+            })
+    return metas
+
+
 class AvaticaMeta:
     """Connection/statement registry + request dispatch (DruidMeta
     analog). Thread-safe: the HTTP server is threading."""
@@ -156,7 +186,8 @@ class AvaticaMeta:
     # -- execution ---------------------------------------------------------
 
     def _signature(self, columns: list[dict], sql: str) -> dict:
-        return {"columns": columns, "sql": sql, "parameters": [],
+        return {"columns": columns, "sql": sql,
+                "parameters": _parameter_metas(sql),
                 "cursorFactory": {"style": "LIST", "clazz": None},
                 "statementType": "SELECT"}
 
@@ -188,7 +219,17 @@ class AvaticaMeta:
     def _req_prepare(self, req: dict) -> dict:
         cid = req.get("connectionId")
         sql = req["sql"]
-        df = druid_sql(self.spark, sql, self.registry)
+        # schema discovery for a parameterized statement: bind NULLs so
+        # Catalyst can analyze (the reference's DruidMeta prepares with
+        # unbound SqlDynamicParams — Calcite tolerates them, Spark not)
+        probe = sql
+        n_params = len(_parameter_metas(sql))
+        if n_params:
+            from apache_druid_spark.sql.dialect import bind_parameters
+
+            probe = bind_parameters(
+                sql, [{"type": "VARCHAR", "value": None}] * n_params)
+        df = druid_sql(self.spark, probe, self.registry)
         columns = [_column_meta(i, name, dtype)
                    for i, (name, dtype) in enumerate(df.dtypes)]
         with self._lock:
@@ -207,7 +248,21 @@ class AvaticaMeta:
         if st is None or "sql" not in st:
             return {"response": "executeResults", "missingStatement": True,
                     "results": []}
-        rs = self._run_sql(cid, sid, st["sql"])
+        sql = st["sql"]
+        pvals = req.get("parameterValues") or []
+        if pvals:
+            from apache_druid_spark.sql.dialect import bind_parameters
+
+            params = []
+            for p in pvals:
+                p = p or {}
+                rep = str(p.get("type", "")).upper()
+                params.append({
+                    "type": _AVATICA_REP_TYPES.get(rep, "VARCHAR"),
+                    "value": None if p.get("null") else p.get("value"),
+                })
+            sql = bind_parameters(sql, params)
+        rs = self._run_sql(cid, sid, sql)
         return {"response": "executeResults", "missingStatement": False,
                 "results": [rs]}
 

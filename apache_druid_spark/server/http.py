@@ -119,8 +119,10 @@ class DruidHttpServer:
                                            else "MISS")
                         if payload is None:
                             if path == "/druid/v2/sql":
-                                df = druid_sql(outer.spark, body["query"],
-                                               outer.registry)
+                                df = druid_sql(
+                                    outer.spark, body["query"],
+                                    outer.registry,
+                                    parameters=body.get("parameters"))
                                 fmt = body.get("resultFormat", "object")
                                 payload = format_results(
                                     df, fmt,

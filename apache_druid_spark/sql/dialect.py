@@ -288,6 +288,57 @@ def _rewrite_array_prepend(text: str) -> str:
     return text
 
 
+def _param_literal(p: dict) -> str:
+    """One SqlParameter -> a SQL literal. Mirrors
+    sql/.../planner/SqlParameterizerShuttle.java: null binds to NULL,
+    approx types to approx numerics, TIMESTAMP accepts millis-since-
+    epoch, everything else through the type's literal form."""
+    t = (p.get("type") or "").upper()
+    v = p.get("value")
+    if v is None:
+        return "NULL"
+    if t in ("BIGINT", "INTEGER", "SMALLINT", "TINYINT"):
+        return str(int(v))
+    if t in ("DOUBLE", "FLOAT", "REAL", "DECIMAL"):
+        return repr(float(v))
+    if t == "BOOLEAN":
+        return "TRUE" if v else "FALSE"
+    if t == "TIMESTAMP":
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            return f"timestamp_millis({int(v)})"
+        return "TIMESTAMP '" + str(v).replace("'", "''") + "'"
+    if t == "DATE":
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            # JDBC DATE binds days-since-epoch (Avatica TypedValue)
+            return f"DATE(timestamp_millis({int(v) * 86400000}))"
+        return "DATE '" + str(v).replace("'", "''") + "'"
+    # VARCHAR / CHAR / OTHER -> string literal
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def bind_parameters(text: str, parameters) -> str:
+    """Bind JDBC-style ``?`` placeholders to typed literals — the
+    reference substitutes SqlDynamicParam nodes with SqlLiterals before
+    planning (SqlParameterizerShuttle/RelParameterizerShuttle); here
+    the binding is textual (string-literal aware) before translation.
+    An unbound ``?`` raises, matching the reference's
+    "Parameter at position[N] is not bound"."""
+    params = list(parameters or ())
+    spans = _string_spans(text)
+    out, last, idx = [], 0, 0
+    for i, ch in enumerate(text):
+        if ch != "?" or any(a <= i <= b for a, b in spans):
+            continue
+        if idx >= len(params) or params[idx] is None:
+            raise ValueError(f"Parameter at position[{idx}] is not bound")
+        out.append(text[last:i])
+        out.append(_param_literal(params[idx]))
+        idx += 1
+        last = i + 1
+    out.append(text[last:])
+    return "".join(out)
+
+
 # keywords that can follow a table ref — NOT an alias
 _LOOKUP_ALIAS_STOP = frozenset(
     "on where group order limit left right inner full cross join "
@@ -1269,7 +1320,8 @@ def _mv_string_columns(registry, names) -> tuple:
     return tuple(sorted(cols))
 
 
-def druid_sql(spark: SparkSession, text: str, registry=None) -> DataFrame:
+def druid_sql(spark: SparkSession, text: str, registry=None,
+              parameters=None) -> DataFrame:
     """Run a Druid SQL string on Spark: register scalar shims, translate
     the aggregate surface, and hand the rest to Catalyst (parse/validate/
     optimize — the entire SqlLifecycle of the reference,
@@ -1282,6 +1334,8 @@ def druid_sql(spark: SparkSession, text: str, registry=None) -> DataFrame:
     mid-session) re-registers just the views on the next call."""
     from apache_druid_spark.functions.registry import register_druid_functions
 
+    if parameters is not None or "?" in text:
+        text = bind_parameters(text, parameters)
     names = tuple(registry.names()) if registry is not None else ()
     epoch = registry.epoch if registry is not None else 0
     marker = getattr(spark, "_druid_sql_registered", None)

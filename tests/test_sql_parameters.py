@@ -1,0 +1,170 @@
+"""Parameterized SQL (`?` placeholders + SqlParameter bindings) —
+ported from the reference's CalciteParameterQueryTest.java and
+SqlParameterizerShuttle.java semantics (sql/src/test/java/org/apache/
+druid/sql/calcite/, sql/.../planner/). Expected rows are the
+SQL-compatible null mode branch.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import urllib.request
+from datetime import datetime
+
+import pytest
+from pyspark.sql import types as T
+
+from apache_druid_spark.model.datasource import DatasourceRegistry
+from apache_druid_spark.sql.dialect import bind_parameters, druid_sql
+
+SCHEMA = T.StructType([
+    T.StructField("__time", T.TimestampType()),
+    T.StructField("dim1", T.StringType()),
+    T.StructField("dim2", T.StringType()),
+    T.StructField("cnt", T.LongType()),
+    T.StructField("m2", T.DoubleType()),
+])
+
+ROWS = [
+    (datetime(2000, 1, 1), "", "a", 1, 1.0),
+    (datetime(2000, 1, 2), "10.1", None, 1, 2.0),
+    (datetime(2000, 1, 3), "2", "", 1, 3.0),
+    (datetime(2001, 1, 1), "1", "a", 1, 4.0),
+    (datetime(2001, 1, 2), "def", "abc", 1, 5.0),
+    (datetime(2001, 1, 3), "abc", None, 1, 6.0),
+]
+
+
+@pytest.fixture(scope="module")
+def reg(spark):
+    r = DatasourceRegistry(spark)
+    r.register("foo", spark.createDataFrame(ROWS, SCHEMA))
+    return r
+
+
+def test_bind_literal_forms():
+    # SqlParameterizerShuttle: nulls -> NULL, approx types -> approx
+    # numerics, TIMESTAMP accepts millis-since-epoch
+    assert bind_parameters("SELECT ?, ?, ?, ?", [
+        {"type": "VARCHAR", "value": "o'brien"},
+        {"type": "BIGINT", "value": 3},
+        {"type": "DOUBLE", "value": 1.1},
+        {"type": "VARCHAR", "value": None},
+    ]) == "SELECT 'o''brien', 3, 1.1, NULL"
+    # ? inside a string literal is NOT a placeholder
+    assert bind_parameters("SELECT '?' , ?", [
+        {"type": "BIGINT", "value": 7}]) == "SELECT '?' , 7"
+
+
+def test_params_in_select_and_filter(spark, reg):
+    # testParametersInSelectAndFilter (VARCHAR filter variant)
+    out = druid_sql(spark, """
+        SELECT EXP(COUNT(*)) + ? AS e, SUM(m2) AS s
+        FROM foo WHERE dim2 = ?
+    """, reg, parameters=[
+        {"type": "INTEGER", "value": 10},
+        {"type": "VARCHAR", "value": "a"},
+    ]).first()
+    assert out.e == pytest.approx(math.exp(2) + 10)
+    assert out.s == 5.0
+
+
+def test_doubles(spark, reg):
+    # testDoubles — open bounds exclude every cnt=1 row; then equality
+    out = druid_sql(spark,
+                    "SELECT COUNT(*) AS n FROM foo "
+                    "WHERE cnt > ? and cnt < ?", reg,
+                    parameters=[{"type": "DOUBLE", "value": 1.1},
+                                {"type": "FLOAT", "value": 100000001.0}]
+                    ).first()
+    assert out.n == 0
+    out = druid_sql(spark,
+                    "SELECT COUNT(*) AS n FROM foo "
+                    "WHERE cnt = ? or cnt = ?", reg,
+                    parameters=[{"type": "DOUBLE", "value": 1.0},
+                                {"type": "FLOAT", "value": 100000001.0}]
+                    ).first()
+    assert out.n == 6
+
+
+def test_timestamp_millis_param(spark, reg):
+    # testTimestamp — TIMESTAMP binds millis-since-epoch
+    millis_2999 = 32472144000000  # 2999-01-01T00:00:00Z
+    out = druid_sql(spark, """
+        SELECT EXP(COUNT(*)) + ? AS e FROM foo WHERE __time >= ?
+    """, reg, parameters=[
+        {"type": "INTEGER", "value": 10},
+        {"type": "TIMESTAMP", "value": millis_2999},
+    ]).first()
+    assert out.e == pytest.approx(11.0)  # exp(0) + 10
+
+
+def test_null_parameter(spark, reg):
+    # testNullParameter — null VARCHAR binds as NULL literal
+    out = druid_sql(spark, """
+        SELECT COALESCE(dim2, ?, ?) AS c, COUNT(*) AS n
+        FROM foo GROUP BY 1
+    """, reg, parameters=[
+        {"type": "VARCHAR", "value": "parameter"},
+        {"type": "VARCHAR", "value": None},
+    ]).collect()
+    assert {(r.c, r.n) for r in out} == {
+        ("", 1), ("a", 2), ("abc", 1), ("parameter", 2)}
+
+
+def test_missing_parameter(spark, reg):
+    # testMissingParameter — "Parameter at position[0] is not bound"
+    with pytest.raises(ValueError, match=r"position\[0\] is not bound"):
+        druid_sql(spark, "SELECT COUNT(*) FROM foo WHERE cnt > ?", reg)
+
+
+def test_partially_missing_parameter(spark, reg):
+    # testPartiallyMissingParameter
+    with pytest.raises(ValueError, match=r"position\[1\] is not bound"):
+        druid_sql(spark,
+                  "SELECT COUNT(*) FROM foo WHERE cnt > ? AND m2 = ?",
+                  reg, parameters=[{"type": "BIGINT", "value": 3}])
+
+
+def test_http_sql_parameters(spark, reg):
+    # SqlResource: POST /druid/v2/sql with a "parameters" field
+    # (SqlQuery.java parameters -> SqlParameter list)
+    from apache_druid_spark.server.http import DruidHttpServer
+
+    srv = DruidHttpServer(spark, reg, port=0)
+    srv.start()
+    try:
+        body = json.dumps({
+            "query": "SELECT dim1, cnt FROM foo WHERE dim1 = ?",
+            "parameters": [{"type": "VARCHAR", "value": "def"}],
+        }).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/druid/v2/sql", data=body,
+            headers={"Content-Type": "application/json"})
+        rows = json.loads(urllib.request.urlopen(req).read())
+        assert rows == [{"dim1": "def", "cnt": 1}]
+    finally:
+        srv.stop()
+
+
+def test_avatica_prepare_execute_with_params(spark, reg):
+    # DruidMeta: prepare reports parameter metadata; execute binds
+    # Avatica TypedValues
+    from apache_druid_spark.server.avatica import AvaticaMeta
+
+    meta = AvaticaMeta(spark, reg)
+    meta.handle({"request": "openConnection", "connectionId": "c1"})
+    prep = meta.handle({"request": "prepare", "connectionId": "c1",
+                        "sql": "SELECT COUNT(*) AS n FROM foo "
+                               "WHERE dim2 = ?"})
+    sig = prep["statement"]["signature"]
+    assert len(sig["parameters"]) == 1
+    sid = prep["statement"]["id"]
+    res = meta.handle({
+        "request": "execute",
+        "statementHandle": {"connectionId": "c1", "id": sid},
+        "parameterValues": [{"type": "STRING", "value": "a"}],
+    })
+    rows = res["results"][0]["firstFrame"]["rows"]
+    assert rows == [[2]]
