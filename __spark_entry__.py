@@ -4158,6 +4158,44 @@ def _mixture_weights_lang(spark, sf_dir):
         {"en": 0.5, "zh": 0.2, "de": 0.1, "es": 0.1, "fr": 0.1})
 
 
+@_q("sql_lookup_schema_join", """
+SELECT n_name AS nation, COUNT(*) AS n_cust
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1 ORDER BY 1
+""")
+def _sql_lookup_schema_join(spark, sf_dir):
+    """The `lookup` SQL schema: lookup.<name> as a joinable table with
+    k/v columns and the bare name as implicit alias
+    (sql/.../schema/LookupSchema.java; CalciteJoinQueryTest lookup
+    joins). The lookup view carries a broadcast hint — plan-pinned in
+    tests/test_plan_shapes.py."""
+    return druid_sql(spark, """
+        SELECT nation_name.v AS nation, COUNT(*) AS n_cust
+        FROM customer JOIN lookup.nation_name
+          ON CAST(customer.c_nationkey AS VARCHAR) = nation_name.k
+        GROUP BY 1 ORDER BY 1
+    """, _registry(spark, sf_dir))
+
+
+@_q("sql_parameterized", """
+SELECT o_orderpriority AS priority, COUNT(*) AS n
+FROM orders WHERE o_totalprice > 100000.0 AND o_orderstatus = 'F'
+GROUP BY 1 ORDER BY 1
+""")
+def _sql_parameterized(spark, sf_dir):
+    """JDBC-style dynamic parameters: `?` placeholders bound to typed
+    literals before planning (sql/.../planner/SqlParameterizerShuttle
+    .java; CalciteParameterQueryTest)."""
+    return druid_sql(spark, """
+        SELECT o_orderpriority AS priority, COUNT(*) AS n
+        FROM orders WHERE o_totalprice > ? AND o_orderstatus = ?
+        GROUP BY 1 ORDER BY 1
+    """, _registry(spark, sf_dir), parameters=[
+        {"type": "DOUBLE", "value": 100000.0},
+        {"type": "VARCHAR", "value": "F"},
+    ])
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4170,14 +4208,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-4 gate window — the driver checks the FIRST 50 entries of
 # queries(). Priority: the three rows that were not green after r3
 # (hasher-red sql_array_agg_sorted, the two formerly oracle-less
-# multimodal entries — all fixed this round), the three entries never
-# covered by any window, then the 44 oldest r1-era greens whose
-# evidence predates the 2026-08 testdata regeneration. 3 + 3 + 44 = 50.
+# multimodal entries — all fixed this round), every entry never
+# covered by any window (including all entries new this round), then
+# the oldest r1-era greens whose evidence predates the 2026-08
+# testdata regeneration. 3 + 21 + 26 = 50.
 _R04_WINDOW = (
     # fixed reds
     "sql_array_agg_sorted", "multimodal_features", "multimodal_frame_sample",
     # never driver-checked (+ the new r4 entries)
     "sql_theta_set_ops", "expression_cartesian", "sql_scalar_shims2",
+    "sql_lookup_schema_join", "sql_parameterized",
     "dedup_components_star", "decontaminate_report",
     "pack_sequences_budget", "deterministic_shuffle_order",
     "sql_scalar_shims3", "multimodal_resize", "text_repetition",
@@ -4197,7 +4237,7 @@ _R04_WINDOW = (
     "sql_semi_join",
     "window_moving_avg", "sql_time_floor_revenue",
     "sql_earliest_latest", "mv_token_counts", "dedup_exact",
-    "dedup_minhash_lsh", "dedup_simhash", "text_token_stats",
+    "dedup_minhash_lsh",
 )
 # Round-5 plan (committed now per VERDICT r3 #8): the r1 greens that
 # did not fit the r4 window (each has an r3/r4-green family sibling),
@@ -4205,6 +4245,7 @@ _R04_WINDOW = (
 # sits on post-regeneration evidence within two rounds. r3-green
 # entries sort last (freshest evidence).
 _R05_NEXT = (
+    "dedup_simhash", "text_token_stats",
     "text_fingerprint", "text_language_id", "similarity_cosine_topk",
     "similarity_lsh_topk", "rollup_reaggregate", "ingest_inline_csv", "lifecycle_publish_query",
     "streaming_rollup_hourly",

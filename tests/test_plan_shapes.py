@@ -79,6 +79,23 @@ def test_join_broadcasts_right_side(reg):
     assert "SortMergeJoin" not in plan
 
 
+def test_lookup_schema_join_broadcasts(reg):
+    # the lookup side of a lookup.<name> SQL join must broadcast —
+    # lookups ship whole to every task in the reference (LookupSegment)
+    from apache_druid_spark.sql.dialect import druid_sql
+
+    reg.register_lookup("plan_lookyloo", {"1": "one", "2": "two"})
+    df = druid_sql(reg.spark, """
+        SELECT plan_lookyloo.v AS v, COUNT(*) AS n
+        FROM nation JOIN lookup.plan_lookyloo
+          ON CAST(nation.n_regionkey AS VARCHAR) = plan_lookyloo.k
+        GROUP BY 1
+    """, reg)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_aggregate_is_partial_final(reg):
     df = compile_query({
         "queryType": "groupBy", "dataSource": "lineitem",
