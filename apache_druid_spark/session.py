@@ -43,6 +43,17 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Druid's expression evaluation never throws on coercion
+        # (processing/.../math/expr/ExprEval.java: malformed numeric
+        # strings evaluate to null/0, casts truncate through decimal,
+        # '10.1' = 10 compares numerically) — Spark's legacy (non-ANSI)
+        # semantics match that contract; ANSI mode would hard-fail a
+        # 100 TB scan on one malformed row
+        .config("spark.sql.ansi.enabled", "false")
+        # non-ANSI flips size(NULL) to legacy -1; Druid's
+        # array_length(null) is null (ArrayLengthExprMacro) — keep the
+        # null-propagating form
+        .config("spark.sql.legacy.sizeOfNull", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")

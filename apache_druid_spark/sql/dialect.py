@@ -370,6 +370,46 @@ def _rewrite_lookup_schema(text: str) -> str:
     return "".join(out)
 
 
+# simple ISO periods that map to one date_trunc unit
+_TRUNC_UNITS = {"P1Y": "YEAR", "P3M": "QUARTER", "P1M": "MONTH",
+                "P1W": "WEEK", "P1D": "DAY", "PT1H": "HOUR",
+                "PT1M": "MINUTE", "PT1S": "SECOND"}
+
+
+def _rewrite_time_floor_tz(text: str) -> str:
+    """TIME_FLOOR(ts, period[, origin[, timezone]]) — the 3/4-arg forms
+    of TimeFloorOperatorConversion: flooring happens in the given zone
+    and the result is the UTC instant of that local bucket start. The
+    registered macro is 2-arity, so the long forms rewrite to
+    from_utc/date_trunc/to_utc here. Non-NULL origins and non-unit
+    periods in the long form are left for the caller's error."""
+    pos = 0
+    while True:
+        found = None
+        for start, op, cp in _find_calls(text[pos:], "TIME_FLOOR"):
+            args = _split_top_args(text[pos + op + 1:pos + cp])
+            if len(args) >= 3:
+                found = (pos + start, pos + op, pos + cp, args)
+                break
+        if found is None:
+            return text
+        start, op, cp, args = found
+        ts = args[0].strip()
+        period = args[1].strip()
+        origin = args[2].strip().upper() if len(args) > 2 else "NULL"
+        tz = args[3].strip() if len(args) > 3 else "'UTC'"
+        unit = (_TRUNC_UNITS.get(period.strip("'").upper())
+                if period.startswith("'") else None)
+        if unit is None or origin != "NULL":
+            pos = cp + 1  # unsupported long form: leave in place
+            continue
+        repl = (f"to_utc_timestamp(CAST(date_trunc('{unit}', "
+                f"from_utc_timestamp({ts}, {tz})) AS TIMESTAMP), {tz})")
+        text = text[:start] + repl + text[cp + 1:]
+        pos = start + len(repl)
+    return text
+
+
 def _rewrite_mv_slice_2arg(text: str) -> str:
     """Druid MV_SLICE/ARRAY_SLICE with two args slices to the end of
     the array (ArraySliceOperatorConversion end defaults to length);
@@ -489,19 +529,19 @@ def translate(text: str, time_column: str = TIME_COLUMN) -> str:
     text = _rewrite_floor_to(text)
     # Calcite accepts unsized VARCHAR in CASTs; Spark wants STRING
     text = _rewrite_bare_varchar(text)
-    # Druid CAST never throws — malformed input is NULL in
-    # SQL-compatible null mode (sql/.../expression/builtin — Calcite
-    # CastOperatorConversion over ExprEval coercion), so ANSI Spark's
-    # throwing CAST must become TRY_CAST (CalciteQueryTest
-    # testGroupByFloor pins this: FLOOR(CAST(dim1 AS FLOAT)) over
-    # non-numeric strings groups them under NULL)
-    text = _rewrite_call(text, "CAST", "TRY_CAST")
+    # Druid CAST never throws — malformed input is NULL and numeric
+    # strings truncate ('10.1' AS INTEGER -> 10, ExprEval coercion via
+    # CastOperatorConversion). The session runs non-ANSI (session.py),
+    # where Spark's plain CAST has exactly that contract — a TRY_CAST
+    # rewrite (used while the engine ran ANSI) would null '10.1'
+    # instead of truncating (CalciteQueryTest testSumOfString pins 13).
     text = _rewrite_array_literal(text)
     text = _rewrite_regexp_extract(text)
     text = _rewrite_time_parse(text)
     text = text.replace("__RX_EXTRACT__", "regexp_extract")
     text = _rewrite_array_prepend(text)
     text = text.replace("__ARR_PREP__", "array_prepend")
+    text = _rewrite_time_floor_tz(text)
     text = _rewrite_mv_slice_2arg(text)
     text = _rewrite_mv_contains_array(text)
     text = _rewrite_truncate_default(text)

@@ -834,3 +834,103 @@ def test_histogram_using_subquery(spark, reg):
         GROUP BY CAST(thecnt AS VARCHAR)
     """, reg).collect()
     assert sorted((r["h"], r["c"]) for r in out) == [("1", 2), ("2", 2)]
+
+
+@pytest.fixture(scope="module")
+def numfoo6(spark):
+    """The full 6-row numfoo (DATASOURCE3, FIXTURES.md §2) in
+    post-ingest presentation: scalar dim2 (single-value MVs read as
+    strings, [] as null) plus nullable numeric dims d1/l1."""
+    r = DatasourceRegistry(spark)
+    rows = [
+        (datetime(2000, 1, 1), "", "a", 1, 1.0, 7),
+        (datetime(2000, 1, 2), "10.1", None, 1, 1.7, 325323),
+        (datetime(2000, 1, 3), "2", "", 1, 0.0, 0),
+        (datetime(2001, 1, 1), "1", "a", 1, None, None),
+        (datetime(2001, 1, 2), "def", "abc", 1, None, None),
+        (datetime(2001, 1, 3), "abc", None, 1, None, None),
+    ]
+    schema = T.StructType([
+        T.StructField("__time", T.TimestampType()),
+        T.StructField("dim1", T.StringType()),
+        T.StructField("dim2", T.StringType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("d1", T.DoubleType()),
+        T.StructField("l1", T.LongType()),
+    ])
+    r.register("numfoo", spark.createDataFrame(rows, schema))
+    return r
+
+
+def test_filter_on_string_as_number(spark, numfoo6):
+    """CalciteQueryTest.java:4480 testFilterOnStringAsNumber: comparing
+    a string dim to a number coerces per row without throwing (Druid
+    plans a NUMERIC bound; ExprEval never errors on coercion — the
+    engine runs non-ANSI for exactly this contract)."""
+    out = druid_sql(spark, """
+        SELECT distinct dim1 FROM numfoo WHERE dim1 = 10 OR
+        (floor(CAST(dim1 AS float)) = 10.00 and
+         CAST(dim1 AS float) > 9 and CAST(dim1 AS float) <= 10.5)
+    """, numfoo6).collect()
+    assert [r["dim1"] for r in out] == ["10.1"]
+
+
+def test_simple_aggregations(spark, numfoo6):
+    """CalciteQueryTest.java:4589 testSimpleAggregations (SQL-compatible
+    branch): COUNT over nullable string/numeric dims skips nulls, AVG
+    over an all-null-tail double dim divides by the non-null count.
+    Type divergence: Calcite types AVG(bigint) as BIGINT (1); Spark
+    returns DOUBLE (1.0) — same value."""
+    out = druid_sql(spark, """
+        SELECT COUNT(*) AS a0, COUNT(cnt) AS a1, COUNT(dim1) AS a2,
+               AVG(cnt) AS a3, SUM(cnt) AS a4,
+               SUM(cnt) + MIN(cnt) + MAX(cnt) AS a5,
+               COUNT(dim2) AS a6, COUNT(d1) AS a7, AVG(d1) AS a8
+        FROM numfoo
+    """, numfoo6).first()
+    assert tuple(out) == (6, 6, 6, 1.0, 6, 8, 4, 3,
+                          pytest.approx((1 + 1.7) / 3))
+
+
+def test_count_star_on_common_table_expression(spark, numfoo6):
+    """CalciteQueryTest.java:4161 testCountStarOnCommonTableExpression:
+    the CTE inlines into one filtered count. The reference plans
+    dim1_firstchar <> 'z' as not(selector) which MATCHES null rows
+    (legacy two-valued filter semantics); standard SQL three-valued
+    logic needs the explicit IS NULL arm for the same rows."""
+    out = druid_sql(spark, """
+        WITH beep (dim1_firstchar) AS
+          (SELECT SUBSTRING(dim1, 1, 1) FROM numfoo WHERE dim2 = 'a')
+        SELECT COUNT(*) AS n FROM beep
+        WHERE dim1_firstchar <> 'z' OR dim1_firstchar IS NULL
+    """, numfoo6).first()
+    assert out["n"] == 2
+
+
+def test_sum_of_string(spark, numfoo6):
+    """CalciteQueryTest.java:5900 testSumOfString: SUM(CAST(dim1 AS
+    INTEGER)) coerces '10.1'->10 (truncation through decimal, exact for
+    longs past 2^53) and non-numeric strings -> null, summing to 13."""
+    out = druid_sql(spark, """
+        SELECT SUM(CAST(dim1 AS INTEGER)) AS s FROM numfoo
+    """, numfoo6).first()
+    assert out["s"] == 13
+
+
+def test_group_and_filter_on_time_floor_with_time_zone(spark, reg):
+    """CalciteQueryTest.java:8208 testGroupAndFilterOnTimeFloorWithTimeZone:
+    the 4-arg TIME_FLOOR floors in the given zone and returns the UTC
+    instant of the local bucket start; only the two rows that fall in
+    LA-January-2000 survive (2000-01-01T00Z is still 1999-12-31 in LA)."""
+    out = druid_sql(spark, """
+        SELECT TIME_FLOOR(__time, 'P1M', NULL, 'America/Los_Angeles') AS t,
+               COUNT(*) AS n
+        FROM foo
+        WHERE TIME_FLOOR(__time, 'P1M', NULL, 'America/Los_Angeles') =
+              TIME_PARSE('2000-01-01 00:00:00', NULL, 'America/Los_Angeles')
+           OR TIME_FLOOR(__time, 'P1M', NULL, 'America/Los_Angeles') =
+              TIME_PARSE('2000-02-01 00:00:00', NULL, 'America/Los_Angeles')
+        GROUP BY 1
+    """, reg).collect()
+    assert [(r["t"], r["n"]) for r in out] == [
+        (datetime(2000, 1, 1, 8, 0), 2)]
