@@ -85,11 +85,17 @@ _FUNCTION_DEFS: list[tuple[str, str, str, str]] = [
          WHEN 'EPOCH' THEN unix_timestamp(ts)
          WHEN 'SECOND' THEN second(ts) WHEN 'MINUTE' THEN minute(ts)
          WHEN 'HOUR' THEN hour(ts) WHEN 'DAY' THEN day(ts)
-         WHEN 'DOW' THEN dayofweek(ts)
+         WHEN 'DOW' THEN pmod(dayofweek(ts) + 5, 7) + 1
          WHEN 'ISODOW' THEN pmod(dayofweek(ts) + 5, 7) + 1
          WHEN 'DOY' THEN dayofyear(ts) WHEN 'WEEK' THEN weekofyear(ts)
          WHEN 'MONTH' THEN month(ts) WHEN 'QUARTER' THEN quarter(ts)
-         WHEN 'YEAR' THEN year(ts) END"""),
+         WHEN 'YEAR' THEN year(ts)
+         WHEN 'MILLISECOND' THEN unix_millis(ts) % 1000
+         WHEN 'ISOYEAR' THEN year(ts)
+         WHEN 'DECADE' THEN CAST(year(ts) / 10 AS BIGINT)
+         WHEN 'CENTURY' THEN CAST(ceil(year(ts) / 100.0) AS BIGINT)
+         WHEN 'MILLENNIUM' THEN CAST(ceil(year(ts) / 1000.0) AS BIGINT)
+         END"""),
     ("TIME_FORMAT", "ts TIMESTAMP, pattern STRING", "STRING",
      "date_format(ts, pattern)"),
     # Druid TIME_PARSE returns NULL on unparseable input

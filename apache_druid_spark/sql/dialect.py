@@ -376,6 +376,36 @@ _TRUNC_UNITS = {"P1Y": "YEAR", "P3M": "QUARTER", "P1M": "MONTH",
                 "PT1M": "MINUTE", "PT1S": "SECOND"}
 
 
+# DOW/ISODOW included: Druid's are Joda ISO (Monday=1..Sunday=7, the
+# two agree — TimestampExtractExprMacro.java:130-133) where Spark's
+# EXTRACT(DOW) is Sunday=0-based
+_NONSTD_EXTRACT_UNITS = ("DECADE", "CENTURY", "MILLENNIUM", "ISOYEAR",
+                         "MILLISECOND", "ISODOW", "DOW")
+
+
+def _rewrite_nonstd_extract(text: str) -> str:
+    """EXTRACT units Calcite/Druid accept but Spark's EXTRACT lacks
+    (TimestampExtractExprMacro.java:120-154: DECADE = year/10,
+    CENTURY/MILLENNIUM = ceil(year/unit), ISOYEAR ≈ year, MILLISECOND
+    = millis-of-second) route through the TIME_EXTRACT macro."""
+    while True:
+        found = None
+        for start, op, cp in _find_calls(text, "EXTRACT"):
+            inner = text[op + 1:cp]
+            m = re.match(r"\s*(" + "|".join(_NONSTD_EXTRACT_UNITS)
+                         + r")\s+FROM\s+(.+)\Z", inner,
+                         re.IGNORECASE | re.DOTALL)
+            if m:
+                found = (start, cp, m.group(1).upper(), m.group(2))
+                break
+        if found is None:
+            return text
+        start, cp, unit, expr = found
+        text = (text[:start] + f"TIME_EXTRACT({expr}, '{unit}')"
+                + text[cp + 1:])
+    return text
+
+
 def _rewrite_time_floor_tz(text: str) -> str:
     """TIME_FLOOR(ts, period[, origin[, timezone]]) — the 3/4-arg forms
     of TimeFloorOperatorConversion: flooring happens in the given zone
@@ -541,6 +571,7 @@ def translate(text: str, time_column: str = TIME_COLUMN) -> str:
     text = text.replace("__RX_EXTRACT__", "regexp_extract")
     text = _rewrite_array_prepend(text)
     text = text.replace("__ARR_PREP__", "array_prepend")
+    text = _rewrite_nonstd_extract(text)
     text = _rewrite_time_floor_tz(text)
     text = _rewrite_mv_slice_2arg(text)
     text = _rewrite_mv_contains_array(text)

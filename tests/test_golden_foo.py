@@ -934,3 +934,27 @@ def test_group_and_filter_on_time_floor_with_time_zone(spark, reg):
     """, reg).collect()
     assert [(r["t"], r["n"]) for r in out] == [
         (datetime(2000, 1, 1, 8, 0), 2)]
+
+
+def test_filter_on_time_extract_with_various_time_units(spark):
+    """CalciteQueryTest.java testFilterOnTimeExtractWithVariousTimeUnits
+    (foo4-style single row): the Calcite EXTRACT units Spark lacks —
+    DECADE (year/10), CENTURY/MILLENNIUM (ceil(year/unit)), ISOYEAR
+    (≈ year), MILLISECOND (millis-of-second), and ISO DOW — follow
+    TimestampExtractExprMacro.java:120-154 exactly."""
+    r = DatasourceRegistry(spark)
+    r.register("foo4", spark.createDataFrame(
+        [(datetime(2000, 1, 1, 0, 0, 0, 695000), 1)],  # Saturday
+        T.StructType([T.StructField("__time", T.TimestampType()),
+                      T.StructField("cnt", T.LongType())])))
+    out = druid_sql(spark, """
+        SELECT COUNT(*) AS n FROM foo4
+        WHERE EXTRACT(YEAR FROM __time) = 2000
+        AND EXTRACT(MILLISECOND FROM __time) = 695
+        AND EXTRACT(ISODOW FROM __time) = 6
+        AND EXTRACT(ISOYEAR FROM __time) = 2000
+        AND EXTRACT(DECADE FROM __time) = 200
+        AND EXTRACT(CENTURY FROM __time) = 20
+        AND EXTRACT(MILLENNIUM FROM __time) = 2
+    """, r).first()
+    assert out["n"] == 1
