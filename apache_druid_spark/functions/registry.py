@@ -90,7 +90,7 @@ _FUNCTION_DEFS: list[tuple[str, str, str, str]] = [
          WHEN 'DOY' THEN dayofyear(ts) WHEN 'WEEK' THEN weekofyear(ts)
          WHEN 'MONTH' THEN month(ts) WHEN 'QUARTER' THEN quarter(ts)
          WHEN 'YEAR' THEN year(ts)
-         WHEN 'MILLISECOND' THEN unix_millis(ts) % 1000
+         WHEN 'MILLISECOND' THEN pmod(unix_millis(ts), 1000)
          WHEN 'ISOYEAR' THEN year(ts)
          WHEN 'DECADE' THEN CAST(year(ts) / 10 AS BIGINT)
          WHEN 'CENTURY' THEN CAST(ceil(year(ts) / 100.0) AS BIGINT)
@@ -145,11 +145,9 @@ _FUNCTION_DEFS: list[tuple[str, str, str, str]] = [
     # testMultiValueListFilterComposed, which documents the divergence
     # from the plain array_filter expression)
     ("MV_FILTER_ONLY", "a ARRAY<STRING>, keep ARRAY<STRING>", "ARRAY<STRING>",
-     "CASE WHEN size(filter(a, x -> array_contains(keep, x))) = 0 "
-     "THEN NULL ELSE filter(a, x -> array_contains(keep, x)) END"),
+     "nullif(filter(a, x -> array_contains(keep, x)), array())"),
     ("MV_FILTER_NONE", "a ARRAY<STRING>, drop ARRAY<STRING>", "ARRAY<STRING>",
-     "CASE WHEN size(filter(a, x -> NOT array_contains(drop, x))) = 0 "
-     "THEN NULL ELSE filter(a, x -> NOT array_contains(drop, x)) END"),
+     "nullif(filter(a, x -> NOT array_contains(drop, x)), array())"),
     # -- string / math shims ---------------------------------------------
     ("TEXTCAT", "a STRING, b STRING", "STRING", "concat(a, b)"),
     ("CONTAINS_STRING", "h STRING, n STRING", "BOOLEAN", "contains(h, n)"),

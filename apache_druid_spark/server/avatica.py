@@ -90,8 +90,13 @@ _AVATICA_REP_TYPES = {
     "STRING": "VARCHAR", "CHARACTER": "VARCHAR", "BYTE": "INTEGER",
     "SHORT": "INTEGER", "INTEGER": "INTEGER", "LONG": "BIGINT",
     "FLOAT": "FLOAT", "DOUBLE": "DOUBLE", "NUMBER": "DOUBLE",
-    "BOOLEAN": "BOOLEAN", "JAVA_SQL_TIMESTAMP": "TIMESTAMP",
-    "JAVA_UTIL_DATE": "TIMESTAMP", "JAVA_SQL_DATE": "DATE",
+    "BIG_DECIMAL": "DOUBLE", "BOOLEAN": "BOOLEAN",
+    "PRIMITIVE_BYTE": "INTEGER", "PRIMITIVE_SHORT": "INTEGER",
+    "PRIMITIVE_INT": "INTEGER", "PRIMITIVE_LONG": "BIGINT",
+    "PRIMITIVE_FLOAT": "FLOAT", "PRIMITIVE_DOUBLE": "DOUBLE",
+    "PRIMITIVE_BOOLEAN": "BOOLEAN", "PRIMITIVE_CHAR": "VARCHAR",
+    "JAVA_SQL_TIMESTAMP": "TIMESTAMP", "JAVA_UTIL_DATE": "TIMESTAMP",
+    "JAVA_SQL_TIME": "VARCHAR", "JAVA_SQL_DATE": "DATE",
 }
 
 
@@ -191,14 +196,20 @@ class AvaticaMeta:
                 "cursorFactory": {"style": "LIST", "clazz": None},
                 "statementType": "SELECT"}
 
-    def _run_sql(self, cid: str, sid: int, sql: str) -> dict:
+    def _run_sql(self, cid: str, sid: int, sql: str,
+                 store_sql: str | None = None) -> dict:
+        """Execute and cache the frame. ``store_sql`` keeps the
+        ORIGINAL (unbound) statement text in the registry so a prepared
+        statement re-executed with new parameterValues rebinds from the
+        ``?`` form, not from the previous execution's bound literals."""
         df = druid_sql(self.spark, sql, self.registry)
         columns = [_column_meta(i, name, dtype)
                    for i, (name, dtype) in enumerate(df.dtypes)]
         rows = [[_avatica_value(v) for v in row] for row in df.collect()]
         with self._lock:
             self._statements[(cid, sid)] = {
-                "rows": rows, "columns": columns, "sql": sql}
+                "rows": rows, "columns": columns,
+                "sql": store_sql if store_sql is not None else sql}
         first = rows[:self.frame_max_rows]
         return {
             "response": "resultSet", "connectionId": cid,
@@ -261,8 +272,10 @@ class AvaticaMeta:
                     "type": _AVATICA_REP_TYPES.get(rep, "VARCHAR"),
                     "value": None if p.get("null") else p.get("value"),
                 })
-            sql = bind_parameters(sql, params)
-        rs = self._run_sql(cid, sid, sql)
+            bound = bind_parameters(sql, params)
+            rs = self._run_sql(cid, sid, bound, store_sql=sql)
+        else:
+            rs = self._run_sql(cid, sid, sql)
         return {"response": "executeResults", "missingStatement": False,
                 "results": [rs]}
 

@@ -288,6 +288,14 @@ def _rewrite_array_prepend(text: str) -> str:
     return text
 
 
+def _sql_str(v) -> str:
+    """A safe Spark SQL string literal: quotes doubled AND backslashes
+    escaped (Spark's default escapedStringLiterals=false treats \\ as
+    an escape — an unescaped trailing backslash would swallow the
+    closing quote, an injection vector on the HTTP parameters path)."""
+    return "'" + str(v).replace("\\", "\\\\").replace("'", "''") + "'"
+
+
 def _param_literal(p: dict) -> str:
     """One SqlParameter -> a SQL literal. Mirrors
     sql/.../planner/SqlParameterizerShuttle.java: null binds to NULL,
@@ -306,14 +314,14 @@ def _param_literal(p: dict) -> str:
     if t == "TIMESTAMP":
         if isinstance(v, (int, float)) and not isinstance(v, bool):
             return f"timestamp_millis({int(v)})"
-        return "TIMESTAMP '" + str(v).replace("'", "''") + "'"
+        return "TIMESTAMP " + _sql_str(v)
     if t == "DATE":
         if isinstance(v, (int, float)) and not isinstance(v, bool):
             # JDBC DATE binds days-since-epoch (Avatica TypedValue)
             return f"DATE(timestamp_millis({int(v) * 86400000}))"
-        return "DATE '" + str(v).replace("'", "''") + "'"
+        return "DATE " + _sql_str(v)
     # VARCHAR / CHAR / OTHER -> string literal
-    return "'" + str(v).replace("'", "''") + "'"
+    return _sql_str(v)
 
 
 def bind_parameters(text: str, parameters) -> str:
@@ -341,8 +349,9 @@ def bind_parameters(text: str, parameters) -> str:
 
 # keywords that can follow a table ref — NOT an alias
 _LOOKUP_ALIAS_STOP = frozenset(
-    "on where group order limit left right inner full cross join "
-    "having union intersect except lateral natural using".split())
+    "on where group order limit offset fetch left right inner full "
+    "cross join having union intersect except lateral natural "
+    "using".split())
 
 
 def _rewrite_lookup_schema(text: str) -> str:
@@ -351,18 +360,23 @@ def _rewrite_lookup_schema(text: str) -> str:
     ``lookup.<name>`` table refs resolve to the registered lookup views
     (k, v columns). Calcite exposes the table under its bare name, so
     when no explicit alias follows one is added (``lookyloo.k`` keeps
-    resolving)."""
+    resolving), and a fully-qualified column ref
+    ``lookup.<name>.<col>`` drops the schema (the alias carries it)."""
     spans = _string_spans(text)
     out, last = [], 0
     for m in re.finditer(r"\blookup\.([A-Za-z_]\w*)", text, re.IGNORECASE):
         if any(a <= m.start() <= b for a, b in spans):
             continue
         name = m.group(1)
+        out.append(text[last:m.start()])
+        if m.end() < len(text) and text[m.end()] == ".":
+            out.append(name)  # lookup.name.col -> name.col
+            last = m.end()
+            continue
         am = re.match(r"\s+(?:AS\s+)?([A-Za-z_]\w*)", text[m.end():],
                       re.IGNORECASE)
         has_alias = bool(am
                          and am.group(1).lower() not in _LOOKUP_ALIAS_STOP)
-        out.append(text[last:m.start()])
         out.append(f"lookup_{name}" if has_alias
                    else f"lookup_{name} AS {name}")
         last = m.end()
@@ -751,6 +765,14 @@ def _has_bare_ref(seg: str, col: str) -> bool:
     return False
 
 
+def _find_all(seg: str, needle: str):
+    """Start indices of every occurrence of ``needle`` in ``seg``."""
+    i = seg.find(needle)
+    while i != -1:
+        yield i
+        i = seg.find(needle, i + len(needle))
+
+
 def _expand_mv_macros(expr: str) -> str:
     """Inline-expand registered MV/array SQL macros inside ``expr`` —
     Spark refuses SQL UDFs inside a Generate (LATERAL VIEW explode),
@@ -877,7 +899,29 @@ def _explode_mv_array_items(text: str, mv_cols) -> str:
                 alias = f"__mv_g_x{n_alias}"
 
                 def _rep(seg):
-                    return seg.replace(it, f" {alias} ")
+                    # replace only STANDALONE occurrences of the item
+                    # (a complete select/group/order item) — an
+                    # occurrence nested inside another call, e.g.
+                    # MV_LENGTH(MV_APPEND(..)), must keep the array
+                    out2, last2 = [], 0
+                    for i2 in _find_all(seg, it):
+                        before = seg[:i2].rstrip()
+                        after = seg[i2 + len(it):].lstrip()
+                        pre_ok = (before.endswith(",")
+                                  or re.search(r"\b(SELECT|BY|DISTINCT)"
+                                               r"\s*$", before,
+                                               re.IGNORECASE))
+                        post_ok = (after == "" or after.startswith(",")
+                                   or re.match(r"(AS|FROM|ASC|DESC|"
+                                               r"HAVING|ORDER|LIMIT|"
+                                               r"GROUP)\b", after,
+                                               re.IGNORECASE))
+                        if pre_ok and post_ok:
+                            out2.append(seg[last2:i2])
+                            out2.append(f" {alias} ")
+                            last2 = i2 + len(it)
+                    out2.append(seg[last2:])
+                    return "".join(out2)
 
                 new = (text[:bstart]
                        + _rep(text[bstart:pre_where_end])
@@ -1435,6 +1479,17 @@ def druid_sql(spark: SparkSession, text: str, registry=None,
     if explain:
         return _explain_plan_for(spark, explain.group(1), registry)
     translated = translate(text)
+    # Druid casts never throw. get_spark() runs non-ANSI (the faithful
+    # mode — truncating numeric-string casts); on a caller-provided
+    # ANSI session fall back to TRY_CAST so one malformed row still
+    # cannot kill a scan (null instead of truncate for '10.1'-style
+    # input — the lesser divergence).
+    try:
+        _ansi = str(spark.conf.get("spark.sql.ansi.enabled")).lower()
+    except Exception:  # noqa: BLE001 — conf unavailable: assume lenient
+        _ansi = "false"
+    if _ansi == "true":
+        translated = _rewrite_call(translated, "CAST", "TRY_CAST")
     if registry is not None:
         cache_key = (id(registry), epoch, names)
         cached = getattr(spark, "_druid_sql_mv_cols", None)

@@ -182,3 +182,13 @@ def test_not_in_aggregation_subquery(spark, reg):
     assert sorted(r["__time"] for r in out.collect()) == [
         datetime(2000, 1, 1), datetime(2000, 1, 2), datetime(2000, 1, 3),
         datetime(2001, 1, 1), datetime(2001, 1, 2)]
+
+
+def test_lookup_schema_qualified_column_ref(spark, reg):
+    # lookup.lookyloo.v — fully-qualified column through the schema
+    out = druid_sql(spark, """
+        SELECT lookup.lookyloo.v AS v
+        FROM foo INNER JOIN lookup.lookyloo
+          ON foo.dim1 = lookup.lookyloo.k
+    """, reg).collect()
+    assert [r.v for r in out] == ["xabc"]

@@ -333,3 +333,16 @@ def test_filter_on_list_filter_match(spark, reg):
         GROUP BY 1 ORDER BY 2 DESC
     """, reg))
     assert out == {"b": 2, "a": 1, "c": 1}
+
+
+def test_group_by_element_with_array_length_of_same_expr(spark, reg):
+    # the exploded GROUP BY item must not be substituted where it is
+    # nested inside an array-consuming call in the same select list
+    out = _counts(druid_sql(spark, """
+        SELECT MV_APPEND(dim3, 'foo') AS a,
+               MV_LENGTH(MV_APPEND(dim3, 'foo')) AS l, SUM(cnt) AS s
+        FROM numfoo GROUP BY 1, 2 ORDER BY 3 DESC
+    """, reg))
+    assert out == {("foo", 3): 2, ("foo", 2): 2, (None, None): 2,
+                   ("a", 3): 1, ("b", 3): 2, ("c", 3): 1,
+                   ("d", 2): 1, ("", 2): 1}

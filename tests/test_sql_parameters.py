@@ -168,3 +168,64 @@ def test_avatica_prepare_execute_with_params(spark, reg):
     })
     rows = res["results"][0]["firstFrame"]["rows"]
     assert rows == [[2]]
+
+
+def test_avatica_reexecute_rebinds(spark, reg):
+    # re-executing a prepared statement with NEW parameterValues must
+    # rebind from the original ?-form, not the previously bound text
+    from apache_druid_spark.server.avatica import AvaticaMeta
+
+    meta = AvaticaMeta(spark, reg)
+    meta.handle({"request": "openConnection", "connectionId": "c2"})
+    prep = meta.handle({"request": "prepare", "connectionId": "c2",
+                        "sql": "SELECT COUNT(*) AS n FROM foo "
+                               "WHERE dim2 = ?"})
+    sid = prep["statement"]["id"]
+    h = {"connectionId": "c2", "id": sid}
+    r1 = meta.handle({"request": "execute", "statementHandle": h,
+                      "parameterValues": [{"type": "STRING",
+                                           "value": "a"}]})
+    r2 = meta.handle({"request": "execute", "statementHandle": h,
+                      "parameterValues": [{"type": "STRING",
+                                           "value": "abc"}]})
+    assert r1["results"][0]["firstFrame"]["rows"] == [[2]]
+    assert r2["results"][0]["firstFrame"]["rows"] == [[1]]
+
+
+def test_backslash_parameter_binds_safely(spark, reg):
+    # backslashes must survive binding (Spark string literals treat \
+    # as an escape; a trailing \ would swallow the closing quote)
+    out = druid_sql(spark, "SELECT ? AS v", reg, parameters=[
+        {"type": "VARCHAR", "value": "C:\\temp\\"}]).first()
+    assert out.v == "C:\\temp\\"
+
+
+def test_primitive_rep_binds_typed(spark, reg):
+    # Avatica PRIMITIVE_LONG must bind as a numeric literal
+    from apache_druid_spark.server.avatica import AvaticaMeta
+
+    meta = AvaticaMeta(spark, reg)
+    meta.handle({"request": "openConnection", "connectionId": "c3"})
+    prep = meta.handle({"request": "prepare", "connectionId": "c3",
+                        "sql": "SELECT COUNT(*) AS n FROM foo "
+                               "WHERE cnt = ?"})
+    sid = prep["statement"]["id"]
+    res = meta.handle({
+        "request": "execute",
+        "statementHandle": {"connectionId": "c3", "id": sid},
+        "parameterValues": [{"type": "PRIMITIVE_LONG", "value": 1}],
+    })
+    assert res["results"][0]["firstFrame"]["rows"] == [[6]]
+
+
+def test_ansi_session_fallback_never_throws(spark, reg):
+    # on an ANSI session, druid_sql falls back to TRY_CAST so one
+    # malformed row nulls instead of failing the scan
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        out = druid_sql(spark, """
+            SELECT SUM(CAST(dim1 AS INTEGER)) AS s FROM foo
+        """, reg).first()
+        assert out["s"] == 3  # '10.1' nulls under try_cast; 2 + 1
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
