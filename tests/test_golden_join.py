@@ -192,3 +192,25 @@ def test_lookup_schema_qualified_column_ref(spark, reg):
           ON foo.dim1 = lookup.lookyloo.k
     """, reg).collect()
     assert [r.v for r in out] == ["xabc"]
+
+
+def test_inner_join_cast_left(spark, reg):
+    # testInnerJoinCastLeft — CAST(6.0f AS VARCHAR) is '6.0', never
+    # equal to the lookup key '6': empty result
+    out = druid_sql(spark, """
+        SELECT foo.m1, l.k, l.v
+        FROM foo INNER JOIN lookup.lookyloo l
+          ON CAST(foo.m1 AS VARCHAR) = l.k
+    """, reg).collect()
+    assert out == []
+
+
+def test_inner_join_cast_right(spark, reg):
+    # testInnerJoinCastRight — casting the lookup key to FLOAT nulls
+    # the non-numeric keys (never throws) and matches m1 = 6.0
+    out = druid_sql(spark, """
+        SELECT foo.m1, l.k, l.v
+        FROM foo INNER JOIN lookup.lookyloo l
+          ON foo.m1 = CAST(l.k AS FLOAT)
+    """, reg).collect()
+    assert [(r.m1, r.k, r.v) for r in out] == [(6.0, "6", "x6")]
