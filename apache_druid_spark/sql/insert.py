@@ -92,6 +92,18 @@ def druid_sql_insert(spark: SparkSession, text: str, registry,
     spec = parse_insert(text)
     if spec is None:
         raise ValueError("not an INSERT/REPLACE statement")
+    # target validation (DruidSqlInsert/IngestHandler: only the druid
+    # schema is writable — CalciteInsertDmlTest testInsertIntoSystemTable
+    # / IntoView / IntoNonexistentSchema all reject)
+    target = spec["target"]
+    if "." in target:
+        schema, _, bare = target.partition(".")
+        if schema.lower() != "druid":
+            raise ValueError(
+                f"Cannot {spec['verb']} into [{target}]: only the "
+                f"'druid' schema is writable (sys/INFORMATION_SCHEMA/"
+                f"lookup/view targets are read-only)")
+        spec["target"] = bare
     select, _ = _extern_df(spark, spec["select"])
     out = druid_sql(spark, select, registry)
     if TIME_COLUMN not in out.columns:

@@ -48,3 +48,29 @@ def test_insert_extern_end_to_end(spark, tmp_path):
     parts = [p for p in os.listdir(f"{tmp_path}/pageviews")
              if p.startswith("__segment=")]
     assert len(parts) == 2
+
+
+def test_insert_into_system_table_rejected(spark, tmp_path):
+    """CalciteInsertDmlTest testInsertIntoSystemTable/IntoView/
+    IntoNonexistentSchema: only the druid schema is writable."""
+    reg = DatasourceRegistry(spark)
+    for target in ("sys.segments", "INFORMATION_SCHEMA.COLUMNS",
+                   "view.aview", "nonexistent.dst"):
+        with pytest.raises(ValueError, match="read-only|writable"):
+            druid_sql_insert(
+                spark,
+                f"INSERT INTO {target} SELECT CAST('2024-01-01' AS "
+                f"TIMESTAMP) AS __time PARTITIONED BY day",
+                reg, str(tmp_path))
+
+
+def test_insert_into_qualified_druid_table(spark, tmp_path):
+    """testInsertIntoQualifiedTable: druid.dst equals dst."""
+    reg = DatasourceRegistry(spark)
+    out = druid_sql_insert(
+        spark,
+        "INSERT INTO druid.qualified_dst SELECT CAST('2024-01-01' AS "
+        "TIMESTAMP) AS __time, 5 AS v PARTITIONED BY day",
+        reg, str(tmp_path))
+    assert out.count() == 1
+    assert reg.table("qualified_dst").count() == 1
