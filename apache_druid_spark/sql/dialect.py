@@ -454,6 +454,28 @@ def _rewrite_time_floor_tz(text: str) -> str:
     return text
 
 
+def _rewrite_ltrim_rtrim_2arg(text: str) -> str:
+    """Druid LTRIM/RTRIM(s, chars) vs Spark's legacy 2-arg form
+    ltrim(trimStr, str) — same name, swapped arguments
+    (TrimOperatorConversion; CalciteSelectQueryTest
+    testSelectTrimFamily pins LTRIM('xfoox','x') = 'foox')."""
+    for name in ("LTRIM", "RTRIM"):
+        while True:
+            found = None
+            for start, op, cp in _find_calls(text, name):
+                args = _split_top_args(text[op + 1:cp])
+                if len(args) == 2 and "__TRIMSWAP__" not in args[0]:
+                    found = (start, op, cp, args)
+                    break
+            if found is None:
+                break
+            start, op, cp, args = found
+            text = (text[:start]
+                    + f"{name.lower()}(__TRIMSWAP__{args[1].strip()}, "
+                    + f"{args[0].strip()})" + text[cp + 1:])
+    return text.replace("__TRIMSWAP__", "")
+
+
 def _rewrite_mv_slice_2arg(text: str) -> str:
     """Druid MV_SLICE/ARRAY_SLICE with two args slices to the end of
     the array (ArraySliceOperatorConversion end defaults to length);
@@ -586,6 +608,7 @@ def translate(text: str, time_column: str = TIME_COLUMN) -> str:
     text = _rewrite_array_prepend(text)
     text = text.replace("__ARR_PREP__", "array_prepend")
     text = _rewrite_nonstd_extract(text)
+    text = _rewrite_ltrim_rtrim_2arg(text)
     text = _rewrite_time_floor_tz(text)
     text = _rewrite_mv_slice_2arg(text)
     text = _rewrite_mv_contains_array(text)

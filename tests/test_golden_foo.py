@@ -958,3 +958,40 @@ def test_filter_on_time_extract_with_various_time_units(spark):
         AND EXTRACT(MILLENNIUM FROM __time) = 2
     """, r).first()
     assert out["n"] == 1
+
+
+def test_select_trim_family(spark, reg):
+    """CalciteSelectQueryTest testSelectTrimFamily: every TRIM form
+    plus BTRIM/LTRIM/RTRIM with explicit trim characters (Druid arg
+    order LTRIM(s, chars) — Spark's legacy 2-arg form is swapped)."""
+    out = druid_sql(spark, """
+        SELECT TRIM(BOTH 'x' FROM 'xfoox') AS a,
+               TRIM(TRAILING 'x' FROM 'xfoox') AS b,
+               TRIM(' ' FROM ' foo ') AS c,
+               TRIM(TRAILING FROM ' foo ') AS d,
+               TRIM(' foo ') AS e,
+               BTRIM(' foo ') AS f,
+               BTRIM('xfoox', 'x') AS g,
+               LTRIM(' foo ') AS h,
+               LTRIM('xfoox', 'x') AS i,
+               RTRIM(' foo ') AS j,
+               RTRIM('xfoox', 'x') AS k,
+               COUNT(*) AS n
+        FROM foo
+    """, reg).first()
+    assert tuple(out) == ("foo", "xfoo", "foo", " foo", "foo", "foo",
+                          "foo", "foo ", "foox", " foo", "xfoo", 6)
+
+
+def test_select_pad_family(spark, reg):
+    """CalciteSelectQueryTest testSelectPadFamily: LPAD/RPAD with and
+    without the pad string (2-arg pads with spaces)."""
+    out = druid_sql(spark, """
+        SELECT LPAD('foo', 5, 'x') AS a, LPAD('foo', 2, 'x') AS b,
+               LPAD('foo', 5) AS c, RPAD('foo', 5, 'x') AS d,
+               RPAD('foo', 2, 'x') AS e, RPAD('foo', 5) AS f,
+               COUNT(*) AS n
+        FROM foo
+    """, reg).first()
+    assert tuple(out) == ("xxfoo", "fo", "  foo", "fooxx", "fo",
+                          "foo  ", 6)
