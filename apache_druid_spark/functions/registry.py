@@ -164,6 +164,60 @@ _FUNCTION_DEFS: list[tuple[str, str, str, str]] = [
     ("BITWISE_COMPLEMENT", "a BIGINT", "BIGINT", "~a"),
     ("BITWISE_SHIFT_LEFT", "a BIGINT, n INT", "BIGINT", "shiftleft(a, n)"),
     ("BITWISE_SHIFT_RIGHT", "a BIGINT, n INT", "BIGINT", "shiftright(a, n)"),
+    # IEEE-754 bit reinterpretation in pure arithmetic (Spark has no
+    # doubleToRawLongBits builtin): every step is a power-of-two
+    # multiply/divide or an integer-valued double below 2^53, so the
+    # round trip is EXACT — property-tested against Python's struct in
+    # test_expressions.py. (BitwiseConvert{DoubleToLongBits,
+    # LongBitsToDouble}OperatorConversion / Longs/DoublesExprMacro.)
+    ("BITWISE_CONVERT_LONG_BITS_TO_DOUBLE", "a BIGINT", "DOUBLE",
+     """CASE
+         WHEN ((a >> 52) & 2047) = 2047 THEN
+           CASE WHEN (a & 4503599627370495) != 0 THEN CAST('NaN' AS DOUBLE)
+                WHEN a < 0 THEN CAST('-Infinity' AS DOUBLE)
+                ELSE CAST('Infinity' AS DOUBLE) END
+         WHEN ((a >> 52) & 2047) = 0 THEN
+           (CASE WHEN a < 0 THEN -1.0 ELSE 1.0 END)
+           * CAST(a & 4503599627370495 AS DOUBLE)
+           * pow(2.0, -537) * pow(2.0, -537)
+         ELSE
+           (CASE WHEN a < 0 THEN -1.0 ELSE 1.0 END)
+           * (4503599627370496.0 + CAST(a & 4503599627370495 AS DOUBLE))
+           * pow(2.0, CAST(((a >> 52) & 2047) AS DOUBLE) - 1075.0)
+       END"""),
+    ("BITWISE_CONVERT_DOUBLE_TO_LONG_BITS", "x DOUBLE", "BIGINT",
+     # e = floor(log2(|x|)) with a two-sided guard against log2
+     # misrounding at exact powers of two; normals encode
+     # (|x|/2^e - 1) * 2^52, subnormals |x| * 2^1074 (split as
+     # 2^537 * 2^537 to keep the scale factor finite)
+     """CASE
+         WHEN isnan(x) THEN 9221120237041090560
+         WHEN x = CAST('Infinity' AS DOUBLE) THEN 9218868437227405312
+         WHEN x = CAST('-Infinity' AS DOUBLE) THEN -4503599627370496
+         WHEN x = 0.0 THEN
+           CASE WHEN startswith(CAST(x AS STRING), '-')
+                THEN -9223372036854775808 ELSE 0 END
+         ELSE
+           (CASE WHEN x < 0 THEN -9223372036854775808 ELSE 0 END)
+           + (CASE WHEN abs(x) < pow(2.0, -1022) THEN
+                CAST(abs(x) * pow(2.0, 537) * pow(2.0, 537) AS BIGINT)
+              ELSE
+                (CAST(floor(log2(abs(x))) AS BIGINT)
+                 + (CASE WHEN pow(2.0, floor(log2(abs(x)))) > abs(x)
+                         THEN -1
+                         WHEN pow(2.0, floor(log2(abs(x))) + 1.0)
+                              <= abs(x) THEN 1
+                         ELSE 0 END) + 1023) * 4503599627370496
+                + CAST((abs(x) / pow(2.0,
+                    CAST(CAST(floor(log2(abs(x))) AS BIGINT)
+                     + (CASE WHEN pow(2.0, floor(log2(abs(x)))) > abs(x)
+                             THEN -1
+                             WHEN pow(2.0, floor(log2(abs(x))) + 1.0)
+                                  <= abs(x) THEN 1
+                             ELSE 0 END) AS DOUBLE)) - 1.0)
+                   * 4503599627370496.0 AS BIGINT)
+              END)
+       END"""),
     # DIV is already a Spark builtin with identical semantics
     # -- ipv4 --------------------------------------------------------------
     ("IPV4_PARSE", "s STRING", "BIGINT",

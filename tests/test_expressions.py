@@ -144,3 +144,51 @@ def test_column_reference(spark):
             .select(compile_expression("if(id > 2, id * 10, id)").alias("v"))
             .collect())
     assert [r["v"] for r in rows] == [0, 1, 2, 30, 40]
+
+
+def test_bitwise_convert_round_trip(spark):
+    """BITWISE_CONVERT_DOUBLE_TO_LONG_BITS / LONG_BITS_TO_DOUBLE are
+    exact IEEE-754 reinterpretation in pure arithmetic (registry.py) —
+    verified against Python's struct for normals, subnormals, extremes,
+    signed zero, infinities and NaN
+    (BitwiseConvertDoubleToLongBitsOperatorConversion)."""
+    import random
+    import struct
+
+    from apache_druid_spark.model.datasource import DatasourceRegistry
+    from apache_druid_spark.sql.dialect import druid_sql
+
+    def d2l(x):
+        return struct.unpack(">q", struct.pack(">d", x))[0]
+
+    def l2d(b):
+        return struct.unpack(">d", struct.pack(">q", b))[0]
+
+    reg = DatasourceRegistry(spark)
+    reg.register("one", spark.createDataFrame([(1,)], "x long"))
+    rng = random.Random(7)
+    vals = [1.0, -1.0, 0.5, 2.0, 3.5, 1e-320, -1e-320, 5e-324,
+            1.7976931348623157e308, 2.2250738585072014e-308,
+            123456.789, 3.141592653589793]
+    vals += [rng.uniform(-1e9, 1e9) for _ in range(12)]
+    vals += [l2d(rng.getrandbits(62)) for _ in range(12)]
+    exprs = ", ".join(
+        f"BITWISE_CONVERT_DOUBLE_TO_LONG_BITS(double('{v!r}')) AS b{i},"
+        f" BITWISE_CONVERT_LONG_BITS_TO_DOUBLE({d2l(v)}) AS d{i}"
+        for i, v in enumerate(vals))
+    row = druid_sql(spark, f"SELECT {exprs} FROM one", reg).first()
+    for i, v in enumerate(vals):
+        assert row[f"b{i}"] == d2l(v), (v, row[f"b{i}"], d2l(v))
+        assert row[f"d{i}"] == v, (v, row[f"d{i}"])
+    row = druid_sql(spark, """
+        SELECT BITWISE_CONVERT_DOUBLE_TO_LONG_BITS(double('NaN')) AS n,
+               BITWISE_CONVERT_DOUBLE_TO_LONG_BITS(double('-0.0')) AS z,
+               BITWISE_CONVERT_DOUBLE_TO_LONG_BITS(double('Infinity'))
+                   AS p,
+               BITWISE_CONVERT_LONG_BITS_TO_DOUBLE(9221120237041090560)
+                   AS nd
+        FROM one""", reg).first()
+    assert row["n"] == 9221120237041090560       # canonical NaN
+    assert row["z"] == -9223372036854775808      # -0.0 sign bit
+    assert row["p"] == 9218868437227405312       # +Infinity
+    assert row["nd"] != row["nd"]                # NaN round-trips

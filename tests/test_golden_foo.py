@@ -995,3 +995,35 @@ def test_select_pad_family(spark, reg):
     """, reg).first()
     assert tuple(out) == ("xxfoo", "fo", "  foo", "fooxx", "fo",
                           "foo  ", 6)
+
+
+def test_bitwise_expressions(spark):
+    """CalciteQueryTest testBitwiseExpressions (SQL-compatible branch):
+    the scalar BITWISE_* family over numfoo's nullable longs, including
+    exact IEEE-754 double<->long-bits reinterpretation (row 1's
+    LONG_BITS_TO_DOUBLE(7) is the subnormal 3.5e-323)."""
+    r = DatasourceRegistry(spark)
+    rows = [(7, None, 1.0), (325323, 325323, 1.7), (0, 0, 0.0),
+            (None, None, None), (None, None, None), (None, None, None)]
+    r.register("numfoo", spark.createDataFrame(
+        rows, T.StructType([T.StructField("l1", T.LongType()),
+                            T.StructField("l2", T.LongType()),
+                            T.StructField("d1", T.DoubleType())])))
+    out = druid_sql(spark, """
+        SELECT BITWISE_AND(l1, l2) AS a, BITWISE_OR(l1, l2) AS o,
+               BITWISE_XOR(l1, l2) AS x, BITWISE_COMPLEMENT(l1) AS c,
+               BITWISE_SHIFT_LEFT(l1, 2) AS sl,
+               BITWISE_SHIFT_RIGHT(l1, 2) AS sr,
+               BITWISE_CONVERT_DOUBLE_TO_LONG_BITS(d1) AS db,
+               BITWISE_CONVERT_LONG_BITS_TO_DOUBLE(l1) AS ld
+        FROM numfoo
+    """, r).collect()
+    got = [tuple(x) for x in out]
+    assert got == [
+        (None, None, None, -8, 28, 1, 4607182418800017408, 3.5e-323),
+        (325323, 325323, 0, -325324, 1301292, 81330,
+         4610334938539176755, 1.60731e-318),
+        (0, 0, 0, -1, 0, 0, 0, 0.0),
+        (None, None, None, None, None, None, None, None),
+        (None, None, None, None, None, None, None, None),
+        (None, None, None, None, None, None, None, None)]
