@@ -367,6 +367,59 @@ _DRUID_TO_SPARK_TYPE = {
 }
 
 
+_MANT_MASK = 4503599627370495        # 2^52 - 1
+_MANT_ONE = 4503599627370496.0       # 2^52
+_MIN_LONG = -9223372036854775808
+
+
+def _fn_long_bits_to_double(a: Column) -> Column:
+    """Long bits -> IEEE-754 double, exactly (see registry.py twin)."""
+    a = a.cast("long")
+    expo = F.shiftright(a, 52).bitwiseAND(F.lit(2047))
+    mant = a.bitwiseAND(F.lit(_MANT_MASK))
+    sign = F.when(a < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    return (
+        F.when(expo == 2047,
+               F.when(mant != 0, F.lit(float("nan")))
+                .when(a < 0, F.lit(float("-inf")))
+                .otherwise(F.lit(float("inf"))))
+        .when(expo == 0,
+              sign * mant.cast("double")
+              * F.lit(2.0 ** -537) * F.lit(2.0 ** -537))
+        .otherwise(sign * (F.lit(_MANT_ONE) + mant.cast("double"))
+                   * F.power(F.lit(2.0),
+                             expo.cast("double") - F.lit(1075.0))))
+
+
+def _fn_double_to_long_bits(x: Column) -> Column:
+    """IEEE-754 double -> long bits, exactly (see registry.py twin).
+    floor(log2) carries a two-sided guard against misrounding at exact
+    powers of two; subnormals scale by 2^537 twice (2^1074 overflows)."""
+    x = x.cast("double")
+    ax = F.abs(x)
+    e0 = F.floor(F.log2(ax))
+    corr = (F.when(F.power(F.lit(2.0), e0.cast("double")) > ax, F.lit(-1))
+             .when(F.power(F.lit(2.0), (e0 + 1).cast("double")) <= ax,
+                   F.lit(1))
+             .otherwise(F.lit(0)))
+    e = e0.cast("long") + corr
+    mant = ((ax / F.power(F.lit(2.0), e.cast("double")) - F.lit(1.0))
+            * F.lit(_MANT_ONE)).cast("long")
+    sub_mant = (ax * F.lit(2.0 ** 537) * F.lit(2.0 ** 537)).cast("long")
+    sign_bit = F.when(x < 0, F.lit(_MIN_LONG)).otherwise(F.lit(0))
+    return (
+        F.when(F.isnan(x), F.lit(9221120237041090560))
+        .when(x == F.lit(float("inf")), F.lit(9218868437227405312))
+        .when(x == F.lit(float("-inf")), F.lit(-4503599627370496))
+        .when(x == 0.0,
+              F.when(x.cast("string").startswith("-"), F.lit(_MIN_LONG))
+               .otherwise(F.lit(0)))
+        .otherwise(
+            sign_bit
+            + F.when(ax < F.lit(2.0 ** -1022), sub_mant)
+               .otherwise((e + 1023) * F.lit(4503599627370496) + mant)))
+
+
 def _fn_get_exponent(d: Column) -> Column:
     """Math.getExponent: unbiased IEEE-754 exponent. Derived from log2
     with a pow-back correction (log2 alone can land one below at exact
@@ -622,12 +675,12 @@ _FUNCTIONS: dict[str, Callable] = {
     "bitwiseor": lambda a, b: a.cast("long").bitwiseOR(b.cast("long")),
     "bitwisexor": lambda a, b: a.cast("long").bitwiseXOR(b.cast("long")),
     "bitwisecomplement": lambda a: F.bitwise_not(a.cast("long")),
-    # No Catalyst bit-cast builtin; erroring beats silently returning
-    # null (ExprEval would produce real IEEE754 bits in the reference)
-    "bitwiseconvertdoubletolongbits": lambda a: _raise_unsupported(
-        "bitwiseConvertDoubleToLongBits"),
-    "bitwiseconvertlongbitstodouble": lambda a: _raise_unsupported(
-        "bitwiseConvertLongBitsToDouble"),
+    # exact IEEE-754 reinterpretation in pure arithmetic — same
+    # construction as the SQL macros (functions/registry.py): every
+    # step is a power-of-two multiply/divide or an integer-valued
+    # double below 2^53 (Function.java BitwiseConvert*)
+    "bitwiseconvertdoubletolongbits": lambda a: _fn_double_to_long_bits(a),
+    "bitwiseconvertlongbitstodouble": lambda a: _fn_long_bits_to_double(a),
     # HLL-state expression builders (HyperUniqueExpressions.java) carry
     # COMPLEX sketch state through scalar expressions; our engine holds
     # mergeable HLL state in columns via hll_sketch_agg/hll_union_agg

@@ -192,3 +192,30 @@ def test_bitwise_convert_round_trip(spark):
     assert row["z"] == -9223372036854775808      # -0.0 sign bit
     assert row["p"] == 9218868437227405312       # +Infinity
     assert row["nd"] != row["nd"]                # NaN round-trips
+
+
+def test_bitwise_convert_native_expression_path(spark):
+    """The native expression language's bitwiseConvert* (math-expr
+    docs) shares the exact-arithmetic construction with the SQL
+    macros."""
+    import struct
+
+    from apache_druid_spark.operators.expressions import (
+        compile_expression,
+    )
+
+    def d2l(v):
+        return struct.unpack(">q", struct.pack(">d", v))[0]
+
+    df = spark.createDataFrame([(1,)], "x long")
+    vals = [1.0, -2.5, 5e-324, 1.7976931348623157e308, 3.141592653]
+    cols = {}
+    for i, v in enumerate(vals):
+        cols[f"b{i}"] = compile_expression(
+            f"bitwiseConvertDoubleToLongBits({v!r})")
+        cols[f"d{i}"] = compile_expression(
+            f"bitwiseConvertLongBitsToDouble({d2l(v)})")
+    row = df.select([c.alias(n) for n, c in cols.items()]).first()
+    for i, v in enumerate(vals):
+        assert row[f"b{i}"] == d2l(v)
+        assert row[f"d{i}"] == v
