@@ -420,6 +420,29 @@ def _fn_double_to_long_bits(x: Column) -> Column:
                .otherwise((e + 1023) * F.lit(4503599627370496) + mant)))
 
 
+_MIN_SUBNORMAL = 5e-324
+
+
+def _fn_next_after(a: Column, b: Column) -> Column:
+    """Math.nextAfter via bit arithmetic: adjacent doubles differ by
+    one in their long-bits representation (moving away from zero adds
+    one, toward zero subtracts one)."""
+    a = a.cast("double")
+    b = b.cast("double")
+    bits = _fn_double_to_long_bits(a)
+    up = F.when(a >= 0, _fn_long_bits_to_double(bits + 1)) \
+          .otherwise(_fn_long_bits_to_double(bits - 1))
+    down = F.when(a > 0, _fn_long_bits_to_double(bits - 1)) \
+            .otherwise(_fn_long_bits_to_double(bits + 1))
+    return (
+        F.when(F.isnan(a) | F.isnan(b), F.lit(float("nan")))
+        .when(a == b, b)
+        .when(a < b, F.when(a == 0.0, F.lit(_MIN_SUBNORMAL))
+                      .otherwise(up))
+        .otherwise(F.when(a == 0.0, F.lit(-_MIN_SUBNORMAL))
+                    .otherwise(down)))
+
+
 def _fn_get_exponent(d: Column) -> Column:
     """Math.getExponent: unbiased IEEE-754 exponent. Derived from log2
     with a pow-back correction (log2 alone can land one below at exact
@@ -664,7 +687,7 @@ _FUNCTIONS: dict[str, Callable] = {
     "getexponent": _fn_get_exponent,
     "ulp": _fn_ulp,
     "nextup": _fn_next_up,
-    "nextafter": lambda a, b: _raise_unsupported("nextAfter"),
+    "nextafter": lambda a, b: _fn_next_after(a, b),
     "scalb": lambda d, sb: d.cast("double")
     * F.power(F.lit(2.0), sb.cast("double")),
     "mod": lambda a, b: a % b,

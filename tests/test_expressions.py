@@ -219,3 +219,21 @@ def test_bitwise_convert_native_expression_path(spark):
     for i, v in enumerate(vals):
         assert row[f"b{i}"] == d2l(v)
         assert row[f"d{i}"] == v
+
+
+def test_next_after(spark):
+    """nextAfter via long-bits adjacency (Math.nextAfter semantics)."""
+    import math
+
+    from apache_druid_spark.operators.expressions import (
+        compile_expression,
+    )
+
+    df = spark.createDataFrame([(1,)], "x long")
+    cases = [(1.0, 2.0), (1.0, 0.5), (-1.0, 0.0), (0.0, -1.0),
+             (0.0, 1.0), (3.5, 3.5), (-2.25, -9.0)]
+    cols = {f"c{i}": compile_expression(f"nextAfter({a!r}, {b!r})")
+            for i, (a, b) in enumerate(cases)}
+    row = df.select([c.alias(n) for n, c in cols.items()]).first()
+    for i, (a, b) in enumerate(cases):
+        assert row[f"c{i}"] == math.nextafter(a, b), (a, b)
