@@ -468,14 +468,16 @@ def _fn_ulp(d: Column) -> Column:
 
 
 def _fn_next_up(d: Column) -> Column:
-    """Math.nextUp approximated as d + ulp(d). Exact everywhere except
-    exact negative powers of two, where the true step is ulp/2 (the
-    spacing halves below the boundary) — documented divergence."""
+    """Math.nextUp, exact via long-bits adjacency (the former
+    d + ulp(d) approximation diverged one ulp at exact negative powers
+    of two, where the spacing halves below the boundary)."""
     dd = d.cast("double")
+    bits = _fn_double_to_long_bits(dd)
     return (F.when(F.isnan(dd), dd)
              .when(dd == F.lit(float("inf")), dd)
              .when(dd == F.lit(0.0), F.lit(4.9e-324))
-             .otherwise(dd + _fn_ulp(dd)))
+             .when(dd >= 0, _fn_long_bits_to_double(bits + 1))
+             .otherwise(_fn_long_bits_to_double(bits - 1)))
 
 
 def _raise_unsupported(name: str):

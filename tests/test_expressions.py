@@ -237,3 +237,21 @@ def test_next_after(spark):
     row = df.select([c.alias(n) for n, c in cols.items()]).first()
     for i, (a, b) in enumerate(cases):
         assert row[f"c{i}"] == math.nextafter(a, b), (a, b)
+
+
+def test_next_up_exact(spark):
+    """nextUp is exact at negative powers of two (where the spacing
+    halves and the old d + ulp(d) form overstepped one ulp)."""
+    import math
+
+    from apache_druid_spark.operators.expressions import (
+        compile_expression,
+    )
+
+    df = spark.createDataFrame([(1,)], "x long")
+    vals = [-1.0, -0.5, -0.25, -(2.0 ** -1022), 1.0, 0.5]
+    cols = {f"c{i}": compile_expression(f"nextUp({v!r})")
+            for i, v in enumerate(vals)}
+    row = df.select([c.alias(n) for n, c in cols.items()]).first()
+    for i, v in enumerate(vals):
+        assert row[f"c{i}"] == math.nextafter(v, math.inf), v
