@@ -43,11 +43,12 @@ def test_epoch_ignores_timezone_shift(spark):
     assert _one(spark, h) == 17
 
 
-def test_bit_convert_raises(spark):
-    with pytest.raises(NotImplementedError):
-        _one(spark, "bitwiseConvertDoubleToLongBits(1.5)")
-    with pytest.raises(NotImplementedError):
-        _one(spark, "bitwiseConvertLongBitsToDouble(42)")
+def test_bit_convert_exact(spark):
+    # formerly a pinned exclusion; now exact arithmetic reinterpretation
+    # (struct-verified round trip in test_expressions.py)
+    assert _one(spark, "bitwiseConvertDoubleToLongBits(1.5)") \
+        == 4609434218613702656
+    assert _one(spark, "bitwiseConvertLongBitsToDouble(42)") == 2.08e-322
 
 
 # --- filtered aggregator inner-type routing (FilteredAggregatorFactory) ---
