@@ -1027,3 +1027,51 @@ def test_bitwise_expressions(spark):
         (None, None, None, None, None, None, None, None),
         (None, None, None, None, None, None, None, None),
         (None, None, None, None, None, None, None, None)]
+
+
+def test_group_by_floor_with_order_by(spark, numfoo6):
+    """CalciteQueryTest testGroupByFloorWithOrderBy: non-numeric dim1
+    values floor to null (lenient cast) and DESC puts them last."""
+    out = druid_sql(spark, """
+        SELECT floor(CAST(dim1 AS float)) AS fl, COUNT(*) AS n
+        FROM numfoo GROUP BY floor(CAST(dim1 AS float))
+        ORDER BY fl DESC
+    """, numfoo6).collect()
+    assert [(None if r.fl is None else float(r.fl), r.n)
+            for r in out] == [(10.0, 1), (2.0, 1), (1.0, 1), (None, 3)]
+
+
+def test_filter_on_time_floor_misaligned(spark, numfoo6):
+    """CalciteQueryTest testFilterOnTimeFloorMisaligned: comparing a
+    month floor to a non-boundary instant can never match."""
+    out = druid_sql(spark, """
+        SELECT COUNT(*) AS n FROM numfoo
+        WHERE floor(__time TO month) = TIMESTAMP '2000-01-01 00:00:01'
+    """, numfoo6).first()
+    assert out["n"] == 0
+
+
+def test_filter_on_not_time_floor(spark, numfoo6):
+    """CalciteQueryTest testFilterOnNotTimeFloor: <> and < against a
+    month floor (all three 2000-01 rows survive both)."""
+    out = druid_sql(spark, """
+        SELECT COUNT(*) AS n FROM numfoo
+        WHERE FLOOR(__time TO MONTH) <> TIMESTAMP '2001-01-01 00:00:00'
+    """, numfoo6).first()
+    assert out["n"] == 3
+    out = druid_sql(spark, """
+        SELECT COUNT(*) AS n FROM numfoo
+        WHERE FLOOR(__time TO MONTH) < TIMESTAMP '2000-02-01 00:00:00'
+    """, numfoo6).first()
+    assert out["n"] == 3
+
+
+def test_group_by_sort_push_down(spark, numfoo6):
+    """CalciteQueryTest testGroupBySortPushDown: two-dim group with a
+    limit ordered by the SECOND grouping dim."""
+    out = druid_sql(spark, """
+        SELECT dim2, dim1, SUM(cnt) AS s FROM numfoo
+        GROUP BY dim2, dim1 ORDER BY dim1 LIMIT 4
+    """, numfoo6).collect()
+    assert [(r.dim2, r.dim1, r.s) for r in out] == [
+        ("a", "", 1), ("a", "1", 1), (None, "10.1", 1), ("", "2", 1)]
