@@ -122,7 +122,8 @@ class DruidHttpServer:
                                 df = druid_sql(
                                     outer.spark, body["query"],
                                     outer.registry,
-                                    parameters=body.get("parameters"))
+                                    parameters=body.get("parameters"),
+                                    context=body.get("context"))
                                 fmt = body.get("resultFormat", "object")
                                 payload = format_results(
                                     df, fmt,

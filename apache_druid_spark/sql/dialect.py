@@ -1459,7 +1459,7 @@ def _mv_string_columns(registry, names) -> tuple:
 
 
 def druid_sql(spark: SparkSession, text: str, registry=None,
-              parameters=None) -> DataFrame:
+              parameters=None, context=None) -> DataFrame:
     """Run a Druid SQL string on Spark: register scalar shims, translate
     the aggregate surface, and hand the rest to Catalyst (parse/validate/
     optimize — the entire SqlLifecycle of the reference,
@@ -1530,4 +1530,9 @@ def druid_sql(spark: SparkSession, text: str, registry=None,
         from apache_druid_spark.sql.catalog import register_system_views
 
         register_system_views(registry)
-    return spark.sql(translated)
+    out = spark.sql(translated)
+    # sqlOuterLimit (SqlQuery context; DruidPlanner wraps the whole
+    # result in an outer LIMIT — consoles use it to cap result sets)
+    if context and context.get("sqlOuterLimit") is not None:
+        out = out.limit(int(context["sqlOuterLimit"]))
+    return out

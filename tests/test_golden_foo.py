@@ -1075,3 +1075,43 @@ def test_group_by_sort_push_down(spark, numfoo6):
     """, numfoo6).collect()
     assert [(r.dim2, r.dim1, r.s) for r in out] == [
         ("a", "", 1), ("a", "1", 1), (None, "10.1", 1), ("", "2", 1)]
+
+
+def test_select_limit_wrapping(spark, numfoo6):
+    """CalciteSelectQueryTest testSelectLimitWrapping(+OnTopOfOffset):
+    the sqlOuterLimit context wraps the whole result in an outer LIMIT
+    (DruidPlanner), composing with the query's own OFFSET/LIMIT."""
+    out = druid_sql(spark, "SELECT dim1 FROM numfoo ORDER BY __time DESC",
+                    numfoo6, context={"sqlOuterLimit": 2}).collect()
+    assert [r.dim1 for r in out] == ["abc", "def"]
+    out = druid_sql(spark,
+                    "SELECT dim1 FROM numfoo ORDER BY __time DESC "
+                    "OFFSET 1", numfoo6,
+                    context={"sqlOuterLimit": 2}).collect()
+    assert [r.dim1 for r in out] == ["def", "1"]
+    out = druid_sql(spark,
+                    "SELECT dim1 FROM numfoo ORDER BY __time DESC "
+                    "LIMIT 1 OFFSET 1", numfoo6,
+                    context={"sqlOuterLimit": 2}).collect()
+    assert [r.dim1 for r in out] == ["def"]
+
+
+def test_order_then_limit_then_filter(spark, numfoo6):
+    """CalciteSelectQueryTest testOrderThenLimitThenFilter: the inner
+    top-4-by-time limit applies BEFORE the outer filter."""
+    out = druid_sql(spark, """
+        SELECT dim1 FROM
+        (SELECT __time, dim1 FROM numfoo ORDER BY __time DESC LIMIT 4)
+        WHERE dim1 IN ('abc', 'def')
+    """, numfoo6).collect()
+    assert sorted(r.dim1 for r in out) == ["abc", "def"]
+
+
+def test_projection_from_inner_limit_descending(spark, numfoo6):
+    """testSelectProjectionFromSelectSingleColumnWithInnerLimitDescending:
+    projection over an inner time-descending limit."""
+    out = druid_sql(spark, """
+        SELECT 'beep ' || dim1 AS b FROM
+        (SELECT dim1 FROM numfoo ORDER BY __time DESC LIMIT 2)
+    """, numfoo6).collect()
+    assert sorted(r.b for r in out) == ["beep abc", "beep def"]
