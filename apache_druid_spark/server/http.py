@@ -147,6 +147,11 @@ class DruidHttpServer:
                 ctype = ("text/csv" if body.get("resultFormat") == "csv"
                          else "application/json")
                 self.send_header("Content-Type", ctype)
+                qid = ((body.get("context") or {}).get("sqlQueryId")
+                       if path == "/druid/v2/sql" else None)
+                if qid is not None:
+                    # SqlResource echoes the id (X-Druid-SQL-Query-Id)
+                    self.send_header("X-Druid-SQL-Query-Id", str(qid))
                 if cache_state is not None:
                     self.send_header("X-Druid-Cache", cache_state)
                 self.end_headers()

@@ -1530,6 +1530,13 @@ def druid_sql(spark: SparkSession, text: str, registry=None,
         from apache_druid_spark.sql.catalog import register_system_views
 
         register_system_views(registry)
+    # useApproximateCountDistinct (PlannerConfig; the reference's
+    # DEFAULT is true — this engine defaults to exact, the
+    # strictly-better mode, and honors the flag when asked)
+    if context and context.get("useApproximateCountDistinct"):
+        translated = _sub_outside_strings(
+            translated, r"\bCOUNT\s*\(\s*DISTINCT\b",
+            lambda _m: "approx_count_distinct(")
     out = spark.sql(translated)
     # sqlOuterLimit (SqlQuery context; DruidPlanner wraps the whole
     # result in an outer LIMIT — consoles use it to cap result sets)

@@ -1115,3 +1115,19 @@ def test_projection_from_inner_limit_descending(spark, numfoo6):
         (SELECT dim1 FROM numfoo ORDER BY __time DESC LIMIT 2)
     """, numfoo6).collect()
     assert sorted(r.b for r in out) == ["beep abc", "beep def"]
+
+
+def test_use_approximate_count_distinct_context(spark, numfoo6):
+    """PlannerConfig useApproximateCountDistinct: the context flag
+    switches COUNT(DISTINCT) to the approximate aggregator (the
+    reference's DEFAULT; this engine defaults to exact)."""
+    exact = druid_sql(spark,
+                      "SELECT COUNT(DISTINCT dim1) AS n FROM numfoo",
+                      numfoo6).first()
+    approx = druid_sql(spark,
+                       "SELECT COUNT(DISTINCT dim1) AS n FROM numfoo",
+                       numfoo6,
+                       context={"useApproximateCountDistinct": True}
+                       ).first()
+    assert exact["n"] == 6
+    assert 5 <= approx["n"] <= 7  # HLL++ is exact at this cardinality
