@@ -454,6 +454,38 @@ def _rewrite_time_floor_tz(text: str) -> str:
     return text
 
 
+_LIKE_ESCAPE_RE = re.compile(
+    r"(\bLIKE\s+)'((?:[^']|'')*)'\s+ESCAPE\s+'((?:[^']|'')*)'",
+    re.IGNORECASE)
+
+
+def _rewrite_like_escape(text: str) -> str:
+    """LIKE ... ESCAPE with a custom escape char: Calcite (LikeDimFilter)
+    lets the escape precede ANY character (escaping an ordinary char is
+    the char itself); Spark rejects ESC_IN_THE_MIDDLE. Normalize to a
+    default-backslash pattern with only %/_ escapes kept."""
+    def _sub(m):
+        pat = m.group(2).replace("''", "'")
+        esc = m.group(3).replace("''", "'")
+        if len(esc) != 1:
+            return m.group(0)
+        out, i = [], 0
+        while i < len(pat):
+            c = pat[i]
+            if c == esc and i + 1 < len(pat):
+                n = pat[i + 1]
+                out.append("\\" + n if n in ("%", "_")
+                           else ("\\\\" if n == "\\" else n))
+                i += 2
+                continue
+            out.append("\\\\" if c == "\\" else c)
+            i += 1
+        lit = "".join(out).replace("\\", "\\\\").replace("'", "''")
+        return m.group(1) + "'" + lit + "'"
+
+    return _LIKE_ESCAPE_RE.sub(_sub, text)
+
+
 def _rewrite_ltrim_rtrim_2arg(text: str) -> str:
     """Druid LTRIM/RTRIM(s, chars) vs Spark's legacy 2-arg form
     ltrim(trimStr, str) — same name, swapped arguments
@@ -608,6 +640,7 @@ def translate(text: str, time_column: str = TIME_COLUMN) -> str:
     text = _rewrite_array_prepend(text)
     text = text.replace("__ARR_PREP__", "array_prepend")
     text = _rewrite_nonstd_extract(text)
+    text = _rewrite_like_escape(text)
     text = _rewrite_ltrim_rtrim_2arg(text)
     text = _rewrite_time_floor_tz(text)
     text = _rewrite_mv_slice_2arg(text)

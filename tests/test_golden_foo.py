@@ -1131,3 +1131,25 @@ def test_use_approximate_count_distinct_context(spark, numfoo6):
                        ).first()
     assert exact["n"] == 6
     assert 5 <= approx["n"] <= 7  # HLL++ is exact at this cardinality
+
+
+def test_count_star_with_like_filter(spark, numfoo6):
+    """CalciteQueryTest testCountStarWithLikeFilter: LIKE with a custom
+    escape character ('%xb%' escape 'x' = contains literal 'b')."""
+    out = druid_sql(spark, """
+        SELECT COUNT(*) AS n FROM numfoo
+        WHERE dim1 like 'a%' OR dim2 like '%xb%' escape 'x'
+    """, numfoo6).first()
+    assert out["n"] == 2
+
+
+def test_group_by_with_sort_on_post_aggregation(spark, reg):
+    """CalciteQueryTest testGroupByWithSortOnPostAggregationDefault:
+    ordering by a post-aggregation (MIN+MAX) with a limit — the
+    reference plans this as an inverted-metric topN."""
+    out = druid_sql(spark, """
+        SELECT dim1, MIN(m1) + MAX(m1) AS x FROM foo
+        GROUP BY dim1 ORDER BY x LIMIT 3
+    """, reg).collect()
+    assert [(r.dim1, r.x) for r in out] == [
+        ("", 2.0), ("10.1", 4.0), ("2", 6.0)]
