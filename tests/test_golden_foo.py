@@ -1153,3 +1153,43 @@ def test_group_by_with_sort_on_post_aggregation(spark, reg):
     """, reg).collect()
     assert [(r.dim1, r.x) for r in out] == [
         ("", 2.0), ("10.1", 4.0), ("2", 6.0)]
+
+
+def test_regexp_extract_filter_via_not_null(spark, numfoo6):
+    """CalciteQueryTest testRegexpExtractFilterViaNotNullCheck: Druid
+    REGEXP_EXTRACT returns NULL on no-match, so IS NOT NULL is the
+    match predicate."""
+    out = druid_sql(spark, """
+        SELECT COUNT(*) AS n FROM numfoo
+        WHERE REGEXP_EXTRACT(dim1, '^1') IS NOT NULL
+           OR REGEXP_EXTRACT('Z' || dim1, '^Z2') IS NOT NULL
+    """, numfoo6).first()
+    assert out["n"] == 3
+
+
+def test_count_star_with_degenerate_filter(spark, numfoo6):
+    """testCountStarWithDegenerateFilter / NotOfDegenerateFilter: the
+    always-true disjunction reduces to the dim2 selector; its negation
+    matches nothing."""
+    q = ("SELECT COUNT(*) AS n FROM numfoo "
+         "WHERE dim2 = 'a' and {} (dim1 > 'a' OR dim1 < 'b')")
+    assert druid_sql(spark, q.format(""), numfoo6).first()["n"] == 2
+    assert druid_sql(spark, q.format("not"), numfoo6).first()["n"] == 0
+
+
+def test_grouping_with_null_in_filter(spark, numfoo6):
+    """testGroupingWithNullInFilter: IN (NULL) never matches."""
+    out = druid_sql(spark,
+                    "SELECT COUNT(*) AS n FROM numfoo "
+                    "WHERE dim1 IN (NULL)", numfoo6).first()
+    assert out["n"] == 0
+
+
+def test_count_star_bound_filter_simplify_or(spark, numfoo6):
+    """testCountStarWithBoundFilterSimplifyOr: adjacent lexicographic
+    bounds merge; only 'abc' falls in ['a','b')."""
+    out = druid_sql(spark, """
+        SELECT COUNT(*) AS n FROM numfoo
+        WHERE (dim1 >= 'a' and dim1 < 'b') OR dim1 = 'ab'
+    """, numfoo6).first()
+    assert out["n"] == 1
