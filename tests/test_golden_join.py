@@ -214,3 +214,17 @@ def test_inner_join_cast_right(spark, reg):
           ON foo.m1 = CAST(l.k AS FLOAT)
     """, reg).collect()
     assert [(r.m1, r.k, r.v) for r in out] == [(6.0, "6", "x6")]
+
+
+def test_non_equi_lookup_join_superset(spark, reg):
+    """The reference REJECTS joins with a NOT_EQUALS condition
+    (CalciteJoinQueryTest asserts 'SQL requires a join with NOT_EQUALS
+    condition that is not supported'); this engine supports them as a
+    documented superset (broadcast nested-loop). 13 pairs: the two 'a'
+    rows and the 'abc' row each mismatch 3 keys, the '' row all 4;
+    null dim2 rows never match a <> condition."""
+    out = druid_sql(spark, """
+        SELECT COUNT(*) AS n
+        FROM foo INNER JOIN lookup.lookyloo l ON foo.dim2 <> l.k
+    """, reg).first()
+    assert out["n"] == 13
