@@ -1491,6 +1491,41 @@ def _mv_string_columns(registry, names) -> tuple:
     return tuple(sorted(cols))
 
 
+def _apply_sql_timezone(text: str, tz: str) -> str:
+    """sqlTimeZone (PlannerContext): TIMESTAMP literals are read as
+    wall-clock in the session zone, and TIME_FLOOR/FLOOR..TO buckets
+    align to that zone's local boundaries (the result stays the UTC
+    instant of the local bucket start). Applied post-translate, where
+    FLOOR..TO has already become 2-arg TIME_FLOOR. Sub-day EXTRACT
+    fields keep UTC (documented partial)."""
+    tz_lit = "'" + tz.replace("'", "''") + "'"
+    # timestamp literals: wall clock in tz -> UTC instant
+    text = _sub_outside_strings(
+        text, r"\bTIMESTAMP\s+('(?:[^']|'')*')",
+        lambda m: f"to_utc_timestamp(TIMESTAMP {m.group(1)}, {tz_lit})")
+    # 2-arg TIME_FLOOR over a unit period -> floor in tz
+    while True:
+        found = None
+        for start, op, cp in _find_calls(text, "TIME_FLOOR"):
+            args = _split_top_args(text[op + 1:cp])
+            if len(args) != 2:
+                continue
+            period = args[1].strip()
+            unit = (_TRUNC_UNITS.get(period.strip("'").upper())
+                    if period.startswith("'") else None)
+            if unit is not None:
+                found = (start, cp, args[0].strip(), unit)
+                break
+        if found is None:
+            break
+        start, cp, ts, unit = found
+        text = (text[:start]
+                + f"to_utc_timestamp(CAST(date_trunc('{unit}', "
+                + f"from_utc_timestamp({ts}, {tz_lit})) AS TIMESTAMP), "
+                + f"{tz_lit})" + text[cp + 1:])
+    return text
+
+
 def druid_sql(spark: SparkSession, text: str, registry=None,
               parameters=None, context=None) -> DataFrame:
     """Run a Druid SQL string on Spark: register scalar shims, translate
@@ -1563,6 +1598,9 @@ def druid_sql(spark: SparkSession, text: str, registry=None,
         from apache_druid_spark.sql.catalog import register_system_views
 
         register_system_views(registry)
+    _tz = (context or {}).get("sqlTimeZone")
+    if _tz and _tz.upper() not in ("UTC", "ETC/UTC"):
+        translated = _apply_sql_timezone(translated, _tz)
     # useApproximateCountDistinct (PlannerConfig; the reference's
     # DEFAULT is true — this engine defaults to exact, the
     # strictly-better mode, and honors the flag when asked)

@@ -1193,3 +1193,19 @@ def test_count_star_bound_filter_simplify_or(spark, numfoo6):
         WHERE (dim1 >= 'a' and dim1 < 'b') OR dim1 = 'ab'
     """, numfoo6).first()
     assert out["n"] == 1
+
+
+def test_sql_time_zone_context(spark, reg):
+    """PlannerContext sqlTimeZone: with the session zone set to LA,
+    bare TIME_FLOOR buckets and TIMESTAMP literals read as LA wall
+    clock — same result as the explicit 4-arg form
+    (testGroupAndFilterOnTimeFloorWithTimeZone via context)."""
+    out = druid_sql(spark, """
+        SELECT TIME_FLOOR(__time, 'P1M') AS t, COUNT(*) AS n
+        FROM foo
+        WHERE TIME_FLOOR(__time, 'P1M') = TIMESTAMP '2000-01-01 00:00:00'
+           OR TIME_FLOOR(__time, 'P1M') = TIMESTAMP '2000-02-01 00:00:00'
+        GROUP BY 1
+    """, reg, context={"sqlTimeZone": "America/Los_Angeles"}).collect()
+    assert [(r["t"], r["n"]) for r in out] == [
+        (datetime(2000, 1, 1, 8, 0), 2)]
