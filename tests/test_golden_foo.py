@@ -1209,3 +1209,24 @@ def test_sql_time_zone_context(spark, reg):
     """, reg, context={"sqlTimeZone": "America/Los_Angeles"}).collect()
     assert [(r["t"], r["n"]) for r in out] == [
         (datetime(2000, 1, 1, 8, 0), 2)]
+
+
+def test_select_distinct_with_cascade_extraction_filter(spark, numfoo6):
+    """CalciteSelectQueryTest testSelectDistinctWithCascadeExtractionFilter:
+    nested substrings cascade ('def' -> 'ef' -> 'e') OR a dim2 match."""
+    out = druid_sql(spark, """
+        SELECT distinct dim1 FROM numfoo
+        WHERE substring(substring(dim1, 2), 1, 1) = 'e' OR dim2 = 'a'
+    """, numfoo6).collect()
+    assert sorted(r.dim1 for r in out) == ["", "1", "def"]
+
+
+def test_select_distinct_with_strlen_filter(spark, numfoo6):
+    """testSelectDistinctWithStrlenFilter: length predicate plus its
+    string-cast twin coerced back to a number."""
+    out = druid_sql(spark, """
+        SELECT distinct dim1 FROM numfoo
+        WHERE CHARACTER_LENGTH(dim1) = 3
+           OR CAST(CHARACTER_LENGTH(dim1) AS varchar) = 3
+    """, numfoo6).collect()
+    assert sorted(r.dim1 for r in out) == ["abc", "def"]
