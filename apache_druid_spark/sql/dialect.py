@@ -486,6 +486,23 @@ def _rewrite_like_escape(text: str) -> str:
     return _LIKE_ESCAPE_RE.sub(_sub, text)
 
 
+def _rewrite_grouping_multi(text: str) -> str:
+    """Calcite's GROUPING(a, b, ...) composite indicator is Spark's
+    grouping_id(a, b, ...); Spark's own grouping() is strictly
+    1-arg (GroupingSqlAggregator)."""
+    while True:
+        found = None
+        for start, op, cp in _find_calls(text, "GROUPING"):
+            if len(_split_top_args(text[op + 1:cp])) > 1:
+                found = (start, op)
+                break
+        if found is None:
+            return text
+        start, op = found
+        text = text[:start] + "grouping_id" + text[op:]
+    return text
+
+
 def _rewrite_ltrim_rtrim_2arg(text: str) -> str:
     """Druid LTRIM/RTRIM(s, chars) vs Spark's legacy 2-arg form
     ltrim(trimStr, str) — same name, swapped arguments
@@ -641,6 +658,7 @@ def translate(text: str, time_column: str = TIME_COLUMN) -> str:
     text = text.replace("__ARR_PREP__", "array_prepend")
     text = _rewrite_nonstd_extract(text)
     text = _rewrite_like_escape(text)
+    text = _rewrite_grouping_multi(text)
     text = _rewrite_ltrim_rtrim_2arg(text)
     text = _rewrite_time_floor_tz(text)
     text = _rewrite_mv_slice_2arg(text)

@@ -1230,3 +1230,68 @@ def test_select_distinct_with_strlen_filter(spark, numfoo6):
            OR CAST(CHARACTER_LENGTH(dim1) AS varchar) = 3
     """, numfoo6).collect()
     assert sorted(r.dim1 for r in out) == ["abc", "def"]
+
+
+def test_timestamp_diff(spark, numfoo6):
+    """CalciteQueryTest testTimestampDiff: all nine TIMESTAMPDIFF units
+    over the first two foo rows."""
+    out = druid_sql(spark, """
+        SELECT TIMESTAMPDIFF(DAY, TIMESTAMP '1999-01-01 00:00:00', __time) AS a,
+               TIMESTAMPDIFF(DAY, __time, DATE '2001-01-01') AS b,
+               TIMESTAMPDIFF(HOUR, TIMESTAMP '1999-12-31 01:00:00', __time) AS c,
+               TIMESTAMPDIFF(MINUTE, TIMESTAMP '1999-12-31 23:58:03', __time) AS d,
+               TIMESTAMPDIFF(SECOND, TIMESTAMP '1999-12-31 23:59:03', __time) AS e,
+               TIMESTAMPDIFF(MONTH, TIMESTAMP '1999-11-01 00:00:00', __time) AS f,
+               TIMESTAMPDIFF(YEAR, TIMESTAMP '1996-11-01 00:00:00', __time) AS g,
+               TIMESTAMPDIFF(QUARTER, TIMESTAMP '1996-10-01 00:00:00', __time) AS h,
+               TIMESTAMPDIFF(WEEK, TIMESTAMP '1998-10-01 00:00:00', __time) AS i
+        FROM numfoo ORDER BY __time LIMIT 2
+    """, numfoo6).collect()
+    assert [tuple(r) for r in out] == [
+        (365, 366, 23, 1, 57, 2, 3, 13, 65),
+        (366, 365, 47, 1441, 86457, 2, 3, 13, 65)]
+
+
+def test_timestamp_ceil(spark, numfoo6):
+    """CalciteQueryTest testTimestampCeil: CEIL TO DAY is the identity
+    on a boundary and rounds up otherwise."""
+    out = druid_sql(spark, """
+        SELECT CEIL(TIMESTAMP '2000-01-01 00:00:00' TO DAY) AS a,
+               CEIL(TIMESTAMP '2000-01-01 01:00:00' TO DAY) AS b
+        FROM numfoo LIMIT 1
+    """, numfoo6).first()
+    assert out["a"] == datetime(2000, 1, 1)
+    assert out["b"] == datetime(2000, 1, 2)
+
+
+def test_nvl_columns(spark, numfoo6):
+    """CalciteQueryTest testNvlColumns (SQL-compatible branch): NVL
+    falls back per row; the empty string is NOT null."""
+    out = druid_sql(spark, """
+        SELECT NVL(dim2, dim1) AS v, COUNT(*) AS n
+        FROM numfoo GROUP BY NVL(dim2, dim1)
+    """, numfoo6).collect()
+    assert sorted((r.v, r.n) for r in out) == [
+        ("", 1), ("10.1", 1), ("a", 2), ("abc", 2)]
+
+
+def test_grouping_sets(spark, numfoo6):
+    """CalciteQueryTest testGroupingSets: four grouping sets over
+    (COALESCE'd dim2, month floor) with the GROUPING indicator."""
+    out = druid_sql(spark, """
+        SELECT dim2, gran, SUM(cnt) AS s, GROUPING(dim2, gran) AS g
+        FROM (SELECT FLOOR(__time TO MONTH) AS gran,
+                     COALESCE(dim2, '') dim2, cnt FROM numfoo) AS x
+        GROUP BY GROUPING SETS ( (dim2, gran), (dim2), (gran), () )
+    """, numfoo6).collect()
+    got = {(r.dim2, r.gran, r.s, r.g) for r in out}
+    assert got == {
+        ("", datetime(2000, 1, 1), 2, 0),
+        ("", datetime(2001, 1, 1), 1, 0),
+        ("a", datetime(2000, 1, 1), 1, 0),
+        ("a", datetime(2001, 1, 1), 1, 0),
+        ("abc", datetime(2001, 1, 1), 1, 0),
+        ("", None, 3, 1), ("a", None, 2, 1), ("abc", None, 1, 1),
+        (None, datetime(2000, 1, 1), 3, 2),
+        (None, datetime(2001, 1, 1), 3, 2),
+        (None, None, 6, 3)}
