@@ -1295,3 +1295,31 @@ def test_grouping_sets(spark, numfoo6):
         (None, datetime(2000, 1, 1), 3, 2),
         (None, datetime(2001, 1, 1), 3, 2),
         (None, None, 6, 3)}
+
+
+def test_group_by_rollup_and_cube(spark, numfoo6):
+    """CalciteQueryTest testGroupByRollup / testGroupByCube: ROLLUP
+    yields detail + per-dim2 + grand total (9 rows); CUBE adds the
+    per-gran set (11 rows, same as the explicit grouping sets)."""
+    base = """
+        SELECT dim2, gran, SUM(cnt) AS s
+        FROM (SELECT FLOOR(__time TO MONTH) AS gran,
+                     COALESCE(dim2, '') dim2, cnt FROM numfoo) AS x
+        GROUP BY {} (dim2, gran)
+    """
+    rollup = {(r.dim2, r.gran, r.s)
+              for r in druid_sql(spark, base.format("ROLLUP"),
+                                 numfoo6).collect()}
+    detail = {
+        ("", datetime(2000, 1, 1), 2), ("", datetime(2001, 1, 1), 1),
+        ("a", datetime(2000, 1, 1), 1), ("a", datetime(2001, 1, 1), 1),
+        ("abc", datetime(2001, 1, 1), 1)}
+    per_dim2 = {("", None, 3), ("a", None, 2), ("abc", None, 1)}
+    per_gran = {(None, datetime(2000, 1, 1), 3),
+                (None, datetime(2001, 1, 1), 3)}
+    total = {(None, None, 6)}
+    assert rollup == detail | per_dim2 | total
+    cube = {(r.dim2, r.gran, r.s)
+            for r in druid_sql(spark, base.format("CUBE"),
+                               numfoo6).collect()}
+    assert cube == detail | per_dim2 | per_gran | total
