@@ -1323,3 +1323,37 @@ def test_group_by_rollup_and_cube(spark, numfoo6):
             for r in druid_sql(spark, base.format("CUBE"),
                                numfoo6).collect()}
     assert cube == detail | per_dim2 | per_gran | total
+
+
+def test_filtered_time_aggregators(spark, numfoo6):
+    """CalciteQueryTest testFilteredTimeAggregators: FILTER clauses
+    with time bounds tighter than the row filter."""
+    out = druid_sql(spark, """
+        SELECT
+          SUM(cnt) FILTER(WHERE __time >= TIMESTAMP '2000-01-01 00:00:00'
+                            AND __time <  TIMESTAMP '2000-02-01 00:00:00') AS a,
+          SUM(cnt) FILTER(WHERE __time >= TIMESTAMP '2000-01-01 00:00:01'
+                            AND __time <  TIMESTAMP '2000-02-01 00:00:00') AS b,
+          SUM(cnt) FILTER(WHERE __time >= TIMESTAMP '2001-01-01 00:00:00'
+                            AND __time <  TIMESTAMP '2001-02-01 00:00:00') AS c
+        FROM numfoo
+        WHERE __time >= TIMESTAMP '2000-01-01 00:00:00'
+          AND __time < TIMESTAMP '2001-02-01 00:00:00'
+    """, numfoo6).first()
+    assert tuple(out) == (3, 2, 3)
+
+
+def test_group_by_extract_year(spark, numfoo6):
+    """testGroupByExtractYear + testGroupByFormatYearAndMonth (note the
+    reference's mixed-case TIME_FORMAt — function names are
+    case-insensitive)."""
+    out = druid_sql(spark, """
+        SELECT EXTRACT(YEAR FROM __time) AS yr, SUM(cnt) AS s
+        FROM numfoo GROUP BY EXTRACT(YEAR FROM __time) ORDER BY 1
+    """, numfoo6).collect()
+    assert [(r.yr, r.s) for r in out] == [(2000, 3), (2001, 3)]
+    out = druid_sql(spark, """
+        SELECT TIME_FORMAt(__time, 'yyyy MM') AS yr, SUM(cnt) AS s
+        FROM numfoo GROUP BY TIME_FORMAt(__time, 'yyyy MM') ORDER BY 1
+    """, numfoo6).collect()
+    assert [(r.yr, r.s) for r in out] == [("2000 01", 3), ("2001 01", 3)]
