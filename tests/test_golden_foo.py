@@ -1357,3 +1357,40 @@ def test_group_by_extract_year(spark, numfoo6):
         FROM numfoo GROUP BY TIME_FORMAt(__time, 'yyyy MM') ORDER BY 1
     """, numfoo6).collect()
     assert [(r.yr, r.s) for r in out] == [("2000 01", 3), ("2001 01", 3)]
+
+
+def test_group_by_string_length(spark, numfoo6):
+    """CalciteQueryTest testGroupByStringLength."""
+    out = druid_sql(spark, """
+        SELECT CHARACTER_LENGTH(dim1) AS l, COUNT(*) AS n
+        FROM numfoo GROUP BY CHARACTER_LENGTH(dim1)
+    """, numfoo6).collect()
+    assert sorted((r.l, r.n) for r in out) == [
+        (0, 1), (1, 2), (3, 2), (4, 1)]
+
+
+def test_timeseries_with_limit(spark, numfoo6):
+    """testTimeseriesWithLimit: a LIMIT over monthly buckets (no
+    ordering — any single bucket is valid; Druid returns the first
+    chronologically, Spark any; assert membership)."""
+    out = druid_sql(spark, """
+        SELECT gran, SUM(cnt) AS s
+        FROM (SELECT floor(__time TO month) AS gran, cnt FROM numfoo) x
+        GROUP BY gran LIMIT 1
+    """, numfoo6).collect()
+    assert len(out) == 1
+    assert (out[0]["gran"], out[0]["s"]) in {
+        (datetime(2000, 1, 1), 3), (datetime(2001, 1, 1), 3)}
+
+
+def test_repeated_identical_virtual_expression_grouping(spark, numfoo6):
+    """testRepeatedIdenticalVirtualExpressionGrouping: CASE x WHEN NULL
+    never matches (NULL = NULL is unknown), so both columns are
+    constant TRUE and collapse to one group."""
+    out = druid_sql(spark, """
+        SELECT
+          CASE dim1 WHEN NULL THEN FALSE ELSE TRUE END AS col_a,
+          CASE dim2 WHEN NULL THEN FALSE ELSE TRUE END AS col_b
+        FROM numfoo GROUP BY 1, 2
+    """, numfoo6).collect()
+    assert [(r.col_a, r.col_b) for r in out] == [(True, True)]
