@@ -4205,50 +4205,15 @@ def entry(spark: SparkSession) -> DataFrame:
     return _QUERIES["timeseries_month_revenue"](spark, "/root/testdata/sf0.001")
 
 
-# Round-4 gate window — the driver checks the FIRST 50 entries of
-# queries(). Priority: the three rows that were not green after r3
-# (hasher-red sql_array_agg_sorted, the two formerly oracle-less
-# multimodal entries — all fixed this round), every entry never
-# covered by any window (including all entries new this round), then
-# the oldest r1-era greens whose evidence predates the 2026-08
-# testdata regeneration. 3 + 21 + 26 = 50.
-_R04_WINDOW = (
-    # fixed reds
-    "sql_array_agg_sorted", "multimodal_features", "multimodal_frame_sample",
-    # never driver-checked (+ the new r4 entries)
-    "sql_theta_set_ops", "expression_cartesian", "sql_scalar_shims2",
-    "sql_lookup_schema_join", "sql_parameterized",
-    "dedup_components_star", "decontaminate_report",
-    "pack_sequences_budget", "deterministic_shuffle_order",
-    "sql_scalar_shims3", "multimodal_resize", "text_repetition",
-    "scrub_common_lines",
-    # new this round (never checked)
-    "semantic_dedup_embeddings", "dsir_importance_weights",
-    "corpus_top_ngrams", "asof_join_events", "dedup_substring_overlap",
-    "dedup_edit_distance", "tfidf_top_terms", "mixture_weights_lang",
-    # r1-era greens, stale vs regenerated testdata (file order)
-    "timeseries_month_revenue", "timeseries_day_clicks",
-    "timeboundary_lineitem", "topn_priority_revenue", "groupby_flag_status",
-    "groupby_having_segment", "groupby_subtotals", "scan_high_value_orders",
-    "filter_combo_parts", "filter_regex_not",
-    "virtual_column_bucket", "extraction_regex_brand", "time_extract_hour",
-    "agg_first_last_events", "agg_stats_lineitem", "theta_exact_distinct",
-    "theta_set_ops", "join_orders_customers", "lookup_nation_name",
-    "sql_semi_join",
-    "window_moving_avg", "sql_time_floor_revenue",
-    "sql_earliest_latest", "mv_token_counts", "dedup_exact",
-    "dedup_minhash_lsh",
-)
-# Round-5 plan (committed now per VERDICT r3 #8): the r1 greens that
-# did not fit the r4 window (each has an r3/r4-green family sibling),
-# then every entry whose latest evidence is r2 — so the whole registry
-# sits on post-regeneration evidence within two rounds. r3-green
-# entries sort last (freshest evidence).
-_R05_NEXT = (
+# Round-5 gate window (VERDICT r4 #1): the 50 oldest r1/r2-era greens,
+# whose oracle evidence predates the 2026-08 testdata regeneration —
+# oldest first. All were re-verified locally with tools/oracle_check.py
+# on the current testdata before this window was committed.
+_R05_WINDOW = (
     "dedup_simhash", "text_token_stats",
     "text_fingerprint", "text_language_id", "similarity_cosine_topk",
-    "similarity_lsh_topk", "rollup_reaggregate", "ingest_inline_csv", "lifecycle_publish_query",
-    "streaming_rollup_hourly",
+    "similarity_lsh_topk", "rollup_reaggregate", "ingest_inline_csv",
+    "lifecycle_publish_query", "streaming_rollup_hourly",
     "search_nation_names", "anti_join_customers", "union_scan_orders",
     "intersect_nationkeys",
     "timeseries_zero_fill", "granularity_week_p1w",
@@ -4266,21 +4231,29 @@ _R05_NEXT = (
     "query_datasource_nested", "join_lookup_datasource",
     "dim_list_filtered_tokens", "bound_version_comparator",
     "grouping_id_subtotals", "mv_filter_any_match", "spatial_rectangular",
-    "spatial_polygon", "cardinality_by_value", "tuple_sketch_order_totals",
+    "spatial_polygon",
+)
+# Round-6 plan: the 15 remaining r2-era greens (finishing the rotation —
+# after r6 every entry's latest green postdates the testdata regen),
+# then entries new in round 5 (never driver-checked).
+_R06_NEXT = (
+    "cardinality_by_value", "tuple_sketch_order_totals",
     "limitspec_offset", "filter_column_comparison", "union_hetero_schemas",
     "lambda_realtime_union", "salted_groupby_skew", "mv_filter_in",
     "dim_prefix_filtered", "dim_regex_filtered", "join_left_deep_tree",
     "expression_lambda_agg", "moving_average_monthly", "dedup_ngram_jaccard",
     "text_winnowing_fingerprint",
+    # new in round 5
+    "semantic_dedup_scale_mode",
 )
 
 
 def _entry_order(name: str) -> tuple:
-    if name in _R04_WINDOW:
-        return (0, _R04_WINDOW.index(name))
-    if name in _R05_NEXT:
-        return (1, _R05_NEXT.index(name))
-    return (2, 0)  # r3-green; stable within group (dict keeps file order)
+    if name in _R05_WINDOW:
+        return (0, _R05_WINDOW.index(name))
+    if name in _R06_NEXT:
+        return (1, _R06_NEXT.index(name))
+    return (2, 0)  # r3/r4-green; stable within group (dict keeps file order)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -424,9 +424,12 @@ def edit_distance_verify(df: DataFrame, pairs: DataFrame,
     per-pair distance bound implied by ``max_rel_bp`` is passed as
     Spark's levenshtein threshold, so a dissimilar candidate costs
     O(len * bound) and early-exits instead of O(len_a * len_b) —
-    filtering is exactly equivalent (dist <= floor(max_rel_bp *
-    max_len / 10000) iff rel_bp <= max_rel_bp, both integer), and kept
-    distances are exact. For multi-KB documents still prefer a tight
+    filtering is exactly equivalent: with B = max_rel_bp and L =
+    max_len, floor(10000*d/L) <= B iff 10000*d < (B+1)*L iff
+    d <= floor(((B+1)*L - 1) / 10000), which is the band bound used
+    (ADVICE r4: the naive floor(B*L/10000) under-bounds at e.g. L=3,
+    d=1, B=3333 where rel_bp = 3333 qualifies but the naive bound is
+    0). Kept distances are exact. For multi-KB documents still prefer a tight
     ``max_rel_bp`` or shingle-Jaccard verify (``ngram_jaccard_pairs``).
     """
     a = df.select(F.col(id_col).alias("id_a"),
@@ -436,7 +439,8 @@ def edit_distance_verify(df: DataFrame, pairs: DataFrame,
     joined = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
     max_len = F.greatest(F.length("__text_a"), F.length("__text_b"),
                          F.lit(1)).cast("long")
-    bound = F.floor(max_len * F.lit(int(max_rel_bp)) / F.lit(10000))
+    bound = F.floor((max_len * F.lit(int(max_rel_bp) + 1) - F.lit(1))
+                    / F.lit(10000))
     staged = joined.withColumn("__lev_bound", bound.cast("int"))
     # threshold-limited levenshtein returns -1 past the bound; the
     # Column-threshold form only exists via SQL expr. Exact-duplicate

@@ -64,26 +64,34 @@ def bucket_log_ratios(raw: DataFrame, target: DataFrame,
     gram table between the corpus counts and the per-doc weights."""
     if raw_grams is None:
         raw_grams = _gram_buckets(raw, text_col, None, n_buckets, ngrams)
+    tgt_grams = _gram_buckets(target, text_col, None, n_buckets, ngrams)
     raw_counts = (raw_grams.groupBy("bucket")
                   .agg(F.count(F.lit(1)).alias("c_raw")))
-    tgt_counts = (_gram_buckets(target, text_col, None, n_buckets, ngrams)
-                  .groupBy("bucket")
+    tgt_counts = (tgt_grams.groupBy("bucket")
                   .agg(F.count(F.lit(1)).alias("c_tgt")))
-    # totals via an unpartitioned window over the tiny bucket tables —
-    # never a driver collect, never a scan of the corpora
+    # corpus totals join in as broadcast single-row aggregates (the
+    # tfidf_top_terms shape) — an unpartitioned window here would be
+    # provably bounded (<= n_buckets rows) but spams `WindowExec: No
+    # Partition Defined` warnings that could mask a real regression
+    # (VERDICT r4). The totals subtree re-reads the gram tables with a
+    # plain count (no per-bucket hash aggregate); at scale callers pass
+    # a persisted/staged ``raw_grams`` (importance_weights does), which
+    # makes that second read a cache hit, and the target corpus is
+    # small by DSIR contract.
+    raw_total = raw_grams.agg(F.count(F.lit(1)).alias("__t_raw"))
+    tgt_total = tgt_grams.agg(F.count(F.lit(1)).alias("__t_tgt"))
     joined = (raw_counts.join(tgt_counts, "bucket", "full")
               .select("bucket",
                       F.coalesce("c_raw", F.lit(0)).alias("c_raw"),
                       F.coalesce("c_tgt", F.lit(0)).alias("c_tgt")))
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy()
-    t_raw = F.sum("c_raw").over(w)
-    t_tgt = F.sum("c_tgt").over(w)
     log_ratio = (
-        F.log((F.col("c_tgt") + 1) / (t_tgt + F.lit(n_buckets)))
-        - F.log((F.col("c_raw") + 1) / (t_raw + F.lit(n_buckets))))
-    return joined.select("bucket", log_ratio.alias("log_ratio"))
+        F.log((F.col("c_tgt") + 1)
+              / (F.col("__t_tgt") + F.lit(n_buckets)))
+        - F.log((F.col("c_raw") + 1)
+                / (F.col("__t_raw") + F.lit(n_buckets))))
+    return (joined.crossJoin(F.broadcast(raw_total))
+            .crossJoin(F.broadcast(tgt_total))
+            .select("bucket", log_ratio.alias("log_ratio")))
 
 
 def importance_weights(raw: DataFrame, target: DataFrame,

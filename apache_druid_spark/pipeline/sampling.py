@@ -113,6 +113,14 @@ def mixture_weights(df: DataFrame, target: dict[str, float],
                 F.floor(F.col("n_tokens") * F.lit(10000) / F.col("__total"))
                  .cast("long").alias("obs_share_bp"),
                 F.coalesce("target_share", F.lit(0.0)).alias("target_share"),
-                F.round(F.coalesce("target_share", F.lit(0.0))
-                        * F.col("__total") / F.col("n_tokens"), round_to)
+                # a group whose documents all tokenize to zero tokens
+                # carries no token mass to reweight: weight 0 (not NULL
+                # — NULL would silently poison downstream sampling;
+                # ADVICE r4). Same for an all-empty corpus (__total 0).
+                F.when((F.col("n_tokens") == 0) | (F.col("__total") == 0),
+                       F.lit(0.0))
+                 .otherwise(
+                    F.round(F.coalesce("target_share", F.lit(0.0))
+                            * F.col("__total") / F.col("n_tokens"),
+                            round_to))
                  .alias("weight")))

@@ -240,9 +240,26 @@ class AvaticaMeta:
 
             probe = bind_parameters(
                 sql, [{"type": "VARCHAR", "value": None}] * n_params)
-        df = druid_sql(self.spark, probe, self.registry)
-        columns = [_column_meta(i, name, dtype)
-                   for i, (name, dtype) in enumerate(df.dtypes)]
+        try:
+            df = druid_sql(self.spark, probe, self.registry)
+            columns = [_column_meta(i, name, dtype)
+                       for i, (name, dtype) in enumerate(df.dtypes)]
+        except Exception:  # noqa: BLE001 — probe-only failure
+            if not n_params:
+                raise
+            # NULL doesn't analyze in every placeholder position (LIMIT
+            # ?, OFFSET ? reject NULL); Calcite tolerates unbound
+            # SqlDynamicParams at prepare so the reference succeeds
+            # here. Retry with position-agnostic 0s, else defer the
+            # column signature to execute time (ADVICE r4).
+            try:
+                probe = bind_parameters(
+                    sql, [{"type": "BIGINT", "value": 0}] * n_params)
+                df = druid_sql(self.spark, probe, self.registry)
+                columns = [_column_meta(i, name, dtype)
+                           for i, (name, dtype) in enumerate(df.dtypes)]
+            except Exception:  # noqa: BLE001 — types resolve at execute
+                columns = []
         with self._lock:
             self._next_statement_id += 1
             sid = self._next_statement_id

@@ -38,6 +38,7 @@ identical to hand-written Spark SQL.
 
 from __future__ import annotations
 
+import math
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -307,8 +308,23 @@ def _param_literal(p: dict) -> str:
         return "NULL"
     if t in ("BIGINT", "INTEGER", "SMALLINT", "TINYINT"):
         return str(int(v))
-    if t in ("DOUBLE", "FLOAT", "REAL", "DECIMAL"):
-        return repr(float(v))
+    if t == "DECIMAL":
+        # exact numeric: emit the payload verbatim (the reference's
+        # SqlParameterizerShuttle builds an exact numeric literal) —
+        # round-tripping through float would lose precision (ADVICE r4)
+        s = str(v).strip()
+        if not re.fullmatch(r"[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?", s):
+            raise ValueError(f"invalid DECIMAL parameter value: {v!r}")
+        return s
+    if t in ("DOUBLE", "FLOAT", "REAL"):
+        f = float(v)
+        if math.isnan(f) or math.isinf(f):
+            # 'nan'/'inf' are not SQL tokens; Druid doubles admit them
+            # via division — bind through an expression that yields them
+            return ("double('NaN')" if math.isnan(f)
+                    else ("double('Infinity')" if f > 0
+                          else "double('-Infinity')"))
+        return repr(f)
     if t == "BOOLEAN":
         return "TRUE" if v else "FALSE"
     if t == "TIMESTAMP":
@@ -1509,38 +1525,85 @@ def _mv_string_columns(registry, names) -> tuple:
     return tuple(sorted(cols))
 
 
+def _tz_trunc(unit: str, ts: str, tz_lit: str) -> str:
+    """Floor `ts` to `unit` on tz-local boundaries, keeping the result a
+    UTC instant (shifted-wall-clock trick, same shape as the 4-arg
+    TIME_FLOOR rewrite in _rewrite_time_floor_tz)."""
+    return (f"to_utc_timestamp(CAST(date_trunc('{unit}', "
+            f"from_utc_timestamp({ts}, {tz_lit})) AS TIMESTAMP), {tz_lit})")
+
+
 def _apply_sql_timezone(text: str, tz: str) -> str:
     """sqlTimeZone (PlannerContext): TIMESTAMP literals are read as
-    wall-clock in the session zone, and TIME_FLOOR/FLOOR..TO buckets
-    align to that zone's local boundaries (the result stays the UTC
-    instant of the local bucket start). Applied post-translate, where
-    FLOOR..TO has already become 2-arg TIME_FLOOR. Sub-day EXTRACT
+    wall-clock in the session zone, and time bucketing — 2-arg
+    TIME_FLOOR / TIME_CEIL with ANY ISO period, plus FLOOR..TO /
+    CEIL..TO (by now date_trunc / TIME_CEIL after translate()) — aligns
+    to that zone's local boundaries (the result stays the UTC instant of
+    the local bucket start). Applied post-translate. Explicit 4-arg
+    TIME_FLOOR timezones were already lowered by _rewrite_time_floor_tz
+    and win over sqlTimeZone — their inner date_trunc is recognized by
+    its to_utc_timestamp(CAST( wrapper and left alone. Sub-day EXTRACT
     fields keep UTC (documented partial)."""
     tz_lit = "'" + tz.replace("'", "''") + "'"
     # timestamp literals: wall clock in tz -> UTC instant
     text = _sub_outside_strings(
         text, r"\bTIMESTAMP\s+('(?:[^']|'')*')",
         lambda m: f"to_utc_timestamp(TIMESTAMP {m.group(1)}, {tz_lit})")
-    # 2-arg TIME_FLOOR over a unit period -> floor in tz
+
+    def _wrapped_already(upto: str) -> bool:
+        return re.sub(r"\s+", "", upto).upper().endswith(
+            "TO_UTC_TIMESTAMP(CAST(")
+
+    # date_trunc('UNIT', ts) — what FLOOR(ts TO UNIT) became — floors in
+    # tz. pos-advance past each replacement: the replacement contains a
+    # date_trunc of its own which must not be rescanned.
+    pos = 0
     while True:
         found = None
-        for start, op, cp in _find_calls(text, "TIME_FLOOR"):
-            args = _split_top_args(text[op + 1:cp])
-            if len(args) != 2:
+        for start, op, cp in _find_calls(text[pos:], "date_trunc"):
+            s, o, c = pos + start, pos + op, pos + cp
+            if _wrapped_already(text[:s]):
+                continue  # explicit-tz form from _rewrite_time_floor_tz
+            args = _split_top_args(text[o + 1:c])
+            if len(args) != 2 or not args[0].strip().startswith("'"):
                 continue
-            period = args[1].strip()
-            unit = (_TRUNC_UNITS.get(period.strip("'").upper())
-                    if period.startswith("'") else None)
-            if unit is not None:
-                found = (start, cp, args[0].strip(), unit)
-                break
+            found = (s, c, args[0].strip().strip("'").upper(),
+                     args[1].strip())
+            break
         if found is None:
             break
-        start, cp, ts, unit = found
-        text = (text[:start]
-                + f"to_utc_timestamp(CAST(date_trunc('{unit}', "
-                + f"from_utc_timestamp({ts}, {tz_lit})) AS TIMESTAMP), "
-                + f"{tz_lit})" + text[cp + 1:])
+        s, c, unit, ts = found
+        repl = _tz_trunc(unit, ts, tz_lit)
+        text = text[:s] + repl + text[c + 1:]
+        pos = s + len(repl)
+    # 2-arg TIME_FLOOR / TIME_CEIL: unit periods lower to tz date_trunc;
+    # arbitrary ISO periods ('PT5M', 'P2W', ...) wrap the epoch-origin
+    # macro around the shifted wall clock — flooring naive-local time
+    # from the naive epoch IS PeriodGranularity with a tz (origin
+    # defaults to 1970-01-01T00:00 local).
+    for fn in ("TIME_FLOOR", "TIME_CEIL"):
+        pos = 0
+        while True:
+            found = None
+            for start, op, cp in _find_calls(text[pos:], fn):
+                s, o, c = pos + start, pos + op, pos + cp
+                args = _split_top_args(text[o + 1:c])
+                if len(args) != 2:
+                    continue  # 3/4-arg forms were lowered in translate()
+                found = (s, c, args[0].strip(), args[1].strip())
+                break
+            if found is None:
+                break
+            s, c, ts, period = found
+            unit = (_TRUNC_UNITS.get(period.strip("'").upper())
+                    if period.startswith("'") else None)
+            if fn == "TIME_FLOOR" and unit is not None:
+                repl = _tz_trunc(unit, ts, tz_lit)
+            else:
+                repl = (f"to_utc_timestamp({fn}(from_utc_timestamp({ts}, "
+                        f"{tz_lit}), {period}), {tz_lit})")
+            text = text[:s] + repl + text[c + 1:]
+            pos = s + len(repl)
     return text
 
 

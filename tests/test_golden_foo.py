@@ -1211,6 +1211,60 @@ def test_sql_time_zone_context(spark, reg):
         (datetime(2000, 1, 1, 8, 0), 2)]
 
 
+def test_sql_time_zone_floor_to_syntax(spark, reg):
+    """sqlTimeZone must also reach the Calcite FLOOR(ts TO unit) spelling
+    (lowered to date_trunc before the tz pass — ADVICE r4): grouping foo
+    by LA-local month splits each January triplet across a December and
+    a January bucket (2000-01-01 UTC is 1999-12-31T16:00 LA)."""
+    out = druid_sql(spark, """
+        SELECT FLOOR(__time TO MONTH) AS t, COUNT(*) AS n
+        FROM foo GROUP BY 1 ORDER BY 1
+    """, reg, context={"sqlTimeZone": "America/Los_Angeles"}).collect()
+    assert [(r["t"], r["n"]) for r in out] == [
+        (datetime(1999, 12, 1, 8, 0), 1),
+        (datetime(2000, 1, 1, 8, 0), 2),
+        (datetime(2000, 12, 1, 8, 0), 1),
+        (datetime(2001, 1, 1, 8, 0), 2),
+    ]
+
+
+def test_sql_time_zone_non_unit_period(spark, reg):
+    """sqlTimeZone with a non-unit ISO period ('PT12H' has no date_trunc
+    unit): flooring happens on LA-local 12h boundaries, and the
+    TIMESTAMP literal reads as LA wall clock (ADVICE r4: these were
+    silently floored in UTC)."""
+    out = druid_sql(spark, """
+        SELECT COUNT(*) AS n FROM foo
+        WHERE TIME_FLOOR(__time, 'PT12H')
+              = TIMESTAMP '1999-12-31 12:00:00'
+    """, reg, context={"sqlTimeZone": "America/Los_Angeles"}).first()
+    assert out["n"] == 1
+
+
+def test_sql_time_zone_ceil(spark, reg):
+    """CEIL(ts TO unit) (lowered to the TIME_CEIL macro) honors
+    sqlTimeZone: 2000-01-02 UTC is 2000-01-01T16:00 LA, ceiling to
+    2000-02-01 LA = 2000-02-01T08:00 UTC."""
+    out = druid_sql(spark, """
+        SELECT CEIL(__time TO MONTH) AS t FROM foo
+        WHERE __time = TIMESTAMP '2000-01-01 16:00:00'
+    """, reg, context={"sqlTimeZone": "America/Los_Angeles"}).collect()
+    assert [r["t"] for r in out] == [datetime(2000, 2, 1, 8, 0)]
+
+
+def test_sql_time_zone_explicit_tz_wins(spark, reg):
+    """A 4-arg TIME_FLOOR with its own timezone is not re-wrapped by the
+    sqlTimeZone pass (the to_utc_timestamp(CAST( guard): flooring stays
+    LA-local even with a Tokyo session zone."""
+    out = druid_sql(spark, """
+        SELECT TIME_FLOOR(__time, 'P1M', NULL, 'America/Los_Angeles') AS t,
+               COUNT(*) AS n
+        FROM foo GROUP BY 1 ORDER BY 1 LIMIT 1
+    """, reg, context={"sqlTimeZone": "Asia/Tokyo"}).collect()
+    assert [(r["t"], r["n"]) for r in out] == [
+        (datetime(1999, 12, 1, 8, 0), 1)]
+
+
 def test_select_distinct_with_cascade_extraction_filter(spark, numfoo6):
     """CalciteSelectQueryTest testSelectDistinctWithCascadeExtractionFilter:
     nested substrings cascade ('def' -> 'ef' -> 'e') OR a dim2 match."""

@@ -540,6 +540,23 @@ def test_edit_distance_verify_threshold(spark):
             for r in out] == [(1, 2, 1, 1000)]
 
 
+def test_edit_distance_verify_rel_bp_boundary(spark):
+    """ADVICE r4 regression: the band bound must keep every pair with
+    rel_bp <= max_rel_bp. L=3, d=1, max_rel_bp=3333: rel_bp = 3333
+    qualifies, but a naive floor(B*L/10000) bound is 0 and the DP would
+    return -1 and drop the pair."""
+    from apache_druid_spark.pipeline import edit_distance_verify
+
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, "abX")], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = edit_distance_verify(docs, pairs, max_rel_bp=3333).collect()
+    assert [(r["edit_dist"], r["rel_dist_bp"]) for r in out] == [(1, 3333)]
+    # and one notch lower the same pair is cut (3333 > 3332)
+    out2 = edit_distance_verify(docs, pairs, max_rel_bp=3332).collect()
+    assert out2 == []
+
+
 def test_tfidf_top_terms_known_corpus(spark):
     from apache_druid_spark.pipeline import tfidf_top_terms
 
@@ -580,3 +597,20 @@ def test_mixture_weights_shares_and_inversion(spark):
     out2 = {r["lang"]: r for r in
             mixture_weights(docs, {"en": 1.0}).collect()}
     assert out2["de"]["weight"] == 0.0 and out2["de"]["target_share"] == 0.0
+
+
+def test_mixture_weights_zero_token_group(spark):
+    """ADVICE r4 regression: a group whose documents all tokenize to
+    zero tokens gets weight 0.0, never NULL (NULL would silently
+    poison downstream stratified sampling)."""
+    from apache_druid_spark.pipeline.sampling import mixture_weights
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "en"), (2, "   ", "xx"), (3, "", "xx")],
+        "doc_id long, text string, lang string")
+    out = {r["lang"]: r for r in
+           mixture_weights(docs, {"en": 0.5, "xx": 0.5}).collect()}
+    assert out["xx"]["n_tokens"] == 0
+    assert out["xx"]["weight"] == 0.0  # not None
+    assert out["xx"]["obs_share_bp"] == 0
+    assert out["en"]["obs_share_bp"] == 10000

@@ -57,6 +57,34 @@ def test_bind_literal_forms():
         {"type": "BIGINT", "value": 7}]) == "SELECT '?' , 7"
 
 
+def test_decimal_binds_exact_and_nonfinite_guarded():
+    """ADVICE r4: DECIMAL must bind verbatim (SqlParameterizerShuttle
+    builds an exact numeric literal — float round-trip loses digits),
+    and non-finite doubles must not emit bare nan/inf tokens."""
+    hi = "123456789012345678.123456789012345678"
+    assert bind_parameters("SELECT ?", [
+        {"type": "DECIMAL", "value": hi}]) == f"SELECT {hi}"
+    from decimal import Decimal
+    assert bind_parameters("SELECT ?", [
+        {"type": "DECIMAL", "value": Decimal("-0.10")}]) == "SELECT -0.10"
+    with pytest.raises(ValueError):
+        bind_parameters("SELECT ?", [{"type": "DECIMAL", "value": "1; --"}])
+    assert bind_parameters("SELECT ?", [
+        {"type": "DOUBLE", "value": float("nan")}]) == "SELECT double('NaN')"
+    assert bind_parameters("SELECT ?", [
+        {"type": "DOUBLE", "value": float("-inf")}
+    ]) == "SELECT double('-Infinity')"
+
+
+def test_decimal_precision_roundtrip(spark, reg):
+    # 19 significant digits survive the binding (float64 holds ~17)
+    out = druid_sql(spark, "SELECT CAST(? AS DECIMAL(38, 10)) AS d", reg,
+                    parameters=[{"type": "DECIMAL",
+                                 "value": "1234567890.1234567891"}]).first()
+    from decimal import Decimal
+    assert out.d == Decimal("1234567890.1234567891")
+
+
 def test_params_in_select_and_filter(spark, reg):
     # testParametersInSelectAndFilter (VARCHAR filter variant)
     out = druid_sql(spark, """
@@ -190,6 +218,29 @@ def test_avatica_reexecute_rebinds(spark, reg):
                                            "value": "abc"}]})
     assert r1["results"][0]["firstFrame"]["rows"] == [[2]]
     assert r2["results"][0]["firstFrame"]["rows"] == [[1]]
+
+
+def test_avatica_prepare_limit_offset_placeholder(spark, reg):
+    """ADVICE r4: prepare must succeed for ? in positions that reject a
+    NULL probe (LIMIT ?/OFFSET ?) — Calcite tolerates unbound
+    SqlDynamicParams at prepare, so the reference succeeds here."""
+    from apache_druid_spark.server.avatica import AvaticaMeta
+
+    meta = AvaticaMeta(spark, reg)
+    meta.handle({"request": "openConnection", "connectionId": "c5"})
+    prep = meta.handle({"request": "prepare", "connectionId": "c5",
+                        "sql": "SELECT dim1 FROM foo ORDER BY dim1 "
+                               "LIMIT ? OFFSET ?"})
+    assert prep["response"] == "prepare"
+    sid = prep["statement"]["id"]
+    res = meta.handle({
+        "request": "execute",
+        "statementHandle": {"connectionId": "c5", "id": sid},
+        "parameterValues": [{"type": "LONG", "value": 2},
+                            {"type": "LONG", "value": 1}],
+    })
+    rows = res["results"][0]["firstFrame"]["rows"]
+    assert rows == [["1"], ["10.1"]]
 
 
 def test_backslash_parameter_binds_safely(spark, reg):
