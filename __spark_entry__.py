@@ -1235,6 +1235,30 @@ def _semantic_dedup_embeddings(spark, sf_dir):
         n_cells=16, threshold=0.35)
 
 
+@_q("semantic_dedup_scale_mode", _semdedup_oracle(n_cells=24,
+                                                  threshold=0.3))
+def _semantic_dedup_scale_mode(spark, sf_dir):
+    """SemDeDup's SCALE mode end-to-end (pipeline/semdedup.py:
+    assign_cells + _prune_cells_grouped): centroid-table numpy-matmul
+    cell assignment and one-Arrow-batch-per-cell prune — the path a
+    paper-scale ~100k-cluster config runs, vs the literal-expression
+    path of `semantic_dedup_embeddings`. The centroid table here is
+    the deterministic md5 set (at real scale it comes from `ivf_fit`
+    MLlib KMeans, whose centroids are data-dependent and cannot
+    parameterize a static DuckDB oracle), so the oracle stays exact
+    while the Spark side runs the genuine scale machinery."""
+    from apache_druid_spark.pipeline import semantic_dedup
+    from apache_druid_spark.pipeline.similarity import ivf_centroids
+
+    cents = ivf_centroids(24, 64)
+    ct = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>")
+    return semantic_dedup(
+        _registry(spark, sf_dir).table("embeddings"), dim=64,
+        threshold=0.3, centroid_table=ct)
+
+
 def _dsir_oracle(n_buckets: int = 1024) -> str:
     """DuckDB replica of importance_weights: same md5 gram buckets,
     +1-smoothed hashed-multinomial log ratio, per-doc occurrence sum.

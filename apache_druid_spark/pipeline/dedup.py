@@ -363,10 +363,18 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     re-deriving the shingle explode + md5 per branch. At full corpus
     scale the same role is played by writing the posting table to a
     staging table once and reading it thrice; either way the shingling
-    pass runs exactly once."""
+    pass runs exactly once.
+
+    The call is EAGER: the (small, post-threshold) pair table is
+    materialized via ``localCheckpoint`` and the posting-table cache is
+    released before returning (VERDICT r4 #4 — an unscoped persist
+    lived for the rest of the session, and in a multi-query workload
+    neighboring queries' caches could evict posting blocks mid-plan,
+    forcing shingle re-derivation). The returned DataFrame is
+    self-contained."""
     from pyspark import StorageLevel
 
-    sh = parallelize_scan(df).select(
+    posting = parallelize_scan(df).select(
         # stage tokens first — see _shingles docstring (O(n^2) otherwise)
         F.col(id_col), _tokens(F.col(text_col)).alias("__toks"),
     ).select(
@@ -378,10 +386,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
          .cast("long").alias("h"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    stop = (sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-              .filter(F.col("df") > max_shingle_freq)
-              .select("h"))
-    sh = sh.join(F.broadcast(stop), "h", "left_anti")
+    stop = (posting.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_freq)
+            .select("h"))
+    sh = posting.join(F.broadcast(stop), "h", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
@@ -401,7 +409,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                    (F.col("sa.set_size") + F.col("sb.set_size") - F.col("shared"))
                    ).alias("jaccard"))
     )
-    return out.filter(F.col("jaccard") >= threshold)
+    out = out.filter(F.col("jaccard") >= threshold
+                     ).localCheckpoint(eager=True)
+    posting.unpersist()
+    return out
 
 
 def edit_distance_verify(df: DataFrame, pairs: DataFrame,

@@ -54,10 +54,14 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
     derived from the edge list. The result is deterministic — labels
     are ids, merges take the min.
 
-    Raises ``RuntimeError`` if labels are still changing after
-    ``max_iterations`` rounds instead of silently returning a partial
-    clustering (a wrong answer for any graph with diameter >
-    max_iterations under ``algorithm="label"``).
+    If ``algorithm="label"`` exhausts ``max_iterations`` with labels
+    still changing (graph diameter > round budget), it AUTO-ESCALATES:
+    the partial labels carry over as extra (node, component) edges —
+    intra-component by construction, so they compress the already-won
+    k-hop paths — and the remaining work reruns under the O(log^2 n)
+    star rounds (VERDICT r4 #6). ``RuntimeError`` is raised only if the
+    star pass ALSO exhausts its budget; a partial clustering is never
+    silently returned.
     """
     if algorithm not in ("label", "star"):
         raise ValueError(f"algorithm must be 'label' or 'star', "
@@ -78,8 +82,23 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
         labels, rounds = _alternating_star(bidir, vertices, node_col,
                                            max_iterations)
     else:
-        labels, rounds = _min_label_propagation(bidir, vertices, node_col,
-                                                max_iterations)
+        labels, rounds, converged = _min_label_propagation(
+            bidir, vertices, node_col, max_iterations)
+        if not converged:
+            logger.warning(
+                "connected_components(label) hit the %d-round budget with "
+                "labels still changing; escalating remaining work to the "
+                "star algorithm (partial labels carry over as edges)",
+                max_iterations)
+            label_edges = (labels.filter(F.col(node_col)
+                                         != F.col("component"))
+                           .select(F.col(node_col).alias("u"),
+                                   F.col("component").alias("v")))
+            aug = bidir.unionAll(label_edges).distinct().persist()
+            labels, star_rounds = _alternating_star(aug, vertices, node_col,
+                                                    max_iterations)
+            aug.unpersist()
+            rounds += star_rounds
     bidir.unpersist()
     logger.info("connected_components(%s) converged in %d rounds",
                 algorithm, rounds)
@@ -130,20 +149,14 @@ def _min_label_propagation(bidir: DataFrame, vertices: DataFrame,
         rounds = i + 1
         if changed == 0:
             break
-    if changed != 0:
-        if prev_persisted is not None:
-            prev_persisted.unpersist()
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} "
-            f"min-label rounds; the graph diameter exceeds the round "
-            f"budget. Raise max_iterations or use algorithm='star' "
-            f"(O(log^2 n) rounds regardless of diameter).")
     result = labels
     if prev_persisted is not None:
         # hand the caller a plan that doesn't depend on loop caches
         result = labels.localCheckpoint(eager=True)
         prev_persisted.unpersist()
-    return result, rounds
+    # non-convergence is NOT an error here: the caller escalates the
+    # partial labels to the star algorithm (connected_components)
+    return result, rounds, changed == 0
 
 
 def _large_star(edges: DataFrame) -> DataFrame:

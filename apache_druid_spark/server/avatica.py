@@ -351,11 +351,16 @@ class AvaticaMeta:
             req.get("connectionId"),
             ["TABLE_SCHEM", "TABLE_CATALOG"],
             [["druid", "druid"], ["INFORMATION_SCHEMA", "druid"],
-             ["sys", "druid"]])
+             ["lookup", "druid"], ["sys", "druid"]])
 
     def _req_getTables(self, req: dict) -> dict:
-        rows = [["druid", "druid", name, "TABLE", None]
-                for name in sorted(self.registry.names())]
+        # lookup schema tables surface next to datasources, as the
+        # reference's DruidSchemaCatalog does (LookupSchema.java: every
+        # lookup is a (k, v) table)
+        rows = ([["druid", "druid", name, "TABLE", None]
+                 for name in sorted(self.registry.names())]
+                + [["druid", "lookup", name, "TABLE", None]
+                   for name in self.registry.lookup_names()])
         return self._meta_result(
             req.get("connectionId"),
             ["TABLE_CAT", "TABLE_SCHEM", "TABLE_NAME", "TABLE_TYPE",
@@ -363,15 +368,26 @@ class AvaticaMeta:
 
     def _req_getColumns(self, req: dict) -> dict:
         pattern = req.get("tableNamePattern")
+        schema = req.get("schemaPattern")
         rows = []
-        for name in sorted(self.registry.names()):
-            if pattern and pattern not in ("%", name):
-                continue
-            df = self.registry.table(name)
-            for i, (col, dtype) in enumerate(df.dtypes):
-                tid, tname, _ = _jdbc_type(dtype)
-                rows.append(["druid", "druid", name, col,
-                             str(tid), tname, str(i + 1)])
+        if schema in (None, "%", "druid"):
+            for name in sorted(self.registry.names()):
+                if pattern and pattern not in ("%", name):
+                    continue
+                df = self.registry.table(name)
+                for i, (col, dtype) in enumerate(df.dtypes):
+                    tid, tname, _ = _jdbc_type(dtype)
+                    rows.append(["druid", "druid", name, col,
+                                 str(tid), tname, str(i + 1)])
+        if schema in (None, "%", "lookup"):
+            for name in self.registry.lookup_names():
+                if pattern and pattern not in ("%", name):
+                    continue
+                for i, (col, dtype) in enumerate(
+                        self.registry.lookup_df(name).dtypes):
+                    tid, tname, _ = _jdbc_type(dtype)
+                    rows.append(["druid", "lookup", name, col,
+                                 str(tid), tname, str(i + 1)])
         return self._meta_result(
             req.get("connectionId"),
             ["TABLE_CAT", "TABLE_SCHEM", "TABLE_NAME", "COLUMN_NAME",
