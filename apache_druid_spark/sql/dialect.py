@@ -632,6 +632,24 @@ def _rewrite_floor_to(text: str) -> str:
     return _FLOOR_TO_RE.sub(sub, text)
 
 
+_DRUID_SCHEMA_RE = re.compile(r"\bdruid\s*\.\s*([A-Za-z_]\w*)")
+
+
+def _rewrite_druid_schema(text: str) -> str:
+    """The ``druid`` catalog schema — DruidSchemaCatalog's default
+    datasource schema, so ``druid.foo`` and bare ``foo`` name the same
+    table (CalciteJoinQueryTest uses both spellings freely). Spark temp
+    views are schema-less: strip the qualifier, string-literal aware."""
+    spans = _string_spans(text)
+
+    def sub(m: re.Match) -> str:
+        if any(a <= m.start() < b for a, b in spans):
+            return m.group(0)
+        return m.group(1)
+
+    return _DRUID_SCHEMA_RE.sub(sub, text)
+
+
 _CATALOG_RE = re.compile(
     r"\b(sys)\.(segments|servers|tasks|supervisors)\b"
     r"|\b(INFORMATION_SCHEMA)\.(SCHEMATA|TABLES|COLUMNS)\b",
@@ -653,9 +671,54 @@ def _rewrite_catalog_tables(text: str) -> str:
     return _CATALOG_RE.sub(sub, text)
 
 
+def _rewrite_quoted_identifiers(text: str) -> str:
+    """Calcite/Druid SQL quotes identifiers with DOUBLE quotes
+    (``"__time"``; string literals are single-quoted ONLY — Calcite
+    grammar), while Spark's default parser reads double quotes as
+    string literals. Convert every double-quoted segment to a backtick
+    identifier, honoring the ``""`` escape. Runs FIRST in translate()
+    so every later string-span-aware rewrite sees only single-quoted
+    literals."""
+    out = []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if text[j] == "'":
+                    if j + 1 < n and text[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(text[i:j + 1])
+            i = j + 1
+        elif ch == '"':
+            j = i + 1
+            body = []
+            while j < n:
+                if text[j] == '"':
+                    if j + 1 < n and text[j + 1] == '"':
+                        body.append('"')
+                        j += 2
+                        continue
+                    break
+                body.append(text[j])
+                j += 1
+            out.append("`" + "".join(body).replace("`", "``") + "`")
+            i = j + 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
 def translate(text: str, time_column: str = TIME_COLUMN) -> str:
     """Rewrite Druid SQL aggregate surface into Spark SQL."""
+    text = _rewrite_quoted_identifiers(text)
     text = _rewrite_catalog_tables(text)
+    text = _rewrite_druid_schema(text)
     text = _rewrite_lookup_schema(text)
     text = _rewrite_floor_to(text)
     # Calcite accepts unsized VARCHAR in CASTs; Spark wants STRING

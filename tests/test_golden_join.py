@@ -26,15 +26,40 @@ SCHEMA = T.StructType([
     T.StructField("dim2", T.StringType()),
     T.StructField("cnt", T.LongType()),
     T.StructField("m1", T.FloatType()),
+    T.StructField("m2", T.DoubleType()),
 ])
 
 ROWS = [
-    (datetime(2000, 1, 1), "", "a", 1, 1.0),
-    (datetime(2000, 1, 2), "10.1", None, 1, 2.0),
-    (datetime(2000, 1, 3), "2", "", 1, 3.0),
-    (datetime(2001, 1, 1), "1", "a", 1, 4.0),
-    (datetime(2001, 1, 2), "def", "abc", 1, 5.0),
-    (datetime(2001, 1, 3), "abc", None, 1, 6.0),
+    (datetime(2000, 1, 1), "", "a", 1, 1.0, 1.0),
+    (datetime(2000, 1, 2), "10.1", None, 1, 2.0, 2.0),
+    (datetime(2000, 1, 3), "2", "", 1, 3.0, 3.0),
+    (datetime(2001, 1, 1), "1", "a", 1, 4.0, 4.0),
+    (datetime(2001, 1, 2), "def", "abc", 1, 5.0, 5.0),
+    (datetime(2001, 1, 3), "abc", None, 1, 6.0, 6.0),
+]
+
+# numfoo (DATASOURCE3, CalciteTests RAW_ROWS1_WITH_NUMERIC_DIMS): same
+# six rows/times as foo plus dim4/dim5 string dims and nullable
+# numeric dims (the columns this tranche touches)
+NUMFOO_SCHEMA = T.StructType([
+    T.StructField("__time", T.TimestampType()),
+    T.StructField("dim1", T.StringType()),
+    T.StructField("dim2", T.StringType()),
+    T.StructField("dim4", T.StringType()),
+    T.StructField("dim5", T.StringType()),
+    T.StructField("cnt", T.LongType()),
+    T.StructField("m1", T.FloatType()),
+    T.StructField("d1", T.DoubleType()),
+    T.StructField("l1", T.LongType()),
+])
+
+NUMFOO_ROWS = [
+    (datetime(2000, 1, 1), "", "a", "a", "aa", 1, 1.0, 1.0, 7),
+    (datetime(2000, 1, 2), "10.1", None, "a", "ab", 1, 2.0, 1.7, 325323),
+    (datetime(2000, 1, 3), "2", "", "a", "ba", 1, 3.0, 0.0, 0),
+    (datetime(2001, 1, 1), "1", "a", "b", "ad", 1, 4.0, None, None),
+    (datetime(2001, 1, 2), "def", "abc", "b", "aa", 1, 5.0, None, None),
+    (datetime(2001, 1, 3), "abc", None, "b", "ab", 1, 6.0, None, None),
 ]
 
 LOOKYLOO = {"a": "xa", "abc": "xabc", "nosuchkey": "mysteryvalue",
@@ -45,6 +70,7 @@ LOOKYLOO = {"a": "xa", "abc": "xabc", "nosuchkey": "mysteryvalue",
 def reg(spark):
     r = DatasourceRegistry(spark)
     r.register("foo", spark.createDataFrame(ROWS, SCHEMA))
+    r.register("numfoo", spark.createDataFrame(NUMFOO_ROWS, NUMFOO_SCHEMA))
     r.register_lookup("lookyloo", LOOKYLOO)
     return r
 
@@ -216,6 +242,289 @@ def test_inner_join_cast_right(spark, reg):
     assert [(r.m1, r.k, r.v) for r in out] == [(6.0, "6", "x6")]
 
 
+# ---------------------------------------------------------------------------
+# Round-5 tranche (VERDICT r4 #2): join-on-lookup-miss,
+# left-join-null-propagation, and join-over-subquery-limit families.
+#
+# Null-semantics note, recorded once for the whole tranche: several
+# reference cases filter a LEFT-joined lookup value with a bare
+# `v <> 'xa'` and still expect the NULL group — the legacy native
+# NotDimFilter matches nulls even in SQL-compatible null handling.
+# This engine (like later reference versions with ANSI three-valued
+# logic) drops NULLs under bare `<>`; those cases are ported with the
+# explicit `OR v IS NULL` disjunct the reference's own "AllowNulls"
+# variant uses, preserving the intended rows under ANSI semantics.
+# ---------------------------------------------------------------------------
+
+
+def test_lookup_value_filter_pushdown_matches_nothing(spark, reg):
+    # testFilterAndGroupByLookupUsingJoinOperatorWithValueFilterPushdownMatchesNothig
+    out = druid_sql(spark, """
+        SELECT lookyloo.k AS k, COUNT(*) AS n
+        FROM foo LEFT JOIN lookup.lookyloo ON foo.dim2 = lookyloo.k
+        WHERE lookyloo.v = '123'
+        GROUP BY lookyloo.k
+    """, reg).collect()
+    assert out == []
+
+
+def test_lookup_filter_allow_nulls(spark, reg):
+    # testFilterAndGroupByLookupUsingJoinOperatorAllowNulls
+    out = druid_sql(spark, """
+        SELECT lookyloo.v AS v, COUNT(*) AS n
+        FROM foo LEFT JOIN lookup.lookyloo ON foo.dim2 = lookyloo.k
+        WHERE lookyloo.v <> 'xa' OR lookyloo.v IS NULL
+        GROUP BY lookyloo.v
+    """, reg)
+    assert _rows(out.selectExpr("coalesce(v,'<n>') v", "n")) == sorted(
+        [("<n>", 3), ("xabc", 1)])
+
+
+def test_lookup_filter_backwards_right_join(spark, reg):
+    # testFilterAndGroupByLookupUsingJoinOperatorBackwards — lookup on
+    # the left, RIGHT JOIN back onto foo (see tranche null note)
+    out = druid_sql(spark, """
+        SELECT lookyloo.v AS v, COUNT(*) AS n
+        FROM lookup.lookyloo RIGHT JOIN foo ON foo.dim2 = lookyloo.k
+        WHERE lookyloo.v <> 'xa' OR lookyloo.v IS NULL
+        GROUP BY lookyloo.v
+    """, reg)
+    assert _rows(out.selectExpr("coalesce(v,'<n>') v", "n")) == sorted(
+        [("<n>", 3), ("xabc", 1)])
+
+
+def test_join_union_tables_on_lookup(spark, reg):
+    # testJoinUnionTablesOnLookup — UNION ALL of two datasources as the
+    # join's left side (see tranche null note)
+    out = druid_sql(spark, """
+        SELECT lookyloo.v AS v, COUNT(*) AS n
+        FROM
+          (SELECT dim2 FROM foo UNION ALL SELECT dim2 FROM numfoo) u
+          LEFT JOIN lookup.lookyloo ON u.dim2 = lookyloo.k
+        WHERE lookyloo.v <> 'xa' OR lookyloo.v IS NULL
+        GROUP BY lookyloo.v
+    """, reg)
+    assert _rows(out.selectExpr("coalesce(v,'<n>') v", "n")) == sorted(
+        [("<n>", 6), ("xabc", 2)])
+
+
+def test_table_lookup_lookup_filter_outer_limit(spark, reg):
+    # testInnerJoinTableLookupLookupWithFilterWithOuterLimit
+    out = druid_sql(spark, """
+        SELECT dim1
+        FROM foo
+        INNER JOIN lookup.lookyloo l ON foo.dim2 = l.k
+        INNER JOIN lookup.lookyloo l2 ON foo.dim2 = l2.k
+        WHERE l.v = 'xa'
+        LIMIT 100
+    """, reg)
+    assert _rows(out) == sorted([("",), ("1",)])
+
+
+def test_table_lookup_lookup_filter_no_limit(spark, reg):
+    # testInnerJoinTableLookupLookupWithFilterWithoutLimit
+    out = druid_sql(spark, """
+        SELECT dim1
+        FROM foo
+        INNER JOIN lookup.lookyloo l ON foo.dim2 = l.k
+        INNER JOIN lookup.lookyloo l2 ON foo.dim2 = l2.k
+        WHERE l.v = 'xa'
+    """, reg)
+    assert _rows(out) == sorted([("",), ("1",)])
+
+
+def test_many_many_inner_join_on_lookup(spark, reg):
+    # testManyManyInnerJoinOnManyManyLookup — a 19-deep left-deep
+    # lookup join tree; every join is a broadcast hash join on the
+    # unique key so the row set never fans out
+    joins = "\n".join(
+        f"INNER JOIN lookup.lookyloo l{i} ON foo.dim2 = l{i}.k"
+        for i in range(1, 20))
+    out = druid_sql(spark, f"""
+        SELECT dim1
+        FROM foo
+        INNER JOIN lookup.lookyloo l ON foo.dim2 = l.k
+        {joins}
+        WHERE l.v = 'xa'
+    """, reg)
+    assert _rows(out) == sorted([("",), ("1",)])
+
+
+def test_inner_join_query_of_lookup_removable(spark, reg):
+    # testInnerJoinQueryOfLookupRemovable — subquery over the lookup
+    # with a projected SUBSTRING, removable by the planner
+    out = druid_sql(spark, """
+        SELECT dim1, dim2, t1.sk
+        FROM foo
+        INNER JOIN
+          (SELECT k, SUBSTRING(v, 1, 3) sk FROM lookup.lookyloo) t1
+          ON foo.dim2 = t1.k
+    """, reg)
+    assert _rows(out) == sorted([
+        ("", "a", "xa"), ("1", "a", "xa"), ("def", "abc", "xab")])
+
+
+def test_two_lookups_to_table_numeric_column(spark, reg):
+    # testInnerJoinTwoLookupsToTableUsingNumericColumn — the lookup key
+    # casts to double to meet m1; only k='6' survives the cast
+    out = druid_sql(spark, """
+        SELECT COUNT(*) AS n
+        FROM foo
+        INNER JOIN lookup.lookyloo l1 ON l1.k = foo.m1
+        INNER JOIN lookup.lookyloo l2 ON l2.k = l1.k
+    """, reg).first()
+    assert out["n"] == 1
+
+
+def test_two_lookups_to_table_numeric_column_reverse(spark, reg):
+    # testInnerJoinTwoLookupsToTableUsingNumericColumnInReverse
+    out = druid_sql(spark, """
+        SELECT COUNT(*) AS n
+        FROM lookup.lookyloo l1
+        INNER JOIN lookup.lookyloo l2 ON l1.k = l2.k
+        INNER JOIN foo on l2.k = foo.m1
+    """, reg).first()
+    assert out["n"] == 1
+
+
+def test_inner_join_lookup_table_table(spark, reg):
+    # testInnerJoinLookupTableTable
+    out = druid_sql(spark, """
+        SELECT l.k AS k, l.v AS v, SUM(f.m1) AS s1, SUM(nf.m1) AS s2
+        FROM lookup.lookyloo l
+        INNER JOIN druid.foo f on f.dim1 = l.k
+        INNER JOIN druid.numfoo nf on nf.dim1 = l.k
+        GROUP BY 1, 2 ORDER BY 2
+    """, reg).collect()
+    assert [tuple(r) for r in out] == [("abc", "xabc", 6.0, 6.0)]
+
+
+def test_inner_join_lookup_table_table_chained(spark, reg):
+    # testInnerJoinLookupTableTableChained — second table joins the
+    # FIRST table's column, not the lookup key
+    out = druid_sql(spark, """
+        SELECT l.k AS k, l.v AS v, SUM(f.m1) AS s1, SUM(nf.m1) AS s2
+        FROM lookup.lookyloo l
+        INNER JOIN druid.foo f on f.dim1 = l.k
+        INNER JOIN druid.numfoo nf on nf.dim1 = f.dim1
+        GROUP BY 1, 2 ORDER BY 2
+    """, reg).collect()
+    assert [tuple(r) for r in out] == [("abc", "xabc", 6.0, 6.0)]
+
+
+def test_where_in_select_null_from_lookup(spark, reg):
+    # testWhereInSelectNullFromLookup — IN over an all-NULL subquery
+    # matches nothing
+    out = druid_sql(spark, """
+        SELECT * FROM foo
+        where dim1 IN (SELECT NULL FROM lookup.lookyloo)
+    """, reg).collect()
+    assert out == []
+
+
+def test_comma_join_left_function(spark, reg):
+    # testCommaJoinLeftFunction — comma join + function-valued equi
+    # condition in WHERE
+    out = druid_sql(spark, """
+        SELECT foo.dim1, foo.dim2, l.k, l.v
+        FROM foo, lookup.lookyloo l
+        WHERE SUBSTRING(foo.dim2, 1, 1) = l.k
+    """, reg)
+    assert _rows(out) == sorted([
+        ("", "a", "a", "xa"), ("1", "a", "a", "xa"),
+        ("def", "abc", "a", "xa")])
+
+
+def test_comma_join_mismatched_types_count_zero(spark, reg):
+    # testCommaJoinTableLookupTableMismatchedTypes — cnt (long) never
+    # matches a lookup key
+    out = druid_sql(spark, """
+        SELECT COUNT(*) AS n
+        FROM foo, lookup.lookyloo l, numfoo
+        WHERE foo.cnt = l.k AND l.k = numfoo.cnt
+    """, reg).first()
+    assert out["n"] == 0
+
+
+def test_join_mismatched_types_without_comma(spark, reg):
+    # testJoinTableLookupTableMismatchedTypesWithoutComma
+    out = druid_sql(spark, """
+        SELECT COUNT(*) AS n
+        FROM foo
+        INNER JOIN lookup.lookyloo l ON foo.cnt = l.k
+        INNER JOIN numfoo ON l.k = numfoo.cnt
+    """, reg).first()
+    assert out["n"] == 0
+
+
+def test_inner_join_mismatched_types(spark, reg):
+    # testInnerJoinMismatchedTypes — float column vs string key
+    out = druid_sql(spark, """
+        SELECT foo.m1, l.k, l.v
+        FROM foo
+        INNER JOIN lookup.lookyloo l ON foo.m1 = l.k
+    """, reg).collect()
+    assert [tuple(r) for r in out] == [(6.0, "6", "x6")]
+
+
+def test_inner_join_left_function(spark, reg):
+    # testInnerJoinLeftFunction
+    out = druid_sql(spark, """
+        SELECT foo.dim1, foo.dim2, l.k, l.v
+        FROM foo
+        INNER JOIN lookup.lookyloo l ON SUBSTRING(foo.dim2, 1, 1) = l.k
+    """, reg)
+    assert _rows(out) == sorted([
+        ("", "a", "a", "xa"), ("1", "a", "a", "xa"),
+        ("def", "abc", "a", "xa")])
+
+
+def test_inner_join_right_function(spark, reg):
+    # testInnerJoinRightFunction — the function sits on the LOOKUP side
+    out = druid_sql(spark, """
+        SELECT foo.dim1, foo.dim2, l.k, l.v
+        FROM foo
+        INNER JOIN lookup.lookyloo l ON foo.dim2 = SUBSTRING(l.k, 1, 2)
+    """, reg)
+    assert _rows(out) == sorted([
+        ("", "a", "a", "xa"), ("1", "a", "a", "xa")])
+
+
+def test_left_join_lookup_onto_lookup(spark, reg):
+    # testLeftJoinLookupOntoLookupUsingJoinOperator — the second join
+    # keys on the FIRST lookup's key, so misses propagate nulls
+    out = druid_sql(spark, """
+        SELECT dim2, l1.v AS v1, l2.v AS v2
+        FROM foo
+        LEFT JOIN lookup.lookyloo l1 ON foo.dim2 = l1.k
+        LEFT JOIN lookup.lookyloo l2 ON l1.k = l2.k
+    """, reg)
+    assert _rows(out.selectExpr("coalesce(dim2,'<n>') dim2", "v1", "v2")
+                 ) == sorted([
+        ("a", "xa", "xa"), ("<n>", None, None), ("", None, None),
+        ("a", "xa", "xa"), ("abc", "xabc", "xabc"), ("<n>", None, None)])
+
+
+def test_left_join_three_lookups(spark, reg):
+    # testLeftJoinThreeLookupsUsingJoinOperator — the third join keys
+    # on the SECOND lookup's key
+    out = druid_sql(spark, """
+        SELECT dim1, dim2, l1.v AS v1, l2.v AS v2, l3.v AS v3
+        FROM foo
+        LEFT JOIN lookup.lookyloo l1 ON foo.dim1 = l1.k
+        LEFT JOIN lookup.lookyloo l2 ON foo.dim2 = l2.k
+        LEFT JOIN lookup.lookyloo l3 ON l2.k = l3.k
+    """, reg)
+    assert _rows(out.selectExpr("dim1", "coalesce(dim2,'<n>') dim2",
+                                "v1", "v2", "v3")) == sorted([
+        ("", "a", None, "xa", "xa"),
+        ("10.1", "<n>", None, None, None),
+        ("2", "", None, None, None),
+        ("1", "a", None, "xa", "xa"),
+        ("def", "abc", None, "xabc", "xabc"),
+        ("abc", "<n>", "xabc", None, None)])
+
+
 def test_non_equi_lookup_join_superset(spark, reg):
     """The reference REJECTS joins with a NOT_EQUALS condition
     (CalciteJoinQueryTest asserts 'SQL requires a join with NOT_EQUALS
@@ -228,3 +537,457 @@ def test_non_equi_lookup_join_superset(spark, reg):
         FROM foo INNER JOIN lookup.lookyloo l ON foo.dim2 <> l.k
     """, reg).first()
     assert out["n"] == 13
+
+
+# -- join-over-subquery-limit family ----------------------------------------
+
+
+def test_join_outer_group_by_subquery_has_limit(spark, reg):
+    # testJoinOuterGroupByAndSubqueryHasLimit (sqlCompatible branch).
+    # Adaptation: Calcite's star expansion renames the second dim2 to
+    # dim20 so the outer GROUP BY binds t1's column; Spark keeps the
+    # duplicate ambiguous, so the port selects t1.* explicitly (same
+    # native plan: left columns + join-key only from the right).
+    out = druid_sql(spark, """
+        SELECT dim2, AVG(m2) AS a FROM
+          (SELECT t1.* FROM foo AS t1 INNER JOIN foo AS t2 ON t1.m1 = t2.m1
+           LIMIT 10) AS t3
+        GROUP BY dim2
+    """, reg)
+    assert _rows(out.selectExpr("coalesce(dim2,'<n>') dim2", "a")
+                 ) == sorted([
+        ("<n>", 4.0), ("", 3.0), ("a", 2.5), ("abc", 5.0)])
+
+
+def test_join_outer_group_by_subquery_no_limit(spark, reg):
+    # testJoinOuterGroupByAndSubqueryNoLimit
+    # (same t1.* adaptation as the HasLimit variant above)
+    out = druid_sql(spark, """
+        SELECT dim2, AVG(m2) AS a FROM
+          (SELECT t1.* FROM foo AS t1 INNER JOIN foo AS t2 ON t1.m1 = t2.m1)
+          AS t3
+        GROUP BY dim2
+    """, reg)
+    assert _rows(out.selectExpr("coalesce(dim2,'<n>') dim2", "a")
+                 ) == sorted([
+        ("<n>", 4.0), ("", 3.0), ("a", 2.5), ("abc", 5.0)])
+
+
+def test_join_with_limit_before_joining(spark, reg):
+    # testJoinWithLimitBeforeJoining — the LIMIT sits on the join INPUT
+    out = druid_sql(spark, """
+        SELECT t1.dim2, AVG(t1.m2) AS a
+        FROM (SELECT * FROM foo LIMIT 10) AS t1
+        INNER JOIN foo AS t2 ON t1.m1 = t2.m1
+        GROUP BY t1.dim2
+    """, reg)
+    assert _rows(out.selectExpr("coalesce(dim2,'<n>') dim2", "a")
+                 ) == sorted([
+        ("<n>", 4.0), ("", 3.0), ("a", 2.5), ("abc", 5.0)])
+
+
+def test_inner_join_with_limit_and_alias(spark, reg):
+    # testInnerJoinWithLimitAndAlias — both sides are grouped
+    # subqueries over different datasources
+    out = druid_sql(spark, """
+        select t1.b1 from
+          (select __time as b1 from numfoo group by 1 order by 1) as t1
+        inner join (
+          select __time as b2 from foo group by 1 order by 1
+        ) as t2 on t1.b1 = t2.b2
+    """, reg)
+    assert sorted(r["b1"] for r in out.collect()) == [
+        datetime(2000, 1, 1), datetime(2000, 1, 2), datetime(2000, 1, 3),
+        datetime(2001, 1, 1), datetime(2001, 1, 2), datetime(2001, 1, 3)]
+
+
+def test_exact_topn_on_inner_join_with_limit(spark, reg):
+    # testExactTopNOnInnerJoinWithLimit (exact topN mode — this
+    # engine's only mode)
+    out = druid_sql(spark, """
+        select f1.dim4 AS dim4, sum(m1) AS s from numfoo f1 inner join (
+          select dim4 from numfoo where dim4 <> 'a' group by 1
+        ) f2 on f1.dim4 = f2.dim4 group by 1 limit 1
+    """, reg).collect()
+    assert [tuple(r) for r in out] == [("b", 15.0)]
+
+
+def test_topn_filter_join(spark, reg):
+    # testTopNFilterJoin — filter to the top-2 dim2 groups via join
+    out = druid_sql(spark, """
+        SELECT t1.dim1 AS dim1, SUM(t1.cnt) AS s
+        FROM druid.foo t1
+          INNER JOIN (
+          SELECT SUM(cnt) AS sum_cnt, dim2 FROM druid.foo
+          GROUP BY dim2 ORDER BY 1 DESC LIMIT 2
+        ) t2 ON (t1.dim2 = t2.dim2)
+        GROUP BY t1.dim1
+        ORDER BY 1
+    """, reg).collect()
+    assert [tuple(r) for r in out] == [("", 1), ("1", 1)]
+
+
+def test_removable_left_join(spark, reg):
+    # testRemovableLeftJoin — same shape but LEFT: the join cannot
+    # drop rows, so the right side is removable
+    out = druid_sql(spark, """
+        SELECT t1.dim1 AS dim1, SUM(t1.cnt) AS s
+        FROM druid.foo t1
+          LEFT JOIN (
+          SELECT SUM(cnt) AS sum_cnt, dim2 FROM druid.foo
+          GROUP BY dim2 ORDER BY 1 DESC LIMIT 2
+        ) t2 ON (t1.dim2 = t2.dim2)
+        GROUP BY t1.dim1
+        ORDER BY 1
+    """, reg).collect()
+    assert [tuple(r) for r in out] == [
+        ("", 1), ("1", 1), ("10.1", 1), ("2", 1), ("abc", 1), ("def", 1)]
+
+
+# -- left-join null-propagation family ---------------------------------------
+
+
+def test_using_subquery_with_extraction_fns(spark, reg):
+    # testUsingSubqueryWithExtractionFns
+    out = druid_sql(spark, """
+        SELECT dim2, COUNT(*) AS n FROM druid.foo
+        WHERE substring(dim2, 1, 1) IN
+          (SELECT substring(dim1, 1, 1) FROM druid.foo WHERE dim1 <> '')
+        group by dim2
+    """, reg)
+    assert _rows(out) == sorted([("a", 2), ("abc", 1)])
+
+
+def test_inner_join_with_is_null_filter(spark, reg):
+    # testInnerJoinWithIsNullFilter
+    out = druid_sql(spark, """
+        SELECT dim1, l.v from druid.foo f
+        inner join lookup.lookyloo l on f.dim1 = l.k
+        where f.dim2 is null
+    """, reg).collect()
+    assert [tuple(r) for r in out] == [("abc", "xabc")]
+
+
+def test_left_join_right_table_can_be_empty(spark, reg):
+    # testLeftJoinRightTableCanBeEmpty (sqlCompatible branch): m2 is
+    # never null, so the right side is empty and every left row
+    # survives with its own dim2 group
+    out = druid_sql(spark, """
+        SELECT v1.dim2, count(1) AS n
+        FROM (SELECT * FROM foo where m1 > 2) v1
+        LEFT OUTER JOIN (
+          select dim2 from (select * from foo where m2 is null)
+        ) sm ON v1.dim2 = sm.dim2
+        group by 1
+    """, reg)
+    assert _rows(out.selectExpr("coalesce(dim2,'<n>') dim2", "n")
+                 ) == sorted([
+        ("<n>", 1), ("", 1), ("a", 1), ("abc", 1)])
+
+
+def test_left_join_subquery_with_null_key_filter(spark, reg):
+    # testLeftJoinSubqueryWithNullKeyFilter (sqlCompatible branch) —
+    # IS NOT NULL over the grouped lookup key
+    out = druid_sql(spark, """
+        SELECT dim1, l1.k
+        FROM foo
+        LEFT JOIN (select k || '' as k from lookup.lookyloo group by 1)
+          l1 ON foo.dim1 = l1.k
+        WHERE l1.k IS NOT NULL
+    """, reg).collect()
+    assert [tuple(r) for r in out] == [("abc", "abc")]
+
+
+def test_left_join_subquery_with_selector_filter(spark, reg):
+    # testLeftJoinSubqueryWithSelectorFilter
+    out = druid_sql(spark, """
+        SELECT dim1, l1.k
+        FROM foo
+        LEFT JOIN (select k || '' as k from lookup.lookyloo group by 1)
+          l1 ON foo.dim1 = l1.k
+        WHERE l1.k = 'abc'
+    """, reg).collect()
+    assert [tuple(r) for r in out] == [("abc", "abc")]
+
+
+def test_left_join_with_not_null_filter_in_condition(spark, reg):
+    # testLeftJoinWithNotNullFilter — IS NOT NULL inside the join
+    # condition (dim1 is never null, so all 6 rows self-match)
+    out = druid_sql(spark, """
+        SELECT s.dim1 AS a, t.dim1 AS b
+        FROM foo as s
+        LEFT JOIN foo as t ON s.dim1 = t.dim1 and s.dim1 IS NOT NULL
+    """, reg)
+    assert _rows(out) == sorted([
+        ("", ""), ("10.1", "10.1"), ("2", "2"), ("1", "1"),
+        ("def", "def"), ("abc", "abc")])
+
+
+def test_inner_join_subquery_with_selector_filter(spark, reg):
+    # testInnerJoinSubqueryWithSelectorFilter — the selector rides the
+    # join condition itself
+    out = druid_sql(spark, """
+        SELECT dim1, l1.k
+        FROM foo INNER JOIN
+          (select k || '' as k from lookup.lookyloo group by 1) l1
+        ON foo.dim1 = l1.k and l1.k = 'abc'
+    """, reg).collect()
+    assert [tuple(r) for r in out] == [("abc", "abc")]
+
+
+def test_count_distinct_of_lookup_join(spark, reg):
+    # testCountDistinctOfLookupUsingJoinOperator (sqlCompatible: NULL
+    # misses don't count toward DISTINCT)
+    out = druid_sql(spark, """
+        SELECT COUNT(DISTINCT lookyloo.v) AS n
+        FROM foo LEFT JOIN lookup.lookyloo ON foo.dim1 = lookyloo.k
+    """, reg).first()
+    assert out["n"] == 1
+
+
+# -- semi/anti-join family ----------------------------------------------------
+
+
+def test_semi_join_with_outer_time_extract_scan(spark, reg):
+    # testSemiJoinWithOuterTimeExtractScan
+    out = druid_sql(spark, """
+        SELECT dim1, EXTRACT(MONTH FROM __time) AS m FROM druid.foo
+         WHERE dim2 IN (
+           SELECT dim2 FROM druid.foo WHERE dim1 = 'def'
+         ) AND dim1 <> ''
+    """, reg).collect()
+    assert [tuple(r) for r in out] == [("def", 1)]
+
+
+def test_two_semi_joins_simultaneously(spark, reg):
+    # testTwoSemiJoinsSimultaneously
+    out = druid_sql(spark, """
+        SELECT dim1, COUNT(*) AS n FROM foo
+        WHERE dim1 IN ('abc', 'def')
+        AND __time IN (SELECT MAX(__time) FROM foo WHERE cnt = 1)
+        AND __time IN (SELECT MAX(__time) FROM foo WHERE cnt <> 2)
+        GROUP BY 1
+    """, reg).collect()
+    assert [tuple(r) for r in out] == [("abc", 1)]
+
+
+def test_semi_and_anti_join_where_in_subquery(spark, reg):
+    # testSemiAndAntiJoinSimultaneouslyUsingWhereInSubquery
+    out = druid_sql(spark, """
+        SELECT dim1, COUNT(*) AS n FROM foo
+        WHERE dim1 IN ('abc', 'def')
+        AND __time IN (SELECT MAX(__time) FROM foo)
+        AND __time NOT IN (SELECT MIN(__time) FROM foo)
+        GROUP BY 1
+    """, reg).collect()
+    assert [tuple(r) for r in out] == [("abc", 1)]
+
+
+def test_semi_and_anti_join_explicit_joins(spark, reg):
+    # testSemiAndAntiJoinSimultaneouslyUsingExplicitJoins
+    out = druid_sql(spark, """
+        SELECT dim1, COUNT(*) AS n FROM
+        foo
+        INNER JOIN (SELECT MAX(__time) t FROM foo) t0
+          on t0.t = foo.__time
+        LEFT JOIN (SELECT MIN(__time) t FROM foo) t1
+          on t1.t = foo.__time
+        WHERE dim1 IN ('abc', 'def') AND t1.t is null
+        GROUP BY 1
+    """, reg).collect()
+    assert [tuple(r) for r in out] == [("abc", 1)]
+
+
+def test_semi_join_outer_time_extract_aggregate_order_by(spark, reg):
+    # testSemiJoinWithOuterTimeExtractAggregateWithOrderBy
+    out = druid_sql(spark, """
+        SELECT COUNT(DISTINCT dim1) AS n,
+               EXTRACT(MONTH FROM __time) AS m FROM druid.foo
+         WHERE dim2 IN (
+           SELECT dim2 FROM druid.foo WHERE dim1 = 'def'
+         ) AND dim1 <> ''
+        GROUP BY EXTRACT(MONTH FROM __time)
+        ORDER BY EXTRACT(MONTH FROM __time)
+    """, reg).collect()
+    assert [tuple(r) for r in out] == [(1, 1)]
+
+
+def test_count_on_semi_join_single_column(spark, reg):
+    # testCountOnSemiJoinSingleColumn
+    out = druid_sql(spark, """
+        SELECT dim1 FROM foo
+        WHERE dim1 IN (SELECT dim1 FROM foo WHERE dim1 = '10.1')
+    """, reg).collect()
+    assert [r["dim1"] for r in out] == ["10.1"]
+
+
+def test_using_subquery_as_part_of_and_filter(spark, reg):
+    # testUsingSubqueryAsPartOfAndFilter
+    out = druid_sql(spark, """
+        SELECT dim1, dim2, COUNT(*) AS n FROM druid.foo
+        WHERE dim2 IN (SELECT dim1 FROM druid.foo WHERE dim1 <> '')
+        AND dim1 <> 'xxx'
+        group by dim1, dim2 ORDER BY dim2
+    """, reg).collect()
+    assert [tuple(r) for r in out] == [("def", "abc", 1)]
+
+
+def test_using_subquery_as_part_of_or_filter(spark, reg):
+    # testUsingSubqueryAsPartOfOrFilter — the subquery rides one arm
+    # of a disjunction
+    out = druid_sql(spark, """
+        SELECT dim1, dim2, COUNT(*) AS n FROM druid.foo
+        WHERE dim1 = 'xxx' OR dim2 IN
+          (SELECT dim1 FROM druid.foo WHERE dim1 LIKE '%bc')
+        group by dim1, dim2 ORDER BY dim2
+    """, reg).collect()
+    assert [tuple(r) for r in out] == [("def", "abc", 1)]
+
+
+# -- inline-datasource (CTE self-join) family ---------------------------------
+
+
+def test_left_join_two_inline_datasources_time_filter(spark, reg):
+    # testLeftJoinOnTwoInlineDataSourcesWithTimeFilter
+    out = druid_sql(spark, """
+        with abc as
+        (
+          SELECT dim1, "__time", m1 from foo
+          WHERE "dim1" = '10.1' AND "__time" >= '1999'
+        )
+        SELECT t1.dim1, t1."__time" from abc as t1
+        LEFT JOIN abc as t2 on t1.dim1 = t2.dim1
+        WHERE t1.dim1 = '10.1'
+    """, reg).collect()
+    assert [tuple(r) for r in out] == [("10.1", datetime(2000, 1, 2))]
+
+
+def test_left_join_two_inline_datasources_outer_where(spark, reg):
+    # testLeftJoinOnTwoInlineDataSourcesWithOuterWhere
+    out = druid_sql(spark, """
+        with abc as
+        ( SELECT dim1, "__time", m1 from foo WHERE "dim1" = '10.1' )
+        SELECT t1.dim1, t1."__time" from abc as t1
+        LEFT JOIN abc as t2 on t1.dim1 = t2.dim1
+        WHERE t1.dim1 = '10.1'
+    """, reg).collect()
+    assert [tuple(r) for r in out] == [("10.1", datetime(2000, 1, 2))]
+
+
+def test_left_join_two_inline_datasources(spark, reg):
+    # testLeftJoinOnTwoInlineDataSources
+    out = druid_sql(spark, """
+        with abc as
+        ( SELECT dim1, "__time", m1 from foo WHERE "dim1" = '10.1' )
+        SELECT t1.dim1, t1."__time" from abc as t1
+        LEFT JOIN abc as t2 on t1.dim1 = t2.dim1
+    """, reg).collect()
+    assert [tuple(r) for r in out] == [("10.1", datetime(2000, 1, 2))]
+
+
+def test_inner_join_two_inline_datasources_outer_where(spark, reg):
+    # testInnerJoinOnTwoInlineDataSourcesWithOuterWhere
+    out = druid_sql(spark, """
+        with abc as
+        ( SELECT dim1, "__time", m1 from foo WHERE "dim1" = '10.1' )
+        SELECT t1.dim1, t1."__time" from abc as t1
+        INNER JOIN abc as t2 on t1.dim1 = t2.dim1
+        WHERE t1.dim1 = '10.1'
+    """, reg).collect()
+    assert [tuple(r) for r in out] == [("10.1", datetime(2000, 1, 2))]
+
+
+def test_inner_join_two_inline_datasources(spark, reg):
+    # testInnerJoinOnTwoInlineDataSources
+    out = druid_sql(spark, """
+        with abc as
+        ( SELECT dim1, "__time", m1 from foo WHERE "dim1" = '10.1' )
+        SELECT t1.dim1, t1."__time" from abc as t1
+        INNER JOIN abc as t2 on t1.dim1 = t2.dim1
+    """, reg).collect()
+    assert [tuple(r) for r in out] == [("10.1", datetime(2000, 1, 2))]
+
+
+def test_nested_group_by_on_inline_datasource_with_filter(spark, reg):
+    # testNestedGroupByOnInlineDataSourceWithFilter
+    out = druid_sql(spark, """
+        with abc as
+        ( SELECT dim1, m2 from druid.foo where "__time" >= '2001-01-02' )
+        , def as
+        ( SELECT t1.dim1, SUM(t2.m2) as "metricSum"
+          from abc as t1 inner join abc as t2 on t1.dim1 = t2.dim1
+          where t1.dim1='def'
+          group by 1 )
+        SELECT count(*) AS n from def
+    """, reg).first()
+    assert out["n"] == 1
+
+
+# -- UNION ALL over joins ------------------------------------------------------
+
+
+def test_union_all_left_query_is_join(spark, reg):
+    # testUnionAllTwoQueriesLeftQueryIsJoin
+    out = druid_sql(spark, """
+        (SELECT COUNT(*) AS n FROM foo INNER JOIN lookup.lookyloo
+         ON foo.dim1 = lookyloo.k)
+        UNION ALL SELECT SUM(cnt) AS n FROM foo
+    """, reg)
+    assert sorted(r["n"] for r in out.collect()) == [1, 6]
+
+
+def test_union_all_right_query_is_join(spark, reg):
+    # testUnionAllTwoQueriesRightQueryIsJoin
+    out = druid_sql(spark, """
+        (SELECT SUM(cnt) AS n FROM foo UNION ALL
+         SELECT COUNT(*) AS n FROM foo INNER JOIN lookup.lookyloo
+         ON foo.dim1 = lookyloo.k)
+    """, reg)
+    assert sorted(r["n"] for r in out.collect()) == [1, 6]
+
+
+def test_union_all_both_queries_are_join(spark, reg):
+    # testUnionAllTwoQueriesBothQueriesAreJoin
+    out = druid_sql(spark, """
+        (
+        SELECT COUNT(*) AS n FROM foo LEFT JOIN lookup.lookyloo
+          ON foo.dim1 = lookyloo.k
+        UNION ALL
+        SELECT COUNT(*) AS n FROM foo INNER JOIN lookup.lookyloo
+          ON foo.dim1 = lookyloo.k
+        )
+    """, reg)
+    assert sorted(r["n"] for r in out.collect()) == [1, 6]
+
+
+# -- filter-pushdown stress ----------------------------------------------------
+
+
+def test_filter_pushdown_many_filters_empty(spark, reg):
+    # testInnerJoinWithFilterPushdownAndManyFiltersEmptyResults — a
+    # 19-pair row-constructor IN that matches nothing
+    out = druid_sql(spark, """
+        SELECT f1.m1, f2.m1
+        FROM foo f1
+        INNER JOIN foo f2 ON f1.m1 = f2.m1 where (f1.dim1, f1.dim2) in
+        (('A', 'B'), ('C', 'D'), ('A', 'C'), ('C', 'E'), ('D', 'H'),
+         ('A', 'D'), ('B', 'C'), ('H', 'E'), ('I', 'J'), ('I', 'K'),
+         ('J', 'I'), ('Q', 'R'), ('Q', 'S'), ('S', 'Q'), ('X', 'Y'),
+         ('Z', 'U'), ('U', 'Z'), ('P', 'Q'), ('X', 'A'))
+    """, reg).collect()
+    assert out == []
+
+
+def test_filter_pushdown_many_filters_nonempty(spark, reg):
+    # testInnerJoinWithFilterPushdownAndManyFiltersNonEmptyResults —
+    # same shape with one matching pair ('1','a')
+    out = druid_sql(spark, """
+        SELECT f1.m1, f2.m1
+        FROM foo f1
+        INNER JOIN foo f2 ON f1.m1 = f2.m1 where (f1.dim1, f1.dim2) in
+        (('1', 'a'), ('C', 'D'), ('A', 'C'), ('C', 'E'), ('D', 'H'),
+         ('A', 'D'), ('B', 'C'), ('H', 'E'), ('I', 'J'), ('I', 'K'),
+         ('J', 'I'), ('Q', 'R'), ('Q', 'S'), ('S', 'Q'), ('X', 'Y'),
+         ('Z', 'U'), ('U', 'Z'), ('P', 'Q'), ('X', 'A'))
+    """, reg).collect()
+    assert [tuple(r) for r in out] == [(4.0, 4.0)]
