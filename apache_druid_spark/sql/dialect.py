@@ -714,9 +714,38 @@ def _rewrite_quoted_identifiers(text: str) -> str:
     return "".join(out)
 
 
+# aggregates Calcite lets take a BARE correlated scalar subquery as
+# the argument (CalciteCorrelatedQueryTest: ANY_VALUE(select ...));
+# Spark's parser needs the subquery parenthesized
+_SUBQUERY_AGG_FNS = ("ANY_VALUE", "SUM", "MIN", "MAX", "AVG", "COUNT")
+
+
+def _wrap_bare_subquery_agg_args(text: str) -> str:
+    """AGG(select ...) -> AGG((select ...)) so Spark parses the scalar
+    subquery; Catalyst then decorrelates it the same way Calcite's
+    RelDecorrelator does."""
+    for fn in _SUBQUERY_AGG_FNS:
+        pos = 0
+        while True:
+            found = None
+            for start, op, cp in _find_calls(text[pos:], fn):
+                o, c = pos + op, pos + cp
+                inner = text[o + 1:c]
+                if re.match(r"\s*SELECT\b", inner, re.IGNORECASE):
+                    found = (o, c, inner)
+                    break
+            if found is None:
+                break
+            o, c, inner = found
+            text = text[:o + 1] + "(" + inner + ")" + text[c:]
+            pos = c + 2
+    return text
+
+
 def translate(text: str, time_column: str = TIME_COLUMN) -> str:
     """Rewrite Druid SQL aggregate surface into Spark SQL."""
     text = _rewrite_quoted_identifiers(text)
+    text = _wrap_bare_subquery_agg_args(text)
     text = _rewrite_catalog_tables(text)
     text = _rewrite_druid_schema(text)
     text = _rewrite_lookup_schema(text)

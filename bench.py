@@ -64,6 +64,7 @@ HEADLINE = [
     "dedup_edit_distance",         # banded Levenshtein verify over LSH
     "tfidf_top_terms",             # tf/df two-level agg + window top-k
     "mixture_weights_lang",        # domain-mix reweighting aggregate
+    "semantic_dedup_scale_mode",   # SemDeDup matmul assignment + cell prune
 ]
 
 

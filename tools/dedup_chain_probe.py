@@ -68,7 +68,10 @@ def main() -> int:
     logging.getLogger("apache_druid_spark.pipeline.graph").setLevel(
         logging.INFO)
 
-    spark = get_spark("dedup_chain_probe")
+    # get_spark disables the UI; the probe needs its REST API for
+    # shuffle metrics
+    spark = get_spark("dedup_chain_probe",
+                      extra_conf={"spark.ui.enabled": "true"})
     reg = DatasourceRegistry(spark)
     register_testdata(reg, sf_dir)
     docs = amplify(reg.table("documents"), n, "doc_id").persist()
@@ -98,6 +101,23 @@ def main() -> int:
     n_kept = kept.count()
     report["keep_representatives"] = {"rows": n_kept,
                                       "sec": round(time.time() - t0, 1)}
+
+    # the amplified near-dup graph is clique-like (replicas of one doc
+    # pair densely), so star converges in ~1 round. Also pin the
+    # ADVERSARIAL shape at the same n: a single n_docs-node path graph,
+    # where min-label propagation would need n_docs rounds and the
+    # O(log^2 n) claim actually bites.
+    t0 = time.time()
+    cap.rounds = None
+    chain_edges = (spark.range(n_docs - 1)
+                   .select(F.col("id").alias("id_a"),
+                           (F.col("id") + 1).alias("id_b")))
+    chain_comps = gr.connected_components(chain_edges, algorithm="star")
+    n_chain_comp = chain_comps.select("component").distinct().count()
+    report["path_graph_star"] = {
+        "nodes": n_docs, "distinct_components": n_chain_comp,
+        "rounds": cap.rounds, "sec": round(time.time() - t0, 1),
+    }
 
     report["shuffle"] = _shuffle_stats()
     print(json.dumps(report))
