@@ -133,6 +133,12 @@ _FUNCTION_DEFS: list[tuple[str, str, str, str]] = [
     # OperatorConversion.java); the direct name maps live in
     # sql/dialect.py _SIMPLE_RENAMES. String-element arrays — the only
     # array type the reference's MV columns produce.
+    # ARRAY_CONCAT must stay a distinct head (not bare concat): the MV
+    # element-mapping pass treats concat over an MV input as an
+    # element-mapped scalar, and GROUP BY semantics differ (ARRAY_*
+    # groups as arrays, MV_* explodes)
+    ("ARRAY_CONCAT", "a ARRAY<STRING>, b ARRAY<STRING>", "ARRAY<STRING>",
+     "concat(a, b)"),
     ("ARRAY_SLICE", "a ARRAY<STRING>, s INT, e INT", "ARRAY<STRING>",
      "slice(a, s + 1, e - s)"),
     ("ARRAY_OFFSET_OF", "a ARRAY<STRING>, v STRING", "INT",

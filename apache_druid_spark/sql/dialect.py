@@ -92,7 +92,9 @@ _SIMPLE_RENAMES = {
     "ARRAY_OVERLAP": "arrays_overlap",
     "ARRAY_TO_STRING": "array_join",
     "STRING_TO_ARRAY": "split",
-    "ARRAY_CONCAT": "concat",
+    # ARRAY_CONCAT is a registered macro, NOT renamed to bare concat:
+    # concat over an MV input is the canonical element-mapped scalar,
+    # so the MV pass would wrongly transform() it per element
     "BIT_AND": "bit_and",
     "BIT_OR": "bit_or",
     "BIT_XOR": "bit_xor",
@@ -544,7 +546,10 @@ def _rewrite_ltrim_rtrim_2arg(text: str) -> str:
 def _rewrite_mv_slice_2arg(text: str) -> str:
     """Druid MV_SLICE/ARRAY_SLICE with two args slices to the end of
     the array (ArraySliceOperatorConversion end defaults to length);
-    the registered SQL macro is fixed 3-arity."""
+    the registered SQL macro is fixed 3-arity. The rewrite KEEPS the
+    function head (fills the end arg with size(a)) — MV_SLICE vs
+    ARRAY_SLICE must stay distinguishable downstream, where GROUP BY
+    explodes MV_* results but groups ARRAY_* results as arrays."""
     for name in ("MV_SLICE", "ARRAY_SLICE"):
         while True:
             found = None
@@ -558,8 +563,7 @@ def _rewrite_mv_slice_2arg(text: str) -> str:
             start, op, cp, args = found
             a, s = args[0].strip(), args[1].strip()
             text = (text[:start]
-                    + f"slice({a}, ({s}) + 1, "
-                    + f"greatest(size({a}) - ({s}), 0))"
+                    + f"{name}({a}, {s}, size({a}))"
                     + text[cp + 1:])
     return text
 
@@ -1317,7 +1321,11 @@ _MV_ARRAY_ARG_FNS = frozenset((
     "filter transform exists forall aggregate array_sort array_distinct "
     "array_max array_min array_join array_position flatten coalesce "
     "element_at get explode explode_outer posexplode string_to_array "
-    "unnest array struct map named_struct"
+    "unnest array struct map named_struct "
+    # Spark-native spellings the rename map produces — without these
+    # the MV pass element-maps e.g. ARRAY_LENGTH(mv) into
+    # transform(mv, e -> array_size(e)) (r5 arrays-tranche regression)
+    "array_size try_element_at split"
 ).split())
 
 # aggregate heads form a mapping boundary (COUNT/MIN/MAX have their own
@@ -1330,14 +1338,22 @@ _MV_AGG_BOUNDARY = frozenset((
     "bit_xor percentile_approx approx_quantile"
 ).split())
 
-# array-RETURNING call heads: a GROUP BY item of this shape is an MV
-# value and explodes to one group per element (groupBy on an array-typed
-# virtual column — GroupByQueryEngine MV explode)
+# MV-RETURNING call heads: a GROUP BY item of this shape is an MV
+# value and explodes to one group per element (groupBy on a
+# VARCHAR-typed MV virtual column — GroupByQueryEngine MV explode).
+# The ARRAY_* spellings are deliberately ABSENT: the reference's SQL
+# layer types ARRAY_APPEND/PREPEND/CONCAT/SLICE/STRING_TO_ARRAY as
+# ARRAY, which GROUPs BY the array value itself
+# (CalciteArraysQueryTest testArrayAppend vs
+# CalciteMultiValueStringQueryTest testMultiValueStringAppend — same
+# native function, different SQL output type). MV_TO_ARRAY is absent
+# too — it IS the MV->ARRAY cast, and grouping it yields array groups
+# (testMultiValueToArrayGroupAsArrayWithMultiValueDimension).
+# filter/transform are artifacts of the implicit element-wise MV
+# mapping and stay MV-typed.
 _MV_ARRAY_RET_FNS = frozenset((
     "mv_append mv_prepend mv_concat mv_slice mv_filter_only "
-    "mv_filter_none mv_to_array string_to_mv string_to_array "
-    "array_prepend array_append array_concat array_slice slice filter "
-    "transform split"
+    "mv_filter_none string_to_mv filter transform"
 ).split())
 
 # marker for a null MV row: expressions over null map to a single-null
@@ -1461,8 +1477,10 @@ def _unwrap_mv_array_wrap(text: str, mv_cols) -> str:
     wrap is the identity (testMultiValueStringOverlapFilterNonLiteral)
     — unwrap it rather than building array<array<string>>."""
     lower = {c.lower() for c in mv_cols}
+    # ARRAYS_OVERLAP: ARRAY_OVERLAP was already renamed by translate()
+    # before this pass runs
     for fn in ("MV_OVERLAP", "MV_CONTAINS", "ARRAY_OVERLAP",
-               "ARRAY_CONTAINS"):
+               "ARRAY_CONTAINS", "ARRAYS_OVERLAP"):
         changed = True
         while changed:
             changed = False

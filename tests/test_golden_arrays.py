@@ -1,0 +1,263 @@
+"""Golden tests ported from CalciteArraysQueryTest.java (sql/src/test/
+java/org/apache/druid/sql/calcite/) over the `numfoo` fixture's MV
+columns. Expected rows are the SQL-compatible null branch.
+
+The load-bearing semantic this file pins: the reference's SQL layer
+types ARRAY_* results as ARRAY — GROUP BY keeps the array value as one
+group — while the SAME native functions spelled MV_* type as VARCHAR
+and explode to one group per element (testArrayAppend vs
+testMultiValueStringAppend). MV_TO_ARRAY is the explicit MV->ARRAY
+cast and likewise groups as arrays.
+
+Fixture is post-ingest like test_golden_mv: Druid ingests an empty MV
+row ([]) as null, so dim2 row 2/6 and dim3 rows 5/6 are None here.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import types as T
+
+from apache_druid_spark.model.datasource import DatasourceRegistry
+from apache_druid_spark.sql.dialect import druid_sql
+
+SCHEMA = T.StructType([
+    T.StructField("__time", T.TimestampType()),
+    T.StructField("dim1", T.StringType()),
+    T.StructField("dim2", T.ArrayType(T.StringType())),
+    T.StructField("dim3", T.ArrayType(T.StringType())),
+    T.StructField("cnt", T.LongType()),
+])
+
+ROWS = [
+    (datetime(2000, 1, 1), "", ["a"], ["a", "b"], 1),
+    (datetime(2000, 1, 2), "10.1", None, ["b", "c"], 1),
+    (datetime(2000, 1, 3), "2", [""], ["d"], 1),
+    (datetime(2001, 1, 1), "1", ["a"], [""], 1),
+    (datetime(2001, 1, 2), "def", ["abc"], None, 1),
+    (datetime(2001, 1, 3), "abc", None, None, 1),
+]
+
+
+@pytest.fixture(scope="module")
+def reg(spark):
+    r = DatasourceRegistry(spark)
+    r.register("numfoo", spark.createDataFrame(ROWS, SCHEMA))
+    return r
+
+
+def _pairs(df):
+    """(first-col-as-tuple-or-scalar, last-col) multiset, None-safe."""
+    out = []
+    for r in df.collect():
+        v = r[0]
+        out.append((tuple(v) if isinstance(v, list) else v,) + tuple(r)[1:])
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def _srt(items):
+    return sorted(items, key=lambda t: tuple(str(x) for x in t))
+
+
+# -- filters -----------------------------------------------------------------
+
+
+def test_array_overlap_filter(spark, reg):
+    # testArrayOverlapFilter
+    out = druid_sql(spark, """
+        SELECT dim3 FROM druid.numfoo
+        WHERE ARRAY_OVERLAP(dim3, ARRAY['a','b']) LIMIT 5
+    """, reg).collect()
+    assert sorted(tuple(r.dim3) for r in out) == [("a", "b"), ("b", "c")]
+
+
+def test_array_overlap_filter_non_literal(spark, reg):
+    # testArrayOverlapFilterNonLiteral — ARRAY[dim2] unwraps to the MV
+    out = druid_sql(spark, """
+        SELECT dim3 FROM druid.numfoo
+        WHERE ARRAY_OVERLAP(dim3, ARRAY[dim2]) LIMIT 5
+    """, reg).collect()
+    assert [tuple(r.dim3) for r in out] == [("a", "b")]
+
+
+def test_array_contains_filter(spark, reg):
+    # testArrayContainsFilter — ARRAY needle means contains-ALL
+    out = druid_sql(spark, """
+        SELECT dim3 FROM druid.numfoo
+        WHERE ARRAY_CONTAINS(dim3, ARRAY['a','b']) LIMIT 5
+    """, reg).collect()
+    assert [tuple(r.dim3) for r in out] == [("a", "b")]
+
+
+def test_array_contains_array_of_one_element(spark, reg):
+    # testArrayContainsArrayOfOneElement
+    out = druid_sql(spark, """
+        SELECT dim3 FROM druid.numfoo
+        WHERE ARRAY_CONTAINS(dim3, ARRAY['a']) LIMIT 5
+    """, reg).collect()
+    assert [tuple(r.dim3) for r in out] == [("a", "b")]
+
+
+def test_array_contains_array_of_non_literal(spark, reg):
+    # testArrayContainsArrayOfNonLiteral
+    out = druid_sql(spark, """
+        SELECT dim3 FROM druid.numfoo
+        WHERE ARRAY_CONTAINS(dim3, ARRAY[dim2]) LIMIT 5
+    """, reg).collect()
+    assert [tuple(r.dim3) for r in out] == [("a", "b")]
+
+
+# -- scalar array functions ----------------------------------------------------
+
+
+def test_array_slice_scan(spark, reg):
+    # testArraySlice (sqlCompatible branch)
+    out = druid_sql(spark, """
+        SELECT ARRAY_SLICE(dim3, 1) AS s FROM druid.numfoo
+    """, reg).collect()
+    got = sorted((tuple(r.s) if r.s is not None else None for r in out),
+                 key=lambda v: (v is None, v))
+    assert got == [("b",), ("c",), (), (), None, None] or got == sorted(
+        [("b",), ("c",), (), (), None, None],
+        key=lambda v: (v is None, v))
+
+
+def test_array_length_group(spark, reg):
+    # testArrayLength (sqlCompatible): null lengths sort last under
+    # ORDER BY 2 DESC; ties within a length are engine order
+    out = druid_sql(spark, """
+        SELECT dim1, ARRAY_LENGTH(dim3) AS l, SUM(cnt) AS s
+        FROM druid.numfoo GROUP BY 1, 2 ORDER BY 2 DESC
+    """, reg).collect()
+    assert [r.l for r in out] == [2, 2, 1, 1, None, None]
+    assert _srt([tuple(r) for r in out]) == _srt([
+        ("", 2, 1), ("10.1", 2, 1), ("1", 1, 1), ("2", 1, 1),
+        ("abc", None, 1), ("def", None, 1)])
+
+
+def test_array_append_groups_as_array(spark, reg):
+    # testArrayAppend (sqlCompatible): ARRAY-typed result groups BY THE
+    # ARRAY — no element explosion (contrast MV_APPEND in
+    # test_golden_mv.test_group_by_element_with_array_length_of_same_expr)
+    out = druid_sql(spark, """
+        SELECT ARRAY_APPEND(dim3, 'foo') AS a, SUM(cnt) AS s
+        FROM druid.numfoo GROUP BY 1 ORDER BY 2 DESC
+    """, reg)
+    assert _pairs(out) == _srt([
+        (None, 2), (("", "foo"), 1), (("a", "b", "foo"), 1),
+        (("b", "c", "foo"), 1), (("d", "foo"), 1)])
+
+
+def test_array_prepend_groups_as_array(spark, reg):
+    # testArrayPrepend
+    out = druid_sql(spark, """
+        SELECT ARRAY_PREPEND('foo', dim3) AS a, SUM(cnt) AS s
+        FROM druid.numfoo GROUP BY 1 ORDER BY 2 DESC
+    """, reg)
+    assert _pairs(out) == _srt([
+        (None, 2), (("foo", ""), 1), (("foo", "a", "b"), 1),
+        (("foo", "b", "c"), 1), (("foo", "d"), 1)])
+
+
+def test_array_prepend_append_to_string(spark, reg):
+    # testArrayPrependAppend (sqlCompatible)
+    out = druid_sql(spark, """
+        SELECT ARRAY_TO_STRING(ARRAY_PREPEND('foo', dim3), ',') AS p,
+               ARRAY_TO_STRING(ARRAY_APPEND(dim3, 'foo'), ',') AS a,
+               SUM(cnt) AS s
+        FROM druid.numfoo GROUP BY 1,2 ORDER BY 3 DESC
+    """, reg).collect()
+    assert _srt([tuple(r) for r in out]) == _srt([
+        (None, None, 2), ("foo,", ",foo", 1), ("foo,a,b", "a,b,foo", 1),
+        ("foo,b,c", "b,c,foo", 1), ("foo,d", "d,foo", 1)])
+
+
+def test_array_concat_groups_as_array(spark, reg):
+    # testArrayConcat
+    out = druid_sql(spark, """
+        SELECT ARRAY_CONCAT(dim3, dim3) AS a, SUM(cnt) AS s
+        FROM druid.numfoo GROUP BY 1 ORDER BY 2 DESC
+    """, reg)
+    assert _pairs(out) == _srt([
+        (None, 2), (("", ""), 1), (("a", "b", "a", "b"), 1),
+        (("b", "c", "b", "c"), 1), (("d", "d"), 1)])
+
+
+def test_array_offset(spark, reg):
+    # testArrayOffset — 0-based, null out of range
+    out = druid_sql(spark, """
+        SELECT ARRAY_OFFSET(dim3, 1) AS v, SUM(cnt) AS s
+        FROM druid.numfoo GROUP BY 1 ORDER BY 2 DESC
+    """, reg).collect()
+    assert _srt([tuple(r) for r in out]) == _srt([
+        (None, 4), ("b", 1), ("c", 1)])
+
+
+def test_array_ordinal(spark, reg):
+    # testArrayOrdinal — 1-based
+    out = druid_sql(spark, """
+        SELECT ARRAY_ORDINAL(dim3, 2) AS v, SUM(cnt) AS s
+        FROM druid.numfoo GROUP BY 1 ORDER BY 2 DESC
+    """, reg).collect()
+    assert _srt([tuple(r) for r in out]) == _srt([
+        (None, 4), ("b", 1), ("c", 1)])
+
+
+def test_array_offset_of(spark, reg):
+    # testArrayOffsetOf (sqlCompatible: no-match is NULL, not -1)
+    out = druid_sql(spark, """
+        SELECT ARRAY_OFFSET_OF(dim3, 'b') AS v, SUM(cnt) AS s
+        FROM druid.numfoo GROUP BY 1 ORDER BY 2 DESC
+    """, reg).collect()
+    assert _srt([tuple(r) for r in out]) == _srt([
+        (None, 4), (0, 1), (1, 1)])
+
+
+def test_array_ordinal_of(spark, reg):
+    # testArrayOrdinalOf (sqlCompatible)
+    out = druid_sql(spark, """
+        SELECT ARRAY_ORDINAL_OF(dim3, 'b') AS v, SUM(cnt) AS s
+        FROM druid.numfoo GROUP BY 1 ORDER BY 2 DESC
+    """, reg).collect()
+    assert _srt([tuple(r) for r in out]) == _srt([
+        (None, 4), (1, 1), (2, 1)])
+
+
+def test_array_to_string(spark, reg):
+    # testArrayToString (sqlCompatible)
+    out = druid_sql(spark, """
+        SELECT ARRAY_TO_STRING(dim3, ',') AS v, SUM(cnt) AS s
+        FROM druid.numfoo GROUP BY 1 ORDER BY 2 DESC
+    """, reg).collect()
+    assert _srt([tuple(r) for r in out]) == _srt([
+        (None, 2), ("", 1), ("a,b", 1), ("b,c", 1), ("d", 1)])
+
+
+def test_array_to_string_round_trip(spark, reg):
+    # testArrayToStringToMultiValueString (sqlCompatible):
+    # STRING_TO_ARRAY is ARRAY-typed, so the rebuilt arrays group as
+    # arrays
+    out = druid_sql(spark, """
+        SELECT STRING_TO_ARRAY(
+                 CONCAT(ARRAY_TO_STRING(dim3, ','), ',d'), ',') AS a,
+               SUM(cnt) AS s
+        FROM druid.numfoo WHERE ARRAY_LENGTH(dim3) > 0
+        GROUP BY 1 ORDER BY 2 DESC
+    """, reg)
+    assert _pairs(out) == _srt([
+        (("", "d"), 1), (("a", "b", "d"), 1), (("b", "c", "d"), 1),
+        (("d", "d"), 1)])
+
+
+def test_mv_to_array_groups_as_array(spark, reg):
+    # testMultiValueToArrayGroupAsArrayWithMultiValueDimension
+    # (sqlCompatible): MV_TO_ARRAY is the explicit MV->ARRAY cast
+    out = druid_sql(spark, """
+        SELECT MV_TO_ARRAY(dim3) AS a, SUM(cnt) AS s
+        FROM druid.numfoo GROUP BY 1 ORDER BY 2 DESC
+    """, reg)
+    assert _pairs(out) == _srt([
+        (None, 2), (("",), 1), (("a", "b"), 1), (("b", "c"), 1),
+        (("d",), 1)])
