@@ -78,7 +78,9 @@ _SIMPLE_RENAMES = {
     "DS_GET_QUANTILE": "kll_sketch_get_quantile_double",
     "DS_RANK": "kll_sketch_get_rank_double",
     "STRING_AGG": "listagg",
-    "ARRAY_AGG": "collect_list",
+    # ARRAY_AGG handled by _rewrite_array_agg (DISTINCT sorts, empty
+    # aggregates return NULL — ExpressionLambdaAggregatorFactory's
+    # observable contract, CalciteArraysQueryTest testArrayAgg)
     # ARRAY_* scalar family (sql/.../builtin/Array*OperatorConversion.java)
     # — type-generic name maps onto Spark natives; ARRAY_APPEND /
     # ARRAY_PREPEND / ARRAY_CONTAINS already match Spark builtins by
@@ -746,9 +748,73 @@ def _wrap_bare_subquery_agg_args(text: str) -> str:
     return text
 
 
+# array_sort comparator placing NULL elements FIRST — the reference's
+# sorted-set accumulator (array_set_add) orders nulls before values
+# (testArrayAggExpression pins 'null,1a,2,a,defabc'), while Spark's
+# default array_sort puts nulls last
+_NULL_FIRST_CMP = (
+    "(l, r) -> CASE WHEN l IS NULL AND r IS NULL THEN 0 "
+    "WHEN l IS NULL THEN -1 WHEN r IS NULL THEN 1 "
+    "WHEN l < r THEN -1 WHEN l > r THEN 1 ELSE 0 END")
+
+
+def _rewrite_array_agg(text: str) -> str:
+    """ARRAY_AGG / ARRAY_CONCAT_AGG -> Spark collectors with the
+    reference's observable contract (CalciteArraysQueryTest
+    testArrayAgg/testArrayAggToString/testArrayConcatAggArrays):
+
+    - NULL inputs are KEPT as elements (Spark's collect_list/set drop
+      them, so the plain form collects named_structs and unwraps);
+    - the DISTINCT form returns elements SORTED with nulls first (the
+      native accumulator is a sorted set: array_set_add);
+    - an aggregate that saw no rows (e.g. a never-true FILTER) is
+      NULL, not an empty array;
+    - a trailing FILTER clause stays attached to the inner collector.
+    """
+    for fn in ("ARRAY_CONCAT_AGG", "ARRAY_AGG"):
+        pos = 0
+        while True:
+            found = None
+            for start, op, cp in _find_calls(text[pos:], fn):
+                found = (pos + start, pos + op, pos + cp)
+                break
+            if found is None:
+                break
+            s, o, c = found
+            inner = text[o + 1:c]
+            m = re.match(r"\s*DISTINCT\b(.*)\Z", inner,
+                         re.IGNORECASE | re.DOTALL)
+            x = (m.group(1) if m else inner).strip()
+            tail = text[c + 1:]
+            fm = re.match(r"\s*FILTER\s*\(", tail, re.IGNORECASE)
+            if fm:
+                fcp = _matching_close(tail, fm.end() - 1)
+                filt = " " + tail[:fcp + 1].strip()
+                end = c + 1 + fcp + 1
+            else:
+                filt = ""
+                end = c + 1
+            if fn == "ARRAY_AGG":
+                # null-keeping ordered collect
+                arr = (f"transform(collect_list(named_struct('v', {x}))"
+                       f"{filt}, s -> s.v)")
+            else:
+                # input arrays flatten in row order (null elements ride
+                # along inside the arrays)
+                arr = f"flatten(collect_list({x}){filt})"
+            if m:
+                arr = (f"array_sort(array_distinct({arr}), "
+                       f"{_NULL_FIRST_CMP})")
+            repl = f"CASE WHEN size({arr}) = 0 THEN NULL ELSE {arr} END"
+            text = text[:s] + repl + text[end:]
+            pos = s + len(repl)
+    return text
+
+
 def translate(text: str, time_column: str = TIME_COLUMN) -> str:
     """Rewrite Druid SQL aggregate surface into Spark SQL."""
     text = _rewrite_quoted_identifiers(text)
+    text = _rewrite_array_agg(text)
     text = _wrap_bare_subquery_agg_args(text)
     text = _rewrite_catalog_tables(text)
     text = _rewrite_druid_schema(text)
@@ -783,10 +849,7 @@ def translate(text: str, time_column: str = TIME_COLUMN) -> str:
                          append_arg=f"`{time_column}`")
     text = _rewrite_call(text, "LATEST", "max_by",
                          append_arg=f"`{time_column}`")
-    text = _rewrite_call(text, "ARRAY_CONCAT_AGG", "flatten(collect_list")
-    # fix the extra paren from the compound rename above
-    if "flatten(collect_list(" in text:
-        text = _close_extra_paren(text, "flatten(collect_list(")
+    # ARRAY_CONCAT_AGG handled by _rewrite_array_agg (runs earlier)
     # SUM0: null-as-zero sum (DruidOperatorTable.java SUM0 — the
     # rollup-count re-aggregation form): SUM0(x) -> coalesce(sum(x), 0)
     # via a collision-proof temp marker so pre-existing coalesce(sum(

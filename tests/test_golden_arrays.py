@@ -29,15 +29,21 @@ SCHEMA = T.StructType([
     T.StructField("dim2", T.ArrayType(T.StringType())),
     T.StructField("dim3", T.ArrayType(T.StringType())),
     T.StructField("cnt", T.LongType()),
+    T.StructField("l1", T.LongType()),
+    T.StructField("d1", T.DoubleType()),
+    T.StructField("f1", T.FloatType()),
+    T.StructField("l2", T.LongType()),
 ])
 
 ROWS = [
-    (datetime(2000, 1, 1), "", ["a"], ["a", "b"], 1),
-    (datetime(2000, 1, 2), "10.1", None, ["b", "c"], 1),
-    (datetime(2000, 1, 3), "2", [""], ["d"], 1),
-    (datetime(2001, 1, 1), "1", ["a"], [""], 1),
-    (datetime(2001, 1, 2), "def", ["abc"], None, 1),
-    (datetime(2001, 1, 3), "abc", None, None, 1),
+    (datetime(2000, 1, 1), "", ["a"], ["a", "b"], 1, 7, 1.0, 1.0, None),
+    (datetime(2000, 1, 2), "10.1", None, ["b", "c"], 1, 325323, 1.7, 0.1,
+     325323),
+    (datetime(2000, 1, 3), "2", [""], ["d"], 1, 0, 0.0, 0.0, 0),
+    (datetime(2001, 1, 1), "1", ["a"], [""], 1, None, None, None, None),
+    (datetime(2001, 1, 2), "def", ["abc"], None, 1, None, None, None,
+     None),
+    (datetime(2001, 1, 3), "abc", None, None, 1, None, None, None, None),
 ]
 
 
@@ -249,6 +255,102 @@ def test_array_to_string_round_trip(spark, reg):
     assert _pairs(out) == _srt([
         (("", "d"), 1), (("a", "b", "d"), 1), (("b", "c", "d"), 1),
         (("d", "d"), 1)])
+
+
+def test_array_group_as_long_array(spark, reg):
+    # testArrayGroupAsLongArray (sqlCompatible): the typed-array
+    # constructor groups BY the array, null element included
+    out = druid_sql(spark, """
+        SELECT ARRAY[l1] AS a, SUM(cnt) AS s
+        FROM druid.numfoo GROUP BY 1 ORDER BY 2 DESC
+    """, reg)
+    assert _pairs(out) == _srt([
+        ((None,), 3), ((0,), 1), ((7,), 1), ((325323,), 1)])
+
+
+def test_array_group_as_double_array(spark, reg):
+    # testArrayGroupAsDoubleArray
+    out = druid_sql(spark, """
+        SELECT ARRAY[d1] AS a, SUM(cnt) AS s
+        FROM druid.numfoo GROUP BY 1 ORDER BY 2 DESC
+    """, reg)
+    assert _pairs(out) == _srt([
+        ((None,), 3), ((0.0,), 1), ((1.0,), 1), ((1.7,), 1)])
+
+
+def test_array_group_as_float_array(spark, reg):
+    # testArrayGroupAsFloatArray — float32 0.1 widens to
+    # 0.10000000149011612, exactly as the reference pins
+    out = druid_sql(spark, """
+        SELECT ARRAY[f1] AS a, SUM(cnt) AS s
+        FROM druid.numfoo GROUP BY 1 ORDER BY 2 DESC
+    """, reg)
+    assert _pairs(out) == _srt([
+        ((None,), 3), ((0.0,), 1), ((0.10000000149011612,), 1),
+        ((1.0,), 1)])
+
+
+def test_array_group_as_array_with_function(spark, reg):
+    # testArrayGroupAsArrayWithFunction
+    out = druid_sql(spark, """
+        SELECT ARRAY[ARRAY_ORDINAL(dim3, 2)] AS a, SUM(cnt) AS s
+        FROM druid.numfoo GROUP BY 1 ORDER BY 2 DESC
+    """, reg)
+    assert _pairs(out) == _srt([
+        ((None,), 4), (("b",), 1), (("c",), 1)])
+
+
+def test_array_agg_plain_distinct_and_empty_filter(spark, reg):
+    # testArrayAgg (sqlCompatible): plain keeps ingestion order,
+    # DISTINCT returns SORTED elements (the native accumulator is a
+    # sorted set), and an aggregate that saw no rows is NULL, not []
+    out = druid_sql(spark, """
+        SELECT ARRAY_AGG(dim1) AS a, ARRAY_AGG(DISTINCT dim1) AS d,
+               ARRAY_AGG(DISTINCT dim1)
+                 FILTER(WHERE dim1 = 'shazbot') AS f
+        FROM numfoo WHERE dim1 is not null
+    """, reg).first()
+    assert out["a"] == ["", "10.1", "2", "1", "def", "abc"]
+    assert out["d"] == ["", "1", "10.1", "2", "abc", "def"]
+    assert out["f"] is None
+
+
+def test_array_agg_to_string(spark, reg):
+    # testArrayAggToString (sqlCompatible): the sorted DISTINCT set
+    # joins with the empty string first -> leading comma
+    out = druid_sql(spark, """
+        SELECT ARRAY_TO_STRING(ARRAY_AGG(DISTINCT dim1), ',') AS v
+        FROM numfoo WHERE dim1 is not null
+    """, reg).first()
+    assert out["v"] == ",1,10.1,2,abc,def"
+
+
+def test_array_concat_agg_arrays(spark, reg):
+    # testArrayConcatAggArrays (sqlCompatible): plain flattens in row
+    # order keeping null elements; DISTINCT returns sorted distinct
+    # elements with null FIRST (the reference's sorted-set order)
+    out = druid_sql(spark, """
+        SELECT ARRAY_CONCAT_AGG(ARRAY[l1, l2]) AS a,
+               ARRAY_CONCAT_AGG(DISTINCT ARRAY[l1, l2]) AS d
+        FROM numfoo
+    """, reg).first()
+    assert out["a"] == [7, None, 325323, 325323, 0, 0,
+                        None, None, None, None, None, None]
+    assert out["d"] == [None, 0, 7, 325323]
+
+
+def test_array_agg_expression_null_kept(spark, reg):
+    # testArrayAggExpression (sqlCompatible): the NULL element survives
+    # the DISTINCT aggregation and sorts FIRST; ARRAY_TO_STRING renders
+    # it as the string 'null' in the reference — pin the array form
+    # here (the rendering difference is the join function's, not the
+    # aggregate's)
+    out = druid_sql(spark, """
+        SELECT ARRAY_AGG(DISTINCT CONCAT(dim1, MV_TO_STRING(dim2, ','))
+               ) AS d
+        FROM numfoo
+    """, reg).first()
+    assert out["d"][0] is None  # null element kept and sorted first
 
 
 def test_mv_to_array_groups_as_array(spark, reg):
