@@ -811,6 +811,56 @@ def _rewrite_array_agg(text: str) -> str:
     return text
 
 
+def _rewrite_substring_null_when_short(text: str) -> str:
+    """Druid SQL SUBSTRING lowers to SubstringDimExtractionFn, which
+    returns NULL (never '') when the start index falls past the string
+    (testGroupByWithSelectProjections pins SUBSTRING('1', 2) -> null);
+    Spark returns ''. NULLIF the result — an empty result string only
+    arises from an out-of-range start or an empty input, both null in
+    the reference."""
+    pos = 0
+    while True:
+        found = None
+        for start, op, cp in _find_calls(text[pos:], "SUBSTRING"):
+            found = (pos + start, pos + op, pos + cp)
+            break
+        if found is None:
+            break
+        s, o, c = found
+        inner = text[o + 1:c]
+        # Calcite also accepts SUBSTRING(x FROM s [FOR l])
+        inner = re.sub(r"\bFROM\b", ",", inner, flags=re.IGNORECASE)
+        inner = re.sub(r"\bFOR\b", ",", inner, flags=re.IGNORECASE)
+        repl = f"NULLIF(substring({inner}), '')"
+        text = text[:s] + repl + text[c + 1:]
+        pos = s + len(repl)
+    return text
+
+
+def _strip_agg_size_arg(text: str) -> str:
+    """Drop the trailing integer maxStringBytes argument from
+    EARLIEST/LATEST (2-arg), EARLIEST_BY/LATEST_BY (3-arg), and
+    ANY_VALUE (2-arg) — the truncation knob has no analogue here (no
+    aggregation buffers to size) and strings are never truncated."""
+    specs = (("EARLIEST_BY", 3), ("LATEST_BY", 3),
+             ("EARLIEST", 2), ("LATEST", 2), ("ANY_VALUE", 2))
+    for fn, n in specs:
+        while True:
+            found = None
+            for start, op, cp in _find_calls(text, fn):
+                args = _split_top_args(text[op + 1:cp])
+                if (len(args) == n
+                        and re.fullmatch(r"\s*\d+\s*", args[-1])):
+                    found = (op, cp, args[:-1])
+                    break
+            if found is None:
+                break
+            op, cp, keep = found
+            text = text[:op + 1] + ", ".join(a.strip() for a in keep) \
+                + text[cp:]
+    return text
+
+
 def translate(text: str, time_column: str = TIME_COLUMN) -> str:
     """Rewrite Druid SQL aggregate surface into Spark SQL."""
     text = _rewrite_quoted_identifiers(text)
@@ -842,6 +892,14 @@ def translate(text: str, time_column: str = TIME_COLUMN) -> str:
     text = _rewrite_mv_slice_2arg(text)
     text = _rewrite_mv_contains_array(text)
     text = _rewrite_truncate_default(text)
+    # Druid's string forms carry a trailing maxStringBytes argument
+    # (EARLIEST(expr, 10) / EARLIEST_BY(expr, ts, 10) /
+    # ANY_VALUE(expr, 10) — StringFirstAggregatorFactory). This engine
+    # never truncates aggregate strings (strictly better, like exact
+    # topN), so the size argument drops before the min_by/max_by
+    # lowering (which would otherwise emit an invalid 3-arg min_by).
+    text = _rewrite_substring_null_when_short(text)
+    text = _strip_agg_size_arg(text)
     # ordered: _BY variants first so bare EARLIEST doesn't eat them
     text = _rewrite_call(text, "EARLIEST_BY", "min_by")
     text = _rewrite_call(text, "LATEST_BY", "max_by")

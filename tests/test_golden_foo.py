@@ -1703,3 +1703,248 @@ def test_group_by_limit_wrapping(spark, numfoo6):
     """, numfoo6, context={"sqlOuterLimit": 2}).collect()
     assert [(r.dim1, r.dim2, r.n) for r in out] == [
         ("def", "abc", 1), ("abc", None, 1)]
+
+
+# ---------------------------------------------------------------------------
+# Round-5 tranche (cont.): EARLIEST/LATEST/ANY aggregators over numeric
+# nulls, bitwise aggregators, filtered aggregations, nested groupBys.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def numfoo_full(spark):
+    """numfoo with the full numeric-dim complement (CalciteTests
+    RAW_ROWS1_WITH_NUMERIC_DIMS): l1/l2/d1/d2/f1/f2 nullable, m1
+    metric, scalar post-ingest dim2."""
+    r = DatasourceRegistry(spark)
+    rows = [
+        (datetime(2000, 1, 1), "", "a", 1, 1.0,
+         1.0, None, 1.0, None, 7, None),
+        (datetime(2000, 1, 2), "10.1", None, 1, 2.0,
+         1.7, 1.7, 0.1, 0.1, 325323, 325323),
+        (datetime(2000, 1, 3), "2", "", 1, 3.0,
+         0.0, 0.0, 0.0, 0.0, 0, 0),
+        (datetime(2001, 1, 1), "1", "a", 1, 4.0,
+         None, None, None, None, None, None),
+        (datetime(2001, 1, 2), "def", "abc", 1, 5.0,
+         None, None, None, None, None, None),
+        (datetime(2001, 1, 3), "abc", None, 1, 6.0,
+         None, None, None, None, None, None),
+    ]
+    schema = T.StructType([
+        T.StructField("__time", T.TimestampType()),
+        T.StructField("dim1", T.StringType()),
+        T.StructField("dim2", T.StringType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("m1", T.FloatType()),
+        T.StructField("d1", T.DoubleType()),
+        T.StructField("d2", T.DoubleType()),
+        T.StructField("f1", T.FloatType()),
+        T.StructField("f2", T.FloatType()),
+        T.StructField("l1", T.LongType()),
+        T.StructField("l2", T.LongType()),
+    ])
+    r.register("numfoo", spark.createDataFrame(rows, schema))
+    return r
+
+
+def test_earliest_aggregators(spark, numfoo_full):
+    # testEarliestAggregators — __time-ordered and explicit-timestamp
+    # (EARLIEST_BY over MILLIS_TO_TIMESTAMP(l1); min l1 = 0 -> row 3)
+    out = druid_sql(spark, """
+        SELECT EARLIEST(cnt) AS a, EARLIEST(m1) AS b,
+               EARLIEST(dim1, 10) AS c,
+               EARLIEST(cnt + 1) AS d, EARLIEST(m1 + 1) AS e,
+               EARLIEST(dim1 || CAST(cnt AS VARCHAR), 10) AS f,
+               EARLIEST_BY(cnt, MILLIS_TO_TIMESTAMP(l1)) AS g,
+               EARLIEST_BY(m1, MILLIS_TO_TIMESTAMP(l1)) AS h,
+               EARLIEST_BY(dim1, MILLIS_TO_TIMESTAMP(l1), 10) AS i,
+               EARLIEST_BY(cnt + 1, MILLIS_TO_TIMESTAMP(l1)) AS j,
+               EARLIEST_BY(m1 + 1, MILLIS_TO_TIMESTAMP(l1)) AS k,
+               EARLIEST_BY(dim1 || CAST(cnt AS VARCHAR),
+                           MILLIS_TO_TIMESTAMP(l1), 10) AS l
+        FROM druid.numfoo
+    """, numfoo_full).first()
+    assert tuple(out) == (1, 1.0, "", 2, 2.0, "1",
+                          1, 3.0, "2", 2, 4.0, "21")
+
+
+def test_earliest_aggregators_numeric_nulls(spark, numfoo_full):
+    # testEarliestAggregatorsNumericNulls — first row by time carries
+    # the values
+    out = druid_sql(spark, """
+        SELECT EARLIEST(l1) AS a, EARLIEST(d1) AS b, EARLIEST(f1) AS c
+        FROM druid.numfoo
+    """, numfoo_full).first()
+    assert tuple(out) == (7, 1.0, 1.0)
+
+
+def test_first_latest_aggregators_skip_nulls(spark, numfoo_full):
+    # testFirstLatestAggregatorsSkipNulls (sqlCompatible branch)
+    out = druid_sql(spark, """
+        SELECT EARLIEST(dim1, 32) AS a, LATEST(l1) AS b,
+               LATEST(d1) AS c, LATEST(f1) AS d
+        FROM druid.numfoo
+        WHERE dim1 IS NOT NULL AND l1 IS NOT NULL
+          AND d1 IS NOT NULL AND f1 is NOT NULL
+    """, numfoo_full).first()
+    assert tuple(out) == ("", 0, 0.0, 0.0)
+
+
+def test_any_aggregators_on_heap_numeric_nulls(spark, numfoo_full):
+    # testAnyAggregatorsOnHeapNumericNulls
+    out = druid_sql(spark, """
+        SELECT ANY_VALUE(l1) AS a, ANY_VALUE(d1) AS b, ANY_VALUE(f1) AS c
+        FROM druid.numfoo
+    """, numfoo_full).first()
+    assert tuple(out) == (7, 1.0, 1.0)
+
+
+def test_any_aggregators_does_not_skip_nulls(spark, numfoo_full):
+    # testAnyAggregatorsDoesNotSkipNulls (sqlCompatible branch): the
+    # l2/d2/f2 columns are null on the first row and ANY returns it
+    out = druid_sql(spark, """
+        SELECT ANY_VALUE(dim1, 32) AS a, ANY_VALUE(l2) AS b,
+               ANY_VALUE(d2) AS c, ANY_VALUE(f2) AS d
+        FROM druid.numfoo
+    """, numfoo_full).first()
+    assert out["a"] == ""
+    # ANY is free to return any row's value; the reference's buffer
+    # implementation returns the first (null). Spark's any_value
+    # likewise does not skip nulls.
+    assert out["b"] is None and out["c"] is None and out["d"] is None
+
+
+def test_bitwise_aggregators_timeseries(spark, numfoo_full):
+    # testBitwiseAggregatorsTimeseries (sqlCompatible): over l1
+    # {7, 325323, 0} (nulls skipped)
+    out = druid_sql(spark, """
+        SELECT BIT_AND(l1) AS a, BIT_OR(l1) AS b, BIT_XOR(l1) AS c
+        FROM druid.numfoo
+    """, numfoo_full).first()
+    assert tuple(out) == (0, 325327, 325324)
+
+
+def test_bitwise_aggregators_group_by(spark, numfoo_full):
+    """testBitwiseAggregatorsGroupBy — DOCUMENTED DIVERGENCE on
+    BIT_AND: the reference at this version seeds its expression
+    accumulator with 0, so single-element BIT_AND groups return 0
+    ('a' group {7} -> 0); this engine returns the mathematically
+    correct fold (7), matching later reference versions. OR/XOR and
+    the all-null group agree in both."""
+    out = druid_sql(spark, """
+        SELECT dim2, BIT_AND(l1) AS a, BIT_OR(l1) AS b, BIT_XOR(l1) AS c
+        FROM druid.numfoo GROUP BY 1 ORDER BY 4
+    """, numfoo_full).collect()
+    got = {(r.dim2 or "<n>"): (r.a, r.b, r.c) for r in out}
+    assert got == {
+        "abc": (None, None, None),
+        "": (0, 0, 0),
+        "a": (7, 7, 7),          # reference (this version): (0, 7, 7)
+        "<n>": (325323, 325323, 325323),  # reference: (0, ., .)
+    }
+    # nulls-first ordering on the xor column
+    assert [r.dim2 for r in out][0] == "abc"
+
+
+def test_filtered_aggregations(spark, reg):
+    # testFilteredAggregations (sqlCompatible branch) — twelve
+    # aggregates mixing CASE, FILTER, and COUNT DISTINCT
+    out = druid_sql(spark, """
+        SELECT
+          SUM(case dim1 when 'abc' then cnt end) AS c1,
+          SUM(case dim1 when 'abc' then null else cnt end) AS c2,
+          SUM(case substring(dim1, 1, 1) when 'a' then cnt end) AS c3,
+          COUNT(dim2) filter(WHERE dim1 <> '1') AS c4,
+          COUNT(CASE WHEN dim1 <> '1' THEN 'dummy' END) AS c5,
+          SUM(CASE WHEN dim1 <> '1' THEN 1 ELSE 0 END) AS c6,
+          SUM(cnt) filter(WHERE dim2 = 'a') AS c7,
+          SUM(case when dim1 <> '1' then cnt end)
+            filter(WHERE dim2 = 'a') AS c8,
+          SUM(CASE WHEN dim1 <> '1' THEN cnt ELSE 0 END) AS c9,
+          MAX(CASE WHEN dim1 <> '1' THEN cnt END) AS c10,
+          COUNT(DISTINCT CASE WHEN dim1 <> '1' THEN m1 END) AS c11,
+          SUM(cnt) filter(WHERE dim2 = 'a' AND dim1 = 'b') AS c12
+        FROM druid.foo
+    """, reg).first()
+    assert tuple(out) == (1, 5, 1, 3, 5, 5, 2, 1, 5, 1, 5, None)
+
+
+def test_filtered_aggregation_with_not_in(spark, reg):
+    # testFilteredAggregationWithNotIn (sqlCompatible branch)
+    out = druid_sql(spark, """
+        SELECT
+        COUNT(*) filter(WHERE dim1 NOT IN ('1')) AS a,
+        COUNT(dim2) filter(WHERE dim1 NOT IN ('1')) AS b
+        FROM druid.foo
+    """, reg).first()
+    assert tuple(out) == (5, 3)
+
+
+def test_double_nested_group_by(spark, reg):
+    # testDoubleNestedGroupBy (sqlCompatible: 4 dim2 groups — null,
+    # '', 'a', 'abc' via MV explode)
+    out = druid_sql(spark, """
+        SELECT SUM(cnt) AS s, COUNT(*) AS n FROM (
+          SELECT dim2, SUM(t1.cnt) cnt FROM (
+            SELECT dim1, dim2, COUNT(*) cnt
+            FROM druid.foo GROUP BY dim1, dim2
+          ) t1
+          GROUP BY dim2
+        ) t2
+    """, reg).first()
+    assert (out["s"], out["n"]) == (6, 4)
+
+
+def test_exact_count_distinct_with_grouping_and_other_aggs(spark, reg):
+    # testExactCountDistinctWithGroupingAndOtherAggregators
+    # (sqlCompatible branch, MV dim2 explodes to element groups)
+    out = druid_sql(spark, """
+        SELECT dim2, SUM(cnt) AS s, COUNT(distinct dim1) AS d
+        FROM druid.foo GROUP BY dim2
+    """, reg).collect()
+    got = {(r.dim2 if r.dim2 is not None else "<n>"): (r.s, r.d)
+           for r in out}
+    assert got == {"<n>": (2, 2), "": (1, 1), "a": (2, 2),
+                   "abc": (1, 1)}
+
+
+def test_group_by_time_and_other_dimension(spark, reg):
+    # testGroupByTimeAndOtherDimension (sqlCompatible branch): nulls
+    # first under ORDER BY dim2 ASC
+    out = druid_sql(spark, """
+        SELECT dim2, gran, SUM(cnt) AS s
+        FROM (SELECT FLOOR(__time TO MONTH) AS gran, dim2, cnt
+              FROM druid.foo) AS x
+        GROUP BY dim2, gran
+        ORDER BY dim2, gran
+    """, reg).collect()
+    assert [(r.dim2, r.gran, r.s) for r in out] == [
+        (None, datetime(2000, 1, 1), 1), (None, datetime(2001, 1, 1), 1),
+        ("", datetime(2000, 1, 1), 1), ("a", datetime(2000, 1, 1), 1),
+        ("a", datetime(2001, 1, 1), 1), ("abc", datetime(2001, 1, 1), 1)]
+
+
+def test_concat_group(spark, reg):
+    # testConcatGroup (first query): repeated-column concat grouping
+    out = druid_sql(spark, """
+        SELECT CONCAT(dim1, '-', dim1, '_', dim1) as dimX
+        FROM foo GROUP BY 1
+    """, reg).collect()
+    assert sorted(r.dimX for r in out) == [
+        "-_", "1-1_1", "10.1-10.1_10.1", "2-2_2", "abc-abc_abc",
+        "def-def_def"]
+
+
+def test_group_by_select_and_order_by_projections(spark, reg):
+    # testGroupByWithSelectAndOrderByProjections — order by an
+    # expression not in the select list; SUBSTRING null-when-short
+    out = druid_sql(spark, """
+        SELECT dim1, SUBSTRING(dim1, 2) AS s
+        FROM druid.foo
+        GROUP BY dim1
+        ORDER BY CHARACTER_LENGTH(dim1) DESC, dim1
+    """, reg).collect()
+    assert [(r.dim1, r.s) for r in out] == [
+        ("10.1", "0.1"), ("abc", "bc"), ("def", "ef"),
+        ("1", None), ("2", None), ("", None)]
