@@ -4257,10 +4257,12 @@ _R05_WINDOW = (
     "grouping_id_subtotals", "mv_filter_any_match", "spatial_rectangular",
     "spatial_polygon",
 )
-# Round-6 plan: the 15 remaining r2-era greens (finishing the rotation —
-# after r6 every entry's latest green postdates the testdata regen),
-# then entries new in round 5 (never driver-checked).
-_R06_NEXT = (
+# Round-6 gate window head (VERDICT r5 #3): the 15 remaining r1/r2-era
+# greens plus the one never-windowed r5 entry go FIRST — after the r6
+# window every registry entry's latest driver-green postdates the
+# 2026-08 testdata regeneration. All re-verified locally with
+# tools/oracle_check.py on current testdata before committing this order.
+_R06_WINDOW = (
     "cardinality_by_value", "tuple_sketch_order_totals",
     "limitspec_offset", "filter_column_comparison", "union_hetero_schemas",
     "lambda_realtime_union", "salted_groupby_skew", "mv_filter_in",
@@ -4273,11 +4275,13 @@ _R06_NEXT = (
 
 
 def _entry_order(name: str) -> tuple:
+    if name in _R06_WINDOW:
+        return (0, _R06_WINDOW.index(name))
+    # r3/r4-era greens next (oldest current-era evidence); the 50
+    # entries re-verified in the r5 window go last.
     if name in _R05_WINDOW:
-        return (0, _R05_WINDOW.index(name))
-    if name in _R06_NEXT:
-        return (1, _R06_NEXT.index(name))
-    return (2, 0)  # r3/r4-green; stable within group (dict keeps file order)
+        return (2, _R05_WINDOW.index(name))
+    return (1, 0)  # r3/r4-green; stable within group (dict keeps file order)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1246,6 +1246,61 @@ def _explode_mv_array_items(text: str, mv_cols) -> str:
     return text
 
 
+def _derived_mv_outputs(sub: str, mv_cols) -> set:
+    """Output column names of a derived-table body that are MV-typed: a
+    select item that exposes a known MV column bare (optionally
+    qualified / AS-aliased), or ``SELECT *`` / ``t.*`` passing names
+    through. One projection level per call — un-renamed MV names stay
+    in ``mv_cols`` by name, so nesting resolves level by level. The
+    reference keeps MV-ness through query datasources regardless of
+    nesting (GroupByQueryEngine explode; CalciteQueryTest
+    testGroupByTimeAndOtherDimension groups dim2 elements through a
+    derived table)."""
+    lower = {c.lower() for c in mv_cols}
+    sel = re.search(r"\bSELECT\b", sub, re.IGNORECASE)
+    if sel is None:
+        return set()
+    depths = _depths(sub)
+    spans = _string_spans(sub)
+    fstart = None
+    for f in re.finditer(r"\bFROM\b", sub, re.IGNORECASE):
+        if (f.start() > sel.end() and depths[f.start()] == 0
+                and not any(a <= f.start() <= b for a, b in spans)):
+            fstart = f
+            break
+    sel_list = sub[sel.end():fstart.start()] if fstart else sub[sel.end():]
+    out = set()
+    for item in _split_top_args(sel_list):
+        it = item.strip()
+        if it == "*" or it.endswith(".*"):
+            out |= set(mv_cols)
+            continue
+        m = re.fullmatch(
+            r"(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)"
+            r"(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?", it,
+            re.IGNORECASE | re.DOTALL)
+        if m and m.group(1).lower() in lower:
+            out.add(m.group(2) or m.group(1))
+    return out
+
+
+def _mv_groupby_candidates(text: str, mv_cols) -> tuple:
+    """MV column names visible to some block of ``text``: the base
+    names plus any NEW names a derived table aliases an MV column to
+    (``SELECT dim2 AS d2 FROM foo`` makes d2 MV for the enclosing
+    block). Whether a candidate is actually MV in a given GROUP BY
+    block is re-checked against that block's own FROM source."""
+    cands = list(mv_cols)
+    seen = {c.lower() for c in cands}
+    for m in re.finditer(r"\(\s*SELECT\b", text, re.IGNORECASE):
+        cp = _matching_close(text, m.start())
+        for name in _derived_mv_outputs(text[m.start() + 1:cp], mv_cols):
+            if name.lower() not in seen:
+                seen.add(name.lower())
+                cands.append(name)
+    return tuple(cands)
+
+
 def _rewrite_mv_groupby(text: str, mv_cols) -> str:
     """GROUP BY on a bare MV column explodes to element values —
     Druid's defining multi-value behavior (docs/querying/
@@ -1260,8 +1315,16 @@ def _rewrite_mv_groupby(text: str, mv_cols) -> str:
     clause switches to the exploded element. WHERE keeps the original
     column so filters stay pre-explode any-element matches — exactly
     the reference's ordering (dim filters select ROWS, the groupBy
-    then explodes every value of the surviving rows)."""
-    for col in mv_cols:
+    then explodes every value of the surviving rows).
+
+    The FROM source may also be a DERIVED TABLE ``( SELECT ... ) AS x``
+    whose select list exposes an MV column (bare, qualified, or
+    aliased): the reference explodes MV dims regardless of query
+    nesting (query datasources keep the multi-value type —
+    CalciteQueryTest testGroupByTimeAndOtherDimension,
+    CalciteMultiValueStringQueryTest nested-groupBy family), so the
+    LATERAL VIEW lands on the derived table in the outer block."""
+    for col in _mv_groupby_candidates(text, mv_cols):
         c = re.escape(col)
         changed = True
         while changed:
@@ -1325,25 +1388,41 @@ def _rewrite_mv_groupby(text: str, mv_cols) -> str:
                     if sel2 is not None else _split_top_args(clause))
                 if not any(_has_bare_ref(it, col) for it in probe_items):
                     continue
-                tbl = re.compile(
-                    r"\s+([A-Za-z_][\w.$]*)"
-                    r"(\s+(?:AS\s+)?(?!WHERE\b|GROUP\b|LATERAL\b)"
-                    r"[A-Za-z_]\w*)?",
-                    re.IGNORECASE).match(text, fstart.end())
-                if tbl is None:
-                    continue
-                between = text[tbl.end():m.start()]
+                derived = re.compile(r"\s*\(").match(text, fstart.end())
+                if derived is not None:
+                    # FROM ( SELECT ... ) [AS] x — explode only when the
+                    # derived table's select list exposes `col` as MV
+                    op2 = derived.end() - 1
+                    cp2 = _matching_close(text, op2)
+                    if col.lower() not in {
+                            n.lower() for n in _derived_mv_outputs(
+                                text[op2 + 1:cp2], mv_cols)}:
+                        continue
+                    am = re.compile(
+                        r"\s*(?:AS\s+)?(?!WHERE\b|GROUP\b|LATERAL\b)"
+                        r"([A-Za-z_]\w*)",
+                        re.IGNORECASE).match(text, cp2 + 1)
+                    tbl_end = am.end() if am else cp2 + 1
+                else:
+                    tbl = re.compile(
+                        r"\s+([A-Za-z_][\w.$]*)"
+                        r"(\s+(?:AS\s+)?(?!WHERE\b|GROUP\b|LATERAL\b)"
+                        r"[A-Za-z_]\w*)?",
+                        re.IGNORECASE).match(text, fstart.end())
+                    if tbl is None:
+                        continue
+                    tbl_end = tbl.end()
                 wmatch = None
                 for w in re.finditer(r"\bWHERE\b", text,
                                      re.IGNORECASE):
-                    if (tbl.end() <= w.start() < m.start()
+                    if (tbl_end <= w.start() < m.start()
                             and depths[w.start()] == d
                             and _outside(w.start())):
                         wmatch = w
                         break
                 pre_where_end = wmatch.start() if wmatch else m.start()
-                if re.search(r"\bJOIN\b|,", text[tbl.end():pre_where_end]
-                             ) or text[tbl.end():pre_where_end].strip():
+                if re.search(r"\bJOIN\b|,", text[tbl_end:pre_where_end]
+                             ) or text[tbl_end:pre_where_end].strip():
                     continue  # not a bare single-table FROM
                 alias = f"__mv_g_{col}"
 
@@ -1382,11 +1461,16 @@ def _rewrite_mv_groupby(text: str, mv_cols) -> str:
 
                 where_span = ((wmatch.start(), m.start()) if wmatch
                               else (m.start(), m.start()))
+                # the aliasing head must stop BEFORE a derived table's
+                # body — refs inside the subquery are its own scope
+                head_end = (fstart.end() if derived is not None
+                            else tbl_end)
                 new = (text[:bstart]
                        + _keep_output_name(
-                           _alias_col(text[bstart:tbl.end()]))
+                           _alias_col(text[bstart:head_end]))
+                       + text[head_end:tbl_end]
                        + f" LATERAL VIEW OUTER explode({col}) AS {alias} "
-                       + text[tbl.end():where_span[0]]
+                       + text[tbl_end:where_span[0]]
                        + text[where_span[0]:where_span[1]]
                        + _alias_col(text[where_span[1]:bend])
                        + text[bend:])

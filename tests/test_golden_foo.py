@@ -1836,7 +1836,8 @@ def test_bitwise_aggregators_group_by(spark, numfoo_full):
         SELECT dim2, BIT_AND(l1) AS a, BIT_OR(l1) AS b, BIT_XOR(l1) AS c
         FROM druid.numfoo GROUP BY 1 ORDER BY 4
     """, numfoo_full).collect()
-    got = {(r.dim2 or "<n>"): (r.a, r.b, r.c) for r in out}
+    got = {("<n>" if r.dim2 is None else r.dim2): (r.a, r.b, r.c)
+           for r in out}
     assert got == {
         "abc": (None, None, None),
         "": (0, 0, 0),
