@@ -252,14 +252,23 @@ class AvaticaMeta:
             # SqlDynamicParams at prepare so the reference succeeds
             # here. Retry with position-agnostic 0s, else defer the
             # column signature to execute time (ADVICE r4).
-            try:
-                probe = bind_parameters(
-                    sql, [{"type": "BIGINT", "value": 0}] * n_params)
-                df = druid_sql(self.spark, probe, self.registry)
-                columns = [_column_meta(i, name, dtype)
-                           for i, (name, dtype) in enumerate(df.dtypes)]
-            except Exception:  # noqa: BLE001 — types resolve at execute
-                columns = []
+            # Probe limitation (ADVICE r5): an all-one-type probe can
+            # report wrong prepare-time types for mixed positions, and
+            # the empty fallback reports no columns — clients must not
+            # rely on prepare-time metadata of parameterized
+            # statements; execute-time signatures are authoritative.
+            columns = []
+            for filler in ({"type": "BIGINT", "value": 0},
+                           {"type": "VARCHAR", "value": ""}):
+                try:
+                    probe = bind_parameters(sql, [filler] * n_params)
+                    df = druid_sql(self.spark, probe, self.registry)
+                    columns = [_column_meta(i, name, dtype)
+                               for i, (name, dtype)
+                               in enumerate(df.dtypes)]
+                    break
+                except Exception:  # noqa: BLE001 — resolve at execute
+                    continue
         with self._lock:
             self._next_statement_id += 1
             sid = self._next_statement_id

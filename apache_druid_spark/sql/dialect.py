@@ -638,20 +638,25 @@ def _rewrite_floor_to(text: str) -> str:
     return _FLOOR_TO_RE.sub(sub, text)
 
 
-_DRUID_SCHEMA_RE = re.compile(r"\bdruid\s*\.\s*([A-Za-z_]\w*)")
+_DRUID_SCHEMA_RE = re.compile(
+    r"(?:\bdruid|`druid`)\s*\.\s*(`?)([A-Za-z_]\w*)\1")
 
 
 def _rewrite_druid_schema(text: str) -> str:
     """The ``druid`` catalog schema — DruidSchemaCatalog's default
     datasource schema, so ``druid.foo`` and bare ``foo`` name the same
     table (CalciteJoinQueryTest uses both spellings freely). Spark temp
-    views are schema-less: strip the qualifier, string-literal aware."""
+    views are schema-less: strip the qualifier, string-literal aware.
+    The quoted spelling ``"druid".foo`` (backticked by the identifier
+    rewrite before this pass) is recognized too. Caveat (documented):
+    a table ALIAS literally named ``druid`` would also be stripped —
+    `FROM foo AS druid ... druid.col`; don't alias tables `druid`."""
     spans = _string_spans(text)
 
     def sub(m: re.Match) -> str:
         if any(a <= m.start() < b for a, b in spans):
             return m.group(0)
-        return m.group(1)
+        return m.group(1) + m.group(2) + m.group(1)
 
     return _DRUID_SCHEMA_RE.sub(sub, text)
 
@@ -785,6 +790,13 @@ def _rewrite_array_agg(text: str) -> str:
             m = re.match(r"\s*DISTINCT\b(.*)\Z", inner,
                          re.IGNORECASE | re.DOTALL)
             x = (m.group(1) if m else inner).strip()
+            # drop a trailing integer maxSizeBytes argument —
+            # ArraySqlAggregator: ARRAY_AGG(expr, maxSizeBytes)
+            # (CalciteArraysQueryTest pins ARRAY_AGG(l1, 128)); no
+            # aggregation buffers to size here, nothing truncates
+            xargs = _split_top_args(x)
+            if len(xargs) == 2 and re.fullmatch(r"\s*\d+\s*", xargs[-1]):
+                x = xargs[0].strip()
             tail = text[c + 1:]
             fm = re.match(r"\s*FILTER\s*\(", tail, re.IGNORECASE)
             if fm:
@@ -828,12 +840,26 @@ def _rewrite_substring_null_when_short(text: str) -> str:
             break
         s, o, c = found
         inner = text[o + 1:c]
-        # Calcite also accepts SUBSTRING(x FROM s [FOR l])
-        inner = re.sub(r"\bFROM\b", ",", inner, flags=re.IGNORECASE)
-        inner = re.sub(r"\bFOR\b", ",", inner, flags=re.IGNORECASE)
+        # Calcite also accepts SUBSTRING(x FROM s [FOR l]): rewrite
+        # FROM/FOR to commas ONLY when the call has no top-level commas
+        # already (i.e. it IS the FROM-form), and only for tokens at top
+        # paren depth outside string literals — a literal 'ab FROM cd'
+        # or a nested scalar-subquery argument must survive intact.
+        if len(_split_top_args(inner)) == 1:
+            depths_i = _depths(inner)
+            spans_i = _string_spans(inner)
+            for mm in reversed(list(
+                    re.finditer(r"\b(?:FROM|FOR)\b", inner,
+                                re.IGNORECASE))):
+                i0 = mm.start()
+                if (depths_i[i0] == 0
+                        and not any(a <= i0 <= b for a, b in spans_i)):
+                    inner = inner[:i0] + "," + inner[mm.end():]
         repl = f"NULLIF(substring({inner}), '')"
         text = text[:s] + repl + text[c + 1:]
-        pos = s + len(repl)
+        # resume INSIDE the rewritten argument list so nested
+        # SUBSTRING calls get the NULL contract too
+        pos = s + len("NULLIF(substring(")
     return text
 
 

@@ -363,3 +363,27 @@ def test_mv_to_array_groups_as_array(spark, reg):
     assert _pairs(out) == _srt([
         (None, 2), (("",), 1), (("a", "b"), 1), (("b", "c"), 1),
         (("d",), 1)])
+
+
+def test_array_agg_max_bytes(spark, reg):
+    # testArrayAggMaxBytes (sqlCompatible): the maxSizeBytes second
+    # argument sizes the reference's aggregation buffer — no buffer
+    # here, so it strips; results match the unsized aggregate
+    # (ADVICE r5: previously emitted an odd-arity named_struct)
+    out = druid_sql(spark, """
+        SELECT ARRAY_AGG(l1, 128) AS a, ARRAY_AGG(DISTINCT l1, 128) AS d
+        FROM numfoo
+    """, reg).first()
+    assert out["a"] == [7, 325323, 0, None, None, None]
+    assert out["d"] == [None, 0, 7, 325323]
+
+
+def test_array_concat_agg_max_bytes(spark, reg):
+    # ARRAY_CONCAT_AGG(expr, maxSizeBytes) — same size-arg strip; the
+    # second argument must NOT be flattened as if it were an array input
+    out = druid_sql(spark, """
+        SELECT ARRAY_CONCAT_AGG(ARRAY[l1, l2], 16384) AS a
+        FROM numfoo
+    """, reg).first()
+    assert out["a"] == [7, None, 325323, 325323, 0, 0,
+                        None, None, None, None, None, None]

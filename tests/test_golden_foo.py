@@ -1949,3 +1949,47 @@ def test_group_by_select_and_order_by_projections(spark, reg):
     assert [(r.dim1, r.s) for r in out] == [
         ("10.1", "0.1"), ("abc", "bc"), ("def", "ef"),
         ("1", None), ("2", None), ("", None)]
+
+
+def test_substring_from_for_syntax(spark, reg):
+    # Calcite's standard SUBSTRING(x FROM s FOR l) spelling carries the
+    # same SubstringDimExtractionFn NULL-when-short contract as the
+    # comma form
+    out = druid_sql(spark, """
+        SELECT dim1, SUBSTRING(dim1 FROM 2 FOR 1) AS s
+        FROM druid.foo ORDER BY dim1
+    """, reg).collect()
+    assert [(r.dim1, r.s) for r in out] == [
+        ("", None), ("1", None), ("10.1", "0"), ("2", None),
+        ("abc", "b"), ("def", "e")]
+
+
+def test_substring_literal_containing_from(spark, reg):
+    # ADVICE r5: the FROM/FOR-to-comma rewrite must not touch string
+    # literals inside the argument (only the FROM-form's own keywords)
+    out = druid_sql(spark, """
+        SELECT SUBSTRING('ab FROM cd', 1, 4) AS s FROM druid.foo LIMIT 1
+    """, reg).first()
+    assert out["s"] == "ab F"
+
+
+def test_substring_nested_calls(spark, reg):
+    # ADVICE r5: inner SUBSTRING calls get the NULL contract too (the
+    # rewriter re-scans inside its own replacement)
+    out = druid_sql(spark, """
+        SELECT dim1, SUBSTRING(SUBSTRING(dim1, 2), 1, 1) AS s
+        FROM druid.foo ORDER BY dim1
+    """, reg).collect()
+    assert [(r.dim1, r.s) for r in out] == [
+        ("", None), ("1", None), ("10.1", "0"), ("2", None),
+        ("abc", "b"), ("def", "e")]
+
+
+def test_substring_in_where_position(spark, reg):
+    # SUBSTRING inside a filter predicate (the rewrite is global, not
+    # select-list-only — ADVICE r5 asked for WHERE-position coverage)
+    out = druid_sql(spark, """
+        SELECT dim1 FROM druid.foo
+        WHERE SUBSTRING(dim1, 1, 1) = 'a' ORDER BY dim1
+    """, reg).collect()
+    assert [r.dim1 for r in out] == ["abc"]

@@ -1,0 +1,138 @@
+"""Nested multi-value goldens: MV dimensions flowing THROUGH derived
+tables, unions, and subquery aggregates. The reference explodes MV
+dims at the grouping level regardless of query nesting (query
+datasources keep the multi-value type — GroupByQueryEngine;
+CalciteQueryTest testGroupByTimeAndOtherDimension /
+testStringLatestInSubquery / testStringEarliestInSubquery). Round-5's
+one real bug hid exactly here: the dialect only exploded when the
+grouping block's FROM was a base table, so subquery-wrapped MV columns
+grouped as raw arrays. Expected rows are the SQL-compatible null
+branch, derived from the `foo` fixture spec (FIXTURES.md §1)."""
+
+from __future__ import annotations
+
+import pytest
+
+from apache_druid_spark.model.datasource import DatasourceRegistry
+from apache_druid_spark.sql.dialect import druid_sql
+
+from test_golden_foo import FOO_ROWS, FOO_SCHEMA
+
+
+@pytest.fixture(scope="module")
+def reg(spark):
+    r = DatasourceRegistry(spark)
+    r.register("foo", spark.createDataFrame(FOO_ROWS, FOO_SCHEMA))
+    return r
+
+
+def _groups(df):
+    return {("<n>" if r[0] is None else r[0]): tuple(r)[1:]
+            for r in df.collect()}
+
+
+def test_string_latest_in_subquery(spark, reg):
+    # testStringLatestInSubquery (sqlCompatible: 3) — inner groupBy
+    # explodes dim2 to element groups {null,'','a','abc'}; LATEST picks
+    # the time-latest dim1 per group ('abc','2','1','def'); the outer
+    # SUM coerces strings numerically (non-numeric -> null, skipped)
+    out = druid_sql(spark, """
+        SELECT SUM(val) AS s
+        FROM (SELECT dim2, LATEST(dim1, 10) AS val
+              FROM foo GROUP BY dim2)
+    """, reg).first()
+    assert out["s"] == 3
+
+
+def test_string_earliest_in_subquery(spark, reg):
+    # testStringEarliestInSubquery (sqlCompatible: 12.1)
+    out = druid_sql(spark, """
+        SELECT SUM(val) AS s
+        FROM (SELECT dim2, EARLIEST(dim1, 10) AS val
+              FROM foo GROUP BY dim2)
+    """, reg).first()
+    assert out["s"] == 12.1
+
+
+def test_mv_groupby_through_projection(spark, reg):
+    # dim2 passes bare through a derived-table projection; the outer
+    # GROUP BY still explodes to element groups (the r5 bug shape)
+    out = druid_sql(spark, """
+        SELECT dim2, COUNT(*) AS n
+        FROM (SELECT dim1, dim2 FROM druid.foo) AS t
+        GROUP BY dim2
+    """, reg)
+    assert _groups(out) == {"<n>": (2,), "": (1,), "a": (2,),
+                            "abc": (1,)}
+
+
+def test_mv_groupby_through_aliased_projection(spark, reg):
+    # the derived table RENAMES the MV column; MV-ness follows the
+    # output name into the enclosing block
+    out = druid_sql(spark, """
+        SELECT d2, SUM(cnt) AS s
+        FROM (SELECT dim2 AS d2, cnt FROM druid.foo) t
+        GROUP BY d2 ORDER BY d2
+    """, reg)
+    assert _groups(out) == {"<n>": (2,), "": (1,), "a": (2,),
+                            "abc": (1,)}
+
+
+def test_mv_groupby_through_select_star(spark, reg):
+    # SELECT * passes every column name through unchanged
+    out = druid_sql(spark, """
+        SELECT dim2, COUNT(*) AS n
+        FROM (SELECT * FROM druid.foo) t
+        GROUP BY dim2
+    """, reg)
+    assert _groups(out) == {"<n>": (2,), "": (1,), "a": (2,),
+                            "abc": (1,)}
+
+
+def test_mv_groupby_through_union(spark, reg):
+    # a UNION ALL of two MV projections keeps the MV type; the outer
+    # explode sees both branches (counts double the single-table case)
+    out = druid_sql(spark, """
+        SELECT dim2, COUNT(*) AS n
+        FROM (SELECT dim2 FROM druid.foo
+              UNION ALL SELECT dim2 FROM druid.foo) u
+        GROUP BY dim2
+    """, reg)
+    assert _groups(out) == {"<n>": (4,), "": (2,), "a": (4,),
+                            "abc": (2,)}
+
+
+def test_mv_groupby_through_two_projection_levels(spark, reg):
+    # MV-ness survives two stacked projections when the name is kept
+    out = druid_sql(spark, """
+        SELECT dim2, COUNT(*) AS n
+        FROM (SELECT dim2 FROM (SELECT dim2 FROM druid.foo) a) b
+        GROUP BY dim2
+    """, reg)
+    assert _groups(out) == {"<n>": (2,), "": (1,), "a": (2,),
+                            "abc": (1,)}
+
+
+def test_mv_groupby_subquery_with_outer_where(spark, reg):
+    # the outer WHERE stays a PRE-explode any-element row filter
+    # (SelectorFilter semantics), then the surviving rows explode:
+    # rows 1 and 4 both carry ['a'] -> one 'a' group of 2
+    out = druid_sql(spark, """
+        SELECT dim2, COUNT(*) AS n
+        FROM (SELECT dim1, dim2 FROM druid.foo) t
+        WHERE dim2 = 'a'
+        GROUP BY dim2
+    """, reg)
+    assert _groups(out) == {"a": (2,)}
+
+
+def test_mv_groupby_subquery_grouped_with_sum(spark, reg):
+    # aggregate alongside the exploded dim through a projection —
+    # the m1 metric rides along and sums per element group
+    out = druid_sql(spark, """
+        SELECT dim2, SUM(m1) AS s
+        FROM (SELECT dim2, m1 FROM druid.foo) t
+        GROUP BY dim2 ORDER BY dim2
+    """, reg)
+    assert _groups(out) == {"<n>": (8.0,), "": (3.0,), "a": (5.0,),
+                            "abc": (5.0,)}
