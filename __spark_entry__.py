@@ -2187,6 +2187,30 @@ def _info_schema_columns(spark, sf_dir):
     """, reg)
 
 
+@_q("info_schema_lookup_catalog", """
+SELECT * FROM (VALUES
+  ('lookup', 'nation_name', 'k', 'VARCHAR'),
+  ('lookup', 'nation_name', 'v', 'VARCHAR')
+) AS t(table_schema, table_name, column_name, data_type)
+ORDER BY column_name
+""")
+def _info_schema_lookup_catalog(spark, sf_dir):
+    """Lookup catalog introspection (VERDICT r5 #8): every registered
+    lookup surfaces as a (k, v) VARCHAR table in the `lookup` schema of
+    INFORMATION_SCHEMA — the reference exposes lookups through the
+    catalog the same way (sql/.../schema/LookupSchema.java builds the
+    fixed LOOKUP_SIGNATURE k/v row type; InformationSchema lists every
+    schema's tables). The `nation_name` lookup registered by
+    _registry() is the fixture."""
+    return druid_sql(spark, """
+        SELECT TABLE_SCHEMA AS table_schema, TABLE_NAME AS table_name,
+               COLUMN_NAME AS column_name, DATA_TYPE AS data_type
+        FROM INFORMATION_SCHEMA.COLUMNS
+        WHERE TABLE_SCHEMA = 'lookup'
+        ORDER BY column_name
+    """, _registry(spark, sf_dir))
+
+
 @_q("contrib_time_min_max", """
 SELECT event_type,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uniq_users,
@@ -4271,6 +4295,8 @@ _R06_WINDOW = (
     "text_winnowing_fingerprint",
     # new in round 5
     "semantic_dedup_scale_mode",
+    # new in round 6
+    "info_schema_lookup_catalog",
 )
 
 

@@ -185,12 +185,17 @@ _DRUID_SQL_TYPES = {
 
 
 def information_schema_schemata(registry: DatasourceRegistry) -> DataFrame:
-    rows = [("druid",), ("INFORMATION_SCHEMA",), ("sys",)]
+    rows = [("druid",), ("INFORMATION_SCHEMA",), ("lookup",), ("sys",)]
     return registry.spark.createDataFrame(rows, "SCHEMA_NAME string")
 
 
 def information_schema_tables(registry: DatasourceRegistry) -> DataFrame:
     rows = [(CATALOG_NAME, "druid", n, "TABLE") for n in registry.names()]
+    # every registered lookup is a queryable (k, v) table in the
+    # `lookup` schema (sql/.../schema/LookupSchema.java builds the
+    # RowSignature LOOKUP_SIGNATURE with columns k/v)
+    rows += [(CATALOG_NAME, "lookup", n, "TABLE")
+             for n in registry.lookup_names()]
     rows += [(CATALOG_NAME, "sys", n, "SYSTEM_TABLE")
              for n in ("segments", "servers", "tasks", "supervisors")]
     rows += [(CATALOG_NAME, "INFORMATION_SCHEMA", n, "SYSTEM_TABLE")
@@ -214,6 +219,12 @@ def information_schema_columns(registry: DatasourceRegistry) -> DataFrame:
                 CATALOG_NAME, "druid", name, fld.name, str(i + 1),
                 "YES" if fld.nullable else "NO", dtype,
             ))
+    for name in registry.lookup_names():
+        # LookupSchema's fixed signature: k VARCHAR, v VARCHAR
+        rows.append((CATALOG_NAME, "lookup", name, "k", "1", "NO",
+                     "VARCHAR"))
+        rows.append((CATALOG_NAME, "lookup", name, "v", "2", "NO",
+                     "VARCHAR"))
     return registry.spark.createDataFrame(
         rows, "TABLE_CATALOG string, TABLE_SCHEMA string, "
               "TABLE_NAME string, COLUMN_NAME string, "

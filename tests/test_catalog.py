@@ -11,8 +11,8 @@ from pyspark.sql import functions as F
 
 from apache_druid_spark.model.datasource import DatasourceRegistry
 from apache_druid_spark.sql.catalog import (
-    information_schema_columns, information_schema_tables, sys_segments,
-    sys_servers,
+    information_schema_columns, information_schema_schemata,
+    information_schema_tables, sys_segments, sys_servers,
 )
 from apache_druid_spark.sql.dialect import druid_sql, translate
 
@@ -99,3 +99,21 @@ def test_contrib_aggregators(spark):
     assert out["dc"] == 2
     assert out["tmin"] == int(datetime(2024, 1, 1, 5).timestamp() * 1000)
     assert out["tmax"] == int(datetime(2024, 1, 3, 9).timestamp() * 1000)
+
+
+def test_lookup_schema_in_catalog(spark):
+    # registered lookups surface as (k, v) VARCHAR tables in the
+    # `lookup` schema (sql/.../schema/LookupSchema.java
+    # LOOKUP_SIGNATURE), queryable through INFORMATION_SCHEMA
+    reg = DatasourceRegistry(spark)
+    reg.register_lookup("country_name", {"1": "x", "2": "y"})
+    t = information_schema_tables(reg)
+    assert ("lookup", "country_name") in {
+        (r["TABLE_SCHEMA"], r["TABLE_NAME"]) for r in t.collect()}
+    c = information_schema_columns(reg)
+    got = {(r["COLUMN_NAME"], r["DATA_TYPE"]) for r in
+           c.filter((F.col("TABLE_SCHEMA") == "lookup")
+                    & (F.col("TABLE_NAME") == "country_name")).collect()}
+    assert got == {("k", "VARCHAR"), ("v", "VARCHAR")}
+    s = information_schema_schemata(reg)
+    assert "lookup" in {r["SCHEMA_NAME"] for r in s.collect()}

@@ -97,3 +97,58 @@ def test_correlated_subquery_with_correlated_query_filter(spark, reg):
     """, reg).collect()
     assert [(r["country"], r["dailyVisits"]) for r in out] == [
         ("canada", 2)]
+
+
+def test_correlated_exists(spark, reg):
+    # EXISTS correlate (Calcite decorrelates to a semi join; same
+    # planner family as testCorrelatedSubquery): countries with at
+    # least one 'B'-city visit
+    out = druid_sql(spark, """
+        select distinct country from visits v
+        where exists (select 1 from visits f
+                      where f.country = v.country and f.city = 'B')
+        order by country
+    """, reg).collect()
+    assert [r.country for r in out] == ["canada"]
+
+
+def test_correlated_not_exists(spark, reg):
+    # NOT EXISTS decorrelates to an anti join: countries with no
+    # 'A'-city visit
+    out = druid_sql(spark, """
+        select distinct country from visits v
+        where not exists (select 1 from visits f
+                          where f.country = v.country and f.city = 'A')
+        order by country
+    """, reg).collect()
+    assert [r.country for r in out] == ["India", "USA"]
+
+
+def test_correlated_scalar_in_where(spark, reg):
+    # correlated scalar aggregate used directly as a WHERE predicate
+    # (filter-pushdown variant ADVICE r5 asked for): countries with
+    # more than 4 total visits
+    out = druid_sql(spark, """
+        select distinct country from visits v
+        where (select count(*) from visits f
+               where f.country = v.country) > 4
+        order by country
+    """, reg).collect()
+    assert [r.country for r in out] == ["canada"]
+
+
+def test_correlated_subquery_with_limit(spark, reg):
+    # LIMIT inside the correlate (the peak-day pattern): the ordered
+    # single-row inner query survives decorrelation
+    out = druid_sql(spark, """
+        select country, ANY_VALUE(
+            select "users" from (
+                select floor(__time to day), count(*) "users"
+                from visits f where f.country = visits.country
+                group by 1 order by "users" desc, 1 limit 1
+            )
+        ) as peak
+        from visits group by 1 order by 1
+    """, reg).collect()
+    assert [(r.country, r.peak) for r in out] == [
+        ("India", 3), ("USA", 1), ("canada", 4)]
