@@ -1416,23 +1416,28 @@ def _rewrite_mv_groupby(text: str, mv_cols) -> str:
                     continue
                 derived = re.compile(r"\s*\(").match(text, fstart.end())
                 if derived is not None:
-                    # FROM ( SELECT ... ) [AS] x — explode only when the
-                    # derived table's select list exposes `col` as MV
+                    # FROM ( SELECT ... ) [AS] x — the derived table's
+                    # select list must expose `col` as MV (unless a
+                    # JOIN side provides it — checked below)
                     op2 = derived.end() - 1
                     cp2 = _matching_close(text, op2)
-                    if col.lower() not in {
-                            n.lower() for n in _derived_mv_outputs(
-                                text[op2 + 1:cp2], mv_cols)}:
-                        continue
+                    derived_exposes = col.lower() in {
+                        n.lower() for n in _derived_mv_outputs(
+                            text[op2 + 1:cp2], mv_cols)}
                     am = re.compile(
-                        r"\s*(?:AS\s+)?(?!WHERE\b|GROUP\b|LATERAL\b)"
+                        r"\s*(?:AS\s+)?(?!WHERE\b|GROUP\b|LATERAL\b"
+                        r"|JOIN\b|INNER\b|LEFT\b|RIGHT\b|FULL\b"
+                        r"|CROSS\b|ON\b)"
                         r"([A-Za-z_]\w*)",
                         re.IGNORECASE).match(text, cp2 + 1)
                     tbl_end = am.end() if am else cp2 + 1
                 else:
+                    derived_exposes = True
                     tbl = re.compile(
                         r"\s+([A-Za-z_][\w.$]*)"
-                        r"(\s+(?:AS\s+)?(?!WHERE\b|GROUP\b|LATERAL\b)"
+                        r"(\s+(?:AS\s+)?(?!WHERE\b|GROUP\b|LATERAL\b"
+                        r"|JOIN\b|INNER\b|LEFT\b|RIGHT\b|FULL\b"
+                        r"|CROSS\b|ON\b)"
                         r"[A-Za-z_]\w*)?",
                         re.IGNORECASE).match(text, fstart.end())
                     if tbl is None:
@@ -1447,9 +1452,23 @@ def _rewrite_mv_groupby(text: str, mv_cols) -> str:
                         wmatch = w
                         break
                 pre_where_end = wmatch.start() if wmatch else m.start()
-                if re.search(r"\bJOIN\b|,", text[tbl_end:pre_where_end]
-                             ) or text[tbl_end:pre_where_end].strip():
-                    continue  # not a bare single-table FROM
+                # FROM-list shape: bare single source (explode attaches
+                # to it) or a JOIN chain (explode attaches AFTER the
+                # join list — GroupByQueryEngine explodes the joined
+                # rows at grouping time). Top-level comma joins and
+                # anything else unrecognized are left alone.
+                top_idx = [i for i in range(tbl_end, pre_where_end)
+                           if depths[i] == d and _outside(i)]
+                if any(text[i] == "," for i in top_idx):
+                    continue
+                has_join = re.search(
+                    r"\bJOIN\b", "".join(text[i] for i in top_idx),
+                    re.IGNORECASE) is not None
+                if text[tbl_end:pre_where_end].strip() and not has_join:
+                    continue
+                if not derived_exposes and not has_join:
+                    continue
+                insert_at = pre_where_end if has_join else tbl_end
                 alias = f"__mv_g_{col}"
 
                 def _alias_col(seg: str) -> str:
@@ -1494,9 +1513,9 @@ def _rewrite_mv_groupby(text: str, mv_cols) -> str:
                 new = (text[:bstart]
                        + _keep_output_name(
                            _alias_col(text[bstart:head_end]))
-                       + text[head_end:tbl_end]
+                       + text[head_end:insert_at]
                        + f" LATERAL VIEW OUTER explode({col}) AS {alias} "
-                       + text[tbl_end:where_span[0]]
+                       + text[insert_at:where_span[0]]
                        + text[where_span[0]:where_span[1]]
                        + _alias_col(text[where_span[1]:bend])
                        + text[bend:])

@@ -136,3 +136,40 @@ def test_mv_groupby_subquery_grouped_with_sum(spark, reg):
     """, reg)
     assert _groups(out) == {"<n>": (8.0,), "": (3.0,), "a": (5.0,),
                             "abc": (5.0,)}
+
+
+@pytest.fixture(scope="module")
+def reg_lk(spark):
+    r = DatasourceRegistry(spark)
+    r.register("foo", spark.createDataFrame(FOO_ROWS, FOO_SCHEMA))
+    r.register_lookup("lookyloo", {"a": "xa", "abc": "xabc",
+                                   "nosuchkey": "mysteryvalue",
+                                   "6": "x6"})
+    return r
+
+
+def test_mv_groupby_through_join(spark, reg_lk):
+    # GROUP BY an MV dim over a JOIN result: the reference joins the
+    # base rows first, then the groupBy engine explodes each surviving
+    # row's values (join datasources keep MV typing). Only dim1='abc'
+    # matches a lookup key; its dim2 is null -> one null group.
+    out = druid_sql(spark, """
+        SELECT dim2, COUNT(*) AS n
+        FROM foo JOIN lookup.lookyloo ON foo.dim1 = lookyloo.k
+        GROUP BY dim2
+    """, reg_lk)
+    assert _groups(out) == {"<n>": (1,)}
+
+
+def test_mv_groupby_through_left_join_with_where(spark, reg_lk):
+    # LEFT JOIN + pre-explode WHERE row filter + two grouping dims:
+    # the explode lands after the join list, WHERE stays row-level
+    out = druid_sql(spark, """
+        SELECT dim2, k, COUNT(*) AS n
+        FROM foo LEFT JOIN lookup.lookyloo ON foo.dim1 = lookyloo.k
+        WHERE dim1 <> '1'
+        GROUP BY dim2, k ORDER BY dim2, k
+    """, reg_lk).collect()
+    assert [(r.dim2, r.k, r.n) for r in out] == [
+        (None, None, 1), (None, "abc", 1), ("", None, 1),
+        ("a", None, 1), ("abc", None, 1)]
