@@ -414,7 +414,7 @@ _TRUNC_UNITS = {"P1Y": "YEAR", "P3M": "QUARTER", "P1M": "MONTH",
 # two agree — TimestampExtractExprMacro.java:130-133) where Spark's
 # EXTRACT(DOW) is Sunday=0-based
 _NONSTD_EXTRACT_UNITS = ("DECADE", "CENTURY", "MILLENNIUM", "ISOYEAR",
-                         "MILLISECOND", "ISODOW", "DOW")
+                         "MILLISECOND", "ISODOW", "DOW", "EPOCH")
 
 
 def _rewrite_nonstd_extract(text: str) -> str:
@@ -911,6 +911,9 @@ def translate(text: str, time_column: str = TIME_COLUMN) -> str:
     text = _rewrite_array_prepend(text)
     text = text.replace("__ARR_PREP__", "array_prepend")
     text = _rewrite_nonstd_extract(text)
+    # GROUP BY () — Calcite's explicit empty grouping set (the
+    # ungrouped aggregate); Spark's parser rejects the () spelling
+    text = _sub_outside_strings(text, r"\bGROUP\s+BY\s*\(\s*\)", " ")
     text = _rewrite_like_escape(text)
     text = _rewrite_grouping_multi(text)
     text = _rewrite_ltrim_rtrim_2arg(text)

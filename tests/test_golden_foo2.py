@@ -1,0 +1,255 @@
+"""Second golden tranche from CalciteQueryTest.java (sql/src/test/
+java/org/apache/druid/sql/calcite/): count-star filter simplification,
+numeric-predicate null handling, degenerate/literal-false filters, and
+groupBy shape cases. Expected rows are the SQL-compatible null branch,
+derived from the `foo` / `numfoo` fixture specs (FIXTURES.md §1)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import types as T
+
+from apache_druid_spark.model.datasource import DatasourceRegistry
+from apache_druid_spark.sql.dialect import druid_sql
+
+from test_golden_foo import FOO_ROWS, FOO_SCHEMA
+
+
+@pytest.fixture(scope="module")
+def reg(spark):
+    r = DatasourceRegistry(spark)
+    r.register("foo", spark.createDataFrame(FOO_ROWS, FOO_SCHEMA))
+    return r
+
+
+@pytest.fixture(scope="module")
+def numfoo(spark):
+    """numfoo (CalciteTests RAW_ROWS1_WITH_NUMERIC_DIMS) — scalar
+    post-ingest dim2, nullable numeric dims."""
+    r = DatasourceRegistry(spark)
+    rows = [
+        (datetime(2000, 1, 1), "", "a", 1, 1.0,
+         1.0, None, 1.0, None, 7, None),
+        (datetime(2000, 1, 2), "10.1", None, 1, 2.0,
+         1.7, 1.7, 0.1, 0.1, 325323, 325323),
+        (datetime(2000, 1, 3), "2", "", 1, 3.0,
+         0.0, 0.0, 0.0, 0.0, 0, 0),
+        (datetime(2001, 1, 1), "1", "a", 1, 4.0,
+         None, None, None, None, None, None),
+        (datetime(2001, 1, 2), "def", "abc", 1, 5.0,
+         None, None, None, None, None, None),
+        (datetime(2001, 1, 3), "abc", None, 1, 6.0,
+         None, None, None, None, None, None),
+    ]
+    schema = T.StructType([
+        T.StructField("__time", T.TimestampType()),
+        T.StructField("dim1", T.StringType()),
+        T.StructField("dim2", T.StringType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("m1", T.FloatType()),
+        T.StructField("d1", T.DoubleType()),
+        T.StructField("d2", T.DoubleType()),
+        T.StructField("f1", T.FloatType()),
+        T.StructField("f2", T.FloatType()),
+        T.StructField("l1", T.LongType()),
+        T.StructField("l2", T.LongType()),
+    ])
+    r.register("numfoo", spark.createDataFrame(rows, schema))
+    return r
+
+
+# -- count-star filter family ------------------------------------------------
+
+
+def test_count_star_bound_filter_simplify_and(spark, reg):
+    # testCountStarWithBoundFilterSimplifyAnd: the equality collapses
+    # the surrounding bound range
+    out = druid_sql(spark, """
+        SELECT COUNT(*) AS n FROM druid.foo
+        WHERE (dim1 >= 'a' and dim1 < 'b') and dim1 = 'abc'
+    """, reg).first()
+    assert out["n"] == 1
+
+
+def test_count_star_long_filters_on_two_points(spark, reg):
+    # testCountStarWithLongColumnFiltersOnTwoPoints
+    out = druid_sql(spark, """
+        SELECT COUNT(*) AS n FROM druid.foo WHERE cnt = 1 OR cnt = 2
+    """, reg).first()
+    assert out["n"] == 6
+
+
+def test_count_star_not_of_degenerate_filter(spark, reg):
+    # testCountStarWithNotOfDegenerateFilter: NOT(x>'a' OR x<'b') is
+    # unsatisfiable over non-null strings
+    out = druid_sql(spark, """
+        SELECT COUNT(*) AS n FROM druid.foo
+        WHERE dim2 = 'a' and not (dim1 > 'a' OR dim1 < 'b')
+    """, reg).first()
+    assert out["n"] == 0
+
+
+def test_count_star_with_not_time_filter(spark, reg):
+    # testCountStarWithNotTimeFilter: complement of two year windows
+    out = druid_sql(spark, """
+        SELECT COUNT(*) AS n FROM druid.foo
+        WHERE dim1 <> 'xxx' and not (
+            (__time >= TIMESTAMP '2000-01-01 00:00:00'
+             AND __time < TIMESTAMP '2001-01-01 00:00:00')
+            OR (__time >= TIMESTAMP '2003-01-01 00:00:00'
+                AND __time < TIMESTAMP '2004-01-01 00:00:00'))
+    """, reg).first()
+    assert out["n"] == 3
+
+
+def test_count_star_time_filter_timestamp_to_millis(spark, reg):
+    # testCountStarWithTimeFilterOnLongColumnUsingTimestampToMillis:
+    # cnt (=1 everywhere) lies in the epoch-day-zero window
+    out = druid_sql(spark, """
+        SELECT COUNT(*) AS n FROM druid.foo
+        WHERE cnt >= TIMESTAMP_TO_MILLIS(TIMESTAMP '1970-01-01 00:00:00')
+          AND cnt < TIMESTAMP_TO_MILLIS(TIMESTAMP '1970-01-02 00:00:00')
+    """, reg).first()
+    assert out["n"] == 6
+
+
+def test_count_star_time_filter_extract_epoch(spark, reg):
+    # testCountStarWithTimeFilterOnLongColumnUsingExtractEpoch
+    out = druid_sql(spark, """
+        SELECT COUNT(*) AS n FROM druid.foo
+        WHERE cnt >= EXTRACT(EPOCH FROM TIMESTAMP '1970-01-01 00:00:00') * 1000
+          AND cnt < EXTRACT(EPOCH FROM TIMESTAMP '1970-01-02 00:00:00') * 1000
+    """, reg).first()
+    assert out["n"] == 6
+
+
+# -- numeric predicate null handling -----------------------------------------
+
+
+def test_double_predicate_filter_nulls(spark, numfoo):
+    # testDoublePredicateFilterNulls (sqlCompatible: nulls never match)
+    out = druid_sql(spark, """
+        SELECT COUNT(*) AS n FROM druid.numfoo WHERE d1 > 0
+    """, numfoo).first()
+    assert out["n"] == 2
+
+
+def test_float_predicate_filter_nulls(spark, numfoo):
+    # testFloatPredicateFilterNulls
+    out = druid_sql(spark, """
+        SELECT COUNT(*) AS n FROM druid.numfoo WHERE f1 > 0
+    """, numfoo).first()
+    assert out["n"] == 2
+
+
+def test_long_predicate_filter_nulls(spark, numfoo):
+    # testLongPredicateFilterNulls
+    out = druid_sql(spark, """
+        SELECT COUNT(*) AS n FROM druid.numfoo WHERE l1 > 3
+    """, numfoo).first()
+    assert out["n"] == 2
+
+
+def test_filter_long_dimension(spark, numfoo):
+    # testFilterLongDimension
+    out = druid_sql(spark, """
+        SELECT dim1 FROM numfoo WHERE l1 = 7 LIMIT 1
+    """, numfoo).first()
+    assert out["dim1"] == ""
+
+
+def test_filter_on_float_and_double_metric(spark, reg):
+    # testFilterOnFloat / testFilterOnDouble: equality against float
+    # and double metric columns
+    a = druid_sql(spark, "SELECT COUNT(*) AS n FROM druid.foo WHERE m1 = 1.0",
+                  reg).first()
+    b = druid_sql(spark, "SELECT COUNT(*) AS n FROM druid.foo WHERE m2 = 1.0",
+                  reg).first()
+    assert (a["n"], b["n"]) == (1, 1)
+
+
+# -- groupBy shape family ----------------------------------------------------
+
+
+def test_group_by_and_order_by_ordinal_of_alias(spark, reg):
+    # testGroupByAndOrderByOrdinalOfAlias
+    out = druid_sql(spark, """
+        SELECT cnt as theCnt, COUNT(*) AS n
+        FROM druid.foo GROUP BY 1 ORDER BY 1 ASC
+    """, reg).collect()
+    assert [(r.theCnt, r.n) for r in out] == [(1, 6)]
+
+
+def test_group_by_expression_aliased_as_original_column_name(spark, reg):
+    # testGroupByExpressionAliasedAsOriginalColumnName: the FLOOR
+    # result reuses the __time name
+    out = druid_sql(spark, """
+        SELECT FLOOR(__time TO MONTH) AS __time, COUNT(*) AS n
+        FROM druid.foo GROUP BY FLOOR(__time TO MONTH)
+        ORDER BY 1
+    """, reg).collect()
+    assert [(r["__time"], r["n"]) for r in out] == [
+        (datetime(2000, 1, 1), 3), (datetime(2001, 1, 1), 3)]
+
+
+def test_group_by_with_filter_matching_nothing(spark, reg):
+    # testGroupByWithFilterMatchingNothing (sqlCompatible: empty MAX
+    # is null, not Long.MIN_VALUE)
+    out = druid_sql(spark, """
+        SELECT COUNT(*) AS c, MAX(cnt) AS m FROM druid.foo
+        WHERE dim1 = 'foobar'
+    """, reg).first()
+    assert (out["c"], out["m"]) == (0, None)
+
+
+def test_group_by_nothing_with_literally_false_filter(spark, reg):
+    # testGroupByNothingWithLiterallyFalseFilter: ungrouped aggregate
+    # over zero rows still returns ONE row
+    out = druid_sql(spark, """
+        SELECT COUNT(*) AS c, MAX(cnt) AS m FROM druid.foo WHERE 1 = 0
+    """, reg).collect()
+    assert [(r.c, r.m) for r in out] == [(0, None)]
+
+
+def test_group_by_one_column_with_literally_false_filter(spark, reg):
+    # testGroupByOneColumnWithLiterallyFalseFilter: GROUPED aggregate
+    # over zero rows returns NO rows
+    out = druid_sql(spark, """
+        SELECT COUNT(*) AS c, MAX(cnt) AS m FROM druid.foo
+        WHERE 1 = 0 GROUP BY dim1
+    """, reg).collect()
+    assert out == []
+
+
+def test_group_by_with_group_by_empty(spark, reg):
+    # testGroupByWithGroupByEmpty: GROUP BY () is the ungrouped form
+    out = druid_sql(spark, """
+        SELECT COUNT(*) AS a, SUM(cnt) AS b, MIN(cnt) AS c
+        FROM druid.foo GROUP BY ()
+    """, reg).first()
+    assert tuple(out) == (6, 6, 1)
+
+
+def test_group_by_single_column_descending(spark, reg):
+    # testGroupBySingleColumnDescendingNoTopN
+    out = druid_sql(spark, """
+        SELECT dim1 FROM druid.foo GROUP BY dim1 ORDER BY dim1 DESC
+    """, reg).collect()
+    assert [r.dim1 for r in out] == ["def", "abc", "2", "10.1", "1", ""]
+
+
+def test_group_by_floor_time_and_dim_with_order_by(spark, reg):
+    # testGroupByFloorTimeAndOneOtherDimensionWithOrderBy
+    # (sqlCompatible branch: dim2 explodes; null sorts FIRST asc)
+    out = druid_sql(spark, """
+        SELECT floor(__time TO year) AS y, dim2, COUNT(*) AS n
+        FROM druid.foo
+        GROUP BY floor(__time TO year), dim2
+        ORDER BY floor(__time TO year), dim2, COUNT(*) DESC
+    """, reg).collect()
+    assert [(r.y, r.dim2, r.n) for r in out] == [
+        (datetime(2000, 1, 1), None, 1), (datetime(2000, 1, 1), "", 1),
+        (datetime(2000, 1, 1), "a", 1), (datetime(2001, 1, 1), None, 1),
+        (datetime(2001, 1, 1), "a", 1), (datetime(2001, 1, 1), "abc", 1)]
