@@ -507,19 +507,27 @@ def _rewrite_like_escape(text: str) -> str:
 
 
 def _rewrite_grouping_multi(text: str) -> str:
-    """Calcite's GROUPING(a, b, ...) composite indicator is Spark's
-    grouping_id(a, b, ...); Spark's own grouping() is strictly
-    1-arg (GroupingSqlAggregator)."""
+    """Calcite's GROUPING(a, b, ...) composite indicator: the bitmask
+    follows the ARGUMENT order, independent of the GROUP BY order
+    (GroupingSqlAggregator; testGroupingAggregatorDifferentOrder pins
+    GROUPING(gran, dim2) against GROUP BY (dim2, gran)). Spark's
+    grouping_id() insists its arguments match the grouping-column
+    order, so compose the mask from 1-arg grouping() bits instead."""
     while True:
         found = None
         for start, op, cp in _find_calls(text, "GROUPING"):
-            if len(_split_top_args(text[op + 1:cp])) > 1:
-                found = (start, op)
+            args = _split_top_args(text[op + 1:cp])
+            if len(args) > 1:
+                found = (start, cp, args)
                 break
         if found is None:
             return text
-        start, op = found
-        text = text[:start] + "grouping_id" + text[op:]
+        start, cp, args = found
+        bits = " + ".join(
+            f"grouping({a.strip()}) * {1 << (len(args) - 1 - i)}"
+            if len(args) - 1 - i else f"grouping({a.strip()})"
+            for i, a in enumerate(args))
+        text = text[:start] + f"CAST({bits} AS BIGINT)" + text[cp + 1:]
     return text
 
 
@@ -1092,7 +1100,9 @@ def _has_bare_ref(seg: str, col: str) -> bool:
             continue
         bare = True
         for name, _, _ in _enclosing_calls(seg, m.start(), depths, spans):
-            if name == "":
+            # grouping parens and ROLLUP/CUBE/GROUPING SETS syntax are
+            # transparent — refs inside them are bare grouping refs
+            if name == "" or name in _MV_GROUPING_SYNTAX:
                 continue
             bare = False
             break
@@ -1310,6 +1320,22 @@ def _derived_mv_outputs(sub: str, mv_cols) -> set:
             re.IGNORECASE | re.DOTALL)
         if m and m.group(1).lower() in lower:
             out.add(m.group(2) or m.group(1))
+            continue
+        # an MV-RETURNING expression (the element-mapped transform the
+        # MV pass produced, or an MV_* array function) aliased in the
+        # projection keeps MV typing for the enclosing block — e.g.
+        # COALESCE(dim2, '') dim2 maps to transform(.., __mv_e -> ..)
+        # before this pass runs (testGroupingSetsNoSuperset wraps foo
+        # in exactly that projection)
+        m2 = re.fullmatch(
+            r"([A-Za-z_]\w*)\s*\((.*)\)\s*(?:AS\s+)?([A-Za-z_]\w*)",
+            it, re.IGNORECASE | re.DOTALL)
+        if (m2 and m2.group(1).lower() in _MV_ARRAY_RET_FNS
+                and ("__mv_e" in m2.group(2)
+                     or any(re.search(rf"(?<![\w.]){re.escape(c0)}\b",
+                                      m2.group(2), re.IGNORECASE)
+                            for c0 in mv_cols))):
+            out.add(m2.group(3))
     return out
 
 
@@ -1513,6 +1539,16 @@ def _rewrite_mv_groupby(text: str, mv_cols) -> str:
                 # body — refs inside the subquery are its own scope
                 head_end = (fstart.end() if derived is not None
                             else tbl_end)
+                # under ROLLUP/CUBE/GROUPING SETS, Spark's Expand
+                # renames the grouping outputs — ORDER BY/HAVING must
+                # reference the SELECT output name (kept as `col` by
+                # _keep_output_name), not the exploded alias
+                group_clause = text[where_span[1]:gend]
+                tail_rest = text[gend:bend]
+                if not re.search(r"\bROLLUP\b|\bCUBE\b|"
+                                 r"\bGROUPING\s+SETS\b", group_clause,
+                                 re.IGNORECASE):
+                    tail_rest = _alias_col(tail_rest)
                 new = (text[:bstart]
                        + _keep_output_name(
                            _alias_col(text[bstart:head_end]))
@@ -1520,7 +1556,8 @@ def _rewrite_mv_groupby(text: str, mv_cols) -> str:
                        + f" LATERAL VIEW OUTER explode({col}) AS {alias} "
                        + text[insert_at:where_span[0]]
                        + text[where_span[0]:where_span[1]]
-                       + _alias_col(text[where_span[1]:bend])
+                       + _alias_col(group_clause)
+                       + tail_rest
                        + text[bend:])
                 if new != text:
                     text = new
@@ -1578,7 +1615,9 @@ _MV_ARRAY_ARG_FNS = frozenset((
     # Spark-native spellings the rename map produces — without these
     # the MV pass element-maps e.g. ARRAY_LENGTH(mv) into
     # transform(mv, e -> array_size(e)) (r5 arrays-tranche regression)
-    "array_size try_element_at split"
+    # `if` is the empty≡null wrapper _map_mv_scalar_exprs itself emits
+    # (and Spark's conditional) — never re-map a ref inside it
+    "array_size try_element_at split if"
 ).split())
 
 # aggregate heads form a mapping boundary (COUNT/MIN/MAX have their own
@@ -1586,7 +1625,8 @@ _MV_ARRAY_ARG_FNS = frozenset((
 _MV_AGG_BOUNDARY = frozenset((
     "count sum sum0 min max avg any_value any first last earliest latest "
     "earliest_by latest_by min_by max_by string_agg array_agg listagg "
-    "collect_list collect_set approx_count_distinct grouping var_samp "
+    "collect_list collect_set approx_count_distinct grouping grouping_id "
+    "var_samp "
     "var_pop variance stddev stddev_samp stddev_pop bit_and bit_or "
     "bit_xor percentile_approx approx_quantile"
 ).split())
@@ -1619,7 +1659,13 @@ _MV_NULL_ROW = "array(CAST(NULL AS STRING))"
 _MV_KEYWORD_STOP = frozenset(
     "in and or not values on when then else case exists between "
     "select from where group having order limit join using over "
-    "partition row rows range interval".split())
+    "partition row rows range interval rollup cube sets".split())
+
+# grouping-analytics heads: ROLLUP(a, mv) / CUBE(..) / GROUPING SETS
+# ((..)) are SYNTAX around grouping expressions, not function calls — a
+# column ref inside them is a bare grouping ref (explodes when MV) and
+# must never be element-mapped
+_MV_GROUPING_SYNTAX = frozenset(("rollup", "cube", "sets"))
 
 
 def _enclosing_calls(text: str, pos: int, depths, spans):
@@ -1695,6 +1741,20 @@ def _map_mv_scalar_exprs(text: str, mv_cols) -> str:
                         # (_map_mv_in_minmax) owns this shape
                         target = None
                         break
+                    if name in ("coalesce", "nvl", "ifnull"):
+                        # COALESCE(mv, 'x') with a SCALAR fallback is
+                        # element-mapped (the reference's
+                        # COALESCE(dim2, '') in testGroupingSets*
+                        # yields '' element groups); with an ARRAY
+                        # fallback it is array-level and stops the walk
+                        cp0 = _matching_close(text, op)
+                        if any(re.match(r"\s*array\s*[(\[]", a,
+                                        re.IGNORECASE)
+                               for a in _split_top_args(
+                                   text[op + 1:cp0])):
+                            break
+                        target = (fstart, op)
+                        continue
                     if (name in _MV_ARRAY_ARG_FNS
                             or name in _MV_KEYWORD_STOP
                             or name.startswith("__")):
@@ -1714,7 +1774,14 @@ def _map_mv_scalar_exprs(text: str, mv_cols) -> str:
                     continue
                 mapped = _sub_outside_strings(
                     span, rf"(?<![\w.]){c}\b", lambda _: "__mv_e")
-                new_span = (f"transform(coalesce({col}, {_MV_NULL_ROW}), "
+                # empty ≡ null on ingest (an [] MV row is stored as
+                # null), so BOTH map to the single-null row before the
+                # element function runs — COALESCE(mv, '') over an
+                # empty row yields [''] like the reference. The size()
+                # spelling (null size -> null -> 0) keeps the later
+                # IS NULL any-element rewrite from re-expanding it.
+                new_span = (f"transform(if(coalesce(size({col}), 0) = 0"
+                            f", {_MV_NULL_ROW}, {col}), "
                             f"__mv_e -> {mapped})")
                 text = text[:fstart] + new_span + text[cp + 1:]
                 changed = True

@@ -173,3 +173,87 @@ def test_mv_groupby_through_left_join_with_where(spark, reg_lk):
     assert [(r.dim2, r.k, r.n) for r in out] == [
         (None, None, 1), (None, "abc", 1), ("", None, 1),
         ("a", None, 1), ("abc", None, 1)]
+
+
+# -- grouping analytics over MV dims (CalciteQueryTest grouping-sets
+# family: the reference computes grouping sets over the EXPLODED
+# elements; all expected rows are the sqlCompatible branch) -----------
+
+
+def test_group_by_rollup_different_order(spark, reg):
+    # testGroupByRollupDifferentOrder: ROLLUP(gran, dim2) through a
+    # COALESCE(dim2, '') projection — the element-mapped COALESCE turns
+    # null/empty rows into '' element groups
+    out = druid_sql(spark, """
+        SELECT dim2, gran, SUM(cnt) AS s
+        FROM (SELECT FLOOR(__time TO MONTH) AS gran,
+                     COALESCE(dim2, '') dim2, cnt FROM druid.foo) AS x
+        GROUP BY ROLLUP (gran, dim2)
+        ORDER BY gran NULLS LAST, dim2 NULLS LAST
+    """, reg).collect()
+    from datetime import datetime as dt
+    assert [(r.dim2, r.gran, r.s) for r in out] == [
+        ("", dt(2000, 1, 1), 2), ("a", dt(2000, 1, 1), 1),
+        (None, dt(2000, 1, 1), 3),
+        ("", dt(2001, 1, 1), 1), ("a", dt(2001, 1, 1), 1),
+        ("abc", dt(2001, 1, 1), 1), (None, dt(2001, 1, 1), 3),
+        (None, None, 6)]
+
+
+def test_grouping_sets_no_superset(spark, reg):
+    # testGroupingSetsNoSuperset: ( (), (dim2), (gran) )
+    out = druid_sql(spark, """
+        SELECT dim2, gran, SUM(cnt) AS s
+        FROM (SELECT FLOOR(__time TO MONTH) AS gran,
+                     COALESCE(dim2, '') dim2, cnt FROM druid.foo) AS x
+        GROUP BY GROUPING SETS ( (), (dim2), (gran) )
+        ORDER BY dim2 NULLS LAST, gran NULLS LAST
+    """, reg).collect()
+    from datetime import datetime as dt
+    assert [(r.dim2, r.gran, r.s) for r in out] == [
+        ("", None, 3), ("a", None, 2), ("abc", None, 1),
+        (None, dt(2000, 1, 1), 3), (None, dt(2001, 1, 1), 3),
+        (None, None, 6)]
+
+
+def test_grouping_sets_with_limit(spark, reg):
+    # testGroupingSetsWithLimit: all four sets, 11 rows under the limit
+    out = druid_sql(spark, """
+        SELECT dim2, gran, SUM(cnt) AS s
+        FROM (SELECT FLOOR(__time TO MONTH) AS gran,
+                     COALESCE(dim2, '') dim2, cnt FROM druid.foo) AS x
+        GROUP BY GROUPING SETS ( (dim2, gran), (dim2), (gran), () )
+        LIMIT 100
+    """, reg).collect()
+    assert len(out) == 11
+    assert sum(r.s for r in out if r.dim2 is None and r.gran is None) == 6
+
+
+def test_grouping_aggregator_different_order(spark, reg):
+    # testGroupingAggregatorDifferentOrder: GROUPING(gran, dim2) bit
+    # values per set — detail 0, dim2-only 2, gran-only 1, total 3
+    out = druid_sql(spark, """
+        SELECT dim2, gran, SUM(cnt) AS s, GROUPING(gran, dim2) AS g
+        FROM (SELECT FLOOR(__time TO MONTH) AS gran,
+                     COALESCE(dim2, '') dim2, cnt FROM druid.foo) AS x
+        GROUP BY GROUPING SETS ( (dim2, gran), (dim2), (gran), () )
+    """, reg).collect()
+    got = {(r.dim2, r.gran and r.gran.year, r.s): r.g for r in out}
+    assert got[("", 2000, 2)] == 0 and got[("a", 2000, 1)] == 0
+    assert got[("", None, 3)] == 2 and got[("abc", None, 1)] == 2
+    assert got[(None, 2000, 3)] == 1 and got[(None, 2001, 3)] == 1
+    assert got[(None, None, 6)] == 3
+
+
+def test_grouping_aggregator_with_post_aggregator(spark, reg):
+    # testGroupingAggregatorWithPostAggregator (sqlCompatible): CASE on
+    # GROUPING() labels the total row 'ALL'; raw dim2 explodes
+    out = druid_sql(spark, """
+        SELECT dim2, SUM(cnt) AS s, GROUPING(dim2) AS g,
+               CASE WHEN GROUPING(dim2) = 1 THEN 'ALL' ELSE dim2 END AS lbl
+        FROM druid.foo GROUP BY GROUPING SETS ( (), (dim2) )
+        ORDER BY g, dim2
+    """, reg).collect()
+    assert [(r.dim2, r.s, r.g, r.lbl) for r in out] == [
+        (None, 2, 0, None), ("", 1, 0, ""), ("a", 2, 0, "a"),
+        ("abc", 1, 0, "abc"), (None, 6, 1, "ALL")]
