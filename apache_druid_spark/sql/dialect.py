@@ -506,6 +506,36 @@ def _rewrite_like_escape(text: str) -> str:
     return _LIKE_ESCAPE_RE.sub(_sub, text)
 
 
+_INT_CAST_RE = re.compile(
+    r"\bAS\s+(BIGINT|INTEGER|INT|SMALLINT|TINYINT|LONG)\s*\Z",
+    re.IGNORECASE)
+
+
+def _rewrite_integer_division(text: str) -> str:
+    """Calcite/Druid `/` between INTEGER operands is integer division
+    (testExpressionFilteringAndGroupingUsingCastToLong pins
+    CAST(m1 AS BIGINT) / 2 * 2 = 4 for m1 = 5); Spark's `/` always
+    yields DOUBLE. Lower the explicitly-cast spelling — an
+    integer-typed CAST divided by an integer literal — to DIV.
+    Bare-column integer division is left as-is (no type information at
+    rewrite time; documented divergence)."""
+    changed = True
+    while changed:
+        changed = False
+        for start, op, cp in _find_calls(text, "CAST"):
+            inner = text[op + 1:cp].strip()
+            if not _INT_CAST_RE.search(inner):
+                continue
+            r = re.match(r"\s*/\s*(\d+)\b(?!\s*\.)", text[cp + 1:])
+            if not r:
+                continue
+            text = (text[:cp + 1] + f" DIV {r.group(1)}"
+                    + text[cp + 1 + r.end():])
+            changed = True
+            break
+    return text
+
+
 def _rewrite_grouping_multi(text: str) -> str:
     """Calcite's GROUPING(a, b, ...) composite indicator: the bitmask
     follows the ARGUMENT order, independent of the GROUP BY order
@@ -924,6 +954,7 @@ def translate(text: str, time_column: str = TIME_COLUMN) -> str:
     text = _sub_outside_strings(text, r"\bGROUP\s+BY\s*\(\s*\)", " ")
     text = _rewrite_like_escape(text)
     text = _rewrite_grouping_multi(text)
+    text = _rewrite_integer_division(text)
     text = _rewrite_ltrim_rtrim_2arg(text)
     text = _rewrite_time_floor_tz(text)
     text = _rewrite_mv_slice_2arg(text)
@@ -1339,6 +1370,70 @@ def _derived_mv_outputs(sub: str, mv_cols) -> set:
     return out
 
 
+def _derived_output_names(sub: str):
+    """All output column names of a derived-table body, lower-cased;
+    None means unknown (a ``*`` item passes every name through)."""
+    sel = re.search(r"\bSELECT\b", sub, re.IGNORECASE)
+    if sel is None:
+        return set()
+    depths = _depths(sub)
+    spans = _string_spans(sub)
+    fstart = None
+    for f in re.finditer(r"\bFROM\b", sub, re.IGNORECASE):
+        if (f.start() > sel.end() and depths[f.start()] == 0
+                and not any(a <= f.start() <= b for a, b in spans)):
+            fstart = f
+            break
+    sel_list = sub[sel.end():fstart.start()] if fstart else sub[sel.end():]
+    out = set()
+    for item in _split_top_args(sel_list):
+        it = item.strip()
+        if it == "*" or it.endswith(".*"):
+            return None
+        m = re.search(r"(?:\bAS\s+)?([A-Za-z_]\w*)\s*\Z", it,
+                      re.IGNORECASE)
+        if m:
+            out.add(m.group(1).lower())
+    return out
+
+
+def _scalar_shadowed(text, pos, col, mv_cols, depths, spans) -> bool:
+    """True when the ``col`` occurrence at ``pos`` sits in a block
+    whose FROM is a derived table exposing ``col`` as a SCALAR output
+    (the explode rewrite's ``__mv_g_col AS col``, or any aggregation
+    output reusing the name) — MV row semantics (any-element =, COUNT
+    non-empty, empty≡null) must NOT re-apply to the scalar."""
+    d = depths[pos]
+    bstart = 0
+    for i in range(pos - 1, -1, -1):
+        if depths[i] < d:
+            bstart = i + 1
+            break
+    bend = len(text)
+    for i in range(pos, len(text)):
+        if depths[i] < d:
+            bend = i
+            break
+    for f in re.finditer(r"\bFROM\s*\(", text, re.IGNORECASE):
+        if not (bstart <= f.start() < bend):
+            continue
+        if (depths[f.start()] != d
+                or any(a <= f.start() <= b for a, b in spans)):
+            continue
+        op = f.end() - 1
+        cp = _matching_close(text, op)
+        if op <= pos <= cp:
+            continue  # the occurrence is inside the derived body
+        body = text[op + 1:cp]
+        names = _derived_output_names(body)
+        if names is None or col.lower() not in names:
+            continue
+        mv_out = {n.lower() for n in _derived_mv_outputs(body, mv_cols)}
+        if col.lower() not in mv_out:
+            return True
+    return False
+
+
 def _mv_groupby_candidates(text: str, mv_cols) -> tuple:
     """MV column names visible to some block of ``text``: the base
     names plus any NEW names a derived table aliases an MV column to
@@ -1731,6 +1826,9 @@ def _map_mv_scalar_exprs(text: str, mv_cols) -> str:
                 pos = m.start()
                 if any(a <= pos <= b for a, b in spans):
                     continue
+                if _scalar_shadowed(text, pos, col, mv_cols, depths,
+                                    spans):
+                    continue  # scalar derived output, not the MV col
                 target = None  # (fn_start, open_paren) of the call to map
                 for name, fstart, op in _enclosing_calls(
                         text, pos, depths, spans):
@@ -1901,40 +1999,60 @@ def _rewrite_mv_semantics(text: str, mv_cols) -> str:
     text = _rewrite_mv_groupby(text, mv_cols)
     text = _map_mv_in_minmax(text, mv_cols)
     text = _eq_any_element(text, mv_cols)
+
+    def _scoped(txt, pattern, rep, col):
+        """_sub_outside_strings that ALSO skips occurrences where the
+        block's FROM re-exposes ``col`` as a scalar derived output
+        (post-explode / post-aggregation) — the MV row rewrites only
+        apply to the true array column."""
+        depths = _depths(txt)
+        spans = _string_spans(txt)
+
+        def wrapped(m):
+            mm = re.search(rf"(?<![\w.]){re.escape(col)}\b",
+                           m.group(0), re.IGNORECASE)
+            p = m.start() + (mm.start() if mm else 0)
+            if _scalar_shadowed(txt, p, col, mv_cols, depths, spans):
+                return m.group(0)
+            return rep(m) if callable(rep) else rep
+
+        return _sub_outside_strings(txt, pattern, wrapped)
+
     for col in mv_cols:
         c = re.escape(col)
-        text = _sub_outside_strings(
+        text = _scoped(
             text, rf"\bCOUNT\s*\(\s*DISTINCT\s+{c}\s*\)",
             f"CAST(size(array_distinct(flatten(collect_set({col})))) "
-            f"AS BIGINT)")
-        text = _sub_outside_strings(
+            f"AS BIGINT)", col)
+        text = _scoped(
             text, rf"\bCOUNT\s*\(\s*{c}\s*\)",
             f"COUNT(CASE WHEN {col} IS NOT NULL AND size({col}) > 0 "
-            f"THEN 1 END)")
-        text = _sub_outside_strings(
+            f"THEN 1 END)", col)
+        text = _scoped(
             text, rf"\b{c}\s+IS\s+NOT\s+NULL\b",
-            f"({col} IS NOT NULL AND size({col}) > 0)")
-        text = _sub_outside_strings(
+            f"({col} IS NOT NULL AND size({col}) > 0)", col)
+        text = _scoped(
             text, rf"\b{c}\s+IS\s+NULL\b",
-            f"({col} IS NULL OR size({col}) = 0)")
-        text = _sub_outside_strings(
+            f"({col} IS NULL OR size({col}) = 0)", col)
+        text = _scoped(
             text, rf"\b{c}\s+NOT\s+IN\s*\(([^()]*)\)",
-            lambda m: f"(NOT arrays_overlap({col}, array({m.group(1)})))")
-        text = _sub_outside_strings(
+            lambda m: f"(NOT arrays_overlap({col}, array({m.group(1)})))",
+            col)
+        text = _scoped(
             text, rf"\b{c}\s+IN\s*\(([^()]*)\)",
-            lambda m: f"arrays_overlap({col}, array({m.group(1)}))")
-        text = _sub_outside_strings(
+            lambda m: f"arrays_overlap({col}, array({m.group(1)}))", col)
+        text = _scoped(
             text, rf"\b{c}\s*(<>|!=)\s*({_MV_LIT})",
-            lambda m: f"(NOT array_contains({col}, {m.group(2)}))")
-        text = _sub_outside_strings(
+            lambda m: f"(NOT array_contains({col}, {m.group(2)}))", col)
+        text = _scoped(
             text, rf"({_MV_LIT})\s*(<>|!=)\s*{c}\b",
-            lambda m: f"(NOT array_contains({col}, {m.group(1)}))")
-        text = _sub_outside_strings(
+            lambda m: f"(NOT array_contains({col}, {m.group(1)}))", col)
+        text = _scoped(
             text, rf"\b{c}\s*(?<![<>!])=(?!=)\s*({_MV_LIT})",
-            lambda m: f"array_contains({col}, {m.group(1)})")
-        text = _sub_outside_strings(
+            lambda m: f"array_contains({col}, {m.group(1)})", col)
+        text = _scoped(
             text, rf"({_MV_LIT})\s*(?<![<>!])=(?!=)\s*{c}\b",
-            lambda m: f"array_contains({col}, {m.group(1)})")
+            lambda m: f"array_contains({col}, {m.group(1)})", col)
     return text
 
 

@@ -240,6 +240,111 @@ def test_group_by_single_column_descending(spark, reg):
     assert [r.dim1 for r in out] == ["def", "abc", "2", "10.1", "1", ""]
 
 
+def test_min_max_avg_daily_count_with_limit(spark, reg):
+    # testMinMaxAvgDailyCountWithLimit: nested daily-count rollup with
+    # EPOCH extraction of the max day
+    out = druid_sql(spark, """
+        SELECT * FROM (
+          SELECT max(cnt) AS mx, min(cnt) AS mn, avg(cnt) AS av,
+                 TIME_EXTRACT(max(t), 'EPOCH') AS last_time,
+                 count(1) AS num_days FROM (
+              SELECT TIME_FLOOR(__time, 'P1D') AS t, count(1) cnt
+              FROM "foo"
+              GROUP BY 1
+          )
+        ) LIMIT 1
+    """, reg).first()
+    assert (out["mx"], out["mn"], out["av"], out["last_time"],
+            out["num_days"]) == (1, 1, 1.0, 978480000, 6)
+
+
+def test_group_by_limit_push_down_with_having(spark, reg):
+    # testGroupByLimitPushDownWithHavingOnLong (sqlCompatible: dim2
+    # explodes; null element groups sort FIRST under ORDER BY dim2)
+    out = druid_sql(spark, """
+        SELECT dim1, dim2, SUM(cnt) AS thecnt
+        FROM druid.foo
+        group by dim1, dim2
+        having SUM(cnt) = 1
+        order by dim2
+        limit 4
+    """, reg).collect()
+    assert len(out) == 4 and all(r.thecnt == 1 for r in out)
+    # dim2 sequence: two null-element groups, then '', then one 'a'
+    # (the dim1 at the tie boundary is planner-dependent)
+    assert [r.dim2 for r in out] == [None, None, "", "a"]
+    assert {r.dim1 for r in out[:2]} == {"10.1", "abc"}
+    assert out[2].dim1 == "2"
+
+
+def test_filter_on_time_floor_comparison_misaligned(spark, reg):
+    # testFilterOnTimeFloorComparisonMisaligned: the misaligned bound
+    # rounds to the enclosing month
+    out = druid_sql(spark, """
+        SELECT COUNT(*) AS n FROM druid.foo
+        WHERE FLOOR(__time TO MONTH) < TIMESTAMP '2000-02-01 00:00:01'
+    """, reg).first()
+    assert out["n"] == 3
+
+
+def test_filter_on_time_extract_multiple_days(spark, reg):
+    # testFilterOnTimeExtractWithMultipleDays
+    out = druid_sql(spark, """
+        SELECT COUNT(*) AS n FROM druid.foo
+        WHERE EXTRACT(YEAR FROM __time) = 2000
+        AND EXTRACT(DAY FROM __time) IN (2, 3, 5)
+    """, reg).first()
+    assert out["n"] == 2
+
+
+def test_expression_filtering_and_grouping_cast_to_long(spark, reg):
+    # testExpressionFilteringAndGroupingUsingCastToLong
+    out = druid_sql(spark, """
+        SELECT CAST(m1 AS BIGINT) / 2 * 2 AS v, COUNT(*) AS n
+        FROM druid.foo
+        WHERE CAST(m1 AS BIGINT) / 2 * 2 > -1
+        GROUP BY CAST(m1 AS BIGINT) / 2 * 2
+        ORDER BY 1 DESC
+    """, reg).collect()
+    assert [(r.v, r.n) for r in out] == [(6, 1), (4, 2), (2, 2), (0, 1)]
+
+
+def test_group_by_extract_floor_time(spark, reg):
+    # testGroupByExtractFloorTime
+    out = druid_sql(spark, """
+        SELECT EXTRACT(YEAR FROM FLOOR(__time TO YEAR)) AS "year",
+               SUM(cnt) AS s
+        FROM druid.foo
+        GROUP BY EXTRACT(YEAR FROM FLOOR(__time TO YEAR))
+        ORDER BY 1
+    """, reg).collect()
+    assert [(r["year"], r.s) for r in out] == [(2000, 3), (2001, 3)]
+
+
+def test_exact_count_distinct_subquery_where_pushdown(spark, reg):
+    # testExactCountDistinctUsingSubqueryWithWherePushDown
+    # (sqlCompatible: the outer <> '' filter excludes BOTH the ''
+    # group and the null element group)
+    out = druid_sql(spark, """
+        SELECT SUM(cnt) AS s, COUNT(*) AS n
+        FROM (SELECT dim2, SUM(cnt) AS cnt FROM druid.foo
+              GROUP BY dim2)
+        WHERE dim2 <> ''
+    """, reg).first()
+    assert (out["s"], out["n"]) == (3, 2)
+
+
+def test_count_and_average_by_constant_virtual_column(spark, numfoo):
+    # testCountAndAverageByConstantVirtualColumn (adapted: numfoo here
+    # has no dim5, group by a constant expression instead)
+    out = druid_sql(spark, """
+        SELECT 'ab' AS k, COUNT(dim1) AS c, AVG(l1) AS a
+        FROM druid.numfoo WHERE dim1 = '10.1' AND l1 = 325323
+        GROUP BY 1
+    """, numfoo).first()
+    assert (out["k"], out["c"], out["a"]) == ("ab", 1, 325323.0)
+
+
 def test_group_by_floor_time_and_dim_with_order_by(spark, reg):
     # testGroupByFloorTimeAndOneOtherDimensionWithOrderBy
     # (sqlCompatible branch: dim2 explodes; null sorts FIRST asc)
