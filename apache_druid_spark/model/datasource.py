@@ -38,6 +38,8 @@ class DatasourceRegistry:
     spark: SparkSession
     _tables: dict[str, DataFrame] = field(default_factory=dict)
     _lookups: dict[str, DataFrame] = field(default_factory=dict)
+    # view name -> Druid SQL text (expanded at reference time)
+    _views: dict[str, str] = field(default_factory=dict)
     time_columns: dict[str, str] = field(default_factory=dict)
     # datasource -> {"path", "granularity"} for published segment sets
     # (feeds sys.segments, sql/catalog.py)
@@ -86,6 +88,20 @@ class DatasourceRegistry:
         self, name: str, path: str, time_column: str | None = None
     ) -> DataFrame:
         return self.register(name, self.spark.read.parquet(path), time_column)
+
+    def register_view(self, name: str, sql: str) -> None:
+        """SQL view over datasources: the Druid SQL text expands into
+        the enclosing query's plan at reference time (sql/.../view/
+        InProcessViewManager.java, DruidViewMacro). Queryable as
+        ``view.<name>`` or the bare name."""
+        self._views[name] = sql
+        self.epoch += 1
+
+    def view_names(self) -> list[str]:
+        return sorted(self._views)
+
+    def view_sql(self, name: str) -> str:
+        return self._views[name]
 
     def register_lookup(self, name: str, mapping_or_df) -> None:
         """Lookup datasource: key->value string map, broadcast to all

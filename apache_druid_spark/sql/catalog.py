@@ -185,7 +185,8 @@ _DRUID_SQL_TYPES = {
 
 
 def information_schema_schemata(registry: DatasourceRegistry) -> DataFrame:
-    rows = [("druid",), ("INFORMATION_SCHEMA",), ("lookup",), ("sys",)]
+    rows = [("druid",), ("INFORMATION_SCHEMA",), ("lookup",), ("sys",),
+            ("view",)]
     return registry.spark.createDataFrame(rows, "SCHEMA_NAME string")
 
 
@@ -196,6 +197,9 @@ def information_schema_tables(registry: DatasourceRegistry) -> DataFrame:
     # RowSignature LOOKUP_SIGNATURE with columns k/v)
     rows += [(CATALOG_NAME, "lookup", n, "TABLE")
              for n in registry.lookup_names()]
+    # registered SQL views (sql/.../view/DruidViewMacro)
+    rows += [(CATALOG_NAME, "view", n, "VIEW")
+             for n in registry.view_names()]
     rows += [(CATALOG_NAME, "sys", n, "SYSTEM_TABLE")
              for n in ("segments", "servers", "tasks", "supervisors")]
     rows += [(CATALOG_NAME, "INFORMATION_SCHEMA", n, "SYSTEM_TABLE")

@@ -404,6 +404,34 @@ def _rewrite_lookup_schema(text: str) -> str:
     return "".join(out)
 
 
+def _rewrite_view_schema(text: str) -> str:
+    """The ``view`` SQL schema (sql/.../view/DruidViewMacro;
+    BaseCalciteQueryTest registers aview/bview/... there):
+    ``view.<name>`` table refs resolve to the materialized view
+    (registered as view_<name>); the bare name stays usable as the
+    implicit alias, mirroring the lookup schema treatment."""
+    spans = _string_spans(text)
+    out, last = [], 0
+    for m in re.finditer(r"\bview\.([A-Za-z_]\w*)", text, re.IGNORECASE):
+        if any(a <= m.start() <= b for a, b in spans):
+            continue
+        name = m.group(1)
+        out.append(text[last:m.start()])
+        if m.end() < len(text) and text[m.end()] == ".":
+            out.append(name)  # view.name.col -> name.col
+            last = m.end()
+            continue
+        am = re.match(r"\s+(?:AS\s+)?([A-Za-z_]\w*)", text[m.end():],
+                      re.IGNORECASE)
+        has_alias = bool(am
+                         and am.group(1).lower() not in _LOOKUP_ALIAS_STOP)
+        out.append(f"view_{name}" if has_alias
+                   else f"view_{name} AS {name}")
+        last = m.end()
+    out.append(text[last:])
+    return "".join(out)
+
+
 # simple ISO periods that map to one date_trunc unit
 _TRUNC_UNITS = {"P1Y": "YEAR", "P3M": "QUARTER", "P1M": "MONTH",
                 "P1W": "WEEK", "P1D": "DAY", "PT1H": "HOUR",
@@ -933,6 +961,7 @@ def translate(text: str, time_column: str = TIME_COLUMN) -> str:
     text = _rewrite_catalog_tables(text)
     text = _rewrite_druid_schema(text)
     text = _rewrite_lookup_schema(text)
+    text = _rewrite_view_schema(text)
     text = _rewrite_floor_to(text)
     # Calcite accepts unsized VARCHAR in CASTs; Spark wants STRING
     text = _rewrite_bare_varchar(text)
@@ -2194,7 +2223,14 @@ def druid_sql(spark: SparkSession, text: str, registry=None,
             for name in registry.lookup_names():
                 _bc(registry.lookup_df(name)).createOrReplaceTempView(
                     f"lookup_{name}")
+        # mark BEFORE materializing views: each view body runs back
+        # through druid_sql (full dialect pipeline) and must not
+        # re-enter this registration block
         spark._druid_sql_registered = (id(registry), epoch, names)
+        if registry is not None:
+            for name in registry.view_names():
+                vdf = druid_sql(spark, registry.view_sql(name), registry)
+                vdf.createOrReplaceTempView(f"view_{name}")
     explain = re.match(r"(?is)^\s*EXPLAIN\s+PLAN\s+FOR\s+(.+)$", text)
     if explain:
         return _explain_plan_for(spark, explain.group(1), registry)
