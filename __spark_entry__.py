@@ -50,6 +50,11 @@ def _registry(spark: SparkSession, sf_dir: str) -> DatasourceRegistry:
             nation.select(F.col("n_nationkey").cast("string"),
                           F.col("n_name")),
         )
+        reg.register_view(
+            "high_value_orders_v",
+            "SELECT o_orderkey, o_orderstatus, o_totalprice "
+            "FROM orders WHERE o_totalprice > 150000",
+        )
         _REGISTRIES[sf_dir] = reg
     return reg
 
@@ -2211,6 +2216,25 @@ def _info_schema_lookup_catalog(spark, sf_dir):
     """, _registry(spark, sf_dir))
 
 
+@_q("sql_view_query", """
+SELECT o_orderstatus AS status, COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders WHERE o_totalprice > 150000
+GROUP BY 1 ORDER BY 1
+""")
+def _sql_view_query(spark, sf_dir):
+    """SQL views (sql/.../view/InProcessViewManager.java,
+    DruidViewMacro): the registered Druid SQL text expands into the
+    enclosing query's plan; referenced as view.<name>. The
+    high_value_orders_v view is registered by _registry()."""
+    return druid_sql(spark, """
+        SELECT o_orderstatus AS status, COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM view.high_value_orders_v
+        GROUP BY 1 ORDER BY 1
+    """, _registry(spark, sf_dir))
+
+
 @_q("contrib_time_min_max", """
 SELECT event_type,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uniq_users,
@@ -4297,6 +4321,7 @@ _R06_WINDOW = (
     "semantic_dedup_scale_mode",
     # new in round 6
     "info_schema_lookup_catalog",
+    "sql_view_query",
 )
 
 
