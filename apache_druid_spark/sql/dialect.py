@@ -1480,6 +1480,67 @@ def _mv_groupby_candidates(text: str, mv_cols) -> tuple:
     return tuple(cands)
 
 
+def _rewrite_mv_distinct(text: str, mv_cols) -> str:
+    """SELECT DISTINCT over a bare MV column is a grouping in the
+    reference — dim2 yields distinct ELEMENT values
+    (testSelectDistinctWithSortAsOuterQuery; DISTINCT lowers to a
+    groupBy query). Rewrite the block to GROUP BY over the select
+    ordinals so the explode pass applies. Blocks that already GROUP BY
+    and DISTINCT lists without a bare MV ref are left alone."""
+    cands = {c.lower() for c in _mv_groupby_candidates(text, mv_cols)}
+    changed = True
+    while changed:
+        changed = False
+        depths = _depths(text)
+        spans = _string_spans(text)
+
+        def _out(i):
+            return not any(a <= i <= b for a, b in spans)
+
+        for m in re.finditer(r"\bSELECT\s+DISTINCT\b", text,
+                             re.IGNORECASE):
+            if not _out(m.start()):
+                continue
+            d = depths[m.start()]
+            bend = len(text)
+            for i in range(m.end(), len(text)):
+                if depths[i] < d:
+                    bend = i
+                    break
+            if any(depths[g.start()] == d and _out(g.start())
+                   for g in re.finditer(r"\bGROUP\s+BY\b", text)
+                   if m.end() <= g.start() < bend):
+                continue
+            fstart = None
+            for f in re.finditer(r"\bFROM\b", text, re.IGNORECASE):
+                if (m.end() <= f.start() < bend
+                        and depths[f.start()] == d and _out(f.start())):
+                    fstart = f
+                    break
+            if fstart is None:
+                continue
+            items = _split_top_args(text[m.end():fstart.start()])
+            if not any(_has_bare_ref(it, c0)
+                       for it in items for c0 in cands):
+                continue
+            ins = bend
+            for t2 in re.finditer(r"\b(ORDER\s+BY|LIMIT|OFFSET)\b",
+                                  text, re.IGNORECASE):
+                if (fstart.end() <= t2.start() < bend
+                        and depths[t2.start()] == d
+                        and _out(t2.start())):
+                    ins = t2.start()
+                    break
+            ordinals = ", ".join(str(i + 1) for i in range(len(items)))
+            text = (text[:m.start()] + "SELECT "
+                    + text[m.end():ins]
+                    + f" GROUP BY {ordinals} "
+                    + text[ins:])
+            changed = True
+            break
+    return text
+
+
 def _rewrite_mv_groupby(text: str, mv_cols) -> str:
     """GROUP BY on a bare MV column explodes to element values —
     Druid's defining multi-value behavior (docs/querying/
@@ -2025,6 +2086,7 @@ def _rewrite_mv_semantics(text: str, mv_cols) -> str:
     text = _unwrap_mv_array_wrap(text, mv_cols)
     text = _map_mv_scalar_exprs(text, mv_cols)
     text = _explode_mv_array_items(text, mv_cols)
+    text = _rewrite_mv_distinct(text, mv_cols)
     text = _rewrite_mv_groupby(text, mv_cols)
     text = _map_mv_in_minmax(text, mv_cols)
     text = _eq_any_element(text, mv_cols)

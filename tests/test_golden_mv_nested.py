@@ -257,3 +257,41 @@ def test_grouping_aggregator_with_post_aggregator(spark, reg):
     assert [(r.dim2, r.s, r.g, r.lbl) for r in out] == [
         (None, 2, 0, None), ("", 1, 0, ""), ("a", 2, 0, "a"),
         ("abc", 1, 0, "abc"), (None, 6, 1, "ALL")]
+
+
+def test_select_distinct_mv_with_sort_as_outer_query(spark, reg):
+    # testSelectDistinctWithSortAsOuterQuery (sqlCompatible): DISTINCT
+    # over the MV dim is a grouping — distinct ELEMENT values
+    out = druid_sql(spark, """
+        SELECT * FROM (SELECT DISTINCT dim2 FROM druid.foo
+                       ORDER BY dim2) LIMIT 10
+    """, reg).collect()
+    assert [r.dim2 for r in out] == [None, "", "a", "abc"]
+
+
+def test_select_distinct_mv_direct(spark, reg):
+    # same grouping without the outer wrapper
+    out = druid_sql(spark, """
+        SELECT DISTINCT dim2 FROM druid.foo ORDER BY dim2 LIMIT 10
+    """, reg).collect()
+    assert [r.dim2 for r in out] == [None, "", "a", "abc"]
+
+
+def test_group_by_time_floor_on_group_by_time_floor(spark, reg):
+    # testGroupByTimeFloorAndDimOnGroupByTimeFloorAndDim
+    # (sqlCompatible): day-grain inner groupBy with HAVING, re-rolled
+    # to month in the outer block; inner dim2 explode makes the outer
+    # dim2 a SCALAR (no re-explode — the scope rule)
+    out = druid_sql(spark, """
+        SELECT dim2, time_floor(gran, 'P1M') AS gran, sum(s) AS s
+        FROM (SELECT time_floor(__time, 'P1D') AS gran, dim2,
+                     sum(m1) as s FROM druid.foo
+              GROUP BY 1, 2 HAVING sum(m1) > 1) AS x
+        GROUP BY 1, 2
+        ORDER BY dim2, gran desc
+    """, reg).collect()
+    from datetime import datetime as dt
+    assert [(r.dim2, r.gran, r.s) for r in out] == [
+        (None, dt(2001, 1, 1), 6.0), (None, dt(2000, 1, 1), 2.0),
+        ("", dt(2000, 1, 1), 3.0), ("a", dt(2001, 1, 1), 4.0),
+        ("abc", dt(2001, 1, 1), 5.0)]
