@@ -889,6 +889,61 @@ def _rewrite_array_agg(text: str) -> str:
     return text
 
 
+def _rewrite_string_agg(text: str) -> str:
+    """STRING_AGG -> array_join over collectors with the reference's
+    contract (StringSqlAggregator; CalciteQueryTest testStringAgg /
+    testStringAggMaxBytes / testStringAggNumeric):
+
+    - plain form joins in row order, DISTINCT joins the SORTED element
+      set (the native accumulator is a sorted set);
+    - nulls are SKIPPED (unlike ARRAY_AGG, which keeps them);
+    - numeric inputs stringify per element;
+    - no rows -> NULL, not '';
+    - a trailing integer maxSizeBytes argument strips (no buffers);
+    - a trailing FILTER clause stays attached to the collector."""
+    pos = 0
+    while True:
+        found = None
+        for start, op, cp in _find_calls(text[pos:], "STRING_AGG"):
+            found = (pos + start, pos + op, pos + cp)
+            break
+        if found is None:
+            break
+        s, o, c = found
+        inner = text[o + 1:c]
+        m = re.match(r"\s*DISTINCT\b(.*)\Z", inner,
+                     re.IGNORECASE | re.DOTALL)
+        args = _split_top_args(m.group(1) if m else inner)
+        if len(args) == 3 and re.fullmatch(r"\s*\d+\s*", args[-1]):
+            args = args[:-1]  # maxSizeBytes
+        if len(args) != 2:
+            pos = c + 1  # malformed: leave for Spark's own error
+            continue
+        x, sep = args[0].strip(), args[1].strip()
+        tail = text[c + 1:]
+        fm = re.match(r"\s*FILTER\s*\(", tail, re.IGNORECASE)
+        if fm:
+            fcp = _matching_close(tail, fm.end() - 1)
+            filt = " " + tail[:fcp + 1].strip()
+            end = c + 1 + fcp + 1
+        else:
+            filt = ""
+            end = c + 1
+        arr = (f"transform(collect_list({x}){filt}, "
+               f"__sa -> CAST(__sa AS STRING))")
+        if m:
+            # the native accumulator is a sorted set of the STRING
+            # values — numeric inputs sort lexicographically
+            # (testStringAggNumeric pins DISTINCT l1 -> '0,325323,7')
+            arr = f"array_sort(array_distinct({arr}))"
+        joined = f"array_join({arr}, {sep})"
+        repl = (f"CASE WHEN size(collect_list({x}){filt}) = 0 "
+                f"THEN NULL ELSE {joined} END")
+        text = text[:s] + repl + text[end:]
+        pos = s + len(repl)
+    return text
+
+
 def _rewrite_substring_null_when_short(text: str) -> str:
     """Druid SQL SUBSTRING lowers to SubstringDimExtractionFn, which
     returns NULL (never '') when the start index falls past the string
@@ -957,6 +1012,7 @@ def translate(text: str, time_column: str = TIME_COLUMN) -> str:
     """Rewrite Druid SQL aggregate surface into Spark SQL."""
     text = _rewrite_quoted_identifiers(text)
     text = _rewrite_array_agg(text)
+    text = _rewrite_string_agg(text)
     text = _wrap_bare_subquery_agg_args(text)
     text = _rewrite_catalog_tables(text)
     text = _rewrite_druid_schema(text)

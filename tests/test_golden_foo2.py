@@ -358,3 +358,112 @@ def test_group_by_floor_time_and_dim_with_order_by(spark, reg):
         (datetime(2000, 1, 1), None, 1), (datetime(2000, 1, 1), "", 1),
         (datetime(2000, 1, 1), "a", 1), (datetime(2001, 1, 1), None, 1),
         (datetime(2001, 1, 1), "a", 1), (datetime(2001, 1, 1), "abc", 1)]
+
+
+# -- STRING_AGG family (StringSqlAggregator) ---------------------------------
+
+
+def test_string_agg(spark, reg):
+    # testStringAgg (sqlCompatible: '' is a value and joins first;
+    # DISTINCT joins the SORTED string set; empty FILTER -> null)
+    out = druid_sql(spark, """
+        SELECT STRING_AGG(dim1, ',') AS a,
+               STRING_AGG(DISTINCT dim1, ',') AS d,
+               STRING_AGG(DISTINCT dim1, ',')
+                 FILTER(WHERE dim1 = 'shazbot') AS f
+        FROM foo WHERE dim1 is not null
+    """, reg).first()
+    assert out["a"] == ",10.1,2,1,def,abc"
+    assert out["d"] == ",1,10.1,2,abc,def"
+    assert out["f"] is None
+
+
+def test_string_agg_max_bytes(spark, numfoo):
+    # testStringAggMaxBytes (sqlCompatible): the size argument strips;
+    # nulls are skipped; DISTINCT sorts the STRINGIFIED values
+    # lexicographically ('0' < '325323' < '7')
+    out = druid_sql(spark, """
+        SELECT STRING_AGG(l1, ',', 128) AS a,
+               STRING_AGG(DISTINCT l1, ',', 128) AS d
+        FROM numfoo
+    """, numfoo).first()
+    assert (out["a"], out["d"]) == ("7,325323,0", "0,325323,7")
+
+
+def test_string_agg_numeric(spark, numfoo):
+    # testStringAggNumeric (sqlCompatible branch). DOCUMENTED
+    # DIVERGENCE on f1: the reference widens float->double before
+    # stringifying (0.1f -> '0.10000000149011612'); this engine renders
+    # the float's shortest representation ('0.1').
+    out = druid_sql(spark, """
+        SELECT STRING_AGG(l1, ',') AS a, STRING_AGG(DISTINCT l1, ',') AS b,
+               STRING_AGG(d1, ',') AS c, STRING_AGG(DISTINCT d1, ',') AS d,
+               STRING_AGG(f1, ',') AS e, STRING_AGG(DISTINCT f1, ',') AS f
+        FROM numfoo
+    """, numfoo).first()
+    assert tuple(out) == ("7,325323,0", "0,325323,7",
+                          "1.0,1.7,0.0", "0.0,1.0,1.7",
+                          "1.0,0.1,0.0", "0.0,0.1,1.0")
+
+
+def test_string_agg_expression_non_constant_separator(spark, reg):
+    # testStringAggExpressionNonConstantSeparator: rejected
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        druid_sql(spark, """
+            SELECT STRING_AGG(DISTINCT CONCAT(dim1, 'x'),
+                              CONCAT('|', dim1)) AS a FROM foo
+        """, reg).collect()
+
+
+# -- TIMESTAMPADD / round / union-all shapes ---------------------------------
+
+
+def test_timestampadd_conversion(spark, reg):
+    # testTimeStampAddConversion + ZeroDayPeriod: month increment and
+    # the zero-period identity
+    out = druid_sql(spark, """
+        SELECT TIMESTAMPADD(MONTH, 1, __time) AS m,
+               TIMESTAMPADD(DAY, 0, __time) AS z
+        FROM druid.foo ORDER BY __time LIMIT 2
+    """, reg).collect()
+    assert [(r.m, r.z) for r in out] == [
+        (datetime(2000, 2, 1), datetime(2000, 1, 1)),
+        (datetime(2000, 2, 2), datetime(2000, 1, 2))]
+
+
+def test_round_func_float_nulls(spark, numfoo):
+    # testRoundFuc over the float column: null rows stay null
+    out = druid_sql(spark, """
+        SELECT f1, round(f1) AS r FROM druid.numfoo ORDER BY __time
+    """, numfoo).collect()
+    got = [(r.f1, r.r) for r in out]
+    assert got[0] == (1.0, 1.0)
+    assert abs(got[1][0] - 0.1) < 1e-6 and got[1][1] == 0.0
+    assert got[2] == (0.0, 0.0)
+    assert got[3:] == [(None, None)] * 3
+
+
+def test_union_all_same_table_twice(spark, reg):
+    # testUnionAllSameTableTwice (sqlCompatible): the MV filter and
+    # explode both apply across the union
+    out = druid_sql(spark, """
+        SELECT dim1, dim2, SUM(m1) AS s, COUNT(*) AS n
+        FROM (SELECT * FROM foo UNION ALL SELECT * FROM foo)
+        WHERE dim2 = 'a' OR dim2 = 'def'
+        GROUP BY dim1, dim2 ORDER BY dim1
+    """, reg).collect()
+    assert [(r.dim1, r.dim2, r.s, r.n) for r in out] == [
+        ("", "a", 2.0, 2), ("1", "a", 8.0, 2)]
+
+
+def test_union_all_queries_with_limit(spark, reg):
+    # testUnionAllQueriesWithLimit
+    out = druid_sql(spark, """
+        SELECT * FROM (
+          SELECT COUNT(*) AS c FROM foo
+          UNION ALL SELECT SUM(cnt) AS c FROM foo
+          UNION ALL SELECT COUNT(*) AS c FROM foo
+        ) LIMIT 2
+    """, reg).collect()
+    assert [r.c for r in out] == [6, 6]
