@@ -2090,9 +2090,28 @@ def _eq_any_element(text: str, mv_cols) -> str:
                 after = text[cp + 1:]
                 m = re.match(rf"\s*(=|<>|!=)\s*({_MV_LIT})", after)
                 if m:
-                    contains = f"array_contains({span}, {m.group(2)})"
-                    repl = (contains if m.group(1) == "="
-                            else f"(NOT {contains})")
+                    if m.group(2).strip().lower() == "null":
+                        # `expr = NULL` never matches (Calcite keeps
+                        # the literal comparison; testNullStringEquality
+                        # pins 0 rows)
+                        repl = "FALSE"
+                    else:
+                        contains = f"array_contains({span}, {m.group(2)})"
+                        repl = (contains if m.group(1) == "="
+                                else f"(NOT {contains})")
+                    text = (text[:fstart] + repl
+                            + text[cp + 1 + m.end():])
+                    changed = True
+                    break
+                m = re.match(r"\s+IS\s+(NOT\s+)?NULL\b", after,
+                             re.IGNORECASE)
+                if m:
+                    # IS NULL on an MV expression is an any-element
+                    # null match (selector(expr, null) on the virtual
+                    # column — testNullEmptyStringEquality counts the
+                    # [null]-mapped rows); IS NOT NULL is its negation
+                    ex = f"exists({span}, __mv_n -> __mv_n IS NULL)"
+                    repl = f"(NOT {ex})" if m.group(1) else ex
                     text = (text[:fstart] + repl
                             + text[cp + 1 + m.end():])
                     changed = True

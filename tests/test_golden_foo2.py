@@ -467,3 +467,86 @@ def test_union_all_queries_with_limit(spark, reg):
         ) LIMIT 2
     """, reg).collect()
     assert [r.c for r in out] == [6, 6]
+
+
+# -- ORDER BY first/last aggregates and null handling ------------------------
+
+
+def test_order_by_earliest_float(spark, numfoo):
+    # testOrderByEarliestFloat (sqlCompatible: null aggregates sort
+    # FIRST ascending; dim1 breaks ties deterministically here)
+    out = druid_sql(spark, """
+        SELECT dim1, EARLIEST(f1) AS v FROM druid.numfoo
+        GROUP BY 1 ORDER BY 2, 1 LIMIT 10
+    """, numfoo).collect()
+    got = [(r.dim1, r.v) for r in out]
+    assert got[:3] == [("1", None), ("abc", None), ("def", None)]
+    assert got[3] == ("2", 0.0)
+    assert got[4][0] == "10.1" and abs(got[4][1] - 0.1) < 1e-6
+    assert got[5] == ("", 1.0)
+
+
+def test_order_by_latest_long(spark, numfoo):
+    # testOrderByLatestLong (sqlCompatible branch)
+    out = druid_sql(spark, """
+        SELECT dim1, LATEST(l1) AS v FROM druid.numfoo
+        GROUP BY 1 ORDER BY 2, 1 LIMIT 10
+    """, numfoo).collect()
+    assert [(r.dim1, r.v) for r in out] == [
+        ("1", None), ("abc", None), ("def", None),
+        ("2", 0), ("", 7), ("10.1", 325323)]
+
+
+def test_null_long_filter(spark, numfoo):
+    # testNullLongFilter (sqlCompatible: 3 null rows)
+    out = druid_sql(spark, """
+        SELECT COUNT(*) AS n FROM druid.numfoo WHERE l1 IS NULL
+    """, numfoo).first()
+    assert out["n"] == 3
+
+
+def test_null_double_topn(spark, numfoo):
+    # testNullDoubleTopN (sqlCompatible: nulls sort LAST descending)
+    out = druid_sql(spark, """
+        SELECT d1, COUNT(*) AS n FROM druid.numfoo
+        GROUP BY d1 ORDER BY d1 DESC LIMIT 10
+    """, numfoo).collect()
+    assert [(r.d1, r.n) for r in out] == [
+        (1.7, 1), (1.0, 1), (0.0, 1), (None, 3)]
+
+
+def test_null_string_equality(spark, reg):
+    # testNullStringEquality: `= null` never matches
+    out = druid_sql(spark, """
+        SELECT COUNT(*) AS n FROM druid.foo WHERE NULLIF(dim2, 'a') = null
+    """, reg).first()
+    assert out["n"] == 0
+
+
+def test_null_empty_string_equality(spark, reg):
+    # testNullEmptyStringEquality (sqlCompatible: IS NULL on the MV
+    # expression matches rows whose mapped value carries a null
+    # element — ['a']->null, []->null, raw null->null: 4 rows)
+    out = druid_sql(spark, """
+        SELECT COUNT(*) AS n FROM druid.foo
+        WHERE NULLIF(dim2, 'a') IS NULL
+    """, reg).first()
+    assert out["n"] == 4
+
+
+def test_simple_long_aggregations(spark, numfoo):
+    # testSimpleLongAggregations
+    out = druid_sql(spark, """
+        SELECT MIN(l1) AS a, MIN(cnt) AS b, MAX(l1) AS c
+        FROM druid.numfoo
+    """, numfoo).first()
+    assert tuple(out) == (0, 1, 325323)
+
+
+def test_sum_of_extraction_fn(spark, reg):
+    # testSumOfExtractionFn: SUBSTRING + CAST + SUM coercion
+    out = druid_sql(spark, """
+        SELECT SUM(CAST(SUBSTRING(dim1, 1, 10) AS INTEGER)) AS s
+        FROM druid.foo
+    """, reg).first()
+    assert out["s"] == 13
