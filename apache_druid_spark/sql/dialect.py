@@ -2400,6 +2400,22 @@ def druid_sql(spark: SparkSession, text: str, registry=None,
         from apache_druid_spark.sql.catalog import register_system_views
 
         register_system_views(registry)
+    if context and context.get("requireTimeCondition"):
+        # PlannerConfig.requireTimeCondition
+        # (sql/.../planner/PlannerConfig.java; CalciteQueryTest
+        # testRequireTimeCondition*): datasource-backed queries must
+        # carry a __time filter. Literal-only queries (no FROM) pass.
+        spans_rt = _string_spans(translated)
+        has_from = any(
+            not any(a <= m.start() <= b for a, b in spans_rt)
+            for m in re.finditer(r"\bFROM\b", translated, re.IGNORECASE))
+        has_time = bool(re.search(
+            r"\bWHERE\b(?:(?!\bGROUP\b|\bORDER\b|\bLIMIT\b).)*__time",
+            translated, re.IGNORECASE | re.DOTALL))
+        if has_from and not has_time:
+            raise ValueError(
+                "requireTimeCondition is enabled on this connection, "
+                "queries on datasources must filter on __time")
     _tz = (context or {}).get("sqlTimeZone")
     if _tz and _tz.upper() not in ("UTC", "ETC/UTC"):
         translated = _apply_sql_timezone(translated, _tz)

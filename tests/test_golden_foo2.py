@@ -550,3 +550,31 @@ def test_sum_of_extraction_fn(spark, reg):
         FROM druid.foo
     """, reg).first()
     assert out["s"] == 13
+
+
+# -- planner-config contexts -------------------------------------------------
+
+
+def test_require_time_condition_positive(spark, reg):
+    # testRequireTimeConditionPositive: a __time filter satisfies the
+    # connection flag
+    out = druid_sql(spark, """
+        SELECT COUNT(*) AS n FROM druid.foo
+        WHERE __time >= TIMESTAMP '2000-01-01 00:00:00'
+    """, reg, context={"requireTimeCondition": True}).first()
+    assert out["n"] == 6
+
+
+def test_require_time_condition_negative(spark, reg):
+    # testRequireTimeConditionSimpleQueryNegative: rejected without one
+    with pytest.raises(ValueError, match="requireTimeCondition"):
+        druid_sql(spark, "SELECT COUNT(*) AS n FROM druid.foo",
+                  reg, context={"requireTimeCondition": True})
+
+
+def test_require_time_condition_literal_query(spark, reg):
+    # testRequireTimeConditionLogicalValuePositive: literal-only
+    # queries (no datasource scan) are exempt
+    out = druid_sql(spark, "SELECT 1 + 1 AS v", reg,
+                    context={"requireTimeCondition": True}).first()
+    assert out["v"] == 2
