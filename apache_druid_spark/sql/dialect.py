@@ -492,7 +492,47 @@ def _rewrite_time_floor_tz(text: str) -> str:
         tz = args[3].strip() if len(args) > 3 else "'UTC'"
         unit = (_TRUNC_UNITS.get(period.strip("'").upper())
                 if period.startswith("'") else None)
-        if unit is None or origin != "NULL":
+        if origin != "NULL":
+            # origin-aligned flooring (TimestampFloorExprMacro with an
+            # origin: buckets tile outward from the origin instant —
+            # testTimeseriesUsingTimeFloorWithOrigin). Month-ish
+            # periods bucket by whole-month counts from the origin;
+            # fixed-duration periods by millis arithmetic.
+            o = args[2].strip()
+            p = period.strip("'").upper() if period.startswith("'") \
+                else None
+            mm = re.fullmatch(r"P(\d+)M", p or "")
+            ym = re.fullmatch(r"P(\d+)Y", p or "")
+            months = (int(mm.group(1)) if mm
+                      else 12 * int(ym.group(1)) if ym else None)
+            if months:
+                # interval arithmetic keeps the origin's time-of-day
+                # (add_months would degrade to DATE). months_between
+                # ignores time-of-day when the days-of-month match, so
+                # a candidate bucket past ts steps back one period.
+                k = (f"CAST(floor(months_between({ts}, {o}) / "
+                     f"{months}) AS INT) * {months}")
+                b = f"({o} + make_interval(0, {k}))"
+                repl = (f"(CASE WHEN {b} > {ts} THEN "
+                        f"({o} + make_interval(0, ({k}) - {months})) "
+                        f"ELSE {b} END)")
+            else:
+                dm = re.fullmatch(
+                    r"P(?:(\d+)W)?(?:(\d+)D)?"
+                    r"(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+)S)?)?", p or "")
+                if not (p and dm and any(dm.groups())):
+                    pos = cp + 1  # unsupported origin form
+                    continue
+                w, d, h, mi, s2 = (int(g) if g else 0 for g in dm.groups())
+                dur = (((w * 7 + d) * 24 + h) * 60 + mi) * 60_000 \
+                    + s2 * 1000
+                repl = (f"timestamp_millis(unix_millis({o}) + "
+                        f"CAST(floor((unix_millis({ts}) - "
+                        f"unix_millis({o})) / {dur}) AS BIGINT) * {dur})")
+            text = text[:start] + repl + text[cp + 1:]
+            pos = start + len(repl)
+            continue
+        if unit is None:
             pos = cp + 1  # unsupported long form: leave in place
             continue
         repl = (f"to_utc_timestamp(CAST(date_trunc('{unit}', "

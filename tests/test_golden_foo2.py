@@ -578,3 +578,104 @@ def test_require_time_condition_literal_query(spark, reg):
     out = druid_sql(spark, "SELECT 1 + 1 AS v", reg,
                     context={"requireTimeCondition": True}).first()
     assert out["v"] == 2
+
+
+# -- timeseries-shaped SQL family --------------------------------------------
+
+
+def test_timeseries_time_floor_with_origin(spark, reg):
+    # testTimeseriesUsingTimeFloorWithOrigin: monthly buckets aligned
+    # to the 01:02:03 origin
+    out = druid_sql(spark, """
+        SELECT SUM(cnt) AS s, gran FROM (
+          SELECT TIME_FLOOR(__time, 'P1M',
+                            TIMESTAMP '1970-01-01 01:02:03') AS gran,
+                 cnt FROM druid.foo
+        ) AS x GROUP BY gran ORDER BY gran
+    """, reg).collect()
+    assert [(r.s, r.gran) for r in out] == [
+        (1, datetime(1999, 12, 1, 1, 2, 3)),
+        (2, datetime(2000, 1, 1, 1, 2, 3)),
+        (1, datetime(2000, 12, 1, 1, 2, 3)),
+        (2, datetime(2001, 1, 1, 1, 2, 3))]
+
+
+def test_timeseries_time_floor_with_time_shift(spark, reg):
+    # testTimeseriesUsingTimeFloorWithTimeShift
+    out = druid_sql(spark, """
+        SELECT SUM(cnt) AS s, gran FROM (
+          SELECT TIME_FLOOR(TIME_SHIFT(__time, 'P1D', -1), 'P1M') AS gran,
+                 cnt FROM druid.foo
+        ) AS x GROUP BY gran ORDER BY gran
+    """, reg).collect()
+    assert [(r.s, r.gran) for r in out] == [
+        (1, datetime(1999, 12, 1)), (2, datetime(2000, 1, 1)),
+        (1, datetime(2000, 12, 1)), (2, datetime(2001, 1, 1))]
+
+
+def test_timeseries_time_floor_with_timestampadd(spark, reg):
+    # testTimeseriesUsingTimeFloorWithTimestampAdd (same buckets via
+    # TIMESTAMPADD)
+    out = druid_sql(spark, """
+        SELECT SUM(cnt) AS s, gran FROM (
+          SELECT TIME_FLOOR(TIMESTAMPADD(DAY, -1, __time), 'P1M') AS gran,
+                 cnt FROM druid.foo
+        ) AS x GROUP BY gran ORDER BY gran
+    """, reg).collect()
+    assert [(r.s, r.gran) for r in out] == [
+        (1, datetime(1999, 12, 1)), (2, datetime(2000, 1, 1)),
+        (1, datetime(2000, 12, 1)), (2, datetime(2001, 1, 1))]
+
+
+def test_timeseries_using_cast_as_date(spark, reg):
+    # testTimeseriesUsingCastAsDate
+    from datetime import date
+    out = druid_sql(spark, """
+        SELECT SUM(cnt) AS s, dt FROM (
+          SELECT CAST(__time AS DATE) AS dt, cnt FROM druid.foo
+        ) AS x GROUP BY dt ORDER BY dt
+    """, reg).collect()
+    assert [(r.s, r.dt) for r in out] == [
+        (1, date(2000, 1, 1)), (1, date(2000, 1, 2)),
+        (1, date(2000, 1, 3)), (1, date(2001, 1, 1)),
+        (1, date(2001, 1, 2)), (1, date(2001, 1, 3))]
+
+
+def test_timeseries_with_limit_and_offset(spark, reg):
+    # testTimeseriesWithLimitAndOffset
+    out = druid_sql(spark, """
+        SELECT gran, SUM(cnt) AS s
+        FROM (SELECT floor(__time TO month) AS gran, cnt
+              FROM druid.foo) AS x
+        GROUP BY gran
+        ORDER BY gran
+        LIMIT 2 OFFSET 1
+    """, reg).collect()
+    assert [(r.gran, r.s) for r in out] == [(datetime(2001, 1, 1), 3)]
+
+
+def test_project_after_sort(spark, reg):
+    # testProjectAfterSort: outer projection drops the sort key; inner
+    # groupBy explodes dim2 so dim1 appears once per element group
+    out = druid_sql(spark, """
+        select dim1 from (select dim1, dim2, count(*) cnt
+                          from druid.foo group by dim1, dim2
+                          order by cnt)
+    """, reg).collect()
+    assert sorted(r.dim1 for r in out) == ["", "1", "10.1", "2",
+                                           "abc", "def"]
+
+
+def test_postagg_with_timeseries_shape(spark, reg):
+    # testPostAggWithTimeseries (sqlCompatible): MV filter + yearly
+    # buckets + additive post-aggregation, descending
+    out = druid_sql(spark, """
+        SELECT FLOOR(__time TO YEAR) AS y, SUM(m1) AS a,
+               SUM(m1) + SUM(m2) AS b
+        FROM druid.foo
+        WHERE dim2 = 'a'
+        GROUP BY FLOOR(__time TO YEAR)
+        ORDER BY FLOOR(__time TO YEAR) desc
+    """, reg).collect()
+    assert [(r.y, r.a, r.b) for r in out] == [
+        (datetime(2001, 1, 1), 4.0, 8.0), (datetime(2000, 1, 1), 1.0, 2.0)]
