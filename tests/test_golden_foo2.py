@@ -679,3 +679,82 @@ def test_postagg_with_timeseries_shape(spark, reg):
     """, reg).collect()
     assert [(r.y, r.a, r.b) for r in out] == [
         (datetime(2001, 1, 1), 4.0, 8.0), (datetime(2000, 1, 1), 1.0, 2.0)]
+
+
+# -- misc select / union / outer-limit shapes --------------------------------
+
+
+def test_union_all_same_table_three_times(spark, reg):
+    # testUnionAllSameTableThreeTimes (sqlCompatible)
+    out = druid_sql(spark, """
+        SELECT dim1, dim2, SUM(m1) AS s, COUNT(*) AS n
+        FROM (SELECT * FROM foo UNION ALL SELECT * FROM foo
+              UNION ALL SELECT * FROM foo)
+        WHERE dim2 = 'a' OR dim2 = 'def'
+        GROUP BY dim1, dim2 ORDER BY dim1
+    """, reg).collect()
+    assert [(r.dim1, r.dim2, r.s, r.n) for r in out] == [
+        ("", "a", 3.0, 3), ("1", "a", 12.0, 3)]
+
+
+def test_values_containing_null(spark, reg):
+    # testValuesContainingNull / testMultipleValuesContainingNull
+    out = druid_sql(spark, """
+        SELECT * FROM (VALUES (NULL, 'United States'), ('Delhi', 'India'))
+    """, reg).collect()
+    assert [tuple(r) for r in out] == [
+        (None, "United States"), ("Delhi", "India")]
+
+
+def test_select_constant_regexp_extract(spark, reg):
+    # testSelectConstantExpression
+    out = druid_sql(spark,
+                    "SELECT REGEXP_EXTRACT('foo', '^(.)') AS v", reg).first()
+    assert out["v"] == "f"
+
+
+def test_radians_and_degrees(spark, reg):
+    # testRadiansAndDegrees (adapted to foo's m1/m2): row dim1='1' has
+    # m1=4, m2=4
+    import math
+    out = druid_sql(spark, """
+        SELECT RADIANS(m1 * 15) / DEGREES(m2) AS v
+        FROM foo WHERE dim1 = '1'
+    """, reg).first()
+    assert abs(out["v"] - math.radians(60) / math.degrees(4)) < 1e-12
+
+
+def test_timeseries_with_order_by_and_limit(spark, reg):
+    # testTimeseriesWithOrderByAndLimit
+    out = druid_sql(spark, """
+        SELECT gran, SUM(cnt) AS s
+        FROM (SELECT floor(__time TO month) AS gran, cnt
+              FROM druid.foo) AS x
+        GROUP BY gran ORDER BY gran LIMIT 1
+    """, reg).collect()
+    assert [(r.gran, r.s) for r in out] == [(datetime(2000, 1, 1), 3)]
+
+
+def test_topn_limit_wrapping_outer_context(spark, reg):
+    # testTopNLimitWrapping (sqlCompatible): the sqlOuterLimit context
+    # caps the ordered groupBy
+    out = druid_sql(spark, """
+        SELECT dim1, COUNT(*) AS n FROM druid.foo
+        GROUP BY dim1 ORDER BY dim1 DESC
+    """, reg, context={"sqlOuterLimit": 2}).collect()
+    assert [(r.dim1, r.n) for r in out] == [("def", 1), ("abc", 1)]
+
+
+def test_empty_group_with_offset_joined(spark, reg):
+    # testEmptyGroupWithOffsetDoesntInfiniteLoop: the OFFSET 1 empties
+    # the single-row ungrouped aggregate; the LEFT JOIN keeps nothing
+    out = druid_sql(spark, """
+        SELECT r0.c AS c0, r1.c AS c1
+        FROM (
+          SELECT COUNT(*) AS c FROM "foo" GROUP BY () OFFSET 1
+        ) AS r0
+        LEFT JOIN (
+          SELECT COUNT(*) AS c FROM "foo" GROUP BY ()
+        ) AS r1 ON TRUE LIMIT 10
+    """, reg).collect()
+    assert out == []
