@@ -758,3 +758,58 @@ def test_empty_group_with_offset_joined(spark, reg):
         ) AS r1 ON TRUE LIMIT 10
     """, reg).collect()
     assert out == []
+
+
+def test_prune_dead_aggregators(spark, reg):
+    # testPruneDeadAggregators: the constant CASE keeps only SUM(m1)
+    out = druid_sql(spark, """
+        SELECT
+          CASE 'foo'
+          WHEN 'bar' THEN SUM(cnt)
+          WHEN 'foo' THEN SUM(m1)
+          WHEN 'baz' THEN SUM(m2)
+          END AS v
+        FROM foo
+    """, reg).first()
+    assert out["v"] == 21.0
+
+
+def test_prune_dead_aggregators_through_having(spark, reg):
+    # testPruneDeadAggregatorsThroughHaving
+    out = druid_sql(spark, """
+        SELECT
+          CASE 'foo'
+          WHEN 'bar' THEN SUM(cnt)
+          WHEN 'foo' THEN SUM(m1)
+          WHEN 'baz' THEN SUM(m2)
+          END AS theCase
+        FROM foo
+        HAVING theCase = 21
+    """, reg).collect()
+    assert [r.theCase for r in out] == [21.0]
+
+
+def test_postagg_with_topn(spark, reg):
+    # testPostAggWithTopN (sqlCompatible): MV filter + per-m1 groups
+    # with additive post-aggregation
+    out = druid_sql(spark, """
+        SELECT AVG(m2) AS a, SUM(m1) + SUM(m2) AS b
+        FROM druid.foo
+        WHERE dim2 = 'a'
+        GROUP BY m1 ORDER BY m1 LIMIT 5
+    """, reg).collect()
+    assert [(r.a, r.b) for r in out] == [(1.0, 2.0), (4.0, 8.0)]
+
+
+def test_return_empty_rows_for_filtered_constant_group_by(spark, reg):
+    # testReturnEmptyRowWhenGroupByIsConvertedToTimeseriesWith
+    # SingleConstantDimension: grouping by a constant over ZERO rows
+    # returns no rows (grouped, not the ungrouped single row)
+    out1 = druid_sql(spark, """
+        SELECT 'A' AS v from foo WHERE m1 = 50 AND dim1 = 'wat'
+        GROUP BY 'foobar'
+    """, reg).collect()
+    out2 = druid_sql(spark, """
+        SELECT 'A' AS v from foo WHERE dim1 = 'wat' GROUP BY dim1
+    """, reg).collect()
+    assert out1 == [] and out2 == []
