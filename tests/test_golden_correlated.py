@@ -152,3 +152,17 @@ def test_correlated_subquery_with_limit(spark, reg):
     """, reg).collect()
     assert [(r.country, r.peak) for r in out] == [
         ("India", 3), ("USA", 1), ("canada", 4)]
+
+
+def test_multiple_exact_count_distinct_with_grouping(spark, reg):
+    # testMultipleExactCountDistinctWithGroupingAndOtherAggregators
+    # (useGroupingSetForExactDistinct planner path; values match both
+    # planner configs)
+    out = druid_sql(spark, """
+        SELECT FLOOR(__time to day) AS d, COUNT(distinct city) AS c,
+               COUNT(distinct user) AS u
+        FROM druid.visits GROUP BY 1 ORDER BY 1
+    """, reg).collect()
+    assert [(r.d, r.c, r.u) for r in out] == [
+        (datetime(2021, 1, 1), 3, 2), (datetime(2021, 1, 2), 3, 4),
+        (datetime(2021, 1, 3), 1, 1)]
