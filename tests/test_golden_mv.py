@@ -346,3 +346,29 @@ def test_group_by_element_with_array_length_of_same_expr(spark, reg):
     assert out == {("foo", 3): 2, ("foo", 2): 2, (None, None): 2,
                    ("a", 3): 1, ("b", 3): 2, ("c", 3): 1,
                    ("d", 2): 1, ("", 2): 1}
+
+
+def test_filter_on_mv_list_filter_match_like(spark, reg):
+    # testFilterOnMultiValueListFilterMatchLike: the list-filtered
+    # virtual column LIKE-matches any surviving element; surviving
+    # ROWS then explode all their values
+    out = druid_sql(spark, """
+        SELECT dim3, SUM(cnt) AS s FROM druid.numfoo
+        WHERE MV_FILTER_ONLY(dim3, ARRAY['b']) LIKE 'b%'
+        GROUP BY 1 ORDER BY 2 DESC, 1
+    """, reg).collect()
+    assert [(r.dim3, r.s) for r in out] == [("b", 2), ("a", 1), ("c", 1)]
+
+
+def test_mv_to_array_arg_validation(spark, reg):
+    # testMultiValueToArrayMoreArgs / testMultiValueToArrayArgsWith
+    # Constant: MV_TO_ARRAY takes exactly one MV (array) argument —
+    # wrong arity and scalar expressions are rejected
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        druid_sql(spark, "SELECT MV_TO_ARRAY(dim3, dim3) FROM numfoo",
+                  reg).collect()
+    with _pytest.raises(Exception):
+        druid_sql(spark,
+                  "SELECT MV_TO_ARRAY(concat(dim1, 'c')) FROM numfoo",
+                  reg).collect()
