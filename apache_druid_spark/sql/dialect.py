@@ -1080,6 +1080,15 @@ def translate(text: str, time_column: str = TIME_COLUMN) -> str:
     text = _rewrite_like_escape(text)
     text = _rewrite_grouping_multi(text)
     text = _rewrite_integer_division(text)
+    # Druid time IS an epoch-millis long, so CAST(__time AS BIGINT)
+    # yields millis (testJoinOnTimeseriesWithFloorOnTime pins it);
+    # Spark's timestamp->bigint cast yields SECONDS. Rewrite the
+    # __time spelling; arbitrary timestamp expressions keep Spark
+    # semantics (no type info at rewrite time — use
+    # TIMESTAMP_TO_MILLIS for those).
+    text = _sub_outside_strings(
+        text, r"\bCAST\s*\(\s*(`?__time`?)\s+AS\s+BIGINT\s*\)",
+        lambda m: f"unix_millis({m.group(1)})")
     text = _rewrite_ltrim_rtrim_2arg(text)
     text = _rewrite_time_floor_tz(text)
     text = _rewrite_mv_slice_2arg(text)

@@ -991,3 +991,58 @@ def test_filter_pushdown_many_filters_nonempty(spark, reg):
          ('Z', 'U'), ('U', 'Z'), ('P', 'Q'), ('X', 'A'))
     """, reg).collect()
     assert [tuple(r) for r in out] == [(4.0, 4.0)]
+
+
+@pytest.fixture(scope="module")
+def reg_mv3(spark):
+    """numfoo WITH the MV dim3 column (the shared join fixture's
+    numfoo is the scalar-dims variant)."""
+    from test_golden_mv import ROWS as MV_ROWS, SCHEMA as MV_SCHEMA
+    r = DatasourceRegistry(spark)
+    r.register("numfoo", spark.createDataFrame(MV_ROWS, MV_SCHEMA))
+    r.register_lookup("lookyloo", LOOKYLOO)
+    return r
+
+
+def test_virtual_column_on_mv_filter_join_expression(spark, reg_mv3):
+    # testVirtualColumnOnMVFilterJoinExpression: list-filtered MV
+    # virtual columns as the join key — only the ['a','b'] row carries
+    # an 'a' element on both sides
+    out = druid_sql(spark, """
+        SELECT foo1.dim3 AS a, foo2.dim3 AS b
+        FROM druid.numfoo as foo1 INNER JOIN druid.numfoo as foo2
+        ON MV_FILTER_ONLY(foo1.dim3, ARRAY['a'])
+         = MV_FILTER_ONLY(foo2.dim3, ARRAY['a'])
+    """, reg_mv3).collect()
+    assert [(r.a, r.b) for r in out] == [(["a", "b"], ["a", "b"])]
+
+
+def test_join_on_multi_valued_column_rejected(spark, reg_mv3):
+    # testJoinOnMultiValuedColumnShouldThrowException: a raw MV column
+    # as a join key is rejected (the reference's planner throws; here
+    # the array-vs-string key fails analysis)
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        druid_sql(spark, """
+            SELECT dim3, l.v FROM druid.numfoo f
+            INNER JOIN lookup.lookyloo l ON f.dim3 = l.k
+        """, reg_mv3).collect()
+
+
+def test_join_on_timeseries_with_floor_on_time(spark, reg_mv3):
+    # testJoinOnTimeseriesWithFloorOnTime: row-constructor IN against
+    # an hourly-floored MIN subquery; CAST(__time AS BIGINT) is epoch
+    # MILLIS (Druid time is a millis long)
+    out = druid_sql(spark, """
+        SELECT CAST(__time AS BIGINT) AS t, m1, ANY_VALUE(dim3) AS d
+        FROM numfoo WHERE (TIME_FLOOR(__time, 'PT1H'), m1) IN
+           (
+             SELECT TIME_FLOOR(__time, 'PT1H') AS t1, MIN(m1) AS t2
+             FROM numfoo WHERE dim3 = 'b'
+                 AND __time BETWEEN '1994-04-29 00:00:00'
+                               AND '2020-01-11 00:00:00' GROUP BY 1
+            )
+        GROUP BY 1, 2 ORDER BY 1
+    """, reg_mv3).collect()
+    assert [(r.t, r.m1, r.d) for r in out] == [
+        (946684800000, 1.0, ["a", "b"]), (946771200000, 2.0, ["b", "c"])]
