@@ -55,6 +55,16 @@ def _registry(spark: SparkSession, sf_dir: str) -> DatasourceRegistry:
             "SELECT o_orderkey, o_orderstatus, o_totalprice "
             "FROM orders WHERE o_totalprice > 150000",
         )
+        # MV datasource for the multi-value explode surface: the
+        # documents table's first 50 whitespace tokens as array<string>
+        docs = reg.table("documents")
+        reg.register(
+            "doc_tokens",
+            docs.select(
+                "doc_id", "lang",
+                F.slice(F.split(F.col("text"), r"\s+"), 1, 50)
+                .alias("tokens")),
+        )
         _REGISTRIES[sf_dir] = reg
     return reg
 
@@ -2216,6 +2226,29 @@ def _info_schema_lookup_catalog(spark, sf_dir):
     """, _registry(spark, sf_dir))
 
 
+@_q("mv_explode_subquery_groupby", """
+SELECT u.token AS token, COUNT(*) AS n
+FROM (SELECT unnest(list_slice(string_split_regex(text, '\\s+'), 1, 50))
+             AS token, lang
+      FROM documents WHERE lang = 'en') u
+GROUP BY 1 ORDER BY n DESC, token LIMIT 20
+""")
+def _mv_explode_subquery_groupby(spark, sf_dir):
+    """GROUP BY on a multi-value column THROUGH a derived-table
+    projection explodes to element groups — the reference keeps MV
+    typing across query datasources (GroupByQueryEngine explode;
+    CalciteQueryTest testGroupByTimeAndOtherDimension pins the
+    nesting). Physical shape: Generate -> partial HashAggregate ->
+    one hash exchange -> final -> TakeOrderedAndProject (SCALE.md
+    round-6 probe)."""
+    return druid_sql(spark, """
+        SELECT tokens AS token, COUNT(*) AS n
+        FROM (SELECT tokens, lang FROM druid.doc_tokens) t
+        WHERE lang = 'en'
+        GROUP BY tokens ORDER BY n DESC, token LIMIT 20
+    """, _registry(spark, sf_dir))
+
+
 @_q("sql_view_query", """
 SELECT o_orderstatus AS status, COUNT(*) AS n,
        ROUND(SUM(o_totalprice), 2) AS total
@@ -4322,6 +4355,7 @@ _R06_WINDOW = (
     # new in round 6
     "info_schema_lookup_catalog",
     "sql_view_query",
+    "mv_explode_subquery_groupby",
 )
 
 

@@ -813,3 +813,45 @@ def test_return_empty_rows_for_filtered_constant_group_by(spark, reg):
         SELECT 'A' AS v from foo WHERE dim1 = 'wat' GROUP BY dim1
     """, reg).collect()
     assert out1 == [] and out2 == []
+
+
+def test_timeseries_los_angeles_via_query_context(spark, reg):
+    # testTimeseriesLosAngelesViaQueryContext: sqlTimeZone shifts the
+    # month buckets to LA-local boundaries; foo's midnight-UTC rows
+    # fall in the PREVIOUS LA month
+    out = druid_sql(spark, """
+        SELECT SUM(cnt) AS s, gran FROM (
+          SELECT FLOOR(__time TO MONTH) AS gran, cnt FROM druid.foo
+        ) AS x GROUP BY gran ORDER BY gran
+    """, reg, context={"sqlTimeZone": "America/Los_Angeles"}).collect()
+    # buckets are the UTC instants of the LA month starts
+    la_months = [(1, datetime(1999, 12, 1, 8)),
+                 (2, datetime(2000, 1, 1, 8)),
+                 (1, datetime(2000, 12, 1, 8)),
+                 (2, datetime(2001, 1, 1, 8))]
+    assert [(r.s, r.gran) for r in out] == la_months
+
+
+def test_group_by_extract_floor_time_los_angeles(spark, reg):
+    # testGroupByExtractFloorTimeLosAngeles: year extraction on
+    # LA-local year boundaries splits the two UTC years into three
+    out = druid_sql(spark, """
+        SELECT EXTRACT(YEAR FROM FLOOR(__time TO YEAR)) AS "year",
+               SUM(cnt) AS s
+        FROM druid.foo
+        GROUP BY EXTRACT(YEAR FROM FLOOR(__time TO YEAR))
+        ORDER BY 1
+    """, reg, context={"sqlTimeZone": "America/Los_Angeles"}).collect()
+    assert [(r["year"], r.s) for r in out] == [
+        (1999, 1), (2000, 3), (2001, 2)]
+
+
+def test_timeseries_with_limit_no_topn(spark, reg):
+    # testTimeseriesWithLimitNoTopN
+    out = druid_sql(spark, """
+        SELECT gran, SUM(cnt) AS s
+        FROM (SELECT floor(__time TO month) AS gran, cnt
+              FROM druid.foo) AS x
+        GROUP BY gran ORDER BY gran LIMIT 1
+    """, reg).collect()
+    assert [(r.gran, r.s) for r in out] == [(datetime(2000, 1, 1), 3)]
