@@ -93,7 +93,8 @@ class DatasourceRegistry:
         """SQL view over datasources: the Druid SQL text expands into
         the enclosing query's plan at reference time (sql/.../view/
         InProcessViewManager.java, DruidViewMacro). Queryable as
-        ``view.<name>`` or the bare name."""
+        ``view.<name>`` — the reference likewise requires the ``view.``
+        qualifier (CalciteQueryTest uses ``view.aview``)."""
         self._views[name] = sql
         self.epoch += 1
 

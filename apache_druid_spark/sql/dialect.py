@@ -499,6 +499,14 @@ def _rewrite_time_floor_tz(text: str) -> str:
             # periods bucket by whole-month counts from the origin;
             # fixed-duration periods by millis arithmetic.
             o = args[2].strip()
+            # Zone-aware origin flooring (PeriodGranularity with both
+            # origin and tz): bucket in local wall time, emit the UTC
+            # instant of the local bucket start — same convention as
+            # the tz-only path below.
+            local = tz.strip().strip("'").upper() not in ("UTC", "")
+            if local:
+                ts = f"from_utc_timestamp({ts}, {tz})"
+                o = f"from_utc_timestamp({o}, {tz})"
             p = period.strip("'").upper() if period.startswith("'") \
                 else None
             mm = re.fullmatch(r"P(\d+)M", p or "")
@@ -529,6 +537,8 @@ def _rewrite_time_floor_tz(text: str) -> str:
                 repl = (f"timestamp_millis(unix_millis({o}) + "
                         f"CAST(floor((unix_millis({ts}) - "
                         f"unix_millis({o})) / {dur}) AS BIGINT) * {dur})")
+            if local:
+                repl = f"to_utc_timestamp({repl}, {tz})"
             text = text[:start] + repl + text[cp + 1:]
             pos = start + len(repl)
             continue
@@ -754,14 +764,29 @@ def _rewrite_druid_schema(text: str) -> str:
     table (CalciteJoinQueryTest uses both spellings freely). Spark temp
     views are schema-less: strip the qualifier, string-literal aware.
     The quoted spelling ``"druid".foo`` (backticked by the identifier
-    rewrite before this pass) is recognized too. Caveat (documented):
-    a table ALIAS literally named ``druid`` would also be stripped —
-    `FROM foo AS druid ... druid.col`; don't alias tables `druid`."""
+    rewrite before this pass) is recognized too. If the statement
+    declares a table ALIAS literally named ``druid`` (`FROM foo AS
+    druid`), the qualifier is stripped only in table-reference
+    position (directly after FROM/JOIN), so `druid.col` column
+    references through that alias survive intact."""
     spans = _string_spans(text)
 
+    def _out(i: int) -> bool:
+        return not any(a <= i < b for a, b in spans)
+
+    druid_alias = any(
+        _out(m.start()) for m in re.finditer(
+            r"\b(?:FROM|JOIN)\s+[`\"\w.]+\s+(?:AS\s+)?druid\b(?!\s*\.)",
+            text, re.IGNORECASE))
+
     def sub(m: re.Match) -> str:
-        if any(a <= m.start() < b for a, b in spans):
+        if not _out(m.start()):
             return m.group(0)
+        if druid_alias:
+            # only strip in table position: previous word is FROM/JOIN
+            head = text[:m.start()].rstrip()
+            if not re.search(r"\b(?:FROM|JOIN)\Z", head, re.IGNORECASE):
+                return m.group(0)
         return m.group(1) + m.group(2) + m.group(1)
 
     return _DRUID_SCHEMA_RE.sub(sub, text)
@@ -1613,7 +1638,8 @@ def _rewrite_mv_distinct(text: str, mv_cols) -> str:
                     bend = i
                     break
             if any(depths[g.start()] == d and _out(g.start())
-                   for g in re.finditer(r"\bGROUP\s+BY\b", text)
+                   for g in re.finditer(r"\bGROUP\s+BY\b", text,
+                                        re.IGNORECASE)
                    if m.end() <= g.start() < bend):
                 continue
             fstart = None
@@ -1817,9 +1843,20 @@ def _rewrite_mv_groupby(text: str, mv_cols) -> str:
                             parts.append(inner[last:i2])
                             last = i2 + 1
                     parts.append(inner[last:])
-                    patched = [f" {alias} AS {col} "
-                               if p.strip() == alias else p
-                               for p in parts]
+
+                    def _patch(p: str) -> str:
+                        st = p.strip()
+                        if st == alias:
+                            return f" {alias} AS {col} "
+                        # a retained DISTINCT keyword (existing GROUP
+                        # BY suppressed the DISTINCT->GROUP BY rewrite)
+                        if re.fullmatch(
+                                rf"DISTINCT\s+{re.escape(alias)}",
+                                st, re.IGNORECASE):
+                            return f" DISTINCT {alias} AS {col} "
+                        return p
+
+                    patched = [_patch(p) for p in parts]
                     return (seg[:sel.end()] + ",".join(patched)
                             + seg[frm.start():])
 
@@ -2414,9 +2451,33 @@ def druid_sql(spark: SparkSession, text: str, registry=None,
         # re-enter this registration block
         spark._druid_sql_registered = (id(registry), epoch, names)
         if registry is not None:
-            for name in registry.view_names():
-                vdf = druid_sql(spark, registry.view_sql(name), registry)
-                vdf.createOrReplaceTempView(f"view_{name}")
+            # Views may reference each other in any name order; iterate
+            # to convergence (each pass resolves at least the views
+            # whose dependencies materialized in earlier passes). On
+            # any terminal failure, clear the marker so the next call
+            # retries the whole registration instead of running with a
+            # half-materialized view set.
+            pending = list(registry.view_names())
+            try:
+                while pending:
+                    first_err = None
+                    progressed = False
+                    for name in list(pending):
+                        try:
+                            vdf = druid_sql(
+                                spark, registry.view_sql(name), registry)
+                        except Exception as exc:  # noqa: BLE001
+                            if first_err is None:
+                                first_err = exc
+                            continue
+                        vdf.createOrReplaceTempView(f"view_{name}")
+                        pending.remove(name)
+                        progressed = True
+                    if not progressed:
+                        raise first_err
+            except Exception:
+                spark._druid_sql_registered = None
+                raise
     explain = re.match(r"(?is)^\s*EXPLAIN\s+PLAN\s+FOR\s+(.+)$", text)
     if explain:
         return _explain_plan_for(spark, explain.group(1), registry)
@@ -2458,8 +2519,15 @@ def druid_sql(spark: SparkSession, text: str, registry=None,
         has_from = any(
             not any(a <= m.start() <= b for a, b in spans_rt)
             for m in re.finditer(r"\bFROM\b", translated, re.IGNORECASE))
+        # Approximation vs the reference: Druid enforces a __time
+        # filter per datasource-backed query block; this text-level
+        # check accepts the statement once ANY WHERE clause filters on
+        # __time (left word boundary enforced so e.g. x__time does not
+        # satisfy it), so an unfiltered nested subquery beside a
+        # filtered one is not rejected.
         has_time = bool(re.search(
-            r"\bWHERE\b(?:(?!\bGROUP\b|\bORDER\b|\bLIMIT\b).)*__time",
+            r"\bWHERE\b(?:(?!\bGROUP\b|\bORDER\b|\bLIMIT\b).)*"
+            r"(?<![0-9A-Za-z_])__time",
             translated, re.IGNORECASE | re.DOTALL))
         if has_from and not has_time:
             raise ValueError(
