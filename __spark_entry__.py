@@ -3683,6 +3683,36 @@ def _moving_average_monthly(spark, sf_dir):
     return _round(df, {"revenue": 2, "rev_ma3": 2})
 
 
+@_q("time_ceil_origin_buckets", """
+WITH loc AS (
+  SELECT CAST(o_orderdate AS TIMESTAMP) AT TIME ZONE 'UTC'
+           AT TIME ZONE 'America/Los_Angeles' AS lt
+  FROM orders
+), c AS (
+  SELECT CASE WHEN date_trunc('month', lt) = lt
+              THEN date_trunc('month', lt)
+              ELSE date_trunc('month', lt) + INTERVAL 1 MONTH END AS cl
+  FROM loc
+)
+SELECT CAST(cl AT TIME ZONE 'America/Los_Angeles' AT TIME ZONE 'UTC'
+            AS TIMESTAMP) AS bucket,
+       COUNT(*) AS n
+FROM c GROUP BY 1 ORDER BY 1
+""")
+def _time_ceil_origin_buckets(spark, sf_dir):
+    # TIME_CEIL 4-arg origin/timezone form (TimeCeilOperatorConversion
+    # .java; TimestampCeilExprMacro — ceil = floor + one period off
+    # boundary). Origin 1992-01-01T08:00Z is LA local midnight, so the
+    # buckets are LA-local month starts expressed as UTC instants.
+    return druid_sql(spark, """
+        SELECT TIME_CEIL(__time, 'P1M',
+                         TIMESTAMP '1992-01-01 08:00:00',
+                         'America/Los_Angeles') AS bucket,
+               COUNT(*) AS n
+        FROM orders GROUP BY 1 ORDER BY 1
+    """, _registry(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Pipeline: exact jaccard verification + multimodal plumbing
 # ---------------------------------------------------------------------------

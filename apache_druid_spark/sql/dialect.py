@@ -469,16 +469,25 @@ def _rewrite_nonstd_extract(text: str) -> str:
 
 
 def _rewrite_time_floor_tz(text: str) -> str:
-    """TIME_FLOOR(ts, period[, origin[, timezone]]) — the 3/4-arg forms
-    of TimeFloorOperatorConversion: flooring happens in the given zone
-    and the result is the UTC instant of that local bucket start. The
-    registered macro is 2-arity, so the long forms rewrite to
-    from_utc/date_trunc/to_utc here. Non-NULL origins and non-unit
-    periods in the long form are left for the caller's error."""
+    """TIME_FLOOR / TIME_CEIL (ts, period[, origin[, timezone]]) — the
+    3/4-arg forms of TimeFloorOperatorConversion and
+    TimeCeilOperatorConversion (same signature; ceil = floor, plus one
+    period when ts is not already on a boundary): bucketing happens in
+    the given zone and the result is the UTC instant of that local
+    boundary. The registered macros are 2-arity, so the long forms
+    rewrite to from_utc/date_trunc/to_utc (or a wrapped 2-arg macro
+    call) here. Unrecognized origin periods are left for the caller's
+    error."""
+    for fn in ("TIME_FLOOR", "TIME_CEIL"):
+        text = _rewrite_time_bucket_long_form(text, fn)
+    return text
+
+
+def _rewrite_time_bucket_long_form(text: str, fn: str) -> str:
     pos = 0
     while True:
         found = None
-        for start, op, cp in _find_calls(text[pos:], "TIME_FLOOR"):
+        for start, op, cp in _find_calls(text[pos:], fn):
             args = _split_top_args(text[pos + op + 1:pos + cp])
             if len(args) >= 3:
                 found = (pos + start, pos + op, pos + cp, args)
@@ -537,16 +546,30 @@ def _rewrite_time_floor_tz(text: str) -> str:
                 repl = (f"timestamp_millis(unix_millis({o}) + "
                         f"CAST(floor((unix_millis({ts}) - "
                         f"unix_millis({o})) / {dur}) AS BIGINT) * {dur})")
+            if fn == "TIME_CEIL":
+                # ceil = floor, stepped one period forward unless ts is
+                # already on a bucket boundary
+                step = (f"({repl} + make_interval(0, {months}))"
+                        if months else
+                        f"timestamp_millis(unix_millis({repl}) + {dur})")
+                repl = (f"(CASE WHEN {repl} = {ts} THEN {repl} "
+                        f"ELSE {step} END)")
             if local:
                 repl = f"to_utc_timestamp({repl}, {tz})"
             text = text[:start] + repl + text[cp + 1:]
             pos = start + len(repl)
             continue
-        if unit is None:
-            pos = cp + 1  # unsupported long form: leave in place
-            continue
-        repl = (f"to_utc_timestamp(CAST(date_trunc('{unit}', "
-                f"from_utc_timestamp({ts}, {tz})) AS TIMESTAMP), {tz})")
+        if fn == "TIME_FLOOR" and unit is not None:
+            repl = (f"to_utc_timestamp(CAST(date_trunc('{unit}', "
+                    f"from_utc_timestamp({ts}, {tz})) AS TIMESTAMP), {tz})")
+        else:
+            # NULL origin, any ISO period (incl. TIME_CEIL): wrap the
+            # registered 2-arg macro around the shifted wall clock —
+            # flooring/ceiling naive-local time from the naive epoch IS
+            # PeriodGranularity with a tz (origin defaults to
+            # 1970-01-01T00:00 local)
+            repl = (f"to_utc_timestamp({fn}(from_utc_timestamp({ts}, "
+                    f"{tz}), {period}), {tz})")
         text = text[:start] + repl + text[cp + 1:]
         pos = start + len(repl)
     return text
@@ -2390,6 +2413,9 @@ def _apply_sql_timezone(text: str, tz: str) -> str:
                 args = _split_top_args(text[o + 1:c])
                 if len(args) != 2:
                     continue  # 3/4-arg forms were lowered in translate()
+                if re.sub(r"\s+", "", text[:s]).upper().endswith(
+                        "TO_UTC_TIMESTAMP("):
+                    continue  # explicit-tz macro wrap from translate()
                 found = (s, c, args[0].strip(), args[1].strip())
                 break
             if found is None:

@@ -171,3 +171,79 @@ def test_druid_alias_end_to_end_ambiguous_join(spark, mvreg):
         WHERE druid.dim1 = '2'
     """, mvreg).collect()
     assert [r["d"] for r in out] == ["2"]
+
+
+# --- TIME_CEIL 3/4-arg origin/timezone forms -------------------------
+# (TimeCeilOperatorConversion.java — same signature as TIME_FLOOR;
+# TimestampCeilExprMacro: ceil = bucketStart when on a boundary, else
+# increment(bucketStart). Goldens from ExpressionsTest.testTimeCeil.)
+
+def _scalar(spark, expr):
+    return druid_sql(spark, f"SELECT {expr} AS t").first()["t"]
+
+
+def test_time_ceil_null_origin_tz_day(spark):
+    # ExpressionsTest.testTimeCeil: t=2000-02-03T04:05:06Z, P1D in LA
+    # -> local Feb 2 20:05 ceils to local Feb 3 00:00 = 08:00Z
+    assert _scalar(
+        spark,
+        "TIME_CEIL(TIMESTAMP '2000-02-03 04:05:06', 'P1D', NULL, "
+        "'America/Los_Angeles')") == datetime(2000, 2, 3, 8, 0)
+
+
+def test_time_ceil_two_arg_hour(spark):
+    # testTimeCeil first case: PT1H over 04:05:06 -> 05:00
+    assert _scalar(
+        spark,
+        "TIME_CEIL(TIMESTAMP '2000-02-03 04:05:06', 'PT1H')") \
+        == datetime(2000, 2, 3, 5, 0)
+
+
+def test_time_ceil_origin_month_utc(spark):
+    assert _scalar(
+        spark,
+        "TIME_CEIL(TIMESTAMP '2024-06-15 10:00:00', 'P1M', "
+        "TIMESTAMP '2024-01-01 08:00:00')") \
+        == datetime(2024, 7, 1, 8, 0)
+
+
+def test_time_ceil_origin_month_tz(spark):
+    # buckets tile from LA local midnight; next boundary after
+    # 2024-06-15 is local 2024-07-01 00:00 = 07:00Z (DST)
+    assert _scalar(
+        spark,
+        "TIME_CEIL(TIMESTAMP '2024-06-15 10:00:00', 'P1M', "
+        "TIMESTAMP '2024-01-01 08:00:00', 'America/Los_Angeles')") \
+        == datetime(2024, 7, 1, 7, 0)
+
+
+def test_time_ceil_origin_on_boundary_identity(spark):
+    # argTime == bucketStartTime -> return bucketStartTime unchanged
+    assert _scalar(
+        spark,
+        "TIME_CEIL(TIMESTAMP '2024-06-01 07:00:00', 'P1M', "
+        "TIMESTAMP '2024-01-01 08:00:00', 'America/Los_Angeles')") \
+        == datetime(2024, 6, 1, 7, 0)
+
+
+def test_time_ceil_origin_duration(spark):
+    # PT12H buckets from 08:00: floor(01-02 10:30) = 01-02 08:00,
+    # ceil steps to 20:00
+    assert _scalar(
+        spark,
+        "TIME_CEIL(TIMESTAMP '2024-01-02 10:30:00', 'PT12H', "
+        "TIMESTAMP '2024-01-01 08:00:00')") \
+        == datetime(2024, 1, 2, 20, 0)
+
+
+def test_time_floor_null_origin_nonunit_period(spark):
+    # previously-untranslated form: NULL origin + non-unit period now
+    # routes through the 2-arg macro with the tz wall-clock shift
+    assert _scalar(
+        spark,
+        "TIME_FLOOR(TIMESTAMP '2024-01-02 10:30:00', 'PT15M', NULL, "
+        "'UTC')") == datetime(2024, 1, 2, 10, 30)
+    assert _scalar(
+        spark,
+        "TIME_FLOOR(TIMESTAMP '2000-02-03 04:05:06', 'P1D', NULL, "
+        "'America/Los_Angeles')") == datetime(2000, 2, 2, 8, 0)
