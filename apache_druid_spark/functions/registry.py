@@ -162,8 +162,12 @@ _FUNCTION_DEFS: list[tuple[str, str, str, str]] = [
     ("STRING_FORMAT", "fmt STRING, a STRING", "STRING",
      "format_string(fmt, a)"),
     ("PARSE_LONG", "s STRING", "BIGINT", "try_cast(s AS BIGINT)"),
+    # SafeDivideExprMacro.java: denominator 0 yields NULL, except
+    # 0/0 which yields 0 (CalciteSelectQueryTest.testSafeDivide
+    # Expressions row 3)
     ("SAFE_DIVIDE", "a DOUBLE, b DOUBLE", "DOUBLE",
-     "CASE WHEN b = 0 THEN NULL ELSE a / b END"),
+     "CASE WHEN b = 0 THEN CASE WHEN a = 0 THEN 0 ELSE NULL END "
+     "ELSE a / b END"),
     ("BITWISE_AND", "a BIGINT, b BIGINT", "BIGINT", "a & b"),
     ("BITWISE_OR", "a BIGINT, b BIGINT", "BIGINT", "a | b"),
     ("BITWISE_XOR", "a BIGINT, b BIGINT", "BIGINT", "a ^ b"),

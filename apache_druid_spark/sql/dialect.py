@@ -2309,25 +2309,36 @@ def _rewrite_mv_semantics(text: str, mv_cols) -> str:
         text = _scoped(
             text, rf"\b{c}\s+IS\s+NULL\b",
             f"({col} IS NULL OR size({col}) = 0)", col)
+        # literals are CAST to STRING: Druid coerces a numeric literal
+        # against a string dimension to its string form (`dim2 = 0`
+        # matches the element '0' — testSelectCountStar's first case),
+        # where Spark's array_contains would reject the type mismatch.
+        # The cast is constant-folded for string literals.
         text = _scoped(
             text, rf"\b{c}\s+NOT\s+IN\s*\(([^()]*)\)",
-            lambda m: f"(NOT arrays_overlap({col}, array({m.group(1)})))",
+            lambda m: f"(NOT arrays_overlap({col}, "
+                      f"CAST(array({m.group(1)}) AS ARRAY<STRING>)))",
             col)
         text = _scoped(
             text, rf"\b{c}\s+IN\s*\(([^()]*)\)",
-            lambda m: f"arrays_overlap({col}, array({m.group(1)}))", col)
+            lambda m: f"arrays_overlap({col}, "
+                      f"CAST(array({m.group(1)}) AS ARRAY<STRING>))", col)
         text = _scoped(
             text, rf"\b{c}\s*(<>|!=)\s*({_MV_LIT})",
-            lambda m: f"(NOT array_contains({col}, {m.group(2)}))", col)
+            lambda m: f"(NOT array_contains({col}, "
+                      f"CAST({m.group(2)} AS STRING)))", col)
         text = _scoped(
             text, rf"({_MV_LIT})\s*(<>|!=)\s*{c}\b",
-            lambda m: f"(NOT array_contains({col}, {m.group(1)}))", col)
+            lambda m: f"(NOT array_contains({col}, "
+                      f"CAST({m.group(1)} AS STRING)))", col)
         text = _scoped(
             text, rf"\b{c}\s*(?<![<>!])=(?!=)\s*({_MV_LIT})",
-            lambda m: f"array_contains({col}, {m.group(1)})", col)
+            lambda m: f"array_contains({col}, "
+                      f"CAST({m.group(1)} AS STRING))", col)
         text = _scoped(
             text, rf"({_MV_LIT})\s*(?<![<>!])=(?!=)\s*{c}\b",
-            lambda m: f"array_contains({col}, {m.group(1)})", col)
+            lambda m: f"array_contains({col}, "
+                      f"CAST({m.group(1)} AS STRING))", col)
     return text
 
 
