@@ -1096,6 +1096,46 @@ def _strip_agg_size_arg(text: str) -> str:
     return text
 
 
+def _rewrite_human_readable_precision(text: str) -> str:
+    """2-arg HUMAN_READABLE_*_FORMAT(n, precision) forms
+    (HumanReadableFormatOperatorConversion — precision 0..3,
+    CalciteQueryTest.testHumanReadableFormatFunction): the registered
+    SQL UDFs are 1-arity (fixed %.2f), so the precision form inlines
+    the same magnitude expression with a dynamic format string."""
+    specs = {
+        "HUMAN_READABLE_BINARY_BYTE_FORMAT":
+            (1024, "array('B','KiB','MiB','GiB','TiB','PiB')", False),
+        "HUMAN_READABLE_DECIMAL_BYTE_FORMAT":
+            (1000, "array('B','KB','MB','GB','TB','PB')", False),
+        "HUMAN_READABLE_DECIMAL_FORMAT":
+            (1000, "array('','K','M','G','T','P')", True),
+    }
+    for fn, (base, units, plain_small) in specs.items():
+        pos = 0
+        while True:
+            found = None
+            for start, op, cp in _find_calls(text[pos:], fn):
+                args = _split_top_args(text[pos + op + 1:pos + cp])
+                if len(args) == 2:
+                    found = (pos + start, pos + cp, args)
+                    break
+            if found is None:
+                break
+            s, c, args = found
+            n, p = (a.strip() for a in args)
+            mag = f"floor(log({base}, greatest(abs({n}), 1)))"
+            body = (f"format_string(concat('%.', CAST({p} AS STRING), "
+                    f"'f %s'), ({n}) / power({base}, {mag}), "
+                    f"element_at({units}, cast({mag} AS INT) + 1))")
+            if plain_small:
+                body = (f"(CASE WHEN abs({n}) < {base} THEN "
+                        f"cast(cast({n} AS BIGINT) AS STRING) "
+                        f"ELSE {body} END)")
+            text = text[:s] + body + text[c + 1:]
+            pos = s + len(body)
+    return text
+
+
 def translate(text: str, time_column: str = TIME_COLUMN) -> str:
     """Rewrite Druid SQL aggregate surface into Spark SQL."""
     text = _rewrite_quoted_identifiers(text)
@@ -1142,6 +1182,15 @@ def translate(text: str, time_column: str = TIME_COLUMN) -> str:
     text = _rewrite_mv_slice_2arg(text)
     text = _rewrite_mv_contains_array(text)
     text = _rewrite_truncate_default(text)
+    text = _rewrite_human_readable_precision(text)
+    # APPROX_COUNT_DISTINCT(DISTINCT x) — Calcite tolerates the
+    # redundant DISTINCT keyword inside the approximate aggregator
+    # (CalciteQueryTest.testApproxCountDistinct); Spark rejects it
+    text = _sub_outside_strings(
+        text,
+        r"\b(APPROX_COUNT_DISTINCT(?:_DS_HLL|_BUILTIN|_DS_THETA)?)"
+        r"\s*\(\s*DISTINCT\b",
+        lambda m: f"{m.group(1)}(")
     # Druid's string forms carry a trailing maxStringBytes argument
     # (EARLIEST(expr, 10) / EARLIEST_BY(expr, ts, 10) /
     # ANY_VALUE(expr, 10) — StringFirstAggregatorFactory). This engine
@@ -2060,6 +2109,124 @@ def _matching_close(text: str, op: int) -> int:
     return j - 1
 
 
+def _rewrite_mv_in_subquery(text: str, mv_cols) -> str:
+    """MV column in an IN-subquery matches ANY element (the same
+    any-element contract as the literal IN list —
+    testUsingSubqueryAsFilterWithInnerSort, testExactCountDistinctOf
+    SemiJoinResult). ``mv IN (SELECT ...)`` lowers to arrays_overlap
+    against the collected subquery values; ``(a, mv) IN (SELECT ...)``
+    lowers to EXISTS with an array_contains conjunct."""
+    lower = {c.lower() for c in mv_cols}
+
+    def _sub_at(pos):
+        """If text[pos:] starts an IN-subquery, return (close, body)."""
+        m = re.match(r"\s+(NOT\s+)?IN\s*\(", text[pos:], re.IGNORECASE)
+        if not m:
+            return None
+        op = pos + m.end() - 1
+        if not re.match(r"\s*SELECT\b", text[op + 1:], re.IGNORECASE):
+            return None
+        return (bool(m.group(1)), op, _matching_close(text, op))
+
+    changed = True
+    while changed:
+        changed = False
+        spans = _string_spans(text)
+        # single-column form
+        for col in mv_cols:
+            c = re.escape(col)
+            for m in re.finditer(rf"(?<![\w.]){c}\b", text,
+                                 re.IGNORECASE):
+                if any(a <= m.start() <= b for a, b in spans):
+                    continue
+                hit = _sub_at(m.end())
+                if hit is None:
+                    continue
+                neg, op, cp = hit
+                sub = text[op + 1:cp]
+                repl = (f"arrays_overlap({col}, (SELECT "
+                        f"collect_list(CAST(__mv_sq.__c AS STRING)) "
+                        f"FROM ({sub}) AS __mv_sq(__c)))")
+                if neg:
+                    repl = f"(NOT {repl})"
+                text = text[:m.start()] + repl + text[cp + 1:]
+                changed = True
+                break
+            if changed:
+                break
+        if changed:
+            continue
+        # tuple form: (expr, ..., mv, ...) IN (SELECT ...)
+        for m in re.finditer(r"\(([^()]+)\)", text):
+            if any(a <= m.start() <= b for a, b in spans):
+                continue
+            items = [i.strip() for i in _split_top_args(m.group(1))]
+            if len(items) < 2 or not any(
+                    i.lower() in lower for i in items):
+                continue
+            hit = _sub_at(m.end())
+            if hit is None:
+                continue
+            neg, op, cp = hit
+            sub = text[op + 1:cp]
+            aliases = ", ".join(f"__c{i}" for i in range(len(items)))
+            conds = []
+            for i, it in enumerate(items):
+                if it.lower() in lower:
+                    conds.append(f"array_contains({it}, "
+                                 f"CAST(__mv_sq.__c{i} AS STRING))")
+                else:
+                    conds.append(f"{it} = __mv_sq.__c{i}")
+            repl = (f"EXISTS (SELECT 1 FROM ({sub}) AS "
+                    f"__mv_sq({aliases}) WHERE {' AND '.join(conds)})")
+            if neg:
+                repl = f"(NOT {repl})"
+            text = text[:m.start()] + repl + text[cp + 1:]
+            changed = True
+            break
+    return text
+
+
+def _flatten_mv_in_collects(text: str, mv_cols) -> str:
+    """collect_list/collect_set over an expression of ONE MV column
+    (the lowered STRING_AGG / ARRAY_AGG shapes) aggregate ELEMENT
+    values in the reference (testStringAggMultiValue,
+    testStringAggExpression): map the expression over the elements and
+    flatten, so downstream array_join/array_distinct see scalars. An
+    empty/null MV row maps to the single-null row, whose null result
+    array_join skips — matching "no contribution" semantics."""
+    for fn in ("collect_list", "collect_set"):
+        pos = 0
+        while True:
+            found = None
+            for start, op, cp in _find_calls(text[pos:], fn):
+                inner = text[pos + op + 1:pos + cp]
+                if "__mv_e" in inner or "__mv_sq" in inner:
+                    continue
+                hits = [col for col in mv_cols if re.search(
+                    rf"(?<![\w.]){re.escape(col)}\b", inner,
+                    re.IGNORECASE)]
+                if len(hits) != 1:
+                    continue
+                found = (pos + start, pos + cp, inner.strip(), hits[0])
+                break
+            if found is None:
+                break
+            s, c, inner, col = found
+            if inner.lower() == col.lower():
+                repl = f"flatten({fn}({col}))"
+            else:
+                mapped = _sub_outside_strings(
+                    inner, rf"(?<![\w.]){re.escape(col)}\b",
+                    lambda _: "__mv_e")
+                repl = (f"flatten({fn}(transform(if(coalesce("
+                        f"size({col}), 0) = 0, {_MV_NULL_ROW}, {col}), "
+                        f"__mv_e -> {mapped})))")
+            text = text[:s] + repl + text[c + 1:]
+            pos = s + len(repl)
+    return text
+
+
 def _map_mv_scalar_exprs(text: str, mv_cols) -> str:
     """Scalar-function expressions over an MV column map element-wise
     and yield an MV: ``concat(mv,'foo')`` becomes ``transform(
@@ -2267,6 +2434,8 @@ def _rewrite_mv_semantics(text: str, mv_cols) -> str:
     aggregate), matching empty-MV ≡ null. Expressions referencing two
     different MV columns are left untouched — the reference rejects
     those too (one implicit MV input per expression)."""
+    text = _rewrite_mv_in_subquery(text, mv_cols)
+    text = _flatten_mv_in_collects(text, mv_cols)
     text = _unwrap_mv_array_wrap(text, mv_cols)
     text = _map_mv_scalar_exprs(text, mv_cols)
     text = _explode_mv_array_items(text, mv_cols)
