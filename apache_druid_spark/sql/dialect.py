@@ -1096,41 +1096,62 @@ def _strip_agg_size_arg(text: str) -> str:
     return text
 
 
+def _human_readable_body(n: str, p: str, base: int, units: str,
+                         suffix: str) -> str:
+    """One HUMAN_READABLE_* rendering per HumanReadableBytes.java
+    (core/.../HumanReadableBytes.java format()): the input is truncated
+    to long, NULL stays NULL, |n| < base renders the INTEGER value with
+    the bare suffix regardless of precision, and the unit index is an
+    exact integer-threshold CASE (the reference uses bit position /
+    digit count — float log() would mis-bucket exact powers)."""
+    v = "__hr_v"
+    thresholds = [base ** i for i in range(1, 6)]
+    idx = " ".join(
+        f"WHEN abs({v}) < {t}L THEN {i}"
+        for i, t in enumerate(thresholds, start=0)) + " ELSE 5"
+    small = (f"concat(CAST({v} AS STRING), '{suffix}')" if suffix
+             else f"CAST({v} AS STRING)")
+    big = (f"format_string(concat('%.', CAST({p} AS STRING), 'f %s'), "
+           f"{v} / power({base}, __hr_i), "
+           f"element_at({units}, __hr_i + 1))")
+    # bind the long value and unit index once via a literal-array
+    # transform (poor man's lateral binding — stays whole-stage-codegen)
+    return (f"(CASE WHEN ({n}) IS NULL THEN NULL ELSE "
+            f"element_at(transform(array(CAST({n} AS BIGINT)), {v} -> "
+            f"CASE WHEN abs({v}) < {base} THEN {small} ELSE "
+            f"element_at(transform(array(CASE {idx} END), __hr_i -> "
+            f"{big}), 1) END), 1) END)")
+
+
 def _rewrite_human_readable_precision(text: str) -> str:
-    """2-arg HUMAN_READABLE_*_FORMAT(n, precision) forms
-    (HumanReadableFormatOperatorConversion — precision 0..3,
-    CalciteQueryTest.testHumanReadableFormatFunction): the registered
-    SQL UDFs are 1-arity (fixed %.2f), so the precision form inlines
-    the same magnitude expression with a dynamic format string."""
+    """HUMAN_READABLE_*_FORMAT(n[, precision]) — both arities inline
+    (HumanReadableFormatOperatorConversion; precision 0..3 defaults 2;
+    CalciteQueryTest.testHumanReadableFormatFunction). Inlined rather
+    than SQL UDFs so the NULL/small-value/precision contract is a
+    single rendering (core/.../HumanReadableBytes.java)."""
     specs = {
         "HUMAN_READABLE_BINARY_BYTE_FORMAT":
-            (1024, "array('B','KiB','MiB','GiB','TiB','PiB')", False),
+            (1024, "array('B','KiB','MiB','GiB','TiB','PiB')", " B"),
         "HUMAN_READABLE_DECIMAL_BYTE_FORMAT":
-            (1000, "array('B','KB','MB','GB','TB','PB')", False),
+            (1000, "array('B','KB','MB','GB','TB','PB')", " B"),
         "HUMAN_READABLE_DECIMAL_FORMAT":
-            (1000, "array('','K','M','G','T','P')", True),
+            (1000, "array('','K','M','G','T','P')", ""),
     }
-    for fn, (base, units, plain_small) in specs.items():
+    for fn, (base, units, suffix) in specs.items():
         pos = 0
         while True:
             found = None
             for start, op, cp in _find_calls(text[pos:], fn):
                 args = _split_top_args(text[pos + op + 1:pos + cp])
-                if len(args) == 2:
+                if len(args) in (1, 2):
                     found = (pos + start, pos + cp, args)
                     break
             if found is None:
                 break
             s, c, args = found
-            n, p = (a.strip() for a in args)
-            mag = f"floor(log({base}, greatest(abs({n}), 1)))"
-            body = (f"format_string(concat('%.', CAST({p} AS STRING), "
-                    f"'f %s'), ({n}) / power({base}, {mag}), "
-                    f"element_at({units}, cast({mag} AS INT) + 1))")
-            if plain_small:
-                body = (f"(CASE WHEN abs({n}) < {base} THEN "
-                        f"cast(cast({n} AS BIGINT) AS STRING) "
-                        f"ELSE {body} END)")
+            n = args[0].strip()
+            p = args[1].strip() if len(args) == 2 else "2"
+            body = _human_readable_body(n, p, base, units, suffix)
             text = text[:s] + body + text[c + 1:]
             pos = s + len(body)
     return text
@@ -2045,7 +2066,7 @@ _MV_AGG_BOUNDARY = frozenset((
 # mapping and stay MV-typed.
 _MV_ARRAY_RET_FNS = frozenset((
     "mv_append mv_prepend mv_concat mv_slice mv_filter_only "
-    "mv_filter_none string_to_mv filter transform"
+    "mv_filter_none string_to_mv filter transform __mv_wrap"
 ).split())
 
 # marker for a null MV row: expressions over null map to a single-null
@@ -2207,6 +2228,31 @@ def _flatten_mv_in_collects(text: str, mv_cols) -> str:
                     rf"(?<![\w.]){re.escape(col)}\b", inner,
                     re.IGNORECASE)]
                 if len(hits) != 1:
+                    continue
+                # Occurrences whose INNERMOST enclosing call consumes
+                # the whole array (MV_TO_STRING(dim2,','), size(dim2),
+                # ...) must keep the array — substituting the element
+                # var there produced array_join(<string>,..) and broke
+                # testArrayAggExpression (r7 regression). Bail out of
+                # the flatten for this collect entirely.
+                i_depths = _depths(inner)
+                i_spans = _string_spans(inner)
+                consumed = False
+                for mo in re.finditer(
+                        rf"(?<![\w.]){re.escape(hits[0])}\b", inner,
+                        re.IGNORECASE):
+                    if any(a <= mo.start() <= b for a, b in i_spans):
+                        continue
+                    for nm, _fs, _op in _enclosing_calls(
+                            inner, mo.start(), i_depths, i_spans):
+                        if nm == "":
+                            continue
+                        if nm in _MV_ARRAY_ARG_FNS:
+                            consumed = True
+                        break
+                    if consumed:
+                        break
+                if consumed:
                     continue
                 found = (pos + start, pos + cp, inner.strip(), hits[0])
                 break
@@ -2511,6 +2557,140 @@ def _rewrite_mv_semantics(text: str, mv_cols) -> str:
     return text
 
 
+def _align_mv_in_unions(text: str, mv_by_table) -> str:
+    """UNION ALL over tables where the same select position is an MV
+    column on one side and a scalar on the other: the reference's
+    union datasource treats every dimension as STRING, so a scalar
+    row behaves as a one-element multi-value
+    (DruidUnionDataSourceRule;
+    CalciteQueryTest.testUnionAllDifferentTablesWithMapping — numfoo's
+    scalar dim2='a' groups with foo's MV element 'a'). Spark's UNION
+    would reject ARRAY<STRING> vs STRING, so wrap the scalar side in
+    array(CAST(. AS STRING)). Only simple ``SELECT items FROM table``
+    arms are aligned — anything else is left for Catalyst to type."""
+    mv_lower = {t.lower(): {c.lower() for c in cols}
+                for t, cols in mv_by_table.items()}
+    spans = _string_spans(text)
+    depths = _depths(text)
+
+    def at(pos):
+        return depths[pos] if pos < len(depths) else 0
+
+    unions = [m for m in re.finditer(r"\bUNION\s+ALL\b", text,
+                                     re.IGNORECASE)
+              if not any(a <= m.start() <= b for a, b in spans)]
+    if not unions:
+        return text
+    # chain = consecutive arms separated by UNION ALL at one depth
+    selects = [m for m in re.finditer(r"\bSELECT\b", text, re.IGNORECASE)
+               if not any(a <= m.start() <= b for a, b in spans)]
+    edits = []  # (start, end, replacement)
+    seen_chains = set()
+    for um in unions:
+        d = at(um.start())
+        # collect the full chain: all UNION ALL tokens at this depth
+        # belonging to the same paren group
+        group = [u for u in unions if at(u.start()) == d]
+        key = (d, group[0].start())
+        if key in seen_chains:
+            continue
+        seen_chains.add(key)
+        # arm boundaries: SELECTs at depth d interleaved with the unions
+        arm_sel = [s for s in selects if at(s.start()) == d]
+        if len(arm_sel) < 2:
+            continue
+        arms = []
+        ok = True
+        for i, s in enumerate(arm_sel):
+            # arm ends at the next UNION ALL at depth d, or where depth
+            # drops below d, or end of text
+            end = len(text)
+            for u in group:
+                if u.start() > s.start():
+                    end = u.start()
+                    break
+            j = s.start()
+            while j < end:
+                if at(j) < d:
+                    end = j
+                    break
+                j += 1
+            arm = text[s.start():end]
+            m = re.match(
+                r"(?is)^(SELECT\s+)(.*?)(\s+FROM\s+)([A-Za-z_]\w*)"
+                r"(\s*)$", arm)
+            if not m:
+                ok = False
+                break
+            items = _split_top_args(m.group(2))
+            arms.append((s.start(), s.start() + m.end(1),
+                         m.group(4).lower(), items,
+                         s.start() + m.end(1) + len(m.group(2))))
+        if not ok or len(arms) < 2:
+            continue
+        width = len(arms[0][3])
+        if any(len(a[3]) != width for a in arms):
+            continue
+
+        def is_mv(tbl, item):
+            it = item.strip().lower()
+            return it in mv_lower.get(tbl, ())
+
+        for pos_i in range(width):
+            mvness = [is_mv(a[2], a[3][pos_i]) for a in arms]
+            if not (any(mvness) and not all(mvness)):
+                continue
+            for a, mv in zip(arms, mvness):
+                if mv:
+                    continue
+                item = a[3][pos_i].strip()
+                am = re.match(r"(?is)^(.*?)\s+AS\s+([A-Za-z_]\w*)$",
+                              item)
+                expr, alias = ((am.group(1), am.group(2)) if am
+                               else (item, item if re.fullmatch(
+                                   r"[A-Za-z_]\w*", item) else None))
+                # __mv_wrap is a marker the MV element-mapping walk
+                # skips (names starting with "__" stop the walk);
+                # druid_sql expands it to array(CAST(. AS STRING))
+                # after _rewrite_mv_semantics so the wrapped scalar is
+                # not re-mapped as an MV expression.
+                wrapped = f"__mv_wrap({expr})"
+                if alias:
+                    wrapped += f" AS {alias}"
+                new_items = list(a[3])
+                new_items[pos_i] = wrapped
+                # replace this arm's select list
+                edits.append((a[1], a[4],
+                              ", ".join(i.strip() for i in new_items)))
+                # refresh the local view of items for later positions
+                arms[arms.index(a)] = (a[0], a[1], a[2], new_items,
+                                       a[4])
+    # merge edits per span (later positions updated the same arm list)
+    final = {}
+    for s, e, rep in edits:
+        final[(s, e)] = rep
+    for (s, e), rep in sorted(final.items(), reverse=True):
+        text = text[:s] + rep + text[e:]
+    return text
+
+
+def _expand_mv_wrap(text: str) -> str:
+    """Expand the __mv_wrap(x) markers _align_mv_in_unions planted to
+    array(CAST(x AS STRING)) — run after _rewrite_mv_semantics so the
+    wrapped scalar never got MV element-mapping."""
+    while True:
+        found = None
+        for start, op, cp in _find_calls(text, "__mv_wrap"):
+            found = (start, op, cp)
+            break
+        if found is None:
+            return text
+        start, op, cp = found
+        inner = text[op + 1:cp]
+        text = (text[:start] + f"array(CAST({inner} AS STRING))"
+                + text[cp + 1:])
+
+
 def _mv_string_columns(registry, names) -> tuple:
     """Names of array<string> columns across the registered tables."""
     from pyspark.sql.types import ArrayType, StringType
@@ -2526,6 +2706,41 @@ def _mv_string_columns(registry, names) -> tuple:
                     and isinstance(f.dataType.elementType, StringType)):
                 cols.add(f.name)
     return tuple(sorted(cols))
+
+
+def _float_columns(registry, names) -> tuple:
+    """Names of FLOAT (single-precision) columns across the tables."""
+    from pyspark.sql.types import FloatType
+
+    cols = set()
+    for name in names:
+        try:
+            fields = registry.table(name).schema.fields
+        except Exception:  # noqa: BLE001 — unresolvable view: skip
+            continue
+        for f in fields:
+            if isinstance(f.dataType, FloatType):
+                cols.add(f.name)
+    return tuple(sorted(cols))
+
+
+def _coerce_float_literals(text: str, float_cols) -> str:
+    """A decimal literal compared against a FLOAT column compares at
+    FLOAT precision in the reference (the literal is coerced to the
+    column type — CalciteQueryTest testFilterFloatDimension pins
+    ``f1 = 0.1`` matching the stored float 0.1f). Spark promotes the
+    float column to DOUBLE instead (0.1f -> 0.10000000149 <> 0.1), so
+    cast the literal down to FLOAT."""
+    lit = r"-?\d+\.\d+(?:[eE][-+]?\d+)?"
+    for col in float_cols:
+        c = re.escape(col)
+        text = _sub_outside_strings(
+            text, rf"(?<![\w.]){c}\s*(=|<>|!=|<=|>=|<|>)\s*({lit})\b",
+            lambda m: f"{col} {m.group(1)} CAST({m.group(2)} AS FLOAT)")
+        text = _sub_outside_strings(
+            text, rf"(?<![\w.])({lit})\s*(=|<>|!=|<=|>=|<|>)\s*{c}\b",
+            lambda m: f"CAST({m.group(1)} AS FLOAT) {m.group(2)} {col}")
+    return text
 
 
 def _tz_trunc(unit: str, ts: str, tz_lit: str) -> str:
@@ -2703,12 +2918,37 @@ def druid_sql(spark: SparkSession, text: str, registry=None,
         cache_key = (id(registry), epoch, names)
         cached = getattr(spark, "_druid_sql_mv_cols", None)
         if cached is not None and cached[0] == cache_key:
-            mv_cols = cached[1]
+            mv_by_table, float_by_table = cached[1], cached[2]
         else:
-            mv_cols = _mv_string_columns(registry, names)
-            spark._druid_sql_mv_cols = (cache_key, mv_cols)
+            mv_by_table = {n: _mv_string_columns(registry, (n,))
+                           for n in names}
+            float_by_table = {n: _float_columns(registry, (n,))
+                              for n in names}
+            spark._druid_sql_mv_cols = (cache_key, mv_by_table,
+                                        float_by_table)
+        # Resolve the MV column set against the tables this statement
+        # actually references (word-boundary match on the translated
+        # text — druid. qualifiers are already stripped in table
+        # position). Registering foo (MV dim2) alongside numfoo
+        # (scalar STRING dim2) must not give numfoo queries MV
+        # treatment (r7 verdict bug #2: multi-datasource scoping).
+        spans_mv = _string_spans(translated)
+        referenced = tuple(
+            n for n in names
+            if any(not any(a <= m.start() <= b for a, b in spans_mv)
+                   for m in re.finditer(
+                       rf"(?<![\w.$]){re.escape(n)}(?![\w$])",
+                       translated, re.IGNORECASE)))
+        mv_cols = tuple(sorted(
+            {c for n in referenced for c in mv_by_table.get(n, ())}))
+        float_cols = tuple(sorted(
+            {c for n in referenced for c in float_by_table.get(n, ())}))
+        if float_cols:
+            translated = _coerce_float_literals(translated, float_cols)
         if mv_cols:
+            translated = _align_mv_in_unions(translated, mv_by_table)
             translated = _rewrite_mv_semantics(translated, mv_cols)
+            translated = _expand_mv_wrap(translated)
     if registry is not None and ("sys_" in translated
                                  or "information_schema_" in translated):
         # rebuild the catalog views so they reflect publishes/streams
