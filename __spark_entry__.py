@@ -4389,14 +4389,50 @@ _R06_WINDOW = (
 )
 
 
+# Round-8 gate window (VERDICT r7 task #2): rotate the driver's 50-entry
+# correctness pass onto the entries with the OLDEST evidence — the one
+# never-windowed entry (time_ceil_origin_buckets, judge-verified locally
+# in r7) first, then the 44 entries whose latest driver-green is r3 and
+# the 23 whose latest is r4 (computed from CORRECTNESS_r03/r04/r05/r07).
+# After r8, every entry's evidence is r5+ and the window keeps rotating
+# by age: r5-era entries next round, r7-era after that.
+_R08_WINDOW = (
+    'time_ceil_origin_buckets', 'theta_rollup_merge', 'segment_metadata_orders',
+    'sql_time_ops', 'sql_mv_first_word', 'sql_array_fns',
+    'sql_lookup_fn', 'sql_safe_divide', 'sql_ipv4',
+    'sql_bloom_filter_test', 'extraction_cascade', 'extraction_bucket',
+    'search_fragment_multi', 'sql_bit_aggs', 'sql_earliest_by',
+    'scan_time_desc', 'tdigest_quantile_price', 'momentsketch_quartiles',
+    'null_dim_three_valued', 'expression_array_fold', 'extraction_time_format_gran',
+    'timeboundary_filtered_min', 'extraction_strlen', 'extraction_string_format',
+    'search_regex', 'expression_time_format', 'sql_floor_to_unit',
+    'topn_time_extraction', 'sql_scalar_shims', 'granularity_none_identity',
+    'groupby_double_dim', 'timeseries_desc_limit', 'having_equalto_lessthan',
+    'postagg_expression', 'timeseries_over_join', 'granularity_five_minute',
+    'granularity_day_tz', 'topn_per_month', 'groupby_month_and_dim',
+    'histogram_quantity', 'quantiles_sketch_median', 'dedup_components',
+    'doc_chunks', 'text_normalize_scrub', 'session_window_user',
+    'dsir_importance_weights', 'corpus_top_ngrams', 'asof_join_events',
+    'sql_theta_set_ops', 'expression_cartesian', 'sql_scalar_shims2',
+    'sql_array_agg_sorted', 'sql_scalar_shims3', 'dedup_substring_overlap',
+    'multimodal_features', 'multimodal_frame_sample', 'multimodal_resize',
+    'text_repetition', 'scrub_common_lines', 'pack_sequences_budget',
+    'deterministic_shuffle_order', 'decontaminate_report', 'dedup_components_star',
+    'dedup_edit_distance', 'tfidf_top_terms', 'mixture_weights_lang',
+    'sql_lookup_schema_join', 'sql_parameterized',
+)
+
+
 def _entry_order(name: str) -> tuple:
-    if name in _R06_WINDOW:
-        return (0, _R06_WINDOW.index(name))
-    # r3/r4-era greens next (oldest current-era evidence); the 50
-    # entries re-verified in the r5 window go last.
+    if name in _R08_WINDOW:
+        return (0, _R08_WINDOW.index(name))
+    # r5-evidence entries next (oldest remaining); the 50 entries
+    # re-verified in the r7 window go last.
     if name in _R05_WINDOW:
-        return (2, _R05_WINDOW.index(name))
-    return (1, 0)  # r3/r4-green; stable within group (dict keeps file order)
+        return (1, _R05_WINDOW.index(name))
+    if name in _R06_WINDOW:
+        return (2, _R06_WINDOW.index(name))
+    return (3, 0)  # r7-green; stable within group (dict keeps file order)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

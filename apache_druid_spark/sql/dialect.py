@@ -548,12 +548,17 @@ def _rewrite_time_bucket_long_form(text: str, fn: str) -> str:
                         f"unix_millis({o})) / {dur}) AS BIGINT) * {dur})")
             if fn == "TIME_CEIL":
                 # ceil = floor, stepped one period forward unless ts is
-                # already on a bucket boundary
-                step = (f"({repl} + make_interval(0, {months}))"
+                # already on a bucket boundary. The floored value is
+                # bound ONCE via a single-element transform (ADVICE r7:
+                # textually inlining it three times re-evaluates the
+                # ts/origin expressions ~6x and blows up nested calls).
+                v = "__tc_f"
+                step = (f"({v} + make_interval(0, {months}))"
                         if months else
-                        f"timestamp_millis(unix_millis({repl}) + {dur})")
-                repl = (f"(CASE WHEN {repl} = {ts} THEN {repl} "
-                        f"ELSE {step} END)")
+                        f"timestamp_millis(unix_millis({v}) + {dur})")
+                repl = (f"element_at(transform(array({repl}), {v} -> "
+                        f"CASE WHEN {v} = {ts} THEN {v} "
+                        f"ELSE {step} END), 1)")
             if local:
                 repl = f"to_utc_timestamp({repl}, {tz})"
             text = text[:start] + repl + text[cp + 1:]
@@ -799,16 +804,31 @@ def _rewrite_druid_schema(text: str) -> str:
 
     druid_alias = any(
         _out(m.start()) for m in re.finditer(
-            r"\b(?:FROM|JOIN)\s+[`\"\w.]+\s+(?:AS\s+)?druid\b(?!\s*\.)",
+            r"(?:\b(?:FROM|JOIN)\s+|,\s*)[`\"\w.]+\s+(?:AS\s+)?"
+            r"druid\b(?!\s*\.)",
             text, re.IGNORECASE))
 
     def sub(m: re.Match) -> str:
         if not _out(m.start()):
             return m.group(0)
         if druid_alias:
-            # only strip in table position: previous word is FROM/JOIN
+            # only strip in table position: previous token is FROM/JOIN,
+            # or a comma whose clause is a FROM table list (`FROM
+            # druid.a, druid.b` — ADVICE r7: that comma position is a
+            # table reference; a select-list comma is not)
             head = text[:m.start()].rstrip()
-            if not re.search(r"\b(?:FROM|JOIN)\Z", head, re.IGNORECASE):
+            if re.search(r"\b(?:FROM|JOIN)\Z", head, re.IGNORECASE):
+                pass
+            elif head.endswith(","):
+                kw = None
+                for k in re.finditer(
+                        r"\b(FROM|SELECT|WHERE|GROUP|ORDER|HAVING|ON|"
+                        r"JOIN)\b", head, re.IGNORECASE):
+                    if _out(k.start()):
+                        kw = k.group(1).upper()
+                if kw != "FROM":
+                    return m.group(0)
+            else:
                 return m.group(0)
         return m.group(1) + m.group(2) + m.group(1)
 
@@ -1123,6 +1143,37 @@ def _human_readable_body(n: str, p: str, base: int, units: str,
             f"{big}), 1) END), 1) END)")
 
 
+def _rewrite_lookup_neq(text: str) -> str:
+    """``LOOKUP(...) <> lit`` matches NULL lookup results: the
+    reference plans it as not(selector(extractionFn, lit)) and the
+    native not-selector matches rows where the extraction yields null
+    (CalciteQueryTest.testFilterAndGroupByLookup pins the NULL group
+    with count 5). Spark's three-valued <> would drop those rows, so
+    lower to IS DISTINCT FROM."""
+    lit = r"'(?:[^']|'')*'"
+    changed = True
+    while changed:
+        changed = False
+        for start, op, cp in _find_calls(text, "LOOKUP"):
+            after = text[cp + 1:]
+            m = re.match(rf"\s*(<>|!=)\s*({lit})", after)
+            if m:
+                span = text[start:cp + 1]
+                repl = f"({span} IS DISTINCT FROM {m.group(2)})"
+                text = text[:start] + repl + text[cp + 1 + m.end():]
+                changed = True
+                break
+            before = text[:start]
+            m2 = re.search(rf"({lit})\s*(<>|!=)\s*\Z", before)
+            if m2:
+                span = text[start:cp + 1]
+                repl = f"({span} IS DISTINCT FROM {m2.group(1)})"
+                text = text[:m2.start(1)] + repl + text[cp + 1:]
+                changed = True
+                break
+    return text
+
+
 def _rewrite_human_readable_precision(text: str) -> str:
     """HUMAN_READABLE_*_FORMAT(n[, precision]) — both arities inline
     (HumanReadableFormatOperatorConversion; precision 0..3 defaults 2;
@@ -1203,6 +1254,7 @@ def translate(text: str, time_column: str = TIME_COLUMN) -> str:
     text = _rewrite_mv_slice_2arg(text)
     text = _rewrite_mv_contains_array(text)
     text = _rewrite_truncate_default(text)
+    text = _rewrite_lookup_neq(text)
     text = _rewrite_human_readable_precision(text)
     # APPROX_COUNT_DISTINCT(DISTINCT x) — Calcite tolerates the
     # redundant DISTINCT keyword inside the approximate aggregator
@@ -2357,6 +2409,41 @@ def _map_mv_scalar_exprs(text: str, mv_cols) -> str:
     return text
 
 
+def _mapped_in_subquery(text: str) -> str:
+    """An element-mapped MV expression IN a subquery matches ANY
+    element (testExactCountDistinctOfSemiJoinResult:
+    ``SUBSTRING(dim2, 1, 1) IN (SELECT ...)`` — the SUBSTRING was
+    mapped to transform(...) by _map_mv_scalar_exprs, and Spark
+    rejects ``array IN (subquery)``): lower to arrays_overlap against
+    the collected subquery values."""
+    changed = True
+    while changed:
+        changed = False
+        for start, op, cp in _find_calls(text, "transform"):
+            if "__mv_e" not in text[op + 1:cp]:
+                continue
+            m = re.match(r"\s+(NOT\s+)?IN\s*\(", text[cp + 1:],
+                         re.IGNORECASE)
+            if not m:
+                continue
+            sop = cp + 1 + m.end() - 1
+            if not re.match(r"\s*SELECT\b", text[sop + 1:],
+                            re.IGNORECASE):
+                continue
+            scp = _matching_close(text, sop)
+            sub = text[sop + 1:scp]
+            span = text[start:cp + 1]
+            repl = (f"arrays_overlap({span}, (SELECT "
+                    f"collect_list(CAST(__mv_sq.__c AS STRING)) "
+                    f"FROM ({sub}) AS __mv_sq(__c)))")
+            if m.group(1):
+                repl = f"(NOT {repl})"
+            text = text[:start] + repl + text[scp + 1:]
+            changed = True
+            break
+    return text
+
+
 def _unwrap_mv_array_wrap(text: str, mv_cols) -> str:
     """``MV_OVERLAP(x, ARRAY[mv])`` wraps an MV column in an ARRAY
     constructor; in the reference the MV column IS the array, so the
@@ -2452,7 +2539,7 @@ def _eq_any_element(text: str, mv_cols) -> str:
     return text
 
 
-def _rewrite_mv_semantics(text: str, mv_cols) -> str:
+def _rewrite_mv_semantics(text: str, mv_cols, mv_by_table=None) -> str:
     """Druid multi-value string semantics over SQL (docs/querying/
     multi-value-dimensions.md; selector filters match ANY element —
     processing/.../filter/SelectorFilter.java — and an empty MV row
@@ -2484,6 +2571,7 @@ def _rewrite_mv_semantics(text: str, mv_cols) -> str:
     text = _flatten_mv_in_collects(text, mv_cols)
     text = _unwrap_mv_array_wrap(text, mv_cols)
     text = _map_mv_scalar_exprs(text, mv_cols)
+    text = _mapped_in_subquery(text)
     text = _explode_mv_array_items(text, mv_cols)
     text = _rewrite_mv_distinct(text, mv_cols)
     text = _rewrite_mv_groupby(text, mv_cols)
@@ -2508,53 +2596,162 @@ def _rewrite_mv_semantics(text: str, mv_cols) -> str:
 
         return _sub_outside_strings(txt, pattern, wrapped)
 
+    alias_map = _alias_mv_map(text, mv_cols, mv_by_table)
+
+    def _is_mv_ref(qual: str, name: str) -> bool:
+        if name.lower() not in {c.lower() for c in mv_cols}:
+            return False
+        if not qual:
+            return True
+        return name.lower() in alias_map.get(qual.lower(), ())
+
+    # MV = MV comparison (both sides resolve to MV refs): Druid joins/
+    # compares MV dims per ELEMENT (testViewAndJoin: cview.dim2 =
+    # foo.dim2 matches rows sharing any element) -> arrays_overlap
+    def _mv_eq_mv(m):
+        neg = m.group("op") in ("<>", "!=")
+        if not (_is_mv_ref(m.group("q1") or "", m.group("c1"))
+                and _is_mv_ref(m.group("q2") or "", m.group("c2"))):
+            return m.group(0)
+        lhs = (m.group("q1") or "") + "." + m.group("c1") \
+            if m.group("q1") else m.group("c1")
+        rhs = (m.group("q2") or "") + "." + m.group("c2") \
+            if m.group("q2") else m.group("c2")
+        ov = f"arrays_overlap({lhs}, {rhs})"
+        return f"(NOT {ov})" if neg else ov
+
+    text = _sub_outside_strings(
+        text,
+        r"(?<![\w.])(?:(?P<q1>[A-Za-z_]\w*)\.)?(?P<c1>[A-Za-z_]\w*)"
+        r"\s*(?P<op><>|!=|(?<![<>!])=(?!=))\s*"
+        r"(?:(?P<q2>[A-Za-z_]\w*)\.)?(?P<c2>[A-Za-z_]\w*)\b(?!\s*\()",
+        _mv_eq_mv)
+
     for col in mv_cols:
         c = re.escape(col)
+        # an MV column reference is either bare (not another
+        # qualifier's column — `dnf.dim2` where dnf is a scalar-dim2
+        # table must stay untouched) or qualified by an alias KNOWN to
+        # expose it as MV (`bar.dim2` over a derived table of foo —
+        # testViewAndJoin's cview joins bar.dim2 = dnf.dim2)
+        quals = sorted(a for a, cols0 in alias_map.items()
+                       if col.lower() in cols0)
+        if quals:
+            qalt = "|".join(re.escape(q) for q in quals)
+            ref = rf"(?:(?P<q>(?:{qalt})\.)|(?<![\w.$])){c}\b"
+        else:
+            ref = rf"(?P<q>)(?<![\w.$]){c}\b"
+
+        def _r(m):
+            return (m.group("q") or "") + col
+
         text = _scoped(
-            text, rf"\bCOUNT\s*\(\s*DISTINCT\s+{c}\s*\)",
-            f"CAST(size(array_distinct(flatten(collect_set({col})))) "
-            f"AS BIGINT)", col)
+            text, rf"\bCOUNT\s*\(\s*DISTINCT\s+{ref}\s*\)",
+            lambda m: f"CAST(size(array_distinct(flatten("
+                      f"collect_set({_r(m)})))) AS BIGINT)", col)
+        # APPROX_COUNT_DISTINCT_BUILTIN / useApproximateCountDistinct
+        # lowered to approx_count_distinct before this pass: over an MV
+        # the reference's CardinalityAggregator counts distinct ELEMENT
+        # values (testApproxCountDistinctBuiltin pins 3 over foo.dim2),
+        # not distinct arrays — same exact element-count rewrite.
         text = _scoped(
-            text, rf"\bCOUNT\s*\(\s*{c}\s*\)",
-            f"COUNT(CASE WHEN {col} IS NOT NULL AND size({col}) > 0 "
-            f"THEN 1 END)", col)
+            text, rf"\bapprox_count_distinct\s*\(\s*{ref}\s*\)",
+            lambda m: f"CAST(size(array_distinct(flatten("
+                      f"collect_set({_r(m)})))) AS BIGINT)", col)
         text = _scoped(
-            text, rf"\b{c}\s+IS\s+NOT\s+NULL\b",
-            f"({col} IS NOT NULL AND size({col}) > 0)", col)
+            text, rf"\bCOUNT\s*\(\s*{ref}\s*\)",
+            lambda m: f"COUNT(CASE WHEN {_r(m)} IS NOT NULL AND "
+                      f"size({_r(m)}) > 0 THEN 1 END)", col)
         text = _scoped(
-            text, rf"\b{c}\s+IS\s+NULL\b",
-            f"({col} IS NULL OR size({col}) = 0)", col)
+            text, rf"{ref}\s+IS\s+NOT\s+NULL\b",
+            lambda m: f"({_r(m)} IS NOT NULL AND size({_r(m)}) > 0)",
+            col)
+        text = _scoped(
+            text, rf"{ref}\s+IS\s+NULL\b",
+            lambda m: f"({_r(m)} IS NULL OR size({_r(m)}) = 0)", col)
         # literals are CAST to STRING: Druid coerces a numeric literal
         # against a string dimension to its string form (`dim2 = 0`
         # matches the element '0' — testSelectCountStar's first case),
         # where Spark's array_contains would reject the type mismatch.
         # The cast is constant-folded for string literals.
         text = _scoped(
-            text, rf"\b{c}\s+NOT\s+IN\s*\(([^()]*)\)",
-            lambda m: f"(NOT arrays_overlap({col}, "
-                      f"CAST(array({m.group(1)}) AS ARRAY<STRING>)))",
+            text, rf"{ref}\s+NOT\s+IN\s*\(([^()]*)\)",
+            lambda m: f"(NOT arrays_overlap({_r(m)}, "
+                      f"CAST(array({m.group(m.lastindex)}) "
+                      f"AS ARRAY<STRING>)))",
             col)
         text = _scoped(
-            text, rf"\b{c}\s+IN\s*\(([^()]*)\)",
-            lambda m: f"arrays_overlap({col}, "
-                      f"CAST(array({m.group(1)}) AS ARRAY<STRING>))", col)
+            text, rf"{ref}\s+IN\s*\(([^()]*)\)",
+            lambda m: f"arrays_overlap({_r(m)}, "
+                      f"CAST(array({m.group(m.lastindex)}) "
+                      f"AS ARRAY<STRING>))", col)
         text = _scoped(
-            text, rf"\b{c}\s*(<>|!=)\s*({_MV_LIT})",
-            lambda m: f"(NOT array_contains({col}, "
-                      f"CAST({m.group(2)} AS STRING)))", col)
+            text, rf"{ref}\s*(<>|!=)\s*(?P<rhs>{_MV_LIT})",
+            lambda m: f"(NOT array_contains({_r(m)}, "
+                      f"CAST({m.group('rhs')} AS STRING)))", col)
         text = _scoped(
-            text, rf"({_MV_LIT})\s*(<>|!=)\s*{c}\b",
-            lambda m: f"(NOT array_contains({col}, "
-                      f"CAST({m.group(1)} AS STRING)))", col)
+            text, rf"(?P<lhs>{_MV_LIT})\s*(<>|!=)\s*{ref}",
+            lambda m: f"(NOT array_contains({_r(m)}, "
+                      f"CAST({m.group('lhs')} AS STRING)))", col)
         text = _scoped(
-            text, rf"\b{c}\s*(?<![<>!])=(?!=)\s*({_MV_LIT})",
-            lambda m: f"array_contains({col}, "
-                      f"CAST({m.group(1)} AS STRING))", col)
+            text, rf"{ref}\s*(?<![<>!])=(?!=)\s*(?P<rhs>{_MV_LIT})",
+            lambda m: f"array_contains({_r(m)}, "
+                      f"CAST({m.group('rhs')} AS STRING))", col)
         text = _scoped(
-            text, rf"({_MV_LIT})\s*(?<![<>!])=(?!=)\s*{c}\b",
-            lambda m: f"array_contains({col}, "
-                      f"CAST({m.group(1)} AS STRING))", col)
+            text, rf"(?P<lhs>{_MV_LIT})\s*(?<![<>!])=(?!=)\s*{ref}",
+            lambda m: f"array_contains({_r(m)}, "
+                      f"CAST({m.group('lhs')} AS STRING))", col)
     return text
+
+
+_MV_FROM_KEYWORDS = frozenset((
+    "where group order having limit on inner left right full cross "
+    "join union lateral as select from intersect except offset"
+).split())
+
+
+def _alias_mv_map(text: str, mv_cols, mv_by_table) -> dict:
+    """alias (lower) -> set of lower-cased column names the aliased
+    FROM/JOIN source exposes as MV. Tables resolve through
+    ``mv_by_table``; derived tables through _derived_mv_outputs. Used
+    to apply MV semantics to QUALIFIED references only when the alias
+    is known to be MV-typed (a same-named scalar column on another
+    alias keeps scalar semantics)."""
+    out = {}
+    if mv_by_table is None:
+        mv_by_table = {}
+    tbl_lower = {t.lower(): {c.lower() for c in cols}
+                 for t, cols in mv_by_table.items()}
+    spans = _string_spans(text)
+
+    def _outside(i):
+        return not any(a <= i <= b for a, b in spans)
+
+    for m in re.finditer(
+            r"(?:\b(?:FROM|JOIN)\s+|,\s*)([A-Za-z_]\w*)"
+            r"(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?",
+            text, re.IGNORECASE):
+        if not _outside(m.start()):
+            continue
+        tbl = m.group(1).lower()
+        if tbl not in tbl_lower:
+            continue  # comma hits select lists too: tables only
+        alias = (m.group(2) or "").lower()
+        if alias in _MV_FROM_KEYWORDS:
+            alias = ""
+        out[alias or tbl] = tbl_lower[tbl]
+    for m in re.finditer(r"\b(?:FROM|JOIN)\s*\(", text, re.IGNORECASE):
+        if not _outside(m.start()):
+            continue
+        op = m.end() - 1
+        cp = _matching_close(text, op)
+        am = re.match(r"\s*(?:AS\s+)?([A-Za-z_]\w*)", text[cp + 1:],
+                      re.IGNORECASE)
+        if not am or am.group(1).lower() in _MV_FROM_KEYWORDS:
+            continue
+        outs = _derived_mv_outputs(text[op + 1:cp], mv_cols)
+        out[am.group(1).lower()] = {o.lower() for o in outs}
+    return out
 
 
 def _align_mv_in_unions(text: str, mv_by_table) -> str:
@@ -2672,6 +2869,78 @@ def _align_mv_in_unions(text: str, mv_by_table) -> str:
     for (s, e), rep in sorted(final.items(), reverse=True):
         text = text[:s] + rep + text[e:]
     return text
+
+
+def _inline_lookup_calls(text: str, registry) -> str:
+    """Inline ``LOOKUP(key, 'name')`` calls to
+    element_at(map(...), CAST(key AS STRING)) from the registered
+    lookup contents. The registered SQL UDF spelling breaks when the
+    key is a lambda variable (an element-mapped MV expression —
+    Spark's ResolveSQLFunctions cannot rewrite a SQL UDF whose
+    argument is a higher-order-function lambda var:
+    MISSING_ATTRIBUTES __mv_e), so the dialect path always inlines;
+    lookups are by contract small broadcast maps (LookupSegment), the
+    literal is the broadcast. Unknown / non-literal names fall through
+    to the UDF."""
+    if not getattr(registry, "_lookups", None):
+        return text
+    if not re.search(r"\bLOOKUP\s*\(", text, re.IGNORECASE):
+        return text
+    from apache_druid_spark.functions.registry import _esc
+
+    cache = getattr(registry, "_lookup_inline_cache", None)
+    if cache is None or cache[0] != registry.epoch:
+        maps = {}
+        for lname in registry._lookups:
+            rows = registry.lookup_df(lname).collect()
+            if rows:
+                pairs = ", ".join(
+                    f"'{_esc(r[0])}', '{_esc(r[1])}'" for r in rows)
+                maps[lname] = f"map({pairs})"
+        registry._lookup_inline_cache = (registry.epoch, maps)
+    maps = registry._lookup_inline_cache[1]
+    changed = True
+    while changed:
+        changed = False
+        for start, op, cp in _find_calls(text, "LOOKUP"):
+            args = _split_top_args(text[op + 1:cp])
+            if len(args) != 2:
+                continue
+            nm = re.fullmatch(r"\s*'((?:[^']|'')*)'\s*", args[1])
+            if not nm:
+                continue
+            lname = nm.group(1).replace("''", "'")
+            if lname not in maps:
+                continue
+            repl = (f"element_at({maps[lname]}, "
+                    f"CAST({args[0].strip()} AS STRING))")
+            text = text[:start] + repl + text[cp + 1:]
+            changed = True
+            break
+    return text
+
+
+def _check_mv_lambda_hygiene(text: str) -> None:
+    """Post-condition on the MV rewrite pipeline (VERDICT r7 #8): every
+    __mv_e / __mv_sq token must sit inside a higher-order-function call
+    (transform/filter/exists/...) or its subquery alias scope. A leaked
+    lambda var produces an unresolvable Catalyst plan with a cryptic
+    MISSING_ATTRIBUTES error (r7's test_lookup_with_null) — fail loudly
+    at translation time instead."""
+    depths = _depths(text)
+    spans = _string_spans(text)
+    hof = ("transform", "filter", "exists", "forall", "aggregate",
+           "zip_with", "array_sort", "reduce")
+    for m in re.finditer(r"__mv_e\b", text):
+        if any(a <= m.start() <= b for a, b in spans):
+            continue
+        if not any(name in hof for name, _fs, _op in
+                   _enclosing_calls(text, m.start(), depths, spans)):
+            raise ValueError(
+                "MV rewrite produced an unbound element variable "
+                "(__mv_e outside any higher-order function) — "
+                "translation bug, not a user error. Rewritten SQL:\n"
+                + text)
 
 
 def _expand_mv_wrap(text: str) -> str:
@@ -2926,6 +3195,25 @@ def druid_sql(spark: SparkSession, text: str, registry=None,
                               for n in names}
             spark._druid_sql_mv_cols = (cache_key, mv_by_table,
                                         float_by_table)
+        # views are MV-typed sources too: FROM view.cview AS a must
+        # give a.dim2 MV semantics when the view exposes an array.
+        # Patched OUTSIDE the cache build: the recursive
+        # view-materialization call reaches this block before its own
+        # temp view exists, so entries may be missing from the cached
+        # map and are filled in on the first call that can see them.
+        missing_views = [v for v in registry.view_names()
+                         if f"view_{v}" not in mv_by_table]
+        if missing_views:
+            from pyspark.sql.types import ArrayType, StringType
+            for vname in missing_views:
+                try:
+                    fields = spark.table(f"view_{vname}").schema.fields
+                except Exception:  # noqa: BLE001 — unmaterialized view
+                    continue
+                mv_by_table[f"view_{vname}"] = tuple(sorted(
+                    f.name for f in fields
+                    if isinstance(f.dataType, ArrayType)
+                    and isinstance(f.dataType.elementType, StringType)))
         # Resolve the MV column set against the tables this statement
         # actually references (word-boundary match on the translated
         # text — druid. qualifiers are already stripped in table
@@ -2934,7 +3222,7 @@ def druid_sql(spark: SparkSession, text: str, registry=None,
         # treatment (r7 verdict bug #2: multi-datasource scoping).
         spans_mv = _string_spans(translated)
         referenced = tuple(
-            n for n in names
+            n for n in mv_by_table
             if any(not any(a <= m.start() <= b for a, b in spans_mv)
                    for m in re.finditer(
                        rf"(?<![\w.$]){re.escape(n)}(?![\w$])",
@@ -2947,8 +3235,11 @@ def druid_sql(spark: SparkSession, text: str, registry=None,
             translated = _coerce_float_literals(translated, float_cols)
         if mv_cols:
             translated = _align_mv_in_unions(translated, mv_by_table)
-            translated = _rewrite_mv_semantics(translated, mv_cols)
+            translated = _rewrite_mv_semantics(translated, mv_cols,
+                                               mv_by_table)
             translated = _expand_mv_wrap(translated)
+            _check_mv_lambda_hygiene(translated)
+        translated = _inline_lookup_calls(translated, registry)
     if registry is not None and ("sys_" in translated
                                  or "information_schema_" in translated):
         # rebuild the catalog views so they reflect publishes/streams

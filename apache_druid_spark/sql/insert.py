@@ -25,12 +25,22 @@ from pyspark.sql import functions as F
 from apache_druid_spark.model.datasource import TIME_COLUMN
 
 _INSERT_RE = re.compile(
-    r"^\s*(INSERT|REPLACE)\s+INTO\s+([A-Za-z_][\w.]*)\s+"
+    r"^\s*(INSERT|REPLACE)\s+INTO\s+([A-Za-z_][\w.]*|\"[^\"]+\")\s+"
     r"(?:OVERWRITE\s+ALL\s+)?(.*?)\s*"
-    r"PARTITIONED\s+BY\s+(\w+|'[^']+')\s*"
+    r"PARTITIONED\s+BY\s+"
+    r"(ALL\s+TIME|\w+|'[^']+'"
+    r"|FLOOR\s*\(\s*__time\s+TO\s+\w+\s*\)"
+    r"|TIME_FLOOR\s*\(\s*__time\s*,\s*'[^']+'\s*\))\s*"
     r"(?:CLUSTERED\s+BY\s+(.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+# granularities DruidSqlParserUtils accepts after PARTITIONED BY
+_PARTITIONED_BY_GRANS = frozenset((
+    "hour day month year all quarter week minute second "
+    "fifteen_minute thirty_minute five_minute six_hour eight_hour "
+    "all time"  # "ALL TIME" normalizes to "all time"
+).split() + ["all time"])
 
 _EXTERN_RE = re.compile(
     r"TABLE\s*\(\s*EXTERN\s*\(\s*'((?:[^']|'')*)'\s*,\s*'((?:[^']|'')*)'\s*"
@@ -44,14 +54,82 @@ _DRUID_TO_SPARK_TYPE = {
 }
 
 
+_TRUNC_GRAN = {  # FLOOR(__time TO X) / TIME_FLOOR ISO -> granularity
+    "HOUR": "hour", "DAY": "day", "MONTH": "month", "YEAR": "year",
+    "QUARTER": "quarter", "WEEK": "week", "MINUTE": "minute",
+    "PT1H": "hour", "P1D": "day", "P1M": "month", "P1Y": "year",
+    "P3M": "quarter", "P1W": "week", "PT1M": "minute",
+}
+
+
+def validate_insert(text: str) -> None:
+    """DruidSqlInsert / DruidSqlParserUtils validation contracts
+    (CalciteInsertDmlTest): raise the reference's error for malformed
+    INSERT statements. No-op for non-INSERT text."""
+    head = re.match(r"^\s*(INSERT|REPLACE|UPSERT)\s+INTO\s+"
+                    r"([A-Za-z_][\w.]*|\"[^\"]+\")\s*(\()?",
+                    text, re.IGNORECASE)
+    if head is None:
+        return
+    verb = head.group(1).upper()
+    if verb == "UPSERT":
+        raise ValueError("UPSERT is not supported.")
+    if head.group(3):
+        raise ValueError(
+            f"{verb} with target column list is not supported.")
+    target = head.group(2).strip('"')
+    if "/" in target:
+        raise ValueError(
+            f"{verb} dataSource cannot contain the '/' character.")
+    pb = re.search(r"\bPARTITIONED\s+BY\s+(ALL\s+TIME|\w+|'[^']+'"
+                   r"|FLOOR\s*\([^)]*\)|TIME_FLOOR\s*\([^)]*\))",
+                   text, re.IGNORECASE)
+    if pb is None:
+        raise ValueError(
+            f"{verb} statements must specify PARTITIONED BY clause "
+            f"explicitly")
+    arg = pb.group(1)
+    gran = re.sub(r"\s+", " ", arg.strip("'").strip().lower())
+    if not (gran in _PARTITIONED_BY_GRANS
+            or arg.upper().startswith(("FLOOR", "TIME_FLOOR"))
+            or re.fullmatch(r"p[t\dymwdhs]+", gran)):
+        raise ValueError(
+            f"Encountered '{arg.strip(chr(39))}' after PARTITIONED BY. "
+            f"Expected HOUR, DAY, MONTH, YEAR, ALL TIME, FLOOR "
+            f"function or TIME_FLOOR function")
+    # ORDER BY on the OUTER insert query is rejected (CLUSTERED BY is
+    # the supported spelling); ORDER BY inside subqueries is fine —
+    # check depth-0 occurrences before PARTITIONED BY only
+    depth = 0
+    for i, ch in enumerate(text[:pb.start()]):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and text[i:i + 8].upper() == "ORDER BY":
+            raise ValueError(
+                "Cannot have ORDER BY on an INSERT query, use "
+                "CLUSTERED BY instead.")
+
+
 def parse_insert(text: str) -> dict | None:
     m = _INSERT_RE.match(text)
     if not m:
         return None
     verb, target, select, gran, clustered = m.groups()
+    gran_norm = re.sub(r"\s+", " ", gran.strip("'").strip().lower())
+    fm = re.match(r"(?i)(?:FLOOR\s*\(\s*__time\s+TO\s+(\w+)\s*\)"
+                  r"|TIME_FLOOR\s*\(\s*__time\s*,\s*'([^']+)'\s*\))",
+                  gran)
+    if fm:
+        key = (fm.group(1) or fm.group(2) or "").upper()
+        gran_norm = _TRUNC_GRAN.get(key, gran_norm)
+    elif gran_norm == "all time":
+        gran_norm = "all"
     return {
-        "verb": verb.upper(), "target": target, "select": select,
-        "granularity": gran.strip("'").lower(),
+        "verb": verb.upper(), "target": target.strip('"'),
+        "select": select,
+        "granularity": gran_norm,
         "clustered_by": ([c.strip() for c in clustered.split(",")]
                          if clustered else []),
     }
@@ -89,6 +167,7 @@ def druid_sql_insert(spark: SparkSession, text: str, registry,
     from apache_druid_spark.ingest.batch import write_segments
     from apache_druid_spark.sql.dialect import druid_sql
 
+    validate_insert(text)
     spec = parse_insert(text)
     if spec is None:
         raise ValueError("not an INSERT/REPLACE statement")
@@ -100,9 +179,8 @@ def druid_sql_insert(spark: SparkSession, text: str, registry,
         schema, _, bare = target.partition(".")
         if schema.lower() != "druid":
             raise ValueError(
-                f"Cannot {spec['verb']} into [{target}]: only the "
-                f"'druid' schema is writable (sys/INFORMATION_SCHEMA/"
-                f"lookup/view targets are read-only)")
+                f"Cannot {spec['verb']} into [{target}] because it is "
+                f"not a Druid datasource.")
         spec["target"] = bare
     select, _ = _extern_df(spark, spec["select"])
     out = druid_sql(spark, select, registry)
