@@ -19,6 +19,7 @@ Avatica frames — the same legitimately-driver-side result path as
 from __future__ import annotations
 
 import datetime as _dt
+import re
 import threading
 import uuid
 
@@ -100,23 +101,79 @@ _AVATICA_REP_TYPES = {
 }
 
 
-def _parameter_metas(sql: str) -> list[dict]:
-    """Avatica AvaticaParameter metadata for each unquoted ``?`` —
-    types are unknown until bind, so generic VARCHAR metas (the
-    reference's DruidMeta reports Calcite-inferred types; clients only
-    require the COUNT to drive setObject binding)."""
+# spark dtype -> (java.sql.Types id, type name, java class, signed)
+_JDBC_PARAM_TYPES = {
+    "bigint": (-5, "BIGINT", "java.lang.Long", True),
+    "int": (4, "INTEGER", "java.lang.Integer", True),
+    "smallint": (5, "SMALLINT", "java.lang.Short", True),
+    "tinyint": (-6, "TINYINT", "java.lang.Byte", True),
+    "double": (8, "DOUBLE", "java.lang.Double", True),
+    "float": (6, "FLOAT", "java.lang.Float", True),
+    "string": (12, "VARCHAR", "java.lang.String", False),
+    "timestamp": (93, "TIMESTAMP", "java.sql.Timestamp", False),
+    "date": (91, "DATE", "java.sql.Date", False),
+    "boolean": (16, "BOOLEAN", "java.lang.Boolean", False),
+}
+
+_PARAM_OPS = r"=|<>|!=|<=|>=|<|>|\+|-|\*|/|\bIN\s*\(\s*"
+
+
+def _infer_parameter_types(sql: str, registry=None) -> list[str]:
+    """Per-position parameter type inference (VERDICT r6 task #8 —
+    DruidMeta reports Calcite-inferred types per SqlDynamicParam; the
+    old probe typed ALL positions VARCHAR-or-BIGINT together, giving
+    mixed (string, long) lists wrong JDBC signatures). Each unquoted
+    ``?`` takes the Spark type of the column it is compared/combined
+    with; LIMIT/OFFSET positions are BIGINT; unknown contexts stay
+    VARCHAR (string literals coerce server-side)."""
     from apache_druid_spark.sql.dialect import _string_spans
 
+    col_types: dict[str, str] = {}
+    if registry is not None:
+        for name in registry.names():
+            try:
+                for fname, dtype in registry.table(name).dtypes:
+                    col_types.setdefault(fname.lower(), dtype)
+            except Exception:  # noqa: BLE001 — unresolvable source
+                continue
+    col_types.setdefault("__time", "timestamp")
+
     spans = _string_spans(sql)
-    metas = []
+    out = []
+    ident = r"[A-Za-z_][\w.]*"
     for i, ch in enumerate(sql):
-        if ch == "?" and not any(a <= i <= b for a, b in spans):
-            metas.append({
-                "signed": False, "precision": 0, "scale": 0,
-                "parameterType": 12, "typeName": "VARCHAR",
-                "className": "java.lang.String",
-                "name": f"?{len(metas)}",
-            })
+        if ch != "?" or any(a <= i <= b for a, b in spans):
+            continue
+        before, after = sql[:i], sql[i + 1:]
+        typ = "string"
+        if re.search(r"\b(?:LIMIT|OFFSET)\s*$", before, re.IGNORECASE):
+            typ = "bigint"
+        else:
+            m = re.search(rf"({ident})\s*(?:{_PARAM_OPS})\s*$", before,
+                          re.IGNORECASE)
+            if not m:
+                m = re.match(rf"\s*(?:{_PARAM_OPS})\s*({ident})\b",
+                             after, re.IGNORECASE)
+            if m:
+                col = m.group(1).rsplit(".", 1)[-1].lower()
+                typ = col_types.get(col, "string")
+        out.append(typ if typ in _JDBC_PARAM_TYPES else "string")
+    return out
+
+
+def _parameter_metas(sql: str, registry=None) -> list[dict]:
+    """Avatica AvaticaParameter metadata for each unquoted ``?`` with
+    per-position inferred types (reference: DruidMeta reports the
+    Calcite-inferred SqlDynamicParam types)."""
+    metas = []
+    for typ in _infer_parameter_types(sql, registry):
+        jid, jname, jclass, signed = _JDBC_PARAM_TYPES[typ]
+        metas.append({
+            "signed": signed, "precision": 0, "scale": 0,
+            "parameterType": jid, "typeName": jname,
+            "className": jclass,
+            "name": f"?{len(metas)}",
+        })
     return metas
 
 
@@ -192,7 +249,7 @@ class AvaticaMeta:
 
     def _signature(self, columns: list[dict], sql: str) -> dict:
         return {"columns": columns, "sql": sql,
-                "parameters": _parameter_metas(sql),
+                "parameters": _parameter_metas(sql, self.registry),
                 "cursorFactory": {"style": "LIST", "clazz": None},
                 "statementType": "SELECT"}
 
@@ -234,12 +291,25 @@ class AvaticaMeta:
         # Catalyst can analyze (the reference's DruidMeta prepares with
         # unbound SqlDynamicParams — Calcite tolerates them, Spark not)
         probe = sql
-        n_params = len(_parameter_metas(sql))
+        inferred = _infer_parameter_types(sql, self.registry)
+        n_params = len(inferred)
         if n_params:
             from apache_druid_spark.sql.dialect import bind_parameters
 
+            # typed per-position fillers (r6 task #8): a mixed
+            # (string, long) parameter list probes with ('' , 0), so
+            # prepare-time column metadata analyzes where the old
+            # all-VARCHAR-NULL probe failed
+            _fill = {"bigint": {"type": "BIGINT", "value": 0},
+                     "int": {"type": "BIGINT", "value": 0},
+                     "double": {"type": "DOUBLE", "value": 0.0},
+                     "float": {"type": "DOUBLE", "value": 0.0},
+                     "timestamp": {"type": "TIMESTAMP",
+                                   "value": "1970-01-01 00:00:00"},
+                     "boolean": {"type": "BOOLEAN", "value": False}}
             probe = bind_parameters(
-                sql, [{"type": "VARCHAR", "value": None}] * n_params)
+                sql, [_fill.get(t, {"type": "VARCHAR", "value": ""})
+                      for t in inferred])
         try:
             df = druid_sql(self.spark, probe, self.registry)
             columns = [_column_meta(i, name, dtype)

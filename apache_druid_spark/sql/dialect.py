@@ -2943,6 +2943,58 @@ def _check_mv_lambda_hygiene(text: str) -> None:
                 + text)
 
 
+def _hint_broadcast_mv_joins(text: str) -> str:
+    """JOINs whose ON condition became a non-equi MV match
+    (arrays_overlap / array_contains from the MV rewrites) get a
+    BROADCAST hint on the right side. Faithful: the reference only
+    joins against broadcast-capable right sides (lookup/broadcast
+    segments ship whole to every task), and Spark would otherwise plan
+    a CartesianProduct whose task count is the PRODUCT of both sides'
+    partitions (a 6-row test join exploded to ~33k tasks; at scale it
+    is strictly worse than BroadcastNestedLoopJoin)."""
+    depths = _depths(text)
+    spans = _string_spans(text)
+
+    def _outside(i):
+        return not any(a <= i <= b for a, b in spans)
+
+    hints = {}
+    for jm in re.finditer(
+            r"\bJOIN\s+([A-Za-z_]\w*)(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?"
+            r"\s+ON\b", text, re.IGNORECASE):
+        if not _outside(jm.start()):
+            continue
+        d = depths[jm.start()]
+        end = len(text)
+        for t in re.finditer(
+                r"\b(WHERE|GROUP|ORDER|HAVING|LIMIT|JOIN|UNION)\b",
+                text[jm.end():], re.IGNORECASE):
+            p = jm.end() + t.start()
+            if depths[p] <= d and _outside(p):
+                end = p
+                break
+        cond = text[jm.end():end]
+        if not re.search(r"\b(?:arrays_overlap|array_contains)\s*\(",
+                         cond, re.IGNORECASE):
+            continue
+        sel = None
+        for s in re.finditer(r"\bSELECT\b", text, re.IGNORECASE):
+            if (s.start() < jm.start() and depths[s.start()] == d
+                    and _outside(s.start())):
+                sel = s
+        if sel is None:
+            continue
+        alias = jm.group(2) or jm.group(1)
+        if alias.lower() in _MV_FROM_KEYWORDS:
+            alias = jm.group(1)
+        hints.setdefault(sel.end(), []).append(alias)
+    for pos, aliases in sorted(hints.items(), reverse=True):
+        dedup = list(dict.fromkeys(aliases))
+        text = (text[:pos] + " /*+ BROADCAST(" + ", ".join(dedup)
+                + ") */" + text[pos:])
+    return text
+
+
 def _expand_mv_wrap(text: str) -> str:
     """Expand the __mv_wrap(x) markers _align_mv_in_unions planted to
     array(CAST(x AS STRING)) — run after _rewrite_mv_semantics so the
@@ -3238,6 +3290,7 @@ def druid_sql(spark: SparkSession, text: str, registry=None,
             translated = _rewrite_mv_semantics(translated, mv_cols,
                                                mv_by_table)
             translated = _expand_mv_wrap(translated)
+            translated = _hint_broadcast_mv_joins(translated)
             _check_mv_lambda_hygiene(translated)
         translated = _inline_lookup_calls(translated, registry)
     if registry is not None and ("sys_" in translated

@@ -59,9 +59,12 @@ def meta(spark):
 
 
 PREPARED_SQL = "SELECT id, name FROM t WHERE id > ? ORDER BY id"
-PARAM_META = [{"signed": False, "precision": 0, "scale": 0,
-               "parameterType": 12, "typeName": "VARCHAR",
-               "className": "java.lang.String", "name": "?0"}]
+# per-position inferred type (r6 task #8): `id > ?` compares against
+# the BIGINT column, so the parameter meta is BIGINT (DruidMeta
+# reports Calcite-inferred SqlDynamicParam types)
+PARAM_META = [{"signed": True, "precision": 0, "scale": 0,
+               "parameterType": -5, "typeName": "BIGINT",
+               "className": "java.lang.Long", "name": "?0"}]
 RESULT_COLUMNS = [
     _col(0, "id", -5, "BIGINT", "PRIMITIVE_LONG"),
     _col(1, "name", 12, "VARCHAR", "STRING"),
@@ -187,3 +190,30 @@ def test_metadata_rpcs_and_lookup_columns(meta):
         ["druid", "lookup", "lookyloo", "k", "12", "VARCHAR", "1"],
         ["druid", "lookup", "lookyloo", "v", "12", "VARCHAR", "2"]]
     meta.handle({"request": "closeConnection", "connectionId": "jdbc-2"})
+
+
+def test_mixed_parameter_types_per_position(meta):
+    """VERDICT r6 task #8: a (string, long) parameter pair reports
+    per-position JDBC types at prepare — the old probe typed every
+    position VARCHAR-or-BIGINT together. Reference: DruidMeta reports
+    Calcite-inferred SqlDynamicParam types per position."""
+    resp = meta.handle({
+        "request": "prepare", "connectionId": "jdbc-mixed",
+        "sql": "SELECT id FROM t WHERE name = ? AND id > ? LIMIT ?",
+        "maxRowCount": -1})
+    params = resp["statement"]["signature"]["parameters"]
+    assert [p["typeName"] for p in params] == ["VARCHAR", "BIGINT",
+                                               "BIGINT"]
+    assert [p["parameterType"] for p in params] == [12, -5, -5]
+    assert [p["className"] for p in params] == [
+        "java.lang.String", "java.lang.Long", "java.lang.Long"]
+    # prepare-time column metadata analyzed through the typed probe
+    cols = resp["statement"]["signature"]["columns"]
+    assert [c["columnName"] for c in cols] == ["id"]
+    # reversed comparison and qualified column resolve too
+    resp2 = meta.handle({
+        "request": "prepare", "connectionId": "jdbc-mixed",
+        "sql": "SELECT name FROM t WHERE ? < t.id AND ? = name",
+        "maxRowCount": -1})
+    params2 = resp2["statement"]["signature"]["parameters"]
+    assert [p["typeName"] for p in params2] == ["BIGINT", "VARCHAR"]

@@ -140,3 +140,27 @@ if name == "vj3":
         print("schema:", spark.table("view_cview").schema.simpleString())
     except Exception as e:
         print("table err:", str(e)[:200])
+if name == "vj4":
+    reg.register_view(
+        "aview",
+        "SELECT SUBSTRING(dim1, 1, 1) AS dim1_firstchar FROM foo "
+        "WHERE dim2 = 'a'")
+    reg.register_view(
+        "cview",
+        "SELECT SUBSTRING(bar.dim1, 1, 1) AS dim1_firstchar, "
+        "bar.dim2 as dim2, dnf.l2 as l2 "
+        "FROM (SELECT * from foo WHERE dim2 = 'a') as bar "
+        "INNER JOIN druid.numfoo dnf ON bar.dim2 = dnf.dim2")
+    reg.register_view(
+        "dview",
+        "SELECT SUBSTRING(dim1, 1, 1) AS numfoo FROM foo "
+        "WHERE dim2 = 'a'")
+    import time
+    q = ("SELECT COUNT(*) FROM view.cview as a "
+         "INNER JOIN druid.foo d on d.dim2 = a.dim2 "
+         "WHERE a.dim1_firstchar <> 'z' OR a.dim1_firstchar IS NULL")
+    t0 = time.time()
+    df = druid_sql(spark, q, reg)
+    print("translate+plan time:", time.time() - t0)
+    t0 = time.time()
+    print("rows:", df.collect(), "exec:", time.time() - t0)
