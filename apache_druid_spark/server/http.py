@@ -127,7 +127,11 @@ class DruidHttpServer:
                                 fmt = body.get("resultFormat", "object")
                                 payload = format_results(
                                     df, fmt,
-                                    header=bool(body.get("header")))
+                                    header=bool(body.get("header")),
+                                    types_header=bool(
+                                        body.get("typesHeader")),
+                                    sql_types_header=bool(
+                                        body.get("sqlTypesHeader")))
                             else:
                                 df = compile_query(body, outer.registry)
                                 payload = format_results(df, "object")

@@ -2995,6 +2995,36 @@ def _hint_broadcast_mv_joins(text: str) -> str:
     return text
 
 
+def _rewrite_mv_to_array_scalar(text: str, mv_cols) -> str:
+    """MV_TO_ARRAY over a SINGLE-VALUE string column wraps it in a
+    one-element array (CalciteMultiValueStringQueryTest
+    testMultiValueToArrayGroupAsArrayWithSingleValueDim: MV_TO_ARRAY(
+    dim1) groups as [''], ['1'], ...; a NULL scalar stays NULL). The
+    registered UDF is typed ARRAY<STRING> (identity for true MV
+    columns), so the scalar-column form rewrites here — bare column
+    arguments not known to be MV are scalars."""
+    mv_lower = {c.lower() for c in mv_cols}
+    pos = 0
+    while True:
+        found = None
+        for start, op, cp in _find_calls(text[pos:], "MV_TO_ARRAY"):
+            s, o, c = pos + start, pos + op, pos + cp
+            arg = text[o + 1:c].strip()
+            if not re.fullmatch(r"[A-Za-z_]\w*", arg):
+                continue
+            if arg.lower() in mv_lower:
+                continue
+            found = (s, c, arg)
+            break
+        if found is None:
+            return text
+        s, c, arg = found
+        repl = (f"if({arg} IS NULL, CAST(NULL AS ARRAY<STRING>), "
+                f"array(CAST({arg} AS STRING)))")
+        text = text[:s] + repl + text[c + 1:]
+        pos = s + len(repl)
+
+
 def _expand_mv_wrap(text: str) -> str:
     """Expand the __mv_wrap(x) markers _align_mv_in_unions planted to
     array(CAST(x AS STRING)) — run after _rewrite_mv_semantics so the
@@ -3292,6 +3322,7 @@ def druid_sql(spark: SparkSession, text: str, registry=None,
             translated = _expand_mv_wrap(translated)
             translated = _hint_broadcast_mv_joins(translated)
             _check_mv_lambda_hygiene(translated)
+        translated = _rewrite_mv_to_array_scalar(translated, mv_cols)
         translated = _inline_lookup_calls(translated, registry)
     if registry is not None and ("sys_" in translated
                                  or "information_schema_" in translated):

@@ -372,3 +372,33 @@ def test_mv_to_array_arg_validation(spark, reg):
         druid_sql(spark,
                   "SELECT MV_TO_ARRAY(concat(dim1, 'c')) FROM numfoo",
                   reg).collect()
+
+
+# ---------------------------------------------------------------------
+# Round 8: MV_TO_ARRAY over single-value dims
+# ---------------------------------------------------------------------
+
+
+def test_mv_to_array_group_as_array_with_single_value_dim(spark, reg):
+    # testMultiValueToArrayGroupAsArrayWithSingleValueDim
+    # (sql-compatible branch): a scalar string dim wraps to a
+    # one-element array group
+    out = druid_sql(spark, """
+        SELECT MV_TO_ARRAY(dim1) AS a, SUM(cnt) AS s FROM druid.numfoo
+        GROUP BY 1 ORDER BY 2 DESC
+    """, reg).collect()
+    got = sorted((tuple(r.a) if r.a is not None else None, r.s)
+                 for r in out)
+    assert got == [(("",), 1), (("1",), 1), (("10.1",), 1),
+                   (("2",), 1), (("abc",), 1), (("def",), 1)]
+
+
+def test_mv_to_array_single_value_dim_with_limit(spark, reg):
+    # testMultiValueToArrayGroupAsArrayWithSingleValueDimIsNotConverted
+    # ToTopN — same contract through the LIMIT path
+    out = druid_sql(spark, """
+        SELECT MV_TO_ARRAY(dim1) AS a, SUM(cnt) AS s FROM druid.numfoo
+        GROUP BY 1 ORDER BY 2 DESC limit 10
+    """, reg).collect()
+    assert len(out) == 6
+    assert all(r.s == 1 and len(r.a) == 1 for r in out)

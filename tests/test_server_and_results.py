@@ -259,3 +259,55 @@ def test_http_get_endpoints(spark, reg):
             assert e.code == 404
     finally:
         srv.stop()
+
+
+def test_types_headers_all_formats(spark):
+    """SqlResourceTest testArrayResultFormatWithHeader /
+    testCsvResultFormatWithHeaders /
+    testObjectLinesResultFormatWithFullHeader / WithMinimalHeader:
+    typesHeader and sqlTypesHeader add the Druid-native and SQL type
+    rows after the column-name header."""
+    df = spark.createDataFrame(
+        [(1, "a", 1.5)], "id long, name string, score double")
+    out = json.loads(format_results(df, "array", header=True,
+                                    types_header=True,
+                                    sql_types_header=True))
+    assert out[0] == ["id", "name", "score"]
+    assert out[1] == ["LONG", "STRING", "DOUBLE"]
+    assert out[2] == ["BIGINT", "VARCHAR", "DOUBLE"]
+    assert out[3] == [1, "a", 1.5]
+
+    csv_out = format_results(df, "csv", header=True, types_header=True,
+                             sql_types_header=True).splitlines()
+    assert csv_out[:3] == ["id,name,score", "LONG,STRING,DOUBLE",
+                           "BIGINT,VARCHAR,DOUBLE"]
+
+    lines = format_results(df, "objectLines", header=True,
+                           types_header=True,
+                           sql_types_header=True).splitlines()
+    hdr = json.loads(lines[0])
+    assert hdr["id"] == {"type": "LONG", "sqlType": "BIGINT"}
+    assert hdr["name"] == {"type": "STRING", "sqlType": "VARCHAR"}
+
+    # minimal header: names map to null
+    minimal = format_results(df, "objectLines", header=True).splitlines()
+    assert json.loads(minimal[0]) == {"id": None, "name": None,
+                                      "score": None}
+
+    al = format_results(df, "arrayLines", header=True,
+                        types_header=True).splitlines()
+    assert json.loads(al[0]) == ["id", "name", "score"]
+    assert json.loads(al[1]) == ["LONG", "STRING", "DOUBLE"]
+
+
+def test_types_header_timestamp_and_array(spark):
+    # __time is natively LONG / SQL TIMESTAMP; MV strings type STRING
+    from datetime import datetime
+    df = spark.createDataFrame(
+        [(datetime(2000, 1, 1), ["a", "b"])],
+        "__time timestamp, dim3 array<string>")
+    out = json.loads(format_results(df, "array", header=True,
+                                    types_header=True,
+                                    sql_types_header=True))
+    assert out[1] == ["LONG", "STRING"]
+    assert out[2] == ["TIMESTAMP", "ARRAY"]
