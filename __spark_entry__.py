@@ -50,6 +50,15 @@ def _registry(spark: SparkSession, sf_dir: str) -> DatasourceRegistry:
             nation.select(F.col("n_nationkey").cast("string"),
                           F.col("n_name")),
         )
+        # a PARTIAL lookup (keys 0-2 of 5 regions) so lookup misses
+        # yield NULL — exercises the r8 null-matching `LOOKUP <> lit`
+        # (not(selector)) contract
+        reg.register_lookup(
+            "region_partial",
+            reg.table("region").filter(F.col("r_regionkey") <= 2)
+               .select(F.col("r_regionkey").cast("string"),
+                       F.col("r_name")),
+        )
         reg.register_view(
             "high_value_orders_v",
             "SELECT o_orderkey, o_orderstatus, o_totalprice "
@@ -2412,6 +2421,63 @@ def _sql_lookup_fn(spark, sf_dir):
     """, _registry(spark, sf_dir))
 
 
+@_q("lookup_neq_matches_null", """
+SELECT rname, COUNT(*) AS cnt FROM (
+  SELECT r.r_name AS rname
+  FROM nation n LEFT JOIN (SELECT * FROM region WHERE r_regionkey <= 2) r
+    ON n.n_regionkey = r.r_regionkey
+) WHERE rname IS DISTINCT FROM 'AFRICA'
+GROUP BY 1
+""")
+def _lookup_neq_matches_null(spark, sf_dir):
+    """`LOOKUP(k, name) <> lit` matches NULL lookup results — the
+    reference plans it as not(selector(extractionFn, lit)) and the
+    native not-selector matches missing keys (CalciteQueryTest
+    testFilterAndGroupByLookup; r8 `_rewrite_lookup_neq` lowers to
+    IS DISTINCT FROM). region_partial maps only regionkeys 0-2, so
+    the NULL group carries the unmapped nations."""
+    return druid_sql(spark, """
+        SELECT LOOKUP(CAST(n_regionkey AS STRING), 'region_partial')
+                   AS rname,
+               COUNT(*) AS cnt
+        FROM nation
+        WHERE LOOKUP(CAST(n_regionkey AS STRING), 'region_partial')
+                  <> 'AFRICA'
+        GROUP BY 1
+    """, _registry(spark, sf_dir))
+
+
+@_q("human_readable_formats", """
+SELECT CAST(small AS VARCHAR) || ' B' AS small_b,
+       printf('%.2f KiB', big / 1024.0) AS big_kib,
+       CAST(small AS VARCHAR) AS small_plain,
+       COUNT(*) AS cnt
+FROM (SELECT CAST(FLOOR(o_totalprice) AS BIGINT) % 1000 AS small,
+             CAST(FLOOR(o_totalprice) AS BIGINT)
+               - CAST(FLOOR(o_totalprice) AS BIGINT) % 1024 + 1224 AS big
+      FROM orders)
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3 LIMIT 30
+""")
+def _human_readable_formats(spark, sf_dir):
+    """HUMAN_READABLE_* per core/.../HumanReadableBytes.java (r8 fix):
+    |n| < base renders the integer with the bare suffix, larger values
+    format at the requested precision over exact integer unit
+    thresholds. The +1224 offset keeps the KiB fraction at .1953125
+    (no decimal-rounding tie between Java HALF_UP and C printf)."""
+    return druid_sql(spark, """
+        SELECT HUMAN_READABLE_BINARY_BYTE_FORMAT(small) AS small_b,
+               HUMAN_READABLE_BINARY_BYTE_FORMAT(big) AS big_kib,
+               HUMAN_READABLE_DECIMAL_FORMAT(small) AS small_plain,
+               COUNT(*) AS cnt
+        FROM (SELECT CAST(FLOOR(o_totalprice) AS BIGINT) % 1000 AS small,
+                     CAST(FLOOR(o_totalprice) AS BIGINT)
+                       - CAST(FLOOR(o_totalprice) AS BIGINT) % 1024 + 1224
+                       AS big
+              FROM orders)
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3 LIMIT 30
+    """, _registry(spark, sf_dir))
+
+
 @_q("sql_safe_divide", """
 SELECT l_linestatus,
        ROUND(SUM(l_extendedprice / l_quantity), 2) AS price_per_unit
@@ -4397,7 +4463,10 @@ _R06_WINDOW = (
 # After r8, every entry's evidence is r5+ and the window keeps rotating
 # by age: r5-era entries next round, r7-era after that.
 _R08_WINDOW = (
-    'time_ceil_origin_buckets', 'theta_rollup_merge', 'segment_metadata_orders',
+    'time_ceil_origin_buckets',
+    # new r8 entries — never driver-checked, verify first
+    'lookup_neq_matches_null', 'human_readable_formats',
+    'theta_rollup_merge', 'segment_metadata_orders',
     'sql_time_ops', 'sql_mv_first_word', 'sql_array_fns',
     'sql_lookup_fn', 'sql_safe_divide', 'sql_ipv4',
     'sql_bloom_filter_test', 'extraction_cascade', 'extraction_bucket',

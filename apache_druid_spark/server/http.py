@@ -26,6 +26,26 @@ from apache_druid_spark.sql.dialect import druid_sql
 from apache_druid_spark.sql.results import format_results
 
 
+def _query_exception_json(e: Exception) -> dict:
+    """The Druid QueryException wire shape (sql/.../SqlPlanningException
+    PlanningError + query/.../BadQueryException: {error, errorMessage,
+    errorClass, host}; SqlResourceTest testCannotParse /
+    testCannotValidate pin the error codes). Spark's ParseException
+    maps to SQL_PARSE_ERROR, AnalysisException / dialect ValueErrors
+    to VALIDATION_ERROR, anything else to the generic envelope."""
+    name = type(e).__name__
+    if "ParseException" in name or "[PARSE_SYNTAX_ERROR]" in str(e):
+        code, cls = ("SQL parse failed",
+                     "org.apache.calcite.sql.parser.SqlParseException")
+    elif "AnalysisException" in name or isinstance(e, ValueError):
+        code, cls = ("Plan validation failed",
+                     "org.apache.calcite.tools.ValidationException")
+    else:
+        code, cls = "Unknown exception", f"{type(e).__module__}.{name}"
+    return {"error": code, "errorMessage": str(e).split("\nJVM")[0],
+            "errorClass": cls, "host": None}
+
+
 class DruidHttpServer:
     """Serve a DatasourceRegistry over the Druid HTTP surface.
 
@@ -141,7 +161,7 @@ class DruidHttpServer:
                         self.send_error(404)
                         return
                 except Exception as e:  # noqa: BLE001 — HTTP error surface
-                    msg = json.dumps({"error": str(e)})
+                    msg = json.dumps(_query_exception_json(e))
                     self.send_response(400)
                     self.send_header("Content-Type", "application/json")
                     self.end_headers()

@@ -311,3 +311,43 @@ def test_types_header_timestamp_and_array(spark):
                                     sql_types_header=True))
     assert out[1] == ["LONG", "STRING"]
     assert out[2] == ["TIMESTAMP", "ARRAY"]
+
+
+def test_sql_error_response_shape(spark, reg):
+    """SqlResourceTest testCannotParse / testCannotValidate: errors
+    return the QueryException envelope {error, errorMessage,
+    errorClass, host} with the PlanningError codes."""
+    from apache_druid_spark.server.http import DruidHttpServer
+
+    srv = DruidHttpServer(spark, reg, port=0)
+    srv.start()
+    try:
+        import urllib.error
+
+        def post(q):
+            req = urllib.request.Request(
+                f"http://localhost:{srv.port}/druid/v2/sql",
+                json.dumps({"query": q}).encode(),
+                {"Content-Type": "application/json"})
+            try:
+                with urllib.request.urlopen(req) as r:
+                    return r.status, json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read())
+
+        # cannot parse (Spark accepts Druid's `FROM foo` probe as
+        # FROM-first syntax, so use a true syntax error)
+        status, err = post("SELEC T FROM nation")
+        assert status == 400
+        assert err["error"] == "SQL parse failed"
+        assert err["errorClass"] == \
+            "org.apache.calcite.sql.parser.SqlParseException"
+        assert err["host"] is None
+        # cannot validate (unknown column)
+        status, err = post("SELECT no_such_col FROM nation")
+        assert status == 400
+        assert err["error"] == "Plan validation failed"
+        assert err["errorClass"] == \
+            "org.apache.calcite.tools.ValidationException"
+    finally:
+        srv.stop()
