@@ -1049,3 +1049,107 @@ def test_join_on_timeseries_with_floor_on_time(spark, reg_mv3):
     """, reg_mv3).collect()
     assert [(r.t, r.m1, r.d) for r in out] == [
         (946684800000, 1.0, ["a", "b"]), (946771200000, 2.0, ["b", "c"])]
+
+
+# ---------------------------------------------------------------------
+# Round 8: the remaining CalciteJoinQueryTest methods (closure map in
+# PARITY.md round-8)
+# ---------------------------------------------------------------------
+
+
+def test_filter_and_group_by_lookup_join_with_not_filter(spark, reg):
+    # testFilterAndGroupByLookupUsingJoinOperatorWithNotFilter: the
+    # reference's v <> 'xa' plans as not(selector) matching the NULL
+    # v of unmatched LEFT JOIN rows; three-valued <> needs the
+    # explicit IS NULL arm (corpus-standard spelling)
+    out = druid_sql(spark, """
+        SELECT lookyloo.v AS v, COUNT(*) AS c
+        FROM foo LEFT JOIN lookup.lookyloo ON foo.dim2 = lookyloo.k
+        WHERE lookyloo.v <> 'xa' OR lookyloo.v IS NULL
+        GROUP BY lookyloo.v
+    """, reg).collect()
+    assert sorted(((r.v, r.c) for r in out), key=str) \
+        == sorted([(None, 3), ("xabc", 1)], key=str)
+
+
+def test_inner_join_two_inline_datasources_left_direct_access(spark,
+                                                              reg):
+    # testInnerJoinOnTwoInlineDataSources_withLeftDirectAccess (the
+    # context flag only changes the reference's physical plan)
+    out = druid_sql(spark, """
+        with abc as
+        (SELECT dim1, "__time", m1 from foo WHERE "dim1" = '10.1')
+        SELECT t1.dim1, t1."__time" from abc as t1
+        INNER JOIN abc as t2 on t1.dim1 = t2.dim1
+    """, reg).collect()
+    assert [(r[0], r[1]) for r in out] \
+        == [("10.1", datetime(2000, 1, 2))]
+
+
+def test_topn_filter_join_with_projection(spark, reg):
+    # testTopNFilterJoinWithProjection (sql-compatible: SUBSTRING('')
+    # is null)
+    out = druid_sql(spark, """
+        SELECT SUBSTRING(t1.dim1, 1, 10) AS s, SUM(t1.cnt) AS c
+        FROM druid.foo t1
+          INNER JOIN (
+          SELECT SUM(cnt) AS sum_cnt, dim2 FROM druid.foo
+          GROUP BY dim2 ORDER BY 1 DESC LIMIT 2
+        ) t2 ON (t1.dim2 = t2.dim2)
+        GROUP BY SUBSTRING(t1.dim1, 1, 10)
+    """, reg).collect()
+    assert sorted(((r.s, r.c) for r in out), key=str) \
+        == sorted([(None, 1), ("1", 1)], key=str)
+
+
+def test_join_on_constant_superset(spark, reg):
+    # testJoinOnConstantShouldFail is UNPLANNABLE in the reference
+    # (unsupported operand types). DOCUMENTED DIVERGENCE (superset):
+    # Spark plans the constant condition as a cross-filter
+    out = druid_sql(spark, """
+        SELECT t1.dim1 from foo as t1
+        LEFT JOIN foo as t2 on t1.dim1 = '10.1'
+    """, reg).collect()
+    # the '10.1' row matches all 6 right rows; other rows join null
+    assert len(out) == 5 + 6
+
+
+def test_topn_on_broadcast_string_dictionary(spark, reg_broadcast):
+    # testTopNOnStringWithNonSortedOrUniqueDictionary (+ OrderByDim
+    # variant): join against the broadcast datasource on dim4
+    out = druid_sql(spark, """
+        SELECT broadcast.dim4 AS d, COUNT(*) AS c
+        FROM druid.numfoo
+        INNER JOIN druid.broadcast ON numfoo.dim4 = broadcast.dim4
+        GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 4
+    """, reg_broadcast).collect()
+    assert [(r.d, r.c) for r in out] == [("a", 9), ("b", 9)]
+    out2 = druid_sql(spark, """
+        SELECT broadcast.dim4 AS d, COUNT(*) AS c
+        FROM druid.numfoo
+        INNER JOIN druid.broadcast ON numfoo.dim4 = broadcast.dim4
+        GROUP BY 1 ORDER BY 1 DESC LIMIT 4
+    """, reg_broadcast).collect()
+    assert [(r.d, r.c) for r in out2] == [("b", 9), ("a", 9)]
+
+
+def test_in_filter_more_than_subquery_threshold(spark, reg):
+    # testPlanWithInFilterMoreThanInSubQueryThreshold — a >threshold
+    # IN list plans as a join in the reference; value semantics only
+    out = druid_sql(spark, """
+        SELECT l1 FROM numfoo
+        WHERE l1 IN (4842, 4844, 4845, 14905, 4853, 29064, 7, 0)
+    """, reg).collect()
+    assert sorted(r.l1 for r in out) == [0, 7]
+
+
+@pytest.fixture(scope="module")
+def reg_broadcast(spark):
+    """numfoo + the broadcast datasource (CalciteTests
+    BROADCAST_DATASOURCE shares numfoo's rows)."""
+    r = DatasourceRegistry(spark)
+    r.register("numfoo", spark.createDataFrame(NUMFOO_ROWS,
+                                               NUMFOO_SCHEMA))
+    r.register("broadcast", spark.createDataFrame(NUMFOO_ROWS,
+                                                  NUMFOO_SCHEMA))
+    return r

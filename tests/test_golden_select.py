@@ -504,3 +504,45 @@ def test_order_then_limit_then_filter(spark, reg):
                 "ORDER BY __time DESC LIMIT 4) "
                 "WHERE dim1 IN ('abc', 'def')") \
         == [("abc",), ("def",)]
+
+
+# ---------------------------------------------------------------------
+# Round 8: VALUES rows + distinct-sort wrapper (the last unported
+# CalciteSelectQueryTest value methods; skipped-with-reason map in
+# PARITY.md round-8)
+# ---------------------------------------------------------------------
+
+
+def test_values_containing_null(spark, reg):
+    # testValuesContainingNull
+    assert rows(spark, reg,
+                "SELECT * FROM (VALUES (NULL, 'United States'))") \
+        == [(None, "United States")]
+
+
+def test_multiple_values_containing_null(spark, reg):
+    # testMultipleValuesContainingNull
+    out = rows(spark, reg, "SELECT * FROM (VALUES "
+               "(NULL, 'United States'), ('Delhi', 'India'))")
+    assert sorted(out, key=str) == sorted(
+        [(None, "United States"), ("Delhi", "India")], key=str)
+
+
+def test_multiple_values_containing_null_and_integers(spark, reg):
+    # testMultipleValuesContainingNullAndIntegerValues
+    out = rows(spark, reg, "SELECT * FROM (VALUES "
+               "(NULL, 'United States'), (50, 'India'))")
+    assert sorted(out, key=str) == sorted(
+        [(None, "United States"), (50, "India")], key=str)
+
+
+def test_select_distinct_with_sort_as_outer_query2(spark, reg):
+    # testSelectDistinctWithSortAsOuterQuery2 (sql-compatible branch:
+    # MV dim2 distinct element values incl. the null row)
+    out = rows(spark, reg, """
+        SELECT * FROM (
+          SELECT DISTINCT dim2 FROM druid.foo ORDER BY dim2 LIMIT 5
+        ) LIMIT 10
+    """)
+    assert sorted(out, key=lambda t: (t[0] is not None, t[0])) == [
+        (None,), ("",), ("a",), ("abc",)]
