@@ -2260,6 +2260,37 @@ def _rewrite_mv_in_subquery(text: str, mv_cols) -> str:
     return text
 
 
+def _flatten_mv_array_agg(text: str, mv_cols) -> str:
+    """ARRAY_AGG over a bare MV column aggregates ELEMENT values
+    (testArrayAggMultiValue: dim3 flattens to its elements with a NULL
+    element per null/empty row). The ARRAY_AGG lowering is the
+    null-keeping named-struct collect (transform(collect_list(
+    named_struct('v', x)).., s -> s.v)) — rewrite that exact shape
+    when x is a bare MV column so the result flattens per element."""
+    changed = True
+    while changed:
+        changed = False
+        for start, op, cp in _find_calls(text, "transform"):
+            inner = text[op + 1:cp]
+            m = re.match(
+                r"\s*collect_list\(named_struct\('v',\s*([A-Za-z_]\w*)"
+                r"\s*\)\)(.*),\s*s\s*->\s*s\.v\s*$",
+                inner, re.DOTALL)
+            if not m:
+                continue
+            col = m.group(1)
+            if col.lower() not in {c.lower() for c in mv_cols}:
+                continue
+            filt = m.group(2)
+            repl = (f"flatten(transform(collect_list(named_struct('v', "
+                    f"{col})){filt}, s -> if(coalesce(size(s.v), 0) = 0"
+                    f", {_MV_NULL_ROW}, s.v)))")
+            text = text[:start] + repl + text[cp + 1:]
+            changed = True
+            break
+    return text
+
+
 def _flatten_mv_in_collects(text: str, mv_cols) -> str:
     """collect_list/collect_set over an expression of ONE MV column
     (the lowered STRING_AGG / ARRAY_AGG shapes) aggregate ELEMENT
@@ -2312,7 +2343,12 @@ def _flatten_mv_in_collects(text: str, mv_cols) -> str:
                 break
             s, c, inner, col = found
             if inner.lower() == col.lower():
-                repl = f"flatten({fn}({col}))"
+                # a null/empty MV row contributes a NULL ELEMENT
+                # (testArrayAggMultiValue pins the trailing nulls;
+                # array_join-based STRING_AGG skips them — "no
+                # contribution" — so both contracts hold)
+                repl = (f"flatten({fn}(if(coalesce(size({col}), 0) = 0"
+                        f", {_MV_NULL_ROW}, {col})))")
             else:
                 mapped = _sub_outside_strings(
                     inner, rf"(?<![\w.]){re.escape(col)}\b",
@@ -2568,6 +2604,7 @@ def _rewrite_mv_semantics(text: str, mv_cols, mv_by_table=None) -> str:
     different MV columns are left untouched — the reference rejects
     those too (one implicit MV input per expression)."""
     text = _rewrite_mv_in_subquery(text, mv_cols)
+    text = _flatten_mv_array_agg(text, mv_cols)
     text = _flatten_mv_in_collects(text, mv_cols)
     text = _unwrap_mv_array_wrap(text, mv_cols)
     text = _map_mv_scalar_exprs(text, mv_cols)

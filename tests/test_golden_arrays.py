@@ -387,3 +387,158 @@ def test_array_concat_agg_max_bytes(spark, reg):
     """, reg).first()
     assert out["a"] == [7, None, 325323, 325323, 0, 0,
                         None, None, None, None, None, None]
+
+
+# ---------------------------------------------------------------------
+# Round 8: the remaining CalciteArraysQueryTest methods (closure;
+# skipped-with-reason map in PARITY.md round-8)
+# ---------------------------------------------------------------------
+
+NUMFOO4_SCHEMA = T.StructType(list(SCHEMA.fields) + [
+    T.StructField("dim4", T.StringType()),
+])
+NUMFOO4_ROWS = [r + (("a",) if i < 3 else ("b",))
+                for i, r in enumerate(ROWS)]
+
+
+@pytest.fixture(scope="module")
+def reg4(spark):
+    r = DatasourceRegistry(spark)
+    r.register("numfoo", spark.createDataFrame(NUMFOO4_ROWS,
+                                               NUMFOO4_SCHEMA))
+    return r
+
+
+def test_select_constant_array_expression_from_table(spark, reg):
+    # testSelectConstantArrayExpressionFromTable
+    out = druid_sql(spark,
+                    "SELECT ARRAY[1,2] as arr, dim1 FROM numfoo LIMIT 1",
+                    reg).collect()
+    assert [(list(r.arr), r.dim1) for r in out] == [([1, 2], "")]
+
+
+def test_select_non_constant_array_expression_from_table(spark, reg):
+    # testSelectNonConstantArrayExpressionFromTable
+    out = druid_sql(spark, """
+        SELECT ARRAY[CONCAT(dim1, 'word'),'up'] as arr, dim1
+        FROM numfoo LIMIT 5
+    """, reg).collect()
+    assert [list(r.arr) for r in out] == [
+        ["word", "up"], ["10.1word", "up"], ["2word", "up"],
+        ["1word", "up"], ["defword", "up"]]
+
+
+def test_group_by_array_from_case(spark, reg4):
+    # testGroupByArrayFromCase
+    out = druid_sql(spark, """
+        SELECT CASE WHEN dim4 = 'a' THEN ARRAY['foo','bar','baz'] END
+                   as mv_value,
+               count(1) AS c
+        from numfoo GROUP BY 1
+    """, reg4).collect()
+    got = sorted((((tuple(r.mv_value) if r.mv_value else None), r.c)
+                  for r in out), key=str)
+    assert got == sorted([(None, 3), (("foo", "bar", "baz"), 3)], key=str)
+
+
+def test_array_agg_multi_value(spark, reg):
+    # testArrayAggMultiValue (sql-compatible branch): ARRAY_AGG over an
+    # MV flattens elements; null/empty rows contribute NULL elements;
+    # DISTINCT sorts nulls first
+    out = druid_sql(spark,
+                    "SELECT ARRAY_AGG(dim3) AS a, "
+                    "ARRAY_AGG(DISTINCT dim3) AS d FROM numfoo",
+                    reg).first()
+    assert sorted(out.a, key=lambda v: (v is not None, v)) \
+        == [None, None, "", "a", "b", "b", "c", "d"]
+    assert out.d == [None, "", "a", "b", "c", "d"]
+
+
+def test_array_agg_numeric(spark, reg):
+    # testArrayAggNumeric (sql-compatible): null rows kept; DISTINCT
+    # sorted nulls first
+    out = druid_sql(spark, """
+        SELECT ARRAY_AGG(l1) AS a1, ARRAY_AGG(DISTINCT l1) AS d1,
+               ARRAY_AGG(d1) AS a2, ARRAY_AGG(DISTINCT d1) AS d2,
+               ARRAY_AGG(f1) AS a3, ARRAY_AGG(DISTINCT f1) AS d3
+        FROM numfoo
+    """, reg).first()
+    assert sorted(out.a1, key=lambda v: (v is not None, v)) \
+        == [None, None, None, 0, 7, 325323]
+    assert out.d1 == [None, 0, 7, 325323]
+    assert out.d2 == [None, 0.0, 1.0, 1.7]
+    assert out.d3 == pytest.approx([None, 0.0, 0.10000000149011612,
+                                    1.0])
+
+
+def test_array_agg_arrays(spark, reg):
+    # testArrayAggArrays (sql-compatible): arrays nest; DISTINCT
+    # dedups whole arrays
+    out = druid_sql(spark,
+                    "SELECT ARRAY_AGG(ARRAY[l1, l2]) AS a, "
+                    "ARRAY_AGG(DISTINCT ARRAY[l1, l2]) AS d "
+                    "FROM numfoo", reg).first()
+    got = sorted((tuple(x) for x in out.a), key=str)
+    assert got == sorted([(7, None), (325323, 325323), (0, 0),
+                          (None, None), (None, None), (None, None)],
+                         key=str)
+    assert sorted((tuple(x) for x in out.d), key=str) \
+        == sorted([(None, None), (0, 0), (7, None), (325323, 325323)],
+                  key=str)
+
+
+def test_array_agg_as_array_from_join(spark, reg4):
+    # testArrayAggAsArrayFromJoin (sql-compatible branch)
+    out = druid_sql(spark, """
+        SELECT numfoo.dim4 AS d4, j.arr AS arr,
+               ARRAY_TO_STRING(j.arr, ',') AS s
+        FROM numfoo INNER JOIN
+          (SELECT dim4, ARRAY_AGG(DISTINCT dim1) as arr FROM numfoo
+           WHERE dim1 is not null GROUP BY 1) as j
+          ON numfoo.dim4 = j.dim4
+    """, reg4).collect()
+    got = sorted(((r.d4, tuple(r.arr), r.s) for r in out), key=str)
+    assert got == sorted(
+        [("a", ("", "10.1", "2"), ",10.1,2")] * 3
+        + [("b", ("1", "abc", "def"), "1,abc,def")] * 3, key=str)
+
+
+def test_array_agg_group_by_array_agg_from_subquery(spark, reg):
+    # testArrayAggGroupByArrayAggFromSubquery (sql-compatible branch:
+    # the MV dim2 groups by element; the null group keeps its rows)
+    out = druid_sql(spark, """
+        SELECT dim2, arr, COUNT(*) AS c FROM (
+          SELECT dim2, ARRAY_AGG(DISTINCT dim1) as arr FROM numfoo
+          WHERE dim1 is not null GROUP BY 1 LIMIT 5
+        ) GROUP BY 1,2
+    """, reg).collect()
+    got = sorted(((r.dim2, tuple(r.arr), r.c) for r in out), key=str)
+    assert got == sorted([
+        (None, ("10.1", "abc"), 1), ("", ("2",), 1),
+        ("a", ("", "1"), 1), ("abc", ("def",), 1)], key=str)
+
+
+def test_array_agg_array_contains_subquery(spark, reg):
+    # testArrayAggArrayContainsSubquery (sql-compatible: every dim1 is
+    # non-null so all six rows survive)
+    out = druid_sql(spark, """
+        SELECT dim1, dim2 FROM numfoo
+        WHERE ARRAY_CONTAINS(
+          (SELECT ARRAY_AGG(DISTINCT dim1) FROM numfoo
+           WHERE dim1 is not null), dim1)
+    """, reg).collect()
+    assert sorted(r.dim1 for r in out) == ["", "1", "10.1", "2", "abc",
+                                           "def"]
+
+
+def test_array_agg_group_by_array_contains_subquery(spark, reg):
+    # testArrayAggGroupByArrayContainsSubquery (sql-compatible branch)
+    out = druid_sql(spark, """
+        SELECT dim2, COUNT(*) AS c FROM numfoo
+        WHERE ARRAY_CONTAINS(
+          (SELECT ARRAY_AGG(DISTINCT dim1) FROM numfoo
+           WHERE dim1 is not null), dim1)
+        GROUP BY 1
+    """, reg).collect()
+    assert sorted(((r.dim2, r.c) for r in out), key=str) \
+        == sorted([(None, 2), ("", 1), ("a", 2), ("abc", 1)], key=str)
