@@ -230,16 +230,25 @@ _FUNCTION_DEFS: list[tuple[str, str, str, str]] = [
        END"""),
     # DIV is already a Spark builtin with identical semantics
     # -- ipv4 --------------------------------------------------------------
+    # IPv4AddressParseExprMacro / IPv4AddressExprUtils: only a
+    # well-formed dotted-quad STRING parses (octets 0-255; uint
+    # strings, IPv6 forms and hostnames are NULL); long-typed literal
+    # arguments take the identity path via the dialect rewrite
+    # (_rewrite_ipv4_numeric — range-checked [0, 2^32))
     ("IPV4_PARSE", "s STRING", "BIGINT",
-     """cast(split(s, '\\\\.')[0] AS BIGINT) * 16777216
+     """CASE WHEN s RLIKE concat('^(25[0-5]|2[0-4][0-9]|[01]?[0-9]?',
+            '[0-9])(\\\\.(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])){3}$')
+        THEN cast(split(s, '\\\\.')[0] AS BIGINT) * 16777216
         + cast(split(s, '\\\\.')[1] AS BIGINT) * 65536
         + cast(split(s, '\\\\.')[2] AS BIGINT) * 256
-        + cast(split(s, '\\\\.')[3] AS BIGINT)"""),
+        + cast(split(s, '\\\\.')[3] AS BIGINT) END"""),
+    # IPv4AddressStringifyExprMacro: longs outside [0, 2^32) are NULL
     ("IPV4_STRINGIFY", "n BIGINT", "STRING",
-     """concat_ws('.', cast(floor(n / 16777216) % 256 AS STRING),
+     """CASE WHEN n BETWEEN 0 AND 4294967295 THEN
+        concat_ws('.', cast(floor(n / 16777216) % 256 AS STRING),
                       cast(floor(n / 65536) % 256 AS STRING),
                       cast(floor(n / 256) % 256 AS STRING),
-                      cast(n % 256 AS STRING))"""),
+                      cast(n % 256 AS STRING)) END"""),
     ("HUMAN_READABLE_BINARY_BYTE_FORMAT", "n BIGINT", "STRING",
      """format_string('%.2f %s',
           n / power(1024, floor(log(1024, greatest(abs(n), 1)))),
@@ -261,17 +270,16 @@ _FUNCTION_DEFS: list[tuple[str, str, str, str]] = [
     ("TRUNCATE", "x DOUBLE, d INT", "DOUBLE",
      """CASE WHEN x >= 0 THEN floor(x * power(10, d)) / power(10, d)
         ELSE -floor(-x * power(10, d)) / power(10, d) END"""),
+    # IPv4AddressMatchExprMacro: a non-IPv4 address (hostname, uint
+    # string, IPv6 form) yields FALSE, not NULL; network and broadcast
+    # addresses are inside the subnet (inclusive prefix compare)
     ("IPV4_MATCH", "addr STRING, subnet STRING", "BOOLEAN",
-     """floor((cast(split(addr, '\\\\.')[0] AS BIGINT) * 16777216
-        + cast(split(addr, '\\\\.')[1] AS BIGINT) * 65536
-        + cast(split(addr, '\\\\.')[2] AS BIGINT) * 256
-        + cast(split(addr, '\\\\.')[3] AS BIGINT))
-        / power(2, 32 - cast(split(subnet, '/')[1] AS INT)))
-      = floor((cast(split(split(subnet, '/')[0], '\\\\.')[0] AS BIGINT) * 16777216
-        + cast(split(split(subnet, '/')[0], '\\\\.')[1] AS BIGINT) * 65536
-        + cast(split(split(subnet, '/')[0], '\\\\.')[2] AS BIGINT) * 256
-        + cast(split(split(subnet, '/')[0], '\\\\.')[3] AS BIGINT))
-        / power(2, 32 - cast(split(subnet, '/')[1] AS INT)))"""),
+     """coalesce(
+        floor(IPV4_PARSE(addr)
+              / power(2, 32 - cast(split(subnet, '/')[1] AS INT)))
+        = floor(IPV4_PARSE(split(subnet, '/')[0])
+              / power(2, 32 - cast(split(subnet, '/')[1] AS INT))),
+        false)"""),
     # DECODE_BASE64_UTF8 (expression/builtin — decodes a base64 string
     # payload to utf-8 text)
     ("DECODE_BASE64_UTF8", "s STRING", "STRING",

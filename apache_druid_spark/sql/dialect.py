@@ -78,6 +78,12 @@ _SIMPLE_RENAMES = {
     "DS_GET_QUANTILE": "kll_sketch_get_quantile_double",
     "DS_RANK": "kll_sketch_get_rank_double",
     "STRING_AGG": "listagg",
+    # variadic Java-Formatter passthrough (StringFormatOperator
+    # Conversion); the fixed-arity SQL macro can't take >1 value arg,
+    # and casting args to STRING breaks %x/%d conversions. Divergence:
+    # missing format args raise here; the reference's nonStrictFormat
+    # returns 'fmt; args' (documented in the expressions goldens).
+    "STRING_FORMAT": "format_string",
     # ARRAY_AGG handled by _rewrite_array_agg (DISTINCT sorts, empty
     # aggregates return NULL — ExpressionLambdaAggregatorFactory's
     # observable contract, CalciteArraysQueryTest testArrayAgg)
@@ -240,8 +246,73 @@ def _rewrite_regexp_extract(text: str) -> str:
         args = _split_top_args(text[op + 1:cp])
         if len(args) == 2:
             args.append(" 0")
-        call = f"nullif(__RX_EXTRACT__({','.join(args)}), '')"
+        if args[1].strip() in ("''", '""'):
+            # the empty pattern MATCHES (at position 0, yielding '');
+            # nullif would misreport it as a non-match
+            # (ExpressionsTest.testRegexpExtract empty-pattern case)
+            call = f"__RX_EXTRACT__({','.join(args)})"
+        else:
+            call = f"nullif(__RX_EXTRACT__({','.join(args)}), '')"
         text = text[:start] + call + text[cp + 1:]
+    return text
+
+
+def _rewrite_regexp_like_null(text: str) -> str:
+    """REGEXP_LIKE over NULL input is FALSE in the reference
+    (RegexpLikeExprMacro: nulls match nothing in SQL-compatible mode —
+    ExpressionsTest.testRegexpLike null cases); Spark's regexp_like
+    propagates NULL. coalesce(.., false) keeps filter semantics
+    identical and fixes the projected value."""
+    pos = 0
+    while True:
+        found = None
+        for start, op, cp in _find_calls(text[pos:], "REGEXP_LIKE"):
+            found = (pos + start, pos + op, pos + cp)
+            break
+        if found is None:
+            return text
+        start, op, cp = found
+        inner = text[op + 1:cp]
+        repl = f"coalesce(regexp_like({inner}), false)"
+        text = text[:start] + repl + text[cp + 1:]
+        pos = start + len(repl)
+    return text
+
+
+_ROUND_DMAX = "1.7976931348623157E308D"
+
+
+def _rewrite_round_edges(text: str) -> str:
+    """Druid ROUND (Function.java Round): NaN rounds to 0, ±Infinity
+    clamps to ±Double.MAX_VALUE, non-numeric strings are NULL, and
+    rounding happens in double precision (BigDecimal.valueOf —
+    ROUND(2.25f, 1) renders 2.3, not the float-widened 2.2999999).
+    Spark's round propagates NaN/Infinity, so wrap each call; the
+    repeated guard operand stays cheap under codegen subexpression
+    elimination, and every branch is DOUBLE so the CASE type is
+    stable."""
+    pos = 0
+    while True:
+        found = None
+        for start, op, cp in _find_calls(text[pos:], "ROUND"):
+            args = _split_top_args(text[pos + op + 1:pos + cp])
+            if len(args) in (1, 2):
+                found = (pos + start, pos + cp,
+                         [a.strip() for a in args])
+                break
+        if found is None:
+            return text
+        start, cp, args = found
+        e = f"CAST({args[0]} AS DOUBLE)"
+        d = f", {args[1]}" if len(args) == 2 else ""
+        repl = (f"CASE WHEN isnan({e}) THEN 0D "
+                f"WHEN {e} = CAST('Infinity' AS DOUBLE) "
+                f"THEN {_ROUND_DMAX} "
+                f"WHEN {e} = CAST('-Infinity' AS DOUBLE) "
+                f"THEN -{_ROUND_DMAX} "
+                f"ELSE round({e}{d}) END")
+        text = text[:start] + repl + text[cp + 1:]
+        pos = start + len(repl)
     return text
 
 
@@ -270,6 +341,159 @@ def _rewrite_time_parse(text: str) -> str:
         if len(args) >= 3:
             parse = f"to_utc_timestamp({parse}, {args[2]})"
         text = text[:start] + parse + text[cp + 1:]
+    return text
+
+
+def _rewrite_time_fn_tz(text: str) -> str:
+    """Timezone-arity overloads the fixed-arity SQL macros can't take
+    (ExpressionsTest testTimeFormat/testTimeExtract/testTimeShift):
+    TIME_FORMAT(ts, fmt, tz) renders in ``tz``; TIME_EXTRACT(ts, unit,
+    tz) extracts the local field; TIME_SHIFT(ts, period, step, tz)
+    shifts in local time (calendar periods cross DST correctly) and
+    returns the UTC instant."""
+    for fn, extra in (("TIME_FORMAT", 3), ("TIME_EXTRACT", 3),
+                      ("TIME_SHIFT", 4)):
+        while True:
+            found = None
+            for start, op, cp in _find_calls(text, fn):
+                args = _split_top_args(text[op + 1:cp])
+                if len(args) == extra:
+                    found = (start, cp, [a.strip() for a in args])
+                    break
+            if found is None:
+                break
+            start, cp, args = found
+            tz = args[-1]
+            local = f"from_utc_timestamp({args[0]}, {tz})"
+            if fn == "TIME_FORMAT":
+                repl = f"date_format({local}, {args[1]})"
+            elif fn == "TIME_EXTRACT":
+                repl = f"TIME_EXTRACT({local}, {args[1]})"
+            else:
+                repl = (f"to_utc_timestamp(TIME_SHIFT({local}, {args[1]}, "
+                        f"{args[2]}), {tz})")
+            text = text[:start] + repl + text[cp + 1:]
+    return text
+
+
+def _rewrite_parse_long_radix(text: str) -> str:
+    """PARSE_LONG(s, radix) — ParseLongOperatorConversion: parse in the
+    given radix; radix 16 accepts an optional 0x/0X prefix; bad input
+    is NULL (the 1-arg form is a SQL macro, which can't overload)."""
+    while True:
+        found = None
+        for start, op, cp in _find_calls(text, "PARSE_LONG"):
+            args = _split_top_args(text[op + 1:cp])
+            if len(args) == 2:
+                found = (start, cp, [a.strip() for a in args])
+                break
+        if found is None:
+            return text
+        start, cp, (s, radix) = found
+        repl = (f"try_cast(conv(CASE WHEN ({radix}) = 16 AND "
+                f"upper({s}) LIKE '0X%' THEN substring({s}, 3) "
+                f"ELSE {s} END, {radix}, 10) AS BIGINT)")
+        text = text[:start] + repl + text[cp + 1:]
+    return text
+
+
+def _rewrite_position_from(text: str) -> str:
+    """POSITION(needle IN haystack FROM start) — Spark's parser only
+    accepts the two-part form; the FROM form maps to locate(needle,
+    haystack, start) (1-based, 0 when absent — Calcite contract)."""
+    while True:
+        found = None
+        for start, op, cp in _find_calls(text, "POSITION"):
+            inner = text[op + 1:cp]
+            depths = _depths(inner)
+            spans = _string_spans(inner)
+            parts = {}
+            for kw in ("IN", "FROM"):
+                for m in re.finditer(rf"\s\b{kw}\b\s", inner,
+                                     re.IGNORECASE):
+                    if depths[m.start()] == 0 and not any(
+                            a <= m.start() <= b for a, b in spans):
+                        parts[kw] = m
+                        break
+            if "IN" in parts and "FROM" in parts:
+                found = (start, cp, inner, parts)
+                break
+        if found is None:
+            return text
+        start, cp, inner, parts = found
+        needle = inner[:parts["IN"].start()]
+        hay = inner[parts["IN"].end():parts["FROM"].start()]
+        frm = inner[parts["FROM"].end():]
+        repl = f"locate({needle}, {hay}, {frm})"
+        text = text[:start] + repl + text[cp + 1:]
+    return text
+
+
+def _rewrite_repeat_negative(text: str) -> str:
+    """REPEAT(s, n < 0) is NULL in the reference (Function.java Repeat
+    throws on negative counts pre-vectorization; the SQL layer yields
+    NULL) — Spark's repeat returns ''."""
+    pos = 0
+    while True:
+        found = None
+        for start, op, cp in _find_calls(text[pos:], "REPEAT"):
+            args = _split_top_args(text[pos + op + 1:pos + cp])
+            if len(args) == 2:
+                found = (pos + start, pos + cp,
+                         [a.strip() for a in args])
+                break
+        if found is None:
+            return text
+        start, cp, (s, n) = found
+        repl = (f"CASE WHEN ({n}) < 0 THEN CAST(NULL AS STRING) "
+                f"ELSE repeat({s}, {n}) END")
+        text = text[:start] + repl + text[cp + 1:]
+        pos = start + len(repl)
+    return text
+
+
+def _rewrite_ipv4_numeric(text: str) -> str:
+    """The IPv4 macros accept LONG-typed addresses too (IPv4Address
+    ExprUtils: a long in [0, 2^32) IS the address), but the registered
+    SQL macros are STRING-typed. Literal arguments carry their SQL type
+    here, so dispatch them by composition: a numeric address validates
+    through IPV4_STRINGIFY (range-checked), a string argument to
+    STRINGIFY validates through IPV4_PARSE — uint strings stay NULL
+    (IPv4AddressParseExpressionTest testValidStringArgUnsignedInt vs
+    testValidIntegerArg pin the type distinction)."""
+    num = re.compile(r"^[0-9]+L?$")
+    for fn in ("IPV4_PARSE", "IPV4_MATCH"):
+        pos = 0
+        while True:
+            found = None
+            for start, op, cp in _find_calls(text[pos:], fn):
+                args = _split_top_args(text[pos + op + 1:pos + cp])
+                if args and num.match(args[0].strip()):
+                    found = (pos + start, pos + op, pos + cp,
+                             [a.strip() for a in args])
+                    break
+            if found is None:
+                break
+            start, op, cp, args = found
+            lit = args[0].rstrip("L").rstrip("l")
+            rest = "".join(f", {a}" for a in args[1:])
+            repl = f"{fn}(IPV4_STRINGIFY({lit}L){rest})"
+            text = text[:start] + repl + text[cp + 1:]
+            pos = start + len(repl)
+    pos = 0
+    while True:
+        found = None
+        for start, op, cp in _find_calls(text[pos:], "IPV4_STRINGIFY"):
+            arg = text[pos + op + 1:pos + cp].strip()
+            if arg.startswith("'") and arg.endswith("'"):
+                found = (pos + start, pos + cp, arg)
+                break
+        if found is None:
+            break
+        start, cp, arg = found
+        repl = f"IPV4_STRINGIFY(IPV4_PARSE({arg}))"
+        text = text[:start] + repl + text[cp + 1:]
+        pos = start + len(repl)
     return text
 
 
@@ -1125,15 +1349,30 @@ def _human_readable_body(n: str, p: str, base: int, units: str,
     exact integer-threshold CASE (the reference uses bit position /
     digit count — float log() would mis-bucket exact powers)."""
     v = "__hr_v"
-    thresholds = [base ** i for i in range(1, 6)]
-    idx = " ".join(
-        f"WHEN abs({v}) < {t}L THEN {i}"
-        for i, t in enumerate(thresholds, start=0)) + " ELSE 5"
     small = (f"concat(CAST({v} AS STRING), '{suffix}')" if suffix
              else f"CAST({v} AS STRING)")
-    big = (f"format_string(concat('%.', CAST({p} AS STRING), 'f %s'), "
-           f"{v} / power({base}, __hr_i), "
-           f"element_at({units}, __hr_i + 1))")
+    if base == 1024:
+        # BinaryFormatter: unit = bit-length/10 (tiers through EiB —
+        # 2^60 ≤ Long.MAX), value = bytes / 2^(10*unit), float division
+        thresholds = [base ** i for i in range(1, 7)]
+        idx = " ".join(
+            f"WHEN abs({v}) < {t}L THEN {i}"
+            for i, t in enumerate(thresholds, start=0)) + " ELSE 6"
+        big = (f"format_string(concat('%.', CAST({p} AS STRING), 'f %s'), "
+               f"{v} / power({base}, __hr_i), "
+               f"element_at({units}, __hr_i + 1))")
+    else:
+        # DecimalFormatter: integer-divide by 1000 while |v| ≥ 1e6
+        # (truncation BEFORE the final /1000.0 — 1234567890 renders
+        # '1.234 G', not the rounded '1.235 G'), units K..E
+        thresholds = [1000 ** i for i in range(2, 7)]
+        idx = " ".join(
+            f"WHEN abs({v}) < {t}L THEN {i}"
+            for i, t in enumerate(thresholds, start=0)) + " ELSE 5"
+        big = (f"format_string(concat('%.', CAST({p} AS STRING), 'f %s'), "
+               f"CAST({v} DIV CAST(power({base}, __hr_i) AS BIGINT) "
+               f"AS DOUBLE) / 1000.0, "
+               f"element_at({units}, __hr_i + 1))")
     # bind the long value and unit index once via a literal-array
     # transform (poor man's lateral binding — stays whole-stage-codegen)
     return (f"(CASE WHEN ({n}) IS NULL THEN NULL ELSE "
@@ -1182,11 +1421,11 @@ def _rewrite_human_readable_precision(text: str) -> str:
     single rendering (core/.../HumanReadableBytes.java)."""
     specs = {
         "HUMAN_READABLE_BINARY_BYTE_FORMAT":
-            (1024, "array('B','KiB','MiB','GiB','TiB','PiB')", " B"),
+            (1024, "array('B','KiB','MiB','GiB','TiB','PiB','EiB')", " B"),
         "HUMAN_READABLE_DECIMAL_BYTE_FORMAT":
-            (1000, "array('B','KB','MB','GB','TB','PB')", " B"),
+            (1000, "array('KB','MB','GB','TB','PB','EB')", " B"),
         "HUMAN_READABLE_DECIMAL_FORMAT":
-            (1000, "array('','K','M','G','T','P')", ""),
+            (1000, "array('K','M','G','T','P','E')", ""),
     }
     for fn, (base, units, suffix) in specs.items():
         pos = 0
@@ -1230,6 +1469,13 @@ def translate(text: str, time_column: str = TIME_COLUMN) -> str:
     text = _rewrite_array_literal(text)
     text = _rewrite_regexp_extract(text)
     text = _rewrite_time_parse(text)
+    text = _rewrite_time_fn_tz(text)
+    text = _rewrite_parse_long_radix(text)
+    text = _rewrite_position_from(text)
+    text = _rewrite_repeat_negative(text)
+    text = _rewrite_regexp_like_null(text)
+    text = _rewrite_round_edges(text)
+    text = _rewrite_ipv4_numeric(text)
     text = text.replace("__RX_EXTRACT__", "regexp_extract")
     text = _rewrite_array_prepend(text)
     text = text.replace("__ARR_PREP__", "array_prepend")

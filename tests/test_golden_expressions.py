@@ -1,0 +1,373 @@
+"""Golden tests ported from the reference's expression-conversion unit
+suites (sql/src/test/java/org/apache/druid/sql/calcite/expression/):
+ExpressionsTest.java (55 methods), GreatestExpressionTest.java /
+LeastExpressionTest.java (13 + 13), IPv4AddressParseExpressionTest /
+IPv4AddressStringifyExpressionTest / IPv4AddressMatchExpressionTest
+(16 + 16 + 21). The reference asserts (a) the Calcite->native
+translation text and (b) the evaluated value against a one-row binding;
+this engine has no native-expression text, so each case pins the VALUE
+the SQL surface produces over the same one-row binding (SQL-compatible
+null mode).
+
+Skipped (with reason):
+- testRegexpLikeAsFilter / testContainsAsFilter: filter-plan shape
+  assertions (RegexDimFilter / SearchQueryDimFilter JSON); the same
+  predicates are value-pinned here and exercised as WHERE clauses all
+  over the golden corpus.
+- testStringFormat missing-argument case ('%s %,d' with one arg ->
+  '%s %,d; foo'): the reference's nonStrictFormat catches the Java
+  MissingFormatArgumentException and returns fmt + '; ' + args; pure
+  SQL cannot intercept the Formatter error. Extra args are ignored
+  identically (pinned).
+- testRoundWithInvalidArgument / testRoundWithInvalidSecondArgument,
+  testAbnormal{Reverse,Right,Left,Repeat}With*: native-layer IAE
+  message contracts. This engine coerces per Spark (ROUND('foo') is
+  pinned NULL below — same SQL-compatible result; RIGHT/LEFT(s, -1)
+  return '' instead of erroring — documented superset).
+- Greatest/Least testNoArgs (Spark requires >= 2 args), testInvalidType
+  (Calcite interval-literal error contract), testCoerceString /
+  testSomeNull / testDecimalWithNullShouldReturnString: the reference
+  coerces mixed string/number argument lists to STRING and compares
+  lexicographically; Spark coerces to the numeric common type
+  (DOCUMENTED DIVERGENCE — homogeneous-type and numeric-coercion
+  cases are pinned).
+- IPv4 testTooFewArgs/TooManyArgs/invalid-subnet: arity/IAE contracts
+  (Spark raises its own analysis errors). Long-typed COLUMNS (not
+  literals) through IPV4_* stay on the string path — the dialect
+  dispatches literal longs by composition (_rewrite_ipv4_numeric).
+"""
+
+from __future__ import annotations
+
+from datetime import date, datetime
+
+import pytest
+from pyspark.sql import types as T
+
+from apache_druid_spark.model.datasource import DatasourceRegistry
+from apache_druid_spark.sql.dialect import druid_sql
+
+SCHEMA = T.StructType([
+    T.StructField("t", T.TimestampType()),
+    T.StructField("a", T.LongType()),
+    T.StructField("b", T.LongType()),
+    T.StructField("p", T.LongType()),
+    T.StructField("x", T.FloatType()),
+    T.StructField("y", T.LongType()),
+    T.StructField("z", T.FloatType()),
+    T.StructField("s", T.StringType()),
+    T.StructField("nan", T.DoubleType()),
+    T.StructField("inf", T.DoubleType()),
+    T.StructField("ninf", T.DoubleType()),
+    T.StructField("fnan", T.FloatType()),
+    T.StructField("finf", T.FloatType()),
+    T.StructField("nfinf", T.FloatType()),
+    T.StructField("hexstr", T.StringType()),
+    T.StructField("intstr", T.StringType()),
+    T.StructField("spacey", T.StringType()),
+    T.StructField("newliney", T.StringType()),
+    T.StructField("tstr", T.StringType()),
+    T.StructField("dstr", T.StringType()),
+])
+# ExpressionsTest BINDINGS: t=2000-02-03T04:05:06, a=10, b=25, p=3,
+# x=2.25f, y=3, z=-2.25f, s='foo', hexstr='EF', intstr='-100',
+# spacey='  hey there  ', newliney='beep\nboop'
+ROW = (datetime(2000, 2, 3, 4, 5, 6), 10, 25, 3, 2.25, 3, -2.25, "foo",
+       float("nan"), float("inf"), float("-inf"),
+       float("nan"), float("inf"), float("-inf"),
+       "EF", "-100", "  hey there  ", "beep\nboop",
+       "2000-02-03 04:05:06", "2000-02-03")
+
+DMAX = 1.7976931348623157e308
+
+
+@pytest.fixture(scope="module")
+def reg(spark):
+    r = DatasourceRegistry(spark)
+    r.register("exprtest", spark.createDataFrame([ROW], SCHEMA))
+    return r
+
+
+def val(spark, reg, expr):
+    return druid_sql(
+        spark, f"SELECT {expr} AS v FROM exprtest", reg).collect()[0][0]
+
+
+CASES = [
+    # testConcat / testCharacterLength
+    ("concat", "CONCAT(s, 'bar')", "foobar"),
+    ("char_len", "CHARACTER_LENGTH(s)", 3),
+    # testRegexpExtract (incl. empty-pattern match and NULL input)
+    ("re_nomatch", "REGEXP_EXTRACT(s, 'x(.)', 1)", None),
+    ("re_mid", "REGEXP_EXTRACT(s, '(o)', 1)", "o"),
+    ("re_concat", "REGEXP_EXTRACT(CONCAT('Z', s), 'Zf(.)')", "Zfo"),
+    ("re_group", "REGEXP_EXTRACT(s, 'f(.)', 1)", "o"),
+    ("re_whole", "REGEXP_EXTRACT(s, 'f(.)')", "fo"),
+    ("re_empty_pat", "REGEXP_EXTRACT(s, '')", ""),
+    ("re_null", "REGEXP_EXTRACT(NULL, '(.)')", None),
+    ("re_null_empty", "REGEXP_EXTRACT(NULL, '')", None),
+    # testRegexpLike (unanchored find; \n literal patterns; NULL input
+    # matches nothing in SQL-compatible mode -> FALSE, not NULL)
+    ("rl_prefix", "REGEXP_LIKE(s, 'f.')", True),
+    ("rl_mid", "REGEXP_LIKE(s, 'o')", True),
+    ("rl_none", "REGEXP_LIKE(s, 'x.')", False),
+    ("rl_empty", "REGEXP_LIKE(s, '')", True),
+    ("rl_nl_anchor", "REGEXP_LIKE(newliney, '^beep$')", False),
+    ("rl_nl_escape", "REGEXP_LIKE(newliney, '^beep\\nboop$')", True),
+    ("rl_nl_find", "REGEXP_LIKE(newliney, 'boo')", True),
+    ("rl_nl_prefix", "REGEXP_LIKE(newliney, '^boo')", False),
+    ("rl_expr", "REGEXP_LIKE(CONCAT('Z', s), 'x(.)')", False),
+    ("rl_null", "REGEXP_LIKE(NULL, '(.)')", False),
+    ("rl_null_empty", "REGEXP_LIKE(NULL, '')", False),
+    # testStringFormat (Java Formatter passthrough; extras ignored)
+    ("fmt_hex", "STRING_FORMAT('%x', b)", "19"),
+    ("fmt_group", "STRING_FORMAT('%s %,d', s, 1234)", "foo 1,234"),
+    ("fmt_extra", "STRING_FORMAT('%s %,d', s, 1234, 6789)", "foo 1,234"),
+    # testStrpos / testPosition (1-based; 0 = absent; NULL input NULL)
+    ("strpos", "STRPOS(s, 'oo')", 2),
+    ("strpos_none", "STRPOS(s, 'ax')", 0),
+    ("strpos_null", "STRPOS(NULL, 'ax')", None),
+    ("position", "POSITION('oo' IN s)", 2),
+    ("position_from2", "POSITION('oo' IN s FROM 2)", 2),
+    ("position_from3", "POSITION('oo' IN s FROM 3)", 0),
+    # testParseLong (radix form strips 0x; bad input NULL)
+    ("parse_long", "PARSE_LONG(intstr)", -100),
+    ("parse_long_r16", "PARSE_LONG(hexstr, 16)", 239),
+    ("parse_long_0x", "PARSE_LONG(CONCAT('0x', hexstr), 16)", 239),
+    ("parse_long_bad", "PARSE_LONG(hexstr)", None),
+    # testPower / testFloor / testCeil
+    ("power", "POWER(a, 2)", 100.0),
+    ("floor_long", "FLOOR(a)", 10),
+    ("floor_float", "FLOOR(x)", 2.0),
+    ("floor_neg", "FLOOR(z)", -3.0),
+    ("ceil_long", "CEIL(a)", 10),
+    ("ceil_float", "CEIL(x)", 3.0),
+    ("ceil_neg", "CEIL(z)", -2.0),
+    # testTruncate (toward zero at N decimal places)
+    ("trunc_long", "TRUNCATE(a)", 10.0),
+    ("trunc_float", "TRUNCATE(x)", 2.0),
+    ("trunc_neg", "TRUNCATE(z)", -2.0),
+    ("trunc_p1", "TRUNCATE(x, 1)", 2.2),
+    ("trunc_np1", "TRUNCATE(z, 1)", -2.2),
+    ("trunc_m1", "TRUNCATE(b, -1)", 20.0),
+    ("trunc_nm1", "TRUNCATE(z, -1)", 0.0),
+    # testRound + testRoundWithNanShouldRoundTo0 +
+    # testRoundWithInfinityShouldRoundTo0 (Function.java Round:
+    # NaN -> 0, +/-Infinity -> +/-Double.MAX_VALUE, string -> NULL,
+    # half-up in double precision)
+    ("round_long", "ROUND(a)", 10),
+    ("round_long2", "ROUND(b)", 25),
+    ("round_m1", "ROUND(b, -1)", 30),
+    ("round_float", "ROUND(x)", 2.0),
+    ("round_p1", "ROUND(x, 1)", 2.3),
+    ("round_neg", "ROUND(z)", -2.0),
+    ("round_string", "ROUND(s)", None),
+    ("round_nan", "ROUND(nan)", 0.0),
+    ("round_fnan", "ROUND(fnan)", 0.0),
+    ("round_inf", "ROUND(inf)", DMAX),
+    ("round_ninf", "ROUND(ninf)", -DMAX),
+    ("round_finf", "ROUND(finf)", DMAX),
+    ("round_nfinf", "ROUND(nfinf)", -DMAX),
+    # testDateTrunc
+    ("date_trunc_hour",
+     "DATE_TRUNC('hour', TIMESTAMP '2000-02-03 04:05:06')",
+     datetime(2000, 2, 3, 4, 0, 0)),
+    ("date_trunc_day",
+     "DATE_TRUNC('DAY', TIMESTAMP '2000-02-03 04:05:06')",
+     datetime(2000, 2, 3)),
+    # testTrim (character-set trim, all three flags)
+    ("trim_both", "TRIM(BOTH ' ' FROM spacey)", "hey there"),
+    ("trim_leading", "TRIM(LEADING ' h' FROM spacey)", "ey there  "),
+    ("trim_trailing", "TRIM(TRAILING ' e' FROM spacey)", "  hey ther"),
+    # testPad
+    ("lpad", "LPAD(s, 5, 'x')", "xxfoo"),
+    ("rpad", "RPAD(s, 5, 'x')", "fooxx"),
+    # testContains (case-sensitive + insensitive + inside AND)
+    ("contains", "CONTAINS_STRING(spacey, 'there')", True),
+    ("contains_case", "CONTAINS_STRING(spacey, 'There')", False),
+    ("icontains", "ICONTAINS_STRING(spacey, 'There')", True),
+    ("contains_expr",
+     "CONTAINS_STRING(CONCAT('what is', spacey), 'what')", True),
+    ("contains_and",
+     "CONTAINS_STRING(spacey, 'there') AND 'yes' = 'yes'", True),
+    # testTimeFloor / testOtherTimeFloor / testTimeCeil /
+    # testOtherTimeCeil (timezone-aware bucketing)
+    ("time_floor", "TIME_FLOOR(TIMESTAMP '2000-02-03 04:05:06', 'PT1H')",
+     datetime(2000, 2, 3, 4, 0, 0)),
+    ("time_floor_tz", "TIME_FLOOR(t, 'P1D', NULL, 'America/Los_Angeles')",
+     datetime(2000, 2, 2, 8, 0, 0)),
+    ("floor_to_year", "FLOOR(t TO YEAR)", datetime(2000, 1, 1)),
+    ("time_ceil", "TIME_CEIL(TIMESTAMP '2000-02-03 04:05:06', 'PT1H')",
+     datetime(2000, 2, 3, 5, 0, 0)),
+    ("time_ceil_tz", "TIME_CEIL(t, 'P1D', NULL, 'America/Los_Angeles')",
+     datetime(2000, 2, 3, 8, 0, 0)),
+    ("ceil_to_year", "CEIL(t TO YEAR)", datetime(2001, 1, 1)),
+    # testTimeShift (fixed periods are tz-invariant)
+    ("time_shift", "TIME_SHIFT(t, 'PT2H', -3)",
+     datetime(2000, 2, 2, 22, 5, 6)),
+    ("time_shift_tz", "TIME_SHIFT(t, 'PT2H', -3, 'America/Los_Angeles')",
+     datetime(2000, 2, 2, 22, 5, 6)),
+    # testTimeExtract (timezone form extracts the LOCAL field)
+    ("time_extract", "TIME_EXTRACT(t, 'QUARTER')", 1),
+    ("time_extract_tz", "TIME_EXTRACT(t, 'DAY', 'America/Los_Angeles')",
+     2),
+    # testTimePlus/MinusDayTimeInterval / YearMonthInterval
+    ("plus_daytime", "t + INTERVAL '1 01:01' DAY TO MINUTE",
+     datetime(2000, 2, 4, 5, 6, 6)),
+    ("plus_yearmonth", "t + INTERVAL '1-1' YEAR TO MONTH",
+     datetime(2001, 3, 3, 4, 5, 6)),
+    ("minus_daytime", "t - INTERVAL '1 01:01' DAY TO MINUTE",
+     datetime(2000, 2, 2, 3, 4, 6)),
+    ("minus_yearmonth", "t - INTERVAL '1-1' YEAR TO MONTH",
+     datetime(1999, 1, 3, 4, 5, 6)),
+    # testTimeParse (tz form: the string is read in tz, result is the
+    # UTC instant) / testTimeFormat (tz form renders in tz)
+    ("time_parse", "TIME_PARSE(tstr, 'yyyy-MM-dd HH:mm:ss')",
+     datetime(2000, 2, 3, 4, 5, 6)),
+    ("time_parse_tz",
+     "TIME_PARSE(tstr, 'yyyy-MM-dd HH:mm:ss', 'America/Los_Angeles')",
+     datetime(2000, 2, 3, 12, 5, 6)),
+    ("time_format", "TIME_FORMAT(t, 'yyyy-MM-dd HH:mm:ss')",
+     "2000-02-03 04:05:06"),
+    ("time_format_tz",
+     "TIME_FORMAT(t, 'yyyy-MM-dd HH:mm:ss', 'America/Los_Angeles')",
+     "2000-02-02 20:05:06"),
+    # testExtract
+    ("extract_quarter", "EXTRACT(QUARTER FROM t)", 1),
+    ("extract_day", "EXTRACT(DAY FROM t)", 3),
+    # testCastAsTimestamp / testCastFromTimestamp / testCastAsDate /
+    # testCastFromDate (reference renders epoch millis; the SQL-visible
+    # timestamp/date values are pinned here)
+    ("cast_str_ts", "CAST(tstr AS TIMESTAMP)",
+     datetime(2000, 2, 3, 4, 5, 6)),
+    ("cast_ts_str", "CAST(t AS VARCHAR)", "2000-02-03 04:05:06"),
+    ("cast_ts_date", "CAST(t AS DATE)", date(2000, 2, 3)),
+    ("cast_str_date", "CAST(dstr AS DATE)", date(2000, 2, 3)),
+    ("cast_date_str", "CAST(CAST(t AS DATE) AS VARCHAR)", "2000-02-03"),
+    # testReverse / testRight / testLeft / testRepeat (REPEAT with a
+    # negative count is NULL, not '')
+    ("reverse", "REVERSE(s)", "oof"),
+    ("reverse_spacey", "REVERSE(spacey)", "  ereht yeh  "),
+    ("reverse_tstr", "REVERSE(tstr)", "60:50:40 30-20-0002"),
+    ("right_1", "RIGHT(s, 1)", "o"),
+    ("right_over", "RIGHT(s, 4)", "foo"),
+    ("right_tstr", "RIGHT(tstr, 5)", "05:06"),
+    ("left_1", "LEFT(s, 1)", "f"),
+    ("left_over", "LEFT(s, 4)", "foo"),
+    ("left_tstr", "LEFT(tstr, 10)", "2000-02-03"),
+    ("repeat_1", "REPEAT(s, 1)", "foo"),
+    ("repeat_3", "REPEAT(s, 3)", "foofoofoo"),
+    ("repeat_neg", "REPEAT(s, -1)", None),
+    # testOperatorConversionsDruidUnary/BinaryFn (numeric coercion to
+    # long; strings are NULL)
+    ("bcomp_long", "BITWISE_COMPLEMENT(a)", -11),
+    ("bcomp_float", "BITWISE_COMPLEMENT(x)", -3),
+    ("bcomp_str", "BITWISE_COMPLEMENT(s)", None),
+    ("bits2d_long", "BITWISE_CONVERT_LONG_BITS_TO_DOUBLE(a)", 4.9e-323),
+    ("bits2d_float", "BITWISE_CONVERT_LONG_BITS_TO_DOUBLE(x)", 1.0e-323),
+    ("bits2d_str", "BITWISE_CONVERT_LONG_BITS_TO_DOUBLE(s)", None),
+    ("band_longs", "BITWISE_AND(a, b)", 8),
+    ("band_floats", "BITWISE_AND(x, y)", 2),
+    ("band_strs", "BITWISE_AND(s, s)", None),
+    # testHumanReadableBinaryByteFormat (HumanReadableBytes.java
+    # BinaryFormatter: |n| < 1024 integer path; tiers through EiB)
+    ("hrb_small", "HUMAN_READABLE_BINARY_BYTE_FORMAT(1000)", "1000 B"),
+    ("hrb_kib", "HUMAN_READABLE_BINARY_BYTE_FORMAT(1024)", "1.00 KiB"),
+    ("hrb_max", "HUMAN_READABLE_BINARY_BYTE_FORMAT(9223372036854775807)",
+     "8.00 EiB"),
+    ("hrb_cols", "HUMAN_READABLE_BINARY_BYTE_FORMAT(b, p)", "25 B"),
+    ("hrb_p0", "HUMAN_READABLE_BINARY_BYTE_FORMAT(45000, 0)", "44 KiB"),
+    ("hrb_p1", "HUMAN_READABLE_BINARY_BYTE_FORMAT(45000, 1)",
+     "43.9 KiB"),
+    ("hrb_p2", "HUMAN_READABLE_BINARY_BYTE_FORMAT(45000, 2)",
+     "43.95 KiB"),
+    ("hrb_p3", "HUMAN_READABLE_BINARY_BYTE_FORMAT(45000, 3)",
+     "43.945 KiB"),
+    # testHumanReadableDecimalByteFormat (DecimalFormatter: integer
+    # /1000 steps truncate before the final /1000.0)
+    ("hrd_small", "HUMAN_READABLE_DECIMAL_BYTE_FORMAT(999)", "999 B"),
+    ("hrd_kb", "HUMAN_READABLE_DECIMAL_BYTE_FORMAT(1024)", "1.02 KB"),
+    ("hrd_max", "HUMAN_READABLE_DECIMAL_BYTE_FORMAT(9223372036854775807)",
+     "9.22 EB"),
+    ("hrd_cols", "HUMAN_READABLE_DECIMAL_BYTE_FORMAT(b, p)", "25 B"),
+    ("hrd_p0", "HUMAN_READABLE_DECIMAL_BYTE_FORMAT(45678, 0)", "46 KB"),
+    ("hrd_p1", "HUMAN_READABLE_DECIMAL_BYTE_FORMAT(45678, 1)",
+     "45.7 KB"),
+    ("hrd_p2", "HUMAN_READABLE_DECIMAL_BYTE_FORMAT(45678, 2)",
+     "45.68 KB"),
+    ("hrd_p3", "HUMAN_READABLE_DECIMAL_BYTE_FORMAT(45678, 3)",
+     "45.678 KB"),
+    # IPv4AddressParseExpressionTest: dotted-quad strings parse; uint
+    # strings / IPv6 forms / hostnames / floats are NULL; long
+    # literals are range-checked identities
+    ("ip_parse", "IPV4_PARSE('192.168.0.1')", 3232235521),
+    ("ip_parse_uint_str", "IPV4_PARSE('3232235521')", None),
+    ("ip_parse_host", "IPV4_PARSE('druid.apache.org')", None),
+    ("ip_parse_v6compat", "IPV4_PARSE('::192.168.0.1')", None),
+    ("ip_parse_v6mapped", "IPV4_PARSE('::ffff:192.168.0.1')", None),
+    ("ip_parse_null", "IPV4_PARSE(NULL)", None),
+    ("ip_parse_float", "IPV4_PARSE(x)", None),
+    ("ip_parse_long", "IPV4_PARSE(3232235521)", 3232235521),
+    ("ip_parse_lowest", "IPV4_PARSE(0)", 0),
+    ("ip_parse_highest", "IPV4_PARSE(4294967295)", 4294967295),
+    ("ip_parse_too_high", "IPV4_PARSE(4294967296)", None),
+    ("ip_parse_too_low", "IPV4_PARSE(-1)", None),
+    # IPv4AddressStringifyExpressionTest
+    ("ip_str", "IPV4_STRINGIFY(3232235521)", "192.168.0.1"),
+    ("ip_str_lowest", "IPV4_STRINGIFY(0)", "0.0.0.0"),
+    ("ip_str_highest", "IPV4_STRINGIFY(4294967295)", "255.255.255.255"),
+    ("ip_str_too_low", "IPV4_STRINGIFY(-1)", None),
+    ("ip_str_too_high", "IPV4_STRINGIFY(4294967296)", None),
+    ("ip_str_string", "IPV4_STRINGIFY('192.168.0.1')", "192.168.0.1"),
+    ("ip_str_host", "IPV4_STRINGIFY('druid.apache.org')", None),
+    ("ip_str_null", "IPV4_STRINGIFY(NULL)", None),
+    # IPv4AddressMatchExpressionTest: invalid addresses are FALSE (not
+    # NULL); the subnet range is inclusive of network + broadcast
+    ("ip_match", "IPV4_MATCH('192.168.0.1', '192.168.0.0/16')", True),
+    ("ip_match_no", "IPV4_MATCH('192.168.0.1', '10.0.0.0/8')", False),
+    ("ip_match_v6mapped",
+     "IPV4_MATCH('::ffff:192.168.0.1', '192.168.0.0/16')", False),
+    ("ip_match_v6compat",
+     "IPV4_MATCH('::192.168.0.1', '192.168.0.0/16')", False),
+    ("ip_match_host",
+     "IPV4_MATCH('druid.apache.org', '192.168.0.0/16')", False),
+    ("ip_match_uint_str",
+     "IPV4_MATCH('3232235521', '192.168.0.0/16')", False),
+    ("ip_match_long", "IPV4_MATCH(3232235521, '192.168.0.0/16')", True),
+    ("ip_match_long_no", "IPV4_MATCH(3232235521, '10.0.0.0/8')", False),
+    ("ip_match_network",
+     "IPV4_MATCH('192.168.0.0', '192.168.0.0/16')", True),
+    ("ip_match_broadcast",
+     "IPV4_MATCH('192.168.255.255', '192.168.0.0/16')", True),
+    # Greatest/LeastExpressionTest (NULL args are skipped; all-null is
+    # NULL; homogeneous and numeric-coercion cases)
+    ("greatest_all_null", "GREATEST(NULL, NULL)", None),
+    ("greatest_double", "GREATEST(34.1, x, 5.2, 767.3)", 767.3),
+    ("greatest_long", "GREATEST(a, 0)", 10),
+    ("greatest_string", "GREATEST('B', s, 'A')", "foo"),
+    ("greatest_timestamp",
+     "GREATEST(TIMESTAMP '1970-01-01 00:00:01', "
+     "TIMESTAMP '1970-01-01 00:00:02')", datetime(1970, 1, 1, 0, 0, 2)),
+    ("least_all_null", "LEAST(NULL, NULL)", None),
+    ("least_double", "LEAST(34.1, x, 5.2, 767.3)", 2.25),
+    ("least_long", "LEAST(a, 0)", 0),
+    ("least_string", "LEAST('B', s, 'A')", "A"),
+]
+
+
+@pytest.mark.parametrize(
+    "name,expr,want", CASES, ids=[c[0] for c in CASES])
+def test_expression_value(spark, reg, name, expr, want):
+    got = val(spark, reg, expr)
+    if isinstance(want, float) and not isinstance(want, bool) \
+            and got is not None:
+        assert float(got) == pytest.approx(want, rel=1e-12), (expr, got)
+    else:
+        assert got == want, (expr, got)
+
+
+def test_greatest_least_decimal(spark, reg):
+    # testDecimal — Calcite decimal literals; Spark keeps DECIMAL type,
+    # values equal
+    assert float(val(spark, reg, "GREATEST(1.2, 3.4)")) == 3.4
+    assert float(val(spark, reg, "LEAST(1.2, 3.4)")) == 1.2
