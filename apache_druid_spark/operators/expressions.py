@@ -494,8 +494,14 @@ def _fn_cast(x: Column, t: Column) -> Column:
 
 def _tag_lit(value) -> Column:
     """lit() Column tagged with its python value so compile-time-constant
-    args (cast types, periods, patterns) are recoverable."""
-    c = F.lit(value)
+    args (cast types, periods, patterns) are recoverable. Integer
+    literals are LONG-typed like the reference's (ExprListenerImpl
+    exitLongExpr) — F.lit would make small ones 32-bit INTs, and int
+    arithmetic wraps (1024*1024*1024*1024 overflowed to 0 pre-fix)."""
+    if isinstance(value, bool) or not isinstance(value, int):
+        c = F.lit(value)
+    else:
+        c = F.lit(value).cast("long")
     try:
         c.__druid_literal__ = value
     except AttributeError:
@@ -643,16 +649,81 @@ def _fn_array_ordinal_of(arr, v):
     return F.when(pos == 0, F.lit(None)).otherwise(pos)
 
 
-def _fn_human_readable_binary_byte_format(n, *rest):
-    prec = int(_extract_literal(rest[0])) if rest else 2
-    return F.format_string(f"%.{prec}f %s",
-        n / F.power(F.lit(1024.0), F.floor(F.log(F.lit(1024.0), F.greatest(F.abs(n), F.lit(1))))),
-        F.element_at(
-            F.array(F.lit("B"), F.lit("KiB"), F.lit("MiB"), F.lit("GiB"),
-                    F.lit("TiB"), F.lit("PiB")),
-            F.floor(F.log(F.lit(1024.0), F.greatest(F.abs(n), F.lit(1)))).cast("int") + 1,
-        ),
-    )
+_LONG_MIN = -9223372036854775808
+_DBL_MAX = 1.7976931348623157e308
+
+
+def _fn_round(a, *d):
+    """Function.java Round: BigDecimal.valueOf would throw on NaN and
+    +/-Infinity, so the reference guards NaN -> 0 and clamps infinities
+    to +/-Double.MAX_VALUE; non-numeric strings are NULL; floats round
+    through double (round(12.34f, 2) is 12.34, not 12.34000015)."""
+    c = a.cast("double")
+    if d:
+        try:
+            rounded = F.round(c, int(_extract_literal(d[0])))
+        except ValueError:
+            # non-foldable scale (round(d, y)) — Spark's round requires
+            # a literal; HALF_UP (away from zero) like BigDecimal
+            p = F.power(F.lit(10.0), d[0].cast("double"))
+            rounded = (F.signum(c)
+                       * F.floor(F.abs(c) * p + F.lit(0.5)) / p)
+    else:
+        rounded = F.round(c)
+    return (F.when(F.isnan(c), F.lit(0.0))
+            .when(c == F.lit(float("inf")), F.lit(_DBL_MAX))
+            .when(c == F.lit(float("-inf")), F.lit(-_DBL_MAX))
+            .otherwise(rounded))
+
+
+def _fn_array_contains(a, v):
+    """array_contains: with an ARRAY second argument the reference
+    tests containment of ALL its elements (FunctionTest
+    testArrayContains: array_contains(b, [3, 4]) is true). The needle's
+    type is resolved from the built expression — a constructed array
+    dispatches to the forall form; array-typed column refs would need
+    schema info the translator doesn't have (Druid's own signature is
+    value-type-driven)."""
+    if str(v).startswith("Column<'array("):
+        return F.forall(v, lambda e: F.array_contains(a, e))
+    return F.array_contains(a, v)
+
+
+def _fn_human_readable(base: int, units: list, suffix: str):
+    """HumanReadableBytes.java formatter family: input truncated to
+    long, NULL stays NULL, |v| < base renders the integer with the bare
+    suffix, binary tiers by power-of-1024 through EiB (Long.MIN — the
+    -inf cast — takes the reference's special '-8 EiB' path), decimal
+    tiers integer-divide by 1000 while |v| >= 1e6 (truncation BEFORE
+    the final /1000.0)."""
+    def fn(n, *rest):
+        prec = int(_extract_literal(rest[0])) if rest else 2
+        v = n.cast("long")
+        absv = F.abs(v)
+        arr = F.array(*[F.lit(u) for u in units])
+        if base == 1024:
+            idx = F.lit(6)
+            for i in reversed(range(1, 7)):
+                idx = F.when(absv < F.lit(1024 ** i), i - 1).otherwise(idx)
+            val = v / F.power(F.lit(1024.0), idx.cast("double"))
+        else:
+            idx = F.lit(5)
+            for i in reversed(range(2, 7)):
+                idx = F.when(absv < F.lit(1000 ** i), i - 2).otherwise(idx)
+            pw = F.power(F.lit(1000.0), idx.cast("double")).cast("long")
+            val = ((v - v % pw) / pw) / F.lit(1000.0)
+        big = F.format_string(f"%.{prec}f %s", val,
+                              F.element_at(arr, idx.cast("int") + 1))
+        small = (F.concat(v.cast("string"), F.lit(suffix)) if suffix
+                 else v.cast("string"))
+        out = F.when(n.isNull(), F.lit(None)) \
+            .when(absv < base, small).otherwise(big)
+        if base == 1024:
+            out = F.when(v == F.lit(_LONG_MIN),
+                         F.format_string(f"%.{prec}f %s", F.lit(-8.0),
+                                         F.lit(units[-1]))).otherwise(out)
+        return out
+    return fn
 
 
 def _fn_ipv4_parse(s):
@@ -680,11 +751,21 @@ _FUNCTIONS: dict[str, Callable] = {
     "cosh": F.cosh, "cot": F.cot, "exp": F.exp, "expm1": F.expm1,
     "floor": F.floor, "hypot": F.hypot, "log": F.log, "log10": F.log10,
     "log1p": F.log1p, "pi": lambda: F.lit(3.141592653589793),
-    "pow": F.power, "power": F.power, "rint": F.rint, "round": F.round,
+    "pow": F.power, "power": F.power, "rint": F.rint,
+    # Function.java Round: NaN -> 0, +/-Infinity -> +/-Double.MAX_VALUE,
+    # non-numeric -> NULL, rounding in double precision (floats widen)
+    "round": lambda a, *d: _fn_round(a, *d),
     "signum": F.signum, "sin": F.sin, "sinh": F.sinh, "sqrt": F.sqrt,
     "tan": F.tan, "tanh": F.tanh,
     "todegrees": F.degrees, "toradians": F.radians,
     "max": F.greatest, "min": F.least,
+    # modern spellings (Function.java GreatestFunc/LeastFunc: null
+    # args skipped, all-null -> null — Spark's contract too). The
+    # reference's mixed string/number lists coerce to STRING and
+    # compare lexicographically; Spark coerces to the numeric common
+    # type (documented divergence, test_golden_function.py).
+    "greatest": lambda *a: a[0] if len(a) == 1 else F.greatest(*a),
+    "least": lambda *a: a[0] if len(a) == 1 else F.least(*a),
     # IEEE-754 float helpers (Function.java GetExponent/Ulp/NextUp/Scalb)
     "getexponent": _fn_get_exponent,
     "ulp": _fn_ulp,
@@ -731,10 +812,16 @@ _FUNCTIONS: dict[str, Callable] = {
     "right": lambda s, n: F.right(s, n),
     "left": lambda s, n: F.left(s, n),
     "strlen": F.length,
-    "strpos": lambda h, n, *r: F.instr(h, n) - 1,
+    # 0-based, -1 when absent, optional 0-based start offset
+    # (FunctionTest.testStrpos — locate's 0-when-absent maps to -1
+    # after the base shift)
+    "strpos": lambda h, n, *r: F.call_function(
+        "locate", n, h, (r[0] + F.lit(1)) if r else F.lit(1)) - 1,
     "trim": F.trim, "ltrim": F.ltrim, "rtrim": F.rtrim,
     "lower": F.lower, "upper": F.upper, "reverse": F.reverse,
-    "repeat": lambda s, n: F.repeat(s, n),
+    # negative counts are NULL (FunctionTest.testRepeat), not ''
+    "repeat": lambda s, n: F.when(n < 0, F.lit(None))
+    .otherwise(F.repeat(s, n)),
     "lpad": F.lpad, "rpad": F.rpad,
     "like": lambda s, p: s.like(str(_extract_literal(p))),
     "lookup": _fn_lookup,
@@ -762,7 +849,7 @@ _FUNCTIONS: dict[str, Callable] = {
     "array_length": F.size,
     "array_offset": lambda a, i: F.get(a, i),
     "array_ordinal": lambda a, i: F.get(a, i - F.lit(1)),
-    "array_contains": lambda a, v: F.array_contains(a, v),
+    "array_contains": lambda a, v: _fn_array_contains(a, v),
     "array_overlap": lambda a, b: F.arrays_overlap(a, b),
     "array_offset_of": _fn_array_offset_of,
     "array_ordinal_of": _fn_array_ordinal_of,
@@ -779,7 +866,12 @@ _FUNCTIONS: dict[str, Callable] = {
     # ipv4 / misc
     "ipv4_parse": _fn_ipv4_parse,
     "ipv4_stringify": _fn_ipv4_stringify,
-    "human_readable_binary_byte_format": _fn_human_readable_binary_byte_format,
+    "human_readable_binary_byte_format": _fn_human_readable(
+        1024, ["B", "KiB", "MiB", "GiB", "TiB", "PiB", "EiB"], " B"),
+    "human_readable_decimal_byte_format": _fn_human_readable(
+        1000, ["KB", "MB", "GB", "TB", "PB", "EB"], " B"),
+    "human_readable_decimal_format": _fn_human_readable(
+        1000, ["K", "M", "G", "T", "P", "E"], ""),
 }
 
 
