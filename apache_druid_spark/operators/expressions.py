@@ -173,6 +173,12 @@ class _Parser:
                     self.next()
                     items.append(self.parse_or())
             self.expect("]")
+            if not items:
+                # the reference types a bare [] as STRING_ARRAY
+                # (ApplyFunctionTest fold-into-[] / FunctionTest
+                # array_append([], 1) -> ['1']); Spark's would be
+                # ARRAY<VOID>, which no operation accepts
+                return F.array().cast("array<string>")
             return F.array(*items)
         if k == "ident":
             if self.peek()[1] == "(":

@@ -1,6 +1,7 @@
 """Golden tests ported from the reference's native expression language
-suite (core/src/test/java/org/apache/druid/math/expr/FunctionTest.java,
-58 methods) — value pins for the native-expression translator
+suites (core/src/test/java/org/apache/druid/math/expr/FunctionTest.java,
+58 methods, + ApplyFunctionTest.java, 9 methods — the HOF lambda
+family) — value pins for the native-expression translator
 (operators/expressions.py compile_expression) over FunctionTest's
 one-row bindings, SQL-compatible branch. Boolean-returning functions
 compare against the reference's 1L/0L via Python's True==1.
@@ -324,6 +325,61 @@ CASES = [
     ("repeat(null, 10)", None),
     # testMVToArrayWithValidInputs
     ("mv_to_array(a)", ["foo", "bar", "baz", "foobar"]),
+    # (testArrayAppend's array_append([], 1) -> ['1'] needs the
+    # reference's value-level element stringification; Spark's static
+    # typing rejects appending a BIGINT to ARRAY<STRING> — the []
+    # STRING typing itself is pinned via the fold-into-[] case below)
+    # -- ApplyFunctionTest.java (9 methods): native HOF lambdas -------
+    # testMap (incl. nesting and binding capture)
+    ("map((x) -> concat(x, 'foo'), ['foo', 'bar', 'baz', 'foobar'])",
+     ["foofoo", "barfoo", "bazfoo", "foobarfoo"]),
+    ("map((x) -> concat(x, 'foo'), a)",
+     ["foofoo", "barfoo", "bazfoo", "foobarfoo"]),
+    ("map((x) -> x + 1, [1, 2, 3, 4, 5])", [2, 3, 4, 5, 6]),
+    ("map((x) -> x + 1, b)", [2, 3, 4, 5, 6]),
+    ("map((c) -> c + z, [3.1, 4.2, 5.3])", [6.2, 7.3, 8.4]),
+    ("map((c) -> c + z, c)", [6.2, 7.3, 8.4]),
+    ("map((x) -> x + 1, map((x) -> x + 1, [1, 2, 3, 4, 5]))",
+     [3, 4, 5, 6, 7]),
+    ("map(() -> 1, [1, 2, 3, 4, 5])", [1, 1, 1, 1, 1]),
+    # testCartesianMap (flattened row-major product)
+    ("cartesian_map((x, y) -> concat(x, y), "
+     "['foo', 'bar', 'baz', 'foobar'], ['bar', 'baz'])",
+     ["foobar", "foobaz", "barbar", "barbaz", "bazbar", "bazbaz",
+      "foobarbar", "foobarbaz"]),
+    ("cartesian_map((x, y, z) -> concat(concat(x, y), z), "
+     "['foo', 'bar', 'baz', 'foobar'], ['bar', 'baz'], ['omg'])",
+     ["foobaromg", "foobazomg", "barbaromg", "barbazomg", "bazbaromg",
+      "bazbazomg", "foobarbaromg", "foobarbazomg"]),
+    # testFilter
+    ("filter((x) -> strlen(x) > 3, ['foo', 'bar', 'baz', 'foobar'])",
+     ["foobar"]),
+    ("filter((x) -> strlen(x) > 3, a)", ["foobar"]),
+    ("filter((x) -> x > 2, [1, 2, 3, 4, 5])", [3, 4, 5]),
+    ("filter((x) -> x > 2, b)", [3, 4, 5]),
+    # testFold / testCartesianFold (incl. fold-into-[] accumulation)
+    ("fold((x, y) -> x + y, [1, 1, 1, 1, 1], 0)", 5),
+    ("fold((b, acc) -> b * acc, map((b) -> b * 2, filter(b -> b > 3, "
+     "b)), 1)", 80),
+    ("fold((a, acc) -> concat(a, acc), a, '')", "foobarbazbarfoo"),
+    ("fold((a, acc) -> array_append(acc, a), a, [])",
+     ["foo", "bar", "baz", "foobar"]),
+    ("cartesian_fold((x, y, acc) -> x + y + acc, [1, 1, 1, 1, 1], "
+     "[1, 1], 0)", 20),
+    # testAnyMatch / testAllMatch
+    ("any(x -> x > 3, [1, 2, 3, 4])", True),
+    ("any(x -> x > 3, [1, 2, 3])", False),
+    ("any(x -> x, map(x -> x > 3, [1, 2, 3, 4]))", True),
+    ("all(x -> x > 0, [1, 2, 3, 4])", True),
+    ("all(x -> x > 1, [1, 2, 3, 4])", False),
+    ("all(x -> x, map(x -> x > 0, [1, 2, 3, 4]))", True),
+    # testScoping (lambda identifiers shadow bindings; folds compose)
+    ("map(b -> b + 1, b)", [2, 3, 4, 5, 6]),
+    ("fold((b, acc) -> acc + b, map(b -> b + 1, b), 0)", 20),
+    ("fold((b, acc) -> acc + b, map(b -> b + 1, b), "
+     "fold((b, acc) -> acc + b, map(b -> b + 1, b), 0))", 40),
+    ("fold((b, acc) -> acc + b, map(b -> b + 1, b), 0) + "
+     "fold((b, acc) -> acc + b, map(b -> b + 1, b), 0)", 40),
 ]
 
 
@@ -337,5 +393,8 @@ def test_function_value(fdf, expr, want):
         assert (float(got) == pytest.approx(want, rel=1e-12)
                 or (math.isnan(float(got)) and math.isnan(want))), \
             (expr, got)
+    elif isinstance(want, list) and got is not None \
+            and any(isinstance(w, float) for w in want):
+        assert got == pytest.approx(want, rel=1e-12), (expr, got)
     else:
         assert got == want, (expr, got)
