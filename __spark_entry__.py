@@ -4397,6 +4397,58 @@ def _sql_parameterized(spark, sf_dir):
     ])
 
 
+@_q("ipv4_custkey_subnets", """
+SELECT '192.168.0.' || CAST(c_custkey % 256 AS VARCHAR) AS addr,
+       (c_custkey % 256) < 128 AS in_low_half,
+       3232235520 + c_custkey % 256 AS addr_long,
+       COUNT(*) AS cnt
+FROM customer GROUP BY 1, 2, 3 ORDER BY 1 LIMIT 50
+""")
+def _ipv4_custkey_subnets(spark, sf_dir):
+    """IPv4 macro family (r8 validation contracts —
+    IPv4Address{Parse,Stringify,Match}ExprMacro): stringify a synthetic
+    192.168.0.0/24 address per customer, round-trip through the strict
+    parser, and test subnet membership against the /25 lower half.
+    3232235520 == IPV4_PARSE('192.168.0.0')."""
+    return druid_sql(spark, """
+        SELECT IPV4_STRINGIFY(3232235520 + c_custkey % 256) AS addr,
+               IPV4_MATCH(IPV4_STRINGIFY(3232235520 + c_custkey % 256),
+                          '192.168.0.0/25') AS in_low_half,
+               IPV4_PARSE(IPV4_STRINGIFY(3232235520 + c_custkey % 256))
+                   AS addr_long,
+               COUNT(*) AS cnt
+        FROM customer GROUP BY 1, 2, 3 ORDER BY 1 LIMIT 50
+    """, _registry(spark, sf_dir))
+
+
+@_q("round_contract_orders", """
+SELECT o_orderpriority,
+       ROUND(SUM(o_totalprice), 2) AS r2,
+       ROUND(SUM(o_totalprice), -3) AS rm3,
+       ROUND(MIN(o_totalprice)) AS r0,
+       COUNT(*) AS cnt
+FROM orders
+WHERE regexp_matches(o_orderpriority, '^[1-3]')
+GROUP BY 1 ORDER BY 1
+""")
+def _round_contract_orders(spark, sf_dir):
+    """ROUND per Function.java Round (r8 `_rewrite_round_edges`):
+    double-precision HALF_UP at positive/negative/zero scales — the
+    NaN/Infinity clamps are golden-pinned (test_golden_expressions);
+    this entry oracle-checks the rewrite's value preservation on real
+    aggregates. REGEXP_LIKE null-to-false rewrite on the filter path."""
+    return druid_sql(spark, """
+        SELECT o_orderpriority,
+               ROUND(SUM(o_totalprice), 2) AS r2,
+               ROUND(SUM(o_totalprice), -3) AS rm3,
+               ROUND(MIN(o_totalprice)) AS r0,
+               COUNT(*) AS cnt
+        FROM orders
+        WHERE REGEXP_LIKE(o_orderpriority, '^[1-3]')
+        GROUP BY 1 ORDER BY 1
+    """, _registry(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4466,6 +4518,7 @@ _R08_WINDOW = (
     'time_ceil_origin_buckets',
     # new r8 entries — never driver-checked, verify first
     'lookup_neq_matches_null', 'human_readable_formats',
+    'ipv4_custkey_subnets', 'round_contract_orders',
     'theta_rollup_merge', 'segment_metadata_orders',
     'sql_time_ops', 'sql_mv_first_word', 'sql_array_fns',
     'sql_lookup_fn', 'sql_safe_divide', 'sql_ipv4',
