@@ -569,9 +569,23 @@ def _fn_timestamp_floor(ts, period, *rest):
 
 
 def _fn_timestamp_ceil(ts, period, *rest):
+    # same optional origin/timezone tail as timestamp_floor
+    # (TimestampCeilExprMacro.java; ExprMacroTest.testTimestampCeil)
     from apache_druid_spark.model.granularity import time_ceil_col
 
-    return time_ceil_col(ts, str(_extract_literal(period)))
+    gran = {"type": "period", "period": str(_extract_literal(period))}
+    if len(rest) >= 1:
+        try:
+            origin = _extract_literal(rest[0])
+            if origin is not None:
+                gran["origin"] = str(origin)
+        except ValueError:
+            pass
+    tz = None
+    if len(rest) >= 2:
+        v = _extract_literal(rest[1])
+        tz = str(v) if v is not None else None
+    return time_ceil_col(ts, gran, tz)
 
 
 def _fn_timestamp_shift(ts, period, step, *rest):
@@ -618,19 +632,33 @@ def _fn_timestamp_extract(ts, unit, *rest):
 
 
 def _fn_timestamp_parse(s, *rest):
+    # timestamp_parse(s[, pattern[, tz]]) — the string is read in tz
+    # and the result is the UTC instant (TimestampParseExprMacro.java)
+    parsed = None
     if rest:
         pat = _extract_literal(rest[0])
         if pat:
-            return F.to_timestamp(s, str(pat))
-    return F.to_timestamp(s)
+            parsed = F.try_to_timestamp(s, F.lit(str(pat)))
+    if parsed is None:
+        parsed = F.try_to_timestamp(s)
+    if len(rest) >= 2:
+        tz = _extract_literal(rest[1])
+        if tz:
+            parsed = F.to_utc_timestamp(parsed, str(tz))
+    return parsed
 
 
 def _fn_timestamp_format(ts, *rest):
+    # timestamp_format(ts[, pattern[, tz]]) — renders in tz
     pat = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
     if rest:
         v = _extract_literal(rest[0])
         if v:
             pat = str(v)
+    if len(rest) >= 2:
+        tz = _extract_literal(rest[1])
+        if tz:
+            ts = F.from_utc_timestamp(ts, str(tz))
     return F.date_format(ts, pat)
 
 
@@ -732,22 +760,48 @@ def _fn_human_readable(base: int, units: list, suffix: str):
     return fn
 
 
-def _fn_ipv4_parse(s):
+_IPV4_RE = (r"^(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])"
+            r"(\.(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])){3}$")
+
+
+def _ipv4_dotted_to_long(s):
     p = F.split(s, r"\.")
-    return (F.element_at(p, 1).cast("long") * 16777216
-            + F.element_at(p, 2).cast("long") * 65536
-            + F.element_at(p, 3).cast("long") * 256
-            + F.element_at(p, 4).cast("long"))
+    return F.when(
+        s.rlike(_IPV4_RE),
+        F.element_at(p, 1).cast("long") * 16777216
+        + F.element_at(p, 2).cast("long") * 65536
+        + F.element_at(p, 3).cast("long") * 256
+        + F.element_at(p, 4).cast("long"))
 
 
-def _fn_ipv4_stringify(n):
-    return F.concat_ws(
-        ".",
-        (F.floor(n / 16777216) % 256).cast("string"),
-        (F.floor(n / 65536) % 256).cast("string"),
-        (F.floor(n / 256) % 256).cast("string"),
-        (n % 256).cast("string"),
-    )
+def _ipv4_long_valid(n):
+    return F.when(n.between(0, 4294967295), n.cast("long"))
+
+
+def _fn_ipv4_parse(v):
+    """ipv4_parse: a long in [0, 2^32) is the address itself; a
+    well-formed dotted-quad string parses; everything else is NULL
+    (IPv4AddressParseExprMacro — a numeric value reaching this
+    type-blind layer takes the long path, so uint STRINGS diverge from
+    the reference's NULL; the SQL layer keeps the strict contract)."""
+    as_long = v.cast("string").try_cast("long")
+    return F.coalesce(_ipv4_long_valid(as_long),
+                      _ipv4_dotted_to_long(v.cast("string")))
+
+
+def _fn_ipv4_stringify(v):
+    """ipv4_stringify: range-checked long renders dotted; a valid
+    dotted string normalizes through parse; invalid input is NULL."""
+    n = _fn_ipv4_parse(v)
+    return F.when(
+        n.isNotNull(),
+        F.concat_ws(
+            ".",
+            (F.floor(n / 16777216) % 256).cast("long").cast("string"),
+            (F.floor(n / 65536) % 256).cast("long").cast("string"),
+            (F.floor(n / 256) % 256).cast("long").cast("string"),
+            (n % 256).cast("string"),
+        ))
 
 
 _FUNCTIONS: dict[str, Callable] = {

@@ -292,7 +292,20 @@ def _apply_virtual_column(df: DataFrame, vc: dict, registry) -> DataFrame:
         col = compile_expression(vc["expression"], registry)
         out = vc.get("outputType")
         if out and out.upper() in _DRUID_TYPES:
-            col = col.cast(_DRUID_TYPES[out.upper()])
+            target = _DRUID_TYPES[out.upper()]
+            if target == "long":
+                # Druid time values ARE epoch-millis longs, so a
+                # LONG-typed virtual column over a timestamp
+                # expression (timestamp_ceil etc.) yields millis;
+                # Spark's timestamp->long cast would yield seconds
+                from pyspark.sql import types as _T
+                dt = df.select(col.alias("__vc_t")).schema[0].dataType
+                if isinstance(dt, (_T.TimestampType, _T.TimestampNTZType)):
+                    col = F.unix_millis(col)
+                else:
+                    col = col.cast(target)
+            else:
+                col = col.cast(target)
         return df.withColumn(vc["name"], col)
     if t == "mv-filtered" or t == "listFiltered":
         # ListFilteredVirtualColumn (processing/.../segment/virtual/)
