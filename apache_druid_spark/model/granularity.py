@@ -47,10 +47,11 @@ _PERIOD_RE = re.compile(
 )
 
 
-def parse_period(period: str) -> tuple[int, int]:
+def parse_period(period: str, allow_mixed: bool = False) -> tuple[int, int]:
     """ISO-8601 period -> (months, millis). Mixed month+millis periods
-    (e.g. P1M15D) are rejected, matching Druid's PeriodGranularity
-    restriction to uniform buckets."""
+    (e.g. P1M2D) are accepted only with ``allow_mixed`` (the
+    granularity floor/shift paths implement the reference's compound
+    stepping); other callers keep the uniform-bucket restriction."""
     m = _PERIOD_RE.match(period.strip().upper())
     if not m:
         raise ValueError(f"bad ISO-8601 period: {period!r}")
@@ -63,11 +64,18 @@ def parse_period(period: str) -> tuple[int, int]:
         + int(mi or 0) * 60_000
         + int(float(s or 0) * 1000)
     )
-    if months and millis:
+    if months and millis and not allow_mixed:
         raise ValueError(f"mixed month/time period unsupported: {period!r}")
     if not months and not millis:
         raise ValueError(f"zero-length period: {period!r}")
     return months, millis
+
+
+def _period_field_count(period: str) -> int:
+    """Number of non-zero fields in the period (PeriodGranularity
+    isCompoundPeriod: >1 field changes the truncation algorithm)."""
+    m = _PERIOD_RE.match(period.strip().upper())
+    return sum(1 for g in (m.groups() if m else ()) if g and float(g))
 
 
 def granularity_to_duration(gran) -> str:
@@ -94,6 +102,106 @@ def _floor_millis(col: Column, dur_ms: int, origin_ms: int = 0) -> Column:
     t = F.unix_millis(col)
     off = t - F.lit(origin_ms)
     return F.timestamp_millis(t - F.pmod(off, F.lit(dur_ms)))
+
+
+def _tz_offset_ms(tz: str | None, instant_ms: int) -> int:
+    """UTC offset of ``tz`` at an instant, in millis (0 for UTC/None).
+    Accepts zone ids and fixed '+HH:MM' offsets."""
+    if not tz or tz.upper() in ("UTC", "ETC/UTC", "Z"):
+        return 0
+    m = re.match(r"^([+-])(\d{2}):?(\d{2})$", tz.strip())
+    if m:
+        sign = 1 if m.group(1) == "+" else -1
+        return sign * (int(m.group(2)) * 3600 + int(m.group(3)) * 60) * 1000
+    from datetime import datetime, timezone as _pytz
+    from zoneinfo import ZoneInfo
+
+    d = datetime.fromtimestamp(instant_ms / 1000, tz=_pytz.utc)
+    off = d.astimezone(ZoneInfo(tz)).utcoffset()
+    return int(off.total_seconds() * 1000)
+
+
+def _compound_boundaries(origin_wall_ms: int, months: int,
+                         millis: int) -> list[int]:
+    """PeriodGranularity.truncateCompoundPeriod walks the period
+    iteratively from the origin — chronology.add applies the month
+    field THEN the fixed field each step, so day-of-month drifts and
+    clamps as the walk proceeds (NOT equal to add_months(o, k*m) +
+    k*millis). The boundary series is data-independent; precompute it
+    over [1900, 2200] (wall frame) and floor via lookup."""
+    import calendar
+    from datetime import datetime, timedelta, timezone as _pytz
+
+    def to_dt(ms):
+        return datetime.fromtimestamp(ms / 1000, tz=_pytz.utc) \
+            .replace(tzinfo=None)
+
+    def to_ms(d):
+        return int(d.replace(tzinfo=_pytz.utc).timestamp() * 1000)
+
+    def add_months_clamp(d, n):
+        mo = d.month - 1 + n
+        y, m = d.year + mo // 12, mo % 12 + 1
+        return d.replace(year=y, month=m,
+                         day=min(d.day, calendar.monthrange(y, m)[1]))
+
+    def step(d, sign):
+        d = add_months_clamp(d, sign * months)
+        return d + timedelta(milliseconds=sign * millis)
+
+    lo, hi = datetime(1900, 1, 1), datetime(2200, 1, 1)
+    out = []
+    cur = to_dt(origin_wall_ms)
+    while cur < hi:
+        if cur >= lo:
+            out.append(to_ms(cur))
+        cur = step(cur, 1)
+    cur = to_dt(origin_wall_ms)
+    while True:
+        cur = step(cur, -1)
+        if cur < lo:
+            break
+        if cur < hi:
+            out.append(to_ms(cur))
+    out.sort()
+    return out
+
+
+def _floor_compound_walk(col: Column, months: int, millis: int,
+                         origin_wall_ms: int) -> Column:
+    bounds = _compound_boundaries(origin_wall_ms, months, millis)
+    arr = F.lit(bounds)
+    t = F.unix_millis(col)
+    return F.timestamp_millis(
+        F.array_max(F.filter(arr, lambda x: x <= t)))
+
+
+def _floor_period_from_origin(col: Column, months: int, millis: int,
+                              origin_wall_ms: int) -> Column:
+    """Origin-anchored floor for periods with a month component
+    (PeriodGranularity truncateCompoundPeriod / the months-with-origin
+    field path): boundaries are origin + k*(months, millis); estimate k
+    from calendar month distance, generate a +/-3 candidate window, and
+    take the greatest boundary <= t. ``col`` and the origin are in the
+    WALL frame (the caller shifts by timezone)."""
+    o_day = origin_wall_ms - (origin_wall_ms % 86_400_000)
+    o_tod = origin_wall_ms - o_day
+    origin_ts = F.timestamp_millis(F.lit(origin_wall_ms))
+    # average Gregorian month = 30.436875 days
+    step_months = months + millis / 2_629_746_000.0
+    k0 = F.floor(
+        F.months_between(col, origin_ts) / F.lit(step_months)).cast("long")
+
+    def cand(k: Column) -> Column:
+        base = F.add_months(
+            F.timestamp_millis(F.lit(o_day)), k * F.lit(months))
+        return (F.unix_millis(base.cast("timestamp"))
+                + F.lit(o_tod) + k * F.lit(millis))
+
+    t = F.unix_millis(col)
+    cands = F.array(*[cand(k0 + F.lit(i)) for i in range(-3, 4)])
+    return F.timestamp_millis(
+        F.array_max(F.filter(cands, lambda x: x <= t)))
 
 
 def _floor_months(col: Column, n_months: int, origin_months: int = 0) -> Column:
@@ -145,23 +253,47 @@ def time_floor_col(col: Column, gran, timezone: str | None = None) -> Column:
         if period is None:
             raise ValueError(f"unsupported granularity: {gran!r}")
 
-    months, millis = parse_period(period)
+    months, millis = parse_period(period, allow_mixed=True)
     tz = period_tz or timezone
+    has_origin = isinstance(gran, dict) and gran.get("origin") is not None
+    # the origin instant expressed on the local wall clock — the
+    # reference anchors via chronology field arithmetic, which works in
+    # the zone's wall frame (QueryGranularityTest testPeriodTruncateDays)
+    origin_wall = origin_ms + _tz_offset_ms(tz, origin_ms)
     # P1W with no origin floors to MONDAY (PeriodGranularity.java:295-299
     # — dayOfWeek roundFloor + set to 1); PnW n>1 aligns on multiples
     # from the epoch origin like every other millis period
-    week_one = (period.strip().upper() == "P1W" and origin_ms == 0)
+    week_one = (period.strip().upper() == "P1W" and not has_origin)
+
+    if not months and _period_field_count(period) >= 2:
+        # compound fixed-length period (PT12H5M): the reference's
+        # truncateMillisPeriod is plain modular arithmetic on UTC
+        # instants — no wall-clock shift
+        # (QueryGranularityTest.testCompoundPeriodMillisTruncate)
+        return _floor_millis(col, millis, origin_ms)
 
     def _f(c: Column) -> Column:
-        if months == 1 and origin_ms == 0:
+        if months and millis:
+            # compound month periods (P1M2D) replay the reference's
+            # iterative walk from the origin (interleaved month/day
+            # adds — QueryGranularityTest.testCompoundPeriodTruncate)
+            return _floor_compound_walk(
+                c, months, millis, origin_wall if has_origin else 0)
+        if months and has_origin:
+            # month periods with an origin step calendar-exactly from
+            # the anchor (months-difference field path)
+            return _floor_period_from_origin(
+                c, months, millis, origin_wall)
+        if months == 1:
             return F.date_trunc("month", c)
-        if months == 12 and origin_ms == 0:
+        if months == 12:
             return F.date_trunc("year", c)
         if months:
             return _floor_months(c, months)
         if week_one:
             return F.date_trunc("week", c)
-        return _floor_millis(c, millis, origin_ms)
+        return _floor_millis(c, millis,
+                             origin_wall if has_origin else origin_ms)
 
     return _with_tz(col, tz, _f)
 
@@ -195,14 +327,16 @@ def time_shift_col(
             )
         else:
             period = gran
-    months, millis = parse_period(period)
+    months, millis = parse_period(period, allow_mixed=True)
     if months:
         # add_months returns DATE; re-attach the time-of-day so P1M
-        # shifts preserve sub-day precision (Druid chronology.add)
+        # shifts preserve sub-day precision (Druid chronology.add);
+        # compound periods (P1M2D) add the fixed part on top
         day = F.date_trunc("day", col)
         tod = F.unix_millis(col) - F.unix_millis(day)
         base = F.add_months(day, months * step).cast("timestamp")
-        return F.timestamp_millis(F.unix_millis(base) + tod)
+        return F.timestamp_millis(
+            F.unix_millis(base) + tod + F.lit(millis * step))
     return F.timestamp_millis(F.unix_millis(col) + F.lit(millis * step))
 
 
