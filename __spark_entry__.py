@@ -4397,6 +4397,37 @@ def _sql_parameterized(spark, sf_dir):
     ])
 
 
+def _p1m2d_values() -> str:
+    # the P1M2D boundary series from the epoch (the reference's
+    # iterative compound-period walk), restricted to the events span
+    from apache_druid_spark.model.granularity import _compound_boundaries
+    lo, hi = 1640995200000, 1798761600000  # 2022..2027
+    return ", ".join(f"({b})" for b in
+                     _compound_boundaries(0, 1, 2 * 86_400_000)
+                     if lo <= b <= hi)
+
+
+@_q("timeseries_compound_period", f"""
+SELECT CAST(epoch_ms(b) AS TIMESTAMP) AS __time, COUNT(*) AS cnt FROM (
+  SELECT (SELECT MAX(v) FROM (VALUES {_p1m2d_values()}) t(v)
+          WHERE v <= epoch_ms(ts)) AS b
+  FROM events) GROUP BY 1 ORDER BY 1
+""")
+def _timeseries_compound_period(spark, sf_dir):
+    """Compound-period granularity (P1M2D): PeriodGranularity
+    truncateCompoundPeriod walks the period iteratively from the
+    origin with interleaved month/day adds (r8 `_floor_compound_walk`,
+    QueryGranularityTest.testCompoundPeriodTruncate); the oracle
+    embeds the same data-independent boundary series as literals."""
+    return compile_query({
+        "queryType": "timeseries",
+        "dataSource": "events",
+        "granularity": {"type": "period", "period": "P1M2D"},
+        "intervals": ["1990-01-01/2030-01-01"],
+        "aggregations": [{"type": "count", "name": "cnt"}],
+    }, _registry(spark, sf_dir))
+
+
 @_q("ipv4_custkey_subnets", """
 SELECT '192.168.0.' || CAST(c_custkey % 256 AS VARCHAR) AS addr,
        (c_custkey % 256) < 128 AS in_low_half,
@@ -4519,6 +4550,7 @@ _R08_WINDOW = (
     # new r8 entries — never driver-checked, verify first
     'lookup_neq_matches_null', 'human_readable_formats',
     'ipv4_custkey_subnets', 'round_contract_orders',
+    'timeseries_compound_period',
     'theta_rollup_merge', 'segment_metadata_orders',
     'sql_time_ops', 'sql_mv_first_word', 'sql_array_fns',
     'sql_lookup_fn', 'sql_safe_divide', 'sql_ipv4',
