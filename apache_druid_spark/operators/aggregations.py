@@ -51,6 +51,17 @@ def _field(spec: dict, registry=None) -> Column:
     raise ValueError(f"aggregator needs fieldName or expression: {spec}")
 
 
+def _num_field(spec: dict, registry=None) -> Column:
+    """Numeric aggregator input: Druid time IS an epoch-millis long,
+    so a numeric aggregator over __time reads millis
+    (TimeseriesQueryRunnerTest.testTimeseriesWithTimeColumn's
+    longSum("__time") pins the millis sum; Spark's timestamp->long
+    cast would yield seconds)."""
+    if spec.get("fieldName") == TIME_COLUMN:
+        return F.unix_millis(fcol(TIME_COLUMN))
+    return _field(spec, registry)
+
+
 def compile_aggregator(spec: dict, df=None, registry=None) -> Column:
     """One aggregator JSON -> a named aggregate Column."""
     t = spec["type"]
@@ -59,12 +70,12 @@ def compile_aggregator(spec: dict, df=None, registry=None) -> Column:
     if t == "count":
         return F.count(F.lit(1)).alias(name)
     if t in _SUM_TYPES:
-        return F.sum(_field(spec, registry).cast(_SUM_TYPES[t])).alias(name)
+        return F.sum(_num_field(spec, registry).cast(_SUM_TYPES[t])).alias(name)
     if t in _MINMAX:
         fn, typ = _MINMAX[t]
-        return getattr(F, fn)(_field(spec, registry).cast(typ)).alias(name)
+        return getattr(F, fn)(_num_field(spec, registry).cast(typ)).alias(name)
     if t == "doubleMean":
-        return F.avg(_field(spec, registry).cast("double")).alias(name)
+        return F.avg(_num_field(spec, registry).cast("double")).alias(name)
     if t in _FIRST_LAST:
         which, typ = _FIRST_LAST[t]
         time_col = fcol(spec.get("timeColumn", TIME_COLUMN))

@@ -1,0 +1,311 @@
+"""Golden tests ported from the reference's native-engine suite
+TimeseriesQueryRunnerTest.java (processing/src/test/java/org/apache/
+druid/query/timeseries/, 58 methods) over the TestIndex fixture
+(druid.sample.numeric.tsv, 1209 rows — see testindex_fixture.py).
+Value pins follow the reference's own comparison contract
+(TestHelper.assertRow: numerics fuzzy at 1e-6 relative); hyperUnique
+estimates compare within 0.05 absolute (the reference pins its legacy
+HLL's 9.019833…; this engine's HLL++ answers 9.0 at that cardinality —
+same 2% error class, different sketch).
+
+Skipped (with reason): the expected-computed-by-loop methods
+(testFullOnTimeseries*, zero-filling buckets, beyond-time-range,
+varying-gran-with-filter — their literal cousins are ported),
+javascript-aggregator methods (policy exclusion), first/last over the
+rolled fixture (driver-verified on testdata as agg_first_last_events),
+lookup-extraction / limit / timestampResultField context forms (the
+SQL layer pins those), expression-aggregator methods (expression
+lambda UDAF pinned in CalciteQueryTest ports), and
+cardinality-on-hyperUnique (sketch-of-sketch state)."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+import pytest
+
+from apache_druid_spark.plans.compiler import compile_query
+
+from testindex_fixture import testindex  # noqa: F401 (fixture)
+
+dt = datetime
+FIRST_TO_THIRD = ["2011-04-01/2011-04-03"]
+UNIQUES_9 = 9.019833517963864
+
+ROWS = {"type": "count", "name": "rows"}
+IDX_LONG = {"type": "longSum", "name": "index", "fieldName": "index"}
+IDX_DOUBLE = {"type": "doubleSum", "name": "index", "fieldName": "index"}
+UNIQUES = {"type": "hyperUnique", "name": "uniques",
+           "fieldName": "quality_uniques"}
+ADD_RIC = {"type": "arithmetic", "name": "addRowsIndexConstant",
+           "fn": "+", "fields": [
+               {"type": "fieldAccess", "fieldName": "rows"},
+               {"type": "fieldAccess", "fieldName": "index"},
+               {"type": "constant", "value": 1}]}
+
+
+def run(spark, reg, q, order="__time"):
+    df = compile_query(q, reg)
+    return [tuple(r) for r in (df.orderBy(order) if order else df)
+            .collect()]
+
+
+def check(got, want):
+    assert len(got) == len(want), (got, want)
+    for g, w in zip(got, want):
+        assert len(g) == len(w), (g, w)
+        for gv, wv in zip(g, w):
+            if isinstance(wv, float) and gv is not None:
+                assert float(gv) == pytest.approx(
+                    wv, rel=1e-6, abs=0.05), (got, want)
+            else:
+                assert gv == wv, (got, want)
+
+
+def ts_query(aggs, intervals=FIRST_TO_THIRD, gran="day", filt=None,
+             postaggs=None, vcs=None, ctx=None):
+    q = {"queryType": "timeseries", "dataSource": "testindex",
+         "granularity": gran, "intervals": intervals,
+         "aggregations": aggs}
+    if filt:
+        q["filter"] = filt
+    if postaggs:
+        q["postAggregations"] = postaggs
+    if vcs:
+        q["virtualColumns"] = vcs
+    if ctx:
+        q["context"] = ctx
+    return q
+
+
+def test_timeseries_grand_total(spark, testindex):
+    # testTimeseriesGrandTotal: per-day rows plus the grand-total row
+    # (null timestamp) merging all aggregators
+    q = ts_query(
+        [ROWS, IDX_LONG, UNIQUES,
+         {"type": "longMin", "name": "longMinIndex", "fieldName": "index"},
+         {"type": "doubleMax", "name": "doubleMaxIndex",
+          "fieldName": "index"},
+         {"type": "floatMin", "name": "floatMinIndex",
+          "fieldName": "index"}],
+        postaggs=[ADD_RIC], ctx={"grandTotal": True})
+    df = compile_query(q, testindex)
+    rows = sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda r: (r[0] is None, r[0]))
+    check(rows, [
+        (dt(2011, 4, 1), 13, 6619, UNIQUES_9, 78, 1522.043733,
+         78.62254333496094, 6633.0),
+        (dt(2011, 4, 2), 13, 5827, UNIQUES_9, 97, 1321.375057,
+         97.38743591308594, 5841.0),
+        (None, 26, 12446, UNIQUES_9, 78, 1522.043733,
+         78.62254333496094, 12473.0),
+    ])
+
+
+def test_timeseries_with_virtual_column(spark, testindex):
+    # testTimeseriesWithVirtualColumn: longSum over a FLOAT-typed
+    # virtual column reading index
+    q = ts_query(
+        [ROWS, {"type": "longSum", "name": "idx", "fieldName": "expr"},
+         UNIQUES],
+        vcs=[{"type": "expression", "name": "expr",
+              "expression": "index", "outputType": "FLOAT"}])
+    check(run(spark, testindex, q), [
+        (dt(2011, 4, 1), 13, 6619, UNIQUES_9),
+        (dt(2011, 4, 2), 13, 5827, UNIQUES_9)])
+
+
+def test_timeseries_with_timezone(spark, testindex):
+    # testTimeseriesWithTimeZone: LA-day buckets over an LA interval
+    q = {"queryType": "timeseries", "dataSource": "testindex",
+         "granularity": {"type": "period", "period": "P1D",
+                         "timeZone": "America/Los_Angeles"},
+         "intervals": ["2011-03-31T00:00:00-07:00/"
+                       "2011-04-02T00:00:00-07:00"],
+         "aggregations": [ROWS,
+                          {"type": "longSum", "name": "idx",
+                           "fieldName": "index"}]}
+    check(run(spark, testindex, q), [
+        (dt(2011, 3, 31, 7, 0), 13, 6619),
+        (dt(2011, 4, 1, 7, 0), 13, 5827)])
+
+
+def test_timeseries_with_varying_gran(spark, testindex):
+    # testTimeseriesWithVaryingGran: a month bucket and a day bucket
+    # over the same single-day interval
+    q1 = ts_query([ROWS, {"type": "longSum", "name": "idx",
+                          "fieldName": "index"}, UNIQUES],
+                  intervals=["2011-04-02/2011-04-03"],
+                  gran={"type": "period", "period": "P1M"})
+    check(run(spark, testindex, q1),
+          [(dt(2011, 4, 1), 13, 5827, UNIQUES_9)])
+    q2 = ts_query([ROWS, {"type": "longSum", "name": "idx",
+                          "fieldName": "index"}, UNIQUES],
+                  intervals=["2011-04-02/2011-04-03"], gran="day")
+    check(run(spark, testindex, q2),
+          [(dt(2011, 4, 2), 13, 5827, UNIQUES_9)])
+
+
+def test_timeseries_gran_not_aligned_with_filter(spark, testindex):
+    # testTimeseriesGranularityNotAlignedOnSegmentBoundariesWithFilter:
+    # LA-anchored P7D buckets cut the first week mid-interval
+    q = {"queryType": "timeseries", "dataSource": "testindex",
+         "granularity": {"type": "period", "period": "P7D",
+                         "timeZone": "America/Los_Angeles"},
+         "intervals": ["2011-01-12T00:00:00-08:00/"
+                       "2011-01-20T00:00:00-08:00"],
+         "filter": {"type": "in", "dimension": "market",
+                    "values": ["spot", "upfront", "total_market"]},
+         "aggregations": [ROWS, {"type": "longSum", "name": "idx",
+                                 "fieldName": "index"}]}
+    check(run(spark, testindex, q), [
+        (dt(2011, 1, 6, 8, 0), 13, 6071),
+        (dt(2011, 1, 13, 8, 0), 91, 33382)])
+
+
+def test_timeseries_with_or_filter(spark, testindex):
+    # testTimeseriesWithOrFilter (the full market set)
+    q = ts_query([ROWS, IDX_LONG, UNIQUES], postaggs=[ADD_RIC],
+                 filt={"type": "in", "dimension": "market",
+                       "values": ["spot", "upfront", "total_market"]})
+    check(run(spark, testindex, q), [
+        (dt(2011, 4, 1), 13, 6619, UNIQUES_9, 6633.0),
+        (dt(2011, 4, 2), 13, 5827, UNIQUES_9, 5841.0)])
+
+
+def test_timeseries_with_regex_filter(spark, testindex):
+    # testTimeseriesWithRegexFilter: market ~ '^.p.*$' (spot, upfront)
+    q = ts_query([ROWS, IDX_LONG, UNIQUES], postaggs=[ADD_RIC],
+                 filt={"type": "regex", "dimension": "market",
+                       "pattern": "^.p.*$"})
+    check(run(spark, testindex, q), [
+        (dt(2011, 4, 1), 11, 3783, UNIQUES_9, 3795.0),
+        (dt(2011, 4, 2), 11, 3313, UNIQUES_9, 3325.0)])
+
+
+@pytest.mark.parametrize("market,uniq,rows1,idx1,rows2,idx2", [
+    # (UNIQUES_9 for spot's nine qualities, UNIQUES_2 for the others)
+    ("spot", 9.019833517963864, 9, 1102, 9, 1120),       # ...Filter1
+    ("upfront", 2.000977198748901, 2, 2681, 2, 2193),    # ...Filter2
+    ("total_market", 2.000977198748901, 2, 2836, 2, 2514),  # Filter3
+])
+def test_timeseries_with_selector_filter(spark, testindex, market,
+                                         uniq, rows1, idx1, rows2,
+                                         idx2):
+    q = ts_query([ROWS, IDX_LONG, UNIQUES], postaggs=[ADD_RIC],
+                 filt={"type": "selector", "dimension": "market",
+                       "value": market})
+    check(run(spark, testindex, q), [
+        (dt(2011, 4, 1), rows1, idx1, uniq, float(rows1 + idx1 + 1)),
+        (dt(2011, 4, 2), rows2, idx2, uniq, float(rows2 + idx2 + 1))])
+
+
+def test_timeseries_with_multi_dim_filter_and_or(spark, testindex):
+    # testTimeseriesWithMultiDimFilterAndOr (doubleSum over the
+    # float-quantized ingest values) + the nonexistent-value twin
+    for quals in (["automotive", "business"],
+                  ["automotive", "business", "billyblank"]):
+        q = ts_query(
+            [ROWS, IDX_DOUBLE, UNIQUES], postaggs=[ADD_RIC],
+            filt={"type": "and", "fields": [
+                {"type": "selector", "dimension": "market",
+                 "value": "spot"},
+                {"type": "in", "dimension": "quality", "values": quals},
+            ]})
+        check(run(spark, testindex, q), [
+            (dt(2011, 4, 1), 2, 254.4554443359375, 2.0,
+             257.4554443359375),
+            (dt(2011, 4, 2), 2, 260.4129638671875, 2.0,
+             263.4129638671875)])
+
+
+@pytest.mark.parametrize("quality,idx1,idx2", [
+    # testTimeseriesWithMultiDimFilter / testTimeseriesWithOtherMulti
+    ("automotive", 135.88510131835938, 147.42593383789062),
+    ("business", 118.57034301757812, 112.98703002929688),
+])
+def test_timeseries_with_multi_dim_filter(spark, testindex, quality,
+                                          idx1, idx2):
+    q = ts_query(
+        [ROWS, IDX_DOUBLE, UNIQUES], postaggs=[ADD_RIC],
+        filt={"type": "and", "fields": [
+            {"type": "selector", "dimension": "market", "value": "spot"},
+            {"type": "selector", "dimension": "quality",
+             "value": quality}]})
+    check(run(spark, testindex, q), [
+        (dt(2011, 4, 1), 1, idx1, 1.0, idx1 + 2),
+        (dt(2011, 4, 2), 1, idx2, 1.0, idx2 + 2)])
+
+
+def test_timeseries_with_nonexistent_filter_in_or(spark, testindex):
+    # testTimeseriesWithNonExistentFilterInOr / testTimeseriesWithIn
+    # Filter: an impossible value in the IN list changes nothing
+    q = ts_query(
+        [ROWS, IDX_LONG, UNIQUES], postaggs=[ADD_RIC],
+        filt={"type": "in", "dimension": "market",
+              "values": ["spot", "upfront", "total_market",
+                         "billyblank"]})
+    check(run(spark, testindex, q), [
+        (dt(2011, 4, 1), 13, 6619, UNIQUES_9, 6633.0),
+        (dt(2011, 4, 2), 13, 5827, UNIQUES_9, 5841.0)])
+
+
+def test_timeseries_multi_value_filter_equivalences(spark, testindex):
+    # testTimeseriesWithMultiValueDimFilter1/2 + AndOr1/2: filtering on
+    # the MV placementish matches ANY element — 'preferred' covers all
+    # rows; 'a' is exactly quality=automotive (elements are the quality
+    # initial + 'preferred')
+    base = [ROWS, IDX_DOUBLE, UNIQUES]
+    all_rows = run(spark, testindex, ts_query(base))
+    pref = run(spark, testindex, ts_query(
+        base, filt={"type": "selector", "dimension": "placementish",
+                    "value": "preferred"}))
+    assert pref == all_rows
+    auto = run(spark, testindex, ts_query(
+        base, filt={"type": "selector", "dimension": "quality",
+                    "value": "automotive"}))
+    a = run(spark, testindex, ts_query(
+        base, filt={"type": "selector", "dimension": "placementish",
+                    "value": "a"}))
+    assert a == auto
+    spot_a = run(spark, testindex, ts_query(
+        base, filt={"type": "and", "fields": [
+            {"type": "selector", "dimension": "market", "value": "spot"},
+            {"type": "in", "dimension": "placementish",
+             "values": ["a", "b"]}]}))
+    spot_auto_biz = run(spark, testindex, ts_query(
+        base, filt={"type": "and", "fields": [
+            {"type": "selector", "dimension": "market", "value": "spot"},
+            {"type": "in", "dimension": "quality",
+             "values": ["automotive", "business"]}]}))
+    assert spot_a == spot_auto_biz
+
+
+def test_timeseries_with_filtered_agg(spark, testindex):
+    # testTimeSeriesWithFilteredAgg: ALL grain, a filtered count rides
+    # along the common aggregators
+    q = ts_query(
+        [ROWS, IDX_DOUBLE, UNIQUES,
+         {"type": "filtered", "name": "filteredAgg",
+          "filter": {"type": "selector", "dimension": "market",
+                     "value": "spot"},
+          "aggregator": {"type": "count", "name": "filteredAgg"}}],
+        gran="all", postaggs=[ADD_RIC])
+    got = run(spark, testindex, q, order=None)
+    assert len(got) == 1
+    row = got[0]
+    check([row[1:]], [(26, 12459.361190795898, UNIQUES_9, 18,
+                       12486.361190795898)])
+
+
+def test_timeseries_with_time_column(spark, testindex):
+    # testTimeseriesWithTimeColumn (sans the javascript aggregator —
+    # policy exclusion): longSum over __time reads epoch millis
+    q = ts_query(
+        [ROWS, {"type": "longSum", "name": "sumtime",
+                "fieldName": "__time"}],
+        gran="all")
+    got = run(spark, testindex, q, order=None)
+    assert [(r[1], r[2]) for r in got] == [(26, 33843139200000)]
