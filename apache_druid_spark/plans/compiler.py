@@ -476,6 +476,9 @@ def compile_topn(q: dict, registry: DatasourceRegistry) -> DataFrame:
     out = df.groupBy(*group_cols).agg(*aggs)
     out = apply_post_aggregations(out, q.get("postAggregations", []), registry)
 
+    stop = _topn_previous_stop(metric, dim_name)
+    if stop is not None:
+        out = out.filter(stop)
     order = _topn_order(metric, dim_name)
     if bucket is None:
         return out.orderBy(*order).limit(threshold)
@@ -484,6 +487,32 @@ def compile_topn(q: dict, registry: DatasourceRegistry) -> DataFrame:
                .filter(F.col("__rank") <= threshold)
                .drop("__rank")
                .orderBy(TIME_COLUMN, *order))
+
+
+def _topn_previous_stop(metric, dim_name: str,
+                        invert: bool = False) -> Column | None:
+    """DimensionTopNMetricSpec.previousStop: a paging cursor — only
+    dimension values strictly AFTER the stop in comparator order
+    (TopNQueryRunnerTest testTopNLexicographicWithPreviousStop /
+    testTopNInvertedLexicographicWithPreviousStop)."""
+    from apache_druid_spark.operators.limitspec import _sort_key
+
+    if not isinstance(metric, dict):
+        return None
+    t = metric.get("type", "numeric")
+    if t == "inverted":
+        return _topn_previous_stop(metric["metric"], dim_name,
+                                   invert=not invert)
+    if t not in ("dimension", "alphaNumeric"):
+        return None
+    stop = metric.get("previousStop")
+    if not stop:
+        return None
+    ordering = (metric.get("ordering", "lexicographic")
+                if t == "dimension" else "alphanumeric")
+    key = _sort_key(F.col(dim_name), ordering)
+    stop_key = _sort_key(F.lit(stop), ordering)
+    return key < stop_key if invert else key > stop_key
 
 
 def _topn_order(metric, dim_name: str, invert: bool = False) -> list[Column]:

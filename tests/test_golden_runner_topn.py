@@ -1,0 +1,228 @@
+"""Golden tests ported from the reference's native-engine suite
+TopNQueryRunnerTest.java (processing/src/test/java/org/apache/druid/
+query/topn/, 107 methods) over the TestIndex fixture
+(testindex_fixture.py). Comparison follows the reference's
+TestHelper.assertRow (numerics fuzzy 1e-6 relative; hyperUnique
+estimates within 0.05 — this engine's HLL++ vs the reference's legacy
+HLL, same error class).
+
+The reference's topN is per-segment approximate (top max(1000, K) per
+segment + broker merge); this engine's TakeOrderedAndProject is exact
+— the documented strictly-better superset (PARITY §2.3) — so the
+literal pins hold identically.
+
+Skipped (with reason): the extraction-fn/namespace-optimization matrix
+(testTopNDimExtraction* exercise extraction-function CACHING
+strategies; extraction semantics are driver-verified at the SQL
+layer), bySegment / dependent-post-agg / segment-metadata forms
+(broker-internal result decoration), javascript/expression-aggregator
+methods (policy exclusion / SQL-layer pinned), first/last-aggregator
+topNs (driver-verified), and the numeric-null ordering family (the
+three-valued null ordering is pinned in the SQL tranches)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from apache_druid_spark.plans.compiler import compile_query
+
+from testindex_fixture import testindex  # noqa: F401 (fixture)
+
+FIRST_TO_THIRD = ["2011-04-01/2011-04-03"]
+FULL_ON = ["1970-01-01/2020-01-01"]
+UNIQUES_9 = 9.019833517963864
+UNIQUES_2 = 2.000977198748901
+UNIQUES_1 = 1.0002442201269182
+
+ROWS = {"type": "count", "name": "rows"}
+IDX = {"type": "doubleSum", "name": "index", "fieldName": "index"}
+UNIQUES = {"type": "hyperUnique", "name": "uniques",
+           "fieldName": "quality_uniques"}
+MAXI = {"type": "doubleMax", "name": "maxIndex", "fieldName": "index"}
+MINI = {"type": "doubleMin", "name": "minIndex", "fieldName": "index"}
+ADD_RIC = {"type": "arithmetic", "name": "addRowsIndexConstant",
+           "fn": "+", "fields": [
+               {"type": "fieldAccess", "fieldName": "rows"},
+               {"type": "fieldAccess", "fieldName": "index"},
+               {"type": "constant", "value": 1}]}
+
+
+def topn(dim="market", metric="index", threshold=4,
+         intervals=FIRST_TO_THIRD, aggs=None, filt=None, postaggs=None):
+    q = {"queryType": "topN", "dataSource": "testindex",
+         "granularity": "all", "dimension": dim, "metric": metric,
+         "threshold": threshold, "intervals": intervals,
+         "aggregations": aggs or [ROWS, IDX, UNIQUES]}
+    if filt:
+        q["filter"] = filt
+    if postaggs is not None:
+        q["postAggregations"] = postaggs
+    return q
+
+
+def run(spark, reg, q, cols):
+    return [tuple(r[c] for c in cols)
+            for r in compile_query(q, reg).collect()]
+
+
+def check(got, want):
+    assert len(got) == len(want), (got, want)
+    for g, w in zip(got, want):
+        for gv, wv in zip(g, w):
+            if isinstance(wv, float) and gv is not None:
+                assert float(gv) == pytest.approx(
+                    wv, rel=1e-6, abs=0.05), (got, want)
+            else:
+                assert gv == wv, (got, want)
+
+
+COLS = ["market", "rows", "index", "uniques", "addRowsIndexConstant"]
+
+
+def test_full_on_topn(spark, testindex):
+    # testFullOnTopN: top 3 markets by index over the full interval
+    q = topn(intervals=FULL_ON,
+             aggs=[ROWS, IDX, UNIQUES, MAXI, MINI], postaggs=[ADD_RIC])
+    got = run(spark, testindex, q,
+              COLS + ["maxIndex", "minIndex"])
+    check(got, [
+        ("total_market", 186, 215679.82879638672, UNIQUES_2,
+         215866.82879638672, 1743.92175, 792.3260498046875),
+        ("upfront", 186, 192046.1060180664, UNIQUES_2,
+         192233.1060180664, 1870.061029, 545.9906005859375),
+        ("spot", 837, 95606.57232284546, UNIQUES_9,
+         96444.57232284546, 277.273533, 59.02102279663086)])
+
+
+def test_topn(spark, testindex):
+    # testTopN / testTopNWithOrFilter1 (the full market IN list is a
+    # no-op filter)
+    want = [
+        ("total_market", 4, 5351.814783, UNIQUES_2, 5356.814783),
+        ("upfront", 4, 4875.669692, UNIQUES_2, 4880.669692),
+        ("spot", 18, 2231.876812, UNIQUES_9, 2250.876812)]
+    check(run(spark, testindex, topn(postaggs=[ADD_RIC]), COLS), want)
+    q = topn(postaggs=[ADD_RIC],
+             filt={"type": "in", "dimension": "market",
+                   "values": ["total_market", "upfront", "spot"]})
+    check(run(spark, testindex, q, COLS), want)
+
+
+def test_topn_by_uniques(spark, testindex):
+    # testTopNByUniques: ordered by the hyperUnique estimate
+    q = topn(metric={"type": "numeric", "metric": "uniques"},
+             postaggs=[ADD_RIC])
+    got = run(spark, testindex, q, COLS)
+    assert [g[0] for g in got] == ["spot", "total_market", "upfront"]
+    check(got[:1], [("spot", 18, 2231.876812, UNIQUES_9, 2250.876812)])
+
+
+def test_topn_with_filter1(spark, testindex):
+    # testTopNWithFilter1: single market
+    q = topn(postaggs=[ADD_RIC],
+             filt={"type": "selector", "dimension": "market",
+                   "value": "upfront"})
+    check(run(spark, testindex, q, COLS), [
+        ("upfront", 4, 4875.669692, UNIQUES_2, 4880.669692)])
+
+
+def test_topn_with_filter2(spark, testindex):
+    # testTopNWithFilter2: filter on quality=mezzanine, top markets
+    q = topn(postaggs=[ADD_RIC],
+             filt={"type": "selector", "dimension": "quality",
+                   "value": "mezzanine"})
+    check(run(spark, testindex, q, COLS), [
+        ("upfront", 2, 2591.68359375, UNIQUES_1, 2594.68359375),
+        ("total_market", 2, 2508.39599609375, UNIQUES_1,
+         2511.39599609375),
+        ("spot", 2, 220.63774871826172, UNIQUES_1,
+         223.63774871826172)])
+
+
+def test_topn_lexicographic(spark, testindex):
+    # testTopNLexicographic: dimension-ordered, not metric-ordered
+    q = topn(metric={"type": "dimension",
+                     "ordering": "lexicographic"}, postaggs=[ADD_RIC])
+    check(run(spark, testindex, q, COLS), [
+        ("spot", 18, 2231.876812, UNIQUES_9, 2250.876812),
+        ("total_market", 4, 5351.814783, UNIQUES_2, 5356.814783),
+        ("upfront", 4, 4875.669692, UNIQUES_2, 4880.669692)])
+
+
+@pytest.mark.parametrize("stop,want_markets", [
+    # testTopNLexicographicWithPreviousStop (cursor after 'spot')
+    ("spot", ["total_market", "upfront"]),
+    # testTopNLexicographicWithNonExistingPreviousStop
+    ("t", ["total_market", "upfront"]),
+])
+def test_topn_lexicographic_previous_stop(spark, testindex, stop,
+                                          want_markets):
+    q = topn(metric={"type": "dimension", "ordering": "lexicographic",
+                     "previousStop": stop}, postaggs=[ADD_RIC])
+    got = run(spark, testindex, q, COLS)
+    assert [g[0] for g in got] == want_markets
+    check(got, [
+        ("total_market", 4, 5351.814783, UNIQUES_2, 5356.814783),
+        ("upfront", 4, 4875.669692, UNIQUES_2, 4880.669692)])
+
+
+def test_inverted_topn(spark, testindex):
+    # testInvertedTopNQuery: bottom 3 by index
+    q = topn(metric={"type": "inverted",
+                     "metric": {"type": "numeric", "metric": "index"}},
+             threshold=3, postaggs=[ADD_RIC])
+    check(run(spark, testindex, q, COLS), [
+        ("spot", 18, 2231.876812, UNIQUES_9, 2250.876812),
+        ("upfront", 4, 4875.669692, UNIQUES_2, 4880.669692),
+        ("total_market", 4, 5351.814783, UNIQUES_2, 5356.814783)])
+
+
+def test_topn_over_null_dimension(spark, testindex):
+    # testTopNOverNullDimension: grouping an always-null column yields
+    # the single null group over everything
+    q = topn(dim="null_column", intervals=FULL_ON,
+             aggs=[ROWS, IDX, UNIQUES, MAXI, MINI], postaggs=[ADD_RIC])
+    got = run(spark, testindex, q,
+              ["null_column", "rows", "index", "uniques",
+               "addRowsIndexConstant", "maxIndex", "minIndex"])
+    check(got, [(None, 1209, 503332.5071372986, UNIQUES_9,
+                 504542.5071372986, 1870.061029, 59.02102279663086)])
+
+
+def test_topn_over_partial_null_dimension(spark, testindex):
+    # testTopNOverPartialNullDimension: the null group and the 'value'
+    # group split the rows (metric = uniques)
+    q = topn(dim="partial_null_column",
+             metric={"type": "numeric", "metric": "uniques"})
+    got = run(spark, testindex, q,
+              ["partial_null_column", "rows", "index", "uniques"])
+    check(got, [
+        (None, 22, 7583.691513061523, UNIQUES_9),
+        ("value", 4, 4875.669692, UNIQUES_2)])
+
+
+def test_full_on_topn_long_column(spark, testindex):
+    # testFullOnTopNLongColumn: LONG-typed dimension, ordered by
+    # maxIndex
+    q = {"queryType": "topN", "dataSource": "testindex",
+         "granularity": "all",
+         "dimension": {"type": "default", "dimension": "qualityLong",
+                       "outputName": "ql_alias",
+                       "outputType": "LONG"},
+         "metric": "maxIndex", "threshold": 4, "intervals": FULL_ON,
+         "aggregations": [ROWS, IDX, UNIQUES, MAXI, MINI],
+         "postAggregations": [ADD_RIC]}
+    got = run(spark, testindex, q,
+              ["ql_alias", "rows", "index", "addRowsIndexConstant",
+               "uniques", "maxIndex", "minIndex"])
+    check(got, [
+        (1400, 279, 217725.41940800005, 218005.41940800005,
+         UNIQUES_1, 1870.061029, 91.270553),
+        (1600, 279, 210865.67977600006, 211145.67977600006,
+         UNIQUES_1, 1862.737933, 99.284525),
+        (1000, 93, 12270.807093, 12364.807093,
+         UNIQUES_1, 277.273533, 71.315931),
+        (1200, 93, 12086.472791, 12180.472791,
+         UNIQUES_1, 193.787574, 84.710523)])
