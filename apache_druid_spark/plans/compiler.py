@@ -625,6 +625,12 @@ def compile_scan(q: dict, registry: DatasourceRegistry) -> DataFrame:
     return df
 
 
+def _search_part(p: DataFrame, d: str, match) -> DataFrame:
+    return (p.filter(F.col("value").isNotNull() & match(F.col("value")))
+             .groupBy("value").agg(F.count(F.lit(1)).alias("count"))
+             .select(F.lit(d).alias("dimension"), "value", "count"))
+
+
 def compile_search(q: dict, registry: DatasourceRegistry) -> DataFrame:
     """search (processing/.../query/search/SearchQuery.java): find
     dimension VALUES matching a predicate across dims. Druid picks
@@ -660,15 +666,27 @@ def compile_search(q: dict, registry: DatasourceRegistry) -> DataFrame:
 
     parts = []
     for d in dims:
+        if d == TIME_COLUMN:
+            # Druid time is an epoch-millis long; search stringifies
+            # millis (SearchQueryRunnerTest.testSearchOnTime)
+            p = df.select(
+                F.unix_millis(fcol(d)).cast("string").alias("value"))
+            parts.append(_search_part(p, d, match))
+            continue
+        if d not in df.columns:
+            # a non-existent search dimension contributes no hits
+            # (testSearchNonExistingDimension), it is not an error
+            continue
         c = fcol(d)
         if isinstance(df.schema[d].dataType, T.ArrayType):
             p = df.select(F.explode(c).alias("value"))
         else:
             p = df.select(c.cast("string").alias("value"))
-        p = (p.filter(F.col("value").isNotNull() & match(F.col("value")))
-              .groupBy("value").agg(F.count(F.lit(1)).alias("count"))
-              .select(F.lit(d).alias("dimension"), "value", "count"))
-        parts.append(p)
+        parts.append(_search_part(p, d, match))
+    if not parts:
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [], "dimension string, value string, count long")
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -92,7 +92,10 @@ def testindex(spark):
         F.max(F.col("index_raw").cast("float")).alias("indexMaxFloat"),
         F.max((F.col("index_raw") + F.lit(10.0)).cast("float")
               .cast("double")).alias("indexMaxPlusTen"),
-        F.first("quality").alias("quality_uniques"),
+        # BINARY like the reference's COMPLEX hyperUnique column: the
+        # sketch input for query-time hyperUnique aggs, invisible to
+        # the search query's default string-dimension sweep
+        F.first(F.encode("quality", "UTF-8")).alias("quality_uniques"),
     ))
     reg = DatasourceRegistry(spark)
     reg.register("testindex", rolled.cache())
