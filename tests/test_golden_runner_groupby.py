@@ -1,0 +1,162 @@
+"""Golden tests ported from the reference's native-engine suite
+GroupByQueryRunnerTest.java (processing/src/test/java/org/apache/druid/
+query/groupby/, 180 methods / 13k lines) over the TestIndex fixture —
+the flagship day-by-quality matrix, multi-value dimension explode,
+duration granularity, having specs, and order-limit specs. Numeric
+comparison per TestHelper.assertRow (1e-6 relative).
+
+The suite's remaining methods exercise groupBy-v2 engine internals
+(spilling configs, merge-buffer exhaustion contracts, bySegment
+decoration), extraction-fn/lookup matrices (SQL-layer pinned),
+subquery shapes (ported in the CalciteQueryTest tranches where they
+have SQL equivalents), and javascript aggregators (policy wall)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from apache_druid_spark.plans.compiler import compile_query
+
+from testindex_fixture import testindex  # noqa: F401 (fixture)
+
+dt = datetime
+FIRST_TO_THIRD = ["2011-04-01/2011-04-03"]
+FULL_ON = ["1970-01-01/2020-01-01"]
+ROWS = {"type": "count", "name": "rows"}
+
+
+def gb(dims, aggs, gran="day", intervals=FIRST_TO_THIRD, having=None,
+       limit_spec=None, filt=None):
+    q = {"queryType": "groupBy", "dataSource": "testindex",
+         "granularity": gran, "intervals": intervals,
+         "dimensions": dims, "aggregations": aggs}
+    if having:
+        q["having"] = having
+    if limit_spec:
+        q["limitSpec"] = limit_spec
+    if filt:
+        q["filter"] = filt
+    return q
+
+
+def check(got, want):
+    assert len(got) == len(want), (got, want)
+    for g, w in zip(got, want):
+        for gv, wv in zip(g, w):
+            if isinstance(wv, float) and gv is not None:
+                assert float(gv) == pytest.approx(wv, rel=1e-6), \
+                    (got, want)
+            else:
+                assert gv == wv, (got, want)
+
+
+# testGroupBy's 18 expected rows: (day, quality, rows, longSum idx,
+# floatSum idxFloat, doubleSum idxDouble)
+GROUPBY_ROWS = [
+    (dt(2011, 4, 1), "automotive", 1, 135, 135.88510131835938,
+     135.88510131835938),
+    (dt(2011, 4, 1), "business", 1, 118, 118.57034, 118.57034),
+    (dt(2011, 4, 1), "entertainment", 1, 158, 158.747224, 158.747224),
+    (dt(2011, 4, 1), "health", 1, 120, 120.134704, 120.134704),
+    (dt(2011, 4, 1), "mezzanine", 3, 2870, 2871.8866900000003,
+     2871.8866900000003),
+    (dt(2011, 4, 1), "news", 1, 121, 121.58358, 121.58358),
+    (dt(2011, 4, 1), "premium", 3, 2900, 2900.798647, 2900.798647),
+    (dt(2011, 4, 1), "technology", 1, 78, 78.622547, 78.622547),
+    (dt(2011, 4, 1), "travel", 1, 119, 119.922742, 119.922742),
+    (dt(2011, 4, 2), "automotive", 1, 147, 147.42593, 147.42593),
+    (dt(2011, 4, 2), "business", 1, 112, 112.987027, 112.987027),
+    (dt(2011, 4, 2), "entertainment", 1, 166, 166.016049, 166.016049),
+    (dt(2011, 4, 2), "health", 1, 113, 113.446008, 113.446008),
+    (dt(2011, 4, 2), "mezzanine", 3, 2447, 2448.830613, 2448.830613),
+    (dt(2011, 4, 2), "news", 1, 114, 114.290141, 114.290141),
+    (dt(2011, 4, 2), "premium", 3, 2505, 2506.415148, 2506.415148),
+    (dt(2011, 4, 2), "technology", 1, 97, 97.387433, 97.387433),
+    (dt(2011, 4, 2), "travel", 1, 126, 126.411364, 126.411364),
+]
+
+
+def test_groupby(spark, testindex):
+    # testGroupBy: the flagship day-by-quality matrix with long, float
+    # and double sums side by side
+    q = gb([{"type": "default", "dimension": "quality",
+             "outputName": "alias"}],
+           [ROWS,
+            {"type": "longSum", "name": "idx", "fieldName": "index"},
+            {"type": "floatSum", "name": "idxFloat",
+             "fieldName": "indexFloat"},
+            {"type": "doubleSum", "name": "idxDouble",
+             "fieldName": "index"}])
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("__time", "alias", "rows", "idx", "idxFloat",
+                   "idxDouble")
+           .orderBy("__time", "alias").collect()]
+    check(got, GROUPBY_ROWS)
+
+
+def test_multi_value_dimension(spark, testindex):
+    # testMultiValueDimension: grouping the MV placementish explodes
+    # per element ('preferred' carries every row)
+    q = gb([{"type": "default", "dimension": "placementish",
+             "outputName": "alias"}],
+           [ROWS, {"type": "longSum", "name": "idx",
+                   "fieldName": "index"}],
+           gran="all")
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("alias", "rows", "idx").orderBy("alias").collect()]
+    check(got, [
+        ("a", 2, 282), ("b", 2, 230), ("e", 2, 324), ("h", 2, 233),
+        ("m", 6, 5317), ("n", 2, 235), ("p", 6, 5405),
+        ("preferred", 26, 12446), ("t", 4, 420)])
+
+
+def test_groupby_with_duration_granularity(spark, testindex):
+    # testGroupByWithDurationGranularity: an 86400-millis duration
+    # bucket lands on the same midnights for this data
+    q = gb([{"type": "default", "dimension": "quality",
+             "outputName": "alias"}],
+           [ROWS, {"type": "longSum", "name": "idx",
+                   "fieldName": "index"}],
+           gran={"type": "duration", "duration": 86400})
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("__time", "alias", "rows", "idx")
+           .orderBy("__time", "alias").collect()]
+    check(got, [(d, a, r, i) for d, a, r, i, _f, _d in GROUPBY_ROWS])
+
+
+def test_having_spec(spark, testindex):
+    # testHavingSpec: OR(rows > 2, idx == 217) at month grain over
+    # 2011-04-02/04
+    q = gb([{"type": "default", "dimension": "quality",
+             "outputName": "alias"}],
+           [ROWS, {"type": "longSum", "name": "idx",
+                   "fieldName": "index"}],
+           gran={"type": "period", "period": "P1M"},
+           intervals=["2011-04-02/2011-04-04"],
+           having={"type": "or", "havingSpecs": [
+               {"type": "greaterThan", "aggregation": "rows",
+                "value": 2},
+               {"type": "equalTo", "aggregation": "idx",
+                "value": 217}]})
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("__time", "alias", "rows", "idx")
+           .orderBy("alias").collect()]
+    check(got, [
+        (dt(2011, 4, 1), "business", 2, 217),
+        (dt(2011, 4, 1), "mezzanine", 6, 4420),
+        (dt(2011, 4, 1), "premium", 6, 4416)])
+
+
+def test_groupby_with_order_limit(spark, testindex):
+    # testGroupByWithOrderLimit4: market descending, keep 3
+    q = gb([{"type": "default", "dimension": "market",
+             "outputName": "market"}], [ROWS],
+           gran="all", intervals=FULL_ON,
+           limit_spec={"type": "default", "limit": 3, "columns": [
+               {"dimension": "market", "direction": "descending"}]})
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("market", "rows").collect()]
+    check(got, [("upfront", 186), ("total_market", 186),
+                ("spot", 837)])
