@@ -203,6 +203,62 @@ def test_topn_over_partial_null_dimension(spark, testindex):
         ("value", 4, 4875.669692, UNIQUES_2)])
 
 
+def test_topn_dim_extraction(spark, testindex):
+    # testTopNDimExtraction: regex '(.)' collapses markets to their
+    # first letter; ordered by rows
+    q = {"queryType": "topN", "dataSource": "testindex",
+         "granularity": "all",
+         "dimension": {"type": "extraction", "dimension": "market",
+                       "outputName": "market",
+                       "extractionFn": {"type": "regex",
+                                        "expr": "(.)"}},
+         "metric": "rows", "threshold": 4,
+         "intervals": FIRST_TO_THIRD,
+         "aggregations": [ROWS, IDX, UNIQUES]}
+    got = run(spark, testindex, q, ["market", "rows", "index"])
+    check(got, [("s", 18, 2231.876812),
+                ("t", 4, 5351.814783),
+                ("u", 4, 4875.669692)])
+
+
+def test_topn_collapsing_dim_extraction(spark, testindex):
+    # testTopNCollapsingDimExtraction: regex '.(.)' groups qualities
+    # by their SECOND letter ('e' from mezzanine/health/news/
+    # technology/entertainment, 'r' from premium/travel)
+    q = {"queryType": "topN", "dataSource": "testindex",
+         "granularity": "all",
+         "dimension": {"type": "extraction", "dimension": "quality",
+                       "outputName": "quality",
+                       "extractionFn": {"type": "regex",
+                                        "expr": ".(.)"}},
+         "metric": "index", "threshold": 2, "intervals": FULL_ON,
+         "aggregations": [ROWS, IDX],
+         "postAggregations": [ADD_RIC]}
+    got = run(spark, testindex, q,
+              ["quality", "rows", "index", "addRowsIndexConstant"])
+    check(got, [
+        ("e", 558, 246645.1204032898, 247204.1204032898),
+        ("r", 372, 222051.08961486816, 222424.08961486816)])
+
+
+def test_topn_time_extraction(spark, testindex):
+    # testTopNTimeExtraction: timeFormat 'EEEE' day-name grouping
+    q = {"queryType": "topN", "dataSource": "testindex",
+         "granularity": "all",
+         "dimension": {"type": "extraction", "dimension": "__time",
+                       "outputName": "dayOfWeek",
+                       "extractionFn": {"type": "timeFormat",
+                                        "format": "EEEE"}},
+         "metric": "index", "threshold": 2, "intervals": FULL_ON,
+         "aggregations": [ROWS, IDX],
+         "postAggregations": [ADD_RIC]}
+    got = run(spark, testindex, q,
+              ["dayOfWeek", "rows", "index", "addRowsIndexConstant"])
+    check(got, [
+        ("Wednesday", 182, 76010.28100585938, 76193.28100585938),
+        ("Thursday", 182, 75203.26300811768, 75386.26300811768)])
+
+
 def test_full_on_topn_long_column(spark, testindex):
     # testFullOnTopNLongColumn: LONG-typed dimension, ordered by
     # maxIndex
