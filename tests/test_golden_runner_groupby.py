@@ -149,6 +149,44 @@ def test_having_spec(spark, testindex):
         (dt(2011, 4, 1), "premium", 6, 4416)])
 
 
+def test_groupby_with_timezone(spark, testindex):
+    # testGroupByWithTimeZone: LA-day buckets shift the same quality
+    # matrix to 07:00 UTC bucket starts
+    q = gb([{"type": "default", "dimension": "quality",
+             "outputName": "alias"}],
+           [ROWS, {"type": "longSum", "name": "idx",
+                   "fieldName": "index"}],
+           gran={"type": "period", "period": "P1D",
+                 "timeZone": "America/Los_Angeles"},
+           intervals=["2011-03-31T00:00:00-07:00/"
+                      "2011-04-02T00:00:00-07:00"])
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("__time", "alias", "rows", "idx")
+           .orderBy("__time", "alias").collect()]
+    want = [(dt(2011, 3, 31, 7) if d.day == 1 else dt(2011, 4, 1, 7),
+             a, r, i) for d, a, r, i, _f, _dd in GROUPBY_ROWS]
+    check(got, want)
+
+
+def test_groupby_float_column(spark, testindex):
+    # testGroupByFloatColumn: FLOAT-typed dimension over the raw index
+    # values, numeric ascending
+    q = gb([{"type": "default", "dimension": "index",
+             "outputName": "index_alias", "outputType": "FLOAT"}],
+           [ROWS, {"type": "longSum", "name": "idx",
+                   "fieldName": "index"}],
+           filt={"type": "selector", "dimension": "quality",
+                 "value": "entertainment"},
+           limit_spec={"type": "default", "columns": [
+               {"dimension": "index_alias", "direction": "ascending",
+                "dimensionOrder": "numeric"}]})
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("__time", "index_alias", "rows", "idx").collect()]
+    check(got, [
+        (dt(2011, 4, 1), 158.747224, 1, 158),
+        (dt(2011, 4, 2), 166.016049, 1, 166)])
+
+
 def test_groupby_with_order_limit(spark, testindex):
     # testGroupByWithOrderLimit4: market descending, keep 3
     q = gb([{"type": "default", "dimension": "market",
