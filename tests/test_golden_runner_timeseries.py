@@ -300,6 +300,16 @@ def test_timeseries_with_filtered_agg(spark, testindex):
                        12486.361190795898)])
 
 
+def test_time_boundary(spark, testindex):
+    # TimeBoundaryQueryRunnerTest.testTimeBoundary (same fixture):
+    # min 2011-01-12, max 2011-04-15
+    q = {"queryType": "timeBoundary", "dataSource": "testindex",
+         "intervals": ["1970-01-01/2020-01-01"]}
+    row = compile_query(q, testindex).collect()[0]
+    assert row["minTime"] == dt(2011, 1, 12)
+    assert row["maxTime"] == dt(2011, 4, 15)
+
+
 def test_timeseries_with_time_column(spark, testindex):
     # testTimeseriesWithTimeColumn (sans the javascript aggregator —
     # policy exclusion): longSum over __time reads epoch millis
