@@ -300,6 +300,19 @@ def test_timeseries_with_filtered_agg(spark, testindex):
                        12486.361190795898)])
 
 
+def test_full_on_timeseries_max_min(spark, testindex):
+    # testFullOnTimeseriesMaxMin: ALL-grain double extrema
+    q = ts_query(
+        [{"type": "doubleMax", "name": "maxIndex", "fieldName": "index"},
+         {"type": "doubleMin", "name": "minIndex",
+          "fieldName": "index"}],
+        intervals=["1970-01-01/2020-01-01"], gran="all")
+    row = compile_query(q, testindex).collect()[0]
+    assert float(row["maxIndex"]) == pytest.approx(1870.061029,
+                                                   rel=1e-6)
+    assert float(row["minIndex"]) == pytest.approx(59.021022, rel=1e-6)
+
+
 def test_time_boundary(spark, testindex):
     # TimeBoundaryQueryRunnerTest.testTimeBoundary (same fixture):
     # min 2011-01-12, max 2011-04-15
