@@ -259,6 +259,30 @@ def test_topn_time_extraction(spark, testindex):
         ("Thursday", 182, 75203.26300811768, 75386.26300811768)])
 
 
+def test_full_on_topn_float_column(spark, testindex):
+    # testFullOnTopNFloatColumn: FLOAT-typed dimension over the raw
+    # index values, ordered by the index sum (1000.0 appears twice)
+    q = {"queryType": "topN", "dataSource": "testindex",
+         "granularity": "all",
+         "dimension": {"type": "default", "dimension": "index",
+                       "outputName": "index_alias",
+                       "outputType": "FLOAT"},
+         "metric": "index", "threshold": 4, "intervals": FULL_ON,
+         "aggregations": [ROWS, IDX, UNIQUES, MAXI, MINI],
+         "postAggregations": [ADD_RIC]}
+    got = run(spark, testindex, q,
+              ["index_alias", "rows", "addRowsIndexConstant",
+               "uniques", "maxIndex", "minIndex"])
+    check(got, [
+        (1000.0, 2, 2003.0, UNIQUES_2, 1000.0, 1000.0),
+        (1870.061029, 1, 1872.06103515625, UNIQUES_1,
+         1870.061029, 1870.061029),
+        (1862.737933, 1, 1864.7379150390625, UNIQUES_1,
+         1862.737933, 1862.737933),
+        (1743.92175, 1, 1745.9217529296875, UNIQUES_1,
+         1743.92175, 1743.92175)])
+
+
 def test_full_on_topn_long_column(spark, testindex):
     # testFullOnTopNLongColumn: LONG-typed dimension, ordered by
     # maxIndex
