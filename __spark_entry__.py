@@ -1399,20 +1399,24 @@ def _streaming_stateful_running_agg(spark, sf_dir):
 
 
 @_q("timeseries_zero_fill", """
-WITH b AS (
-  SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
-                                TIMESTAMP '2024-01-30',
-                                INTERVAL 1 DAY)) AS __time),
-a AS (
+WITH a AS (
   SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS __time,
          COUNT(*) AS cnt, ROUND(SUM(value), 4) AS total_value
-  FROM events WHERE value > 300 GROUP BY 1)
+  FROM events WHERE value > 300 GROUP BY 1),
+ext AS (SELECT MIN(__time) AS lo, MAX(__time) AS hi FROM a),
+b AS (
+  SELECT unnest(generate_series(greatest(TIMESTAMP '2024-01-01', lo),
+                                least(TIMESTAMP '2024-01-30', hi),
+                                INTERVAL 1 DAY)) AS __time FROM ext)
 SELECT b.__time, COALESCE(a.cnt, 0) AS cnt, a.total_value
 FROM b LEFT JOIN a USING (__time)
 """)
 def _timeseries_zero_fill(spark, sf_dir):
     # skipEmptyBuckets:false — empty buckets appear with count 0 and
-    # null sums (SQL-compatible null mode)
+    # null sums (SQL-compatible null mode); the bucket sequence clips
+    # to the data extent like the reference toolchest's segment-bounded
+    # iteration (TimeseriesQueryRunnerTest.testTimeseriesQueryZero
+    # Filling — r8 `_zero_fill` clip)
     df = compile_query({
         "queryType": "timeseries", "dataSource": "events",
         "granularity": "day",

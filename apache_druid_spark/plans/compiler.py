@@ -420,21 +420,34 @@ def _granularity_interval_sql(gran) -> str:
 
 
 def _zero_fill(out: DataFrame, q: dict, registry, gran, tz) -> DataFrame:
-    """Left-join the aggregate onto the full bucket sequence of the
-    query intervals; count aggregators fill with 0."""
+    """Left-join the aggregate onto the bucket sequence of the query
+    intervals CLIPPED to the data's observed extent — the reference's
+    toolchest iterates buckets over the intersection of the query
+    interval and the existing segments, so a 2011-04-14/2011-05-01
+    query over data ending 2011-04-15 fills 25 hour buckets, not 408
+    (TimeseriesQueryRunnerTest.testTimeseriesQueryZeroFilling). The
+    clip also bounds the sequence for eternity interval specs. Count
+    aggregators fill with 0; others stay NULL (SQL-compatible)."""
     intervals = _intervals_of(q)
     if not intervals:
         return out
+    ext = out.agg(F.min(TIME_COLUMN).alias("__lo"),
+                  F.max(TIME_COLUMN).alias("__hi"))
     step = _granularity_interval_sql(gran)
     parts = []
     for iv in intervals:
         start_s, end_s = iv.split("/")
-        start = time_floor_col(F.lit(start_s).cast("timestamp"), gran, tz)
-        stop = F.lit(end_s).cast("timestamp") - F.expr("INTERVAL 1 MILLISECOND")
-        parts.append(
-            registry.spark.range(1).select(
-                F.explode(F.sequence(start, stop, F.expr(f"INTERVAL {step}"))
-                          ).alias(TIME_COLUMN)))
+        start = F.greatest(
+            time_floor_col(F.lit(start_s).cast("timestamp"), gran, tz),
+            F.col("__lo"))
+        stop = F.least(
+            F.lit(end_s).cast("timestamp")
+            - F.expr("INTERVAL 1 MILLISECOND"),
+            F.col("__hi"))
+        seq = F.when(
+            stop >= start,
+            F.sequence(start, stop, F.expr(f"INTERVAL {step}")))
+        parts.append(ext.select(F.explode(seq).alias(TIME_COLUMN)))
     buckets = parts[0]
     for p in parts[1:]:
         buckets = buckets.unionByName(p)

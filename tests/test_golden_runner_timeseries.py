@@ -300,6 +300,25 @@ def test_timeseries_with_filtered_agg(spark, testindex):
                        12486.361190795898)])
 
 
+def test_timeseries_query_zero_filling(spark, testindex):
+    # testTimeseriesQueryZeroFilling: hour buckets over
+    # 2011-04-14/2011-05-01 clip to the data extent (2011-04-15T00) —
+    # 25 buckets, the two midnights carry 13 rows, the 23 between are
+    # rows=0 / idx NULL
+    q = ts_query(
+        [ROWS, {"type": "longSum", "name": "idx",
+                "fieldName": "index"}],
+        intervals=["2011-04-14/2011-05-01"], gran="hour",
+        filt={"type": "in", "dimension": "market",
+              "values": ["spot", "upfront", "total_market"]},
+        ctx={"skipEmptyBuckets": False})
+    rows = run(spark, testindex, q)
+    assert len(rows) == 25
+    assert rows[0] == (dt(2011, 4, 14), 13, 4907)
+    assert rows[-1] == (dt(2011, 4, 15), 13, 4717)
+    assert all(r[1] == 0 and r[2] is None for r in rows[1:-1])
+
+
 def test_full_on_timeseries_max_min(spark, testindex):
     # testFullOnTimeseriesMaxMin: ALL-grain double extrema
     q = ts_query(
