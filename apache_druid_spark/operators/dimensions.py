@@ -114,8 +114,10 @@ def compile_extraction_fn(spec: dict, col: Column, registry=None) -> Column:
     raise ValueError(f"unknown extractionFn type: {t!r}")
 
 
-def compile_dimension_spec(spec, registry=None) -> tuple[str, Column]:
-    """DimensionSpec JSON (or bare string) -> (outputName, Column)."""
+def compile_dimension_spec(spec, registry=None, df=None) -> tuple[str, Column]:
+    """DimensionSpec JSON (or bare string) -> (outputName, Column).
+    ``df`` (optional) resolves source column types so LONG-typed
+    dimension specs over timestamp columns yield epoch MILLIS."""
     if isinstance(spec, str):
         return spec, fcol(spec)
     t = spec.get("type", "default")
@@ -151,5 +153,23 @@ def compile_dimension_spec(spec, registry=None) -> tuple[str, Column]:
         raise ValueError(f"unknown dimension spec type: {t!r}")
 
     if out_type and out_type.upper() in _DRUID_OUT_TYPES:
-        c = c.cast(_DRUID_OUT_TYPES[out_type.upper()])
+        target = _DRUID_OUT_TYPES[out_type.upper()]
+        src_is_ts = False
+        if t == "default":
+            if dim == "__time":
+                src_is_ts = True
+            elif df is not None and dim in df.columns:
+                from pyspark.sql import types as _T
+                src_is_ts = isinstance(
+                    df.schema[dim].dataType,
+                    (_T.TimestampType, _T.TimestampNTZType))
+        if target == "long" and src_is_ts:
+            # Druid time values ARE epoch-millis longs, so a LONG-typed
+            # dimension over a timestamp column yields millis
+            # (GroupByQueryRunnerTest.testGroupByNumericStringsAsNumeric
+            # pins time_alias2 = 1301616000000); Spark's
+            # timestamp->long cast would yield seconds
+            c = F.unix_millis(fcol(dim))
+        else:
+            c = c.cast(target)
     return out_name, c

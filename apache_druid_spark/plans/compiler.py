@@ -473,7 +473,7 @@ def compile_topn(q: dict, registry: DatasourceRegistry) -> DataFrame:
     is Druid's per-segment top-max(1000,K) + broker merge without the
     approximation."""
     df = _base_frame(q, registry)
-    dim_name, dim_col = compile_dimension_spec(q["dimension"], registry)
+    dim_name, dim_col = compile_dimension_spec(q["dimension"], registry, df)
     df, dims = _explode_multivalue_dims(df, [(dim_name, dim_col)])
     aggs = compile_aggregations(q.get("aggregations", []), df, registry)
     threshold = int(q.get("threshold", 1000))
@@ -558,7 +558,7 @@ def compile_groupby(q: dict, registry: DatasourceRegistry) -> DataFrame:
     two-level historical/broker merge is Spark's partial/final
     HashAggregate; subtotalsSpec compiles to grouping sets."""
     df = _base_frame(q, registry)
-    dim_specs = [compile_dimension_spec(d, registry)
+    dim_specs = [compile_dimension_spec(d, registry, df)
                  for d in q.get("dimensions", [])]
     df, dim_names = _explode_multivalue_dims(df, dim_specs)
     aggs = compile_aggregations(q.get("aggregations", []), df, registry)

@@ -187,6 +187,44 @@ def test_groupby_float_column(spark, testindex):
         (dt(2011, 4, 2), 166.016049, 1, 166)])
 
 
+def test_groupby_numeric_strings_as_numeric(spark, testindex):
+    # testGroupByNumericStringsAsNumeric: a nested groupBy re-types the
+    # inner aliases — LONG over the grouped __time alias yields epoch
+    # MILLIS, the numeric-string aliases cast to long/float
+    inner = gb([{"type": "default", "dimension": "qualityLong",
+                 "outputName": "ql_alias"},
+                {"type": "default", "dimension": "qualityFloat",
+                 "outputName": "qf_alias"},
+                {"type": "default", "dimension": "__time",
+                 "outputName": "time_alias"}],
+               [ROWS, {"type": "longSum", "name": "idx",
+                       "fieldName": "index"}],
+               filt={"type": "selector", "dimension": "quality",
+                     "value": "entertainment"})
+    outer = {"queryType": "groupBy",
+             "dataSource": {"type": "query", "query": inner},
+             "granularity": "all", "intervals": FIRST_TO_THIRD,
+             "dimensions": [
+                 {"type": "default", "dimension": "time_alias",
+                  "outputName": "time_alias2", "outputType": "LONG"},
+                 {"type": "default", "dimension": "ql_alias",
+                  "outputName": "ql_alias_long", "outputType": "LONG"},
+                 {"type": "default", "dimension": "qf_alias",
+                  "outputName": "qf_alias_float",
+                  "outputType": "FLOAT"},
+                 {"type": "default", "dimension": "ql_alias",
+                  "outputName": "ql_alias_float",
+                  "outputType": "FLOAT"}],
+             "aggregations": [{"type": "count", "name": "count"}]}
+    got = [tuple(r) for r in compile_query(outer, testindex)
+           .select("time_alias2", "ql_alias_long", "qf_alias_float",
+                   "ql_alias_float", "count")
+           .orderBy("time_alias2").collect()]
+    check(got, [
+        (1301616000000, 1200, 12000.0, 1200.0, 1),
+        (1301702400000, 1200, 12000.0, 1200.0, 1)])
+
+
 def test_groupby_with_order_limit(spark, testindex):
     # testGroupByWithOrderLimit4: market descending, keep 3
     q = gb([{"type": "default", "dimension": "market",
