@@ -259,6 +259,43 @@ def test_topn_time_extraction(spark, testindex):
         ("Thursday", 182, 75203.26300811768, 75386.26300811768)])
 
 
+def test_topn_order_by_long_numeric_with_nulls(spark, testindex):
+    # test_topN_orderByLongNumericColumnWithNulls_returnsDescending
+    # Results: numeric metric descending puts NULLs LAST; ties break
+    # ascending on the dimension
+    q = {"queryType": "topN", "dataSource": "testindex",
+         "granularity": "all",
+         "dimension": {"type": "default", "dimension": "index",
+                       "outputName": "index_alias",
+                       "outputType": "LONG"},
+         "metric": {"type": "numeric", "metric": "longNumericNull"},
+         "threshold": 10000, "intervals": ["2011-04-02/2011-04-03"],
+         "aggregations": [{"type": "longSum", "name": "longNumericNull",
+                           "fieldName": "longNumericNull"}]}
+    got = run(spark, testindex, q, ["index_alias", "longNumericNull"])
+    assert got == [
+        (97, 80), (135, 70), (1049, 70), (1321, 70), (110, 50),
+        (1144, 50), (1193, 50), (113, 40), (112, 20), (147, 10),
+        (114, None), (126, None), (166, None)]
+
+
+def test_aggregate_on_long_numeric_null(spark, testindex):
+    # testAggregateOnLongNumericNull: a numeric DIMENSION ordering puts
+    # the NULL group FIRST
+    q = {"queryType": "topN", "dataSource": "testindex",
+         "granularity": "all",
+         "dimension": {"type": "default",
+                       "dimension": "longNumericNull",
+                       "outputName": "dim", "outputType": "LONG"},
+         "metric": {"type": "dimension", "ordering": "numeric"},
+         "threshold": 10000, "intervals": FULL_ON,
+         "aggregations": [{"type": "count", "name": "count"}]}
+    got = run(spark, testindex, q, ["dim", "count"])
+    assert got == [
+        (None, 279), (10, 93), (20, 93), (40, 93), (50, 279),
+        (70, 279), (80, 93)]
+
+
 def test_full_on_topn_float_column(spark, testindex):
     # testFullOnTopNFloatColumn: FLOAT-typed dimension over the raw
     # index values, ordered by the index sum (1000.0 appears twice)
