@@ -259,6 +259,31 @@ def test_topn_time_extraction(spark, testindex):
         ("Thursday", 182, 75203.26300811768, 75386.26300811768)])
 
 
+def test_full_on_topn_long_time_column(spark, testindex):
+    # testFullOnTopNLongTimeColumn: __time as a LONG dimension groups
+    # by epoch MILLIS (the days with the largest maxIndex lead)
+    q = {"queryType": "topN", "dataSource": "testindex",
+         "granularity": "all",
+         "dimension": {"type": "default", "dimension": "__time",
+                       "outputName": "time_alias",
+                       "outputType": "LONG"},
+         "metric": "maxIndex", "threshold": 4, "intervals": FULL_ON,
+         "aggregations": [ROWS, IDX, UNIQUES, MAXI, MINI],
+         "postAggregations": [ADD_RIC]}
+    got = run(spark, testindex, q,
+              ["time_alias", "rows", "index", "addRowsIndexConstant",
+               "uniques", "maxIndex", "minIndex"])
+    check(got, [
+        (1296345600000, 13, 5497.331253051758, 5511.331253051758,
+         UNIQUES_9, 1870.061029, 97.02391052246094),
+        (1298678400000, 13, 6541.463027954102, 6555.463027954102,
+         UNIQUES_9, 1862.737933, 83.099365234375),
+        (1301529600000, 13, 6814.467971801758, 6828.467971801758,
+         UNIQUES_9, 1734.27490234375, 93.39083862304688),
+        (1294876800000, 13, 6077.949111938477, 6091.949111938477,
+         UNIQUES_9, 1689.0128173828125, 94.87471008300781)])
+
+
 def test_topn_order_by_long_numeric_with_nulls(spark, testindex):
     # test_topN_orderByLongNumericColumnWithNulls_returnsDescending
     # Results: numeric metric descending puts NULLs LAST; ties break
