@@ -22,6 +22,8 @@ implemented with F.exists so it stays in codegen.
 
 from __future__ import annotations
 
+import re
+
 from datetime import datetime, timezone
 
 from pyspark.sql import Column, DataFrame
@@ -63,10 +65,19 @@ def _dim_predicate(df: DataFrame | None, dim: str, pred, extraction_fn=None) -> 
     return full(fcol(dim))
 
 
+def _pad_partial_iso(s: str) -> str:
+    """Druid intervals accept partial ISO dates ('2012', '2011-04' —
+    Intervals.of via Joda): pad to a full date."""
+    m = re.fullmatch(r"(\d{4})(?:-(\d{2}))?", s.strip())
+    if m:
+        return f"{m.group(1)}-{m.group(2) or '01'}-01"
+    return s
+
+
 def _iso_interval_bounds(interval: str) -> tuple[Column, Column]:
     start_s, end_s = interval.split("/")
     def parse(s: str) -> Column:
-        s = s.replace("Z", "+00:00")
+        s = _pad_partial_iso(s).replace("Z", "+00:00")
         dt = datetime.fromisoformat(s)
         if dt.tzinfo is None:
             dt = dt.replace(tzinfo=timezone.utc)

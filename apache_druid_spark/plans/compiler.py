@@ -255,9 +255,11 @@ def _prune_segments(df: DataFrame, datasource, intervals: list[str],
     preds = []
     for iv in intervals:
         try:
+            from apache_druid_spark.operators.filters import \
+                _pad_partial_iso
             start_s, end_s = iv.split("/")
             parse = lambda s: datetime.fromisoformat(
-                s.replace("Z", "+00:00"))
+                _pad_partial_iso(s).replace("Z", "+00:00"))
             s, e = parse(start_s), parse(end_s)
             norm = lambda d: (d.astimezone(_tz.utc).replace(tzinfo=None)
                               if d.tzinfo else d)

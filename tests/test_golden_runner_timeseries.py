@@ -300,6 +300,23 @@ def test_timeseries_with_filtered_agg(spark, testindex):
                        12486.361190795898)])
 
 
+def test_timeseries_gran_not_aligned_with_rollup(spark, testindex):
+    # testTimeseriesQueryGranularityNotAlignedWithRollupGranularity:
+    # an hour granularity anchored at 00:01 buckets the 2011-04-15
+    # midnight rows into 2011-04-14T23:01
+    q = {"queryType": "timeseries", "dataSource": "testindex",
+         "granularity": {"type": "period", "period": "PT1H",
+                         "origin": "1970-01-01T00:01:00.000Z",
+                         "timeZone": "UTC"},
+         "intervals": ["2011-04-15T00:00:00.000Z/2012"],
+         "filter": {"type": "in", "dimension": "market",
+                    "values": ["spot", "upfront", "total_market"]},
+         "aggregations": [ROWS, {"type": "longSum", "name": "idx",
+                                 "fieldName": "index"}]}
+    got = run(spark, testindex, q)
+    assert got == [(dt(2011, 4, 14, 23, 1), 13, 4717)]
+
+
 def test_timeseries_query_zero_filling(spark, testindex):
     # testTimeseriesQueryZeroFilling: hour buckets over
     # 2011-04-14/2011-05-01 clip to the data extent (2011-04-15T00) —
