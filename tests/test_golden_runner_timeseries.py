@@ -368,3 +368,12 @@ def test_timeseries_with_time_column(spark, testindex):
         gran="all")
     got = run(spark, testindex, q, order=None)
     assert [(r[1], r[2]) for r in got] == [(26, 33843139200000)]
+
+
+def test_timeseries_beyond_time_range_of_data(spark, testindex):
+    # testTimeseriesQueryBeyondTimeRangeOfData: empty result, not
+    # zero-filled buckets
+    q = ts_query([ROWS, {"type": "longSum", "name": "idx",
+                         "fieldName": "index"}],
+                 intervals=["2015-01-01/2015-01-10"], gran="day")
+    assert run(spark, testindex, q) == []

@@ -368,3 +368,17 @@ def test_full_on_topn_long_column(spark, testindex):
          UNIQUES_1, 277.273533, 71.315931),
         (1200, 93, 12086.472791, 12180.472791,
          UNIQUES_1, 193.787574, 84.710523)])
+
+
+def test_topn_on_missing_column(spark, testindex):
+    # testTopNOnMissingColumn: a dimension absent from the segments is
+    # the all-null STRING column — one null bucket over every row
+    q = {"queryType": "topN", "dataSource": "testindex",
+         "granularity": "all",
+         "dimension": {"type": "default",
+                       "dimension": "nonexistentColumn",
+                       "outputName": "alias"},
+         "metric": "rows", "threshold": 4, "intervals": FULL_ON,
+         "aggregations": [{"type": "count", "name": "rows"}]}
+    got = run(spark, testindex, q, ["alias", "rows"])
+    assert got == [(None, 1209)]
