@@ -49,7 +49,15 @@ def _sort_key(col: Column, comparator: str) -> Column:
 
 
 def apply_limit_spec(df: DataFrame, spec: dict | None,
-                     default_order: list[Column] | None = None) -> DataFrame:
+                     default_order: list[Column] | None = None,
+                     dim_names: list[str] | None = None) -> DataFrame:
+    """``dim_names`` (the query's grouping dimensions) break metric
+    ties in natural dimension order — DefaultLimitSpec appends the
+    remaining grouping columns to its comparator chain, so equal
+    metric values order by dimension
+    (GroupByQueryRunnerTest.testGroupByWithOrderOnHyperUnique: upfront
+    and total_market tie on uniques and come back
+    dimension-ascending)."""
     if spec is None:
         return df
     t = spec.get("type", "default")
@@ -59,17 +67,23 @@ def apply_limit_spec(df: DataFrame, spec: dict | None,
         raise ValueError(f"unknown limitSpec type: {t!r}")
 
     order_cols = []
+    ordered_dims = set()
     for oc in spec.get("columns", []):
         if isinstance(oc, str):
             order_cols.append(fcol(oc).asc())
+            ordered_dims.add(oc)
             continue
         dim = oc["dimension"]
+        ordered_dims.add(dim)
         direction = oc.get("direction", "ascending").lower()
         comparator = oc.get("dimensionOrder", "lexicographic")
         key = _sort_key(fcol(dim), comparator)
         order_cols.append(key.desc() if direction.startswith("desc") else key.asc())
 
     if order_cols:
+        for d in dim_names or []:
+            if d not in ordered_dims:
+                order_cols.append(fcol(d).asc())
         df = df.orderBy(*order_cols)
     elif default_order:
         df = df.orderBy(*default_order)

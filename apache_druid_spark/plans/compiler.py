@@ -605,7 +605,8 @@ def compile_groupby(q: dict, registry: DatasourceRegistry) -> DataFrame:
     if having is not None:
         out = out.filter(compile_having(having, out, registry))
     default_order = ([F.col(TIME_COLUMN).asc()] if bucket is not None else None)
-    out = apply_limit_spec(out, q.get("limitSpec"), default_order)
+    out = apply_limit_spec(out, q.get("limitSpec"), default_order,
+                           dim_names=list(group_names))
     if q.get("limitSpec") is None and bucket is not None:
         out = out.orderBy(TIME_COLUMN)
     return out

@@ -187,6 +187,28 @@ def test_groupby_float_column(spark, testindex):
         (dt(2011, 4, 2), 166.016049, 1, 166)])
 
 
+def test_groupby_with_order_on_hyperunique(spark, testindex):
+    # testGroupByWithOrderOnHyperUnique: order on the sketch estimate
+    # descending, with a hyperUniqueCardinality finalizing post-agg
+    q = gb([{"type": "default", "dimension": "market",
+             "outputName": "market"}],
+           [{"type": "hyperUnique", "name": "uniques",
+             "fieldName": "quality_uniques"}],
+           gran="all", intervals=FULL_ON,
+           limit_spec={"type": "default", "limit": 3, "columns": [
+               {"dimension": "uniques", "direction": "descending"}]})
+    q["postAggregations"] = [
+        {"type": "hyperUniqueCardinality", "name": "hyperUniqueFinal",
+         "fieldName": "uniques"}]
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("market", "uniques", "hyperUniqueFinal").collect()]
+    assert [g[0] for g in got] == ["spot", "total_market", "upfront"]
+    for g, want in zip(got, (9.019833517963864, 2.000977198748901,
+                             2.000977198748901)):
+        assert float(g[1]) == pytest.approx(want, abs=0.05)
+        assert float(g[2]) == pytest.approx(want, abs=0.05)
+
+
 def test_groupby_numeric_strings_as_numeric(spark, testindex):
     # testGroupByNumericStringsAsNumeric: a nested groupBy re-types the
     # inner aliases — LONG over the grouped __time alias yields epoch
