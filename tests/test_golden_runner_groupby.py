@@ -258,3 +258,22 @@ def test_groupby_with_order_limit(spark, testindex):
            .select("market", "rows").collect()]
     check(got, [("upfront", 186), ("total_market", 186),
                 ("spot", 837)])
+
+
+def test_groupby_with_having_on_hyperunique(spark, testindex):
+    # testGroupByWithHavingOnHyperUnique: having compares against the
+    # sketch ESTIMATE (> 8 keeps only spot's nine qualities)
+    q = gb([{"type": "default", "dimension": "market",
+             "outputName": "market"}],
+           [{"type": "hyperUnique", "name": "uniques",
+             "fieldName": "quality_uniques"}],
+           gran="all", intervals=FULL_ON,
+           having={"type": "greaterThan", "aggregation": "uniques",
+                   "value": 8},
+           limit_spec={"type": "default", "limit": 10, "columns": [
+               {"dimension": "uniques", "direction": "descending"}]})
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("market", "uniques").collect()]
+    assert [g[0] for g in got] == ["spot"]
+    assert float(got[0][1]) == pytest.approx(9.019833517963864,
+                                             abs=0.05)

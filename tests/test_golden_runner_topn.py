@@ -382,3 +382,18 @@ def test_topn_on_missing_column(spark, testindex):
          "aggregations": [{"type": "count", "name": "rows"}]}
     got = run(spark, testindex, q, ["alias", "rows"])
     assert got == [(None, 1209)]
+
+
+def test_topn_query_by_complex_metric(spark, testindex):
+    # testTopNQueryByComplexMetric: ordered by a cardinality aggregate
+    # over the quality dimension
+    q = topn(metric={"type": "numeric", "metric": "numVals"},
+             threshold=10,
+             aggs=[{"type": "cardinality", "name": "numVals",
+                    "fields": ["quality"], "byRow": False}])
+    got = run(spark, testindex, q, ["market", "numVals"])
+    assert [g[0] for g in got] == ["spot", "total_market", "upfront"]
+    assert float(got[0][1]) == pytest.approx(9.019833517963864,
+                                             abs=0.05)
+    assert float(got[1][1]) == pytest.approx(2.000977198748901,
+                                             abs=0.05)
