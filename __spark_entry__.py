@@ -1403,10 +1403,14 @@ WITH a AS (
   SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS __time,
          COUNT(*) AS cnt, ROUND(SUM(value), 4) AS total_value
   FROM events WHERE value > 300 GROUP BY 1),
-ext AS (SELECT MIN(__time) AS lo, MAX(__time) AS hi FROM a),
+ext AS (
+  SELECT CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS lo,
+         CAST(MAX(ts) AS TIMESTAMP) AS hi
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'),
 b AS (
   SELECT unnest(generate_series(greatest(TIMESTAMP '2024-01-01', lo),
-                                least(TIMESTAMP '2024-01-30', hi),
+                                least(TIMESTAMP '2024-01-30 23:59:59', hi),
                                 INTERVAL 1 DAY)) AS __time FROM ext)
 SELECT b.__time, COALESCE(a.cnt, 0) AS cnt, a.total_value
 FROM b LEFT JOIN a USING (__time)
@@ -1414,9 +1418,10 @@ FROM b LEFT JOIN a USING (__time)
 def _timeseries_zero_fill(spark, sf_dir):
     # skipEmptyBuckets:false — empty buckets appear with count 0 and
     # null sums (SQL-compatible null mode); the bucket sequence clips
-    # to the data extent like the reference toolchest's segment-bounded
-    # iteration (TimeseriesQueryRunnerTest.testTimeseriesQueryZero
-    # Filling — r8 `_zero_fill` clip)
+    # to the PRE-FILTER data extent within the query interval, like the
+    # reference toolchest's segment-bounded iteration
+    # (TimeseriesQueryRunnerTest.testTimeseriesQueryZeroFilling and
+    # testTimeseriesWithFilterOnNonExistentDimension — r9 `_data_extent`)
     df = compile_query({
         "queryType": "timeseries", "dataSource": "events",
         "granularity": "day",

@@ -48,6 +48,10 @@ class DatasourceRegistry:
     # (sql/dialect.py) refreshes when a name is re-registered with a
     # new DataFrame (e.g. a second INSERT into the same target)
     epoch: int = 0
+    # (name, epoch, intervals) -> (min __time, max __time) — the broker's
+    # timeline-extent lookup, computed once per datasource version by a
+    # narrow column-pruned min/max scan (plans/compiler._data_extent)
+    extent_cache: dict = field(default_factory=dict)
 
     # -- registration ---------------------------------------------------
     def register(

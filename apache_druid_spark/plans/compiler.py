@@ -421,35 +421,75 @@ def _granularity_interval_sql(gran) -> str:
     return f"{millis} MILLISECOND"
 
 
+def _data_extent(q: dict, registry) -> tuple:
+    """(min, max) raw ``__time`` of the interval-pruned datasource,
+    BEFORE query filters are applied — the reference's toolchest
+    iterates buckets over query-interval ∩ segment extent regardless
+    of the query filter (TimeseriesQueryRunnerTest.
+    testTimeseriesWithFilterOnNonExistentDimension zero-fills buckets
+    even when the filter matches no rows).
+
+    Runs eagerly as a narrow column-pruned min/max scan — the broker's
+    timeline lookup as a metadata-sized job — and caches per
+    (datasource, registry epoch, intervals) so repeated timeseries over
+    the same table never re-scan. Keeping this OUT of the result plan
+    is what keeps the zero-filled timeseries at exactly one FileScan
+    of the fact table (r8 regression: referencing the aggregate twice
+    doubled the scan)."""
+    intervals = tuple(_intervals_of(q))
+    name = q.get("dataSource")
+    key = None
+    if isinstance(name, str):
+        key = (name, registry.epoch, intervals)
+        if key in registry.extent_cache:
+            return registry.extent_cache[key]
+    df = resolve_datasource(q["dataSource"], registry)
+    if intervals:
+        df = _prune_segments(df, q["dataSource"], list(intervals), registry)
+        df = df.filter(interval_predicate(F.col(TIME_COLUMN),
+                                          list(intervals)))
+    row = df.agg(F.min(TIME_COLUMN), F.max(TIME_COLUMN)).head()
+    ext = (row[0], row[1])
+    if key is not None:
+        registry.extent_cache[key] = ext
+    return ext
+
+
 def _zero_fill(out: DataFrame, q: dict, registry, gran, tz) -> DataFrame:
     """Left-join the aggregate onto the bucket sequence of the query
-    intervals CLIPPED to the data's observed extent — the reference's
-    toolchest iterates buckets over the intersection of the query
-    interval and the existing segments, so a 2011-04-14/2011-05-01
-    query over data ending 2011-04-15 fills 25 hour buckets, not 408
+    intervals CLIPPED to the data's extent — the reference's toolchest
+    iterates buckets over the intersection of the query interval and
+    the existing segments, so a 2011-04-14/2011-05-01 query over data
+    ending 2011-04-15 fills 25 hour buckets, not 408
     (TimeseriesQueryRunnerTest.testTimeseriesQueryZeroFilling). The
     clip also bounds the sequence for eternity interval specs. Count
-    aggregators fill with 0; others stay NULL (SQL-compatible)."""
+    aggregators fill with 0; others stay NULL (SQL-compatible).
+
+    The extent comes from _data_extent (pre-filter, driver-cached
+    literals), so the bucket sequence is built over spark.range(1) —
+    zero extra FileScans in the result plan."""
     intervals = _intervals_of(q)
     if not intervals:
         return out
-    ext = out.agg(F.min(TIME_COLUMN).alias("__lo"),
-                  F.max(TIME_COLUMN).alias("__hi"))
+    lo, hi = _data_extent(q, registry)
+    if lo is None:
+        return out  # no segments intersect the interval -> no buckets
     step = _granularity_interval_sql(gran)
+    one = out.sparkSession.range(1)
     parts = []
     for iv in intervals:
         start_s, end_s = iv.split("/")
-        start = F.greatest(
-            time_floor_col(F.lit(start_s).cast("timestamp"), gran, tz),
-            F.col("__lo"))
+        start = time_floor_col(
+            F.greatest(F.lit(start_s).cast("timestamp"), F.lit(lo)),
+            gran, tz)
         stop = F.least(
             F.lit(end_s).cast("timestamp")
             - F.expr("INTERVAL 1 MILLISECOND"),
-            F.col("__hi"))
+            F.lit(hi))
         seq = F.when(
             stop >= start,
             F.sequence(start, stop, F.expr(f"INTERVAL {step}")))
-        parts.append(ext.select(F.explode(seq).alias(TIME_COLUMN)))
+        parts.append(one.select(F.explode(seq).alias(TIME_COLUMN)))
     buckets = parts[0]
     for p in parts[1:]:
         buckets = buckets.unionByName(p)
@@ -465,6 +505,14 @@ def _zero_fill(out: DataFrame, q: dict, registry, gran, tz) -> DataFrame:
                    if a.get("type") == "count"]
     for n in count_names:
         filled = filled.withColumn(n, F.coalesce(F.col(n), F.lit(0)))
+    # empty-bucket hyperUnique/cardinality estimate is 0.0 (an empty
+    # HyperLogLogCollector), not NULL — testTimeseriesWithFilterOn
+    # NonExistentDimension pins uniques=0.0 on zero-filled buckets
+    sketch_names = [a.get("name")
+                    for a in q.get("aggregations", []) or []
+                    if a.get("type") in ("hyperUnique", "cardinality")]
+    for n in sketch_names:
+        filled = filled.withColumn(n, F.coalesce(F.col(n), F.lit(0.0)))
     return filled
 
 

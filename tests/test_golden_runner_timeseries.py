@@ -370,6 +370,38 @@ def test_timeseries_with_time_column(spark, testindex):
     assert [(r[1], r[2]) for r in got] == [(26, 33843139200000)]
 
 
+def test_timeseries_filter_on_nonexistent_dimension_zero_fill(
+        spark, testindex):
+    # testTimeseriesWithFilterOnNonExistentDimension
+    # (TimeseriesQueryRunnerTest.java:1644): bobby=billy matches no
+    # rows, but zero-filling iterates buckets over query-interval ∩
+    # data extent REGARDLESS of the filter — 2 day buckets with
+    # rows=0, index NULL (SQL null mode), uniques 0.0,
+    # addRowsIndexConstant NULL (null + 0 + 1)
+    q = ts_query(
+        [ROWS, IDX_DOUBLE, UNIQUES],
+        filt={"type": "selector", "dimension": "bobby",
+              "value": "billy"},
+        postaggs=[ADD_RIC],
+        ctx={"skipEmptyBuckets": False})
+    got = run(spark, testindex, q)
+    assert got == [
+        (dt(2011, 4, 1), 0, None, 0.0, None),
+        (dt(2011, 4, 2), 0, None, 0.0, None)]
+
+
+def test_timeseries_filter_on_nonexistent_dimension_skip_buckets(
+        spark, testindex):
+    # testTimeseriesWithFilterOnNonExistentDimensionSkipBuckets:
+    # same query with skipEmptyBuckets -> empty result
+    q = ts_query(
+        [ROWS, IDX_DOUBLE],
+        filt={"type": "selector", "dimension": "bobby",
+              "value": "billy"},
+        ctx={"skipEmptyBuckets": True})
+    assert run(spark, testindex, q) == []
+
+
 def test_timeseries_beyond_time_range_of_data(spark, testindex):
     # testTimeseriesQueryBeyondTimeRangeOfData: empty result, not
     # zero-filled buckets

@@ -49,6 +49,28 @@ def test_interval_filter_pushed_to_scan(reg):
     assert "LessThan(l_shipdate" in plan
 
 
+def test_zero_filled_timeseries_scans_fact_table_once(reg):
+    """Zero-filling must NOT reference the aggregate subtree twice:
+    the r8 extent clip built the bucket sequence from the aggregate's
+    own min/max, doubling the fact-table scan (two FileScans, no
+    ReusedExchange, +68% on timeseries_month_revenue). The extent now
+    comes from a driver-cached metadata pass, so the result plan has
+    exactly one parquet scan of the fact table."""
+    df = compile_query({
+        "queryType": "timeseries", "dataSource": "lineitem",
+        "granularity": "month", "intervals": ["1994-01-01/1996-01-01"],
+        "aggregations": [{"type": "count", "name": "rows"},
+                         {"type": "doubleSum", "name": "rev",
+                          "fieldName": "l_extendedprice"}],
+        "context": {"skipEmptyBuckets": False},
+    }, reg)
+    plan = plan_of(df)
+    import re
+
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE)
+    assert len(scans) == 1, plan
+
+
 def test_column_pruning_reaches_scan(reg):
     df = compile_query({
         "queryType": "groupBy", "dataSource": "lineitem",
