@@ -4586,15 +4586,54 @@ _R08_WINDOW = (
 )
 
 
+# Round-9 gate window (VERDICT r8 task #2): rotate onto the entries
+# with the OLDEST driver evidence — all 23 whose latest green is r4
+# (DSIR, edit-distance, decontamination, packing, multimodal, theta
+# set-ops, lookup-schema join, parameterized SQL, ...) plus the 27
+# oldest of the 50 r5-evidence entries (ANN trio, bound-filter
+# orderings, rollup/compaction/publish lifecycle, streaming pair,
+# spatial, HLL rollup, zero-fill — the last also re-verifies this
+# round's extent-semantics change). New never-checked r9 entries are
+# prepended. The 23 r5 entries left over rotate in next round.
+_R09_WINDOW = (
+    # new r9 entries — never driver-checked, verify first
+    # r4-evidence cohort (all 23)
+    'asof_join_events', 'corpus_top_ngrams', 'decontaminate_report',
+    'dedup_components_star', 'dedup_edit_distance',
+    'dedup_substring_overlap', 'deterministic_shuffle_order',
+    'dsir_importance_weights', 'expression_cartesian',
+    'mixture_weights_lang', 'multimodal_features',
+    'multimodal_frame_sample', 'multimodal_resize',
+    'pack_sequences_budget', 'scrub_common_lines',
+    'sql_array_agg_sorted', 'sql_lookup_schema_join', 'sql_parameterized',
+    'sql_scalar_shims2', 'sql_scalar_shims3', 'sql_theta_set_ops',
+    'text_repetition', 'tfidf_top_terms',
+    # oldest r5-evidence entries (27 of 50)
+    'similarity_cosine_topk', 'similarity_ivf_topk', 'similarity_lsh_topk',
+    'dedup_embedding_cosine', 'dedup_simhash', 'text_fingerprint',
+    'text_language_id', 'text_token_stats', 'filter_bound_lexicographic',
+    'bound_version_comparator', 'rollup_reaggregate',
+    'compaction_lifecycle', 'lifecycle_publish_query',
+    'streaming_rollup_hourly', 'streaming_stateful_running_agg',
+    'timeseries_zero_fill', 'ingest_inline_csv', 'sql_insert_extern',
+    'segment_pruned_timeseries', 'hll_sketch_rollup_merge',
+    'hll_user_cardinality', 'spatial_rectangular', 'spatial_polygon',
+    'mv_filter_any_match', 'grouping_id_subtotals',
+    'query_datasource_nested', 'join_lookup_datasource',
+)
+
+
 def _entry_order(name: str) -> tuple:
-    if name in _R08_WINDOW:
-        return (0, _R08_WINDOW.index(name))
-    # r5-evidence entries next (oldest remaining); the 50 entries
-    # re-verified in the r7 window go last.
+    if name in _R09_WINDOW:
+        return (0, _R09_WINDOW.index(name))
+    # remaining r5-evidence entries next (oldest remaining), then the
+    # r7 and r8 windows (freshest evidence) last.
     if name in _R05_WINDOW:
         return (1, _R05_WINDOW.index(name))
     if name in _R06_WINDOW:
         return (2, _R06_WINDOW.index(name))
+    if name in _R08_WINDOW:
+        return (4, _R08_WINDOW.index(name))
     return (3, 0)  # r7-green; stable within group (dict keeps file order)
 
 
