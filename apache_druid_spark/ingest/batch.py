@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types
 
 from apache_druid_spark.model.datasource import TIME_COLUMN
 from apache_druid_spark.model.granularity import time_floor_col
@@ -402,6 +403,19 @@ def _hll_lgk(m: dict) -> int:
     return int(m.get("lgK", _DEFAULT_LGK))
 
 
+def _hll_input(col: Column) -> Column:
+    """Sketch-build input encoding: Druid's HyperLogLogCollector hashes
+    the EMPTY STRING as a real value (CalciteQueryTest.testCountDistinct
+    pins COUNT(DISTINCT unique_dim1)=6 over foo, whose dim1 includes
+    ''), but DataSketches treats an empty string as a no-op update.
+    Appending a NUL byte is a bijection on string values — distinct
+    counts are unchanged — and makes '' a countable 1-byte value.
+    NULLs stay NULL (concat propagates) and are skipped, matching the
+    collector. All sketches this engine builds use this encoding, so
+    build and merge stay consistent."""
+    return F.concat(col.cast("string"), F.lit("\x00"))
+
+
 def rollup(df: DataFrame, dimensions: list[str], metrics: list[dict],
            query_granularity="hour", registry=None) -> DataFrame:
     """Ingest-time rollup: rows with equal (floor(__time), dims) are
@@ -419,8 +433,19 @@ def rollup(df: DataFrame, dimensions: list[str], metrics: list[dict],
     aggs = []
     for m in metrics:
         if m["type"] in _HLL_SKETCH_TYPES:
-            aggs.append(F.hll_sketch_agg(
-                F.col(m["fieldName"]), _hll_lgk(m)).alias(m["name"]))
+            # input already sketch state (HLLSketchMerge semantics, or
+            # a BinaryType column from a prior rollup) -> union it;
+            # raw values -> build with the NUL-sentinel encoding
+            fld = m["fieldName"]
+            is_state = m["type"] == "HLLSketchMerge" or (
+                fld in bucketed.columns
+                and isinstance(bucketed.schema[fld].dataType,
+                               types.BinaryType))
+            if is_state:
+                aggs.append(F.hll_union_agg(F.col(fld)).alias(m["name"]))
+            else:
+                aggs.append(F.hll_sketch_agg(
+                    _hll_input(F.col(fld)), _hll_lgk(m)).alias(m["name"]))
             continue
         if m["type"] in _THETA_SKETCH_TYPES:
             aggs.append(F.theta_sketch_agg(

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from apache_druid_spark.model.datasource import TIME_COLUMN
 from apache_druid_spark.operators.expressions import compile_expression
@@ -87,8 +88,19 @@ def compile_aggregator(spec: dict, df=None, registry=None) -> Column:
         return F.any_value(_field(spec, registry).cast(_ANY[t]),
                            ignoreNulls=True).alias(name)
     if t in ("hyperUnique", "HLLSketchBuild", "HLLSketchMerge"):
-        # rsd 0.02 ~ Druid's 2048-bucket HLL (~2.3% std error,
-        # hll/src/main/java/org/apache/druid/hll/HyperLogLogCollector.java)
+        # Over a stored COMPLEX sketch column (BinaryType — ingest-time
+        # hyperUnique state written by ingest.batch.rollup via
+        # hll_sketch_agg; HyperUniquesAggregatorFactory.java factorizes
+        # a merging aggregator when the input column is COMPLEX):
+        # union the states and finalize to the double estimate.
+        field = spec.get("fieldName")
+        if (df is not None and isinstance(field, str)
+                and field in df.columns
+                and isinstance(df.schema[field].dataType, T.BinaryType)):
+            return F.hll_sketch_estimate(
+                F.hll_union_agg(fcol(field))).alias(name)
+        # Over raw values: rsd 0.02 ~ Druid's 2048-bucket HLL (~2.3%
+        # std error, hll/.../HyperLogLogCollector.java)
         return F.approx_count_distinct(
             _field(spec, registry), 0.02).alias(name)
     if t == "cardinality":

@@ -3010,9 +3010,15 @@ def _alias_mv_map(text: str, mv_cols, mv_by_table) -> dict:
     def _outside(i):
         return not any(a <= i <= b for a, b in spans)
 
+    # the alias group must NOT consume a keyword: `SELECT cnt, dim2
+    # FROM foo ...` would otherwise match `, dim2 FROM` (alias=FROM),
+    # swallowing the FROM so `foo` never registers and every qualified
+    # MV reference silently loses MV semantics (r9 fix — the
+    # AllColumns lookup-join goldens hit this)
+    kw = "|".join(sorted(_MV_FROM_KEYWORDS))
     for m in re.finditer(
-            r"(?:\b(?:FROM|JOIN)\s+|,\s*)([A-Za-z_]\w*)"
-            r"(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?",
+            rf"(?:\b(?:FROM|JOIN)\s+|,\s*)([A-Za-z_]\w*)"
+            rf"(?:\s+(?:AS\s+)?(?!(?:{kw})\b)([A-Za-z_]\w*))?",
             text, re.IGNORECASE):
         if not _outside(m.start()):
             continue
@@ -3020,8 +3026,6 @@ def _alias_mv_map(text: str, mv_cols, mv_by_table) -> dict:
         if tbl not in tbl_lower:
             continue  # comma hits select lists too: tables only
         alias = (m.group(2) or "").lower()
-        if alias in _MV_FROM_KEYWORDS:
-            alias = ""
         out[alias or tbl] = tbl_lower[tbl]
     for m in re.finditer(r"\b(?:FROM|JOIN)\s*\(", text, re.IGNORECASE):
         if not _outside(m.start()):
@@ -3377,6 +3381,115 @@ def _coerce_float_literals(text: str, float_cols) -> str:
     return text
 
 
+def _complex_sketch_columns(registry, names) -> tuple:
+    """Names of BinaryType columns across the registered tables —
+    ingest-time COMPLEX sketch state (hyperUnique HLL written by
+    ingest.batch.rollup via hll_sketch_agg; the reference's
+    ComplexMetrics/HyperUniquesSerde column type)."""
+    from pyspark.sql.types import BinaryType
+
+    cols = set()
+    for name in names:
+        try:
+            fields = registry.table(name).schema.fields
+        except Exception:  # noqa: BLE001 — unresolvable view: skip
+            continue
+        for f in fields:
+            if isinstance(f.dataType, BinaryType):
+                cols.add(f.name)
+    return tuple(sorted(cols))
+
+
+def _refs_any_column(expr: str, cols) -> bool:
+    """Does `expr` reference any of `cols` outside string literals?"""
+    spans = _string_spans(expr)
+    for col in cols:
+        for m in re.finditer(rf"(?<![\w.$]){re.escape(col)}(?![\w$])",
+                             expr, re.IGNORECASE):
+            if not any(a <= m.start() <= b for a, b in spans):
+                return True
+    return False
+
+
+def _check_complex_agg_contracts(text: str, bin_cols, context) -> None:
+    """The reference's validation contracts for aggregating COMPLEX
+    sketch columns (CalciteQueryTest):
+
+    - STRING_AGG / ARRAY_AGG on a COMPLEX input is a planning
+      validation error (testStringAgg/ArrayAggQueryOnComplexDatatypes);
+    - COUNT(DISTINCT <sketch col>) with approximation disabled
+      (PLANNER_CONFIG_NO_HLL / useApproximateCountDistinct=false) is
+      unplannable (testUnplannableExactCountDistinctOnSketch) — a
+      sketch can never answer an exact distinct."""
+    for fn in ("STRING_AGG", "ARRAY_AGG"):
+        for start, op, cp in _find_calls(text, fn):
+            if _refs_any_column(text[op + 1:cp], bin_cols):
+                raise ValueError(
+                    f"Cannot use {fn} on complex inputs "
+                    f"COMPLEX<hyperUnique>")
+    approx = (context or {}).get("useApproximateCountDistinct")
+    if approx is not None and not approx:
+        for start, op, cp in _find_calls(text, "COUNT"):
+            inner = text[op + 1:cp]
+            if (re.match(r"(?is)^\s*DISTINCT\b", inner)
+                    and _refs_any_column(inner, bin_cols)):
+                raise ValueError(
+                    "SQL requires a group-by on a column of type "
+                    "COMPLEX<hyperUnique> that is unsupported.")
+
+
+def _rewrite_complex_sketch_aggs(text: str, bin_cols) -> str:
+    """COUNT(DISTINCT x) / approx_count_distinct(x) where x references
+    a stored COMPLEX sketch column merge the HLL state instead of
+    counting blobs: hll_union_agg + hll_sketch_estimate, rounded to
+    BIGINT (HyperUniquesAggregatorFactory.finalizeComputation via
+    HllSketchBuildAggregatorFactory's SQL readout — testCountDistinct
+    pins COUNT(DISTINCT unique_dim1) = 6). Works through CASE WHEN
+    wrappers (testCountDistinctOfCaseWhen) because the union aggregate
+    skips NULL states."""
+    out = []
+    pos = 0
+    while True:
+        hits = []
+        for fn, dist in (("COUNT", True), ("approx_count_distinct",
+                                           False)):
+            for start, op, cp in _find_calls(text[pos:], fn):
+                inner = text[pos + op + 1:pos + cp]
+                if dist:
+                    m = re.match(r"(?is)^\s*DISTINCT\b", inner)
+                    if not m:
+                        continue
+                    inner = inner[m.end():]
+                if _refs_any_column(inner, bin_cols):
+                    hits.append((pos + start, pos + cp, inner))
+        if not hits:
+            break
+        s, cp, inner = min(hits)
+        inner = inner.strip()
+        end = cp + 1
+        # a trailing FILTER (WHERE cond) folds into the union's input
+        # (CASE gives NULL state, which hll_union_agg skips)
+        fm = re.match(r"(?is)\s*FILTER\s*\(\s*WHERE\b",
+                      text[end:])
+        if fm:
+            depth, j = 1, end + fm.end()
+            while j < len(text) and depth:
+                if text[j] == "(":
+                    depth += 1
+                elif text[j] == ")":
+                    depth -= 1
+                j += 1
+            cond = text[end + fm.end():j - 1].strip()
+            inner = f"CASE WHEN {cond} THEN {inner} END"
+            end = j
+        out.append(text[pos:s])
+        out.append(f"CAST(ROUND(hll_sketch_estimate("
+                   f"hll_union_agg({inner}))) AS BIGINT)")
+        pos = end
+    out.append(text[pos:])
+    return "".join(out)
+
+
 def _tz_trunc(unit: str, ts: str, tz_lit: str) -> str:
     """Floor `ts` to `unit` on tz-local boundaries, keeping the result a
     UTC instant (shifted-wall-clock trick, same shape as the 4-arg
@@ -3552,14 +3665,17 @@ def druid_sql(spark: SparkSession, text: str, registry=None,
         cache_key = (id(registry), epoch, names)
         cached = getattr(spark, "_druid_sql_mv_cols", None)
         if cached is not None and cached[0] == cache_key:
-            mv_by_table, float_by_table = cached[1], cached[2]
+            mv_by_table, float_by_table, bin_by_table = (
+                cached[1], cached[2], cached[3])
         else:
             mv_by_table = {n: _mv_string_columns(registry, (n,))
                            for n in names}
             float_by_table = {n: _float_columns(registry, (n,))
                               for n in names}
+            bin_by_table = {n: _complex_sketch_columns(registry, (n,))
+                            for n in names}
             spark._druid_sql_mv_cols = (cache_key, mv_by_table,
-                                        float_by_table)
+                                        float_by_table, bin_by_table)
         # views are MV-typed sources too: FROM view.cview AS a must
         # give a.dim2 MV semantics when the view exposes an array.
         # Patched OUTSIDE the cache build: the recursive
@@ -3598,6 +3714,12 @@ def druid_sql(spark: SparkSession, text: str, registry=None,
             {c for n in referenced for c in float_by_table.get(n, ())}))
         if float_cols:
             translated = _coerce_float_literals(translated, float_cols)
+        bin_cols = tuple(sorted(
+            {c for n in referenced for c in bin_by_table.get(n, ())}))
+        if bin_cols:
+            _check_complex_agg_contracts(text, bin_cols, context)
+            translated = _rewrite_complex_sketch_aggs(translated,
+                                                      bin_cols)
         if mv_cols:
             translated = _align_mv_in_unions(translated, mv_by_table)
             translated = _rewrite_mv_semantics(translated, mv_cols,
