@@ -3498,6 +3498,52 @@ def _tz_trunc(unit: str, ts: str, tz_lit: str) -> str:
             f"from_utc_timestamp({ts}, {tz_lit})) AS TIMESTAMP), {tz_lit})")
 
 
+def _freeze_current_timestamp(text: str, instant, tz: str) -> str:
+    """sqlCurrentTimestamp (PlannerConfig; BaseCalciteQueryTest pins
+    2000-01-01T00Z): CURRENT_TIMESTAMP / CURRENT_DATE / LOCALTIMESTAMP
+    render as literals of the frozen instant's WALL CLOCK in the
+    session timezone. Written as plain TIMESTAMP/DATE literals so a
+    following _apply_sql_timezone pass converts them back to the UTC
+    instant exactly like any user literal
+    (testFilterOnCurrentTimestampLosAngeles: CURRENT_TIMESTAMP + 1 DAY
+    under America/Los_Angeles = 2000-01-02T00Z)."""
+    from datetime import datetime, timezone as _tzmod
+    from zoneinfo import ZoneInfo
+
+    s = str(instant).replace("Z", "+00:00")
+    dt = datetime.fromisoformat(s)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=_tzmod.utc)
+    local = dt.astimezone(ZoneInfo(tz))
+    ts_lit = "TIMESTAMP '" + local.strftime("%Y-%m-%d %H:%M:%S") + "'"
+    d_lit = "DATE '" + local.strftime("%Y-%m-%d") + "'"
+    for pat, lit in ((r"\bCURRENT_TIMESTAMP\b(?:\s*\(\s*\))?", ts_lit),
+                     (r"\bLOCALTIMESTAMP\b(?:\s*\(\s*\))?", ts_lit),
+                     (r"\bCURRENT_DATE\b(?:\s*\(\s*\))?", d_lit)):
+        text = _sub_outside_strings(text, pat, lambda m, L=lit: L)
+    return text
+
+
+def _inline_context_views(text: str, registry) -> str:
+    """``view.<name>`` in FROM/JOIN position expands to the view's SQL
+    as a derived table when the query context carries settings that
+    change the view body's meaning (sqlCurrentTimestamp /
+    sqlTimeZone) — the reference re-plans view SQL under the QUERY's
+    context, so the same view returns different rows per session zone
+    (testFilterOnCurrentTimestampLosAngelesOnView). The default
+    materialized view_<name> path stays for context-free queries."""
+    def rep(m):
+        name = m.group(2)
+        try:
+            vsql = registry.view_sql(name)
+        except Exception:  # noqa: BLE001 — unknown view: leave as-is
+            return m.group(0)
+        return f"{m.group(1)} ({vsql}) AS {name}"
+
+    return _sub_outside_strings(
+        text, r"\b(FROM|JOIN)\s+view\.([A-Za-z_]\w*)", rep)
+
+
 def _apply_sql_timezone(text: str, tz: str) -> str:
     """sqlTimeZone (PlannerContext): TIMESTAMP literals are read as
     wall-clock in the session zone, and time bucketing — 2-arg
@@ -3514,6 +3560,24 @@ def _apply_sql_timezone(text: str, tz: str) -> str:
     text = _sub_outside_strings(
         text, r"\bTIMESTAMP\s+('(?:[^']|'')*')",
         lambda m: f"to_utc_timestamp(TIMESTAMP {m.group(1)}, {tz_lit})")
+    # TIME_PARSE defaults its origin zone to the SESSION timezone
+    # (TimeParseOperatorConversion reads plannerContext.getTimeZone();
+    # testTimeseriesLosAngelesViaPlannerConfig parses local wall
+    # clock). Only the 1-arg macro form survives translate(); wrap it.
+    # Divergence note: a string carrying an explicit offset would be
+    # double-shifted here — the ported goldens use offset-less input.
+    pos = 0
+    while True:
+        found = None
+        for start, op, cp in _find_calls(text[pos:], "TIME_PARSE"):
+            found = (pos + start, pos + cp)
+            break
+        if found is None:
+            break
+        s, c = found
+        repl = f"to_utc_timestamp({text[s:c + 1]}, {tz_lit})"
+        text = text[:s] + repl + text[c + 1:]
+        pos = s + len(repl)
 
     def _wrapped_already(upto: str) -> bool:
         return re.sub(r"\s+", "", upto).upper().endswith(
@@ -3591,6 +3655,10 @@ def druid_sql(spark: SparkSession, text: str, registry=None,
 
     if parameters is not None or "?" in text:
         text = bind_parameters(text, parameters)
+    if (registry is not None and context
+            and (context.get("sqlCurrentTimestamp")
+                 or context.get("sqlTimeZone"))):
+        text = _inline_context_views(text, registry)
     names = tuple(registry.names()) if registry is not None else ()
     epoch = registry.epoch if registry is not None else 0
     marker = getattr(spark, "_druid_sql_registered", None)
@@ -3760,6 +3828,10 @@ def druid_sql(spark: SparkSession, text: str, registry=None,
                 "requireTimeCondition is enabled on this connection, "
                 "queries on datasources must filter on __time")
     _tz = (context or {}).get("sqlTimeZone")
+    _frozen_now = (context or {}).get("sqlCurrentTimestamp")
+    if _frozen_now:
+        translated = _freeze_current_timestamp(translated, _frozen_now,
+                                               _tz or "UTC")
     if _tz and _tz.upper() not in ("UTC", "ETC/UTC"):
         translated = _apply_sql_timezone(translated, _tz)
     # useApproximateCountDistinct (PlannerConfig; the reference's
