@@ -78,6 +78,36 @@ def _period_field_count(period: str) -> int:
     return sum(1 for g in (m.groups() if m else ()) if g and float(g))
 
 
+def _period_has_day_or_week(period: str) -> bool:
+    """True when the ISO period has a non-zero weeks or days field —
+    the Joda fields that turn imprecise under a DST chronology."""
+    m = _PERIOD_RE.match(period.strip().upper())
+    if not m:
+        return False
+    weeks, days = m.group(3), m.group(4)
+    return bool((weeks and int(weeks)) or (days and int(days)))
+
+
+def _tz_is_fixed(tz: str) -> bool:
+    """True when the zone has a constant UTC offset (no DST) — sampled
+    at winter/summer instants across five decades, which is how far
+    the engine's own test pins reach."""
+    if not tz or tz.upper() in ("UTC", "ETC/UTC", "Z"):
+        return True
+    try:
+        from datetime import datetime, timezone as _pytz
+        from zoneinfo import ZoneInfo
+
+        z = ZoneInfo(tz)
+        offs = {
+            datetime(y, mo, 1, tzinfo=_pytz.utc).astimezone(z).utcoffset()
+            for y in (1975, 2000, 2020, 2035) for mo in (1, 7)
+        }
+        return len(offs) == 1
+    except Exception:  # noqa: BLE001 — unknown zone: assume DST-capable
+        return False
+
+
 def granularity_to_duration(gran) -> str:
     """Granularity -> Structured Streaming window duration string
     (for ``F.window(col, dur)`` tumbling windows in streaming rollup)."""
@@ -269,7 +299,20 @@ def time_floor_col(col: Column, gran, timezone: str | None = None) -> Column:
         # compound fixed-length period (PT12H5M): the reference's
         # truncateMillisPeriod is plain modular arithmetic on UTC
         # instants — no wall-clock shift
-        # (QueryGranularityTest.testCompoundPeriodMillisTruncate)
+        # (QueryGranularityTest.testCompoundPeriodMillisTruncate).
+        # EXCEPTION (ADVICE r8): when the period carries a DAYS/WEEKS
+        # component and the zone has DST, Joda's days field is
+        # imprecise — truncateMillisPeriod throws and the reference
+        # falls back to the zone-aware truncateCompoundPeriod walk
+        # (day adds are wall-clock 23/25h). Floor in the WALL frame
+        # there; divergence is confined to instants inside the
+        # sub-day remainder straddling a transition step.
+        if (_period_has_day_or_week(period) and tz
+                and not _tz_is_fixed(tz)):
+            return _with_tz(
+                col, tz,
+                lambda c: _floor_millis(
+                    c, millis, origin_wall if has_origin else 0))
         return _floor_millis(col, millis, origin_ms)
 
     def _f(c: Column) -> Column:

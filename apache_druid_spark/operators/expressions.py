@@ -710,15 +710,30 @@ def _fn_round(a, *d):
             .otherwise(rounded))
 
 
+def _needle_is_array(v) -> bool:
+    """Is the built needle expression array-typed? Resolved via the
+    JVM expression tree when available (a constructed array of
+    literals resolves without schema), with the Column repr sniff as
+    the fallback for environments without _jc (Spark Connect) — the
+    repr path is documented-brittle (ADVICE r8): it matches only the
+    classic local repr format, and an array-typed COLUMN REF keeps
+    single-element semantics (resolving it would need the enclosing
+    DataFrame's schema, which the expression translator doesn't
+    have — Druid's own Function.ArrayContains is value-type-driven)."""
+    try:
+        expr = v._jc.expr()
+        if expr.resolved():
+            return expr.dataType().typeName() == "array"
+    except Exception:  # noqa: BLE001 — Connect / unresolved: fall back
+        pass
+    return str(v).startswith("Column<'array(")
+
+
 def _fn_array_contains(a, v):
     """array_contains: with an ARRAY second argument the reference
     tests containment of ALL its elements (FunctionTest
-    testArrayContains: array_contains(b, [3, 4]) is true). The needle's
-    type is resolved from the built expression — a constructed array
-    dispatches to the forall form; array-typed column refs would need
-    schema info the translator doesn't have (Druid's own signature is
-    value-type-driven)."""
-    if str(v).startswith("Column<'array("):
+    testArrayContains: array_contains(b, [3, 4]) is true)."""
+    if _needle_is_array(v):
         return F.forall(v, lambda e: F.array_contains(a, e))
     return F.array_contains(a, v)
 

@@ -378,8 +378,19 @@ def _rewrite_time_fn_tz(text: str) -> str:
 
 def _rewrite_parse_long_radix(text: str) -> str:
     """PARSE_LONG(s, radix) — ParseLongOperatorConversion: parse in the
-    given radix; radix 16 accepts an optional 0x/0X prefix; bad input
-    is NULL (the 1-arg form is a SQL macro, which can't overload)."""
+    given radix with Long.parseLong semantics — optional sign, radix 16
+    accepts an optional 0x/0X prefix, and ANY invalid input is NULL
+    (the 1-arg form is a SQL macro, which can't overload).
+
+    Spark's conv() alone is too lenient (ADVICE r8): it returns '0'
+    for digit-free strings, parses the valid PREFIX of '1x', and reads
+    negatives as unsigned 64-bit. The rewrite validates every
+    character against the radix's digit set (forall over instr into
+    the 36-char alphabet) and applies the sign explicitly; unsigned
+    overflow surfaces as a >2^63-1 decimal string that try_cast nulls.
+    Known divergence: exactly Long.MIN_VALUE ('-8000000000000000'
+    radix 16) nulls here instead of parsing."""
+    digits = "'0123456789abcdefghijklmnopqrstuvwxyz'"
     while True:
         found = None
         for start, op, cp in _find_calls(text, "PARSE_LONG"):
@@ -390,9 +401,18 @@ def _rewrite_parse_long_radix(text: str) -> str:
         if found is None:
             return text
         start, cp, (s, radix) = found
-        repl = (f"try_cast(conv(CASE WHEN ({radix}) = 16 AND "
-                f"upper({s}) LIKE '0X%' THEN substring({s}, 3) "
-                f"ELSE {s} END, {radix}, 10) AS BIGINT)")
+        low = f"lower({s})"
+        unsigned = (f"(CASE WHEN {s} LIKE '-%' OR {s} LIKE '+%' "
+                    f"THEN substring({low}, 2) ELSE {low} END)")
+        body = (f"(CASE WHEN ({radix}) = 16 AND {unsigned} LIKE '0x%' "
+                f"THEN substring({unsigned}, 3) ELSE {unsigned} END)")
+        valid = (f"({body} != '' AND forall(split({body}, ''), "
+                 f"__pl -> __pl = '' OR "
+                 f"instr({digits}, __pl) BETWEEN 1 AND ({radix})))")
+        sgn = f"(CASE WHEN {s} LIKE '-%' THEN -1L ELSE 1L END)"
+        repl = (f"(CASE WHEN {valid} THEN {sgn} * "
+                f"try_cast(conv({body}, {radix}, 10) AS BIGINT) "
+                f"ELSE NULL END)")
         text = text[:start] + repl + text[cp + 1:]
     return text
 
@@ -3388,6 +3408,45 @@ def _float_columns(registry, names) -> tuple:
     return tuple(sorted(cols))
 
 
+def _integral_columns(registry, names) -> tuple:
+    """Names of integral (LONG/INT/SHORT/BYTE) columns across the
+    registered tables."""
+    from pyspark.sql.types import (
+        ByteType, IntegerType, LongType, ShortType,
+    )
+
+    cols = set()
+    for name in names:
+        try:
+            fields = registry.table(name).schema.fields
+        except Exception:  # noqa: BLE001 — unresolvable view: skip
+            continue
+        for f in fields:
+            if isinstance(f.dataType, (LongType, IntegerType,
+                                       ShortType, ByteType)):
+                cols.add(f.name)
+    return tuple(sorted(cols))
+
+
+def _mark_integral_rounds(text: str, int_cols) -> str:
+    """ROUND over a LONG-typed input returns LONG in the reference
+    (Function.Round keeps the input type); the generic edge rewrite
+    (_rewrite_round_edges) casts through DOUBLE for the NaN/Infinity
+    contract, which integral inputs can never hit. Pre-translate, mark
+    ROUND calls whose argument is a bare/qualified INTEGRAL column
+    reference so they lower to plain round() — Spark's round preserves
+    integral typing. (ADVICE r8: ROUND(longcol) returned 10.0D, the
+    reference returns 10L.)"""
+    if not int_cols:
+        return text
+    cols = "|".join(re.escape(c) for c in int_cols)
+    ref = rf"(?:[A-Za-z_]\w*\.)?(?:{cols})"
+    return _sub_outside_strings(
+        text,
+        rf"\bROUND\s*\(\s*({ref})\s*(,\s*[^()]*)?\)",
+        lambda m: f"__round_int({m.group(1)}{m.group(2) or ''})")
+
+
 def _coerce_float_literals(text: str, float_cols) -> str:
     """A decimal literal compared against a FLOAT column compares at
     FLOAT precision in the reference (the literal is coerced to the
@@ -3743,7 +3802,29 @@ def druid_sql(spark: SparkSession, text: str, registry=None,
     explain = re.match(r"(?is)^\s*EXPLAIN\s+PLAN\s+FOR\s+(.+)$", text)
     if explain:
         return _explain_plan_for(spark, explain.group(1), registry)
+    if registry is not None and re.search(r"\bROUND\s*\(", text,
+                                          re.IGNORECASE):
+        # pre-translate: ROUND over integral columns keeps LONG typing
+        cached_int = getattr(spark, "_druid_sql_int_cols", None)
+        if cached_int is None or cached_int[0] != (id(registry), epoch,
+                                                   names):
+            int_by_table = {n: _integral_columns(registry, (n,))
+                            for n in names}
+            spark._druid_sql_int_cols = ((id(registry), epoch, names),
+                                         int_by_table)
+        int_by_table = spark._druid_sql_int_cols[1]
+        spans_int = _string_spans(text)
+        ref_tables = tuple(
+            n for n in int_by_table
+            if any(not any(a <= m.start() <= b for a, b in spans_int)
+                   for m in re.finditer(
+                       rf"(?<![\w.$]){re.escape(n)}(?![\w$])",
+                       text, re.IGNORECASE)))
+        int_cols = tuple(sorted(
+            {c for n in ref_tables for c in int_by_table.get(n, ())}))
+        text = _mark_integral_rounds(text, int_cols)
     translated = translate(text)
+    translated = _rewrite_call(translated, "__round_int", "round")
     # Druid casts never throw. get_spark() runs non-ANSI (the faithful
     # mode — truncating numeric-string casts); on a caller-provided
     # ANSI session fall back to TRY_CAST so one malformed row still
