@@ -62,7 +62,16 @@ def _dim_predicate(df: DataFrame | None, dim: str, pred, extraction_fn=None) -> 
         return F.when(col.isNull() | (F.size(col) == 0),
                       F.coalesce(null_case, F.lit(False))
                       ).otherwise(F.exists(col, lambda e: full(e)))
-    return full(fcol(dim))
+    col = fcol(dim)
+    if (dim == "__time" and df is not None and "__time" in df.columns
+            and isinstance(df.schema["__time"].dataType,
+                           T.TimestampType)):
+        # Druid's __time is a LONG of epoch millis: value filters
+        # (selector/bound/in) compare against the stringified millis
+        # (GroupByQueryRunnerTest.testDimFilterHavingSpec selects
+        # __time = '1301616000000')
+        col = F.unix_millis(col)
+    return full(col)
 
 
 def _pad_partial_iso(s: str) -> str:

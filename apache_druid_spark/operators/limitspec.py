@@ -28,7 +28,15 @@ from apache_druid_spark.operators.util import fcol
 def _sort_key(col: Column, comparator: str) -> Column:
     c = comparator or "lexicographic"
     if c == "numeric":
-        return col.cast("double")
+        # StringComparators.NUMERIC: NULL first, then parseable values
+        # by numeric value, then non-numeric strings lexicographically
+        # (testGroupByOrderLimitNumeric orders the non-numeric quality
+        # aliases alphabetically; testAggregateOnLongNumericNull puts
+        # the null group first)
+        d = col.cast("double")
+        flag = (F.when(col.isNull(), F.lit(-1))
+                .when(d.isNull(), F.lit(1)).otherwise(F.lit(0)))
+        return F.struct(flag, d, col.cast("string"))
     if c == "strlen":
         # order by length, then value
         return F.struct(F.length(col.cast("string")), col.cast("string"))

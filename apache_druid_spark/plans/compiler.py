@@ -526,6 +526,11 @@ def compile_topn(q: dict, registry: DatasourceRegistry) -> DataFrame:
     dim_name, dim_col = compile_dimension_spec(q["dimension"], registry, df)
     df, dims = _explode_multivalue_dims(df, [(dim_name, dim_col)])
     aggs = compile_aggregations(q.get("aggregations", []), df, registry)
+    if not aggs:
+        # aggregator-less topN (TopNLexicographicNoAggregators /
+        # testSortOnDoubleAsLong): distinct dimension values in
+        # comparator order. The hidden count never reaches the output.
+        aggs = [F.count(F.lit(1)).alias("__topn_rows")]
     threshold = int(q.get("threshold", 1000))
 
     metric = q.get("metric")
@@ -537,6 +542,8 @@ def compile_topn(q: dict, registry: DatasourceRegistry) -> DataFrame:
         group_cols = [F.col(TIME_COLUMN)] + group_cols
 
     out = df.groupBy(*group_cols).agg(*aggs)
+    if "__topn_rows" in out.columns:
+        out = out.drop("__topn_rows")
     out = apply_post_aggregations(out, q.get("postAggregations", []), registry)
 
     stop = _topn_previous_stop(metric, dim_name)
@@ -648,6 +655,9 @@ def compile_groupby(q: dict, registry: DatasourceRegistry) -> DataFrame:
     else:
         out = df.groupBy(*[fcol(c) for c in group_names]).agg(*aggs)
 
+    if "__count" in out.columns:
+        out = out.drop("__count")  # aggregator-less groupBy
+        # (testGroupByNoAggregators): distinct dim tuples only
     out = apply_post_aggregations(out, q.get("postAggregations", []), registry)
     having = q.get("having")
     if having is not None:
@@ -656,7 +666,13 @@ def compile_groupby(q: dict, registry: DatasourceRegistry) -> DataFrame:
     out = apply_limit_spec(out, q.get("limitSpec"), default_order,
                            dim_names=list(group_names))
     if q.get("limitSpec") is None and bucket is not None:
-        out = out.orderBy(TIME_COLUMN)
+        if q.get("context", {}).get("sortByDimsFirst"):
+            # sortByDimsFirst (GroupByQuery.getRowOrdering): dimension
+            # order outranks the time bucket
+            out = out.orderBy(*[fcol(c) for c in dim_names],
+                              TIME_COLUMN)
+        else:
+            out = out.orderBy(TIME_COLUMN)
     return out
 
 

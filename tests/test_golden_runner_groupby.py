@@ -277,3 +277,246 @@ def test_groupby_with_having_on_hyperunique(spark, testindex):
     assert [g[0] for g in got] == ["spot"]
     assert float(got[0][1]) == pytest.approx(9.019833517963864,
                                              abs=0.05)
+
+
+# ---------------------------------------------------------------------------
+# Round-9 tranche (VERDICT r8 task #5): no-aggregators, sortByDimsFirst,
+# order-limit / numeric-comparator families, nonexistent dims,
+# dim-filter having.
+# ---------------------------------------------------------------------------
+
+def test_groupby_no_aggregators(spark, testindex):
+    # testGroupByNoAggregators: distinct (day, quality) tuples
+    q = gb([{"type": "default", "dimension": "quality",
+             "outputName": "alias"}], [])
+    out = compile_query(q, testindex)
+    assert out.columns == ["__time", "alias"]
+    got = [tuple(r) for r in out.orderBy("__time", "alias").collect()]
+    want = [(d, a) for d, a, *_ in GROUPBY_ROWS]
+    assert got == want
+
+
+def test_groupby_sort_dims_first(spark, testindex):
+    # testGroupByWithSortDimsFirst: context sortByDimsFirst orders the
+    # result by dimension BEFORE the time bucket
+    q = gb([{"type": "default", "dimension": "quality",
+             "outputName": "alias"}],
+           [ROWS, {"type": "longSum", "name": "idx",
+                   "fieldName": "index"}])
+    q["context"] = {"sortByDimsFirst": True}
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("__time", "alias", "rows", "idx").collect()]
+    want = sorted([(d, a, r, i) for d, a, r, i, *_ in GROUPBY_ROWS],
+                  key=lambda t: (t[1], t[0]))
+    check(got, want)
+
+
+ORDER_LIMIT_ROWS = [
+    ("travel", 2, 243), ("technology", 2, 177), ("news", 2, 221),
+    ("health", 2, 216), ("entertainment", 2, 319), ("business", 2, 217),
+    ("automotive", 2, 269), ("premium", 6, 4416), ("mezzanine", 6, 4420),
+]
+
+
+def _order_limit_q(order_cols, aggs=None, limit=None, vcs=None):
+    q = gb([{"type": "default", "dimension": "quality",
+             "outputName": "alias"}],
+           aggs or [ROWS, {"type": "longSum", "name": "idx",
+                           "fieldName": "index"}],
+           gran={"type": "period", "period": "P1M"},
+           intervals=["2011-04-02/2011-04-04"],
+           limit_spec={"type": "default", "columns": order_cols,
+                       **({"limit": limit} if limit else {})})
+    if vcs:
+        q["virtualColumns"] = vcs
+    return q
+
+
+def test_groupby_order_limit(spark, testindex):
+    # testGroupByOrderLimit: rows asc, alias desc at month grain, then
+    # the same with limit 5
+    order = [{"dimension": "rows"},
+             {"dimension": "alias", "direction": "descending"}]
+    q = _order_limit_q(order)
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("alias", "rows", "idx").collect()]
+    check(got, ORDER_LIMIT_ROWS)
+    got5 = [tuple(r) for r in compile_query(
+        _order_limit_q(order, limit=5), testindex)
+        .select("alias", "rows", "idx").collect()]
+    check(got5, ORDER_LIMIT_ROWS[:5])
+
+
+def test_groupby_order_limit_expression_aggregator(spark, testindex):
+    # testGroupByOrderLimit's expression-aggregator leg: doubleSum over
+    # the native expression "index / 2 + indexMin", and the identical
+    # FLOAT-typed virtual-column form
+    order = [{"dimension": "rows"},
+             {"dimension": "alias", "direction": "descending"}]
+    want = [
+        ("travel", 2, 365.4876403808594),
+        ("technology", 2, 267.3737487792969),
+        ("news", 2, 333.3147277832031),
+        ("health", 2, 325.467529296875),
+        ("entertainment", 2, 479.916015625),
+        ("business", 2, 328.083740234375),
+        ("automotive", 2, 405.5966796875),
+        ("premium", 6, 6627.927734375),
+        ("mezzanine", 6, 6635.47998046875),
+    ]
+    q = _order_limit_q(
+        order,
+        aggs=[ROWS, {"type": "doubleSum", "name": "idx",
+                     "expression": 'cast("index" / 2 + "indexMin",'
+                                   " 'FLOAT')"}])
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("alias", "rows", "idx").collect()]
+    check(got, want)
+    q2 = _order_limit_q(
+        order,
+        aggs=[ROWS, {"type": "doubleSum", "name": "idx",
+                     "fieldName": "expr"}],
+        vcs=[{"type": "expression", "name": "expr",
+              "expression": '"index" / 2 + "indexMin"',
+              "outputType": "FLOAT"}])
+    got2 = [tuple(r) for r in compile_query(q2, testindex)
+            .select("alias", "rows", "idx").collect()]
+    check(got2, want)
+
+
+def test_groupby_with_order_limit2(spark, testindex):
+    # testGroupByWithOrderLimit2: rows desc, alias desc
+    order = [{"dimension": "rows", "direction": "descending"},
+             {"dimension": "alias", "direction": "descending"}]
+    want = [("premium", 6, 4416), ("mezzanine", 6, 4420)] + [
+        t for t in ORDER_LIMIT_ROWS if t[1] == 2]
+    got = [tuple(r) for r in compile_query(
+        _order_limit_q(order), testindex)
+        .select("alias", "rows", "idx").collect()]
+    check(got, want)
+
+
+def test_groupby_with_order_limit3(spark, testindex):
+    # testGroupByWithOrderLimit3: doubleSum idx desc, alias desc
+    order = [{"dimension": "idx", "direction": "descending"},
+             {"dimension": "alias", "direction": "descending"}]
+    q = _order_limit_q(order, aggs=[
+        ROWS, {"type": "doubleSum", "name": "idx",
+               "fieldName": "index"}])
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("alias", "rows", "idx").collect()]
+    check(got, [
+        ("mezzanine", 6, 4423.6533203125),
+        ("premium", 6, 4418.61865234375),
+        ("entertainment", 2, 319.94403076171875),
+        ("automotive", 2, 270.3977966308594),
+        ("travel", 2, 243.65843200683594),
+        ("news", 2, 222.20980834960938),
+        ("business", 2, 218.7224884033203),
+        ("health", 2, 216.97836303710938),
+        ("technology", 2, 178.24917602539062)])
+
+
+def test_groupby_order_limit_numeric(spark, testindex):
+    # testGroupByOrderLimitNumeric: NUMERIC comparator — rows desc,
+    # then the non-numeric alias ascending (string fallback)
+    order = [{"dimension": "rows", "direction": "descending",
+              "dimensionOrder": "numeric"},
+             {"dimension": "alias", "direction": "ascending",
+              "dimensionOrder": "numeric"}]
+    want = [("mezzanine", 6, 4420), ("premium", 6, 4416)] + sorted(
+        [t for t in ORDER_LIMIT_ROWS if t[1] == 2])
+    got = [tuple(r) for r in compile_query(
+        _order_limit_q(order), testindex)
+        .select("alias", "rows", "idx").collect()]
+    check(got, want)
+
+
+def test_groupby_with_same_case_ordering(spark, testindex):
+    # testGroupByWithSameCaseOrdering: marketalias desc limit 3
+    q = gb([{"type": "default", "dimension": "market",
+             "outputName": "marketalias"}], [ROWS],
+           gran="all", intervals=FULL_ON,
+           limit_spec={"type": "default", "limit": 3, "columns": [
+               {"dimension": "marketalias",
+                "direction": "descending"}]})
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("marketalias", "rows").collect()]
+    check(got, [("upfront", 186), ("total_market", 186),
+                ("spot", 837)])
+
+
+def test_groupby_with_no_result(spark, testindex):
+    # testGroupByWithNoResult: empty interval -> zero rows
+    q = gb([{"type": "default", "dimension": "market",
+             "outputName": "market"}],
+           [ROWS,
+            {"type": "longSum", "name": "idx", "fieldName": "index"},
+            {"type": "cardinality", "name": "card",
+             "fields": ["quality"]},
+            {"type": "longFirst", "name": "first",
+             "fieldName": "index"},
+            {"type": "longLast", "name": "last", "fieldName": "index"}],
+           intervals=["2020-04-02/2020-04-03"])
+    assert compile_query(q, testindex).collect() == []
+
+
+def test_groupby_with_nonexistent_dimension(spark, testindex):
+    # testGroupByWithNonexistentDimension: 'billy' groups as the
+    # all-null column beside quality
+    q = gb([{"type": "default", "dimension": "billy",
+             "outputName": "billy"},
+            {"type": "default", "dimension": "quality",
+             "outputName": "quality"}],
+           [ROWS], gran={"type": "period", "period": "P1M"},
+           intervals=["2011-04-02/2011-04-04"])
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("billy", "quality", "rows")
+           .orderBy("quality").collect()]
+    check(got, [
+        (None, "automotive", 2), (None, "business", 2),
+        (None, "entertainment", 2), (None, "health", 2),
+        (None, "mezzanine", 6), (None, "news", 2),
+        (None, "premium", 6), (None, "technology", 2),
+        (None, "travel", 2)])
+
+
+def test_dim_filter_having_spec(spark, testindex):
+    # testDimFilterHavingSpec: a FILTER having — OR(rows > 2 numeric
+    # bound, idx selector '217') AND __time selector on the bucket's
+    # epoch millis — with the long/double/float min-max matrix
+    q = gb([{"type": "default", "dimension": "quality",
+             "outputName": "alias"}],
+           [ROWS,
+            {"type": "longSum", "name": "idx", "fieldName": "index"},
+            {"type": "longMin", "name": "lmin", "fieldName": "index"},
+            {"type": "longMax", "name": "lmax", "fieldName": "index"},
+            {"type": "doubleMin", "name": "dmin", "fieldName": "index"},
+            {"type": "doubleMax", "name": "dmax", "fieldName": "index"},
+            {"type": "floatMin", "name": "fmin",
+             "fieldName": "indexFloat"},
+            {"type": "floatMax", "name": "fmax",
+             "fieldName": "indexFloat"}],
+           gran={"type": "period", "period": "P1M"},
+           intervals=["2011-04-02/2011-04-04"],
+           having={"type": "filter", "filter": {
+               "type": "and", "fields": [
+                   {"type": "or", "fields": [
+                       {"type": "bound", "dimension": "rows",
+                        "lower": "2", "lowerStrict": True,
+                        "ordering": "numeric"},
+                       {"type": "selector", "dimension": "idx",
+                        "value": "217"}]},
+                   {"type": "selector", "dimension": "__time",
+                    "value": "1301616000000"}]}})
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("alias", "rows", "idx", "lmin", "lmax", "dmin",
+                   "dmax", "fmin", "fmax")
+           .orderBy("alias").collect()]
+    check(got, [
+        ("business", 2, 217, 105, 112, 105.735462, 112.987027,
+         105.73546, 112.98703),
+        ("mezzanine", 6, 4420, 107, 1193, 107.047773, 1193.556278,
+         107.047775, 1193.5563),
+        ("premium", 6, 4416, 122, 1321, 122.141707, 1321.375057,
+         122.14171, 1321.375)])

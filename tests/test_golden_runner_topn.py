@@ -397,3 +397,232 @@ def test_topn_query_by_complex_metric(spark, testindex):
                                              abs=0.05)
     assert float(got[1][1]) == pytest.approx(2.000977198748901,
                                              abs=0.05)
+
+
+# ---------------------------------------------------------------------------
+# Round-9 tranche (VERDICT r8 task #5): or/nonexistent/MV filter,
+# sort-on-typed-dim, numeric-string-dim, aggs-on-numeric-dims families.
+# ---------------------------------------------------------------------------
+
+def test_empty_topn(spark, testindex):
+    # testEmptyTopN: an interval beyond the data -> empty result
+    q = topn(intervals=["2020-04-02/2020-04-03"], postaggs=[ADD_RIC],
+             aggs=[ROWS, IDX, UNIQUES, MAXI, MINI])
+    assert run(spark, testindex, q, COLS) == []
+
+
+def test_topn_with_or_filter2(spark, testindex):
+    # testTopNWithOrFilter2: two-market IN
+    q = topn(postaggs=[ADD_RIC],
+             filt={"type": "in", "dimension": "market",
+                   "values": ["total_market", "upfront"]})
+    check(run(spark, testindex, q, COLS), [
+        ("total_market", 4, 5351.814783, UNIQUES_2, 5356.814783),
+        ("upfront", 4, 4875.669692, UNIQUES_2, 4880.669692)])
+
+
+def test_topn_with_filter2_one_day(spark, testindex):
+    # testTopNWithFilter2OneDay: mezzanine filter over one day
+    q = topn(postaggs=[ADD_RIC], intervals=["2011-04-01/2011-04-02"],
+             filt={"type": "selector", "dimension": "quality",
+                   "value": "mezzanine"})
+    check(run(spark, testindex, q, COLS), [
+        ("upfront", 1, 1447.341160, UNIQUES_1, 1449.341160),
+        ("total_market", 1, 1314.839715, UNIQUES_1, 1316.839715),
+        ("spot", 1, 109.705815, UNIQUES_1, 111.705815)])
+
+
+def test_topn_with_nonexistent_filter_in_or(spark, testindex):
+    # testTopNWithNonExistentFilterInOr: unmatched IN value is inert
+    q = topn(postaggs=[ADD_RIC],
+             filt={"type": "in", "dimension": "market",
+                   "values": ["total_market", "upfront", "billyblank"]})
+    check(run(spark, testindex, q, COLS), [
+        ("total_market", 4, 5351.814783, UNIQUES_2, 5356.814783),
+        ("upfront", 4, 4875.669692, UNIQUES_2, 4880.669692)])
+
+
+def test_topn_with_nonexistent_filter(spark, testindex):
+    # testTopNWithNonExistentFilter + ...MultiDim: all-excluding
+    # filters -> empty result list
+    q1 = topn(postaggs=[ADD_RIC],
+              filt={"type": "selector", "dimension": "market",
+                    "value": "billyblank"})
+    assert run(spark, testindex, q1, COLS) == []
+    q2 = topn(postaggs=[ADD_RIC],
+              filt={"type": "and", "fields": [
+                  {"type": "selector", "dimension": "market",
+                   "value": "billyblank"},
+                  {"type": "selector", "dimension": "quality",
+                   "value": "mezzanine"}]})
+    assert run(spark, testindex, q2, COLS) == []
+
+
+def test_topn_with_multi_value_dim_filter3(spark, testindex):
+    # testTopNWithMultiValueDimFilter3: MV filter + MV dimension —
+    # the filter matches rows by ANY element, the dim explodes
+    q = topn(dim="placementish", postaggs=[ADD_RIC],
+             filt={"type": "selector", "dimension": "placementish",
+                   "value": "a"})
+    check(run(spark, testindex, q,
+              ["placementish", "rows", "index", "uniques",
+               "addRowsIndexConstant"]), [
+        ("a", 2, 283.31103515625, UNIQUES_1, 286.31103515625),
+        ("preferred", 2, 283.31103515625, UNIQUES_1,
+         286.31103515625)])
+
+
+def test_topn_with_multi_value_dim_filter4(spark, testindex):
+    # testTopNWithMultiValueDimFilter4: two-element MV IN filter
+    q = topn(dim="placementish", postaggs=[ADD_RIC],
+             filt={"type": "in", "dimension": "placementish",
+                   "values": ["a", "b"]})
+    check(run(spark, testindex, q,
+              ["placementish", "rows", "index", "uniques",
+               "addRowsIndexConstant"]), [
+        ("preferred", 4, 514.868408203125, UNIQUES_2,
+         519.868408203125),
+        ("a", 2, 283.31103515625, UNIQUES_1, 286.31103515625),
+        ("b", 2, 231.557373046875, UNIQUES_1, 234.557373046875)])
+
+
+def test_topn_with_multi_value_dim_filter5(spark, testindex):
+    # testTopNWithMultiValueDimFilter5: 'preferred' matches every row
+    q = topn(dim="placementish", postaggs=[ADD_RIC],
+             filt={"type": "selector", "dimension": "placementish",
+                   "value": "preferred"})
+    check(run(spark, testindex, q,
+              ["placementish", "rows", "index", "uniques",
+               "addRowsIndexConstant"]), [
+        ("preferred", 26, 12459.361190795898, UNIQUES_9,
+         12486.361190795898),
+        ("p", 6, 5407.213653564453, UNIQUES_1, 5414.213653564453),
+        ("m", 6, 5320.717338562012, UNIQUES_1, 5327.717338562012),
+        ("t", 4, 422.3440856933594, UNIQUES_2, 427.3440856933594)])
+
+
+def test_sort_on_double_as_long(spark, testindex):
+    # testSortOnDoubleAsLong: LONG-typed dim over the double metric,
+    # dimension-ordered NUMERIC ascending
+    q = {"queryType": "topN", "dataSource": "testindex",
+         "granularity": "all",
+         "dimension": {"type": "default", "dimension": "index",
+                       "outputName": "index_alias",
+                       "outputType": "LONG"},
+         "metric": {"type": "dimension", "ordering": "numeric"},
+         "threshold": 4, "intervals": FULL_ON}
+    got = run(spark, testindex, q, ["index_alias"])
+    assert got == [(59,), (67,), (68,), (69,)]
+
+
+def test_sort_on_time_as_long(spark, testindex):
+    # testSortOnTimeAsLong: __time as LONG dim reads epoch millis
+    q = {"queryType": "topN", "dataSource": "testindex",
+         "granularity": "all",
+         "dimension": {"type": "default", "dimension": "__time",
+                       "outputName": "__time_alias",
+                       "outputType": "LONG"},
+         "metric": {"type": "dimension", "ordering": "numeric"},
+         "threshold": 4, "intervals": FULL_ON}
+    got = run(spark, testindex, q, ["__time_alias"])
+    assert got == [(1294790400000,), (1294876800000,),
+                   (1294963200000,), (1295049600000,)]
+
+
+def test_sort_on_string_as_double(spark, testindex):
+    # testSortOnStringAsDouble: a non-numeric string dim typed DOUBLE
+    # is all-null -> one null bucket
+    q = {"queryType": "topN", "dataSource": "testindex",
+         "granularity": "all",
+         "dimension": {"type": "default", "dimension": "market",
+                       "outputName": "alias", "outputType": "DOUBLE"},
+         "metric": {"type": "dimension", "ordering": "numeric"},
+         "threshold": 4, "intervals": FULL_ON}
+    assert run(spark, testindex, q, ["alias"]) == [(None,)]
+
+
+def test_sort_on_double_as_double(spark, testindex):
+    # testSortOnDoubleAsDouble
+    q = {"queryType": "topN", "dataSource": "testindex",
+         "granularity": "all",
+         "dimension": {"type": "default", "dimension": "index",
+                       "outputName": "index_alias",
+                       "outputType": "DOUBLE"},
+         "metric": {"type": "dimension", "ordering": "numeric"},
+         "threshold": 4, "intervals": FULL_ON}
+    got = run(spark, testindex, q, ["index_alias"])
+    want = [59.021022, 59.266595, 67.73117, 68.573162]
+    assert [pytest.approx(w, rel=1e-6) for w in want] == \
+        [float(g[0]) for g in got]
+
+
+def test_full_on_topn_numeric_string_column_as_long(spark, testindex):
+    # testFullOnTopNNumericStringColumnAsLong (and the FLOAT twin's
+    # identical values): qualityNumericString typed LONG, by maxIndex
+    q = {"queryType": "topN", "dataSource": "testindex",
+         "granularity": "all",
+         "dimension": {"type": "default",
+                       "dimension": "qualityNumericString",
+                       "outputName": "qns_alias", "outputType": "LONG"},
+         "metric": "maxIndex", "threshold": 4, "intervals": FULL_ON,
+         "aggregations": [ROWS, IDX, UNIQUES, MAXI, MINI],
+         "postAggregations": [ADD_RIC]}
+    got = run(spark, testindex, q,
+              ["qns_alias", "index", "rows", "addRowsIndexConstant",
+               "uniques", "maxIndex", "minIndex"])
+    check(got, [
+        (140000, 217725.41940800005, 279, 218005.41940800005,
+         UNIQUES_1, 1870.061029, 91.270553),
+        (160000, 210865.67977600006, 279, 211145.67977600006,
+         UNIQUES_1, 1862.737933, 99.284525),
+        (100000, 12270.807093, 93, 12364.807093, UNIQUES_1,
+         277.273533, 71.315931),
+        (120000, 12086.472791, 93, 12180.472791, UNIQUES_1,
+         193.787574, 84.710523)])
+
+
+def test_full_on_topn_aggs_on_numeric_dims(spark, testindex):
+    # testFullOnTopNWithAggsOnNumericDims (the all-aggregators
+    # combination): numeric dims aggregate under both LONG and DOUBLE
+    # readouts
+    q = topn(intervals=FULL_ON, postaggs=[ADD_RIC],
+             aggs=[ROWS, IDX, UNIQUES, MAXI, MINI,
+                   {"type": "longSum", "name": "qlLong",
+                    "fieldName": "qualityLong"},
+                   {"type": "doubleSum", "name": "qlFloat",
+                    "fieldName": "qualityLong"},
+                   {"type": "doubleSum", "name": "qfFloat",
+                    "fieldName": "qualityFloat"},
+                   {"type": "longSum", "name": "qfLong",
+                    "fieldName": "qualityFloat"}])
+    got = run(spark, testindex, q,
+              ["market", "rows", "index", "uniques", "maxIndex",
+               "minIndex", "qlLong", "qlFloat", "qfFloat", "qfLong",
+               "addRowsIndexConstant"])
+    check(got, [
+        ("total_market", 186, 215679.82879638672, UNIQUES_2,
+         1743.92175, 792.3260498046875, 279000, 279000.0, 2790000.0,
+         2790000, 215866.82879638672),
+        ("upfront", 186, 192046.1060180664, UNIQUES_2, 1870.061029,
+         545.9906005859375, 279000, 279000.0, 2790000.0, 2790000,
+         192233.1060180664),
+        ("spot", 837, 95606.57232284546, UNIQUES_9, 277.273533,
+         59.02102279663086, 1171800, 1171800.0, 11718000.0, 11718000,
+         96444.57232284546)])
+
+
+def test_full_on_topn_bound_filter_long_sum_metric(spark, testindex):
+    # testFullOnTopNBoundFilterAndLongSumMetric (druid #4628): a
+    # strict numeric bound excluding everything -> empty
+    q = {"queryType": "topN", "dataSource": "testindex",
+         "granularity": "all",
+         "dimension": {"type": "default", "dimension": "market",
+                       "outputName": "Market"},
+         "filter": {"type": "bound", "dimension": "index",
+                    "lower": "0", "upper": "46.64980229268867",
+                    "lowerStrict": True, "upperStrict": True,
+                    "ordering": "numeric"},
+         "metric": "Count", "threshold": 5, "intervals": FULL_ON,
+         "aggregations": [{"type": "longSum", "name": "Count",
+                           "fieldName": "qualityLong"}]}
+    assert run(spark, testindex, q, ["Market", "Count"]) == []

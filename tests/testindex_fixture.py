@@ -72,6 +72,12 @@ def load_rows():
     return rows
 
 
+def _hll_state(col):
+    from apache_druid_spark.ingest.batch import _hll_input
+
+    return F.hll_sketch_agg(_hll_input(col), 12)
+
+
 @pytest.fixture(scope="session")
 def testindex(spark):
     """Rolled-up TestIndex DataFrame registered as 'testindex'."""
@@ -92,10 +98,14 @@ def testindex(spark):
         F.max(F.col("index_raw").cast("float")).alias("indexMaxFloat"),
         F.max((F.col("index_raw") + F.lit(10.0)).cast("float")
               .cast("double")).alias("indexMaxPlusTen"),
-        # BINARY like the reference's COMPLEX hyperUnique column: the
-        # sketch input for query-time hyperUnique aggs, invisible to
-        # the search query's default string-dimension sweep
-        F.first(F.encode("quality", "UTF-8")).alias("quality_uniques"),
+        # REAL ingest-time hyperUnique state (r9): BinaryType
+        # DataSketches HLL built with the rollup path's NUL-sentinel
+        # encoding, exactly like the reference's COMPLEX hyperUnique
+        # column — query-time hyperUnique aggs MERGE this state
+        # (estimates are exact at these cardinalities, inside the
+        # suite's 0.05 tolerance vs the legacy-HLL pins), and it stays
+        # invisible to the search query's string-dimension sweep
+        _hll_state(F.col("quality")).alias("quality_uniques"),
     ))
     reg = DatasourceRegistry(spark)
     reg.register("testindex", rolled.cache())
