@@ -58,14 +58,19 @@ def _sort_key(col: Column, comparator: str) -> Column:
 
 def apply_limit_spec(df: DataFrame, spec: dict | None,
                      default_order: list[Column] | None = None,
-                     dim_names: list[str] | None = None) -> DataFrame:
+                     dim_names: list[str] | None = None,
+                     time_first: bool = False) -> DataFrame:
     """``dim_names`` (the query's grouping dimensions) break metric
     ties in natural dimension order — DefaultLimitSpec appends the
     remaining grouping columns to its comparator chain, so equal
     metric values order by dimension
     (GroupByQueryRunnerTest.testGroupByWithOrderOnHyperUnique: upfront
     and total_market tie on uniques and come back
-    dimension-ascending)."""
+    dimension-ascending). ``time_first``: with a non-ALL granularity
+    the merged result streams time-bucket-major, so the bucket
+    outranks the limitSpec columns unless they order __time
+    explicitly (testGroupByWithAlphaNumericDimensionOrder pins
+    day-major rows)."""
     if spec is None:
         return df
     t = spec.get("type", "default")
@@ -92,6 +97,9 @@ def apply_limit_spec(df: DataFrame, spec: dict | None,
         for d in dim_names or []:
             if d not in ordered_dims:
                 order_cols.append(fcol(d).asc())
+        if time_first and "__time" not in ordered_dims \
+                and "__time" in df.columns:
+            order_cols = [fcol("__time").asc()] + order_cols
         df = df.orderBy(*order_cols)
     elif default_order:
         df = df.orderBy(*default_order)

@@ -663,8 +663,11 @@ def compile_groupby(q: dict, registry: DatasourceRegistry) -> DataFrame:
     if having is not None:
         out = out.filter(compile_having(having, out, registry))
     default_order = ([F.col(TIME_COLUMN).asc()] if bucket is not None else None)
-    out = apply_limit_spec(out, q.get("limitSpec"), default_order,
-                           dim_names=list(group_names))
+    out = apply_limit_spec(
+        out, q.get("limitSpec"), default_order,
+        dim_names=list(group_names),
+        time_first=(bucket is not None
+                    and not q.get("context", {}).get("sortByDimsFirst")))
     if q.get("limitSpec") is None and bucket is not None:
         if q.get("context", {}).get("sortByDimsFirst"):
             # sortByDimsFirst (GroupByQuery.getRowOrdering): dimension
@@ -746,12 +749,19 @@ def compile_search(q: dict, registry: DatasourceRegistry) -> DataFrame:
 
     parts = []
     for d in dims:
+        # DimensionSpec dicts name typed searches
+        # (testSearchOnLongColumn: __time as LONG; testSearchOnFloat
+        # Column: the double metric searched as text)
+        out_name = d
+        if isinstance(d, dict):
+            out_name = d.get("outputName", d.get("dimension"))
+            d = d.get("dimension")
         if d == TIME_COLUMN:
             # Druid time is an epoch-millis long; search stringifies
             # millis (SearchQueryRunnerTest.testSearchOnTime)
             p = df.select(
                 F.unix_millis(fcol(d)).cast("string").alias("value"))
-            parts.append(_search_part(p, d, match))
+            parts.append(_search_part(p, out_name, match))
             continue
         if d not in df.columns:
             # a non-existent search dimension contributes no hits
@@ -762,7 +772,7 @@ def compile_search(q: dict, registry: DatasourceRegistry) -> DataFrame:
             p = df.select(F.explode(c).alias("value"))
         else:
             p = df.select(c.cast("string").alias("value"))
-        parts.append(_search_part(p, d, match))
+        parts.append(_search_part(p, out_name, match))
     if not parts:
         spark = df.sparkSession
         return spark.createDataFrame(

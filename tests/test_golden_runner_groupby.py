@@ -520,3 +520,177 @@ def test_dim_filter_having_spec(spark, testindex):
          107.047775, 1193.5563),
         ("premium", 6, 4416, 122, 1321, 122.141707, 1321.375057,
          122.14171, 1321.375)])
+
+
+# ---------------------------------------------------------------------------
+# Round-9 tranche (cont.): uniques/cardinality over the COMPLEX column,
+# nested-query datasources, alphanumeric dimension order, post-agg
+# having.
+# ---------------------------------------------------------------------------
+
+def test_groupby_with_uniques(spark, testindex):
+    # testGroupByWithUniques: hyperUnique over the stored COMPLEX
+    # state; testGroupByWithCardinality: cardinality over the raw dim
+    q = gb([], [ROWS, {"type": "hyperUnique", "name": "uniques",
+                       "fieldName": "quality_uniques"}], gran="all")
+    got = compile_query(q, testindex).collect()
+    assert got[0]["rows"] == 26
+    assert float(got[0]["uniques"]) == pytest.approx(
+        9.019833517963864, abs=0.05)
+    q2 = gb([], [ROWS, {"type": "cardinality", "name": "cardinality",
+                        "fields": ["quality"]}], gran="all")
+    got2 = compile_query(q2, testindex).collect()
+    assert got2[0]["rows"] == 26
+    assert float(got2[0]["cardinality"]) == pytest.approx(
+        9.019833517963864, abs=0.05)
+
+
+def _identical_subquery():
+    # the reference's always-true javascript filter is a policy wall;
+    # the equivalent TRUE filter keeps the shape
+    return {"queryType": "groupBy", "dataSource": "testindex",
+            "granularity": "day", "intervals": FIRST_TO_THIRD,
+            "dimensions": [{"type": "default", "dimension": "quality",
+                            "outputName": "alias"}],
+            "filter": {"type": "true"},
+            "aggregations": [
+                ROWS,
+                {"type": "longSum", "name": "idx", "fieldName": "index"},
+                {"type": "longSum", "name": "indexMaxPlusTen",
+                 "fieldName": "indexMaxPlusTen"}]}
+
+
+def test_identical_subquery(spark, testindex):
+    # testIdenticalSubquery: outer groupBy over a query datasource
+    # re-aggregates the inner rows
+    q = {"queryType": "groupBy",
+         "dataSource": {"type": "query", "query": _identical_subquery()},
+         "granularity": "day", "intervals": FIRST_TO_THIRD,
+         "dimensions": [{"type": "default", "dimension": "alias",
+                         "outputName": "alias"}],
+         "aggregations": [
+             {"type": "longSum", "name": "rows", "fieldName": "rows"},
+             {"type": "longSum", "name": "idx", "fieldName": "idx"}]}
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("__time", "alias", "rows", "idx")
+           .orderBy("__time", "alias").collect()]
+    check(got, [(d, a, r, i) for d, a, r, i, *_ in GROUPBY_ROWS])
+
+
+def test_subquery_with_multiple_intervals_in_outer_query(
+        spark, testindex):
+    # testSubqueryWithMultipleIntervalsInOuterQuery: the outer
+    # interval list filters the inner result's bucketed __time
+    q = {"queryType": "groupBy",
+         "dataSource": {"type": "query", "query": _identical_subquery()},
+         "granularity": "day",
+         "intervals": ["2011-04-01T00:00:00.000Z/2011-04-01T23:58:00.000Z",
+                       "2011-04-02T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+         "dimensions": [{"type": "default", "dimension": "alias",
+                         "outputName": "alias"}],
+         "aggregations": [
+             {"type": "longSum", "name": "rows", "fieldName": "rows"},
+             {"type": "longSum", "name": "idx", "fieldName": "idx"}]}
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("__time", "alias", "rows", "idx")
+           .orderBy("__time", "alias").collect()]
+    check(got, [(d, a, r, i) for d, a, r, i, *_ in GROUPBY_ROWS])
+
+
+def test_groupby_with_alphanumeric_dimension_order(spark, testindex):
+    # testGroupByWithAlphaNumericDimensionOrder: lookup extraction then
+    # ALPHANUMERIC limitSpec ordering (digit runs compare numerically:
+    # health09 < health20 < health55 < health105 < health999)
+    lookup_map = {
+        "automotive": "health105", "business": "health20",
+        "entertainment": "travel47", "health": "health55",
+        "mezzanine": "health09", "news": "health0000",
+        "premium": "health999", "technology": "travel123",
+        "travel": "travel555"}
+    q = gb([{"type": "extraction", "dimension": "quality",
+             "outputName": "alias",
+             "extractionFn": {"type": "lookup", "retainMissingValue":
+                              False, "lookup": {"type": "map",
+                                                "map": lookup_map}}}],
+           [ROWS, {"type": "longSum", "name": "idx",
+                   "fieldName": "index"}],
+           limit_spec={"type": "default", "columns": [
+               {"dimension": "alias",
+                "dimensionOrder": "alphanumeric"}]})
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("__time", "alias", "rows", "idx").collect()]
+    day1 = [("health0000", 1, 121), ("health09", 3, 2870),
+            ("health20", 1, 118), ("health55", 1, 120),
+            ("health105", 1, 135), ("health999", 3, 2900),
+            ("travel47", 1, 158), ("travel123", 1, 78),
+            ("travel555", 1, 119)]
+    day2 = [("health0000", 1, 114), ("health09", 3, 2447),
+            ("health20", 1, 112), ("health55", 1, 113),
+            ("health105", 1, 147), ("health999", 3, 2505),
+            ("travel47", 1, 166), ("travel123", 1, 97),
+            ("travel555", 1, 126)]
+    want = [(dt(2011, 4, 1), a, r, i) for a, r, i in day1] + \
+           [(dt(2011, 4, 2), a, r, i) for a, r, i in day2]
+    check(got, want)
+
+
+def test_postagg_having_spec(spark, testindex):
+    # testPostAggHavingSpec (+ the Merged twin's identical pins):
+    # having on the post-aggregated addRowsIndexConstant
+    q = gb([{"type": "default", "dimension": "quality",
+             "outputName": "alias"}],
+           [ROWS, {"type": "longSum", "name": "index",
+                   "fieldName": "index"}],
+           gran={"type": "period", "period": "P1M"},
+           intervals=["2011-04-02/2011-04-04"],
+           having={"type": "greaterThan",
+                   "aggregation": "addRowsIndexConstant",
+                   "value": 1000})
+    q["postAggregations"] = [
+        {"type": "arithmetic", "name": "addRowsIndexConstant",
+         "fn": "+", "fields": [
+             {"type": "fieldAccess", "fieldName": "rows"},
+             {"type": "fieldAccess", "fieldName": "index"},
+             {"type": "constant", "value": 1}]}]
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("alias", "rows", "index", "addRowsIndexConstant")
+           .orderBy("alias").collect()]
+    check(got, [("mezzanine", 6, 4420, 4427.0),
+                ("premium", 6, 4416, 4423.0)])
+
+
+def test_groupby_with_order_limit_having_spec(spark, testindex):
+    # testGroupByWithOrderLimitHavingSpec: January interval, having
+    # index > 310, ascending order limit 5, with the full
+    # long/double/float min-max matrix
+    q = gb([{"type": "default", "dimension": "quality",
+             "outputName": "alias"}],
+           [ROWS,
+            {"type": "doubleSum", "name": "index", "fieldName": "index"},
+            {"type": "longMin", "name": "lmin", "fieldName": "index"},
+            {"type": "longMax", "name": "lmax", "fieldName": "index"},
+            {"type": "doubleMin", "name": "dmin", "fieldName": "index"},
+            {"type": "doubleMax", "name": "dmax", "fieldName": "index"},
+            {"type": "floatMin", "name": "fmin",
+             "fieldName": "indexFloat"},
+            {"type": "floatMax", "name": "fmax",
+             "fieldName": "indexFloat"}],
+           gran="all", intervals=["2011-01-25/2011-01-28"],
+           having={"type": "greaterThan", "aggregation": "index",
+                   "value": 310},
+           limit_spec={"type": "default", "limit": 5, "columns": [
+               {"dimension": "index"}]})
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("alias", "rows", "index", "lmin", "lmax", "dmin",
+                   "dmax", "fmin", "fmax").collect()]
+    check(got, [
+        ("business", 3, 312.38165283203125, 101, 105, 101.624789,
+         105.873942, 101.62479, 105.87394),
+        ("news", 3, 312.7834167480469, 102, 105, 102.907866,
+         105.266058, 102.90787, 105.26606),
+        ("technology", 3, 324.6412353515625, 102, 116, 102.044542,
+         116.979005, 102.04454, 116.979004),
+        ("travel", 3, 393.36322021484375, 122, 149, 122.077247,
+         149.125271, 122.07725, 149.12527),
+        ("health", 3, 511.2996826171875, 159, 180, 159.988606,
+         180.575246, 159.9886, 180.57524)])

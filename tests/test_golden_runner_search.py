@@ -185,3 +185,66 @@ def test_search_on_time(spark, testindex):
                dims=["__time"])
     assert hits(spark, testindex, q) == {
         ("__time", "1297123200000", 13)}
+
+
+# ---------------------------------------------------------------------------
+# Round-9 tranche: filtered searches, search-all, typed LONG/DOUBLE
+# column searches.
+# ---------------------------------------------------------------------------
+
+def test_search_with_single_filter1(spark, testindex):
+    # testSearchWithSingleFilter1: AND(market, quality) filter narrows
+    # the quality sweep to mezzanine 93
+    q = search(CONTAINS_A, dims=["quality"],
+               filt={"type": "and", "fields": [
+                   {"type": "selector", "dimension": "market",
+                    "value": "total_market"},
+                   {"type": "selector", "dimension": "quality",
+                    "value": "mezzanine"}]})
+    assert hits(spark, testindex, q) == {("quality", "mezzanine", 93)}
+
+
+def test_search_with_filter_empty_results(spark, testindex):
+    # testSearchWithFilterEmptyResults: contradictory AND -> no hits
+    q = search(CONTAINS_A,
+               filt={"type": "and", "fields": [
+                   {"type": "selector", "dimension": "market",
+                    "value": "total_market"},
+                   {"type": "selector", "dimension": "quality",
+                    "value": "automotive"}]})
+    assert hits(spark, testindex, q) == set()
+
+
+def test_search_all(spark, testindex):
+    # testSearchAll: the empty query matches every value
+    want = {("market", "spot", 837), ("market", "total_market", 186),
+            ("market", "upfront", 186)}
+    q = search({"type": "insensitive_contains", "value": ""},
+               dims=["market"])
+    assert hits(spark, testindex, q) == want
+
+
+def test_search_on_long_column(spark, testindex):
+    # testSearchOnLongColumn: __time typed LONG searches stringified
+    # epoch millis
+    q = {"queryType": "search", "dataSource": "testindex",
+         "granularity": "all", "intervals": FULL_ON,
+         "searchDimensions": [
+             {"type": "default", "dimension": "__time",
+              "outputName": "__time", "outputType": "LONG"}],
+         "query": {"type": "insensitive_contains",
+                   "value": "1297123200000"}}
+    assert hits(spark, testindex, q) == {
+        ("__time", "1297123200000", 13)}
+
+
+def test_search_on_float_column(spark, testindex):
+    # testSearchOnFloatColumn: the double metric searched as text
+    q = {"queryType": "search", "dataSource": "testindex",
+         "granularity": "all", "intervals": FULL_ON,
+         "searchDimensions": [
+             {"type": "default", "dimension": "index",
+              "outputName": "index", "outputType": "DOUBLE"}],
+         "query": {"type": "insensitive_contains", "value": "100.7"}}
+    assert hits(spark, testindex, q) == {
+        ("index", "100.706057", 1), ("index", "100.775597", 1)}
