@@ -119,7 +119,20 @@ class _Parser:
         while self.peek()[1] in ("+", "-"):
             op = self.next()[1]
             right = self.parse_mul()
-            left = left + right if op == "+" else left - right
+            if op == "+" and (_is_string_expr(left)
+                              or _is_string_expr(right)):
+                # BinPlusExpr.evalString: '+' with a STRING operand
+                # concatenates (TopNQueryRunnerTest
+                # testFullOnTopNOverPostAggsOnDimension:
+                # "market + 'x'")
+                left = F.concat(left.cast("string"),
+                                right.cast("string"))
+                try:  # chains of string-plus stay string-typed
+                    left.__druid_string__ = True
+                except AttributeError:
+                    pass
+            else:
+                left = left + right if op == "+" else left - right
         return left
 
     def parse_mul(self) -> Column:
@@ -178,8 +191,14 @@ class _Parser:
                 # (ApplyFunctionTest fold-into-[] / FunctionTest
                 # array_append([], 1) -> ['1']); Spark's would be
                 # ARRAY<VOID>, which no operation accepts
-                return F.array().cast("array<string>")
-            return F.array(*items)
+                arr = F.array().cast("array<string>")
+            else:
+                arr = F.array(*items)
+            try:  # tag for value-type-driven dispatch (array_contains)
+                arr.__druid_array__ = True
+            except AttributeError:
+                pass
+            return arr
         if k == "ident":
             if self.peek()[1] == "(":
                 return self._call(v)
@@ -710,22 +729,31 @@ def _fn_round(a, *d):
             .otherwise(rounded))
 
 
+def _is_string_expr(v) -> bool:
+    """Is the built expression a KNOWN string? True for string
+    literals (the parser tags literals with their python value) and
+    for columns tagged by string-returning builders. Bare column refs
+    return False — a column ref keeps numeric '+' semantics unless
+    the OTHER operand is a known string, which is how the reference's
+    golden shapes use string-plus (dim + 'literal')."""
+    if getattr(v, "__druid_string__", False):
+        return True
+    return isinstance(getattr(v, "__druid_literal__", None), str)
+
+
 def _needle_is_array(v) -> bool:
-    """Is the built needle expression array-typed? Resolved via the
-    JVM expression tree when available (a constructed array of
-    literals resolves without schema), with the Column repr sniff as
-    the fallback for environments without _jc (Spark Connect) — the
-    repr path is documented-brittle (ADVICE r8): it matches only the
-    classic local repr format, and an array-typed COLUMN REF keeps
-    single-element semantics (resolving it would need the enclosing
-    DataFrame's schema, which the expression translator doesn't
-    have — Druid's own Function.ArrayContains is value-type-driven)."""
-    try:
-        expr = v._jc.expr()
-        if expr.resolved():
-            return expr.dataType().typeName() == "array"
-    except Exception:  # noqa: BLE001 — Connect / unresolved: fall back
-        pass
+    """Is the built needle expression a KNOWN array? True for array
+    literals — the parser tags them (``__druid_array__``) at build
+    time, which is environment-independent (PySpark 4's classic
+    Column exposes no resolved expression type, and repr formats
+    differ under Spark Connect). The repr sniff remains only as a
+    fallback for array() Columns built outside the parser. An
+    array-typed COLUMN REF keeps single-element semantics — resolving
+    it would need the enclosing DataFrame's schema, which the
+    expression translator doesn't have (Druid's own
+    Function.ArrayContains is value-type-driven)."""
+    if getattr(v, "__druid_array__", False):
+        return True
     return str(v).startswith("Column<'array(")
 
 

@@ -626,3 +626,78 @@ def test_full_on_topn_bound_filter_long_sum_metric(spark, testindex):
          "aggregations": [{"type": "longSum", "name": "Count",
                            "fieldName": "qualityLong"}]}
     assert run(spark, testindex, q, ["Market", "Count"]) == []
+
+
+def test_full_on_topn_over_post_aggs(spark, testindex):
+    # testFullOnTopNOverPostAggs: ordered by the post-aggregated
+    # addRowsIndexConstant
+    q = topn(metric="addRowsIndexConstant", intervals=FULL_ON,
+             aggs=[ROWS, IDX, UNIQUES, MAXI, MINI], postaggs=[ADD_RIC])
+    got = run(spark, testindex, q, COLS + ["maxIndex", "minIndex"])
+    check(got, [
+        ("total_market", 186, 215679.82879638672, UNIQUES_2,
+         215866.82879638672, 1743.92175, 792.3260498046875),
+        ("upfront", 186, 192046.1060180664, UNIQUES_2,
+         192233.1060180664, 1870.061029, 545.9906005859375),
+        ("spot", 837, 95606.57232284546, UNIQUES_9,
+         96444.57232284546, 277.273533, 59.02102279663086)])
+
+
+def test_full_on_topn_over_post_aggs_on_dimension(spark, testindex):
+    # testFullOnTopNOverPostAggsOnDimension: an expression post-agg of
+    # the grouped DIMENSION is a legal order metric (string desc)
+    q = topn(metric="dimPostAgg", intervals=FULL_ON,
+             aggs=[ROWS, IDX, UNIQUES, MAXI, MINI],
+             postaggs=[{"type": "expression", "name": "dimPostAgg",
+                        "expression": "market + 'x'"}])
+    got = run(spark, testindex, q,
+              ["market", "dimPostAgg", "rows", "index"])
+    check(got, [
+        ("upfront", "upfrontx", 186, 192046.1060180664),
+        ("total_market", "total_marketx", 186, 215679.82879638672),
+        ("spot", "spotx", 837, 95606.57232284546)])
+
+
+def test_full_on_topn_over_uniques(spark, testindex):
+    # testFullOnTopNOverUniques: ordered by the hyperUnique estimate,
+    # the (2, 2) tie broken dimension-ascending
+    q = topn(metric="uniques", threshold=3, intervals=FULL_ON,
+             aggs=[ROWS, IDX, UNIQUES, MAXI, MINI], postaggs=[ADD_RIC])
+    got = run(spark, testindex, q, COLS)
+    check(got, [
+        ("spot", 837, 95606.57232284546, UNIQUES_9,
+         96444.57232284546),
+        ("total_market", 186, 215679.82879638672, UNIQUES_2,
+         215866.82879638672),
+        ("upfront", 186, 192046.1060180664, UNIQUES_2,
+         192233.1060180664)])
+
+
+def test_topn_over_hyperunique_expression(spark, testindex):
+    # testTopNOverHyperUniqueExpression (+ the Rounded twin): an
+    # expression post-agg over the hyperUnique readout both computes
+    # and orders
+    q = topn(metric="finalizedUniques", threshold=3, intervals=FULL_ON,
+             aggs=[UNIQUES],
+             postaggs=[{"type": "expression", "name": "finalizedUniques",
+                        "expression": '"uniques" + 1'}])
+    got = run(spark, testindex, q,
+              ["market", "uniques", "finalizedUniques"])
+    check(got, [
+        ("spot", UNIQUES_9, UNIQUES_9 + 1),
+        ("total_market", UNIQUES_2, UNIQUES_2 + 1),
+        ("upfront", UNIQUES_2, UNIQUES_2 + 1)])
+
+
+def test_topn_with_extraction_filter(spark, testindex):
+    # testTopNWithExtractionFilter: a lookup-map extraction filter
+    # (spot -> spot0) matches only spot
+    q = topn(metric="rows", threshold=3, postaggs=[ADD_RIC],
+             filt={"type": "extraction", "dimension": "market",
+                   "value": "spot0",
+                   "extractionFn": {
+                       "type": "lookup", "retainMissingValue": False,
+                       "lookup": {"type": "map",
+                                  "map": {"spot": "spot0"}}}})
+    got = run(spark, testindex, q, COLS)
+    check(got, [("spot", 18, 2231.876812, UNIQUES_9, 2250.876812)])
