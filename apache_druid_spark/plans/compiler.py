@@ -662,7 +662,13 @@ def compile_groupby(q: dict, registry: DatasourceRegistry) -> DataFrame:
     having = q.get("having")
     if having is not None:
         out = out.filter(compile_having(having, out, registry))
-    default_order = ([F.col(TIME_COLUMN).asc()] if bucket is not None else None)
+    # natural row ordering (GroupByQuery.getRowOrdering): time bucket,
+    # then dimensions — a limitSpec with ONLY limit/offset pages over
+    # this order (testMergeResultsWithLimitAndOffset)
+    default_order = ([F.col(TIME_COLUMN).asc()]
+                     if bucket is not None else []) + \
+        [fcol(c).asc() for c in dim_names]
+    default_order = default_order or None
     out = apply_limit_spec(
         out, q.get("limitSpec"), default_order,
         dim_names=list(group_names),

@@ -694,3 +694,64 @@ def test_groupby_with_order_limit_having_spec(spark, testindex):
          149.125271, 122.07725, 149.12527),
         ("health", 3, 511.2996826171875, 159, 180, 159.988606,
          180.575246, 159.9886, 180.57524)])
+
+
+def test_groupby_with_string_virtual_column(spark, testindex):
+    # testGroupByWithStringVirtualColumn: STRING-typed expression VC
+    # "quality + 'x'" (string-plus concatenation) as the dimension
+    q = gb([{"type": "default", "dimension": "vc",
+             "outputName": "alias"}],
+           [ROWS, {"type": "longSum", "name": "idx",
+                   "fieldName": "index"}])
+    q["virtualColumns"] = [{"type": "expression", "name": "vc",
+                            "expression": "quality + 'x'",
+                            "outputType": "STRING"}]
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("__time", "alias", "rows", "idx")
+           .orderBy("__time", "alias").collect()]
+    check(got, [(d, a + "x", r, i) for d, a, r, i, *_ in GROUPBY_ROWS])
+
+
+def test_groupby_with_simple_rename(spark, testindex):
+    # testGroupByWithSimpleRename* family (the four retainMissing/
+    # injective flag variants share these pins): full-map lookup
+    # extraction renames every quality
+    lookup_map = {q: q + "0" for q in (
+        "automotive business entertainment health mezzanine news "
+        "premium technology travel".split())}
+    q = gb([{"type": "extraction", "dimension": "quality",
+             "outputName": "alias",
+             "extractionFn": {"type": "lookup",
+                              "retainMissingValue": True,
+                              "lookup": {"type": "map",
+                                         "map": lookup_map}}}],
+           [ROWS, {"type": "longSum", "name": "idx",
+                   "fieldName": "index"}])
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("__time", "alias", "rows", "idx")
+           .orderBy("__time", "alias").collect()]
+    check(got, [(d, a + "0", r, i) for d, a, r, i, *_ in GROUPBY_ROWS])
+
+
+@pytest.mark.parametrize("limit,offset", [
+    (5, 0), (5, 3), (3, 7), (20, 5), (19, 0), (1, 8)])
+def test_merge_results_with_limit_and_offset(spark, testindex, limit,
+                                             offset):
+    # testMergeResultsWithLimitAndOffset: a limitSpec carrying ONLY
+    # limit/offset pages over the natural (time, dimension) ordering
+    q = gb([{"type": "default", "dimension": "quality",
+             "outputName": "alias"}],
+           [ROWS, {"type": "longSum", "name": "idx",
+                   "fieldName": "index"}],
+           gran={"type": "period", "period": "P1M"},
+           intervals=["2011-04-02/2011-04-04"],
+           limit_spec={"type": "default", "limit": limit,
+                       "offset": offset})
+    full = [("automotive", 2, 269), ("business", 2, 217),
+            ("entertainment", 2, 319), ("health", 2, 216),
+            ("mezzanine", 6, 4420), ("news", 2, 221),
+            ("premium", 6, 4416), ("technology", 2, 177),
+            ("travel", 2, 243)]
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("alias", "rows", "idx").collect()]
+    check(got, full[offset:offset + limit])
