@@ -701,3 +701,20 @@ def test_topn_with_extraction_filter(spark, testindex):
                                   "map": {"spot": "spot0"}}}})
     got = run(spark, testindex, q, COLS)
     check(got, [("spot", 18, 2231.876812, UNIQUES_9, 2250.876812)])
+
+
+def test_alphanumeric_topn_with_null_previous_stop(spark, testindex):
+    # testAlphaNumericTopNWithNullPreviousStop +
+    # testNumericDimensionTopNWithNullPreviousStop: a dimension metric
+    # spec with NO previousStop pages from the beginning in both
+    # comparators
+    for ordering in ("alphanumeric", "numeric"):
+        q = {"queryType": "topN", "dataSource": "testindex",
+             "granularity": "all",
+             "dimension": "market",
+             "metric": {"type": "dimension", "ordering": ordering,
+                        "previousStop": None},
+             "threshold": 2, "intervals": ["2011-04-02/2011-04-03"],
+             "aggregations": [ROWS]}
+        got = run(spark, testindex, q, ["market", "rows"])
+        assert got == [("spot", 9), ("total_market", 2)], ordering

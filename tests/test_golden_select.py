@@ -546,3 +546,66 @@ def test_select_distinct_with_sort_as_outer_query2(spark, reg):
     """)
     assert sorted(out, key=lambda t: (t[0] is not None, t[0])) == [
         (None,), ("",), ("a",), ("abc",)]
+
+
+# ---------------------------------------------------------------------------
+# Round-9: the lotsocolumns (DATASOURCE5) fixture — unblocked by the
+# frozen-CURRENT_TIMESTAMP context.
+# ---------------------------------------------------------------------------
+
+LOTSO_SCHEMA = T.StructType([
+    T.StructField("__time", T.TimestampType()),
+    T.StructField("count", T.LongType()),
+    T.StructField("dimHyperUnique", T.StringType()),
+    T.StructField("dimMultivalEnumerated", T.ArrayType(T.StringType())),
+    T.StructField("dimMultivalEnumerated2", T.ArrayType(T.StringType())),
+    T.StructField("dimMultivalSequentialWithNulls",
+                  T.ArrayType(T.StringType())),
+    T.StructField("dimSequential", T.StringType()),
+    T.StructField("dimSequentialHalfNull", T.StringType()),
+    T.StructField("dimUniform", T.StringType()),
+    T.StructField("dimZipf", T.StringType()),
+    T.StructField("metFloatNormal", T.FloatType()),
+    T.StructField("metFloatZipf", T.FloatType()),
+    T.StructField("metLongSequential", T.LongType()),
+    T.StructField("metLongUniform", T.LongType()),
+])
+
+# CalciteTests.ROWS_LOTS_OF_COLUMNS (:668) post-ingest: MV values sort
+LOTSO_ROWS = [
+    (datetime(2019, 12, 14, 7), 1, "0",
+     ["Baz", "Baz", "Hello", "World"], [None, "Apple", "Orange"],
+     ["1", "2", "3", "4", "5", "6", "7", "8"], "0", "0", "74416",
+     "27", 5000.0, 147.0, 0, 372),
+    (datetime(2019, 12, 14, 7), 1, "8",
+     ["Baz", "World", "ㅑ ㅓ ㅕ ㅗ ㅛ ㅜ ㅠ ㅡ ㅣ"],
+     [None, "Corundum", "Xylophone"], None, "8", None, "50515", "9",
+     4999.0, 25.0, 8, 252),
+]
+
+
+def test_select_limit_wrapping_lotsocolumns(spark):
+    # testSelectLimitWrappingAgainAkaIDontReallyQuiteUnderstandCalcite
+    # QueryPlanning (CalciteSelectQueryTest.java:1597): the 13- and
+    # 14-column selects over lotsocolumns with an auto outer limit and
+    # a frozen-clock interval filter
+    reg = DatasourceRegistry(spark)
+    reg.register("lotsocolumns",
+                 spark.createDataFrame(LOTSO_ROWS, LOTSO_SCHEMA))
+    base_cols = ('"__time", "count", "dimHyperUnique", '
+                 '"dimMultivalEnumerated", "dimMultivalEnumerated2", '
+                 '"dimMultivalSequentialWithNulls", "dimSequential", '
+                 '"dimSequentialHalfNull", "dimUniform", "dimZipf", '
+                 '"metFloatNormal", "metFloatZipf", "metLongSequential"')
+    ctx = {"sqlCurrentTimestamp": "2000-01-01T00:00:00Z",
+           "sqlOuterLimit": 2}
+    for extra in ("", ', "metLongUniform"'):
+        out = druid_sql(spark, f"""
+            SELECT {base_cols}{extra} FROM druid.lotsocolumns
+            WHERE __time >= CURRENT_TIMESTAMP - INTERVAL '10' YEAR
+        """, reg, context=ctx)
+        rows = sorted(out.collect(), key=lambda r: r["dimSequential"])
+        assert len(rows) == 2
+        for got, want in zip(rows, LOTSO_ROWS):
+            vals = list(want[:13]) + ([want[13]] if extra else [])
+            assert [got[i] for i in range(len(vals))] == vals
