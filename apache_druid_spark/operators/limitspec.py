@@ -83,14 +83,21 @@ def apply_limit_spec(df: DataFrame, spec: dict | None,
     ordered_dims = set()
     for oc in spec.get("columns", []):
         if isinstance(oc, str):
-            order_cols.append(fcol(oc).asc())
-            ordered_dims.add(oc)
-            continue
+            oc = {"dimension": oc}
         dim = oc["dimension"]
         ordered_dims.add(dim)
         direction = oc.get("direction", "ascending").lower()
-        comparator = oc.get("dimensionOrder", "lexicographic")
-        key = _sort_key(fcol(dim), comparator)
+        comparator = oc.get("dimensionOrder")
+        if comparator is None and dim_names is not None \
+                and dim not in dim_names:
+            # a METRIC/post-agg column with no explicit comparator
+            # orders by the aggregator's NATURAL comparator, not the
+            # lexicographic dimension default (DefaultLimitSpec.
+            # makeComparator; testMergeResultsAcrossMultipleDaysWith
+            # LimitAndOrderBy: longSum 78 sorts below 2900)
+            key = fcol(dim)
+        else:
+            key = _sort_key(fcol(dim), comparator or "lexicographic")
         order_cols.append(key.desc() if direction.startswith("desc") else key.asc())
 
     if order_cols:

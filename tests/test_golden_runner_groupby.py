@@ -755,3 +755,55 @@ def test_merge_results_with_limit_and_offset(spark, testindex, limit,
     got = [tuple(r) for r in compile_query(q, testindex)
            .select("alias", "rows", "idx").collect()]
     check(got, full[offset:offset + limit])
+
+
+def test_merge_results_across_days_with_limit_and_order_by(
+        spark, testindex):
+    # testMergeResultsAcrossMultipleDaysWithLimitAndOrderBy: time
+    # bucket outranks the idx-descending order; limit 14 truncates
+    # inside the second day
+    q = gb([{"type": "default", "dimension": "quality",
+             "outputName": "alias"}],
+           [ROWS, {"type": "longSum", "name": "idx",
+                   "fieldName": "index"}],
+           limit_spec={"type": "default", "limit": 14, "columns": [
+               {"dimension": "idx", "direction": "descending"}]})
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("__time", "alias", "rows", "idx").collect()]
+    d1, d2 = dt(2011, 4, 1), dt(2011, 4, 2)
+    check(got, [
+        (d1, "premium", 3, 2900), (d1, "mezzanine", 3, 2870),
+        (d1, "entertainment", 1, 158), (d1, "automotive", 1, 135),
+        (d1, "news", 1, 121), (d1, "health", 1, 120),
+        (d1, "travel", 1, 119), (d1, "business", 1, 118),
+        (d1, "technology", 1, 78),
+        (d2, "premium", 3, 2505), (d2, "mezzanine", 3, 2447),
+        (d2, "entertainment", 1, 166), (d2, "automotive", 1, 147),
+        (d2, "travel", 1, 126)])
+
+
+def test_merge_results_across_days_order_by_math_expression(
+        spark, testindex):
+    # ...UsingMathExpressions: longSum over the FLOAT virtual column
+    # "index * 2 + indexMin / 10"
+    q = gb([{"type": "default", "dimension": "quality",
+             "outputName": "alias"}],
+           [ROWS, {"type": "longSum", "name": "idx",
+                   "fieldName": "expr"}],
+           limit_spec={"type": "default", "limit": 14, "columns": [
+               {"dimension": "idx", "direction": "descending"}]})
+    q["virtualColumns"] = [{"type": "expression", "name": "expr",
+                            "expression": '"index" * 2 + "indexMin" / 10',
+                            "outputType": "FLOAT"}]
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("__time", "alias", "rows", "idx").collect()]
+    d1, d2 = dt(2011, 4, 1), dt(2011, 4, 2)
+    check(got, [
+        (d1, "premium", 3, 6090), (d1, "mezzanine", 3, 6030),
+        (d1, "entertainment", 1, 333), (d1, "automotive", 1, 285),
+        (d1, "news", 1, 255), (d1, "health", 1, 252),
+        (d1, "travel", 1, 251), (d1, "business", 1, 248),
+        (d1, "technology", 1, 165),
+        (d2, "premium", 3, 5262), (d2, "mezzanine", 3, 5141),
+        (d2, "entertainment", 1, 348), (d2, "automotive", 1, 309),
+        (d2, "travel", 1, 265)])
