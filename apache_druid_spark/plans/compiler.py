@@ -363,8 +363,11 @@ def compile_timeseries(q: dict, registry: DatasourceRegistry) -> DataFrame:
     (ALL eternity) would explode the generated sequence."""
     df = _base_frame(q, registry)
     aggs = compile_aggregations(q.get("aggregations", []), df, registry)
-    if not aggs:
-        aggs = [F.count(F.lit(1)).alias("count")]
+    no_aggs = not aggs
+    if no_aggs:
+        # aggregator-less timeseries returns bare bucket timestamps
+        # (testTimeseriesNoAggregators: empty value maps)
+        aggs = [F.count(F.lit(1)).alias("__ts_rows")]
     bucket = _granularity_bucket(q)
     if bucket is None:
         out = df.agg(*aggs)
@@ -376,6 +379,8 @@ def compile_timeseries(q: dict, registry: DatasourceRegistry) -> DataFrame:
                  .agg(*aggs))
         if q.get("context", {}).get("skipEmptyBuckets", True) is False:
             out = _zero_fill(out, q, registry, bucket[1], tz)
+    if no_aggs:
+        out = out.drop("__ts_rows")
     out = apply_post_aggregations(out, q.get("postAggregations", []), registry)
     desc = bool(q.get("descending", False))
     out = out.orderBy(F.col(TIME_COLUMN).desc() if desc

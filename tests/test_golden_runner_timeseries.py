@@ -409,3 +409,77 @@ def test_timeseries_beyond_time_range_of_data(spark, testindex):
                          "fieldName": "index"}],
                  intervals=["2015-01-01/2015-01-10"], gran="day")
     assert run(spark, testindex, q) == []
+
+
+# ---------------------------------------------------------------------------
+# Round-9 tranche: in/bound/lookup-extraction filters, limit,
+# aggregator-less timeseries.
+# ---------------------------------------------------------------------------
+
+def test_timeseries_with_in_filter(spark, testindex):
+    # testTimeseriesWithInFilter: an IN list with one unmatched value
+    q = ts_query(
+        [ROWS, {"type": "longSum", "name": "idx", "fieldName": "index"},
+         UNIQUES],
+        filt={"type": "in", "dimension": "market",
+              "values": ["spot", "upfront", "total_market",
+                         "billyblank"]})
+    got = run(spark, testindex, q)
+    check(got, [(dt(2011, 4, 1), 13, 6619, UNIQUES_9),
+                (dt(2011, 4, 2), 13, 5827, UNIQUES_9)])
+
+
+def test_timeseries_with_bound_filter1(spark, testindex):
+    # testTimeseriesWithBoundFilter1: three ANDed lexicographic bounds
+    # pin exactly market='spot'
+    q = ts_query(
+        [ROWS, {"type": "longSum", "name": "idx", "fieldName": "index"},
+         UNIQUES],
+        filt={"type": "and", "fields": [
+            {"type": "bound", "dimension": "market", "lower": "spa",
+             "upper": "spot", "lowerStrict": True,
+             "ordering": "lexicographic"},
+            {"type": "bound", "dimension": "market", "lower": "spot",
+             "upper": "spotify", "upperStrict": True,
+             "ordering": "lexicographic"},
+            {"type": "bound", "dimension": "market", "lower": "SPOT",
+             "upper": "spot", "ordering": "lexicographic"}]})
+    got = run(spark, testindex, q)
+    check(got, [(dt(2011, 4, 1), 9, 1102, UNIQUES_9),
+                (dt(2011, 4, 2), 9, 1120, UNIQUES_9)])
+
+
+def test_timeseries_selection_filter_lookup_extraction(spark,
+                                                       testindex):
+    # testTimeSeriesWithSelectionFilterLookupExtractionFn: selector
+    # through a retain-missing lookup (spot -> upfront) matches both
+    # spot and upfront rows
+    q = ts_query(
+        [ROWS, {"type": "longSum", "name": "idx", "fieldName": "index"},
+         UNIQUES],
+        filt={"type": "selector", "dimension": "market",
+              "value": "upfront",
+              "extractionFn": {"type": "lookup",
+                               "retainMissingValue": True,
+                               "lookup": {"type": "map",
+                                          "map": {"spot": "upfront"}}}})
+    got = run(spark, testindex, q)
+    check(got, [(dt(2011, 4, 1), 11, 3783, UNIQUES_9),
+                (dt(2011, 4, 2), 11, 3313, UNIQUES_9)])
+
+
+def test_timeseries_with_limit(spark, testindex):
+    # testTimeseriesWithLimit: day buckets capped at 10
+    q = ts_query([ROWS, UNIQUES], intervals=["1970-01-01/2020-01-01"])
+    q["limit"] = 10
+    assert len(compile_query(q, testindex).collect()) == 10
+
+
+def test_timeseries_no_aggregators(spark, testindex):
+    # testTimeseriesNoAggregators: bare bucket timestamps, last is the
+    # data's final day
+    q = ts_query([], intervals=["1970-01-01/2020-01-01"])
+    out = compile_query(q, testindex)
+    assert out.columns == ["__time"]
+    rows = out.collect()
+    assert rows[-1]["__time"] == dt(2011, 4, 15)
