@@ -1585,6 +1585,31 @@ def _hyperunique_complex_requery(spark, sf_dir):
     return df.select("event_type", F.col("uniq").cast("long").alias("uniq"))
 
 
+@_q("sql_frozen_current_timestamp", """
+SELECT o_orderpriority,
+       COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '2000-07-01 00:00:00'
+GROUP BY 1 ORDER BY 1
+""")
+def _sql_frozen_current_timestamp(spark, sf_dir):
+    """sqlCurrentTimestamp (r9): CURRENT_TIMESTAMP renders as the
+    frozen planner instant (BaseCalciteQueryTest pins 2000-01-01T00Z),
+    so interval arithmetic against it is deterministic — the oracle
+    uses the resolved literals. Also exercises YEAR/MONTH interval
+    literal arithmetic through the dialect."""
+    return druid_sql(spark, """
+        SELECT o_orderpriority,
+               COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders
+        WHERE o_orderdate >= CURRENT_TIMESTAMP - INTERVAL '3' YEAR
+          AND o_orderdate < CURRENT_TIMESTAMP + INTERVAL '6' MONTH
+        GROUP BY 1 ORDER BY 1
+    """, _registry(spark, sf_dir),
+        context={"sqlCurrentTimestamp": "2000-01-01T00:00:00Z"})
+
+
 @_q("theta_rollup_merge", """
 SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uniq_users
 FROM events GROUP BY 1
@@ -4629,7 +4654,7 @@ _R08_WINDOW = (
 # prepended. The 23 r5 entries left over rotate in next round.
 _R09_WINDOW = (
     # new r9 entries — never driver-checked, verify first
-    'hyperunique_complex_requery',
+    'hyperunique_complex_requery', 'sql_frozen_current_timestamp',
     # r4-evidence cohort (all 23)
     'asof_join_events', 'corpus_top_ngrams', 'decontaminate_report',
     'dedup_components_star', 'dedup_edit_distance',

@@ -483,3 +483,18 @@ def test_timeseries_no_aggregators(spark, testindex):
     assert out.columns == ["__time"]
     rows = out.collect()
     assert rows[-1]["__time"] == dt(2011, 4, 15)
+
+
+def test_time_boundary_bounds(spark, testindex):
+    # TimeBoundaryQueryRunnerTest.testTimeBoundaryMax / Min: a bound
+    # restricts the output to one side
+    qmax = {"queryType": "timeBoundary", "dataSource": "testindex",
+            "bound": "maxTime"}
+    row = compile_query(qmax, testindex).collect()[0]
+    assert row["maxTime"] == dt(2011, 4, 15)
+    assert "minTime" not in row.asDict() or row["minTime"] is None
+    qmin = {"queryType": "timeBoundary", "dataSource": "testindex",
+            "bound": "minTime"}
+    row = compile_query(qmin, testindex).collect()[0]
+    assert row["minTime"] == dt(2011, 1, 12)
+    assert "maxTime" not in row.asDict() or row["maxTime"] is None
