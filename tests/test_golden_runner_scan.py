@@ -92,3 +92,34 @@ def test_full_select_no_results(spark, testindex):
             {"type": "selector", "dimension": "market",
              "value": "foo"}]}), testindex)
     assert df.count() == 0
+
+
+def test_select_with_filter_lookup_extraction_fn(spark, testindex):
+    # testSelectWithFilterLookupExtractionFn: selector 'replaced'
+    # through lookup(total_market -> replaced); quality/index columns
+    df = compile_query(scan(
+        columns=["quality", "index"],
+        intervals=["2011-01-12/2011-01-14"],
+        filt={"type": "selector", "dimension": "market",
+              "value": "replaced",
+              "extractionFn": {"type": "lookup",
+                               "retainMissingValue": False,
+                               "lookup": {"type": "map", "map": {
+                                   "total_market": "replaced"}}}}),
+        testindex)
+    got = sorted((r["quality"], round(float(r["index"]), 6))
+                 for r in df.collect())
+    assert got == [("mezzanine", 1000.0), ("mezzanine", 1040.945505),
+                   ("premium", 1000.0), ("premium", 1689.012875)]
+
+
+def test_full_select_no_dimension_and_metric(spark, testindex):
+    # testFullSelectNoDimensionAndMetric: nonexistent projection
+    # columns come back as all-null STRING columns, one per row
+    df = compile_query(scan(columns=["foo", "foo2"],
+                            intervals=["2011-01-12/2011-01-14"]),
+                       testindex)
+    assert df.columns == ["foo", "foo2"]
+    rows = df.collect()
+    assert len(rows) == 26
+    assert all(r["foo"] is None and r["foo2"] is None for r in rows)
