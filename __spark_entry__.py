@@ -2280,9 +2280,11 @@ def _info_schema_columns(spark, sf_dir):
 @_q("info_schema_lookup_catalog", """
 SELECT * FROM (VALUES
   ('lookup', 'nation_name', 'k', 'VARCHAR'),
-  ('lookup', 'nation_name', 'v', 'VARCHAR')
+  ('lookup', 'nation_name', 'v', 'VARCHAR'),
+  ('lookup', 'region_partial', 'k', 'VARCHAR'),
+  ('lookup', 'region_partial', 'v', 'VARCHAR')
 ) AS t(table_schema, table_name, column_name, data_type)
-ORDER BY column_name
+ORDER BY table_name, column_name
 """)
 def _info_schema_lookup_catalog(spark, sf_dir):
     """Lookup catalog introspection (VERDICT r5 #8): every registered
@@ -2297,7 +2299,7 @@ def _info_schema_lookup_catalog(spark, sf_dir):
                COLUMN_NAME AS column_name, DATA_TYPE AS data_type
         FROM INFORMATION_SCHEMA.COLUMNS
         WHERE TABLE_SCHEMA = 'lookup'
-        ORDER BY column_name
+        ORDER BY table_name, column_name
     """, _registry(spark, sf_dir))
 
 
@@ -4655,6 +4657,9 @@ _R08_WINDOW = (
 _R09_WINDOW = (
     # new r9 entries — never driver-checked, verify first
     'hyperunique_complex_requery', 'sql_frozen_current_timestamp',
+    # oracle updated in r9 (region_partial joined the lookup catalog
+    # in r8 without a window slot): re-verify
+    'info_schema_lookup_catalog',
     # r4-evidence cohort (all 23)
     'asof_join_events', 'corpus_top_ngrams', 'decontaminate_report',
     'dedup_components_star', 'dedup_edit_distance',
