@@ -718,3 +718,114 @@ def test_alphanumeric_topn_with_null_previous_stop(spark, testindex):
              "aggregations": [ROWS]}
         got = run(spark, testindex, q, ["market", "rows"])
         assert got == [("spot", 9), ("total_market", 2)], ordering
+
+
+def test_topn_dependent_post_agg(spark, testindex):
+    # testTopNDependentPostAgg: a post-agg referencing ANOTHER
+    # post-agg's output (1 + addRowsIndexConstant + rows), ordered by
+    # the dependent metric, plus the hyperUnique finalizing post-agg
+    q = topn(metric="dependentPostAgg", intervals=FULL_ON,
+             aggs=[ROWS, IDX, UNIQUES, MAXI, MINI],
+             postaggs=[
+                 ADD_RIC,
+                 {"type": "arithmetic", "name": "dependentPostAgg",
+                  "fn": "+", "fields": [
+                      {"type": "constant", "value": 1},
+                      {"type": "fieldAccess",
+                       "fieldName": "addRowsIndexConstant"},
+                      {"type": "fieldAccess", "fieldName": "rows"}]},
+                 {"type": "arithmetic",
+                  "name": "hyperUniqueFinalizingPostAggMetric",
+                  "fn": "+", "fields": [
+                      {"type": "hyperUniqueCardinality",
+                       "fieldName": "uniques"},
+                      {"type": "constant", "value": 1}]}])
+    got = run(spark, testindex, q,
+              ["market", "rows", "index", "addRowsIndexConstant",
+               "dependentPostAgg", "uniques",
+               "hyperUniqueFinalizingPostAggMetric", "maxIndex",
+               "minIndex"])
+    check(got, [
+        ("total_market", 186, 215679.82879638672, 215866.82879638672,
+         216053.82879638672, UNIQUES_2, UNIQUES_2 + 1.0, 1743.92175,
+         792.3260498046875),
+        ("upfront", 186, 192046.1060180664, 192233.1060180664,
+         192420.1060180664, UNIQUES_2, UNIQUES_2 + 1.0, 1870.061029,
+         545.9906005859375),
+        ("spot", 837, 95606.57232284546, 96444.57232284546,
+         97282.57232284546, UNIQUES_9, UNIQUES_9 + 1.0, 277.273533,
+         59.02102279663086)])
+
+
+def test_topn_lexicographic_dim_extraction(spark, testindex):
+    # testTopNLexicographicDimExtraction: regex first-letter extraction
+    # with lexicographic dimension ordering
+    q = topn(dim={"type": "extraction", "dimension": "market",
+                  "outputName": "market",
+                  "extractionFn": {"type": "regex", "expr": "(.)"}},
+             metric={"type": "dimension", "ordering": "lexicographic"},
+             postaggs=[ADD_RIC])
+    check(run(spark, testindex, q, COLS), [
+        ("s", 18, 2231.876812, UNIQUES_9, 2250.876812),
+        ("t", 4, 5351.814783, UNIQUES_2, 5356.814783),
+        ("u", 4, 4875.669692, UNIQUES_2, 4880.669692)])
+
+
+def test_inverted_topn_lexicographic_dim_extraction2(spark, testindex):
+    # testInvertedTopNLexicographicDimExtraction2: third-letter regex,
+    # inverted lexicographic (t > o > f)
+    q = topn(dim={"type": "extraction", "dimension": "market",
+                  "outputName": "market",
+                  "extractionFn": {"type": "regex", "expr": "..(.)"}},
+             metric={"type": "inverted",
+                     "metric": {"type": "dimension",
+                                "ordering": "lexicographic"}},
+             postaggs=[ADD_RIC])
+    check(run(spark, testindex, q, COLS), [
+        ("t", 4, 5351.814783, UNIQUES_2, 5356.814783),
+        ("o", 18, 2231.876812, UNIQUES_9, 2250.876812),
+        ("f", 4, 4875.669692, UNIQUES_2, 4880.669692)])
+
+
+def test_topn_lexicographic_dim_extraction_previous_stop(spark,
+                                                         testindex):
+    # testTopNLexicographicDimExtractionWithPreviousStop (+ the
+    # sorting-preserved twin): first-letter extraction, cursor 's'
+    q = topn(dim={"type": "extraction", "dimension": "market",
+                  "outputName": "market",
+                  "extractionFn": {"type": "regex", "expr": "(.)"}},
+             metric={"type": "dimension", "ordering": "lexicographic",
+                     "previousStop": "s"},
+             postaggs=[ADD_RIC])
+    check(run(spark, testindex, q, COLS), [
+        ("t", 4, 5351.814783, UNIQUES_2, 5356.814783),
+        ("u", 4, 4875.669692, UNIQUES_2, 4880.669692)])
+
+
+def test_inverted_topn_lexicographic_dim_extraction_previous_stop(
+        spark, testindex):
+    # testInvertedTopNLexicographicDimExtractionWithPreviousStop:
+    # cursor 'u' descending -> t, s; ...WithPreviousStop2: third
+    # letter, cursor 'p' descending -> o, f
+    q = topn(dim={"type": "extraction", "dimension": "market",
+                  "outputName": "market",
+                  "extractionFn": {"type": "regex", "expr": "(.)"}},
+             metric={"type": "inverted",
+                     "metric": {"type": "dimension",
+                                "ordering": "lexicographic",
+                                "previousStop": "u"}},
+             postaggs=[ADD_RIC])
+    check(run(spark, testindex, q, COLS), [
+        ("t", 4, 5351.814783, UNIQUES_2, 5356.814783),
+        ("s", 18, 2231.876812, UNIQUES_9, 2250.876812)])
+    q2 = topn(dim={"type": "extraction", "dimension": "market",
+                   "outputName": "market",
+                   "extractionFn": {"type": "regex", "expr": "..(.)"}},
+              metric={"type": "inverted",
+                      "metric": {"type": "dimension",
+                                 "ordering": "lexicographic",
+                                 "previousStop": "p"}},
+              postaggs=[ADD_RIC])
+    check(run(spark, testindex, q2, COLS), [
+        ("o", 18, 2231.876812, UNIQUES_9, 2250.876812),
+        ("f", 4, 4875.669692, UNIQUES_2, 4880.669692)])
