@@ -807,3 +807,66 @@ def test_merge_results_across_days_order_by_math_expression(
         (d2, "premium", 3, 5262), (d2, "mezzanine", 3, 5141),
         (d2, "entertainment", 1, 348), (d2, "automotive", 1, 309),
         (d2, "travel", 1, 265)])
+
+
+def test_subquery_with_extraction_fn_in_outer_query(spark, testindex):
+    # testSubqueryWithExtractionFnInOuterQuery (druid #2556): regex
+    # extraction with replaceMissingValue='a' over the inner aliases
+    # collapses everything to one 'a' group per day
+    q = {"queryType": "groupBy",
+         "dataSource": {"type": "query", "query": _identical_subquery()},
+         "granularity": "day", "intervals": FIRST_TO_THIRD,
+         "dimensions": [{"type": "extraction", "dimension": "alias",
+                         "outputName": "alias",
+                         "extractionFn": {
+                             "type": "regex", "expr": "(a).*",
+                             "replaceMissingValue": True,
+                             "replaceMissingValueWith": "a"}}],
+         "aggregations": [
+             {"type": "longSum", "name": "rows", "fieldName": "rows"},
+             {"type": "longSum", "name": "idx", "fieldName": "idx"}]}
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("__time", "alias", "rows", "idx")
+           .orderBy("__time").collect()]
+    check(got, [(dt(2011, 4, 1), "a", 13, 6619),
+                (dt(2011, 4, 2), "a", 13, 5827)])
+
+
+def test_different_grouping_subquery(spark, testindex):
+    # testDifferentGroupingSubquery: the outer query drops the inner
+    # dimension and doubleMax-es the inner sums per day; then the same
+    # with the inner reading a FLOAT virtual column "-index + 100"
+    inner = _identical_subquery()
+    del inner["filter"]
+    outer = {"queryType": "groupBy",
+             "dataSource": {"type": "query", "query": inner},
+             "granularity": "day", "intervals": FIRST_TO_THIRD,
+             "dimensions": [],
+             "aggregations": [
+                 ROWS,
+                 {"type": "doubleMax", "name": "idx",
+                  "fieldName": "idx"},
+                 {"type": "doubleMax", "name": "indexMaxPlusTen",
+                  "fieldName": "indexMaxPlusTen"}]}
+    got = [tuple(r) for r in compile_query(outer, testindex)
+           .select("__time", "rows", "idx", "indexMaxPlusTen")
+           .orderBy("__time").collect()]
+    check(got, [(dt(2011, 4, 1), 9, 2900.0, 2930.0),
+                (dt(2011, 4, 2), 9, 2505.0, 2535.0)])
+
+    inner2 = dict(inner)
+    inner2["virtualColumns"] = [{"type": "expression", "name": "expr",
+                                 "expression": '-"index" + 100',
+                                 "outputType": "FLOAT"}]
+    inner2["aggregations"] = [
+        ROWS,
+        {"type": "longSum", "name": "idx", "fieldName": "expr"},
+        {"type": "longSum", "name": "indexMaxPlusTen",
+         "fieldName": "indexMaxPlusTen"}]
+    outer2 = dict(outer)
+    outer2["dataSource"] = {"type": "query", "query": inner2}
+    got2 = [tuple(r) for r in compile_query(outer2, testindex)
+            .select("__time", "rows", "idx", "indexMaxPlusTen")
+            .orderBy("__time").collect()]
+    check(got2, [(dt(2011, 4, 1), 9, 21.0, 2930.0),
+                 (dt(2011, 4, 2), 9, 2.0, 2535.0)])
