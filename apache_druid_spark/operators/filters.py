@@ -63,13 +63,17 @@ def _dim_predicate(df: DataFrame | None, dim: str, pred, extraction_fn=None) -> 
                       F.coalesce(null_case, F.lit(False))
                       ).otherwise(F.exists(col, lambda e: full(e)))
     col = fcol(dim)
-    if (dim == "__time" and df is not None and "__time" in df.columns
+    if (dim == "__time" and extraction_fn is None and df is not None
+            and "__time" in df.columns
             and isinstance(df.schema["__time"].dataType,
                            T.TimestampType)):
-        # Druid's __time is a LONG of epoch millis: value filters
+        # Druid's __time is a LONG of epoch millis: BARE value filters
         # (selector/bound/in) compare against the stringified millis
         # (GroupByQueryRunnerTest.testDimFilterHavingSpec selects
-        # __time = '1301616000000')
+        # __time = '1301616000000'). With an extractionFn the
+        # timestamp passes through — this engine's extraction fns
+        # (timeFormat etc.) consume timestamps directly
+        # (testSubqueryWithOuterTimeFilter filters EEEE='Friday').
         col = F.unix_millis(col)
     return full(col)
 

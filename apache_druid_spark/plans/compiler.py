@@ -140,7 +140,10 @@ def _base_frame(q: dict, registry: DatasourceRegistry) -> DataFrame:
     lookup (VersionedIntervalTimeline) as directory-level pruning."""
     df = resolve_datasource(q["dataSource"], registry)
     intervals = _intervals_of(q)
-    if intervals:
+    if intervals and TIME_COLUMN in df.columns:
+        # a nested ALL-granularity result has no __time column — the
+        # reference's outer interval can't exclude its rows either
+        # (testSubqueryWithOuterCardinalityAggregator)
         df = _prune_segments(df, q["dataSource"], intervals, registry)
         df = df.filter(interval_predicate(F.col(TIME_COLUMN), intervals))
     if "__segment" in df.columns:

@@ -870,3 +870,138 @@ def test_different_grouping_subquery(spark, testindex):
             .orderBy("__time").collect()]
     check(got2, [(dt(2011, 4, 1), 9, 21.0, 2930.0),
                  (dt(2011, 4, 2), 9, 2.0, 2535.0)])
+
+
+def test_different_interval_subquery(spark, testindex):
+    # testDifferentIntervalSubquery: outer interval narrows the inner
+    # result to the second day
+    q = {"queryType": "groupBy",
+         "dataSource": {"type": "query", "query": {
+             "queryType": "groupBy", "dataSource": "testindex",
+             "granularity": "day", "intervals": FIRST_TO_THIRD,
+             "dimensions": [{"type": "default", "dimension": "quality",
+                             "outputName": "alias"}],
+             "aggregations": [ROWS, {"type": "longSum", "name": "idx",
+                                     "fieldName": "index"}]}},
+         "granularity": "day", "intervals": ["2011-04-02/2011-04-03"],
+         "dimensions": [],
+         "aggregations": [{"type": "doubleMax", "name": "idx",
+                           "fieldName": "idx"}]}
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("__time", "idx").collect()]
+    check(got, [(dt(2011, 4, 2), 2505.0)])
+
+
+def test_double_mean_query(spark, testindex):
+    # testDoubleMeanQuery (SQL-compatible mode): doubleMean skips
+    # nulls -> 51.0
+    q = gb([], [{"type": "doubleMean", "name": "meanOnDouble",
+                 "fieldName": "doubleNumericNull"}], gran="all")
+    got = compile_query(q, testindex).collect()
+    assert float(got[0]["meanOnDouble"]) == pytest.approx(51.0,
+                                                          abs=1e-4)
+
+
+def test_subquery_with_outer_filter_aggregator(spark, testindex):
+    # testSubqueryWithOuterFilterAggregator: a filtered count over the
+    # inner (market, quality) day matrix
+    q = {"queryType": "groupBy",
+         "dataSource": {"type": "query", "query": {
+             "queryType": "groupBy", "dataSource": "testindex",
+             "granularity": "day", "intervals": FULL_ON,
+             "dimensions": [
+                 {"type": "default", "dimension": "market",
+                  "outputName": "market"},
+                 {"type": "default", "dimension": "quality",
+                  "outputName": "quality"}],
+             "aggregations": [ROWS, {"type": "longSum", "name": "index",
+                                     "fieldName": "index"}]}},
+         "granularity": "all", "intervals": FULL_ON, "dimensions": [],
+         "aggregations": [{"type": "filtered",
+                           "filter": {"type": "selector",
+                                      "dimension": "market",
+                                      "value": "spot"},
+                           "aggregator": ROWS}]}
+    got = compile_query(q, testindex).collect()
+    assert got[0]["rows"] == 837
+
+
+def test_subquery_with_outer_time_filter(spark, testindex):
+    # testSubqueryWithOuterTimeFilter: timeFormat extraction filters
+    # over the inner result's __time — outer keeps month-days 1-3,
+    # the filtered agg counts only Fridays (2011-04-01)
+    q = {"queryType": "groupBy",
+         "dataSource": {"type": "query", "query": {
+             "queryType": "groupBy", "dataSource": "testindex",
+             "granularity": "day", "intervals": FULL_ON,
+             "dimensions": [
+                 {"type": "default", "dimension": "market",
+                  "outputName": "market"},
+                 {"type": "default", "dimension": "quality",
+                  "outputName": "quality"}],
+             "aggregations": [ROWS, {"type": "longSum", "name": "index",
+                                     "fieldName": "index"}]}},
+         "granularity": "day", "intervals": FULL_ON, "dimensions": [],
+         "filter": {"type": "in", "dimension": "__time",
+                    "values": ["1", "2", "3"],
+                    "extractionFn": {"type": "timeFormat",
+                                     "format": "d"}},
+         "aggregations": [{"type": "filtered",
+                           "filter": {"type": "selector",
+                                      "dimension": "__time",
+                                      "value": "Friday",
+                                      "extractionFn": {
+                                          "type": "timeFormat",
+                                          "format": "EEEE"}},
+                           "aggregator": ROWS}]}
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("__time", "rows").orderBy("__time").collect()]
+    check(got, [
+        (dt(2011, 2, 1), 0), (dt(2011, 2, 2), 0), (dt(2011, 2, 3), 0),
+        (dt(2011, 3, 1), 0), (dt(2011, 3, 2), 0), (dt(2011, 3, 3), 0),
+        (dt(2011, 4, 1), 13), (dt(2011, 4, 2), 0),
+        (dt(2011, 4, 3), 0)])
+
+
+def test_subquery_with_outer_vc_cardinality_count(spark, testindex):
+    # testSubqueryWithOuterVirtualColumns + OuterCardinalityAggregator
+    # + OuterCountAggregator: three outer readouts of inner results
+    inner_day_alias = {
+        "queryType": "groupBy", "dataSource": "testindex",
+        "granularity": "day", "intervals": FULL_ON,
+        "dimensions": [{"type": "default", "dimension": "quality",
+                        "outputName": "alias"}],
+        "aggregations": [ROWS]}
+    q_vc = {"queryType": "groupBy",
+            "dataSource": {"type": "query", "query": inner_day_alias},
+            "granularity": "all", "intervals": FIRST_TO_THIRD,
+            "dimensions": [],
+            "virtualColumns": [{"type": "expression", "name": "expr",
+                                "expression": "1",
+                                "outputType": "FLOAT"}],
+            "aggregations": [{"type": "longSum", "name": "count",
+                              "fieldName": "expr"}]}
+    assert compile_query(q_vc, testindex).collect()[0]["count"] == 18
+    q_cnt = dict(q_vc)
+    del q_cnt["virtualColumns"]
+    q_cnt["aggregations"] = [{"type": "count", "name": "count"}]
+    assert compile_query(q_cnt, testindex).collect()[0]["count"] == 18
+    inner_mq = {
+        "queryType": "groupBy", "dataSource": "testindex",
+        "granularity": "all", "intervals": FULL_ON,
+        "dimensions": [
+            {"type": "default", "dimension": "market",
+             "outputName": "market"},
+            {"type": "default", "dimension": "quality",
+             "outputName": "quality"}],
+        "aggregations": [ROWS, {"type": "longSum", "name": "index",
+                                "fieldName": "index"}]}
+    q_card = {"queryType": "groupBy",
+              "dataSource": {"type": "query", "query": inner_mq},
+              "granularity": "all", "intervals": FULL_ON,
+              "dimensions": [],
+              "aggregations": [{"type": "cardinality", "name": "car",
+                                "fields": ["quality"]}]}
+    got = compile_query(q_card, testindex).collect()
+    assert float(got[0]["car"]) == pytest.approx(9.019833517963864,
+                                                 abs=0.05)
