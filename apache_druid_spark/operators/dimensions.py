@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from apache_druid_spark.operators.util import fcol
 
@@ -127,6 +128,12 @@ def compile_dimension_spec(spec, registry=None, df=None) -> tuple[str, Column]:
 
     if t == "default":
         c = fcol(dim)
+        if (df is not None and dim in df.columns
+                and isinstance(df.schema[dim].dataType, T.BinaryType)):
+            # a COMPLEX (sketch-state) column is not a groupable
+            # dimension — it reads as NULL
+            # (GroupByQueryRunnerTest.testGroupByComplexColumn)
+            c = F.lit(None).cast("string")
     elif t == "extraction":
         c = compile_extraction_fn(spec["extractionFn"], fcol(dim), registry)
     elif t == "listFiltered":

@@ -63,6 +63,11 @@ def _dim_predicate(df: DataFrame | None, dim: str, pred, extraction_fn=None) -> 
                       F.coalesce(null_case, F.lit(False))
                       ).otherwise(F.exists(col, lambda e: full(e)))
     col = fcol(dim)
+    if (df is not None and dim in df.columns
+            and isinstance(df.schema[dim].dataType, T.BinaryType)):
+        # a COMPLEX (sketch-state) column reads NULL as a filter input
+        # (testGroupByComplexColumn's null selector matches every row)
+        col = F.lit(None).cast("string")
     if (dim == "__time" and extraction_fn is None and df is not None
             and "__time" in df.columns
             and isinstance(df.schema["__time"].dataType,

@@ -1005,3 +1005,35 @@ def test_subquery_with_outer_vc_cardinality_count(spark, testindex):
     got = compile_query(q_card, testindex).collect()
     assert float(got[0]["car"]) == pytest.approx(9.019833517963864,
                                                  abs=0.05)
+
+
+def test_groupby_long_column(spark, testindex):
+    # testGroupByLongColumn: LONG-typed dimension with numeric order
+    q = gb([{"type": "default", "dimension": "qualityLong",
+             "outputName": "ql_alias", "outputType": "LONG"}],
+           [ROWS, {"type": "longSum", "name": "idx",
+                   "fieldName": "index"}],
+           filt={"type": "selector", "dimension": "quality",
+                 "value": "entertainment"},
+           limit_spec={"type": "default", "columns": [
+               {"dimension": "ql_alias", "dimensionOrder": "numeric"}]})
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("__time", "ql_alias", "rows", "idx").collect()]
+    check(got, [(dt(2011, 4, 1), 1200, 1, 158),
+                (dt(2011, 4, 2), 1200, 1, 166)])
+
+
+def test_groupby_complex_column(spark, testindex):
+    # testGroupByComplexColumn: a COMPLEX (sketch-state) column is not
+    # a groupable dimension — it reads as NULL, and the null selector
+    # on it matches every row
+    q = gb([{"type": "default", "dimension": "quality_uniques",
+             "outputName": "quality_uniques"}],
+           [ROWS, {"type": "longSum", "name": "idx",
+                   "fieldName": "index"}],
+           gran="all",
+           filt={"type": "selector", "dimension": "quality_uniques",
+                 "value": None})
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("quality_uniques", "rows", "idx").collect()]
+    check(got, [(None, 26, 12446)])
