@@ -1037,3 +1037,66 @@ def test_groupby_complex_column(spark, testindex):
     got = [tuple(r) for r in compile_query(q, testindex)
            .select("quality_uniques", "rows", "idx").collect()]
     check(got, [(None, 26, 12446)])
+
+
+def test_groupby_with_extraction_dim_filter(spark, testindex):
+    # testGroupByWithExtractionDimFilter: a many-to-one lookup
+    # extraction filter OR'd with plain selectors covers all qualities
+    lookup_map = {q: "automotiveAndBusinessAndNewsAndMezzanine"
+                  for q in ("automotive", "business", "mezzanine",
+                            "news")}
+    q = gb([{"type": "default", "dimension": "quality",
+             "outputName": "alias"}],
+           [ROWS, {"type": "longSum", "name": "idx",
+                   "fieldName": "index"}],
+           filt={"type": "or", "fields": [
+               {"type": "extraction", "dimension": "quality",
+                "value": "automotiveAndBusinessAndNewsAndMezzanine",
+                "extractionFn": {"type": "lookup",
+                                 "retainMissingValue": False,
+                                 "lookup": {"type": "map",
+                                            "map": lookup_map}}}] + [
+               {"type": "selector", "dimension": "quality", "value": v}
+               for v in ("entertainment", "health", "premium",
+                         "technology", "travel")]})
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("__time", "alias", "rows", "idx")
+           .orderBy("__time", "alias").collect()]
+    check(got, [(d, a, r, i) for d, a, r, i, *_ in GROUPBY_ROWS])
+
+
+def test_groupby_extraction_dim_filter_empty_and_missing(spark,
+                                                         testindex):
+    # testGroupByWithExtractionDimFilterCaseMappingValueIsNullOrEmpty
+    # (SQL-compatible mode: only the ''-mapped value matches) and
+    # ...WhenSearchValueNotInTheMap (empty)
+    lookup_map = {"automotive": "automotive0", "business": "business0",
+                  "entertainment": "entertainment0",
+                  "health": "health0", "mezzanine": None, "news": "",
+                  "premium": "premium0", "technology": "technology0",
+                  "travel": "travel0"}
+    q = gb([{"type": "default", "dimension": "quality",
+             "outputName": "alias"}],
+           [ROWS, {"type": "longSum", "name": "idx",
+                   "fieldName": "index"}],
+           filt={"type": "extraction", "dimension": "quality",
+                 "value": "",
+                 "extractionFn": {"type": "lookup",
+                                  "retainMissingValue": False,
+                                  "lookup": {"type": "map",
+                                             "map": lookup_map}}})
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("__time", "alias", "rows", "idx")
+           .orderBy("__time").collect()]
+    check(got, [(dt(2011, 4, 1), "news", 1, 121),
+                (dt(2011, 4, 2), "news", 1, 114)])
+    q2 = gb([{"type": "default", "dimension": "quality",
+              "outputName": "alias"}],
+            [ROWS],
+            filt={"type": "extraction", "dimension": "quality",
+                  "value": "NOT_THERE",
+                  "extractionFn": {"type": "lookup",
+                                   "retainMissingValue": False,
+                                   "lookup": {"type": "map",
+                                              "map": {}}}})
+    assert compile_query(q2, testindex).collect() == []
