@@ -1100,3 +1100,40 @@ def test_groupby_extraction_dim_filter_empty_and_missing(spark,
                                    "lookup": {"type": "map",
                                               "map": {}}}})
     assert compile_query(q2, testindex).collect() == []
+
+
+def test_groupby_time_extraction(spark, testindex):
+    # testGroupByTimeExtraction: (market, dayOfWeek-of-__time) over
+    # the full interval — 14 literal-pinned groups
+    q = gb([{"type": "default", "dimension": "market",
+             "outputName": "market"},
+            {"type": "extraction", "dimension": "__time",
+             "outputName": "dayOfWeek",
+             "extractionFn": {"type": "timeFormat", "format": "EEEE"}}],
+           [ROWS, {"type": "doubleSum", "name": "index",
+                   "fieldName": "index"}],
+           gran="all", intervals=FULL_ON,
+           filt={"type": "or", "fields": [
+               {"type": "selector", "dimension": "market",
+                "value": "spot"},
+               {"type": "selector", "dimension": "market",
+                "value": "upfront"}]})
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("market", "dayOfWeek", "index", "rows")
+           .orderBy("market", "dayOfWeek").collect()]
+    want = sorted([
+        ("spot", "Friday", 13219.574157714844, 117),
+        ("spot", "Monday", 13557.738830566406, 117),
+        ("spot", "Saturday", 13493.751281738281, 117),
+        ("spot", "Sunday", 13585.541015625, 117),
+        ("spot", "Thursday", 14279.127197265625, 126),
+        ("spot", "Tuesday", 13199.471435546875, 117),
+        ("spot", "Wednesday", 14271.368591308594, 126),
+        ("upfront", "Friday", 27297.8623046875, 26),
+        ("upfront", "Monday", 27619.58447265625, 26),
+        ("upfront", "Saturday", 27820.83154296875, 26),
+        ("upfront", "Sunday", 24791.223876953125, 26),
+        ("upfront", "Thursday", 28562.748901367188, 28),
+        ("upfront", "Tuesday", 26968.280639648438, 26),
+        ("upfront", "Wednesday", 28985.5751953125, 28)])
+    check(got, want)
