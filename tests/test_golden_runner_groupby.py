@@ -1194,3 +1194,67 @@ def test_groupby_cardinality_agg_on_hyperunique(spark, testindex):
     assert float(got[0]["cardinality"]) == 0.0
     assert float(got[0]["hyperUnique"]) == pytest.approx(
         9.019833517963864, abs=0.05)
+
+
+def test_groupby_long_column_descending(spark, testindex):
+    # testGroupByLongColumnDescending: ALL gran, numeric desc on the
+    # LONG dimension
+    q = gb([{"type": "default", "dimension": "qualityLong",
+             "outputName": "ql_alias", "outputType": "LONG"}],
+           [ROWS, {"type": "longSum", "name": "idx",
+                   "fieldName": "index"}],
+           gran="all",
+           filt={"type": "in", "dimension": "quality",
+                 "values": ["entertainment", "technology"]},
+           limit_spec={"type": "default", "columns": [
+               {"dimension": "ql_alias", "direction": "descending",
+                "dimensionOrder": "numeric"}]})
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("ql_alias", "rows", "idx").collect()]
+    check(got, [(1700, 2, 175), (1200, 2, 324)])
+
+
+def test_groupby_float_column(spark, testindex):
+    # testGroupByFloatColumn: FLOAT-typed dimension over the double
+    # metric, numeric ascending
+    q = gb([{"type": "default", "dimension": "index",
+             "outputName": "index_alias", "outputType": "FLOAT"}],
+           [ROWS, {"type": "longSum", "name": "idx",
+                   "fieldName": "index"}],
+           filt={"type": "selector", "dimension": "quality",
+                 "value": "entertainment"},
+           limit_spec={"type": "default", "columns": [
+               {"dimension": "index_alias",
+                "dimensionOrder": "numeric"}]})
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("__time", "index_alias", "rows", "idx").collect()]
+    check(got, [(dt(2011, 4, 1), 158.747224, 1, 158),
+                (dt(2011, 4, 2), 166.016049, 1, 166)])
+
+
+def test_groupby_having_spec_on_long_and_float(spark, testindex):
+    # testGroupByWithHavingSpecOnLongAndFloat: a dim-filter having over
+    # LONG/FLOAT/__time-millis typed dimension outputs
+    q = gb([{"type": "default", "dimension": "market",
+             "outputName": "alias"},
+            {"type": "default", "dimension": "qualityLong",
+             "outputName": "ql_alias", "outputType": "LONG"},
+            {"type": "default", "dimension": "__time",
+             "outputName": "time_alias", "outputType": "LONG"},
+            {"type": "default", "dimension": "index",
+             "outputName": "index_alias", "outputType": "FLOAT"}],
+           [ROWS], gran="all",
+           having={"type": "filter", "filter": {
+               "type": "and", "fields": [
+                   {"type": "selector", "dimension": "ql_alias",
+                    "value": "1400"},
+                   {"type": "selector", "dimension": "time_alias",
+                    "value": "1301616000000"},
+                   {"type": "bound", "dimension": "index_alias",
+                    "lower": "1310.0", "upper": "1320.0",
+                    "lowerStrict": True, "upperStrict": True,
+                    "ordering": "numeric"}]}})
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("alias", "ql_alias", "time_alias", "index_alias",
+                   "rows").collect()]
+    check(got, [("total_market", 1400, 1301616000000, 1314.8397, 1)])
