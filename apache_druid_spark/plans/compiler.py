@@ -384,6 +384,13 @@ def compile_timeseries(q: dict, registry: DatasourceRegistry) -> DataFrame:
             out = _zero_fill(out, q, registry, bucket[1], tz)
     if no_aggs:
         out = out.drop("__ts_rows")
+    ts_field = q.get("context", {}).get("timestampResultField")
+    if ts_field:
+        # CTX_TIMESTAMP_RESULT_FIELD (TimeseriesQuery): expose the
+        # bucket timestamp as an epoch-millis column so post-aggs can
+        # reference it (testTimeseriesWithPostAggregatorReferencing
+        # TimestampResultField)
+        out = out.withColumn(ts_field, F.unix_millis(F.col(TIME_COLUMN)))
     out = apply_post_aggregations(out, q.get("postAggregations", []), registry)
     desc = bool(q.get("descending", False))
     out = out.orderBy(F.col(TIME_COLUMN).desc() if desc

@@ -498,3 +498,24 @@ def test_time_boundary_bounds(spark, testindex):
     row = compile_query(qmin, testindex).collect()[0]
     assert row["minTime"] == dt(2011, 1, 12)
     assert "maxTime" not in row.asDict() or row["maxTime"] is None
+
+
+def test_timeseries_timestamp_result_field(spark, testindex):
+    # testTimeseriesWithPostAggregatorReferencingTimestampResultField
+    # (+ the Array/Map response twins' shared contract): the
+    # timestampResultField context exposes the bucket's epoch millis,
+    # and post-aggs can read it
+    q = ts_query([],
+                 filt={"type": "selector", "dimension": "market",
+                       "value": "spot"},
+                 postaggs=[{"type": "fieldAccess",
+                            "name": "timestampInPostAgg",
+                            "fieldName": "myTimestamp"}],
+                 ctx={"timestampResultField": "myTimestamp"})
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("__time", "myTimestamp", "timestampInPostAgg")
+           .orderBy("__time").collect()]
+    april1 = 1301616000000
+    april2 = 1301702400000
+    assert got == [(dt(2011, 4, 1), april1, april1),
+                   (dt(2011, 4, 2), april2, april2)]
