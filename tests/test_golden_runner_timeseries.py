@@ -9,14 +9,15 @@ HLL's 9.019833…; this engine's HLL++ answers 9.0 at that cardinality —
 same 2% error class, different sketch).
 
 Skipped (with reason): the expected-computed-by-loop methods
-(testFullOnTimeseries*, zero-filling buckets, beyond-time-range,
-varying-gran-with-filter — their literal cousins are ported),
-javascript-aggregator methods (policy exclusion), first/last over the
-rolled fixture (driver-verified on testdata as agg_first_last_events),
-lookup-extraction / limit / timestampResultField context forms (the
-SQL layer pins those), expression-aggregator methods (expression
+(testFullOnTimeseries*, varying-gran-with-filter — their literal
+cousins are ported), testEmptyTimeseries/IntervalOutOfRanges (the
+zeroed row is created by the broker's mergeResults decoration, not
+the engine), javascript-aggregator methods (policy exclusion),
+first/last over the rolled fixture (driver-verified on testdata as
+agg_first_last_events), expression-aggregator methods (expression
 lambda UDAF pinned in CalciteQueryTest ports), and
-cardinality-on-hyperUnique (sketch-of-sketch state)."""
+cardinality-on-hyperUnique at the timeseries layer (the groupBy suite
+pins the COMPLEX-input contract)."""
 
 from __future__ import annotations
 

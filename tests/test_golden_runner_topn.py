@@ -11,14 +11,16 @@ segment + broker merge); this engine's TakeOrderedAndProject is exact
 — the documented strictly-better superset (PARITY §2.3) — so the
 literal pins hold identically.
 
-Skipped (with reason): the extraction-fn/namespace-optimization matrix
-(testTopNDimExtraction* exercise extraction-function CACHING
-strategies; extraction semantics are driver-verified at the SQL
-layer), bySegment / dependent-post-agg / segment-metadata forms
-(broker-internal result decoration), javascript/expression-aggregator
-methods (policy exclusion / SQL-layer pinned), first/last-aggregator
-topNs (driver-verified), and the numeric-null ordering family (the
-three-valued null ordering is pinned in the SQL tranches)."""
+Skipped (with reason): the FastTopN namespace-OPTIMIZATION twins
+(they exercise extraction-function caching strategies; the extraction
+semantics themselves are pinned by the lexicographic-extraction and
+extraction-filter ports below), bySegment forms (broker-internal
+result decoration), javascript extraction/aggregator methods (policy
+exclusion — incl. the NullProducing/EmptyString anonymous-Java
+extraction fns), expression-aggregator methods (SQL-layer pinned),
+and first/last-aggregator topNs (tie-broken by segment insertion
+order, which a shuffled engine cannot reproduce; the tie-free
+contract is driver-verified)."""
 
 from __future__ import annotations
 
