@@ -831,3 +831,37 @@ def test_inverted_topn_lexicographic_dim_extraction_previous_stop(
     check(run(spark, testindex, q2, COLS), [
         ("o", 18, 2231.876812, UNIQUES_9, 2250.876812),
         ("f", 4, 4875.669692, UNIQUES_2, 4880.669692)])
+
+
+def test_topn_over_missing_uniques(spark, testindex):
+    # testTopNOverMissingUniques: hyperUnique over a column the
+    # segments don't have estimates 0.0 per group, ties broken
+    # dimension-ascending
+    q = topn(metric="uniques", threshold=3, intervals=FULL_ON,
+             aggs=[{"type": "hyperUnique", "name": "uniques",
+                    "fieldName": "missingUniques"}])
+    got = run(spark, testindex, q, ["market", "uniques"])
+    assert [(g[0], float(g[1])) for g in got] == [
+        ("spot", 0.0), ("total_market", 0.0), ("upfront", 0.0)]
+
+
+def test_topn_string_virtual_column(spark, testindex):
+    # testTopNStringVirtualColumn: STRING virtual column built from
+    # chained string-plus over column refs ("market + ' ' + market")
+    q = {"queryType": "topN", "dataSource": "testindex",
+         "granularity": "all", "dimension": "vc", "metric": "rows",
+         "threshold": 4, "intervals": FIRST_TO_THIRD,
+         "virtualColumns": [{"type": "expression", "name": "vc",
+                             "expression": "market + ' ' + market",
+                             "outputType": "STRING"}],
+         "aggregations": [ROWS, IDX, UNIQUES],
+         "postAggregations": [ADD_RIC]}
+    got = run(spark, testindex, q,
+              ["vc", "rows", "index", "uniques",
+               "addRowsIndexConstant"])
+    check(got, [
+        ("spot spot", 18, 2231.876812, UNIQUES_9, 2250.876812),
+        ("total_market total_market", 4, 5351.814783, UNIQUES_2,
+         5356.814783),
+        ("upfront upfront", 4, 4875.669692, UNIQUES_2,
+         4880.669692)])
