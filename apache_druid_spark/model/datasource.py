@@ -49,9 +49,17 @@ class DatasourceRegistry:
     # new DataFrame (e.g. a second INSERT into the same target)
     epoch: int = 0
     # (name, epoch, intervals) -> (min __time, max __time) — the broker's
-    # timeline-extent lookup, computed once per datasource version by a
-    # narrow column-pruned min/max scan (plans/compiler._data_extent)
+    # timeline-extent lookup, answered from parquet footer statistics
+    # when possible, else a narrow column-pruned min/max scan
+    # (plans/compiler._data_extent)
     extent_cache: dict = field(default_factory=dict)
+    # name -> RAW time column whose parquet footer min/max statistics
+    # determine the ``__time`` extent. Populated ONLY by the two
+    # unfiltered-file-read registration paths (register_parquet,
+    # register_published) — an arbitrary register()ed DataFrame may
+    # filter rows, so its footers could overstate the extent and are
+    # never consulted (plans/compiler._footer_extent).
+    footer_time_cols: dict = field(default_factory=dict)
 
     # -- registration ---------------------------------------------------
     def register(
@@ -85,13 +93,19 @@ class DatasourceRegistry:
                 df = df.withColumn(TIME_COLUMN, F.col(time_column))
                 self.time_columns[name] = time_column
         self._tables[name] = df
+        self.footer_time_cols.pop(name, None)  # arbitrary df: no footers
         self.epoch += 1
         return df
 
     def register_parquet(
         self, name: str, path: str, time_column: str | None = None
     ) -> DataFrame:
-        return self.register(name, self.spark.read.parquet(path), time_column)
+        df = self.register(name, self.spark.read.parquet(path), time_column)
+        if time_column is not None:
+            # register() only renames/converts (monotonic) — footer
+            # min/max of the raw column determine the __time extent
+            self.footer_time_cols[name] = time_column
+        return df
 
     def register_view(self, name: str, sql: str) -> None:
         """SQL view over datasources: the Druid SQL text expands into
@@ -178,6 +192,7 @@ class DatasourceRegistry:
         outside the queried interval."""
         df = self.spark.read.parquet(path)
         self._tables[name] = df
+        self.footer_time_cols[name] = TIME_COLUMN
         self.epoch += 1
         self.record_segments(name, path, segment_granularity)
         return df

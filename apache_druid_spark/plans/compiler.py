@@ -436,6 +436,115 @@ def _granularity_interval_sql(gran) -> str:
     return f"{millis} MILLISECOND"
 
 
+def _parse_interval_naive_utc(iv: str):
+    """``start/end`` ISO interval -> (start, end) naive-UTC datetimes,
+    or None if unparsable."""
+    from datetime import datetime, timezone as _tz
+
+    from apache_druid_spark.operators.filters import _pad_partial_iso
+
+    try:
+        start_s, end_s = iv.split("/")
+        out = []
+        for s in (start_s, end_s):
+            d = datetime.fromisoformat(
+                _pad_partial_iso(s).replace("Z", "+00:00"))
+            if d.tzinfo is not None:
+                d = d.astimezone(_tz.utc).replace(tzinfo=None)
+            out.append(d)
+        return tuple(out)
+    except (ValueError, AttributeError):
+        return None
+
+
+def _stat_as_naive_utc(v):
+    """Parquet footer min/max -> naive-UTC datetime mirroring the
+    registry's __time conversion, or None if the stat type can't be
+    mapped exactly. int = raw TIMESTAMP(NANOS) read as long under
+    nanosAsLong; registry converts via ``ts div 1000`` micros — a
+    monotonic map, so min/max convert pointwise."""
+    from datetime import datetime, timedelta, timezone as _tz
+
+    if isinstance(v, datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_tz.utc).replace(tzinfo=None)
+        return v
+    if isinstance(v, int) and v >= 0:
+        return datetime(1970, 1, 1) + timedelta(microseconds=v // 1000)
+    return None
+
+
+def _footer_extent(df: DataFrame, raw_col: str, intervals: tuple):
+    """Row-exact (min, max) ``__time`` from parquet footer statistics —
+    the broker's timeline lookup as a pure METADATA pass, O(files), no
+    executor job (r9 verdict: the first zero-filled timeseries per
+    datasource paid a full-column scan at plan time).
+
+    Exactness contract: a row group contributes iff its [min, max]
+    lies entirely inside one query interval; row groups entirely
+    outside every interval are skipped. Any row group STRADDLING an
+    interval boundary makes footer stats inexact for the
+    within-interval min/max, so the whole answer is abandoned
+    (return None) and the caller falls back to the narrow pruned scan
+    — semantics stay bit-identical to the scan in every case."""
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — non-file-backed plan
+        return None
+    if not files:
+        return None
+    from urllib.parse import unquote, urlparse
+
+    import pyarrow.parquet as pq
+
+    ivs = []
+    for iv in intervals:
+        parsed = _parse_interval_naive_utc(iv)
+        if parsed is None:
+            return None
+        ivs.append(parsed)
+    lo = hi = None
+    for uri in files:
+        if uri.startswith("file:"):
+            path = unquote(urlparse(uri).path)
+        elif "://" not in uri:
+            path = uri
+        else:
+            return None  # remote store: listing footers not free here
+        try:
+            md = pq.ParquetFile(path).metadata
+        except Exception:  # noqa: BLE001 — not parquet / unreadable
+            return None
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            if rg.num_rows == 0:
+                continue
+            st = None
+            for i in range(rg.num_columns):
+                c = rg.column(i)
+                if c.path_in_schema == raw_col:
+                    st = c.statistics
+                    break
+            if st is None or not st.has_min_max:
+                return None
+            mn = _stat_as_naive_utc(st.min)
+            mx = _stat_as_naive_utc(st.max)
+            if mn is None or mx is None:
+                return None
+            if st.null_count and rg.num_rows == st.null_count:
+                continue  # all-null group: no extent contribution
+            if ivs:
+                if all(mx < s or mn >= e for s, e in ivs):
+                    continue  # disjoint from every interval
+                if not any(s <= mn and mx < e for s, e in ivs):
+                    return None  # straddles a boundary: need the scan
+            if lo is None or mn < lo:
+                lo = mn
+            if hi is None or mx > hi:
+                hi = mx
+    return (lo, hi)
+
+
 def _data_extent(q: dict, registry) -> tuple:
     """(min, max) raw ``__time`` of the interval-pruned datasource,
     BEFORE query filters are applied — the reference's toolchest
@@ -444,12 +553,17 @@ def _data_extent(q: dict, registry) -> tuple:
     testTimeseriesWithFilterOnNonExistentDimension zero-fills buckets
     even when the filter matches no rows).
 
-    Runs eagerly as a narrow column-pruned min/max scan — the broker's
-    timeline lookup as a metadata-sized job — and caches per
-    (datasource, registry epoch, intervals) so repeated timeseries over
-    the same table never re-scan. Keeping this OUT of the result plan
-    is what keeps the zero-filled timeseries at exactly one FileScan
-    of the fact table (r8 regression: referencing the aggregate twice
+    Answered from parquet footer statistics when the datasource was
+    registered through an unfiltered file read (registry.
+    footer_time_cols) and no row group straddles an interval boundary
+    (_footer_extent) — a driver-side metadata pass, no Spark job.
+    Otherwise a narrow column-pruned min/max scan — the broker's
+    timeline lookup as a metadata-sized job. Cached per (datasource,
+    registry epoch, intervals); stale epochs are evicted on insert
+    (ADVICE r9: streaming/INSERT re-registration loops otherwise grow
+    the dict unboundedly). Keeping this OUT of the result plan is what
+    keeps the zero-filled timeseries at exactly one FileScan of the
+    fact table (r8 regression: referencing the aggregate twice
     doubled the scan)."""
     intervals = tuple(_intervals_of(q))
     name = q.get("dataSource")
@@ -459,13 +573,23 @@ def _data_extent(q: dict, registry) -> tuple:
         if key in registry.extent_cache:
             return registry.extent_cache[key]
     df = resolve_datasource(q["dataSource"], registry)
-    if intervals:
-        df = _prune_segments(df, q["dataSource"], list(intervals), registry)
-        df = df.filter(interval_predicate(F.col(TIME_COLUMN),
-                                          list(intervals)))
-    row = df.agg(F.min(TIME_COLUMN), F.max(TIME_COLUMN)).head()
-    ext = (row[0], row[1])
+    ext = None
+    if isinstance(name, str) and name in registry.footer_time_cols:
+        ext = _footer_extent(df, registry.footer_time_cols[name],
+                             intervals)
+    if ext is None:
+        scan = df
+        if intervals:
+            scan = _prune_segments(scan, q["dataSource"],
+                                   list(intervals), registry)
+            scan = scan.filter(interval_predicate(F.col(TIME_COLUMN),
+                                                  list(intervals)))
+        row = scan.agg(F.min(TIME_COLUMN), F.max(TIME_COLUMN)).head()
+        ext = (row[0], row[1])
     if key is not None:
+        for k in [k for k in registry.extent_cache
+                  if k[1] != registry.epoch]:
+            del registry.extent_cache[k]
         registry.extent_cache[key] = ext
     return ext
 

@@ -62,6 +62,10 @@ def get_spark(
         # parquet TIMESTAMP(NANOS) (e.g. pandas-written data) reads as
         # long nanos; sources convert to TimestampType on registration
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # INT96 timestamps carry no footer statistics — write MICROS so
+        # published segments answer extent/min-max from metadata
+        # (plans/compiler._footer_extent) and prune on row-group stats
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     if extra_conf:
         for k, v in extra_conf.items():
