@@ -63,8 +63,14 @@ def _num_field(spec: dict, registry=None) -> Column:
     return _field(spec, registry)
 
 
-def compile_aggregator(spec: dict, df=None, registry=None) -> Column:
-    """One aggregator JSON -> a named aggregate Column."""
+def compile_aggregator(spec: dict, df=None, registry=None,
+                       finalize: bool = True) -> Column:
+    """One aggregator JSON -> a named aggregate Column.
+
+    ``finalize=False``: sketch aggregators return mergeable BINARY
+    state instead of the finalized estimate — the subquery-datasource
+    contract (an outer hyperUnique over the column re-merges it;
+    GroupByQueryRunnerTest.testSubqueryWithHyperUniques)."""
     t = spec["type"]
     name = spec.get("name", t)
 
@@ -97,8 +103,17 @@ def compile_aggregator(spec: dict, df=None, registry=None) -> Column:
         if (df is not None and isinstance(field, str)
                 and field in df.columns
                 and isinstance(df.schema[field].dataType, T.BinaryType)):
-            return F.hll_sketch_estimate(
-                F.hll_union_agg(fcol(field))).alias(name)
+            merged = F.hll_union_agg(fcol(field))
+            if not finalize:  # subquery: stay mergeable state
+                return merged.alias(name)
+            return F.hll_sketch_estimate(merged).alias(name)
+        if not finalize:
+            # raw values -> state, built with the ingest rollup path's
+            # key encoding so outer merges agree with ingest-time state
+            from apache_druid_spark.ingest.batch import _hll_input
+
+            return F.hll_sketch_agg(
+                _hll_input(_field(spec, registry)), 12).alias(name)
         # Over raw values: rsd 0.02 ~ Druid's 2048-bucket HLL (~2.3%
         # std error, hll/.../HyperLogLogCollector.java)
         return F.approx_count_distinct(
@@ -319,5 +334,7 @@ def _filtered(inner: dict, cond: Column, df, registry) -> Column:
         f"filtered aggregator does not support inner type {t!r}")
 
 
-def compile_aggregations(specs: list[dict], df=None, registry=None) -> list[Column]:
-    return [compile_aggregator(s, df, registry) for s in specs or []]
+def compile_aggregations(specs: list[dict], df=None, registry=None,
+                         finalize: bool = True) -> list[Column]:
+    return [compile_aggregator(s, df, registry, finalize=finalize)
+            for s in specs or []]

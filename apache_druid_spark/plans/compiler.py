@@ -63,7 +63,12 @@ def resolve_datasource(spec, registry: DatasourceRegistry) -> DataFrame:
             out = out.unionByName(d, allowMissingColumns=True)
         return out
     if t == "query":
-        return compile_query(spec["query"], registry)
+        # inner queries do NOT finalize sketch aggregators — the outer
+        # query re-aggregates their STATE, exactly like Druid's
+        # broker-side subquery handling (GroupByQueryQueryToolChest
+        # materializes non-finalized ResultRows;
+        # testSubqueryWithHyperUniques re-merges quality_uniques)
+        return compile_query(spec["query"], registry, finalize=False)
     if t == "inline":
         names = spec["columnNames"]
         types = spec.get("columnTypes") or ["STRING"] * len(names)
@@ -748,7 +753,8 @@ def _topn_order(metric, dim_name: str, invert: bool = False) -> list[Column]:
     raise ValueError(f"unknown topN metric spec: {t!r}")
 
 
-def compile_groupby(q: dict, registry: DatasourceRegistry) -> DataFrame:
+def compile_groupby(q: dict, registry: DatasourceRegistry,
+                    finalize: bool = True) -> DataFrame:
     """groupBy (processing/.../groupby/epinephelinae/GroupByQueryEngineV2.java;
     subtotals: GroupByQuery.java:117). Multi-value dims explode; the
     two-level historical/broker merge is Spark's partial/final
@@ -757,7 +763,8 @@ def compile_groupby(q: dict, registry: DatasourceRegistry) -> DataFrame:
     dim_specs = [compile_dimension_spec(d, registry, df)
                  for d in q.get("dimensions", [])]
     df, dim_names = _explode_multivalue_dims(df, dim_specs)
-    aggs = compile_aggregations(q.get("aggregations", []), df, registry)
+    aggs = compile_aggregations(q.get("aggregations", []), df, registry,
+                                finalize=finalize)
     if not aggs:
         aggs = [F.count(F.lit(1)).alias("__count")]
 
@@ -1005,13 +1012,22 @@ _COMPILERS = {
 }
 
 
-def compile_query(q: dict, registry: DatasourceRegistry) -> DataFrame:
+def compile_query(q: dict, registry: DatasourceRegistry,
+                  finalize: bool = True) -> DataFrame:
     """Dispatch a native JSON query (Query.java:54-63 registry) to its
-    compiler. ``select`` is intentionally absent — removed upstream."""
+    compiler. ``select`` is intentionally absent — removed upstream.
+
+    ``finalize=False`` (inner queries of a query datasource): sketch
+    aggregators emit mergeable STATE instead of estimates, so an outer
+    query can re-aggregate them (AggregatorFactory.getCombiningFactory
+    semantics). Only groupBy consumes the flag — it is the only query
+    type Druid allows as a subquery datasource."""
     t = q.get("queryType")
     if t == "select":
         raise ValueError("the 'select' query type was removed; use 'scan' "
                          "(processing/.../query/select/SelectQuery.java:41-50)")
     if t not in _COMPILERS:
         raise ValueError(f"unknown queryType: {t!r}")
+    if t == "groupBy" and not finalize:
+        return compile_groupby(q, registry, finalize=False)
     return _COMPILERS[t](q, registry)

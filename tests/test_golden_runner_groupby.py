@@ -1258,3 +1258,384 @@ def test_groupby_having_spec_on_long_and_float(spark, testindex):
            .select("alias", "ql_alias", "time_alias", "index_alias",
                    "rows").collect()]
     check(got, [("total_market", 1400, 1301616000000, 1314.8397, 1)])
+
+
+# ---------------------------------------------------------------------------
+# Round-10 tranche: the subquery (query-datasource) family —
+# GroupByQueryRunnerTest.java testSubquery*/testDifferentGrouping*.
+# JavaScript dim filters of the form `function(dim){ return true; }`
+# are identity filters and port as "no filter" (the javascript ENGINE
+# stays a policy wall; the methods' value contracts don't depend on it).
+# ---------------------------------------------------------------------------
+
+def gbq(subquery, aggs, dims=None, gran="day", intervals=FIRST_TO_THIRD,
+        having=None, limit_spec=None, filt=None, post=None):
+    """Outer groupBy over a query datasource."""
+    q = {"queryType": "groupBy",
+         "dataSource": {"type": "query", "query": subquery},
+         "granularity": gran, "intervals": intervals,
+         "dimensions": dims or [], "aggregations": aggs}
+    if having:
+        q["having"] = having
+    if limit_spec:
+        q["limitSpec"] = limit_spec
+    if filt:
+        q["filter"] = filt
+    if post:
+        q["postAggregations"] = post
+    return q
+
+
+def _subq_post_1000(having=None):
+    """The suite's shared inner query: day-by-quality rows/idx_subagg
+    with idx_subpostagg = idx_subagg + 1000."""
+    q = gb([{"type": "default", "dimension": "quality",
+             "outputName": "alias"}],
+           [ROWS, {"type": "longSum", "name": "idx_subagg",
+                   "fieldName": "index"}])
+    q["postAggregations"] = [
+        {"type": "arithmetic", "name": "idx_subpostagg", "fn": "+",
+         "fields": [
+             {"type": "fieldAccess", "name": "the_idx_subagg",
+              "fieldName": "idx_subagg"},
+             {"type": "constant", "name": "thousand", "value": 1000}]}]
+    if having:
+        q["having"] = having
+    return q
+
+
+SUBQ_POST_ROWS = [
+    (dt(2011, 4, 1), "automotive", 1, 11135.0, 1135),
+    (dt(2011, 4, 1), "business", 1, 11118.0, 1118),
+    (dt(2011, 4, 1), "entertainment", 1, 11158.0, 1158),
+    (dt(2011, 4, 1), "health", 1, 11120.0, 1120),
+    (dt(2011, 4, 1), "mezzanine", 3, 13870.0, 3870),
+    (dt(2011, 4, 1), "news", 1, 11121.0, 1121),
+    (dt(2011, 4, 1), "premium", 3, 13900.0, 3900),
+    (dt(2011, 4, 1), "technology", 1, 11078.0, 1078),
+    (dt(2011, 4, 1), "travel", 1, 11119.0, 1119),
+    (dt(2011, 4, 2), "automotive", 1, 11147.0, 1147),
+    (dt(2011, 4, 2), "business", 1, 11112.0, 1112),
+    (dt(2011, 4, 2), "entertainment", 1, 11166.0, 1166),
+    (dt(2011, 4, 2), "health", 1, 11113.0, 1113),
+    (dt(2011, 4, 2), "mezzanine", 3, 13447.0, 3447),
+    (dt(2011, 4, 2), "news", 1, 11114.0, 1114),
+    (dt(2011, 4, 2), "premium", 3, 13505.0, 3505),
+    (dt(2011, 4, 2), "technology", 1, 11097.0, 1097),
+    (dt(2011, 4, 2), "travel", 1, 11126.0, 1126),
+]
+
+
+def test_subquery_with_post_aggregators(spark, testindex):
+    # testSubqueryWithPostAggregators: the outer longSum reads the
+    # inner's arithmetic post-agg column (value-level long truncation),
+    # then adds its own +10000 post-agg
+    q = gbq(_subq_post_1000(),
+            [{"type": "longSum", "name": "rows", "fieldName": "rows"},
+             {"type": "longSum", "name": "idx",
+              "fieldName": "idx_subpostagg"}],
+            dims=[{"type": "default", "dimension": "alias",
+                   "outputName": "alias"}],
+            post=[{"type": "arithmetic", "name": "idx_post", "fn": "+",
+                   "fields": [
+                       {"type": "fieldAccess", "name": "the_idx_agg",
+                        "fieldName": "idx"},
+                       {"type": "constant", "name": "ten_thousand",
+                        "value": 10000}]}])
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("__time", "alias", "rows", "idx_post", "idx")
+           .orderBy("__time", "alias").collect()]
+    check(got, SUBQ_POST_ROWS)
+
+
+def test_subquery_with_post_aggregators_and_having(spark, testindex):
+    # testSubqueryWithPostAggregatorsAndHaving: inner having
+    # idx_subpostagg < 3800 (custom HavingSpec in the reference,
+    # equivalently a lessThan) drops day-1 mezzanine/premium
+    q = gbq(_subq_post_1000(having={"type": "lessThan",
+                                    "aggregation": "idx_subpostagg",
+                                    "value": 3800}),
+            [{"type": "longSum", "name": "rows", "fieldName": "rows"},
+             {"type": "longSum", "name": "idx",
+              "fieldName": "idx_subpostagg"}],
+            dims=[{"type": "default", "dimension": "alias",
+                   "outputName": "alias"}],
+            post=[{"type": "arithmetic", "name": "idx_post", "fn": "+",
+                   "fields": [
+                       {"type": "fieldAccess", "name": "the_idx_agg",
+                        "fieldName": "idx"},
+                       {"type": "constant", "name": "ten_thousand",
+                        "value": 10000}]}])
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("__time", "alias", "rows", "idx_post", "idx")
+           .orderBy("__time", "alias").collect()]
+    check(got, [r for r in SUBQ_POST_ROWS
+                if not (r[0] == dt(2011, 4, 1)
+                        and r[1] in ("mezzanine", "premium"))])
+
+
+def test_subquery_with_multi_column_aggregators(spark, testindex):
+    # testSubqueryWithMultiColumnAggregators: the JavaScript aggregator
+    # `current + index + dim.length` over (index, market) is the
+    # expression doubleSum cast(index,'FLOAT') + strlen(market) (the JS
+    # fn read the metric at float precision); inner having < 3800,
+    # outer ordered alias DESC limit 5
+    sub = gb([{"type": "default", "dimension": "quality",
+               "outputName": "alias"}],
+             [ROWS,
+              {"type": "doubleSum", "name": "idx_subagg",
+               "fieldName": "index"},
+              {"type": "doubleSum", "name": "js_agg",
+               "expression": "cast(index, 'FLOAT') + strlen(market)"}])
+    sub["postAggregations"] = [
+        {"type": "arithmetic", "name": "idx_subpostagg", "fn": "+",
+         "fields": [
+             {"type": "fieldAccess", "name": "the_idx_subagg",
+              "fieldName": "idx_subagg"},
+             {"type": "constant", "name": "thousand", "value": 1000}]}]
+    sub["having"] = {"type": "lessThan",
+                     "aggregation": "idx_subpostagg", "value": 3800}
+    q = gbq(sub,
+            [{"type": "longSum", "name": "rows", "fieldName": "rows"},
+             {"type": "longSum", "name": "idx",
+              "fieldName": "idx_subpostagg"},
+             {"type": "doubleSum", "name": "js_outer_agg",
+              "fieldName": "js_agg"}],
+            dims=[{"type": "default", "dimension": "alias",
+                   "outputName": "alias"}],
+            post=[{"type": "arithmetic", "name": "idx_post", "fn": "+",
+                   "fields": [
+                       {"type": "fieldAccess", "name": "the_idx_agg",
+                        "fieldName": "idx"},
+                       {"type": "constant", "name": "ten_thousand",
+                        "value": 10000}]}],
+            limit_spec={"type": "default", "limit": 5, "columns": [
+                {"dimension": "alias", "direction": "descending"}]})
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("__time", "alias", "rows", "idx_post", "idx",
+                   "js_outer_agg").collect()]
+    check(got, [
+        (dt(2011, 4, 1), "travel", 1, 11119.0, 1119,
+         123.92274475097656),
+        (dt(2011, 4, 1), "technology", 1, 11078.0, 1078,
+         82.62254333496094),
+        (dt(2011, 4, 1), "news", 1, 11121.0, 1121,
+         125.58358001708984),
+        (dt(2011, 4, 1), "health", 1, 11120.0, 1120,
+         124.13470458984375),
+        (dt(2011, 4, 1), "entertainment", 1, 11158.0, 1158,
+         162.74722290039062),
+    ])
+
+
+def test_empty_subquery(spark, testindex):
+    # testEmptySubquery: EMPTY_INTERVAL inner -> no outer rows
+    sub = gb([{"type": "default", "dimension": "quality",
+               "outputName": "alias"}],
+             [ROWS, {"type": "longSum", "name": "idx",
+                     "fieldName": "index"}],
+             intervals=["2020-04-02/2020-04-03"])
+    q = gbq(sub, [{"type": "doubleMax", "name": "idx",
+                   "fieldName": "idx"}])
+    assert compile_query(q, testindex).count() == 0
+
+
+def test_empty_subquery_with_limit_pushdown(spark, testindex):
+    # testEmptySubqueryWithLimitPushDown: limit specs on both levels
+    # don't resurrect rows
+    sub = gb([{"type": "default", "dimension": "quality",
+               "outputName": "alias"}],
+             [ROWS, {"type": "longSum", "name": "idx",
+                     "fieldName": "index"}],
+             intervals=["2020-04-02/2020-04-03"],
+             limit_spec={"type": "default", "limit": 5, "columns": [
+                 {"dimension": "alias", "direction": "descending"}]})
+    q = gbq(sub, [{"type": "doubleMax", "name": "idx",
+                   "fieldName": "idx"}],
+            limit_spec={"type": "default", "limit": 5})
+    assert compile_query(q, testindex).count() == 0
+
+
+def test_subquery_with_outer_count_aggregator(spark, testindex):
+    # testSubqueryWithOuterCountAggregator: aggregator-less inner
+    # (distinct day/alias tuples over the full interval), outer counts
+    # the rows landing in FIRST_TO_THIRD -> 18
+    sub = gb([{"type": "default", "dimension": "quality",
+               "outputName": "alias"}],
+             [], intervals=FULL_ON,
+             limit_spec={"type": "default", "columns": [
+                 {"dimension": "alias", "direction": "ascending"}]})
+    q = gbq(sub, [{"type": "count", "name": "count"}], gran="all")
+    got = compile_query(q, testindex).collect()
+    assert len(got) == 1 and got[0]["count"] == 18
+
+
+def test_subquery_with_outer_cardinality_aggregator(spark, testindex):
+    # testSubqueryWithOuterCardinalityAggregator: cardinality over the
+    # inner's quality dim = UNIQUES_9 (9.019833517963864 legacy-HLL;
+    # suite tolerance 0.05 as in the ported hyperUnique methods)
+    sub = gb([{"type": "default", "dimension": "market",
+               "outputName": "market"},
+              {"type": "default", "dimension": "quality",
+               "outputName": "quality"}],
+             [ROWS, {"type": "longSum", "name": "index",
+                     "fieldName": "index"}],
+             gran="all", intervals=FULL_ON)
+    q = gbq(sub, [{"type": "cardinality", "name": "car",
+                   "fields": ["quality"], "byRow": False}],
+            gran="all", intervals=FULL_ON)
+    got = compile_query(q, testindex).collect()
+    assert len(got) == 1
+    assert float(got[0]["car"]) == pytest.approx(9.019833517963864,
+                                                 abs=0.05)
+
+
+def test_subquery_with_hyperuniques(spark, testindex):
+    # testSubqueryWithHyperUniques: the inner hyperUnique over the
+    # COMPLEX column emits non-finalized STATE (subquery contract);
+    # the outer re-merges it per alias — every alias spans 1 quality
+    # value (legacy-HLL pin 1.0002442201269182; tolerance 0.05)
+    sub = gb([{"type": "default", "dimension": "quality",
+               "outputName": "alias"}],
+             [ROWS,
+              {"type": "longSum", "name": "idx", "fieldName": "index"},
+              {"type": "hyperUnique", "name": "quality_uniques",
+               "fieldName": "quality_uniques"}])
+    q = gbq(sub,
+            [{"type": "longSum", "name": "rows", "fieldName": "rows"},
+             {"type": "longSum", "name": "idx", "fieldName": "idx"},
+             {"type": "hyperUnique", "name": "uniq",
+              "fieldName": "quality_uniques"}],
+            dims=[{"type": "default", "dimension": "alias",
+                   "outputName": "alias"}],
+            gran="all")
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("alias", "rows", "idx", "uniq")
+           .orderBy("alias").collect()]
+    want = [("automotive", 2, 282), ("business", 2, 230),
+            ("entertainment", 2, 324), ("health", 2, 233),
+            ("mezzanine", 6, 5317), ("news", 2, 235),
+            ("premium", 6, 5405), ("technology", 2, 175),
+            ("travel", 2, 245)]
+    assert [g[:3] for g in got] == want
+    for g in got:
+        assert float(g[3]) == pytest.approx(1.0002442201269182,
+                                            abs=0.05)
+
+
+def test_subquery_with_hyperuniques_post_aggregator(spark, testindex):
+    # testSubqueryWithHyperUniquesPostAggregator: the inner fieldAccess
+    # post-agg passes the raw sketch STATE through; outer re-merges and
+    # both the agg output and the finalizing post-agg read 9 qualities
+    sub = gb([], [ROWS,
+                  {"type": "longSum", "name": "idx",
+                   "fieldName": "index"},
+                  {"type": "hyperUnique", "name": "quality_uniques_inner",
+                   "fieldName": "quality_uniques"}])
+    sub["postAggregations"] = [
+        {"type": "fieldAccess", "name": "quality_uniques_inner_post",
+         "fieldName": "quality_uniques_inner"}]
+    q = gbq(sub,
+            [{"type": "longSum", "name": "rows", "fieldName": "rows"},
+             {"type": "longSum", "name": "idx", "fieldName": "idx"},
+             {"type": "hyperUnique", "name": "quality_uniques_outer",
+              "fieldName": "quality_uniques_inner_post"}],
+            gran="all",
+            post=[{"type": "hyperUniqueCardinality",
+                   "name": "quality_uniques_outer_post",
+                   "fieldName": "quality_uniques_outer"}])
+    got = compile_query(q, testindex).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["rows"], r["idx"]) == (26, 12446)
+    assert float(r["quality_uniques_outer"]) == pytest.approx(
+        9.019833517963864, abs=0.05)
+    assert float(r["quality_uniques_outer_post"]) == pytest.approx(
+        9.019833517963864, abs=0.05)
+
+
+def test_different_grouping_subquery_multiple_aggs_same_field(
+        spark, testindex):
+    # testDifferentGroupingSubqueryMultipleAggregatorsOnSameField: two
+    # outer doubleMax pairs over the inner's agg and its doubled
+    # post-agg
+    sub = gb([{"type": "default", "dimension": "quality",
+               "outputName": "alias"}],
+             [ROWS, {"type": "longSum", "name": "idx",
+                     "fieldName": "index"}])
+    sub["postAggregations"] = [
+        {"type": "arithmetic", "name": "post_agg", "fn": "+",
+         "fields": [
+             {"type": "fieldAccess", "name": "idx", "fieldName": "idx"},
+             {"type": "fieldAccess", "name": "idx",
+              "fieldName": "idx"}]}]
+    q = gbq(sub,
+            [{"type": "doubleMax", "name": "idx1", "fieldName": "idx"},
+             {"type": "doubleMax", "name": "idx2", "fieldName": "idx"},
+             {"type": "doubleMax", "name": "idx3",
+              "fieldName": "post_agg"},
+             {"type": "doubleMax", "name": "idx4",
+              "fieldName": "post_agg"}])
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("__time", "idx1", "idx2", "idx3", "idx4")
+           .orderBy("__time").collect()]
+    check(got, [(dt(2011, 4, 1), 2900.0, 2900.0, 5800.0, 5800.0),
+                (dt(2011, 4, 2), 2505.0, 2505.0, 5010.0, 5010.0)])
+
+
+def test_different_grouping_subquery_with_filter(spark, testindex):
+    # testDifferentGroupingSubqueryWithFilter: the outer OR-of-selector
+    # filter applies to the inner's exposed `quality` dimension column
+    sub = gb([{"type": "default", "dimension": "quality",
+               "outputName": "quality"}],
+             [ROWS, {"type": "longSum", "name": "idx",
+                     "fieldName": "index"}])
+    q = gbq(sub, [{"type": "doubleMax", "name": "idx",
+                   "fieldName": "idx"}],
+            filt={"type": "or", "fields": [
+                {"type": "selector", "dimension": "quality", "value": v}
+                for v in ("automotive", "premium", "mezzanine",
+                          "business", "entertainment", "health",
+                          "news", "technology", "travel")]})
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("__time", "idx").orderBy("__time").collect()]
+    check(got, [(dt(2011, 4, 1), 2900.0), (dt(2011, 4, 2), 2505.0)])
+
+
+def test_subquery_multiple_intervals_outer_with_limit(spark, testindex):
+    # testSubqueryWithMultipleIntervalsInOuterQueryWithLimitPushDown:
+    # inner time-first alias-DESC limit 12 keeps day-1's 9 aliases +
+    # day-2's top 3; outer spans two intervals with limit 15
+    sub = gb([{"type": "default", "dimension": "quality",
+               "outputName": "alias"}],
+             [ROWS,
+              {"type": "longSum", "name": "idx", "fieldName": "index"},
+              {"type": "longSum", "name": "indexMaxPlusTen",
+               "fieldName": "indexMaxPlusTen"}],
+             limit_spec={"type": "default", "limit": 12, "columns": [
+                 {"dimension": "alias", "direction": "descending"}]})
+    q = gbq(sub,
+            [{"type": "longSum", "name": "rows", "fieldName": "rows"},
+             {"type": "longSum", "name": "idx", "fieldName": "idx"}],
+            dims=[{"type": "default", "dimension": "alias",
+                   "outputName": "alias"}],
+            intervals=["2011-04-01T00:00:00.000Z/2011-04-01T23:58:00.000Z",
+                       "2011-04-02T00:00:00.000Z/2011-04-03T00:00:00.000Z"],
+            limit_spec={"type": "default", "limit": 15, "columns": [
+                {"dimension": "alias", "direction": "descending"}]})
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("__time", "alias", "rows", "idx").collect()]
+    check(got, [
+        (dt(2011, 4, 1), "travel", 1, 119),
+        (dt(2011, 4, 1), "technology", 1, 78),
+        (dt(2011, 4, 1), "premium", 3, 2900),
+        (dt(2011, 4, 1), "news", 1, 121),
+        (dt(2011, 4, 1), "mezzanine", 3, 2870),
+        (dt(2011, 4, 1), "health", 1, 120),
+        (dt(2011, 4, 1), "entertainment", 1, 158),
+        (dt(2011, 4, 1), "business", 1, 118),
+        (dt(2011, 4, 1), "automotive", 1, 135),
+        (dt(2011, 4, 2), "travel", 1, 126),
+        (dt(2011, 4, 2), "technology", 1, 97),
+        (dt(2011, 4, 2), "premium", 3, 2505),
+    ])
