@@ -23,8 +23,13 @@ _DRUID_OUT_TYPES = {"STRING": "string", "LONG": "long", "FLOAT": "float",
                     "DOUBLE": "double"}
 
 
-def compile_extraction_fn(spec: dict, col: Column, registry=None) -> Column:
-    """Extraction fn JSON -> Column transform of a (scalar) value."""
+def compile_extraction_fn(spec: dict, col: Column, registry=None,
+                          src_type=None) -> Column:
+    """Extraction fn JSON -> Column transform of a (scalar) value.
+    ``src_type`` (optional Spark DataType) disambiguates time inputs:
+    a LONG source feeding timeFormat is epoch MILLIS (Druid time
+    values are millis longs; Spark's long->timestamp cast would read
+    seconds)."""
     t = spec["type"]
     if t == "identity":
         return col
@@ -53,13 +58,22 @@ def compile_extraction_fn(spec: dict, col: Column, registry=None) -> Column:
     if t == "strlen":
         return F.length(col.cast("string")).cast("string")
     if t == "timeFormat":
-        fmt = spec.get("format", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+        fmt = spec.get("format")
         tz = spec.get("timeZone")
         gran = spec.get("granularity")
-        c = col.cast("timestamp")
+        if src_type is not None and isinstance(src_type, T.LongType):
+            c = F.timestamp_millis(col)  # millis long, not seconds
+        else:
+            c = col.cast("timestamp")
         if gran:
             from apache_druid_spark.model.granularity import time_floor_col
             c = time_floor_col(c, gran, tz)
+        if spec.get("asMillis") and fmt is None:
+            # TimeFormatExtractionFn(asMillis=true, format=null):
+            # the (granularity-floored) instant as epoch millis
+            # (testGroupByNestedDoubleTimeExtractionFnWithLongOutputTypes)
+            return F.unix_millis(c)
+        fmt = fmt or "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
         if tz and tz.upper() != "UTC":
             c = F.from_utc_timestamp(c, tz)
         return F.date_format(c, fmt)
@@ -135,7 +149,10 @@ def compile_dimension_spec(spec, registry=None, df=None) -> tuple[str, Column]:
             # (GroupByQueryRunnerTest.testGroupByComplexColumn)
             c = F.lit(None).cast("string")
     elif t == "extraction":
-        c = compile_extraction_fn(spec["extractionFn"], fcol(dim), registry)
+        src_type = (df.schema[dim].dataType
+                    if df is not None and dim in df.columns else None)
+        c = compile_extraction_fn(spec["extractionFn"], fcol(dim),
+                                  registry, src_type=src_type)
     elif t == "listFiltered":
         vals = [F.lit(v) for v in spec.get("values", [])]
         allow = F.array(*vals)

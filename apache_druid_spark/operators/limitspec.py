@@ -78,6 +78,11 @@ def apply_limit_spec(df: DataFrame, spec: dict | None,
         return df
     if t != "default":
         raise ValueError(f"unknown limitSpec type: {t!r}")
+    for k in ("limit", "offset"):
+        if spec.get(k) is not None and int(spec[k]) < 0:
+            # DefaultLimitSpec validation (testMergeResultsWith
+            # NegativeLimit: build-time IllegalArgumentException)
+            raise ValueError(f"{k}[{spec[k]}] must be >= 0")
 
     order_cols = []
     ordered_dims = set()

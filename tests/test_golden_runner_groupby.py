@@ -6,16 +6,24 @@ duration granularity, having specs, and order-limit specs. Numeric
 comparison per TestHelper.assertRow (1e-6 relative).
 
 The suite's remaining methods exercise groupBy-v2 engine internals
-(spilling configs, merge-buffer exhaustion contracts, bySegment
-decoration), extraction-fn/lookup matrices (SQL-layer pinned),
-subquery shapes (ported in the CalciteQueryTest tranches where they
-have SQL equivalents), and javascript aggregators (policy wall)."""
+(spilling configs, merge-buffer exhaustion contracts, timeout/
+max-on-disk context overrides, bySegment decoration), javascript
+aggregators/extraction fns (policy wall — testSubqueryWithOuterDim/
+JavascriptAggregators need the JS engine for NON-identity functions),
+testLimitPerGrouping (@Ignore upstream: Druid doesn't support it),
+and rename/decoration matrices whose extraction semantics are pinned
+by the SQL-layer tranches. r10 ported the subquery family (12
+methods incl. sketch-state re-aggregation across the boundary),
+nested numeric/extraction inner queries (5), and the ordering/
+limit-spec family (9 incl. subtotal order-limits and the
+forceLimitPushDown pins)."""
 
 from __future__ import annotations
 
 from datetime import datetime
 
 import pytest
+from pyspark.sql import functions as F
 
 from apache_druid_spark.plans.compiler import compile_query
 
@@ -1639,3 +1647,406 @@ def test_subquery_multiple_intervals_outer_with_limit(spark, testindex):
         (dt(2011, 4, 2), "technology", 1, 97),
         (dt(2011, 4, 2), "premium", 3, 2505),
     ])
+
+
+# ---------------------------------------------------------------------------
+# Round-10 tranche (cont.): nested queries with numeric inner outputs
+# and extraction fns across the subquery boundary.
+# ---------------------------------------------------------------------------
+
+def test_groupby_nested_with_inner_query_numerics(spark, testindex):
+    # testGroupByNestedWithInnerQueryNumerics: LONG/FLOAT typed inner
+    # dims; outer selector + numeric bound filters over them
+    sub = gb([{"type": "default", "dimension": "quality",
+               "outputName": "alias"},
+              {"type": "default", "dimension": "qualityLong",
+               "outputName": "ql_alias", "outputType": "LONG"},
+              {"type": "default", "dimension": "qualityFloat",
+               "outputName": "qf_alias", "outputType": "FLOAT"}],
+             [ROWS, {"type": "longSum", "name": "idx",
+                     "fieldName": "index"}],
+             filt={"type": "in", "dimension": "quality",
+                   "values": ["entertainment"]})
+    q = gbq(sub,
+            [{"type": "longSum", "name": "ql_alias_sum",
+              "fieldName": "ql_alias"},
+             {"type": "doubleSum", "name": "qf_alias_sum",
+              "fieldName": "qf_alias"}],
+            dims=[{"type": "default", "dimension": "ql_alias",
+                   "outputName": "quallong", "outputType": "LONG"},
+                  {"type": "default", "dimension": "qf_alias",
+                   "outputName": "qualfloat", "outputType": "FLOAT"}],
+            gran="all",
+            filt={"type": "and", "fields": [
+                {"type": "selector", "dimension": "ql_alias",
+                 "value": "1200"},
+                {"type": "bound", "dimension": "qf_alias",
+                 "lower": "11095.0", "upper": "12005.0",
+                 "lowerStrict": True, "upperStrict": True,
+                 "ordering": "numeric"}]})
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("quallong", "qualfloat", "ql_alias_sum",
+                   "qf_alias_sum").collect()]
+    check(got, [(1200, 12000.0, 2400, 24000.0)])
+
+
+def test_groupby_nested_inner_query_output_null_numerics(spark,
+                                                         testindex):
+    # testGroupByNestedWithInnerQueryOutputNullNumerics: a searchQuery
+    # extraction (contains '1200') nulls the non-matching quality's
+    # numeric dims; outer sums propagate SQL-mode NULLs
+    exfn = {"type": "searchQuery",
+            "query": {"type": "contains", "value": "1200",
+                      "caseSensitive": False}}
+    sub = gb([{"type": "default", "dimension": "quality",
+               "outputName": "alias"},
+              {"type": "extraction", "dimension": "qualityLong",
+               "outputName": "ql_alias", "outputType": "LONG",
+               "extractionFn": exfn},
+              {"type": "extraction", "dimension": "qualityFloat",
+               "outputName": "qf_alias", "outputType": "FLOAT",
+               "extractionFn": exfn},
+              {"type": "extraction", "dimension": "qualityDouble",
+               "outputName": "qd_alias", "outputType": "DOUBLE",
+               "extractionFn": exfn}],
+             [ROWS, {"type": "longSum", "name": "idx",
+                     "fieldName": "index"}],
+             filt={"type": "in", "dimension": "quality",
+                   "values": ["entertainment", "business"]})
+    q = gbq(sub,
+            [{"type": "longSum", "name": "ql_alias_sum",
+              "fieldName": "ql_alias"},
+             {"type": "doubleSum", "name": "qf_alias_sum",
+              "fieldName": "qf_alias"},
+             {"type": "doubleSum", "name": "qd_alias_sum",
+              "fieldName": "qd_alias"}],
+            dims=[{"type": "default", "dimension": "ql_alias",
+                   "outputName": "quallong", "outputType": "LONG"},
+                  {"type": "default", "dimension": "qf_alias",
+                   "outputName": "qualfloat", "outputType": "FLOAT"},
+                  {"type": "default", "dimension": "qd_alias",
+                   "outputName": "qualdouble", "outputType": "DOUBLE"}],
+            gran="all")
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("quallong", "qualfloat", "qualdouble",
+                   "ql_alias_sum", "qf_alias_sum", "qd_alias_sum")
+           .orderBy(F.asc_nulls_first("quallong")).collect()]
+    check(got, [(None, None, None, None, None, None),
+                (1200, 12000.0, 12000.0, 2400, 24000.0, 24000.0)])
+
+
+def test_groupby_nested_inner_query_numerics_with_long_time(
+        spark, testindex):
+    # testGroupByNestedWithInnerQueryNumericsWithLongTime: __time as a
+    # LONG inner dim (epoch millis), FLOAT index dim; outer re-groups
+    # on the millis and maxes them back out
+    sub = gb([{"type": "default", "dimension": "market",
+               "outputName": "alias"},
+              {"type": "default", "dimension": "__time",
+               "outputName": "time_alias", "outputType": "LONG"},
+              {"type": "default", "dimension": "index",
+               "outputName": "index_alias", "outputType": "FLOAT"}],
+             [ROWS], gran="all")
+    q = gbq(sub,
+            [{"type": "longMax", "name": "time_alias_max",
+              "fieldName": "time_alias"},
+             {"type": "doubleMax", "name": "index_alias_max",
+              "fieldName": "index_alias"}],
+            dims=[{"type": "default", "dimension": "alias",
+                   "outputName": "market"},
+                  {"type": "default", "dimension": "time_alias",
+                   "outputName": "time_alias2", "outputType": "LONG"}],
+            gran="all")
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("market", "time_alias2", "time_alias_max",
+                   "index_alias_max")
+           .orderBy("market", "time_alias2").collect()]
+    check(got, [
+        ("spot", 1301616000000, 1301616000000, 158.74722290039062),
+        ("spot", 1301702400000, 1301702400000, 166.01605224609375),
+        ("total_market", 1301616000000, 1301616000000,
+         1522.043701171875),
+        ("total_market", 1301702400000, 1301702400000, 1321.375),
+        ("upfront", 1301616000000, 1301616000000, 1447.3411865234375),
+        ("upfront", 1301702400000, 1301702400000, 1144.3424072265625),
+    ])
+
+
+def test_groupby_nested_outer_extraction_fn_on_float_inner(spark,
+                                                           testindex):
+    # testGroupByNestedOuterExtractionFnOnFloatInner: identity
+    # extraction (the reference uses a javascript identity fn; the
+    # pinned contract is the FLOAT-typed extraction round-trip across
+    # the subquery boundary, which `identity` models exactly)
+    exfn = {"type": "identity"}
+    sub = gb([{"type": "default", "dimension": "quality",
+               "outputName": "alias"},
+              {"type": "extraction", "dimension": "qualityFloat",
+               "outputName": "qf_inner", "outputType": "FLOAT",
+               "extractionFn": exfn}],
+             [ROWS],
+             filt={"type": "selector", "dimension": "quality",
+                   "value": "technology"})
+    q = gbq(sub, [ROWS],
+            dims=[{"type": "default", "dimension": "alias",
+                   "outputName": "alias"},
+                  {"type": "extraction", "dimension": "qf_inner",
+                   "outputName": "qf_outer", "outputType": "FLOAT",
+                   "extractionFn": exfn}],
+            gran="all")
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("alias", "qf_outer", "rows").collect()]
+    check(got, [("technology", 17000.0, 2)])
+
+
+def test_groupby_nested_double_time_extraction_long_output(spark,
+                                                           testindex):
+    # testGroupByNestedDoubleTimeExtractionFnWithLongOutputTypes: a
+    # DAY-floored asMillis timeFormat inner dim re-floored to WEEK by
+    # the outer extraction over the LONG millis column
+    sub = gb([{"type": "default", "dimension": "quality",
+               "outputName": "alias"},
+              {"type": "extraction", "dimension": "__time",
+               "outputName": "time_day", "outputType": "LONG",
+               "extractionFn": {"type": "timeFormat",
+                                "granularity": "day",
+                                "asMillis": True}}],
+             [ROWS],
+             filt={"type": "selector", "dimension": "quality",
+                   "value": "technology"})
+    q = gbq(sub, [ROWS],
+            dims=[{"type": "default", "dimension": "alias",
+                   "outputName": "alias"},
+                  {"type": "extraction", "dimension": "time_day",
+                   "outputName": "time_week", "outputType": "LONG",
+                   "extractionFn": {"type": "timeFormat",
+                                    "granularity": "week",
+                                    "asMillis": True}}],
+            gran="all")
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("alias", "time_week", "rows").collect()]
+    check(got, [("technology", 1301270400000, 2)])
+
+
+# ---------------------------------------------------------------------------
+# Round-10 tranche (cont.): the ordering / limit-spec family.
+# The forceLimitPushDown context methods pin the same result contract
+# as the non-pushdown path (the pushdown is Druid's historials-side
+# optimization; Spark's TakeOrderedAndProject IS the pushdown).
+# ---------------------------------------------------------------------------
+
+MERGE_BASE_ROWS = [
+    ("automotive", 2, 269), ("business", 2, 217),
+    ("entertainment", 2, 319), ("health", 2, 216),
+    ("mezzanine", 6, 4420), ("news", 2, 221),
+    ("premium", 6, 4416), ("technology", 2, 177), ("travel", 2, 243),
+]
+
+
+def test_merge_results_with_order_by(spark, testindex):
+    # testMergeResultsWithOrderBy: month-granular 2-day merge ordered
+    # by each of the four limit-spec comparator chains
+    base = gb([{"type": "default", "dimension": "quality",
+                "outputName": "alias"}],
+              [ROWS, {"type": "longSum", "name": "idx",
+                      "fieldName": "index"}],
+              gran={"type": "period", "period": "P1M"},
+              intervals=["2011-04-02/2011-04-04"])
+    specs = [
+        [{"dimension": "idx", "direction": "ascending"}],
+        [{"dimension": "rows", "direction": "ascending"},
+         {"dimension": "idx", "direction": "ascending"}],
+        [{"dimension": "idx", "direction": "descending"}],
+        [{"dimension": "rows", "direction": "descending"},
+         {"dimension": "idx", "direction": "descending"}],
+    ]
+    orders = [
+        sorted(MERGE_BASE_ROWS, key=lambda r: r[2]),
+        sorted(MERGE_BASE_ROWS, key=lambda r: (r[1], r[2])),
+        sorted(MERGE_BASE_ROWS, key=lambda r: r[2], reverse=True),
+        sorted(MERGE_BASE_ROWS, key=lambda r: (r[1], r[2]),
+               reverse=True),
+    ]
+    for cols, want in zip(specs, orders):
+        q = dict(base, limitSpec={"type": "default", "columns": cols})
+        got = [tuple(r) for r in compile_query(q, testindex)
+               .select("__time", "alias", "rows", "idx").collect()]
+        check(got, [(dt(2011, 4, 1),) + w for w in want])
+
+
+def test_merge_results_with_negative_limit(spark, testindex):
+    # testMergeResultsWithNegativeLimit: build-time validation error
+    q = gb([{"type": "default", "dimension": "quality",
+             "outputName": "alias"}],
+           [ROWS, {"type": "longSum", "name": "idx",
+                   "fieldName": "index"}],
+           gran={"type": "period", "period": "P1M"},
+           intervals=["2011-04-02/2011-04-04"],
+           limit_spec={"type": "default", "limit": -1})
+    with pytest.raises(ValueError, match="must be >= 0"):
+        compile_query(q, testindex).collect()
+
+
+def test_merge_results_multiple_days_limit_order_by_math_expr(
+        spark, testindex):
+    # testMergeResultsAcrossMultipleDaysWithLimitAndOrderByUsing
+    # MathExpressions: FLOAT virtual column index*2 + indexMin/10 fed
+    # to a longSum, idx DESC limit 14 over day-major rows
+    q = gb([{"type": "default", "dimension": "quality",
+             "outputName": "alias"}],
+           [ROWS, {"type": "longSum", "name": "idx",
+                   "fieldName": "expr"}],
+           limit_spec={"type": "default", "limit": 14, "columns": [
+               {"dimension": "idx", "direction": "descending"}]})
+    q["virtualColumns"] = [{
+        "type": "expression", "name": "expr",
+        "expression": "index * 2 + indexMin / 10",
+        "outputType": "FLOAT"}]
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("__time", "alias", "rows", "idx").collect()]
+    check(got, [
+        (dt(2011, 4, 1), "premium", 3, 6090),
+        (dt(2011, 4, 1), "mezzanine", 3, 6030),
+        (dt(2011, 4, 1), "entertainment", 1, 333),
+        (dt(2011, 4, 1), "automotive", 1, 285),
+        (dt(2011, 4, 1), "news", 1, 255),
+        (dt(2011, 4, 1), "health", 1, 252),
+        (dt(2011, 4, 1), "travel", 1, 251),
+        (dt(2011, 4, 1), "business", 1, 248),
+        (dt(2011, 4, 1), "technology", 1, 165),
+        (dt(2011, 4, 2), "premium", 3, 5262),
+        (dt(2011, 4, 2), "mezzanine", 3, 5141),
+        (dt(2011, 4, 2), "entertainment", 1, 348),
+        (dt(2011, 4, 2), "automotive", 1, 309),
+        (dt(2011, 4, 2), "travel", 1, 265),
+    ])
+
+
+def test_groupby_with_limit_on_finalized_hyperunique(spark, testindex):
+    # testGroupByWithLimitOnFinalizedHyperUnique: order by the
+    # finalizing post-agg DESC, dimension-ascending tiebreak
+    q = gb([{"type": "default", "dimension": "market",
+             "outputName": "market"}],
+           [{"type": "hyperUnique", "name": "uniques",
+             "fieldName": "quality_uniques"}],
+           gran="all", intervals=FULL_ON,
+           limit_spec={"type": "default", "limit": 3, "columns": [
+               {"dimension": "hyperUniqueFinalizingPostAggMetric",
+                "direction": "descending"}]})
+    q["postAggregations"] = [{
+        "type": "hyperUniqueCardinality",
+        "name": "hyperUniqueFinalizingPostAggMetric",
+        "fieldName": "uniques"}]
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("market", "uniques",
+                   "hyperUniqueFinalizingPostAggMetric").collect()]
+    want = [("spot", 9.019833517963864), ("total_market",
+                                          2.000977198748901),
+            ("upfront", 2.000977198748901)]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert float(g[1]) == pytest.approx(w[1], abs=0.05)
+        assert float(g[2]) == pytest.approx(w[1], abs=0.05)
+
+
+def test_groupby_with_lookup_and_limit_sort_by_dims_first(spark,
+                                                          testindex):
+    # testGroupByWithLookupAndLimitAndSortByDimsFirst: inline-map
+    # lookup extraction, alphanumeric alias ordering outranking the
+    # day bucket (sortByDimsFirst), limit 11
+    q = gb([{"type": "extraction", "dimension": "quality",
+             "outputName": "alias",
+             "extractionFn": {"type": "lookup", "lookup": {
+                 "type": "map", "map": {
+                     "automotive": "9", "business": "8",
+                     "entertainment": "7", "health": "6",
+                     "mezzanine": "5", "news": "4", "premium": "3",
+                     "technology": "2", "travel": "1"}}}}],
+           [ROWS, {"type": "longSum", "name": "idx",
+                   "fieldName": "index"}],
+           limit_spec={"type": "default", "limit": 11, "columns": [
+               {"dimension": "alias",
+                "dimensionOrder": "alphanumeric"}]})
+    q["context"] = {"sortByDimsFirst": True}
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("__time", "alias", "rows", "idx").collect()]
+    check(got, [
+        (dt(2011, 4, 1), "1", 1, 119), (dt(2011, 4, 2), "1", 1, 126),
+        (dt(2011, 4, 1), "2", 1, 78), (dt(2011, 4, 2), "2", 1, 97),
+        (dt(2011, 4, 1), "3", 3, 2900),
+        (dt(2011, 4, 2), "3", 3, 2505),
+        (dt(2011, 4, 1), "4", 1, 121), (dt(2011, 4, 2), "4", 1, 114),
+        (dt(2011, 4, 1), "5", 3, 2870),
+        (dt(2011, 4, 2), "5", 3, 2447),
+        (dt(2011, 4, 1), "6", 1, 120),
+    ])
+
+
+def test_groupby_subtotals_with_order_limit(spark, testindex):
+    # testGroupByWithSubtotalsSpecWithOrderLimit: the limit spec
+    # orders the UNION of all subtotal rows (idx, alias, market asc)
+    q = gb([{"type": "default", "dimension": "quality",
+             "outputName": "alias"},
+            {"type": "default", "dimension": "market",
+             "outputName": "market"}],
+           [ROWS, {"type": "longSum", "name": "idx",
+                   "fieldName": "index"}],
+           limit_spec={"type": "default", "limit": 3, "columns": [
+               {"dimension": "idx"}, {"dimension": "alias"},
+               {"dimension": "market"}]})
+    q["subtotalsSpec"] = [["alias"], ["market"], []]
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("__time", "alias", "rows", "idx").collect()]
+    check(got, [(dt(2011, 4, 1), "technology", 1, 78),
+                (dt(2011, 4, 1), "business", 1, 118),
+                (dt(2011, 4, 1), "travel", 1, 119)])
+
+
+def test_groupby_subtotals_with_order_limit_and_offset(spark,
+                                                       testindex):
+    # testGroupByWithSubtotalsSpecWithOrderLimitAndOffset
+    q = gb([{"type": "default", "dimension": "quality",
+             "outputName": "alias"},
+            {"type": "default", "dimension": "market",
+             "outputName": "market"}],
+           [ROWS, {"type": "longSum", "name": "idx",
+                   "fieldName": "index"}],
+           limit_spec={"type": "default", "limit": 2, "offset": 1,
+                       "columns": [
+                           {"dimension": "idx"}, {"dimension": "alias"},
+                           {"dimension": "market"}]})
+    q["subtotalsSpec"] = [["alias"], ["market"], []]
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("__time", "alias", "rows", "idx").collect()]
+    check(got, [(dt(2011, 4, 1), "business", 1, 118),
+                (dt(2011, 4, 1), "travel", 1, 119)])
+
+
+def test_groupby_limit_push_down(spark, testindex):
+    # testGroupByLimitPushDown (forceLimitPushDown context): same
+    # contract as the broker path; marketalias DESC limit 2
+    q = gb([{"type": "default", "dimension": "market",
+             "outputName": "marketalias"}],
+           [ROWS], gran="all", intervals=FULL_ON,
+           limit_spec={"type": "default", "limit": 2, "columns": [
+               {"dimension": "marketalias",
+                "direction": "descending"}]})
+    q["context"] = {"forceLimitPushDown": True}
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("marketalias", "rows").collect()]
+    check(got, [("upfront", 186), ("total_market", 186)])
+
+
+def test_groupby_limit_push_down_with_offset(spark, testindex):
+    # testGroupByLimitPushDownWithOffset: offset pages past upfront
+    q = gb([{"type": "default", "dimension": "market",
+             "outputName": "marketalias"}],
+           [ROWS], gran="all", intervals=FULL_ON,
+           limit_spec={"type": "default", "limit": 2, "offset": 1,
+                       "columns": [
+                           {"dimension": "marketalias",
+                            "direction": "descending"}]})
+    q["context"] = {"forceLimitPushDown": True}
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("marketalias", "rows").collect()]
+    check(got, [("total_market", 186), ("spot", 837)])

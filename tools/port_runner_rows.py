@@ -108,7 +108,8 @@ def extract(body):
             i += 1
         args = split_args(body[start:i - 1])
         if args and args[0] in ("query", "fullQuery", "allGranQuery",
-                                "subquery", "outerQuery", "mergedQuery"):
+                                "subquery", "outerQuery", "mergedQuery",
+                                "baseQuery", "builder.build()", "query1", "query2"):
             args = args[1:]
         ts = pyval(args[0])
         kv = [(pyval(args[j]), pyval(args[j + 1]))
