@@ -355,11 +355,19 @@ def register_lookup_function(spark: SparkSession, registry=None) -> None:
     refresh and newly registered lookups become callable."""
     if registry is None or not getattr(registry, "_lookups", None):
         return
-    from pyspark.sql.functions import broadcast
+    from pyspark.sql.functions import broadcast, max as _max
 
     for lname in registry._lookups:
-        broadcast(registry.lookup_df(lname)).createOrReplaceTempView(
-            f"lookup_{lname}")
+        # Dedup keys defensively (ADVICE r10): a lookup registered
+        # with duplicate keys would make the correlated scalar
+        # subquery raise "more than one row returned" at query time;
+        # the reference's map semantics keep exactly one value per
+        # key, so pick deterministically (max). For well-formed
+        # (unique-key) lookups this is a no-op on values, and the
+        # aggregate stays upstream of the broadcast.
+        df = (registry.lookup_df(lname)
+              .groupBy("k").agg(_max("v").alias("v")))
+        broadcast(df).createOrReplaceTempView(f"lookup_{lname}")
     arms = [
         f"WHEN '{_esc(lname)}' THEN (SELECT v FROM "
         f"lookup_{lname} WHERE k = __lk)"

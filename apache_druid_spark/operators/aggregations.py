@@ -109,11 +109,16 @@ def compile_aggregator(spec: dict, df=None, registry=None,
             return F.hll_sketch_estimate(merged).alias(name)
         if not finalize:
             # raw values -> state, built with the ingest rollup path's
-            # key encoding so outer merges agree with ingest-time state
-            from apache_druid_spark.ingest.batch import _hll_input
+            # key encoding AND lgK (ADVICE r10: a hardcoded 12 ignored
+            # the spec's lgK; hll_union_agg over mixed-lgK states fails
+            # when allowDifferentLgConfigK is false, and HLLSketchBuild
+            # with explicit lgK silently lost its precision)
+            from apache_druid_spark.ingest.batch import (_hll_input,
+                                                         _hll_lgk)
 
             return F.hll_sketch_agg(
-                _hll_input(_field(spec, registry)), 12).alias(name)
+                _hll_input(_field(spec, registry)),
+                _hll_lgk(spec)).alias(name)
         # Over raw values: rsd 0.02 ~ Druid's 2048-bucket HLL (~2.3%
         # std error, hll/.../HyperLogLogCollector.java)
         return F.approx_count_distinct(

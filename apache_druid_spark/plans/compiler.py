@@ -530,14 +530,20 @@ def _footer_extent(df: DataFrame, raw_col: str, intervals: tuple):
                 if c.path_in_schema == raw_col:
                     st = c.statistics
                     break
-            if st is None or not st.has_min_max:
+            if st is None:
+                return None
+            if (st.has_null_count
+                    and st.null_count == rg.num_rows):
+                # all-null group (typically written WITHOUT min/max
+                # stats): contributes nothing — skip, don't abandon
+                # the metadata answer (ADVICE r10).
+                continue
+            if not st.has_min_max:
                 return None
             mn = _stat_as_naive_utc(st.min)
             mx = _stat_as_naive_utc(st.max)
             if mn is None or mx is None:
                 return None
-            if st.null_count and rg.num_rows == st.null_count:
-                continue  # all-null group: no extent contribution
             if ivs:
                 if all(mx < s or mn >= e for s, e in ivs):
                     continue  # disjoint from every interval
@@ -547,6 +553,19 @@ def _footer_extent(df: DataFrame, raw_col: str, intervals: tuple):
                 lo = mn
             if hi is None or mx > hi:
                 hi = mx
+    # Return tz-AWARE UTC instants: naive datetimes cross the Python↔
+    # JVM boundary (F.lit in _zero_fill) in the driver's LOCAL tz,
+    # while the scan fallback's collected timestamps round-trip
+    # local-naive — on a non-UTC driver the two paths would embed
+    # different instants (ADVICE r10). TimestampType.toInternal
+    # handles tz-aware values exactly via utctimetuple, no DST
+    # ambiguity.
+    from datetime import timezone as _tz
+
+    if lo is not None:
+        lo = lo.replace(tzinfo=_tz.utc)
+    if hi is not None:
+        hi = hi.replace(tzinfo=_tz.utc)
     return (lo, hi)
 
 

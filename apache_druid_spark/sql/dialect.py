@@ -3229,8 +3229,21 @@ def _inline_lookup_calls(text: str, registry) -> str:
         elif len(rows) > _LOOKUP_INLINE_MAX:
             maps[lname] = None
         else:
+            # dedup duplicate keys deterministically (max v — same
+            # pick as the lookup_<name> view dedup in
+            # functions/registry.py): a map(...) literal with a
+            # repeated key raises DUPLICATED_MAP_KEY at runtime
+            # (ADVICE r10)
+            dedup: dict = {}
+            for r in rows:
+                prev = dedup.get(r[0])
+                if (r[0] not in dedup
+                        or (r[1] is not None
+                            and (prev is None or r[1] > prev))):
+                    dedup[r[0]] = r[1]
             pairs = ", ".join(
-                f"'{_esc(r[0])}', '{_esc(r[1])}'" for r in rows)
+                f"'{_esc(k)}', '{_esc(v)}'"
+                for k, v in dedup.items())
             maps[lname] = f"map({pairs})"
         return maps[lname]
 
@@ -3442,6 +3455,16 @@ def _integral_columns(registry, names) -> tuple:
     return tuple(sorted(cols))
 
 
+# SQL type keywords that follow AS inside CAST(...) — not aliases
+# (ADVICE r10: a column literally named e.g. "bigint" would now take
+# the integral fast path; that is the acceptable corner)
+_CAST_TYPE_NAMES = frozenset({
+    "bigint", "int", "integer", "smallint", "tinyint", "long", "float",
+    "real", "double", "decimal", "numeric", "string", "varchar",
+    "char", "boolean", "date", "timestamp", "binary", "interval",
+})
+
+
 def _mark_integral_rounds(text: str, int_cols) -> str:
     """ROUND over a LONG-typed input returns LONG in the reference
     (Function.Round keeps the input type); the generic edge rewrite
@@ -3456,11 +3479,24 @@ def _mark_integral_rounds(text: str, int_cols) -> str:
     skipped (ADVICE r9): ``ROUND(cnt, 1)`` over a subquery alias
     ``cnt`` that is actually DOUBLE must keep the edge rewrite — the
     textual match can't see through the alias, so alias-shadowed names
-    conservatively stay on the generic path."""
+    conservatively stay on the generic path. Two non-aliases are
+    excluded from shadow detection (ADVICE r10): CAST target type
+    names (``CAST(x AS BIGINT)`` is not an alias), and the self-alias
+    ``ROUND(longcol, 1) AS longcol`` — there the "alias" IS the
+    integral column being rounded, so skipping it regressed the r8
+    fix (10.0D where the reference returns 10L)."""
     if not int_cols:
         return text
+    # strip self-aliases (ROUND(col ...) AS col) before collecting
+    # shadow names; the backreference is case-insensitive under
+    # re.IGNORECASE
+    probe = re.sub(
+        r"\bROUND\s*\(\s*(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\s*"
+        r"(?:,\s*[^()]*)?\)\s+AS\s+\1\b",
+        " ", text, flags=re.IGNORECASE)
     shadowed = {m.group(1).lower() for m in re.finditer(
-        r"\bAS\s+([A-Za-z_]\w*)", text, re.IGNORECASE)}
+        r"\bAS\s+([A-Za-z_]\w*)", probe, re.IGNORECASE)}
+    shadowed -= _CAST_TYPE_NAMES
     int_cols = [c for c in int_cols if c.lower() not in shadowed]
     if not int_cols:
         return text

@@ -147,8 +147,12 @@ def test_footer_extent_matches_scan(spark):
     df = r.table("orders")
     ext = _footer_extent(df, "o_orderdate", ())
     assert ext is not None
+    # r11: footer extents are tz-AWARE UTC (ADVICE r10) while collected
+    # timestamps are naive driver-local — compare as instants
+    from datetime import timezone as _tz
+    assert ext[0].tzinfo is _tz.utc and ext[1].tzinfo is _tz.utc
     row = df.agg(F.min("__time"), F.max("__time")).head()
-    assert ext == (row[0], row[1])
+    assert ext == (row[0].astimezone(_tz.utc), row[1].astimezone(_tz.utc))
 
 
 def test_data_extent_is_metadata_only(spark, monkeypatch):
