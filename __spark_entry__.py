@@ -4686,18 +4686,73 @@ _R09_WINDOW = (
 )
 
 
+# Round-11 gate window (VERDICT r10 task #1 — r10's window re-ran the
+# r9 set, so the r5-evidence cohort was never refreshed). Exactly 50
+# names (the driver cap; the r9 window listed 53 and the last 3 were
+# silently cut): ALL 26 entries whose latest oracle evidence is round
+# 5 (set ops, granularity periods, grand total, alphanumeric
+# limitSpec, composite having, inverted topN, catalog/sys tables,
+# string first/last, bloom, …) — their operators' code changed in
+# r9–r10 (limitSpec, extraction fns, subquery datasources, footer
+# extent) — then 24 r7-evidence entries prioritized by overlap with
+# r8–r10 code churn (timeseries/extent, groupBy subquery + limitSpec,
+# lookups, theta/cardinality, SQL dialect). The 25 r7 leftovers
+# (_R11_NEXT) front the r12 rotation.
+_R11_WINDOW = (
+    # r5-evidence cohort (all 26, alphabetical)
+    'agg_string_first_last', 'anti_join_customers', 'bloom_dim_filter',
+    'contrib_time_min_max', 'datasource_metadata_lineitem',
+    'dim_list_filtered_tokens', 'except_nationkeys',
+    'filter_interval_expression', 'granularity_period_2w',
+    'granularity_quarter', 'granularity_week_p1w',
+    'grouping_id_subtotals', 'having_composite', 'info_schema_columns',
+    'intersect_nationkeys', 'join_lookup_datasource',
+    'limitspec_alphanumeric', 'postagg_arithmetic',
+    'query_datasource_nested', 'scan_orderby_key_desc',
+    'search_nation_names', 'sys_segments_catalog',
+    'timeseries_grand_total', 'topn_inverted_lexicographic',
+    'union_scan_orders', 'virtual_column_case_tier',
+    # r7-evidence entries over r8–r10-churned code (24)
+    'timeseries_month_revenue', 'timeseries_day_clicks',
+    'timeboundary_lineitem', 'groupby_having_segment',
+    'groupby_subtotals', 'limitspec_offset', 'lookup_nation_name',
+    'theta_set_ops', 'theta_exact_distinct', 'cardinality_by_value',
+    'expression_lambda_agg', 'mv_explode_subquery_groupby',
+    'sql_view_query', 'sql_time_floor_revenue', 'sql_semi_join',
+    'sql_earliest_latest', 'agg_first_last_events', 'agg_filtered_sum',
+    'moving_average_monthly', 'topn_priority_revenue',
+    'groupby_flag_status', 'dim_regex_filtered', 'dim_prefix_filtered',
+    'window_moving_avg',
+)
+
+# r7-evidence leftovers — next-oldest after the window; they run first
+# in the r12 rotation
+_R11_NEXT = (
+    'agg_stats_lineitem', 'dedup_exact', 'dedup_minhash_lsh',
+    'dedup_ngram_jaccard', 'extraction_regex_brand',
+    'filter_column_comparison', 'filter_combo_parts',
+    'filter_regex_not', 'join_left_deep_tree', 'join_orders_customers',
+    'lambda_realtime_union', 'mv_filter_in', 'mv_token_counts',
+    'salted_groupby_skew', 'scan_high_value_orders',
+    'semantic_dedup_embeddings', 'semantic_dedup_scale_mode',
+    'stratified_sample_documents', 'text_quality',
+    'text_winnowing_fingerprint', 'time_extract_hour',
+    'train_test_split_counts', 'tuple_sketch_order_totals',
+    'union_hetero_schemas', 'virtual_column_bucket',
+)
+
+
 def _entry_order(name: str) -> tuple:
+    if name in _R11_WINDOW:
+        return (0, _R11_WINDOW.index(name))
+    if name in _R11_NEXT:  # r7 evidence: next-oldest
+        return (1, _R11_NEXT.index(name))
+    if name in _R08_WINDOW:  # r8 evidence
+        return (2, _R08_WINDOW.index(name))
+    # freshest (r10) evidence last
     if name in _R09_WINDOW:
-        return (0, _R09_WINDOW.index(name))
-    # remaining r5-evidence entries next (oldest remaining), then the
-    # r7 and r8 windows (freshest evidence) last.
-    if name in _R05_WINDOW:
-        return (1, _R05_WINDOW.index(name))
-    if name in _R06_WINDOW:
-        return (2, _R06_WINDOW.index(name))
-    if name in _R08_WINDOW:
-        return (4, _R08_WINDOW.index(name))
-    return (3, 0)  # r7-green; stable within group (dict keeps file order)
+        return (4, _R09_WINDOW.index(name))
+    return (3, 0)  # stable within group (dict keeps file order)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
