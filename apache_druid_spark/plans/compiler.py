@@ -960,9 +960,33 @@ def compile_search(q: dict, registry: DatasourceRegistry) -> DataFrame:
 
 
 def compile_time_boundary(q: dict, registry: DatasourceRegistry) -> DataFrame:
-    """timeBoundary (processing/.../query/timeboundary/TimeBoundaryQuery.java)."""
-    df = _base_frame(q, registry)
+    """timeBoundary (processing/.../query/timeboundary/TimeBoundaryQuery.java).
+
+    Unfiltered plain-table case: answered from _data_extent — parquet
+    footer statistics when available (a driver-side metadata pass, no
+    Spark job — the reference's TimeBoundaryQueryRunnerFactory likewise
+    short-circuits to per-segment time extents without scanning rows)
+    and the per-(datasource, intervals) extent cache either way. The
+    result plan is a one-row literal projection."""
     bound = q.get("bound")
+    name = q.get("dataSource")
+    if (isinstance(name, str) and not q.get("filter")
+            and not q.get("virtualColumns")
+            and name in registry.footer_time_cols):
+        lo, hi = _data_extent(q, registry)
+
+        def _ts(v):
+            return (F.lit(v) if v is not None
+                    else F.lit(None)).cast("timestamp")
+
+        one = registry.spark.range(1)
+        if bound == "minTime":
+            return one.select(_ts(lo).alias("minTime"))
+        if bound == "maxTime":
+            return one.select(_ts(hi).alias("maxTime"))
+        return one.select(_ts(lo).alias("minTime"),
+                          _ts(hi).alias("maxTime"))
+    df = _base_frame(q, registry)
     if bound == "minTime":
         return df.agg(F.min(TIME_COLUMN).alias("minTime"))
     if bound == "maxTime":

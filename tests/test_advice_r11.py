@@ -132,6 +132,53 @@ def test_lookup_duplicate_keys_does_not_raise(spark):
     assert out["lb"] == "w"
 
 
+# -- 6 (VERDICT r10 task #6): metadata-only timeBoundary --------------------
+
+def test_time_boundary_is_metadata_only(spark, monkeypatch):
+    from pyspark.sql import DataFrame
+    from apache_druid_spark.plans.compiler import compile_query
+
+    r = DatasourceRegistry(spark)
+    register_testdata(r, SF_DIR)
+    q = {"queryType": "timeBoundary", "dataSource": "orders"}
+    expected = r.table("orders").agg(
+        F.min("__time").alias("minTime"),
+        F.max("__time").alias("maxTime")).first()
+
+    def _boom(self, *a, **k):  # pragma: no cover - must not run
+        raise AssertionError("timeBoundary planned a Spark scan")
+
+    monkeypatch.setattr(DataFrame, "head", _boom)
+    out = compile_query(q, r)
+    monkeypatch.undo()
+    row = out.first()
+    assert row["minTime"] == expected["minTime"]
+    assert row["maxTime"] == expected["maxTime"]
+    # bound variants take the same path
+    monkeypatch.setattr(DataFrame, "head", _boom)
+    mx = compile_query({"queryType": "timeBoundary",
+                        "dataSource": "orders",
+                        "bound": "maxTime"}, r)
+    monkeypatch.undo()
+    assert mx.columns == ["maxTime"]
+    assert mx.first()["maxTime"] == expected["maxTime"]
+
+
+def test_time_boundary_filtered_still_scans(spark):
+    from apache_druid_spark.plans.compiler import compile_query
+
+    r = DatasourceRegistry(spark)
+    register_testdata(r, SF_DIR)
+    q = {"queryType": "timeBoundary", "dataSource": "orders",
+         "filter": {"type": "selector", "dimension": "o_orderstatus",
+                    "value": "F"}}
+    row = compile_query(q, r).first()
+    exp = (r.table("orders")
+           .filter(F.col("o_orderstatus") == "F")
+           .agg(F.min("__time"), F.max("__time")).first())
+    assert (row["minTime"], row["maxTime"]) == (exp[0], exp[1])
+
+
 # -- 5: all-null row group skipped, not fatal --------------------------------
 
 def test_footer_extent_skips_all_null_row_group(spark, tmp_path):
