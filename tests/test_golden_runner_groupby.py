@@ -2050,3 +2050,140 @@ def test_groupby_limit_push_down_with_offset(spark, testindex):
     got = [tuple(r) for r in compile_query(q, testindex)
            .select("marketalias", "rows").collect()]
     check(got, [("total_market", 186), ("spot", 837)])
+
+
+# ---- round 11: extraction-rename, first/last, merged-having families ----
+
+def test_groupby_with_first_last(spark, testindex):
+    # testGroupByWithFirstLast: month-granularity market matrix with
+    # longFirst/longLast over index (GroupByQueryRunnerTest.java)
+    q = gb([{"type": "default", "dimension": "market"}],
+           [{"type": "longFirst", "name": "first", "fieldName": "index"},
+            {"type": "longLast", "name": "last", "fieldName": "index"}],
+           gran="month", intervals=FULL_ON)
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("__time", "market", "first", "last")
+           .orderBy("__time", "market").collect()]
+    check(got, [
+        (dt(2011, 1, 1), "spot", 100, 155),
+        (dt(2011, 1, 1), "total_market", 1000, 1127),
+        (dt(2011, 1, 1), "upfront", 800, 943),
+        (dt(2011, 2, 1), "spot", 132, 114),
+        (dt(2011, 2, 1), "total_market", 1203, 1292),
+        (dt(2011, 2, 1), "upfront", 1667, 1101),
+        (dt(2011, 3, 1), "spot", 153, 125),
+        (dt(2011, 3, 1), "total_market", 1124, 1366),
+        (dt(2011, 3, 1), "upfront", 1166, 1063),
+        (dt(2011, 4, 1), "spot", 135, 120),
+        (dt(2011, 4, 1), "total_market", 1314, 1029),
+        (dt(2011, 4, 1), "upfront", 1447, 780),
+    ])
+
+
+def test_subquery_with_first_last(spark, testindex):
+    # testSubqueryWithFirstLast: finalized inner day-gran first/last
+    # per market; outer month-gran longFirst/longLast over the inner
+    # outputs re-ordered by the inner rows' __time
+    inner = gb([{"type": "default", "dimension": "market"}],
+               [ROWS,
+                {"type": "longFirst", "name": "innerfirst",
+                 "fieldName": "index"},
+                {"type": "longLast", "name": "innerlast",
+                 "fieldName": "index"}],
+               gran="day", intervals=FULL_ON)
+    inner["context"] = {"finalize": True}
+    q = {"queryType": "groupBy",
+         "dataSource": {"type": "query", "query": inner},
+         "granularity": "month", "intervals": FULL_ON,
+         "dimensions": [],
+         "aggregations": [
+             {"type": "longFirst", "name": "first",
+              "fieldName": "innerfirst"},
+             {"type": "longLast", "name": "last",
+              "fieldName": "innerlast"}]}
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("__time", "first", "last")
+           .orderBy("__time").collect()]
+    check(got, [
+        (dt(2011, 1, 1), 100, 943),
+        (dt(2011, 2, 1), 132, 1101),
+        (dt(2011, 3, 1), 153, 1063),
+        (dt(2011, 4, 1), 135, 780),
+    ])
+
+
+def test_groupby_with_regex_filter(spark, testindex):
+    # testGroupByWithRegEx: regex dim filter + P1M period granularity
+    q = gb([{"type": "default", "dimension": "quality"}],
+           [ROWS], gran={"type": "period", "period": "P1M"},
+           intervals=["2011-04-02/2011-04-04"],
+           filt={"type": "regex", "dimension": "quality",
+                 "pattern": "auto.*"})
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("__time", "quality", "rows").collect()]
+    check(got, [(dt(2011, 4, 1), "automotive", 2)])
+
+
+def test_groupby_with_null_producing_dim_extraction_fn(spark, testindex):
+    # testGroupByWithNullProducingDimExtractionFn: the reference uses
+    # an anonymous fn (first word char, except mezzanine -> null);
+    # expressed in pure JSON as a negative-lookahead regex with
+    # replaceMissingValue — identical value function, same pins.
+    # (testGroupByWithEmptyStringProducingDimExtractionFn is @Ignore
+    # upstream: '' from an extraction fn is contractually undefined.)
+    q = gb([{"type": "extraction", "dimension": "quality",
+             "outputName": "alias",
+             "extractionFn": {"type": "regex",
+                              "expr": "^(?!mezzanine)(\\w)",
+                              "replaceMissingValue": True}}],
+           [ROWS, {"type": "longSum", "name": "idx",
+                   "fieldName": "index"}])
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("__time", "alias", "rows", "idx")
+           .orderBy("__time", F.col("alias").asc_nulls_first())
+           .collect()]
+    check(got, [
+        (dt(2011, 4, 1), None, 3, 2870),
+        (dt(2011, 4, 1), "a", 1, 135),
+        (dt(2011, 4, 1), "b", 1, 118),
+        (dt(2011, 4, 1), "e", 1, 158),
+        (dt(2011, 4, 1), "h", 1, 120),
+        (dt(2011, 4, 1), "n", 1, 121),
+        (dt(2011, 4, 1), "p", 3, 2900),
+        (dt(2011, 4, 1), "t", 2, 197),
+        (dt(2011, 4, 2), None, 3, 2447),
+        (dt(2011, 4, 2), "a", 1, 147),
+        (dt(2011, 4, 2), "b", 1, 112),
+        (dt(2011, 4, 2), "e", 1, 166),
+        (dt(2011, 4, 2), "h", 1, 113),
+        (dt(2011, 4, 2), "n", 1, 114),
+        (dt(2011, 4, 2), "p", 3, 2505),
+        (dt(2011, 4, 2), "t", 2, 223),
+    ])
+
+
+@pytest.mark.parametrize("retain,replace,injective", [
+    (False, None, False),   # testGroupByWithRebucketRename
+    (True, None, False),    # testGroupByWithSimpleRenameRetainMissingNonInjective
+    (True, None, True),     # testGroupByWithSimpleRenameRetainMissing
+    (False, "MISSING", True),  # testGroupByWithSimpleRenameAndMissingString
+])
+def test_groupby_rename_matrix(spark, testindex, retain, replace,
+                               injective):
+    # the four LookupExtractionFn flag combinations share one expected
+    # set because the map covers every quality value
+    lookup_map = {q: q + "0" for q in (
+        "automotive business entertainment health mezzanine news "
+        "premium technology travel".split())}
+    fn = {"type": "lookup", "lookup": {"type": "map", "map": lookup_map},
+          "retainMissingValue": retain, "injective": injective}
+    if replace is not None:
+        fn["replaceMissingValueWith"] = replace
+    q = gb([{"type": "extraction", "dimension": "quality",
+             "outputName": "alias", "extractionFn": fn}],
+           [ROWS, {"type": "longSum", "name": "idx",
+                   "fieldName": "index"}])
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("__time", "alias", "rows", "idx")
+           .orderBy("__time", "alias").collect()]
+    check(got, [(d, a + "0", r, i) for d, a, r, i, *_ in GROUPBY_ROWS])
