@@ -4557,92 +4557,10 @@ def entry(spark: SparkSession) -> DataFrame:
     return _QUERIES["timeseries_month_revenue"](spark, "/root/testdata/sf0.001")
 
 
-# Round-5 gate window (VERDICT r4 #1): the 50 oldest r1/r2-era greens,
-# whose oracle evidence predates the 2026-08 testdata regeneration —
-# oldest first. All were re-verified locally with tools/oracle_check.py
-# on the current testdata before this window was committed.
-_R05_WINDOW = (
-    "dedup_simhash", "text_token_stats",
-    "text_fingerprint", "text_language_id", "similarity_cosine_topk",
-    "similarity_lsh_topk", "rollup_reaggregate", "ingest_inline_csv",
-    "lifecycle_publish_query", "streaming_rollup_hourly",
-    "search_nation_names", "anti_join_customers", "union_scan_orders",
-    "intersect_nationkeys",
-    "timeseries_zero_fill", "granularity_week_p1w",
-    "postagg_arithmetic", "granularity_period_2w", "granularity_quarter",
-    "except_nationkeys",
-    "hll_user_cardinality", "similarity_ivf_topk", "dedup_embedding_cosine",
-    "streaming_stateful_running_agg", "hll_sketch_rollup_merge",
-    "segment_pruned_timeseries", "compaction_lifecycle", "sql_insert_extern",
-    "timeseries_grand_total", "topn_inverted_lexicographic",
-    "scan_orderby_key_desc", "limitspec_alphanumeric", "having_composite",
-    "filter_interval_expression", "filter_bound_lexicographic",
-    "datasource_metadata_lineitem", "sys_segments_catalog",
-    "info_schema_columns", "contrib_time_min_max", "agg_string_first_last",
-    "virtual_column_case_tier", "bloom_dim_filter",
-    "query_datasource_nested", "join_lookup_datasource",
-    "dim_list_filtered_tokens", "bound_version_comparator",
-    "grouping_id_subtotals", "mv_filter_any_match", "spatial_rectangular",
-    "spatial_polygon",
-)
-# Round-6 gate window head (VERDICT r5 #3): the 15 remaining r1/r2-era
-# greens plus the one never-windowed r5 entry go FIRST — after the r6
-# window every registry entry's latest driver-green postdates the
-# 2026-08 testdata regeneration. All re-verified locally with
-# tools/oracle_check.py on current testdata before committing this order.
-_R06_WINDOW = (
-    "cardinality_by_value", "tuple_sketch_order_totals",
-    "limitspec_offset", "filter_column_comparison", "union_hetero_schemas",
-    "lambda_realtime_union", "salted_groupby_skew", "mv_filter_in",
-    "dim_prefix_filtered", "dim_regex_filtered", "join_left_deep_tree",
-    "expression_lambda_agg", "moving_average_monthly", "dedup_ngram_jaccard",
-    "text_winnowing_fingerprint",
-    # new in round 5
-    "semantic_dedup_scale_mode",
-    # new in round 6
-    "info_schema_lookup_catalog",
-    "sql_view_query",
-    "mv_explode_subquery_groupby",
-)
-
-
-# Round-8 gate window (VERDICT r7 task #2): rotate the driver's 50-entry
-# correctness pass onto the entries with the OLDEST evidence — the one
-# never-windowed entry (time_ceil_origin_buckets, judge-verified locally
-# in r7) first, then the 44 entries whose latest driver-green is r3 and
-# the 23 whose latest is r4 (computed from CORRECTNESS_r03/r04/r05/r07).
-# After r8, every entry's evidence is r5+ and the window keeps rotating
-# by age: r5-era entries next round, r7-era after that.
-_R08_WINDOW = (
-    'time_ceil_origin_buckets',
-    # new r8 entries — never driver-checked, verify first
-    'lookup_neq_matches_null', 'human_readable_formats',
-    'ipv4_custkey_subnets', 'round_contract_orders',
-    'timeseries_compound_period',
-    'theta_rollup_merge', 'segment_metadata_orders',
-    'sql_time_ops', 'sql_mv_first_word', 'sql_array_fns',
-    'sql_lookup_fn', 'sql_safe_divide', 'sql_ipv4',
-    'sql_bloom_filter_test', 'extraction_cascade', 'extraction_bucket',
-    'search_fragment_multi', 'sql_bit_aggs', 'sql_earliest_by',
-    'scan_time_desc', 'tdigest_quantile_price', 'momentsketch_quartiles',
-    'null_dim_three_valued', 'expression_array_fold', 'extraction_time_format_gran',
-    'timeboundary_filtered_min', 'extraction_strlen', 'extraction_string_format',
-    'search_regex', 'expression_time_format', 'sql_floor_to_unit',
-    'topn_time_extraction', 'sql_scalar_shims', 'granularity_none_identity',
-    'groupby_double_dim', 'timeseries_desc_limit', 'having_equalto_lessthan',
-    'postagg_expression', 'timeseries_over_join', 'granularity_five_minute',
-    'granularity_day_tz', 'topn_per_month', 'groupby_month_and_dim',
-    'histogram_quantity', 'quantiles_sketch_median', 'dedup_components',
-    'doc_chunks', 'text_normalize_scrub', 'session_window_user',
-    'dsir_importance_weights', 'corpus_top_ngrams', 'asof_join_events',
-    'sql_theta_set_ops', 'expression_cartesian', 'sql_scalar_shims2',
-    'sql_array_agg_sorted', 'sql_scalar_shims3', 'dedup_substring_overlap',
-    'multimodal_features', 'multimodal_frame_sample', 'multimodal_resize',
-    'text_repetition', 'scrub_common_lines', 'pack_sequences_budget',
-    'deterministic_shuffle_order', 'decontaminate_report', 'dedup_components_star',
-    'dedup_edit_distance', 'tfidf_top_terms', 'mixture_weights_lang',
-    'sql_lookup_schema_join', 'sql_parameterized',
-)
+# (Historical note, ADVICE r11: the retired _R05_WINDOW/_R06_WINDOW/
+# _R08_WINDOW rotation tuples — rounds 5/6/8 gate windows — were
+# deleted once every member's evidence was superseded by later
+# rotations; see git history and PARITY.md for their contents.)
 
 
 # Round-9 gate window (VERDICT r8 task #2): rotate onto the entries
@@ -4725,9 +4643,18 @@ _R11_WINDOW = (
     'window_moving_avg',
 )
 
-# r7-evidence leftovers — next-oldest after the window; they run first
-# in the r12 rotation
-_R11_NEXT = (
+# Round-12 gate window: the 25 r7-evidence leftovers the r11 rotation
+# couldn't fit (r11's _R11_NEXT — now the oldest evidence anywhere),
+# then 25 of the 50 r8-evidence entries, prioritized by overlap with
+# r11–r12 code churn: LOOKUP dedup/inline-cap/null-literal and ROUND
+# shadow detection changed THIS round (sql/dialect.py), so
+# lookup_neq_matches_null / sql_lookup_fn / round_contract_orders lead;
+# then the timeseries-extent family (footer-stats timeBoundary landed
+# in r11), granularity, groupBy/having/postagg, topN and extraction
+# fns (r9–r10 churn). The 25 r8 leftovers are _R12_NEXT and front the
+# r13 rotation.
+_R12_WINDOW = (
+    # r7-evidence cohort (all 25 — oldest evidence in the registry)
     'agg_stats_lineitem', 'dedup_exact', 'dedup_minhash_lsh',
     'dedup_ngram_jaccard', 'extraction_regex_brand',
     'filter_column_comparison', 'filter_combo_parts',
@@ -4739,20 +4666,47 @@ _R11_NEXT = (
     'text_winnowing_fingerprint', 'time_extract_hour',
     'train_test_split_counts', 'tuple_sketch_order_totals',
     'union_hetero_schemas', 'virtual_column_bucket',
+    # r8-evidence entries over r9–r12-churned code (25 of 50)
+    'lookup_neq_matches_null', 'sql_lookup_fn', 'round_contract_orders',
+    'time_ceil_origin_buckets', 'timeseries_compound_period',
+    'timeboundary_filtered_min', 'granularity_none_identity',
+    'granularity_five_minute', 'granularity_day_tz',
+    'timeseries_desc_limit', 'timeseries_over_join',
+    'groupby_double_dim', 'groupby_month_and_dim',
+    'having_equalto_lessthan', 'postagg_expression',
+    'topn_time_extraction', 'topn_per_month', 'extraction_cascade',
+    'extraction_bucket', 'extraction_time_format_gran',
+    'extraction_strlen', 'extraction_string_format',
+    'expression_time_format', 'sql_floor_to_unit', 'sql_scalar_shims',
+)
+
+# r8-evidence leftovers — next-oldest after the r12 window; they front
+# the r13 rotation
+_R12_NEXT = (
+    'human_readable_formats', 'ipv4_custkey_subnets',
+    'theta_rollup_merge', 'segment_metadata_orders', 'sql_time_ops',
+    'sql_mv_first_word', 'sql_array_fns', 'sql_safe_divide', 'sql_ipv4',
+    'sql_bloom_filter_test', 'search_fragment_multi', 'sql_bit_aggs',
+    'sql_earliest_by', 'scan_time_desc', 'tdigest_quantile_price',
+    'momentsketch_quartiles', 'null_dim_three_valued',
+    'expression_array_fold', 'search_regex', 'histogram_quantity',
+    'quantiles_sketch_median', 'dedup_components', 'doc_chunks',
+    'text_normalize_scrub', 'session_window_user',
 )
 
 
 def _entry_order(name: str) -> tuple:
-    if name in _R11_WINDOW:
-        return (0, _R11_WINDOW.index(name))
-    if name in _R11_NEXT:  # r7 evidence: next-oldest
-        return (1, _R11_NEXT.index(name))
-    if name in _R08_WINDOW:  # r8 evidence
-        return (2, _R08_WINDOW.index(name))
-    # freshest (r10) evidence last
+    if name in _R12_WINDOW:
+        return (0, _R12_WINDOW.index(name))
+    if name in _R12_NEXT:  # r8 evidence: next-oldest
+        return (1, _R12_NEXT.index(name))
+    # freshest evidence last: r11-window entries passed in r11, the
+    # r9 window passed in both r9 and r10
     if name in _R09_WINDOW:
-        return (4, _R09_WINDOW.index(name))
-    return (3, 0)  # stable within group (dict keeps file order)
+        return (3, _R09_WINDOW.index(name))
+    if name in _R11_WINDOW:
+        return (4, _R11_WINDOW.index(name))
+    return (2, 0)  # stable within group (dict keeps file order)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -3222,28 +3222,29 @@ def _inline_lookup_calls(text: str, registry) -> str:
         LookupSegment join."""
         if lname in maps:
             return maps[lname]
+        # Dedup BEFORE the cap (ADVICE r11): the cap decides whether a
+        # map(...) literal is affordable, so it must measure distinct
+        # keys, not raw rows — a lookup with few keys but many
+        # duplicate rows stays inline. groupBy(k).agg(max(v)) is the
+        # exact dedup the lookup_<name> view applies
+        # (functions/registry.py), so both LOOKUP paths agree,
+        # including on all-NULL-valued keys (SQL max ignores NULLs ->
+        # NULL), which the literal then OMITS: element_at on a missing
+        # key already yields NULL, where the old _esc(None) rendered
+        # the string 'None' (ADVICE r11).
+        from pyspark.sql.functions import max as _sql_max
         rows = (registry.lookup_df(lname)
+                .groupBy("k").agg(_sql_max("v").alias("v"))
                 .limit(_LOOKUP_INLINE_MAX + 1).collect())
         if not rows:
             maps[lname] = False
         elif len(rows) > _LOOKUP_INLINE_MAX:
             maps[lname] = None
         else:
-            # dedup duplicate keys deterministically (max v — same
-            # pick as the lookup_<name> view dedup in
-            # functions/registry.py): a map(...) literal with a
-            # repeated key raises DUPLICATED_MAP_KEY at runtime
-            # (ADVICE r10)
-            dedup: dict = {}
-            for r in rows:
-                prev = dedup.get(r[0])
-                if (r[0] not in dedup
-                        or (r[1] is not None
-                            and (prev is None or r[1] > prev))):
-                    dedup[r[0]] = r[1]
             pairs = ", ".join(
                 f"'{_esc(k)}', '{_esc(v)}'"
-                for k, v in dedup.items())
+                for k, v in rows
+                if k is not None and v is not None)
             maps[lname] = f"map({pairs})"
         return maps[lname]
 
@@ -3489,9 +3490,13 @@ def _mark_integral_rounds(text: str, int_cols) -> str:
         return text
     # strip self-aliases (ROUND(col ...) AS col) before collecting
     # shadow names; the backreference is case-insensitive under
-    # re.IGNORECASE
+    # re.IGNORECASE. Only UNQUALIFIED refs qualify (ADVICE r11):
+    # ``ROUND(t2.cnt, 1) AS cnt`` may round a DOUBLE t2.cnt while a
+    # different table contributes the integral ``cnt`` — stripping
+    # the qualified form would put the DOUBLE on the integral fast
+    # path, so qualified self-aliases conservatively stay shadowed.
     probe = re.sub(
-        r"\bROUND\s*\(\s*(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\s*"
+        r"\bROUND\s*\(\s*([A-Za-z_]\w*)\s*"
         r"(?:,\s*[^()]*)?\)\s+AS\s+\1\b",
         " ", text, flags=re.IGNORECASE)
     shadowed = {m.group(1).lower() for m in re.finditer(

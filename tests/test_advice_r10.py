@@ -210,12 +210,19 @@ def test_lookup_inline_cache_is_lazy(spark):
         F.col("n_name")).toDF("k", "v")
 
     class Spy:
-        """Delegates to the real DataFrame but records .limit() — the
-        inline cache's only collect entry point."""
+        """Delegates to the real DataFrame but records the inline
+        cache's touch. Since ADVICE r11 the cache's first call is
+        .groupBy() (dedup before the capped collect) — but
+        register_lookup_function ALSO calls groupBy per lookup to
+        build the lazy lookup_<name> views (no collect, fine), so
+        only the _map_for frame counts."""
 
-        def limit(self, n):
-            collected.append(n)
-            return unwanted.limit(n)
+        def groupBy(self, *cols):
+            import traceback
+            stack = "".join(traceback.format_stack(limit=10))
+            if "_map_for" in stack:
+                collected.append(cols)
+            return unwanted.groupBy(*cols)
 
         def __getattr__(self, name):
             return getattr(unwanted, name)

@@ -1,0 +1,145 @@
+"""Regression tests for the round-11 advisor findings (ADVICE.md r11).
+
+1. low — the inline LOOKUP map literal rendered a NULL lookup value
+   as the string 'None' (_esc(None)), while the lookup_<name> view
+   path's max(v) returns SQL NULL for an all-null key; the two paths
+   disagreed. NULL-valued pairs are now OMITTED from the literal
+   (element_at on a missing key already yields NULL).
+2. low — the ROUND self-alias strip accepted QUALIFIED refs
+   (``ROUND(t2.cnt, 1) AS cnt``), so a DOUBLE t2.cnt could land on the
+   __round_int fast path when another referenced table has an integral
+   ``cnt``. The strip is now unqualified-only; qualified self-aliases
+   conservatively stay shadowed.
+3. low — _LOOKUP_INLINE_MAX was measured on pre-dedup rows; a lookup
+   with few distinct keys but many duplicate rows was pushed to the
+   correlated-subquery path (where the HOF-lambda limitation applies).
+   The cap now measures post-dedup (groupBy k, max v) keys.
+4. low — dead _R05_WINDOW/_R06_WINDOW rotation tuples removed from
+   __spark_entry__ (hygiene; asserted here so they stay gone).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_druid_spark.model.datasource import DatasourceRegistry
+from apache_druid_spark.sql import dialect
+from apache_druid_spark.sql.dialect import druid_sql
+
+
+@pytest.fixture()
+def base_table(spark):
+    r = DatasourceRegistry(spark)
+    df = spark.range(3).select(
+        (F.col("id") * 10).alias("cnt"),
+        F.lit("2024-01-01").cast("timestamp").alias("__time"))
+    r.register("advr12", df)
+    return r
+
+
+# -- 1: NULL lookup values are SQL NULL on the inline path ------------------
+
+def test_lookup_null_value_is_sql_null(spark, base_table):
+    nullish = spark.createDataFrame(
+        [("a", None), ("b", "bee")], "k string, v string")
+    base_table.register_lookup("nully", nullish)
+    out = druid_sql(
+        spark, "SELECT LOOKUP('a', 'nully') AS la, "
+               "LOOKUP('b', 'nully') AS lb FROM advr12 LIMIT 1",
+        base_table).first()
+    assert out["la"] is None          # was the string 'None'
+    assert out["lb"] == "bee"
+
+
+def test_lookup_null_value_paths_agree(spark, base_table):
+    # inline-literal path and the lookup_<name> view (subquery) path
+    # must give the same answer for an all-null key
+    nullish = spark.createDataFrame(
+        [("a", None), ("b", "bee")], "k string, v string")
+    base_table.register_lookup("nully2", nullish)
+    inline = dialect._inline_lookup_calls(
+        "SELECT LOOKUP('a', 'nully2') AS la FROM advr12", base_table)
+    assert "element_at(map(" in inline
+    assert "None" not in inline       # no stringified NULL in the literal
+    from apache_druid_spark.functions.registry import (
+        register_lookup_function)
+    register_lookup_function(spark, base_table)
+    via_view = spark.sql(
+        "SELECT v FROM lookup_nully2 WHERE k = 'a'").first()
+    assert via_view["v"] is None
+
+
+# -- 2: qualified ROUND self-alias stays OFF the integral fast path ---------
+
+def test_round_qualified_self_alias_stays_shadowed(spark, base_table):
+    # t2.cnt is DOUBLE NaN; the registered table advr12 contributes an
+    # integral column also named cnt. ROUND(t2.cnt, 1) AS cnt must keep
+    # the generic NaN edge rewrite (NaN -> 0.0), not the __round_int
+    # fast path (which would return NaN).
+    out = druid_sql(spark, """
+        SELECT ROUND(t2.cnt, 1) AS cnt
+        FROM advr12, (SELECT CAST('NaN' AS DOUBLE) AS cnt
+                      FROM advr12 LIMIT 1) t2
+        LIMIT 1
+    """, base_table).first()
+    assert out["cnt"] == 0.0
+
+
+def test_round_unqualified_self_alias_keeps_fast_path(spark, base_table):
+    # the r10 fix still holds for the unqualified shape
+    out = druid_sql(
+        spark, "SELECT ROUND(cnt, 1) AS cnt FROM advr12 "
+               "ORDER BY cnt LIMIT 1", base_table)
+    assert out.schema["cnt"].dataType.simpleString() == "bigint"
+    assert out.first()["cnt"] == 0
+
+
+# -- 3: inline cap measures post-dedup keys ----------------------------------
+
+def test_lookup_inline_cap_is_post_dedup(spark, base_table, monkeypatch):
+    monkeypatch.setattr(dialect, "_LOOKUP_INLINE_MAX", 3)
+    # 8 raw rows, 2 distinct keys -> must stay on the inline path
+    dup = spark.createDataFrame(
+        [("a", f"v{i}") for i in range(4)]
+        + [("b", f"w{i}") for i in range(4)], "k string, v string")
+    base_table.register_lookup("duppy12", dup)
+    text = dialect._inline_lookup_calls(
+        "SELECT LOOKUP('a', 'duppy12') AS la FROM advr12", base_table)
+    assert "element_at(map(" in text          # inline, not subquery
+    assert "SELECT v FROM lookup_" not in text
+    # and the dedup pick matches the view path (max v)
+    out = druid_sql(
+        spark, "SELECT LOOKUP('a', 'duppy12') AS la, "
+               "LOOKUP('b', 'duppy12') AS lb FROM advr12 LIMIT 1",
+        base_table).first()
+    assert out["la"] == "v3" and out["lb"] == "w3"
+
+
+def test_lookup_oversized_post_dedup_still_subquery(spark, base_table,
+                                                    monkeypatch):
+    monkeypatch.setattr(dialect, "_LOOKUP_INLINE_MAX", 3)
+    big = spark.createDataFrame(
+        [(f"k{i}", f"v{i}") for i in range(5)], "k string, v string")
+    base_table.register_lookup("biggy12", big)
+    text = dialect._inline_lookup_calls(
+        "SELECT LOOKUP('k1', 'biggy12') AS la FROM advr12", base_table)
+    assert "SELECT v FROM lookup_biggy12" in text
+
+
+# -- 4: retired rotation tuples stay deleted ---------------------------------
+
+def test_dead_windows_removed():
+    import __spark_entry__ as e
+    for dead in ("_R05_WINDOW", "_R06_WINDOW", "_R08_WINDOW",
+                 "_R11_NEXT"):
+        assert not hasattr(e, dead)
+    # live rotation state is well-formed: window is exactly 50 known
+    # queries, disjoint from the next-up list
+    qs = set(e.queries())
+    assert len(e._R12_WINDOW) == 50
+    assert set(e._R12_WINDOW) <= qs
+    assert set(e._R12_NEXT) <= qs
+    assert not set(e._R12_WINDOW) & set(e._R12_NEXT)
+    # the window fronts the driver's 50-entry correctness pass
+    assert list(e.queries())[:50] == list(e._R12_WINDOW)
