@@ -855,9 +855,11 @@ def compile_scan(q: dict, registry: DatasourceRegistry) -> DataFrame:
     ScanQueryEngine.java): raw rows with projection/limit/offset and
     __time (or general) ordering."""
     df = _base_frame(q, registry)
-    cols = q.get("columns") or []
-    if cols:
-        df = df.select(*cols)
+    # order/offset/limit BEFORE the projection: the engine's time
+    # ordering is independent of the requested columns
+    # (ScanQueryEngine sorts the cursor by time whether or not __time
+    # is projected), and Catalyst drops the sort column after the
+    # final Project anyway
     order = q.get("order", "none")
     order_bys = q.get("orderBy") or q.get("orderBys") or []
     if order_bys:
@@ -867,15 +869,26 @@ def compile_scan(q: dict, registry: DatasourceRegistry) -> DataFrame:
             exprs.append(c.desc() if str(ob.get("order", "ascending"))
                          .lower().startswith("desc") else c.asc())
         df = df.orderBy(*exprs)
-    elif order and order != "none":
+    elif order and order != "none" and TIME_COLUMN in df.columns:
+        # timeless registrations (dimension tables, nested ALL-gran
+        # results) have no __time — time-order is identity there, same
+        # convention as _base_frame's interval guard
         df = df.orderBy(F.col(TIME_COLUMN).desc()
                         if order == "descending" else F.col(TIME_COLUMN).asc())
     offset = int(q.get("offset", 0) or 0)
     if offset:
         df = df.offset(offset)
-    limit = q.get("limit")
-    if limit is not None:
-        df = df.limit(int(limit))
+    # limit 0 (or absent) means UNLIMITED — ScanQuery.java:218 maps
+    # scanRowsLimit == 0 to Long.MAX_VALUE (ScanQueryRunnerTest's
+    # per-limit loops include 0 and expect every row back)
+    limit = int(q.get("limit") or 0)
+    if limit:
+        df = df.limit(limit)
+    cols = q.get("columns") or []
+    if cols:
+        # missing-column null semantics already materialized by
+        # _materialize_missing_dims (testFullSelectNoDimensionAndMetric)
+        df = df.select(*cols)
     return df
 
 

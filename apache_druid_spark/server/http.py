@@ -152,6 +152,14 @@ class DruidHttpServer:
                                         body.get("typesHeader")),
                                     sql_types_header=bool(
                                         body.get("sqlTypesHeader")))
+                            elif body.get("queryType") == "scan":
+                                # scan honors its native resultFormat /
+                                # batchSize / legacy envelope
+                                # (ScanResultValue.java)
+                                from apache_druid_spark.sql.results \
+                                    import scan_result_values
+                                payload = json.dumps(scan_result_values(
+                                    body, outer.registry))
                             else:
                                 df = compile_query(body, outer.registry)
                                 payload = format_results(df, "object")

@@ -55,6 +55,79 @@ def _header_types(df: DataFrame) -> tuple[list[str], list[str]]:
     return druid, sql
 
 
+def _epoch_millis(v) -> int:
+    from datetime import timezone
+    if v.tzinfo is None:
+        v = v.replace(tzinfo=timezone.utc)
+    return int(v.timestamp() * 1000)
+
+
+def _iso_millis(v) -> str:
+    from datetime import timezone
+    if v.tzinfo is not None:
+        v = v.astimezone(timezone.utc).replace(tzinfo=None)
+    return v.strftime("%Y-%m-%dT%H:%M:%S.") + f"{v.microsecond // 1000:03d}Z"
+
+
+def scan_result_values(q: dict, registry) -> list[dict]:
+    """Native scan-query results as ScanResultValue envelopes
+    (processing/.../query/scan/ScanResultValue.java,
+    ScanQueryEngine.java): ``{"segmentId", "columns", "events"}`` with
+    rows chunked ``batchSize`` per value (0/absent -> the reference
+    default 4096*5, ScanQuery.java:208).
+
+    resultFormat ``list`` (default) emits events as maps;
+    ``compactedList`` as arrays in ``columns`` order. ``__time``
+    serializes as epoch MILLIS (ScanQueryEngine reads the LONG time
+    column; ScanQueryRunnerTest's non-legacy expectations convert to
+    getMillis()). ``legacy: true`` reproduces the pre-0.13 Select
+    shape (ScanQueryEngine.java legacy branch): a leading
+    ``timestamp`` column holding the ISO instant, with ``__time``
+    kept only when explicitly requested.
+
+    segmentId is null: results here are already broker-merged, and the
+    reference's time-ordered broker merge likewise drops per-segment
+    attribution (ScanQueryQueryToolChest n-way merge)."""
+    from apache_druid_spark.plans.compiler import compile_query
+
+    legacy = bool(q.get("legacy"))
+    req = list(q.get("columns") or [])
+    qq = dict(q)
+    if legacy and req and "__time" not in req:
+        # the legacy timestamp derives from the time column; fetch it
+        # without changing the user-visible projection
+        qq["columns"] = ["__time"] + req
+    df = compile_query({**qq, "queryType": "scan"}, registry)
+
+    out_cols = list(df.columns)
+    if legacy:
+        out_cols = (["timestamp"]
+                    + [c for c in out_cols
+                       if c != "__time" or "__time" in req])
+
+    def _event(row) -> dict:
+        ev = {}
+        for c in out_cols:
+            if c == "timestamp" and legacy:
+                ev[c] = _iso_millis(row["__time"])
+            elif c == "__time" and isinstance(row[c], datetime):
+                ev[c] = _epoch_millis(row[c])
+            else:
+                ev[c] = _jsonable(row[c])
+        return ev
+
+    events = [_event(r) for r in df.collect()]
+    fmt = q.get("resultFormat", "list")
+    if fmt == "compactedList":
+        events = [[e[c] for c in out_cols] for e in events]
+    elif fmt != "list":
+        raise ValueError(f"unknown scan resultFormat: {fmt!r}")
+    batch = int(q.get("batchSize") or 0) or 4096 * 5
+    return [{"segmentId": None, "columns": out_cols,
+             "events": events[i:i + batch]}
+            for i in range(0, len(events), batch)]
+
+
 def format_results(df: DataFrame, fmt: str = "object",
                    header: bool = False, types_header: bool = False,
                    sql_types_header: bool = False) -> str:

@@ -5,11 +5,12 @@ computes expected events from the raw TSV (toFullEvents), so these
 pins assert the same derived facts: row counts, column projection,
 filter + limit, and time-ordering direction.
 
-Skipped: the list-vs-compactedList resultFormat twins (the engine's
-scan returns one DataFrame; serialization formats are covered by the
-/druid/v2 result-format suite), lookup-extraction filter form
-(SQL-layer pinned), and the timeout contract trio (query-runtime
-resource limits without a Spark analogue)."""
+13/16 methods ported. The list/compactedList/legacy resultFormat
+family pins sql/results.py scan_result_values (ScanResultValue
+envelopes: batching, compactedList arrays, legacy timestamp column,
+__time-as-millis, limit-0-is-unlimited). Skipped (3): the timeout
+contract trio (testScanQueryTimeout*) — query-runtime resource limits
+without a Spark analogue."""
 
 from __future__ import annotations
 
@@ -123,3 +124,168 @@ def test_full_select_no_dimension_and_metric(spark, testindex):
     rows = df.collect()
     assert len(rows) == 26
     assert all(r["foo"] is None and r["foo2"] is None for r in rows)
+
+
+# -- ScanResultValue envelope family (ScanQueryRunnerTest result-format
+# methods). The reference pins exact intra-day event order (its segment
+# scan is file-ordered); rows here share a day-granularity __time, so
+# these pins assert the order CONTRACT (time-sorted, correct day per
+# position) and exact per-day value sets, tolerance-free everywhere the
+# order is well-defined.
+
+from apache_druid_spark.sql.results import scan_result_values  # noqa: E402
+
+I2 = ["2011-01-12/2011-01-14"]
+D12, D13 = 1294790400000, 1294876800000  # epoch millis of the two days
+
+SPOT_D12 = {("automotive", 100.0), ("business", 100.0),
+            ("entertainment", 100.0), ("health", 100.0),
+            ("mezzanine", 100.0), ("news", 100.0), ("premium", 100.0),
+            ("technology", 100.0), ("travel", 100.0)}
+SPOT_D13 = {("automotive", 94.874713), ("business", 103.629399),
+            ("entertainment", 110.087299), ("health", 114.947403),
+            ("mezzanine", 104.465767), ("news", 102.851683),
+            ("premium", 108.863011), ("technology", 111.356672),
+            ("travel", 106.236928)}
+
+
+def _spot_scan(order, limit, fmt="list"):
+    return {"queryType": "scan", "dataSource": "testindex",
+            "intervals": I2, "resultFormat": fmt,
+            "filter": {"type": "selector", "dimension": "market",
+                       "value": "spot"},
+            "columns": ["__time", "quality", "index"],
+            "order": order, "limit": limit}
+
+
+def _events(values):
+    return [e for v in values for e in v["events"]]
+
+
+def test_full_on_select_as_compacted_list(spark, testindex):
+    # testFullOnSelectAsCompactedList: compactedList rows are exactly
+    # the list-format rows flattened in columns order
+    base = {"queryType": "scan", "dataSource": "testindex",
+            "intervals": I2}
+    lst = scan_result_values(base, testindex)
+    cmp_ = scan_result_values(
+        {**base, "resultFormat": "compactedList"}, testindex)
+    cols = lst[0]["columns"]
+    assert cmp_[0]["columns"] == cols
+    assert [[e[c] for c in cols] for e in _events(lst)] == _events(cmp_)
+    assert len(_events(lst)) == 26
+
+
+def test_select_with_dims_and_mets_as_compacted_list(spark, testindex):
+    # testSelectWithDimsAndMetsAsCompactedList
+    base = {"queryType": "scan", "dataSource": "testindex",
+            "intervals": I2, "columns": ["market", "index"]}
+    lst = scan_result_values(base, testindex)
+    cmp_ = scan_result_values(
+        {**base, "resultFormat": "compactedList"}, testindex)
+    assert lst[0]["columns"] == ["market", "index"]
+    assert [[e["market"], e["index"]] for e in _events(lst)] \
+        == _events(cmp_)
+
+
+def test_select_with_underscore_underscore_time(spark, testindex):
+    # testSelectWithUnderscoreUnderscoreTime: __time is requestable as
+    # a plain column and serializes as epoch MILLIS
+    vals = scan_result_values(
+        {"queryType": "scan", "dataSource": "testindex",
+         "intervals": I2, "columns": ["__time", "market", "index"]},
+        testindex)
+    assert vals[0]["columns"] == ["__time", "market", "index"]
+    evs = _events(vals)
+    assert len(evs) == 26
+    assert {e["__time"] for e in evs} == {D12, D13}
+
+
+def test_scan_legacy_mode_shapes(spark, testindex):
+    # the legacy branch (ScanQueryEngine.java legacy): a leading
+    # "timestamp" ISO column; __time kept only when requested
+    vals = scan_result_values(
+        {"queryType": "scan", "dataSource": "testindex",
+         "intervals": I2, "legacy": True,
+         "columns": ["__time", "market", "index"]}, testindex)
+    assert vals[0]["columns"] == ["timestamp", "__time", "market",
+                                  "index"]
+    ev = _events(vals)[0]
+    assert ev["timestamp"] in ("2011-01-12T00:00:00.000Z",
+                               "2011-01-13T00:00:00.000Z")
+    assert ev["__time"] in (D12, D13)
+    # without an explicit __time request the legacy shape drops it
+    vals2 = scan_result_values(
+        {"queryType": "scan", "dataSource": "testindex",
+         "intervals": I2, "legacy": True,
+         "columns": ["market", "index"]}, testindex)
+    assert vals2[0]["columns"] == ["timestamp", "market", "index"]
+    assert "__time" not in _events(vals2)[0]
+
+
+def test_scan_batch_size_chunks_envelopes(spark, testindex):
+    # ScanResultValue batching: 26 rows / batchSize 10 -> 10+10+6
+    vals = scan_result_values(
+        {"queryType": "scan", "dataSource": "testindex",
+         "intervals": I2, "columns": ["market"], "batchSize": 10},
+        testindex)
+    assert [len(v["events"]) for v in vals] == [10, 10, 6]
+    # default batch (4096*5, ScanQuery.java:208) -> one envelope
+    one = scan_result_values(
+        {"queryType": "scan", "dataSource": "testindex",
+         "intervals": I2, "columns": ["market"]}, testindex)
+    assert [len(v["events"]) for v in one] == [26]
+
+
+def _check_ordered(evs, limit, descending, fmt_cols=None):
+    exp_n = limit if limit else 18
+    assert len(evs) == exp_n
+    times = [e["__time"] if isinstance(e, dict) else e[0] for e in evs]
+    assert times == sorted(times, reverse=descending)
+    day_sets = {D12: SPOT_D12, D13: SPOT_D13}
+    for e in evs:
+        t, qual, idx = ((e["__time"], e["quality"], e["index"])
+                        if isinstance(e, dict) else tuple(e))
+        assert (qual, round(float(idx), 6)) in day_sets[t]
+
+
+def test_scan_ascending_list_format_limits(spark, testindex):
+    # testFullOnSelectWithFilterLimitAndAscendingTimeOrderingListFormat
+    # (limit 0 = UNLIMITED, ScanQuery.java:218)
+    for limit in (3, 1, 5, 7, 0):
+        evs = _events(scan_result_values(
+            _spot_scan("ascending", limit), testindex))
+        _check_ordered(evs, limit, descending=False)
+        # ascending: day-1 rows lead
+        head = evs[:min(limit or 18, 9)]
+        assert all(e["__time"] == D12 for e in head)
+
+
+def test_scan_descending_list_format_limits(spark, testindex):
+    # testFullOnSelectWithFilterLimitAndDescendingTimeOrderingListFormat
+    for limit in (3, 1, 5, 7, 0):
+        evs = _events(scan_result_values(
+            _spot_scan("descending", limit), testindex))
+        _check_ordered(evs, limit, descending=True)
+        head = evs[:min(limit or 18, 9)]
+        assert all(e["__time"] == D13 for e in head)
+
+
+def test_scan_ascending_compacted_list_format_limits(spark, testindex):
+    # ...AscendingTimeOrderingCompactedListFormat: same contract, rows
+    # as arrays in columns order
+    for limit in (3, 1, 5, 7, 0):
+        vals = scan_result_values(
+            _spot_scan("ascending", limit, fmt="compactedList"),
+            testindex)
+        assert vals[0]["columns"] == ["__time", "quality", "index"]
+        _check_ordered(_events(vals), limit, descending=False)
+
+
+def test_scan_descending_compacted_list_format_limits(spark, testindex):
+    # ...DescendingTimeOrderingCompactedListFormat
+    for limit in (3, 1, 5, 7, 0):
+        vals = scan_result_values(
+            _spot_scan("descending", limit, fmt="compactedList"),
+            testindex)
+        _check_ordered(_events(vals), limit, descending=True)

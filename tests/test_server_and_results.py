@@ -351,3 +351,29 @@ def test_sql_error_response_shape(spark, reg):
             "org.apache.calcite.tools.ValidationException"
     finally:
         srv.stop()
+
+
+def test_http_scan_native_result_format(spark, reg):
+    # /druid/v2 scan honors the native resultFormat/batchSize envelope
+    # (ScanResultValue.java) instead of the generic object rows
+    from apache_druid_spark.server import DruidHttpServer
+
+    srv = DruidHttpServer(spark, reg, port=0)
+    srv.start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        q = {"queryType": "scan", "dataSource": "nation",
+             "intervals": ["1970/2100"],
+             "columns": ["n_nationkey", "n_name"],
+             "resultFormat": "compactedList", "batchSize": 10,
+             "limit": 25}
+        req = urllib.request.Request(
+            f"{base}/druid/v2", json.dumps(q).encode(),
+            {"Content-Type": "application/json"})
+        vals = json.loads(urllib.request.urlopen(req).read())
+        assert [len(v["events"]) for v in vals] == [10, 10, 5]
+        assert vals[0]["columns"] == ["n_nationkey", "n_name"]
+        assert all(isinstance(e, list) and len(e) == 2
+                   for v in vals for e in v["events"])
+    finally:
+        srv.stop()
