@@ -63,6 +63,29 @@ def _num_field(spec: dict, registry=None) -> Column:
     return _field(spec, registry)
 
 
+def _first_last_key(spec: dict, df) -> Column:
+    """Ordering key for first/last folds. Druid breaks timestamp TIES
+    by segment ROW ORDER (NumericFirstAggregator.java only replaces on
+    strictly-earlier timestamps), and segment row order IS the
+    (__time, dimensions...) sort order — IncrementalIndex/IndexMerger
+    sort rows by time then dimension values, and rollup makes that key
+    unique. So the deterministic distributed equivalent is
+    min_by/max_by over struct(__time, <row's orderable columns in
+    schema order>) — GroupByQueryRunnerTest.testGroupByWithFirstLast
+    pins the tie outcomes (a bare min_by on __time was a real
+    run-to-run flake under Spark's partial/final merge)."""
+    tname = spec.get("timeColumn", TIME_COLUMN)
+    time_col = fcol(tname)
+    if df is None:
+        return time_col
+    extras = [F.col(f.name) for f in df.schema.fields
+              if f.name != tname
+              and not isinstance(f.dataType, (T.MapType, T.BinaryType))]
+    if not extras:
+        return time_col
+    return F.struct(time_col, *extras)
+
+
 def compile_aggregator(spec: dict, df=None, registry=None,
                        finalize: bool = True) -> Column:
     """One aggregator JSON -> a named aggregate Column.
@@ -85,7 +108,7 @@ def compile_aggregator(spec: dict, df=None, registry=None,
         return F.avg(_num_field(spec, registry).cast("double")).alias(name)
     if t in _FIRST_LAST:
         which, typ = _FIRST_LAST[t]
-        time_col = fcol(spec.get("timeColumn", TIME_COLUMN))
+        time_col = _first_last_key(spec, df)
         v = _field(spec, registry).cast(typ)
         if which == "first":
             return F.min_by(v, time_col).alias(name)
@@ -284,9 +307,8 @@ def _filtered(inner: dict, cond: Column, df, registry) -> Column:
         return F.avg(F.when(cond, _field(inner, registry).cast("double")))
     if t in _FIRST_LAST:
         which, typ = _FIRST_LAST[t]
-        time_col = fcol(inner.get("timeColumn", TIME_COLUMN))
         v = F.when(cond, _field(inner, registry).cast(typ))
-        tc = F.when(cond, time_col)
+        tc = F.when(cond, _first_last_key(inner, df))
         return F.min_by(v, tc) if which == "first" else F.max_by(v, tc)
     if t in ("hyperUnique", "HLLSketchBuild", "HLLSketchMerge"):
         # same rsd as the unfiltered path (0.02 ~ Druid's 2048-bucket HLL)

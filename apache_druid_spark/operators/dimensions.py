@@ -142,30 +142,86 @@ def compile_dimension_spec(spec, registry=None, df=None) -> tuple[str, Column]:
 
     if t == "default":
         c = fcol(dim)
-        if (df is not None and dim in df.columns
-                and isinstance(df.schema[dim].dataType, T.BinaryType)):
-            # a COMPLEX (sketch-state) column is not a groupable
-            # dimension — it reads as NULL
-            # (GroupByQueryRunnerTest.testGroupByComplexColumn)
-            c = F.lit(None).cast("string")
+        if df is not None and dim in df.columns:
+            dt = df.schema[dim].dataType
+            if isinstance(dt, T.BinaryType):
+                # a COMPLEX (sketch-state) column is not a groupable
+                # dimension — it reads as NULL
+                # (GroupByQueryRunnerTest.testGroupByComplexColumn)
+                c = F.lit(None).cast("string")
+            elif out_type is None and isinstance(
+                    dt, (T.LongType, T.IntegerType, T.ShortType,
+                         T.ByteType, T.FloatType, T.DoubleType,
+                         T.DecimalType)):
+                # DefaultDimensionSpec's output type defaults to
+                # STRING (DefaultDimensionSpec.java single-arg ctor),
+                # so a numeric column through an untyped spec renders
+                # its decimal string — TopNQueryRunnerTest
+                # testFullOnTopNLongColumnAsString pins "1400",
+                # testFullOnTopNFloatColumnAsString pins "14000.0";
+                # Spark's numeric->string cast matches Druid's
+                # String.valueOf rendering for longs and floats
+                c = c.cast("string")
     elif t == "extraction":
         src_type = (df.schema[dim].dataType
                     if df is not None and dim in df.columns else None)
         c = compile_extraction_fn(spec["extractionFn"], fcol(dim),
                                   registry, src_type=src_type)
-    elif t == "listFiltered":
-        vals = [F.lit(v) for v in spec.get("values", [])]
-        allow = F.array(*vals)
-        if spec.get("isWhitelist", True):
-            c = F.filter(fcol(dim), lambda e: F.array_contains(allow, e))
+    elif t in ("listFiltered", "regexFiltered", "prefixFiltered"):
+        # Decorations accept either the flat {"dimension": ...} form or
+        # the reference's {"delegate": <spec|name>} form
+        # (ListFilteredDimensionSpec.java); they apply to MV columns
+        # per-element and to scalar columns per-value (a disallowed
+        # scalar yields an EMPTY value set — in topN such rows
+        # contribute to no bucket, testFullOnTopNDecorationOnNumeric).
+        delegate = spec.get("delegate", dim)
+        if isinstance(delegate, str):
+            d_name, c = compile_dimension_spec(delegate, registry, df)
+            src, d_out = delegate, None
         else:
-            c = F.filter(fcol(dim), lambda e: ~F.array_contains(allow, e))
-    elif t == "regexFiltered":
-        pat = spec["pattern"]
-        c = F.filter(fcol(dim), lambda e: e.rlike(pat))
-    elif t == "prefixFiltered":
-        pfx = spec["prefix"]
-        c = F.filter(fcol(dim), lambda e: e.startswith(pfx))
+            # the decoration matches the SOURCE string form BEFORE the
+            # delegate's output-type conversion (the filtered selector
+            # wraps the string DimensionSelector;
+            # testGroupByNumericStringsAsNumericWithDecoration
+            # whitelists "170000" against the stored string, then
+            # converts survivors to FLOAT) — so compile the delegate
+            # untyped and apply its cast after filtering
+            d_out = delegate.get("outputType")
+            inner_spec = {k: v for k, v in delegate.items()
+                          if k != "outputType"}
+            d_name, c = compile_dimension_spec(inner_spec, registry, df)
+            src = delegate.get("dimension")
+        out_name = spec.get("outputName") or out_name or d_name
+        is_mv = (df is not None and src in df.columns and isinstance(
+            df.schema[src].dataType, T.ArrayType))
+        if t == "listFiltered":
+            # match on the STRING form: the whitelist is a string set
+            # regardless of the delegate's output type
+            allow = F.array(*[F.lit(str(v))
+                              for v in spec.get("values", [])])
+            white = spec.get("isWhitelist", True)
+            if white:
+                pred = lambda e: F.array_contains(allow, e.cast("string"))  # noqa: E731
+            else:
+                pred = lambda e: ~F.array_contains(allow, e.cast("string"))  # noqa: E731
+        elif t == "regexFiltered":
+            # FULL match — RegexFilteredDimensionSpec.java uses
+            # Matcher.matches(), not find()
+            pat = f"^(?:{spec['pattern']})$"
+            pred = lambda e: e.cast("string").rlike(pat)  # noqa: E731
+        else:
+            pfx = spec["prefix"]
+            pred = lambda e: e.cast("string").startswith(pfx)  # noqa: E731
+        if is_mv:
+            c = F.filter(c, pred)
+        else:
+            # slice(array(c), 1, 0) is the EMPTY array of c's exact
+            # element type — when() branches then unify cleanly
+            c = F.when(pred(c), F.array(c)).otherwise(
+                F.slice(F.array(c), F.lit(1), F.lit(0)))
+        if d_out and d_out.upper() in _DRUID_OUT_TYPES:
+            target = _DRUID_OUT_TYPES[d_out.upper()]
+            c = F.transform(c, lambda e: e.cast(target))
     elif t == "lookup":
         c = compile_extraction_fn(
             {"type": "lookup", "lookup": spec.get("lookup"),

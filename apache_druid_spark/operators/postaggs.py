@@ -64,9 +64,24 @@ def compile_post_aggregator(spec: dict, registry=None) -> Column:
 
 def apply_post_aggregations(df: DataFrame, specs: list[dict],
                             registry=None) -> DataFrame:
-    """Append post-aggregator columns to an aggregated DataFrame."""
+    """Append post-aggregator columns to an aggregated DataFrame. A
+    post-aggregator named like an existing column REPLACES it — the
+    reference allows a finalizing post-agg to overwrite its own
+    aggregator's output slot
+    (GroupByQueryRunnerTest.testGroupByWithUniquesAndPostAggWithSameName;
+    a plain append would make the name ambiguous)."""
     if not specs:
         return df
-    cols = [F.col(c) for c in df.columns]
-    cols += [compile_post_aggregator(s, registry) for s in specs]
+    by_name = {s.get("name"): s for s in specs if isinstance(s, dict)}
+    cols = []
+    for c in df.columns:
+        if c in by_name:
+            # the post-agg may read the column it replaces, so compile
+            # against the pre-replacement frame via F.col references
+            cols.append(compile_post_aggregator(by_name.pop(c),
+                                                registry))
+        else:
+            cols.append(F.col(c))
+    cols += [compile_post_aggregator(s, registry) for s in specs
+             if isinstance(s, dict) and s.get("name") in by_name]
     return df.select(*cols)

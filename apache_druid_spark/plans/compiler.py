@@ -337,18 +337,29 @@ def _granularity_bucket(q: dict) -> tuple[str, object] | None:
     return (TIME_COLUMN, gran)
 
 
-def _explode_multivalue_dims(df: DataFrame, dim_cols: list[tuple[str, Column]]
+def _explode_multivalue_dims(df: DataFrame, dim_cols: list[tuple[str, Column]],
+                             drop_empty: bool = False
                              ) -> tuple[DataFrame, list[str]]:
     """Druid groupBy on a multi-value dimension explodes one row per
     element (processing/.../segment/vector/MultiValueDimensionVectorSelector.java
     semantics). Materialize dim columns, then explode_outer each that is
-    an ArrayType."""
+    an ArrayType.
+
+    ``drop_empty`` (topN): a row whose value set is EMPTY contributes
+    to no bucket — TopNQueryEngine iterates per-row dimension values,
+    so zero values means zero contributions (a filtered dimension spec
+    that rejects the row's only value drops the row,
+    testFullOnTopNDecorationOnNumeric). A NULL cell still explodes to
+    the null bucket in both engines."""
     out_names = []
     for name, col in dim_cols:
         df = df.withColumn(name, col)
         out_names.append(name)
     for name in out_names:
         if isinstance(df.schema[name].dataType, T.ArrayType):
+            if drop_empty:
+                df = df.filter(F.col(name).isNull()
+                               | (F.size(name) > 0))
             df = df.withColumn(name, F.explode_outer(name))
     return df, out_names
 
@@ -687,7 +698,8 @@ def compile_topn(q: dict, registry: DatasourceRegistry) -> DataFrame:
     approximation."""
     df = _base_frame(q, registry)
     dim_name, dim_col = compile_dimension_spec(q["dimension"], registry, df)
-    df, dims = _explode_multivalue_dims(df, [(dim_name, dim_col)])
+    df, dims = _explode_multivalue_dims(df, [(dim_name, dim_col)],
+                                        drop_empty=True)
     aggs = compile_aggregations(q.get("aggregations", []), df, registry)
     if not aggs:
         # aggregator-less topN (TopNLexicographicNoAggregators /
@@ -700,9 +712,13 @@ def compile_topn(q: dict, registry: DatasourceRegistry) -> DataFrame:
     bucket = _granularity_bucket(q)
     group_cols = [fcol(dim_name)]
     if bucket is not None:
-        df = df.withColumn(TIME_COLUMN,
-                           time_floor_col(F.col(TIME_COLUMN), bucket[1], _tz_of(q)))
-        group_cols = [F.col(TIME_COLUMN)] + group_cols
+        # bucket as a groupBy EXPRESSION, not a column overwrite: the
+        # aggregators must see the RAW row __time (first/last
+        # tie-breaking and longSum(__time) read it — flooring first
+        # fed them the bucket, a real divergence)
+        group_cols = [time_floor_col(F.col(TIME_COLUMN), bucket[1],
+                                     _tz_of(q)).alias(TIME_COLUMN)
+                      ] + group_cols
 
     out = df.groupBy(*group_cols).agg(*aggs)
     if "__topn_rows" in out.columns:
@@ -772,12 +788,54 @@ def _topn_order(metric, dim_name: str, invert: bool = False) -> list[Column]:
     raise ValueError(f"unknown topN metric spec: {t!r}")
 
 
+def _verify_groupby_output_names(q: dict) -> None:
+    """GroupByQuery's build-time output-name validation
+    (processing/.../groupby/GroupByQuery.java verifyOutputNames):
+    duplicate output names across dimensions/aggregators/post-
+    aggregators raise "[name] already defined"
+    (GroupByQueryRunnerTest.testGroupByWithOutputNameCollisions), and
+    '__time' is reserved
+    (testGroupByTimeExtractionNamedUnderUnderTime,
+    testGroupByWithUnderUnderTimeAsDimensionNameWithHavingAndLimit)."""
+    names = []
+    for d in q.get("dimensions", []) or []:
+        if isinstance(d, str):
+            names.append(d)
+        elif isinstance(d, dict):
+            dd = d.get("delegate")
+            base = (dd if isinstance(dd, str) else
+                    (dd or d).get("outputName") or
+                    (dd or d).get("dimension"))
+            names.append(d.get("outputName") or base)
+    for a in q.get("aggregations", []) or []:
+        if isinstance(a, dict) and a.get("name"):
+            names.append(a["name"])
+    seen: set = set()
+    for n in names:
+        if n == TIME_COLUMN:
+            raise ValueError(
+                "'__time' cannot be used as an output name for "
+                "dimensions, aggregators, or post-aggregators.")
+        if n in seen:
+            raise ValueError(f"[{n}] already defined")
+        seen.add(n)
+    # a post-aggregator may share its name with the aggregator it
+    # finalizes (testGroupByWithUniquesAndPostAggWithSameName) — only
+    # the reserved-name check applies
+    for p in q.get("postAggregations", []) or []:
+        if isinstance(p, dict) and p.get("name") == TIME_COLUMN:
+            raise ValueError(
+                "'__time' cannot be used as an output name for "
+                "dimensions, aggregators, or post-aggregators.")
+
+
 def compile_groupby(q: dict, registry: DatasourceRegistry,
                     finalize: bool = True) -> DataFrame:
     """groupBy (processing/.../groupby/epinephelinae/GroupByQueryEngineV2.java;
     subtotals: GroupByQuery.java:117). Multi-value dims explode; the
     two-level historical/broker merge is Spark's partial/final
     HashAggregate; subtotalsSpec compiles to grouping sets."""
+    _verify_groupby_output_names(q)
     df = _base_frame(q, registry)
     dim_specs = [compile_dimension_spec(d, registry, df)
                  for d in q.get("dimensions", [])]
@@ -790,13 +848,19 @@ def compile_groupby(q: dict, registry: DatasourceRegistry,
     bucket = _granularity_bucket(q)
     group_names = list(dim_names)
     if bucket is not None:
+        # materialize the bucket under a temp name and rename AFTER
+        # aggregating: overwriting __time before the agg fed the
+        # aggregators the FLOORED bucket, but the reference's
+        # aggregators see the raw row time (first/last tie-breaking,
+        # longSum over __time)
         df = df.withColumn(
-            TIME_COLUMN, time_floor_col(F.col(TIME_COLUMN), bucket[1], _tz_of(q)))
-        group_names = [TIME_COLUMN] + group_names
+            "__bucket", time_floor_col(F.col(TIME_COLUMN), bucket[1],
+                                       _tz_of(q)))
+        group_names = ["__bucket"] + group_names
 
     subtotals = q.get("subtotalsSpec")
     if subtotals:
-        sets = [[*([TIME_COLUMN] if bucket is not None else []), *s]
+        sets = [[*(["__bucket"] if bucket is not None else []), *s]
                 for s in subtotals]
         try:
             grouped = df.groupingSets(
@@ -820,6 +884,9 @@ def compile_groupby(q: dict, registry: DatasourceRegistry,
     else:
         out = df.groupBy(*[fcol(c) for c in group_names]).agg(*aggs)
 
+    if bucket is not None:
+        out = out.withColumnRenamed("__bucket", TIME_COLUMN)
+        group_names = [TIME_COLUMN] + group_names[1:]
     if "__count" in out.columns:
         out = out.drop("__count")  # aggregator-less groupBy
         # (testGroupByNoAggregators): distinct dim tuples only

@@ -16,7 +16,14 @@ by the SQL-layer tranches. r10 ported the subquery family (12
 methods incl. sketch-state re-aggregation across the boundary),
 nested numeric/extraction inner queries (5), and the ordering/
 limit-spec family (9 incl. subtotal order-limits and the
-forceLimitPushDown pins)."""
+forceLimitPushDown pins). r12 ported 26 more (106/180): untyped
+numeric dims render STRING, numeric decorations (regex/list filtered
+scalar specs with delegate form), nullable-numeric grouping, virtual
+column dims, merged having specs, extraction dim filters,
+output-name build validation, and the first/last tie-break contract
+(raw row time + (time, dims) cursor order — two real engine fixes:
+granular groupBy/topN floored __time BEFORE aggregating, and min_by
+on __time alone was nondeterministic on ties)."""
 
 from __future__ import annotations
 
@@ -2187,3 +2194,413 @@ def test_groupby_rename_matrix(spark, testindex, retain, replace,
            .select("__time", "alias", "rows", "idx")
            .orderBy("__time", "alias").collect()]
     check(got, [(d, a + "0", r, i) for d, a, r, i, *_ in GROUPBY_ROWS])
+
+
+# -- round-12 tranche: numeric dim rendering/decoration, nullable
+# numerics, virtual-column grouping, extraction dim filters, merged
+# having specs, build-time name validation (GroupByQueryRunnerTest
+# remainder; javascript legs policy-excluded)
+
+D1, D2 = dt(2011, 4, 1), dt(2011, 4, 2)
+
+
+def _rows(q, reg, cols, order=None):
+    df = compile_query(q, reg)
+    if order:
+        df = df.orderBy(*order)
+    return [tuple(r) for r in df.select(*cols).collect()]
+
+
+def test_groupby_long_and_float_output_as_string(spark, testindex):
+    # testGroupByLongAndFloatOutputAsString: numeric columns through
+    # untyped default specs render decimal strings
+    q = gb([{"type": "default", "dimension": "qualityLong",
+             "outputName": "ql_alias"},
+            {"type": "default", "dimension": "qualityFloat",
+             "outputName": "qf_alias"}],
+           [ROWS, {"type": "longSum", "name": "idx",
+                   "fieldName": "index"}],
+           filt={"type": "selector", "dimension": "quality",
+                 "value": "entertainment"})
+    got = _rows(q, testindex,
+                ["__time", "ql_alias", "qf_alias", "rows", "idx"],
+                order=["__time"])
+    check(got, [(D1, "1200", "12000.0", 1, 158),
+                (D2, "1200", "12000.0", 1, 166)])
+
+
+def test_groupby_long_time_column(spark, testindex):
+    # testGroupByLongTimeColumn: __time as a LONG dimension yields
+    # epoch millis
+    q = gb([{"type": "default", "dimension": "__time",
+             "outputName": "time_alias", "outputType": "LONG"}],
+           [ROWS, {"type": "longSum", "name": "idx",
+                   "fieldName": "index"}],
+           filt={"type": "selector", "dimension": "quality",
+                 "value": "entertainment"})
+    got = _rows(q, testindex, ["__time", "time_alias", "rows", "idx"],
+                order=["__time"])
+    check(got, [(D1, 1301616000000, 1, 158),
+                (D2, 1301702400000, 1, 166)])
+
+
+def test_groupby_string_output_as_long(spark, testindex):
+    # testGroupByStringOutputAsLong: strlen extraction, LONG output
+    q = gb([{"type": "extraction", "dimension": "quality",
+             "outputName": "alias", "outputType": "LONG",
+             "extractionFn": {"type": "strlen"}}],
+           [ROWS, {"type": "longSum", "name": "idx",
+                   "fieldName": "index"}],
+           filt={"type": "selector", "dimension": "quality",
+                 "value": "entertainment"})
+    got = _rows(q, testindex, ["__time", "alias", "rows", "idx"],
+                order=["__time"])
+    check(got, [(D1, 13, 1, 158), (D2, 13, 1, 166)])
+
+
+def test_groupby_decoration_on_numerics(spark, testindex):
+    # testGroupByDecorationOnNumerics: regexFiltered LONG + listFiltered
+    # FLOAT; excluded scalar values become the null group
+    q = gb([{"type": "regexFiltered",
+             "delegate": {"type": "default", "dimension": "qualityLong",
+                          "outputName": "ql", "outputType": "LONG"},
+             "pattern": "1700"},
+            {"type": "listFiltered",
+             "delegate": {"type": "default",
+                          "dimension": "qualityFloat",
+                          "outputName": "qf", "outputType": "FLOAT"},
+             "values": ["17000.0"], "isWhitelist": True}],
+           [{"type": "count", "name": "count"}], gran="all",
+           filt={"type": "in", "dimension": "quality",
+                 "values": ["entertainment", "technology"]})
+    got = _rows(q, testindex, ["ql", "qf", "count"],
+                order=[F.col("ql").asc_nulls_first()])
+    assert got == [(None, None, 2), (1700, 17000.0, 2)]
+
+
+def test_groupby_numeric_strings_as_numeric_with_decoration(
+        spark, testindex):
+    # testGroupByNumericStringsAsNumericWithDecoration: decorated
+    # numeric-string dims as LONG and FLOAT
+    q = gb([{"type": "regexFiltered",
+             "delegate": {"type": "default",
+                          "dimension": "qualityNumericString",
+                          "outputName": "ql", "outputType": "LONG"},
+             "pattern": "170000"},
+            {"type": "listFiltered",
+             "delegate": {"type": "default",
+                          "dimension": "qualityNumericString",
+                          "outputName": "qf", "outputType": "FLOAT"},
+             "values": ["170000"], "isWhitelist": True}],
+           [{"type": "count", "name": "count"}], gran="all",
+           filt={"type": "in", "dimension": "quality",
+                 "values": ["entertainment", "technology"]},
+           limit_spec={"type": "default", "columns": ["ql"]})
+    got = _rows(q, testindex, ["ql", "qf", "count"])
+    assert got == [(None, None, 2), (170000, 170000.0, 2)]
+
+
+@pytest.mark.parametrize("col,typ,ten", [
+    ("qualityDouble", "DOUBLE", 17000.0),
+    ("qualityFloat", "FLOAT", 17000.0)])
+def test_groupby_numeric_column_descending(spark, testindex, col, typ,
+                                           ten):
+    # testGroupByDoubleColumnDescending / testGroupByFloatColumn
+    # Descending: numeric dim ordering, descending
+    q = gb([{"type": "default", "dimension": col,
+             "outputName": "alias", "outputType": typ}],
+           [ROWS, {"type": "longSum", "name": "idx",
+                   "fieldName": "index"}], gran="all",
+           filt={"type": "in", "dimension": "quality",
+                 "values": ["entertainment", "technology"]},
+           limit_spec={"type": "default", "columns": [
+               {"dimension": "alias", "direction": "descending",
+                "dimensionOrder": "numeric"}]})
+    got = _rows(q, testindex, ["alias", "rows", "idx"])
+    check(got, [(ten, 2, 175), (12000.0, 2, 324)])
+
+
+@pytest.mark.parametrize("col,typ", [("longNumericNull", "LONG"),
+                                     ("floatNumericNull", "FLOAT"),
+                                     ("doubleNumericNull", "DOUBLE")])
+def test_groupby_on_nullable_numeric(spark, testindex, col, typ):
+    # testGroupByOnNullableLong/Float/Double: limit 5 in default
+    # (dimension-ascending, nulls first) order
+    q = gb([{"type": "default", "dimension": col,
+             "outputName": "nullable", "outputType": typ}],
+           [ROWS], gran="all",
+           limit_spec={"type": "default", "limit": 5, "columns": []})
+    got = _rows(q, testindex, ["nullable", "rows"])
+    assert [(None if g[0] is None else float(g[0]), g[1])
+            for g in got] == [
+        (None, 6), (10.0, 2), (20.0, 2), (40.0, 2), (50.0, 6)]
+
+
+def test_groupby_on_virtual_column(spark, testindex):
+    # testGroupByOnVirtualColumn: expression VC as LONG dim + an
+    # expression-field longSum over another VC
+    q = {"queryType": "groupBy", "dataSource": "testindex",
+         "granularity": "all", "intervals": FIRST_TO_THIRD,
+         "virtualColumns": [
+             {"type": "expression", "name": "v",
+              "expression": "qualityDouble * qualityLong",
+              "outputType": "LONG"},
+             {"type": "expression", "name": "two", "expression": "2"}],
+         "dimensions": [{"type": "default", "dimension": "v",
+                         "outputName": "v", "outputType": "LONG"}],
+         "aggregations": [ROWS, {"type": "longSum", "name": "twosum",
+                                 "expression": "1 + two"}],
+         "limitSpec": {"type": "default", "limit": 5, "columns": []}}
+    got = _rows(q, testindex, ["v", "rows", "twosum"])
+    assert got == [(10000000, 2, 6), (12100000, 2, 6),
+                   (14400000, 2, 6), (16900000, 2, 6),
+                   (19600000, 6, 18)]
+
+
+def test_groupby_on_virtual_column_time_floor(spark, testindex):
+    # testGroupByOnVirtualColumnTimeFloor: timestamp_floor VC as LONG
+    q = {"queryType": "groupBy", "dataSource": "testindex",
+         "granularity": "all", "intervals": FIRST_TO_THIRD,
+         "virtualColumns": [
+             {"type": "expression", "name": "v",
+              "expression": "timestamp_floor(__time, 'P1D')",
+              "outputType": "LONG"}],
+         "dimensions": [{"type": "default", "dimension": "v",
+                         "outputName": "v", "outputType": "LONG"}],
+         "aggregations": [ROWS],
+         "limitSpec": {"type": "default", "limit": 5, "columns": []}}
+    got = _rows(q, testindex, ["v", "rows"])
+    assert got == [(1301616000000, 13), (1301702400000, 13)]
+
+
+def test_groupby_on_missing_column(spark, testindex):
+    # testGroupByOnMissingColumn: a missing default dim groups null; a
+    # missing extraction dim through stringFormat yields the constant
+    q = gb([{"type": "default", "dimension": "nonexistent0",
+             "outputName": "alias0"},
+            {"type": "extraction", "dimension": "nonexistent1",
+             "outputName": "alias1",
+             "extractionFn": {"type": "stringFormat",
+                              "format": "foo"}}],
+           [ROWS], gran="all")
+    got = _rows(q, testindex, ["alias0", "alias1", "rows"])
+    assert got == [(None, "foo", 26)]
+
+
+def test_groupby_output_name_collisions(spark, testindex):
+    # testGroupByWithOutputNameCollisions: build-time error
+    q = gb([{"type": "default", "dimension": "quality",
+             "outputName": "alias"}],
+           [ROWS, {"type": "longSum", "name": "alias",
+                   "fieldName": "index"}])
+    with pytest.raises(ValueError, match=r"\[alias\] already defined"):
+        compile_query(q, testindex)
+
+
+def test_groupby_reserved_time_output_name(spark, testindex):
+    # testGroupByTimeExtractionNamedUnderUnderTime +
+    # testGroupByWithUnderUnderTimeAsDimensionNameWithHavingAndLimit:
+    # '__time' is a reserved output name
+    for q in (
+            gb([{"type": "extraction", "dimension": "__time",
+                 "outputName": "__time",
+                 "extractionFn": {"type": "timeFormat",
+                                  "format": "EEEE"}}],
+               [ROWS], gran="all"),
+            gb([{"type": "default", "dimension": "quality",
+                 "outputName": "__time"}],
+               [ROWS, {"type": "longSum", "name": "idx",
+                       "fieldName": "index"}])):
+        with pytest.raises(ValueError,
+                           match="cannot be used as an output name"):
+            compile_query(q, testindex)
+
+
+def test_groupby_no_matching_prefilter(spark, testindex):
+    # testGroupByNoMatchingPrefilter: filtered agg whose NOT-null
+    # prefilter matches nothing in the filtered rows still returns the
+    # outer group
+    q = gb([{"type": "default", "dimension": "quality",
+             "outputName": "quality"}],
+           [ROWS,
+            {"type": "filtered",
+             "aggregator": {"type": "longSum", "name": "index",
+                            "fieldName": "index"},
+             "filter": {"type": "not", "field": {
+                 "type": "selector", "dimension": "longNumericNull",
+                 "value": None}}}],
+           filt={"type": "selector", "dimension": "market",
+                 "value": "spot"},
+           limit_spec={"type": "default", "limit": 1, "columns": []})
+    got = _rows(q, testindex, ["__time", "quality", "rows", "index"])
+    assert got == [(D1, "automotive", 1, 135)]
+
+
+def test_groupby_with_time_column_sum(spark, testindex):
+    # testGroupByWithTimeColumn (sumtime leg; the javascript counter is
+    # a policy exclusion)
+    q = gb([], [ROWS, {"type": "longSum", "name": "sumtime",
+                       "fieldName": "__time"}], gran="all")
+    got = _rows(q, testindex, ["rows", "sumtime"])
+    assert got == [(26, 33843139200000)]
+
+
+def test_merged_having_spec(spark, testindex):
+    # testMergedHavingSpec: month granularity across two days, OR
+    # having (rows > 2 OR idx == 217)
+    q = gb([{"type": "default", "dimension": "quality",
+             "outputName": "alias"}],
+           [ROWS, {"type": "longSum", "name": "idx",
+                   "fieldName": "index"}],
+           gran={"type": "period", "period": "P1M"},
+           intervals=["2011-04-02/2011-04-04"],
+           having={"type": "or", "havingSpecs": [
+               {"type": "greaterThan", "aggregation": "rows",
+                "value": 2},
+               {"type": "equalTo", "aggregation": "idx",
+                "value": 217}]})
+    got = _rows(q, testindex, ["__time", "alias", "rows", "idx"],
+                order=["alias"])
+    check(got, [(D1, "business", 2, 217),
+                (D1, "mezzanine", 6, 4420),
+                (D1, "premium", 6, 4416)])
+
+
+def test_postagg_merged_having_spec(spark, testindex):
+    # testPostAggMergedHavingSpec: having over an arithmetic post-agg
+    q = gb([{"type": "default", "dimension": "quality",
+             "outputName": "alias"}],
+           [ROWS, {"type": "longSum", "name": "index",
+                   "fieldName": "index"}],
+           gran={"type": "period", "period": "P1M"},
+           intervals=["2011-04-02/2011-04-04"],
+           having={"type": "greaterThan",
+                   "aggregation": "addRowsIndexConstant",
+                   "value": 1000})
+    q["postAggregations"] = [
+        {"type": "arithmetic", "name": "addRowsIndexConstant",
+         "fn": "+", "fields": [
+             {"type": "fieldAccess", "fieldName": "rows"},
+             {"type": "fieldAccess", "fieldName": "index"},
+             {"type": "constant", "value": 1}]}]
+    got = _rows(q, testindex,
+                ["__time", "alias", "rows", "index",
+                 "addRowsIndexConstant"], order=["alias"])
+    check(got, [(D1, "mezzanine", 6, 4420, 4427.0),
+                (D1, "premium", 6, 4416, 4423.0)])
+
+
+def test_groupby_having_finalized_hyperunique(spark, testindex):
+    # testGroupByWithHavingOnFinalizedHyperUnique: having + order on a
+    # hyperUniqueCardinality post-agg
+    q = gb([{"type": "default", "dimension": "market",
+             "outputName": "market"}],
+           [{"type": "hyperUnique", "name": "uniques",
+             "fieldName": "quality_uniques"}],
+           gran="all", intervals=FULL_ON,
+           having={"type": "greaterThan",
+                   "aggregation": "hyperUniqueFinalizingPostAggMetric",
+                   "value": 8},
+           limit_spec={"type": "default", "limit": 3, "columns": [
+               {"dimension": "hyperUniqueFinalizingPostAggMetric",
+                "direction": "descending"}]})
+    q["postAggregations"] = [
+        {"type": "hyperUniqueCardinality",
+         "name": "hyperUniqueFinalizingPostAggMetric",
+         "fieldName": "uniques"}]
+    got = _rows(q, testindex,
+                ["market", "uniques",
+                 "hyperUniqueFinalizingPostAggMetric"])
+    assert len(got) == 1 and got[0][0] == "spot"
+    assert float(got[0][1]) == pytest.approx(9.0, abs=0.05)
+    assert float(got[0][2]) == pytest.approx(9.0, abs=0.05)
+
+
+def test_groupby_uniques_postagg_same_name(spark, testindex):
+    # testGroupByWithUniquesAndPostAggWithSameName: a finalizing
+    # post-agg may overwrite its own aggregator's column
+    q = gb([], [ROWS, {"type": "hyperUnique", "name": "quality_uniques",
+                       "fieldName": "quality_uniques"}], gran="all")
+    q["postAggregations"] = [
+        {"type": "hyperUniqueCardinality", "name": "quality_uniques",
+         "fieldName": "quality_uniques"}]
+    got = _rows(q, testindex, ["rows", "quality_uniques"])
+    assert got[0][0] == 26
+    assert float(got[0][1]) == pytest.approx(9.0, abs=0.05)
+
+
+def test_groupby_extraction_dim_filter_many_to_one(spark, testindex):
+    # testGroupByWithExtractionDimFilterOptimazitionManyToOne: lookup
+    # extraction collapsing two quality values onto one search value
+    q = gb([{"type": "default", "dimension": "quality",
+             "outputName": "alias"}],
+           [ROWS, {"type": "longSum", "name": "idx",
+                   "fieldName": "index"}],
+           filt={"type": "selector", "dimension": "quality",
+                 "value": "newsANDmezzanine",
+                 "extractionFn": {
+                     "type": "lookup", "retainMissingValue": False,
+                     "lookup": {"type": "map", "map": {
+                         "mezzanine": "newsANDmezzanine",
+                         "news": "newsANDmezzanine"}}}})
+    got = _rows(q, testindex, ["__time", "alias", "rows", "idx"],
+                order=["__time", "alias"])
+    check(got, [(D1, "mezzanine", 3, 2870), (D1, "news", 1, 121),
+                (D2, "mezzanine", 3, 2447), (D2, "news", 1, 114)])
+
+
+def test_groupby_extraction_dim_filter_value_not_in_map(spark,
+                                                        testindex):
+    # testGroupByWithExtractionDimFilterWhenSearchValueNotInTheMap
+    q = gb([{"type": "default", "dimension": "quality",
+             "outputName": "alias"}],
+           [ROWS, {"type": "longSum", "name": "idx",
+                   "fieldName": "index"}],
+           filt={"type": "selector", "dimension": "quality",
+                 "value": "NOT_THERE",
+                 "extractionFn": {
+                     "type": "lookup", "retainMissingValue": False,
+                     "lookup": {"type": "map", "map": {}}}})
+    assert _rows(q, testindex, ["alias"]) == []
+
+
+def test_groupby_extraction_dim_filter_key_is_null(spark, testindex):
+    # testGroupByWithExtractionDimFilterKeyisNull: replaceMissingValue
+    # maps the all-null column onto the searched value
+    q = gb([{"type": "default", "dimension": "null_column",
+             "outputName": "alias"}],
+           [ROWS, {"type": "longSum", "name": "idx",
+                   "fieldName": "index"}],
+           filt={"type": "selector", "dimension": "null_column",
+                 "value": "REPLACED_VALUE",
+                 "extractionFn": {
+                     "type": "lookup", "retainMissingValue": False,
+                     "replaceMissingValueWith": "REPLACED_VALUE",
+                     "lookup": {"type": "map", "map": {}}}})
+    got = _rows(q, testindex, ["__time", "alias", "rows", "idx"],
+                order=["__time"])
+    assert got == [(D1, None, 13, 6619), (D2, None, 13, 5827)]
+
+
+def test_groupby_aggs_on_numeric_dimensions(spark, testindex):
+    # testGroupByWithAggsOnNumericDimensions (javascript legs are a
+    # policy exclusion): sums over numeric dimension columns in every
+    # long/double pairing
+    q = gb([{"type": "default", "dimension": "quality",
+             "outputName": "alias"}],
+           [ROWS,
+            {"type": "longSum", "name": "qlLong",
+             "fieldName": "qualityLong"},
+            {"type": "doubleSum", "name": "qlFloat",
+             "fieldName": "qualityLong"},
+            {"type": "doubleSum", "name": "qfFloat",
+             "fieldName": "qualityFloat"},
+            {"type": "longSum", "name": "qfLong",
+             "fieldName": "qualityFloat"}],
+           filt={"type": "selector", "dimension": "quality",
+                 "value": "technology"})
+    got = _rows(q, testindex,
+                ["__time", "alias", "rows", "qlLong", "qlFloat",
+                 "qfFloat", "qfLong"], order=["__time"])
+    check(got, [(D1, "technology", 1, 1700, 1700.0, 17000.0, 17000),
+                (D2, "technology", 1, 1700, 1700.0, 17000.0, 17000)])

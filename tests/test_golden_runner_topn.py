@@ -20,7 +20,16 @@ exclusion — incl. the NullProducing/EmptyString anonymous-Java
 extraction fns), expression-aggregator methods (SQL-layer pinned),
 and first/last-aggregator topNs (tie-broken by segment insertion
 order, which a shuffled engine cannot reproduce; the tie-free
-contract is driver-verified)."""
+contract is driver-verified).
+
+r12 ported 30 more (81/107): the previous-stop paging matrix incl.
+inverted and non-existing stops, nonexistent dims/filters, null and
+partial-null dims under filters, the numeric-string / long / float
+typed-output and decoration families (untyped specs render STRING),
+string-output-as-long strlen, long virtual columns, hyperUnique
+finalizing/rounded post-agg metrics, MV-filter equivalence pairs,
+float/double numeric-null orderings, and the __time longSum leg of
+testTopNWithTimeColumn (its javascript counter stays excluded)."""
 
 from __future__ import annotations
 
@@ -865,3 +874,418 @@ def test_topn_string_virtual_column(spark, testindex):
          5356.814783),
         ("upfront upfront", 4, 4875.669692, UNIQUES_2,
          4880.669692)])
+
+
+# -- round-12 tranche: extraction matrix, previous-stop paging,
+# nonexistent dims/filters, numeric-null orderings, decorated numeric
+# dims, hyperUnique post-agg metrics (TopNQueryRunnerTest remainder)
+
+MAXMIN_COLS = COLS + ["maxIndex", "minIndex"]
+
+
+def test_topn_lexicographic_nonexisting_previous_stop(spark, testindex):
+    # testTopNLexicographicWithNonExistingPreviousStop: paging past a
+    # stop that is not a dimension value resumes at the next value
+    q = topn(metric={"type": "dimension", "ordering": "lexicographic",
+                     "previousStop": "t"}, postaggs=[ADD_RIC])
+    check(run(spark, testindex, q, COLS), [
+        ("total_market", 4, 5351.814783, UNIQUES_2, 5356.814783),
+        ("upfront", 4, 4875.669692, UNIQUES_2, 4880.669692)])
+
+
+@pytest.mark.parametrize("stop", ["upfront", "u"])
+def test_topn_inverted_lexicographic_previous_stop(spark, testindex,
+                                                   stop):
+    # testTopNInvertedLexicographicWithPreviousStop (+NonExisting
+    # variant): inverted dimension paging walks values BELOW the stop,
+    # descending
+    q = topn(metric={"type": "inverted",
+                     "metric": {"type": "dimension",
+                                "ordering": "lexicographic",
+                                "previousStop": stop}},
+             postaggs=[ADD_RIC])
+    check(run(spark, testindex, q, COLS), [
+        ("total_market", 4, 5351.814783, UNIQUES_2, 5356.814783),
+        ("spot", 18, 2231.876812, UNIQUES_9, 2250.876812)])
+
+
+def test_topn_nonexistent_dimension(spark, testindex):
+    # testTopNWithNonExistentDimension (+AndNonExistentFilter: a
+    # null-selector on a missing column matches everything)
+    for filt in (None, {"type": "selector", "dimension": "doesnt_exist",
+                        "value": None}):
+        q = topn(dim="doesnt_exist", threshold=1, postaggs=[ADD_RIC],
+                 filt=filt)
+        check(run(spark, testindex, q,
+                  ["doesnt_exist", "rows", "index", "uniques",
+                   "addRowsIndexConstant"]),
+              [(None, 26, 12459.361190795898, UNIQUES_9,
+                12486.361190795898)])
+
+
+def test_topn_nonexistent_dimension_actual_filter(spark, testindex):
+    # testTopNWithNonExistentDimensionAndActualFilter
+    q = topn(dim="doesnt_exist", postaggs=[ADD_RIC],
+             filt={"type": "selector", "dimension": "market",
+                   "value": "upfront"})
+    check(run(spark, testindex, q,
+              ["doesnt_exist", "rows", "index", "uniques",
+               "addRowsIndexConstant"]),
+          [(None, 4, 4875.669692, UNIQUES_2, 4880.669692)])
+
+
+def test_topn_nonexistent_filter_multi_dim(spark, testindex):
+    # testTopNWithNonExistentFilterMultiDim: AND with an impossible
+    # selector returns the empty result
+    q = topn(filt={"type": "and", "fields": [
+        {"type": "selector", "dimension": "market",
+         "value": "billyblank"},
+        {"type": "selector", "dimension": "quality",
+         "value": "mezzanine"}]}, postaggs=[ADD_RIC])
+    assert run(spark, testindex, q, COLS) == []
+
+
+def test_topn_dim_extraction_no_aggregators(spark, testindex):
+    # testTopNDimExtractionNoAggregators: regex first-char buckets,
+    # lexicographic, no aggs at all
+    q = {"queryType": "topN", "dataSource": "testindex",
+         "granularity": "all",
+         "dimension": {"type": "extraction", "dimension": "market",
+                       "outputName": "market",
+                       "extractionFn": {"type": "regex", "expr": "(.)"}},
+         "metric": {"type": "dimension", "ordering": "lexicographic"},
+         "threshold": 4, "intervals": FIRST_TO_THIRD}
+    got = run(spark, testindex, q, ["market"])
+    assert got == [("s",), ("t",), ("u",)]
+
+
+def test_topn_lexi_extraction_sorting_preserved_previous_stop(
+        spark, testindex):
+    # testTopNLexicographicDimExtractionWithSortingPreservedAndPrevious
+    # Stop: first-char substring extraction, paging past "s"
+    q = topn(dim={"type": "extraction", "dimension": "market",
+                  "outputName": "market",
+                  "extractionFn": {"type": "substring", "index": 0,
+                                   "length": 1}},
+             metric={"type": "dimension", "ordering": "lexicographic",
+                     "previousStop": "s"}, postaggs=[ADD_RIC])
+    check(run(spark, testindex, q, COLS), [
+        ("t", 4, 5351.814783, UNIQUES_2, 5356.814783),
+        ("u", 4, 4875.669692, UNIQUES_2, 4880.669692)])
+
+
+def test_inverted_topn_lexi_extraction_previous_stop2(spark, testindex):
+    # testInvertedTopNLexicographicDimExtractionWithPreviousStop2:
+    # regex third-char buckets, inverted paging below "p"
+    q = topn(dim={"type": "extraction", "dimension": "market",
+                  "outputName": "market",
+                  "extractionFn": {"type": "regex", "expr": "..(.)"}},
+             metric={"type": "inverted",
+                     "metric": {"type": "dimension",
+                                "ordering": "lexicographic",
+                                "previousStop": "p"}},
+             postaggs=[ADD_RIC])
+    check(run(spark, testindex, q, COLS), [
+        ("o", 18, 2231.876812, UNIQUES_9, 2250.876812),
+        ("f", 4, 4875.669692, UNIQUES_2, 4880.669692)])
+
+
+def test_topn_over_null_dimension_with_filter(spark, testindex):
+    # testTopNOverNullDimensionWithFilter: selector null on the always-
+    # null column keeps all rows
+    q = topn(dim="null_column", intervals=FULL_ON,
+             aggs=[ROWS, IDX, UNIQUES, MAXI, MINI], postaggs=[ADD_RIC],
+             filt={"type": "selector", "dimension": "null_column",
+                   "value": None})
+    got = run(spark, testindex, q,
+              ["null_column", "rows", "index", "uniques",
+               "addRowsIndexConstant", "maxIndex", "minIndex"])
+    check(got, [(None, 1209, 503332.5071372986, UNIQUES_9,
+                 504542.5071372986, 1870.061029, 59.02102279663086)])
+
+
+def test_topn_partial_null_with_filter_on_null_value(spark, testindex):
+    # testTopNOverPartialNullDimensionWithFilterOnNullValue
+    q = topn(dim="partial_null_column", threshold=1000,
+             metric={"type": "numeric", "metric": "uniques"},
+             filt={"type": "selector",
+                   "dimension": "partial_null_column", "value": None})
+    got = run(spark, testindex, q,
+              ["partial_null_column", "rows", "index", "uniques"])
+    check(got, [(None, 22, 7583.691513061523, UNIQUES_9)])
+
+
+def test_topn_partial_null_with_filter_on_not_null_value(spark,
+                                                         testindex):
+    # testTopNOverPartialNullDimensionWithFilterOnNOTNullValue
+    q = topn(dim="partial_null_column", threshold=1000,
+             metric={"type": "numeric", "metric": "uniques"},
+             filt={"type": "selector",
+                   "dimension": "partial_null_column",
+                   "value": "value"})
+    got = run(spark, testindex, q,
+              ["partial_null_column", "rows", "index", "uniques"])
+    check(got, [("value", 4, 4875.669692, UNIQUES_2)])
+
+
+def test_numeric_dimension_topn_null_previous_stop(spark, testindex):
+    # testNumericDimensionTopNWithNullPreviousStop: NUMERIC comparator
+    # over non-numeric strings falls back to string order
+    q = {"queryType": "topN", "dataSource": "testindex",
+         "granularity": "all", "dimension": "market",
+         "metric": {"type": "dimension", "ordering": "numeric",
+                    "previousStop": None},
+         "threshold": 2, "intervals": ["2011-04-02/2011-04-03"],
+         "aggregations": [ROWS]}
+    got = run(spark, testindex, q, ["market", "rows"])
+    assert got == [("spot", 9), ("total_market", 2)]
+
+
+def test_topn_with_multi_value_dim_filter1_2(spark, testindex):
+    # testTopNWithMultiValueDimFilter1/2: filtering the MV placementish
+    # on scalar tokens equals the corresponding quality filter
+    for mv_filt, sv_filt, dim in (
+            ({"type": "selector", "dimension": "placementish",
+              "value": "m"},
+             {"type": "selector", "dimension": "quality",
+              "value": "mezzanine"}, "market"),
+            ({"type": "in", "dimension": "placementish",
+              "values": ["m", "a", "b"]},
+             {"type": "in", "dimension": "quality",
+              "values": ["mezzanine", "automotive", "business"]},
+             "quality")):
+        q_mv = topn(dim=dim, filt=mv_filt, postaggs=[ADD_RIC])
+        q_sv = topn(dim=dim, filt=sv_filt, postaggs=[ADD_RIC])
+        cols = [dim] + COLS[1:]
+        assert run(spark, testindex, q_mv, cols) \
+            == run(spark, testindex, q_sv, cols)
+
+
+def test_topn_with_time_column(spark, testindex):
+    # testTopNWithTimeColumn (sumtime legs; the javascript ntimestamps
+    # counter is a policy exclusion): longSum over __time sums epoch
+    # millis
+    q = {"queryType": "topN", "dataSource": "testindex",
+         "granularity": "all", "dimension": "market",
+         "metric": "sumtime", "threshold": 3,
+         "intervals": FIRST_TO_THIRD,
+         "aggregations": [ROWS, {"type": "longSum", "name": "sumtime",
+                                 "fieldName": "__time"}]}
+    got = run(spark, testindex, q, ["market", "rows", "sumtime"])
+    assert got == [("spot", 18, 23429865600000),
+                   ("total_market", 4, 5206636800000),
+                   ("upfront", 4, 5206636800000)]
+
+
+def test_topn_over_hyperunique_finalizing_postagg(spark, testindex):
+    # testTopNOverHyperUniqueFinalizingPostAggregator: ordering on a
+    # hyperUniqueCardinality post-agg of the non-finalized state
+    q = {"queryType": "topN", "dataSource": "testindex",
+         "granularity": "all", "dimension": "market",
+         "metric": "hyperUniqueFinalizingPostAggMetric", "threshold": 3,
+         "intervals": FULL_ON, "aggregations": [UNIQUES],
+         "postAggregations": [
+             {"type": "hyperUniqueCardinality",
+              "name": "hyperUniqueFinalizingPostAggMetric",
+              "fieldName": "uniques"}]}
+    got = run(spark, testindex, q,
+              ["market", "uniques",
+               "hyperUniqueFinalizingPostAggMetric"])
+    check(got, [("spot", UNIQUES_9, UNIQUES_9),
+                ("total_market", UNIQUES_2, UNIQUES_2),
+                ("upfront", UNIQUES_2, UNIQUES_2)])
+
+
+def test_topn_over_hyperunique_expression_rounded(spark, testindex):
+    # testTopNOverHyperUniqueExpressionRounded: round:true finalizes
+    # to LONG; expression post-agg adds 1
+    q = {"queryType": "topN", "dataSource": "testindex",
+         "granularity": "all", "dimension": "market",
+         "metric": "hyperUniqueFinalizingPostAggMetric", "threshold": 3,
+         "intervals": FULL_ON,
+         "aggregations": [{"type": "hyperUnique", "name": "uniques",
+                           "fieldName": "quality_uniques",
+                           "round": True}],
+         "postAggregations": [
+             {"type": "expression",
+              "name": "hyperUniqueFinalizingPostAggMetric",
+              "expression": "uniques + 1"}]}
+    got = run(spark, testindex, q,
+              ["market", "uniques",
+               "hyperUniqueFinalizingPostAggMetric"])
+    assert [(g[0], int(g[1]), int(g[2])) for g in got] == [
+        ("spot", 9, 10), ("total_market", 2, 3), ("upfront", 2, 3)]
+
+
+FULL_ON_Q14 = (217725.41940800005, 279, 218005.41940800005, UNIQUES_1,
+               1870.061029, 91.270553)
+FULL_ON_Q16 = (210865.67977600006, 279, 211145.67977600006, UNIQUES_1,
+               1862.737933, 99.284525)
+FULL_ON_Q10 = (12270.807093, 93, 12364.807093, UNIQUES_1,
+               277.273533, 71.315931)
+FULL_ON_Q12 = (12086.472791, 93, 12180.472791, UNIQUES_1,
+               193.787574, 84.710523)
+
+
+def _maxindex_topn(dim, threshold=4, virtual_columns=None):
+    q = {"queryType": "topN", "dataSource": "testindex",
+         "granularity": "all", "dimension": dim,
+         "metric": "maxIndex", "threshold": threshold,
+         "intervals": FULL_ON,
+         "aggregations": [ROWS, IDX, UNIQUES, MAXI, MINI],
+         "postAggregations": [ADD_RIC]}
+    if virtual_columns:
+        q["virtualColumns"] = virtual_columns
+    return q
+
+
+def _check_quality_rows(got, dims, rows):
+    want = [(d,) + r[:1] + (r[1],) + r[0:1] for d, r in zip(dims, rows)]
+    # build explicit tuples instead: (dim, index, rows, addRic,
+    # uniques, maxIndex, minIndex)
+    want = [(d, r[0], r[1], r[2], r[3], r[4], r[5])
+            for d, r in zip(dims, rows)]
+    check(got, want)
+
+
+QCOLS = ["index", "rows", "addRowsIndexConstant", "uniques",
+         "maxIndex", "minIndex"]
+
+
+def test_full_on_topn_long_column_as_string(spark, testindex):
+    # testFullOnTopNLongColumnAsString: LONG column through a default
+    # (string) dimension spec renders its decimal string
+    q = _maxindex_topn({"type": "default", "dimension": "qualityLong",
+                        "outputName": "ql_alias"})
+    got = run(spark, testindex, q, ["ql_alias"] + QCOLS)
+    _check_quality_rows(
+        got, ["1400", "1600", "1000", "1200"],
+        [FULL_ON_Q14, FULL_ON_Q16, FULL_ON_Q10, FULL_ON_Q12])
+
+
+def test_full_on_topn_long_virtual_column(spark, testindex):
+    # testFullOnTopNLongVirtualColumn: identity expression virtual
+    # column, LONG output
+    q = _maxindex_topn({"type": "default", "dimension": "ql_expr",
+                        "outputName": "ql_alias",
+                        "outputType": "LONG"},
+                       virtual_columns=[{"type": "expression",
+                                         "name": "ql_expr",
+                                         "expression": "qualityLong",
+                                         "outputType": "LONG"}])
+    got = run(spark, testindex, q, ["ql_alias"] + QCOLS)
+    _check_quality_rows(
+        got, [1400, 1600, 1000, 1200],
+        [FULL_ON_Q14, FULL_ON_Q16, FULL_ON_Q10, FULL_ON_Q12])
+
+
+def test_full_on_topn_string_output_as_long(spark, testindex):
+    # testFullOnTopNStringOutputAsLong: strlen extraction with LONG
+    # output type
+    q = _maxindex_topn({"type": "extraction", "dimension": "quality",
+                        "outputName": "alias", "outputType": "LONG",
+                        "extractionFn": {"type": "strlen"}})
+    got = run(spark, testindex, q, ["alias"] + QCOLS)
+    _check_quality_rows(
+        got, [9, 7, 10, 13],
+        [FULL_ON_Q14, FULL_ON_Q16,
+         (20479.497562408447, 186, 20666.497562408447, UNIQUES_2,
+          277.273533, 59.02102279663086),
+         FULL_ON_Q12])
+
+
+def test_full_on_topn_numeric_string_with_decoration(spark, testindex):
+    # testFullOnTopNNumericStringColumnWithDecoration: listFiltered
+    # whitelist over a LONG-typed numeric-string dimension
+    q = _maxindex_topn({"type": "listFiltered",
+                        "delegate": {"type": "default",
+                                     "dimension": "qualityNumericString",
+                                     "outputName": "qns_alias",
+                                     "outputType": "LONG"},
+                        "values": ["120000", "140000", "160000"],
+                        "isWhitelist": True})
+    got = run(spark, testindex, q, ["qns_alias"] + QCOLS)
+    _check_quality_rows(
+        got, [140000, 160000, 120000],
+        [FULL_ON_Q14, FULL_ON_Q16, FULL_ON_Q12])
+
+
+def test_full_on_topn_decoration_on_numeric(spark, testindex):
+    # testFullOnTopNDecorationOnNumeric: same whitelist decoration
+    # applied to a true LONG column
+    q = _maxindex_topn({"type": "listFiltered",
+                        "delegate": {"type": "default",
+                                     "dimension": "qualityLong",
+                                     "outputName": "ql_alias",
+                                     "outputType": "LONG"},
+                        "values": ["1200", "1400", "1600"],
+                        "isWhitelist": True})
+    got = run(spark, testindex, q, ["ql_alias"] + QCOLS)
+    _check_quality_rows(
+        got, [1400, 1600, 1200],
+        [FULL_ON_Q14, FULL_ON_Q16, FULL_ON_Q12])
+
+
+def test_full_on_topn_numeric_string_as_float(spark, testindex):
+    # testFullOnTopNNumericStringColumnAsFloat
+    q = _maxindex_topn({"type": "default",
+                        "dimension": "qualityNumericString",
+                        "outputName": "qns_alias",
+                        "outputType": "FLOAT"})
+    got = run(spark, testindex, q, ["qns_alias"] + QCOLS)
+    _check_quality_rows(
+        got, [140000.0, 160000.0, 100000.0, 120000.0],
+        [FULL_ON_Q14, FULL_ON_Q16, FULL_ON_Q10, FULL_ON_Q12])
+
+
+def test_full_on_topn_float_column_as_string(spark, testindex):
+    # testFullOnTopNFloatColumnAsString: FLOAT through a string spec
+    # renders the decimal-point form
+    q = _maxindex_topn({"type": "default", "dimension": "qualityFloat",
+                        "outputName": "qf_alias"})
+    got = run(spark, testindex, q, ["qf_alias"] + QCOLS)
+    _check_quality_rows(
+        got, ["14000.0", "16000.0", "10000.0", "12000.0"],
+        [FULL_ON_Q14, FULL_ON_Q16, FULL_ON_Q10, FULL_ON_Q12])
+
+
+@pytest.mark.parametrize("col", ["floatNumericNull",
+                                 "doubleNumericNull"])
+def test_topn_order_by_float_double_numeric_with_nulls(spark, testindex,
+                                                       col):
+    # test_topN_orderByFloat/DoubleNumericColumnWithNulls: numeric
+    # metric descending, NULL sums last, ties ascending on the dim
+    q = {"queryType": "topN", "dataSource": "testindex",
+         "granularity": "all",
+         "dimension": {"type": "default", "dimension": "index",
+                       "outputName": "index_alias",
+                       "outputType": "LONG"},
+         "metric": {"type": "numeric", "metric": col},
+         "threshold": 10000, "intervals": ["2011-04-02/2011-04-03"],
+         "aggregations": [{"type": "longSum", "name": col,
+                           "fieldName": col}]}
+    got = run(spark, testindex, q, ["index_alias", col])
+    assert got == [
+        (97, 80), (135, 70), (1049, 70), (1321, 70), (110, 50),
+        (1144, 50), (1193, 50), (113, 40), (112, 20), (147, 10),
+        (114, None), (126, None), (166, None)]
+
+
+@pytest.mark.parametrize("col,typ", [("doubleNumericNull", "DOUBLE"),
+                                     ("floatNumericNull", "FLOAT")])
+def test_aggregate_on_float_double_numeric_null(spark, testindex, col,
+                                                typ):
+    # testAggregateOnDouble/FloatNumericNull: numeric DIMENSION order
+    # puts the NULL group first
+    q = {"queryType": "topN", "dataSource": "testindex",
+         "granularity": "all",
+         "dimension": {"type": "default", "dimension": col,
+                       "outputName": "dim", "outputType": typ},
+         "metric": {"type": "dimension", "ordering": "numeric"},
+         "threshold": 10000, "intervals": FULL_ON,
+         "aggregations": [{"type": "count", "name": "count"}]}
+    got = run(spark, testindex, q, ["dim", "count"])
+    assert [(None if g[0] is None else float(g[0]), g[1])
+            for g in got] == [
+        (None, 279), (10.0, 93), (20.0, 93), (40.0, 93),
+        (50.0, 279), (70.0, 279), (80.0, 93)]
