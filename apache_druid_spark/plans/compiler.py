@@ -836,6 +836,25 @@ def compile_groupby(q: dict, registry: DatasourceRegistry,
     two-level historical/broker merge is Spark's partial/final
     HashAggregate; subtotalsSpec compiles to grouping sets."""
     _verify_groupby_output_names(q)
+    if (q.get("context") or {}).get("forceLimitPushDown"):
+        # GroupByQuery.validateAndGetForceLimitPushDown: the forced
+        # two-level pushdown cannot re-filter (having) and cannot sort
+        # on values that only exist post-merge (post-aggregators) —
+        # GroupByQueryRunnerTest.testRejectForceLimitPushDownWithHaving,
+        # testGroupByLimitPushDownPostAggNotSupported
+        if q.get("having") is not None:
+            raise ValueError(
+                "Cannot force limit push down when a having spec is "
+                "present.")
+        post_names = {p.get("name")
+                      for p in q.get("postAggregations", []) or []
+                      if isinstance(p, dict)}
+        for col in (q.get("limitSpec") or {}).get("columns", []) or []:
+            nm = col if isinstance(col, str) else col.get("dimension")
+            if nm in post_names:
+                raise ValueError(
+                    "Limit push down when sorting by a post "
+                    "aggregator is not supported.")
     df = _base_frame(q, registry)
     dim_specs = [compile_dimension_spec(d, registry, df)
                  for d in q.get("dimensions", [])]

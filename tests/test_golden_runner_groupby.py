@@ -2604,3 +2604,251 @@ def test_groupby_aggs_on_numeric_dimensions(spark, testindex):
                  "qfFloat", "qfLong"], order=["__time"])
     check(got, [(D1, "technology", 1, 1700, 1700.0, 17000.0, 17000),
                 (D2, "technology", 1, 1700, 1700.0, 17000.0, 17000)])
+
+
+# -- round-12 tranche 2: subtotals remainder + forced limit-pushdown
+# merge-sort family
+
+def test_subtotals_spec_general(spark, testindex):
+    # testGroupByWithSubtotalsSpecGeneral: three grouping sets over a
+    # VC-aliased dim; per-set row counts + the alias2 day-1 head; the
+    # fieldAccess post-agg rides along
+    q = {"queryType": "groupBy", "dataSource": "testindex",
+         "granularity": "day", "intervals": FIRST_TO_THIRD,
+         "virtualColumns": [{"type": "expression", "name": "alias",
+                             "expression": "quality",
+                             "outputType": "STRING"}],
+         "dimensions": [
+             {"type": "default", "dimension": "quality",
+              "outputName": "quality2"},
+             {"type": "default", "dimension": "market",
+              "outputName": "market2"},
+             {"type": "default", "dimension": "alias",
+              "outputName": "alias2"}],
+         "aggregations": [ROWS, {"type": "longSum", "name": "idx",
+                                 "fieldName": "index"}],
+         "postAggregations": [{"type": "fieldAccess",
+                               "name": "idxPostAgg",
+                               "fieldName": "idx"}],
+         "subtotalsSpec": [["alias2"], ["market2"], []]}
+    df = compile_query(q, testindex)
+    rows = df.collect()
+    by_set = {"alias2": [r for r in rows if r["alias2"] is not None],
+              "market2": [r for r in rows if r["market2"] is not None],
+              "total": [r for r in rows if r["alias2"] is None
+                        and r["market2"] is None]}
+    assert len(by_set["alias2"]) == 18    # 9 qualities x 2 days
+    assert len(by_set["market2"]) == 6    # 3 markets x 2 days
+    assert len(by_set["total"]) == 2      # per-day totals
+    d1 = sorted(((r["alias2"], r["rows"], r["idx"], r["idxPostAgg"])
+                 for r in by_set["alias2"] if r["__time"] == D1))
+    assert d1[:3] == [("automotive", 1, 135, 135),
+                      ("business", 1, 118, 118),
+                      ("entertainment", 1, 158, 158)]
+    tot = sorted((r["__time"], r["rows"], r["idx"])
+                 for r in by_set["total"])
+    assert tot == [(D1, 13, 6619), (D2, 13, 5827)]
+
+
+def test_subtotals_spec_of_dimensions_prefixes(spark, testindex):
+    # testGroupByWithSubtotalsSpecOfDimensionsPrefixes
+    q = {"queryType": "groupBy", "dataSource": "testindex",
+         "granularity": "day", "intervals": FIRST_TO_THIRD,
+         "virtualColumns": [{"type": "expression", "name": "alias",
+                             "expression": "quality",
+                             "outputType": "STRING"}],
+         "dimensions": [
+             {"type": "default", "dimension": "market",
+              "outputName": "market2"},
+             {"type": "default", "dimension": "alias",
+              "outputName": "alias2"}],
+         "aggregations": [ROWS, {"type": "longSum", "name": "idx",
+                                 "fieldName": "index"}],
+         "subtotalsSpec": [["market2"], []]}
+    rows = compile_query(q, testindex).collect()
+    markets = sorted((r["__time"], r["market2"], r["rows"], r["idx"])
+                     for r in rows if r["market2"] is not None)
+    assert markets == [
+        (D1, "spot", 9, 1102), (D1, "total_market", 2, 2836),
+        (D1, "upfront", 2, 2681),
+        (D2, "spot", 9, 1120), (D2, "total_market", 2, 2514),
+        (D2, "upfront", 2, 2193)]
+    totals = sorted((r["__time"], r["rows"], r["idx"])
+                    for r in rows if r["market2"] is None)
+    assert totals == [(D1, 13, 6619), (D2, 13, 5827)]
+
+
+def test_subtotals_spec_with_long_dimension(spark, testindex):
+    # testGroupByWithSubtotalsSpecWithLongDimensionColumn: a LONG-typed
+    # dim participates in grouping sets
+    q = {"queryType": "groupBy", "dataSource": "testindex",
+         "granularity": "day", "intervals": FIRST_TO_THIRD,
+         "dimensions": [
+             {"type": "default", "dimension": "qualityLong",
+              "outputName": "ql", "outputType": "LONG"},
+             {"type": "default", "dimension": "market",
+              "outputName": "market2"}],
+         "aggregations": [ROWS, {"type": "longSum", "name": "idx",
+                                 "fieldName": "index"}],
+         "subtotalsSpec": [["ql"], ["market2"], []]}
+    rows = compile_query(q, testindex).collect()
+    ql_d1 = sorted((r["ql"], r["rows"], r["idx"]) for r in rows
+                   if r["ql"] is not None and r["__time"] == D1)
+    assert ql_d1[:5] == [(1000, 1, 135), (1100, 1, 118),
+                         (1200, 1, 158), (1300, 1, 120),
+                         (1400, 3, 2870)]
+    assert len([r for r in rows if r["market2"] is not None]) == 6
+    assert len([r for r in rows
+                if r["ql"] is None and r["market2"] is None]) == 2
+
+
+def test_subtotals_spec_renamed_dimension_and_filter(spark, testindex):
+    # testGroupByWithSubtotalsSpecWithRenamedDimensionAndFilter: filter
+    # on the VC, grouping sets over its renamed output
+    q = {"queryType": "groupBy", "dataSource": "testindex",
+         "granularity": "day", "intervals": FIRST_TO_THIRD,
+         "virtualColumns": [{"type": "expression", "name": "alias",
+                             "expression": "quality",
+                             "outputType": "STRING"}],
+         "dimensions": [
+             {"type": "default", "dimension": "quality",
+              "outputName": "quality"},
+             {"type": "default", "dimension": "market",
+              "outputName": "market"},
+             {"type": "default", "dimension": "alias",
+              "outputName": "alias_renamed"}],
+         "aggregations": [
+             ROWS,
+             {"type": "longSum", "name": "idx", "fieldName": "index"},
+             {"type": "floatSum", "name": "idxFloat",
+              "fieldName": "indexFloat"},
+             {"type": "doubleSum", "name": "idxDouble",
+              "fieldName": "index"}],
+         "filter": {"type": "selector", "dimension": "alias",
+                    "value": "automotive"},
+         "subtotalsSpec": [["alias_renamed"], []]}
+    rows = compile_query(q, testindex).collect()
+    named = sorted((r["__time"], r["alias_renamed"], r["rows"],
+                    r["idx"], round(float(r["idxFloat"]), 4),
+                    round(float(r["idxDouble"]), 4))
+                   for r in rows if r["alias_renamed"] is not None)
+    assert named == [
+        (D1, "automotive", 1, 135, 135.8851, 135.8851),
+        (D2, "automotive", 1, 147, 147.4259, 147.4259)]
+    totals = sorted((r["__time"], r["rows"], r["idx"]) for r in rows
+                    if r["alias_renamed"] is None)
+    assert totals == [(D1, 1, 135), (D2, 1, 147)]
+
+
+APR_0204 = ["2011-04-02/2011-04-04"]
+
+
+def test_merge_limit_pushdown_sort_by_agg(spark, testindex):
+    # testMergeResultsWithLimitPushDownSortByAgg (+WithOffset): forced
+    # pushdown returns identical merged results
+    q = gb([{"type": "default", "dimension": "quality",
+             "outputName": "alias"}],
+           [ROWS, {"type": "longSum", "name": "idx",
+                   "fieldName": "index"}],
+           gran="all", intervals=APR_0204,
+           limit_spec={"type": "default", "limit": 5, "columns": [
+               {"dimension": "idx", "direction": "descending"}]})
+    q["context"] = {"forceLimitPushDown": True}
+    got = _rows(q, testindex, ["alias", "rows", "idx"])
+    assert got == [("mezzanine", 6, 4420), ("premium", 6, 4416),
+                   ("entertainment", 2, 319), ("automotive", 2, 269),
+                   ("travel", 2, 243)]
+    q["limitSpec"] = {"type": "default", "limit": 2, "offset": 3,
+                      "columns": [{"dimension": "idx",
+                                   "direction": "descending"}]}
+    got = _rows(q, testindex, ["alias", "rows", "idx"])
+    assert got == [("automotive", 2, 269), ("travel", 2, 243)]
+
+
+def test_merge_limit_pushdown_sort_by_dim_dim(spark, testindex):
+    # testMergeResultsWithLimitPushDownSortByDimDim
+    q = gb([{"type": "default", "dimension": "quality",
+             "outputName": "alias"},
+            {"type": "default", "dimension": "market",
+             "outputName": "market"}],
+           [ROWS, {"type": "longSum", "name": "idx",
+                   "fieldName": "index"}],
+           gran="all", intervals=APR_0204,
+           limit_spec={"type": "default", "limit": 5, "columns": [
+               {"dimension": "alias", "direction": "descending"},
+               {"dimension": "market", "direction": "descending"}]})
+    q["context"] = {"forceLimitPushDown": True}
+    got = _rows(q, testindex, ["alias", "market", "rows", "idx"])
+    assert got == [
+        ("travel", "spot", 2, 243), ("technology", "spot", 2, 177),
+        ("premium", "upfront", 2, 1817),
+        ("premium", "total_market", 2, 2342),
+        ("premium", "spot", 2, 257)]
+
+
+def test_merge_limit_pushdown_sort_by_dim_agg_dim(spark, testindex):
+    # testMergeResultsWithLimitPushDownSortByDimAggDim
+    q = gb([{"type": "default", "dimension": "quality",
+             "outputName": "alias"},
+            {"type": "default", "dimension": "market",
+             "outputName": "market"}],
+           [ROWS, {"type": "longSum", "name": "idx",
+                   "fieldName": "index"}],
+           gran="all", intervals=APR_0204,
+           limit_spec={"type": "default", "limit": 5, "columns": [
+               {"dimension": "alias", "direction": "descending"},
+               {"dimension": "idx", "direction": "descending"},
+               {"dimension": "market", "direction": "descending"}]})
+    q["context"] = {"forceLimitPushDown": True}
+    got = _rows(q, testindex, ["alias", "market", "rows", "idx"])
+    assert got == [
+        ("travel", "spot", 2, 243), ("technology", "spot", 2, 177),
+        ("premium", "total_market", 2, 2342),
+        ("premium", "upfront", 2, 1817),
+        ("premium", "spot", 2, 257)]
+
+
+def test_limit_pushdown_long_dim_not_in_limitspec(spark, testindex):
+    # testGroupByLimitPushDownWithLongDimensionNotInLimitSpec: default
+    # (dimension) ordering pages a LONG extraction dim
+    q = gb([{"type": "extraction", "dimension": "quality",
+             "outputName": "qualityLen", "outputType": "LONG",
+             "extractionFn": {"type": "strlen"}}],
+           [ROWS], gran="all", intervals=FULL_ON,
+           limit_spec={"type": "default", "limit": 6, "columns": []})
+    q["context"] = {"forceLimitPushDown": True}
+    got = _rows(q, testindex, ["qualityLen", "rows"])
+    assert got == [(4, 93), (6, 186), (7, 279), (8, 93), (9, 279),
+                   (10, 186)]
+
+
+def test_force_limit_pushdown_rejects_having(spark, testindex):
+    # testRejectForceLimitPushDownWithHaving: build-time error
+    q = gb([{"type": "default", "dimension": "market",
+             "outputName": "marketalias"}],
+           [ROWS], gran="all", intervals=FULL_ON,
+           having={"type": "greaterThan", "aggregation": "rows",
+                   "value": 10},
+           limit_spec={"type": "default", "limit": 2, "columns": [
+               {"dimension": "marketalias",
+                "direction": "descending"}]})
+    q["context"] = {"forceLimitPushDown": True}
+    with pytest.raises(ValueError,
+                       match="Cannot force limit push down"):
+        compile_query(q, testindex)
+
+
+def test_force_limit_pushdown_rejects_postagg_sort(spark, testindex):
+    # testGroupByLimitPushDownPostAggNotSupported: build-time error
+    q = gb([{"type": "default", "dimension": "market",
+             "outputName": "marketalias"}],
+           [ROWS], gran="all", intervals=FULL_ON,
+           limit_spec={"type": "default", "limit": 2, "columns": [
+               {"dimension": "constant",
+                "direction": "descending"}]})
+    q["postAggregations"] = [{"type": "constant", "name": "constant",
+                              "value": 1}]
+    q["context"] = {"forceLimitPushDown": True}
+    with pytest.raises(ValueError,
+                       match="sorting by a post aggregator"):
+        compile_query(q, testindex)
