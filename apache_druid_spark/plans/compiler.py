@@ -978,8 +978,14 @@ def compile_scan(q: dict, registry: DatasourceRegistry) -> DataFrame:
     return df
 
 
-def _search_part(p: DataFrame, d: str, match) -> DataFrame:
-    return (p.filter(F.col("value").isNotNull() & match(F.col("value")))
+def _search_part(p: DataFrame, d: str, match, match_nulls: bool = False
+                 ) -> DataFrame:
+    # match_nulls: the ALL search spec accepts null values as hits
+    # (testSearchWithNullValueInDimension); every predicate spec
+    # rejects them (ContainsSearchQuerySpec.accept(null) == false)
+    keep = (F.lit(True) if match_nulls
+            else F.col("value").isNotNull()) & match(F.col("value"))
+    return (p.filter(keep)
              .groupBy("value").agg(F.count(F.lit(1)).alias("count"))
              .select(F.lit(d).alias("dimension"), "value", "count"))
 
@@ -997,11 +1003,16 @@ def compile_search(q: dict, registry: DatasourceRegistry) -> DataFrame:
         or (isinstance(f.dataType, T.ArrayType)
             and isinstance(f.dataType.elementType, T.StringType))
     ]
-    qspec = q.get("query", {"type": "insensitive_contains", "value": ""})
+    # SearchQuery defaults a missing querySpec to AllSearchQuerySpec
+    # (SearchQuery.java ctor), which matches EVERY value — including
+    # NULLs (testSearchWithNullValueInDimension counts the null hit)
+    qspec = q.get("query") or {"type": "all"}
     limit = int(q.get("limit", 1000))
 
     def match(c: Column) -> Column:
         t = qspec["type"]
+        if t == "all":
+            return F.lit(True)
         if t in ("contains",) and qspec.get("caseSensitive", False):
             return F.contains(c, F.lit(qspec["value"]))
         if t in ("contains", "insensitive_contains"):
@@ -1017,32 +1028,54 @@ def compile_search(q: dict, registry: DatasourceRegistry) -> DataFrame:
             return c.rlike(qspec["pattern"])
         raise ValueError(f"unknown search query type: {t!r}")
 
+    # missing-dim guard against the PRE-materialization schema:
+    # _materialize_missing_dims null-fills names referenced anywhere in
+    # the query, but a search over a genuinely absent dimension yields
+    # NO hits even under the ALL spec (testSearchWithNotExistedDimension
+    # — vs. testSearchWithNullValueInDimension, where the column exists
+    # and its nulls count)
+    real_cols = set(resolve_datasource(q["dataSource"], registry).columns)
+    real_cols |= {vc.get("name")
+                  for vc in q.get("virtualColumns", []) or []}
+
     parts = []
     for d in dims:
         # DimensionSpec dicts name typed searches
         # (testSearchOnLongColumn: __time as LONG; testSearchOnFloat
-        # Column: the double metric searched as text)
-        out_name = d
+        # Column: the double metric searched as text) and may carry an
+        # extractionFn (testSearchWithExtractionFilter1 sweeps the
+        # EXTRACTED values)
+        out_name, exfn = d, None
         if isinstance(d, dict):
-            out_name = d.get("outputName", d.get("dimension"))
+            out_name = d.get("outputName") or d.get("dimension")
+            exfn = d.get("extractionFn")
             d = d.get("dimension")
         if d == TIME_COLUMN:
             # Druid time is an epoch-millis long; search stringifies
             # millis (SearchQueryRunnerTest.testSearchOnTime)
             p = df.select(
                 F.unix_millis(fcol(d)).cast("string").alias("value"))
-            parts.append(_search_part(p, out_name, match))
+            parts.append(_search_part(p, out_name, match,
+                                      qspec["type"] == "all"))
             continue
-        if d not in df.columns:
+        if d not in df.columns or d not in real_cols:
             # a non-existent search dimension contributes no hits
             # (testSearchNonExistingDimension), it is not an error
             continue
         c = fcol(d)
         if isinstance(df.schema[d].dataType, T.ArrayType):
             p = df.select(F.explode(c).alias("value"))
+            c = F.col("value")
         else:
             p = df.select(c.cast("string").alias("value"))
-        parts.append(_search_part(p, out_name, match))
+            c = F.col("value")
+        if exfn is not None:
+            from apache_druid_spark.operators.dimensions import (
+                compile_extraction_fn)
+            p = p.select(compile_extraction_fn(
+                exfn, c, registry).alias("value"))
+        parts.append(_search_part(p, out_name, match,
+                                  qspec["type"] == "all"))
     if not parts:
         spark = df.sparkSession
         return spark.createDataFrame(

@@ -7,13 +7,16 @@ Engine fixes driven by the port: a non-existent searchDimension
 contributes no hits (was an unresolved-column error), and searching
 __time stringifies epoch MILLIS (testSearchOnTime).
 
-Skipped: testSearchHitSerDe (Jackson serde), testSearchWithCardinality
-(merge-runner doubling harness), extraction-fn variants (extraction
-semantics pinned at the SQL layer), testSearchWithNullValueInDimension
-(builds a bespoke two-row index inline), testSearchOnLongColumnWithExFn
-/ FloatColumnWithExFn (extraction decoration of the long/float paths
-— the plain long/float value searches are covered by testSearchOnTime's
-stringified-millis path and the numeric dims in the default sweep)."""
+23/27 ported. Skipped (4): testSearchHitSerDe (Jackson serde),
+testSearchWithCardinality (merge-runner doubling harness), and
+testSearchOnLongColumnWithExFn / FloatColumnWithExFn (javascript
+extraction fns — policy exclusion).
+
+r12 closures: testSearchWithExtractionFilter1 (lookup extraction on
+both filter and searched dim), testSearchWithNullValueInDimension
+(the default ALL query spec counts NULL values of an EXISTING column;
+predicate specs reject nulls), testSearchWithNotExistedDimension
+(a genuinely absent dimension yields no hits even under ALL)."""
 
 from __future__ import annotations
 
@@ -248,3 +251,57 @@ def test_search_on_float_column(spark, testindex):
          "query": {"type": "insensitive_contains", "value": "100.7"}}
     assert hits(spark, testindex, q) == {
         ("index", "100.706057", 1), ("index", "100.775597", 1)}
+
+
+# -- round-12 additions
+
+def test_search_with_extraction_filter1(spark, testindex):
+    # testSearchWithExtractionFilter1: lookup extraction (retain
+    # missing) on both the filter and the searched dimension
+    snowman = "automotive☃"
+    exfn = {"type": "lookup", "retainMissingValue": True,
+            "lookup": {"type": "map", "map": {"automotive": snowman}}}
+    q = {"queryType": "search", "dataSource": "testindex",
+         "granularity": "all", "intervals": FULL_ON,
+         "filter": {"type": "selector", "dimension": "quality",
+                    "value": snowman, "extractionFn": exfn},
+         "searchDimensions": [{"type": "extraction",
+                               "dimension": "quality",
+                               "outputName": "quality",
+                               "extractionFn": exfn}],
+         "query": {"type": "insensitive_contains", "value": "☃"}}
+    assert hits(spark, testindex, q) == {("quality", snowman, 93)}
+
+
+def test_search_with_null_value_in_dimension(spark, testindex):
+    # testSearchWithNullValueInDimension: the default (ALL) query spec
+    # counts NULL dimension values as hits; built on a bespoke two-row
+    # datasource like the reference's inline incremental index
+    from datetime import datetime
+    from apache_druid_spark.model.datasource import DatasourceRegistry
+
+    reg = DatasourceRegistry(spark)
+    df = spark.createDataFrame(
+        [(datetime(2016, 12, 16, 7, 0, 0), "name1", "host", None),
+         (datetime(2016, 12, 16, 7, 1, 10), "name2", None, "table")],
+        "__time timestamp, name string, host string, table string")
+    reg.register("nulldim", df)
+    q = {"queryType": "search", "dataSource": "nulldim",
+         "granularity": "all", "intervals": FULL_ON,
+         "searchDimensions": [{"type": "default", "dimension": "table",
+                               "outputName": "table"}]}
+    assert hits(spark, reg, q) == {("table", "table", 1),
+                                   ("table", None, 1)}
+    # predicate specs still reject nulls
+    q["query"] = {"type": "insensitive_contains", "value": ""}
+    assert hits(spark, reg, q) == {("table", "table", 1)}
+
+
+def test_search_with_not_existed_dimension(spark, testindex):
+    # testSearchWithNotExistedDimension: explicit missing dim + the
+    # default ALL spec -> no hits
+    q = {"queryType": "search", "dataSource": "testindex",
+         "granularity": "all", "intervals": FULL_ON,
+         "searchDimensions": [{"type": "default", "dimension": "asdf",
+                               "outputName": "asdf"}]}
+    assert hits(spark, testindex, q) == set()
