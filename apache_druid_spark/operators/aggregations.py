@@ -275,17 +275,27 @@ def _expression_lambda(spec: dict, registry) -> Column:
     numeric folds this is fine, for giant groups use a built-in
     aggregator instead."""
     fields = list(spec.get("fields") or [])
-    if len(fields) != 1:
+    if len(fields) > 1:
         raise NotImplementedError(
-            "expression lambda aggregator needs exactly one field in v1")
+            "expression lambda aggregator needs at most one field in v1")
     acc_id = spec.get("accumulatorIdentifier", "__acc")
-    field = fields[0]
     init = compile_expression(spec["initialValue"], registry)
-    values = F.collect_list(fcol(field))
-    folded = F.aggregate(
-        values, init,
-        lambda acc, x: compile_expression(
-            spec["fold"], registry, env={acc_id: acc, field: x}))
+    if fields:
+        field = fields[0]
+        values = F.collect_list(fcol(field))
+        folded = F.aggregate(
+            values, init,
+            lambda acc, x: compile_expression(
+                spec["fold"], registry, env={acc_id: acc, field: x}))
+    else:
+        # a field-less lambda folds once per ROW (the reference's
+        # diy-count shape: fold '__acc + 1' — testGroupByWith
+        # ExpressionAggregator's "rows")
+        values = F.collect_list(F.lit(1))
+        folded = F.aggregate(
+            values, init,
+            lambda acc, _x: compile_expression(
+                spec["fold"], registry, env={acc_id: acc}))
     fin = spec.get("finalize")
     if fin:
         return compile_expression(fin, registry, env={"o": folded})

@@ -93,7 +93,17 @@ def apply_limit_spec(df: DataFrame, spec: dict | None,
         ordered_dims.add(dim)
         direction = oc.get("direction", "ascending").lower()
         comparator = oc.get("dimensionOrder")
-        if comparator is None and dim_names is not None \
+        from pyspark.sql import types as _T
+        if dim in df.columns and isinstance(
+                df.schema[dim].dataType, _T.ArrayType):
+            # an ARRAY-typed grouping key orders element-wise in its
+            # natural (per-element) order whatever the comparator
+            # names — GroupByQueryRunnerTest.testGroupByWithLongArrays
+            # sorts single-element numeric arrays NUMERICALLY; string
+            # comparators would need per-element transforms the
+            # reference does not apply either
+            key = fcol(dim)
+        elif comparator is None and dim_names is not None \
                 and dim not in dim_names:
             # a METRIC/post-agg column with no explicit comparator
             # orders by the aggregator's NATURAL comparator, not the

@@ -338,7 +338,8 @@ def _granularity_bucket(q: dict) -> tuple[str, object] | None:
 
 
 def _explode_multivalue_dims(df: DataFrame, dim_cols: list[tuple[str, Column]],
-                             drop_empty: bool = False
+                             drop_empty: bool = False,
+                             keep_arrays: set | None = None
                              ) -> tuple[DataFrame, list[str]]:
     """Druid groupBy on a multi-value dimension explodes one row per
     element (processing/.../segment/vector/MultiValueDimensionVectorSelector.java
@@ -356,6 +357,14 @@ def _explode_multivalue_dims(df: DataFrame, dim_cols: list[tuple[str, Column]],
         df = df.withColumn(name, col)
         out_names.append(name)
     for name in out_names:
+        if keep_arrays and name in keep_arrays:
+            # ARRAY-typed dimension spec: the whole array is the
+            # grouping key; a scalar source wraps into a one-element
+            # array (testSingleValueDimensionAsStringArrayWithout
+            # Expression groups placement as ["preferred"])
+            if not isinstance(df.schema[name].dataType, T.ArrayType):
+                df = df.withColumn(name, F.array(F.col(name)))
+            continue
         if isinstance(df.schema[name].dataType, T.ArrayType):
             if drop_empty:
                 df = df.filter(F.col(name).isNull()
@@ -858,7 +867,41 @@ def compile_groupby(q: dict, registry: DatasourceRegistry,
     df = _base_frame(q, registry)
     dim_specs = [compile_dimension_spec(d, registry, df)
                  for d in q.get("dimensions", [])]
-    df, dim_names = _explode_multivalue_dims(df, dim_specs)
+    # ARRAY-typed dimension specs group on the WHOLE array value (no
+    # explode) — GroupByQueryRunnerTest.testMultiValueDimensionAsArray:
+    # the mv_to_array virtual column's array is one grouping key. A
+    # STORED multi-value column used directly as an array dim raises
+    # like the reference (testMultiValueDimensionAsStringArrayWithout
+    # Expression: "Not supported for multi-value dimensions" — the MV
+    # string column must go through mv_to_array first); a SCALAR
+    # column wraps into a one-element array
+    # (testSingleValueDimensionAsStringArrayWithoutExpression).
+    vc_names = {vc.get("name") for vc in q.get("virtualColumns", []) or []}
+    array_out: set = set()
+    for d in q.get("dimensions", []) or []:
+        if not isinstance(d, dict):
+            continue
+        ot = str(d.get("outputType") or "").upper()
+        if not (ot.endswith("_ARRAY") or ot.startswith("ARRAY")):
+            continue
+        nm = d.get("outputName") or d.get("dimension")
+        src = d.get("dimension")
+        ds = q.get("dataSource")
+        stored_table = (isinstance(ds, str)
+                        or (isinstance(ds, dict)
+                            and ds.get("type", "table") == "table"))
+        if (stored_table and d.get("type", "default") == "default"
+                and src in df.columns and src not in vc_names
+                and isinstance(df.schema[src].dataType, T.ArrayType)):
+            # only STORED MV string dims are rejected; an inner
+            # query's ARRAY-typed output re-groups fine
+            # (testNestedGroupByWithLongArrays/StringArray)
+            raise ValueError(
+                "Not supported for multi-value dimensions: use "
+                "mv_to_array to group on the array value")
+        array_out.add(nm)
+    df, dim_names = _explode_multivalue_dims(df, dim_specs,
+                                             keep_arrays=array_out)
     aggs = compile_aggregations(q.get("aggregations", []), df, registry,
                                 finalize=finalize)
     if not aggs:

@@ -16,7 +16,7 @@ by the SQL-layer tranches. r10 ported the subquery family (12
 methods incl. sketch-state re-aggregation across the boundary),
 nested numeric/extraction inner queries (5), and the ordering/
 limit-spec family (9 incl. subtotal order-limits and the
-forceLimitPushDown pins). r12 ported 26 more (106/180): untyped
+forceLimitPushDown pins). r12 ported 51 more (131/180): untyped
 numeric dims render STRING, numeric decorations (regex/list filtered
 scalar specs with delegate form), nullable-numeric grouping, virtual
 column dims, merged having specs, extraction dim filters,
@@ -2852,3 +2852,268 @@ def test_force_limit_pushdown_rejects_postagg_sort(spark, testindex):
     with pytest.raises(ValueError,
                        match="sorting by a post aggregator"):
         compile_query(q, testindex)
+
+
+# -- round-12 tranche 3: array-typed dimension grouping (the
+# mv_to_array / ARRAY outputType family)
+
+MV_ARRAY_VC = [{"type": "expression", "name": "v0",
+                "expression": "mv_to_array(placementish)",
+                "outputType": "STRING_ARRAY"}]
+
+
+def test_multi_value_dimension_as_array(spark, testindex):
+    # testMultiValueDimensionAsArray: grouping key is the WHOLE array
+    q = {"queryType": "groupBy", "dataSource": "testindex",
+         "granularity": "all", "intervals": FIRST_TO_THIRD,
+         "virtualColumns": MV_ARRAY_VC,
+         "dimensions": [{"type": "default", "dimension": "v0",
+                         "outputName": "alias",
+                         "outputType": "STRING_ARRAY"}],
+         "aggregations": [ROWS, {"type": "longSum", "name": "idx",
+                                 "fieldName": "index"}]}
+    got = sorted((tuple(r["alias"]), r["rows"], r["idx"])
+                 for r in compile_query(q, testindex).collect())
+    assert got == [
+        (("a", "preferred"), 2, 282), (("b", "preferred"), 2, 230),
+        (("e", "preferred"), 2, 324), (("h", "preferred"), 2, 233),
+        (("m", "preferred"), 6, 5317), (("n", "preferred"), 2, 235),
+        (("p", "preferred"), 6, 5405), (("preferred", "t"), 4, 420)]
+
+
+def test_single_value_dimension_as_array(spark, testindex):
+    # testSingleValueDimensionAsArray: mv_to_array over a scalar
+    q = {"queryType": "groupBy", "dataSource": "testindex",
+         "granularity": "all", "intervals": FIRST_TO_THIRD,
+         "virtualColumns": [{"type": "expression", "name": "v0",
+                             "expression": "mv_to_array(placement)",
+                             "outputType": "STRING_ARRAY"}],
+         "dimensions": [{"type": "default", "dimension": "v0",
+                         "outputName": "alias",
+                         "outputType": "STRING_ARRAY"}],
+         "aggregations": [ROWS, {"type": "longSum", "name": "idx",
+                                 "fieldName": "index"}]}
+    got = [(tuple(r["alias"]), r["rows"], r["idx"])
+           for r in compile_query(q, testindex).collect()]
+    assert got == [(("preferred",), 26, 12446)]
+
+
+def test_single_value_dimension_as_string_array_no_expression(
+        spark, testindex):
+    # testSingleValueDimensionAsStringArrayWithoutExpression
+    # (vectorized semantics): a scalar column through a STRING_ARRAY
+    # spec wraps into a one-element array
+    q = {"queryType": "groupBy", "dataSource": "testindex",
+         "granularity": "all", "intervals": FIRST_TO_THIRD,
+         "dimensions": [{"type": "default", "dimension": "placement",
+                         "outputName": "alias",
+                         "outputType": "STRING_ARRAY"}],
+         "aggregations": [ROWS, {"type": "longSum", "name": "idx",
+                                 "fieldName": "index"}]}
+    got = [(tuple(r["alias"]), r["rows"], r["idx"])
+           for r in compile_query(q, testindex).collect()]
+    assert got == [(("preferred",), 26, 12446)]
+
+
+def test_multi_value_dimension_as_string_array_rejected(spark,
+                                                        testindex):
+    # testMultiValueDimensionAsStringArrayWithoutExpression: a STORED
+    # multi-value column cannot be grouped as an array directly
+    q = {"queryType": "groupBy", "dataSource": "testindex",
+         "granularity": "all", "intervals": FIRST_TO_THIRD,
+         "dimensions": [{"type": "default",
+                         "dimension": "placementish",
+                         "outputName": "alias",
+                         "outputType": "STRING_ARRAY"}],
+         "aggregations": [ROWS]}
+    with pytest.raises(ValueError,
+                       match="Not supported for multi-value"):
+        compile_query(q, testindex)
+
+
+def test_multi_value_dimension_as_array_with_other_dims(spark,
+                                                        testindex):
+    # testMultiValueDimensionAsArrayWithOtherDims (head): array key +
+    # scalar dim, ordered lexicographically on both
+    q = {"queryType": "groupBy", "dataSource": "testindex",
+         "granularity": "all", "intervals": FIRST_TO_THIRD,
+         "virtualColumns": MV_ARRAY_VC,
+         "dimensions": [{"type": "default", "dimension": "v0",
+                         "outputName": "alias",
+                         "outputType": "STRING_ARRAY"},
+                        {"type": "default", "dimension": "quality",
+                         "outputName": "quality"}],
+         "aggregations": [ROWS, {"type": "longSum", "name": "idx",
+                                 "fieldName": "index"}],
+         "limitSpec": {"type": "default", "columns": [
+             {"dimension": "alias"}, {"dimension": "quality"}]}}
+    rows = compile_query(q, testindex).collect()
+    head = [(tuple(r["alias"]), r["quality"], r["rows"], r["idx"])
+            for r in rows[:2]]
+    assert head == [(("a", "preferred"), "automotive", 2, 282),
+                    (("b", "preferred"), "business", 2, 230)]
+
+
+def test_groupby_with_long_arrays(spark, testindex):
+    # testGroupByWithLongArrays (+Desc): single-element array VC keys,
+    # ordered numerically element-wise; the declared LONG_ARRAY output
+    # type is a planner hint — array(index) keeps its double elements
+    # (the reference's expected rows carry doubles too)
+    base = {"queryType": "groupBy", "dataSource": "testindex",
+            "granularity": "all", "intervals": FIRST_TO_THIRD,
+            "virtualColumns": [{"type": "expression", "name": "v0",
+                                "expression": "array(index)",
+                                "outputType": "LONG_ARRAY"}],
+            "dimensions": [{"type": "default", "dimension": "v0",
+                            "outputName": "alias_outer",
+                            "outputType": "LONG_ARRAY"}],
+            "aggregations": [ROWS]}
+    asc = dict(base, limitSpec={"type": "default", "columns": [
+        {"dimension": "alias_outer", "direction": "ascending",
+         "dimensionOrder": "numeric"}]})
+    rows = compile_query(asc, testindex).collect()
+    vals = [r["alias_outer"][0] for r in rows]
+    assert len(vals) == 26
+    assert vals == sorted(vals)
+    assert vals[0] == pytest.approx(78.622547)
+    assert all(r["rows"] == 1 for r in rows)
+    desc = dict(base, limitSpec={"type": "default", "columns": [
+        {"dimension": "alias_outer", "direction": "descending",
+         "dimensionOrder": "numeric"}]})
+    dvals = [r["alias_outer"][0]
+             for r in compile_query(desc, testindex).collect()]
+    assert dvals == sorted(vals, reverse=True)
+
+
+def test_nested_groupby_with_long_arrays(spark, testindex):
+    # testNestedGroupByWithLongArrays: the inner query's ARRAY output
+    # re-groups in the outer (no stored-MV rejection)
+    inner = {"queryType": "groupBy", "dataSource": "testindex",
+             "granularity": "all", "intervals": FIRST_TO_THIRD,
+             "virtualColumns": [{"type": "expression", "name": "v0",
+                                 "expression": "array(1,2)",
+                                 "outputType": "LONG_ARRAY"}],
+             "dimensions": [{"type": "default", "dimension": "v0",
+                             "outputName": "alias",
+                             "outputType": "LONG_ARRAY"}],
+             "aggregations": [ROWS]}
+    outer = {"queryType": "groupBy",
+             "dataSource": {"type": "query", "query": inner},
+             "granularity": "all", "intervals": FIRST_TO_THIRD,
+             "dimensions": [{"type": "default", "dimension": "alias",
+                             "outputName": "alias_outer",
+                             "outputType": "LONG_ARRAY"}],
+             "aggregations": [ROWS]}
+    got = [(tuple(r["alias_outer"]), r["rows"])
+           for r in compile_query(outer, testindex).collect()]
+    assert got == [((1, 2), 1)]
+
+
+# -- round-12 tranche 4: expression aggregators, string post-agg
+# ordering, repeated/mixed MV dims, custom-agg having
+
+def test_groupby_with_expression_aggregator(spark, testindex):
+    # testGroupByWithExpressionAggregator: a field-less count fold and
+    # a double sum fold, both as expression lambdas
+    q = gb([{"type": "default", "dimension": "quality",
+             "outputName": "alias"}],
+           [{"type": "expression", "name": "rows",
+             "fields": [], "initialValue": "0",
+             "fold": "__acc + 1", "combine": "__acc + rows"},
+            {"type": "expression", "name": "idx",
+             "fields": ["index"], "initialValue": "0.0",
+             "fold": "__acc + index"}])
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("__time", "alias", "rows", "idx")
+           .orderBy("__time", "alias").collect()]
+    check(got, [(t, a, r, f) for t, a, r, _i, f, _d in GROUPBY_ROWS])
+
+
+def test_groupby_with_string_post_aggregator(spark, testindex):
+    # testGroupByWithStringPostAggregator: expression post-agg string
+    # concat, ordered descending on the post-agg
+    q = gb([{"type": "default", "dimension": "quality",
+             "outputName": "alias"}],
+           [ROWS, {"type": "longSum", "name": "idx",
+                   "fieldName": "index"}],
+           limit_spec={"type": "default", "columns": [
+               {"dimension": "post", "direction": "descending"}]})
+    q["postAggregations"] = [{"type": "expression", "name": "post",
+                              "expression": "alias + 'x'"}]
+    rows = compile_query(q, testindex).collect()
+    # day-major blocks, each descending by the post-agg (the merged
+    # result streams time-bucket-major; the reference's expected list
+    # has all 2011-04-01 rows before 2011-04-02)
+    assert [(r["__time"], r["alias"], r["post"]) for r in rows[:3]] \
+        == [(D1, "travel", "travelx"),
+            (D1, "technology", "technologyx"),
+            (D1, "premium", "premiumx")]
+    assert (rows[9]["__time"], rows[9]["alias"]) == (D2, "travel")
+    assert len(rows) == 18
+
+
+def test_two_multi_value_dimensions(spark, testindex):
+    # testTwoMultiValueDimensions: the same MV column grouped twice
+    # cross-products per row
+    q = gb([{"type": "default", "dimension": "placementish",
+             "outputName": "alias"},
+            {"type": "default", "dimension": "placementish",
+             "outputName": "alias2"}],
+           [ROWS, {"type": "longSum", "name": "idx",
+                   "fieldName": "index"}], gran="all",
+           filt={"type": "selector", "dimension": "placementish",
+                 "value": "a"})
+    got = sorted((r["alias"], r["alias2"], r["rows"], r["idx"])
+                 for r in compile_query(q, testindex).collect())
+    assert got == [("a", "a", 2, 282), ("a", "preferred", 2, 282),
+                   ("preferred", "a", 2, 282),
+                   ("preferred", "preferred", 2, 282)]
+
+
+def test_multiple_dimensions_one_multi_value(spark, testindex):
+    # testMultipleDimensionsOneOfWhichIsMultiValue1 (+DifferentOrder:
+    # same matrix, dim order swapped): each quality pairs with its own
+    # token and with 'preferred'
+    for dims in ([{"type": "default", "dimension": "placementish",
+                   "outputName": "alias"},
+                  {"type": "default", "dimension": "quality",
+                   "outputName": "quality"}],
+                 [{"type": "default", "dimension": "quality",
+                   "outputName": "quality"},
+                  {"type": "default", "dimension": "placementish",
+                   "outputName": "alias"}]):
+        q = gb(dims, [ROWS, {"type": "longSum", "name": "idx",
+                             "fieldName": "index"}], gran="all")
+        got = sorted((r["quality"], r["alias"], r["rows"], r["idx"])
+                     for r in compile_query(q, testindex).collect())
+        assert len(got) == 18  # 9 qualities x (own token + preferred)
+        assert got[:2] == [("automotive", "a", 2, 282),
+                           ("automotive", "preferred", 2, 282)]
+        assert ("premium", "p", 6, 5405) in got
+        assert ("premium", "preferred", 6, 5405) in got
+
+
+def test_custom_aggregator_having_spec(spark, testindex):
+    # testCustomAggregatorHavingSpec: having over a custom SUM
+    # aggregator (TestBigDecimalSumAggregatorFactory sums like
+    # doubleSum at these magnitudes)
+    q = gb([{"type": "default", "dimension": "quality",
+             "outputName": "alias"}],
+           [ROWS, {"type": "doubleSum", "name": "idxDouble",
+                   "fieldName": "index"}],
+           having={"type": "or", "havingSpecs": [
+               {"type": "equalTo", "aggregation": "rows", "value": 3},
+               {"type": "greaterThan", "aggregation": "idxDouble",
+                "value": 135.00}]})
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("__time", "alias", "rows", "idxDouble")
+           .orderBy("__time", "alias").collect()]
+    check(got, [
+        (D1, "automotive", 1, 135.885094),
+        (D1, "entertainment", 1, 158.747224),
+        (D1, "mezzanine", 3, 2871.8866900000003),
+        (D1, "premium", 3, 2900.798647),
+        (D2, "automotive", 1, 147.425935),
+        (D2, "entertainment", 1, 166.016049),
+        (D2, "mezzanine", 3, 2448.830613),
+        (D2, "premium", 3, 2506.415148)])

@@ -64,7 +64,12 @@ def load_rows():
                 float(c[8]) if c[8] else None,
                 float(c[9]) if c[9] else None,
                 c[10] or None,
-                c[11].split("\x01"),
+                # Druid sorts multi-values WITHIN each row at ingest
+                # (IncrementalIndex dimension processing), so the
+                # stored array for the travel/technology rows is
+                # ["preferred","t"], not file order
+                # (testMultiValueDimensionAsArray pins the sorted form)
+                sorted(c[11].split("\x01")),
                 float(c[12]),
                 c[13] if len(c) > 13 and c[13] else None,
                 None,
