@@ -2326,6 +2326,35 @@ def _mv_explode_subquery_groupby(spark, sf_dir):
     """, _registry(spark, sf_dir))
 
 
+@_q("groupby_array_dim", """
+SELECT array_to_string(list_slice(string_split_regex(text, '\\s+'), 1, 2),
+                       ' ') AS key,
+       COUNT(*) AS cnt
+FROM documents
+GROUP BY 1 ORDER BY cnt DESC, key LIMIT 20
+""")
+def _groupby_array_dim(spark, sf_dir):
+    """ARRAY-typed dimension grouping (round 12): the whole
+    mv_to_array value is ONE grouping key — no explode
+    (GroupByQueryRunnerTest.testMultiValueDimensionAsArray;
+    processing/.../groupby/epinephelinae/RowBasedGrouperHelper array
+    key handling). The first-two-token bigram arrays group documents;
+    the array key joins to a string only for the oracle compare."""
+    q = {"queryType": "groupBy", "dataSource": "doc_tokens",
+         "granularity": "all",
+         "virtualColumns": [{
+             "type": "expression", "name": "v0",
+             "expression": "array_slice(mv_to_array(\"tokens\"), 0, 2)",
+             "outputType": "STRING_ARRAY"}],
+         "dimensions": [{"type": "default", "dimension": "v0",
+                         "outputName": "arr",
+                         "outputType": "STRING_ARRAY"}],
+         "aggregations": [{"type": "count", "name": "cnt"}]}
+    df = compile_query(q, _registry(spark, sf_dir))
+    return (df.select(F.array_join("arr", " ").alias("key"), "cnt")
+              .orderBy(F.col("cnt").desc(), "key").limit(20))
+
+
 @_q("sql_view_query", """
 SELECT o_orderstatus AS status, COUNT(*) AS n,
        ROUND(SUM(o_totalprice), 2) AS total
@@ -4654,6 +4683,10 @@ _R11_WINDOW = (
 # fns (r9–r10 churn). The 25 r8 leftovers are _R12_NEXT and front the
 # r13 rotation.
 _R12_WINDOW = (
+    # new r12 entry — never driver-checked, verify first (array-typed
+    # dimension grouping landed this round); sql_scalar_shims moved to
+    # the _R12_NEXT front to keep the 50-entry driver cap
+    'groupby_array_dim',
     # r7-evidence cohort (all 25 — oldest evidence in the registry)
     'agg_stats_lineitem', 'dedup_exact', 'dedup_minhash_lsh',
     'dedup_ngram_jaccard', 'extraction_regex_brand',
@@ -4677,13 +4710,13 @@ _R12_WINDOW = (
     'topn_time_extraction', 'topn_per_month', 'extraction_cascade',
     'extraction_bucket', 'extraction_time_format_gran',
     'extraction_strlen', 'extraction_string_format',
-    'expression_time_format', 'sql_floor_to_unit', 'sql_scalar_shims',
+    'expression_time_format', 'sql_floor_to_unit',
 )
 
 # r8-evidence leftovers — next-oldest after the r12 window; they front
 # the r13 rotation
 _R12_NEXT = (
-    'human_readable_formats', 'ipv4_custkey_subnets',
+    'sql_scalar_shims', 'human_readable_formats', 'ipv4_custkey_subnets',
     'theta_rollup_merge', 'segment_metadata_orders', 'sql_time_ops',
     'sql_mv_first_word', 'sql_array_fns', 'sql_safe_divide', 'sql_ipv4',
     'sql_bloom_filter_test', 'search_fragment_multi', 'sql_bit_aggs',
