@@ -16,7 +16,7 @@ by the SQL-layer tranches. r10 ported the subquery family (12
 methods incl. sketch-state re-aggregation across the boundary),
 nested numeric/extraction inner queries (5), and the ordering/
 limit-spec family (9 incl. subtotal order-limits and the
-forceLimitPushDown pins). r12 ported 51 more (131/180): untyped
+forceLimitPushDown pins). r12 ported 55 more (135/180): untyped
 numeric dims render STRING, numeric decorations (regex/list filtered
 scalar specs with delegate form), nullable-numeric grouping, virtual
 column dims, merged having specs, extraction dim filters,
@@ -3117,3 +3117,100 @@ def test_custom_aggregator_having_spec(spark, testindex):
         (D2, "entertainment", 1, 166.016049),
         (D2, "mezzanine", 3, 2448.830613),
         (D2, "premium", 3, 2506.415148)])
+
+
+# -- round-12 tranche 5: expression-vs-VC aggregation, string VC dim,
+# nested string arrays, merged month results
+
+def test_groupby_float_min_expression_vs_virtual_column(spark,
+                                                        testindex):
+    # testGroupByFloatMaxExpressionVsVirtualColumn: the same column
+    # through a fieldName, an inline aggregator expression, and a
+    # FLOAT virtual column agree (SQL-null mode: min skips nulls)
+    q = {"queryType": "groupBy", "dataSource": "testindex",
+         "granularity": "all", "intervals": FIRST_TO_THIRD,
+         "virtualColumns": [{"type": "expression", "name": "v0",
+                             "expression": "\"floatNumericNull\"",
+                             "outputType": "FLOAT"}],
+         "dimensions": [{"type": "default", "dimension": "nil",
+                         "outputName": "nil",
+                         "outputType": "STRING"}],
+         "aggregations": [
+             {"type": "floatMin", "name": "min",
+              "fieldName": "floatNumericNull"},
+             {"type": "floatMin", "name": "minExpression",
+              "expression": "\"floatNumericNull\""},
+             {"type": "floatMin", "name": "minVc", "fieldName": "v0"}]}
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("nil", "min", "minExpression", "minVc").collect()]
+    assert got == [(None, 10.0, 10.0, 10.0)]
+
+
+def test_groupby_string_virtual_column(spark, testindex):
+    # testGroupByWithStringVirtualColumnVectorizable: cast() VC as the
+    # grouping dimension reproduces the flagship matrix
+    q = {"queryType": "groupBy", "dataSource": "testindex",
+         "granularity": "day", "intervals": FIRST_TO_THIRD,
+         "virtualColumns": [{"type": "expression", "name": "vc",
+                             "expression": "cast(quality, 'STRING')",
+                             "outputType": "STRING"}],
+         "dimensions": [{"type": "default", "dimension": "vc",
+                         "outputName": "alias"}],
+         "aggregations": [ROWS, {"type": "longSum", "name": "idx",
+                                 "fieldName": "index"}]}
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("__time", "alias", "rows", "idx")
+           .orderBy("__time", "alias").collect()]
+    check(got, [(t, a, r, i) for t, a, r, i, _f, _d in GROUPBY_ROWS])
+
+
+def test_nested_groupby_with_string_array(spark, testindex):
+    # testNestedGroupByWithStringArray: inner array keys re-group 1:1
+    # in the outer
+    inner = {"queryType": "groupBy", "dataSource": "testindex",
+             "granularity": "all", "intervals": FIRST_TO_THIRD,
+             "virtualColumns": MV_ARRAY_VC,
+             "dimensions": [{"type": "default", "dimension": "v0",
+                             "outputName": "alias",
+                             "outputType": "STRING_ARRAY"}],
+             "aggregations": [ROWS, {"type": "longSum", "name": "idx",
+                                     "fieldName": "index"}]}
+    outer = {"queryType": "groupBy",
+             "dataSource": {"type": "query", "query": inner},
+             "granularity": "all", "intervals": FIRST_TO_THIRD,
+             "dimensions": [{"type": "default", "dimension": "alias",
+                             "outputName": "alias_outer",
+                             "outputType": "STRING_ARRAY"}],
+             "aggregations": [ROWS]}
+    got = sorted((tuple(r["alias_outer"]), r["rows"])
+                 for r in compile_query(outer, testindex).collect())
+    assert got == [
+        (("a", "preferred"), 1), (("b", "preferred"), 1),
+        (("e", "preferred"), 1), (("h", "preferred"), 1),
+        (("m", "preferred"), 1), (("n", "preferred"), 1),
+        (("p", "preferred"), 1), (("preferred", "t"), 1)]
+
+
+def test_merge_results_month_over_daily_segments(spark, testindex):
+    # testMergeResults: the broker's month-granularity merge of two
+    # daily segments equals this engine's single-pass month groupBy
+    q = gb([{"type": "default", "dimension": "quality",
+             "outputName": "alias"}],
+           [ROWS, {"type": "longSum", "name": "idx",
+                   "fieldName": "index"}],
+           gran={"type": "period", "period": "P1M"},
+           intervals=["2011-04-02/2011-04-04"])
+    got = [tuple(r) for r in compile_query(q, testindex)
+           .select("__time", "alias", "rows", "idx")
+           .orderBy("alias").collect()]
+    check(got, [
+        (D1, "automotive", 2, 269), (D1, "business", 2, 217),
+        (D1, "entertainment", 2, 319), (D1, "health", 2, 216),
+        (D1, "mezzanine", 6, 4420), (D1, "news", 2, 221),
+        (D1, "premium", 6, 4416), (D1, "technology", 2, 177),
+        (D1, "travel", 2, 243)])
+    # the ALL-granularity twin returns the same totals
+    q_all = dict(q, granularity="all")
+    got_all = sorted((r["alias"], r["rows"], r["idx"]) for r in
+                     compile_query(q_all, testindex).collect())
+    assert got_all == [(a, r, i) for _t, a, r, i in got]

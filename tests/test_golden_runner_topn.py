@@ -18,11 +18,10 @@ extraction-filter ports below), bySegment forms (broker-internal
 result decoration), javascript extraction/aggregator methods (policy
 exclusion — incl. the NullProducing/EmptyString anonymous-Java
 extraction fns), expression-aggregator methods (SQL-layer pinned),
-and first/last-aggregator topNs (tie-broken by segment insertion
-order, which a shuffled engine cannot reproduce; the tie-free
-contract is driver-verified).
+(first/last-aggregator topNs were UNSKIPPED in r12 once the engine
+gained the deterministic cursor-order tie-break).
 
-r12 ported 30 more (81/107): the previous-stop paging matrix incl.
+r12 ported 33 more (84/107): the previous-stop paging matrix incl.
 inverted and non-existing stops, nonexistent dims/filters, null and
 partial-null dims under filters, the numeric-string / long / float
 typed-output and decoration families (untyped specs render STRING),
@@ -1289,3 +1288,65 @@ def test_aggregate_on_float_double_numeric_null(spark, testindex, col,
             for g in got] == [
         (None, 279), (10.0, 93), (20.0, 93), (40.0, 93),
         (50.0, 279), (70.0, 279), (80.0, 93)]
+
+
+# -- first/last topNs — UNSKIPPED in r12: the engine's first/last now
+# tie-breaks equal timestamps by (time, row columns) cursor order, so
+# the reference's segment-insertion-order expectations reproduce
+# deterministically (see operators/aggregations._first_last_key)
+
+FIRST_LAST_MONTHS = {
+    "2011-01": [("total_market", 1000, 1127), ("upfront", 800, 943),
+                ("spot", 100, 155)],
+    "2011-02": [("total_market", 1203, 1292), ("upfront", 1667, 1101),
+                ("spot", 132, 114)],
+    "2011-03": [("total_market", 1124, 1366), ("upfront", 1166, 1063),
+                ("spot", 153, 125)],
+    "2011-04": [("total_market", 1314, 1029), ("upfront", 1447, 780),
+                ("spot", 135, 120)],
+}
+
+
+def test_topn_over_first_last_aggregator(spark, testindex):
+    # testTopNOverFirstLastAggregator: month-granularity topN ordered
+    # by longLast
+    q = {"queryType": "topN", "dataSource": "testindex",
+         "granularity": "month", "dimension": "market",
+         "metric": "last", "threshold": 3, "intervals": FULL_ON,
+         "aggregations": [
+             {"type": "longFirst", "name": "first",
+              "fieldName": "index"},
+             {"type": "longLast", "name": "last",
+              "fieldName": "index"}]}
+    rows = compile_query(q, testindex).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["__time"].strftime("%Y-%m"), []).append(
+            (r["market"], r["first"], r["last"]))
+    assert got == FIRST_LAST_MONTHS
+
+
+@pytest.mark.parametrize("col", ["index", "indexFloat"])
+def test_topn_over_first_last_float_aggregator(spark, testindex, col):
+    # testTopNOverFirstLastFloatAggregatorUsingDoubleColumn /
+    # UsingFloatColumn: same matrix through floatFirst/floatLast
+    q = {"queryType": "topN", "dataSource": "testindex",
+         "granularity": "month", "dimension": "market",
+         "metric": "last", "threshold": 3, "intervals": FULL_ON,
+         "aggregations": [
+             {"type": "floatFirst", "name": "first",
+              "fieldName": col},
+             {"type": "floatLast", "name": "last", "fieldName": col}]}
+    rows = compile_query(q, testindex).collect()
+    jan = [(r["market"], r["first"], r["last"]) for r in rows
+           if r["__time"].strftime("%Y-%m") == "2011-01"]
+    assert [m for m, _f, _l in jan] == ["total_market", "upfront",
+                                        "spot"]
+    assert jan[0][1] == pytest.approx(1000.0)
+    assert jan[0][2] == pytest.approx(1127.23095703125)
+    assert jan[2][1] == pytest.approx(100.0)
+    assert jan[2][2] == pytest.approx(155.7449493408203)
+    feb = {r["market"]: (r["first"], r["last"]) for r in rows
+           if r["__time"].strftime("%Y-%m") == "2011-02"}
+    assert feb["upfront"][0] == pytest.approx(1667.497802734375)
+    assert feb["spot"][1] == pytest.approx(114.2845687866211)
