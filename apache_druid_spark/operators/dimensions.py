@@ -165,8 +165,31 @@ def compile_dimension_spec(spec, registry=None, df=None) -> tuple[str, Column]:
     elif t == "extraction":
         src_type = (df.schema[dim].dataType
                     if df is not None and dim in df.columns else None)
-        c = compile_extraction_fn(spec["extractionFn"], fcol(dim),
-                                  registry, src_type=src_type)
+        if isinstance(src_type, T.ArrayType):
+            # extraction over a multi-value input applies PER ELEMENT
+            # (the extracted values then explode/group like any MV dim
+            # — GroupByQueryRunnerTest
+            # testExtractionStringSpecWithMultiValueVirtualDimAsInput:
+            # substring(1,1) over mv_to_array(placementish) groups
+            # null and 'r'); the outputType cast also applies per
+            # element — the generic tail cast would stringify the
+            # whole array
+            exfn = spec["extractionFn"]
+            elem_target = (_DRUID_OUT_TYPES.get(out_type.upper())
+                           if out_type
+                           and out_type.upper() in _DRUID_OUT_TYPES
+                           else None)
+            c = F.transform(
+                fcol(dim),
+                lambda e: (lambda r: r.cast(elem_target)
+                           if elem_target else r)(
+                    compile_extraction_fn(
+                        exfn, e, registry,
+                        src_type=src_type.elementType)))
+            out_type = None  # consumed per element
+        else:
+            c = compile_extraction_fn(spec["extractionFn"], fcol(dim),
+                                      registry, src_type=src_type)
     elif t in ("listFiltered", "regexFiltered", "prefixFiltered"):
         # Decorations accept either the flat {"dimension": ...} form or
         # the reference's {"delegate": <spec|name>} form

@@ -900,6 +900,24 @@ def compile_groupby(q: dict, registry: DatasourceRegistry,
                 "Not supported for multi-value dimensions: use "
                 "mv_to_array to group on the array value")
         array_out.add(nm)
+    if (q.get("context") or {}).get(
+            "groupByEnableMultiValueUnnesting", True) is False:
+        # testMultiValueDimensionNotAllowed: with unnesting disabled a
+        # stored MV dimension is an error, not an implicit explode
+        for d in q.get("dimensions", []) or []:
+            src = d if isinstance(d, str) else d.get("dimension")
+            nm = (src if isinstance(d, str)
+                  else d.get("outputName") or src)
+            if (nm not in array_out and src in df.columns
+                    and isinstance(df.schema[src].dataType,
+                                   T.ArrayType)):
+                raise ValueError(
+                    f"Encountered multi-value dimension [{src}] that "
+                    "cannot be processed with "
+                    "'groupByEnableMultiValueUnnesting' set to false. "
+                    "Consider setting "
+                    "'groupByEnableMultiValueUnnesting' to true in "
+                    "your query context.")
     df, dim_names = _explode_multivalue_dims(df, dim_specs,
                                              keep_arrays=array_out)
     aggs = compile_aggregations(q.get("aggregations", []), df, registry,

@@ -16,7 +16,7 @@ by the SQL-layer tranches. r10 ported the subquery family (12
 methods incl. sketch-state re-aggregation across the boundary),
 nested numeric/extraction inner queries (5), and the ordering/
 limit-spec family (9 incl. subtotal order-limits and the
-forceLimitPushDown pins). r12 ported 55 more (135/180): untyped
+forceLimitPushDown pins). r12 ported 57 more (137/180): untyped
 numeric dims render STRING, numeric decorations (regex/list filtered
 scalar specs with delegate form), nullable-numeric grouping, virtual
 column dims, merged having specs, extraction dim filters,
@@ -3214,3 +3214,34 @@ def test_merge_results_month_over_daily_segments(spark, testindex):
     got_all = sorted((r["alias"], r["rows"], r["idx"]) for r in
                      compile_query(q_all, testindex).collect())
     assert got_all == [(a, r, i) for _t, a, r, i in got]
+
+
+def test_extraction_string_spec_mv_virtual_dim_input(spark, testindex):
+    # testExtractionStringSpecWithMultiValueVirtualDimAsInput:
+    # extraction applies per element of the MV array VC, then groups
+    q = {"queryType": "groupBy", "dataSource": "testindex",
+         "granularity": "all", "intervals": FIRST_TO_THIRD,
+         "virtualColumns": MV_ARRAY_VC,
+         "dimensions": [{"type": "extraction", "dimension": "v0",
+                         "outputName": "alias",
+                         "outputType": "STRING",
+                         "extractionFn": {"type": "substring",
+                                          "index": 1, "length": 1}}],
+         "aggregations": [ROWS, {"type": "longSum", "name": "idx",
+                                 "fieldName": "index"}]}
+    got = sorted(((r["alias"], r["rows"], r["idx"]) for r in
+                  compile_query(q, testindex).collect()), key=str)
+    assert got == sorted([(None, 26, 12446), ("r", 26, 12446)],
+                         key=str)
+
+
+def test_multi_value_dimension_not_allowed(spark, testindex):
+    # testMultiValueDimensionNotAllowed: unnesting disabled -> error
+    q = gb([{"type": "default", "dimension": "placementish",
+             "outputName": "alias"}],
+           [ROWS, {"type": "longSum", "name": "idx",
+                   "fieldName": "index"}], gran="all")
+    q["context"] = {"groupByEnableMultiValueUnnesting": False}
+    with pytest.raises(ValueError,
+                       match=r"multi-value dimension \[placementish\]"):
+        compile_query(q, testindex)
