@@ -16,7 +16,7 @@ by the SQL-layer tranches. r10 ported the subquery family (12
 methods incl. sketch-state re-aggregation across the boundary),
 nested numeric/extraction inner queries (5), and the ordering/
 limit-spec family (9 incl. subtotal order-limits and the
-forceLimitPushDown pins). r12 ported 57 more (137/180): untyped
+forceLimitPushDown pins). r12 ported 61 more (141/180): untyped
 numeric dims render STRING, numeric decorations (regex/list filtered
 scalar specs with delegate form), nullable-numeric grouping, virtual
 column dims, merged having specs, extraction dim filters,
@@ -2305,8 +2305,8 @@ def test_groupby_numeric_strings_as_numeric_with_decoration(
     ("qualityFloat", "FLOAT", 17000.0)])
 def test_groupby_numeric_column_descending(spark, testindex, col, typ,
                                            ten):
-    # testGroupByDoubleColumnDescending / testGroupByFloatColumn
-    # Descending: numeric dim ordering, descending
+    # testGroupByDoubleColumnDescending +
+    # testGroupByFloatColumnDescending: numeric dim ordering, descending
     q = gb([{"type": "default", "dimension": col,
              "outputName": "alias", "outputType": typ}],
            [ROWS, {"type": "longSum", "name": "idx",
@@ -2324,7 +2324,8 @@ def test_groupby_numeric_column_descending(spark, testindex, col, typ,
                                      ("floatNumericNull", "FLOAT"),
                                      ("doubleNumericNull", "DOUBLE")])
 def test_groupby_on_nullable_numeric(spark, testindex, col, typ):
-    # testGroupByOnNullableLong/Float/Double: limit 5 in default
+    # testGroupByOnNullableLong + testGroupByOnNullableFloat +
+    # testGroupByOnNullableDouble: limit 5 in default
     # (dimension-ascending, nulls first) order
     q = gb([{"type": "default", "dimension": col,
              "outputName": "nullable", "outputType": typ}],
@@ -2467,7 +2468,9 @@ def test_merged_having_spec(spark, testindex):
 
 
 def test_postagg_merged_having_spec(spark, testindex):
-    # testPostAggMergedHavingSpec: having over an arithmetic post-agg
+    # testPostAggMergedHavingSpec + testMergedPostAggHavingSpec (the
+    # same contract through the merged runner): having over an
+    # arithmetic post-agg
     q = gb([{"type": "default", "dimension": "quality",
              "outputName": "alias"}],
            [ROWS, {"type": "longSum", "name": "index",
@@ -2744,7 +2747,8 @@ APR_0204 = ["2011-04-02/2011-04-04"]
 
 
 def test_merge_limit_pushdown_sort_by_agg(spark, testindex):
-    # testMergeResultsWithLimitPushDownSortByAgg (+WithOffset): forced
+    # testMergeResultsWithLimitPushDownSortByAgg +
+    # testMergeResultsWithLimitPushDownSortByAggWithOffset: forced
     # pushdown returns identical merged results
     q = gb([{"type": "default", "dimension": "quality",
              "outputName": "alias"}],
@@ -2955,7 +2959,7 @@ def test_multi_value_dimension_as_array_with_other_dims(spark,
 
 
 def test_groupby_with_long_arrays(spark, testindex):
-    # testGroupByWithLongArrays (+Desc): single-element array VC keys,
+    # testGroupByWithLongArrays + testGroupByWithLongArraysDesc: single-element array VC keys,
     # ordered numerically element-wise; the declared LONG_ARRAY output
     # type is a planner hint — array(index) keeps its double elements
     # (the reference's expected rows carry doubles too)
@@ -3071,7 +3075,8 @@ def test_two_multi_value_dimensions(spark, testindex):
 
 
 def test_multiple_dimensions_one_multi_value(spark, testindex):
-    # testMultipleDimensionsOneOfWhichIsMultiValue1 (+DifferentOrder:
+    # testMultipleDimensionsOneOfWhichIsMultiValue1 +
+    # testMultipleDimensionsOneOfWhichIsMultiValueDifferentOrder (
     # same matrix, dim order swapped): each quality pairs with its own
     # token and with 'preferred'
     for dims in ([{"type": "default", "dimension": "placementish",
@@ -3245,3 +3250,118 @@ def test_multi_value_dimension_not_allowed(spark, testindex):
     with pytest.raises(ValueError,
                        match=r"multi-value dimension \[placementish\]"):
         compile_query(q, testindex)
+
+
+def test_virtual_column_filter_on_inner_query(spark, testindex):
+    # testVirtualColumnFilterOnInnerQuery: outer bound filter on a
+    # case_searched VC over the inner result; the inner's alias-desc
+    # limit 12 cuts day-2's tail (time-major paging), so day-2
+    # mezzanine never reaches the outer query
+    inner = gb([{"type": "default", "dimension": "quality",
+                 "outputName": "alias"}],
+               [ROWS, {"type": "longSum", "name": "idx",
+                       "fieldName": "index"}],
+               limit_spec={"type": "default", "limit": 12, "columns": [
+                   {"dimension": "alias", "direction": "descending"}]})
+    outer = {"queryType": "groupBy",
+             "dataSource": {"type": "query", "query": inner},
+             "granularity": "day",
+             "intervals": ["2011-04-01T00:00:00/2011-04-01T23:58:00",
+                           "2011-04-02/2011-04-03"],
+             "dimensions": [{"type": "default", "dimension": "alias",
+                             "outputName": "alias"}],
+             "virtualColumns": [{
+                 "type": "expression", "name": "v",
+                 "expression": "case_searched(idx > 1000, 1, 0)",
+                 "outputType": "LONG"}],
+             "filter": {"type": "bound", "dimension": "v", "lower": "0",
+                        "lowerStrict": True, "ordering": "numeric"},
+             "aggregations": [
+                 {"type": "longSum", "name": "rows",
+                  "fieldName": "rows"},
+                 {"type": "longSum", "name": "idx",
+                  "fieldName": "idx"}],
+             "limitSpec": {"type": "default", "limit": 15, "columns": [
+                 {"dimension": "alias", "direction": "descending"}]}}
+    got = [tuple(r) for r in compile_query(outer, testindex)
+           .select("__time", "alias", "rows", "idx").collect()]
+    assert got == [(D1, "premium", 3, 2900), (D1, "mezzanine", 3, 2870),
+                   (D2, "premium", 3, 2505)]
+
+
+def test_groupby_extraction_dim_filter_null_dims(spark, testindex):
+    # testGroupByWithExtractionDimFilterNullDims: replaceMissingValue
+    # 'EMPTY' matches the all-null column; the null group survives
+    q = gb([{"type": "default", "dimension": "null_column",
+             "outputName": "alias"}],
+           [ROWS, {"type": "longSum", "name": "idx",
+                   "fieldName": "index"}],
+           filt={"type": "selector", "dimension": "null_column",
+                 "value": "EMPTY",
+                 "extractionFn": {
+                     "type": "lookup", "retainMissingValue": False,
+                     "replaceMissingValueWith": "EMPTY",
+                     "lookup": {"type": "map", "map": {}}}})
+    got = _rows(q, testindex, ["__time", "alias", "rows", "idx"],
+                order=["__time"])
+    assert got == [(D1, None, 13, 6619), (D2, None, 13, 5827)]
+
+
+def test_groupby_aggregator_filter_with_extraction_fn(spark, testindex):
+    # testGroupByWithAggregatorFilterAndExtractionFunction: a filtered
+    # aggregator whose extraction filter collapses mezzanine+news;
+    # non-matching groups keep rows=0 and a NULL sum
+    exfilter = {"type": "selector", "dimension": "quality",
+                "value": "mezzanineANDnews",
+                "extractionFn": {
+                    "type": "lookup", "retainMissingValue": False,
+                    "replaceMissingValueWith": "missing",
+                    "lookup": {"type": "map", "map": {
+                        "mezzanine": "mezzanineANDnews",
+                        "news": "mezzanineANDnews"}}}}
+    q = gb([{"type": "default", "dimension": "quality",
+             "outputName": "alias"}],
+           [{"type": "filtered", "aggregator": ROWS,
+             "filter": exfilter},
+            {"type": "filtered",
+             "aggregator": {"type": "longSum", "name": "idx",
+                            "fieldName": "index"},
+             "filter": exfilter}])
+    rows = compile_query(q, testindex).collect()
+    assert len(rows) == 18
+    hits = sorted((r["__time"], r["alias"], r["rows"], r["idx"])
+                  for r in rows if r["rows"] > 0)
+    assert hits == [(D1, "mezzanine", 3, 2870), (D1, "news", 1, 121),
+                    (D2, "mezzanine", 3, 2447), (D2, "news", 1, 114)]
+    assert all(r["idx"] is None for r in rows if r["rows"] == 0)
+
+
+def test_subtotals_order_limit_force_pushdown(spark, testindex):
+    # testGroupByWithSubtotalsSpecWithOrderLimitForcePushdown:
+    # grouping sets ordered (placement, market) under forced pushdown
+    q = {"queryType": "groupBy", "dataSource": "testindex",
+         "granularity": "day", "intervals": FIRST_TO_THIRD,
+         "dimensions": [
+             {"type": "default", "dimension": "placement",
+              "outputName": "placement"},
+             {"type": "default", "dimension": "market",
+              "outputName": "market"}],
+         "aggregations": [ROWS, {"type": "longSum", "name": "idx",
+                                 "fieldName": "index"}],
+         "subtotalsSpec": [["placement"], ["market"], []],
+         "limitSpec": {"type": "default", "limit": 25,
+                       "columns": ["placement", "market"]},
+         "context": {"forceLimitPushDown": True}}
+    got = set((r["__time"], r["placement"], r["market"], r["rows"],
+               r["idx"]) for r in compile_query(q, testindex).collect())
+    assert got == {
+        (D1, "preferred", None, 13, 6619),
+        (D2, "preferred", None, 13, 5827),
+        (D1, None, "spot", 9, 1102),
+        (D1, None, "total_market", 2, 2836),
+        (D1, None, "upfront", 2, 2681),
+        (D2, None, "spot", 9, 1120),
+        (D2, None, "total_market", 2, 2514),
+        (D2, None, "upfront", 2, 2193),
+        (D1, None, None, 13, 6619),
+        (D2, None, None, 13, 5827)}
