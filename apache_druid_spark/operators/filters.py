@@ -189,12 +189,21 @@ def compile_filter(spec: dict | None, df: DataFrame | None = None,
         v = spec.get("value")
         if v is None:
             return _dim_predicate(df, spec["dimension"], lambda c: c.isNull(), efn)
+        # NULL-SAFE equality: Druid's native filters are two-valued —
+        # a null row simply does not match (SelectorFilter's
+        # value.equals(...)), so NOT(selector) MATCHES null rows
+        # (TimeseriesQueryRunnerTest
+        # testTimeseriesWithInvertedFilterOnNonExistentDimension; the
+        # SQL layer's three-valued <> is rewritten at the dialect
+        # level, not here)
         return _dim_predicate(
-            df, spec["dimension"], lambda c: c.cast("string") == F.lit(str(v)), efn
+            df, spec["dimension"],
+            lambda c: c.cast("string").eqNullSafe(F.lit(str(v))), efn
         )
     if t in ("equals",):  # newer-style equality filter
         v = spec.get("matchValue")
-        return _dim_predicate(df, spec["column"], lambda c: c == F.lit(v), efn)
+        return _dim_predicate(df, spec["column"],
+                              lambda c: c.eqNullSafe(F.lit(v)), efn)
     if t == "in":
         vals = [str(v) if v is not None else None for v in spec["values"]]
         non_null = [v for v in vals if v is not None]

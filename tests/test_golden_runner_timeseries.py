@@ -8,16 +8,23 @@ estimates compare within 0.05 absolute (the reference pins its legacy
 HLL's 9.019833…; this engine's HLL++ answers 9.0 at that cardinality —
 same 2% error class, different sketch).
 
-Skipped (with reason): the expected-computed-by-loop methods
-(testFullOnTimeseries*, varying-gran-with-filter — their literal
-cousins are ported), testEmptyTimeseries/IntervalOutOfRanges (the
-zeroed row is created by the broker's mergeResults decoration, not
-the engine), javascript-aggregator methods (policy exclusion),
-first/last over the rolled fixture (driver-verified on testdata as
-agg_first_last_events), expression-aggregator methods (expression
-lambda UDAF pinned in CalciteQueryTest ports), and
-cardinality-on-hyperUnique at the timeseries layer (the groupBy suite
-pins the COMPLEX-input contract)."""
+52/58 methods ported (r12 closed the filter matrix, the filtered-agg
+family, min/max aggregators, first/last — deterministic since the
+cursor-order tie-break — interval-out-of-range zero rows, the
+expression-lambda legs, and cardinality over a concat() virtual
+column; NOT-filters over missing dims drove the null-safe native
+selector fix in operators/filters.py).
+
+Skipped (6, with reason): testTimeseriesWithVaryingGranWithFilter
+(expected computed by loop; its literal cousins are ported),
+testTimeseriesWithMultiValueFilteringJavascriptAggregator{,AndAlso
+RegularFilters} (javascript policy exclusion),
+testTimeseriesWithExpressionAggregatorTooBig (accumulator byte-limit
+contract of the native buffer impl),
+testTimeseriesWithTimestampResultFieldContextFor{Array,Map}Response
+(result-shape decorations; serialization is the /druid/v2 suite's
+job), and testTimeseriesCardinalityAggOnHyperUnique (the groupBy
+suite pins the COMPLEX-input contract)."""
 
 from __future__ import annotations
 
@@ -520,3 +527,351 @@ def test_timeseries_timestamp_result_field(spark, testindex):
     april2 = 1301702400000
     assert got == [(dt(2011, 4, 1), april1, april1),
                    (dt(2011, 4, 2), april2, april2)]
+
+
+# -- round-12 tranche: the filter matrix, min/max aggregators,
+# first/last (unskipped — deterministic cursor-order tie-break), and
+# the out-of-range zero row
+
+UNIQUES_2 = 2.000977198748901
+UNIQUES_1 = 1.0002442201269182
+D1, D2 = dt(2011, 4, 1), dt(2011, 4, 2)
+
+
+def test_timeseries_with_filter1(spark, testindex):
+    # testTimeseriesWithFilter1: spot, day granularity, longMin rides
+    q = ts_query([ROWS, IDX_LONG, UNIQUES,
+                  {"type": "longMin", "name": "longMinIndex",
+                   "fieldName": "index"}],
+                 filt={"type": "selector", "dimension": "market",
+                       "value": "spot"}, postaggs=[ADD_RIC])
+    got = [(r["__time"], r["rows"], r["index"], r["longMinIndex"],
+            float(r["addRowsIndexConstant"]), float(r["uniques"]))
+           for r in compile_query(q, testindex)
+           .orderBy("__time").collect()]
+    check(got, [(D1, 9, 1102, 78, 1112.0, UNIQUES_9),
+                (D2, 9, 1120, 97, 1130.0, UNIQUES_9)])
+
+
+@pytest.mark.parametrize("market,vals", [
+    ("upfront", ((2, 2681), (2, 2193))),
+    ("total_market", ((2, 2836), (2, 2514)))])
+def test_timeseries_with_filter2_3(spark, testindex, market, vals):
+    # testTimeseriesWithFilter2 + testTimeseriesWithFilter3
+    q = ts_query([ROWS, IDX_LONG, UNIQUES],
+                 filt={"type": "selector", "dimension": "market",
+                       "value": market})
+    got = [(r["rows"], r["index"], float(r["uniques"]))
+           for r in compile_query(q, testindex)
+           .orderBy("__time").collect()]
+    check(got, [(vals[0][0], vals[0][1], UNIQUES_2),
+                (vals[1][0], vals[1][1], UNIQUES_2)])
+
+
+def test_timeseries_with_other_multi_dim_filter(spark, testindex):
+    # testTimeseriesWithOtherMultiDimFilter: spot AND business
+    q = ts_query([ROWS, IDX_DOUBLE, UNIQUES],
+                 filt={"type": "and", "fields": [
+                     {"type": "selector", "dimension": "market",
+                      "value": "spot"},
+                     {"type": "selector", "dimension": "quality",
+                      "value": "business"}]}, postaggs=[ADD_RIC])
+    got = [(r["rows"], float(r["index"]),
+            float(r["addRowsIndexConstant"]), float(r["uniques"]))
+           for r in compile_query(q, testindex)
+           .orderBy("__time").collect()]
+    check(got, [(1, 118.57034, 120.57034, UNIQUES_1),
+                (1, 112.987027, 114.987027, UNIQUES_1)])
+
+
+def test_timeseries_nonexistent_filter_multi_dim_and_or(spark,
+                                                        testindex):
+    # testTimeseriesWithNonExistentFilterAndMultiDimAndOr: the
+    # nonexistent OR arm contributes nothing
+    q = ts_query([ROWS, IDX_DOUBLE, UNIQUES],
+                 filt={"type": "and", "fields": [
+                     {"type": "selector", "dimension": "market",
+                      "value": "spot"},
+                     {"type": "or", "fields": [
+                         {"type": "selector", "dimension": "quality",
+                          "value": v} for v in
+                         ("automotive", "business", "billyblank")]}]},
+                 postaggs=[ADD_RIC])
+    got = [(r["rows"], float(r["index"]),
+            float(r["addRowsIndexConstant"]), float(r["uniques"]))
+           for r in compile_query(q, testindex)
+           .orderBy("__time").collect()]
+    check(got, [(2, 254.4554443359375, 257.4554443359375, UNIQUES_2),
+                (2, 260.4129638671875, 263.4129638671875, UNIQUES_2)])
+
+
+@pytest.mark.parametrize("filt", [
+    {"type": "selector", "dimension": "bobby", "value": None},
+    {"type": "not", "field": {"type": "selector", "dimension": "bobby",
+                              "value": "sally"}}])
+def test_timeseries_filters_on_nonexistent_dimension(spark, testindex,
+                                                     filt):
+    # testTimeseriesWithNullFilterOnNonExistentDimension +
+    # testTimeseriesWithInvertedFilterOnNonExistentDimension: both
+    # match every row
+    q = ts_query([ROWS, IDX_DOUBLE, UNIQUES], filt=filt,
+                 postaggs=[ADD_RIC])
+    got = [(r["rows"], float(r["index"]),
+            float(r["addRowsIndexConstant"]), float(r["uniques"]))
+           for r in compile_query(q, testindex)
+           .orderBy("__time").collect()]
+    check(got, [(13, 6626.151596069336, 6640.151596069336, UNIQUES_9),
+                (13, 5833.2095947265625, 5847.2095947265625,
+                 UNIQUES_9)])
+
+
+def test_timeseries_with_multi_value_dim_filters(spark, testindex):
+    # testTimeseriesWithMultiValueDimFilter2 (+AndOr1/AndOr2): MV
+    # token filters equal the corresponding quality filters
+    FULL = ["1970-01-01/2020-01-01"]
+    pairs = [
+        ({"type": "selector", "dimension": "placementish",
+          "value": "a"},
+         {"type": "selector", "dimension": "quality",
+          "value": "automotive"}),
+        ({"type": "and", "fields": [
+            {"type": "selector", "dimension": "market",
+             "value": "spot"},
+            {"type": "selector", "dimension": "placementish",
+             "value": "a"}]},
+         {"type": "and", "fields": [
+             {"type": "selector", "dimension": "market",
+              "value": "spot"},
+             {"type": "selector", "dimension": "quality",
+              "value": "automotive"}]}),
+        ({"type": "and", "fields": [
+            {"type": "or", "fields": [
+                {"type": "selector", "dimension": "placementish",
+                 "value": "a"},
+                {"type": "selector", "dimension": "placementish",
+                 "value": "b"}]},
+            {"type": "selector", "dimension": "market",
+             "value": "spot"}]},
+         {"type": "and", "fields": [
+             {"type": "or", "fields": [
+                 {"type": "selector", "dimension": "quality",
+                  "value": "automotive"},
+                 {"type": "selector", "dimension": "quality",
+                  "value": "business"}]},
+             {"type": "selector", "dimension": "market",
+              "value": "spot"}]})]
+    for mv_filt, sv_filt in pairs:
+        q1 = ts_query([ROWS, IDX_DOUBLE], intervals=FULL,
+                      filt=mv_filt)
+        q2 = ts_query([ROWS, IDX_DOUBLE], intervals=FULL,
+                      filt=sv_filt)
+        assert run(spark, testindex, q1) == run(spark, testindex, q2)
+
+
+def test_timeseries_with_first_last_aggregator(spark, testindex):
+    # testTimeseriesWithFirstLastAggregator: month buckets; ties on
+    # the day timestamps resolve by cursor order (deterministic since
+    # the r12 tie-break)
+    q = ts_query([{"type": "doubleFirst", "name": "first",
+                   "fieldName": "index"},
+                  {"type": "doubleLast", "name": "last",
+                   "fieldName": "index"}],
+                 intervals=["1970-01-01/2020-01-01"], gran="month")
+    got = [(r["__time"].strftime("%Y-%m"), float(r["first"]),
+            float(r["last"]))
+           for r in compile_query(q, testindex)
+           .orderBy("__time").collect()]
+    check(got, [("2011-01", 100.0, 943.497198),
+                ("2011-02", 132.123776, 1101.918270),
+                ("2011-03", 153.059937, 1063.201156),
+                ("2011-04", 135.885094, 780.271977)])
+
+
+def test_full_on_timeseries_min_max_aggregators(spark, testindex):
+    # testFullOnTimeseriesMinMaxAggregators: long/double/float min-max
+    q = ts_query([
+        {"type": "longMin", "name": "lmin", "fieldName": "index"},
+        {"type": "longMax", "name": "lmax", "fieldName": "index"},
+        {"type": "doubleMin", "name": "dmin", "fieldName": "index"},
+        {"type": "doubleMax", "name": "dmax", "fieldName": "index"},
+        {"type": "floatMin", "name": "fmin", "fieldName": "index"},
+        {"type": "floatMax", "name": "fmax", "fieldName": "index"}],
+        intervals=["1970-01-01/2020-01-01"], gran="all")
+    r = compile_query(q, testindex).first()
+    assert (r["lmin"], r["lmax"]) == (59, 1870)
+    assert float(r["dmin"]) == pytest.approx(59.021022, abs=1e-5)
+    assert float(r["dmax"]) == pytest.approx(1870.061029, abs=1e-5)
+    assert float(r["fmin"]) == pytest.approx(59.021023, abs=1e-4)
+    assert float(r["fmax"]) == pytest.approx(1870.061, abs=1e-3)
+
+
+def test_full_on_timeseries_with_filter(spark, testindex):
+    # testFullOnTimeseriesWithFilter: upfront exists on every data day
+    # with 2 rows / ~2 uniques; the SKIPPED_DAY (2011-01-21) has no
+    # data and (skipEmptyBuckets default) no bucket
+    q = ts_query([ROWS, UNIQUES], intervals=["1970-01-01/2020-01-01"],
+                 filt={"type": "selector", "dimension": "market",
+                       "value": "upfront"})
+    rows = compile_query(q, testindex).collect()
+    assert len(rows) > 80
+    assert all(r["rows"] == 2 for r in rows)
+    assert all(abs(float(r["uniques"]) - 2.0) < 0.05 for r in rows)
+    assert dt(2011, 1, 21) not in {r["__time"] for r in rows}
+
+
+def test_timeseries_interval_out_of_ranges(spark, testindex):
+    # testTimeseriesIntervalOutOfRanges: an interval beyond the data
+    # with skipEmptyBuckets=false yields the zeroed row — count 0,
+    # sums/mins/maxes NULL (SQL-compatible mode). Divergence note: the
+    # reference stamps the bucket with the interval start; ALL-gran
+    # rows here carry a NULL __time (pinned by the existing all-gran
+    # goldens).
+    q = ts_query([ROWS, IDX_LONG,
+                  {"type": "longMin", "name": "lmin",
+                   "fieldName": "index"},
+                  {"type": "doubleMax", "name": "dmax",
+                   "fieldName": "index"}],
+                 intervals=["2020-04-02/2020-04-03"], gran="all",
+                 ctx={"skipEmptyBuckets": False})
+    rows = compile_query(q, testindex).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["rows"] == 0
+    assert r["index"] is None and r["lmin"] is None \
+        and r["dmax"] is None
+
+
+BASE_ALL = [ROWS, IDX_DOUBLE, UNIQUES]
+BASE_WANT = (26, 12459.361190795898, 12486.361190795898, UNIQUES_9)
+
+
+def _filtered_agg_run(spark, reg, agg_filter):
+    q = ts_query(BASE_ALL + [
+        {"type": "filtered",
+         "aggregator": {"type": "count", "name": "filteredAgg"},
+         "filter": agg_filter}], gran="all", postaggs=[ADD_RIC])
+    r = compile_query(q, reg).first()
+    check([(r["rows"], float(r["index"]),
+            float(r["addRowsIndexConstant"]), float(r["uniques"]))],
+          [BASE_WANT])
+    return r["filteredAgg"]
+
+
+def test_timeseries_with_filtered_agg(spark, testindex):
+    # testTimeSeriesWithFilteredAgg: spot rows only inside the count
+    assert _filtered_agg_run(
+        spark, testindex,
+        {"type": "selector", "dimension": "market",
+         "value": "spot"}) == 18
+
+
+def test_timeseries_filtered_agg_dimension_not_present(spark,
+                                                       testindex):
+    # testTimeSeriesWithFilteredAggDimensionNotPresentNotNullValue: a
+    # missing column never equals a real value -> 0;
+    # testTimeSeriesWithFilteredAggDimensionNotPresentNullValue: it IS
+    # null -> all 26
+    assert _filtered_agg_run(
+        spark, testindex,
+        {"type": "selector", "dimension": "abraKaDabra",
+         "value": "Lol"}) == 0
+    assert _filtered_agg_run(
+        spark, testindex,
+        {"type": "selector", "dimension": "abraKaDabra",
+         "value": None}) == 26
+
+
+def test_timeseries_filtered_agg_value_not_present(spark, testindex):
+    # testTimeSeriesWithFilteredAggValueNotPresent: NOT(selector on an
+    # absent value) matches everything (two-valued native filters)
+    assert _filtered_agg_run(
+        spark, testindex,
+        {"type": "not", "field": {"type": "selector",
+                                  "dimension": "market",
+                                  "value": "LolLol"}}) == 26
+
+
+def test_timeseries_filtered_agg_inverted_null_value(spark, testindex):
+    # testTimeSeriesWithFilteredAggInvertedNullValue: NOT(is null) on
+    # a never-null column matches everything
+    assert _filtered_agg_run(
+        spark, testindex,
+        {"type": "not", "field": {"type": "selector",
+                                  "dimension": "market",
+                                  "value": None}}) == 26
+
+
+def test_timeseries_filtered_and_expression_filtered_agg(spark,
+                                                         testindex):
+    # testTimeSeriesWithFilteredAggAndExpressionFilteredAgg: the
+    # filtered count and the if() expression sums agree in every type
+    q = ts_query(BASE_ALL + [
+        {"type": "filtered",
+         "aggregator": {"type": "count", "name": "filteredAgg"},
+         "filter": {"type": "selector", "dimension": "market",
+                    "value": "spot"}},
+        {"type": "longSum", "name": "altLongCount",
+         "expression": "if (market == 'spot', 1, 0)"},
+        {"type": "doubleSum", "name": "altDoubleCount",
+         "expression": "if (market == 'spot', 1, 0)"},
+        {"type": "floatSum", "name": "altFloatCount",
+         "expression": "if (market == 'spot', 1, 0)"}],
+        gran="all", postaggs=[ADD_RIC])
+    r = compile_query(q, testindex).first()
+    assert r["filteredAgg"] == 18
+    assert r["altLongCount"] == 18
+    assert float(r["altDoubleCount"]) == 18.0
+    assert float(r["altFloatCount"]) == 18.0
+
+
+def test_timeseries_nonexistent_filter_multi_dim(spark, testindex):
+    # testTimeseriesWithNonExistentFilterAndMultiDim: an impossible
+    # AND still yields per-day buckets with rows=0 / NULL sums (the
+    # reference's cursor emits every granular bucket; here via the
+    # explicit zero-fill context — the engine's default skips empty
+    # buckets, a documented divergence)
+    q = ts_query([ROWS, IDX_DOUBLE],
+                 filt={"type": "and", "fields": [
+                     {"type": "selector", "dimension": "market",
+                      "value": "billy"},
+                     {"type": "selector", "dimension": "quality",
+                      "value": "business"}]},
+                 ctx={"skipEmptyBuckets": False})
+    got = [(r["__time"], r["rows"], r["index"])
+           for r in compile_query(q, testindex)
+           .orderBy("__time").collect()]
+    assert got == [(D1, 0, None), (D2, 0, None)]
+
+
+def test_timeseries_with_expression_aggregator_lambdas(spark,
+                                                       testindex):
+    # testTimeseriesWithExpressionAggregator (diy_count + diy_sum
+    # legs; the ARRAY-accumulator decomposed-sum leg needs per-slot
+    # array folds this engine does not model)
+    q = ts_query([
+        {"type": "expression", "name": "diy_count", "fields": [],
+         "initialValue": "0", "fold": "__acc + 1",
+         "combine": "__acc + diy_count"},
+        {"type": "expression", "name": "diy_sum", "fields": ["index"],
+         "initialValue": "0.0", "fold": "__acc + index"}])
+    got = [(r["__time"], r["diy_count"], float(r["diy_sum"]))
+           for r in compile_query(q, testindex)
+           .orderBy("__time").collect()]
+    check(got, [(D1, 13, 6626.151575318359),
+                (D2, 13, 5833.209713),
+                ])
+
+
+def test_timeseries_cardinality_agg_on_multi_string_expression(
+        spark, testindex):
+    # testTimeseriesCardinalityAggOnMultiStringExpression: cardinality
+    # over a concat() virtual column estimates the 13 distinct pairs
+    q = ts_query([ROWS, {"type": "cardinality", "name": "numVals",
+                         "fields": ["v0"], "byRow": False}],
+                 gran="all",
+                 vcs=[{"type": "expression", "name": "v0",
+                       "expression": "concat(quality,market)",
+                       "outputType": "STRING"}])
+    r = compile_query(q, testindex).first()
+    assert r["rows"] == 26
+    assert float(r["numVals"]) == pytest.approx(13.0, abs=0.6)

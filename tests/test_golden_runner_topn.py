@@ -295,8 +295,8 @@ def test_full_on_topn_long_time_column(spark, testindex):
 
 
 def test_topn_order_by_long_numeric_with_nulls(spark, testindex):
-    # test_topN_orderByLongNumericColumnWithNulls_returnsDescending
-    # Results: numeric metric descending puts NULLs LAST; ties break
+    # test_topN_orderByLongNumericColumnWithNulls_returnsDescendingResults:
+    # numeric metric descending puts NULLs LAST; ties break
     # ascending on the dimension
     q = {"queryType": "topN", "dataSource": "testindex",
          "granularity": "all",
@@ -895,8 +895,9 @@ def test_topn_lexicographic_nonexisting_previous_stop(spark, testindex):
 @pytest.mark.parametrize("stop", ["upfront", "u"])
 def test_topn_inverted_lexicographic_previous_stop(spark, testindex,
                                                    stop):
-    # testTopNInvertedLexicographicWithPreviousStop (+NonExisting
-    # variant): inverted dimension paging walks values BELOW the stop,
+    # testTopNInvertedLexicographicWithPreviousStop +
+    # testTopNInvertedLexicographicWithNonExistingPreviousStop:
+    # inverted dimension paging walks values BELOW the stop,
     # descending
     q = topn(metric={"type": "inverted",
                      "metric": {"type": "dimension",
@@ -909,7 +910,8 @@ def test_topn_inverted_lexicographic_previous_stop(spark, testindex,
 
 
 def test_topn_nonexistent_dimension(spark, testindex):
-    # testTopNWithNonExistentDimension (+AndNonExistentFilter: a
+    # testTopNWithNonExistentDimension +
+    # testTopNWithNonExistentDimensionAndNonExistentFilter (a
     # null-selector on a missing column matches everything)
     for filt in (None, {"type": "selector", "dimension": "doesnt_exist",
                         "value": None}):
@@ -960,8 +962,8 @@ def test_topn_dim_extraction_no_aggregators(spark, testindex):
 
 def test_topn_lexi_extraction_sorting_preserved_previous_stop(
         spark, testindex):
-    # testTopNLexicographicDimExtractionWithSortingPreservedAndPrevious
-    # Stop: first-char substring extraction, paging past "s"
+    # testTopNLexicographicDimExtractionWithSortingPreservedAndPreviousStop:
+    # first-char substring extraction, paging past "s"
     q = topn(dim={"type": "extraction", "dimension": "market",
                   "outputName": "market",
                   "extractionFn": {"type": "substring", "index": 0,
@@ -1041,7 +1043,8 @@ def test_numeric_dimension_topn_null_previous_stop(spark, testindex):
 
 
 def test_topn_with_multi_value_dim_filter1_2(spark, testindex):
-    # testTopNWithMultiValueDimFilter1/2: filtering the MV placementish
+    # testTopNWithMultiValueDimFilter1 + testTopNWithMultiValueDimFilter2:
+    # filtering the MV placementish
     # on scalar tokens equals the corresponding quality filter
     for mv_filt, sv_filt, dim in (
             ({"type": "selector", "dimension": "placementish",
@@ -1252,7 +1255,9 @@ def test_full_on_topn_float_column_as_string(spark, testindex):
                                  "doubleNumericNull"])
 def test_topn_order_by_float_double_numeric_with_nulls(spark, testindex,
                                                        col):
-    # test_topN_orderByFloat/DoubleNumericColumnWithNulls: numeric
+    # test_topN_orderByFloatNumericColumnWithNulls_returnsDescendingResults +
+    # test_topN_orderByDoubleNumericColumnWithNulls_returnsDescendingResults:
+    # numeric
     # metric descending, NULL sums last, ties ascending on the dim
     q = {"queryType": "topN", "dataSource": "testindex",
          "granularity": "all",
@@ -1274,7 +1279,8 @@ def test_topn_order_by_float_double_numeric_with_nulls(spark, testindex,
                                      ("floatNumericNull", "FLOAT")])
 def test_aggregate_on_float_double_numeric_null(spark, testindex, col,
                                                 typ):
-    # testAggregateOnDouble/FloatNumericNull: numeric DIMENSION order
+    # testAggregateOnDoubleNumericNull + testAggregateOnFloatNumericNull:
+    # numeric DIMENSION order
     # puts the NULL group first
     q = {"queryType": "topN", "dataSource": "testindex",
          "granularity": "all",
@@ -1328,8 +1334,9 @@ def test_topn_over_first_last_aggregator(spark, testindex):
 
 @pytest.mark.parametrize("col", ["index", "indexFloat"])
 def test_topn_over_first_last_float_aggregator(spark, testindex, col):
-    # testTopNOverFirstLastFloatAggregatorUsingDoubleColumn /
-    # UsingFloatColumn: same matrix through floatFirst/floatLast
+    # testTopNOverFirstLastFloatAggregatorUsingDoubleColumn +
+    # testTopNOverFirstLastFloatAggregatorUsingFloatColumn:
+    # same matrix through floatFirst/floatLast
     q = {"queryType": "topN", "dataSource": "testindex",
          "granularity": "month", "dimension": "market",
          "metric": "last", "threshold": 3, "intervals": FULL_ON,
