@@ -21,13 +21,16 @@ extraction fns), expression-aggregator methods (SQL-layer pinned),
 (first/last-aggregator topNs were UNSKIPPED in r12 once the engine
 gained the deterministic cursor-order tie-break).
 
-r12 ported 33 more (84/107): the previous-stop paging matrix incl.
+r12 ported 38 more (89/107): the previous-stop paging matrix incl.
 inverted and non-existing stops, nonexistent dims/filters, null and
 partial-null dims under filters, the numeric-string / long / float
 typed-output and decoration families (untyped specs render STRING),
 string-output-as-long strlen, long virtual columns, hyperUnique
 finalizing/rounded post-agg metrics, MV-filter equivalence pairs,
-float/double numeric-null orderings, and the __time longSum leg of
+float/double numeric-null orderings, no-aggregator lexicographic
+paging, non-bitmap __time bounds, missing-column stringFormat
+extraction, empty-lookup extraction filters, and the __time longSum
+leg of
 testTopNWithTimeColumn (its javascript counter stays excluded)."""
 
 from __future__ import annotations
@@ -1357,3 +1360,83 @@ def test_topn_over_first_last_float_aggregator(spark, testindex, col):
            if r["__time"].strftime("%Y-%m") == "2011-02"}
     assert feb["upfront"][0] == pytest.approx(1667.497802734375)
     assert feb["spot"][1] == pytest.approx(114.2845687866211)
+
+
+# -- round-12 stragglers
+
+def test_topn_lexicographic_no_aggregators(spark, testindex):
+    # testTopNLexicographicNoAggregators: distinct dim values in
+    # comparator order, no aggregators at all
+    q = {"queryType": "topN", "dataSource": "testindex",
+         "granularity": "all", "dimension": "market",
+         "metric": {"type": "dimension", "previousStop": "",
+                    "ordering": "lexicographic"},
+         "threshold": 4, "intervals": FIRST_TO_THIRD}
+    got = [r["market"]
+           for r in compile_query(q, testindex).collect()]
+    assert got == ["spot", "total_market", "upfront"]
+
+
+def test_topn_with_non_bitmap_filter(spark, testindex):
+    # testTopNWithNonBitmapFilter: a numeric bound on __time plans and
+    # completes (the reference only asserts completion; we also pin
+    # the row shape — every row has positive epoch millis)
+    q = {"queryType": "topN", "dataSource": "testindex",
+         "granularity": "all", "dimension": "market",
+         "metric": "count", "threshold": 4,
+         "intervals": FIRST_TO_THIRD,
+         "filter": {"type": "bound", "dimension": "__time",
+                    "lower": "0", "upper": str(2**63 - 1),
+                    "lowerStrict": True, "upperStrict": True,
+                    "ordering": "numeric"},
+         "aggregations": [{"type": "doubleSum", "name": "count",
+                           "fieldName": "qualityDouble"}]}
+    rows = compile_query(q, testindex).collect()
+    assert [r["market"] for r in rows] == ["spot", "total_market",
+                                           "upfront"]
+
+
+def test_topn_on_missing_column_with_extraction_fn(spark, testindex):
+    # testTopNOnMissingColumnWithExtractionFn: stringFormat over the
+    # missing column yields its constant for every row
+    q = {"queryType": "topN", "dataSource": "testindex",
+         "granularity": "all",
+         "dimension": {"type": "extraction",
+                       "dimension": "nonexistentColumn",
+                       "outputName": "alias",
+                       "extractionFn": {"type": "stringFormat",
+                                        "format": "theValue"}},
+         "metric": "rows", "threshold": 4, "intervals": FULL_ON,
+         "aggregations": [ROWS]}
+    got = [(r["alias"], r["rows"])
+           for r in compile_query(q, testindex).collect()]
+    assert got == [("theValue", 1209)]
+
+
+def test_topn_with_extraction_filter_no_existing_value(spark,
+                                                       testindex):
+    # testTopNWithExtractionFilterNoExistingValue (+ the
+    # FilteredAggregatorCase twin): an empty lookup with
+    # replaceMissingValueWith='NULL' maps the all-null column onto the
+    # searched value; a filtered maxIndex under the same filter stays
+    # the global max
+    exfilter = {"type": "selector", "dimension": "null_column",
+                "value": "NULL",
+                "extractionFn": {
+                    "type": "lookup", "retainMissingValue": False,
+                    "replaceMissingValueWith": "NULL",
+                    "lookup": {"type": "map", "map": {}}}}
+    q = {"queryType": "topN", "dataSource": "testindex",
+         "granularity": "all", "dimension": "null_column",
+         "metric": "index", "threshold": 4, "intervals": FULL_ON,
+         "filter": exfilter,
+         "aggregations": [ROWS, IDX, UNIQUES,
+                          {"type": "filtered", "aggregator": MAXI,
+                           "filter": exfilter},
+                          MINI],
+         "postAggregations": [ADD_RIC]}
+    got = run(spark, testindex, q,
+              ["null_column", "rows", "index", "uniques",
+               "addRowsIndexConstant", "maxIndex", "minIndex"])
+    check(got, [(None, 1209, 503332.5071372986, UNIQUES_9,
+                 504542.5071372986, 1870.061029, 59.02102279663086)])
