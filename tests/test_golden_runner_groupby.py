@@ -5,18 +5,32 @@ the flagship day-by-quality matrix, multi-value dimension explode,
 duration granularity, having specs, and order-limit specs. Numeric
 comparison per TestHelper.assertRow (1e-6 relative).
 
-The suite's remaining methods exercise groupBy-v2 engine internals
-(spilling configs, merge-buffer exhaustion contracts, timeout/
-max-on-disk context overrides, bySegment decoration), javascript
-aggregators/extraction fns (policy wall — testSubqueryWithOuterDim/
-JavascriptAggregators need the JS engine for NON-identity functions),
-testLimitPerGrouping (@Ignore upstream: Druid doesn't support it),
-and rename/decoration matrices whose extraction semantics are pinned
-by the SQL-layer tranches. r10 ported the subquery family (12
+151/180 methods are pinned by exact name. The 29 remaining split
+into five documented skip buckets: (1) groupBy-v2 engine-internal
+context overrides — spilling/merge-buffer/timeout/max-on-disk
+(testGroupByMaxRowsLimit/Timeout/MaxOnDiskStorage,
+testNotEnoughDictionarySpace/DiskSpace, testSubqueryWithOuterMaxOnDisk
+Storage, testSubqueryWithContextTimeout); (2) bySegment decorations
+(testBySegmentResults*, 4); (3) javascript extraction fns/aggregators
+(testGroupByLong/LongTime/FloatColumnWithExFn, testGroupByCardinality
+AggWithExtractionFn, testDimFilterHavingSpecWithExtractionFns,
+testSubqueryWithOuterDim/OuterJavascriptAggregators,
+testGroupByTimeExtractionWithNulls — anonymous Java fn); (4) the
+vectorization-dependent error pins whose NON-vectorized branch
+expects a JDK-specific class-cast (testNumericDimAsStringArray
+WithoutExpression, testMultiValueVirtualDimAsString,
+testExtractionStringArraySpecWithMultiValueVirtualDimAsInput,
+testVirtualColumnNumericTypeAsStringArray, testGroupByFloatMin
+ExpressionVsVirtualColumnWithNonFloatInput.../WithExplicitString...);
+(5) ARRAY-accumulator expression-lambda folds (testGroupByWith
+ExpressionAggregatorWithComplex/ComplexOnSubquery/WithArrays,
+testGroupByExpressionAggregatorArrayMultiValue — per-slot array
+state this engine's collect_list+aggregate() shape does not model).
+testLimitPerGrouping is @Ignore upstream. r10 ported the subquery family (12
 methods incl. sketch-state re-aggregation across the boundary),
 nested numeric/extraction inner queries (5), and the ordering/
 limit-spec family (9 incl. subtotal order-limits and the
-forceLimitPushDown pins). r12 ported 61 more (141/180): untyped
+forceLimitPushDown pins). r12 ported 71 more (151/180): untyped
 numeric dims render STRING, numeric decorations (regex/list filtered
 scalar specs with delegate form), nullable-numeric grouping, virtual
 column dims, merged having specs, extraction dim filters,
@@ -2325,7 +2339,9 @@ def test_groupby_numeric_column_descending(spark, testindex, col, typ,
                                      ("doubleNumericNull", "DOUBLE")])
 def test_groupby_on_nullable_numeric(spark, testindex, col, typ):
     # testGroupByOnNullableLong + testGroupByOnNullableFloat +
-    # testGroupByOnNullableDouble: limit 5 in default
+    # testGroupByOnNullableDouble (+
+    # testGroupByOnNullableDoubleNoLimitPushdown — the context flag
+    # only disables the reference's optimization): limit 5 in default
     # (dimension-ascending, nulls first) order
     q = gb([{"type": "default", "dimension": col,
              "outputName": "nullable", "outputType": typ}],
@@ -2813,8 +2829,10 @@ def test_merge_limit_pushdown_sort_by_dim_agg_dim(spark, testindex):
 
 
 def test_limit_pushdown_long_dim_not_in_limitspec(spark, testindex):
-    # testGroupByLimitPushDownWithLongDimensionNotInLimitSpec: default
-    # (dimension) ordering pages a LONG extraction dim
+    # testGroupByLimitPushDownWithLongDimensionNotInLimitSpec +
+    # testMergeLimitPushDownResultsWithLongDimensionNotInLimitSpec (the
+    # merged-runner twin): default (dimension) ordering pages a LONG
+    # extraction dim
     q = gb([{"type": "extraction", "dimension": "quality",
              "outputName": "qualityLen", "outputType": "LONG",
              "extractionFn": {"type": "strlen"}}],
@@ -3365,3 +3383,88 @@ def test_subtotals_order_limit_force_pushdown(spark, testindex):
         (D2, None, "upfront", 2, 2193),
         (D1, None, None, 13, 6619),
         (D2, None, None, 13, 5827)}
+
+
+def test_groupby_all_filters_on_null_dims_with_extraction(spark,
+                                                          testindex):
+    # testGroupByWithAllFiltersOnNullDimsWithExtractionFns (the
+    # javascript leg is a policy exclusion): selector/in/bound/regex/
+    # search filters all see the extraction's 'EMPTY' for null rows
+    exfn = {"type": "lookup", "retainMissingValue": False,
+            "replaceMissingValueWith": "EMPTY",
+            "lookup": {"type": "map", "map": {"": "EMPTY"}}}
+    super_filter = {"type": "and", "fields": [
+        {"type": "selector", "dimension": "null_column",
+         "value": "EMPTY", "extractionFn": exfn},
+        {"type": "in", "dimension": "null_column",
+         "values": ["NOT-EMPTY", "FOOBAR", "EMPTY"],
+         "extractionFn": exfn},
+        {"type": "bound", "dimension": "null_column",
+         "lower": "EMPTY", "upper": "EMPTY",
+         "ordering": "alphanumeric", "extractionFn": exfn},
+        {"type": "regex", "dimension": "null_column",
+         "pattern": "EMPTY", "extractionFn": exfn},
+        {"type": "search", "dimension": "null_column",
+         "query": {"type": "contains", "value": "EMPTY",
+                   "caseSensitive": True},
+         "extractionFn": exfn}]}
+    q = gb([{"type": "default", "dimension": "null_column",
+             "outputName": "alias"}],
+           [ROWS, {"type": "longSum", "name": "idx",
+                   "fieldName": "index"}], filt=super_filter)
+    got = _rows(q, testindex, ["__time", "alias", "rows", "idx"],
+                order=["__time"])
+    assert got == [(D1, None, 13, 6619), (D2, None, 13, 5827)]
+
+
+def test_merge_results_multiple_days_math_expression_order(spark,
+                                                           testindex):
+    # testMergeResultsAcrossMultipleDaysWithLimitAndOrderByUsingMathExpressions:
+    # longSum over a float expression VC, desc order,
+    # day-major paging cut at 14
+    q = {"queryType": "groupBy", "dataSource": "testindex",
+         "granularity": "day", "intervals": FIRST_TO_THIRD,
+         "virtualColumns": [{"type": "expression", "name": "expr",
+                             "expression": "index * 2 + indexMin / 10",
+                             "outputType": "FLOAT"}],
+         "dimensions": [{"type": "default", "dimension": "quality",
+                         "outputName": "alias"}],
+         "aggregations": [ROWS, {"type": "longSum", "name": "idx",
+                                 "fieldName": "expr"}],
+         "limitSpec": {"type": "default", "limit": 14, "columns": [
+             {"dimension": "idx", "direction": "descending"}]}}
+    got = _rows(q, testindex, ["__time", "alias", "rows", "idx"])
+    assert got == [
+        (D1, "premium", 3, 6090), (D1, "mezzanine", 3, 6030),
+        (D1, "entertainment", 1, 333), (D1, "automotive", 1, 285),
+        (D1, "news", 1, 255), (D1, "health", 1, 252),
+        (D1, "travel", 1, 251), (D1, "business", 1, 248),
+        (D1, "technology", 1, 165),
+        (D2, "premium", 3, 5262), (D2, "mezzanine", 3, 5141),
+        (D2, "entertainment", 1, 348), (D2, "automotive", 1, 309),
+        (D2, "travel", 1, 265)]
+
+
+def test_type_conversion_with_merging_chained_runner(spark, testindex):
+    # testTypeConversionWithMergingChainedExecutionRunner: the chained
+    # runner feeds the SAME segment twice; here the union datasource
+    # doubles it — typed LONG extraction dims merge across the union
+    q = {"queryType": "groupBy",
+         "dataSource": {"type": "union",
+                        "dataSources": ["testindex", "testindex"]},
+         "granularity": "day", "intervals": FIRST_TO_THIRD,
+         "dimensions": [
+             {"type": "default", "dimension": "quality",
+              "outputName": "alias"},
+             {"type": "extraction", "dimension": "quality",
+              "outputName": "qualityLen", "outputType": "LONG",
+              "extractionFn": {"type": "strlen"}}],
+         "filter": {"type": "selector", "dimension": "quality",
+                    "value": "technology"},
+         "aggregations": [ROWS, {"type": "longSum", "name": "idx",
+                                 "fieldName": "index"}]}
+    got = _rows(q, testindex,
+                ["__time", "alias", "qualityLen", "rows", "idx"],
+                order=["__time"])
+    assert got == [(D1, "technology", 10, 2, 156),
+                   (D2, "technology", 10, 2, 194)]
