@@ -264,6 +264,36 @@ def _scan_high_value_orders(spark, sf_dir):
     }, _registry(spark, sf_dir))
 
 
+@_q("scan_result_envelope", """
+SELECT CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1) / 7)
+            AS BIGINT) AS batch,
+       n_nationkey, n_name
+FROM nation ORDER BY n_nationkey
+""")
+def _scan_result_envelope(spark, sf_dir):
+    """ScanResultValue envelope serialization under the oracle gate
+    (round 12; processing/.../scan/ScanResultValue.java): a
+    compactedList scan with batchSize 7 chunks the ordered rows into
+    envelopes; flattening events with their envelope ordinal must
+    reproduce row_number()/7 bucketing exactly — wrong batching,
+    wrong event order, or a compactedList column mismatch all break
+    the value hash."""
+    from apache_druid_spark.sql.results import scan_result_values
+
+    reg = _registry(spark, sf_dir)
+    vals = scan_result_values(
+        {"queryType": "scan", "dataSource": "nation",
+         "intervals": ["1970/2100"],
+         "columns": ["n_nationkey", "n_name"],
+         "orderBy": [{"columnName": "n_nationkey",
+                      "order": "ascending"}],
+         "resultFormat": "compactedList", "batchSize": 7}, reg)
+    rows = [(i, e[0], e[1]) for i, v in enumerate(vals)
+            for e in v["events"]]
+    return spark.createDataFrame(
+        rows, "batch bigint, n_nationkey int, n_name string")
+
+
 @_q("search_nation_names", """
 SELECT 'n_name' AS dimension, n_name AS value, COUNT(*) AS cnt
 FROM nation WHERE contains(lower(n_name), 'ion_1')
@@ -4683,10 +4713,12 @@ _R11_WINDOW = (
 # fns (r9–r10 churn). The 25 r8 leftovers are _R12_NEXT and front the
 # r13 rotation.
 _R12_WINDOW = (
-    # new r12 entry — never driver-checked, verify first (array-typed
-    # dimension grouping landed this round); sql_scalar_shims moved to
-    # the _R12_NEXT front to keep the 50-entry driver cap
-    'groupby_array_dim',
+    # new r12 entries — never driver-checked, verify first
+    # (array-typed dimension grouping and the ScanResultValue
+    # envelope serializer landed this round); sql_scalar_shims and
+    # sql_floor_to_unit moved to the _R12_NEXT front to keep the
+    # 50-entry driver cap
+    'groupby_array_dim', 'scan_result_envelope',
     # r7-evidence cohort (all 25 — oldest evidence in the registry)
     'agg_stats_lineitem', 'dedup_exact', 'dedup_minhash_lsh',
     'dedup_ngram_jaccard', 'extraction_regex_brand',
@@ -4710,13 +4742,13 @@ _R12_WINDOW = (
     'topn_time_extraction', 'topn_per_month', 'extraction_cascade',
     'extraction_bucket', 'extraction_time_format_gran',
     'extraction_strlen', 'extraction_string_format',
-    'expression_time_format', 'sql_floor_to_unit',
+    'expression_time_format',
 )
 
 # r8-evidence leftovers — next-oldest after the r12 window; they front
 # the r13 rotation
 _R12_NEXT = (
-    'sql_scalar_shims', 'human_readable_formats', 'ipv4_custkey_subnets',
+    'sql_floor_to_unit', 'sql_scalar_shims', 'human_readable_formats', 'ipv4_custkey_subnets',
     'theta_rollup_merge', 'segment_metadata_orders', 'sql_time_ops',
     'sql_mv_first_word', 'sql_array_fns', 'sql_safe_divide', 'sql_ipv4',
     'sql_bloom_filter_test', 'search_fragment_multi', 'sql_bit_aggs',
