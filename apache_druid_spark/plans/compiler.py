@@ -589,6 +589,75 @@ def _footer_extent(df: DataFrame, raw_col: str, intervals: tuple):
     return (lo, hi)
 
 
+def _list_segment_ids(spark, path: str) -> list[str] | None:
+    """Segment ids of a published datasource from ONE directory
+    listing (Hadoop FileSystem.listStatus — works for file:, s3a:,
+    gs:, abfss:), without opening any data file. Returns None when the
+    path is unlistable; never raises."""
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        out = []
+        for st in fs.listStatus(jpath):
+            nm = st.getPath().getName()
+            if st.isDirectory() and nm.startswith("__segment="):
+                out.append(nm.split("=", 1)[1])
+        return sorted(out)
+    except Exception:  # noqa: BLE001 — listing is best-effort
+        return None
+
+
+def _edge_segments_frame(df: DataFrame, name: str, intervals: list,
+                         registry) -> DataFrame | None:
+    """Narrow a published datasource to its FIRST and LAST interval-
+    surviving segments — sufficient for the (min, max) __time extent,
+    since segment ids are chronological granularity floors. Druid's
+    TimeBoundaryQueryRunnerFactory likewise consults only the timeline
+    edges. Returns None when the datasource is not a published
+    segment set (caller falls back to the full pruned scan)."""
+    info = registry.segment_info(name) if isinstance(name, str) else None
+    if not info or "__segment" not in df.columns:
+        return None
+    segs = _list_segment_ids(registry.spark, info["path"])
+    if not segs:
+        return None
+    if intervals:
+        # keep only segments the interval bounds allow (same floor
+        # arithmetic as _prune_segments)
+        from datetime import datetime, timedelta, timezone as _tz
+        from apache_druid_spark.operators.filters import _pad_partial_iso
+
+        gran = info["granularity"].lower()
+        keep = set()
+        for iv in intervals:
+            try:
+                start_s, end_s = iv.split("/")
+                parse = lambda s: datetime.fromisoformat(  # noqa: E731
+                    _pad_partial_iso(s).replace("Z", "+00:00"))
+                s, e = parse(start_s), parse(end_s)
+                norm = lambda d: (  # noqa: E731
+                    d.astimezone(_tz.utc).replace(tzinfo=None)
+                    if d.tzinfo else d)
+                s, e = norm(s), norm(e)
+            except ValueError:
+                keep = set(segs)
+                break
+            lo = _segment_floor(s, gran)
+            hi = _segment_floor(e - timedelta(microseconds=1), gran)
+            if lo is None or hi is None:
+                keep = set(segs)
+                break
+            fmt = "%Y-%m-%dT%H"
+            keep |= {sg for sg in segs
+                     if lo.strftime(fmt) <= sg <= hi.strftime(fmt)}
+        segs = sorted(keep)
+    if not segs:
+        return None
+    edges = sorted({segs[0], segs[-1]})
+    return df.filter(F.col("__segment").isin(edges))
+
+
 def _data_extent(q: dict, registry) -> tuple:
     """(min, max) raw ``__time`` of the interval-pruned datasource,
     BEFORE query filters are applied — the reference's toolchest
@@ -623,6 +692,17 @@ def _data_extent(q: dict, registry) -> tuple:
                              intervals)
     if ext is None:
         scan = df
+        if isinstance(name, str):
+            # published segment sets: the extent lives in the FIRST
+            # and LAST segment directories, so scan only those two —
+            # at object-store scale this is one directory LIST plus
+            # two segments' files instead of the whole datasource
+            # (the footer path returns None for remote URIs; this is
+            # the registry-backed answer SCALE.md round-11 called for)
+            narrowed = _edge_segments_frame(df, name, list(intervals),
+                                            registry)
+            if narrowed is not None:
+                scan = narrowed
         if intervals:
             scan = _prune_segments(scan, q["dataSource"],
                                    list(intervals), registry)

@@ -143,3 +143,79 @@ def test_dead_windows_removed():
     assert not set(e._R12_WINDOW) & set(e._R12_NEXT)
     # the window fronts the driver's 50-entry correctness pass
     assert list(e.queries())[:50] == list(e._R12_WINDOW)
+
+
+# -- round-12 scale item: registry-backed extent for published
+# datasources (SCALE.md round-11 called for answering extents without
+# touching the whole datasource when footers can't — remote URIs)
+
+def test_published_extent_scans_only_edge_segments(spark, tmp_path,
+                                                   monkeypatch):
+    from pyspark.sql import functions as F
+
+    from apache_druid_spark.ingest.batch import write_segments
+    from apache_druid_spark.model.datasource import DatasourceRegistry
+    from apache_druid_spark.plans import compiler
+
+    df = spark.range(0, 96).select(
+        (F.lit("2024-03-01").cast("timestamp")
+         + F.make_interval(hours=F.col("id"))).alias("__time"),
+        F.col("id").alias("v"))
+    path = str(tmp_path / "pub")
+    write_segments(df, path, segment_granularity="day")
+    reg = DatasourceRegistry(spark)
+    pub = reg.register_published("pub", path, "day")
+
+    # the full-scan truth
+    truth = pub.agg(F.min("__time"), F.max("__time")).head()
+
+    # force the non-footer path (remote object stores return None)
+    monkeypatch.setattr(compiler, "_footer_extent",
+                        lambda *a, **k: None)
+    reg.extent_cache.clear()
+    ext = compiler._data_extent(
+        {"queryType": "timeseries", "dataSource": "pub"}, reg)
+    assert ext == (truth[0], truth[1])
+
+    # the narrowed frame reads only the first+last of 4 day segments
+    # (the isin predicate lands on the partition column, so Spark
+    # prunes the middle directories before opening any file)
+    narrowed = compiler._edge_segments_frame(pub, "pub", [], reg)
+    assert narrowed is not None
+    assert narrowed.count() == 48  # 2 of 4 day segments x 24 rows
+    segs = {r[0] for r in narrowed.select("__segment")
+            .distinct().collect()}
+    assert segs == {"2024-03-01T00", "2024-03-04T00"}
+    plan = narrowed._jdf.queryExecution().executedPlan().toString()
+    assert "__segment" in plan  # partition predicate present
+
+
+def test_published_extent_interval_clip(spark, tmp_path, monkeypatch):
+    from pyspark.sql import functions as F
+
+    from apache_druid_spark.ingest.batch import write_segments
+    from apache_druid_spark.model.datasource import DatasourceRegistry
+    from apache_druid_spark.plans import compiler
+
+    df = spark.range(0, 96).select(
+        (F.lit("2024-03-01").cast("timestamp")
+         + F.make_interval(hours=F.col("id"))).alias("__time"),
+        F.col("id").alias("v"))
+    path = str(tmp_path / "pub2")
+    write_segments(df, path, segment_granularity="day")
+    reg = DatasourceRegistry(spark)
+    pub = reg.register_published("pub2", path, "day")
+
+    monkeypatch.setattr(compiler, "_footer_extent",
+                        lambda *a, **k: None)
+    reg.extent_cache.clear()
+    iv = ["2024-03-02T06:00:00/2024-03-03T18:00:00"]
+    ext = compiler._data_extent(
+        {"queryType": "timeseries", "dataSource": "pub2",
+         "intervals": iv}, reg)
+    from datetime import datetime
+    assert ext == (datetime(2024, 3, 2, 6), datetime(2024, 3, 3, 17))
+    narrowed = compiler._edge_segments_frame(pub, "pub2", iv, reg)
+    segs = {r[0] for r in narrowed.select("__segment")
+            .distinct().collect()}
+    assert segs == {"2024-03-02T00", "2024-03-03T00"}
