@@ -21,7 +21,7 @@ extraction fns), expression-aggregator methods (SQL-layer pinned),
 (first/last-aggregator topNs were UNSKIPPED in r12 once the engine
 gained the deterministic cursor-order tie-break).
 
-r12 ported 38 more (89/107): the previous-stop paging matrix incl.
+r12 ported 46 more (97/107): the previous-stop paging matrix incl.
 inverted and non-existing stops, nonexistent dims/filters, null and
 partial-null dims under filters, the numeric-string / long / float
 typed-output and decoration families (untyped specs render STRING),
@@ -1415,8 +1415,9 @@ def test_topn_on_missing_column_with_extraction_fn(spark, testindex):
 
 def test_topn_with_extraction_filter_no_existing_value(spark,
                                                        testindex):
-    # testTopNWithExtractionFilterNoExistingValue (+ the
-    # FilteredAggregatorCase twin): an empty lookup with
+    # testTopNWithExtractionFilterNoExistingValue +
+    # testTopNWithExtractionFilterAndFilteredAggregatorCaseNoExistingValue:
+    # an empty lookup with
     # replaceMissingValueWith='NULL' maps the all-null column onto the
     # searched value; a filtered maxIndex under the same filter stays
     # the global max
@@ -1440,3 +1441,67 @@ def test_topn_with_extraction_filter_no_existing_value(spark,
                "addRowsIndexConstant", "maxIndex", "minIndex"])
     check(got, [(None, 1209, 503332.5071372986, UNIQUES_9,
                  504542.5071372986, 1870.061029, 59.02102279663086)])
+
+
+# -- the FastTopN namespace/optimization matrix: every leg pins the
+# same VALUES through lookup extractions that differ only in the
+# reference's caching hints (injective / optimize / replaceMissing) —
+# hints have no semantic analogue here, so the whole matrix reduces
+# to value pins over the extraction semantics
+
+RENUM_MAP = {"spot": "2spot0", "total_market": "1total_market0",
+             "upfront": "3upfront0"}
+SUFFIX_MAP = {"spot": "spot0", "total_market": "total_market0",
+              "upfront": "upfront0"}
+LEXI_MAP = {"spot": "2spot", "total_market": "3total_market",
+            "upfront": "1upfront"}
+
+
+@pytest.mark.parametrize("mapping,retain,want", [
+    # testTopNDimExtractionFastTopNOptimal +
+    # testTopNDimExtractionFastTopNOptimalWithReplaceMissing +
+    # testTopNDimExtractionFastTopNUnOptimalWithReplaceMissing
+    (RENUM_MAP, False, ["2spot0", "1total_market0", "3upfront0"]),
+    # testTopNDimExtractionFastTopNUnOptimal
+    (SUFFIX_MAP, False, ["spot0", "total_market0", "upfront0"]),
+])
+def test_topn_dim_extraction_fast_topn_matrix(spark, testindex,
+                                              mapping, retain, want):
+    q = topn(dim={"type": "extraction", "dimension": "market",
+                  "outputName": "market",
+                  "extractionFn": {"type": "lookup",
+                                   "retainMissingValue": retain,
+                                   "replaceMissingValueWith": "MISSING",
+                                   "lookup": {"type": "map",
+                                              "map": mapping}}},
+             metric={"type": "numeric", "metric": "rows"},
+             postaggs=[ADD_RIC])
+    got = run(spark, testindex, q, COLS)
+    assert [g[0] for g in got] == want
+    by_name = {g[0]: g[1:] for g in got}
+    check([by_name[want[0]]],
+          [(18, 2231.876812, UNIQUES_9, 2250.876812)])
+    check([by_name[want[1]] if "total" in want[1] else
+           by_name[[w for w in want if "total" in w][0]]],
+          [(4, 5351.814783, UNIQUES_2, 5356.814783)])
+
+
+def test_topn_lexicographic_dim_extraction_namespaces(spark, testindex):
+    # testTopNLexicographicDimExtractionOptimalNamespace +
+    # testTopNLexicographicDimExtractionUnOptimalNamespace +
+    # testTopNLexicographicDimExtractionOptimalNamespaceWithRunner:
+    # the renumbering lookup re-sorts the markets lexicographically
+    q = topn(dim={"type": "extraction", "dimension": "market",
+                  "outputName": "market",
+                  "extractionFn": {"type": "lookup",
+                                   "retainMissingValue": True,
+                                   "lookup": {"type": "map",
+                                              "map": LEXI_MAP}}},
+             metric={"type": "dimension",
+                     "ordering": "lexicographic"},
+             postaggs=[ADD_RIC])
+    got = run(spark, testindex, q, COLS)
+    check(got, [
+        ("1upfront", 4, 4875.669692, UNIQUES_2, 4880.669692),
+        ("2spot", 18, 2231.876812, UNIQUES_9, 2250.876812),
+        ("3total_market", 4, 5351.814783, UNIQUES_2, 5356.814783)])
