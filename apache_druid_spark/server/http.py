@@ -33,8 +33,15 @@ def _query_exception_json(e: Exception) -> dict:
     testCannotValidate pin the error codes). Spark's ParseException
     maps to SQL_PARSE_ERROR, AnalysisException / dialect ValueErrors
     to VALIDATION_ERROR, anything else to the generic envelope."""
+    from apache_druid_spark.plans.timeout import QueryTimeoutError
+
     name = type(e).__name__
-    if "ParseException" in name or "[PARSE_SYNTAX_ERROR]" in str(e):
+    if isinstance(e, QueryTimeoutError):
+        # QueryTimeoutException.java: errorCode "Query timeout"
+        # (served with HTTP 504 upstream; the envelope is what
+        # clients key on)
+        code, cls = e.error_code, e.error_class
+    elif "ParseException" in name or "[PARSE_SYNTAX_ERROR]" in str(e):
         code, cls = ("SQL parse failed",
                      "org.apache.calcite.sql.parser.SqlParseException")
     elif "AnalysisException" in name or isinstance(e, ValueError):
@@ -145,13 +152,16 @@ class DruidHttpServer:
                                     parameters=body.get("parameters"),
                                     context=body.get("context"))
                                 fmt = body.get("resultFormat", "object")
+                                from apache_druid_spark.plans.timeout \
+                                    import context_timeout
                                 payload = format_results(
                                     df, fmt,
                                     header=bool(body.get("header")),
                                     types_header=bool(
                                         body.get("typesHeader")),
                                     sql_types_header=bool(
-                                        body.get("sqlTypesHeader")))
+                                        body.get("sqlTypesHeader")),
+                                    timeout_ms=context_timeout(body))
                             elif body.get("queryType") == "scan":
                                 # scan honors its native resultFormat /
                                 # batchSize / legacy envelope
@@ -161,8 +171,12 @@ class DruidHttpServer:
                                 payload = json.dumps(scan_result_values(
                                     body, outer.registry))
                             else:
+                                from apache_druid_spark.plans.timeout \
+                                    import context_timeout
                                 df = compile_query(body, outer.registry)
-                                payload = format_results(df, "object")
+                                payload = format_results(
+                                    df, "object",
+                                    timeout_ms=context_timeout(body))
                             if key is not None:
                                 outer.cache.put(key, payload)
                     else:

@@ -116,7 +116,11 @@ def scan_result_values(q: dict, registry) -> list[dict]:
                 ev[c] = _jsonable(row[c])
         return ev
 
-    events = [_event(r) for r in df.collect()]
+    from apache_druid_spark.plans.timeout import (
+        context_timeout, run_with_timeout)
+
+    events = [_event(r) for r in
+              run_with_timeout(df, context_timeout(q))]
     fmt = q.get("resultFormat", "list")
     if fmt == "compactedList":
         events = [[e[c] for c in out_cols] for e in events]
@@ -130,7 +134,8 @@ def scan_result_values(q: dict, registry) -> list[dict]:
 
 def format_results(df: DataFrame, fmt: str = "object",
                    header: bool = False, types_header: bool = False,
-                   sql_types_header: bool = False) -> str:
+                   sql_types_header: bool = False,
+                   timeout_ms: int = 0) -> str:
     """Serialize a result DataFrame in a Druid ResultFormat. With
     ``header``, ``types_header`` / ``sql_types_header`` add the Druid
     native-type and SQL-type header rows (array/csv formats) or the
@@ -138,9 +143,12 @@ def format_results(df: DataFrame, fmt: str = "object",
     SqlResourceTest testArrayResultFormatWithHeader /
     testCsvResultFormatWithHeaders /
     testObjectLinesResultFormatWithFullHeader."""
+    from apache_druid_spark.plans.timeout import run_with_timeout
+
     cols = df.columns
     dts, sts = _header_types(df)
-    rows = [[_jsonable(v) for v in r] for r in df.collect()]
+    rows = [[_jsonable(v) for v in r]
+            for r in run_with_timeout(df, timeout_ms)]
     if fmt == "object":
         return json.dumps([dict(zip(cols, r)) for r in rows])
     if fmt == "array":

@@ -5,12 +5,13 @@ computes expected events from the raw TSV (toFullEvents), so these
 pins assert the same derived facts: row counts, column projection,
 filter + limit, and time-ordering direction.
 
-13/16 methods ported. The list/compactedList/legacy resultFormat
+16/16 methods ported. The list/compactedList/legacy resultFormat
 family pins sql/results.py scan_result_values (ScanResultValue
 envelopes: batching, compactedList arrays, legacy timestamp column,
-__time-as-millis, limit-0-is-unlimited). Skipped (3): the timeout
-contract trio (testScanQueryTimeout*) — query-runtime resource limits
-without a Spark analogue."""
+__time-as-millis, limit-0-is-unlimited). The timeout trio
+(testScanQueryTimeout, testScanQueryTimeoutMerge,
+testScanQueryTimeoutZeroDoesntTimeOut) closed in r12 once
+plans/timeout.py gained job-group-cancelling timeout enforcement."""
 
 from __future__ import annotations
 
@@ -289,3 +290,38 @@ def test_scan_descending_compacted_list_format_limits(spark, testindex):
             _spot_scan("descending", limit, fmt="compactedList"),
             testindex)
         _check_ordered(_events(vals), limit, descending=True)
+
+
+# -- the timeout trio (testScanQueryTimeout / testScanQueryTimeoutMerge
+# / testScanQueryTimeoutZeroDoesntTimeOut): context timeout=1ms raises
+# the reference's QueryTimeoutException ("Query timeout"); timeout=0
+# means unlimited. Spark analogue: the query's job group is cancelled
+# at the deadline (plans/timeout.py), which at cluster scale stops a
+# runaway query's tasks instead of letting them run to completion.
+
+def test_scan_query_timeout(spark, testindex):
+    import pytest as _pytest
+
+    from apache_druid_spark.plans.timeout import QueryTimeoutError
+    from apache_druid_spark.sql.results import scan_result_values
+
+    q = {"queryType": "scan", "dataSource": "testindex",
+         "intervals": ["2011-01-12/2011-01-14"],
+         "context": {"timeout": 1}}
+    with _pytest.raises(QueryTimeoutError) as ei:
+        scan_result_values(q, testindex)
+    assert ei.value.error_code == "Query timeout"
+    # merge variant: same contract through the serialized envelope path
+    q["resultFormat"] = "compactedList"
+    with _pytest.raises(QueryTimeoutError):
+        scan_result_values(q, testindex)
+
+
+def test_scan_query_timeout_zero_doesnt_time_out(spark, testindex):
+    from apache_druid_spark.sql.results import scan_result_values
+
+    q = {"queryType": "scan", "dataSource": "testindex",
+         "intervals": ["2011-01-12/2011-01-14"],
+         "context": {"timeout": 0}}
+    vals = scan_result_values(q, testindex)
+    assert sum(len(v["events"]) for v in vals) == 26

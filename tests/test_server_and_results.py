@@ -377,3 +377,27 @@ def test_http_scan_native_result_format(spark, reg):
                    for v in vals for e in v["events"])
     finally:
         srv.stop()
+
+
+def test_http_query_timeout_envelope(spark, reg):
+    # context timeout=1ms -> the QueryTimeoutException envelope
+    # (errorCode "Query timeout") through /druid/v2
+    from apache_druid_spark.server import DruidHttpServer
+
+    srv = DruidHttpServer(spark, reg, port=0)
+    srv.start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        q = {"queryType": "scan", "dataSource": "orders",
+             "intervals": ["1970/2100"], "columns": ["o_orderkey"],
+             "context": {"timeout": 1, "useCache": False}}
+        req = urllib.request.Request(
+            f"{base}/druid/v2", json.dumps(q).encode(),
+            {"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req)
+        body = json.loads(e.value.read())
+        assert body["error"] == "Query timeout"
+        assert body["errorClass"].endswith("QueryTimeoutException")
+    finally:
+        srv.stop()
