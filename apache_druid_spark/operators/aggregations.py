@@ -257,13 +257,13 @@ def compile_aggregator(spec: dict, df=None, registry=None,
     if t == "longAnyValue":
         return F.any_value(_field(spec, registry)).alias(name)
     if t == "expression":
-        return _expression_lambda(spec, registry).alias(name)
+        return _expression_lambda(spec, registry, df).alias(name)
     if t == "javascript":
         raise NotImplementedError("javascript aggregators unsupported")
     raise ValueError(f"unknown aggregator type: {t!r}")
 
 
-def _expression_lambda(spec: dict, registry) -> Column:
+def _expression_lambda(spec: dict, registry, df=None) -> Column:
     """ExpressionLambdaAggregatorFactory
     (processing/.../aggregation/ExpressionLambdaAggregatorFactory.java):
     init/fold[/finalize] expressions in the native language, accumulator
@@ -283,6 +283,15 @@ def _expression_lambda(spec: dict, registry) -> Column:
     if fields:
         field = fields[0]
         values = F.collect_list(fcol(field))
+        if (df is not None and field in df.columns
+                and isinstance(df.schema[field].dataType, T.ArrayType)):
+            # a multi-value input folds PER VALUE — the reference's
+            # expression aggregator visits each element of an MV row
+            # (GroupByQueryRunnerTest
+            # testGroupByExpressionAggregatorArrayMultiValue:
+            # array_set_add(acc, placementish) accumulates the
+            # flattened token set)
+            values = F.flatten(values)
         folded = F.aggregate(
             values, init,
             lambda acc, x: compile_expression(

@@ -959,8 +959,12 @@ _FUNCTIONS: dict[str, Callable] = {
     "array_append": F.array_append,
     "array_prepend": lambda v, a: F.array_prepend(a, v),
     "array_concat": F.concat,
-    "array_set_add": lambda a, v: F.array_distinct(F.array_append(a, v)),
-    "array_set_add_all": lambda a, b: F.array_union(a, b),
+    # SET semantics are SORTED — ArraySetAddFunction builds a TreeSet
+    # (core/.../math/expr/Function.java:3463), so the result order is
+    # the element order, not insertion order
+    "array_set_add": lambda a, v: F.array_sort(
+        F.array_distinct(F.array_append(a, v))),
+    "array_set_add_all": lambda a, b: F.array_sort(F.array_union(a, b)),
     "array_slice": lambda a, s, *e: (F.slice(a, s + 1, e[0] - s) if e
                                      else F.slice(a, s + 1, F.size(a))),
     "array_to_string": lambda a, d: F.array_join(a, str(_extract_literal(d))),

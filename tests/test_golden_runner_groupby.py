@@ -22,15 +22,17 @@ WithoutExpression, testMultiValueVirtualDimAsString,
 testExtractionStringArraySpecWithMultiValueVirtualDimAsInput,
 testVirtualColumnNumericTypeAsStringArray, testGroupByFloatMin
 ExpressionVsVirtualColumnWithNonFloatInput.../WithExplicitString...);
-(5) ARRAY-accumulator expression-lambda folds (testGroupByWith
-ExpressionAggregatorWithComplex/ComplexOnSubquery/WithArrays,
-testGroupByExpressionAggregatorArrayMultiValue — per-slot array
-state this engine's collect_list+aggregate() shape does not model).
+(5) sketch-COMPLEX expression-lambda folds (testGroupByWith
+ExpressionAggregatorWithComplex/ComplexOnSubquery — folding
+hyperUnique STATE inside the native expression language;
+WithArrays and ArrayMultiValue were UNSKIPPED in r12 once
+array_set_add gained sorted-set semantics and MV inputs fold
+per value).
 testLimitPerGrouping is @Ignore upstream. r10 ported the subquery family (12
 methods incl. sketch-state re-aggregation across the boundary),
 nested numeric/extraction inner queries (5), and the ordering/
 limit-spec family (9 incl. subtotal order-limits and the
-forceLimitPushDown pins). r12 ported 71 more (151/180): untyped
+forceLimitPushDown pins). r12 ported 73 more (153/180): untyped
 numeric dims render STRING, numeric decorations (regex/list filtered
 scalar specs with delegate form), nullable-numeric grouping, virtual
 column dims, merged having specs, extraction dim filters,
@@ -3468,3 +3470,50 @@ def test_type_conversion_with_merging_chained_runner(spark, testindex):
                 order=["__time"])
     assert got == [(D1, "technology", 10, 2, 156),
                    (D2, "technology", 10, 2, 194)]
+
+
+def test_groupby_expression_aggregator_with_arrays(spark, testindex):
+    # testGroupByWithExpressionAggregatorWithArrays: a SET-folding
+    # lambda (array_set_add — SORTED set per the reference's TreeSet)
+    # rides with the count/sum folds
+    q = gb([{"type": "default", "dimension": "quality",
+             "outputName": "alias"}],
+           [{"type": "expression", "name": "rows", "fields": [],
+             "initialValue": "0", "fold": "__acc + 1"},
+            {"type": "expression", "name": "idx",
+             "fields": ["index"], "initialValue": "0.0",
+             "fold": "__acc + index"},
+            {"type": "expression", "name": "array_agg_distinct",
+             "fields": ["market"], "accumulatorIdentifier": "acc",
+             "initialValue": "[]",
+             "fold": "array_set_add(acc, market)"}])
+    rows = compile_query(q, testindex).orderBy("__time",
+                                               "alias").collect()
+    assert len(rows) == 18
+    by_alias = {(r["__time"], r["alias"]):
+                (r["rows"], float(r["idx"]),
+                 tuple(r["array_agg_distinct"])) for r in rows}
+    assert by_alias[(D1, "automotive")] == (
+        1, pytest.approx(135.88510131835938), ("spot",))
+    assert by_alias[(D1, "mezzanine")][2] == (
+        "spot", "total_market", "upfront")
+    assert by_alias[(D2, "premium")][2] == (
+        "spot", "total_market", "upfront")
+
+
+def test_groupby_expression_aggregator_array_multi_value(spark,
+                                                         testindex):
+    # testGroupByExpressionAggregatorArrayMultiValue: the MV input
+    # folds PER VALUE — the set accumulates flattened tokens
+    q = gb([{"type": "default", "dimension": "quality",
+             "outputName": "alias"}],
+           [{"type": "expression", "name": "array_agg_distinct",
+             "fields": ["placementish"],
+             "accumulatorIdentifier": "acc", "initialValue": "[]",
+             "fold": "array_set_add(acc, placementish)"}])
+    rows = compile_query(q, testindex).collect()
+    by_alias = {(r["__time"], r["alias"]):
+                tuple(r["array_agg_distinct"]) for r in rows}
+    assert by_alias[(D1, "automotive")] == ("a", "preferred")
+    assert by_alias[(D1, "business")] == ("b", "preferred")
+    assert by_alias[(D2, "travel")] == ("preferred", "t")

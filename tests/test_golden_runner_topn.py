@@ -11,17 +11,23 @@ segment + broker merge); this engine's TakeOrderedAndProject is exact
 — the documented strictly-better superset (PARITY §2.3) — so the
 literal pins hold identically.
 
-Skipped (with reason): the FastTopN namespace-OPTIMIZATION twins
-(they exercise extraction-function caching strategies; the extraction
-semantics themselves are pinned by the lexicographic-extraction and
-extraction-filter ports below), bySegment forms (broker-internal
-result decoration), javascript extraction/aggregator methods (policy
-exclusion — incl. the NullProducing/EmptyString anonymous-Java
-extraction fns), expression-aggregator methods (SQL-layer pinned),
-(first/last-aggregator topNs were UNSKIPPED in r12 once the engine
-gained the deterministic cursor-order tie-break).
+98/107 methods pinned by exact name. The 9 remaining are two
+documented skip buckets: bySegment forms (testTopNBySegment,
+testTopNBySegmentResults — broker-internal result decoration) and
+javascript / anonymous-Java extraction fns (policy exclusion:
+testTopNDimExtractionToOne, testTopNDimExtractionTimeToOneLong,
+testTopNWithNullProducingDimExtractionFn,
+testTopNWithEmptyStringProducingDimExtractionFn,
+testTopNQueryCardinalityAggregatorWithExtractionFn,
+testFullOnTopNFloatColumnWithExFn, testFullOnTopNLongColumnWithExFn,
+testFullOnTopNLongTimeColumnWithExFn,
+testFullOnTopNDimExtractionAllNulls) — plus
+testExpressionAggregatorComplex, which folds hyperUnique sketch STATE
+inside the expression language (same bucket as the groupBy complex
+lambda skips). first/last topNs, the FastTopN optimization matrix,
+and testExpressionAggregator were all UNSKIPPED in r12.
 
-r12 ported 46 more (97/107): the previous-stop paging matrix incl.
+r12 ported 47 more (98/107): the previous-stop paging matrix incl.
 inverted and non-existing stops, nonexistent dims/filters, null and
 partial-null dims under filters, the numeric-string / long / float
 typed-output and decoration families (untyped specs render STRING),
@@ -1505,3 +1511,35 @@ def test_topn_lexicographic_dim_extraction_namespaces(spark, testindex):
         ("1upfront", 4, 4875.669692, UNIQUES_2, 4880.669692),
         ("2spot", 18, 2231.876812, UNIQUES_9, 2250.876812),
         ("3total_market", 4, 5351.814783, UNIQUES_2, 5356.814783)])
+
+
+def test_expression_aggregator(spark, testindex):
+    # testExpressionAggregator (the diy_count/diy_sum/array_agg legs;
+    # the ARRAY-decomposed sum needs per-slot array state): topN
+    # ordered by the length of the distinct-set fold
+    q = {"queryType": "topN", "dataSource": "testindex",
+         "granularity": "all", "dimension": "market",
+         "metric": "diy_count", "threshold": 4, "intervals": FULL_ON,
+         "aggregations": [
+             {"type": "expression", "name": "diy_count", "fields": [],
+              "initialValue": "0", "fold": "__acc + 1"},
+             {"type": "expression", "name": "diy_sum",
+              "fields": ["index"], "initialValue": "0.0",
+              "fold": "__acc + index"},
+             {"type": "expression", "name": "array_agg_distinct",
+              "fields": ["quality"], "accumulatorIdentifier": "acc",
+              "initialValue": "[]",
+              "fold": "array_set_add(acc, quality)"}]}
+    rows = compile_query(q, testindex).collect()
+    got = {r["market"]: (r["diy_count"], float(r["diy_sum"]),
+                         tuple(r["array_agg_distinct"])) for r in rows}
+    assert got["spot"][0] == 837
+    assert got["spot"][1] == pytest.approx(95606.57232284546, rel=1e-6)
+    assert got["spot"][2] == ("automotive", "business",
+                              "entertainment", "health", "mezzanine",
+                              "news", "premium", "technology",
+                              "travel")
+    assert got["total_market"] == (
+        186, pytest.approx(215679.82879638672, rel=1e-6),
+        ("mezzanine", "premium"))
+    assert got["upfront"][2] == ("mezzanine", "premium")
