@@ -7,10 +7,11 @@ Engine fixes driven by the port: a non-existent searchDimension
 contributes no hits (was an unresolved-column error), and searching
 __time stringifies epoch MILLIS (testSearchOnTime).
 
-23/27 ported. Skipped (4): testSearchHitSerDe (Jackson serde),
-testSearchWithCardinality (merge-runner doubling harness), and
+24/27 ported. Skipped (3): testSearchHitSerDe (Jackson serde) and
 testSearchOnLongColumnWithExFn / FloatColumnWithExFn (javascript
-extraction fns — policy exclusion).
+extraction fns — policy exclusion). testSearchWithCardinality closed
+in r12 as a multi-interval pin (the reference's two-segment merge
+sums to the single-pass counts).
 
 r12 closures: testSearchWithExtractionFilter1 (lookup extraction on
 both filter and searched dim), testSearchWithNullValueInDimension
@@ -305,3 +306,19 @@ def test_search_with_not_existed_dimension(spark, testindex):
          "searchDimensions": [{"type": "default", "dimension": "asdf",
                                "outputName": "asdf"}]}
     assert hits(spark, testindex, q) == set()
+
+
+def test_search_with_cardinality(spark, testindex):
+    # testSearchWithCardinality: the reference runs the two intervals
+    # as separate segments and MERGES — summed hit counts equal this
+    # engine's single multi-interval pass (note the split drops
+    # 2011-02-28, hence 91 not 93)
+    q = search(CONTAINS_A,
+               intervals=["2011-01-12/2011-02-28",
+                          "2011-03-01/2011-04-15"])
+    assert hits(spark, testindex, q) == {
+        ("quality", "automotive", 91), ("quality", "mezzanine", 273),
+        ("quality", "travel", 91), ("quality", "health", 91),
+        ("quality", "entertainment", 91),
+        ("market", "total_market", 182), ("placementish", "a", 91),
+        ("partial_null_column", "value", 182)}
