@@ -1996,6 +1996,62 @@ def _streaming_rollup_hourly(spark, sf_dir):
                     F.round("total_value", 4).alias("total_value")))
 
 
+@_q("supervisor_spec_rollup", """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS __time,
+       event_type, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+""")
+def _supervisor_spec_rollup(spark, sf_dir):
+    """Supervisor-document ingestion (round 12; extensions-core/
+    kinesis-indexing-service KinesisSupervisorSpec): the user's exact
+    supervisor JSON drives the stream — ioConfig picks the source,
+    dataSchema configures the rollup. The rig has no shard endpoint,
+    so the source injects the file-stream double (the Kafka row's
+    long-standing treatment); complete output mode emits every bucket
+    so the batch oracle matches exactly."""
+    from apache_druid_spark.streaming import (file_stream,
+                                              supervisor_ingest)
+
+    _registry(spark, sf_dir)  # ensures nanosAsLong on vanilla sessions
+    spec = {"type": "kinesis", "spec": {
+        "ioConfig": {"stream": "events",
+                     "endpoint": "kinesis.us-east-1.amazonaws.com",
+                     "useEarliestSequenceNumber": True},
+        "dataSchema": {
+            "dataSource": "events_rollup",
+            "timestampSpec": {"column": "ts", "format": "auto"},
+            "dimensionsSpec": {"dimensions": ["event_type"]},
+            "metricsSpec": _EVENTS_METRICS,
+            "granularitySpec": {"queryGranularity": "hour",
+                                "segmentGranularity": "day"}}}}
+
+    def _run_stream() -> str:
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        stream = file_stream(spark, sf_dir, schema, "ts",
+                             glob="events.parquet")
+        from apache_druid_spark.streaming.supervisor import (
+            parse_supervisor_spec, stream_rollup)
+        cfg = parse_supervisor_spec(spec)
+        rolled = stream_rollup(stream, cfg["dimensions"],
+                               cfg["metrics"],
+                               query_granularity=cfg[
+                                   "query_granularity"],
+                               watermark=None)
+        import hashlib
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        name = f"supervisor_rollup_{tag}"
+        q = (rolled.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination()
+        return name
+
+    name = _prepare_once(spark, ("supervisor_rollup", sf_dir),
+                         _run_stream)
+    return (spark.table(name)
+            .select("__time", "event_type", "cnt",
+                    F.round("total_value", 4).alias("total_value")))
+
+
 # ---------------------------------------------------------------------------
 # Post-aggregators, granularity variants, orderings (SURVEY §2.8, §2.9)
 # ---------------------------------------------------------------------------
@@ -4719,6 +4775,7 @@ _R12_WINDOW = (
     # sql_floor_to_unit moved to the _R12_NEXT front to keep the
     # 50-entry driver cap
     'groupby_array_dim', 'scan_result_envelope',
+    'supervisor_spec_rollup',
     # r7-evidence cohort (all 25 — oldest evidence in the registry)
     'agg_stats_lineitem', 'dedup_exact', 'dedup_minhash_lsh',
     'dedup_ngram_jaccard', 'extraction_regex_brand',
@@ -4742,13 +4799,12 @@ _R12_WINDOW = (
     'topn_time_extraction', 'topn_per_month', 'extraction_cascade',
     'extraction_bucket', 'extraction_time_format_gran',
     'extraction_strlen', 'extraction_string_format',
-    'expression_time_format',
 )
 
 # r8-evidence leftovers — next-oldest after the r12 window; they front
 # the r13 rotation
 _R12_NEXT = (
-    'sql_floor_to_unit', 'sql_scalar_shims', 'human_readable_formats', 'ipv4_custkey_subnets',
+    'expression_time_format', 'sql_floor_to_unit', 'sql_scalar_shims', 'human_readable_formats', 'ipv4_custkey_subnets',
     'theta_rollup_merge', 'segment_metadata_orders', 'sql_time_ops',
     'sql_mv_first_word', 'sql_array_fns', 'sql_safe_divide', 'sql_ipv4',
     'sql_bloom_filter_test', 'search_fragment_multi', 'sql_bit_aggs',
