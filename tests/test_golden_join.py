@@ -1153,3 +1153,43 @@ def reg_broadcast(spark):
     r.register("broadcast", spark.createDataFrame(NUMFOO_ROWS,
                                                   NUMFOO_SCHEMA))
     return r
+
+
+# -- the withLeftDirectAccess twins (round 12): the context flag only
+# changes the REFERENCE's asserted native plan (left table scanned
+# directly instead of wrapped in a query datasource); the SQL and the
+# expected row are identical to the base methods, so each twin pins
+# the same values with the context passed through.
+
+@pytest.mark.parametrize("sql_body", [
+    # testLeftJoinOnTwoInlineDataSourcesWithTimeFilter_withLeftDirectAccess
+    """with abc as
+       ( SELECT dim1, "__time", m1 from foo
+         WHERE "dim1" = '10.1' AND "__time" >= '1999' )
+       SELECT t1.dim1, t1."__time" from abc as t1
+       LEFT JOIN abc as t2 on t1.dim1 = t2.dim1
+       WHERE t1.dim1 = '10.1'""",
+    # testLeftJoinOnTwoInlineDataSourcesWithOuterWhere_withLeftDirectAccess
+    """with abc as
+       ( SELECT dim1, "__time", m1 from foo WHERE "dim1" = '10.1' )
+       SELECT t1.dim1, t1."__time" from abc as t1
+       LEFT JOIN abc as t2 on t1.dim1 = t2.dim1
+       WHERE t1.dim1 = '10.1'""",
+    # testLeftJoinOnTwoInlineDataSources_withLeftDirectAccess
+    """with abc as
+       ( SELECT dim1, "__time", m1 from foo WHERE "dim1" = '10.1' )
+       SELECT t1.dim1, t1."__time" from abc as t1
+       LEFT JOIN abc as t2 on t1.dim1 = t2.dim1""",
+    # testInnerJoinOnTwoInlineDataSourcesWithOuterWhere_withLeftDirectAccess
+    """with abc as
+       ( SELECT dim1, "__time", m1 from foo WHERE "dim1" = '10.1' )
+       SELECT t1.dim1, t1."__time" from abc as t1
+       INNER JOIN abc as t2 on t1.dim1 = t2.dim1
+       WHERE t1.dim1 = '10.1'""",
+])
+def test_inline_datasources_with_left_direct_access(spark, reg,
+                                                    sql_body):
+    out = druid_sql(spark, sql_body, reg,
+                    context={"enableJoinLeftTableScanDirect": True}
+                    ).collect()
+    assert [tuple(r) for r in out] == [("10.1", datetime(2000, 1, 2))]
