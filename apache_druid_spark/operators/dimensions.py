@@ -103,6 +103,13 @@ def compile_extraction_fn(spec: dict, col: Column, registry=None,
             m = spec["lookup"].get("map", {})
             kv = []
             for k, v in m.items():
+                if v is None:
+                    # MapLookupExtractor.apply: map.get -> null for a
+                    # null-VALUED key exactly like a missing key, so
+                    # the pair is omitted (str(None) rendered the
+                    # string 'None' — the same bug class as the r11
+                    # LOOKUP() advisor finding)
+                    continue
                 kv.append(F.lit(str(k)))
                 kv.append(F.lit(str(v)))
             mexpr = F.create_map(*kv) if kv else F.lit(None).cast("map<string,string>")

@@ -219,3 +219,26 @@ def test_published_extent_interval_clip(spark, tmp_path, monkeypatch):
     segs = {r[0] for r in narrowed.select("__segment")
             .distinct().collect()}
     assert segs == {"2024-03-02T00", "2024-03-03T00"}
+
+
+def test_extraction_lookup_null_value_is_a_miss(spark, base_table):
+    # same bug class as finding 1, on the EXTRACTION-FN lookup map:
+    # a null-valued key behaves exactly like a missing key
+    # (MapLookupExtractor.apply -> map.get -> null), never the string
+    # 'None'
+    from apache_druid_spark.operators.dimensions import (
+        compile_extraction_fn)
+
+    df = spark.createDataFrame([("a",), ("b",), ("c",)], "d string")
+    exfn = {"type": "lookup",
+            "lookup": {"type": "map",
+                       "map": {"a": None, "b": "bee"}}}
+    got = [r[0] for r in df.select(compile_extraction_fn(
+        exfn, F.col("d"), None).alias("x")).collect()]
+    assert got == [None, "bee", None]
+    # retainMissingValue treats the null-valued key as a miss too —
+    # the input value comes back (LookupExtractionFn retain contract)
+    got = [r[0] for r in df.select(compile_extraction_fn(
+        {**exfn, "retainMissingValue": True}, F.col("d"),
+        None).alias("x")).collect()]
+    assert got == ["a", "bee", "c"]
