@@ -2029,14 +2029,11 @@ def _supervisor_spec_rollup(spark, sf_dir):
         schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
         stream = file_stream(spark, sf_dir, schema, "ts",
                              glob="events.parquet")
-        from apache_druid_spark.streaming.supervisor import (
-            parse_supervisor_spec, stream_rollup)
-        cfg = parse_supervisor_spec(spec)
-        rolled = stream_rollup(stream, cfg["dimensions"],
-                               cfg["metrics"],
-                               query_granularity=cfg[
-                                   "query_granularity"],
-                               watermark=None)
+        # the PUBLIC entry point: the supervisor document goes in
+        # whole, source_df substitutes the shard source (no endpoint
+        # in the rig) — r12 VERDICT asked that the oracle gate cover
+        # supervisor_ingest itself, not a hand-wired recomposition
+        rolled = supervisor_ingest(spark, spec, source_df=stream)
         import hashlib
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         name = f"supervisor_rollup_{tag}"

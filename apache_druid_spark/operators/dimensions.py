@@ -141,7 +141,11 @@ def compile_dimension_spec(spec, registry=None, df=None) -> tuple[str, Column]:
     ``df`` (optional) resolves source column types so LONG-typed
     dimension specs over timestamp columns yield epoch MILLIS."""
     if isinstance(spec, str):
-        return spec, fcol(spec)
+        # the bare-string shorthand deserializes to the identical
+        # DefaultDimensionSpec with STRING output
+        # (DimensionSpec via DefaultDimensionSpec.of) — normalize so
+        # the numeric->string default applies uniformly
+        spec = {"type": "default", "dimension": spec}
     t = spec.get("type", "default")
     dim = spec.get("dimension")
     out_name = spec.get("outputName", dim)
@@ -226,22 +230,36 @@ def compile_dimension_spec(spec, registry=None, df=None) -> tuple[str, Column]:
             df.schema[src].dataType, T.ArrayType))
         if t == "listFiltered":
             # match on the STRING form: the whitelist is a string set
-            # regardless of the delegate's output type
+            # regardless of the delegate's output type. Null values are
+            # predicate-evaluated, not silently dropped: the deny-list
+            # predicate is !values.contains(input), so a null the list
+            # doesn't name survives (ListFilteredDimensionSpec.java:148
+            # filterDenyList), while the allow-list's Predicates.in
+            # rejects null — coalesce pins the SQL-null fallthrough to
+            # those outcomes
             allow = F.array(*[F.lit(str(v))
                               for v in spec.get("values", [])])
             white = spec.get("isWhitelist", True)
             if white:
-                pred = lambda e: F.array_contains(allow, e.cast("string"))  # noqa: E731
+                pred = lambda e: F.coalesce(  # noqa: E731
+                    F.array_contains(allow, e.cast("string")),
+                    F.lit(False))
             else:
-                pred = lambda e: ~F.array_contains(allow, e.cast("string"))  # noqa: E731
+                pred = lambda e: F.coalesce(  # noqa: E731
+                    ~F.array_contains(allow, e.cast("string")),
+                    F.lit(True))
         elif t == "regexFiltered":
             # FULL match — RegexFilteredDimensionSpec.java uses
-            # Matcher.matches(), not find()
+            # Matcher.matches(), not find(); null never matches (:74
+            # `val != null && ...`)
             pat = f"^(?:{spec['pattern']})$"
-            pred = lambda e: e.cast("string").rlike(pat)  # noqa: E731
+            pred = lambda e: F.coalesce(  # noqa: E731
+                e.cast("string").rlike(pat), F.lit(False))
         else:
+            # null never matches (PrefixFilteredDimensionSpec.java:70)
             pfx = spec["prefix"]
-            pred = lambda e: e.cast("string").startswith(pfx)  # noqa: E731
+            pred = lambda e: F.coalesce(  # noqa: E731
+                e.cast("string").startswith(pfx), F.lit(False))
         if is_mv:
             c = F.filter(c, pred)
         else:

@@ -65,23 +65,25 @@ def compile_post_aggregator(spec: dict, registry=None) -> Column:
 def apply_post_aggregations(df: DataFrame, specs: list[dict],
                             registry=None) -> DataFrame:
     """Append post-aggregator columns to an aggregated DataFrame. A
-    post-aggregator named like an existing column REPLACES it — the
-    reference allows a finalizing post-agg to overwrite its own
-    aggregator's output slot
-    (GroupByQueryRunnerTest.testGroupByWithUniquesAndPostAggWithSameName;
-    a plain append would make the name ambiguous)."""
+    post-aggregator named like an existing output column (a dimension,
+    an aggregator, or a prior post-aggregator) is an ERROR — the
+    reference's Queries.prepareAggregations (used by the groupBy/topN/
+    timeseries constructors) throws "[name] already defined" on any
+    output-name collision
+    (processing/.../query/Queries.java:113,130;
+    GroupByQueryRunnerTest.testGroupByWithUniquesAndPostAggWithSameName
+    is @Test(expected = IllegalArgumentException.class))."""
     if not specs:
         return df
-    by_name = {s.get("name"): s for s in specs if isinstance(s, dict)}
-    cols = []
-    for c in df.columns:
-        if c in by_name:
-            # the post-agg may read the column it replaces, so compile
-            # against the pre-replacement frame via F.col references
-            cols.append(compile_post_aggregator(by_name.pop(c),
-                                                registry))
-        else:
-            cols.append(F.col(c))
-    cols += [compile_post_aggregator(s, registry) for s in specs
-             if isinstance(s, dict) and s.get("name") in by_name]
+    seen = set(df.columns)
+    cols = [F.col(c) for c in df.columns]
+    for s in specs:
+        if not isinstance(s, dict):
+            continue
+        name = s.get("name")
+        if name in seen:
+            raise ValueError(f"[{name}] already defined")
+        if name is not None:
+            seen.add(name)
+        cols.append(compile_post_aggregator(s, registry))
     return df.select(*cols)

@@ -908,14 +908,23 @@ def _verify_groupby_output_names(q: dict) -> None:
         if n in seen:
             raise ValueError(f"[{n}] already defined")
         seen.add(n)
-    # a post-aggregator may share its name with the aggregator it
-    # finalizes (testGroupByWithUniquesAndPostAggWithSameName) — only
-    # the reserved-name check applies
+    # post-aggregator names join the same namespace: a collision with
+    # a dimension, an aggregator, or another post-aggregator raises
+    # (Queries.prepareAggregations, processing/.../query/Queries.java:130;
+    # testGroupByWithUniquesAndPostAggWithSameName is
+    # @Test(expected = IllegalArgumentException.class))
     for p in q.get("postAggregations", []) or []:
-        if isinstance(p, dict) and p.get("name") == TIME_COLUMN:
+        if not isinstance(p, dict):
+            continue
+        n = p.get("name")
+        if n == TIME_COLUMN:
             raise ValueError(
                 "'__time' cannot be used as an output name for "
                 "dimensions, aggregators, or post-aggregators.")
+        if n in seen:
+            raise ValueError(f"[{n}] already defined")
+        if n is not None:
+            seen.add(n)
 
 
 def compile_groupby(q: dict, registry: DatasourceRegistry,

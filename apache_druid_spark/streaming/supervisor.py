@@ -33,17 +33,27 @@ from apache_druid_spark.streaming.rollup import stream_rollup
 
 
 def _iso_period_to_interval(period: str) -> str | None:
-    """PT1H / P1D -> a Spark interval string (watermark horizon)."""
+    """PT1H / P1D -> a Spark interval string (watermark horizon).
+
+    ISO-8601 designators are position-sensitive: 'M' is MONTHS in the
+    date part (P1M) and MINUTES only after 'T' (PT1M); Y/W/D belong to
+    the date part only, H/S to the time part only. Anything else
+    (e.g. 'PT1D') is invalid and falls back to None so the caller's
+    default applies."""
     if not period:
         return None
     p = str(period).upper()
-    units = {"H": "hours", "M": "minutes", "S": "seconds", "D": "days",
-             "W": "weeks"}
     import re
-    m = re.fullmatch(r"PT?(\d+)([HMSDW])", p)
-    if not m:
-        return None
-    return f"{m.group(1)} {units[m.group(2)]}"
+    m = re.fullmatch(r"P(\d+)([YMWD])", p)
+    if m:
+        date_units = {"Y": "years", "M": "months", "W": "weeks",
+                      "D": "days"}
+        return f"{m.group(1)} {date_units[m.group(2)]}"
+    m = re.fullmatch(r"PT(\d+)([HMS])", p)
+    if m:
+        time_units = {"H": "hours", "M": "minutes", "S": "seconds"}
+        return f"{m.group(1)} {time_units[m.group(2)]}"
+    return None
 
 
 def parse_supervisor_spec(spec: dict) -> dict:
@@ -155,7 +165,20 @@ def supervisor_ingest(spark: SparkSession, spec: dict,
             c = F.timestamp_millis(c.cast("long"))
         elif fmt in ("posix",):
             c = F.col(tcol).cast("long").cast("timestamp")
-        elif fmt in ("iso", "auto"):
+        elif fmt == "auto":
+            # Druid's 'auto' accepts ISO strings AND epoch-millis
+            # numbers (TimestampSpec's auto detection). Spark's
+            # numeric->timestamp cast reads SECONDS, so numeric
+            # source columns must go through timestamp_millis.
+            import pyspark.sql.types as T
+            src_type = df.schema[tcol].dataType
+            if isinstance(src_type, (T.LongType, T.IntegerType,
+                                     T.DoubleType, T.FloatType,
+                                     T.ShortType, T.DecimalType)):
+                c = F.timestamp_millis(c.cast("long"))
+            else:
+                c = c.cast("timestamp")
+        elif fmt == "iso":
             c = c.cast("timestamp")
         else:  # joda/java pattern
             c = F.to_timestamp(c, fmt)

@@ -2538,16 +2538,19 @@ def test_groupby_having_finalized_hyperunique(spark, testindex):
 
 
 def test_groupby_uniques_postagg_same_name(spark, testindex):
-    # testGroupByWithUniquesAndPostAggWithSameName: a finalizing
-    # post-agg may overwrite its own aggregator's column
+    # testGroupByWithUniquesAndPostAggWithSameName is
+    # @Test(expected = IllegalArgumentException.class): a post-agg
+    # named like its aggregator collides in the output namespace —
+    # Queries.prepareAggregations throws "[name] already defined"
+    # (processing/.../query/Queries.java:130)
     q = gb([], [ROWS, {"type": "hyperUnique", "name": "quality_uniques",
                        "fieldName": "quality_uniques"}], gran="all")
     q["postAggregations"] = [
         {"type": "hyperUniqueCardinality", "name": "quality_uniques",
          "fieldName": "quality_uniques"}]
-    got = _rows(q, testindex, ["rows", "quality_uniques"])
-    assert got[0][0] == 26
-    assert float(got[0][1]) == pytest.approx(9.0, abs=0.05)
+    with pytest.raises(ValueError, match=r"\[quality_uniques\] already "
+                                         r"defined"):
+        _rows(q, testindex, ["rows", "quality_uniques"])
 
 
 def test_groupby_extraction_dim_filter_many_to_one(spark, testindex):
