@@ -4675,47 +4675,6 @@ def entry(spark: SparkSession) -> DataFrame:
 # rotations; see git history and PARITY.md for their contents.)
 
 
-# Round-9 gate window (VERDICT r8 task #2): rotate onto the entries
-# with the OLDEST driver evidence — all 23 whose latest green is r4
-# (DSIR, edit-distance, decontamination, packing, multimodal, theta
-# set-ops, lookup-schema join, parameterized SQL, ...) plus the 27
-# oldest of the 50 r5-evidence entries (ANN trio, bound-filter
-# orderings, rollup/compaction/publish lifecycle, streaming pair,
-# spatial, HLL rollup, zero-fill — the last also re-verifies this
-# round's extent-semantics change). New never-checked r9 entries are
-# prepended. The 23 r5 entries left over rotate in next round.
-_R09_WINDOW = (
-    # new r9 entries — never driver-checked, verify first
-    'hyperunique_complex_requery', 'sql_frozen_current_timestamp',
-    # oracle updated in r9 (region_partial joined the lookup catalog
-    # in r8 without a window slot): re-verify
-    'info_schema_lookup_catalog',
-    # r4-evidence cohort (all 23)
-    'asof_join_events', 'corpus_top_ngrams', 'decontaminate_report',
-    'dedup_components_star', 'dedup_edit_distance',
-    'dedup_substring_overlap', 'deterministic_shuffle_order',
-    'dsir_importance_weights', 'expression_cartesian',
-    'mixture_weights_lang', 'multimodal_features',
-    'multimodal_frame_sample', 'multimodal_resize',
-    'pack_sequences_budget', 'scrub_common_lines',
-    'sql_array_agg_sorted', 'sql_lookup_schema_join', 'sql_parameterized',
-    'sql_scalar_shims2', 'sql_scalar_shims3', 'sql_theta_set_ops',
-    'text_repetition', 'tfidf_top_terms',
-    # oldest r5-evidence entries (27 of 50)
-    'similarity_cosine_topk', 'similarity_ivf_topk', 'similarity_lsh_topk',
-    'dedup_embedding_cosine', 'dedup_simhash', 'text_fingerprint',
-    'text_language_id', 'text_token_stats', 'filter_bound_lexicographic',
-    'bound_version_comparator', 'rollup_reaggregate',
-    'compaction_lifecycle', 'lifecycle_publish_query',
-    'streaming_rollup_hourly', 'streaming_stateful_running_agg',
-    'timeseries_zero_fill', 'ingest_inline_csv', 'sql_insert_extern',
-    'segment_pruned_timeseries', 'hll_sketch_rollup_merge',
-    'hll_user_cardinality', 'spatial_rectangular', 'spatial_polygon',
-    'mv_filter_any_match', 'grouping_id_subtotals',
-    'query_datasource_nested', 'join_lookup_datasource',
-)
-
-
 # Round-11 gate window (VERDICT r10 task #1 — r10's window re-ran the
 # r9 set, so the r5-evidence cohort was never refreshed). Exactly 50
 # names (the driver cap; the r9 window listed 53 and the last 3 were
@@ -4798,10 +4757,20 @@ _R12_WINDOW = (
     'extraction_strlen', 'extraction_string_format',
 )
 
-# r8-evidence leftovers — next-oldest after the r12 window; they front
-# the r13 rotation
-_R12_NEXT = (
-    'expression_time_format', 'sql_floor_to_unit', 'sql_scalar_shims', 'human_readable_formats', 'ipv4_custkey_subnets',
+# Round-13 gate window (VERDICT r12 task #2): ALL 28 entries whose
+# latest oracle evidence is round 8 (queued as r12's _R12_NEXT), then
+# 22 of the 50 r10-evidence entries prioritized by overlap with the
+# r13 code churn: filtered dimension decorations, bare-string dim
+# normalization, and post-agg collision validation changed this round
+# (operators/dimensions.py, operators/postaggs.py, plans/compiler.py),
+# so mv_filter_any_match / the bound-filter pair / the lifecycle
+# family lead; supervisor timestampSpec-'auto' changed
+# (streaming/supervisor.py), so streaming_rollup_hourly re-verifies.
+# The 28 r10 leftovers are _R13_NEXT and front the r14 rotation.
+_R13_WINDOW = (
+    # r8-evidence cohort (all 28 — oldest evidence in the registry)
+    'expression_time_format', 'sql_floor_to_unit', 'sql_scalar_shims',
+    'human_readable_formats', 'ipv4_custkey_subnets',
     'theta_rollup_merge', 'segment_metadata_orders', 'sql_time_ops',
     'sql_mv_first_word', 'sql_array_fns', 'sql_safe_divide', 'sql_ipv4',
     'sql_bloom_filter_test', 'search_fragment_multi', 'sql_bit_aggs',
@@ -4810,20 +4779,49 @@ _R12_NEXT = (
     'expression_array_fold', 'search_regex', 'histogram_quantity',
     'quantiles_sketch_median', 'dedup_components', 'doc_chunks',
     'text_normalize_scrub', 'session_window_user',
+    # r10-evidence entries over r11–r13-churned code (22 of 50)
+    'mv_filter_any_match', 'streaming_rollup_hourly',
+    'hyperunique_complex_requery', 'expression_cartesian',
+    'filter_bound_lexicographic', 'bound_version_comparator',
+    'timeseries_zero_fill', 'lifecycle_publish_query',
+    'compaction_lifecycle', 'rollup_reaggregate',
+    'sql_frozen_current_timestamp', 'info_schema_lookup_catalog',
+    'asof_join_events', 'corpus_top_ngrams', 'decontaminate_report',
+    'dedup_components_star', 'dedup_edit_distance',
+    'dedup_substring_overlap', 'deterministic_shuffle_order',
+    'dsir_importance_weights', 'mixture_weights_lang',
+    'multimodal_features',
+)
+
+# r10-evidence leftovers — next-oldest after the r13 window; they
+# front the r14 rotation
+_R13_NEXT = (
+    'multimodal_frame_sample', 'multimodal_resize',
+    'pack_sequences_budget', 'scrub_common_lines',
+    'sql_array_agg_sorted', 'sql_lookup_schema_join',
+    'sql_parameterized', 'sql_scalar_shims2', 'sql_scalar_shims3',
+    'sql_theta_set_ops', 'text_repetition', 'tfidf_top_terms',
+    'similarity_cosine_topk', 'similarity_ivf_topk',
+    'similarity_lsh_topk', 'dedup_embedding_cosine', 'dedup_simhash',
+    'text_fingerprint', 'text_language_id', 'text_token_stats',
+    'streaming_stateful_running_agg', 'ingest_inline_csv',
+    'sql_insert_extern', 'segment_pruned_timeseries',
+    'hll_sketch_rollup_merge', 'hll_user_cardinality',
+    'spatial_rectangular', 'spatial_polygon',
 )
 
 
 def _entry_order(name: str) -> tuple:
-    if name in _R12_WINDOW:
-        return (0, _R12_WINDOW.index(name))
-    if name in _R12_NEXT:  # r8 evidence: next-oldest
-        return (1, _R12_NEXT.index(name))
+    if name in _R13_WINDOW:
+        return (0, _R13_WINDOW.index(name))
+    if name in _R13_NEXT:  # r10 evidence: next-oldest
+        return (1, _R13_NEXT.index(name))
     # freshest evidence last: r11-window entries passed in r11, the
-    # r9 window passed in both r9 and r10
-    if name in _R09_WINDOW:
-        return (3, _R09_WINDOW.index(name))
+    # r12 window in r12
     if name in _R11_WINDOW:
-        return (4, _R11_WINDOW.index(name))
+        return (3, _R11_WINDOW.index(name))
+    if name in _R12_WINDOW:
+        return (4, _R12_WINDOW.index(name))
     return (2, 0)  # stable within group (dict keeps file order)
 
 
