@@ -890,17 +890,35 @@ _FUNCTIONS: dict[str, Callable] = {
     # double below 2^53 (Function.java BitwiseConvert*)
     "bitwiseconvertdoubletolongbits": lambda a: _fn_double_to_long_bits(a),
     "bitwiseconvertlongbitstodouble": lambda a: _fn_long_bits_to_double(a),
-    # HLL-state expression builders (HyperUniqueExpressions.java) carry
-    # COMPLEX sketch state through scalar expressions; our engine holds
-    # mergeable HLL state in columns via hll_sketch_agg/hll_union_agg
-    # (ingest/batch.py rollup metrics) instead — same capability, the
-    # idiomatic Spark shape.
-    "hyper_unique": lambda *a: _raise_unsupported(
-        "hyper_unique (use DS_HLL / hll_sketch_agg rollup metrics)"),
-    "hyper_unique_add": lambda *a: _raise_unsupported(
-        "hyper_unique_add (use DS_HLL / hll_sketch_agg rollup metrics)"),
-    "hyper_unique_estimate": lambda *a: _raise_unsupported(
-        "hyper_unique_estimate (use HLL_SKETCH_ESTIMATE)"),
+    # HLL-state expression builders (HyperUniqueExpressions.java) —
+    # COMPLEX collector state carried through scalar expressions so
+    # expression-lambda aggregators can fold cardinality state
+    # (GroupByQueryRunnerTest.testGroupByWithExpressionAggregatorWith
+    # Complex[OnSubquery]). Spark shape: the collector is the DISTINCT
+    # VALUE SET (array<string>) — hyper_unique_add is a set-add that
+    # skips SQL nulls exactly like the reference
+    # (HyperUniqueExpressions.java:170 skips null in SQL-null mode),
+    # and the estimate is the exact set size. Honest divergences:
+    # (1) estimates are EXACT where Druid's HLL carries ~2% error
+    #     (UNIQUES_9 = 9.0198... vs our 9.0) — the suite pins approx;
+    # (2) state grows with per-group cardinality where Druid caps at
+    #     maxSizeBytes — no asymptotic cost HERE because the
+    #     expression-lambda path already collect_list's every group
+    #     value before folding (the set is a subset of that list); at
+    #     100 TB cardinality scale use the native hyperUnique
+    #     aggregator (bounded approx_count_distinct) instead;
+    # (3) a string and a number rendering to the same text collide
+    #     ('16' vs 16L) where Druid hashes them apart — mixed-type
+    #     adds to one collector are not a reference test surface.
+    "hyper_unique": lambda: F.array().cast("array<string>"),
+    # value-add only: the fold expression adds column VALUES. The
+    # combine expression (collector-fold) never runs in this engine —
+    # F.aggregate over the collected group is single-level, Spark's
+    # own partial/final merge handles distribution under collect_list.
+    "hyper_unique_add": lambda x, acc: F.when(x.isNull(), acc).otherwise(
+        F.array_union(acc, F.array(x.cast("string")))),
+    "hyper_unique_estimate": lambda o: F.size(o).cast("double"),
+    "hyper_unique_round_estimate": lambda o: F.size(o).cast("long"),
     # string
     "concat": F.concat, "format": F.format_string,
     "parse_long": lambda s, *r: (F.conv(s, int(_extract_literal(r[0])), 10).cast("long")

@@ -96,6 +96,17 @@ def _iso_interval_bounds(interval: str) -> tuple[Column, Column]:
     start_s, end_s = interval.split("/")
     def parse(s: str) -> Column:
         s = _pad_partial_iso(s).replace("Z", "+00:00")
+        # Druid's eternity bounds are Long.MIN/MAX_VALUE millis —
+        # years ±146140482 (Intervals.ETERNITY renders as
+        # -146136543-09-08T.../146140482-04-24T...). Python datetime
+        # holds years 1..9999 only, so clamp out-of-range years to the
+        # representable extremes; the comparison semantics are
+        # unchanged because all real data lives inside them.
+        m = re.match(r"^(-?\d+)-", s)
+        if m and not 1 <= int(m.group(1)) <= 9999:
+            return F.lit(datetime.min if int(m.group(1)) < 1
+                         else datetime.max.replace(microsecond=0)
+                         ).cast("timestamp")
         dt = datetime.fromisoformat(s)
         if dt.tzinfo is None:
             dt = dt.replace(tzinfo=timezone.utc)

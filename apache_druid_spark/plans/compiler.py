@@ -412,10 +412,18 @@ def compile_timeseries(q: dict, registry: DatasourceRegistry) -> DataFrame:
     ts_field = q.get("context", {}).get("timestampResultField")
     if ts_field:
         # CTX_TIMESTAMP_RESULT_FIELD (TimeseriesQuery): expose the
-        # bucket timestamp as an epoch-millis column so post-aggs can
-        # reference it (testTimeseriesWithPostAggregatorReferencing
-        # TimestampResultField)
-        out = out.withColumn(ts_field, F.unix_millis(F.col(TIME_COLUMN)))
+        # bucket timestamp as an epoch-millis LONG column so post-aggs
+        # can reference it (testTimeseriesWithPostAggregatorReferencing
+        # TimestampResultField). Signature order matches the toolchest
+        # (TimeseriesQueryQueryToolChest.java:419: __time, then the
+        # timestamp result field, then aggregators —
+        # testTimeseriesWithTimestampResultFieldContextForArrayResponse
+        # asserts columnNames positions)
+        rest = [c for c in out.columns if c != TIME_COLUMN]
+        out = out.withColumn(
+            ts_field, F.unix_millis(F.col(TIME_COLUMN))
+        ).select(TIME_COLUMN, ts_field,
+                 *[c for c in rest if c != ts_field])
     out = apply_post_aggregations(out, q.get("postAggregations", []), registry)
     desc = bool(q.get("descending", False))
     out = out.orderBy(F.col(TIME_COLUMN).desc() if desc

@@ -132,17 +132,19 @@ def test_lookup_oversized_post_dedup_still_subquery(spark, base_table,
 def test_dead_windows_removed():
     import __spark_entry__ as e
     for dead in ("_R05_WINDOW", "_R06_WINDOW", "_R08_WINDOW",
-                 "_R11_NEXT"):
+                 "_R09_WINDOW", "_R11_NEXT", "_R12_NEXT"):
         assert not hasattr(e, dead)
     # live rotation state is well-formed: window is exactly 50 known
-    # queries, disjoint from the next-up list
+    # queries, disjoint from the next-up list (r13 names; _R11_WINDOW
+    # and _R12_WINDOW stay live — they order the freshest-evidence
+    # groups at the back)
     qs = set(e.queries())
-    assert len(e._R12_WINDOW) == 50
-    assert set(e._R12_WINDOW) <= qs
-    assert set(e._R12_NEXT) <= qs
-    assert not set(e._R12_WINDOW) & set(e._R12_NEXT)
+    assert len(e._R13_WINDOW) == 50
+    assert set(e._R13_WINDOW) <= qs
+    assert set(e._R13_NEXT) <= qs
+    assert not set(e._R13_WINDOW) & set(e._R13_NEXT)
     # the window fronts the driver's 50-entry correctness pass
-    assert list(e.queries())[:50] == list(e._R12_WINDOW)
+    assert list(e.queries())[:50] == list(e._R13_WINDOW)
 
 
 # -- round-12 scale item: registry-backed extent for published

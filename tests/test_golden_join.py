@@ -7,7 +7,13 @@ null mode branch.
 `foo` is registered in post-ingest presentation: dim2's single-value
 MV rows read as scalar strings and the empty MV row reads as null
 (CalciteTests.java:417-464 RAW_ROWS1; multi-value-dimensions.md single
-value presents as scalar).
+value presents as scalar). dim3 keeps its MV (array) form.
+
+Coverage after r13: 85/88 methods ported. The remainder (3) is
+enumerated with reasons at the "r13 closures" section below — two
+AllColumns twins pin the reference HyperLogLogCollector's base64 wire
+bytes (unmatchable by construction on DataSketches state), and
+testInnerJoinOnMultiValueColumn is @Ignore upstream.
 """
 
 from __future__ import annotations
@@ -24,18 +30,21 @@ SCHEMA = T.StructType([
     T.StructField("__time", T.TimestampType()),
     T.StructField("dim1", T.StringType()),
     T.StructField("dim2", T.StringType()),
+    T.StructField("dim3", T.ArrayType(T.StringType())),
     T.StructField("cnt", T.LongType()),
     T.StructField("m1", T.FloatType()),
     T.StructField("m2", T.DoubleType()),
 ])
 
+# dim3 per RAW_ROWS1 (CalciteTests.java:424-456): ["a","b"], ["b","c"],
+# ["d"], [""], then empty-MV and absent — both present as null
 ROWS = [
-    (datetime(2000, 1, 1), "", "a", 1, 1.0, 1.0),
-    (datetime(2000, 1, 2), "10.1", None, 1, 2.0, 2.0),
-    (datetime(2000, 1, 3), "2", "", 1, 3.0, 3.0),
-    (datetime(2001, 1, 1), "1", "a", 1, 4.0, 4.0),
-    (datetime(2001, 1, 2), "def", "abc", 1, 5.0, 5.0),
-    (datetime(2001, 1, 3), "abc", None, 1, 6.0, 6.0),
+    (datetime(2000, 1, 1), "", "a", ["a", "b"], 1, 1.0, 1.0),
+    (datetime(2000, 1, 2), "10.1", None, ["b", "c"], 1, 2.0, 2.0),
+    (datetime(2000, 1, 3), "2", "", ["d"], 1, 3.0, 3.0),
+    (datetime(2001, 1, 1), "1", "a", [""], 1, 4.0, 4.0),
+    (datetime(2001, 1, 2), "def", "abc", None, 1, 5.0, 5.0),
+    (datetime(2001, 1, 3), "abc", None, None, 1, 6.0, 6.0),
 ]
 
 # numfoo (DATASOURCE3, CalciteTests RAW_ROWS1_WITH_NUMERIC_DIMS): same
@@ -45,6 +54,7 @@ NUMFOO_SCHEMA = T.StructType([
     T.StructField("__time", T.TimestampType()),
     T.StructField("dim1", T.StringType()),
     T.StructField("dim2", T.StringType()),
+    T.StructField("dim3", T.ArrayType(T.StringType())),
     T.StructField("dim4", T.StringType()),
     T.StructField("dim5", T.StringType()),
     T.StructField("cnt", T.LongType()),
@@ -54,12 +64,18 @@ NUMFOO_SCHEMA = T.StructType([
 ])
 
 NUMFOO_ROWS = [
-    (datetime(2000, 1, 1), "", "a", "a", "aa", 1, 1.0, 1.0, 7),
-    (datetime(2000, 1, 2), "10.1", None, "a", "ab", 1, 2.0, 1.7, 325323),
-    (datetime(2000, 1, 3), "2", "", "a", "ba", 1, 3.0, 0.0, 0),
-    (datetime(2001, 1, 1), "1", "a", "b", "ad", 1, 4.0, None, None),
-    (datetime(2001, 1, 2), "def", "abc", "b", "aa", 1, 5.0, None, None),
-    (datetime(2001, 1, 3), "abc", None, "b", "ab", 1, 6.0, None, None),
+    (datetime(2000, 1, 1), "", "a", ["a", "b"], "a", "aa",
+     1, 1.0, 1.0, 7),
+    (datetime(2000, 1, 2), "10.1", None, ["b", "c"], "a", "ab",
+     1, 2.0, 1.7, 325323),
+    (datetime(2000, 1, 3), "2", "", ["d"], "a", "ba",
+     1, 3.0, 0.0, 0),
+    (datetime(2001, 1, 1), "1", "a", [""], "b", "ad",
+     1, 4.0, None, None),
+    (datetime(2001, 1, 2), "def", "abc", None, "b", "aa",
+     1, 5.0, None, None),
+    (datetime(2001, 1, 3), "abc", None, None, "b", "ab",
+     1, 6.0, None, None),
 ]
 
 LOOKYLOO = {"a": "xa", "abc": "xabc", "nosuchkey": "mysteryvalue",
@@ -70,7 +86,11 @@ LOOKYLOO = {"a": "xa", "abc": "xabc", "nosuchkey": "mysteryvalue",
 def reg(spark):
     r = DatasourceRegistry(spark)
     r.register("foo", spark.createDataFrame(ROWS, SCHEMA))
-    r.register("numfoo", spark.createDataFrame(NUMFOO_ROWS, NUMFOO_SCHEMA))
+    numfoo = spark.createDataFrame(NUMFOO_ROWS, NUMFOO_SCHEMA)
+    r.register("numfoo", numfoo)
+    # BROADCAST_DATASOURCE: the same numfoo rows registered as a
+    # global/broadcast table (CalciteTests.BROADCAST_DATASOURCE)
+    r.register("broadcast", numfoo)
     r.register_lookup("lookyloo", LOOKYLOO)
     return r
 
@@ -1193,3 +1213,106 @@ def test_inline_datasources_with_left_direct_access(spark, reg,
                     context={"enableJoinLeftTableScanDirect": True}
                     ).collect()
     assert [tuple(r) for r in out] == [("10.1", datetime(2000, 1, 2))]
+
+
+# -- r13 closures: the CalciteJoinQueryTest remainder ------------------------
+#
+# Enumerated remainder after this tranche (3, with reason):
+# - testInnerJoinTableLookupLookupWithFilterWithOuterLimitWithAllColumns
+#   and testInnerJoinTableLookupLookupWithFilterWithoutLimitWithAllColumns:
+#   the expected rows pin the
+#   unique_dim1 COMPLEX column's WIRE form ("\"AQAAAEAAAA==\"" — the
+#   reference HyperLogLogCollector's base64 bytes). This engine's
+#   sketch state is DataSketches/approx_count_distinct, so the byte
+#   literal cannot match by construction; the join/limit/filter
+#   mechanics of the same SQL are covered by the ported
+#   testInnerJoinTableLookupLookupWithFilterWithLimit family.
+# - testInnerJoinOnMultiValueColumn: @Ignore upstream (regression
+#   placeholder for apache/druid#9924 — joining ON an MV column is
+#   documented-undefined there).
+
+def test_join_on_groupby_instead_of_timeseries_with_floor_on_time(
+        spark, reg):
+    # testJoinOnGroupByInsteadOfTimeseriesWithFloorOnTime: tuple-IN
+    # subquery on (TIME_FLOOR, MIN(m1)) compiles to an inner join.
+    # The reference renders ANY_VALUE(dim3, 100) over the MV rows as
+    # the string "[a, b]"; this engine returns the MV itself.
+    out = druid_sql(spark, """
+        SELECT CAST(__time AS BIGINT) AS t, m1,
+               ANY_VALUE(dim3, 100) AS d3
+        FROM foo WHERE (CAST(TIME_FLOOR(__time, 'PT1H') AS BIGINT), m1) IN
+           (
+             SELECT CAST(TIME_FLOOR(__time, 'PT1H') AS BIGINT) + 0 AS t1,
+                    MIN(m1) AS t2 FROM foo WHERE dim3 = 'b'
+                 AND __time BETWEEN '1994-04-29 00:00:00' AND '2020-01-11 00:00:00' GROUP BY 1
+            )
+        GROUP BY 1, 2
+    """, reg)
+    got = sorted((r["t"], r["m1"], tuple(r["d3"])) for r in out.collect())
+    assert got == [(946684800000, 1.0, ("a", "b")),
+                   (946771200000, 2.0, ("b", "c"))]
+
+
+def test_groupby_join_as_native_query_with_unoptimized_filter(spark,
+                                                              reg):
+    # testGroupByJoinAsNativeQueryWithUnoptimizedFilter: a NATIVE
+    # groupBy over a join of two scan QueryDataSources, with the
+    # dim1=def selector deliberately expressed as the unoptimized
+    # IN-with-one-value form — the join filter path must accept it
+    from apache_druid_spark.plans.compiler import compile_query
+
+    iv = ["2001-01-02T00:00:00.000Z/146140482-04-24T15:36:27.903Z"]
+    scan1 = {"queryType": "scan", "dataSource": "foo",
+             "intervals": iv, "columns": ["dim1"],
+             "resultFormat": "compactedList"}
+    scan2 = {"queryType": "scan", "dataSource": "foo",
+             "intervals": iv, "columns": ["dim1", "m2"],
+             "resultFormat": "compactedList"}
+    q = {"queryType": "groupBy",
+         "dataSource": {
+             "type": "join",
+             "left": {"type": "query", "query": scan1},
+             "right": {"type": "query", "query": scan2},
+             "rightPrefix": "j0.",
+             "condition": '("dim1" == "j0.dim1")',
+             "joinType": "INNER"},
+         "granularity": "all",
+         "intervals": ["1970-01-01/2100-01-01"],
+         "filter": {"type": "in", "dimension": "dim1",
+                    "values": ["def"]},
+         "virtualColumns": [{"type": "expression", "name": "v0",
+                             "expression": "'def'",
+                             "outputType": "STRING"}],
+         "dimensions": [{"type": "default", "dimension": "v0",
+                         "outputName": "d0"}]}
+    got = [tuple(r) for r in compile_query(q, reg).collect()]
+    assert got == [("def",)]
+
+
+def test_topn_on_string_with_non_sorted_dictionary_order_by_dim(spark,
+                                                                reg):
+    # testTopNOnStringWithNonSortedOrUniqueDictionaryOrderByDim: the
+    # join against the broadcast (global) table plans as a topN with
+    # an inverted lexicographic metric; each dim4 value matches its
+    # 3 broadcast twins -> 9 per group, descending, LIMIT 4 -> 2 rows
+    out = druid_sql(spark, """
+        SELECT broadcast.dim4, COUNT(*) AS n
+        FROM numfoo
+        INNER JOIN broadcast ON numfoo.dim4 = broadcast.dim4
+        GROUP BY 1 ORDER BY 1 DESC LIMIT 4
+    """, reg)
+    assert [tuple(r) for r in out.collect()] == [("b", 9), ("a", 9)]
+
+
+def test_virtual_column_on_mv_filter_multi_join_expression(spark, reg):
+    # testVirtualColumnOnMVFilterMultiJoinExpression: MV_FILTER_ONLY
+    # virtual columns as join keys through two nested self-joins —
+    # only the ["a","b"] row has a surviving 'a' element on every side
+    out = druid_sql(spark, """
+        SELECT foo1.dim3 AS a, foo2.dim3 AS b FROM numfoo as foo1 INNER JOIN
+        (SELECT foo3.dim3 FROM numfoo as foo3 INNER JOIN numfoo as foo4
+           ON MV_FILTER_ONLY(foo3.dim3, ARRAY['a']) = MV_FILTER_ONLY(foo4.dim3, ARRAY['a'])) as foo2
+        ON MV_FILTER_ONLY(foo1.dim3, ARRAY['a']) = MV_FILTER_ONLY(foo2.dim3, ARRAY['a'])
+    """, reg)
+    got = [(tuple(r["a"]), tuple(r["b"])) for r in out.collect()]
+    assert got == [(("a", "b"), ("a", "b"))]

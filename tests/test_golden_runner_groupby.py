@@ -5,8 +5,9 @@ the flagship day-by-quality matrix, multi-value dimension explode,
 duration granularity, having specs, and order-limit specs. Numeric
 comparison per TestHelper.assertRow (1e-6 relative).
 
-151/180 methods are pinned by exact name. The 29 remaining split
-into five documented skip buckets: (1) groupBy-v2 engine-internal
+155/180 methods are pinned by exact name. The 25 remaining are
+testLimitPerGrouping (@Ignore upstream) plus four documented skip
+buckets: (1) groupBy-v2 engine-internal
 context overrides — spilling/merge-buffer/timeout/max-on-disk
 (testGroupByMaxRowsLimit/Timeout/MaxOnDiskStorage,
 testNotEnoughDictionarySpace/DiskSpace, testSubqueryWithOuterMaxOnDisk
@@ -21,18 +22,21 @@ expects a JDK-specific class-cast (testNumericDimAsStringArray
 WithoutExpression, testMultiValueVirtualDimAsString,
 testExtractionStringArraySpecWithMultiValueVirtualDimAsInput,
 testVirtualColumnNumericTypeAsStringArray, testGroupByFloatMin
-ExpressionVsVirtualColumnWithNonFloatInput.../WithExplicitString...);
-(5) sketch-COMPLEX expression-lambda folds (testGroupByWith
-ExpressionAggregatorWithComplex/ComplexOnSubquery — folding
-hyperUnique STATE inside the native expression language;
-WithArrays and ArrayMultiValue were UNSKIPPED in r12 once
-array_set_add gained sorted-set semantics and MV inputs fold
-per value).
-testLimitPerGrouping is @Ignore upstream. r10 ported the subquery family (12
+ExpressionVsVirtualColumnWithNonFloatInput.../WithExplicitString...).
+The former bucket (5) — sketch-COMPLEX expression-lambda folds — was
+EMPTIED in r13: testGroupByWithExpressionAggregatorWithComplex and
+...ComplexOnSubquery are pinned now that the hyper_unique()/
+hyper_unique_add()/hyper_unique_estimate() expression family carries
+collector state (operators/expressions.py; the collector is the
+exact distinct set, so estimates pin approx against Druid's ~2%-error
+HLL, same tolerance as every hyperUnique pin here). WithArrays and
+ArrayMultiValue were UNSKIPPED in r12 once array_set_add gained
+sorted-set semantics and MV inputs fold per value.
+r10 ported the subquery family (12
 methods incl. sketch-state re-aggregation across the boundary),
 nested numeric/extraction inner queries (5), and the ordering/
 limit-spec family (9 incl. subtotal order-limits and the
-forceLimitPushDown pins). r12 ported 73 more (153/180): untyped
+forceLimitPushDown pins). r12 ported 73 more (to 153/180): untyped
 numeric dims render STRING, numeric decorations (regex/list filtered
 scalar specs with delegate form), nullable-numeric grouping, virtual
 column dims, merged having specs, extraction dim filters,
@@ -3520,3 +3524,66 @@ def test_groupby_expression_aggregator_array_multi_value(spark,
     assert by_alias[(D1, "automotive")] == ("a", "preferred")
     assert by_alias[(D1, "business")] == ("b", "preferred")
     assert by_alias[(D2, "travel")] == ("preferred", "t")
+
+
+UNIQUES_9 = 9.019833517963864  # QueryRunnerTestHelper.UNIQUES_9
+
+
+def test_groupby_expression_aggregator_with_complex(spark, testindex):
+    # testGroupByWithExpressionAggregatorWithComplex: folding
+    # hyperUnique COLLECTOR STATE inside the expression language —
+    # init hyper_unique(), fold hyper_unique_add(quality, __acc),
+    # finalize hyper_unique_estimate(o) — alongside the native
+    # cardinality aggregator; both estimate the 9 distinct qualities.
+    # Divergence note: the reference's HLL estimate is 9.0198..., our
+    # collector is the exact distinct set (estimate 9.0) and the
+    # cardinality agg is approx_count_distinct — approx pin, same
+    # tolerance as every other hyperUnique pin in this module.
+    q = gb([],
+           [{"type": "cardinality", "name": "car",
+             "fields": [{"type": "default", "dimension": "quality",
+                         "outputName": "quality"}], "byRow": False},
+            {"type": "expression", "name": "carExpr",
+             "fields": ["quality"],
+             "initialValue": "hyper_unique()",
+             "fold": "hyper_unique_add(quality, __acc)",
+             "combine": "hyper_unique_add(carExpr, __acc)",
+             "finalize": "hyper_unique_estimate(o)"}],
+           gran="all", intervals=FULL_ON)
+    got = compile_query(q, testindex).collect()
+    assert len(got) == 1
+    assert float(got[0]["car"]) == pytest.approx(UNIQUES_9, abs=0.05)
+    assert float(got[0]["carExpr"]) == pytest.approx(UNIQUES_9,
+                                                     abs=0.05)
+
+
+def test_groupby_expression_aggregator_with_complex_on_subquery(
+        spark, testindex):
+    # testGroupByWithExpressionAggregatorWithComplexOnSubquery: the
+    # same collector fold re-aggregating a (market, quality) inner
+    # groupBy — the 9 distinct qualities survive the subquery boundary
+    inner = gb([{"type": "default", "dimension": "market",
+                 "outputName": "market"},
+                {"type": "default", "dimension": "quality",
+                 "outputName": "quality"}],
+               [ROWS, {"type": "longSum", "name": "index",
+                       "fieldName": "index"}],
+               gran="all", intervals=FULL_ON)
+    q = {"queryType": "groupBy",
+         "dataSource": {"type": "query", "query": inner},
+         "granularity": "all", "intervals": FULL_ON,
+         "dimensions": [],
+         "aggregations": [
+             {"type": "cardinality", "name": "car",
+              "fields": [{"type": "default", "dimension": "quality",
+                          "outputName": "quality"}], "byRow": False},
+             {"type": "expression", "name": "carExpr",
+              "fields": ["quality"],
+              "initialValue": "hyper_unique()",
+              "fold": "hyper_unique_add(quality, __acc)",
+              "finalize": "hyper_unique_estimate(o)"}]}
+    got = compile_query(q, testindex).collect()
+    assert len(got) == 1
+    assert float(got[0]["car"]) == pytest.approx(UNIQUES_9, abs=0.05)
+    assert float(got[0]["carExpr"]) == pytest.approx(UNIQUES_9,
+                                                     abs=0.05)

@@ -7,11 +7,16 @@ Engine fixes driven by the port: a non-existent searchDimension
 contributes no hits (was an unresolved-column error), and searching
 __time stringifies epoch MILLIS (testSearchOnTime).
 
-24/27 ported. Skipped (3): testSearchHitSerDe (Jackson serde) and
+24/27 ported — SUITE CLOSED up to the policy wall. Skipped (3):
+testSearchHitSerDe (Jackson serde of the reference's wire class) and
 testSearchOnLongColumnWithExFn / FloatColumnWithExFn (javascript
 extraction fns — policy exclusion). testSearchWithCardinality closed
 in r12 as a multi-interval pin (the reference's two-segment merge
-sums to the single-pass counts).
+sums to the single-pass counts); r13 closed the dimension-list and
+multi-filter family (testSearchWithDimensionQuality,
+testSearchWithDimensionsQualityAndProvider,
+testSearchWithDimensionsPlacementAndProvider, testSearchMultiAndFilter,
+testSearchWithMultiOrFilter, testSearchWithEmptyResults).
 
 r12 closures: testSearchWithExtractionFilter1 (lookup extraction on
 both filter and searched dim), testSearchWithNullValueInDimension
@@ -322,3 +327,73 @@ def test_search_with_cardinality(spark, testindex):
         ("quality", "entertainment", 91),
         ("market", "total_market", 182), ("placementish", "a", 91),
         ("partial_null_column", "value", 182)}
+
+
+# -- r13 closures: the dimension-list and multi-filter family ---------------
+
+def test_search_with_dimension_quality(spark, testindex):
+    # testSearchWithDimensionQuality: restrict the sweep to one dim
+    q = search(CONTAINS_A, dims=["quality"])
+    assert hits(spark, testindex, q) == {
+        ("quality", "automotive", 93),
+        ("quality", "mezzanine", 279),
+        ("quality", "travel", 93),
+        ("quality", "health", 93),
+        ("quality", "entertainment", 93),
+    }
+
+
+def test_search_with_dimensions_quality_and_provider(spark, testindex):
+    # testSearchWithDimensionsQualityAndProvider
+    q = search(CONTAINS_A, dims=["quality", "market"])
+    assert hits(spark, testindex, q) == {
+        ("quality", "automotive", 93),
+        ("quality", "mezzanine", 279),
+        ("quality", "travel", 93),
+        ("quality", "health", 93),
+        ("quality", "entertainment", 93),
+        ("market", "total_market", 186),
+    }
+
+
+def test_search_with_dimensions_placement_and_provider(spark,
+                                                       testindex):
+    # testSearchWithDimensionsPlacementAndProvider: 'mark' only hits
+    # the market dim; placementish contributes nothing
+    q = search({"type": "insensitive_contains", "value": "mark"},
+               dims=["placementish", "market"])
+    assert hits(spark, testindex, q) == {
+        ("market", "total_market", 186),
+    }
+
+
+def test_search_multi_and_filter(spark, testindex):
+    # testSearchMultiAndFilter: AND of two selectors narrows the count
+    q = search(CONTAINS_A, dims=["quality"],
+               filt={"type": "and", "fields": [
+                   {"type": "selector", "dimension": "market",
+                    "value": "spot"},
+                   {"type": "selector", "dimension": "quality",
+                    "value": "automotive"}]})
+    assert hits(spark, testindex, q) == {
+        ("quality", "automotive", 93),
+    }
+
+
+def test_search_with_multi_or_filter(spark, testindex):
+    # testSearchWithMultiOrFilter
+    q = search(CONTAINS_A, dims=["quality"],
+               filt={"type": "or", "fields": [
+                   {"type": "selector", "dimension": "quality",
+                    "value": "total_market"},
+                   {"type": "selector", "dimension": "quality",
+                    "value": "automotive"}]})
+    assert hits(spark, testindex, q) == {
+        ("quality", "automotive", 93),
+    }
+
+
+def test_search_with_empty_results(spark, testindex):
+    # testSearchWithEmptyResults: no value contains 'abcd123'
+    q = search({"type": "insensitive_contains", "value": "abcd123"})
+    assert hits(spark, testindex, q) == set()

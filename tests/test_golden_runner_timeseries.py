@@ -8,22 +8,25 @@ estimates compare within 0.05 absolute (the reference pins its legacy
 HLL's 9.019833…; this engine's HLL++ answers 9.0 at that cardinality —
 same 2% error class, different sketch).
 
-52/58 methods ported (r12 closed the filter matrix, the filtered-agg
+53/58 methods ported (r12 closed the filter matrix, the filtered-agg
 family, min/max aggregators, first/last — deterministic since the
 cursor-order tie-break — interval-out-of-range zero rows, the
 expression-lambda legs, and cardinality over a concat() virtual
 column; NOT-filters over missing dims drove the null-safe native
-selector fix in operators/filters.py).
+selector fix in operators/filters.py. r13 closed testEmptyTimeseries,
+the testTimeseriesWithMultiValueDimFilterAndOr1/2 equivalence pairs,
+and testTimeseriesWithTimestampResultFieldContextForArrayResponse /
+ForMapResponse — the d0 column now sits right after __time per the
+toolchest signature).
 
-Skipped (6, with reason): testTimeseriesWithVaryingGranWithFilter
+Skipped (5, with reason): testTimeseriesWithVaryingGranWithFilter
 (expected computed by loop; its literal cousins are ported),
-testTimeseriesWithMultiValueFilteringJavascriptAggregator{,AndAlso
-RegularFilters} (javascript policy exclusion),
+testTimeseriesWithMultiValueFilteringJavascriptAggregator and
+testTimeseriesWithMultiValueFilteringJavascriptAggregatorAndAlso
+RegularFilters (javascript policy exclusion),
 testTimeseriesWithExpressionAggregatorTooBig (accumulator byte-limit
-contract of the native buffer impl),
-testTimeseriesWithTimestampResultFieldContextFor{Array,Map}Response
-(result-shape decorations; serialization is the /druid/v2 suite's
-job), and testTimeseriesCardinalityAggOnHyperUnique (the groupBy
+contract of the native buffer impl), and
+testTimeseriesCardinalityAggOnHyperUnique (the groupBy
 suite pins the COMPLEX-input contract)."""
 
 from __future__ import annotations
@@ -875,3 +878,125 @@ def test_timeseries_cardinality_agg_on_multi_string_expression(
     r = compile_query(q, testindex).first()
     assert r["rows"] == 26
     assert float(r["numVals"]) == pytest.approx(13.0, abs=0.6)
+
+
+# -- r13 closures: empty interval, MV-filter equivalence pairs, and the
+# timestampResultField result-shape contexts --------------------------------
+
+def test_empty_timeseries(spark, testindex):
+    # testEmptyTimeseries: an interval with no data still yields ONE
+    # all-granularity row — rows=0, doubleSum/doubleFirst SQL NULL.
+    # Divergence note: the reference stamps the row with the interval
+    # start (2020-04-02); this engine's all-granularity bucket
+    # timestamp is NULL by documented convention (compile_timeseries),
+    # so the pin checks the value contract, not the timestamp.
+    q = {"queryType": "timeseries", "dataSource": "testindex",
+         "granularity": "all",
+         "intervals": ["2020-04-02T00:00:00.000Z/2020-04-03"],
+         "aggregations": [
+             ROWS, IDX_DOUBLE,
+             {"type": "doubleFirst", "name": "first",
+              "fieldName": "index"}]}
+    got = compile_query(q, testindex).collect()
+    assert len(got) == 1
+    assert got[0]["rows"] == 0
+    assert got[0]["index"] is None
+    assert got[0]["first"] is None
+
+
+def _mv_equiv_pair(spark, testindex, filt1, filt2):
+    # the reference runs BOTH queries through the engine and asserts
+    # identical results — the MV selector on a placementish element
+    # must behave exactly like the equivalent scalar quality filter
+    base = {"queryType": "timeseries", "dataSource": "testindex",
+            "granularity": "day", "intervals": FIRST_TO_THIRD,
+            "aggregations": [ROWS, IDX_DOUBLE, UNIQUES],
+            "postAggregations": [ADD_RIC]}
+    got1 = run(spark, testindex, dict(base, filter=filt1))
+    got2 = run(spark, testindex, dict(base, filter=filt2))
+    assert got1 == got2 and len(got1) == 2
+
+
+def test_timeseries_with_multi_value_dim_filter_and_or1(spark,
+                                                        testindex):
+    # testTimeseriesWithMultiValueDimFilterAndOr1
+    _mv_equiv_pair(
+        spark, testindex,
+        {"type": "and", "fields": [
+            {"type": "selector", "dimension": "market", "value": "spot"},
+            {"type": "selector", "dimension": "placementish",
+             "value": "a"}]},
+        {"type": "and", "fields": [
+            {"type": "selector", "dimension": "market", "value": "spot"},
+            {"type": "selector", "dimension": "quality",
+             "value": "automotive"}]})
+
+
+def test_timeseries_with_multi_value_dim_filter_and_or2(spark,
+                                                        testindex):
+    # testTimeseriesWithMultiValueDimFilterAndOr2: the OR leg over the
+    # MV dim ('a' or 'b' placementish elements == automotive/business)
+    _mv_equiv_pair(
+        spark, testindex,
+        {"type": "and", "fields": [
+            {"type": "selector", "dimension": "market", "value": "spot"},
+            {"type": "or", "fields": [
+                {"type": "selector", "dimension": "placementish",
+                 "value": "a"},
+                {"type": "selector", "dimension": "placementish",
+                 "value": "b"}]}]},
+        {"type": "and", "fields": [
+            {"type": "selector", "dimension": "market", "value": "spot"},
+            {"type": "or", "fields": [
+                {"type": "selector", "dimension": "quality",
+                 "value": "automotive"},
+                {"type": "selector", "dimension": "quality",
+                 "value": "business"}]}]})
+
+
+def _ts_result_field_query():
+    return {"queryType": "timeseries", "dataSource": "testindex",
+            "granularity": "day",
+            "intervals": ["1970-01-01/2020-01-01"],
+            "aggregations": [ROWS, IDX_DOUBLE, UNIQUES],
+            "postAggregations": [ADD_RIC],
+            "context": {"timestampResultField": "d0",
+                        "skipEmptyBuckets": True}}
+
+
+def test_timeseries_timestamp_result_field_array_response(spark,
+                                                          testindex):
+    # testTimeseriesWithTimestampResultFieldContextForArrayResponse:
+    # the signature is (__time, d0, rows, index, uniques,
+    # addRowsIndexConstant) — TimeseriesQueryQueryToolChest.java:419
+    # places the timestamp result field right after __time — and every
+    # row carries d0 == the bucket's epoch millis; non-empty days have
+    # 13 rows and ~9 distinct qualities
+    df = compile_query(_ts_result_field_query(), testindex)
+    assert df.columns == ["__time", "d0", "rows", "index", "uniques",
+                          "addRowsIndexConstant"]
+    rows = df.orderBy("__time").collect()
+    assert rows[0]["__time"] == dt(2011, 1, 12)
+    assert rows[-1]["__time"] == dt(2011, 4, 15)
+    for r in rows:
+        assert r["d0"] == int(r["__time"].timestamp() * 1000)
+        assert r["rows"] == 13
+        assert float(r["uniques"]) == pytest.approx(UNIQUES_9, abs=0.05)
+        assert float(r["addRowsIndexConstant"]) == pytest.approx(
+            float(r["index"]) + 13 + 1, rel=1e-6)
+    # skipEmptyBuckets: the skipped day contributes NO row
+    assert dt(2011, 1, 21) not in {r["__time"] for r in rows}
+
+
+def test_timeseries_timestamp_result_field_map_response(spark,
+                                                        testindex):
+    # testTimeseriesWithTimestampResultFieldContextForMapResponse: the
+    # map rows carry the same d0 field; first/last timestamps bound
+    # the series exactly like the array response
+    rows = compile_query(_ts_result_field_query(), testindex) \
+        .orderBy("__time").collect()
+    as_maps = [r.asDict() for r in rows]
+    assert all("d0" in m for m in as_maps)
+    assert as_maps[0]["d0"] == int(dt(2011, 1, 12).timestamp() * 1000)
+    assert as_maps[-1]["d0"] == int(dt(2011, 4, 15).timestamp() * 1000)
+    assert len(as_maps) == len({m["d0"] for m in as_maps})

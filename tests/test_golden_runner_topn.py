@@ -11,7 +11,9 @@ segment + broker merge); this engine's TakeOrderedAndProject is exact
 — the documented strictly-better superset (PARITY §2.3) — so the
 literal pins hold identically.
 
-98/107 methods pinned by exact name. The 9 remaining are two
+96/107 methods pinned by exact name in test bodies (the count is the
+number of reference method names cited outside this docstring —
+verifiable by grep). The 11 remaining are two
 documented skip buckets: bySegment forms (testTopNBySegment,
 testTopNBySegmentResults — broker-internal result decoration) and
 javascript / anonymous-Java extraction fns (policy exclusion:
@@ -21,11 +23,10 @@ testTopNWithEmptyStringProducingDimExtractionFn,
 testTopNQueryCardinalityAggregatorWithExtractionFn,
 testFullOnTopNFloatColumnWithExFn, testFullOnTopNLongColumnWithExFn,
 testFullOnTopNLongTimeColumnWithExFn,
-testFullOnTopNDimExtractionAllNulls) — plus
-testExpressionAggregatorComplex, which folds hyperUnique sketch STATE
-inside the expression language (same bucket as the groupBy complex
-lambda skips). first/last topNs, the FastTopN optimization matrix,
-and testExpressionAggregator were all UNSKIPPED in r12.
+testFullOnTopNDimExtractionAllNulls). first/last topNs, the FastTopN
+optimization matrix, and testExpressionAggregator were UNSKIPPED in
+r12; testExpressionAggregatorComplex in r13 (the hyper_unique_*
+expression family now carries collector state).
 
 r12 ported 47 more (98/107): the previous-stop paging matrix incl.
 inverted and non-existing stops, nonexistent dims/filters, null and
@@ -1543,3 +1544,35 @@ def test_expression_aggregator(spark, testindex):
         186, pytest.approx(215679.82879638672, rel=1e-6),
         ("mezzanine", "premium"))
     assert got["upfront"][2] == ("mezzanine", "premium")
+
+
+def test_expression_aggregator_complex(spark, testindex):
+    # testExpressionAggregatorComplex (r13 unskip): topN sorted by a
+    # hyperUnique-collector expression fold — init hyper_unique(),
+    # fold hyper_unique_add(quality, __acc), finalize
+    # hyper_unique_estimate(o) — next to the native cardinality agg.
+    # Our collector is the exact distinct set (estimates 9.0/2.0 vs
+    # the reference HLL's 9.0198/2.0010) — approx pins, the module's
+    # standard hyperUnique tolerance.
+    q = {"queryType": "topN", "dataSource": "testindex",
+         "granularity": "all", "dimension": "market",
+         "metric": "carExpr", "threshold": 4, "intervals": FULL_ON,
+         "aggregations": [
+             {"type": "cardinality", "name": "car",
+              "fields": [{"type": "default", "dimension": "quality",
+                          "outputName": "quality"}], "byRow": False},
+             {"type": "expression", "name": "carExpr",
+              "fields": ["quality"],
+              "initialValue": "hyper_unique()",
+              "fold": "hyper_unique_add(quality, __acc)",
+              "combine": "hyper_unique_add(carExpr, __acc)",
+              "finalize": "hyper_unique_estimate(o)"}]}
+    rows = compile_query(q, testindex).collect()
+    got = [(r["market"], float(r["car"]), float(r["carExpr"]))
+           for r in rows]
+    assert [m for m, _, _ in got] == ["spot", "total_market", "upfront"]
+    assert got[0][1] == pytest.approx(UNIQUES_9, abs=0.05)
+    assert got[0][2] == pytest.approx(UNIQUES_9, abs=0.05)
+    for _, car, car_expr in got[1:]:
+        assert car == pytest.approx(UNIQUES_2, abs=0.05)
+        assert car_expr == pytest.approx(UNIQUES_2, abs=0.05)

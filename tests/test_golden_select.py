@@ -11,7 +11,12 @@ testExplainSelectConstantExpression (pin native-plan JSON text, not
 results; EXPLAIN PLAN FOR is covered in test_sql_surface),
 testSelectCurrentTimeAndDateLosAngeles (pins a frozen test clock),
 testSelectLimitWrappingAgainAka... (DATASOURCE5 lotsocolumns fixture;
-asserts a Calcite-planner quirk, not results).
+asserts a Calcite-planner quirk, not results), and
+testSelectConstantExpressionEquivalentToInfinity (pins the CALCITE
+PLANNER's rejection of a constant-folded '-Infinity' literal; Spark
+returns the IEEE value — documented divergence, arguably the better
+behavior, and the runtime Infinity semantics are pinned elsewhere in
+this module).
 
 DOCUMENTED DIVERGENCES (each noted inline): IEEE division by zero
 (Spark SQL yields NULL where Calcite folds to ±Infinity/NaN), inner
@@ -419,6 +424,16 @@ def test_select_single_column_limit_descending(spark, reg):
     assert rows(spark, reg,
                 "SELECT dim1 FROM druid.foo ORDER BY __time DESC "
                 "LIMIT 2") == [("abc",), ("def",)]
+
+
+def test_select_projection_inner_outer_limit_descending(spark, reg):
+    # testSelectProjectionFromSelectSingleColumnWithInnerAndOuterLimit
+    # Descending: the concat projection rides over the inner DESC
+    # LIMIT 4; the outer LIMIT 2 keeps the two latest rows
+    assert rows(spark, reg,
+                "SELECT 'beep ' || dim1 FROM (SELECT dim1 FROM "
+                "druid.foo ORDER BY __time DESC LIMIT 4) LIMIT 2"
+                ) == [("beep abc",), ("beep def",)]
 
 
 def test_select_star_from_subquery_inner_sort(spark, reg):

@@ -113,7 +113,11 @@ def test_groupby_virtual_column(foo, registry):
          "aggregations": [{"type": "count", "name": "rows"}]}
     rows = compile_query(q, registry).collect()
     vals = {r["m1bucket"]: r["rows"] for r in rows}
-    assert vals[0.0] == 2 and vals[1.0] == 3 and vals[2.0] == 1
+    # an UNTYPED dim spec over the numeric virtual column renders
+    # STRING (DefaultDimensionSpec's single-arg STRING default — the
+    # r13 bare-string normalization applies it to shorthand specs
+    # too; this engine's floor() yields LONG, so no '.0' suffix)
+    assert vals["0"] == 2 and vals["1"] == 3 and vals["2"] == 1
 
 
 def test_groupby_extraction_dimension(foo, registry):
