@@ -1277,12 +1277,20 @@ def compile_time_boundary(q: dict, registry: DatasourceRegistry) -> DataFrame:
         return one.select(_ts(lo).alias("minTime"),
                           _ts(hi).alias("maxTime"))
     df = _base_frame(q, registry)
+    # no matching rows -> NO result (the reference's merge drops
+    # null boundaries: TimeBoundaryQueryRunnerTest
+    # testFilteredTimeBoundaryQueryNoMatches expects zero results,
+    # testMergeResultsEmptyResults merges to empty) — a null bound
+    # means the filtered scan was empty, so the row is filtered out
     if bound == "minTime":
-        return df.agg(F.min(TIME_COLUMN).alias("minTime"))
+        out = df.agg(F.min(TIME_COLUMN).alias("minTime"))
+        return out.where(F.col("minTime").isNotNull())
     if bound == "maxTime":
-        return df.agg(F.max(TIME_COLUMN).alias("maxTime"))
-    return df.agg(F.min(TIME_COLUMN).alias("minTime"),
-                  F.max(TIME_COLUMN).alias("maxTime"))
+        out = df.agg(F.max(TIME_COLUMN).alias("maxTime"))
+        return out.where(F.col("maxTime").isNotNull())
+    out = df.agg(F.min(TIME_COLUMN).alias("minTime"),
+                 F.max(TIME_COLUMN).alias("maxTime"))
+    return out.where(F.col("minTime").isNotNull())
 
 
 def compile_datasource_metadata(q: dict, registry: DatasourceRegistry) -> DataFrame:
