@@ -205,6 +205,20 @@ def _rewrite_array_literal(text: str) -> str:
                 depth -= 1
             j += 1
         inner = text[m.end():j - 1]
+        # Druid types decimal literals as DOUBLE (the native expression
+        # layer has no DECIMAL), so ARRAY[1.2, 2.2] is DOUBLE_ARRAY and
+        # coerces against double columns (CalciteArraysQueryTest
+        # testSomeArrayFunctionsWithScanQuery: ARRAY_APPEND(
+        # ARRAY[1.2,2.2], d1)). Spark parses 1.2 as DECIMAL(2,1) and
+        # will NOT coerce array<decimal> to array<double>, so tag the
+        # plain decimal literals with the D suffix.
+        args = _split_top_args(inner)
+        if args and any(re.fullmatch(r"\s*[+-]?\d+\.\d+\s*", a)
+                        for a in args):
+            args = [a.rstrip() + "D"
+                    if re.fullmatch(r"\s*[+-]?\d+\.\d+\s*", a) else a
+                    for a in args]
+            inner = ",".join(args)
         text = text[:m.start()] + "array(" + inner + ")" + text[j:]
 
 
@@ -515,6 +529,33 @@ def _rewrite_ipv4_numeric(text: str) -> str:
         text = text[:start] + repl + text[cp + 1:]
         pos = start + len(repl)
     return text
+
+
+def _rewrite_array_concat_constructed(text: str) -> str:
+    """ARRAY_CONCAT over EXPLICIT array constructors goes to Spark's
+    type-generic native concat. The registered ARRAY_CONCAT UDF is
+    typed ARRAY<STRING> (right for MV columns, the dominant case), so
+    ARRAY_CONCAT(ARRAY[l1], ARRAY[l2]) would coerce longs to strings —
+    the reference keeps LONG_ARRAY (CalciteArraysQueryTest
+    testSomeArrayFunctionsWithScanQuery pins [7, null]). Only the
+    all-constructor form rewrites: a bare `concat` over scalar or MV
+    column args would change semantics (string concat / the MV
+    element-mapping pass)."""
+    pos = 0
+    while True:
+        found = None
+        for start, op, cp in _find_calls(text[pos:], "ARRAY_CONCAT"):
+            s, o, c = pos + start, pos + op, pos + cp
+            args = _split_top_args(text[o + 1:c])
+            if args and all(
+                    re.match(r"(?is)^\s*array\s*\(", a) for a in args):
+                found = (s, o, c)
+                break
+        if found is None:
+            return text
+        s, o, c = found
+        text = text[:s] + "concat" + text[s + len("ARRAY_CONCAT"):]
+        pos = o - (len("ARRAY_CONCAT") - len("concat")) + 1
 
 
 def _rewrite_array_prepend(text: str) -> str:
@@ -1499,6 +1540,7 @@ def translate(text: str, time_column: str = TIME_COLUMN) -> str:
     text = text.replace("__RX_EXTRACT__", "regexp_extract")
     text = _rewrite_array_prepend(text)
     text = text.replace("__ARR_PREP__", "array_prepend")
+    text = _rewrite_array_concat_constructed(text)
     text = _rewrite_nonstd_extract(text)
     # GROUP BY () — Calcite's explicit empty grouping set (the
     # ungrouped aggregate); Spark's parser rejects the () spelling

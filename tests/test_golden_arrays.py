@@ -11,6 +11,18 @@ cast and likewise groups as arrays.
 
 Fixture is post-ingest like test_golden_mv: Druid ingests an empty MV
 row ([]) as null, so dim2 row 2/6 and dim3 rows 5/6 are None here.
+
+Enumerated remainder (2, with reason):
+- testSelectNonConstantArrayExpressionFromTableForMultival runs under
+  ExpressionProcessing.initializeForTests(true) — a global legacy
+  nested-array test mode — and pins the STRING rendering of nested
+  arrays ("[[\"aword\",\"up\"]]"); this engine's arrays are native and
+  nest without a mode switch.
+- testArrayAggArraysNoNest is @Test(expected): the reference CANNOT
+  ARRAY_AGG arrays-of-arrays and pins the refusal; Spark aggregates
+  nested arrays natively, so the same SQL succeeds here — a documented
+  lenient superset, pinned by test_array_agg_arrays below if present
+  and by the ARRAY_AGG family generally.
 """
 
 from __future__ import annotations
@@ -33,17 +45,21 @@ SCHEMA = T.StructType([
     T.StructField("d1", T.DoubleType()),
     T.StructField("f1", T.FloatType()),
     T.StructField("l2", T.LongType()),
+    T.StructField("d2", T.DoubleType()),
 ])
 
 ROWS = [
-    (datetime(2000, 1, 1), "", ["a"], ["a", "b"], 1, 7, 1.0, 1.0, None),
-    (datetime(2000, 1, 2), "10.1", None, ["b", "c"], 1, 325323, 1.7, 0.1,
-     325323),
-    (datetime(2000, 1, 3), "2", [""], ["d"], 1, 0, 0.0, 0.0, 0),
-    (datetime(2001, 1, 1), "1", ["a"], [""], 1, None, None, None, None),
-    (datetime(2001, 1, 2), "def", ["abc"], None, 1, None, None, None,
+    (datetime(2000, 1, 1), "", ["a"], ["a", "b"], 1, 7, 1.0, 1.0, None,
      None),
-    (datetime(2001, 1, 3), "abc", None, None, 1, None, None, None, None),
+    (datetime(2000, 1, 2), "10.1", None, ["b", "c"], 1, 325323, 1.7, 0.1,
+     325323, 1.7),
+    (datetime(2000, 1, 3), "2", [""], ["d"], 1, 0, 0.0, 0.0, 0, 0.0),
+    (datetime(2001, 1, 1), "1", ["a"], [""], 1, None, None, None, None,
+     None),
+    (datetime(2001, 1, 2), "def", ["abc"], None, 1, None, None, None,
+     None, None),
+    (datetime(2001, 1, 3), "abc", None, None, 1, None, None, None, None,
+     None),
 ]
 
 
@@ -542,3 +558,63 @@ def test_array_agg_group_by_array_contains_subquery(spark, reg):
     """, reg).collect()
     assert sorted(((r.dim2, r.c) for r in out), key=str) \
         == sorted([(None, 2), ("", 1), ("a", 2), ("abc", 1)], key=str)
+
+
+def test_some_array_functions_with_scan_query(spark, reg):
+    # testSomeArrayFunctionsWithScanQuery AND
+    # testSomeArrayFunctionsWithScanQueryNoStringify: one scan
+    # row sweeping the ARRAY_* construction surface. The reference's
+    # default branch stringifies array outputs ("arrays are in a
+    # partial state of existence"); this engine's arrays are native
+    # end-to-end, so the NoStringify expectations are THE behavior and
+    # the stringify variant has nothing separate to pin.
+    out = druid_sql(spark, """
+        SELECT
+         dim1, dim2, dim3, l1, l2, d1, d2,
+         ARRAY['a', 'b', 'c'] AS c1,
+         ARRAY[1,2,3] AS c2,
+         ARRAY[1.9, 2.2, 4.3] AS c3,
+         ARRAY_APPEND(dim3, 'foo') AS c4,
+         ARRAY_PREPEND('foo', ARRAY[MV_OFFSET(dim2, 0)]) AS c5,
+         ARRAY_APPEND(ARRAY[1,2], l1) AS c6,
+         ARRAY_PREPEND(l2, ARRAY[1,2]) AS c7,
+         ARRAY_APPEND(ARRAY[1.2,2.2], d1) AS c8,
+         ARRAY_PREPEND(d2, ARRAY[1.1,2.2]) AS c9,
+         ARRAY_CONCAT(dim2, dim3) AS c10,
+         ARRAY_CONCAT(ARRAY[l1], ARRAY[l2]) AS c11,
+         ARRAY_CONCAT(ARRAY[d1], ARRAY[d2]) AS c12,
+         ARRAY_OFFSET(ARRAY[l1], 0) AS c13,
+         ARRAY_OFFSET(ARRAY[d1], 0) AS c14,
+         ARRAY_ORDINAL(ARRAY[l1], 1) AS c15,
+         ARRAY_ORDINAL(ARRAY[d1], 1) AS c16
+        FROM druid.numfoo
+        WHERE dim1 = '' LIMIT 1
+    """, reg).collect()
+    assert len(out) == 1
+    r = out[0]
+    # scalars (SQL-null branch of the reference's expectations)
+    assert (r["dim1"], r["l1"], r["l2"]) == ("", 7, None)
+    assert float(r["d1"]) == 1.0 and r["d2"] is None
+    # dim2's single-value MV presents as its element in the reference;
+    # the stored column here is the raw array
+    assert list(r["dim2"]) == ["a"] and list(r["dim3"]) == ["a", "b"]
+    assert list(r["c1"]) == ["a", "b", "c"]
+    assert list(r["c2"]) == [1, 2, 3]
+    assert [float(x) for x in r["c3"]] == [1.9, 2.2, 4.3]
+    assert list(r["c4"]) == ["a", "b", "foo"]
+    # the reference's ARRAY[dim2] reads the single-value MV row as its
+    # scalar ("a"); this fixture stores dim2 as a real array, so the
+    # element is addressed explicitly (same value, same output)
+    assert list(r["c5"]) == ["foo", "a"]
+    assert list(r["c6"]) == [1, 2, 7]
+    assert list(r["c7"]) == [None, 1, 2]
+    assert [x if x is None else float(x) for x in r["c8"]] == \
+        [1.2, 2.2, 1.0]
+    assert [x if x is None else float(x) for x in r["c9"]] == \
+        [None, 1.1, 2.2]
+    assert list(r["c10"]) == ["a", "a", "b"]
+    assert list(r["c11"]) == [7, None]
+    assert [x if x is None else float(x) for x in r["c12"]] == \
+        [1.0, None]
+    assert r["c13"] == 7 and float(r["c14"]) == 1.0
+    assert r["c15"] == 7 and float(r["c16"]) == 1.0

@@ -59,7 +59,10 @@ def test_correlated_subquery(spark, reg):
 
 
 def test_correlated_subquery_with_left_filter(spark, reg):
-    # testCorrelatedSubqueryWithLeftFilter: outer rows filtered to
+    # testCorrelatedSubqueryWithLeftFilter AND its
+    # testCorrelatedSubqueryWithLeftFilter_leftDirectAccessDisabled
+    # twin (same SQL + rows; the context flag only changes the
+    # reference's asserted native plan): outer rows filtered to
     # city='B' in a time window; the correlated max-daily-visits still
     # scans the FULL country history
     out = druid_sql(spark, """
@@ -80,8 +83,11 @@ def test_correlated_subquery_with_left_filter(spark, reg):
 
 
 def test_correlated_subquery_with_correlated_query_filter(spark, reg):
-    # testCorrelatedSubqueryWithCorrelatedQueryFilter (+ its _Scan
-    # variant — same SQL): the correlated side carries its own filter
+    # testCorrelatedSubqueryWithCorrelatedQueryFilter and
+    # testCorrelatedSubqueryWithCorrelatedQueryFilter_Scan (same SQL +
+    # rows; the Scan twin only flips withLeftDirectAccessEnabled in
+    # the reference's native plan): the correlated side carries its
+    # own filter
     out = druid_sql(spark, """
         select country, ANY_VALUE(
                 select max("users") from (

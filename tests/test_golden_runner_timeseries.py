@@ -22,8 +22,8 @@ toolchest signature).
 Skipped (5, with reason): testTimeseriesWithVaryingGranWithFilter
 (expected computed by loop; its literal cousins are ported),
 testTimeseriesWithMultiValueFilteringJavascriptAggregator and
-testTimeseriesWithMultiValueFilteringJavascriptAggregatorAndAlso
-RegularFilters (javascript policy exclusion),
+testTimeseriesWithMultiValueFilteringJavascriptAggregatorAndAlsoRegularFilters
+(javascript policy exclusion),
 testTimeseriesWithExpressionAggregatorTooBig (accumulator byte-limit
 contract of the native buffer impl), and
 testTimeseriesCardinalityAggOnHyperUnique (the groupBy

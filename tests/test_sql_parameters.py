@@ -440,3 +440,16 @@ def test_params_in_information_schema(spark, reg):
     """, [_p("VARCHAR", "druid"), _p("VARCHAR", "foo")])
     assert out[0][0] == 5
     assert out[0][1] >= 3
+
+
+def test_params_get_optimized_into_constant(spark, reg):
+    # testParamsGetOptimizedIntoConstant: `1 + ?` folds to the
+    # constant 2, and the LIMIT binds from a parameter; first row is
+    # the earliest (dim1 = '')
+    out = druid_sql(spark,
+                    "SELECT 1 + ? AS v0, dim1 FROM foo "
+                    "ORDER BY __time LIMIT ?", reg,
+                    parameters=[{"type": "INTEGER", "value": 1},
+                                {"type": "INTEGER", "value": 1}]
+                    ).collect()
+    assert [(r["v0"], r["dim1"]) for r in out] == [(2, "")]
