@@ -185,12 +185,31 @@ def druid_sql_insert(spark: SparkSession, text: str, registry,
     select, _ = _extern_df(spark, spec["select"])
     out = druid_sql(spark, select, registry)
     if TIME_COLUMN not in out.columns:
-        raise ValueError(
-            "INSERT requires a __time column in the SELECT "
-            "(DruidPlanner.java:151-152 validation)")
+        if str(spec["granularity"]).lower() == "all":
+            # PARTITIONED BY ALL TIME permits a __time-less SELECT —
+            # everything lands in the eternal chunk and __time
+            # defaults to epoch 0 (CalciteInsertDmlTest
+            # testInsertFromView inserts a one-string-column view;
+            # MSQ fills 1970-01-01 for the missing timestamp)
+            out = out.select(
+                F.lit("1970-01-01 00:00:00").cast("timestamp")
+                .alias(TIME_COLUMN), "*")
+        else:
+            raise ValueError(
+                "INSERT requires a __time column in the SELECT "
+                "(DruidPlanner.java:151-152 validation)")
     out = out.withColumn(TIME_COLUMN, F.col(TIME_COLUMN).cast("timestamp"))
     if spec["clustered_by"]:
-        out = out.repartitionByRange(*[F.col(c) for c in spec["clustered_by"]])
+        # CLUSTERED BY accepts output-column ORDINALS
+        # (testInsertWithPartitionedByAndClusteredBy: CLUSTERED BY
+        # 2, dim1 — DruidSqlInsert resolves 2 to the second SELECT
+        # output, like ORDER BY ordinals)
+        cols = []
+        for c in spec["clustered_by"]:
+            s = str(c).strip()
+            cols.append(F.col(out.columns[int(s) - 1] if s.isdigit()
+                              else c))
+        out = out.repartitionByRange(*cols)
     path = f"{base_path}/{spec['target']}"
     # DruidSqlInsert semantics: INSERT *appends* segments to the
     # datasource; REPLACE overwrites — and only the touched

@@ -20,8 +20,13 @@ from apache_druid_spark.sql.insert import (druid_sql_insert, parse_insert,
 def ins_reg(spark):
     r = DatasourceRegistry(spark)
     r.register("foo", spark.createDataFrame(
-        [(datetime(2000, 1, 1), "x", 1.0)],
+        [(datetime(2000, 1, 1), "xy", 1.0),
+         (datetime(2000, 1, 2), "ab", 2.0)],
         "__time timestamp, dim1 string, m1 double"))
+    r.register_view(
+        "aview",
+        "SELECT SUBSTRING(dim1, 1, 1) AS dim1_firstchar FROM foo "
+        "WHERE dim1 = 'ab'")
     return r
 
 
@@ -115,7 +120,7 @@ def test_insert_happy_path_still_works(spark, ins_reg, tmp_path):
     # validation
     out = _run(spark, ins_reg, tmp_path,
                "INSERT INTO dst SELECT * FROM foo PARTITIONED BY DAY")
-    assert out.count() == 1
+    assert out.count() == 2
 
 
 def test_insert_with_limit_offset_allowed(spark, ins_reg, tmp_path):
@@ -124,9 +129,63 @@ def test_insert_with_limit_offset_allowed(spark, ins_reg, tmp_path):
     out = _run(spark, ins_reg, tmp_path,
                "INSERT INTO dst2 SELECT __time, dim1 FROM foo "
                "LIMIT 10 PARTITIONED BY DAY")
-    assert out.count() == 1
+    assert out.count() == 2
 
 
 def test_validate_noop_for_select():
     # non-INSERT text passes through untouched
     validate_insert("SELECT * FROM foo ORDER BY 1")
+
+
+def test_insert_from_view(spark, ins_reg, tmp_path):
+    # testInsertFromView: the SELECT reads a registered view and has
+    # NO __time — legal under PARTITIONED BY ALL TIME (the target
+    # signature in the reference is just dim1_firstchar; the missing
+    # timestamp defaults to epoch 0)
+    out = _run(spark, ins_reg, tmp_path,
+               "INSERT INTO dst_v SELECT * FROM view.aview "
+               "PARTITIONED BY ALL TIME")
+    rows = out.collect()
+    assert [(r["dim1_firstchar"]) for r in rows] == ["a"]
+    assert rows[0]["__time"] == datetime(1970, 1, 1)
+
+
+def test_insert_into_existing_table(spark, ins_reg, tmp_path):
+    # testInsertIntoExistingTable: INSERT appends to a datasource that
+    # already exists (here: the registered source itself)
+    first = _run(spark, ins_reg, tmp_path,
+                 "INSERT INTO dst_e SELECT * FROM foo "
+                 "PARTITIONED BY ALL TIME")
+    assert first.count() == 2
+    again = _run(spark, ins_reg, tmp_path,
+                 "INSERT INTO dst_e SELECT * FROM foo "
+                 "PARTITIONED BY ALL TIME")
+    assert again.count() == 4    # INSERT semantics append
+
+
+def test_insert_with_partitioned_by_and_clustered_by(spark, ins_reg,
+                                                     tmp_path):
+    # testInsertWithPartitionedByAndClusteredBy: CLUSTERED BY resolves
+    # output-column ORDINALS (2 -> floor_m1) alongside names
+    out = _run(spark, ins_reg, tmp_path,
+               "INSERT INTO dst_c SELECT __time, FLOOR(m1) AS floor_m1,"
+               " dim1 FROM foo PARTITIONED BY DAY CLUSTERED BY 2, dim1")
+    got = sorted((float(r["floor_m1"]), r["dim1"])
+                 for r in out.collect())
+    assert got == [(1.0, "xy"), (2.0, "ab")]
+
+
+# Enumerated remainder of CalciteInsertDmlTest (with reason):
+# - testInsertFromUnauthorizedDataSource,
+#   testInsertIntoUnauthorizedDataSource, testInsertFromExternalUnauthorized,
+#   testExplainInsertFromExternalUnauthorized: authorization-layer
+#   contracts (Druid's Resource/Action ACLs) — out of scope per
+#   SURVEY, same bucket as testSelectStarOnForbiddenTable.
+# - testInsertWithInvalidSelectStatement pins Calcite's parser
+#   rejecting `added as count` (COUNT is reserved in Calcite); Spark's
+#   parser accepts `count` as an alias, so there is no equivalent
+#   parse failure to pin — documented lenient divergence.
+# - testExplainInsertFromExternal pins the native-plan JSON of an
+#   EXPLAIN on INSERT, same bucket as testExplainSelectStar.
+# testInsertFromExternal{,ProjectSort,Aggregate,AggregateAll} are
+# pinned in tests/test_sql_insert.py (the EXTERN end-to-end family).

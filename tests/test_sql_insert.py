@@ -75,3 +75,55 @@ def test_insert_into_qualified_druid_table(spark, tmp_path):
         reg, str(tmp_path))
     assert out.count() == 1
     assert reg.table("qualified_dst").count() == 1
+
+
+def _extern_xyz():
+    # the reference's externalDataSource: columns x(string), y(string),
+    # z(long) over an inline source (CalciteInsertDmlTest:96-110)
+    inline = ('{"type": "inline", "data": "x,y,z\\n'
+              'a,aa,1\\nb,bb,2\\na,aa,3\\n"}')
+    fmt = '{"type": "csv", "findColumnsFromHeader": true}'
+    sig = ('[{"name": "x", "type": "string"}, '
+           '{"name": "y", "type": "string"}, '
+           '{"name": "z", "type": "long"}]')
+    return f"TABLE(EXTERN('{inline}', '{fmt}', '{sig}'))"
+
+
+def test_insert_from_external(spark, tmp_path):
+    # testInsertFromExternal: SELECT * from the EXTERN source under
+    # PARTITIONED BY ALL TIME (no __time in the source — epoch 0)
+    reg = DatasourceRegistry(spark)
+    out = druid_sql_insert(
+        spark, f"INSERT INTO dst SELECT * FROM {_extern_xyz()} "
+               "PARTITIONED BY ALL TIME", reg, str(tmp_path))
+    assert sorted((r["x"], r["y"], r["z"]) for r in out.collect()) == [
+        ("a", "aa", 1), ("a", "aa", 3), ("b", "bb", 2)]
+
+
+def test_insert_from_external_project_sort(spark, tmp_path):
+    # testInsertFromExternalProjectSort: projection + CLUSTERED BY
+    # ordinals over the EXTERN source
+    reg = DatasourceRegistry(spark)
+    out = druid_sql_insert(
+        spark, f"INSERT INTO dst SELECT x || y AS xy, z FROM "
+               f"{_extern_xyz()} PARTITIONED BY ALL TIME "
+               "CLUSTERED BY 1, 2", reg, str(tmp_path))
+    assert sorted((r["xy"], r["z"]) for r in out.collect()) == [
+        ("aaa", 1), ("aaa", 3), ("bbb", 2)]
+
+
+def test_insert_from_external_aggregate(spark, tmp_path):
+    # testInsertFromExternalAggregate (rollup) and
+    # testInsertFromExternalAggregateAll (the GROUP BY () variant)
+    reg = DatasourceRegistry(spark)
+    out = druid_sql_insert(
+        spark, f"INSERT INTO dst SELECT x, SUM(z) AS sum_z, "
+               f"COUNT(*) AS cnt FROM {_extern_xyz()} GROUP BY 1 "
+               "PARTITIONED BY ALL TIME", reg, str(tmp_path))
+    assert sorted((r["x"], r["sum_z"], r["cnt"])
+                  for r in out.collect()) == [("a", 4, 2), ("b", 2, 1)]
+    out2 = druid_sql_insert(
+        spark, f"INSERT INTO dst2 SELECT COUNT(*) AS cnt FROM "
+               f"{_extern_xyz()} PARTITIONED BY ALL TIME",
+        reg, str(tmp_path))
+    assert [r["cnt"] for r in out2.collect()] == [3]
