@@ -296,3 +296,63 @@ def test_groupby_equals_timeseries(spark, testindex, aggs):
                 assert va == pytest.approx(vb, rel=1e-6)
             else:
                 assert va == vb
+
+
+# -- MultiSegmentScanQueryTest.java (.../query/scan/, 2 methods): scan
+# merge across segments under limit+offset. Ported as the merged-
+# results contract over a PUBLISHED two-segment datasource (real
+# __segment partition directories via write_segments — the merge the
+# reference simulates with two historicals is Spark's cross-partition
+# scan here). The batchSize axis of the reference's parameter matrix
+# is result-envelope chunking, pinned separately by
+# scan_result_envelope (sql/results.py). -----------------------------------
+
+@pytest.fixture(scope="module")
+def two_segment_reg(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+    from apache_druid_spark.ingest.batch import write_segments
+    rows = [(f"2011-01-{12 + i // 7:02d}T{i % 7:02d}:00:00", f"v{i}")
+            for i in range(13)]   # 7 rows on day 1, 6 on day 2
+    df = spark.createDataFrame(rows, "ts string, val string").select(
+        F.col("ts").cast("timestamp").alias("__time"), "val")
+    path = str(tmp_path_factory.mktemp("seg") / "multiseg")
+    write_segments(df, path, segment_granularity="day")
+    reg = DatasourceRegistry(spark)
+    reg.register_published("multiseg", path, "day")
+    return reg
+
+
+@pytest.mark.parametrize("limit", [0, 1, 3, 7, 10, 20, 1000])
+@pytest.mark.parametrize("offset", [0, 1, 3, 5, 7, 10, 20, 200])
+def test_merge_results_with_limit_and_offset(spark, two_segment_reg,
+                                             limit, offset):
+    # testMergeResultsWithLimitAndOffset (and the runner-level
+    # testMergeRunnersWithLimitAndOffset, whose contract is the
+    # limit!=0 ? min(limit, total) : total row count): the merged
+    # scan across both segments honors offset then limit; limit 0
+    # means unlimited (ScanQuery.isLimited)
+    q = {"queryType": "scan", "dataSource": "multiseg",
+         "intervals": ["2011-01-12/2011-01-14"],
+         "columns": ["__time", "val"],
+         "limit": limit, "offset": offset}
+    n = compile_query(q, two_segment_reg).count()
+    remaining = max(0, 13 - offset)
+    expect = remaining if limit == 0 else min(limit, remaining)
+    assert n == expect
+
+
+# -- DataSourceMetadataQueryTest.java (.../query/datasourcemetadata/):
+# the value contract, testMaxIngestedEventTime. The serde methods
+# (testQuerySerialization/ContextSerde/ResultSerialization/
+# ResultDeserialization) pin Jackson wire classes, and
+# testFilterSegments/testFilterOverlappingSegments pin the broker's
+# timeline-walk internals — both out of scope for a Spark engine
+# (the interval->partition pruning equivalent is plan-asserted in
+# test_plan_shapes). ---------------------------------------------------------
+
+def test_max_ingested_event_time(spark, two_segment_reg):
+    # testMaxIngestedEventTime: the latest __time across all segments
+    q = {"queryType": "dataSourceMetadata", "dataSource": "multiseg"}
+    got = compile_query(q, two_segment_reg).collect()
+    assert len(got) == 1
+    assert got[0]["maxIngestedEventTime"] == datetime(2011, 1, 13, 5)
