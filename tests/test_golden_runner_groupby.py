@@ -7,22 +7,35 @@ comparison per TestHelper.assertRow (1e-6 relative).
 
 155/180 methods are pinned by exact name. The 25 remaining are
 testLimitPerGrouping (@Ignore upstream) plus four documented skip
-buckets: (1) groupBy-v2 engine-internal
-context overrides — spilling/merge-buffer/timeout/max-on-disk
-(testGroupByMaxRowsLimit/Timeout/MaxOnDiskStorage,
-testNotEnoughDictionarySpace/DiskSpace, testSubqueryWithOuterMaxOnDisk
-Storage, testSubqueryWithContextTimeout); (2) bySegment decorations
-(testBySegmentResults*, 4); (3) javascript extraction fns/aggregators
-(testGroupByLong/LongTime/FloatColumnWithExFn, testGroupByCardinality
-AggWithExtractionFn, testDimFilterHavingSpecWithExtractionFns,
-testSubqueryWithOuterDim/OuterJavascriptAggregators,
-testGroupByTimeExtractionWithNulls — anonymous Java fn); (4) the
-vectorization-dependent error pins whose NON-vectorized branch
-expects a JDK-specific class-cast (testNumericDimAsStringArray
-WithoutExpression, testMultiValueVirtualDimAsString,
+buckets, every member listed by exact name:
+(1) groupBy-v2 engine-internal context overrides —
+spilling/merge-buffer/timeout/max-on-disk
+(testGroupByMaxRowsLimitContextOverride,
+testGroupByTimeoutContextOverride,
+testGroupByMaxOnDiskStorageContextOverride,
+testNotEnoughDictionarySpaceThroughContextOverride,
+testNotEnoughDiskSpaceThroughContextOverride,
+testSubqueryWithOuterMaxOnDiskStorageContextOverride,
+testSubqueryWithContextTimeout);
+(2) bySegment decorations (testBySegmentResults,
+testBySegmentResultsUnOptimizedDimextraction,
+testBySegmentResultsOptimizedDimextraction,
+testBySegmentResultsWithAllFiltersWithExtractionFns);
+(3) javascript extraction fns/aggregators (testGroupByLongColumnWithExFn,
+testGroupByLongTimeColumnWithExFn, testGroupByFloatColumnWithExFn,
+testGroupByCardinalityAggWithExtractionFn,
+testDimFilterHavingSpecWithExtractionFns,
+testSubqueryWithOuterDimJavascriptAggregators,
+testSubqueryWithOuterJavascriptAggregators,
+testGroupByTimeExtractionWithNulls — anonymous Java fn);
+(4) the vectorization-dependent error pins whose NON-vectorized
+branch expects a JDK-specific class-cast
+(testNumericDimAsStringArrayWithoutExpression,
+testMultiValueVirtualDimAsString,
 testExtractionStringArraySpecWithMultiValueVirtualDimAsInput,
-testVirtualColumnNumericTypeAsStringArray, testGroupByFloatMin
-ExpressionVsVirtualColumnWithNonFloatInput.../WithExplicitString...).
+testVirtualColumnNumericTypeAsStringArray,
+testGroupByFloatMinExpressionVsVirtualColumnWithNonFloatInputButMatchingVirtualColumnType,
+testGroupByFloatMinExpressionVsVirtualColumnWithExplicitStringVirtualColumnTypedInput).
 The former bucket (5) — sketch-COMPLEX expression-lambda folds — was
 EMPTIED in r13: testGroupByWithExpressionAggregatorWithComplex and
 ...ComplexOnSubquery are pinned now that the hyper_unique()/

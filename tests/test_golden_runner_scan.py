@@ -273,7 +273,8 @@ def test_scan_descending_list_format_limits(spark, testindex):
 
 
 def test_scan_ascending_compacted_list_format_limits(spark, testindex):
-    # ...AscendingTimeOrderingCompactedListFormat: same contract, rows
+    # testFullOnSelectWithFilterLimitAndAscendingTimeOrderingCompactedListFormat:
+    # same contract, rows
     # as arrays in columns order
     for limit in (3, 1, 5, 7, 0):
         vals = scan_result_values(
@@ -284,7 +285,7 @@ def test_scan_ascending_compacted_list_format_limits(spark, testindex):
 
 
 def test_scan_descending_compacted_list_format_limits(spark, testindex):
-    # ...DescendingTimeOrderingCompactedListFormat
+    # testFullOnSelectWithFilterLimitAndDescendingTimeOrderingCompactedListFormat
     for limit in (3, 1, 5, 7, 0):
         vals = scan_result_values(
             _spot_scan("descending", limit, fmt="compactedList"),

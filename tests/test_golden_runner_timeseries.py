@@ -497,7 +497,8 @@ def test_timeseries_no_aggregators(spark, testindex):
 
 
 def test_time_boundary_bounds(spark, testindex):
-    # TimeBoundaryQueryRunnerTest.testTimeBoundaryMax / Min: a bound
+    # TimeBoundaryQueryRunnerTest.testTimeBoundaryMax /
+    # testTimeBoundaryMin: a bound
     # restricts the output to one side
     qmax = {"queryType": "timeBoundary", "dataSource": "testindex",
             "bound": "maxTime"}

@@ -343,8 +343,9 @@ def test_merge_results_with_limit_and_offset(spark, two_segment_reg,
 
 # -- DataSourceMetadataQueryTest.java (.../query/datasourcemetadata/):
 # the value contract, testMaxIngestedEventTime. The serde methods
-# (testQuerySerialization/ContextSerde/ResultSerialization/
-# ResultDeserialization) pin Jackson wire classes, and
+# (testQuerySerialization, testContextSerde,
+# testResultSerialization, testResultDeserialization) pin Jackson
+# wire classes, and
 # testFilterSegments/testFilterOverlappingSegments pin the broker's
 # timeline-walk internals — both out of scope for a Spark engine
 # (the interval->partition pruning equivalent is plan-asserted in

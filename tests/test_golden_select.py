@@ -5,12 +5,14 @@ cases, trim/pad families, DISTINCT-with-filter, limit/offset wrapping,
 projections through subqueries. Expected rows are the SQL-compatible
 null mode (useDefault=false) branch of each test.
 
-Skipped (with reason): testSelectStarOnForbidden*/Restricted* (auth
+Skipped (with reason): testSelectStarOnForbiddenTable,
+testSelectStarOnForbiddenView, testSelectStarOnRestrictedView (auth
 layer — out of scope per SURVEY), testExplainSelectStar /
 testExplainSelectConstantExpression (pin native-plan JSON text, not
 results; EXPLAIN PLAN FOR is covered in test_sql_surface),
 testSelectCurrentTimeAndDateLosAngeles (pins a frozen test clock),
-testSelectLimitWrappingAgainAka... (DATASOURCE5 lotsocolumns fixture;
+testSelectLimitWrappingAgainAkaIDontReallyQuiteUnderstandCalciteQueryPlanning
+(DATASOURCE5 lotsocolumns fixture;
 asserts a Calcite-planner quirk, not results), and
 testSelectConstantExpressionEquivalentToInfinity (pins the CALCITE
 PLANNER's rejection of a constant-folded '-Infinity' literal; Spark
@@ -427,8 +429,8 @@ def test_select_single_column_limit_descending(spark, reg):
 
 
 def test_select_projection_inner_outer_limit_descending(spark, reg):
-    # testSelectProjectionFromSelectSingleColumnWithInnerAndOuterLimit
-    # Descending: the concat projection rides over the inner DESC
+    # testSelectProjectionFromSelectSingleColumnWithInnerAndOuterLimitDescending:
+    # the concat projection rides over the inner DESC
     # LIMIT 4; the outer LIMIT 2 keeps the two latest rows
     assert rows(spark, reg,
                 "SELECT 'beep ' || dim1 FROM (SELECT dim1 FROM "
