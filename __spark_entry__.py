@@ -3179,6 +3179,33 @@ def _expression_array_fold(spark, sf_dir):
     }, _registry(spark, sf_dir))
 
 
+@_q("expression_hyper_unique_fold", """
+SELECT o_orderstatus,
+       CAST(COUNT(DISTINCT o_orderpriority) AS DOUBLE) AS uniq
+FROM orders GROUP BY 1
+""")
+def _expression_hyper_unique_fold(spark, sf_dir):
+    """hyper_unique()/hyper_unique_add()/hyper_unique_estimate()
+    collector state carried through an expression-lambda aggregator
+    (r13; processing/.../query/expression/HyperUniqueExpressions.java;
+    GroupByQueryRunnerTest.testGroupByWithExpressionAggregatorWith
+    Complex). The engine's collector is the exact distinct set, so
+    the estimate is exactly COUNT(DISTINCT) — hash-oracleable."""
+    return compile_query({
+        "queryType": "groupBy", "dataSource": "orders",
+        "granularity": "all", "intervals": ALL_TIME,
+        "dimensions": [{"type": "default",
+                        "dimension": "o_orderstatus",
+                        "outputName": "o_orderstatus"}],
+        "aggregations": [{
+            "type": "expression", "name": "uniq",
+            "fields": ["o_orderpriority"],
+            "initialValue": "hyper_unique()",
+            "fold": "hyper_unique_add(o_orderpriority, __acc)",
+            "finalize": "hyper_unique_estimate(o)"}],
+    }, _registry(spark, sf_dir))
+
+
 @_q("sql_array_agg_sorted", """
 SELECT l_returnflag,
        array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses
@@ -4768,6 +4795,11 @@ _R12_WINDOW = (
 # (streaming/supervisor.py), so streaming_rollup_hourly re-verifies.
 # The 28 r10 leftovers are _R13_NEXT and front the r14 rotation.
 _R13_WINDOW = (
+    # new r13 entry — never driver-checked, verify first (the
+    # hyper_unique expression-collector family landed this round);
+    # multimodal_features moved to the _R13_NEXT front to keep the
+    # 50-entry driver cap
+    'expression_hyper_unique_fold',
     # r8-evidence cohort (all 28 — oldest evidence in the registry)
     'expression_time_format', 'sql_floor_to_unit', 'sql_scalar_shims',
     'human_readable_formats', 'ipv4_custkey_subnets',
@@ -4790,13 +4822,12 @@ _R13_WINDOW = (
     'dedup_components_star', 'dedup_edit_distance',
     'dedup_substring_overlap', 'deterministic_shuffle_order',
     'dsir_importance_weights', 'mixture_weights_lang',
-    'multimodal_features',
 )
 
 # r10-evidence leftovers — next-oldest after the r13 window; they
 # front the r14 rotation
 _R13_NEXT = (
-    'multimodal_frame_sample', 'multimodal_resize',
+    'multimodal_features', 'multimodal_frame_sample', 'multimodal_resize',
     'pack_sequences_budget', 'scrub_common_lines',
     'sql_array_agg_sorted', 'sql_lookup_schema_join',
     'sql_parameterized', 'sql_scalar_shims2', 'sql_scalar_shims3',
