@@ -357,3 +357,170 @@ def test_max_ingested_event_time(spark, two_segment_reg):
     got = compile_query(q, two_segment_reg).collect()
     assert len(got) == 1
     assert got[0]["maxIngestedEventTime"] == datetime(2011, 1, 13, 5)
+
+
+# -- NestedQueryPushDownTest.java (.../query/groupby/, 8 methods): the
+# VALUE contracts of force-pushed-down nested groupBys over its own
+# two-segment dimA/dimB fixture (:153-243). The reference rewrites the
+# outer query to run per-segment then merge; the pinned expectations
+# equal the GLOBAL nested-groupBy semantics, which is exactly what
+# this engine computes — the forcePushDownNestedQuery context passes
+# through as a no-op plan hint. The three filtered methods use
+# JavaScriptDimFilter("function(dim){return dim == 'X'}") purely as an
+# equality filter; ported with the equivalent native selector (the
+# javascript ENGINE is the policy exclusion, the filter-vs-pushdown
+# interaction is the contract). testQueryRewriteForPushDown asserts
+# the reference's internal rewritten-query OBJECT (plan shape, not
+# values) — documented skip. ------------------------------------------------
+
+PUSHDOWN_CTX = {"forcePushDownNestedQuery": True}
+
+
+@pytest.fixture(scope="module")
+def nested_reg(spark):
+    rows = [
+        # segment A (:159-190)
+        (1505260888888, "pomegranate", 1000, "sweet", 10),
+        (1505260800000, "mango", 1000, "sweet", 20),
+        (1505264400000, "pomegranate", 1000, "sweet", 10),
+        (1505264400400, "mango", 1000, "sweet", 20),
+        # segment B (:203-233)
+        (1505260800000, "pomegranate", 1000, "sweet", 10),
+        (1505260800000, "mango", 1000, "sweet", 20),
+        (1505264400000, "pomegranate", 1000, "sour", 10),
+        (1505264400000, "mango", 1000, "sour", 20),
+    ]
+    from pyspark.sql import functions as F
+    reg = DatasourceRegistry(spark)
+    reg.register("blah", spark.createDataFrame(
+        rows, "ts long, dimA string, metA long, dimB string, metB long"
+    ).select(F.timestamp_millis("ts").alias("__time"),
+             "dimA", "metA", "dimB", "metB"))
+    return reg
+
+
+NESTED_IV = ["2017-07-14T02:40:00.000Z/2020-09-13T12:26:40.000Z"]
+
+
+def _inner(dim_b_out="dimB"):
+    return {"queryType": "groupBy", "dataSource": "blah",
+            "granularity": "all", "intervals": NESTED_IV,
+            "dimensions": [
+                {"type": "default", "dimension": "dimA",
+                 "outputName": "dimA"},
+                {"type": "default", "dimension": "dimB",
+                 "outputName": dim_b_out}],
+            "aggregations": [
+                {"type": "longSum", "name": "metASum",
+                 "fieldName": "metA"},
+                {"type": "longSum", "name": "metBSum",
+                 "fieldName": "metB"}]}
+
+
+def _outer(inner, dims, aggs, **extra):
+    q = {"queryType": "groupBy",
+         "dataSource": {"type": "query", "query": inner},
+         "granularity": "all", "intervals": NESTED_IV,
+         "dimensions": dims, "aggregations": aggs,
+         "context": PUSHDOWN_CTX}
+    q.update(extra)
+    return q
+
+
+def test_nested_pushdown_simple_double_aggregation(spark, nested_reg):
+    # testSimpleDoubleAggregation: sour 2000, sweet 6000
+    q = _outer(_inner(), [{"type": "default", "dimension": "dimB",
+                           "outputName": "dimB"}],
+               [{"type": "longSum", "name": "totalSum",
+                 "fieldName": "metASum"}])
+    got = sorted((r["dimB"], r["totalSum"])
+                 for r in compile_query(q, nested_reg).collect())
+    assert got == [("sour", 2000), ("sweet", 6000)]
+
+
+def test_nested_pushdown_renamed_dimensions(spark, nested_reg):
+    # testNestedQueryWithRenamedDimensions: rename chains through both
+    # levels; longMax over the inner per-(dimA,dimB) metB sums
+    q = _outer(_inner("newDimB"),
+               [{"type": "default", "dimension": "newDimB",
+                 "outputName": "renamedDimB"}],
+               [{"type": "longMax", "name": "maxBSum",
+                 "fieldName": "metBSum"}])
+    got = sorted((r["renamedDimB"], r["maxBSum"])
+                 for r in compile_query(q, nested_reg).collect())
+    assert got == [("sour", 20), ("sweet", 60)]
+
+
+def test_nested_pushdown_filter_on_outer_and_inner(spark, nested_reg):
+    # testDimensionFilterOnOuterAndInnerQueries: inner keeps mango,
+    # outer wants pomegranate -> empty
+    inner = dict(_inner(), filter={"type": "selector",
+                                   "dimension": "dimA",
+                                   "value": "mango"})
+    q = _outer(inner, [{"type": "default", "dimension": "dimA",
+                        "outputName": "newDimA"}],
+               [{"type": "longSum", "name": "finalSum",
+                 "fieldName": "metASum"}],
+               filter={"type": "selector", "dimension": "dimA",
+                       "value": "pomegranate"})
+    assert compile_query(q, nested_reg).collect() == []
+
+
+def test_nested_pushdown_filter_on_outer_query(spark, nested_reg):
+    # testDimensionFilterOnOuterQuery: (mango, 4000)
+    q = _outer(_inner(), [{"type": "default", "dimension": "dimA",
+                           "outputName": "newDimA"}],
+               [{"type": "longSum", "name": "finalSum",
+                 "fieldName": "metASum"}],
+               filter={"type": "selector", "dimension": "dimA",
+                       "value": "mango"})
+    got = [(r["newDimA"], r["finalSum"])
+           for r in compile_query(q, nested_reg).collect()]
+    assert got == [("mango", 4000)]
+
+
+def test_nested_pushdown_filter_on_inner_query(spark, nested_reg):
+    # testDimensionFilterOnInnerQuery: same answer with the filter
+    # pushed inside
+    inner = dict(_inner(), filter={"type": "selector",
+                                   "dimension": "dimA",
+                                   "value": "mango"})
+    q = _outer(inner, [{"type": "default", "dimension": "dimA",
+                        "outputName": "newDimA"}],
+               [{"type": "longSum", "name": "finalSum",
+                 "fieldName": "metASum"}])
+    got = [(r["newDimA"], r["finalSum"])
+           for r in compile_query(q, nested_reg).collect()]
+    assert got == [("mango", 4000)]
+
+
+def test_nested_pushdown_extraction_fn_in_outer_query(spark,
+                                                      nested_reg):
+    # testSubqueryWithExtractionFnInOuterQuery: regex '^(p)' with
+    # replaceMissingValue 'replacement' over the inner dimA
+    q = _outer(_inner(),
+               [{"type": "extraction", "dimension": "dimA",
+                 "outputName": "extractedDimA",
+                 "extractionFn": {"type": "regex", "expr": "^(p)",
+                                  "replaceMissingValue": True,
+                                  "replaceMissingValueWith":
+                                      "replacement"}}],
+               [{"type": "longSum", "name": "finalSum",
+                 "fieldName": "metASum"}])
+    got = sorted((r["extractedDimA"], r["finalSum"])
+                 for r in compile_query(q, nested_reg).collect())
+    assert got == [("p", 4000), ("replacement", 4000)]
+
+
+def test_nested_pushdown_having_clause(spark, nested_reg):
+    # testHavingClauseInNestedPushDownQuery: finalSum > 70 keeps only
+    # sweet (90 = 30 + 60)
+    q = _outer(_inner(), [{"type": "default", "dimension": "dimB",
+                           "outputName": "dimB"}],
+               [{"type": "longSum", "name": "finalSum",
+                 "fieldName": "metBSum"}],
+               having={"type": "greaterThan", "aggregation": "finalSum",
+                       "value": 70})
+    got = [(r["dimB"], r["finalSum"])
+           for r in compile_query(q, nested_reg).collect()]
+    assert got == [("sweet", 90)]
