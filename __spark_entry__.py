@@ -1353,6 +1353,28 @@ def _dsir_importance_weights(spark, sf_dir):
         docs, docs.filter(F.col("lang") == "en"), n_buckets=1024)
 
 
+@_q("text_unigram_logprob", f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+counts AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1),
+tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM counts)
+SELECT doc_id, COUNT(*) AS n_tok,
+       ROUND(AVG(LN((c + 0.5) / (n + 0.5 * v))), 4) AS logprob
+FROM toks JOIN counts USING (tok) CROSS JOIN tot
+GROUP BY doc_id
+""")
+def _text_unigram_logprob(spark, sf_dir):
+    """CCNet-style LM quality score (Wenzek et al., LREC 2020; r13):
+    mean token log-prob under an add-0.5-smoothed unigram model
+    trained on the corpus itself — the shuffle-light first pass of
+    perplexity filtering (pipeline/importance.py unigram_logprob;
+    the count table broadcasts, scoring is one (doc, token)
+    shuffle)."""
+    from apache_druid_spark.pipeline import unigram_logprob
+
+    docs = _registry(spark, sf_dir).table("documents")
+    return unigram_logprob(docs)
+
+
 @_q("corpus_top_ngrams", f"""
 WITH toks AS (SELECT {_TOKS_SQL} AS t FROM documents),
 g AS (SELECT unnest({{sh3}}) AS gram FROM toks)
@@ -4799,7 +4821,7 @@ _R13_WINDOW = (
     # hyper_unique expression-collector family landed this round);
     # multimodal_features moved to the _R13_NEXT front to keep the
     # 50-entry driver cap
-    'expression_hyper_unique_fold',
+    'expression_hyper_unique_fold', 'text_unigram_logprob',
     # r8-evidence cohort (all 28 — oldest evidence in the registry)
     'expression_time_format', 'sql_floor_to_unit', 'sql_scalar_shims',
     'human_readable_formats', 'ipv4_custkey_subnets',
@@ -4821,13 +4843,13 @@ _R13_WINDOW = (
     'asof_join_events', 'corpus_top_ngrams', 'decontaminate_report',
     'dedup_components_star', 'dedup_edit_distance',
     'dedup_substring_overlap', 'deterministic_shuffle_order',
-    'dsir_importance_weights', 'mixture_weights_lang',
+    'dsir_importance_weights',
 )
 
 # r10-evidence leftovers — next-oldest after the r13 window; they
 # front the r14 rotation
 _R13_NEXT = (
-    'multimodal_features', 'multimodal_frame_sample', 'multimodal_resize',
+    'mixture_weights_lang', 'multimodal_features', 'multimodal_frame_sample', 'multimodal_resize',
     'pack_sequences_budget', 'scrub_common_lines',
     'sql_array_agg_sorted', 'sql_lookup_schema_join',
     'sql_parameterized', 'sql_scalar_shims2', 'sql_scalar_shims3',

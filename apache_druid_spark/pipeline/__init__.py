@@ -23,7 +23,7 @@ from apache_druid_spark.pipeline.text import (
 )
 from apache_druid_spark.pipeline.semdedup import assign_cells, semantic_dedup
 from apache_druid_spark.pipeline.importance import (
-    bucket_log_ratios, importance_weights, dsir_select,
+    bucket_log_ratios, importance_weights, dsir_select, unigram_logprob,
 )
 from apache_druid_spark.pipeline.graph import (
     connected_components, dedup_keep_representatives,
@@ -45,7 +45,7 @@ __all__ = [
     "winnowing_fingerprint", "winnowing_overlap_pairs", "normalize",
     "pii_scrub", "chunk_documents", "tfidf_top_terms",
     "assign_cells", "semantic_dedup", "bucket_log_ratios", "importance_weights",
-    "dsir_select",
+    "dsir_select", "unigram_logprob",
     "connected_components", "dedup_keep_representatives",
     "contamination_report", "decontaminate",
     "deterministic_shuffle", "pack_sequences",

@@ -136,3 +136,44 @@ def dsir_select(raw: DataFrame, target: DataFrame, k: int,
     return (raw.join(w.select(id_col, "weight"), id_col)
             .orderBy(F.col("weight").desc(), F.col(id_col).asc())
             .limit(k))
+
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: float = 0.5,
+                    ref: DataFrame | None = None,
+                    round_to: int = 4) -> DataFrame:
+    """CCNet-style language-model quality score: each document's mean
+    token log-probability under an add-k-smoothed UNIGRAM model
+    trained on ``ref`` (default: the corpus itself) — Wenzek et al.,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web
+    Crawl Data" (LREC 2020) filter documents by LM perplexity; the
+    unigram variant is the shuffle-light first pass (the full KenLM
+    5-gram is a broadcastable model file at scale, same plumbing).
+
+    Returns (id, n_tok, logprob) — logprob = avg over tokens of
+    ln((count(tok) + k) / (N + k * V)); higher is more fluent /
+    corpus-typical. Perplexity = exp(-logprob).
+
+    100 TB shape: ONE tokenize pass over ``ref`` builds the count
+    table (partial/final aggregate, at most V rows — vocabulary-sized,
+    so it BROADCASTS); scoring is explode -> broadcast join ->
+    groupBy(doc), a single (doc_id, token) shuffle over the corpus.
+    N and V collapse to one driver-side scalar row (bounded by
+    construction). OOV tokens (when ``ref`` is a separate corpus)
+    score ln(k / (N + k * V)) via the left join's null count.
+    Deterministic to fixed rounding — oracle-checkable."""
+    source = ref if ref is not None else docs
+    ref_toks = parallelize_scan(source).select(
+        F.explode(_tokens(F.col(text_col))).alias("__tok"))
+    counts = ref_toks.groupBy("__tok").agg(
+        F.count(F.lit(1)).alias("__c"))
+    n, v = counts.agg(F.sum("__c"), F.count(F.lit(1))).first()
+    denom = float(n) + k * float(v)
+    doc_toks = parallelize_scan(docs).select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("__tok"))
+    lp = F.log((F.coalesce(F.col("__c"), F.lit(0)) + F.lit(k))
+               / F.lit(denom))
+    return (doc_toks.join(F.broadcast(counts), "__tok", "left")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tok"),
+                 F.round(F.avg(lp), round_to).alias("logprob")))

@@ -182,3 +182,43 @@ def test_embedding_pairs_numpy_verify_matches_expression(registry):
                                  verify="numpy")
     assert expr.exceptAll(np_).count() == 0
     assert np_.exceptAll(expr).count() == 0
+
+
+def test_unigram_logprob_ranks_typical_docs_higher(spark):
+    # CCNet-style LM score (unigram_logprob, r13): a document built
+    # from corpus-frequent tokens must out-score one made of hapaxes;
+    # exact math is hash-oracled by the text_unigram_logprob driver
+    # entry — this pins the ranking contract and the exact smoothing
+    # formula on a countable fixture
+    import math
+
+    from apache_druid_spark.pipeline import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "the the the cat"), (2, "qux zorp blee flib")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_tok"], r["logprob"])
+           for r in unigram_logprob(docs).collect()}
+    assert got[1][0] == 4 and got[2][0] == 4
+    assert got[1][1] > got[2][1]
+    # N=8 tokens, V=6 distinct; 'the' c=3, 'cat' c=1, hapax c=1
+    denom = 8 + 0.5 * 6
+    lp1 = (3 * math.log(3.5 / denom) + math.log(1.5 / denom)) / 4
+    lp2 = math.log(1.5 / denom)
+    assert got[1][1] == round(lp1, 4)
+    assert got[2][1] == round(lp2, 4)
+
+
+def test_unigram_logprob_oov_under_separate_ref(spark):
+    # scoring against a SEPARATE reference corpus: OOV tokens take the
+    # ln(k / (N + k*V)) smoothed floor through the left join
+    import math
+
+    from apache_druid_spark.pipeline import unigram_logprob
+
+    ref = spark.createDataFrame([(9, "a a b")], ["doc_id", "text"])
+    docs = spark.createDataFrame([(1, "a zz")], ["doc_id", "text"])
+    got = unigram_logprob(docs, ref=ref).collect()[0]
+    denom = 3 + 0.5 * 2
+    want = (math.log(2.5 / denom) + math.log(0.5 / denom)) / 2
+    assert got["n_tok"] == 2 and got["logprob"] == round(want, 4)

@@ -414,3 +414,15 @@ def test_edit_distance_no_cartesian(reg):
         docs, minhash_lsh_pairs(docs), max_rel_bp=2000))
     assert "CartesianProduct" not in plan, plan
     assert "levenshtein" in plan, plan
+
+
+def test_unigram_logprob_count_table_broadcasts(reg):
+    """The unigram count table is vocabulary-sized (bounded), so the
+    scoring join must BROADCAST it — the corpus shuffles once for the
+    per-doc groupBy, never for the join (pipeline/importance.py
+    unigram_logprob, the CCNet perplexity-filter first pass)."""
+    from apache_druid_spark.pipeline.importance import unigram_logprob
+
+    df = unigram_logprob(reg.table("documents"))
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
