@@ -524,3 +524,45 @@ def test_nested_pushdown_having_clause(spark, nested_reg):
     got = [(r["dimB"], r["finalSum"])
            for r in compile_query(q, nested_reg).collect()]
     assert got == [("sweet", 90)]
+
+
+# -- GroupByMultiSegmentTest.java (.../query/groupby/, 1 method) and the
+# merge-topology pair GroupByLimitPushDownMultiNodeMergeTest (3) /
+# GroupByLimitPushDownInsufficientBufferTest (2,
+# testPartialLimitPushDownMerge + testPartialLimitPushDownMergeForceAggs):
+# those two simulate historical/broker MERGE TOPOLOGIES (per-node
+# partial limit pushdown, insufficient-buffer fallback on one node,
+# flatMerge across two brokers — testDescendingNumerics,
+# testForcePushLimitDownAccuracyWhenSortHasNonGroupingFields); in this
+# engine there is no node topology — Spark's partial/final aggregate
+# IS the merge — and their value contracts (numeric-descending
+# limitSpec, forced pushdown accuracy) are pinned by the groupBy
+# runner's limitSpec family. GroupByMultiSegmentTest's single value
+# contract is ported below. --------------------------------------------------
+
+def test_groupby_multi_segment_having_no_limit_pushdown(spark):
+    # GroupByMultiSegmentTest.testHavingAndNoLimitPushDown: 'world'
+    # clears the having only AFTER the cross-segment merge (75 + 75);
+    # the asc-limit-1 must not cut groups before the having applies
+    from pyspark.sql import functions as F
+    reg = DatasourceRegistry(spark)
+    rows = [("hello", 100), ("world", 75),   # segment A
+            ("foo", 100), ("world", 75)]     # segment B
+    reg.register("blah2", spark.createDataFrame(
+        rows, "dimA string, metA long").select(
+            F.timestamp_millis(F.lit(1000)).alias("__time"),
+            "dimA", "metA"))
+    q = {"queryType": "groupBy", "dataSource": "blah2",
+         "granularity": "all",
+         "intervals": ["1970-01-01T00:00:00Z/1970-01-01T00:16:40Z"],
+         "dimensions": [{"type": "default", "dimension": "dimA",
+                         "outputName": "dimA"}],
+         "aggregations": [{"type": "longSum", "name": "metA",
+                           "fieldName": "metA"}],
+         "having": {"type": "greaterThan", "aggregation": "metA",
+                    "value": 110},
+         "limitSpec": {"type": "default", "limit": 1, "columns": [
+             {"dimension": "dimA", "direction": "ascending"}]}}
+    got = [(r["dimA"], r["metA"])
+           for r in compile_query(q, reg).collect()]
+    assert got == [("world", 150)]
