@@ -80,7 +80,13 @@ def compile_extraction_fn(spec: dict, col: Column, registry=None,
     if t == "time":  # parse with timeFormat then reformat with resultFormat
         tf, rf = spec.get("timeFormat"), spec.get("resultFormat")
         parsed = F.to_timestamp(col.cast("string"), tf) if tf else col.cast("timestamp")
-        return F.date_format(parsed, rf) if rf else parsed.cast("string")
+        out = F.date_format(parsed, rf) if rf else parsed.cast("string")
+        # TimeDimExtractionFn.apply returns the ORIGINAL value when the
+        # parse misses, and null only for a null input
+        # (SelectorFilterTest.testWithTimeExtractionFnNull: a null
+        # selector over extracted dim0 matches nothing — "0" fails to
+        # parse but extracts to "0", not null)
+        return F.coalesce(out, col.cast("string"))
     if t == "upper":
         return F.upper(col.cast("string"))
     if t == "lower":
@@ -91,6 +97,17 @@ def compile_extraction_fn(spec: dict, col: Column, registry=None,
         v = col.cast("double")
         return (F.floor((v - offset) / size) * size + offset)
     if t == "stringFormat":
+        # StringFormatExtractionFn nullHandling: NULLSTRING (default)
+        # formats a null input as the string 'null' (Java
+        # String.format semantics — Spark's format_string matches);
+        # EMPTYSTRING formats it as ''; RETURNNULL yields null
+        nh = (spec.get("nullHandling") or "NULLSTRING").upper()
+        if nh == "RETURNNULL":
+            return F.when(col.isNotNull(),
+                          F.format_string(spec["format"], col))
+        if nh == "EMPTYSTRING":
+            return F.format_string(
+                spec["format"], F.coalesce(col.cast("string"), F.lit("")))
         return F.format_string(spec["format"], col)
     if t == "cascade":
         out = col

@@ -43,6 +43,17 @@ def _is_array_col(df: DataFrame | None, name: str) -> bool:
         return False
 
 
+def _numeric_dtype(df: DataFrame | None, name: str):
+    """The column's Spark DataType if it is a numeric scalar, else None."""
+    if df is None:
+        return None
+    try:
+        dt = df.schema[name].dataType
+    except Exception:
+        return None
+    return dt if isinstance(dt, T.NumericType) else None
+
+
 def _dim_predicate(df: DataFrame | None, dim: str, pred, extraction_fn=None) -> Column:
     """Apply a scalar predicate to a dimension, with multi-value ANY
     semantics for array columns and optional extractionFn applied to
@@ -135,14 +146,25 @@ _ORDERING_CASTS = {
 
 
 def _bound_predicate(spec: dict):
-    ordering = spec.get("ordering", "lexicographic")
+    """BoundFilter.doesMatch (processing/.../segment/filter/
+    BoundFilter.java:227-254), SQL-compatible mode:
+
+    - a NULL input matches iff the filter has no lower bound (the
+      upper-bound clause is always satisfied when the upper is a
+      non-null string — BoundFilterTest.testLexicographicMatchEverything
+      matches the null dim2 rows under (null, "z"));
+    - non-null inputs go through the named StringComparator
+      (processing/.../query/ordering/StringComparators.java): NUMERIC
+      treats an unparseable string as BELOW every number and compares
+      two unparseables lexicographically (NumericComparator:358-404),
+      so 'abc' matches any parseable upper bound."""
+    ordering = spec.get("ordering") or (
+        "alphanumeric" if spec.get("alphaNumeric") else "lexicographic")
     lower, upper = spec.get("lower"), spec.get("upper")
     lower_strict = bool(spec.get("lowerStrict", False))
     upper_strict = bool(spec.get("upperStrict", False))
 
     def key(c: Column) -> Column:
-        if ordering == "numeric":
-            return c.cast("double")
         if ordering in ("alphanumeric", "version", "strlen"):
             # same comparator keys as ORDER BY (StringComparators.java)
             from apache_druid_spark.operators.limitspec import _sort_key
@@ -150,22 +172,47 @@ def _bound_predicate(spec: dict):
             return _sort_key(c, ordering)
         return c.cast("string")
 
-    def klit(v) -> Column:
-        if ordering == "numeric":
-            return F.lit(float(v))
-        return key(F.lit(str(v)))
+    def _num(v):
+        try:
+            return float(str(v))
+        except ValueError:
+            return None
 
     def pred(c: Column) -> Column:
-        k = key(c)
         conds = []
-        if lower is not None:
-            conds.append(k > klit(lower) if lower_strict else k >= klit(lower))
-        if upper is not None:
-            conds.append(k < klit(upper) if upper_strict else k <= klit(upper))
+        if ordering == "numeric":
+            s = c.cast("string")
+            k = s.cast("double")
+            if lower is not None:
+                ln = _num(lower)
+                if ln is None:  # unparseable lower sorts below numbers
+                    base = s > F.lit(str(lower)) if lower_strict \
+                        else s >= F.lit(str(lower))
+                    conds.append(k.isNotNull() | base)
+                else:
+                    cond = k > F.lit(ln) if lower_strict else k >= F.lit(ln)
+                    conds.append(F.coalesce(cond, F.lit(False)))
+            if upper is not None:
+                un = _num(upper)
+                if un is None:  # only unparseables can be <= it
+                    base = s < F.lit(str(upper)) if upper_strict \
+                        else s <= F.lit(str(upper))
+                    conds.append(k.isNull() & base)
+                else:  # unparseable input is below every number
+                    cond = k < F.lit(un) if upper_strict else k <= F.lit(un)
+                    conds.append(k.isNull() | cond)
+        else:
+            k = key(c)
+            if lower is not None:
+                lk = key(F.lit(str(lower)))
+                conds.append(k > lk if lower_strict else k >= lk)
+            if upper is not None:
+                uk = key(F.lit(str(upper)))
+                conds.append(k < uk if upper_strict else k <= uk)
         out = F.lit(True)
         for p in conds:
             out = out & p
-        return out
+        return F.when(c.isNull(), F.lit(lower is None)).otherwise(out)
 
     return pred
 
@@ -200,6 +247,20 @@ def compile_filter(spec: dict | None, df: DataFrame | None = None,
         v = spec.get("value")
         if v is None:
             return _dim_predicate(df, spec["dimension"], lambda c: c.isNull(), efn)
+        if efn is None:
+            nt = _numeric_dtype(df, spec["dimension"])
+            if nt is not None:
+                # numeric column: Druid parses the selector value into
+                # the column's type (SelectorFilter -> numeric
+                # DruidPredicateFactory), so '0' matches 0.0f — the
+                # stringified float would render '0.0' and never match
+                # (SelectorFilterTest.testNumericColumnNullsAndDefaults)
+                try:
+                    float(str(v))
+                except ValueError:
+                    return F.lit(False)  # unparseable: matches no row
+                return fcol(spec["dimension"]).eqNullSafe(
+                    F.lit(str(v)).cast(nt))
         # NULL-SAFE equality: Druid's native filters are two-valued —
         # a null row simply does not match (SelectorFilter's
         # value.equals(...)), so NOT(selector) MATCHES null rows

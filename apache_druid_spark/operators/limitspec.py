@@ -47,12 +47,21 @@ def _sort_key(col: Column, comparator: str) -> Column:
             F.when(p.rlike(r"^\d+$"), p).otherwise(F.lit("0")), 12, "0"))
         return F.struct(F.array_join(nums, "."), col.cast("string"))
     if c == "alphanumeric":
-        # pad every digit run to 20 chars so lexicographic == alphanumeric
-        s = col.cast("string")
+        # Alphanum chunking (StringComparators.java:105-258): digit
+        # runs compare numerically, non-digit runs compare CASE-
+        # INSENSITIVELY (String.CASE_INSENSITIVE_ORDER), and a digit
+        # run sorts BEFORE a non-digit run ('10' < '-2000',
+        # BoundFilterTest.testAlphaNumericMatchWithNegatives). Key:
+        # lowercase, zero-pad each digit run to 20 chars, then prefix
+        # the run with \x01 so it sorts below any text chunk (all real
+        # text is >= \x02). Pure codegen — no UDF. Runs over 20 digits
+        # and strings containing \x00/\x01 are out of key range
+        # (documented divergence, same as before).
+        s = F.lower(col.cast("string"))
         padded = F.regexp_replace(s, r"(\d+)", r"00000000000000000000$1")
         # keep only the last 20 chars of each run: (\d{20,}) -> trim left
         trimmed = F.regexp_replace(padded, r"0*(\d{20})", r"$1")
-        return trimmed
+        return F.regexp_replace(trimmed, r"(\d{20})", "\x01$1")
     return col.cast("string")
 
 

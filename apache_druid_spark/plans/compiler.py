@@ -322,10 +322,24 @@ def _apply_virtual_column(df: DataFrame, vc: dict, registry) -> DataFrame:
         delegate = vc["delegate"]
         dim = delegate if isinstance(delegate, str) else delegate["dimension"]
         vals = F.array(*[F.lit(v) for v in vc.get("values", [])])
-        if vc.get("isAllowList", True):
-            col = F.filter(F.col(dim), lambda e: F.array_contains(vals, e))
+        allow = vc.get("isAllowList", True)
+        from pyspark.sql import types as _T
+        is_arr = (dim in df.columns
+                  and isinstance(df.schema[dim].dataType, _T.ArrayType))
+        if is_arr:
+            if allow:
+                col = F.filter(F.col(dim), lambda e: F.array_contains(vals, e))
+            else:
+                col = F.filter(F.col(dim), lambda e: ~F.array_contains(vals, e))
         else:
-            col = F.filter(F.col(dim), lambda e: ~F.array_contains(vals, e))
+            # scalar delegate (BaseFilterTest.java:131 builds
+            # ListFilteredVirtualColumn over single-value dim0): keep
+            # the value when it passes the list test, else no value.
+            # Null-safe so a null input survives a deny list.
+            c = fcol(dim)
+            test = F.coalesce(F.array_contains(vals, c.cast("string")),
+                              F.lit(False))
+            col = F.when(test if allow else ~test, c)
         return df.withColumn(vc["name"], col)
     raise ValueError(f"unknown virtual column type: {t!r}")
 
