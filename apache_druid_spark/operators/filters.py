@@ -43,6 +43,37 @@ def _is_array_col(df: DataFrame | None, name: str) -> bool:
         return False
 
 
+def _like_to_spark_pattern(pat: str, esc: str | None) -> str:
+    """Normalize a Druid LIKE pattern to Spark's backslash-escape form.
+
+    Druid's LikeDimFilter lets the (optional) escape char precede ANY
+    character, taking it literally ('@bar' escape '@' matches 'bar' —
+    LikeFilterTest.testExactMatchWithEscape); Spark rejects an escape
+    before a non-wildcard. Without an escape declared, Druid treats
+    backslash as a LITERAL character, while Spark always escapes on
+    backslash — so literal backslashes must be doubled too."""
+    out = []
+    i = 0
+    while i < len(pat):
+        ch = pat[i]
+        if esc is not None and ch == esc and i + 1 < len(pat):
+            nxt = pat[i + 1]
+            if nxt in ("%", "_"):
+                out.append("\\" + nxt)
+            elif nxt == "\\":
+                out.append("\\\\")
+            else:
+                out.append(nxt)
+            i += 2
+            continue
+        if ch == "\\" and esc != "\\":
+            out.append("\\\\")
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def _numeric_dtype(df: DataFrame | None, name: str):
     """The column's Spark DataType if it is a numeric scalar, else None."""
     if df is None:
@@ -291,12 +322,7 @@ def compile_filter(spec: dict | None, df: DataFrame | None = None,
     if t == "bound":
         return _dim_predicate(df, spec["dimension"], _bound_predicate(spec), efn)
     if t == "like":
-        pat = spec["pattern"]
-        esc = spec.get("escape")
-        if esc:
-            return _dim_predicate(
-                df, spec["dimension"],
-                lambda c: F.like(c.cast("string"), F.lit(pat), F.lit(esc)), efn)
+        pat = _like_to_spark_pattern(spec["pattern"], spec.get("escape"))
         return _dim_predicate(
             df, spec["dimension"], lambda c: c.cast("string").like(pat), efn)
     if t == "regex":
@@ -353,11 +379,47 @@ def compile_filter(spec: dict | None, df: DataFrame | None = None,
             c = c.cast("timestamp")
         return interval_predicate(c, spec["intervals"])
     if t == "columnComparison":
-        dims = spec["dimensions"]
-        names = [d if isinstance(d, str) else d["dimension"] for d in dims]
+        # ColumnComparisonFilter (processing/.../segment/filter/
+        # ColumnComparisonFilter.java:78-133): every PAIR of dimensions
+        # must overlap — share at least one element under null-safe
+        # equality. A scalar reads as a one-element set, a null/empty
+        # multi-value row as {null} (Druid ingests [] as a no-value
+        # row), and extraction dimension specs apply per element.
+        from apache_druid_spark.operators.dimensions import compile_extraction_fn
+
+        # a null value participates in equality (overlap's
+        # Objects.equals), so encode it as a sentinel string and let
+        # arrays_overlap do plain equality (nested F.exists lambdas
+        # cannot bind the outer element variable)
+        sentinel = "\x00<druid-null>"
+
+        sets: list[Column] = []
+        for d in spec["dimensions"]:
+            if isinstance(d, str):
+                d = {"type": "default", "dimension": d}
+            name = d["dimension"]
+            d_efn = d.get("extractionFn")
+
+            def apply_efn(e: Column, _fn=d_efn) -> Column:
+                if _fn is not None:
+                    e = compile_extraction_fn(_fn, e, registry)
+                return F.coalesce(e.cast("string"), F.lit(sentinel))
+
+            c = fcol(name)
+            if _is_array_col(df, name):
+                arr = F.when(
+                    c.isNull() | (F.size(c) == 0),
+                    F.array(apply_efn(F.lit(None).cast("string")))
+                ).otherwise(F.transform(c, lambda e: apply_efn(e)))
+            else:
+                if df is not None and name not in df.columns:
+                    c = F.lit(None).cast("string")
+                arr = F.array(apply_efn(c))
+            sets.append(arr)
         out = F.lit(True)
-        for a, b in zip(names, names[1:]):
-            out = out & (fcol(a).cast("string").eqNullSafe(fcol(b).cast("string")))
+        for i in range(1, len(sets)):
+            for j in range(i):
+                out = out & F.arrays_overlap(sets[i], sets[j])
         return out
     if t == "expression":
         return compile_expression(spec["expression"], registry).cast("boolean")
