@@ -110,19 +110,37 @@ def _dim_predicate(df: DataFrame | None, dim: str, pred, extraction_fn=None) -> 
         # a COMPLEX (sketch-state) column reads NULL as a filter input
         # (testGroupByComplexColumn's null selector matches every row)
         col = F.lit(None).cast("string")
-    if (dim == "__time" and extraction_fn is None and df is not None
+    if (dim == "__time" and df is not None
             and "__time" in df.columns
             and isinstance(df.schema["__time"].dataType,
                            T.TimestampType)):
         # Druid's __time is a LONG of epoch millis: BARE value filters
         # (selector/bound/in) compare against the stringified millis
         # (GroupByQueryRunnerTest.testDimFilterHavingSpec selects
-        # __time = '1301616000000'). With an extractionFn the
-        # timestamp passes through — this engine's extraction fns
-        # (timeFormat etc.) consume timestamps directly
-        # (testSubqueryWithOuterTimeFilter filters EEEE='Friday').
-        col = F.unix_millis(col)
+        # __time = '1301616000000'), and non-time extraction fns
+        # (lookup, stringFormat, regex, ...) receive the millis long as
+        # their input (TimeFilteringTest.testTimeFilterWithExtractionFn
+        # looks up '0'..'5'). Only timeFormat consumes the timestamp
+        # directly (testSubqueryWithOuterTimeFilter filters
+        # EEEE='Friday').
+        if not _wants_timestamp(extraction_fn):
+            col = F.unix_millis(col)
     return full(col)
+
+
+def _wants_timestamp(fn) -> bool:
+    """True when the extraction fn natively consumes a timestamp
+    (timeFormat, incl. as the head of a cascade); every other fn gets
+    the Druid-native millis long."""
+    if fn is None:
+        return False
+    t = fn.get("type")
+    if t == "timeFormat":
+        return True
+    if t == "cascade":
+        fns = fn.get("extractionFns") or []
+        return bool(fns) and _wants_timestamp(fns[0])
+    return False
 
 
 def _pad_partial_iso(s: str) -> str:
@@ -362,22 +380,29 @@ def compile_filter(spec: dict | None, df: DataFrame | None = None,
             return _dim_predicate(df, spec["dimension"], pred, efn)
         raise ValueError(f"unknown search query type: {qt}")
     if t == "interval":
-        # Non-__time numeric dims hold epoch MILLIS in the reference
-        # (IntervalDimFilter via DimFilterUtils millis semantics); a
-        # plain long->timestamp cast in Spark reads SECONDS — a silent
-        # 1000x offset. Branch on the column's type when we can see it.
+        # IntervalDimFilter: every non-timestamp input — numeric dims
+        # AND string dims — is parsed as an epoch-MILLIS long
+        # (IntervalDimFilter builds DruidLongPredicates;
+        # TimeFilteringTest.testIntervalFilterOnStringDimension matches
+        # dim0 '0'..'5' against 1970 millis intervals). A plain
+        # long->timestamp cast in Spark reads SECONDS — a silent 1000x
+        # offset — so go through timestamp_millis. An extractionFn
+        # applies first (on __time it receives the millis long); its
+        # output is re-parsed as millis.
         dim = spec["dimension"]
         c = fcol(dim)
-        if df is not None and dim in dict(df.dtypes):
-            dt = dict(df.dtypes)[dim]
-            if dt in ("bigint", "int", "smallint", "tinyint", "double",
-                      "float"):
-                c = F.timestamp_millis(c.cast("long"))
-            else:
-                c = c.cast("timestamp")
+        dt = dict(df.dtypes).get(dim) if df is not None else None
+        if dt == "timestamp":
+            millis = F.unix_millis(c)
         else:
-            c = c.cast("timestamp")
-        return interval_predicate(c, spec["intervals"])
+            millis = c.cast("long")
+        if efn is not None:
+            from apache_druid_spark.operators.dimensions import (
+                compile_extraction_fn,
+            )
+            millis = compile_extraction_fn(efn, millis, registry).cast("long")
+        return interval_predicate(F.timestamp_millis(millis),
+                                  spec["intervals"])
     if t == "columnComparison":
         # ColumnComparisonFilter (processing/.../segment/filter/
         # ColumnComparisonFilter.java:78-133): every PAIR of dimensions
