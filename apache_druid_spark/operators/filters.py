@@ -85,6 +85,33 @@ def _numeric_dtype(df: DataFrame | None, name: str):
     return dt if isinstance(dt, T.NumericType) else None
 
 
+_INTEGRAL_TYPES = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+
+
+def _numeric_match_literal(v, dtype) -> str | None:
+    """Druid's value-to-column coercion for selector/in predicates
+    (DruidLongPredicate via BigDecimal.longValueExact — LongFilteringTest:
+    '3.0' matches long 3, '3.00000000000000000000001' matches nothing,
+    '1.999999999999999999' does NOT round to 2). Returns the string to
+    cast into the column's type, or None when the value can never
+    match."""
+    from decimal import Decimal, InvalidOperation
+
+    s = str(v).strip()
+    try:
+        d = Decimal(s)
+    except InvalidOperation:
+        return None
+    if isinstance(dtype, _INTEGRAL_TYPES):
+        if d != d.to_integral_value():
+            return None
+        i = int(d)
+        if not (-(2 ** 63) <= i < 2 ** 63):
+            return None
+        return str(i)
+    return s
+
+
 def _dim_predicate(df: DataFrame | None, dim: str, pred, extraction_fn=None) -> Column:
     """Apply a scalar predicate to a dimension, with multi-value ANY
     semantics for array columns and optional extractionFn applied to
@@ -304,12 +331,11 @@ def compile_filter(spec: dict | None, df: DataFrame | None = None,
                 # DruidPredicateFactory), so '0' matches 0.0f — the
                 # stringified float would render '0.0' and never match
                 # (SelectorFilterTest.testNumericColumnNullsAndDefaults)
-                try:
-                    float(str(v))
-                except ValueError:
-                    return F.lit(False)  # unparseable: matches no row
+                lit = _numeric_match_literal(v, nt)
+                if lit is None:
+                    return F.lit(False)  # can never match this column
                 return fcol(spec["dimension"]).eqNullSafe(
-                    F.lit(str(v)).cast(nt))
+                    F.lit(lit).cast(nt))
         # NULL-SAFE equality: Druid's native filters are two-valued —
         # a null row simply does not match (SelectorFilter's
         # value.equals(...)), so NOT(selector) MATCHES null rows
@@ -329,6 +355,27 @@ def compile_filter(spec: dict | None, df: DataFrame | None = None,
         vals = [str(v) if v is not None else None for v in spec["values"]]
         non_null = [v for v in vals if v is not None]
         has_null = len(non_null) != len(vals)
+
+        if efn is None and not _is_array_col(df, spec["dimension"]):
+            nt = _numeric_dtype(df, spec["dimension"])
+            if nt is not None:
+                # numeric column: each value coerces with BigDecimal
+                # exactness (LongFilteringTest: '100000001.0' hits the
+                # long 100000001, '1.999999999999999999' hits nothing)
+                c = fcol(spec["dimension"])
+                lits = [lv for lv in
+                        (_numeric_match_literal(v, nt) for v in non_null)
+                        if lv is not None]
+                if isinstance(nt, _INTEGRAL_TYPES):
+                    p = c.isin([int(x) for x in lits]) if lits else F.lit(False)
+                    p = F.coalesce(p, F.lit(False))
+                else:
+                    p = F.lit(False)
+                    for x in lits:
+                        p = p | c.eqNullSafe(F.lit(x).cast(nt))
+                if has_null:
+                    p = p | c.isNull()
+                return p
 
         def pred(c: Column) -> Column:
             p = c.cast("string").isin(non_null) if non_null else F.lit(False)
