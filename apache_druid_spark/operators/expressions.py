@@ -108,6 +108,21 @@ class _Parser:
         while self.peek()[1] in ("<", "<=", ">", ">=", "==", "!="):
             op = self.next()[1]
             right = self.parse_add()
+            # a NUMERIC literal operand makes the comparison numeric —
+            # Druid coerces the other side to double ("dim3 == 1" does
+            # NOT match '1.234': 1.234 != 1.0 — ExpressionFilterTest
+            # testOneSingleValuedStringColumn), while Spark's implicit
+            # string-vs-int cast truncates the string to 1
+            lval = getattr(left, "__druid_literal__", None)
+            rval = getattr(right, "__druid_literal__", None)
+            if (isinstance(rval, (int, float)) and not isinstance(rval, bool)
+                    and lval is None):
+                left = left.cast("double")
+                right = F.lit(float(rval))
+            elif (isinstance(lval, (int, float))
+                    and not isinstance(lval, bool) and rval is None):
+                left = F.lit(float(lval))
+                right = right.cast("double")
             left = {
                 "<": left.__lt__, "<=": left.__le__, ">": left.__gt__,
                 ">=": left.__ge__, "==": left.__eq__, "!=": left.__ne__,
@@ -1039,6 +1054,39 @@ def _div(a: Column, b: Column) -> Column:
 _FUNCTIONS["div"] = _div
 _FUNCTIONS["bitwiseshiftleft"] = _shiftleft
 _FUNCTIONS["bitwiseshiftright"] = _shiftright
+
+
+def expression_identifiers(text: str) -> list[str]:
+    """Column identifiers referenced by an expression (function names,
+    keywords, and lambda parameters excluded). Lets callers with schema
+    access pre-bind missing columns to null and multi-value columns to
+    per-element semantics (ExpressionFilterTest.testMissingColumn)."""
+    toks = _tokenize(text)
+    shadowed: set[str] = set()
+    for i, (k, v) in enumerate(toks):
+        if v != "->":
+            continue
+        j = i - 1
+        if j >= 0 and toks[j][1] == ")":  # (x, y) ->
+            j -= 1
+            while j >= 0 and toks[j][1] != "(":
+                if toks[j][0] == "ident":
+                    shadowed.add(toks[j][1])
+                j -= 1
+        elif j >= 0 and toks[j][0] == "ident":  # x ->
+            shadowed.add(toks[j][1])
+    out: list[str] = []
+    for i, (k, v) in enumerate(toks):
+        name = None
+        if k == "qident":
+            name = v[1:-1]
+        elif k == "ident" and v.lower() not in ("null", "true", "false"):
+            nxt = toks[i + 1][1] if i + 1 < len(toks) else ""
+            if nxt != "(":
+                name = v
+        if name is not None and name not in shadowed and name not in out:
+            out.append(name)
+    return out
 
 
 def compile_expression(text: str, registry=None,

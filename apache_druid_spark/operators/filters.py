@@ -43,6 +43,66 @@ def _is_array_col(df: DataFrame | None, name: str) -> bool:
         return False
 
 
+def _expression_filter(text: str, df: DataFrame | None, registry) -> Column:
+    """ExpressionFilter with Druid's schema-driven coercions
+    (ExpressionFilterTest): a MISSING column reads as null (sqlCompat:
+    'missing == null' still matches nothing — SQL null semantics); a
+    scalar expression over a MULTI-VALUE column maps per element and
+    the filter matches when ANY element is truthy ("dim4 == '1'"); a
+    scalar string column auto-coerces to a one-element array when fed
+    to an array function (array_contains(dim3, '1'))."""
+    from apache_druid_spark.operators.expressions import (
+        compile_expression, expression_identifiers,
+    )
+
+    idents = expression_identifiers(text)
+    env: dict = {}
+    arrays: list[str] = []
+    strings: list[str] = []
+    if df is not None:
+        for name in idents:
+            if name not in df.columns:
+                env[name] = F.lit(None).cast("string")
+            else:
+                dt = df.schema[name].dataType
+                if isinstance(dt, T.ArrayType):
+                    arrays.append(name)
+                elif isinstance(dt, T.StringType):
+                    strings.append(name)
+    base = compile_expression(text, registry, env or None).cast("boolean")
+    if df is None:
+        return base
+    try:
+        df.select(base)  # analysis probe: do the types line up whole-row?
+        return base
+    except Exception:
+        pass
+    if len(arrays) == 1:
+        name = arrays[0]
+        arr = fcol(name)
+
+        def per_elem(e: Column) -> Column:
+            env2 = dict(env)
+            env2[name] = e
+            return compile_expression(text, registry, env2).cast("boolean")
+
+        # a null/empty multi-value row behaves as the single null value
+        out = F.when(arr.isNull() | (F.size(arr) == 0),
+                     F.coalesce(per_elem(F.lit(None).cast("string")),
+                                F.lit(False))
+                     ).otherwise(F.exists(arr, per_elem))
+        df.select(out)
+        return out
+    if not arrays and strings:
+        env2 = dict(env)
+        for s in strings:
+            env2[s] = F.array(fcol(s))
+        alt = compile_expression(text, registry, env2).cast("boolean")
+        df.select(alt)
+        return alt
+    return base  # surface the original analysis error at execution
+
+
 def _like_to_spark_pattern(pat: str, esc: str | None) -> str:
     """Normalize a Druid LIKE pattern to Spark's backslash-escape form.
 
@@ -494,7 +554,7 @@ def compile_filter(spec: dict | None, df: DataFrame | None = None,
                 out = out & F.arrays_overlap(sets[i], sets[j])
         return out
     if t == "expression":
-        return compile_expression(spec["expression"], registry).cast("boolean")
+        return _expression_filter(spec["expression"], df, registry)
     if t == "extraction":  # deprecated form: fn(dim) == value
         v = spec.get("value")
         return _dim_predicate(
