@@ -34,22 +34,31 @@ def compile_extraction_fn(spec: dict, col: Column, registry=None,
     if t == "identity":
         return col
     if t == "regex":
+        # RegexDimExtractionFn: matcher.find() semantics; an EMPTY
+        # group on a successful match stays '' — only a true no-match
+        # falls back to the replacement (or the original value)
+        # (RegexDimExtractionFnTest.testNullAndEmpty: '(.*)/.*/.*'
+        # applied to '/a/b' is '', not '/a/b')
         expr = spec["expr"]
         idx = int(spec.get("index", 1))
-        out = F.regexp_extract(col.cast("string"), expr, idx)
+        s = col.cast("string")
+        matched = s.rlike(expr)
+        ext = F.regexp_extract(s, expr, idx)
         if spec.get("replaceMissingValue", False):
             miss = spec.get("replaceMissingValueWith")
-            out = F.when(out == "", F.lit(miss)).otherwise(out)
-        else:
-            # Druid returns the original value when the regex misses
-            # unless replaceMissingValue is set
-            out = F.when(out == "", col.cast("string")).otherwise(out)
-        return out
+            # a null input is a miss too (apply(null) -> replacement)
+            return F.when(matched, ext).otherwise(F.lit(miss))
+        return F.when(matched, ext).otherwise(s)
     if t == "partial":  # keep value only if regex matches
         return F.when(col.cast("string").rlike(spec["expr"]), col.cast("string"))
     if t == "substring":
         index = int(spec.get("index", 0))
         length = spec.get("length")
+        if length is not None and int(length) <= 0:
+            # SubstringDimExtractionFn ctor contract
+            # (SubstringDimExtractionFnTest.testZeroLength)
+            raise ValueError(
+                f"substring length[{length}] must be strictly positive")
         if length is None:
             return F.when(F.length(col.cast("string")) > index,
                           F.substring(col.cast("string"), index + 1, 2147483647))
@@ -92,15 +101,24 @@ def compile_extraction_fn(spec: dict, col: Column, registry=None,
     if t == "lower":
         return F.lower(col.cast("string"))
     if t == "bucket":
+        # BucketExtractionFn.bucket renders integral buckets WITHOUT a
+        # decimal point ('2', not '2.0') and unparseable inputs as null
+        # (BucketExtractionFnTest.testApply)
         size = float(spec.get("size", 1))
         offset = float(spec.get("offset", 0))
         v = col.cast("double")
-        return (F.floor((v - offset) / size) * size + offset)
+        b = F.floor((v - offset) / size) * size + offset
+        return F.when(b == b.cast("long"), b.cast("long").cast("string")
+                      ).otherwise(b.cast("string"))
     if t == "stringFormat":
         # StringFormatExtractionFn nullHandling: NULLSTRING (default)
         # formats a null input as the string 'null' (Java
         # String.format semantics — Spark's format_string matches);
         # EMPTYSTRING formats it as ''; RETURNNULL yields null
+        if not spec.get("format"):
+            # StringFormatExtractionFn ctor contract
+            # (StringFormatExtractionFnTest.testInvalidOption1)
+            raise ValueError("format string should not be empty")
         nh = (spec.get("nullHandling") or "NULLSTRING").upper()
         if nh == "RETURNNULL":
             return F.when(col.isNotNull(),
@@ -142,11 +160,25 @@ def compile_extraction_fn(spec: dict, col: Column, registry=None,
             out = F.coalesce(out, F.lit(spec["replaceMissingValueWith"]))
         return out
     if t == "searchQuery":
+        # SearchQuerySpecDimExtractionFn: keep the value when the
+        # search spec accepts it, else null; fragment specs require
+        # EVERY fragment (FragmentSearchQuerySpec, default
+        # case-insensitive)
         q = spec["query"]
+        qt = q.get("type", "contains")
+        s = col.cast("string")
+        if qt == "fragment":
+            cs = q.get("caseSensitive", False)
+            probe = s if cs else F.lower(s)
+            cond = F.lit(True)
+            for frag in q.get("values", []):
+                cond = cond & F.contains(
+                    probe, F.lit(frag if cs else frag.lower()))
+            return F.when(cond, s)
         needle = q.get("value", "")
-        return F.when(
-            F.contains(F.lower(col.cast("string")), F.lit(needle.lower())),
-            col.cast("string"))
+        if q.get("caseSensitive", False) and qt != "insensitive_contains":
+            return F.when(F.contains(s, F.lit(needle)), s)
+        return F.when(F.contains(F.lower(s), F.lit(needle.lower())), s)
     if t == "javascript":
         raise NotImplementedError("javascript extraction fns unsupported; "
                                   "use expression virtual columns")
