@@ -1375,6 +1375,63 @@ def _text_unigram_logprob(spark, sf_dir):
     return unigram_logprob(docs)
 
 
+@_q("gopher_quality_rules", r"""
+WITH t AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\s+'),
+                x -> x <> '') AS toks,
+    list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines,
+    length(text) - length(replace(text, '#', ''))
+      + len(regexp_extract_all(text, '(\.\.\.|…)')) AS symbols
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    len(toks)::BIGINT AS n_words,
+    COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)::BIGINT
+      AS word_chars,
+    symbols::BIGINT AS symbols,
+    len(lines)::BIGINT AS n_lines,
+    len(list_filter(lines, x -> regexp_matches(trim(x), '^[•*-]')))::BIGINT
+      AS bullet_lines,
+    len(list_filter(lines,
+        x -> regexp_matches(rtrim(x), '(\.\.\.|…)$')))::BIGINT AS ell_lines,
+    len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::BIGINT
+      AS alpha_words,
+    len(list_intersect(list_distinct(toks),
+        ['the','be','to','of','and','that','have','with']))::BIGINT AS stops
+  FROM t
+)
+SELECT doc_id, n_words, word_chars,
+  (n_words >= 50 AND n_words <= 100000)::INT AS r_word_count,
+  (word_chars >= 3*n_words AND word_chars <= 10*n_words
+   AND n_words > 0)::INT AS r_mean_word_len,
+  (10*symbols <= n_words)::INT AS r_symbol_ratio,
+  (10*bullet_lines <= 9*n_lines)::INT AS r_bullet_lines,
+  (10*ell_lines <= 3*n_lines)::INT AS r_ellipsis_lines,
+  (5*alpha_words >= 4*n_words)::INT AS r_alpha_words,
+  (stops >= 2)::INT AS r_stop_words,
+  ((n_words >= 50 AND n_words <= 100000)
+   AND (word_chars >= 3*n_words AND word_chars <= 10*n_words
+        AND n_words > 0)
+   AND 10*symbols <= n_words
+   AND 10*bullet_lines <= 9*n_lines
+   AND 10*ell_lines <= 3*n_lines
+   AND 5*alpha_words >= 4*n_words
+   AND stops >= 2)::INT AS pass_gopher
+FROM s
+""")
+def _gopher_quality_rules(spark, sf_dir):
+    """Gopher structural quality rules (Rae et al. 2021 §A1.1 — the
+    filter set reused by FineWeb/Dolma): word-count bounds, mean word
+    length, symbol/bullet/ellipsis ratios, alphabetic-word fraction,
+    stop-word presence (pipeline/text.py gopher_rules). Every rule is
+    an exact integer comparison, fused into the scan — zero shuffles
+    at any scale."""
+    from apache_druid_spark.pipeline import gopher_rules
+
+    return gopher_rules(_registry(spark, sf_dir).table("documents"))
+
+
 @_q("corpus_top_ngrams", f"""
 WITH toks AS (SELECT {_TOKS_SQL} AS t FROM documents),
 g AS (SELECT unnest({{sh3}}) AS gram FROM toks)
@@ -4822,6 +4879,7 @@ _R13_WINDOW = (
     # multimodal_features moved to the _R13_NEXT front to keep the
     # 50-entry driver cap
     'expression_hyper_unique_fold', 'text_unigram_logprob',
+    'gopher_quality_rules',
     # r8-evidence cohort (all 28 — oldest evidence in the registry)
     'expression_time_format', 'sql_floor_to_unit', 'sql_scalar_shims',
     'human_readable_formats', 'ipv4_custkey_subnets',
@@ -4843,13 +4901,13 @@ _R13_WINDOW = (
     'asof_join_events', 'corpus_top_ngrams', 'decontaminate_report',
     'dedup_components_star', 'dedup_edit_distance',
     'dedup_substring_overlap', 'deterministic_shuffle_order',
-    'dsir_importance_weights',
 )
 
 # r10-evidence leftovers — next-oldest after the r13 window; they
 # front the r14 rotation
 _R13_NEXT = (
-    'mixture_weights_lang', 'multimodal_features', 'multimodal_frame_sample', 'multimodal_resize',
+    'dsir_importance_weights', 'mixture_weights_lang',
+    'multimodal_features', 'multimodal_frame_sample', 'multimodal_resize',
     'pack_sequences_budget', 'scrub_common_lines',
     'sql_array_agg_sorted', 'sql_lookup_schema_join',
     'sql_parameterized', 'sql_scalar_shims2', 'sql_scalar_shims3',

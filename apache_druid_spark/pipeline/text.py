@@ -102,6 +102,83 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     })
 
 
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 min_words: int = 50, max_words: int = 100_000) -> DataFrame:
+    """Gopher structural quality rules (Rae et al. 2021, §A1.1 Table
+    A1 — the filter set reused by FineWeb/Dolma/RefinedWeb):
+
+    - word count in [min_words, max_words]
+    - mean word length in [3, 10] characters
+    - symbol-to-word ratio ('#' or '...') <= 0.1
+    - <= 90% of lines start with a bullet
+    - <= 30% of lines end with an ellipsis
+    - >= 80% of words contain an alphabetic character
+    - at least 2 of the 8 canonical English stop words present
+
+    Single codegen projection, no shuffle, no Python. Every rule is an
+    EXACT integer comparison (mean-word-length in [3,10] is
+    3*n <= chars <= 10*n; ratios cross-multiply), so the booleans are
+    engine-independent — no float threshold can flip between Spark and
+    an oracle. Rules emit as 0/1 ints; pass_gopher is their AND. At
+    100 TB this stays a fused scan projection: Catalyst pipelines it
+    into the parquet read with zero exchanges.
+    """
+    df = parallelize_scan(df)
+    text = F.col(text_col)
+    # stage arrays so lambdas don't re-evaluate the split per element
+    staged = df.select(
+        "doc_id",
+        _tokens(text).alias("__toks"),
+        F.filter(F.split(text, "\n"),
+                 lambda ln: F.trim(ln) != "").alias("__lines"),
+        (F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+         + F.regexp_count(text, F.lit(r"(\.\.\.|…)"))
+         ).cast("long").alias("__symbols"),
+    )
+    toks, lines = F.col("__toks"), F.col("__lines")
+    n_words = F.size(toks).cast("long")
+    word_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+    n_lines = F.size(lines).cast("long")
+    bullet_lines = F.size(F.filter(
+        lines, lambda ln: F.trim(ln).rlike("^[•*-]"))).cast("long")
+    ellipsis_lines = F.size(F.filter(
+        lines,
+        lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$"))).cast("long")
+    alpha_words = F.size(F.filter(
+        toks, lambda t: t.rlike("[a-z]"))).cast("long")
+    stops = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    stop_distinct = F.size(
+        F.array_intersect(F.array_distinct(toks), stops)).cast("long")
+
+    def b(c: Column) -> Column:
+        return c.cast("int")
+
+    r_words = b((n_words >= min_words) & (n_words <= max_words))
+    r_mean_len = b((word_chars >= 3 * n_words)
+                   & (word_chars <= 10 * n_words) & (n_words > 0))
+    r_symbols = b(F.lit(10) * F.col("__symbols") <= n_words)
+    r_bullets = b(F.lit(10) * bullet_lines <= F.lit(9) * n_lines)
+    r_ellipsis = b(F.lit(10) * ellipsis_lines <= F.lit(3) * n_lines)
+    r_alpha = b(F.lit(5) * alpha_words >= F.lit(4) * n_words)
+    r_stops = b(stop_distinct >= 2)
+    return staged.select(
+        "doc_id", n_words.alias("n_words"), word_chars.alias("word_chars"),
+        r_words.alias("r_word_count"),
+        r_mean_len.alias("r_mean_word_len"),
+        r_symbols.alias("r_symbol_ratio"),
+        r_bullets.alias("r_bullet_lines"),
+        r_ellipsis.alias("r_ellipsis_lines"),
+        r_alpha.alias("r_alpha_words"),
+        r_stops.alias("r_stop_words"),
+        (r_words * r_mean_len * r_symbols * r_bullets * r_ellipsis
+         * r_alpha * r_stops).alias("pass_gopher"),
+    )
+
+
 def repetition_score(df: DataFrame, text_col: str = "text",
                      ngram: int = 3) -> DataFrame:
     """Gopher-style intra-document repetition signals (Rae et al. 2021

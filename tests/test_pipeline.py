@@ -629,3 +629,32 @@ def test_mixture_weights_zero_token_group(spark):
     assert out["xx"]["weight"] == 0.0  # not None
     assert out["xx"]["obs_share_bp"] == 0
     assert out["en"]["obs_share_bp"] == 10000
+
+
+def test_gopher_rules_planted_documents(spark):
+    """gopher_rules (pipeline/text.py; Rae et al. 2021 §A1.1): planted
+    pass/fail documents trip exactly the intended rule."""
+    from apache_druid_spark.pipeline import gopher_rules
+
+    good = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away to be with all of that pack which have quite some fun "
+            "together near the old river bank while birds sing songs "
+            "and children play games under warm golden afternoon sun "
+            "that shines bright over the green quiet meadow fields")
+    rows = [
+        (1, good),                                   # passes everything
+        (2, "short text only"),                      # fails word count
+        (3, good + " ####### ## # # # # # # # # # # # # # # # # # # #"
+         " # # # # # # # # # # # #"),                # fails symbol ratio
+        (4, "\n".join("• " + w for w in good.split())),  # bullet lines
+        (5, good.replace(" ", "... \n")[:2000]),     # ellipsis lines
+        (6, " ".join(str(i) for i in range(80))),    # no alpha, no stops
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_rules(df).collect()}
+    assert got[1]["pass_gopher"] == 1
+    assert got[2]["r_word_count"] == 0
+    assert got[3]["r_symbol_ratio"] == 0 and got[3]["pass_gopher"] == 0
+    assert got[4]["r_bullet_lines"] == 0
+    assert got[5]["r_ellipsis_lines"] == 0
+    assert got[6]["r_alpha_words"] == 0 and got[6]["r_stop_words"] == 0

@@ -426,3 +426,16 @@ def test_unigram_logprob_count_table_broadcasts(reg):
     df = unigram_logprob(reg.table("documents"))
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_gopher_rules_no_shuffle(reg):
+    """gopher_rules is a fused scan projection: any Exchange means the
+    rule evaluation shuffles document text at corpus scale."""
+    from apache_druid_spark.pipeline import gopher_rules
+
+    plan = plan_of(gopher_rules(reg.table("documents")))
+    body = plan.split("== Physical Plan ==")[-1]
+    proj_at = body.find("Project")
+    assert proj_at != -1
+    assert "Exchange" not in body[:proj_at], body
+    assert "EvalPython" not in body
