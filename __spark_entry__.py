@@ -1432,6 +1432,44 @@ def _gopher_quality_rules(spark, sf_dir):
     return gopher_rules(_registry(spark, sf_dir).table("documents"))
 
 
+@_q("c4_clean_filters", r"""
+WITH t AS (
+  SELECT doc_id, text,
+    list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines
+  FROM documents
+), s AS (
+  SELECT doc_id, text, len(lines)::BIGINT AS n_lines,
+    COALESCE(array_to_string(
+      list_filter(lines, x -> regexp_matches(rtrim(x), '[.!?"]$')
+        AND len(list_filter(regexp_split_to_array(trim(x), '\s+'),
+                            w -> w <> '')) >= 5), chr(10)), '') AS clean_text,
+    len(list_filter(lines, x -> regexp_matches(rtrim(x), '[.!?"]$')
+        AND len(list_filter(regexp_split_to_array(trim(x), '\s+'),
+                            w -> w <> '')) >= 5))::BIGINT AS n_lines_kept
+  FROM t
+)
+SELECT doc_id, n_lines, n_lines_kept,
+  COALESCE(len(regexp_extract_all(clean_text, '[.!?]+')), 0)::BIGINT
+    AS n_sentences,
+  contains(lower(text), 'lorem ipsum')::INT AS has_lorem,
+  contains(text, '{')::INT AS has_brace,
+  (COALESCE(len(regexp_extract_all(clean_text, '[.!?]+')), 0) >= 3
+   AND NOT contains(lower(text), 'lorem ipsum')
+   AND NOT contains(text, '{'))::INT AS keep_page,
+  clean_text
+FROM s
+""")
+def _c4_clean_filters(spark, sf_dir):
+    """C4 cleaning heuristics (Raffel et al. 2020 §2.2): terminal-
+    punctuation + min-word line filter, sentence-count / lorem-ipsum /
+    curly-brace page rules, cleaned text re-joined
+    (pipeline/text.py c4_filters). Fused scan projection — zero
+    shuffles at any scale."""
+    from apache_druid_spark.pipeline import c4_filters
+
+    return c4_filters(_registry(spark, sf_dir).table("documents"))
+
+
 @_q("corpus_top_ngrams", f"""
 WITH toks AS (SELECT {_TOKS_SQL} AS t FROM documents),
 g AS (SELECT unnest({{sh3}}) AS gram FROM toks)
@@ -4879,7 +4917,7 @@ _R13_WINDOW = (
     # multimodal_features moved to the _R13_NEXT front to keep the
     # 50-entry driver cap
     'expression_hyper_unique_fold', 'text_unigram_logprob',
-    'gopher_quality_rules',
+    'gopher_quality_rules', 'c4_clean_filters',
     # r8-evidence cohort (all 28 — oldest evidence in the registry)
     'expression_time_format', 'sql_floor_to_unit', 'sql_scalar_shims',
     'human_readable_formats', 'ipv4_custkey_subnets',
@@ -4900,12 +4938,13 @@ _R13_WINDOW = (
     'sql_frozen_current_timestamp', 'info_schema_lookup_catalog',
     'asof_join_events', 'corpus_top_ngrams', 'decontaminate_report',
     'dedup_components_star', 'dedup_edit_distance',
-    'dedup_substring_overlap', 'deterministic_shuffle_order',
+    'dedup_substring_overlap',
 )
 
 # r10-evidence leftovers — next-oldest after the r13 window; they
 # front the r14 rotation
 _R13_NEXT = (
+    'deterministic_shuffle_order',
     'dsir_importance_weights', 'mixture_weights_lang',
     'multimodal_features', 'multimodal_frame_sample', 'multimodal_resize',
     'pack_sequences_budget', 'scrub_common_lines',

@@ -19,7 +19,7 @@ from apache_druid_spark.pipeline.text import (
     token_stats, language_id, quality_score, fingerprint,
     repetition_score, scrub_common_lines, tfidf_top_terms, top_ngrams,
     winnowing_fingerprint, winnowing_overlap_pairs, normalize,
-    pii_scrub, chunk_documents, gopher_rules,
+    pii_scrub, chunk_documents, gopher_rules, c4_filters,
 )
 from apache_druid_spark.pipeline.semdedup import assign_cells, semantic_dedup
 from apache_druid_spark.pipeline.importance import (
@@ -45,7 +45,7 @@ __all__ = [
     "winnowing_fingerprint", "winnowing_overlap_pairs", "normalize",
     "pii_scrub", "chunk_documents", "tfidf_top_terms",
     "assign_cells", "semantic_dedup", "bucket_log_ratios", "importance_weights",
-    "dsir_select", "unigram_logprob", "gopher_rules",
+    "dsir_select", "unigram_logprob", "gopher_rules", "c4_filters",
     "connected_components", "dedup_keep_representatives",
     "contamination_report", "decontaminate",
     "deterministic_shuffle", "pack_sequences",

@@ -179,6 +179,54 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
     )
 
 
+def c4_filters(df: DataFrame, text_col: str = "text",
+               min_sentences: int = 3, min_line_words: int = 5) -> DataFrame:
+    """C4 cleaning heuristics (Raffel et al. 2020, JMLR §2.2 — the
+    Colossal Clean Crawled Corpus rules): keep only lines that end in
+    terminal punctuation AND hold >= min_line_words words; drop pages
+    with < min_sentences sentences, pages containing 'lorem ipsum',
+    and pages containing a curly brace (code leak-through).
+
+    Emits per-document counts plus the cleaned text (kept lines
+    re-joined) and keep_page as 0/1 — exact integer/equality outputs,
+    engine-independent. One fused scan projection, zero shuffles at
+    any scale (the JS-policy analog of C4's langdetect step lives in
+    language_id)."""
+    df = parallelize_scan(df)
+    text = F.col(text_col)
+    staged = df.select(
+        "doc_id", text,
+        F.filter(F.split(text, "\n"),
+                 lambda ln: F.trim(ln) != "").alias("__lines"),
+    )
+    lines = F.col("__lines")
+    kept = F.filter(
+        lines,
+        lambda ln: F.rtrim(ln).rlike('[.!?"]$')
+        & (F.size(F.filter(F.split(F.trim(ln), r"\s+"),
+                           lambda w: w != "")) >= min_line_words))
+    cleaned = F.array_join(kept, "\n")
+    # sentence count over the KEPT text: terminal-punct runs, C4's
+    # proxy for "at least 3 sentences"
+    n_sentences = F.coalesce(
+        F.regexp_count(cleaned, F.lit(r"[.!?]+")), F.lit(0)).cast("long")
+    low = F.lower(text)
+    has_lorem = F.contains(low, F.lit("lorem ipsum")).cast("int")
+    has_brace = F.contains(text, F.lit("{")).cast("int")
+    keep = ((n_sentences >= min_sentences)
+            & (has_lorem == 0) & (has_brace == 0)).cast("int")
+    return staged.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        n_sentences.alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        keep.alias("keep_page"),
+        cleaned.alias("clean_text"),
+    )
+
+
 def repetition_score(df: DataFrame, text_col: str = "text",
                      ngram: int = 3) -> DataFrame:
     """Gopher-style intra-document repetition signals (Rae et al. 2021

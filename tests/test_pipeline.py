@@ -658,3 +658,31 @@ def test_gopher_rules_planted_documents(spark):
     assert got[4]["r_bullet_lines"] == 0
     assert got[5]["r_ellipsis_lines"] == 0
     assert got[6]["r_alpha_words"] == 0 and got[6]["r_stop_words"] == 0
+
+
+def test_c4_filters_planted_documents(spark):
+    """c4_filters (pipeline/text.py; Raffel et al. 2020 §2.2): planted
+    pages trip exactly the intended rule."""
+    from apache_druid_spark.pipeline import c4_filters
+
+    good = ("This is the first proper sentence of the page.\n"
+            "Here comes another full sentence with enough words.\n"
+            "And a third complete sentence closes the page nicely.")
+    rows = [
+        (1, good),                                    # keeps everything
+        (2, good + "\nsome code { return 1; }"),      # brace page drop
+        (3, good.replace("page", "Lorem Ipsum page")),  # placeholder text
+        (4, "no terminal punctuation here\nshort one\nbullet items"),
+        (5, "Tiny. But. Sentences.\nToo short each.\nFive ok? no"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in c4_filters(df).collect()}
+    assert got[1]["keep_page"] == 1 and got[1]["n_lines_kept"] == 3
+    assert got[1]["clean_text"] == good
+    assert got[2]["has_brace"] == 1 and got[2]["keep_page"] == 0
+    assert got[3]["has_lorem"] == 1 and got[3]["keep_page"] == 0
+    # every line fails the terminal-punct/word-count rule
+    assert got[4]["n_lines_kept"] == 0 and got[4]["clean_text"] == ""
+    assert got[4]["keep_page"] == 0
+    # lines kept need >= 5 words AND terminal punctuation
+    assert got[5]["n_lines_kept"] == 0
