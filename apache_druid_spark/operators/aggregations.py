@@ -63,6 +63,38 @@ def _num_field(spec: dict, registry=None) -> Column:
     return _field(spec, registry)
 
 
+def _cast_numeric(c: Column, typ: str) -> Column:
+    """Druid's string-to-number coercion parses through double, so
+    longSum over the string '1.0' yields 1 — Spark's direct
+    string->long cast would yield null
+    (StringColumnAggregationTest.testGroupBy singleLongSum)."""
+    if typ == "long":
+        return c.cast("double").cast("long")
+    return c.cast(typ)
+
+
+def _scalar_numeric(spec: dict, df, registry, typ: str) -> Column:
+    c = _num_field(spec, registry)
+    field = spec.get("fieldName")
+    if (df is not None and field and field in df.columns
+            and isinstance(df.schema[field].dataType, T.StringType)):
+        return _cast_numeric(c, typ)
+    return c.cast(typ)
+
+
+def _mv_numeric_elements(spec: dict, df, typ: str):
+    """For a numeric aggregator whose input column is MULTI-VALUE:
+    the array of non-null element values cast to the aggregator's
+    type, else None (scalar input)."""
+    field = spec.get("fieldName")
+    if (df is None or not field or field not in df.columns
+            or not isinstance(df.schema[field].dataType, T.ArrayType)):
+        return None
+    return F.filter(
+        F.transform(fcol(field), lambda x: _cast_numeric(x, typ)),
+        lambda e: e.isNotNull())
+
+
 def _first_last_key(spec: dict, df) -> Column:
     """Ordering key for first/last folds. Druid breaks timestamp TIES
     by segment ROW ORDER (NumericFirstAggregator.java only replaces on
@@ -100,10 +132,25 @@ def compile_aggregator(spec: dict, df=None, registry=None,
     if t == "count":
         return F.count(F.lit(1)).alias(name)
     if t in _SUM_TYPES:
-        return F.sum(_num_field(spec, registry).cast(_SUM_TYPES[t])).alias(name)
+        typ = _SUM_TYPES[t]
+        arr = _mv_numeric_elements(spec, df, typ)
+        if arr is not None:
+            # numeric agg over a MULTI-VALUE column: every element
+            # contributes (StringColumnAggregationTest: doubleSum over
+            # [v, null, v] adds 2v per row; null elements skipped)
+            per_row = F.when(
+                F.size(arr) > 0,
+                F.aggregate(arr, F.lit(0).cast(typ), lambda a, x: a + x))
+            return F.sum(per_row).alias(name)
+        return F.sum(_scalar_numeric(spec, df, registry, typ)).alias(name)
     if t in _MINMAX:
         fn, typ = _MINMAX[t]
-        return getattr(F, fn)(_num_field(spec, registry).cast(typ)).alias(name)
+        arr = _mv_numeric_elements(spec, df, typ)
+        if arr is not None:
+            per_row = F.array_min(arr) if fn == "min" else F.array_max(arr)
+            return getattr(F, fn)(per_row).alias(name)
+        return getattr(F, fn)(
+            _scalar_numeric(spec, df, registry, typ)).alias(name)
     if t == "doubleMean":
         return F.avg(_num_field(spec, registry).cast("double")).alias(name)
     if t in _FIRST_LAST:
