@@ -501,6 +501,13 @@ def compile_filter(spec: dict | None, df: DataFrame | None = None,
         dt = dict(df.dtypes).get(dim) if df is not None else None
         if dt == "timestamp":
             millis = F.unix_millis(c)
+        elif dt == "string":
+            # reference-first: epoch-millis long parse; this engine
+            # additionally accepts ISO datetime strings as a fallback
+            # (documented superset — the reference's long-only parse
+            # would drop them)
+            millis = F.coalesce(c.cast("long"),
+                                F.unix_millis(c.cast("timestamp")))
         else:
             millis = c.cast("long")
         if efn is not None:
