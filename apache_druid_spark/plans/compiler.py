@@ -300,20 +300,32 @@ def _apply_virtual_column(df: DataFrame, vc: dict, registry) -> DataFrame:
     t = vc.get("type", "expression")
     if t == "expression":
         col = compile_expression(vc["expression"], registry)
+        try:
+            df.select(col)  # analysis probe
+        except Exception:
+            mv = _mv_auto_transform(df, vc, registry)
+            if mv is None:
+                raise
+            return df.withColumn(vc["name"], mv)
         out = vc.get("outputType")
         if out and out.upper() in _DRUID_TYPES:
             target = _DRUID_TYPES[out.upper()]
-            if target == "long":
+            from pyspark.sql import types as _T
+            dt = df.select(col.alias("__vc_t")).schema[0].dataType
+            if isinstance(dt, _T.ArrayType):
+                # an MV-valued expression (map/cartesian_map over MV
+                # inputs) keeps its multi-value shape — the declared
+                # outputType casts EACH ELEMENT, it does not stringify
+                # the array (MultiValuedDimensionTest
+                # testGroupByExpression groups the exploded elements)
+                col = F.transform(col, lambda e: e.cast(target))
+            elif target == "long" and isinstance(
+                    dt, (_T.TimestampType, _T.TimestampNTZType)):
                 # Druid time values ARE epoch-millis longs, so a
                 # LONG-typed virtual column over a timestamp
                 # expression (timestamp_ceil etc.) yields millis;
                 # Spark's timestamp->long cast would yield seconds
-                from pyspark.sql import types as _T
-                dt = df.select(col.alias("__vc_t")).schema[0].dataType
-                if isinstance(dt, (_T.TimestampType, _T.TimestampNTZType)):
-                    col = F.unix_millis(col)
-                else:
-                    col = col.cast(target)
+                col = F.unix_millis(col)
             else:
                 col = col.cast(target)
         return df.withColumn(vc["name"], col)
@@ -342,6 +354,37 @@ def _apply_virtual_column(df: DataFrame, vc: dict, registry) -> DataFrame:
             col = F.when(test if allow else ~test, c)
         return df.withColumn(vc["name"], col)
     raise ValueError(f"unknown virtual column type: {t!r}")
+
+
+def _mv_auto_transform(df: DataFrame, vc: dict, registry):
+    """Druid's 'auto transform': a SCALAR expression over a MULTI-VALUE
+    column maps per element, yielding a multi-value virtual column
+    (MultiValuedDimensionTest.testTopNExpressionAutoTransform:
+    concat(tags, 'foo') applies to each tag). Returns the array Column,
+    or None when the expression doesn't reference exactly one MV
+    column (the whole-row analysis error then surfaces)."""
+    from apache_druid_spark.operators.expressions import (
+        expression_identifiers,
+    )
+
+    arrays = [n for n in expression_identifiers(vc["expression"])
+              if n in df.columns
+              and isinstance(df.schema[n].dataType, T.ArrayType)]
+    if len(arrays) != 1:
+        return None
+    name = arrays[0]
+    arr = fcol(name)
+    out = (vc.get("outputType") or "STRING").upper()
+    target = _DRUID_TYPES.get(out, "string")
+
+    def per(e):
+        return compile_expression(
+            vc["expression"], registry, env={name: e}).cast(target)
+
+    # a null/empty multi-value row behaves as the single null value
+    return F.when(arr.isNull() | (F.size(arr) == 0),
+                  F.array(per(F.lit(None).cast("string")))
+                  ).otherwise(F.transform(arr, per))
 
 
 def _granularity_bucket(q: dict) -> tuple[str, object] | None:
