@@ -207,6 +207,14 @@ def _materialize_missing_dims(df: DataFrame, q: dict) -> DataFrame:
             return
         if isinstance(a.get("fieldName"), str):
             referenced.add(a["fieldName"])
+        if isinstance(a.get("expression"), str):
+            # an expression aggregator over a column the segments don't
+            # have behaves as all-null too (SchemaEvolutionTest:
+            # longSum(expression 'c1 * 1') over the c1-less index4)
+            from apache_druid_spark.operators.expressions import (
+                expression_identifiers,
+            )
+            referenced.update(expression_identifiers(a["expression"]))
         for d in a.get("fields", []) or []:  # cardinality-style
             dim_name(d)  # plain string or DimensionSpec dict
         walk_agg(a.get("aggregator"))  # filtered wrapper
