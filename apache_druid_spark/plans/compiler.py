@@ -1434,6 +1434,14 @@ def compile_query(q: dict, registry: DatasourceRegistry,
                          "(processing/.../query/select/SelectQuery.java:41-50)")
     if t not in _COMPILERS:
         raise ValueError(f"unknown queryType: {t!r}")
+    pp = q.get("postProcessing")
+    if pp:
+        specs = pp if isinstance(pp, list) else [pp]
+        if len(specs) != 1 or specs[0].get("type") != "timewarp":
+            raise ValueError(
+                f"unsupported postProcessing: {specs!r} (timewarp only)")
+        from apache_druid_spark.plans.timewarp import apply_timewarp
+        return apply_timewarp(q, specs[0], registry, compile_query)
     if t == "groupBy" and not finalize:
         return compile_groupby(q, registry, finalize=False)
     return _COMPILERS[t](q, registry)
