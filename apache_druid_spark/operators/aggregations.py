@@ -427,6 +427,83 @@ def _filtered(inner: dict, cond: Column, df, registry) -> Column:
         f"filtered aggregator does not support inner type {t!r}")
 
 
+_QUANTILE_POSTAGG_TYPES = {
+    "quantilesDoublesSketchToQuantile", "quantilesDoublesSketchToQuantiles",
+    "quantilesDoublesSketchToRank", "quantilesDoublesSketchToCDF",
+    "quantilesDoublesSketchToHistogram",
+}
+
+_QUANTILE_AGG_TYPES = {"quantilesDoublesSketch", "quantilesDoublesSketchMerge",
+                       "KLLDoublesSketch", "KLLFloatsSketch"}
+
+
+def synthesize_quantile_postaggs(agg_specs, post_specs, registry=None):
+    """Fuse DoublesSketch post-aggregators into direct aggregates.
+
+    The reference builds a quantile sketch per group and finalizes it
+    with post-aggregators at the broker (extensions-core/datasketches/
+    .../quantiles/DoublesSketchTo{Quantile,Quantiles,Rank,CDF,
+    Histogram}PostAggregator.java). The Spark-first equivalent computes
+    the requested statistic in the SAME aggregation — sort-based exact
+    percentile / conditional counts — a strict-accuracy upgrade over
+    the sketch (getRank is the EXCLUSIVE mass below the value; getCDF
+    appends the trailing 1.0; the histogram's first bin is (-inf, s0)
+    and last [sn, inf), counts as doubles).
+
+    Returns (extra aggregate Columns, post-agg specs left to apply)."""
+    by_name = {a.get("name"): a for a in agg_specs or []
+               if isinstance(a, dict)}
+    extra: list[Column] = []
+    remaining: list[dict] = []
+    for p in post_specs or []:
+        t = p.get("type") if isinstance(p, dict) else None
+        if t not in _QUANTILE_POSTAGG_TYPES:
+            remaining.append(p)
+            continue
+        fld = p.get("field") or {}
+        src = by_name.get(fld.get("fieldName"))
+        if src is None or src.get("type") not in _QUANTILE_AGG_TYPES:
+            raise ValueError(
+                f"{t} must reference a quantiles sketch aggregator "
+                f"(got field {fld.get('fieldName')!r})")
+        x = _field(src, registry).cast("double")
+        name = p["name"]
+        n = F.count(x)
+        if t.endswith("ToQuantile"):
+            extra.append(
+                F.percentile(x, F.lit(float(p["fraction"]))).alias(name))
+        elif t.endswith("ToQuantiles"):
+            fr = F.array(*[F.lit(float(f)) for f in p["fractions"]])
+            extra.append(F.percentile(x, fr).alias(name))
+        elif t.endswith("ToRank"):
+            v = float(p["value"])
+            extra.append((F.count(F.when(x < v, 1)) / n).alias(name))
+        elif t.endswith("ToCDF"):
+            sp = [float(s) for s in p["splitPoints"]]
+            cols = [(F.count(F.when(x < s, 1)) / n).cast("double")
+                    for s in sp] + [F.lit(1.0)]
+            extra.append(F.array(*cols).alias(name))
+        else:  # ToHistogram
+            if p.get("splitPoints") is None:
+                raise NotImplementedError(
+                    "quantilesDoublesSketchToHistogram needs explicit "
+                    "splitPoints in this engine (numBins derives splits "
+                    "from the sketch's min/max — run a min/max query "
+                    "first)")
+            sp = [float(s) for s in p["splitPoints"]]
+            bounds = [None] + sp + [None]
+            cols = []
+            for lo, hi in zip(bounds, bounds[1:]):
+                cond = F.lit(True)
+                if lo is not None:
+                    cond = cond & (x >= lo)
+                if hi is not None:
+                    cond = cond & (x < hi)
+                cols.append(F.count(F.when(cond, 1)).cast("double"))
+            extra.append(F.array(*cols).alias(name))
+    return extra, remaining
+
+
 def compile_aggregations(specs: list[dict], df=None, registry=None,
                          finalize: bool = True) -> list[Column]:
     return [compile_aggregator(s, df, registry, finalize=finalize)

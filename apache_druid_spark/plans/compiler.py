@@ -31,7 +31,8 @@ from pyspark.sql.window import Window
 
 from apache_druid_spark.model.datasource import TIME_COLUMN, DatasourceRegistry
 from apache_druid_spark.model.granularity import time_floor_col
-from apache_druid_spark.operators.aggregations import compile_aggregations
+from apache_druid_spark.operators.aggregations import (
+    compile_aggregations, synthesize_quantile_postaggs)
 from apache_druid_spark.operators.dimensions import compile_dimension_spec
 from apache_druid_spark.operators.expressions import compile_expression
 from apache_druid_spark.operators.filters import compile_filter, interval_predicate
@@ -455,7 +456,12 @@ def compile_timeseries(q: dict, registry: DatasourceRegistry) -> DataFrame:
     fill-empty-buckets; ours is skip, because unbounded interval specs
     (ALL eternity) would explode the generated sequence."""
     df = _base_frame(q, registry)
+    _extra, _posts = synthesize_quantile_postaggs(
+        q.get("aggregations", []), q.get("postAggregations"), registry)
+    if _extra:
+        q = {**q, "postAggregations": _posts}
     aggs = compile_aggregations(q.get("aggregations", []), df, registry)
+    aggs += _extra
     no_aggs = not aggs
     if no_aggs:
         # aggregator-less timeseries returns bare bucket timestamps
@@ -862,7 +868,12 @@ def compile_topn(q: dict, registry: DatasourceRegistry) -> DataFrame:
     dim_name, dim_col = compile_dimension_spec(q["dimension"], registry, df)
     df, dims = _explode_multivalue_dims(df, [(dim_name, dim_col)],
                                         drop_empty=True)
+    _extra, _posts = synthesize_quantile_postaggs(
+        q.get("aggregations", []), q.get("postAggregations"), registry)
+    if _extra:
+        q = {**q, "postAggregations": _posts}
     aggs = compile_aggregations(q.get("aggregations", []), df, registry)
+    aggs += _extra
     if not aggs:
         # aggregator-less topN (TopNLexicographicNoAggregators /
         # testSortOnDoubleAsLong): distinct dimension values in
@@ -1082,8 +1093,13 @@ def compile_groupby(q: dict, registry: DatasourceRegistry,
                     "your query context.")
     df, dim_names = _explode_multivalue_dims(df, dim_specs,
                                              keep_arrays=array_out)
+    _extra, _posts = synthesize_quantile_postaggs(
+        q.get("aggregations", []), q.get("postAggregations"), registry)
+    if _extra:
+        q = {**q, "postAggregations": _posts}
     aggs = compile_aggregations(q.get("aggregations", []), df, registry,
                                 finalize=finalize)
+    aggs += _extra
     if not aggs:
         aggs = [F.count(F.lit(1)).alias("__count")]
 
