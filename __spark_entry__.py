@@ -4028,6 +4028,61 @@ def _quantiles_sketch_median(spark, sf_dir):
     }, _registry(spark, sf_dir))
 
 
+@_q("quantile_postagg_family", """
+SELECT l_linestatus,
+       ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+       ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,
+       ROUND(quantile_cont(l_quantity, 0.75), 4) AS p75,
+       ROUND(SUM(CASE WHEN l_quantity < 25 THEN 1 ELSE 0 END)
+             / COUNT(l_quantity)::DOUBLE, 4) AS rank25,
+       SUM(CASE WHEN l_quantity < 10 THEN 1 ELSE 0 END)::DOUBLE
+         AS hist_lo,
+       SUM(CASE WHEN l_quantity >= 10 AND l_quantity < 40 THEN 1
+                ELSE 0 END)::DOUBLE AS hist_mid,
+       SUM(CASE WHEN l_quantity >= 40 THEN 1 ELSE 0 END)::DOUBLE
+         AS hist_hi
+FROM lineitem GROUP BY 1
+""")
+def _quantile_postagg_family(spark, sf_dir):
+    """DoublesSketch post-aggregator family (r13;
+    extensions-core/datasketches/.../quantiles/DoublesSketchTo*.java):
+    ToQuantile/ToQuantiles/ToRank/ToHistogram fused into the
+    aggregation as exact percentile / conditional-count aggregates
+    (synthesize_quantile_postaggs). The quantiles/histogram arrays are
+    unpacked so DuckDB can hash-compare scalars."""
+    df = compile_query({
+        "queryType": "groupBy", "dataSource": "lineitem",
+        "granularity": "all", "dimensions": ["l_linestatus"],
+        "aggregations": [{"type": "quantilesDoublesSketch",
+                          "name": "sketch", "fieldName": "l_quantity"}],
+        "postAggregations": [
+            {"type": "quantilesDoublesSketchToQuantile", "name": "median_qty",
+             "field": {"type": "fieldAccess", "fieldName": "sketch"},
+             "fraction": 0.5},
+            {"type": "quantilesDoublesSketchToQuantiles", "name": "qs",
+             "field": {"type": "fieldAccess", "fieldName": "sketch"},
+             "fractions": [0.25, 0.75]},
+            {"type": "quantilesDoublesSketchToRank", "name": "rank25",
+             "field": {"type": "fieldAccess", "fieldName": "sketch"},
+             "value": 25},
+            {"type": "quantilesDoublesSketchToHistogram", "name": "hist",
+             "field": {"type": "fieldAccess", "fieldName": "sketch"},
+             "splitPoints": [10, 40]},
+        ],
+    }, _registry(spark, sf_dir))
+    out = df.select(
+        "l_linestatus",
+        F.round("median_qty", 4).alias("median_qty"),
+        F.round(F.col("qs")[0], 4).alias("p25"),
+        F.round(F.col("qs")[1], 4).alias("p75"),
+        F.round("rank25", 4).alias("rank25"),
+        F.col("hist")[0].alias("hist_lo"),
+        F.col("hist")[1].alias("hist_mid"),
+        F.col("hist")[2].alias("hist_hi"),
+    )
+    return out
+
+
 @_q("moving_average_monthly", """
 WITH m AS (
   SELECT unnest(generate_series(TIMESTAMP '1995-04-01',
@@ -4918,6 +4973,7 @@ _R13_WINDOW = (
     # 50-entry driver cap
     'expression_hyper_unique_fold', 'text_unigram_logprob',
     'gopher_quality_rules', 'c4_clean_filters',
+    'quantile_postagg_family',
     # r8-evidence cohort (all 28 — oldest evidence in the registry)
     'expression_time_format', 'sql_floor_to_unit', 'sql_scalar_shims',
     'human_readable_formats', 'ipv4_custkey_subnets',
@@ -4938,13 +4994,12 @@ _R13_WINDOW = (
     'sql_frozen_current_timestamp', 'info_schema_lookup_catalog',
     'asof_join_events', 'corpus_top_ngrams', 'decontaminate_report',
     'dedup_components_star', 'dedup_edit_distance',
-    'dedup_substring_overlap',
 )
 
 # r10-evidence leftovers — next-oldest after the r13 window; they
 # front the r14 rotation
 _R13_NEXT = (
-    'deterministic_shuffle_order',
+    'dedup_substring_overlap', 'deterministic_shuffle_order',
     'dsir_importance_weights', 'mixture_weights_lang',
     'multimodal_features', 'multimodal_frame_sample', 'multimodal_resize',
     'pack_sequences_budget', 'scrub_common_lines',
