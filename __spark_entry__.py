@@ -4083,6 +4083,56 @@ def _quantile_postagg_family(spark, sf_dir):
     return out
 
 
+@_q("theta_setop_postagg", """
+WITH flags AS (
+  SELECT user_id,
+         bool_or(event_type = 'purchase') AS p,
+         bool_or(event_type = 'click') AS c
+  FROM events GROUP BY 1
+)
+SELECT CAST(SUM(CASE WHEN p AND c THEN 1 ELSE 0 END) AS DOUBLE)
+         AS both_card,
+       CAST(SUM(CASE WHEN p OR c THEN 1 ELSE 0 END) AS DOUBLE)
+         AS either_card,
+       CAST(SUM(CASE WHEN p AND NOT c THEN 1 ELSE 0 END) AS DOUBLE)
+         AS only_p_card
+FROM flags
+""")
+def _theta_setop_postagg(spark, sf_dir):
+    """thetaSketchSetOp/thetaSketchEstimate through the NATIVE query
+    path (r13; theta_set_ops covers the DataFrame-level rewrite): the
+    post-aggregators synthesize hidden per-group theta STATE aggregates
+    and combine them with Spark's DataSketches theta_union/
+    intersection/difference. Estimates are sketch-exact at this
+    cardinality, so they hash against the exact oracle."""
+
+    def th(name, val):
+        return {"type": "filtered", "name": name,
+                "filter": {"type": "selector", "dimension": "event_type",
+                           "value": val},
+                "aggregator": {"type": "thetaSketch", "name": name,
+                               "fieldName": "user_id"}}
+
+    def setop(name, func):
+        return {"type": "thetaSketchEstimate", "name": name,
+                "field": {"type": "thetaSketchSetOp", "name": name + "_s",
+                          "func": func,
+                          "fields": [{"type": "fieldAccess",
+                                      "fieldName": "p"},
+                                     {"type": "fieldAccess",
+                                      "fieldName": "c"}]}}
+
+    df = compile_query({
+        "queryType": "timeseries", "dataSource": "events",
+        "granularity": "all", "intervals": ["1970-01-01/2030-01-01"],
+        "aggregations": [th("p", "purchase"), th("c", "click")],
+        "postAggregations": [setop("both_card", "INTERSECT"),
+                             setop("either_card", "UNION"),
+                             setop("only_p_card", "NOT")],
+    }, _registry(spark, sf_dir))
+    return df.select("both_card", "either_card", "only_p_card")
+
+
 @_q("moving_average_monthly", """
 WITH m AS (
   SELECT unnest(generate_series(TIMESTAMP '1995-04-01',
@@ -4973,7 +5023,7 @@ _R13_WINDOW = (
     # 50-entry driver cap
     'expression_hyper_unique_fold', 'text_unigram_logprob',
     'gopher_quality_rules', 'c4_clean_filters',
-    'quantile_postagg_family',
+    'quantile_postagg_family', 'theta_setop_postagg',
     # r8-evidence cohort (all 28 — oldest evidence in the registry)
     'expression_time_format', 'sql_floor_to_unit', 'sql_scalar_shims',
     'human_readable_formats', 'ipv4_custkey_subnets',
@@ -4993,13 +5043,13 @@ _R13_WINDOW = (
     'compaction_lifecycle', 'rollup_reaggregate',
     'sql_frozen_current_timestamp', 'info_schema_lookup_catalog',
     'asof_join_events', 'corpus_top_ngrams', 'decontaminate_report',
-    'dedup_components_star', 'dedup_edit_distance',
+    'dedup_components_star',
 )
 
 # r10-evidence leftovers — next-oldest after the r13 window; they
 # front the r14 rotation
 _R13_NEXT = (
-    'dedup_substring_overlap', 'deterministic_shuffle_order',
+    'dedup_edit_distance', 'dedup_substring_overlap', 'deterministic_shuffle_order',
     'dsir_importance_weights', 'mixture_weights_lang',
     'multimodal_features', 'multimodal_frame_sample', 'multimodal_resize',
     'pack_sequences_budget', 'scrub_common_lines',

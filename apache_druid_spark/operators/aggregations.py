@@ -437,7 +437,60 @@ _QUANTILE_AGG_TYPES = {"quantilesDoublesSketch", "quantilesDoublesSketchMerge",
                        "KLLDoublesSketch", "KLLFloatsSketch"}
 
 
-def synthesize_quantile_postaggs(agg_specs, post_specs, registry=None):
+_THETA_POSTAGG_TYPES = {"thetaSketchEstimate", "thetaSketchSetOp"}
+_THETA_AGG_TYPES = {"thetaSketch", "sketchMerge", "sketchBuild"}
+_HIDDEN_SKETCH_PREFIX = "__sketch_pa__"
+
+
+def _theta_sketch_node(p, by_name, registry, sketches: dict,
+                       df=None) -> Column:
+    """A sketch-valued Column for one node of a theta post-agg tree
+    (fieldAccess over a theta aggregator — possibly a FILTERED wrapper
+    around one — or a nested setOp). Hidden per-group sketch-state
+    aggregates accumulate in ``sketches``."""
+    from apache_druid_spark.operators.filters import compile_filter
+
+    t = p.get("type")
+    if t in ("fieldAccess", "finalizingFieldAccess"):
+        fname = p["fieldName"]
+        src = by_name.get(fname)
+        cond = None
+        if src is not None and src.get("type") == "filtered":
+            cond = compile_filter(src.get("filter"), df, registry)
+            src = src.get("aggregator") or {}
+        if src is None or src.get("type") not in _THETA_AGG_TYPES:
+            raise ValueError(
+                f"theta post-aggregator references {fname!r}, which is "
+                "not a theta sketch aggregator")
+        hidden = _HIDDEN_SKETCH_PREFIX + fname
+        if hidden not in sketches:
+            inp = _field(src, registry)
+            if cond is not None:
+                inp = F.when(cond, inp)
+            if src.get("type") == "sketchMerge" or \
+                    src.get("isInputThetaSketch"):
+                sketches[hidden] = F.theta_union_agg(inp).alias(hidden)
+            else:
+                sketches[hidden] = F.theta_sketch_agg(
+                    inp.cast("string")).alias(hidden)
+        return fcol(hidden)
+    if t == "thetaSketchSetOp":
+        fields = [_theta_sketch_node(f, by_name, registry, sketches, df)
+                  for f in p["fields"]]
+        func = (p.get("func") or "UNION").upper()
+        op = {"UNION": F.theta_union, "INTERSECT": F.theta_intersection,
+              "NOT": F.theta_difference}.get(func)
+        if op is None:
+            raise ValueError(f"unknown theta set op {func!r}")
+        out = fields[0]
+        for b in fields[1:]:
+            out = op(out, b)
+        return out
+    raise ValueError(f"unsupported node in theta post-aggregator: {t!r}")
+
+
+def synthesize_quantile_postaggs(agg_specs, post_specs, registry=None,
+                                 df=None):
     """Fuse DoublesSketch post-aggregators into direct aggregates.
 
     The reference builds a quantile sketch per group and finalizes it
@@ -455,8 +508,24 @@ def synthesize_quantile_postaggs(agg_specs, post_specs, registry=None):
                if isinstance(a, dict)}
     extra: list[Column] = []
     remaining: list[dict] = []
+    theta_states: dict[str, Column] = {}
     for p in post_specs or []:
         t = p.get("type") if isinstance(p, dict) else None
+        if t in _THETA_POSTAGG_TYPES:
+            # theta estimate / set-op trees: synthesize hidden
+            # per-group theta STATE aggregates (Spark's DataSketches
+            # theta_sketch_agg), combine with theta_union/intersection/
+            # difference in the post stage, finalize to the estimate
+            # (SketchSetPostAggregator / SketchEstimatePostAggregator,
+            # extensions-core/datasketches/.../theta/)
+            node = p["field"] if t == "thetaSketchEstimate" else p
+            sk = _theta_sketch_node(node, by_name, registry, theta_states,
+                                    df)
+            remaining.append({
+                "type": "computed", "name": p.get("name"),
+                "__column": F.theta_sketch_estimate(sk).cast("double"),
+            })
+            continue
         if t not in _QUANTILE_POSTAGG_TYPES:
             remaining.append(p)
             continue
@@ -501,6 +570,7 @@ def synthesize_quantile_postaggs(agg_specs, post_specs, registry=None):
                     cond = cond & (x < hi)
                 cols.append(F.count(F.when(cond, 1)).cast("double"))
             extra.append(F.array(*cols).alias(name))
+    extra.extend(theta_states.values())
     return extra, remaining
 
 

@@ -73,10 +73,17 @@ def apply_post_aggregations(df: DataFrame, specs: list[dict],
     (processing/.../query/Queries.java:113,130;
     GroupByQueryRunnerTest.testGroupByWithUniquesAndPostAggWithSameName
     is @Test(expected = IllegalArgumentException.class))."""
+    from apache_druid_spark.operators.aggregations import (
+        _HIDDEN_SKETCH_PREFIX,
+    )
+
+    hidden = [c for c in df.columns
+              if c.startswith(_HIDDEN_SKETCH_PREFIX)]
     if not specs:
-        return df
+        return df.drop(*hidden) if hidden else df
     seen = set(df.columns)
-    cols = [F.col(c) for c in df.columns]
+    cols = [F.col(c) for c in df.columns
+            if not c.startswith(_HIDDEN_SKETCH_PREFIX)]
     for s in specs:
         if not isinstance(s, dict):
             continue
@@ -85,5 +92,10 @@ def apply_post_aggregations(df: DataFrame, specs: list[dict],
             raise ValueError(f"[{name}] already defined")
         if name is not None:
             seen.add(name)
-        cols.append(compile_post_aggregator(s, registry))
+        if s.get("type") == "computed":
+            # a pre-built Column from the sketch post-agg synthesis
+            # (operators/aggregations.py synthesize_quantile_postaggs)
+            cols.append(s["__column"].alias(name))
+        else:
+            cols.append(compile_post_aggregator(s, registry))
     return df.select(*cols)

@@ -457,7 +457,7 @@ def compile_timeseries(q: dict, registry: DatasourceRegistry) -> DataFrame:
     (ALL eternity) would explode the generated sequence."""
     df = _base_frame(q, registry)
     _extra, _posts = synthesize_quantile_postaggs(
-        q.get("aggregations", []), q.get("postAggregations"), registry)
+        q.get("aggregations", []), q.get("postAggregations"), registry, df)
     if _extra:
         q = {**q, "postAggregations": _posts}
     aggs = compile_aggregations(q.get("aggregations", []), df, registry)
@@ -869,7 +869,7 @@ def compile_topn(q: dict, registry: DatasourceRegistry) -> DataFrame:
     df, dims = _explode_multivalue_dims(df, [(dim_name, dim_col)],
                                         drop_empty=True)
     _extra, _posts = synthesize_quantile_postaggs(
-        q.get("aggregations", []), q.get("postAggregations"), registry)
+        q.get("aggregations", []), q.get("postAggregations"), registry, df)
     if _extra:
         q = {**q, "postAggregations": _posts}
     aggs = compile_aggregations(q.get("aggregations", []), df, registry)
@@ -1094,7 +1094,7 @@ def compile_groupby(q: dict, registry: DatasourceRegistry,
     df, dim_names = _explode_multivalue_dims(df, dim_specs,
                                              keep_arrays=array_out)
     _extra, _posts = synthesize_quantile_postaggs(
-        q.get("aggregations", []), q.get("postAggregations"), registry)
+        q.get("aggregations", []), q.get("postAggregations"), registry, df)
     if _extra:
         q = {**q, "postAggregations": _posts}
     aggs = compile_aggregations(q.get("aggregations", []), df, registry,

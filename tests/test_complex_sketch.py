@@ -208,3 +208,53 @@ def test_rollup_requery_roundtrip(spark, reg):
                           "fieldName": "uniq"}],
     }, r2).collect()
     assert float(out[0]["uniq"]) == 7.0
+
+
+def test_theta_setop_postaggs_native(spark):
+    """thetaSketchSetOp / thetaSketchEstimate post-aggregators
+    (extensions-core/datasketches/.../theta/SketchSetPostAggregator.java,
+    SketchEstimatePostAggregator.java): synthesized as hidden per-group
+    theta STATE aggregates combined with theta_union/intersection/
+    difference in the post stage (r13). Estimates are sketch-exact at
+    this cardinality."""
+    from datetime import datetime
+
+    from apache_druid_spark.model.datasource import DatasourceRegistry
+    from apache_druid_spark.plans.compiler import compile_query
+
+    rows = [(datetime(2020, 1, 1), u, e) for u, e in
+            [(1, "purchase"), (1, "click"), (2, "purchase"), (3, "click"),
+             (4, "purchase"), (4, "click"), (5, "click")]]
+    df = spark.createDataFrame(
+        rows, "__time timestamp, user_id long, event_type string")
+    reg = DatasourceRegistry(spark)
+    reg.register("theta_ev", df)
+
+    def th(name, val):
+        return {"type": "filtered", "name": name,
+                "filter": {"type": "selector", "dimension": "event_type",
+                           "value": val},
+                "aggregator": {"type": "thetaSketch", "name": name,
+                               "fieldName": "user_id"}}
+
+    def setop(name, func):
+        return {"type": "thetaSketchEstimate", "name": name,
+                "field": {"type": "thetaSketchSetOp", "name": name + "_s",
+                          "func": func,
+                          "fields": [{"type": "fieldAccess",
+                                      "fieldName": "p"},
+                                     {"type": "fieldAccess",
+                                      "fieldName": "c"}]}}
+
+    q = {"queryType": "timeseries", "dataSource": "theta_ev",
+         "granularity": "all", "intervals": ["2019-01-01/2021-01-01"],
+         "aggregations": [th("p", "purchase"), th("c", "click")],
+         "postAggregations": [setop("both", "INTERSECT"),
+                              setop("either", "UNION"),
+                              setop("only_p", "NOT")]}
+    r = compile_query(q, reg).collect()[0]
+    assert (r["p"], r["c"]) == (3, 4)
+    assert (r["both"], r["either"], r["only_p"]) == (2.0, 5.0, 1.0)
+    # the hidden sketch-state columns never reach the output
+    assert not [c for c in compile_query(q, reg).columns
+                if c.startswith("__sketch_pa__")]
