@@ -489,6 +489,57 @@ def _theta_sketch_node(p, by_name, registry, sketches: dict,
     raise ValueError(f"unsupported node in theta post-aggregator: {t!r}")
 
 
+_HLL_POSTAGG_TYPES = {"HLLSketchToEstimate", "HLLSketchToEstimateWithBounds",
+                      "HLLSketchUnion"}
+_HLL_AGG_TYPES = {"HLLSketchBuild", "HLLSketchMerge", "hyperUnique"}
+
+
+def _hll_sketch_node(p, by_name, registry, sketches: dict, df=None) -> Column:
+    """A sketch-valued Column for one node of an HLL post-agg tree
+    (fieldAccess over an HLL aggregator, or a nested HLLSketchUnion)."""
+    from apache_druid_spark.ingest.batch import _hll_input
+    from apache_druid_spark.operators.filters import compile_filter
+
+    t = p.get("type")
+    if t in ("fieldAccess", "finalizingFieldAccess"):
+        fname = p["fieldName"]
+        src = by_name.get(fname)
+        cond = None
+        if src is not None and src.get("type") == "filtered":
+            cond = compile_filter(src.get("filter"), df, registry)
+            src = src.get("aggregator") or {}
+        if src is None or src.get("type") not in _HLL_AGG_TYPES:
+            raise ValueError(
+                f"HLL post-aggregator references {fname!r}, which is "
+                "not an HLL sketch aggregator")
+        hidden = _HIDDEN_SKETCH_PREFIX + fname
+        if hidden not in sketches:
+            inp = _field(src, registry)
+            lgk = int(src.get("lgK", 12))
+            is_state = (src.get("type") == "HLLSketchMerge"
+                        or (df is not None
+                            and src.get("fieldName") in df.columns
+                            and isinstance(
+                                df.schema[src["fieldName"]].dataType,
+                                T.BinaryType)))
+            if cond is not None:
+                inp = F.when(cond, inp)
+            if is_state:
+                sketches[hidden] = F.hll_union_agg(inp, True).alias(hidden)
+            else:
+                sketches[hidden] = F.hll_sketch_agg(
+                    _hll_input(inp), lgk).alias(hidden)
+        return fcol(hidden)
+    if t == "HLLSketchUnion":
+        fields = [_hll_sketch_node(f, by_name, registry, sketches, df)
+                  for f in p["fields"]]
+        out = fields[0]
+        for b in fields[1:]:
+            out = F.hll_union(out, b, True)
+        return out
+    raise ValueError(f"unsupported node in HLL post-aggregator: {t!r}")
+
+
 def synthesize_quantile_postaggs(agg_specs, post_specs, registry=None,
                                  df=None):
     """Fuse DoublesSketch post-aggregators into direct aggregates.
@@ -525,6 +576,28 @@ def synthesize_quantile_postaggs(agg_specs, post_specs, registry=None,
                 "type": "computed", "name": p.get("name"),
                 "__column": F.theta_sketch_estimate(sk).cast("double"),
             })
+            continue
+        if t in _HLL_POSTAGG_TYPES:
+            # HLL estimate / union trees (extensions-core/datasketches/
+            # .../hll/HllSketchTo*.java): hidden per-group HLL state,
+            # combined with hll_union in the post stage. Bounds use the
+            # standard HLL RSE (1.04 / sqrt(2^lgK)) per stddev — a
+            # documented approximation of DataSketches' mode-dependent
+            # bounds (tight at these cardinalities).
+            node = p["field"] if t != "HLLSketchUnion" else p
+            sk = _hll_sketch_node(node, by_name, registry, theta_states, df)
+            if t == "HLLSketchToEstimateWithBounds":
+                est = F.hll_sketch_estimate(sk).cast("double")
+                rse = 1.04 / (2.0 ** (int(p.get("lgK", 12)) / 2.0))
+                ns = float(p.get("numStdDevs", 1))
+                col = F.array(est, est / (1.0 + ns * rse),
+                              est / (1.0 - ns * rse))
+            else:
+                col = F.hll_sketch_estimate(sk).cast("double")
+                if p.get("round"):
+                    col = F.round(col).cast("long")
+            remaining.append({"type": "computed", "name": p.get("name"),
+                              "__column": col})
             continue
         if t not in _QUANTILE_POSTAGG_TYPES:
             remaining.append(p)

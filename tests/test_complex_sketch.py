@@ -258,3 +258,53 @@ def test_theta_setop_postaggs_native(spark):
     # the hidden sketch-state columns never reach the output
     assert not [c for c in compile_query(q, reg).columns
                 if c.startswith("__sketch_pa__")]
+
+
+def test_hll_postaggs_native(spark):
+    """HLLSketchToEstimate / HLLSketchUnion / ...WithBounds
+    post-aggregators (extensions-core/datasketches/.../hll/
+    HllSketchTo{Estimate,EstimateWithBounds}PostAggregator.java,
+    HllSketchUnionPostAggregator.java) through the native path (r13).
+    Estimates are sketch-exact at this cardinality; bounds bracket the
+    estimate."""
+    from datetime import datetime
+
+    from apache_druid_spark.model.datasource import DatasourceRegistry
+    from apache_druid_spark.plans.compiler import compile_query
+
+    rows = [(datetime(2020, 1, 1), u, e) for u, e in
+            [(1, "purchase"), (1, "click"), (2, "purchase"), (3, "click"),
+             (4, "purchase"), (4, "click"), (5, "click")]]
+    df = spark.createDataFrame(
+        rows, "__time timestamp, user_id long, event_type string")
+    reg = DatasourceRegistry(spark)
+    reg.register("hll_ev", df)
+
+    def h(name, val):
+        return {"type": "filtered", "name": name,
+                "filter": {"type": "selector", "dimension": "event_type",
+                           "value": val},
+                "aggregator": {"type": "HLLSketchBuild", "name": name,
+                               "fieldName": "user_id"}}
+
+    q = {"queryType": "timeseries", "dataSource": "hll_ev",
+         "granularity": "all", "intervals": ["2019-01-01/2021-01-01"],
+         "aggregations": [h("p", "purchase"), h("c", "click")],
+         "postAggregations": [
+             {"type": "HLLSketchToEstimate", "name": "p_est",
+              "field": {"type": "fieldAccess", "fieldName": "p"}},
+             {"type": "HLLSketchUnion", "name": "u",
+              "fields": [{"type": "fieldAccess", "fieldName": "p"},
+                         {"type": "fieldAccess", "fieldName": "c"}]},
+             {"type": "HLLSketchToEstimateWithBounds", "name": "pb",
+              "field": {"type": "fieldAccess", "fieldName": "p"},
+              "numStdDevs": 2},
+         ]}
+    # HLLSketchUnion alone returns a sketch; wrap usage: the union node
+    # finalizes to its estimate here (documented: raw sketch output has
+    # no JSON rendering in this engine)
+    r = compile_query(q, reg).collect()[0]
+    assert r["p_est"] == 3.0
+    assert r["u"] == 5.0
+    est, lo, hi = r["pb"]
+    assert est == 3.0 and lo <= est <= hi
