@@ -439,3 +439,51 @@ def test_gopher_rules_no_shuffle(reg):
     assert proj_at != -1
     assert "Exchange" not in body[:proj_at], body
     assert "EvalPython" not in body
+
+
+def test_sketch_postagg_fusion_single_shuffle(reg):
+    """The sketch post-aggregator synthesis (quantile family + theta
+    set ops) must stay ONE aggregation: a single shuffle pair
+    (partial/final), no join back, no second Exchange chain — at
+    100 TB a per-post-agg re-aggregation would multiply the scan."""
+    q = {"queryType": "groupBy", "dataSource": "lineitem",
+         "granularity": "all", "dimensions": ["l_linestatus"],
+         "aggregations": [{"type": "quantilesDoublesSketch",
+                           "name": "sketch", "fieldName": "l_quantity"},
+                          {"type": "thetaSketch", "name": "uk",
+                           "fieldName": "l_orderkey"}],
+         "postAggregations": [
+             {"type": "quantilesDoublesSketchToRank", "name": "rank25",
+              "field": {"type": "fieldAccess", "fieldName": "sketch"},
+              "value": 25},
+             {"type": "thetaSketchEstimate", "name": "uk_est",
+              "field": {"type": "fieldAccess", "fieldName": "uk"}},
+         ]}
+    df = compile_query(q, reg)
+    plan = plan_of(df)
+    body = plan.split("== Physical Plan ==")[-1]
+    # two exchanges: Spark's exact-distinct expansion for the bare
+    # thetaSketch aggregator (group by key+value, then by key) — the
+    # SAME plan the query has without any post-aggs. The fusion itself
+    # adds zero stages: no join back, no third exchange.
+    assert body.count("+- Exchange") == 2, body
+    assert "Join" not in body, body
+    # hidden sketch-state columns never surface
+    assert not [c for c in df.columns if c.startswith("__sketch_pa__")]
+
+    # quantile-only fusion: exactly ONE exchange (partial/final pair)
+    q2 = {"queryType": "groupBy", "dataSource": "lineitem",
+          "granularity": "all", "dimensions": ["l_linestatus"],
+          "aggregations": [{"type": "quantilesDoublesSketch",
+                            "name": "sketch", "fieldName": "l_quantity"}],
+          "postAggregations": [
+              {"type": "quantilesDoublesSketchToRank", "name": "rank25",
+               "field": {"type": "fieldAccess", "fieldName": "sketch"},
+               "value": 25},
+              {"type": "quantilesDoublesSketchToCDF", "name": "cdf",
+               "field": {"type": "fieldAccess", "fieldName": "sketch"},
+               "splitPoints": [10, 40]},
+          ]}
+    body2 = plan_of(compile_query(q2, reg)).split("== Physical Plan ==")[-1]
+    assert body2.count("+- Exchange") == 1, body2
+    assert "Join" not in body2, body2
