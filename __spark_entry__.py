@@ -4133,6 +4133,39 @@ def _theta_setop_postagg(spark, sf_dir):
     return df.select("both_card", "either_card", "only_p_card")
 
 
+@_q("timewarp_week_over_week", """
+SELECT CAST(date_trunc('day', ts) + INTERVAL 147 DAY AS TIMESTAMP)
+         AS __time,
+       COUNT(*) AS cnt, ROUND(SUM(value), 4) AS total_value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-10'
+GROUP BY 1
+""")
+def _timewarp_week_over_week(spark, sf_dir):
+    """TimewarpOperator postProcessing (r13; processing/.../query/
+    TimewarpOperator.java): a query over the first week of June 2024
+    warps onto the golden week 2024-01-08/15 (P1W aligned on the
+    Monday origin, now pinned to 2024-06-05T00Z via
+    context.timewarpNow), the warped window clamps at now+offset, and
+    result days shift back by the 147-day offset."""
+    df = compile_query({
+        "queryType": "timeseries", "dataSource": "events",
+        "granularity": "day",
+        "intervals": ["2024-06-03/2024-06-08"],
+        "aggregations": [
+            {"type": "count", "name": "cnt"},
+            {"type": "doubleSum", "name": "total_value",
+             "fieldName": "value"},
+        ],
+        "context": {"timewarpNow": 1717545600000},
+        "postProcessing": [{"type": "timewarp",
+                            "dataInterval": "2024-01-01/2024-01-15",
+                            "period": "P1W",
+                            "origin": "2024-01-01"}],
+    }, _registry(spark, sf_dir))
+    return _round(df, {"total_value": 4})
+
+
 @_q("moving_average_monthly", """
 WITH m AS (
   SELECT unnest(generate_series(TIMESTAMP '1995-04-01',
@@ -5024,6 +5057,7 @@ _R13_WINDOW = (
     'expression_hyper_unique_fold', 'text_unigram_logprob',
     'gopher_quality_rules', 'c4_clean_filters',
     'quantile_postagg_family', 'theta_setop_postagg',
+    'timewarp_week_over_week',
     # r8-evidence cohort (all 28 — oldest evidence in the registry)
     'expression_time_format', 'sql_floor_to_unit', 'sql_scalar_shims',
     'human_readable_formats', 'ipv4_custkey_subnets',
@@ -5043,12 +5077,12 @@ _R13_WINDOW = (
     'compaction_lifecycle', 'rollup_reaggregate',
     'sql_frozen_current_timestamp', 'info_schema_lookup_catalog',
     'asof_join_events', 'corpus_top_ngrams', 'decontaminate_report',
-    'dedup_components_star',
 )
 
 # r10-evidence leftovers — next-oldest after the r13 window; they
 # front the r14 rotation
 _R13_NEXT = (
+    'dedup_components_star',
     'dedup_edit_distance', 'dedup_substring_overlap', 'deterministic_shuffle_order',
     'dsir_importance_weights', 'mixture_weights_lang',
     'multimodal_features', 'multimodal_frame_sample', 'multimodal_resize',
