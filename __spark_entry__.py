@@ -4481,6 +4481,43 @@ def _dedup_components(spark, sf_dir):
                         F.col("component").cast("long").alias("component"))
 
 
+def _leakage_split_oracle() -> str:
+    from apache_druid_spark.pipeline.sampling import _SPACE
+
+    comps = _components_oracle().strip()
+    u = _u60_oracle("CAST(root AS VARCHAR)", "split")
+    return f"""
+WITH comps AS ({comps})
+SELECT lang,
+       CASE WHEN {u} < {int(0.125 * _SPACE)} THEN 'test' ELSE 'train' END
+         AS split,
+       COUNT(*) AS cnt
+FROM (SELECT d.lang,
+             CASE WHEN c.component <> d.doc_id THEN c.component
+                  ELSE d.doc_id END AS root
+      FROM documents d JOIN comps c ON c.doc_id = d.doc_id)
+GROUP BY 1, 2
+"""
+
+
+@_q("leakage_safe_split_counts", _leakage_split_oracle())
+def _leakage_safe_split_counts(spark, sf_dir):
+    """Leakage-safe train/test split (r13; the eval-contamination fix
+    Lee et al. 2022 measure): near-dup clusters hash-gate on the
+    CLUSTER ROOT so a test doc can never have a near-copy in train.
+    Only the duplicate minority broadcasts; singletons gate on their
+    own key shuffle-free (pipeline/sampling.py leakage_safe_split)."""
+    from apache_druid_spark.pipeline import connected_components
+    from apache_druid_spark.pipeline.sampling import leakage_safe_split
+
+    docs = _registry(spark, sf_dir).table("documents")
+    pairs = _lsh_pairs_once(spark, sf_dir)
+    comps = connected_components(
+        pairs, nodes=docs.select(F.col("doc_id").alias("node")))
+    out = leakage_safe_split(docs, comps, test_rate=0.125)
+    return out.groupBy("lang", "split").agg(F.count(F.lit(1)).alias("cnt"))
+
+
 @_q("text_repetition", f"""
 WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
 g AS (SELECT doc_id, {{shingles}} AS grams,
@@ -5057,7 +5094,7 @@ _R13_WINDOW = (
     'expression_hyper_unique_fold', 'text_unigram_logprob',
     'gopher_quality_rules', 'c4_clean_filters',
     'quantile_postagg_family', 'theta_setop_postagg',
-    'timewarp_week_over_week',
+    'timewarp_week_over_week', 'leakage_safe_split_counts',
     # r8-evidence cohort (all 28 — oldest evidence in the registry)
     'expression_time_format', 'sql_floor_to_unit', 'sql_scalar_shims',
     'human_readable_formats', 'ipv4_custkey_subnets',
@@ -5076,13 +5113,13 @@ _R13_WINDOW = (
     'timeseries_zero_fill', 'lifecycle_publish_query',
     'compaction_lifecycle', 'rollup_reaggregate',
     'sql_frozen_current_timestamp', 'info_schema_lookup_catalog',
-    'asof_join_events', 'corpus_top_ngrams', 'decontaminate_report',
+    'asof_join_events', 'corpus_top_ngrams',
 )
 
 # r10-evidence leftovers — next-oldest after the r13 window; they
 # front the r14 rotation
 _R13_NEXT = (
-    'dedup_components_star',
+    'decontaminate_report', 'dedup_components_star',
     'dedup_edit_distance', 'dedup_substring_overlap', 'deterministic_shuffle_order',
     'dsir_importance_weights', 'mixture_weights_lang',
     'multimodal_features', 'multimodal_frame_sample', 'multimodal_resize',

@@ -74,6 +74,34 @@ def train_test_split_col(df: DataFrame, key_col: str, test_rate: float,
                F.lit("test")).otherwise(F.lit("train")))
 
 
+def leakage_safe_split(df: DataFrame, components: DataFrame,
+                       key_col: str = "doc_id", node_col: str = "node",
+                       test_rate: float = 0.1, seed: str = "split",
+                       out_col: str = "split") -> DataFrame:
+    """Near-dup-cluster-aware train/test split: every document in a
+    connected near-duplicate cluster hash-gates on the CLUSTER ROOT,
+    so a test example can never have a near-copy in train (the
+    contamination Lee et al. 2022 measure inflating eval scores).
+
+    ``components`` is (node, component) from
+    pipeline.graph.connected_components over the near-dup pair graph.
+    Scale: only the non-singleton members join in (component != node —
+    the duplicate MINORITY of the corpus), broadcast to every executor;
+    singleton documents gate on their own key with zero shuffle, same
+    as train_test_split_col. Assignment stays content-keyed and
+    deterministic across runs."""
+    dup_members = components.filter(
+        F.col("component") != F.col(node_col)).select(
+        F.col(node_col).alias(key_col), "component")
+    joined = df.join(F.broadcast(dup_members), key_col, "left")
+    root = F.coalesce(F.col("component"), F.col(key_col).cast("long"))
+    return joined.withColumn(
+        out_col,
+        F.when(_hash_u60(root, seed) < _threshold(test_rate),
+               F.lit("test")).otherwise(F.lit("train"))
+    ).drop("component")
+
+
 def mixture_weights(df: DataFrame, target: dict[str, float],
                     group_col: str = "lang", text_col: str = "text",
                     round_to: int = 4) -> DataFrame:

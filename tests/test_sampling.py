@@ -60,3 +60,33 @@ def test_split_partitions_and_is_stable(docs):
               .join(again.select("doc_id", "split").withColumnRenamed(
                   "split", "split2"), "doc_id"))
     assert joined.filter("split <> split2").count() == 0
+
+
+def test_leakage_safe_split_cluster_purity(spark):
+    """leakage_safe_split (pipeline/sampling.py; Lee et al. 2022):
+    every member of a near-dup cluster lands on the SAME side, and
+    singletons match the plain content-keyed split exactly."""
+    from apache_druid_spark.pipeline.graph import connected_components
+    from apache_druid_spark.pipeline.sampling import (
+        leakage_safe_split, train_test_split_col)
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string")
+    # plant clusters: (0,1,2), (10,11), (20,21,22,23)
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long")
+    comps = connected_components(
+        pairs, nodes=docs.selectExpr("doc_id AS node"))
+    out = leakage_safe_split(docs, comps, test_rate=0.3).collect()
+    split = {r["doc_id"]: r["split"] for r in out}
+    assert len(split) == 200
+    for cluster in ([0, 1, 2], [10, 11], [20, 21, 22, 23]):
+        assert len({split[d] for d in cluster}) == 1, cluster
+    # singletons gate identically to the plain split
+    plain = {r["doc_id"]: r["split"] for r in
+             train_test_split_col(docs, "doc_id", 0.3).collect()}
+    clustered = {0, 1, 2, 10, 11, 20, 21, 22, 23}
+    for d in range(200):
+        if d not in clustered:
+            assert split[d] == plain[d], d
