@@ -91,6 +91,15 @@ def main() -> int:
         "tfidf_top_terms": lambda d, s: tx.tfidf_top_terms(d, top_k=5),
         "mixture_weights": lambda d, s: sp.mixture_weights(
             d, {"en": 0.5, "zh": 0.2, "de": 0.1, "es": 0.1, "fr": 0.1}),
+        # fused scan projections — should be purely linear
+        "gopher_rules": lambda d, s: tx.gopher_rules(d),
+        "c4_filters": lambda d, s: tx.c4_filters(d),
+        # cluster-pure split: CC over the pair graph + broadcast of the
+        # duplicate minority + shuffle-free hash gate
+        "leakage_safe_split": lambda d, s: sp.leakage_safe_split(
+            d, gr.connected_components(
+                dd.minhash_lsh_pairs(d, num_hashes=16, bands=4),
+                nodes=d.select(F.col("doc_id").alias("node")))),
     }
     emb_ops = {
         "cosine_topk": lambda e, s: sim.cosine_topk(e, [1.0] * 64, k=10),
