@@ -545,6 +545,97 @@ def _hll_user_cardinality(spark, sf_dir):
         "cnt")
 
 
+@_q("theta_estimation_mode", """
+SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS exact_keys,
+       TRUE AS theta_within_5pct,
+       COUNT(*) AS cnt
+FROM orders
+""")
+def _theta_estimation_mode(spark, sf_dir):
+    """Theta sketch ABOVE its 4096-entry nominal capacity (r14 judge
+    task #7): o_orderkey has 15k distinct at sf0.01 / 150k at sf0.1, so
+    theta_sketch_agg runs in true ESTIMATION mode (sampling, theta<1)
+    instead of the exact below-capacity regime every earlier theta
+    entry sat in. RSE at 4096 entries is 1/sqrt(4096)=1.56%
+    (datasketches theta; SketchAggregatorFactory default size 16384
+    gives tighter), so the deterministic ±5% gate is >3 sigma. Same
+    tolerance-oracle pattern as hll_user_cardinality: the estimate
+    itself stays out of the hash-compared output."""
+    est = druid_sql(spark, """
+SELECT CAST(THETA_SKETCH_ESTIMATE(DS_THETA(o_orderkey)) AS DOUBLE)
+         AS theta_est,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS exact_keys,
+       COUNT(*) AS cnt
+FROM orders
+""", _registry(spark, sf_dir))
+    return est.select(
+        "exact_keys",
+        (F.abs(F.col("theta_est") - F.col("exact_keys"))
+         <= 0.05 * F.col("exact_keys")).alias("theta_within_5pct"),
+        "cnt")
+
+
+@_q("hll_estimation_mode", """
+SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_keys,
+       TRUE AS hll_within_5pct,
+       COUNT(*) AS cnt
+FROM lineitem
+""")
+def _hll_estimation_mode(spark, sf_dir):
+    """HLL sketch ABOVE its coupon-exact threshold (r14 judge task
+    #7): l_orderkey has ~15k distinct at sf0.01 / ~150k at sf0.1 —
+    far past lgK=12's coupon LIST/SET modes (exact to a few hundred),
+    so hll_sketch_agg answers from true HLL register estimation
+    (RSE 1.04/sqrt(2^12)=1.6%; the ±5% gate is ~3 sigma). Earlier HLL
+    entries all sat below ~2% error by construction; this one pins the
+    approximation regime itself. Estimate kept out of the hash."""
+    est = druid_sql(spark, """
+SELECT CAST(HLL_SKETCH_ESTIMATE(DS_HLL(l_orderkey)) AS DOUBLE)
+         AS hll_est,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_keys,
+       COUNT(*) AS cnt
+FROM lineitem
+""", _registry(spark, sf_dir))
+    return est.select(
+        "exact_keys",
+        (F.abs(F.col("hll_est") - F.col("exact_keys"))
+         <= 0.05 * F.col("exact_keys")).alias("hll_within_5pct"),
+        "cnt")
+
+
+@_q("kll_estimation_mode", """
+SELECT TRUE AS kll_median_within_rank_5pct,
+       COUNT(*) AS cnt
+FROM lineitem
+""")
+def _kll_estimation_mode(spark, sf_dir):
+    """KLL quantiles sketch in deep COMPACTION (r14 judge task #7):
+    60k (sf0.01) / 600k (sf0.1) l_extendedprice values through
+    kll_sketch_agg_double (k=200) force many compaction levels, so
+    the returned median is a genuine rank APPROXIMATION (normalized
+    rank error ~1.65% at k=200, 99% confidence) — every earlier
+    quantile entry was exact-percentile or snap-to-discrete. Gate: the
+    sketch's 0.5-quantile must land between the EXACT 0.45 and 0.55
+    quantiles (a ±5% rank window, ~3x the sketch's error bound).
+    Value itself stays out of the hash."""
+    est = druid_sql(spark, """
+SELECT DS_GET_QUANTILE(DS_QUANTILES_SKETCH(l_extendedprice), 0.5)
+         AS kll_median,
+       COUNT(*) AS cnt
+FROM lineitem
+""", _registry(spark, sf_dir))
+    exact = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+             .agg(F.percentile(F.col("l_extendedprice").cast("double"),
+                               F.lit(0.45)).alias("lo45"),
+                  F.percentile(F.col("l_extendedprice").cast("double"),
+                               F.lit(0.55)).alias("hi55")))
+    return est.crossJoin(exact).select(
+        ((F.col("kll_median") >= F.col("lo45"))
+         & (F.col("kll_median") <= F.col("hi55")))
+        .alias("kll_median_within_rank_5pct"),
+        "cnt")
+
+
 @_q("theta_exact_distinct", """
 SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS uniq_cust
 FROM orders GROUP BY 1
@@ -3306,8 +3397,11 @@ def _expression_hyper_unique_fold(spark, sf_dir):
     collector state carried through an expression-lambda aggregator
     (r13; processing/.../query/expression/HyperUniqueExpressions.java;
     GroupByQueryRunnerTest.testGroupByWithExpressionAggregatorWith
-    Complex). The engine's collector is the exact distinct set, so
-    the estimate is exactly COUNT(DISTINCT) — hash-oracleable."""
+    Complex). r14: the fold carries REAL bounded HLL sketch state
+    (hll_sketch_agg, ≤ 2 KB/group like the reference's collector);
+    DataSketches HLL is exact below its coupon-mode threshold
+    (hundreds of values), which covers the 5 distinct priorities —
+    still hash-oracleable against COUNT(DISTINCT)."""
     return compile_query({
         "queryType": "groupBy", "dataSource": "orders",
         "granularity": "all", "intervals": ALL_TIME,
@@ -5085,7 +5179,7 @@ _R12_WINDOW = (
 # so mv_filter_any_match / the bound-filter pair / the lifecycle
 # family lead; supervisor timestampSpec-'auto' changed
 # (streaming/supervisor.py), so streaming_rollup_hourly re-verifies.
-# The 28 r10 leftovers are _R13_NEXT and front the r14 rotation.
+# The 36 r10 leftovers are _R13_NEXT and front the r14 rotation.
 _R13_WINDOW = (
     # new r13 entry — never driver-checked, verify first (the
     # hyper_unique expression-collector family landed this round);
@@ -5137,17 +5231,45 @@ _R13_NEXT = (
 )
 
 
+# Round-14 gate window (VERDICT r13 task #3): 3 new r14 estimation-mode
+# sketch entries (never driver-checked — verify first), then ALL 36
+# r10-evidence leftovers (_R13_NEXT, the oldest evidence in the
+# registry), then 11 of the 50 r11-evidence entries prioritized by
+# overlap with the r14 code churn: the expression-lambda aggregator
+# gained the hyper_unique->HLL rewrite (operators/aggregations.py), the
+# interval filter's extractionFn order and the numeric selector's
+# integral bounds changed (operators/filters.py), and the HLL bounds
+# post-agg reads the aggregator's lgK — so expression_lambda_agg /
+# filter_interval_expression / theta_set_ops / cardinality_by_value /
+# the filter trio lead; four bench headliners close the window.
+# After r14 the oldest registry evidence is r11 (_R14_NEXT fronts r15).
+_R14_WINDOW = (
+    'theta_estimation_mode', 'hll_estimation_mode',
+    'kll_estimation_mode',
+) + _R13_NEXT + (
+    'expression_lambda_agg', 'filter_interval_expression',
+    'theta_set_ops', 'cardinality_by_value', 'agg_filtered_sum',
+    'bloom_dim_filter', 'dim_regex_filtered',
+    'groupby_flag_status', 'timeseries_month_revenue',
+    'sql_time_floor_revenue', 'window_moving_avg',
+)
+
+# r11-evidence leftovers — next-oldest after the r14 window; they
+# front the r15 rotation
+_R14_NEXT = tuple(n for n in _R11_WINDOW if n not in _R14_WINDOW)
+
+
 def _entry_order(name: str) -> tuple:
-    if name in _R13_WINDOW:
-        return (0, _R13_WINDOW.index(name))
-    if name in _R13_NEXT:  # r10 evidence: next-oldest
-        return (1, _R13_NEXT.index(name))
-    # freshest evidence last: r11-window entries passed in r11, the
-    # r12 window in r12
-    if name in _R11_WINDOW:
-        return (3, _R11_WINDOW.index(name))
+    if name in _R14_WINDOW:
+        return (0, _R14_WINDOW.index(name))
+    if name in _R14_NEXT:  # r11 evidence: next-oldest
+        return (1, _R14_NEXT.index(name))
+    # freshest evidence last: the r12 window passed in r12, the r13
+    # window in r13
     if name in _R12_WINDOW:
-        return (4, _R12_WINDOW.index(name))
+        return (3, _R12_WINDOW.index(name))
+    if name in _R13_WINDOW:
+        return (4, _R13_WINDOW.index(name))
     return (2, 0)  # stable within group (dict keeps file order)
 
 

@@ -310,6 +310,67 @@ def compile_aggregator(spec: dict, df=None, registry=None,
     raise ValueError(f"unknown aggregator type: {t!r}")
 
 
+def _hyper_unique_direct(spec: dict, registry, df=None) -> Column | None:
+    """Rewrite the hyper_unique()/hyper_unique_add() collector fold
+    (HyperUniqueExpressions.java; GroupByQueryRunnerTest
+    testGroupByWithExpressionAggregatorWithComplex) to a REAL bounded
+    HLL aggregate instead of the generic collect_list fold.
+
+    The reference's collector is ~1.5 KB fixed per group
+    (HyperLogLogCollector.java); the generic expression-lambda path
+    materializes every group value (collect_list), so a
+    high-cardinality group is unbounded. This rewrite carries
+    DataSketches HLL state (hll_sketch_agg, lgK=12 — ≤ 2 KB per group
+    regardless of cardinality, partial/final merged map-side) through
+    the SAME expression spelling. Estimates are exact below the
+    sketch's coupon-mode threshold (hundreds of distinct values),
+    ~2%-RSE approximate above it — the reference's own contract.
+    Returns None when the spec is not the hyper_unique pattern (the
+    generic fold handles it)."""
+    import re
+
+    fields = list(spec.get("fields") or [])
+    if len(fields) != 1:
+        return None
+    field = fields[0]
+    if not re.fullmatch(r"\s*hyper_unique\(\s*\)\s*",
+                        str(spec.get("initialValue", ""))):
+        return None
+    acc = re.escape(spec.get("accumulatorIdentifier", "__acc"))
+    fold = str(spec.get("fold", ""))
+    m = (re.fullmatch(rf"\s*hyper_unique_add\(\s*(.+)\s*,\s*{acc}\s*\)\s*",
+                      fold)
+         or re.fullmatch(rf"\s*hyper_unique_add\(\s*{acc}\s*,\s*(.+)\s*\)\s*",
+                         fold))
+    if m is None:
+        return None
+    # MV inputs fold per element (flatten) — generic path handles that
+    if (df is not None and field in df.columns
+            and isinstance(df.schema[field].dataType, T.ArrayType)):
+        return None
+    fin = spec.get("finalize")
+    rounded = False
+    if fin is not None:
+        fm = re.fullmatch(r"\s*hyper_unique_(round_)?estimate\(\s*o\s*\)\s*",
+                          str(fin))
+        if fm is None:
+            return None
+        rounded = bool(fm.group(1))
+    try:
+        inp = compile_expression(m.group(1), registry)
+    except Exception:
+        return None
+    # string domain, SQL nulls skipped — same as the scalar
+    # hyper_unique_add (HyperUniqueExpressions.java:170)
+    state = F.hll_sketch_agg(inp.cast("string"), 12)
+    if fin is None:
+        return state  # unfinalized COMPLEX collector state
+    # an all-null group aggregates to a NULL sketch; the reference's
+    # empty collector estimates 0
+    est = F.coalesce(F.hll_sketch_estimate(state), F.lit(0))
+    return est.cast("long") if rounded else est.cast("double")
+
+
 def _expression_lambda(spec: dict, registry, df=None) -> Column:
     """ExpressionLambdaAggregatorFactory
     (processing/.../aggregation/ExpressionLambdaAggregatorFactory.java):
@@ -320,7 +381,12 @@ def _expression_lambda(spec: dict, registry, df=None) -> Column:
     the fold runs element-wise inside codegen. Group state materializes
     as an array, which Druid also bounds (maxSizeBytes); for the common
     numeric folds this is fine, for giant groups use a built-in
-    aggregator instead."""
+    aggregator instead. The hyper_unique collector fold is rewritten
+    to bounded HLL sketch state (_hyper_unique_direct) so its
+    per-group memory is fixed like the reference's collector."""
+    direct = _hyper_unique_direct(spec, registry, df)
+    if direct is not None:
+        return direct
     fields = list(spec.get("fields") or [])
     if len(fields) > 1:
         raise NotImplementedError(
@@ -540,6 +606,26 @@ def _hll_sketch_node(p, by_name, registry, sketches: dict, df=None) -> Column:
     raise ValueError(f"unsupported node in HLL post-aggregator: {t!r}")
 
 
+def _hll_node_lgk(p, by_name) -> int:
+    """The lgK of the sketch an HLL post-agg node produces — read off
+    the REFERENCED AGGREGATOR (the real sketch parameter), never the
+    post-agg spec, which carries no lgK in the reference
+    (HllSketchToEstimateWithBoundsPostAggregator.java takes only
+    field/numStdDevs). A union of mixed-lgK inputs downgrades to the
+    smallest input lgK (DataSketches union semantics)."""
+    t = p.get("type")
+    if t in ("fieldAccess", "finalizingFieldAccess"):
+        src = by_name.get(p.get("fieldName"))
+        if src is not None and src.get("type") == "filtered":
+            src = src.get("aggregator") or {}
+        if src is not None and src.get("lgK") is not None:
+            return int(src["lgK"])
+        return 12
+    if t == "HLLSketchUnion":
+        return min(_hll_node_lgk(f, by_name) for f in p["fields"])
+    return 12
+
+
 def synthesize_quantile_postaggs(agg_specs, post_specs, registry=None,
                                  df=None):
     """Fuse DoublesSketch post-aggregators into direct aggregates.
@@ -588,7 +674,7 @@ def synthesize_quantile_postaggs(agg_specs, post_specs, registry=None,
             sk = _hll_sketch_node(node, by_name, registry, theta_states, df)
             if t == "HLLSketchToEstimateWithBounds":
                 est = F.hll_sketch_estimate(sk).cast("double")
-                rse = 1.04 / (2.0 ** (int(p.get("lgK", 12)) / 2.0))
+                rse = 1.04 / (2.0 ** (_hll_node_lgk(node, by_name) / 2.0))
                 ns = float(p.get("numStdDevs", 1))
                 col = F.array(est, est / (1.0 + ns * rse),
                               est / (1.0 - ns * rse))

@@ -916,12 +916,14 @@ _FUNCTIONS: dict[str, Callable] = {
     # and the estimate is the exact set size. Honest divergences:
     # (1) estimates are EXACT where Druid's HLL carries ~2% error
     #     (UNIQUES_9 = 9.0198... vs our 9.0) — the suite pins approx;
-    # (2) state grows with per-group cardinality where Druid caps at
-    #     maxSizeBytes — no asymptotic cost HERE because the
-    #     expression-lambda path already collect_list's every group
-    #     value before folding (the set is a subset of that list); at
-    #     100 TB cardinality scale use the native hyperUnique
-    #     aggregator (bounded approx_count_distinct) instead;
+    # (2) these SCALAR spellings keep the exact-set state, but the
+    #     aggregator path no longer folds them: aggregations.py's
+    #     _hyper_unique_direct rewrites the hyper_unique() /
+    #     hyper_unique_add() fold to REAL DataSketches HLL state
+    #     (hll_sketch_agg, lgK=12 — ≤ 2 KB per group at any
+    #     cardinality, like the reference's ~1.5 KB collector), so
+    #     the unbounded set only arises in non-aggregate scalar use
+    #     (virtual columns over a handful of values per row);
     # (3) a string and a number rendering to the same text collide
     #     ('16' vs 16L) where Druid hashes them apart — mixed-type
     #     adds to one collector are not a reference test surface.

@@ -166,7 +166,14 @@ def _numeric_match_literal(v, dtype) -> str | None:
         if d != d.to_integral_value():
             return None
         i = int(d)
-        if not (-(2 ** 63) <= i < 2 ** 63):
+        # range-check against the ACTUAL integral type's bounds, not
+        # just long: '5000000000' on an IntegerType column would
+        # survive a long-only check, cast to null under non-ANSI, and
+        # eqNullSafe(null) would then MATCH null rows — Druid's
+        # long/int predicate matches nothing for such a value
+        bits = {T.LongType: 64, T.IntegerType: 32,
+                T.ShortType: 16, T.ByteType: 8}[type(dtype)]
+        if not (-(2 ** (bits - 1)) <= i < 2 ** (bits - 1)):
             return None
         return str(i)
     return s
@@ -493,28 +500,44 @@ def compile_filter(spec: dict | None, df: DataFrame | None = None,
         # TimeFilteringTest.testIntervalFilterOnStringDimension matches
         # dim0 '0'..'5' against 1970 millis intervals). A plain
         # long->timestamp cast in Spark reads SECONDS — a silent 1000x
-        # offset — so go through timestamp_millis. An extractionFn
-        # applies first (on __time it receives the millis long); its
-        # output is re-parsed as millis.
+        # offset — so go through timestamp_millis. extractionFn order
+        # follows the reference (IntervalDimFilter builds
+        # BoundDimFilters CARRYING the fn): on a non-__time dimension
+        # the fn applies to the RAW dimension value and its OUTPUT is
+        # parsed as millis (a substring/regex over an ISO-formatted
+        # dim transforms the string first); only on __time — where the
+        # raw value already IS the millis long — does the fn receive
+        # millis.
         dim = spec["dimension"]
         c = fcol(dim)
         dt = dict(df.dtypes).get(dim) if df is not None else None
-        if dt == "timestamp":
-            millis = F.unix_millis(c)
-        elif dt == "string":
-            # reference-first: epoch-millis long parse; this engine
-            # additionally accepts ISO datetime strings as a fallback
-            # (documented superset — the reference's long-only parse
-            # would drop them)
-            millis = F.coalesce(c.cast("long"),
-                                F.unix_millis(c.cast("timestamp")))
-        else:
-            millis = c.cast("long")
         if efn is not None:
             from apache_druid_spark.operators.dimensions import (
                 compile_extraction_fn,
             )
-            millis = compile_extraction_fn(efn, millis, registry).cast("long")
+
+        def _parse_millis(col: Column, col_dt: str | None) -> Column:
+            if col_dt == "timestamp":
+                return F.unix_millis(col)
+            if col_dt == "string":
+                # reference-first: epoch-millis long parse; this
+                # engine additionally accepts ISO datetime strings as
+                # a fallback (documented superset — the reference's
+                # long-only parse would drop them)
+                return F.coalesce(col.cast("long"),
+                                  F.unix_millis(col.cast("timestamp")))
+            return col.cast("long")
+
+        if efn is not None and dt != "timestamp":
+            # fn over the raw value, then millis-parse its string output
+            raw = compile_extraction_fn(efn, c, registry)
+            millis = _parse_millis(raw.cast("string"), "string")
+        else:
+            millis = _parse_millis(c, dt)
+            if efn is not None:
+                # __time (timestamp-typed): the fn receives millis
+                millis = compile_extraction_fn(
+                    efn, millis, registry).cast("long")
         return interval_predicate(F.timestamp_millis(millis),
                                   spec["intervals"])
     if t == "columnComparison":

@@ -141,7 +141,8 @@ def dsir_select(raw: DataFrame, target: DataFrame, k: int,
 def unigram_logprob(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", k: float = 0.5,
                     ref: DataFrame | None = None,
-                    round_to: int = 4) -> DataFrame:
+                    round_to: int = 4,
+                    max_vocab: int | None = None) -> DataFrame:
     """CCNet-style language-model quality score: each document's mean
     token log-probability under an add-k-smoothed UNIGRAM model
     trained on ``ref`` (default: the corpus itself) — Wenzek et al.,
@@ -155,25 +156,51 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
     corpus-typical. Perplexity = exp(-logprob).
 
     100 TB shape: ONE tokenize pass over ``ref`` builds the count
-    table (partial/final aggregate, at most V rows — vocabulary-sized,
-    so it BROADCASTS); scoring is explode -> broadcast join ->
-    groupBy(doc), a single (doc_id, token) shuffle over the corpus.
-    N and V collapse to one driver-side scalar row (bounded by
-    construction). OOV tokens (when ``ref`` is a separate corpus)
-    score ln(k / (N + k * V)) via the left join's null count.
-    Deterministic to fixed rounding — oracle-checkable."""
+    table (partial/final aggregate, at most V rows); scoring is
+    explode -> join -> groupBy(doc), a single (doc_id, token) shuffle
+    over the corpus. N and V collapse to driver-side scalar rows
+    (bounded by construction).
+
+    Vocabulary bound: with the default ``ref=corpus`` the count table
+    is the corpus's distinct-token set, which for web text grows
+    near-linearly with corpus size (typos/URLs/numbers) — NOT
+    broadcastable at 100 TB. ``max_vocab`` caps it: keep the top-K
+    tokens by count (ties broken on token, deterministic) and fold
+    everything else into one OOV bucket whose count is the dropped
+    mass — statistically what CCNet's fixed SentencePiece vocab does
+    to rare strings. The capped table is bounded by construction, so
+    it is explicitly broadcast; V becomes K+1 (the OOV symbol) and
+    OOV tokens score ln((c_oov + k) / (N + k * V)). When the cap is
+    not binding (max_vocab >= true V) the result is IDENTICAL to the
+    uncapped score. Uncapped mode carries no broadcast hint — AQE
+    broadcasts a genuinely small vocab and shuffle-joins a large one
+    instead of failing past the broadcast limit.
+
+    OOV tokens under uncapped mode (``ref`` a separate corpus) score
+    ln(k / (N + k * V)) via the left join's null count. Deterministic
+    to fixed rounding — oracle-checkable."""
     source = ref if ref is not None else docs
     ref_toks = parallelize_scan(source).select(
         F.explode(_tokens(F.col(text_col))).alias("__tok"))
     counts = ref_toks.groupBy("__tok").agg(
         F.count(F.lit(1)).alias("__c"))
     n, v = counts.agg(F.sum("__c"), F.count(F.lit(1))).first()
-    denom = float(n) + k * float(v)
+    oov_count = 0.0  # mass of the OOV bucket (0 = no bucket)
+    v_eff = float(v)
+    if max_vocab is not None and int(v) > max_vocab:
+        counts = (counts.orderBy(F.col("__c").desc(),
+                                 F.col("__tok").asc())
+                  .limit(max_vocab))
+        n_kept = counts.agg(F.sum("__c")).first()[0]
+        oov_count = float(n) - float(n_kept)
+        v_eff = float(max_vocab) + 1.0  # +1: the OOV symbol
+        counts = F.broadcast(counts)    # bounded by construction
+    denom = float(n) + k * v_eff
     doc_toks = parallelize_scan(docs).select(
         F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("__tok"))
-    lp = F.log((F.coalesce(F.col("__c"), F.lit(0)) + F.lit(k))
+    lp = F.log((F.coalesce(F.col("__c"), F.lit(oov_count)) + F.lit(k))
                / F.lit(denom))
-    return (doc_toks.join(F.broadcast(counts), "__tok", "left")
+    return (doc_toks.join(counts, "__tok", "left")
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_tok"),
                  F.round(F.avg(lp), round_to).alias("logprob")))

@@ -86,15 +86,25 @@ def leakage_safe_split(df: DataFrame, components: DataFrame,
     ``components`` is (node, component) from
     pipeline.graph.connected_components over the near-dup pair graph.
     Scale: only the non-singleton members join in (component != node —
-    the duplicate MINORITY of the corpus), broadcast to every executor;
-    singleton documents gate on their own key with zero shuffle, same
-    as train_test_split_col. Assignment stays content-keyed and
-    deterministic across runs."""
+    the duplicate MINORITY of the corpus). No broadcast hint: web
+    crawls run 30-50% duplicate members, so dup_members is
+    input-proportional (billions of rows at 100 TB) — a forced
+    broadcast would override AQE and fail past the broadcast limit.
+    AQE picks broadcast when the dup table is actually small and a
+    shuffle join otherwise; the hash-gate math is identical either
+    way. The cluster root coalesces on STRINGS, not longs: a
+    non-numeric doc_id cast to long is NULL under non-ANSI (every
+    singleton would silently land in 'train' with no test set) and a
+    CAST_INVALID_INPUT crash under ANSI. String coalesce hashes
+    identically for numeric ids (long 123 stringifies to '123', the
+    same bytes _hash_u60 fed before) and gates string ids correctly.
+    Assignment stays content-keyed and deterministic across runs."""
     dup_members = components.filter(
         F.col("component") != F.col(node_col)).select(
         F.col(node_col).alias(key_col), "component")
-    joined = df.join(F.broadcast(dup_members), key_col, "left")
-    root = F.coalesce(F.col("component"), F.col(key_col).cast("long"))
+    joined = df.join(dup_members, key_col, "left")
+    root = F.coalesce(F.col("component").cast("string"),
+                      F.col(key_col).cast("string"))
     return joined.withColumn(
         out_col,
         F.when(_hash_u60(root, seed) < _threshold(test_rate),

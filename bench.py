@@ -111,14 +111,26 @@ def main() -> None:
     # dedup_ngram_jaccard regression). localCheckpoint-backed memoized
     # state (_prepare_once) lives outside the Dataset cache and
     # survives this.
+    # load attribution (r13 judge): the shared rig's ambient load has
+    # dominated two rounds of drift adjudication — record the host
+    # 1/5/15-min loadavg at start/end and the 1-min load under which
+    # each query's BEST run was taken, so a slow sample is mechanically
+    # attributable to contention instead of reconstructed after the
+    # fact.
+    load_start = [round(x, 2) for x in os.getloadavg()]
     timings: dict[str, float] = {}
+    query_load: dict[str, float] = {}
     for _ in range(2):
         for name in HEADLINE:
             spark.catalog.clearCache()
+            l1 = round(os.getloadavg()[0], 2)
             t0 = time.time()
             _materialize(qs[name](spark, SF_DIR))
             dt = round(time.time() - t0, 3)
-            timings[name] = min(timings.get(name, dt), dt)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+                query_load[name] = l1
+    load_end = [round(x, 2) for x in os.getloadavg()]
 
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
@@ -126,6 +138,8 @@ def main() -> None:
     print(json.dumps({
         "metric": "headline_queries_total", "value": total, "unit": "sec",
         "queries": timings, "sf": sf,
+        "load": {"start_1_5_15": load_start, "end_1_5_15": load_end,
+                 "nproc": os.cpu_count(), "per_query_1min": query_load},
     }))
 
 

