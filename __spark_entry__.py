@@ -1292,6 +1292,97 @@ def _similarity_ivf_topk(spark, sf_dir):
                     _QUERY_VEC, k=10, n_cells=16, n_probe=4)
 
 
+@_q("similarity_pq_topk", """
+SELECT TRUE AS pq_recall_ok, CAST(10 AS BIGINT) AS k,
+       COUNT(*) AS n FROM embeddings
+""")
+def _similarity_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (r14; Jegou et al. 2011 / the FAISS
+    PQ-ADC design — pipeline/similarity.py:pq_topk): per-subspace
+    KMeans codebooks (pq_fit, seeded — deterministic on fixed input),
+    vectors encoded to 8 codes, query scored by ADC table lookups in
+    one codegen scan, top-150 refined by exact cosine. Recall-gated
+    oracle like the estimation-mode sketch entries: the PQ top-10 must
+    overlap the exact cosine top-10 in >= 7 of 10 (measured 0.9-1.0 at
+    sf0.01 and deterministic; the estimate list itself stays out of
+    the hash). Everything is DataFrame ops — the only driver-side
+    state is the 8x16x8-float codebook literal."""
+    from apache_druid_spark.pipeline import cosine_topk, pq_fit, pq_topk
+
+    emb = _registry(spark, sf_dir).table("embeddings")
+    books = pq_fit(emb, m=8, ks=16)
+    exact = cosine_topk(emb, _QUERY_VEC, k=10).select("vec_id")
+    approx = pq_topk(emb, _QUERY_VEC, k=10, codebooks=books,
+                     rerank=150).select("vec_id")
+    hits = exact.join(approx, "vec_id").agg(
+        (F.count(F.lit(1)) >= 7).alias("pq_recall_ok"),
+        F.lit(10).cast("long").alias("k"))
+    return hits.crossJoin(emb.agg(F.count(F.lit(1)).alias("n")))
+
+
+def _pq_adc_oracle(m: int = 8, ks: int = 16, k: int = 10) -> str:
+    """DuckDB replica of the ADC-only PQ scan: same md5 codebooks,
+    per-subspace argmin code (list_position of list_min — first match,
+    i.e. lowest code, matching pq_encode's (distance, code) struct
+    min), inner-product + norm table lookups, identical rounding."""
+    import math
+
+    from apache_druid_spark.pipeline.similarity import (
+        _pq_tables, pq_codebooks)
+
+    books = pq_codebooks(m, ks, len(_QUERY_VEC))
+    ipt, nt = _pq_tables(_QUERY_VEC, books)
+    qnorm = math.sqrt(sum(x * x for x in _QUERY_VEC)) or 1.0
+    dsub = len(_QUERY_VEC) // m
+
+    def dlist(x):
+        return "[" + ", ".join(repr(float(v)) for v in x) + "]"
+
+    code_exprs, ip_terms, n_terms = [], [], []
+    for j, book in enumerate(books):
+        sub = f"v[{j * dsub + 1}:{(j + 1) * dsub}]"
+        dists = "[" + ", ".join(
+            f"list_distance({sub}, CAST({dlist(c)} AS DOUBLE[]))"
+            for c in book) + "]"
+        code_exprs.append(
+            f"list_position({dists}, list_min({dists})) AS c{j}")
+        ip_terms.append(
+            f"(CAST({dlist(ipt[j])} AS DOUBLE[]))[c{j}]")
+        n_terms.append(
+            f"(CAST({dlist(nt[j])} AS DOUBLE[]))[c{j}]")
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+coded AS (SELECT vec_id, {', '.join(code_exprs)} FROM e)
+SELECT vec_id,
+       ROUND(({' + '.join(ip_terms)})
+             / (SQRT(GREATEST({' + '.join(n_terms)}, 1e-12))
+                * {qnorm!r}), 6) AS adc_cosine
+FROM coded
+ORDER BY adc_cosine DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+@_q("similarity_pq_adc", _pq_adc_oracle())
+def _similarity_pq_adc(spark, sf_dir):
+    """The PQ QUERY-TIME hot path in isolation (r14): ADC-only top-k
+    over md5-deterministic codebooks — Arrow-batched numpy encode
+    (one broadcast distance tensor + argmin per batch; 8x the HOF
+    expression fold at 100k rows), ADC table lookups and the
+    TakeOrdered reduce in codegen, no fit (codebook training is
+    ingest-time work, like FAISS index builds; the fitted+refined
+    recall path is similarity_pq_topk). Value-hash oracled: DuckDB
+    recomputes the identical codes and ADC scores from the same
+    literal codebooks; encode='expression' is the bit-reproducible
+    fallback and agrees with the numpy path on this data
+    (equivalence-tested in tests/test_pipeline.py)."""
+    from apache_druid_spark.pipeline import pq_topk
+
+    return pq_topk(_registry(spark, sf_dir).table("embeddings"),
+                   _QUERY_VEC, k=10, encode="numpy")
+
+
 def _emb_pairs_oracle(bits: int = 8, tables: int = 2,
                       threshold: float = 0.35) -> str:
     """DuckDB replica of embedding_cosine_pairs: same seeded
@@ -5245,13 +5336,13 @@ _R13_NEXT = (
 # After r14 the oldest registry evidence is r11 (_R14_NEXT fronts r15).
 _R14_WINDOW = (
     'theta_estimation_mode', 'hll_estimation_mode',
-    'kll_estimation_mode',
+    'kll_estimation_mode', 'similarity_pq_topk',
 ) + _R13_NEXT + (
     'expression_lambda_agg', 'filter_interval_expression',
     'theta_set_ops', 'cardinality_by_value', 'agg_filtered_sum',
     'bloom_dim_filter', 'dim_regex_filtered',
     'groupby_flag_status', 'timeseries_month_revenue',
-    'sql_time_floor_revenue', 'window_moving_avg',
+    'sql_time_floor_revenue',
 )
 
 # r11-evidence leftovers — next-oldest after the r14 window; they

@@ -227,9 +227,10 @@ def embedding_cosine_pairs(df: DataFrame, dim: int,
     clustered by them, making the self-join co-partitioned.
 
     ``verify="expression"`` (default) runs the exact-cosine pass as
-    built-in expressions — oracle-exact, UDF-free, right for modest
-    collision counts. ``verify="numpy"`` replaces the per-pair HOF dot
-    (which Catalyst evaluates interpreted, ~13 µs/pair) with ONE
+    built-in expressions — oracle-exact, UDF-free, and (r14) unrolled
+    into whole-stage codegen arithmetic rather than interpreted HOF
+    folds. ``verify="numpy"`` replaces the per-pair expression dot
+    with ONE
     normalized p x p matmul per (table, bucket) group via
     applyInPandas — the semdedup scale-mode shape, two orders cheaper
     when buckets carry real collision load; memory per task is bounded
@@ -238,7 +239,7 @@ def embedding_cosine_pairs(df: DataFrame, dim: int,
     from functools import reduce
 
     from apache_druid_spark.pipeline.similarity import (
-        _norm, hyperplanes, lsh_bucket,
+        _dot_cols, _norm, hyperplanes, lsh_bucket,
     )
 
     if verify not in ("expression", "numpy"):
@@ -271,15 +272,15 @@ def embedding_cosine_pairs(df: DataFrame, dim: int,
                  .select("__table", "__bucket"))
     blocked = (blocked.join(F.broadcast(oversized),
                             ["__table", "__bucket"], "left_anti")
-               .withColumn("__nrm", _norm(F.col(vec_col))))
+               .withColumn("__nrm", _norm(F.col(vec_col), dim)))
     if verify == "numpy":
         return _bucket_pairs_numpy(blocked, threshold, vec_col, id_col,
                                    round_to)
     a, b = blocked.alias("a"), blocked.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"),
-                   lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x)
+    # unrolled over dim — HOFs are CodegenFallback and would drop the
+    # whole verify projection to interpreted eval (similarity._dot_cols
+    # is fold-order-identical to the old aggregate())
+    dot = _dot_cols(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), dim)
     cosine = dot / (F.col("a.__nrm") * F.col("b.__nrm"))
     if round_to is not None:
         cosine = F.round(cosine, round_to)

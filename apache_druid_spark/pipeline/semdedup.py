@@ -123,7 +123,8 @@ def semantic_dedup(df: DataFrame, dim: int, n_cells: int = 16,
     the matmul is two orders cheaper when cells carry real load."""
     from pyspark import StorageLevel
 
-    from apache_druid_spark.pipeline.similarity import _norm, ivf_assign
+    from apache_druid_spark.pipeline.similarity import (
+        _dot_cols, _norm, ivf_assign)
 
     base = parallelize_scan(df).select(F.col(id_col), F.col(vec_col))
     if centroid_table is not None:
@@ -141,7 +142,7 @@ def semantic_dedup(df: DataFrame, dim: int, n_cells: int = 16,
     # aggregate and both self-join sides (ingest-materialized at 100 TB)
     cells = assigned.select(
         F.col(id_col), F.col(vec_col), F.col("__cell"),
-        _norm(F.col(vec_col)).alias("__nrm"),
+        _norm(F.col(vec_col), dim).alias("__nrm"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     oversized = (cells.groupBy("__cell")
                  .agg(F.count(F.lit(1)).alias("__csz"))
@@ -149,10 +150,10 @@ def semantic_dedup(df: DataFrame, dim: int, n_cells: int = 16,
                  .select("__cell"))
     blocked = cells.join(F.broadcast(oversized), "__cell", "left_anti")
     a, b = blocked.alias("a"), blocked.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"),
-                   lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x)
+    # unrolled over dim — HOFs are CodegenFallback and would drop the
+    # whole verify projection to interpreted eval (similarity._dot_cols
+    # is fold-order-identical to the old aggregate())
+    dot = _dot_cols(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), dim)
     cosine = dot / (F.col("a.__nrm") * F.col("b.__nrm"))
     if round_to is not None:
         cosine = F.round(cosine, round_to)

@@ -242,6 +242,69 @@ def test_ivf_fit_centroids_roundtrip(emb):
     assert s1 == s2
 
 
+def test_pq_encode_shape_and_bounds(emb):
+    from apache_druid_spark.pipeline import pq_codebooks, pq_encode
+
+    books = pq_codebooks(m=8, ks=16, dim=64)
+    codes = emb.select(pq_encode(F.col("embedding"), books)
+                       .alias("c")).collect()
+    assert all(len(r["c"]) == 8 for r in codes)
+    assert all(0 <= v < 16 for r in codes for v in r["c"])
+    # deterministic: same codebooks, same codes
+    again = emb.select(pq_encode(F.col("embedding"), books)
+                       .alias("c")).collect()
+    assert [r["c"] for r in codes] == [r["c"] for r in again]
+
+
+def test_pq_topk_rerank_all_equals_exact(emb):
+    """With rerank >= n the exact re-rank sees every row, so PQ
+    reduces to the exact ranking regardless of codebook quality."""
+    from apache_druid_spark.pipeline import pq_topk
+
+    q = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    n = emb.count()
+    exact = cosine_topk(emb, q, k=5).collect()
+    pq = pq_topk(emb, q, k=5, rerank=n).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in pq] == \
+           [(r["vec_id"], r["cosine"]) for r in exact]
+    assert pq[0]["vec_id"] == 0  # self is the top hit
+
+
+def test_pq_fit_books_feed_topk(emb):
+    from apache_druid_spark.pipeline import pq_fit, pq_topk
+
+    books = pq_fit(emb, m=8, ks=4, max_iter=5)
+    assert len(books) == 8 and all(len(b) == 4 for b in books)
+    assert all(len(c) == 8 for b in books for c in b)
+    # fitted fit is deterministic under a fixed seed
+    assert books == pq_fit(emb, m=8, ks=4, max_iter=5)
+    got = pq_topk(emb, [1.0] * 64, k=5, codebooks=books,
+                  rerank=20).collect()
+    assert len(got) == 5
+    scores = [r["cosine"] for r in got]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_pq_topk_adc_plan_no_join_single_takeordered(emb):
+    """The compressed-domain scan must stay a single pass: no Join,
+    no Exchange beyond the TakeOrdered reduce, no Python."""
+    from apache_druid_spark.pipeline import pq_topk
+
+    df = pq_topk(emb, [1.0] * 64, k=5)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in opt
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in phys
+    assert "EvalPython" not in phys
+
+
+def test_pq_codebooks_dim_must_divide():
+    from apache_druid_spark.pipeline import pq_codebooks
+
+    with pytest.raises(ValueError):
+        pq_codebooks(m=7, ks=16, dim=64)
+
+
 def test_embedding_cosine_pairs_finds_planted_dups(emb):
     from apache_druid_spark.pipeline import embedding_cosine_pairs
 
@@ -686,3 +749,24 @@ def test_c4_filters_planted_documents(spark):
     assert got[4]["keep_page"] == 0
     # lines kept need >= 5 words AND terminal punctuation
     assert got[5]["n_lines_kept"] == 0
+
+
+def test_pq_encode_modes_agree(emb):
+    """The Arrow/numpy encode must produce the same codes (and so the
+    same ADC result) as the Catalyst-expression encode — same argmin
+    tie-break (first/lowest code)."""
+    from apache_druid_spark.pipeline import pq_topk
+
+    q = [0.1 * ((i % 7) - 3) for i in range(64)]
+    a = [(r["vec_id"], r["adc_cosine"])
+         for r in pq_topk(emb, q, k=10).collect()]
+    b = [(r["vec_id"], r["adc_cosine"])
+         for r in pq_topk(emb, q, k=10, encode="numpy").collect()]
+    assert a == b
+
+
+def test_pq_topk_bad_encode_mode_raises(emb):
+    from apache_druid_spark.pipeline import pq_topk
+
+    with pytest.raises(ValueError):
+        pq_topk(emb, [0.1] * 64, k=5, encode="nope")

@@ -94,16 +94,28 @@ def main() -> int:
         # fused scan projections — should be purely linear
         "gopher_rules": lambda d, s: tx.gopher_rules(d),
         "c4_filters": lambda d, s: tx.c4_filters(d),
-        # cluster-pure split: CC over the pair graph + broadcast of the
-        # duplicate minority + shuffle-free hash gate
+        # cluster-pure split: CC over the pair graph + AQE-picked join
+        # against the duplicate-member minority (r14: no forced
+        # broadcast — dup_members is input-proportional, so the hint
+        # was a 100 TB scale-killer) + hash gate
         "leakage_safe_split": lambda d, s: sp.leakage_safe_split(
             d, gr.connected_components(
                 dd.minhash_lsh_pairs(d, num_hashes=16, bands=4),
                 nodes=d.select(F.col("doc_id").alias("node")))),
+        # CCNet unigram LM scoring under the r14 vocab cap: the count
+        # table is bounded (top-K + OOV bucket), so the join side is
+        # constant-size as the corpus grows — scoring linear in tokens
+        "unigram_logprob_capped": lambda d, s: imp.unigram_logprob(
+            d, max_vocab=2000),
     }
     emb_ops = {
         "cosine_topk": lambda e, s: sim.cosine_topk(e, [1.0] * 64, k=10),
         "ivf_topk": lambda e, s: sim.ivf_topk(e, [1.0] * 64, k=10),
+        # PQ/ADC compressed-domain scan + bounded exact refine — one
+        # TakeOrdered reduce, cost linear in rows (md5 codebooks here:
+        # the smoke measures plan shape, not recall)
+        "pq_topk": lambda e, s: sim.pq_topk(e, [1.0] * 64, k=10,
+                                            rerank=100),
         "embedding_pairs": lambda e, s: dd.embedding_cosine_pairs(
             e, dim=64, threshold=0.35, bits=8, tables=2),
         # the paper's scale knob is the CLUSTER COUNT (∝ corpus size;
