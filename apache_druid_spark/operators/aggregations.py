@@ -622,7 +622,13 @@ def _hll_node_lgk(p, by_name) -> int:
             return int(src["lgK"])
         return 12
     if t == "HLLSketchUnion":
-        return min(_hll_node_lgk(f, by_name) for f in p["fields"])
+        # the union post-agg DOES declare its own lgK
+        # (HllSketchUnionPostAggregator.java, default 12): the union
+        # gadget runs at that precision, and the effective result
+        # precision is the smallest of it and every input sketch
+        own = int(p["lgK"]) if p.get("lgK") is not None else 12
+        return min([own] + [_hll_node_lgk(f, by_name)
+                            for f in p["fields"]])
     return 12
 
 

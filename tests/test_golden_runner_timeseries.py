@@ -8,10 +8,14 @@ estimates compare within 0.05 absolute (the reference pins its legacy
 HLL's 9.019833…; this engine's HLL++ answers 9.0 at that cardinality —
 same 2% error class, different sketch).
 
-54/58 methods ported (r14 closed
-testTimeseriesWithVaryingGranWithFilter — its expected values are
+54/58 methods ported — grep-verifiable: 54 reference method names
+cited in test bodies below + the 4 enumerated skips = 58. r14 closed
+testTimeseriesWithVaryingGranWithFilter (its expected values are
 literal in the reference, equal to the unfiltered cousin's since the
-three-market filter covers every row; r12 closed the filter matrix,
+three-market filter covers every row) and the three previously
+unaccounted base methods: testTimeseries, testFullOnTimeseries (the
+94-value EXPECTED_FULL_ON_INDEX_VALUES loop transcribed), and
+testTimeseriesWithNonExistentFilter. r12 closed the filter matrix,
 the filtered-agg
 family, min/max aggregators, first/last — deterministic since the
 cursor-order tie-break — interval-out-of-range zero rows, the
@@ -1026,3 +1030,89 @@ def test_timeseries_timestamp_result_field_map_response(spark,
     assert as_maps[0]["d0"] == int(dt(2011, 1, 12).timestamp() * 1000)
     assert as_maps[-1]["d0"] == int(dt(2011, 4, 15).timestamp() * 1000)
     assert len(as_maps) == len({m["d0"] for m in as_maps})
+
+
+# QueryRunnerTestHelper.EXPECTED_FULL_ON_INDEX_VALUES (lines 233-256):
+# daily doubleSum(index) for 2011-01-12..2011-04-15; position 9 is the
+# SKIPPED_DAY 2011-01-21 (0.0 — no data)
+EXPECTED_FULL_ON_INDEX = [
+    4500.0, 6077.949111938477, 4922.488838195801, 5726.140853881836,
+    4698.468170166016, 4651.030891418457, 4398.145851135254, 4596.068244934082,
+    4434.630561828613, 0.0, 6162.801361083984, 5590.292701721191,
+    4994.298484802246, 5179.679672241211, 6288.556800842285, 6025.663551330566,
+    5772.855537414551, 5346.517524719238, 5497.331253051758, 5909.684387207031,
+    5862.711364746094, 5958.373008728027, 5224.882194519043, 5456.789611816406,
+    5456.095397949219, 4642.481948852539, 5023.572692871094, 5155.821723937988,
+    5350.3723220825195, 5236.997489929199, 4910.097717285156, 4507.608840942383,
+    4659.80500793457, 5354.878845214844, 4945.796455383301, 6459.080368041992,
+    4390.493583679199, 6545.758262634277, 6922.801231384277, 6023.452911376953,
+    6812.107475280762, 6368.713348388672, 6381.748748779297, 5631.245086669922,
+    4976.192253112793, 6541.463027954102, 5983.8513107299805, 5967.189498901367,
+    5567.139289855957, 4863.5944747924805, 4681.164360046387, 6122.321441650391,
+    5410.308860778809, 4846.676376342773, 5333.872688293457, 5013.053741455078,
+    4836.85563659668, 5264.486434936523, 4581.821243286133, 4680.233596801758,
+    4771.363662719727, 5038.354717254639, 4816.808464050293, 4684.095504760742,
+    5023.663467407227, 5889.72257232666, 4984.973915100098, 5664.220512390137,
+    5572.653915405273, 5537.123138427734, 5980.422874450684, 6243.834693908691,
+    5372.147285461426, 5690.728981018066, 5827.796455383301, 6141.0769119262695,
+    6082.3237228393555, 5678.771339416504, 6814.467971801758, 6626.151596069336,
+    5833.2095947265625, 4679.222328186035, 5367.9403076171875, 5410.445640563965,
+    5689.197135925293, 5240.5018310546875, 4790.912239074707, 4992.670921325684,
+    4796.888023376465, 5479.439590454102, 5506.567192077637, 4743.144546508789,
+    4913.282669067383, 4723.869743347168,
+]
+
+
+def test_timeseries_base(spark, testindex):
+    # testTimeseries (the suite's base method): day gran, first-to-
+    # third, rows/longSum/uniques/longMin/floatMax — literal pins
+    q = ts_query([ROWS,
+                  {"type": "longSum", "name": "idx",
+                    "fieldName": "index"}, UNIQUES,
+                  {"type": "longMin", "name": "longMinIndex",
+                    "fieldName": "index"},
+                  {"type": "floatMax", "name": "floatMaxIndex",
+                    "fieldName": "index"}])
+    check(run(spark, testindex, q), [
+        (dt(2011, 4, 1), 13, 6619, UNIQUES_9, 78, 1522.043701171875),
+        (dt(2011, 4, 2), 13, 5827, UNIQUES_9, 97, 1321.375)])
+
+
+def test_full_on_timeseries(spark, testindex):
+    # testFullOnTimeseries: day gran over the full-on interval; the
+    # reference loops the EXPECTED_FULL_ON_INDEX_VALUES array —
+    # per-day rows 13, index pinned, addRowsIndexConstant = index+14,
+    # uniques ~ UNIQUES_9. The SKIPPED_DAY 2011-01-21 has no data: the
+    # reference zero-fills it from its segment grid, this engine's
+    # skipEmptyBuckets default omits the bucket (same documented
+    # divergence as testFullOnTimeseriesWithFilter).
+    from datetime import timedelta
+
+    q = ts_query([ROWS, IDX_DOUBLE, UNIQUES], postaggs=[ADD_RIC],
+                 intervals=["1970-01-01/2020-01-01"])
+    rows = run(spark, testindex, q)
+    start = dt(2011, 1, 12)
+    expected = {start + timedelta(days=i): v
+                for i, v in enumerate(EXPECTED_FULL_ON_INDEX)}
+    assert len(rows) == 93  # 94 days minus the skipped one
+    assert dt(2011, 1, 21) not in {r[0] for r in rows}
+    for ts, n, idx, uniq, aric in rows:
+        want = expected[ts]
+        assert want != 0.0 and n == 13
+        assert float(idx) == pytest.approx(want, rel=1e-6)
+        assert float(aric) == pytest.approx(want + 14.0, rel=1e-6)
+        assert abs(float(uniq) - UNIQUES_9) < 0.05
+
+
+def test_timeseries_with_non_existent_filter(spark, testindex):
+    # testTimeseriesWithNonExistentFilter: market='billy' matches no
+    # rows; zero-filled day buckets carry rows 0 / index NULL (SQL
+    # null mode) / uniques 0.0 / addRowsIndexConstant NULL — the same
+    # contract as the nonexistent-DIMENSION cousin above
+    q = ts_query([ROWS, IDX_DOUBLE, UNIQUES], postaggs=[ADD_RIC],
+                 filt={"type": "selector", "dimension": "market",
+                       "value": "billy"},
+                 ctx={"skipEmptyBuckets": False})
+    assert run(spark, testindex, q) == [
+        (dt(2011, 4, 1), 0, None, 0.0, None),
+        (dt(2011, 4, 2), 0, None, 0.0, None)]
