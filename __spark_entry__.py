@@ -5322,17 +5322,18 @@ _R13_NEXT = (
 )
 
 
-# Round-14 gate window (VERDICT r13 task #3): 3 new r14 estimation-mode
-# sketch entries (never driver-checked — verify first), then ALL 36
-# r10-evidence leftovers (_R13_NEXT, the oldest evidence in the
-# registry), then 11 of the 50 r11-evidence entries prioritized by
+# Round-14 gate window (VERDICT r13 task #3): 4 new r14 entries
+# (3 estimation-mode sketch gates + the fitted-PQ recall gate — never
+# driver-checked, verify first), then ALL 36 r10-evidence leftovers
+# (_R13_NEXT, the oldest evidence in the registry), then 10 of the 50
+# r11-evidence entries prioritized by
 # overlap with the r14 code churn: the expression-lambda aggregator
 # gained the hyper_unique->HLL rewrite (operators/aggregations.py), the
 # interval filter's extractionFn order and the numeric selector's
 # integral bounds changed (operators/filters.py), and the HLL bounds
 # post-agg reads the aggregator's lgK — so expression_lambda_agg /
 # filter_interval_expression / theta_set_ops / cardinality_by_value /
-# the filter trio lead; four bench headliners close the window.
+# the filter trio lead; three bench headliners close the window.
 # After r14 the oldest registry evidence is r11 (_R14_NEXT fronts r15).
 _R14_WINDOW = (
     'theta_estimation_mode', 'hll_estimation_mode',

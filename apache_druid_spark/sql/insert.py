@@ -203,12 +203,20 @@ def druid_sql_insert(spark: SparkSession, text: str, registry,
         # CLUSTERED BY accepts output-column ORDINALS
         # (testInsertWithPartitionedByAndClusteredBy: CLUSTERED BY
         # 2, dim1 — DruidSqlInsert resolves 2 to the second SELECT
-        # output, like ORDER BY ordinals)
+        # output, like ORDER BY ordinals) and per-column ASC/DESC
+        # direction tokens (testInsertWithClusteredBy: CLUSTERED BY
+        # 2, dim1 DESC, CEIL(m2) — the direction feeds the scan
+        # query's orderBy)
         cols = []
         for c in spec["clustered_by"]:
             s = str(c).strip()
-            cols.append(F.col(out.columns[int(s) - 1] if s.isdigit()
-                              else c))
+            desc = False
+            m = re.match(r"(.+?)\s+(ASC|DESC)$", s, re.IGNORECASE)
+            if m:
+                s = m.group(1).strip()
+                desc = m.group(2).upper() == "DESC"
+            col = F.col(out.columns[int(s) - 1] if s.isdigit() else s)
+            cols.append(col.desc() if desc else col)
         out = out.repartitionByRange(*cols)
     path = f"{base_path}/{spec['target']}"
     # DruidSqlInsert semantics: INSERT *appends* segments to the

@@ -9,11 +9,14 @@ MV rows read as scalar strings and the empty MV row reads as null
 (CalciteTests.java:417-464 RAW_ROWS1; multi-value-dimensions.md single
 value presents as scalar). dim3 keeps its MV (array) form.
 
-Coverage after r13: 85/88 methods ported. The remainder (3) is
-enumerated with reasons at the "r13 closures" section below — two
+Coverage after r14: 84/88 methods ported, remainder 4 — every name
+enumerated with reasons at the "r13 closures" section below: two
 AllColumns twins pin the reference HyperLogLogCollector's base64 wire
-bytes (unmatchable by construction on DataSketches state), and
-testInnerJoinOnMultiValueColumn is @Ignore upstream.
+bytes (unmatchable by construction on DataSketches state),
+testInnerJoinOnMultiValueColumn is @Ignore upstream, and
+testInnerJoinQueryOfLookup (found unaccounted in the r14 recount —
+the earlier "85" overcounted by one) pins LATEST-over-a-time-less-
+lookup native cursor-order semantics. Grep-verifiable: 84 + 4 = 88.
 """
 
 from __future__ import annotations
@@ -1230,6 +1233,17 @@ def test_inline_datasources_with_left_direct_access(spark, reg,
 # - testInnerJoinOnMultiValueColumn: @Ignore upstream (regression
 #   placeholder for apache/druid#9924 — joining ON an MV column is
 #   documented-undefined there).
+# - testInnerJoinQueryOfLookup (enumerated r14 — previously
+#   unaccounted): its expected value hangs on LATEST(v, 10) over the
+#   TIME-LESS LookupDataSource, where the reference's StringLast fold
+#   keeps the last row in NATIVE CURSOR ORDER (the lookup map's
+#   iteration order) because every row reads the same missing
+#   timestamp. This engine has no cursor order to reproduce — its
+#   max_by(v, __time) correctly refuses to resolve __time on a lookup
+#   — and any deterministic stand-in (MAX, first-by-key) would pin
+#   different semantics than the reference executes. The
+#   join-of-aggregated-lookup TOPOLOGY itself is covered by
+#   test_inner_join_query_of_lookup_removable below.
 
 def test_join_on_groupby_instead_of_timeseries_with_floor_on_time(
         spark, reg):

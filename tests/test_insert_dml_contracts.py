@@ -163,6 +163,39 @@ def test_insert_into_existing_table(spark, ins_reg, tmp_path):
     assert again.count() == 4    # INSERT semantics append
 
 
+def test_insert_with_partitioned_by_only(spark, ins_reg, tmp_path):
+    # testInsertWithPartitionedBy (r14): only the PARTITIONED BY
+    # clause — TIME_FLOOR(__time, 'PT1H') granularity, projected
+    # floor_m1, no clustering
+    out = _run(spark, ins_reg, tmp_path,
+               "INSERT INTO dst_p SELECT __time, FLOOR(m1) AS"
+               " floor_m1, dim1 FROM foo"
+               " PARTITIONED BY TIME_FLOOR(__time, 'PT1H')")
+    got = sorted((float(r["floor_m1"]), r["dim1"])
+                 for r in out.collect())
+    assert got == [(1.0, "xy"), (2.0, "ab")]
+    assert set(out.columns) >= {"__time", "floor_m1", "dim1"}
+
+
+def test_insert_with_clustered_by_only(spark, ins_reg, tmp_path):
+    # testInsertWithClusteredBy (r14): CLUSTERED BY mixes an ordinal
+    # (2 -> floor_m1), a DESC name, and an expression duplicated from
+    # the projection (CEIL(m2) -> the auto-named 4th column)
+    reg = ins_reg
+    reg.register("foo2", spark.createDataFrame(
+        [(datetime(2000, 1, 1), "xy", 1.0, 1.2),
+         (datetime(2000, 1, 2), "ab", 2.0, 2.7)],
+        "__time timestamp, dim1 string, m1 double, m2 double"))
+    out = _run(spark, reg, tmp_path,
+               "INSERT INTO dst_cl SELECT __time, FLOOR(m1) AS"
+               " floor_m1, dim1, CEIL(m2) AS ceil_m2 FROM foo2"
+               " PARTITIONED BY FLOOR(__time TO DAY)"
+               " CLUSTERED BY 2, dim1 DESC, ceil_m2")
+    got = sorted((float(r["floor_m1"]), r["dim1"], float(r["ceil_m2"]))
+                 for r in out.collect())
+    assert got == [(1.0, "xy", 2.0), (2.0, "ab", 3.0)]
+
+
 def test_insert_with_partitioned_by_and_clustered_by(spark, ins_reg,
                                                      tmp_path):
     # testInsertWithPartitionedByAndClusteredBy: CLUSTERED BY resolves
@@ -175,7 +208,11 @@ def test_insert_with_partitioned_by_and_clustered_by(spark, ins_reg,
     assert got == [(1.0, "xy"), (2.0, "ab")]
 
 
-# Enumerated remainder of CalciteInsertDmlTest (with reason):
+# Enumerated remainder of CalciteInsertDmlTest (6 methods, with
+# reason — 23/29 ported across this module and tests/test_sql_insert.py;
+# r14 closed testInsertWithPartitionedBy and testInsertWithClusteredBy,
+# whose DESC direction token drove the CLUSTERED BY ordering fix in
+# sql/insert.py):
 # - testInsertFromUnauthorizedDataSource,
 #   testInsertIntoUnauthorizedDataSource, testInsertFromExternalUnauthorized,
 #   testExplainInsertFromExternalUnauthorized: authorization-layer
