@@ -113,9 +113,12 @@ def main() -> int:
         "ivf_topk": lambda e, s: sim.ivf_topk(e, [1.0] * 64, k=10),
         # PQ/ADC compressed-domain scan + bounded exact refine — one
         # TakeOrdered reduce, cost linear in rows (md5 codebooks here:
-        # the smoke measures plan shape, not recall)
+        # the smoke measures plan shape, not recall; numpy encode is
+        # the scale path — the expression encode exists for
+        # bit-reproducibility and measured ~6x slower interpreted)
         "pq_topk": lambda e, s: sim.pq_topk(e, [1.0] * 64, k=10,
-                                            rerank=100),
+                                            rerank=100,
+                                            encode="numpy"),
         "embedding_pairs": lambda e, s: dd.embedding_cosine_pairs(
             e, dim=64, threshold=0.35, bits=8, tables=2),
         # the paper's scale knob is the CLUSTER COUNT (∝ corpus size;
