@@ -65,7 +65,7 @@ HEADLINE = [
     "tfidf_top_terms",             # tf/df two-level agg + window top-k
     "mixture_weights_lang",        # domain-mix reweighting aggregate
     "semantic_dedup_scale_mode",   # SemDeDup matmul assignment + cell prune
-    "similarity_pq_topk",          # PQ/ADC compressed-domain ANN + refine
+    "similarity_pq_adc",           # PQ/ADC compressed-domain ANN scan
     "gopher_quality_rules",        # Gopher structural rules (fused scan)
     "c4_clean_filters",            # C4 line+page cleaning (fused scan)
     "quantile_postagg_family",     # sketch post-aggs fused into one agg
