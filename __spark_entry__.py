@@ -4703,6 +4703,88 @@ def _leakage_safe_split_counts(spark, sf_dir):
     return out.groupBy("lang", "split").agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def _leakage_split_string_oracle() -> str:
+    from apache_druid_spark.pipeline.sampling import _SPACE
+
+    comps = _components_oracle().strip()
+    u = _u60_oracle("'doc-' || CAST(root AS VARCHAR)", "split")
+    return f"""
+WITH comps AS ({comps})
+SELECT lang,
+       CASE WHEN {u} < {int(0.125 * _SPACE)} THEN 'test' ELSE 'train' END
+         AS split,
+       COUNT(*) AS cnt
+FROM (SELECT d.lang,
+             CASE WHEN c.component <> d.doc_id THEN c.component
+                  ELSE d.doc_id END AS root
+      FROM documents d JOIN comps c ON c.doc_id = d.doc_id)
+GROUP BY 1, 2
+"""
+
+
+@_q("leakage_split_string_keys", _leakage_split_string_oracle())
+def _leakage_split_string_keys(spark, sf_dir):
+    """String-keyed leakage-safe split (r14 advisor medium fix): the
+    cluster root used to coalesce through a cast-to-long, so a
+    non-numeric doc id hashed NULL and EVERY singleton silently landed
+    in 'train' with no test set. The root now coalesces on strings
+    (pipeline/sampling.py). This entry runs the split over 'doc-<id>'
+    string keys and hash-checks the full lang x split count table —
+    which only matches when both branches gate, i.e. the oracle is a
+    regression gate on the silent-mis-split bug, not just a happy
+    path."""
+    from apache_druid_spark.pipeline import connected_components
+    from apache_druid_spark.pipeline.sampling import leakage_safe_split
+
+    docs = _registry(spark, sf_dir).table("documents")
+    pairs = _lsh_pairs_once(spark, sf_dir)
+    comps = connected_components(
+        pairs, nodes=docs.select(F.col("doc_id").alias("node")))
+    sdocs = docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+        .alias("doc_id"), "lang")
+    scomps = comps.select(
+        F.concat(F.lit("doc-"), F.col("node").cast("string"))
+        .alias("node"),
+        F.concat(F.lit("doc-"), F.col("component").cast("string"))
+        .alias("component"))
+    out = leakage_safe_split(sdocs, scomps, test_rate=0.125)
+    return out.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("cnt"))
+
+
+@_q("interval_filter_extraction_fn", """
+SELECT event_type, COUNT(*) AS cnt
+FROM events WHERE event_id >= 0 AND event_id < 5000
+GROUP BY 1
+""")
+def _interval_filter_extraction_fn(spark, sf_dir):
+    """Interval filter with an extractionFn on a NON-time dimension
+    (r14 advisor fix; IntervalDimFilter -> BoundDimFilters CARRYING
+    the fn): the fn applies to the RAW dimension value and its OUTPUT
+    parses as epoch millis. Here the virtual dim is 'T<event_id>';
+    substring(1) strips the prefix and the digits read as millis, so
+    the 1970-epoch interval [0s, 5s) selects event_id in [0, 5000).
+    The old order (parse raw first, fn after) parsed 'T123' to NULL
+    and matched nothing — this oracle pins the fixed order."""
+    return compile_query({
+        "queryType": "groupBy", "dataSource": "events",
+        "granularity": "all",
+        "virtualColumns": [{
+            "type": "expression", "name": "tagged_id",
+            "expression": 'concat(\'T\', "event_id")',
+            "outputType": "STRING"}],
+        "dimensions": [{"type": "default", "dimension": "event_type",
+                        "outputName": "event_type"}],
+        "filter": {
+            "type": "interval", "dimension": "tagged_id",
+            "intervals":
+                ["1970-01-01T00:00:00.000Z/1970-01-01T00:00:05.000Z"],
+            "extractionFn": {"type": "substring", "index": 1}},
+        "aggregations": [{"type": "count", "name": "cnt"}],
+    }, _registry(spark, sf_dir))
+
+
 @_q("text_repetition", f"""
 WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
 g AS (SELECT doc_id, {{shingles}} AS grams,
@@ -5322,28 +5404,27 @@ _R13_NEXT = (
 )
 
 
-# Round-14 gate window (VERDICT r13 task #3): 4 new r14 entries
-# (3 estimation-mode sketch gates + the fitted-PQ recall gate — never
-# driver-checked, verify first), then ALL 36 r10-evidence leftovers
-# (_R13_NEXT, the oldest evidence in the registry), then 10 of the 50
-# r11-evidence entries prioritized by
-# overlap with the r14 code churn: the expression-lambda aggregator
+# Round-14 gate window (VERDICT r13 task #3): 7 new r14 entries
+# (3 estimation-mode sketch gates, the PQ pair, and the two
+# advisor-fix regression gates — never driver-checked, verify first),
+# then ALL 36 r10-evidence leftovers (_R13_NEXT, the oldest evidence
+# in the registry), then 7 of the 50 r11-evidence entries prioritized
+# by overlap with the r14 code churn: the expression-lambda aggregator
 # gained the hyper_unique->HLL rewrite (operators/aggregations.py), the
 # interval filter's extractionFn order and the numeric selector's
 # integral bounds changed (operators/filters.py), and the HLL bounds
 # post-agg reads the aggregator's lgK — so expression_lambda_agg /
 # filter_interval_expression / theta_set_ops / cardinality_by_value /
-# the filter trio lead; three bench headliners close the window.
+# the filter trio close the window.
 # After r14 the oldest registry evidence is r11 (_R14_NEXT fronts r15).
 _R14_WINDOW = (
     'theta_estimation_mode', 'hll_estimation_mode',
-    'kll_estimation_mode', 'similarity_pq_topk',
+    'kll_estimation_mode', 'similarity_pq_topk', 'similarity_pq_adc',
+    'leakage_split_string_keys', 'interval_filter_extraction_fn',
 ) + _R13_NEXT + (
     'expression_lambda_agg', 'filter_interval_expression',
     'theta_set_ops', 'cardinality_by_value', 'agg_filtered_sum',
     'bloom_dim_filter', 'dim_regex_filtered',
-    'groupby_flag_status', 'timeseries_month_revenue',
-    'sql_time_floor_revenue',
 )
 
 # r11-evidence leftovers — next-oldest after the r14 window; they
