@@ -1383,6 +1383,24 @@ def _similarity_pq_adc(spark, sf_dir):
                    _QUERY_VEC, k=10, encode="numpy")
 
 
+@_q("similarity_ivfpq_refined", _ivf_oracle())
+def _similarity_ivfpq_refined(spark, sf_dir):
+    """IVF-PQ end-to-end (r14; pipeline/similarity.py:ivfpq_topk —
+    the FAISS-production composition: coarse cells bound HOW MANY rows
+    are scored, PQ codes bound the COST of each): probe the 4 nearest
+    of 16 cells, ADC-score the survivors, exact-refine. With a refine
+    budget covering every candidate the result is value-identical to
+    ivf_topk over the same probes, so the existing IVF DuckDB oracle
+    hash-gates the whole pipeline — cell assignment, probe pruning,
+    code plumbing, refine. The ADC ORDERING itself (which the full
+    refine makes moot here) is value-oracled by similarity_pq_adc."""
+    from apache_druid_spark.pipeline import ivfpq_topk
+
+    return ivfpq_topk(_registry(spark, sf_dir).table("embeddings"),
+                      _QUERY_VEC, k=10, n_cells=16, n_probe=4,
+                      rerank=10_000_000, encode="numpy")
+
+
 def _emb_pairs_oracle(bits: int = 8, tables: int = 2,
                       threshold: float = 0.35) -> str:
     """DuckDB replica of embedding_cosine_pairs: same seeded
@@ -5421,10 +5439,11 @@ _R14_WINDOW = (
     'theta_estimation_mode', 'hll_estimation_mode',
     'kll_estimation_mode', 'similarity_pq_topk', 'similarity_pq_adc',
     'leakage_split_string_keys', 'interval_filter_extraction_fn',
+    'similarity_ivfpq_refined',
 ) + _R13_NEXT + (
     'expression_lambda_agg', 'filter_interval_expression',
     'theta_set_ops', 'cardinality_by_value', 'agg_filtered_sum',
-    'bloom_dim_filter', 'dim_regex_filtered',
+    'bloom_dim_filter',
 )
 
 # r11-evidence leftovers — next-oldest after the r14 window; they

@@ -14,7 +14,7 @@ from apache_druid_spark.pipeline.dedup import (
 )
 from apache_druid_spark.pipeline.similarity import (
     cosine_topk, ivf_fit, ivf_topk, lsh_bucket_topk,
-    pq_codebooks, pq_encode, pq_fit, pq_topk,
+    ivfpq_topk, pq_codebooks, pq_encode, pq_fit, pq_topk,
 )
 from apache_druid_spark.pipeline.text import (
     token_stats, language_id, quality_score, fingerprint,

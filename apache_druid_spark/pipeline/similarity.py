@@ -457,3 +457,38 @@ def pq_topk(df: DataFrame, query: list[float], k: int = 10,
     return (staged.select(F.col(id_col), score.alias("adc_cosine"))
             .orderBy(F.col("adc_cosine").desc(), F.col(id_col).asc())
             .limit(k))
+
+
+def ivfpq_topk(df: DataFrame, query: list[float], k: int = 10,
+               n_cells: int = 16, n_probe: int = 4,
+               m: int = 8, ks: int = 16, rerank: int | None = None,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               round_to: int | None = 6,
+               centroids: list[list[float]] | None = None,
+               codebooks: list[list[list[float]]] | None = None,
+               encode: str = "expression") -> DataFrame:
+    """IVF-PQ: the FAISS-production ANN composition — IVF cell
+    pruning bounds HOW MANY rows are scored, PQ/ADC bounds the COST of
+    scoring each one. Assign rows to their nearest coarse centroid,
+    keep only the ``n_probe`` cells nearest the query, then run the
+    PQ ADC scan (optionally with the exact refine) on the survivors.
+
+    At 100 TB both halves live at ingest: the table is partitioned by
+    cell id (probe filter = partition pruning, the scan touches
+    n_probe/n_cells of the files) and stores the m PQ codes per row
+    (the scan reads m small ints, never the raw vectors, until the
+    refine touches its R candidates). This ad-hoc form computes both
+    on the fly with the same plan shape. Probe count and rerank trade
+    recall for latency independently, exactly as in FAISS IVFPQ."""
+    df = parallelize_scan(df)
+    if centroids is None:
+        centroids = ivf_centroids(n_cells, len(query))
+    probes = ivf_probe_cells(query, centroids,
+                             min(n_probe, len(centroids)))
+    with_cell = df.withColumn("__cell",
+                              ivf_assign(F.col(vec_col), centroids))
+    candidates = with_cell.filter(F.col("__cell").isin(probes)) \
+        .drop("__cell")
+    return pq_topk(candidates, query, k=k, m=m, ks=ks, rerank=rerank,
+                   vec_col=vec_col, id_col=id_col, round_to=round_to,
+                   codebooks=codebooks, encode=encode)

@@ -770,3 +770,47 @@ def test_pq_topk_bad_encode_mode_raises(emb):
 
     with pytest.raises(ValueError):
         pq_topk(emb, [0.1] * 64, k=5, encode="nope")
+
+
+def test_ivfpq_probe_all_equals_pq(emb):
+    """Probing every cell makes IVF-PQ degenerate to plain PQ — the
+    coarse quantizer prunes nothing, the fine quantizer is shared."""
+    from apache_druid_spark.pipeline import ivfpq_topk, pq_topk
+
+    q = [0.1 * ((i % 5) - 2) for i in range(64)]
+    a = [(r["vec_id"], r["adc_cosine"])
+         for r in pq_topk(emb, q, k=5).collect()]
+    b = [(r["vec_id"], r["adc_cosine"])
+         for r in ivfpq_topk(emb, q, k=5, n_cells=8,
+                             n_probe=8).collect()]
+    assert a == b
+
+
+def test_ivfpq_pruned_results_subset_of_pq(emb):
+    """With a real probe budget the candidates are a subset, so every
+    returned (id, score) must appear in the unpruned PQ ranking over
+    the full table."""
+    from apache_druid_spark.pipeline import ivfpq_topk, pq_topk
+
+    q = [0.1 * ((i % 5) - 2) for i in range(64)]
+    n = emb.count()
+    full = {(r["vec_id"], r["adc_cosine"])
+            for r in pq_topk(emb, q, k=n).collect()}
+    pruned = ivfpq_topk(emb, q, k=5, n_cells=8, n_probe=2).collect()
+    assert 0 < len(pruned) <= 5
+    assert all((r["vec_id"], r["adc_cosine"]) in full for r in pruned)
+
+
+def test_ivfpq_rerank_returns_exact_scores(emb):
+    """rerank mode finishes with the exact cosine — scores must match
+    the brute-force scores for the ids it returns."""
+    from apache_druid_spark.pipeline import cosine_topk, ivfpq_topk
+
+    q = [0.1 * ((i % 5) - 2) for i in range(64)]
+    n = emb.count()
+    exact = {r["vec_id"]: r["cosine"]
+             for r in cosine_topk(emb, q, k=n).collect()}
+    got = ivfpq_topk(emb, q, k=5, n_cells=8, n_probe=4,
+                     rerank=30).collect()
+    assert len(got) == 5
+    assert all(exact[r["vec_id"]] == r["cosine"] for r in got)
