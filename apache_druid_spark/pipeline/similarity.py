@@ -403,9 +403,12 @@ def pq_topk(df: DataFrame, query: list[float], k: int = 10,
             vec_col: str = "embedding", id_col: str = "vec_id",
             round_to: int | None = 6,
             codebooks: list[list[list[float]]] | None = None,
-            encode: str = "expression") -> DataFrame:
+            encode: str = "expression",
+            codes_col: str | None = None) -> DataFrame:
     """PQ/ADC approximate cosine top-k: encode each vector to m codes
-    (or read precomputed codes at ingest — the 100 TB layout), score
+    (or read precomputed codes — pass ``codes_col`` naming an
+    ingest-materialized array<int> column and the scan never touches
+    the raw vectors until the refine stage: the 100 TB layout), score
     by asymmetric distance computation — approx cosine =
     sum_j IPT[j][code_j] / (sqrt(sum_j NT[j][code_j]) * ||q||) — and
     keep the best k. ``rerank=R`` takes the top R by ADC and exact-
@@ -438,7 +441,15 @@ def pq_topk(df: DataFrame, query: list[float], k: int = 10,
         codebooks = pq_codebooks(m, ks, len(query))
     ipt, nt = _pq_tables(query, codebooks)
     qnorm = math.sqrt(sum(float(x) * float(x) for x in query)) or 1.0
-    if encode == "numpy":
+    if codes_col is not None:
+        # ingest-materialized codes: the ADC scan reads m small ints
+        # per row; the raw vector column survives only for the refine
+        # stage's R candidates (column pruning drops it otherwise)
+        keep = [id_col, F.col(codes_col).alias("__codes")]
+        if rerank is not None:
+            keep.insert(1, F.col(vec_col))
+        staged = df.select(*keep)
+    elif encode == "numpy":
         staged = _pq_encode_numpy(df, vec_col, id_col, codebooks)
     else:
         codes = pq_encode(F.col(vec_col), codebooks)

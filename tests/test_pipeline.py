@@ -814,3 +814,42 @@ def test_ivfpq_rerank_returns_exact_scores(emb):
                      rerank=30).collect()
     assert len(got) == 5
     assert all(exact[r["vec_id"]] == r["cosine"] for r in got)
+
+
+def test_pq_topk_precomputed_codes_col(emb, tmp_path):
+    """The ingest-materialized layout: codes written once (pq_encode
+    projection through a parquet round-trip), then pq_topk scores the
+    codes column without re-encoding — result identical to on-the-fly
+    encode, and the ADC-only scan must not read the vector column
+    (column pruning visible in the scan's ReadSchema)."""
+    from apache_druid_spark.pipeline import (pq_codebooks, pq_encode,
+                                             pq_topk)
+
+    books = pq_codebooks(m=8, ks=16, dim=64)
+    path = str(tmp_path / "emb_pq")
+    emb.withColumn("pq_codes",
+                   pq_encode(F.col("embedding"), books)) \
+       .write.mode("overwrite").parquet(path)
+    stored = emb.sparkSession.read.parquet(path)
+
+    q = [0.1 * ((i % 7) - 3) for i in range(64)]
+    on_the_fly = [(r["vec_id"], r["adc_cosine"])
+                  for r in pq_topk(emb, q, k=5,
+                                   codebooks=books).collect()]
+    from_codes = pq_topk(stored, q, k=5, codebooks=books,
+                         codes_col="pq_codes")
+    assert [(r["vec_id"], r["adc_cosine"])
+            for r in from_codes.collect()] == on_the_fly
+    plan = from_codes._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("FileScan"):].splitlines()[0]
+    assert "pq_codes" in scan and "embedding" not in scan
+
+    # refine mode touches the raw vectors only for its candidates and
+    # still matches the on-the-fly refine
+    a = [(r["vec_id"], r["cosine"])
+         for r in pq_topk(emb, q, k=5, codebooks=books,
+                          rerank=30).collect()]
+    b = [(r["vec_id"], r["cosine"])
+         for r in pq_topk(stored, q, k=5, codebooks=books,
+                          codes_col="pq_codes", rerank=30).collect()]
+    assert a == b
