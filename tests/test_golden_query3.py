@@ -1005,3 +1005,28 @@ def test_order_by_any_float(spark, reg):
 # - testPlanWithInFilterLessThanInSubQueryThreshold: inSubQueryThreshold
 #   planner knob (IN -> semi-join switch); Catalyst owns that choice
 #   here.
+
+
+def test_groupby_aggregator_default_values(spark, reg):
+    # testGroupByAggregatorDefaultValues (r14 — previously the one
+    # unaccounted CalciteQueryTest method): every aggregator family
+    # under an always-false FILTER clause; SQL-null mode expects
+    # count/distinct-counts 0 and every sum/max/min/avg NULL
+    got = rows(spark, reg, """
+SELECT
+ dim2,
+ count(*) FILTER(WHERE dim1 = 'nonexistent') AS c,
+ COUNT(DISTINCT dim1) FILTER(WHERE dim1 = 'nonexistent') AS cd,
+ APPROX_COUNT_DISTINCT(dim1) FILTER(WHERE dim1 = 'nonexistent') AS acd,
+ sum(d1) FILTER(WHERE dim1 = 'nonexistent') AS sd,
+ max(d1) FILTER(WHERE dim1 = 'nonexistent') AS xd,
+ min(d1) FILTER(WHERE dim1 = 'nonexistent') AS nd,
+ sum(l1) FILTER(WHERE dim1 = 'nonexistent') AS sl,
+ max(l1) FILTER(WHERE dim1 = 'nonexistent') AS xl,
+ min(l1) FILTER(WHERE dim1 = 'nonexistent') AS nl,
+ avg(l1) FILTER(WHERE dim1 = 'nonexistent') AS al,
+ avg(d1) FILTER(WHERE dim1 = 'nonexistent') AS ad
+FROM numfoo WHERE dim2 = 'a' GROUP BY dim2
+""")
+    assert got == [("a", 0, 0, 0, None, None, None,
+                    None, None, None, None, None)]
