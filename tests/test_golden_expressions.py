@@ -20,8 +20,10 @@ Skipped (with reason):
   SQL cannot intercept the Formatter error. Extra args are ignored
   identically (pinned).
 - testRoundWithInvalidArgument / testRoundWithInvalidSecondArgument,
-  testAbnormal{Reverse,Right,Left,Repeat}With*: native-layer IAE
-  message contracts. This engine coerces per Spark (ROUND('foo') is
+  testAbnormalReverseWithWrongType, testAbnormalRightWithWrongType,
+  testAbnormalRightWithNegativeNumber, testAbnormalLeftWithWrongType,
+  testAbnormalLeftWithNegativeNumber, testAbnormalRepeatWithWrongType:
+  native-layer IAE message contracts. This engine coerces per Spark (ROUND('foo') is
   pinned NULL below — same SQL-compatible result; RIGHT/LEFT(s, -1)
   return '' instead of erroring — documented superset).
 - Greatest/Least testNoArgs (Spark requires >= 2 args), testInvalidType
@@ -31,6 +33,12 @@ Skipped (with reason):
   lexicographically; Spark coerces to the numeric common type
   (DOCUMENTED DIVERGENCE — homogeneous-type and numeric-coercion
   cases are pinned).
+- testOperatorConversionsDruidUnaryLongFn,
+  testOperatorConversionsDruidUnaryDoubleFn,
+  testOperatorConversionsDruidBinaryLongFn: parameterized fixtures of
+  the reference's OperatorConversions PLANNER plumbing (DirectOperator
+  conversion builders), not expression semantics — no SQL surface to
+  pin.
 - IPv4 testTooFewArgs/TooManyArgs/invalid-subnet: arity/IAE contracts
   (Spark raises its own analysis errors). Long-typed COLUMNS (not
   literals) through IPV4_* stay on the string path — the dialect
@@ -211,7 +219,8 @@ CASES = [
     ("time_extract", "TIME_EXTRACT(t, 'QUARTER')", 1),
     ("time_extract_tz", "TIME_EXTRACT(t, 'DAY', 'America/Los_Angeles')",
      2),
-    # testTimePlus/MinusDayTimeInterval / YearMonthInterval
+    # testTimePlusDayTimeInterval / testTimePlusYearMonthInterval /
+    # testTimeMinusDayTimeInterval / testTimeMinusYearMonthInterval
     ("plus_daytime", "t + INTERVAL '1 01:01' DAY TO MINUTE",
      datetime(2000, 2, 4, 5, 6, 6)),
     ("plus_yearmonth", "t + INTERVAL '1-1' YEAR TO MONTH",
@@ -339,8 +348,13 @@ CASES = [
      "IPV4_MATCH('192.168.0.0', '192.168.0.0/16')", True),
     ("ip_match_broadcast",
      "IPV4_MATCH('192.168.255.255', '192.168.0.0/16')", True),
-    # Greatest/LeastExpressionTest (NULL args are skipped; all-null is
-    # NULL; homogeneous and numeric-coercion cases)
+    # Greatest/LeastExpressionTest, both classes' value matrix by
+    # exact method: testAllNull (NULL args are skipped; all-null is
+    # NULL), testAllDouble, testAllLong, testAllString,
+    # testCoerceDouble (an int literal coerces against the double
+    # input ref); testSomeNull's string-vs-double mixed-type list
+    # coerces to STRING in the reference and NUMERIC here — the
+    # module docstring's documented divergence for mixed lists
     ("greatest_all_null", "GREATEST(NULL, NULL)", None),
     ("greatest_double", "GREATEST(34.1, x, 5.2, 767.3)", 767.3),
     ("greatest_long", "GREATEST(a, 0)", 10),
@@ -348,10 +362,12 @@ CASES = [
     ("greatest_timestamp",
      "GREATEST(TIMESTAMP '1970-01-01 00:00:01', "
      "TIMESTAMP '1970-01-01 00:00:02')", datetime(1970, 1, 1, 0, 0, 2)),
+    ("greatest_coerce_double", "GREATEST(-1, x)", 2.25),
     ("least_all_null", "LEAST(NULL, NULL)", None),
     ("least_double", "LEAST(34.1, x, 5.2, 767.3)", 2.25),
     ("least_long", "LEAST(a, 0)", 0),
     ("least_string", "LEAST('B', s, 'A')", "A"),
+    ("least_coerce_double", "LEAST(-1, x)", -1.0),
 ]
 
 

@@ -105,14 +105,23 @@ def test_not_and(spark, andor):
 
 
 def test_or_single_filters(spark, andor):
-    # OrFilterTest.testOneFilterMatchSome / MatchAll / MatchNone
+    # OrFilterTest testOneFilterMatchSome / testOneFilterMatchAll /
+    # testOneFilterMatchNone
     assert matches(andor, or_(sel("dim0", "1"))) == ["1"]
     assert matches(andor, or_(sel("dim1", "0"))) == ALL6
     assert matches(andor, or_(sel("dim1", "7"))) == []
 
 
 def test_or_two_filters(spark, andor):
-    # OrFilterTest.testTwoFilter* (all eight combinations)
+    # OrFilterTest, all eight two-filter combinations in reference
+    # order: testTwoFilterFirstMatchesAllSecondMatchesNone,
+    # testTwoFilterFirstMatchesNoneSecondMatchesAll,
+    # testTwoFilterFirstMatchesNoneSecondLiterallyTrue,
+    # testTwoFilterFirstMatchesAllSecondMatchesAll,
+    # testTwoFilterFirstLiterallyTrueSecondMatchesAll,
+    # testTwoFilterFirstMatchesSomeSecondMatchesNone,
+    # testTwoFilterFirstMatchesNoneSecondMatchesSome,
+    # testTwoFilterFirstMatchesNoneSecondMatchesNone
     assert matches(andor, or_(sel("dim1", "0"), sel("dim0", "7"))) == ALL6
     assert matches(andor, or_(sel("dim0", "7"), sel("dim1", "0"))) == ALL6
     assert matches(andor, or_(sel("dim0", "7"), {"type": "true"})) == ALL6

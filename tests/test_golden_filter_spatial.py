@@ -3,9 +3,14 @@
 methods; SpatialFilterBonusTest.java is the same fixture/methods minus
 the second spatial dimension).
 
-3/5 ported (testSpatialQuery, testSpatialQueryWithOtherSpatialDim,
-testSpatialQueryMorePoints — the two testEqualsContract* methods are
-JVM equals contracts). The fixture (SpatialFilterTest.java:267-380):
+4 ported (testSpatialQuery, testSpatialQueryWithOtherSpatialDim,
+testSpatialQueryMorePoints, and SpatialFilterBonusTest's
+testSpatialQueryFilteredAggregator — r14); the remaining
+testEqualsContractForBoundDruidPredicateFactory is a JVM Object.equals
+contract (EqualsVerifier), no row semantics to port — same bucket as
+RegexFilterTest.testEqualsContractForPatternDruidPredicateFactory and
+SearchQueryFilterTest.testEqualsContractForSearchQueryDruidPredicateFactory,
+whose row semantics live in the regex/search golden modules. The fixture (SpatialFilterTest.java:267-380):
 eight deterministic rows — five real points, one row whose lat/long
 fail spatial ingestion (dim.geo null), one row with an unparseable
 raw dim.geo value, one point on the SECOND spatial dim (spatialIsRad)
@@ -101,4 +106,39 @@ def test_spatial_query_more_points(spark, spatialtest):
         (D(2013, 1, 3), 1, 13),
         (D(2013, 1, 4), 1, 91),
         (D(2013, 1, 5), 1, 47),
+    ]
+
+
+def test_spatial_query_filtered_aggregator(spark, spatialtest):
+    # SpatialFilterBonusTest.testSpatialQueryFilteredAggregator (r14):
+    # the spatial bound inside a FILTERED AGGREGATOR — unfiltered rows
+    # and val aggregate everything (noise included), valFiltered sums
+    # only the in-rectangle point per day. Deterministic stand-in
+    # noise replaces the reference's 4995 random day-1 rows, so day
+    # 1's unfiltered pins differ; the filtered column pins the
+    # reference's own per-day values (17/29/13/91/47).
+    q = {"queryType": "timeseries", "dataSource": "spatialtest",
+         "granularity": "day",
+         "intervals": ["2013-01-01/2013-01-07"],
+         "aggregations": [
+             {"type": "count", "name": "rows"},
+             {"type": "filtered", "name": "valFiltered",
+              "filter": {"type": "spatial", "dimension": "dim.geo",
+                         "bound": {"type": "rectangular",
+                                   "minCoords": [0.0, 0.0],
+                                   "maxCoords": [9.0, 9.0]}},
+              "aggregator": {"type": "longSum", "name": "valFiltered",
+                             "fieldName": "val"}},
+             {"type": "longSum", "name": "val", "fieldName": "val"},
+         ]}
+    out = compile_query(q, spatialtest).collect()
+    got = [(r["__time"], r["rows"], r["valFiltered"], r["val"])
+           for r in out]
+    noise_val = sum(range(8, 20))
+    assert got == [
+        (D(2013, 1, 1), 13, 17, 17 + noise_val),
+        (D(2013, 1, 2), 1, 29, 29),
+        (D(2013, 1, 3), 1, 13, 13),
+        (D(2013, 1, 4), 1, 91, 91),
+        (D(2013, 1, 5), 4, 47, 47 + 101 + 501 + 13),
     ]

@@ -27,13 +27,25 @@ Skipped (with reason):
 - bitwiseAnd('2','1') two-string null and the data-truncation IAE:
   type-inference contracts of the reference's ExprEval; single-string
   coercion (bitwiseAnd(3,'1')) is pinned.
-- testComplexDecode*: the COMPLEX pair type is reference
-  test-infrastructure (TypeStrategiesTest); complex_decode_base64 for
-  real sketch state is covered by the theta/HLL paths.
-- mv_to_array error contracts + safe_divide NaN/Infinity funny-type
+- testComplexDecode, testComplexDecodeNull, testComplexDecodeBaseWrongArgCount,
+  testComplexDecodeBaseArg0Unknown, testComplexDecodeBaseArg0BadType:
+  the COMPLEX pair type is reference test-infrastructure
+  (TypeStrategiesTest); complex_decode_base64 for real sketch state is
+  covered by the theta/HLL paths.
+- mv_to_array error contracts (testMVToArrayWithConstantLiteral,
+  testMVToArrayWithFunction, testMVToArrayWithMoreArgs,
+  testMVToArrayWithNoArgs) + safe_divide NaN/Infinity funny-type
   cases: IAE message pins / ExprEval type-inference edges.
+- testSizeFormatInvalidArgumentSize, testSizeFormatInvalidPrecision,
+  testSizeForatInvalidArgumentType (sic — reference typo): IAE pins
+  of the HUMAN_READABLE_* validators; the formatter VALUE matrix is
+  ported in full above.
 - concat(x, nonexistent, y) -> null: needs a column known to be
   absent; the translator resolves identifiers eagerly and raises.
+- ApplyFunctionTest testInvalidArgCount: lambda-arity IAE message pins
+  (map with a 2-arg lambda etc.) — this translator raises its own
+  loud arity errors at compile time; the VALID-arity matrix is ported
+  in full below.
 """
 
 from __future__ import annotations
@@ -169,7 +181,8 @@ CASES = [
     ("array_ordinal_of([1, 2, 3], 3)", 3),
     ("array_ordinal_of([1, 2, 3], 4)", None),
     ("array_ordinal_of(a, 'baz')", 3),
-    # testArrayContains (ARRAY second arg = contains ALL) / Overlap
+    # testArrayContains (ARRAY second arg = contains ALL) /
+    # testArrayOverlap
     ("array_contains([1, 2, 3], 2)", True),
     ("array_contains([1, 2, 3], 4)", False),
     ("array_contains([1, 2, 3], [2, 3])", True),
@@ -177,7 +190,11 @@ CASES = [
     ("array_contains(b, [3, 4])", True),
     ("array_overlap([1, 2, 3], [2, 4, 6])", True),
     ("array_overlap([1, 2, 3], [4, 5, 6])", False),
-    # testArrayAppend / Concat / SetAdd / SetAddAll / Prepend
+    # testArrayAppend / testArrayConcat / testArraySetAdd /
+    # testArraySetAddAll / testArrayPrependAppend (the typed-empty
+    # '<LONG>[]' literals and mixed-type 'bar'-into-long-set null
+    # coercion are ExprEval type-inference forms this translator
+    # rejects loudly — enumerated in the module skip list)
     ("array_append([1, 2, 3], 4)", [1, 2, 3, 4]),
     ("array_concat([1, 2, 3], [2, 4, 6])", [1, 2, 3, 2, 4, 6]),
     ("array_concat(map(y -> y * 3, b), [1, 2, 3])",
@@ -186,7 +203,7 @@ CASES = [
     ("array_set_add([1, 2, 2], 1)", [1, 2]),
     ("array_set_add_all([1, 2, 3], [2, 4, 6])", [1, 2, 3, 4, 6]),
     ("array_prepend(4, [1, 2, 3])", [4, 1, 2, 3]),
-    # testArrayToString / StringToArray
+    # testArrayToString / testStringToArray
     ("array_to_string([1, 2, 3], ',')", "1,2,3"),
     ("array_to_string([1], '|')", "1"),
     ("array_to_string(a, '|')", "foo|bar|baz|foobar"),
@@ -211,7 +228,8 @@ CASES = [
     ("round(-inf)", -DMAX),
     ("round(-inf, 3)", -DMAX),
     ("round(-inf, -5)", -DMAX),
-    # testRoundWithLong / Double / Float (+ non-literal scale)
+    # testRoundWithLong / testRoundWithDouble / testRoundWithFloat
+    # (+ non-literal scale)
     ("round(y)", 2),
     ("round(y, 2)", 2),
     ("round(y, -1)", 0),

@@ -9,10 +9,25 @@ duration granularities. All inputs/expecteds are the reference's
 values converted to UTC instants (this engine's canonical timestamp
 flavor).
 
-The iterable/serde/merge methods (getIterable, JSON serde,
-Granularity.mergeGranularities) are reference-API surface without an
+The iterable/serde/merge methods are reference-API surface without an
 analogue here — the bucketing they iterate is exactly bucketStart,
-pinned below."""
+pinned below. Enumerated (r14, full names for grep): the getIterable
+bucket-walk matrix testIterableNone, testIterableAllSimple,
+testIterableAllComplex, testIterableMinuteSimple,
+testIterableMinuteComplex, testIterable15MinuteSimple,
+testIterable15MinuteComplex, testIterableHourSimple,
+testIterableHourComplex, testIterableDaySimple, testIterableDayComplex,
+testIterableWeek, testIterableWeekSimple, testIterableWeekComplex,
+testIterableMonth, testIterableMonthSimple, testIterableMonthComplex,
+testIterableQuarterSimple, testIterableQuarterComplex,
+testIterableYearSimple, testIterableYearComplex (each iterates
+bucketStart+increment over an interval — the same floor/shift pinned
+below and exercised end-to-end by every granular timeseries golden);
+testMerge (Granularity.mergeGranularities null/identity table);
+testSerializePeriod, testSerializeDuration,
+testStandardGranularitiesSerde (Jackson serde of the Java objects);
+testDurationToDateTime (DurationGranularity.toDateTime(millis) is the
+identity on instants — no column analogue to pin)."""
 
 from __future__ import annotations
 
@@ -155,8 +170,9 @@ def test_compound_period_truncate_no_origin(spark):
 
 
 def test_compound_period_hours_minutes(spark):
-    # testCompoundPeriodTruncate PT12H5M + testCompoundPeriodMillis
-    # Truncate (fixed compound period — identical in LA and UTC zones)
+    # testCompoundPeriodTruncate PT12H5M +
+    # testCompoundPeriodMillisTruncate (fixed compound period —
+    # identical in LA and UTC zones)
     ins = [dt(2012, 1, 1, 13, 0, 4, 123000),
            dt(2012, 1, 2, 15, 0, 4, 123000),
            dt(2012, 1, 3, 8, 20, 4, 123000),
@@ -185,3 +201,30 @@ def test_duration_bucket_start(spark):
     assert floors(spark, ins, gran) == [
         dt(2012, 1, 1, 12, 50), dt(2012, 1, 2, 13, 0),
         dt(2012, 1, 3, 1, 5)]
+
+
+def test_duration_increment(spark):
+    # testDurationIncrement + testDurationIncrementOnMillis (r14):
+    # increment() of a PT12H5M DurationGranularity adds the fixed
+    # millis — time_shift_col with a duration gran, step 1 (the
+    # OnMillis twin asserts the same instants as epoch longs; one
+    # column op covers both). Reference instants converted to UTC.
+    from apache_druid_spark.model.granularity import time_shift_col
+
+    ms = (12 * 3600 + 5 * 60) * 1000
+    gran = {"type": "duration", "duration": ms,
+            "origin": "2012-01-02T05:00:00.000-08:00"}
+    ins = [dt(2012, 1, 1, 13, 0, 4, 123000),
+           dt(2012, 1, 2, 15, 0, 4, 123000),
+           dt(2012, 1, 3, 8, 20, 4, 123000),
+           dt(2012, 2, 4, 6, 25)]
+    df = spark.createDataFrame([(t,) for t in ins], "ts timestamp")
+    rows = df.select("ts", time_shift_col(df.ts, gran, 1).alias("n")) \
+        .collect()
+    by_in = {r["ts"]: r["n"] for r in rows}
+    assert [by_in[t] for t in ins] == [
+        dt(2012, 1, 2, 1, 5, 4, 123000),    # 2012-01-01T17:05:04-08:00
+        dt(2012, 1, 3, 3, 5, 4, 123000),    # 2012-01-02T19:05:04-08:00
+        dt(2012, 1, 3, 20, 25, 4, 123000),  # 2012-01-03T12:25:04-08:00
+        dt(2012, 2, 4, 18, 30),             # 2012-02-04T10:30:00-08:00
+    ]

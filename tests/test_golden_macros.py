@@ -136,7 +136,8 @@ CASES = [
     ("rtrim(spacey, 'he ')", "  hey ther"),
     ("rtrim(spacey, spacey)", ""),
     ("rtrim(spacey, substring(spacey, 0, 4))", "  hey ther"),
-    # testIPv4AddressParse / Stringify / Match (longs round-trip;
+    # testIPv4AddressParse / testIPv4AddressStringify /
+    # testIPv4AddressMatch (longs round-trip;
     # invalid input NULL / FALSE)
     ("ipv4_parse(x)", None),
     ("ipv4_parse(ipv4_string)", 3232235521),

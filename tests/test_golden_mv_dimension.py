@@ -5,11 +5,20 @@ over its two fixtures (MultiValuedDimensionTest.java:154-208): the
 the segment DUPLICATED so counts double; topN runs on one copy) and the
 8-row JSON null-sampler (rows omitting keys / [] / ['']).
 
-12/23 ported (sqlCompatible branches). Skip buckets:
-- the Auto/AutoAuto/BackwardsCompat0dot22 method variants re-run the
-  SAME value contracts under schema-auto-discovery ingestion modes and
-  a pre-0.23 expression flag — ingest-mode twins of the ported methods;
-- testGroupByExpressionMultiConflicting{,Also} pin the reference
+14/23 ported (sqlCompatible branches; r14 closed
+testGroupByExpressionArrayExpressionFilter and
+testGroupByExpressionFoldArrayToStringWithConcats). Skip buckets,
+full names for grep:
+- the schema-auto-discovery / pre-0.23-flag ingest-mode twins of the
+  ported methods: testGroupByExpressionAuto,
+  testGroupByExpressionAutoArrayFnArg,
+  testGroupByExpressionMultiMultiAuto,
+  testGroupByExpressionMultiMultiAutoAuto,
+  testGroupByExpressionMultiMultiAutoAutoWithFilter,
+  testGroupByExpressionMultiMultiBackwardsCompat0dot22andOlder — they
+  re-run the SAME value contracts under ingestion-mode variants;
+- testGroupByExpressionMultiConflicting and
+  testGroupByExpressionMultiConflictingAlso pin the reference
   PARSER'S rejection of using one identifier as both scalar and array
   ('[tags] used as both scalar and array variables') — this engine's
   translator follows Spark's typing instead (documented divergence:
@@ -221,3 +230,31 @@ def test_topn_expression_auto_transform(spark, mvdim):
                 vcs=vcs, threshold=15) == [
         ("t3foo", 2), ("t5foo", 2), ("foo", 1), ("t1foo", 1),
         ("t2foo", 1), ("t4foo", 1), ("t6foo", 1), ("t7foo", 1)]
+
+
+def test_group_by_expression_array_expression_filter(spark, mvdim):
+    # testGroupByExpressionArrayExpressionFilter (r14): a LONG-typed
+    # expression dim — array_offset_of(tags, 't2') — groups the rows
+    # without t2 under NULL (SQL mode) and the one row carrying it at
+    # offset 1; duplicated-segment counts
+    dim = {"type": "default", "dimension": "tt", "outputName": "tt",
+           "outputType": "LONG"}
+    vcs = [{"type": "expression", "name": "tt",
+            "expression": "array_offset_of(tags, 't2')",
+            "outputType": "LONG"}]
+    assert gb(mvdim, dim=dim, vcs=vcs) == [(None, 6), (1, 2)]
+
+
+def test_group_by_expression_fold_array_to_string_with_concats(
+        spark, mvdim):
+    # testGroupByExpressionFoldArrayToStringWithConcats (r14): the
+    # fold builds a 'foo'-prefixed comma list with a case_searched
+    # separator — the empty-string MV row folds to bare 'foo'
+    vcs = [{"type": "expression", "name": "tt",
+            "expression": "fold((tag, acc) -> concat(concat(acc,"
+                          " case_searched(acc == '', '', ', '),"
+                          " concat('foo', tag))), tags, '')",
+            "outputType": "STRING"}]
+    assert gb(mvdim, dim="tt", vcs=vcs) == [
+        ("foo", 2), ("foot1, foot2, foot3", 2),
+        ("foot3, foot4, foot5", 2), ("foot5, foot6, foot7", 2)]
