@@ -1401,6 +1401,103 @@ def _similarity_ivfpq_refined(spark, sf_dir):
                       rerank=10_000_000, encode="numpy")
 
 
+def _materialized_ann_oracle(n_cells: int = 16, n_probe: int = 4,
+                             m: int = 8, ks: int = 16,
+                             k: int = 10) -> str:
+    """DuckDB replica of the MATERIALIZED IVF-PQ scan: the same md5
+    centroid/codebook literals reproduce the stored cell ids and PQ
+    codes, the probe filter restricts to the same cells, and the ADC
+    score is recomputed from the codes — so the hash gates the whole
+    materialized round trip (cell partition values, stored codes, the
+    pruned ADC scan) value-for-value."""
+    import math
+
+    from apache_druid_spark.pipeline.similarity import (
+        _pq_tables, ivf_centroids, ivf_probe_cells, pq_codebooks,
+    )
+
+    cents = ivf_centroids(n_cells, len(_QUERY_VEC))
+    probes = ivf_probe_cells(_QUERY_VEC, cents, n_probe)
+    rows = []
+    for i, c in enumerate(cents):
+        nrm = math.sqrt(sum(x * x for x in c)) or 1.0
+        lit = "[" + ", ".join(repr(x) for x in c) + "]"
+        rows.append(f"({i}, CAST({lit} AS DOUBLE[]), {nrm!r})")
+    values = ",\n       ".join(rows)
+    probe_csv = ", ".join(str(p) for p in probes)
+
+    books = pq_codebooks(m, ks, len(_QUERY_VEC))
+    ipt, nt = _pq_tables(_QUERY_VEC, books)
+    qnorm = math.sqrt(sum(x * x for x in _QUERY_VEC)) or 1.0
+    dsub = len(_QUERY_VEC) // m
+
+    def dlist(x):
+        return "[" + ", ".join(repr(float(v)) for v in x) + "]"
+
+    code_exprs, ip_terms, n_terms = [], [], []
+    for j, book in enumerate(books):
+        sub = f"v[{j * dsub + 1}:{(j + 1) * dsub}]"
+        dists = "[" + ", ".join(
+            f"list_distance({sub}, CAST({dlist(c)} AS DOUBLE[]))"
+            for c in book) + "]"
+        code_exprs.append(
+            f"list_position({dists}, list_min({dists})) AS c{j}")
+        ip_terms.append(f"(CAST({dlist(ipt[j])} AS DOUBLE[]))[c{j}]")
+        n_terms.append(f"(CAST({dlist(nt[j])} AS DOUBLE[]))[c{j}]")
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+c(cell, cen, nrm) AS (VALUES {values}),
+s AS (
+  SELECT vec_id, v, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY list_dot_product(v, cen) / nrm DESC, cell DESC) AS rn
+  FROM e CROSS JOIN c),
+a AS (SELECT vec_id, v FROM s WHERE rn = 1 AND cell IN ({probe_csv})),
+coded AS (SELECT vec_id, {', '.join(code_exprs)} FROM a)
+SELECT vec_id,
+       ROUND(({' + '.join(ip_terms)})
+             / (SQRT(GREATEST({' + '.join(n_terms)}, 1e-12))
+                * {qnorm!r}), 6) AS adc_cosine
+FROM coded
+ORDER BY adc_cosine DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+@_q("similarity_materialized_ann", _materialized_ann_oracle())
+def _similarity_materialized_ann(spark, sf_dir):
+    """The ingest-materialized ANN layout END-TO-END (VERDICT r14 task
+    #6; pipeline/similarity.py:ann_materialize): one scan stamps every
+    embedding with its IVF cell id + 8 PQ codes, the table is WRITTEN
+    ``partitionBy(cell)``, and the query reads it back via
+    ``ivfpq_topk(cell_col=..., codes_col=...)`` — the probe filter is
+    a PARTITION filter (files from unprobed cells are never opened;
+    self-asserted below and pinned in tests/test_plan_shapes.py) and
+    the ADC scan reads vec_id + 8 small ints, never the raw vectors.
+    This is the 100 TB shape the ad-hoc similarity_ivfpq_refined
+    computes on the fly. Hash-gated: DuckDB reproduces the stored
+    cells and codes from the same literals."""
+    import tempfile
+
+    from apache_druid_spark.pipeline import ann_materialize, ivfpq_topk
+
+    emb = _registry(spark, sf_dir).table("embeddings")
+    out = tempfile.mkdtemp(prefix="ann_mat_") + "/embeddings_ann"
+    ann_materialize(emb, n_cells=16, m=8, ks=16, keep_vec=False) \
+        .write.mode("overwrite").partitionBy("cell").parquet(out)
+    stored = spark.read.parquet(out)
+    topk = ivfpq_topk(stored, _QUERY_VEC, k=10, n_cells=16, n_probe=4,
+                      cell_col="cell", codes_col="codes")
+    plan = topk._jdf.queryExecution().executedPlan().toString()
+    if "PartitionFilters: [" not in plan or "cell#" not in plan.split(
+            "PartitionFilters: [", 1)[1].split("]", 1)[0]:
+        raise AssertionError(
+            "materialized ANN probe filter did not become partition "
+            "pruning:\n" + plan)
+    return topk
+
+
 def _emb_pairs_oracle(bits: int = 8, tables: int = 2,
                       threshold: float = 0.35) -> str:
     """DuckDB replica of embedding_cosine_pairs: same seeded

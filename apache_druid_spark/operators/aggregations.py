@@ -349,22 +349,37 @@ def _hyper_unique_direct(spec: dict, registry, df=None) -> Column | None:
             and isinstance(df.schema[field].dataType, T.ArrayType)):
         return None
     fin = spec.get("finalize")
-    rounded = False
-    if fin is not None:
-        fm = re.fullmatch(r"\s*hyper_unique_(round_)?estimate\(\s*o\s*\)\s*",
-                          str(fin))
-        if fm is None:
-            return None
-        rounded = bool(fm.group(1))
+    if fin is None:
+        # advisor r15: an unfinalized collector must stay
+        # representation-consistent with the scalar hyper_unique_*
+        # spellings (exact-set array<string>) — returning raw sketch
+        # bytes here broke hyper_unique_estimate post-aggs
+        # (F.size(binary) is an analysis error) and outer re-folds
+        # (hll_sketch_agg over the serialized sketch counts STATES as
+        # values). The generic fold keeps the whole unfinalized
+        # pipeline on one representation; the bounded-HLL rewrite
+        # applies exactly when the spec finalizes to an estimate, so
+        # the state never escapes the aggregate.
+        return None
+    fm = re.fullmatch(r"\s*hyper_unique_(round_)?estimate\(\s*o\s*\)\s*",
+                      str(fin))
+    if fm is None:
+        return None
+    rounded = bool(fm.group(1))
     try:
         inp = compile_expression(m.group(1), registry)
     except Exception:
         return None
-    # string domain, SQL nulls skipped — same as the scalar
-    # hyper_unique_add (HyperUniqueExpressions.java:170)
-    state = F.hll_sketch_agg(inp.cast("string"), 12)
-    if fin is None:
-        return state  # unfinalized COMPLEX collector state
+    if (df is not None and field in df.columns
+            and isinstance(df.schema[field].dataType, T.BinaryType)):
+        # the input IS stored sketch state (an ingest-time COMPLEX
+        # hyperUnique metric): fold by UNION, not by re-sketching the
+        # serialized bytes as string values
+        state = F.hll_union_agg(inp, allowDifferentLgConfigK=True)
+    else:
+        # string domain, SQL nulls skipped — same as the scalar
+        # hyper_unique_add (HyperUniqueExpressions.java:170)
+        state = F.hll_sketch_agg(inp.cast("string"), 12)
     # an all-null group aggregates to a NULL sketch; the reference's
     # empty collector estimates 0
     est = F.coalesce(F.hll_sketch_estimate(state), F.lit(0))

@@ -13,7 +13,7 @@ from apache_druid_spark.pipeline.dedup import (
     minhash_signatures, minhash_lsh_pairs, simhash, ngram_jaccard_pairs,
 )
 from apache_druid_spark.pipeline.similarity import (
-    cosine_topk, ivf_fit, ivf_topk, lsh_bucket_topk,
+    ann_materialize, cosine_topk, ivf_fit, ivf_topk, lsh_bucket_topk,
     ivfpq_topk, pq_codebooks, pq_encode, pq_fit, pq_topk,
 )
 from apache_druid_spark.pipeline.text import (

@@ -272,7 +272,7 @@ def embedding_cosine_pairs(df: DataFrame, dim: int,
                  .select("__table", "__bucket"))
     blocked = (blocked.join(F.broadcast(oversized),
                             ["__table", "__bucket"], "left_anti")
-               .withColumn("__nrm", _norm(F.col(vec_col), dim)))
+               .withColumn("__nrm", _norm(f"`{vec_col}`", dim)))
     if verify == "numpy":
         return _bucket_pairs_numpy(blocked, threshold, vec_col, id_col,
                                    round_to)
@@ -280,7 +280,7 @@ def embedding_cosine_pairs(df: DataFrame, dim: int,
     # unrolled over dim — HOFs are CodegenFallback and would drop the
     # whole verify projection to interpreted eval (similarity._dot_cols
     # is fold-order-identical to the old aggregate())
-    dot = _dot_cols(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), dim)
+    dot = _dot_cols(f"a.`{vec_col}`", f"b.`{vec_col}`", dim)
     cosine = dot / (F.col("a.__nrm") * F.col("b.__nrm"))
     if round_to is not None:
         cosine = F.round(cosine, round_to)

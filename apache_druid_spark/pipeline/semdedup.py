@@ -142,7 +142,7 @@ def semantic_dedup(df: DataFrame, dim: int, n_cells: int = 16,
     # aggregate and both self-join sides (ingest-materialized at 100 TB)
     cells = assigned.select(
         F.col(id_col), F.col(vec_col), F.col("__cell"),
-        _norm(F.col(vec_col), dim).alias("__nrm"),
+        _norm(f"`{vec_col}`", dim).alias("__nrm"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     oversized = (cells.groupBy("__cell")
                  .agg(F.count(F.lit(1)).alias("__csz"))
@@ -153,7 +153,7 @@ def semantic_dedup(df: DataFrame, dim: int, n_cells: int = 16,
     # unrolled over dim — HOFs are CodegenFallback and would drop the
     # whole verify projection to interpreted eval (similarity._dot_cols
     # is fold-order-identical to the old aggregate())
-    dot = _dot_cols(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), dim)
+    dot = _dot_cols(f"a.`{vec_col}`", f"b.`{vec_col}`", dim)
     cosine = dot / (F.col("a.__nrm") * F.col("b.__nrm"))
     if round_to is not None:
         cosine = F.round(cosine, round_to)

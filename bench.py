@@ -136,11 +136,20 @@ def main() -> None:
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
     total = round(sum(timings.values()), 3)
+    # r14 postmortem (VERDICT r14 "What's wrong #1"): the load detail
+    # pushed the single output line past the driver's tail-capture
+    # buffer and BENCH_r14.json came back parsed:null. Emit the load
+    # attribution as its OWN earlier line; the LAST line stays the
+    # compact headline JSON (metric/value/unit/sf + per-query seconds),
+    # well under the ~2 KB tail window.
+    print(json.dumps({
+        "metric": "headline_queries_load", "unit": "loadavg",
+        "load": {"start_1_5_15": load_start, "end_1_5_15": load_end,
+                 "nproc": os.cpu_count(), "per_query_1min": query_load},
+    }))
     print(json.dumps({
         "metric": "headline_queries_total", "value": total, "unit": "sec",
         "queries": timings, "sf": sf,
-        "load": {"start_1_5_15": load_start, "end_1_5_15": load_end,
-                 "nproc": os.cpu_count(), "per_query_1min": query_load},
     }))
 
 

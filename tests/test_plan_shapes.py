@@ -537,3 +537,33 @@ def test_leakage_split_plan_carries_no_broadcast_hint(reg):
     out = leakage_safe_split(docs, comps)
     analyzed = out._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed
+
+
+def test_materialized_ann_prunes_partitions_and_columns(reg, tmp_path):
+    """r15 (VERDICT r14 task #6): the ingest-materialized ANN layout —
+    ann_materialize written partitionBy(cell) and queried through
+    ivfpq_topk(cell_col=..., codes_col=...) — must (a) turn the probe
+    filter into PARTITION pruning (files from unprobed cells are never
+    opened) and (b) read only vec_id + the m small code ints, never a
+    raw vector column."""
+    from apache_druid_spark.pipeline import ann_materialize, ivfpq_topk
+
+    emb = reg.table("embeddings")
+    out = str(tmp_path / "embeddings_ann")
+    ann_materialize(emb, n_cells=16, m=8, ks=16, keep_vec=False,
+                    dim=64).write.partitionBy("cell").parquet(out)
+    spark = emb.sparkSession
+    stored = spark.read.parquet(out)
+    q = [0.1] * 64
+    topk = ivfpq_topk(stored, q, k=5, n_cells=16, n_probe=4,
+                      cell_col="cell", codes_col="codes")
+    plan = plan_of(topk)
+    pf = plan.split("PartitionFilters: [", 1)
+    assert len(pf) == 2, plan
+    assert "cell#" in pf[1].split("]", 1)[0], plan
+    rs = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "embedding" not in rs, rs
+    assert "codes" in rs and "vec_id" in rs, rs
+    # the ADC lookups stay expression-side: no HOF fold, no Python
+    assert "aggregate(" not in plan
+    assert "EvalPython" not in plan
