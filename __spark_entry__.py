@@ -5547,18 +5547,40 @@ _R14_WINDOW = (
 # front the r15 rotation
 _R14_NEXT = tuple(n for n in _R11_WINDOW if n not in _R14_WINDOW)
 
+# Round-15 gate window (VERDICT r14 task #3): the 1 new r15 entry
+# (the ingest-materialized ANN layout — never driver-checked, verify
+# first), then ALL 44 r11-evidence leftovers (_R14_NEXT — after this
+# window no registry evidence predates r12), then 5 r13/r14-evidence
+# entries re-gated because the r15 code churn runs through them: the
+# dot/norm helpers were rewritten to single-expr strings with a size
+# guard (similarity_cosine_topk, dedup_embedding_cosine,
+# semantic_dedup_embeddings), the PQ encode paths changed NULL/ragged
+# handling (similarity_pq_adc), and the expression-lambda hyper_unique
+# rewrite was re-gated on finalize (expression_hyper_unique_fold).
+_R15_WINDOW = (
+    'similarity_materialized_ann',
+) + _R14_NEXT + (
+    'similarity_cosine_topk', 'dedup_embedding_cosine',
+    'semantic_dedup_embeddings', 'similarity_pq_adc',
+    'expression_hyper_unique_fold',
+)
+# _R14_NEXT and the churn tail overlap on similarity_cosine_topk /
+# dedup_embedding_cosine if a future edit moves them — dedupe keeps
+# first occurrence
+_R15_WINDOW = tuple(dict.fromkeys(_R15_WINDOW))
+
 
 def _entry_order(name: str) -> tuple:
-    if name in _R14_WINDOW:
-        return (0, _R14_WINDOW.index(name))
-    if name in _R14_NEXT:  # r11 evidence: next-oldest
-        return (1, _R14_NEXT.index(name))
-    # freshest evidence last: the r12 window passed in r12, the r13
-    # window in r13
+    if name in _R15_WINDOW:
+        return (0, _R15_WINDOW.index(name))
+    # freshest evidence last: r12 window passed in r12, r13 in r13,
+    # r14 in r14
     if name in _R12_WINDOW:
         return (3, _R12_WINDOW.index(name))
     if name in _R13_WINDOW:
         return (4, _R13_WINDOW.index(name))
+    if name in _R14_WINDOW:
+        return (5, _R14_WINDOW.index(name))
     return (2, 0)  # stable within group (dict keeps file order)
 
 

@@ -932,8 +932,25 @@ _FUNCTIONS: dict[str, Callable] = {
     # combine expression (collector-fold) never runs in this engine —
     # F.aggregate over the collected group is single-level, Spark's
     # own partial/final merge handles distribution under collect_list.
+    # r15 (VERDICT r14 task #7): the exact set is CAPPED at 65,536
+    # distinct values — the reference bounds expression-lambda
+    # accumulators too (ExpressionLambdaAggregatorFactory's
+    # maxSizeBytes throws past the budget, not silently drops), and a
+    # silently truncated set would be a wrong estimate. Scalar use is
+    # bounded by values-per-row so the cap never binds in practice;
+    # past it the query fails LOUD with the remedy (the aggregator
+    # path, which _hyper_unique_direct rewrites to <= 2 KB HLL state).
     "hyper_unique_add": lambda x, acc: F.when(x.isNull(), acc).otherwise(
-        F.array_union(acc, F.array(x.cast("string")))),
+        F.when(
+            (F.size(acc) >= F.lit(65536)) & ~F.array_contains(
+                acc, x.cast("string")),
+            F.raise_error(F.lit(
+                "hyper_unique_add: exact-set collector exceeded 65536 "
+                "distinct values — use the expression-lambda AGGREGATOR "
+                "spelling (initialValue hyper_unique(), finalize "
+                "hyper_unique_estimate(o)), which carries bounded HLL "
+                "sketch state")).cast("array<string>"))
+        .otherwise(F.array_union(acc, F.array(x.cast("string"))))),
     "hyper_unique_estimate": lambda o: F.size(o).cast("double"),
     "hyper_unique_round_estimate": lambda o: F.size(o).cast("long"),
     # string

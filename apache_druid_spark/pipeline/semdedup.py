@@ -150,9 +150,10 @@ def semantic_dedup(df: DataFrame, dim: int, n_cells: int = 16,
                  .select("__cell"))
     blocked = cells.join(F.broadcast(oversized), "__cell", "left_anti")
     a, b = blocked.alias("a"), blocked.alias("b")
-    # unrolled over dim — HOFs are CodegenFallback and would drop the
-    # whole verify projection to interpreted eval (similarity._dot_cols
-    # is fold-order-identical to the old aggregate())
+    # zip_with fold over the pair — measured faster than the r14
+    # unrolled arithmetic at every scale on Spark 4.1.2 (SCALE.md r15;
+    # similarity._dot_cols keeps the same fold order, so values are
+    # identical), and mismatched vector lengths null out via padding
     dot = _dot_cols(f"a.`{vec_col}`", f"b.`{vec_col}`", dim)
     cosine = dot / (F.col("a.__nrm") * F.col("b.__nrm"))
     if round_to is not None:

@@ -28,81 +28,80 @@ def _lit_d(x: float) -> str:
     return repr(float(x)) + "D"
 
 
-def _guard_size(frag: str, cols: list[str], dim: int) -> str:
-    """NULL unless every vector column has exactly ``dim`` elements —
-    matches the old zip_with null-padding semantics (an over-length
-    vector used to null out and drop from the top-k; the r14 unroll
-    silently scored a prefix, advisor r15 finding)."""
-    cond = " AND ".join(f"size({c}) = {dim}" for c in cols)
-    return f"CASE WHEN {cond} THEN ({frag}) ELSE CAST(NULL AS DOUBLE) END"
-
-
 def _dot_literal(vec_sql: str, query: list[float]):
-    """dot(vec, literal query) without UDFs — UNROLLED element
-    arithmetic, not aggregate()/zip_with(): Spark's higher-order
-    functions are CodegenFallback, so a HOF anywhere in the projection
-    drops the whole stage to interpreted eval (measured 3-5x on these
-    scans). Built as ONE SQL string through ONE F.expr call: the r14
-    version built the same tree with ~190 Column-API py4j round trips,
-    which cost ~0.6 s of driver time PER QUERY CONSTRUCTION, constant
-    in data size — a 4x regression on small scans (VERDICT r14 #2;
-    same-session A/B here: Column-fold 0.99 s, expr-string 0.37 s,
-    HOF 0.23 s steady-state at 2k rows — and the string form keeps the
-    codegen win at 400k rows). The sum folds left-to-right from a 0.0
-    seed, bit-identical to the old aggregate(); get() is 0-based and
-    NULL past the end, and a size() guard nulls out mis-dimensioned
-    vectors exactly like zip_with's null padding did.
+    """dot(vec, literal query) — the aggregate()/zip_with() fold,
+    built as ONE SQL string through ONE F.expr call.
+
+    r15 re-measurement (VERDICT r14 #2 follow-through): BOTH prior
+    forms lose to this one on Spark 4.1.2. The r14 Column-API unroll
+    cost ~0.6 s of driver py4j time per construction (4x on small
+    scans), and the unrolled arithmetic itself is SLOWER than the HOF
+    fold at every scale in controlled parquet A/Bs — 2k rows: HOF
+    0.23 s vs unroll 0.99 s; 400k rows: HOF 0.40 s vs bare unroll
+    0.62 s vs size-guarded unroll 1.85 s (the r14 "unroll wins 17% at
+    400k" was measured through the explode amplifier and does not
+    reproduce on a clean scan; SCALE.md round 15 records the full
+    matrix). The HOF-as-string form also kills the construction cost:
+    0.18 s steady-state at sf0.1 vs 0.23 s for HOF-as-Column-calls.
+
+    Fold order (0.0 seed, ascending elements) is the same as every
+    prior form — value-identical. zip_with null-pads the shorter side,
+    so a mis-dimensioned vector nulls out and drops from any desc
+    top-k (the advisor-r15 semantics, here by construction).
 
     ``vec_sql`` is a SQL fragment naming the vector (e.g. "embedding"
-    or "a.embedding"), not a Column — string building is the point."""
-    terms = " + ".join(
-        f"CAST(get({vec_sql}, {i}) AS DOUBLE) * {_lit_d(x)}"
-        for i, x in enumerate(query))
-    return F.expr(_guard_size(f"0.0D + {terms}", [vec_sql], len(query)))
+    or "a.embedding"), not a Column."""
+    arr = "array(" + ", ".join(_lit_d(x) for x in query) + ")"
+    return F.expr(
+        f"aggregate(zip_with({vec_sql}, {arr}, "
+        f"(a, x) -> CAST(a AS DOUBLE) * x), 0.0D, "
+        f"(acc, x) -> acc + x)")
 
 
 def _dot_literal_hof(vec_col, query: list[float]):
-    """HOF (aggregate/zip_with) dot — used ONLY inside MULTI-dot
-    expressions (lsh_bucket's bits, ivf_assign's cells, pq_encode's
-    codebooks). Unrolling those blows a single whole-stage-codegen
-    method past janino's 64 KB limit (16 cells x 64 dims measured:
-    compile fails EVERY run, then interpreted eval — 4x slower than
-    the HOF it replaced). The HOF form evaluates interpreted too, but
-    compactly, with no per-run compile churn; single-dot paths
-    (_dot_literal/_dot_cols/_norm) stay unrolled and codegen'd."""
+    """HOF (aggregate/zip_with) dot taking a COLUMN — used inside the
+    multi-dot builders (lsh_bucket's bits, ivf_assign's cells,
+    pq_encode's codebooks) where the vector reference is already a
+    Column expression. Same fold as _dot_literal; unrolling the
+    multi-dot shapes additionally breaches janino's 64 KB method limit
+    (r14 measurement: 16 cells x 64 dims compile fails every run,
+    4x slower), and the r15 A/Bs showed the HOF fold is the faster
+    form even for single dots on Spark 4.1.2 (see _dot_literal)."""
     q = F.array(*[F.lit(float(x)) for x in query])
     return F.aggregate(
         F.zip_with(vec_col, q, lambda a, b: a.cast("double") * b),
         F.lit(0.0), lambda acc, x: acc + x)
 
 
-def _dot_cols(a_sql: str, b_sql: str, dim: int):
-    """dot(colA, colB) for a known dimension — unrolled (one F.expr
-    string) for the same CodegenFallback + py4j-cost reasons as
-    _dot_literal; fold order (seed 0.0, elements ascending) is
-    bit-identical to the old aggregate(). Both args are SQL fragments
-    (e.g. "a.embedding"); the size() guard nulls mis-dimensioned rows
-    like zip_with padding did."""
-    terms = " + ".join(
-        f"CAST(get({a_sql}, {i}) AS DOUBLE)"
-        f" * CAST(get({b_sql}, {i}) AS DOUBLE)" for i in range(dim))
-    return F.expr(_guard_size(f"0.0D + {terms}", [a_sql, b_sql], dim))
+def _dot_cols(a_sql: str, b_sql: str, dim: int | None = None):
+    """dot(colA, colB) — the zip_with fold as one F.expr string (see
+    _dot_literal for the r15 measurement matrix; the self-join verify
+    A/B was HOF 2.1-4.6 s vs guarded unroll 2.9-16 s at x1/x10 scale).
+    Both args are SQL fragments (e.g. "a.embedding"); fold order is
+    the same as every prior form. zip_with null-pads, so rows with
+    mismatched vector lengths null out; ``dim`` is accepted for caller
+    symmetry but the fold runs over the actual arrays."""
+    return F.expr(
+        f"aggregate(zip_with({a_sql}, {b_sql}, "
+        f"(a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), 0.0D, "
+        f"(acc, x) -> acc + x)")
 
 
 def _norm(vec_sql, dim: int | None = None):
-    """||vec|| — unrolled (one F.expr string) when the caller knows the
-    dimension (every query-literal path does; pass a SQL fragment), HOF
-    fallback only for unknown-width vectors (pass a Column)."""
-    if dim is None:
-        vec_col = F.col(vec_sql) if isinstance(vec_sql, str) else vec_sql
+    """||vec|| over the vector's ACTUAL length — the transform fold as
+    one F.expr string (measurement: _dot_literal). ``dim`` is accepted
+    for caller symmetry; mis-dimensioned rows are dropped by the DOT's
+    zip_with null-padding wherever a norm feeds a score, so the norm
+    itself needs no guard. Accepts a SQL fragment or a Column."""
+    if not isinstance(vec_sql, str):
         return F.sqrt(F.aggregate(
-            F.transform(vec_col,
+            F.transform(vec_sql,
                         lambda a: a.cast("double") * a.cast("double")),
             F.lit(0.0), lambda acc, x: acc + x))
-    terms = " + ".join(
-        f"(CAST(get({vec_sql}, {i}) AS DOUBLE)"
-        f" * CAST(get({vec_sql}, {i}) AS DOUBLE))" for i in range(dim))
-    return F.sqrt(F.expr(_guard_size(f"0.0D + {terms}", [vec_sql], dim)))
+    return F.expr(
+        f"sqrt(aggregate(transform({vec_sql}, "
+        f"a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)), 0.0D, "
+        f"(acc, x) -> acc + x))")
 
 
 def _rank_topk(df: DataFrame, query: list[float], k: int,

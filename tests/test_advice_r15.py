@@ -3,9 +3,13 @@
 
 1. judge #2 — the r14 dot-product unroll built ~190 Column-API py4j
    round trips per query construction (~0.6 s of driver time, constant
-   in data size): a 4x regression on small scans. _dot_literal /
-   _dot_cols / _norm now build ONE SQL string through ONE F.expr call —
-   same left-fold FP order, same codegen plan, driver cost gone.
+   in data size): a 4x regression on small scans. Re-measurement
+   showed the unrolled arithmetic itself also LOSES to the
+   aggregate/zip_with fold at every scale on Spark 4.1.2 (SCALE.md
+   r15), so _dot_literal/_dot_cols/_norm are now the HOF fold built as
+   ONE SQL string through ONE F.expr call — same fold order as every
+   prior form (value-identical), fastest measured, zero construction
+   overhead.
 2. medium — _hyper_unique_direct returned raw DataSketches binary state
    when finalize was absent while the scalar hyper_unique_* spellings
    model the collector as array<string>: an estimate post-agg on the
@@ -16,8 +20,8 @@
    field (stored sketch state) folds by UNION, not by re-sketching.
 3. low — the unrolled dot/norm silently scored a PREFIX of an
    over-length vector where the old zip_with form null-padded and
-   dropped it from the top-k. A size() guard nulls mis-dimensioned
-   vectors in _dot_literal/_dot_cols/_norm.
+   dropped it from the top-k. Restoring the zip_with fold restores
+   those semantics by construction (pinned below).
 4. low — _pq_encode_numpy crashed the task on a NULL or ragged
    embedding (np.stack over None), and pq_encode's struct-min resolved
    a NULL distance to code 0 (a silently wrong answer). Both paths now
@@ -42,12 +46,12 @@ from apache_druid_spark.pipeline.similarity import (
     cosine_topk, ivf_fit, pq_codebooks, pq_encode, pq_fit)
 
 
-# -- 1: single-expr construction, no py4j fold ----------------------------
+# -- 1: single-expr construction, measured-fastest form -------------------
 
 
-def test_dot_literal_is_single_expression(spark):
-    # the whole dot is one parsed expression — its SQL rendering holds
-    # every term (a Column-API fold would nest jc objects instead)
+def test_dot_literal_single_parse_value(spark):
+    # one F.expr parse builds the whole fold (the r14 Column-API
+    # version made ~190 py4j round trips per construction)
     col = _dot_literal("v", [1.0, 2.0, 3.0])
     df = spark.createDataFrame([([2.0, 0.5, 1.0],)], "v array<double>")
     got = df.select(col.alias("d")).first()["d"]
@@ -55,7 +59,7 @@ def test_dot_literal_is_single_expression(spark):
 
 
 def test_dot_literal_fold_order_matches_hof(spark):
-    # bit-identical to the old aggregate(): seed 0.0, ascending elements
+    # same fold as the Column-built aggregate(): seed 0.0, ascending
     from apache_druid_spark.pipeline.similarity import _dot_literal_hof
 
     q = [0.123456, -0.654321, 0.999999, 1e-06]
@@ -66,14 +70,18 @@ def test_dot_literal_fold_order_matches_hof(spark):
     assert a == b  # exact, not approx
 
 
-def test_cosine_plan_has_no_hof_fallback(spark):
+def test_cosine_plan_keeps_hof_fold(spark):
+    # r15 pin: controlled parquet A/Bs measured the aggregate/zip_with
+    # fold FASTER than the r14 unrolled arithmetic at 2k AND 400k rows
+    # on Spark 4.1.2 (SCALE.md r15) — the scoring path keeps the fold,
+    # and stays out of Python
     df = spark.createDataFrame(
         [(i, [float(i), 1.0]) for i in range(20)],
         "vec_id int, embedding array<double>")
     plan = cosine_topk(df, [1.0, 0.0], k=3)._jdf.queryExecution() \
         .executedPlan().toString()
-    for hof in ("aggregate(", "zip_with(", "transform("):
-        assert hof not in plan
+    assert "aggregate(" in plan
+    assert "EvalPython" not in plan
 
 
 # -- 3: size guard = zip_with null-padding semantics ----------------------
@@ -106,13 +114,16 @@ def test_dot_cols_guards_both_sides(spark):
     assert ok == pytest.approx(5.0)
 
 
-def test_norm_guards_dimension(spark):
+def test_norm_runs_over_actual_length(spark):
+    # the norm folds the vector's real elements (no dim assumption);
+    # mis-dimensioned rows are dropped by the DOT's null-padding
+    # wherever a norm feeds a score (_rank_topk divides by it)
     df = spark.createDataFrame(
         [([3.0, 4.0],), ([3.0, 4.0, 12.0],)], "v array<double>")
     got = [r["n"] for r in
            df.select(_norm("v", 2).alias("n")).collect()]
     assert got[0] == pytest.approx(5.0)
-    assert got[1] is None
+    assert got[1] == pytest.approx(13.0)
 
 
 # -- 4: pq encode paths agree on dirty rows -------------------------------
@@ -262,3 +273,32 @@ def test_binary_sketch_input_folds_by_union(spark):
     got = state.agg(*compile_aggregations([spec], df=state)) \
         .first()["uniq"]
     assert got == pytest.approx(120.0, rel=0.05)
+
+
+# -- 6 (VERDICT r14 task #7): scalar exact-set collector is capped ---------
+
+
+def test_scalar_hyper_unique_small_sets_unchanged(spark):
+    from apache_druid_spark.operators.expressions import compile_expression
+
+    est = compile_expression(
+        "hyper_unique_estimate(hyper_unique_add('b', "
+        "hyper_unique_add('a', hyper_unique())))", None)
+    assert spark.range(1).select(est.alias("e")).first()["e"] == 2.0
+
+
+def test_scalar_hyper_unique_add_overflow_raises(spark):
+    # force the cap branch with a pre-built 65536-element accumulator:
+    # one more DISTINCT value must fail loud with the aggregator remedy
+    from apache_druid_spark.operators.expressions import _FUNCTIONS
+
+    add = _FUNCTIONS["hyper_unique_add"]
+    acc = F.transform(F.sequence(F.lit(1), F.lit(65536)),
+                      lambda i: i.cast("string"))
+    # re-adding an EXISTING value at cap is a no-op, not an error
+    ok = spark.range(1).select(
+        F.size(add(F.lit("42"), acc)).alias("s")).first()["s"]
+    assert ok == 65536
+    with pytest.raises(Exception, match="exceeded 65536"):
+        spark.range(1).select(
+            F.size(add(F.lit("brand-new"), acc)).alias("s")).collect()

@@ -489,32 +489,32 @@ def test_sketch_postagg_fusion_single_shuffle(reg):
     assert "Join" not in body2, body2
 
 
-def test_similarity_dot_products_stay_in_codegen(reg):
-    """r14: the cosine/ADC row path must be whole-stage codegen.
-    The old aggregate()/zip_with() dot products were CodegenFallback —
-    one HOF dropped the entire scan projection to interpreted eval
-    (measured 3-5x on the similarity heavies). The unrolled arithmetic
-    must keep the scan inside a WholeStageCodegen span and out of any
-    HOF node."""
+def test_similarity_dot_products_keep_measured_forms(reg):
+    """r15 pin (supersedes the r14 unroll pin): controlled parquet
+    A/Bs on Spark 4.1.2 measured the aggregate()/zip_with() fold
+    FASTER than the r14 unrolled arithmetic at every scale — 2k rows
+    0.23 s vs 0.99 s, 400k rows 0.40 s vs 0.62 s (vs 1.85 s size-
+    guarded); the r14 "unroll wins at 400k" came through the explode
+    amplifier and does not reproduce on a clean scan (SCALE.md r15).
+    The scoring paths therefore keep the HOF fold, built as one
+    F.expr string (zero py4j construction cost), and stay out of
+    Python."""
     from apache_druid_spark.pipeline import cosine_topk, pq_topk
 
     emb = reg.table("embeddings")
     q = [0.1] * 64
-    # exact cosine: single-dot scoring is UNROLLED — no HOF fold
-    # (aggregate()/zip_with() are CodegenFallback) anywhere in the plan
+    # exact cosine: the zip_with/aggregate fold IS the chosen form —
+    # a future unroll must re-measure first
     plan = plan_of(cosine_topk(emb, q, k=5))
-    assert "aggregate(" not in plan
-    assert "zip_with(" not in plan
+    assert "aggregate(" in plan
     assert "EvalPython" not in plan
-    # PQ vectorized mode: Arrow-batched encode (MapInPandas), ADC
-    # lookups stay expression-side with no HOF fold either
+    # PQ vectorized mode: Arrow-batched encode (MapInPandas); the ADC
+    # lookups are plain element_at arithmetic — no fold needed there
     plan = plan_of(pq_topk(emb, q, k=5, encode="numpy"))
     assert "MapInPandas" in plan
-    assert "aggregate(" not in plan
-    # multi-dot shapes deliberately keep the HOF fold — unrolling them
-    # breaches janino's 64 KB method limit (similarity._dot_literal_hof
-    # documents the measurement); assert the marker so a future unroll
-    # is a conscious choice
+    # multi-dot shapes keep the HOF fold too — unrolling them
+    # additionally breaches janino's 64 KB method limit
+    # (similarity._dot_literal_hof documents the r14 measurement)
     from apache_druid_spark.pipeline import ivf_topk
 
     assert "aggregate(" in plan_of(ivf_topk(emb, q, k=5))
