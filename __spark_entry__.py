@@ -2029,6 +2029,50 @@ def _hyperunique_complex_requery(spark, sf_dir):
     return df.select("event_type", F.col("uniq").cast("long").alias("uniq"))
 
 
+@_q("legacy_hllc_requery", """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS hllc_within_7pct
+FROM events GROUP BY 1 ORDER BY 1
+""")
+def _legacy_hllc_requery(spark, sf_dir):
+    """LEGACY Druid hyperUnique wire support end-to-end (r15; VERDICT
+    r14 "What's missing" #2 — ingest/hllc.py): a real Druid segment
+    stores hyperUnique COMPLEX columns as HyperLogLogCollector state
+    (hll/.../HyperLogLogCollector.java — murmur3_128-hashed, 2048
+    4-bit buckets, NOT DataSketches-compatible). This entry builds
+    that exact wire form per (event_type, user-bucket) group from raw
+    values (hllc_rollup mode="values" — bit-exact vs the reference:
+    the suite replicates HyperLogLogCollectorTest.testEstimation's 13
+    pinned doubles through 2M adds and the CalciteJoinQueryTest
+    "AQAAAEAAAA==" literal), then RE-QUERIES the stored blobs with the
+    offset-aligned fold (hllc_rollup mode="blobs", map-side partial
+    pre-fold — ~1 KB per group per partition crosses the shuffle).
+    Estimate tolerance-gated at ±7% (~3 sigma of 1.04/sqrt(2048)) and
+    kept out of the hash, like the estimation-mode sketch entries."""
+    from apache_druid_spark.ingest.hllc import hllc_rollup
+
+    events = _registry(spark, sf_dir).table("events")
+    legacy = hllc_rollup(
+        events.withColumn(
+            "__bucket",
+            F.pmod(F.crc32(F.col("user_id").cast("string")
+                           .cast("binary")), F.lit(8))),
+        ["event_type", "__bucket"], "user_id",
+        mode="values", out_col="uniq_state")
+    requeried = hllc_rollup(legacy, ["event_type"], "uniq_state",
+                            mode="blobs", out_col="hllc_est",
+                            finalize=True)
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users"))
+    return (exact.join(requeried, "event_type")
+            .select("event_type", "exact_users",
+                    (F.abs(F.col("hllc_est") - F.col("exact_users"))
+                     <= 0.07 * F.col("exact_users"))
+                    .alias("hllc_within_7pct"))
+            .orderBy("event_type"))
+
+
 @_q("sql_frozen_current_timestamp", """
 SELECT o_orderpriority,
        COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS total
@@ -5547,22 +5591,22 @@ _R14_WINDOW = (
 # front the r15 rotation
 _R14_NEXT = tuple(n for n in _R11_WINDOW if n not in _R14_WINDOW)
 
-# Round-15 gate window (VERDICT r14 task #3): the 1 new r15 entry
-# (the ingest-materialized ANN layout — never driver-checked, verify
-# first), then ALL 44 r11-evidence leftovers (_R14_NEXT — after this
-# window no registry evidence predates r12), then 5 r13/r14-evidence
-# entries re-gated because the r15 code churn runs through them: the
-# dot/norm helpers were rewritten to single-expr strings with a size
-# guard (similarity_cosine_topk, dedup_embedding_cosine,
-# semantic_dedup_embeddings), the PQ encode paths changed NULL/ragged
-# handling (similarity_pq_adc), and the expression-lambda hyper_unique
-# rewrite was re-gated on finalize (expression_hyper_unique_fold).
+# Round-15 gate window (VERDICT r14 task #3): the 2 new r15 entries
+# (the ingest-materialized ANN layout and the legacy-HLLC migration
+# path — never driver-checked, verify first), then ALL 44 r11-evidence
+# leftovers (_R14_NEXT — after this window no registry evidence
+# predates r12), then 4 r13/r14-evidence entries re-gated because the
+# r15 code churn runs through them: the dot/norm helpers were
+# rewritten to single-F.expr HOF folds (similarity_cosine_topk,
+# dedup_embedding_cosine, semantic_dedup_embeddings) and the PQ encode
+# paths changed NULL/ragged handling (similarity_pq_adc). The
+# hyper_unique finalize re-gate is suite-pinned
+# (tests/test_advice_r15.py) and rotates next round.
 _R15_WINDOW = (
-    'similarity_materialized_ann',
+    'similarity_materialized_ann', 'legacy_hllc_requery',
 ) + _R14_NEXT + (
     'similarity_cosine_topk', 'dedup_embedding_cosine',
     'semantic_dedup_embeddings', 'similarity_pq_adc',
-    'expression_hyper_unique_fold',
 )
 # _R14_NEXT and the churn tail overlap on similarity_cosine_topk /
 # dedup_embedding_cosine if a future edit moves them — dedupe keeps

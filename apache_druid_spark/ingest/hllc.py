@@ -1,0 +1,535 @@
+"""Legacy Druid ``hyperUnique`` (HyperLogLogCollector) wire support.
+
+Closes the documented migration gap (VERDICT r14 "What's missing" #2):
+a real Druid segment's ``hyperUnique`` COMPLEX columns store
+HyperLogLogCollector state
+(hll/src/main/java/org/apache/druid/hll/HyperLogLogCollector.java,
+version-1 layout in VersionOneHyperLogLogCollector.java), which is NOT
+DataSketches-compatible — this engine's native sketch columns could
+not read them. This module is a faithful re-implementation of the
+collector's public behavior in Python/numpy:
+
+  - ``murmur3_x64_128``  the default HyperLogLogHash (Guava
+    murmur3_128; HyperLogLogHash.java:40) — pure-Python, verified
+    against the JVM's Guava implementation in the test suite
+  - ``HllcCollector``    add / fold / estimate / to_bytes / from_bytes
+    replicating HyperLogLogCollector.java register-for-register:
+    2048 4-bit buckets, registerOffset compression, single
+    max-overflow slot, sparse (<128 non-zero) vs dense wire forms,
+    and the exact estimate corrections (applyCorrection, line 143)
+  - ``estimate_bytes``   estimateByteBuffer replica — including the
+    reference's sparse/dense asymmetry where a sparse payload only
+    applies the overflow when a pair exists at the overflow position
+  - Spark-side readers: ``with_hllc_estimate`` (mapInPandas column of
+    estimates over stored blobs), ``hllc_rollup`` (groupBy →
+    applyInPandas fold of blobs OR raw values → merged state or
+    estimate) — both Arrow-batched, no row-at-a-time Python UDFs
+
+Scale shape: fold is register-wise max over fixed 1 KB state — the
+applyInPandas group fold is bounded by 1 KB x groups per task, and the
+map-side pre-fold in ``hllc_rollup(partial=True)`` collapses each
+partition to one blob per group before the shuffle, exactly like the
+reference's combining aggregator. At 100 TB the right long-term move
+is still re-sketching to DataSketches at ingest (README "Known
+limits"); this module makes the EXISTING segments queryable and the
+migration itself a Spark job instead of a re-ingest.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+NUM_BUCKETS = 2048
+NUM_BYTES_FOR_BUCKETS = NUM_BUCKETS // 2
+HEADER_NUM_BYTES = 7
+BITS_PER_BUCKET = 4
+RANGE = 15
+BUCKET_MASK = 0x7FF
+DENSE_THRESHOLD = 128
+VERSION = 0x1
+
+_ALPHA = 0.7213 / (1 + 1.079 / NUM_BUCKETS)
+CORRECTION_PARAMETER = _ALPHA * NUM_BUCKETS * NUM_BUCKETS
+LOW_CORRECTION_THRESHOLD = (5 * NUM_BUCKETS) / 2.0
+TWO_TO_THE_SIXTY_FOUR = 2.0 ** 64
+HIGH_CORRECTION_THRESHOLD = TWO_TO_THE_SIXTY_FOUR / 30.0
+
+
+# ---------------------------------------------------------------------------
+# murmur3 x64 128 (public algorithm, Austin Appleby; the variant Guava's
+# Hashing.murmur3_128() implements and HyperLogLogHash.java uses)
+# ---------------------------------------------------------------------------
+
+_C1 = 0x87C37B91114253D5
+_C2 = 0x4CF5AD432745937F
+_MASK = 0xFFFFFFFFFFFFFFFF
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _MASK
+
+
+def _fmix64(k: int) -> int:
+    k ^= k >> 33
+    k = (k * 0xFF51AFD7ED558CCD) & _MASK
+    k ^= k >> 33
+    k = (k * 0xC4CEB9FE1A85EC53) & _MASK
+    k ^= k >> 33
+    return k
+
+
+def murmur3_x64_128(data: bytes, seed: int = 0) -> bytes:
+    """16-byte murmur3 x64 128 digest, byte-for-byte equal to Guava's
+    ``Hashing.murmur3_128().hashBytes(data).asBytes()`` (little-endian
+    h1 then h2 — verified against the JVM in tests)."""
+    length = len(data)
+    h1 = h2 = seed & _MASK
+    nblocks = length // 16
+    for i in range(nblocks):
+        k1, k2 = struct.unpack_from("<qq", data, i * 16)
+        k1 &= _MASK
+        k2 &= _MASK
+        k1 = (k1 * _C1) & _MASK
+        k1 = _rotl64(k1, 31)
+        k1 = (k1 * _C2) & _MASK
+        h1 ^= k1
+        h1 = _rotl64(h1, 27)
+        h1 = (h1 + h2) & _MASK
+        h1 = (h1 * 5 + 0x52DCE729) & _MASK
+        k2 = (k2 * _C2) & _MASK
+        k2 = _rotl64(k2, 33)
+        k2 = (k2 * _C1) & _MASK
+        h2 ^= k2
+        h2 = _rotl64(h2, 31)
+        h2 = (h2 + h1) & _MASK
+        h2 = (h2 * 5 + 0x38495AB5) & _MASK
+    tail = data[nblocks * 16:]
+    k1 = k2 = 0
+    t = len(tail)
+    if t >= 9:
+        for i in range(t - 1, 7, -1):
+            k2 = (k2 << 8) | tail[i]
+        k2 = (k2 * _C2) & _MASK
+        k2 = _rotl64(k2, 33)
+        k2 = (k2 * _C1) & _MASK
+        h2 ^= k2
+    if t >= 1:
+        for i in range(min(t, 8) - 1, -1, -1):
+            k1 = (k1 << 8) | tail[i]
+        k1 = (k1 * _C1) & _MASK
+        k1 = _rotl64(k1, 31)
+        k1 = (k1 * _C2) & _MASK
+        h1 ^= k1
+    h1 ^= length
+    h2 ^= length
+    h1 = (h1 + h2) & _MASK
+    h2 = (h2 + h1) & _MASK
+    h1 = _fmix64(h1)
+    h2 = _fmix64(h2)
+    h1 = (h1 + h2) & _MASK
+    h2 = (h2 + h1) & _MASK
+    return struct.pack("<QQ", h1, h2)
+
+
+def hash_value(value) -> bytes:
+    """HyperLogLogHash.getDefault().hash(value): strings hash as UTF-8
+    bytes (HyperLogLogHash.java:58). Raw bytes pass through; any other
+    type (ints off a BIGINT column, floats) hashes its STRING rendering
+    like a Druid string dimension — NOT ``bytes(value)``, which for an
+    int is a zero-filled buffer of that length."""
+    if isinstance(value, (bytes, bytearray, memoryview)):
+        return murmur3_x64_128(bytes(value))
+    if not isinstance(value, str):
+        value = str(value)
+    return murmur3_x64_128(value.encode("utf-8"))
+
+
+# ---------------------------------------------------------------------------
+# the collector
+# ---------------------------------------------------------------------------
+
+
+def _apply_correction(e: float, zero_count: int) -> float:
+    """HyperLogLogCollector.applyCorrection (line 143)."""
+    e = CORRECTION_PARAMETER / e
+    if e <= LOW_CORRECTION_THRESHOLD:
+        if zero_count == 0:
+            return e
+        return NUM_BUCKETS * math.log(NUM_BUCKETS / float(zero_count))
+    if e > HIGH_CORRECTION_THRESHOLD:
+        ratio = e / TWO_TO_THE_SIXTY_FOUR
+        if ratio >= 1:
+            return float("inf")
+        return -TWO_TO_THE_SIXTY_FOUR * math.log(1 - ratio)
+    return e
+
+
+class HllcCollector:
+    """Dense in-memory HyperLogLogCollector: 1024 byte registers (two
+    4-bit buckets each), a register offset, and the single
+    max-overflow slot. Mutation APIs mirror the reference exactly so
+    wire forms and estimates match byte-for-byte / bit-for-bit."""
+
+    __slots__ = ("offset", "regs", "num_non_zero",
+                 "max_overflow_value", "max_overflow_register")
+
+    def __init__(self):
+        self.offset = 0
+        self.regs = bytearray(NUM_BYTES_FOR_BUCKETS)
+        self.num_non_zero = 0
+        self.max_overflow_value = 0
+        self.max_overflow_register = 0
+
+    # -- construction -------------------------------------------------
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "HllcCollector":
+        """Parse a version-1 wire blob (sparse or dense). The
+        version-0 layout (pre-2014; makeCollector detects it by
+        ``remaining % 3 == 0 or remaining == 1027``) is not supported —
+        re-ingest those segments."""
+        if not blob:
+            return cls()
+        if blob[0] != VERSION:
+            raise NotImplementedError(
+                f"HyperLogLogCollector version {blob[0]} unsupported "
+                "(only the version-1 layout of "
+                "VersionOneHyperLogLogCollector.java is implemented; "
+                "version-0 segments predate 2014 — re-ingest them)")
+        c = cls()
+        c.offset = blob[1]
+        c.num_non_zero = struct.unpack_from(">h", blob, 2)[0]
+        c.max_overflow_value = blob[4]
+        c.max_overflow_register = struct.unpack_from(">h", blob, 5)[0]
+        payload = blob[HEADER_NUM_BYTES:]
+        if len(payload) == NUM_BYTES_FOR_BUCKETS:  # dense
+            c.regs[:] = payload
+        else:  # sparse: (big-endian short position, byte) triples;
+            # positions are PAYLOAD byte indexes + header offset
+            # (toByteBuffer stores i + startPosition)
+            for i in range(0, len(payload), 3):
+                pos = struct.unpack_from(">h", payload, i)[0] \
+                    - HEADER_NUM_BYTES
+                c.regs[pos] = payload[i + 2]
+        return c
+
+    def to_bytes(self) -> bytes:
+        """toByteBuffer(): sparse when fewer than 128 non-zero
+        registers, else the dense 7+1024-byte form."""
+        header = struct.pack(
+            ">BBhBh", VERSION, self.offset, self.num_non_zero,
+            self.max_overflow_value, self.max_overflow_register)
+        if self.num_non_zero < DENSE_THRESHOLD:
+            out = bytearray(header)
+            for i, b in enumerate(self.regs):
+                if b != 0:
+                    out += struct.pack(">hB", i + HEADER_NUM_BYTES, b)
+            return bytes(out)
+        return header + bytes(self.regs)
+
+    # -- mutation ------------------------------------------------------
+
+    def _add_nibble(self, bucket: int, nibble: int) -> None:
+        """addNibbleRegister: register-wise unsigned max of the
+        4-bit value; bumps num_non_zero on a zero->non-zero flip."""
+        pos = bucket >> 1
+        upper = (bucket & 0x1) == 0
+        shifted = (nibble << BITS_PER_BUCKET) if upper else nibble
+        orig = self.regs[pos]
+        mask = 0xF0 if upper else 0x0F
+        if (orig & mask) == 0 and shifted != 0:
+            self.num_non_zero += 1
+        self.regs[pos] = max(orig & mask, shifted) | (orig & (mask ^ 0xFF))
+
+    def _decrement_buckets(self) -> None:
+        """decrementBuckets: subtract 1 from every nibble (byte-wise
+        0x11, with the reference's byte-arithmetic wraparound) and
+        recount non-zero nibbles."""
+        count = 0
+        for i in range(NUM_BYTES_FOR_BUCKETS):
+            val = (self.regs[i] - 0x11) & 0xFF
+            if val & 0xF0:
+                count += 1
+            if val & 0x0F:
+                count += 1
+            self.regs[i] = val
+        self.num_non_zero = count
+
+    def add(self, bucket: int, position_of_1: int) -> None:
+        """add(short, byte): clamp into the 4-bit window above the
+        offset; route above-window values through the single overflow
+        slot; bump the offset when every bucket is non-zero."""
+        if position_of_1 <= self.offset:
+            return
+        if position_of_1 > self.offset + RANGE:
+            if position_of_1 > self.max_overflow_value:
+                if self.max_overflow_value <= self.offset + RANGE:
+                    self.add(self.max_overflow_register,
+                             self.max_overflow_value)
+                self.max_overflow_value = position_of_1
+                self.max_overflow_register = bucket
+            return
+        self._add_nibble(bucket, position_of_1 - self.offset)
+        if self.num_non_zero == NUM_BUCKETS:
+            self.offset += 1
+            self._decrement_buckets()
+
+    def add_hash(self, hashed: bytes) -> None:
+        """add(byte[]): bucket = low 11 bits of the big-endian short
+        at bytes[-2:]; positionOf1 scans bytes 0..7 and counts
+        LSB-first WITHIN each byte — ByteBitLookup.LOOKUP[b] is the
+        1-based position of the lowest set bit (trailing zeros + 1),
+        a zero byte adds 8 and continues (64 when all eight are zero).
+        The low-correction regime (estimate = m*ln(m/zeroCount),
+        register-value-independent) makes an MSB-first misreading
+        match the reference EXACTLY through ~n=5000 and silently
+        diverge above — caught by the ported bit-exact
+        testEstimation pins."""
+        bucket = struct.unpack_from(">h", hashed, len(hashed) - 2)[0] \
+            & BUCKET_MASK
+        position = 0
+        for i in range(8):
+            b = hashed[i]
+            if b == 0:
+                position += 8
+                continue
+            position += (b & -b).bit_length()
+            break
+        self.add(bucket, position)
+
+    def add_value(self, value) -> None:
+        self.add_hash(hash_value(value))
+
+    def fold(self, other: "HllcCollector") -> "HllcCollector":
+        """fold(): align offsets (fold into the larger), register-wise
+        max, offset bump on saturation, then re-add the other's
+        overflow through add() — statement-for-statement the
+        reference's merge (HyperLogLogCollector.java:393-463)."""
+        if other is None:
+            return self
+        if self.offset < other.offset:
+            # swap so we fold into the higher offset
+            mine = HllcCollector()
+            mine.offset, mine.regs = self.offset, bytearray(self.regs)
+            mine.num_non_zero = self.num_non_zero
+            mine.max_overflow_value = self.max_overflow_value
+            mine.max_overflow_register = self.max_overflow_register
+            self.offset, self.regs = other.offset, bytearray(other.regs)
+            self.num_non_zero = other.num_non_zero
+            self.max_overflow_value = other.max_overflow_value
+            self.max_overflow_register = other.max_overflow_register
+            other = mine
+        offset_diff = self.offset - other.offset
+        for pos in range(NUM_BYTES_FOR_BUCKETS):
+            byte_to_add = other.regs[pos]
+            if byte_to_add == 0:
+                continue
+            curr = self.regs[pos]
+            upper, lower = curr & 0xF0, curr & 0x0F
+            other_upper = (byte_to_add & 0xF0) \
+                - (offset_diff << BITS_PER_BUCKET)
+            other_lower = (byte_to_add & 0x0F) - offset_diff
+            new_upper = max(upper, other_upper)
+            new_lower = max(lower, other_lower)
+            self.regs[pos] = (new_upper | new_lower) & 0xFF
+            if upper == 0 and new_upper > 0:
+                self.num_non_zero += 1
+            if lower == 0 and new_lower > 0:
+                self.num_non_zero += 1
+        if self.num_non_zero == NUM_BUCKETS:
+            self.offset += 1
+            self._decrement_buckets()
+        self.add(other.max_overflow_register, other.max_overflow_value)
+        return self
+
+    # -- estimation ----------------------------------------------------
+
+    def estimate(self) -> float:
+        """estimateCardinality over dense state (the post-fold path)."""
+        e = 0.0
+        zero_count = 0
+        overflow_pos = self.max_overflow_register >> 1
+        is_upper = (self.max_overflow_register & 0x1) == 0
+        for pos in range(NUM_BYTES_FOR_BUCKETS):
+            register = self.regs[pos]
+            if self.max_overflow_value != 0 and pos == overflow_pos:
+                upper = ((register & 0xF0) >> BITS_PER_BUCKET) + self.offset
+                lower = (register & 0x0F) + self.offset
+                if is_upper:
+                    upper = max(upper, self.max_overflow_value)
+                else:
+                    lower = max(lower, self.max_overflow_value)
+                e += 2.0 ** -upper + 2.0 ** -lower
+                # the reference masks the POST-offset ints
+                # (estimateDense line ~228) — replicated verbatim
+                zero_count += (1 if (upper & 0xF0) == 0 else 0) \
+                    + (1 if (lower & 0x0F) == 0 else 0)
+            else:
+                upper = ((register & 0xF0) >> BITS_PER_BUCKET) + self.offset
+                lower = (register & 0x0F) + self.offset
+                e += 2.0 ** -upper + 2.0 ** -lower
+                zero_count += (1 if (register & 0xF0) == 0 else 0) \
+                    + (1 if (register & 0x0F) == 0 else 0)
+        return _apply_correction(e, zero_count)
+
+
+def estimate_bytes(blob: bytes) -> float:
+    """estimateByteBuffer replica: a sparse wire form estimates with
+    the reference's sparse path, where the overflow only applies when
+    a PAIR exists at the overflow position (estimateSparse) — a real
+    asymmetry vs the dense path, kept for fidelity. A null/empty blob
+    estimates 0 like an empty collector."""
+    if blob is None or len(blob) == 0:
+        return 0.0
+    c = HllcCollector.from_bytes(blob)
+    payload_len = len(blob) - HEADER_NUM_BYTES
+    if payload_len == NUM_BYTES_FOR_BUCKETS:
+        return c.estimate()
+    # sparse path
+    e = 0.0
+    zero_count = NUM_BUCKETS - 2 * (payload_len // 3)
+    overflow_pos = c.max_overflow_register >> 1
+    is_upper = (c.max_overflow_register & 0x1) == 0
+    payload = blob[HEADER_NUM_BYTES:]
+    for i in range(0, len(payload), 3):
+        position = struct.unpack_from(">h", payload, i)[0]
+        register = payload[i + 2]
+        if c.max_overflow_value != 0 and position == overflow_pos:
+            upper = ((register & 0xF0) >> BITS_PER_BUCKET) + c.offset
+            lower = (register & 0x0F) + c.offset
+            if is_upper:
+                upper = max(upper, c.max_overflow_value)
+            else:
+                lower = max(lower, c.max_overflow_value)
+            e += 2.0 ** -upper + 2.0 ** -lower
+            zero_count += (1 if (upper & 0xF0) == 0 else 0) \
+                + (1 if (lower & 0x0F) == 0 else 0)
+        else:
+            upper = ((register & 0xF0) >> BITS_PER_BUCKET) + c.offset
+            lower = (register & 0x0F) + c.offset
+            e += 2.0 ** -upper + 2.0 ** -lower
+            zero_count += (1 if (register & 0xF0) == 0 else 0) \
+                + (1 if (register & 0x0F) == 0 else 0)
+    e += zero_count
+    return _apply_correction(e, zero_count)
+
+
+def collector_of(values) -> HllcCollector:
+    c = HllcCollector()
+    for v in values:
+        if v is not None:
+            c.add_value(v)
+    return c
+
+
+# ---------------------------------------------------------------------------
+# Spark surface (Arrow-batched; no row-at-a-time UDFs)
+# ---------------------------------------------------------------------------
+
+
+def with_hllc_estimate(df, col: str, out_col: str = "hllc_estimate"):
+    """Append the estimate of a stored legacy ``hyperUnique`` blob
+    column — the 'read a real Druid segment' path. One mapInPandas
+    projection; all other columns pass through."""
+    from pyspark.sql import types as T
+
+    # fresh StructType: .add() would mutate the DataFrame's CACHED
+    # schema object and make df.columns lie about the input
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.DoubleType())])
+
+    def run(batches):
+        for pdf in batches:
+            pdf[out_col] = pdf[col].map(
+                lambda b: estimate_bytes(bytes(b))
+                if b is not None else 0.0)
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
+def hllc_rollup(df, dims: list[str], col: str, mode: str = "blobs",
+                out_col: str = "hllc_state", finalize: bool = False,
+                partial: bool = True):
+    """Re-aggregate legacy collector state (``mode="blobs"``: fold the
+    stored HLLC bytes of ``col``) or build it from raw values
+    (``mode="values"``: hash each value like HyperLogLogHash and add)
+    per ``dims`` group. Returns dims + either the merged wire blob
+    (``finalize=False``) or its estimate (``finalize=True``).
+
+    ``partial=True`` pre-folds each PARTITION to one blob per group
+    with mapInPandas before the groupBy — the shuffle then moves
+    ~1 KB x groups per partition instead of every input row, the same
+    map-side combine the reference's buffer aggregator does. The final
+    applyInPandas fold is identical either way (fold is commutative
+    up to the reference's own order rules; the suite pins order
+    invariance)."""
+    from pyspark.sql import types as T
+
+    if mode not in ("blobs", "values"):
+        raise ValueError(f"mode must be 'blobs' or 'values', got {mode!r}")
+
+    dim_fields = [df.schema[d] for d in dims]
+    blob_schema = T.StructType(
+        dim_fields + [T.StructField("__blob", T.BinaryType())])
+
+    def fold_pdf(pdf):
+        c = HllcCollector()
+        if mode == "blobs":
+            for b in pdf[col]:
+                if b is not None and len(b):
+                    c.fold(HllcCollector.from_bytes(bytes(b)))
+        else:
+            for v in pdf[col]:
+                if v is not None:
+                    c.add_value(v)
+        return c
+
+    if partial:
+        def prefold(batches):
+            import pandas as pd
+
+            acc: dict = {}
+            for pdf in batches:
+                for key, grp in pdf.groupby(dims, dropna=False,
+                                            sort=False):
+                    if not isinstance(key, tuple):
+                        key = (key,)
+                    c = fold_pdf(grp)
+                    if key in acc:
+                        acc[key].fold(c)
+                    else:
+                        acc[key] = c
+            rows = [dict(zip(dims, k), __blob=v.to_bytes())
+                    for k, v in acc.items()]
+            yield pd.DataFrame(
+                rows, columns=dims + ["__blob"]) if rows else \
+                pd.DataFrame({f.name: pd.Series(dtype=object)
+                              for f in blob_schema.fields})
+
+        staged = df.select(*dims, col).mapInPandas(prefold, blob_schema)
+        fold_col, fold_mode = "__blob", "blobs"
+    else:
+        staged, fold_col, fold_mode = df.select(*dims, col), col, mode
+
+    out_field = T.StructField(
+        out_col, T.DoubleType() if finalize else T.BinaryType())
+    out_schema = T.StructType(dim_fields + [out_field])
+
+    def finish(key, pdf):
+        import pandas as pd
+
+        c = HllcCollector()
+        if fold_mode == "blobs":
+            for b in pdf[fold_col]:
+                if b is not None and len(b):
+                    c.fold(HllcCollector.from_bytes(bytes(b)))
+        else:
+            for v in pdf[fold_col]:
+                if v is not None:
+                    c.add_value(v)
+        val = c.estimate() if finalize else c.to_bytes()
+        return pd.DataFrame([dict(zip(dims, key), **{out_col: val})])
+
+    return staged.groupBy(*dims).applyInPandas(finish, out_schema)
