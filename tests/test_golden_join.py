@@ -9,14 +9,16 @@ MV rows read as scalar strings and the empty MV row reads as null
 (CalciteTests.java:417-464 RAW_ROWS1; multi-value-dimensions.md single
 value presents as scalar). dim3 keeps its MV (array) form.
 
-Coverage after r14: 84/88 methods ported, remainder 4 — every name
-enumerated with reasons at the "r13 closures" section below: two
-AllColumns twins pin the reference HyperLogLogCollector's base64 wire
-bytes (unmatchable by construction on DataSketches state),
+Coverage after r15: 86/88 methods ported, remainder 2 — every name
+enumerated with reasons at the "r13 closures" section below:
 testInnerJoinOnMultiValueColumn is @Ignore upstream, and
 testInnerJoinQueryOfLookup (found unaccounted in the r14 recount —
 the earlier "85" overcounted by one) pins LATEST-over-a-time-less-
-lookup native cursor-order semantics. Grep-verifiable: 84 + 4 = 88.
+lookup native cursor-order semantics. The two AllColumns twins were
+UN-SKIPPED in r15: ingest/hllc.py reproduces the reference
+HyperLogLogCollector's pinned base64 wire bytes from first principles
+(bit-exact collector replica, see tests/test_hllc.py).
+Grep-verifiable: 86 + 2 = 88.
 """
 
 from __future__ import annotations
@@ -354,6 +356,72 @@ def test_table_lookup_lookup_filter_no_limit(spark, reg):
         WHERE l.v = 'xa'
     """, reg)
     assert _rows(out) == sorted([("",), ("1",)])
+
+
+@pytest.fixture(scope="module")
+def reg_hllc(spark, reg):
+    """foo with its `unique_dim1` COMPLEX metric — the per-row
+    ingest-time hyperUnique collector of dim1 that CalciteTests
+    DATASOURCE1 carries. Stored in scan PRESENTATION form: the
+    reference's scan serializes a HyperLogLogCollector via its
+    @JsonValue base64, so the cell value is the JSON-quoted base64
+    string (the AllColumns tests pin exactly that rendering). The
+    bytes are REAL legacy wire state from ingest/hllc.py — bit-exact
+    against the reference collector (tests/test_hllc.py replicates
+    HyperLogLogCollectorTest.testEstimation's 13 pinned doubles)."""
+    import base64
+
+    from apache_druid_spark.ingest.hllc import collector_of
+
+    rows = [r + ('"' + base64.b64encode(
+        collector_of([r[1]]).to_bytes()).decode() + '"',)
+        for r in ROWS]
+    schema = T.StructType(
+        SCHEMA.fields + [T.StructField("unique_dim1", T.StringType())])
+    reg.register("foo_hllc", spark.createDataFrame(rows, schema))
+    return reg
+
+
+_ALL_COLUMNS_SQL = """
+    SELECT CAST(__time AS BIGINT) AS t, cnt, dim1, dim2, dim3, m1, m2,
+           unique_dim1
+    FROM foo_hllc
+    INNER JOIN lookup.lookyloo l ON foo_hllc.dim2 = l.k
+    INNER JOIN lookup.lookyloo l2 ON foo_hllc.dim2 = l2.k
+    WHERE l.v = 'xa'
+"""
+
+# the reference's expected rows (CalciteJoinQueryTest.java:1126,1168);
+# dim3 in this suite's MV presentation (reference prints the strings)
+_ALL_COLUMNS_EXPECTED = sorted([
+    (946684800000, 1, "", "a", ("a", "b"), 1.0, 1.0, '"AQAAAEAAAA=="'),
+    (978307200000, 1, "1", "a", ("",), 4.0, 4.0, '"AQAAAQAAAAFREA=="'),
+])
+
+
+def _all_columns_rows(out):
+    return sorted(
+        tuple(tuple(v) if isinstance(v, list) else v for v in r)
+        for r in out.collect())
+
+
+def test_table_lookup_lookup_filter_outer_limit_all_columns(
+        spark, reg_hllc):
+    # testInnerJoinTableLookupLookupWithFilterWithOuterLimitWithAllColumns
+    # — un-skipped in r15: the pinned unique_dim1 wire literals
+    # ("AQAAAEAAAA==" for dim1='', "AQAAAQAAAAFREA==" for dim1='1')
+    # are now REPRODUCED by the legacy HyperLogLogCollector
+    # implementation instead of being unmatchable DataSketches state
+    out = druid_sql(spark, _ALL_COLUMNS_SQL + "    LIMIT 100\n",
+                    reg_hllc)
+    assert _all_columns_rows(out) == _ALL_COLUMNS_EXPECTED
+
+
+def test_table_lookup_lookup_filter_no_limit_all_columns(
+        spark, reg_hllc):
+    # testInnerJoinTableLookupLookupWithFilterWithoutLimitWithAllColumns
+    out = druid_sql(spark, _ALL_COLUMNS_SQL, reg_hllc)
+    assert _all_columns_rows(out) == _ALL_COLUMNS_EXPECTED
 
 
 def test_many_many_inner_join_on_lookup(spark, reg):
@@ -1220,16 +1288,10 @@ def test_inline_datasources_with_left_direct_access(spark, reg,
 
 # -- r13 closures: the CalciteJoinQueryTest remainder ------------------------
 #
-# Enumerated remainder after this tranche (3, with reason):
-# - testInnerJoinTableLookupLookupWithFilterWithOuterLimitWithAllColumns
-#   and testInnerJoinTableLookupLookupWithFilterWithoutLimitWithAllColumns:
-#   the expected rows pin the
-#   unique_dim1 COMPLEX column's WIRE form ("\"AQAAAEAAAA==\"" — the
-#   reference HyperLogLogCollector's base64 bytes). This engine's
-#   sketch state is DataSketches/approx_count_distinct, so the byte
-#   literal cannot match by construction; the join/limit/filter
-#   mechanics of the same SQL are covered by the ported
-#   testInnerJoinTableLookupLookupWithFilterWithLimit family.
+# Enumerated remainder after r15 (2, with reason; the two AllColumns
+# twins that pinned unique_dim1's HyperLogLogCollector wire bytes were
+# un-skipped once ingest/hllc.py reproduced those exact bytes — see
+# test_table_lookup_lookup_filter_outer_limit_all_columns above):
 # - testInnerJoinOnMultiValueColumn: @Ignore upstream (regression
 #   placeholder for apache/druid#9924 — joining ON an MV column is
 #   documented-undefined there).
