@@ -492,8 +492,9 @@ def hllc_rollup(df, dims: list[str], col: str, mode: str = "blobs",
 
             acc: dict = {}
             for pdf in batches:
-                for key, grp in pdf.groupby(dims, dropna=False,
-                                            sort=False):
+                groups = (pdf.groupby(dims, dropna=False, sort=False)
+                          if dims else [((), pdf)])
+                for key, grp in groups:
                     if not isinstance(key, tuple):
                         key = (key,)
                     c = fold_pdf(grp)

@@ -163,6 +163,18 @@ def compile_aggregator(spec: dict, df=None, registry=None,
     if t in _ANY:
         return F.any_value(_field(spec, registry).cast(_ANY[t]),
                            ignoreNulls=True).alias(name)
+    if t == "hyperUnique" and spec.get("legacy"):
+        # legacy=true marks the column as REAL Druid
+        # HyperLogLogCollector wire state (or raw values to be hashed
+        # with murmur3_128 like the reference's ingest). The fold runs
+        # in Arrow batches (ingest/hllc.py), which cannot live inside
+        # a Column .agg() list — compile_groupby reroutes these specs
+        # through hllc_rollup and joins the result back.
+        raise NotImplementedError(
+            "legacy hyperUnique aggregators run through the groupBy "
+            "query path (compile_groupby reroutes them via "
+            "ingest.hllc.hllc_rollup); this query type compiles "
+            "aggregators as Columns and cannot host the Arrow fold")
     if t in ("hyperUnique", "HLLSketchBuild", "HLLSketchMerge"):
         # Over a stored COMPLEX sketch column (BinaryType — ingest-time
         # hyperUnique state written by ingest.batch.rollup via

@@ -1093,6 +1093,25 @@ def compile_groupby(q: dict, registry: DatasourceRegistry,
                     "your query context.")
     df, dim_names = _explode_multivalue_dims(df, dim_specs,
                                              keep_arrays=array_out)
+    # legacy hyperUnique aggregators ({"type": "hyperUnique",
+    # "legacy": true}) read REAL Druid HyperLogLogCollector wire state
+    # (or hash raw values with murmur3_128 like the reference's
+    # ingest). Their offset-aligned fold runs in Arrow batches
+    # (ingest/hllc.py) and cannot live in a Column .agg() list — pull
+    # them out here, aggregate the rest normally, and join the folded
+    # results back on the grouping keys below.
+    legacy_specs = [s for s in q.get("aggregations", []) or []
+                    if isinstance(s, dict) and s.get("type") == "hyperUnique"
+                    and s.get("legacy")]
+    if legacy_specs:
+        if q.get("subtotalsSpec"):
+            raise NotImplementedError(
+                "legacy hyperUnique aggregators with subtotalsSpec are "
+                "unsupported — run one groupBy per subtotal set")
+        q = {**q, "aggregations": [
+            s for s in q["aggregations"]
+            if not (isinstance(s, dict) and s.get("type") == "hyperUnique"
+                    and s.get("legacy"))]}
     _extra, _posts = synthesize_quantile_postaggs(
         q.get("aggregations", []), q.get("postAggregations"), registry, df)
     if _extra:
@@ -1141,6 +1160,20 @@ def compile_groupby(q: dict, registry: DatasourceRegistry,
                 out = out.unionByName(p)
     else:
         out = df.groupBy(*[fcol(c) for c in group_names]).agg(*aggs)
+
+    for spec in legacy_specs:
+        from apache_druid_spark.ingest.hllc import hllc_rollup
+
+        field = spec["fieldName"]
+        mode = ("blobs" if isinstance(df.schema[field].dataType,
+                                      T.BinaryType) else "values")
+        folded = hllc_rollup(
+            df.select(*group_names, field), list(group_names), field,
+            mode=mode, out_col=spec["name"], finalize=finalize)
+        if group_names:
+            out = out.join(folded, list(group_names))
+        else:  # grand-total query: both sides are one row
+            out = out.crossJoin(folded)
 
     if bucket is not None:
         out = out.withColumnRenamed("__bucket", TIME_COLUMN)

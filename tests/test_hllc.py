@@ -342,3 +342,88 @@ def test_hash_value_int_stringifies():
     # dimension), never bytes(n) — which is a zero-filled buffer
     assert hash_value(42) == murmur3_x64_128(b"42")
     assert hash_value(42) == hash_value("42")
+
+
+# -- native query integration ------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def legacy_reg(spark, legacy_df):
+    from apache_druid_spark.model.datasource import DatasourceRegistry
+
+    r = DatasourceRegistry(spark)
+    r.register("legacy_seg", legacy_df.withColumn(
+        "__time", F.lit("2001-01-01 00:00:00").cast("timestamp")))
+    return r
+
+
+def test_native_groupby_legacy_hyperunique(spark, legacy_reg, legacy_df):
+    """A NATIVE groupBy over a real legacy segment's hyperUnique
+    column: {"type": "hyperUnique", "legacy": true} reroutes through
+    the Arrow HLLC fold and joins back on the grouping keys."""
+    from apache_druid_spark.plans.compiler import compile_query
+
+    out = compile_query({
+        "queryType": "groupBy", "dataSource": "legacy_seg",
+        "granularity": "all", "dimensions": ["event_type"],
+        "aggregations": [
+            {"type": "count", "name": "rows"},
+            {"type": "hyperUnique", "name": "uniq",
+             "fieldName": "uniq_state", "legacy": True}],
+    }, legacy_reg)
+    got = {r["event_type"]: r for r in out.collect()}
+    for et, users in legacy_df.truth.items():
+        c = HllcCollector()
+        for r in legacy_df.collect():
+            if r["event_type"] == et:
+                c.fold(HllcCollector.from_bytes(bytes(r["uniq_state"])))
+        assert got[et]["uniq"] == c.estimate()
+        assert got[et]["rows"] == 4
+        assert abs(got[et]["uniq"] - len(users)) < len(users) * 0.05
+
+
+def test_native_groupby_legacy_grand_total(spark, legacy_reg, legacy_df):
+    from apache_druid_spark.plans.compiler import compile_query
+
+    out = compile_query({
+        "queryType": "groupBy", "dataSource": "legacy_seg",
+        "granularity": "all", "dimensions": [],
+        "aggregations": [
+            {"type": "hyperUnique", "name": "uniq",
+             "fieldName": "uniq_state", "legacy": True}],
+    }, legacy_reg).collect()
+    assert len(out) == 1
+    n_true = len(set().union(*legacy_df.truth.values()))
+    assert abs(out[0]["uniq"] - n_true) < n_true * 0.05
+
+
+def test_native_groupby_legacy_values_mode(spark, legacy_reg):
+    """legacy=true over a RAW (non-binary) column hashes values with
+    murmur3_128 like the reference's ingest-time hyperUnique metric."""
+    from apache_druid_spark.model.datasource import DatasourceRegistry
+    from apache_druid_spark.plans.compiler import compile_query
+
+    r = DatasourceRegistry(spark)
+    r.register("raw_vals", spark.createDataFrame(
+        [("a", f"u{i % 30}") for i in range(300)], "g string, u string"))
+    out = compile_query({
+        "queryType": "groupBy", "dataSource": "raw_vals",
+        "granularity": "all", "dimensions": ["g"],
+        "aggregations": [{"type": "hyperUnique", "name": "uniq",
+                          "fieldName": "u", "legacy": True}],
+    }, r).collect()
+    want = collector_of(f"u{i % 30}" for i in range(300)).estimate()
+    assert out[0]["uniq"] == want
+
+
+def test_native_timeseries_legacy_raises(spark, legacy_reg):
+    from apache_druid_spark.plans.compiler import compile_query
+
+    with pytest.raises(NotImplementedError, match="groupBy"):
+        compile_query({
+            "queryType": "timeseries", "dataSource": "legacy_seg",
+            "granularity": "all",
+            "aggregations": [{"type": "hyperUnique", "name": "u",
+                              "fieldName": "uniq_state",
+                              "legacy": True}],
+        }, legacy_reg).collect()
