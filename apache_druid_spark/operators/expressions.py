@@ -916,14 +916,16 @@ _FUNCTIONS: dict[str, Callable] = {
     # and the estimate is the exact set size. Honest divergences:
     # (1) estimates are EXACT where Druid's HLL carries ~2% error
     #     (UNIQUES_9 = 9.0198... vs our 9.0) — the suite pins approx;
-    # (2) these SCALAR spellings keep the exact-set state, but the
-    #     aggregator path no longer folds them: aggregations.py's
-    #     _hyper_unique_direct rewrites the hyper_unique() /
-    #     hyper_unique_add() fold to REAL DataSketches HLL state
-    #     (hll_sketch_agg, lgK=12 — ≤ 2 KB per group at any
-    #     cardinality, like the reference's ~1.5 KB collector), so
-    #     the unbounded set only arises in non-aggregate scalar use
-    #     (virtual columns over a handful of values per row);
+    # (2) these SCALAR spellings keep the exact-set state; the
+    #     aggregator path folds them only when the spec carries NO
+    #     estimate finalize (advisor r15 — the unfinalized collector
+    #     must stay representation-consistent with these spellings).
+    #     An estimate-finalized fold rewrites to REAL DataSketches
+    #     HLL state (aggregations.py _hyper_unique_direct:
+    #     hll_sketch_agg, lgK=12 — ≤ 2 KB per group at any
+    #     cardinality, like the reference's ~1.5 KB collector), and
+    #     the remaining exact-set uses are hard-capped at 65,536
+    #     distinct values with a loud error (see hyper_unique_add);
     # (3) a string and a number rendering to the same text collide
     #     ('16' vs 16L) where Druid hashes them apart — mixed-type
     #     adds to one collector are not a reference test surface.

@@ -135,17 +135,16 @@ def test_dead_windows_removed():
                  "_R09_WINDOW", "_R11_NEXT", "_R12_NEXT"):
         assert not hasattr(e, dead)
     # live rotation state is well-formed: window is exactly 50 known
-    # queries, disjoint from the next-up list (r14 names; the r12/r13
-    # windows stay live — they order the freshest-evidence groups at
-    # the back, and _R13_NEXT is consumed INTO the r14 window)
+    # queries (r15 names; earlier windows stay live — they order the
+    # freshest-evidence groups at the back, and _R14_NEXT is consumed
+    # INTO the r15 window)
     qs = set(e.queries())
-    assert len(e._R14_WINDOW) == 50
-    assert set(e._R14_WINDOW) <= qs
-    assert set(e._R14_NEXT) <= qs
-    assert not set(e._R14_WINDOW) & set(e._R14_NEXT)
+    assert len(e._R15_WINDOW) == 50
+    assert set(e._R15_WINDOW) <= qs
+    assert set(e._R14_NEXT) <= set(e._R15_WINDOW)
     assert set(e._R13_NEXT) <= set(e._R14_WINDOW)
     # the window fronts the driver's 50-entry correctness pass
-    assert list(e.queries())[:50] == list(e._R14_WINDOW)
+    assert list(e.queries())[:50] == list(e._R15_WINDOW)
 
 
 # -- round-12 scale item: registry-backed extent for published
