@@ -2073,6 +2073,52 @@ def _legacy_hllc_requery(spark, sf_dir):
             .orderBy("event_type"))
 
 
+@_q("legacy_hllc_native_groupby", """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS hllc_within_7pct
+FROM events GROUP BY 1 ORDER BY 1
+""")
+def _legacy_hllc_native_groupby(spark, sf_dir):
+    """The NATIVE query path over legacy hyperUnique state (r15;
+    plans/compiler.py compile_groupby): a JSON groupBy with
+    {"type": "hyperUnique", "legacy": true} on a stored
+    HyperLogLogCollector column reroutes that aggregator through the
+    Arrow HLLC fold (ingest/hllc.py hllc_rollup — map-side partial
+    pre-fold) and joins the estimate back on the grouping keys, so a
+    user's existing native query runs unchanged against a real Druid
+    segment's COMPLEX column. Same ±7% (~3 sigma) tolerance gate as
+    legacy_hllc_requery, estimate excluded from the hash."""
+    from apache_druid_spark.ingest.hllc import hllc_rollup
+
+    events = _registry(spark, sf_dir).table("events")
+    legacy_seg = hllc_rollup(
+        events.withColumn(
+            "__bucket",
+            F.pmod(F.crc32(F.col("user_id").cast("string")
+                           .cast("binary")), F.lit(8))),
+        ["event_type", "__bucket"], "user_id",
+        mode="values", out_col="uniq_state") \
+        .withColumn("__time",
+                    F.lit("2001-01-01 00:00:00").cast("timestamp"))
+    r2 = DatasourceRegistry(spark)
+    r2.register("events_legacy_seg", legacy_seg)
+    native = compile_query({
+        "queryType": "groupBy", "dataSource": "events_legacy_seg",
+        "granularity": "all", "dimensions": ["event_type"],
+        "aggregations": [{"type": "hyperUnique", "name": "hllc_est",
+                          "fieldName": "uniq_state", "legacy": True}],
+    }, r2)
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users"))
+    return (exact.join(native, "event_type")
+            .select("event_type", "exact_users",
+                    (F.abs(F.col("hllc_est") - F.col("exact_users"))
+                     <= 0.07 * F.col("exact_users"))
+                    .alias("hllc_within_7pct"))
+            .orderBy("event_type"))
+
+
 @_q("sql_frozen_current_timestamp", """
 SELECT o_orderpriority,
        COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS total
@@ -5591,22 +5637,24 @@ _R14_WINDOW = (
 # front the r15 rotation
 _R14_NEXT = tuple(n for n in _R11_WINDOW if n not in _R14_WINDOW)
 
-# Round-15 gate window (VERDICT r14 task #3): the 2 new r15 entries
-# (the ingest-materialized ANN layout and the legacy-HLLC migration
-# path — never driver-checked, verify first), then ALL 44 r11-evidence
-# leftovers (_R14_NEXT — after this window no registry evidence
-# predates r12), then 4 r13/r14-evidence entries re-gated because the
-# r15 code churn runs through them: the dot/norm helpers were
-# rewritten to single-F.expr HOF folds (similarity_cosine_topk,
-# dedup_embedding_cosine, semantic_dedup_embeddings) and the PQ encode
-# paths changed NULL/ragged handling (similarity_pq_adc). The
-# hyper_unique finalize re-gate is suite-pinned
-# (tests/test_advice_r15.py) and rotates next round.
+# Round-15 gate window (VERDICT r14 task #3): the 3 new r15 entries
+# (the ingest-materialized ANN layout, the legacy-HLLC migration path,
+# and the native legacy-groupBy route — never driver-checked, verify
+# first), then ALL 44 r11-evidence leftovers (_R14_NEXT — after this
+# window no registry evidence predates r12), then 3 r13/r14-evidence
+# entries re-gated because the r15 code churn runs through them: the
+# dot/norm helpers were rewritten to single-F.expr HOF folds
+# (similarity_cosine_topk, dedup_embedding_cosine) and the PQ encode
+# paths changed NULL/ragged handling (similarity_pq_adc).
+# semantic_dedup_embeddings (same churn, r14 evidence x2, locally
+# re-oracled green this round) and the hyper_unique finalize re-gate
+# (suite-pinned in tests/test_advice_r15.py) rotate next round.
 _R15_WINDOW = (
     'similarity_materialized_ann', 'legacy_hllc_requery',
+    'legacy_hllc_native_groupby',
 ) + _R14_NEXT + (
     'similarity_cosine_topk', 'dedup_embedding_cosine',
-    'semantic_dedup_embeddings', 'similarity_pq_adc',
+    'similarity_pq_adc',
 )
 # _R14_NEXT and the churn tail overlap on similarity_cosine_topk /
 # dedup_embedding_cosine if a future edit moves them — dedupe keeps
