@@ -245,16 +245,14 @@ class HllcCollector:
     def _decrement_buckets(self) -> None:
         """decrementBuckets: subtract 1 from every nibble (byte-wise
         0x11, with the reference's byte-arithmetic wraparound) and
-        recount non-zero nibbles."""
-        count = 0
-        for i in range(NUM_BYTES_FOR_BUCKETS):
-            val = (self.regs[i] - 0x11) & 0xFF
-            if val & 0xF0:
-                count += 1
-            if val & 0x0F:
-                count += 1
-            self.regs[i] = val
-        self.num_non_zero = count
+        recount non-zero nibbles. Integer-exact numpy."""
+        import numpy as np
+
+        val = (np.frombuffer(bytes(self.regs), np.uint8).astype(np.int16)
+               - 0x11) & 0xFF
+        self.num_non_zero = int(((val & 0xF0) != 0).sum()
+                                + ((val & 0x0F) != 0).sum())
+        self.regs = bytearray(val.astype(np.uint8).tobytes())
 
     def add(self, bucket: int, position_of_1: int) -> None:
         """add(short, byte): clamp into the 4-bit window above the
@@ -321,22 +319,26 @@ class HllcCollector:
             self.max_overflow_register = other.max_overflow_register
             other = mine
         offset_diff = self.offset - other.offset
-        for pos in range(NUM_BYTES_FOR_BUCKETS):
-            byte_to_add = other.regs[pos]
-            if byte_to_add == 0:
-                continue
-            curr = self.regs[pos]
-            upper, lower = curr & 0xF0, curr & 0x0F
-            other_upper = (byte_to_add & 0xF0) \
-                - (offset_diff << BITS_PER_BUCKET)
-            other_lower = (byte_to_add & 0x0F) - offset_diff
-            new_upper = max(upper, other_upper)
-            new_lower = max(lower, other_lower)
-            self.regs[pos] = (new_upper | new_lower) & 0xFF
-            if upper == 0 and new_upper > 0:
-                self.num_non_zero += 1
-            if lower == 0 and new_lower > 0:
-                self.num_non_zero += 1
+        # numpy vectorization of mergeAndStoreByteRegister over the
+        # 1024 payload bytes — statement-for-statement the reference
+        # loop (zero other-bytes skipped, nibble-wise signed max after
+        # offset alignment), all INTEGER ops so results are exact;
+        # ~100x the Python byte loop, which is what bounds migration
+        # throughput when a task folds a partition's worth of blobs
+        import numpy as np
+
+        o = np.frombuffer(bytes(other.regs), np.uint8).astype(np.int16)
+        c = np.frombuffer(bytes(self.regs), np.uint8).astype(np.int16)
+        cu, cl = c & 0xF0, c & 0x0F
+        ou = (o & 0xF0) - (offset_diff << BITS_PER_BUCKET)
+        ol = (o & 0x0F) - offset_diff
+        nz = o != 0
+        nu = np.where(nz, np.maximum(cu, ou), cu)
+        nl = np.where(nz, np.maximum(cl, ol), cl)
+        self.num_non_zero += int(((cu == 0) & (nu > 0) & nz).sum()
+                                 + ((cl == 0) & (nl > 0) & nz).sum())
+        self.regs = bytearray(
+            ((nu | nl) & 0xFF).astype(np.uint8).tobytes())
         if self.num_non_zero == NUM_BUCKETS:
             self.offset += 1
             self._decrement_buckets()
