@@ -427,3 +427,52 @@ def test_native_timeseries_legacy_raises(spark, legacy_reg):
                               "fieldName": "uniq_state",
                               "legacy": True}],
         }, legacy_reg).collect()
+
+
+# -- vectorized batch paths ---------------------------------------------------
+
+
+def test_murmur3_batch_identity():
+    rnd = random.Random(7)
+    from apache_druid_spark.ingest.hllc import murmur3_x64_128_batch
+
+    cases = [bytes(rnd.randrange(256) for _ in range(rnd.randrange(0, 70)))
+             for _ in range(500)]
+    batch = murmur3_x64_128_batch(cases)
+    for i, c in enumerate(cases):
+        assert bytes(batch[i]) == murmur3_x64_128(c), (i, len(c))
+
+
+def test_add_values_batch_exact_below_overflow():
+    # no rho exceeds the window on this stream (P ~ n * 2^-15): the
+    # batch path must be byte-identical to value-at-a-time adds
+    vals = [f"user-{i}" for i in range(5000)]
+    seq = collector_of(vals)
+    batched = HllcCollector()
+    batched.add_values_batch(vals)
+    assert batched.to_bytes() == seq.to_bytes()
+    assert batched.estimate() == seq.estimate()
+
+
+def test_add_values_batch_deep_stream_within_tolerance():
+    """The 2M testEstimation stream crosses the overflow band, where
+    the reference's single overflow slot is ORDER-SENSITIVE (an early
+    above-window rho is dropped if a bigger one lands before the
+    offset rises) — the batch pre-reduction is a reordering, so pin a
+    tight tolerance instead of equality and assert the state is still
+    fully valid wire form."""
+    r = JavaRandom(0)
+    vals = [struct.pack("<Q", r.next_long()) for _ in range(200_000)]
+    seq = HllcCollector()
+    for v in vals:
+        seq.add_hash(murmur3_x64_128(v))
+    batched = HllcCollector()
+    for i in range(0, len(vals), 50_000):  # Arrow-batch-sized chunks
+        batched.add_values_batch(vals[i:i + 50_000])
+    assert abs(batched.estimate() - seq.estimate()) \
+        <= 0.005 * seq.estimate()
+    rt = HllcCollector.from_bytes(batched.to_bytes())
+    assert rt.to_bytes() == batched.to_bytes()
+    # and the states FOLD like any two valid collectors
+    seq.fold(batched)
+    assert seq.estimate() > 0
