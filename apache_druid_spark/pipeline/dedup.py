@@ -253,7 +253,7 @@ def embedding_cosine_pairs(df: DataFrame, dim: int,
         views.append(base.select(
             F.col(id_col), F.col(vec_col),
             F.lit(t).alias("__table"),
-            lsh_bucket(F.col(vec_col), planes).alias("__bucket")))
+            lsh_bucket(f"`{vec_col}`", planes).alias("__bucket")))
     blocked = reduce(lambda x, y: x.unionAll(y), views)
     # The bucketed union feeds the oversized-cell aggregate AND (via
     # the anti join) both self-join sides; persist it so the

@@ -137,7 +137,7 @@ def semantic_dedup(df: DataFrame, dim: int, n_cells: int = 16,
         centroids = ivf_centroids(n_cells, dim)
     assigned = base.select(
         F.col(id_col), F.col(vec_col),
-        ivf_assign(F.col(vec_col), centroids).alias("__cell"))
+        ivf_assign(f"`{vec_col}`", centroids).alias("__cell"))
     # one scan: cell argmax + norm; persisted because it feeds the cap
     # aggregate and both self-join sides (ingest-materialized at 100 TB)
     cells = assigned.select(

@@ -51,11 +51,20 @@ def _dot_literal(vec_sql: str, query: list[float]):
 
     ``vec_sql`` is a SQL fragment naming the vector (e.g. "embedding"
     or "a.embedding"), not a Column."""
+    return F.expr(_dot_literal_sql(vec_sql, query))
+
+
+def _dot_literal_sql(vec_sql: str, query: list[float]) -> str:
+    """The _dot_literal fold as a SQL FRAGMENT — the building block
+    for the multi-dot constructors (ivf_assign, lsh_bucket, pq_encode)
+    so they too compose ONE parse-once string instead of thousands of
+    Column-API py4j calls (measured r15: ivf_assign cost 1.0 s,
+    pq_encode 4.1 s of pure driver construction PER QUERY in the
+    Column form)."""
     arr = "array(" + ", ".join(_lit_d(x) for x in query) + ")"
-    return F.expr(
-        f"aggregate(zip_with({vec_sql}, {arr}, "
-        f"(a, x) -> CAST(a AS DOUBLE) * x), 0.0D, "
-        f"(acc, x) -> acc + x)")
+    return (f"aggregate(zip_with({vec_sql}, {arr}, "
+            f"(a, x) -> CAST(a AS DOUBLE) * x), 0.0D, "
+            f"(acc, x) -> acc + x)")
 
 
 def _dot_literal_hof(vec_col, query: list[float]):
@@ -143,16 +152,17 @@ def hyperplanes(bits: int, dim: int, seed: str = "") -> list[list[float]]:
     return planes
 
 
-def lsh_bucket(vec_col, planes: list[list[float]]):
-    """Sign-bit bucket id (long) for a vector column. HOF dots: bits
-    x dim unrolled terms in ONE expression breach the janino method
-    limit (see _dot_literal_hof)."""
-    bucket = None
-    for i, p in enumerate(planes):
-        bit = F.when(_dot_literal_hof(vec_col, p) > 0,
-                     F.lit(2 ** i)).otherwise(F.lit(0)).cast("long")
-        bucket = bit if bucket is None else (bucket + bit)
-    return bucket
+def lsh_bucket(vec_sql: str, planes: list[list[float]]):
+    """Sign-bit bucket id (long) for a vector column (pass a SQL
+    fragment, e.g. "embedding"). HOF dots: bits x dim unrolled terms
+    in ONE expression breach the janino method limit (see
+    _dot_literal_hof); built as ONE expr string — the Column form cost
+    ~0.7 s of driver py4j per construction (r15 measurement)."""
+    bits = " + ".join(
+        f"(CASE WHEN ({_dot_literal_sql(vec_sql, p)}) > 0.0D "
+        f"THEN {2 ** i}L ELSE 0L END)"
+        for i, p in enumerate(planes))
+    return F.expr(f"CAST({bits} AS BIGINT)")
 
 
 def query_bucket(query: list[float], planes: list[list[float]]) -> int:
@@ -233,20 +243,24 @@ def ivf_fit(df: DataFrame, n_cells: int = 16, vec_col: str = "embedding",
     return [[round(float(x), 6) for x in c] for c in model.clusterCenters()]
 
 
-def ivf_assign(vec_col, centroids: list[list[float]]):
+def ivf_assign(vec_sql: str, centroids: list[list[float]]):
     """Cell id = argmax over centroids of dot(vec, c)/||c||, computed
     as array_max over (score, cell) structs — ties break to the
     highest cell id, mirrored by the oracle's ORDER BY score DESC,
-    cell DESC."""
+    cell DESC. ``vec_sql`` is a SQL fragment; the whole cells x dim
+    expression is ONE parsed string (the Column form cost ~1.0 s of
+    driver py4j per construction — r15 measurement)."""
     import math
 
     scored = []
     for i, c in enumerate(centroids):
         nrm = math.sqrt(sum(x * x for x in c)) or 1.0
-        scored.append(F.struct(
-            (_dot_literal_hof(vec_col, c) / F.lit(nrm)).alias("score"),
-            F.lit(i).alias("cell")))
-    return F.array_max(F.array(*scored)).getField("cell")
+        scored.append(
+            f"named_struct('score', "
+            f"({_dot_literal_sql(vec_sql, c)}) / {_lit_d(nrm)}, "
+            f"'cell', {i})")
+    return F.expr(
+        f"array_max(array({', '.join(scored)})).cell")
 
 
 def ivf_probe_cells(query: list[float], centroids: list[list[float]],
@@ -283,7 +297,8 @@ def ivf_topk(df: DataFrame, query: list[float], k: int = 10,
     if centroids is None:
         centroids = ivf_centroids(n_cells, len(query))
     probes = ivf_probe_cells(query, centroids, min(n_probe, len(centroids)))
-    with_cell = df.withColumn("__cell", ivf_assign(F.col(vec_col), centroids))
+    with_cell = df.withColumn("__cell",
+                              ivf_assign(f"`{vec_col}`", centroids))
     candidates = with_cell.filter(F.col("__cell").isin(probes))
     return _rank_topk(candidates, query, k, vec_col, id_col, round_to)
 
@@ -302,7 +317,8 @@ def lsh_bucket_topk(df: DataFrame, query: list[float], k: int = 10,
     df = parallelize_scan(df)
     planes = hyperplanes(bits, len(query))
     qb = query_bucket(query, planes)
-    with_bucket = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
+    with_bucket = df.withColumn("__bucket",
+                                lsh_bucket(f"`{vec_col}`", planes))
     candidates = with_bucket.filter(
         F.bit_count(F.col("__bucket").bitwiseXOR(F.lit(qb))) <= hamming_radius)
     return _rank_topk(candidates, query, k, vec_col, id_col, round_to)
@@ -380,7 +396,10 @@ def pq_encode(vec_col, codebooks: list[list[list[float]]]):
     """array<int> of m codes: per subspace, the L2-nearest centroid
     (ties break to the LOWEST code, matching any engine's stable
     argmin over (distance, code) ascending). One codegen projection —
-    m*ks small dot products, no shuffle, no Python.
+    m*ks small dot products, no shuffle, no Python; the whole
+    m x ks x dsub expression is ONE parsed string (the Column form
+    cost ~4.1 s of driver py4j per construction — r15 measurement).
+    ``vec_col`` is a SQL fragment (e.g. "embedding").
 
     A NULL or mis-dimensioned vector yields NULL codes (advisor r15:
     the struct-min used to resolve a NULL distance to code 0 — a
@@ -390,20 +409,22 @@ def pq_encode(vec_col, codebooks: list[list[list[float]]]):
     dim = dsub * len(codebooks)
     codes = []
     for j, book in enumerate(codebooks):
-        sub = F.slice(vec_col, j * dsub + 1, dsub)
+        sub = f"slice({vec_col}, {j * dsub + 1}, {dsub})"
         scored = []
         for ci, c in enumerate(book):
             # HOF fold: m x ks x dsub unrolled terms breach the janino
             # method limit in one codegen method (see _dot_literal_hof)
-            d = F.aggregate(
-                F.zip_with(sub, F.array(*[F.lit(float(x)) for x in c]),
-                           lambda a, b: (a.cast("double") - b)
-                           * (a.cast("double") - b)),
-                F.lit(0.0), lambda acc, x: acc + x)
-            scored.append(F.struct(d.alias("d"), F.lit(ci).alias("c")))
-        codes.append(F.array_min(F.array(*scored)).getField("c"))
-    return F.when(F.size(vec_col) == dim, F.array(*codes)) \
-        .otherwise(F.lit(None).cast("array<int>"))
+            arr = "array(" + ", ".join(_lit_d(x) for x in c) + ")"
+            d = (f"aggregate(zip_with({sub}, {arr}, "
+                 f"(a, b) -> (CAST(a AS DOUBLE) - b) "
+                 f"* (CAST(a AS DOUBLE) - b)), 0.0D, "
+                 f"(acc, x) -> acc + x)")
+            scored.append(f"named_struct('d', {d}, 'c', {ci})")
+        codes.append(f"array_min(array({', '.join(scored)})).c")
+    return F.expr(
+        f"CASE WHEN size({vec_col}) = {dim} "
+        f"THEN array({', '.join(codes)}) "
+        f"ELSE CAST(NULL AS ARRAY<INT>) END")
 
 
 def _pq_tables(query: list[float],
@@ -527,7 +548,7 @@ def pq_topk(df: DataFrame, query: list[float], k: int = 10,
     elif encode == "numpy":
         staged = _pq_encode_numpy(df, vec_col, id_col, codebooks)
     else:
-        codes = pq_encode(F.col(vec_col), codebooks)
+        codes = pq_encode(f"`{vec_col}`", codebooks)
         staged = df.select(F.col(id_col), F.col(vec_col),
                            codes.alias("__codes"))
     score = (_table_lookup(F.col("__codes"), ipt)
@@ -589,9 +610,9 @@ def ann_materialize(df: DataFrame, n_cells: int = 16, m: int = 8,
     else:
         staged = df.select(
             F.col(id_col), F.col(vec_col),
-            pq_encode(F.col(vec_col), codebooks).alias(codes_col))
+            pq_encode(f"`{vec_col}`", codebooks).alias(codes_col))
     out = staged.withColumn(cell_col,
-                            ivf_assign(F.col(vec_col), centroids))
+                            ivf_assign(f"`{vec_col}`", centroids))
     if not keep_vec:
         out = out.drop(vec_col)
     return out
@@ -636,7 +657,7 @@ def ivfpq_topk(df: DataFrame, query: list[float], k: int = 10,
             .drop(cell_col)
     else:
         with_cell = df.withColumn("__cell",
-                                  ivf_assign(F.col(vec_col), centroids))
+                                  ivf_assign(f"`{vec_col}`", centroids))
         candidates = with_cell.filter(F.col("__cell").isin(probes)) \
             .drop("__cell")
     return pq_topk(candidates, query, k=k, m=m, ks=ks, rerank=rerank,

@@ -137,7 +137,7 @@ def test_pq_encode_expression_nulls_dirty_rows(spark):
     books = pq_codebooks(2, 4, 8)
     df = spark.createDataFrame(_DIRTY, "vec_id int, embedding array<double>")
     rows = {r["vec_id"]: r["codes"] for r in df.select(
-        "vec_id", pq_encode(F.col("embedding"), books).alias("codes"))
+        "vec_id", pq_encode("embedding", books).alias("codes"))
         .collect()}
     assert rows[2] is None and rows[3] is None and rows[4] is None
     assert rows[1] is not None and rows[5] is not None
@@ -147,7 +147,7 @@ def test_pq_encode_numpy_survives_and_matches_expression(spark):
     books = pq_codebooks(2, 4, 8)
     df = spark.createDataFrame(_DIRTY, "vec_id int, embedding array<double>")
     expr = {r["vec_id"]: r["codes"] for r in df.select(
-        "vec_id", pq_encode(F.col("embedding"), books).alias("codes"))
+        "vec_id", pq_encode("embedding", books).alias("codes"))
         .collect()}
     npy = {r["vec_id"]: r["__codes"] for r in
            _pq_encode_numpy(df, "embedding", "vec_id", books).collect()}

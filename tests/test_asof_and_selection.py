@@ -127,7 +127,7 @@ def test_assign_cells_matches_literal_ivf_assign(spark, registry):
     emb = registry.table("embeddings")
     cents = ivf_centroids(8, 64)
     lit = emb.select("vec_id",
-                     ivf_assign(F.col("embedding"), cents).alias("cell"))
+                     ivf_assign("embedding", cents).alias("cell"))
     cdf = spark.createDataFrame(
         [(i, c) for i, c in enumerate(cents)],
         "cell: int, centroid: array<double>")

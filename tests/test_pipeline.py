@@ -232,7 +232,7 @@ def test_ivf_fit_centroids_roundtrip(emb):
     assert [(r["vec_id"], r["cosine"]) for r in got] == \
            [(r["vec_id"], r["cosine"]) for r in exact]
 
-    n_cells_used = (emb.select(ivf_assign(F.col("embedding"), cents)
+    n_cells_used = (emb.select(ivf_assign("embedding", cents)
                                .alias("c")).distinct().count())
     assert n_cells_used >= 4  # KMeans spread the data across cells
 
@@ -246,12 +246,12 @@ def test_pq_encode_shape_and_bounds(emb):
     from apache_druid_spark.pipeline import pq_codebooks, pq_encode
 
     books = pq_codebooks(m=8, ks=16, dim=64)
-    codes = emb.select(pq_encode(F.col("embedding"), books)
+    codes = emb.select(pq_encode("embedding", books)
                        .alias("c")).collect()
     assert all(len(r["c"]) == 8 for r in codes)
     assert all(0 <= v < 16 for r in codes for v in r["c"])
     # deterministic: same codebooks, same codes
-    again = emb.select(pq_encode(F.col("embedding"), books)
+    again = emb.select(pq_encode("embedding", books)
                        .alias("c")).collect()
     assert [r["c"] for r in codes] == [r["c"] for r in again]
 
@@ -828,7 +828,7 @@ def test_pq_topk_precomputed_codes_col(emb, tmp_path):
     books = pq_codebooks(m=8, ks=16, dim=64)
     path = str(tmp_path / "emb_pq")
     emb.withColumn("pq_codes",
-                   pq_encode(F.col("embedding"), books)) \
+                   pq_encode("embedding", books)) \
        .write.mode("overwrite").parquet(path)
     stored = emb.sparkSession.read.parquet(path)
 
