@@ -441,14 +441,16 @@ def _pq_tables(query: list[float],
     return ipt, nt
 
 
-def _table_lookup(codes_col, table: list[list[float]]):
+def _table_lookup(codes_sql: str, table: list[list[float]]):
     """sum over subspaces of table[j][code_j] — unrolled element_at
-    lookups into per-subspace literal rows (1-based), codegen-side."""
-    out = F.lit(0.0)
-    for j, row in enumerate(table):
-        lit_row = F.array(*[F.lit(float(x)) for x in row])
-        out = out + F.element_at(lit_row, F.get(codes_col, j) + 1)
-    return out
+    lookups into per-subspace literal rows (1-based), codegen-side.
+    One parsed string (~300 Column calls for the two ADC tables
+    otherwise; same py4j-tax rule as _dot_literal_sql)."""
+    terms = " + ".join(
+        f"element_at(array({', '.join(_lit_d(x) for x in row)}), "
+        f"get({codes_sql}, {j}) + 1)"
+        for j, row in enumerate(table))
+    return F.expr(f"0.0D + {terms}")
 
 
 def _pq_encode_numpy(df: DataFrame, vec_col: str, id_col: str,
@@ -551,8 +553,8 @@ def pq_topk(df: DataFrame, query: list[float], k: int = 10,
         codes = pq_encode(f"`{vec_col}`", codebooks)
         staged = df.select(F.col(id_col), F.col(vec_col),
                            codes.alias("__codes"))
-    score = (_table_lookup(F.col("__codes"), ipt)
-             / (F.sqrt(F.greatest(_table_lookup(F.col("__codes"), nt),
+    score = (_table_lookup("__codes", ipt)
+             / (F.sqrt(F.greatest(_table_lookup("__codes", nt),
                                   F.lit(1e-12))) * F.lit(qnorm)))
     if rerank is not None:
         cand = (staged.select(id_col, vec_col, score.alias("__adc"))
