@@ -2119,6 +2119,71 @@ def _legacy_hllc_native_groupby(spark, sf_dir):
             .orderBy("event_type"))
 
 
+@_q("legacy_hllc_subtotals", """
+WITH e AS (SELECT event_type,
+                  CASE WHEN value >= 100 THEN 'high' ELSE 'low' END
+                      AS value_band,
+                  user_id FROM events)
+SELECT event_type, value_band,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS hllc_within_7pct
+FROM e GROUP BY GROUPING SETS ((event_type), (value_band), ())
+ORDER BY event_type NULLS FIRST, value_band NULLS FIRST
+""")
+def _legacy_hllc_subtotals(spark, sf_dir):
+    """subtotalsSpec over LEGACY hyperUnique state (r16; VERDICT r15
+    task #4 — the lifted compile_groupby guard): a native groupBy with
+    {"type": "hyperUnique", "legacy": true} AND a subtotalsSpec runs
+    the Column aggregation and the Arrow HLLC fold per subtotal set
+    over ONE persisted scan of the base (plans/compiler.py
+    _join_legacy_folds — eqNullSafe join-back so null-dimension groups
+    survive), null-pads absent dims, and unions in spec order —
+    GroupByQuery.java:117 semantics. The estimate is tolerance-gated
+    at ±7% (~3 sigma of 1.04/sqrt(2048)) per SET (each set re-folds
+    the same 2048-bucket state, so the error is per-row independent)
+    and kept out of the hash like the other legacy entries."""
+    from apache_druid_spark.ingest.hllc import hllc_rollup
+
+    events = _registry(spark, sf_dir).table("events").withColumn(
+        "value_band", F.when(F.col("value") >= 100, "high")
+        .otherwise("low"))
+    legacy_seg = hllc_rollup(
+        events.withColumn(
+            "__bucket",
+            F.pmod(F.crc32(F.col("user_id").cast("string")
+                           .cast("binary")), F.lit(8))),
+        ["event_type", "value_band", "__bucket"], "user_id",
+        mode="values", out_col="uniq_state") \
+        .withColumn("__time",
+                    F.lit("2001-01-01 00:00:00").cast("timestamp"))
+    r2 = DatasourceRegistry(spark)
+    r2.register("events_legacy_sub", legacy_seg)
+    native = compile_query({
+        "queryType": "groupBy", "dataSource": "events_legacy_sub",
+        "granularity": "all",
+        "dimensions": ["event_type", "value_band"],
+        "subtotalsSpec": [["event_type"], ["value_band"], []],
+        "aggregations": [{"type": "hyperUnique", "name": "hllc_est",
+                          "fieldName": "uniq_state", "legacy": True}],
+    }, r2)
+    exact = events.groupingSets(
+        [[F.col("event_type")], [F.col("value_band")], []],
+        F.col("event_type"), F.col("value_band")).agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users"))
+    joined = exact.join(
+        native,
+        exact["event_type"].eqNullSafe(native["event_type"])
+        & exact["value_band"].eqNullSafe(native["value_band"]))
+    return (joined
+            .select(exact["event_type"], exact["value_band"],
+                    "exact_users",
+                    (F.abs(F.col("hllc_est") - F.col("exact_users"))
+                     <= 0.07 * F.col("exact_users"))
+                    .alias("hllc_within_7pct"))
+            .orderBy(F.col("event_type").asc_nulls_first(),
+                     F.col("value_band").asc_nulls_first()))
+
+
 @_q("sql_frozen_current_timestamp", """
 SELECT o_orderpriority,
        COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS total

@@ -293,11 +293,24 @@ class HllcCollector:
             c.regs[:] = payload
         else:  # sparse: (big-endian short position, byte) triples;
             # positions are PAYLOAD byte indexes + header offset
-            # (toByteBuffer stores i + startPosition)
-            for i in range(0, len(payload), 3):
+            # (toByteBuffer stores i + startPosition). The reference
+            # sizes the payload as numNonZeroRegisters*3 (NIBBLE count)
+            # but writes one triple per non-zero BYTE, so a byte with
+            # both nibbles set leaves a trailing all-zero padding
+            # triple — skip zero-byte triples (mirroring
+            # mergeAndStoreByteRegister's byteToAdd==0 early return)
+            # and bounds-check decoded positions.
+            for i in range(0, len(payload) - 2, 3):
+                reg = payload[i + 2]
+                if reg == 0:
+                    continue
                 pos = struct.unpack_from(">h", payload, i)[0] \
                     - HEADER_NUM_BYTES
-                c.regs[pos] = payload[i + 2]
+                if not 0 <= pos < NUM_BYTES_FOR_BUCKETS:
+                    raise ValueError(
+                        f"corrupt sparse HLLC blob: register position "
+                        f"{pos + HEADER_NUM_BYTES} out of range")
+                c.regs[pos] = reg
         return c
 
     def to_bytes(self) -> bytes:
@@ -307,10 +320,19 @@ class HllcCollector:
             ">BBhBh", VERSION, self.offset, self.num_non_zero,
             self.max_overflow_value, self.max_overflow_register)
         if self.num_non_zero < DENSE_THRESHOLD:
+            # the reference allocates numNonZeroRegisters*3 payload
+            # bytes (NIBBLE count) but writes one triple per non-zero
+            # BYTE; bytes with both nibbles set therefore leave
+            # trailing all-zero padding triples — reproduce that
+            # byte-for-byte (toByteBuffer, HyperLogLogCollector.java:477)
             out = bytearray(header)
+            out += bytes(self.num_non_zero * 3)
+            w = HEADER_NUM_BYTES
             for i, b in enumerate(self.regs):
                 if b != 0:
-                    out += struct.pack(">hB", i + HEADER_NUM_BYTES, b)
+                    struct.pack_into(">hB", out, w,
+                                     i + HEADER_NUM_BYTES, b)
+                    w += 3
             return bytes(out)
         return header + bytes(self.regs)
 

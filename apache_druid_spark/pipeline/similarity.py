@@ -24,8 +24,20 @@ from apache_druid_spark.pipeline._util import parallelize_scan
 
 def _lit_d(x: float) -> str:
     """SQL double literal — repr round-trips the exact IEEE value and
-    the parser accepts both plain and exponent forms with a D suffix."""
-    return repr(float(x)) + "D"
+    the parser accepts both plain and exponent forms with a D suffix.
+    Non-finite components (NaN/inf from NaN-poisoned training vectors)
+    would render as unparseable 'nanD'/'infD' — fail loudly here
+    instead of at SQL parse time (r15 advice)."""
+    import math
+
+    x = float(x)
+    if not math.isfinite(x):
+        raise ValueError(
+            f"non-finite vector component {x!r}: clean NaN/inf values "
+            "out of the embedding column (or the KMeans training "
+            "sample) before fitting/querying — a codebook or query "
+            "vector with NaN produces meaningless distances")
+    return repr(x) + "D"
 
 
 def _dot_literal(vec_sql: str, query: list[float]):

@@ -1104,10 +1104,6 @@ def compile_groupby(q: dict, registry: DatasourceRegistry,
                     if isinstance(s, dict) and s.get("type") == "hyperUnique"
                     and s.get("legacy")]
     if legacy_specs:
-        if q.get("subtotalsSpec"):
-            raise NotImplementedError(
-                "legacy hyperUnique aggregators with subtotalsSpec are "
-                "unsupported — run one groupBy per subtotal set")
         q = {**q, "aggregations": [
             s for s in q["aggregations"]
             if not (isinstance(s, dict) and s.get("type") == "hyperUnique"
@@ -1135,21 +1131,59 @@ def compile_groupby(q: dict, registry: DatasourceRegistry,
                                        _tz_of(q)))
         group_names = ["__bucket"] + group_names
 
+    if legacy_specs:
+        # single scan of the base for the legacy path: the Column
+        # aggregation AND every Arrow HLLC fold read one persisted
+        # input instead of re-scanning the source per subtree (the two
+        # subtrees have different agg lists, so exchange reuse can't
+        # collapse them). MEMORY_AND_DISK keeps the 100 TB shape
+        # honest: one scan + local re-reads beats N remote scans.
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def _join_legacy_folds(out_df, keys):
+        """Join each legacy hyperUnique's Arrow fold back onto the
+        Column-aggregated rows. eqNullSafe per key: Druid returns
+        null-dimension groups, and a plain equi-join would silently
+        drop them (r15 advice)."""
+        from apache_druid_spark.ingest.hllc import hllc_rollup
+
+        for spec in legacy_specs:
+            field = spec["fieldName"]
+            mode = ("blobs" if isinstance(df.schema[field].dataType,
+                                          T.BinaryType) else "values")
+            folded = hllc_rollup(
+                df.select(*keys, field), list(keys), field,
+                mode=mode, out_col=spec["name"], finalize=finalize)
+            if keys:
+                cond = None
+                for k in keys:
+                    c = out_df[k].eqNullSafe(folded[k])
+                    cond = c if cond is None else (cond & c)
+                out_df = out_df.join(folded, cond)
+                for k in keys:
+                    out_df = out_df.drop(folded[k])
+            else:  # grand-total query: both sides are one row
+                out_df = out_df.crossJoin(folded)
+        return out_df
+
     subtotals = q.get("subtotalsSpec")
     if subtotals:
         sets = [[*(["__bucket"] if bucket is not None else []), *s]
                 for s in subtotals]
-        try:
-            grouped = df.groupingSets(
-                [[fcol(c) for c in s] for s in sets],
-                *[fcol(c) for c in group_names])
-            out = grouped.agg(*aggs)
-        except Exception:
-            # fallback: union of per-set groupBys (null-padded)
+        if legacy_specs:
+            # reference semantics (GroupByQuery.java:117): one result
+            # block per subtotal set — run the Column agg AND the HLLC
+            # fold per set over the shared persisted input, join
+            # null-safely WITHIN each set (a cross-set join would
+            # conflate a set's absent column with a real NULL value),
+            # null-pad, and union in spec order.
             parts = []
             for s in sets:
                 missing = [c for c in group_names if c not in s]
                 p = df.groupBy(*[fcol(c) for c in s]).agg(*aggs)
+                p = _join_legacy_folds(p, list(s))
                 for mcol in missing:
                     p = p.withColumn(mcol, F.lit(None))
                 parts.append(p.select(*group_names,
@@ -1158,22 +1192,29 @@ def compile_groupby(q: dict, registry: DatasourceRegistry,
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
+        else:
+            try:
+                grouped = df.groupingSets(
+                    [[fcol(c) for c in s] for s in sets],
+                    *[fcol(c) for c in group_names])
+                out = grouped.agg(*aggs)
+            except Exception:
+                # fallback: union of per-set groupBys (null-padded)
+                parts = []
+                for s in sets:
+                    missing = [c for c in group_names if c not in s]
+                    p = df.groupBy(*[fcol(c) for c in s]).agg(*aggs)
+                    for mcol in missing:
+                        p = p.withColumn(mcol, F.lit(None))
+                    parts.append(p.select(*group_names,
+                                          *[a for a in p.columns
+                                            if a not in group_names]))
+                out = parts[0]
+                for p in parts[1:]:
+                    out = out.unionByName(p)
     else:
         out = df.groupBy(*[fcol(c) for c in group_names]).agg(*aggs)
-
-    for spec in legacy_specs:
-        from apache_druid_spark.ingest.hllc import hllc_rollup
-
-        field = spec["fieldName"]
-        mode = ("blobs" if isinstance(df.schema[field].dataType,
-                                      T.BinaryType) else "values")
-        folded = hllc_rollup(
-            df.select(*group_names, field), list(group_names), field,
-            mode=mode, out_col=spec["name"], finalize=finalize)
-        if group_names:
-            out = out.join(folded, list(group_names))
-        else:  # grand-total query: both sides are one row
-            out = out.crossJoin(folded)
+        out = _join_legacy_folds(out, list(group_names))
 
     if bucket is not None:
         out = out.withColumnRenamed("__bucket", TIME_COLUMN)

