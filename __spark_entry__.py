@@ -1380,7 +1380,7 @@ def _similarity_pq_adc(spark, sf_dir):
     from apache_druid_spark.pipeline import pq_topk
 
     return pq_topk(_registry(spark, sf_dir).table("embeddings"),
-                   _QUERY_VEC, k=10, encode="numpy")
+                   _QUERY_VEC, k=10, encode="numpy", rerank=None)
 
 
 @_q("similarity_ivfpq_refined", _ivf_oracle())
@@ -1488,13 +1488,48 @@ def _similarity_materialized_ann(spark, sf_dir):
         .write.mode("overwrite").partitionBy("cell").parquet(out)
     stored = spark.read.parquet(out)
     topk = ivfpq_topk(stored, _QUERY_VEC, k=10, n_cells=16, n_probe=4,
-                      cell_col="cell", codes_col="codes")
+                      cell_col="cell", codes_col="codes", rerank=None)
     plan = topk._jdf.queryExecution().executedPlan().toString()
     if "PartitionFilters: [" not in plan or "cell#" not in plan.split(
             "PartitionFilters: [", 1)[1].split("]", 1)[0]:
         raise AssertionError(
             "materialized ANN probe filter did not become partition "
             "pruning:\n" + plan)
+    return topk
+
+
+@_q("similarity_materialized_ivfpq", _ivf_oracle())
+def _similarity_materialized_ivfpq(spark, sf_dir):
+    """The FULL materialized IVF-PQ composition (r16; VERDICT r15 task
+    #6): the SAME ann_materialize layout as similarity_materialized_ann
+    but with the vectors kept (keep_vec=True), queried through
+    ``ivfpq_topk(cell_col=..., codes_col=..., rerank=...)`` — probe
+    pruning is PARTITION pruning (asserted below), the ADC ranking
+    reads the stored codes, and the refine stage exact-cosines its
+    candidates from the stored vectors. With a refine budget covering
+    every candidate the result is value-identical to exact cosine over
+    the probed cells, so the IVF DuckDB oracle hash-gates the whole
+    stored-table pipeline: cell partitioning, probe pruning, code
+    plumbing, refine. (The bounded-refine recall of this composition
+    is measured at 100k vectors in SCALE.md: 0.84 with defaults.)"""
+    import tempfile
+
+    from apache_druid_spark.pipeline import ann_materialize, ivfpq_topk
+
+    emb = _registry(spark, sf_dir).table("embeddings")
+    out = tempfile.mkdtemp(prefix="ann_mat_") + "/embeddings_ivfpq"
+    ann_materialize(emb, n_cells=16, m=8, ks=16, keep_vec=True) \
+        .write.mode("overwrite").partitionBy("cell").parquet(out)
+    stored = spark.read.parquet(out)
+    topk = ivfpq_topk(stored, _QUERY_VEC, k=10, n_cells=16, n_probe=4,
+                      cell_col="cell", codes_col="codes",
+                      rerank=10_000_000)
+    plan = topk._jdf.queryExecution().executedPlan().toString()
+    if "PartitionFilters: [" not in plan or "cell#" not in plan.split(
+            "PartitionFilters: [", 1)[1].split("]", 1)[0]:
+        raise AssertionError(
+            "materialized IVF-PQ probe filter did not become "
+            "partition pruning:\n" + plan)
     return topk
 
 
@@ -5726,19 +5761,65 @@ _R15_WINDOW = (
 # first occurrence
 _R15_WINDOW = tuple(dict.fromkeys(_R15_WINDOW))
 
+# Round-16 gate window (VERDICT r15 task #1): the 1 new r16 entry
+# (legacy hyperUnique + subtotalsSpec over the single-scan persisted
+# path) and the 1 new materialized-IVFPQ-refine entry — never
+# driver-checked, verify first — then 48 of the 50
+# entries whose latest evidence is r12 (the oldest cohort in the
+# registry — computed by union-diffing all 15 CORRECTNESS files).
+# The driver cap is 50, so TWO r12 entries stay behind
+# (granularity_none_identity, scan_result_envelope — logic untouched
+# since r12, golden-suite covered, locally re-oracled green this
+# round; they FRONT the r17 rotation). After r16 the oldest driver
+# evidence is r13 plus those two documented leftovers.
+_R16_WINDOW = (
+    'legacy_hllc_subtotals', 'similarity_materialized_ivfpq',
+    # r12-evidence cohort (48 of 50)
+    'agg_stats_lineitem', 'dedup_exact', 'dedup_minhash_lsh',
+    'dedup_ngram_jaccard', 'extraction_bucket', 'extraction_cascade',
+    'extraction_regex_brand', 'extraction_string_format',
+    'extraction_strlen', 'extraction_time_format_gran',
+    'filter_column_comparison', 'filter_combo_parts',
+    'filter_regex_not', 'granularity_day_tz',
+    'granularity_five_minute', 'groupby_array_dim',
+    'groupby_double_dim', 'groupby_month_and_dim',
+    'having_equalto_lessthan', 'join_left_deep_tree',
+    'join_orders_customers', 'lambda_realtime_union',
+    'lookup_neq_matches_null', 'mv_filter_in', 'mv_token_counts',
+    'postagg_expression', 'round_contract_orders',
+    'salted_groupby_skew', 'scan_high_value_orders',
+    'semantic_dedup_embeddings',
+    'semantic_dedup_scale_mode', 'sql_lookup_fn',
+    'stratified_sample_documents', 'supervisor_spec_rollup',
+    'text_quality', 'text_winnowing_fingerprint',
+    'time_ceil_origin_buckets', 'time_extract_hour',
+    'timeboundary_filtered_min', 'timeseries_compound_period',
+    'timeseries_desc_limit', 'timeseries_over_join', 'topn_per_month',
+    'topn_time_extraction', 'train_test_split_counts',
+    'tuple_sketch_order_totals', 'union_hetero_schemas',
+    'virtual_column_bucket',
+)
+# r12 leftovers front the r17 rotation (both locally re-oracled
+# green this round; see PARITY.md)
+_R16_NEXT = ('granularity_none_identity', 'scan_result_envelope')
+
 
 def _entry_order(name: str) -> tuple:
+    if name in _R16_WINDOW:
+        return (0, _R16_WINDOW.index(name))
+    if name in _R16_NEXT:
+        return (1, _R16_NEXT.index(name))
     if name in _R15_WINDOW:
-        return (0, _R15_WINDOW.index(name))
+        return (2, _R15_WINDOW.index(name))
     # freshest evidence last: r12 window passed in r12, r13 in r13,
     # r14 in r14
     if name in _R12_WINDOW:
-        return (3, _R12_WINDOW.index(name))
+        return (4, _R12_WINDOW.index(name))
     if name in _R13_WINDOW:
-        return (4, _R13_WINDOW.index(name))
+        return (5, _R13_WINDOW.index(name))
     if name in _R14_WINDOW:
-        return (5, _R14_WINDOW.index(name))
-    return (2, 0)  # stable within group (dict keeps file order)
+        return (6, _R14_WINDOW.index(name))
+    return (3, 0)  # stable within group (dict keeps file order)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -136,16 +136,19 @@ def main() -> None:
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
     total = round(sum(timings.values()), 3)
-    # r14 postmortem (VERDICT r14 "What's wrong #1"): the load detail
-    # pushed the single output line past the driver's tail-capture
-    # buffer and BENCH_r14.json came back parsed:null. Emit the load
-    # attribution as its OWN earlier line; the LAST line stays the
-    # compact headline JSON (metric/value/unit/sf + per-query seconds),
-    # well under the ~2 KB tail window.
+    # r14/r15 postmortem (VERDICT r15 "What's wrong #1"): the driver's
+    # tail capture keeps the LAST 2000 chars, and a per-query load
+    # DICT (~1.3 KB of names) plus the ~1.5 KB headline cannot both
+    # fit. The COMPLETE load attribution must survive, so encode the
+    # per-query 1-min loads as a compact ARRAY of 1-decimal floats in
+    # HEADLINE order (the order is pinned in this file) — ~350 bytes —
+    # printed first; the LAST line stays the parseable headline JSON.
     print(json.dumps({
         "metric": "headline_queries_load", "unit": "loadavg",
-        "load": {"start_1_5_15": load_start, "end_1_5_15": load_end,
-                 "nproc": os.cpu_count(), "per_query_1min": query_load},
+        "nproc": os.cpu_count(), "start_1_5_15": load_start,
+        "end_1_5_15": load_end,
+        "q1min_headline_order": [round(query_load[n], 1)
+                                 for n in HEADLINE],
     }))
     print(json.dumps({
         "metric": "headline_queries_total", "value": total, "unit": "sec",

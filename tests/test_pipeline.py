@@ -290,7 +290,7 @@ def test_pq_topk_adc_plan_no_join_single_takeordered(emb):
     no Exchange beyond the TakeOrdered reduce, no Python."""
     from apache_druid_spark.pipeline import pq_topk
 
-    df = pq_topk(emb, [1.0] * 64, k=5)
+    df = pq_topk(emb, [1.0] * 64, k=5, rerank=None)
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in opt
     phys = df._jdf.queryExecution().executedPlan().toString()
@@ -759,9 +759,10 @@ def test_pq_encode_modes_agree(emb):
 
     q = [0.1 * ((i % 7) - 3) for i in range(64)]
     a = [(r["vec_id"], r["adc_cosine"])
-         for r in pq_topk(emb, q, k=10).collect()]
+         for r in pq_topk(emb, q, k=10, rerank=None).collect()]
     b = [(r["vec_id"], r["adc_cosine"])
-         for r in pq_topk(emb, q, k=10, encode="numpy").collect()]
+         for r in pq_topk(emb, q, k=10, encode="numpy",
+                          rerank=None).collect()]
     assert a == b
 
 
@@ -779,10 +780,10 @@ def test_ivfpq_probe_all_equals_pq(emb):
 
     q = [0.1 * ((i % 5) - 2) for i in range(64)]
     a = [(r["vec_id"], r["adc_cosine"])
-         for r in pq_topk(emb, q, k=5).collect()]
+         for r in pq_topk(emb, q, k=5, rerank=None).collect()]
     b = [(r["vec_id"], r["adc_cosine"])
          for r in ivfpq_topk(emb, q, k=5, n_cells=8,
-                             n_probe=8).collect()]
+                             n_probe=8, rerank=None).collect()]
     assert a == b
 
 
@@ -795,8 +796,9 @@ def test_ivfpq_pruned_results_subset_of_pq(emb):
     q = [0.1 * ((i % 5) - 2) for i in range(64)]
     n = emb.count()
     full = {(r["vec_id"], r["adc_cosine"])
-            for r in pq_topk(emb, q, k=n).collect()}
-    pruned = ivfpq_topk(emb, q, k=5, n_cells=8, n_probe=2).collect()
+            for r in pq_topk(emb, q, k=n, rerank=None).collect()}
+    pruned = ivfpq_topk(emb, q, k=5, n_cells=8, n_probe=2,
+                        rerank=None).collect()
     assert 0 < len(pruned) <= 5
     assert all((r["vec_id"], r["adc_cosine"]) in full for r in pruned)
 
@@ -834,10 +836,10 @@ def test_pq_topk_precomputed_codes_col(emb, tmp_path):
 
     q = [0.1 * ((i % 7) - 3) for i in range(64)]
     on_the_fly = [(r["vec_id"], r["adc_cosine"])
-                  for r in pq_topk(emb, q, k=5,
+                  for r in pq_topk(emb, q, k=5, rerank=None,
                                    codebooks=books).collect()]
     from_codes = pq_topk(stored, q, k=5, codebooks=books,
-                         codes_col="pq_codes")
+                         codes_col="pq_codes", rerank=None)
     assert [(r["vec_id"], r["adc_cosine"])
             for r in from_codes.collect()] == on_the_fly
     plan = from_codes._jdf.queryExecution().executedPlan().toString()

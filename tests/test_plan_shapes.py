@@ -556,7 +556,8 @@ def test_materialized_ann_prunes_partitions_and_columns(reg, tmp_path):
     stored = spark.read.parquet(out)
     q = [0.1] * 64
     topk = ivfpq_topk(stored, q, k=5, n_cells=16, n_probe=4,
-                      cell_col="cell", codes_col="codes")
+                      cell_col="cell", codes_col="codes",
+                      rerank=None)
     plan = plan_of(topk)
     pf = plan.split("PartitionFilters: [", 1)
     assert len(pf) == 2, plan
