@@ -138,10 +138,175 @@ def recall_main(rows: int) -> int:
     return 0
 
 
+def salt_tokens(df, n: int, id_col: str, text_col: str = "text"):
+    """N-times amplification that keeps the near-duplicate RATE
+    constant (VERDICT r15 task #2): every token of replica r is
+    suffixed with r, so replicas share ZERO shingles — each replica
+    set is a fresh corpus with the same token statistics, and
+    pair-bound work (LSH buckets, posting lists, verify pairs) grows
+    LINEARLY with rows like a real crawl. The plain ``amplify``
+    clones text 100x identical, which grows true near-dup pairs
+    ~N^2 and measures output growth, not plan shape (the r13 10x
+    postmortem)."""
+    if n <= 1:
+        return df
+    out = df.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("__rep"))
+    return (out
+            .withColumn(id_col, F.col(id_col).cast("long")
+                        + F.col("__rep").cast("long") * F.lit(10 ** 9))
+            .withColumn(text_col, F.array_join(F.transform(
+                F.split(F.col(text_col), " "),
+                lambda w: F.concat(w, F.lit("§"),
+                                   F.col("__rep").cast("string"))), " "))
+            .drop("__rep"))
+
+
+def engine_main(n: int) -> int:
+    """VERDICT r15 task #2: the 100x smoke for the HEADLINE ENGINE
+    query shapes (timeseries / groupBy / scan / topN-style join) over
+    N-times-amplified TPC-H facts (dims stay fixed — broadcast sides
+    don't grow with the corpus), plus the scale-path pipeline ops the
+    verdict names (pq_topk numpy, ngram_jaccard, exact_dedup,
+    leakage_safe_split) over token-salted amplification. Prints one
+    JSON line with x1/xN seconds, ratio, and the 1-min load recorded
+    at each timed run (load attribution, same rationale as bench.py)."""
+    import os
+
+    from apache_druid_spark import DatasourceRegistry, get_spark
+    from apache_druid_spark.model.datasource import register_testdata
+    from apache_druid_spark.pipeline import (
+        dedup as dd, graph as gr, sampling as sp, similarity as sim,
+    )
+    from apache_druid_spark.plans.compiler import compile_query
+
+    sf_dir = "/root/testdata/sf0.1"
+    spark = get_spark("engine_scale_smoke")
+    base = DatasourceRegistry(spark)
+    register_testdata(base, sf_dir)
+    docs, emb = base.table("documents"), base.table("embeddings")
+
+    def reg_at(scale: int) -> DatasourceRegistry:
+        r = DatasourceRegistry(spark)
+        register_testdata(r, sf_dir)
+        if scale > 1:
+            r.register("lineitem",
+                       amplify(base.table("lineitem"), scale,
+                               "l_orderkey"), "l_shipdate")
+            r.register("orders",
+                       amplify(base.table("orders"), scale,
+                               "o_orderkey"), "o_orderdate")
+        return r
+
+    regs = {1: reg_at(1), n: reg_at(n)}
+
+    def q_timeseries(s):
+        return compile_query({
+            "queryType": "timeseries", "dataSource": "lineitem",
+            "granularity": "month",
+            "intervals": ["1000/3000"],
+            "aggregations": [
+                {"type": "doubleSum", "name": "revenue",
+                 "fieldName": "l_extendedprice"},
+                {"type": "count", "name": "cnt"}],
+        }, regs[s])
+
+    def q_groupby(s):
+        return compile_query({
+            "queryType": "groupBy", "dataSource": "lineitem",
+            "granularity": "all",
+            "dimensions": ["l_returnflag", "l_linestatus"],
+            "aggregations": [
+                {"type": "doubleSum", "name": "sum_qty",
+                 "fieldName": "l_quantity"},
+                {"type": "doubleSum", "name": "sum_price",
+                 "fieldName": "l_extendedprice"},
+                {"type": "count", "name": "cnt"}],
+        }, regs[s])
+
+    def q_scan(s):
+        return compile_query({
+            "queryType": "scan", "dataSource": "orders",
+            "columns": ["o_orderkey", "o_orderstatus", "o_totalprice"],
+            "filter": {"type": "bound", "dimension": "o_totalprice",
+                       "lower": "400000", "ordering": "numeric"},
+            "orderBy": [{"columnName": "o_orderkey",
+                         "order": "ascending"}],
+            "offset": 5, "limit": 50,
+        }, regs[s])
+
+    def q_join(s):
+        return compile_query({
+            "queryType": "groupBy",
+            "dataSource": {
+                "type": "join", "left": "orders", "right": "customer",
+                "rightPrefix": "j0.",
+                "condition": '"o_custkey" == "j0.c_custkey"',
+                "joinType": "INNER"},
+            "granularity": "all",
+            "dimensions": [{"type": "default",
+                            "dimension": "j0.c_mktsegment",
+                            "outputName": "mktsegment"}],
+            "aggregations": [
+                {"type": "doubleSum", "name": "revenue",
+                 "fieldName": "o_totalprice"},
+                {"type": "count", "name": "cnt"}],
+        }, regs[s])
+
+    def p_exact_dedup(s):
+        return dd.exact_dedup(salt_tokens(docs, s, "doc_id"))
+
+    def p_ngram_jaccard(s):
+        return dd.ngram_jaccard_pairs(
+            salt_tokens(docs, s, "doc_id"), shingle_k=5, threshold=0.2,
+            max_shingle_freq=100 * s)
+
+    def p_leakage_split(s):
+        d = salt_tokens(docs, s, "doc_id")
+        return sp.leakage_safe_split(d, gr.connected_components(
+            dd.minhash_lsh_pairs(d, num_hashes=16, bands=4),
+            nodes=d.select(F.col("doc_id").alias("node"))))
+
+    def p_pq_topk(s):
+        return sim.pq_topk(amplify(emb, s, "vec_id"), [1.0] * 64,
+                           k=10, rerank=None, encode="numpy")
+
+    ops = {
+        "engine_timeseries_month": q_timeseries,
+        "engine_groupby_2dim": q_groupby,
+        "engine_scan_filter_limit": q_scan,
+        "engine_join_orders_customers": q_join,
+        "pipeline_exact_dedup": p_exact_dedup,
+        "pipeline_ngram_jaccard": p_ngram_jaccard,
+        "pipeline_leakage_safe_split": p_leakage_split,
+        "pipeline_pq_topk_numpy": p_pq_topk,
+    }
+    report = {"n": n, "nproc": os.cpu_count(), "ops": {}}
+    for name, fn in ops.items():
+        spark.catalog.clearCache()
+        fn(1).write.format("noop").mode("overwrite").save()  # warmup
+        times = {}
+        for scale in (1, n):
+            load = round(os.getloadavg()[0], 1)
+            t0 = time.time()
+            fn(scale).write.format("noop").mode("overwrite").save()
+            times[f"x{scale}"] = round(time.time() - t0, 3)
+            times[f"load_x{scale}"] = load
+        times["ratio"] = round(times[f"x{n}"] / max(times["x1"], 1e-9),
+                               2)
+        report["ops"][name] = times
+        print(f"{name}: {times}", file=sys.stderr)
+    print(json.dumps(report))
+    return 0
+
+
 def main() -> int:
     if len(sys.argv) > 1 and sys.argv[1] == "--recall":
         return recall_main(int(sys.argv[2]) if len(sys.argv) > 2
                            else 100_000)
+    if len(sys.argv) > 1 and sys.argv[1] == "--engine":
+        return engine_main(int(sys.argv[2]) if len(sys.argv) > 2
+                           else 100)
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     sf_dir = "/root/testdata/sf0.1"
 
