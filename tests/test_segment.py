@@ -1,0 +1,243 @@
+"""Druid v9 segment-container reader (ingest/segment.py) against the
+reference's OWN committed binary fixtures — external validation, not
+round-trip self-confirmation:
+
+- indexing-hadoop test-segment/index.zip: a real 2015 deep-storage
+  segment whose contents are documented in the adjacent `note` file
+  (3 rows; __time 2014-10-22T00/01/02Z; host a/b/c.example.com;
+  visited_sum 100/150/200; unique_hosts = HLL sketches of
+  cardinality 1) — every value pinned below.
+- processing v8SegmentPersistDir: a v9 container with MULTI-VALUE
+  dimensions (compressed MULTI_VALUE layout,
+  CompressedVSizeColumnarMultiIntsSupplier.java:81).
+- processing v9SegmentPersistDir/segmentWithDamagedFile: the fixture
+  V9IndexLoaderTest.testLoadSegmentDamagedFileWithLazy loads with a
+  deliberately broken `count` column — strict mode must fail loudly
+  naming the column, lenient mode must recover every OTHER column
+  (the reference test's exact expectation).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from apache_druid_spark.ingest.segment import (
+    DruidSegmentError, SmooshedFiles, lz4_block_decompress,
+    read_roaring, read_segment_dir, read_segment_zip, scan_segments,
+    segment_schema,
+)
+
+GOLDEN_ZIP = ("/root/reference/indexing-hadoop/src/test/resources/"
+              "test-segment/index.zip")
+V8_DIR = ("/root/reference/processing/src/test/resources/"
+          "v8SegmentPersistDir")
+DAMAGED_DIR = ("/root/reference/processing/src/test/resources/"
+               "v9SegmentPersistDir/segmentWithDamagedFile")
+
+
+# -- the documented golden segment -------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return read_segment_zip(GOLDEN_ZIP)
+
+
+def test_golden_segment_structure(golden):
+    pdf, info = golden
+    assert info["rows"] == 3
+    assert info["columns"] == ["host", "unique_hosts", "visited_sum"]
+    assert info["dimensions"] == ["host"]
+    assert info["bitmap_type"] == "concise"
+    assert info["complex"] == {"unique_hosts": "hyperUnique"}
+    # index.drd stores the DATA interval as written by the 2015
+    # merger (start degenerate-0 in this fixture, end = max row time
+    # + 1 ms) — the LOGICAL interval lives in descriptor.json, which
+    # deep storage keeps beside the zip, not inside it
+    assert info["interval_start_ms"] == 0
+    assert info["interval_end_ms"] == 1413943200001
+
+
+def test_golden_segment_values(golden):
+    pdf, _ = golden
+    assert pdf["__time"].tolist() == [
+        1413936000000, 1413939600000, 1413943200000]  # 00/01/02 UTC
+    assert pdf["host"].tolist() == [
+        "a.example.com", "b.example.com", "c.example.com"]
+    assert pdf["visited_sum"].tolist() == [100, 150, 200]
+
+
+def test_golden_segment_hll_feeds_hllc(golden):
+    """The stored hyperUnique COMPLEX blobs are HyperLogLogCollector
+    wire state — ingest/hllc.py reads them: each row estimates 1,
+    and folding all three estimates 3 distinct hosts."""
+    from apache_druid_spark.ingest.hllc import (
+        HllcCollector, estimate_bytes,
+    )
+
+    pdf, _ = golden
+    blobs = [bytes(b) for b in pdf["unique_hosts"]]
+    for b in blobs:
+        assert abs(estimate_bytes(b) - 1.0) < 0.001
+    folded = HllcCollector()
+    for b in blobs:
+        folded.fold(HllcCollector.from_bytes(b))
+    assert abs(folded.estimate() - 3.0) < 0.01
+
+
+def test_golden_zip_rejects_non_segment(tmp_path):
+    import zipfile
+
+    bogus = tmp_path / "not_a_segment.zip"
+    with zipfile.ZipFile(bogus, "w") as z:
+        z.writestr("hello.txt", "nope")
+    with pytest.raises(DruidSegmentError, match="meta.smoosh"):
+        read_segment_zip(str(bogus))
+
+
+# -- multi-value dimensions (v8PersistDir fixture) ---------------------------
+
+
+def test_multivalue_segment(golden):
+    pdf, info = read_segment_dir(V8_DIR)
+    assert info["rows"] == 6
+    assert info["dimensions"] == ["dim0", "dim1"]
+    # dim0 is MULTI-VALUE: rows 0/2 hold two values, row 1 a single
+    # empty string, the rest zero values — stored distinctly and
+    # preserved distinctly
+    assert pdf["dim0"].tolist() == [
+        ["dim00", "dim01"], [""], ["dim00", "dim01"], [], [], []]
+    assert pdf["dim1"].tolist() == [
+        "dim10", "dim10", "", "", "dim10", ""]
+    assert pdf["count"].tolist() == [1] * 6
+
+
+# -- damaged container (V9IndexLoaderTest parity) ----------------------------
+
+
+def test_damaged_column_strict_raises():
+    with pytest.raises(DruidSegmentError, match="count"):
+        read_segment_dir(DAMAGED_DIR)
+
+
+def test_damaged_column_lenient_recovers_others():
+    pdf, info = read_segment_dir(DAMAGED_DIR, lenient=True)
+    assert list(info["column_errors"]) == ["count"]
+    assert pdf["count"].tolist() == [None]
+    # every OTHER column loads (the reference test's assertion)
+    assert pdf["srcIP"].tolist() == ["1.1.1.1"]
+    assert pdf["dstIP"].tolist() == ["2.2.2.2"]
+    assert pdf["sum_bytes"].tolist() == [9024]
+    assert pdf["sum_packets"].tolist() == [20]
+
+
+def test_version_guard(tmp_path):
+    seg = tmp_path / "v8seg"
+    seg.mkdir()
+    (seg / "version.bin").write_bytes(struct.pack(">i", 8))
+    (seg / "meta.smoosh").write_text("v1,2147483647,1\n")
+    with pytest.raises(DruidSegmentError, match="version 8"):
+        read_segment_dir(str(seg))
+
+
+def test_smoosh_overrun_is_loud(tmp_path):
+    seg = tmp_path / "trunc"
+    seg.mkdir()
+    (seg / "meta.smoosh").write_text(
+        "v1,2147483647,1\n__time,0,0,500\n")
+    (seg / "00000.smoosh").write_bytes(b"\x00" * 100)
+    with pytest.raises(DruidSegmentError, match="overruns"):
+        SmooshedFiles(str(seg)).file("__time")
+
+
+# -- decoder unit pins -------------------------------------------------------
+
+
+def test_lz4_block_roundtrip_forms():
+    # literal-only block
+    assert bytes(lz4_block_decompress(b"\x30abc", 10)) == b"abc"
+    # match with overlap (RLE): 1 literal + copy offset 1
+    out = bytes(lz4_block_decompress(b"\x1fa\x01\x00\x05", 50))
+    assert out == b"a" * 25  # 1 literal + (15+5+4)=24 match
+    with pytest.raises(DruidSegmentError):
+        lz4_block_decompress(b"\x10", 10)  # truncated literal
+
+
+def test_roaring_decode_array_and_bitmap():
+    import numpy as np
+
+    # hand-built portable roaring: no-run cookie, 1 array container,
+    # key 0, cardinality 3, offsets header, values [1, 5, 100]
+    blob = struct.pack("<ii", 12346, 1) + struct.pack("<HH", 0, 2) \
+        + struct.pack("<i", 16) + struct.pack("<HHH", 1, 5, 100)
+    assert read_roaring(blob).tolist() == [1, 5, 100]
+    # run-container cookie with 1 run [10, 13]
+    cookie = 12347 | (0 << 16)
+    blob = struct.pack("<i", cookie) + b"\x01" \
+        + struct.pack("<HH", 0, 3) + struct.pack("<H", 1) \
+        + struct.pack("<HH", 10, 3)
+    assert read_roaring(blob).tolist() == [10, 11, 12, 13]
+
+
+def test_unpack_bits_sizes():
+    import numpy as np
+
+    from apache_druid_spark.ingest.segment import _unpack_bits
+
+    # 4-bit values 1..6 packed MSB-first: 0x12 0x34 0x56
+    assert _unpack_bits(b"\x12\x34\x56", 4, 6).tolist() == \
+        [1, 2, 3, 4, 5, 6]
+    # 12-bit values: 0xABC, 0x123 -> bytes AB C1 23
+    assert _unpack_bits(b"\xab\xc1\x23", 12, 2).tolist() == \
+        [0xABC, 0x123]
+    assert _unpack_bits(struct.pack(">4H", 7, 65535, 300, 0),
+                        16, 4).tolist() == [7, 65535, 300, 0]
+
+
+# -- Spark surface -----------------------------------------------------------
+
+
+def test_segment_schema_and_scan(spark):
+    from pyspark.sql import types as T
+
+    schema, info = segment_schema(GOLDEN_ZIP)
+    by_name = {f.name: f.dataType for f in schema.fields}
+    assert isinstance(by_name["__time"], T.TimestampType)
+    assert isinstance(by_name["host"], T.StringType)
+    assert isinstance(by_name["visited_sum"], T.LongType)
+    assert isinstance(by_name["unique_hosts"], T.BinaryType)
+
+    # two containers -> one DataFrame, one segment per task
+    df = scan_segments(spark, [GOLDEN_ZIP, GOLDEN_ZIP])
+    rows = df.orderBy("__time", "host").collect()
+    assert len(rows) == 6
+    assert rows[0]["host"] == "a.example.com"
+    assert rows[0]["visited_sum"] == 100
+    assert str(rows[0]["__time"]).startswith("2014-10-22 00:00")
+
+
+def test_scanned_segment_queryable_via_native_path(spark):
+    """The migration story end-to-end: containers -> scan_segments ->
+    DatasourceRegistry -> a NATIVE groupBy with the legacy
+    hyperUnique aggregator over the stored COMPLEX column."""
+    from pyspark.sql import functions as F
+
+    from apache_druid_spark.model.datasource import DatasourceRegistry
+    from apache_druid_spark.plans.compiler import compile_query
+
+    reg = DatasourceRegistry(spark)
+    reg.register("druid_seg", scan_segments(spark, [GOLDEN_ZIP]))
+    out = compile_query({
+        "queryType": "groupBy", "dataSource": "druid_seg",
+        "granularity": "all", "dimensions": [],
+        "aggregations": [
+            {"type": "longSum", "name": "visits",
+             "fieldName": "visited_sum"},
+            {"type": "hyperUnique", "name": "uniq",
+             "fieldName": "unique_hosts", "legacy": True}],
+    }, reg).collect()
+    assert len(out) == 1
+    assert out[0]["visits"] == 450
+    assert abs(out[0]["uniq"] - 3.0) < 0.01
