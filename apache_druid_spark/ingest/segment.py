@@ -291,8 +291,6 @@ def _read_long_encoding_header(buf: _Buf, comp_id: int):
     may carry a long-encoding flag (CompressionFactory.FLAG_VALUE=126:
     flagged ids are id-126; the encoding byte follows)."""
     encoding = ("LONGS", None)
-    if comp_id > 0x7E or comp_id < 0:  # hasEncodingFlag: unflagged ids
-        pass
     if comp_id != 0xFF and comp_id not in (0x0, 0x1, 0x2, 0xFE):
         # flagged: real id = comp_id + 126 (mod 256), encoding follows
         comp_id = (comp_id + 126) & 0xFF

@@ -134,17 +134,18 @@ def test_dead_windows_removed():
     for dead in ("_R05_WINDOW", "_R06_WINDOW", "_R08_WINDOW",
                  "_R09_WINDOW", "_R11_NEXT", "_R12_NEXT"):
         assert not hasattr(e, dead)
-    # live rotation state is well-formed: window is exactly 50 known
-    # queries (r15 names; earlier windows stay live — they order the
-    # freshest-evidence groups at the back, and _R14_NEXT is consumed
-    # INTO the r15 window)
+    # live rotation state is well-formed: the CURRENT window is
+    # exactly 50 known queries (r16 names; earlier windows stay live —
+    # they order the freshest-evidence groups at the back, and each
+    # _RNN_NEXT is consumed into the following window)
     qs = set(e.queries())
-    assert len(e._R15_WINDOW) == 50
-    assert set(e._R15_WINDOW) <= qs
+    assert len(e._R16_WINDOW) == 50
+    assert set(e._R16_WINDOW) <= qs
+    assert set(e._R16_NEXT) <= qs
     assert set(e._R14_NEXT) <= set(e._R15_WINDOW)
     assert set(e._R13_NEXT) <= set(e._R14_WINDOW)
     # the window fronts the driver's 50-entry correctness pass
-    assert list(e.queries())[:50] == list(e._R15_WINDOW)
+    assert list(e.queries())[:50] == list(e._R16_WINDOW)
 
 
 # -- round-12 scale item: registry-backed extent for published

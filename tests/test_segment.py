@@ -241,3 +241,65 @@ def test_scanned_segment_queryable_via_native_path(spark):
     assert len(out) == 1
     assert out[0]["visits"] == 450
     assert abs(out[0]["uniq"] - 3.0) < 0.01
+
+
+def _generic_indexed_v1(elements: list[bytes]) -> bytes:
+    header = b"".join(struct.pack(">i", e) for e in _ends(elements))
+    values = b"".join(struct.pack(">i", len(e)) + e for e in elements)
+    total = 4 + len(header) + len(values)
+    return (b"\x01\x00" + struct.pack(">ii", total, len(elements))
+            + header + values)
+
+
+def _ends(elements):
+    out, acc = [], 0
+    for e in elements:
+        acc += 4 + len(e)
+        out.append(acc)
+    return out
+
+
+def _pack_bits(vals, bits):
+    s = "".join(format(v, f"0{bits}b") for v in vals)
+    s += "0" * (-len(s) % 8)
+    return bytes(int(s[i:i + 8], 2) for i in range(0, len(s), 8))
+
+
+def test_delta_encoded_longs_column():
+    """Synthetic DELTA-encoded compressed-longs blob per the writer
+    format (CompressionFactory.java:75 DELTA header; flagged
+    compression id = id - 126 in byte arithmetic): version 0x2,
+    totalSize, sizePer, flagged-UNCOMPRESSED id 0x81, encoding DELTA
+    0x0, (version 1, base long, bits int), then a GenericIndexed of
+    raw bit-packed chunks."""
+    from apache_druid_spark.ingest.segment import (
+        _Buf, read_compressed_longs,
+    )
+
+    base, bits = 1_400_000_000_000, 4
+    vals = [base + d for d in (0, 3, 7, 15, 1, 2, 9)]
+    size_per = 4  # 2 chunks: 4 + 3 values
+    chunks = [_pack_bits([v - base for v in vals[:4]], bits),
+              _pack_bits([v - base for v in vals[4:]], bits)]
+    blob = (b"\x02" + struct.pack(">ii", len(vals), size_per)
+            + b"\x81"                      # UNCOMPRESSED (0xFF) - 126
+            + b"\x00"                      # DELTA
+            + b"\x01" + struct.pack(">qi", base, bits)
+            + _generic_indexed_v1(chunks))
+    assert read_compressed_longs(_Buf(blob)).tolist() == vals
+
+
+def test_table_encoded_longs_column():
+    from apache_druid_spark.ingest.segment import (
+        _Buf, read_compressed_longs,
+    )
+
+    table = [100, -7, 9999]       # 3 entries -> 2 bits per id
+    ids = [0, 2, 1, 1, 0]
+    blob = (b"\x02" + struct.pack(">ii", len(ids), 8)
+            + b"\x81" + b"\x01"           # TABLE
+            + b"\x01" + struct.pack(">i", len(table))
+            + b"".join(struct.pack(">q", t) for t in table)
+            + _generic_indexed_v1([_pack_bits(ids, 2)]))
+    assert read_compressed_longs(_Buf(blob)).tolist() == \
+        [table[i] for i in ids]
