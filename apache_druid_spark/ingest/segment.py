@@ -922,20 +922,30 @@ def read_segment_dir(dirpath: str, lenient: bool = False):
     return pd.DataFrame(data), info
 
 
-def read_segment_zip(zip_path: str, workdir: str | None = None):
+def read_segment_zip(zip_path: str, workdir: str | None = None,
+                     lenient: bool = False):
     """A deep-storage index.zip → extract and read (the loadSpec
-    shape every Druid deep store uses)."""
+    shape every Druid deep store uses). The extraction dir is removed
+    after the read unless the caller supplied ``workdir`` — a
+    migration task over thousands of zips must not leak one extracted
+    container per segment into the executor's /tmp."""
+    import shutil
     import tempfile
 
     out = workdir or tempfile.mkdtemp(prefix="druid_seg_")
-    with zipfile.ZipFile(zip_path) as z:
-        names = z.namelist()
-        for required in ("meta.smoosh", "version.bin"):
-            if required not in names:
-                raise DruidSegmentError(
-                    f"{zip_path} is not a segment zip (no {required})")
-        z.extractall(out)
-    return read_segment_dir(out)
+    try:
+        with zipfile.ZipFile(zip_path) as z:
+            names = z.namelist()
+            for required in ("meta.smoosh", "version.bin"):
+                if required not in names:
+                    raise DruidSegmentError(
+                        f"{zip_path} is not a segment zip "
+                        f"(no {required})")
+            z.extractall(out)
+        return read_segment_dir(out, lenient=lenient)
+    finally:
+        if workdir is None:
+            shutil.rmtree(out, ignore_errors=True)
 
 
 def segment_schema(path: str):
