@@ -949,32 +949,57 @@ def read_segment_zip(zip_path: str, workdir: str | None = None,
 
 
 def segment_schema(path: str):
-    """Spark schema for a segment (driver-side peek at one
-    container) + the complex-type map."""
+    """Spark schema for a segment — a METADATA-ONLY driver peek: only
+    index.drd and each column's 4-byte-len descriptor JSON are
+    parsed; no chunk is ever decompressed, so the peek costs the same
+    on a 3-row fixture and a 5M-row historical segment."""
+    import shutil
+    import tempfile
+
     from pyspark.sql import types as T
 
-    pdf, info = _first_segment(path)
-    fields = [T.StructField("__time", T.TimestampType())]
-    for col in info["columns"]:
-        if col == "__time":
-            continue
-        if col in info["complex"]:
-            fields.append(T.StructField(col, T.BinaryType()))
-            continue
-        sample = pdf[col]
-        dtype = str(sample.dtype)
-        if dtype.startswith("int"):
-            fields.append(T.StructField(col, T.LongType()))
-        elif dtype.startswith("float"):
-            fields.append(T.StructField(col, T.DoubleType()))
-        elif len(sample) and isinstance(
-                next((v for v in sample if v is not None), None),
-                (list, tuple)):
-            fields.append(T.StructField(
-                col, T.ArrayType(T.StringType())))
-        else:
-            fields.append(T.StructField(col, T.StringType()))
-    return T.StructType(fields), info
+    cleanup = None
+    dirpath = path
+    if path.endswith(".zip"):
+        dirpath = cleanup = tempfile.mkdtemp(prefix="druid_seg_")
+        with zipfile.ZipFile(path) as z:
+            z.extractall(dirpath)
+    try:
+        _check_version(dirpath)
+        smoosh = SmooshedFiles(dirpath)
+        info = _read_index_drd(smoosh)
+        info["complex"] = {}
+        fields = [T.StructField("__time", T.TimestampType())]
+        for col in info["columns"]:
+            if col == "__time":
+                continue
+            if col not in smoosh.entries:  # null-only restored column
+                fields.append(T.StructField(col, T.StringType()))
+                continue
+            blob = smoosh.file(col)
+            buf = _Buf(blob)
+            desc = json.loads(_read_prefixed_string(buf))
+            vtype = desc.get("valueType")
+            if vtype == "STRING":
+                dt = (T.ArrayType(T.StringType())
+                      if desc.get("hasMultipleValues")
+                      else T.StringType())
+            elif vtype == "LONG":
+                dt = T.LongType()
+            elif vtype in ("FLOAT", "DOUBLE"):
+                dt = T.DoubleType()
+            elif vtype == "COMPLEX":
+                dt = T.BinaryType()
+                for part in desc.get("parts", []):
+                    if part.get("type") == "complex":
+                        info["complex"][col] = part.get("typeName")
+            else:
+                dt = T.StringType()
+            fields.append(T.StructField(col, dt))
+        return T.StructType(fields), info
+    finally:
+        if cleanup is not None:
+            shutil.rmtree(cleanup, ignore_errors=True)
 
 
 def _first_segment(path: str):
