@@ -19,6 +19,7 @@ round-trip self-confirmation:
 
 from __future__ import annotations
 
+import json
 import struct
 
 import pytest
@@ -303,3 +304,98 @@ def test_table_encoded_longs_column():
             + _generic_indexed_v1([_pack_bits(ids, 2)]))
     assert read_compressed_longs(_Buf(blob)).tolist() == \
         [table[i] for i in ids]
+
+
+def _roaring_array(vals):
+    blob = struct.pack("<ii", 12346, 1) \
+        + struct.pack("<HH", 0, len(vals) - 1) \
+        + struct.pack("<i", 16) \
+        + b"".join(struct.pack("<H", v) for v in vals)
+    return blob
+
+
+def test_longv2_column_with_roaring_nulls():
+    """Synthetic longV2 column blob (LongNumericColumnPartSerdeV2
+    .java:143: int offset, compressed longs, then a 4-byte-size
+    roaring bitmap of null rows) through read_column."""
+    import numpy as np
+
+    from apache_druid_spark.ingest.segment import read_column
+
+    desc = json.dumps({"valueType": "LONG", "hasMultipleValues": False,
+                       "parts": [{"type": "longV2",
+                                  "byteOrder": "LITTLE_ENDIAN"}]}) \
+        .encode()
+    vals = [10, 0, 30, 0, 50]
+    chunk = b"".join(struct.pack("<q", v) for v in vals)
+    longs = (b"\x02" + struct.pack(">ii", len(vals), 8) + b"\xff"
+             + _generic_indexed_v1([chunk]))
+    nulls = _roaring_array([1, 3])
+    part = struct.pack(">i", len(longs)) + longs \
+        + struct.pack(">i", len(nulls)) + nulls
+    blob = struct.pack(">i", len(desc)) + desc + part
+    col = read_column("m", blob, "roaring")
+    assert col["values"].tolist() == [10, None, 30, None, 50]
+
+
+def test_doublev2_column_nulls_become_nan():
+    import math
+
+    from apache_druid_spark.ingest.segment import read_column
+
+    desc = json.dumps({"valueType": "DOUBLE",
+                       "hasMultipleValues": False,
+                       "parts": [{"type": "doubleV2",
+                                  "byteOrder": "LITTLE_ENDIAN"}]}) \
+        .encode()
+    vals = [1.5, 0.0, -2.25]
+    chunk = b"".join(struct.pack("<d", v) for v in vals)
+    dbls = (b"\x02" + struct.pack(">ii", len(vals), 8) + b"\xff"
+            + _generic_indexed_v1([chunk]))
+    nulls = _roaring_array([1])
+    part = struct.pack(">i", len(dbls)) + dbls \
+        + struct.pack(">i", len(nulls)) + nulls
+    blob = struct.pack(">i", len(desc)) + desc + part
+    col = read_column("d", blob, "roaring")
+    out = col["values"].tolist()
+    assert out[0] == 1.5 and out[2] == -2.25 and math.isnan(out[1])
+
+
+def test_float_column_lz4_chunks():
+    """FLOAT column with a real LZ4-compressed chunk (compressed by
+    hand as a literal-only block) — exercises the float reader AND
+    the LZ4 path end-to-end."""
+    from apache_druid_spark.ingest.segment import read_column
+
+    desc = json.dumps({"valueType": "FLOAT", "hasMultipleValues": False,
+                       "parts": [{"type": "float",
+                                  "byteOrder": "LITTLE_ENDIAN"}]}) \
+        .encode()
+    vals = [0.5, -1.25, 3.0]
+    raw = b"".join(struct.pack("<f", v) for v in vals)
+    # literal-only LZ4 block: token litlen=12 -> 0xC0
+    lz4 = bytes([0xC0]) + raw
+    floats = (b"\x02" + struct.pack(">ii", len(vals), 4) + b"\x01"
+              + _generic_indexed_v1([lz4]))
+    blob = struct.pack(">i", len(desc)) + desc + floats
+    col = read_column("f", blob, "roaring")
+    assert col["values"].tolist() == [0.5, -1.25, 3.0]
+
+
+def test_concise_null_bitmap_is_loud():
+    from apache_druid_spark.ingest.segment import read_column
+
+    desc = json.dumps({"valueType": "LONG", "hasMultipleValues": False,
+                       "parts": [{"type": "longV2",
+                                  "byteOrder": "LITTLE_ENDIAN"}]}) \
+        .encode()
+    vals = [7]
+    chunk = struct.pack("<q", 7)
+    longs = (b"\x02" + struct.pack(">ii", 1, 8) + b"\xff"
+             + _generic_indexed_v1([chunk]))
+    nulls = b"\x01\x02\x03\x04"  # non-empty, non-roaring
+    part = struct.pack(">i", len(longs)) + longs \
+        + struct.pack(">i", len(nulls)) + nulls
+    blob = struct.pack(">i", len(desc)) + desc + part
+    with pytest.raises(DruidSegmentError, match="CONCISE"):
+        read_column("m", blob, "concise")
