@@ -399,3 +399,60 @@ def test_concise_null_bitmap_is_loud():
     blob = struct.pack(">i", len(desc)) + desc + part
     with pytest.raises(DruidSegmentError, match="CONCISE"):
         read_column("m", blob, "concise")
+
+
+# -- the reference's {"type": "druid"} re-ingestion input source -------------
+
+
+def test_druid_input_source_reingestion(spark):
+    """DruidInputSource parity (indexing-service/.../input/
+    DruidInputSource.java:150): re-ingest FROM segment containers with
+    interval + DimFilter + dimension/metric projection, through the
+    ordinary ioConfig surface."""
+    from apache_druid_spark.ingest.batch import read_input
+
+    df = read_input(spark, {"inputSource": {
+        "type": "druid",
+        "segments": [GOLDEN_ZIP],
+        "interval": "2014-10-22T00:30:00/2014-10-23",
+        "filter": {"type": "not", "field": {
+            "type": "selector", "dimension": "host",
+            "value": "c.example.com"}},
+        "dimensions": ["host"], "metrics": ["visited_sum"],
+    }})
+    rows = df.collect()
+    # interval drops the 00:00 row, filter drops host c
+    assert len(rows) == 1
+    assert rows[0]["host"] == "b.example.com"
+    assert rows[0]["visited_sum"] == 150
+    assert df.columns == ["__time", "host", "visited_sum"]
+
+
+def test_druid_input_source_base_dir(spark, tmp_path):
+    import shutil
+    import zipfile
+
+    base = tmp_path / "store"
+    base.mkdir()
+    # one extracted dir + one zip + one irrelevant file
+    seg_dir = base / "seg_a"
+    seg_dir.mkdir()
+    with zipfile.ZipFile(GOLDEN_ZIP) as z:
+        z.extractall(seg_dir)
+    shutil.copy(GOLDEN_ZIP, base / "seg_b.zip")
+    (base / "README.txt").write_text("not a segment")
+
+    from apache_druid_spark.ingest.batch import read_input
+
+    df = read_input(spark, {"inputSource": {"type": "druid",
+                                            "baseDir": str(base)}})
+    assert df.count() == 6  # both containers, 3 rows each
+
+
+def test_druid_input_source_requires_paths(spark):
+    from apache_druid_spark.ingest.batch import read_input
+    from apache_druid_spark.ingest.segment import DruidSegmentError
+
+    with pytest.raises(DruidSegmentError, match="coordinator"):
+        read_input(spark, {"inputSource": {"type": "druid",
+                                           "dataSource": "wiki"}})
