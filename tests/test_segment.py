@@ -456,3 +456,115 @@ def test_druid_input_source_requires_paths(spark):
     with pytest.raises(DruidSegmentError, match="coordinator"):
         read_input(spark, {"inputSource": {"type": "druid",
                                            "dataSource": "wiki"}})
+
+
+def test_scan_segments_multivalue_through_arrow(spark):
+    """MV dimensions must survive the Arrow batch path as
+    array<string> (the v8PersistDir fixture's dim0)."""
+    df = scan_segments(spark, [V8_DIR])
+    rows = df.orderBy("__time").collect()
+    assert len(rows) == 6
+    assert rows[0]["dim0"] == ["dim00", "dim01"]
+    assert rows[1]["dim0"] == [""]
+    assert rows[3]["dim0"] == []
+    assert rows[0]["dim1"] == "dim10"
+    # MV column is queryable with the engine's any-element semantics
+    from pyspark.sql import functions as F
+
+    hits = df.filter(F.array_contains("dim0", "dim01")).count()
+    assert hits == 2
+
+
+def test_property_decoder_sweep():
+    """Seeded randomized sweep over the column decoders using
+    writer-format synthetic blobs: GenericIndexed element integrity,
+    compressed-longs chunking at random sizePer (LONGS/DELTA/TABLE),
+    VSize id widths 1-4, roaring sets across container kinds."""
+    import random
+
+    import numpy as np
+
+    from apache_druid_spark.ingest.segment import (
+        _Buf, read_compressed_longs, read_generic_indexed,
+        read_roaring, read_vsize_ints,
+    )
+
+    rng = random.Random(20260817)
+    for _ in range(60):
+        # GenericIndexed with random elements incl. empty + null
+        elems = [rng.randbytes(rng.randrange(0, 40))
+                 for _ in range(rng.randrange(1, 20))]
+        got = read_generic_indexed(_Buf(_generic_indexed_v1(elems)))
+        assert [g or b"" for g in got] == elems
+
+        # longs: random values, random chunking, random encoding
+        n = rng.randrange(1, 200)
+        size_per = 2 ** rng.randrange(0, 8)
+        enc = rng.choice(("longs", "delta", "table"))
+        if enc == "longs":
+            vals = [rng.randrange(-2**62, 2**62) for _ in range(n)]
+            chunks = [b"".join(struct.pack("<q", v)
+                               for v in vals[i:i + size_per])
+                      for i in range(0, n, size_per)]
+            blob = (b"\x02" + struct.pack(">ii", n, size_per)
+                    + b"\xff" + _generic_indexed_v1(chunks))
+        elif enc == "delta":
+            base = rng.randrange(-2**40, 2**40)
+            bits = rng.choice((1, 2, 4, 8, 12, 16, 20, 24, 32))
+            vals = [base + rng.randrange(0, 2**bits)
+                    for _ in range(n)]
+            chunks = [_pack_bits([v - base
+                                  for v in vals[i:i + size_per]], bits)
+                      for i in range(0, n, size_per)]
+            blob = (b"\x02" + struct.pack(">ii", n, size_per)
+                    + b"\x81\x00\x01" + struct.pack(">qi", base, bits)
+                    + _generic_indexed_v1(chunks))
+        else:
+            table = [rng.randrange(-2**50, 2**50)
+                     for _ in range(rng.randrange(1, 30))]
+            bits = 1
+            for cand in (1, 2, 4, 8, 12):
+                if 2 ** cand >= len(table):
+                    bits = cand
+                    break
+            ids = [rng.randrange(len(table)) for _ in range(n)]
+            vals = [table[i] for i in ids]
+            chunks = [_pack_bits(ids[i:i + size_per], bits)
+                      for i in range(0, n, size_per)]
+            blob = (b"\x02" + struct.pack(">ii", n, size_per)
+                    + b"\x81\x01\x01" + struct.pack(">i", len(table))
+                    + b"".join(struct.pack(">q", t) for t in table)
+                    + _generic_indexed_v1(chunks))
+        assert read_compressed_longs(_Buf(blob)).tolist() == vals
+
+        # VSize uncompressed ids: random byte width
+        nb = rng.randrange(1, 5)
+        ids = [rng.randrange(0, 2 ** (8 * nb)) for _ in
+               range(rng.randrange(1, 50))]
+        raw = b"".join(v.to_bytes(nb, "big") for v in ids) \
+            + bytes(4 - nb)
+        blob = b"\x00" + bytes([nb]) + struct.pack(">i", len(raw)) \
+            + raw
+        assert read_vsize_ints(_Buf(blob)).tolist() == ids
+
+        # roaring: random sparse + dense sets
+        univ = rng.choice((300, 70000))
+        vals = sorted(rng.sample(range(univ),
+                                 rng.randrange(1, min(univ, 6000))))
+        by_key = {}
+        for v in vals:
+            by_key.setdefault(v >> 16, []).append(v & 0xFFFF)
+        keys = sorted(by_key)
+        blob = struct.pack("<ii", 12346, len(keys))
+        for k in keys:
+            blob += struct.pack("<HH", k, len(by_key[k]) - 1)
+        blob += b"\x00" * (4 * len(keys))  # offsets (unused)
+        for k in keys:
+            lows = by_key[k]
+            if len(lows) > 4096:
+                bits = np.zeros(65536, dtype=np.uint8)
+                bits[lows] = 1
+                blob += np.packbits(bits, bitorder="little").tobytes()
+            else:
+                blob += b"".join(struct.pack("<H", x) for x in lows)
+        assert read_roaring(blob).tolist() == vals
