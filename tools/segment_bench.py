@@ -1,0 +1,175 @@
+"""Throughput smoke for the Druid segment-container reader.
+
+Builds a synthetic v9 container with the WRITER-side formats the
+reader consumes (GenericIndexed v1, compressed-longs envelope with
+literal-form LZ4 chunks — valid LZ4 with no matches — dictionary ids
+as CompressedVSize, sparse-HLLC complex blobs), then times
+read_segment_dir and the Spark scan. The binary fixtures validate
+CORRECTNESS (tests/test_segment.py); this measures DECODE RATE so the
+"one segment per task" migration cost model in SCALE.md has a number
+behind it.
+
+Usage: PYTHONPATH=/root/repo python tools/segment_bench.py [rows]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import struct
+import sys
+import tempfile
+import time
+
+
+def _generic_indexed_v1(elements) -> bytes:
+    header, values, acc = [], [], 0
+    for e in elements:
+        acc += 4 + len(e)
+        header.append(struct.pack(">i", acc))
+        values.append(struct.pack(">i", len(e)) + e)
+    hdr = b"".join(header)
+    val = b"".join(values)
+    total = 4 + len(hdr) + len(val)
+    return (b"\x01\x00" + struct.pack(">ii", total, len(elements))
+            + hdr + val)
+
+
+def _lz4_literal_block(raw: bytes) -> bytes:
+    """Valid LZ4: one literal-only sequence (token + extension)."""
+    n = len(raw)
+    if n < 15:
+        return bytes([n << 4]) + raw
+    out = bytearray([0xF0])
+    n -= 15
+    while n >= 255:
+        out.append(255)
+        n -= 255
+    out.append(n)
+    return bytes(out) + raw
+
+
+def _longs_column(vals, size_per=8192, lz4=True) -> bytes:
+    chunks = []
+    for i in range(0, len(vals), size_per):
+        raw = b"".join(struct.pack("<q", v)
+                       for v in vals[i:i + size_per])
+        chunks.append(_lz4_literal_block(raw) if lz4 else raw)
+    comp = b"\x01" if lz4 else b"\xff"
+    return (b"\x02" + struct.pack(">ii", len(vals), size_per) + comp
+            + _generic_indexed_v1(chunks))
+
+
+def _descriptor(vtype: str, parts: list[dict]) -> bytes:
+    d = json.dumps({"valueType": vtype, "hasMultipleValues": False,
+                    "parts": parts}).encode()
+    return struct.pack(">i", len(d)) + d
+
+
+def build_container(out_dir: str, rows: int) -> None:
+    from apache_druid_spark.ingest.hllc import collector_of
+
+    files = {}
+    # __time: ms timestamps, ascending
+    t0 = 1_400_000_000_000
+    files["__time"] = _descriptor("LONG", [
+        {"type": "long", "byteOrder": "LITTLE_ENDIAN"}]) \
+        + _longs_column([t0 + i * 1000 for i in range(rows)])
+    # metric: longs
+    files["value"] = _descriptor("LONG", [
+        {"type": "long", "byteOrder": "LITTLE_ENDIAN"}]) \
+        + _longs_column([(i * 2654435761) % 100000
+                         for i in range(rows)])
+    # dim: 1000-value dictionary, CompressedVSize ids (2 bytes)
+    card = 1000
+    dictionary = _generic_indexed_v1(
+        [f"dim-{i:04d}".encode() for i in range(card)])
+    ids = [(i * 48271) % card for i in range(rows)]
+    size_per = 16384
+    chunks = []
+    for i in range(0, rows, size_per):
+        raw = b"".join(struct.pack("<H", v)
+                       for v in ids[i:i + size_per])
+        chunks.append(_lz4_literal_block(raw))
+    ids_blob = (b"\x02\x02" + struct.pack(">ii", rows, size_per)
+                + b"\x01" + _generic_indexed_v1(chunks))
+    files["dim"] = _descriptor("STRING", [
+        {"type": "stringDictionary",
+         "bitmapSerdeFactory": {"type": "roaring"},
+         "byteOrder": "LITTLE_ENDIAN"}]) \
+        + b"\x02" + struct.pack(">i", 0) + dictionary + ids_blob
+    # complex: one small sparse HLLC blob per 1000-row group, cycled
+    blobs = [collector_of([f"u{g}-{j}" for j in range(5)]).to_bytes()
+             for g in range(64)]
+    files["uniq"] = _descriptor("COMPLEX", [
+        {"type": "complex", "typeName": "hyperUnique"}]) \
+        + _generic_indexed_v1([blobs[i % 64] for i in range(rows)])
+    # index.drd: cols, dims, interval, bitmap json
+    gi_cols = _generic_indexed_v1([b"dim", b"uniq", b"value"])
+    gi_dims = _generic_indexed_v1([b"dim"])
+    bitmap = json.dumps({"type": "roaring"}).encode()
+    files["index.drd"] = (gi_cols + gi_dims
+                          + struct.pack(">qq", t0, t0 + rows * 1000)
+                          + struct.pack(">i", len(bitmap)) + bitmap)
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "version.bin"), "wb") as f:
+        f.write(struct.pack(">i", 9))
+    blob = b"".join(files.values())
+    with open(os.path.join(out_dir, "00000.smoosh"), "wb") as f:
+        f.write(blob)
+    with open(os.path.join(out_dir, "meta.smoosh"), "w") as f:
+        f.write("v1,2147483647,1\n")
+        pos = 0
+        for name, b in files.items():
+            f.write(f"{name},0,{pos},{pos + len(b)}\n")
+            pos += len(b)
+
+
+def main() -> int:
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    out = tempfile.mkdtemp(prefix="segbench_")
+    seg = os.path.join(out, "seg")
+    try:
+        t0 = time.time()
+        build_container(seg, rows)
+        build_s = round(time.time() - t0, 2)
+        size_mb = round(os.path.getsize(
+            os.path.join(seg, "00000.smoosh")) / 1e6, 1)
+
+        from apache_druid_spark.ingest.segment import read_segment_dir
+
+        t0 = time.time()
+        pdf, info = read_segment_dir(seg)
+        read_s = round(time.time() - t0, 2)
+        assert len(pdf) == rows
+
+        from apache_druid_spark import get_spark
+        from apache_druid_spark.ingest.segment import scan_segments
+
+        spark = get_spark("segment_bench")
+        t0 = time.time()
+        n = scan_segments(spark, [seg]).count()
+        spark_s = round(time.time() - t0, 2)
+        assert n == rows
+        # 8 containers in parallel: the per-task model under local[32]
+        t0 = time.time()
+        n8 = scan_segments(spark, [seg] * 8).count()
+        spark8_s = round(time.time() - t0, 2)
+        assert n8 == rows * 8
+
+        print(json.dumps({
+            "rows": rows, "container_mb": size_mb, "build_sec": build_s,
+            "read_sec": read_s,
+            "rows_per_sec": int(rows / max(read_s, 1e-9)),
+            "spark_scan_sec": spark_s, "spark_scan_x8_sec": spark8_s,
+            "load_1min": round(os.getloadavg()[0], 1),
+        }))
+        return 0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
