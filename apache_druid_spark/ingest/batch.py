@@ -217,6 +217,9 @@ def _read_druid_segments(spark: SparkSession, src: dict) -> DataFrame:
             'druid inputSource needs "segments" (container paths) or '
             'a "baseDir" holding segment dirs / index.zips — there is '
             "no coordinator to resolve a dataSource name against")
+    # a container named in "segments" AND discovered under "baseDir"
+    # must not be ingested twice (doubled rows, silently wrong sums)
+    paths = list(dict.fromkeys(os.path.abspath(p) for p in paths))
     df = scan_segments(spark, paths)
     interval = src.get("interval")
     if interval:

@@ -300,6 +300,11 @@ class HllcCollector:
             # triple — skip zero-byte triples (mirroring
             # mergeAndStoreByteRegister's byteToAdd==0 early return)
             # and bounds-check decoded positions.
+            if len(payload) % 3 != 0:
+                raise ValueError(
+                    f"corrupt sparse HLLC blob: payload of "
+                    f"{len(payload)} bytes is not a whole number of "
+                    "(position, register) triples")
             for i in range(0, len(payload) - 2, 3):
                 reg = payload[i + 2]
                 if reg == 0:

@@ -629,56 +629,115 @@ def read_roaring(data: bytes):
 
 class SmooshedFiles:
     """meta.smoosh maps internal file names to (chunk, start, end)
-    ranges inside NNNNN.smoosh chunk files."""
+    ranges inside NNNNN.smoosh chunk files. Accepts a persisted
+    segment DIRECTORY or a deep-storage index.zip: directories are
+    read by seek+range (a metadata peek never touches column bytes),
+    zips stream members in memory (DEFLATE forbids random access) —
+    NOTHING is ever extracted to disk."""
 
-    def __init__(self, dirpath: str):
-        self.dir = dirpath
-        meta = os.path.join(dirpath, "meta.smoosh")
-        if not os.path.exists(meta):
-            raise DruidSegmentError(
-                f"{dirpath} is not a smooshed segment directory "
-                "(no meta.smoosh)")
-        self.entries: dict[str, tuple[int, int, int]] = {}
-        with open(meta, encoding="utf-8") as f:
-            header = f.readline().strip().split(",")
-            if header[0] != "v1":
+    def __init__(self, path: str):
+        self.path = path
+        self._zip = None
+        if path.endswith(".zip") and os.path.isfile(path):
+            self._zip = zipfile.ZipFile(path)
+            names = set(self._zip.namelist())
+            missing = {"meta.smoosh", "version.bin"} - names
+            if missing:
                 raise DruidSegmentError(
-                    f"unknown meta.smoosh version {header[0]!r}")
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                name, chunk, start, end = line.rsplit(",", 3)
-                self.entries[name] = (int(chunk), int(start), int(end))
-        self._chunks: dict[int, bytes] = {}
+                    f"{path} is not a segment zip "
+                    f"(no {sorted(missing)[0]})")
+            meta_text = self._zip.read("meta.smoosh").decode("utf-8")
+        else:
+            meta = os.path.join(path, "meta.smoosh")
+            if not os.path.exists(meta):
+                raise DruidSegmentError(
+                    f"{path} is not a smooshed segment directory "
+                    "(no meta.smoosh)")
+            with open(meta, encoding="utf-8") as f:
+                meta_text = f.read()
+        self.entries: dict[str, tuple[int, int, int]] = {}
+        lines = meta_text.splitlines()
+        header = lines[0].strip().split(",")
+        if header[0] != "v1":
+            raise DruidSegmentError(
+                f"unknown meta.smoosh version {header[0]!r}")
+        for line in lines[1:]:
+            line = line.strip()
+            if not line:
+                continue
+            name, chunk, start, end = line.rsplit(",", 3)
+            self.entries[name] = (int(chunk), int(start), int(end))
+        self._members: dict[int, bytes] = {}  # zip-mode chunk cache
 
     def names(self) -> list[str]:
         return sorted(self.entries)
+
+    def read_aux(self, name: str) -> bytes:
+        """A non-smooshed file beside the chunks (version.bin,
+        factory.json)."""
+        if self._zip is not None:
+            try:
+                return self._zip.read(name)
+            except KeyError:
+                raise DruidSegmentError(
+                    f"{self.path}: no {name} — not a persisted Druid "
+                    "segment") from None
+        p = os.path.join(self.path, name)
+        if not os.path.exists(p):
+            raise DruidSegmentError(
+                f"{self.path}: no {name} — not a persisted Druid "
+                "segment")
+        with open(p, "rb") as f:
+            return f.read()
 
     def file(self, name: str) -> memoryview:
         if name not in self.entries:
             raise KeyError(name)
         chunk, start, end = self.entries[name]
-        if chunk not in self._chunks:
-            path = os.path.join(self.dir, f"{chunk:05d}.smoosh")
-            with open(path, "rb") as f:
-                self._chunks[chunk] = f.read()
-        data = self._chunks[chunk]
-        if end > len(data):
+        fname = f"{chunk:05d}.smoosh"
+        if self._zip is not None:
+            if chunk not in self._members:
+                self._members[chunk] = self._zip.read(fname)
+            data = self._members[chunk]
+            if end > len(data):
+                raise DruidSegmentError(
+                    f"meta.smoosh entry {name!r} [{start},{end}) "
+                    f"overruns chunk file {fname} ({len(data)} "
+                    "bytes) — truncated or damaged container")
+            return memoryview(data)[start:end]
+        path = os.path.join(self.path, fname)
+        size = os.path.getsize(path)
+        if end > size:
             raise DruidSegmentError(
                 f"meta.smoosh entry {name!r} [{start},{end}) overruns "
-                f"chunk file {chunk:05d}.smoosh ({len(data)} bytes) — "
-                "truncated or damaged container")
-        return memoryview(data)[start:end]
+                f"chunk file {fname} ({size} bytes) — truncated or "
+                "damaged container")
+        with open(path, "rb") as f:
+            f.seek(start)
+            return memoryview(f.read(end - start))
+
+    def prefix(self, name: str, n: int) -> memoryview:
+        """First ``n`` bytes of an internal file — the descriptor
+        peek. Directory mode reads exactly n bytes (seek+range)."""
+        if name not in self.entries:
+            raise KeyError(name)
+        chunk, start, end = self.entries[name]
+        n = min(n, end - start)
+        if self._zip is not None:
+            return self.file(name)[:n]
+        path = os.path.join(self.path, f"{chunk:05d}.smoosh")
+        with open(path, "rb") as f:
+            f.seek(start)
+            return memoryview(f.read(n))
+
+    def close(self) -> None:
+        if self._zip is not None:
+            self._zip.close()
+        self._members.clear()
 
 
-def _check_version(dirpath: str) -> None:
-    vpath = os.path.join(dirpath, "version.bin")
-    if not os.path.exists(vpath):
-        raise DruidSegmentError(f"{dirpath}: no version.bin — not a "
-                                "persisted Druid segment")
-    with open(vpath, "rb") as f:
-        version = struct.unpack(">i", f.read(4))[0]
+def _check_version(smoosh: SmooshedFiles) -> None:
+    version = struct.unpack(">i", smoosh.read_aux("version.bin")[:4])[0]
     if version != 9:
         raise DruidSegmentError(
             f"segment binary version {version} unsupported (only the "
@@ -877,11 +936,14 @@ def read_segment_dir(dirpath: str, lenient: bool = False):
     (V9IndexLoaderTest.testLoadSegmentDamagedFileWithLazy): a column
     that fails to deserialize becomes all-null and the error is
     recorded in info["column_errors"] instead of aborting the whole
-    container."""
+    container. IndexError is in the catch set deliberately: a chunk
+    truncated mid-sequence surfaces as a bare IndexError from the
+    byte cursors, and it must degrade like any other damaged
+    column."""
     import pandas as pd
 
-    _check_version(dirpath)
     smoosh = SmooshedFiles(dirpath)
+    _check_version(smoosh)
     info = _read_index_drd(smoosh)
     time_col = read_column("__time", smoosh.file("__time"),
                            info["bitmap_type"])
@@ -896,10 +958,10 @@ def read_segment_dir(dirpath: str, lenient: bool = False):
             parsed = read_column(col, smoosh.file(col),
                                  info["bitmap_type"])
         except (DruidSegmentError, KeyError, ValueError,
-                struct.error) as e:
+                IndexError, struct.error) as e:
             if not lenient:
                 raise
-            info["column_errors"][col] = str(e)
+            info["column_errors"][col] = str(e) or type(e).__name__
             data[col] = [None] * n_rows
             continue
         if parsed.get("all_null") or parsed["values"] is None:
@@ -919,54 +981,31 @@ def read_segment_dir(dirpath: str, lenient: bool = False):
             data[col] = [None] * n_rows
     info["complex"] = complex_types
     info["rows"] = n_rows
+    smoosh.close()
     return pd.DataFrame(data), info
 
 
-def read_segment_zip(zip_path: str, workdir: str | None = None,
-                     lenient: bool = False):
-    """A deep-storage index.zip → extract and read (the loadSpec
-    shape every Druid deep store uses). The extraction dir is removed
-    after the read unless the caller supplied ``workdir`` — a
-    migration task over thousands of zips must not leak one extracted
-    container per segment into the executor's /tmp."""
-    import shutil
-    import tempfile
-
-    out = workdir or tempfile.mkdtemp(prefix="druid_seg_")
-    try:
-        with zipfile.ZipFile(zip_path) as z:
-            names = z.namelist()
-            for required in ("meta.smoosh", "version.bin"):
-                if required not in names:
-                    raise DruidSegmentError(
-                        f"{zip_path} is not a segment zip "
-                        f"(no {required})")
-            z.extractall(out)
-        return read_segment_dir(out, lenient=lenient)
-    finally:
-        if workdir is None:
-            shutil.rmtree(out, ignore_errors=True)
+def read_segment_zip(zip_path: str, lenient: bool = False):
+    """A deep-storage index.zip → read IN PLACE (the loadSpec shape
+    every Druid deep store uses). Nothing is extracted to disk:
+    SmooshedFiles streams zip members in memory, so a migration task
+    over thousands of zips touches only its own heap."""
+    return read_segment_dir(zip_path, lenient=lenient)
 
 
 def segment_schema(path: str):
     """Spark schema for a segment — a METADATA-ONLY driver peek: only
-    index.drd and each column's 4-byte-len descriptor JSON are
-    parsed; no chunk is ever decompressed, so the peek costs the same
-    on a 3-row fixture and a 5M-row historical segment."""
-    import shutil
-    import tempfile
-
+    version.bin, meta.smoosh, index.drd, and each column's
+    4-byte-len descriptor JSON are parsed; no chunk is ever
+    decompressed. On a DIRECTORY the reads are seek+range, so the
+    peek costs the same on a 3-row fixture and a 5M-row historical
+    segment; on a zip, DEFLATE forces streaming the chunk member —
+    still in memory, never extracted to disk."""
     from pyspark.sql import types as T
 
-    cleanup = None
-    dirpath = path
-    if path.endswith(".zip"):
-        dirpath = cleanup = tempfile.mkdtemp(prefix="druid_seg_")
-        with zipfile.ZipFile(path) as z:
-            z.extractall(dirpath)
+    smoosh = SmooshedFiles(path)
     try:
-        _check_version(dirpath)
-        smoosh = SmooshedFiles(dirpath)
+        _check_version(smoosh)
         info = _read_index_drd(smoosh)
         info["complex"] = {}
         fields = [T.StructField("__time", T.TimestampType())]
@@ -976,9 +1015,11 @@ def segment_schema(path: str):
             if col not in smoosh.entries:  # null-only restored column
                 fields.append(T.StructField(col, T.StringType()))
                 continue
-            blob = smoosh.file(col)
-            buf = _Buf(blob)
-            desc = json.loads(_read_prefixed_string(buf))
+            buf = _Buf(smoosh.prefix(col, 4))
+            desc_len = buf.i32()
+            desc = json.loads(
+                bytes(smoosh.prefix(col, 4 + desc_len)[4:])
+                .decode("utf-8"))
             vtype = desc.get("valueType")
             if vtype == "STRING":
                 dt = (T.ArrayType(T.StringType())
@@ -998,13 +1039,10 @@ def segment_schema(path: str):
             fields.append(T.StructField(col, dt))
         return T.StructType(fields), info
     finally:
-        if cleanup is not None:
-            shutil.rmtree(cleanup, ignore_errors=True)
+        smoosh.close()
 
 
 def _first_segment(path: str):
-    if path.endswith(".zip"):
-        return read_segment_zip(path)
     return read_segment_dir(path)
 
 
@@ -1034,8 +1072,13 @@ def scan_segments(spark, paths: list[str]):
                 out = pd.DataFrame()
                 for c in col_order:
                     if c == "__time":
+                        # Druid __time is UTC epoch ms; utc=True makes
+                        # the instant explicit so a session pinned to
+                        # any other spark.sql.session.timeZone cannot
+                        # silently shift it (tz-naive pandas datetimes
+                        # are interpreted in the SESSION zone)
                         out[c] = pd.to_datetime(seg["__time"],
-                                                unit="ms")
+                                                unit="ms", utc=True)
                     elif c not in seg.columns:
                         out[c] = None
                     elif c in complex_cols:

@@ -1011,6 +1011,50 @@ def _verify_groupby_output_names(q: dict) -> None:
             seen.add(n)
 
 
+# bounded registry of legacy-path cached bases: the newest few stay
+# pinned for their (imminent) materialization, older ones unpersist so
+# a long-lived server session doesn't accumulate one cached scan per
+# legacy query (r16 review finding)
+_LEGACY_PERSIST_LRU: list = []
+
+_IDENT_RE = __import__("re").compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def _referenced_columns(q: dict, df: DataFrame, group_names,
+                        legacy_specs):
+    """Conservative OVER-approximation of the df columns a groupBy
+    can reference, for narrowing the legacy-path cache: grouping
+    keys, ``__time`` (first/last aggregators order by it implicitly),
+    and every identifier token appearing anywhere in the agg /
+    post-agg / having / legacy specs that names a df column.
+    Returns None (skip narrowing) when any column name is not a plain
+    identifier — the token scan could miss a quoted exotic name, and
+    a dropped needed column must never be possible."""
+    cols = set(df.columns)
+    if any(not _IDENT_RE.fullmatch(c) for c in cols):
+        return None
+    tokens: set[str] = set()
+
+    def walk(x):
+        if isinstance(x, str):
+            tokens.update(_IDENT_RE.findall(x))
+        elif isinstance(x, dict):
+            for v in x.values():
+                walk(v)
+        elif isinstance(x, (list, tuple)):
+            for v in x:
+                walk(v)
+
+    walk(q.get("aggregations"))
+    walk(q.get("postAggregations"))
+    walk(q.get("having"))
+    walk(list(legacy_specs))
+    keep = {c for c in group_names if c in cols} | (tokens & cols)
+    if TIME_COLUMN in cols:
+        keep.add(TIME_COLUMN)
+    return [c for c in df.columns if c in keep]
+
+
 def compile_groupby(q: dict, registry: DatasourceRegistry,
                     finalize: bool = True) -> DataFrame:
     """groupBy (processing/.../groupby/epinephelinae/GroupByQueryEngineV2.java;
@@ -1138,9 +1182,20 @@ def compile_groupby(q: dict, registry: DatasourceRegistry,
         # subtrees have different agg lists, so exchange reuse can't
         # collapse them). MEMORY_AND_DISK keeps the 100 TB shape
         # honest: one scan + local re-reads beats N remote scans.
+        # The cached projection is NARROWED to the columns the query
+        # can reference (r16 review: caching the full-width base
+        # pinned every column), and a small LRU unpersists the oldest
+        # cached base so a long-lived server session doesn't
+        # accumulate one pinned scan per legacy query.
         from pyspark import StorageLevel
 
+        needed = _referenced_columns(q, df, group_names, legacy_specs)
+        if needed is not None:
+            df = df.select(*needed)
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        _LEGACY_PERSIST_LRU.append(df)
+        if len(_LEGACY_PERSIST_LRU) > 4:
+            _LEGACY_PERSIST_LRU.pop(0).unpersist(blocking=False)
 
     def _join_legacy_folds(out_df, keys):
         """Join each legacy hyperUnique's Arrow fold back onto the
@@ -1168,30 +1223,34 @@ def compile_groupby(q: dict, registry: DatasourceRegistry,
                 out_df = out_df.crossJoin(folded)
         return out_df
 
+    def _per_set_union(sets):
+        """One result block per subtotal set (GroupByQuery.java:117):
+        per-set groupBy (+ the HLLC fold joined null-safely WITHIN
+        the set — a cross-set join would conflate a set's absent
+        column with a real NULL value), null-pad absent dims, union
+        in spec order. Serves both the legacy path and the
+        groupingSets fallback — one loop, not two copies."""
+        parts = []
+        for s in sets:
+            missing = [c for c in group_names if c not in s]
+            p = df.groupBy(*[fcol(c) for c in s]).agg(*aggs)
+            p = _join_legacy_folds(p, list(s))
+            for mcol in missing:
+                p = p.withColumn(mcol, F.lit(None))
+            parts.append(p.select(*group_names,
+                                  *[a for a in p.columns
+                                    if a not in group_names]))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     subtotals = q.get("subtotalsSpec")
     if subtotals:
         sets = [[*(["__bucket"] if bucket is not None else []), *s]
                 for s in subtotals]
         if legacy_specs:
-            # reference semantics (GroupByQuery.java:117): one result
-            # block per subtotal set — run the Column agg AND the HLLC
-            # fold per set over the shared persisted input, join
-            # null-safely WITHIN each set (a cross-set join would
-            # conflate a set's absent column with a real NULL value),
-            # null-pad, and union in spec order.
-            parts = []
-            for s in sets:
-                missing = [c for c in group_names if c not in s]
-                p = df.groupBy(*[fcol(c) for c in s]).agg(*aggs)
-                p = _join_legacy_folds(p, list(s))
-                for mcol in missing:
-                    p = p.withColumn(mcol, F.lit(None))
-                parts.append(p.select(*group_names,
-                                      *[a for a in p.columns
-                                        if a not in group_names]))
-            out = parts[0]
-            for p in parts[1:]:
-                out = out.unionByName(p)
+            out = _per_set_union(sets)
         else:
             try:
                 grouped = df.groupingSets(
@@ -1200,18 +1259,7 @@ def compile_groupby(q: dict, registry: DatasourceRegistry,
                 out = grouped.agg(*aggs)
             except Exception:
                 # fallback: union of per-set groupBys (null-padded)
-                parts = []
-                for s in sets:
-                    missing = [c for c in group_names if c not in s]
-                    p = df.groupBy(*[fcol(c) for c in s]).agg(*aggs)
-                    for mcol in missing:
-                        p = p.withColumn(mcol, F.lit(None))
-                    parts.append(p.select(*group_names,
-                                          *[a for a in p.columns
-                                            if a not in group_names]))
-                out = parts[0]
-                for p in parts[1:]:
-                    out = out.unionByName(p)
+                out = _per_set_union(sets)
     else:
         out = df.groupBy(*[fcol(c) for c in group_names]).agg(*aggs)
         out = _join_legacy_folds(out, list(group_names))

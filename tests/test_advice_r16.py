@@ -330,3 +330,15 @@ def test_pq_rerank_rejects_unknown_string(emb):
 
     with pytest.raises(ValueError, match="rerank"):
         pq_topk(emb, [0.1] * 64, k=5, rerank="all")
+
+
+def test_sparse_blob_partial_triple_is_loud():
+    """r16 review: a sparse payload that is not a whole number of
+    triples must raise the named corrupt-blob error (estimate_bytes
+    routed it to a bare IndexError in a mapInPandas task before)."""
+    c = _both_nibbles_collector()
+    truncated = c.to_bytes()[:-1]
+    with pytest.raises(ValueError, match="corrupt sparse"):
+        HllcCollector.from_bytes(truncated)
+    with pytest.raises(ValueError, match="corrupt sparse"):
+        estimate_bytes(truncated)

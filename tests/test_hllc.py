@@ -530,13 +530,23 @@ def test_property_roundtrip_and_fold_sweep():
             assert len(blob) == 7 + 1024
         e = c.estimate()
         assert e >= 0 and e == rt.estimate()
+    def clone(c: HllcCollector) -> HllcCollector:
+        """Field-level copy — deliberately NOT via the wire form, so
+        the wire-vs-live comparison below is a real invariant, not a
+        tautology (r16 review finding)."""
+        d = HllcCollector()
+        d.offset = c.offset
+        d.regs = bytearray(c.regs)
+        d.num_non_zero = c.num_non_zero
+        d.max_overflow_value = c.max_overflow_value
+        d.max_overflow_register = c.max_overflow_register
+        return d
+
     for i in range(0, 298, 2):
         a, b = states[i], states[i + 1]
         via_wire = HllcCollector.from_bytes(a.to_bytes()).fold(
             HllcCollector.from_bytes(b.to_bytes()))
-        ab, bb = a.to_bytes(), b.to_bytes()
-        direct = HllcCollector.from_bytes(ab).fold(
-            HllcCollector.from_bytes(bb))
+        direct = clone(a).fold(clone(b))  # LIVE collectors
         assert bytes(via_wire.regs) == bytes(direct.regs)
         assert via_wire.to_bytes() == direct.to_bytes()
         assert via_wire.estimate() == direct.estimate()

@@ -568,3 +568,81 @@ def test_property_decoder_sweep():
             else:
                 blob += b"".join(struct.pack("<H", x) for x in lows)
         assert read_roaring(blob).tolist() == vals
+
+
+# -- r16 in-round review findings --------------------------------------------
+
+
+def test_scan_segments_correct_in_non_utc_session(spark):
+    """__time is UTC epoch ms in the container; a session pinned to
+    another timeZone must read the same INSTANT (the r16 review
+    found tz-naive pandas timestamps being reinterpreted in the
+    session zone — a silent shift)."""
+    from pyspark.sql import functions as F
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone",
+                       "America/New_York")
+        df = scan_segments(spark, [GOLDEN_ZIP])
+        ms = [r["ms"] for r in df.select(
+            F.unix_millis("__time").alias("ms"))
+            .orderBy("ms").collect()]
+        assert ms == [1413936000000, 1413939600000, 1413943200000]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_lenient_catches_truncated_chunk_indexerror(tmp_path):
+    """A chunk truncated mid-sequence raises IndexError from the byte
+    cursors — lenient mode must degrade that column like any other
+    damage instead of aborting the container."""
+    import shutil
+    import zipfile as zf
+
+    seg = tmp_path / "trunc_col"
+    seg.mkdir()
+    with zf.ZipFile(GOLDEN_ZIP) as z:
+        z.extractall(seg)
+    # truncate the chunk file mid-way through the LAST column's bytes
+    # (visited_sum per meta.smoosh order) but keep meta.smoosh intact
+    # by padding with zeros to the declared size
+    chunk = seg / "00000.smoosh"
+    data = bytearray(chunk.read_bytes())
+    # zero out the tail of visited_sum's range (752..1161) so its
+    # LZ4 stream is garbage mid-sequence
+    data[900:1161] = bytes(1161 - 900)
+    chunk.write_bytes(bytes(data))
+    pdf, info = read_segment_dir(str(seg), lenient=True)
+    assert "visited_sum" in info["column_errors"]
+    assert pdf["host"].tolist() == [
+        "a.example.com", "b.example.com", "c.example.com"]
+    with pytest.raises(Exception):
+        read_segment_dir(str(seg))  # strict still aborts
+
+
+def test_zip_read_does_not_extract(tmp_path, monkeypatch):
+    """read_segment_zip streams members in memory — nothing lands on
+    disk (the r16 review found full extractall per read)."""
+    import tempfile
+
+    monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
+    before = set((tmp_path).iterdir())
+    pdf, _ = read_segment_zip(GOLDEN_ZIP)
+    assert len(pdf) == 3
+    assert set((tmp_path).iterdir()) == before
+
+
+def test_druid_input_source_dedups_overlapping_paths(spark, tmp_path):
+    import shutil
+
+    base = tmp_path / "store"
+    base.mkdir()
+    shutil.copy(GOLDEN_ZIP, base / "seg.zip")
+    from apache_druid_spark.ingest.batch import read_input
+
+    df = read_input(spark, {"inputSource": {
+        "type": "druid",
+        "segments": [str(base / "seg.zip")],
+        "baseDir": str(base)}})
+    assert df.count() == 3  # NOT 6 — same container named twice
