@@ -2154,6 +2154,52 @@ def _legacy_hllc_native_groupby(spark, sf_dir):
             .orderBy("event_type"))
 
 
+@_q("legacy_hllc_timeseries", """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS __time,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS hllc_within_7pct
+FROM events GROUP BY 1 ORDER BY 1
+""")
+def _legacy_hllc_timeseries(spark, sf_dir):
+    """NATIVE timeseries over legacy hyperUnique state (r16;
+    plans/compiler.py compile_timeseries): the dashboards'
+    unique-users-over-time shape — {"type": "hyperUnique",
+    "legacy": true} in a timeseries reroutes through the Arrow HLLC
+    fold per DAY bucket and left-joins the estimates back onto the
+    bucketed aggregation (zero-filled buckets coalesce to 0.0, an
+    empty collector's estimate). Same ±7% (~3 sigma) tolerance gate
+    as the other legacy entries; estimate outside the hash."""
+    from apache_druid_spark.ingest.hllc import hllc_rollup
+
+    events = _registry(spark, sf_dir).table("events")
+    legacy_seg = hllc_rollup(
+        events.withColumn(
+            "__day", F.date_trunc("day", F.col("ts")))
+        .withColumn("__bucket",
+                    F.pmod(F.crc32(F.col("user_id").cast("string")
+                                   .cast("binary")), F.lit(8))),
+        ["__day", "__bucket"], "user_id",
+        mode="values", out_col="uniq_state") \
+        .withColumnRenamed("__day", "__time")
+    r2 = DatasourceRegistry(spark)
+    r2.register("events_legacy_ts", legacy_seg)
+    native = compile_query({
+        "queryType": "timeseries", "dataSource": "events_legacy_ts",
+        "granularity": "day",
+        "aggregations": [{"type": "hyperUnique", "name": "hllc_est",
+                          "fieldName": "uniq_state", "legacy": True}],
+    }, r2)
+    exact = events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("__time")).agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users"))
+    return (exact.join(native, "__time")
+            .select("__time", "exact_users",
+                    (F.abs(F.col("hllc_est") - F.col("exact_users"))
+                     <= 0.07 * F.col("exact_users"))
+                    .alias("hllc_within_7pct"))
+            .orderBy("__time"))
+
+
 @_q("legacy_hllc_subtotals", """
 WITH e AS (SELECT event_type,
                   CASE WHEN value >= 100 THEN 'high' ELSE 'low' END

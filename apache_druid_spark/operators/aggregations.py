@@ -171,10 +171,11 @@ def compile_aggregator(spec: dict, df=None, registry=None,
         # a Column .agg() list — compile_groupby reroutes these specs
         # through hllc_rollup and joins the result back.
         raise NotImplementedError(
-            "legacy hyperUnique aggregators run through the groupBy "
-            "query path (compile_groupby reroutes them via "
-            "ingest.hllc.hllc_rollup); this query type compiles "
-            "aggregators as Columns and cannot host the Arrow fold")
+            "legacy hyperUnique aggregators run through the "
+            "groupBy / timeseries / topN query paths (the compiler "
+            "reroutes them via ingest.hllc.hllc_rollup); this query "
+            "type compiles aggregators as Columns and cannot host "
+            "the Arrow fold")
     if t in ("hyperUnique", "HLLSketchBuild", "HLLSketchMerge"):
         # Over a stored COMPLEX sketch column (BinaryType — ingest-time
         # hyperUnique state written by ingest.batch.rollup via

@@ -456,6 +456,12 @@ def compile_timeseries(q: dict, registry: DatasourceRegistry) -> DataFrame:
     fill-empty-buckets; ours is skip, because unbounded interval specs
     (ALL eternity) would explode the generated sequence."""
     df = _base_frame(q, registry)
+    # legacy hyperUnique (real HyperLogLogCollector wire state) runs
+    # through the Arrow fold and joins back per bucket — the
+    # dashboards' timeseries-of-unique-users shape (r16)
+    q, legacy_specs = _split_legacy_specs(q)
+    if legacy_specs:
+        df = _persist_legacy_base(q, df, [], legacy_specs)
     _extra, _posts = synthesize_quantile_postaggs(
         q.get("aggregations", []), q.get("postAggregations"), registry, df)
     if _extra:
@@ -480,6 +486,13 @@ def compile_timeseries(q: dict, registry: DatasourceRegistry) -> DataFrame:
             out = _zero_fill(out, q, registry, bucket[1], tz)
     if no_aggs:
         out = out.drop("__ts_rows")
+    if legacy_specs:
+        keys = ([] if bucket is None else
+                [(TIME_COLUMN,
+                  time_floor_col(F.col(TIME_COLUMN), bucket[1],
+                                 _tz_of(q)))])
+        out = _attach_legacy_folds(df, out, keys, legacy_specs,
+                                   finalize=True, zero_fill=True)
     ts_field = q.get("context", {}).get("timestampResultField")
     if ts_field:
         # CTX_TIMESTAMP_RESULT_FIELD (TimeseriesQuery): expose the
@@ -502,6 +515,9 @@ def compile_timeseries(q: dict, registry: DatasourceRegistry) -> DataFrame:
     if q.get("context", {}).get("grandTotal"):
         totals = df.agg(*aggs).select(
             F.lit(None).cast("timestamp").alias(TIME_COLUMN), "*")
+        if legacy_specs:
+            totals = _attach_legacy_folds(df, totals, [], legacy_specs,
+                                          finalize=True)
         totals = apply_post_aggregations(
             totals, q.get("postAggregations", []), registry)
         out = out.unionByName(totals)
@@ -868,6 +884,12 @@ def compile_topn(q: dict, registry: DatasourceRegistry) -> DataFrame:
     dim_name, dim_col = compile_dimension_spec(q["dimension"], registry, df)
     df, dims = _explode_multivalue_dims(df, [(dim_name, dim_col)],
                                         drop_empty=True)
+    # legacy hyperUnique: Arrow fold joined back per (bucket, dim) —
+    # BEFORE ordering, so "top K dims by unique users" ranks on the
+    # folded estimate (r16)
+    q, legacy_specs = _split_legacy_specs(q)
+    if legacy_specs:
+        df = _persist_legacy_base(q, df, [dim_name], legacy_specs)
     _extra, _posts = synthesize_quantile_postaggs(
         q.get("aggregations", []), q.get("postAggregations"), registry, df)
     if _extra:
@@ -896,6 +918,14 @@ def compile_topn(q: dict, registry: DatasourceRegistry) -> DataFrame:
     out = df.groupBy(*group_cols).agg(*aggs)
     if "__topn_rows" in out.columns:
         out = out.drop("__topn_rows")
+    if legacy_specs:
+        keys = [(dim_name, F.col(dim_name))]
+        if bucket is not None:
+            keys = [(TIME_COLUMN,
+                     time_floor_col(F.col(TIME_COLUMN), bucket[1],
+                                    _tz_of(q)))] + keys
+        out = _attach_legacy_folds(df, out, keys, legacy_specs,
+                                   finalize=True)
     out = apply_post_aggregations(out, q.get("postAggregations", []), registry)
 
     stop = _topn_previous_stop(metric, dim_name)
@@ -1055,6 +1085,82 @@ def _referenced_columns(q: dict, df: DataFrame, group_names,
     return [c for c in df.columns if c in keep]
 
 
+def _split_legacy_specs(q: dict):
+    """Pull {"type": "hyperUnique", "legacy": true} aggregators out of
+    the spec — they read REAL Druid HyperLogLogCollector wire state
+    and run through the Arrow fold (ingest/hllc.py), which cannot
+    live inside a Column .agg() list."""
+    legacy = [s for s in q.get("aggregations", []) or []
+              if isinstance(s, dict) and s.get("type") == "hyperUnique"
+              and s.get("legacy")]
+    if legacy:
+        q = {**q, "aggregations": [s for s in q["aggregations"]
+                                   if s not in legacy]}
+    return q, legacy
+
+
+def _persist_legacy_base(q: dict, df: DataFrame, group_names,
+                         legacy_specs) -> DataFrame:
+    """One scan of the base for the legacy path: the Column
+    aggregation AND every Arrow HLLC fold read one persisted input
+    instead of re-scanning the source per subtree (the subtrees have
+    different agg lists, so exchange reuse can't collapse them).
+    MEMORY_AND_DISK keeps the 100 TB shape honest: one scan + local
+    re-reads beats N remote scans. The cached projection is NARROWED
+    to the columns the query can reference, and a small LRU
+    unpersists the oldest cached base so a long-lived server session
+    doesn't accumulate one pinned scan per legacy query."""
+    from pyspark import StorageLevel
+
+    needed = _referenced_columns(q, df, group_names, legacy_specs)
+    if needed is not None:
+        df = df.select(*needed)
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _LEGACY_PERSIST_LRU.append(df)
+    if len(_LEGACY_PERSIST_LRU) > 4:
+        _LEGACY_PERSIST_LRU.pop(0).unpersist(blocking=False)
+    return df
+
+
+def _attach_legacy_folds(base_df: DataFrame, out_df: DataFrame,
+                         key_exprs, legacy_specs, finalize: bool,
+                         zero_fill: bool = False) -> DataFrame:
+    """Join each legacy hyperUnique's Arrow fold back onto the
+    Column-aggregated rows. ``key_exprs`` is a list of
+    (output-name, Column-over-base) pairs — a timeseries/topN bucket
+    is a floor EXPRESSION, not a base column. eqNullSafe per key:
+    Druid returns null-dimension groups, and a plain equi-join would
+    silently drop them (r15 advice). LEFT join so zero-filled
+    timeseries buckets survive; ``zero_fill`` coalesces a finalized
+    estimate to 0.0 there (an empty collector's estimate)."""
+    from apache_druid_spark.ingest.hllc import hllc_rollup
+
+    for spec in legacy_specs:
+        field = spec["fieldName"]
+        mode = ("blobs" if isinstance(base_df.schema[field].dataType,
+                                      T.BinaryType) else "values")
+        names = [n for n, _ in key_exprs]
+        sel = [c.alias(n) for n, c in key_exprs] + [F.col(field)]
+        folded = hllc_rollup(base_df.select(*sel), names, field,
+                             mode=mode, out_col=spec["name"],
+                             finalize=finalize)
+        if names:
+            cond = None
+            for k in names:
+                c = out_df[k].eqNullSafe(folded[k])
+                cond = c if cond is None else (cond & c)
+            out_df = out_df.join(folded, cond, "left")
+            for k in names:
+                out_df = out_df.drop(folded[k])
+            if zero_fill and finalize:
+                out_df = out_df.withColumn(
+                    spec["name"],
+                    F.coalesce(F.col(spec["name"]), F.lit(0.0)))
+        else:  # grand-total query: both sides are one row
+            out_df = out_df.crossJoin(folded)
+    return out_df
+
+
 def compile_groupby(q: dict, registry: DatasourceRegistry,
                     finalize: bool = True) -> DataFrame:
     """groupBy (processing/.../groupby/epinephelinae/GroupByQueryEngineV2.java;
@@ -1144,14 +1250,7 @@ def compile_groupby(q: dict, registry: DatasourceRegistry,
     # (ingest/hllc.py) and cannot live in a Column .agg() list — pull
     # them out here, aggregate the rest normally, and join the folded
     # results back on the grouping keys below.
-    legacy_specs = [s for s in q.get("aggregations", []) or []
-                    if isinstance(s, dict) and s.get("type") == "hyperUnique"
-                    and s.get("legacy")]
-    if legacy_specs:
-        q = {**q, "aggregations": [
-            s for s in q["aggregations"]
-            if not (isinstance(s, dict) and s.get("type") == "hyperUnique"
-                    and s.get("legacy"))]}
+    q, legacy_specs = _split_legacy_specs(q)
     _extra, _posts = synthesize_quantile_postaggs(
         q.get("aggregations", []), q.get("postAggregations"), registry, df)
     if _extra:
@@ -1176,52 +1275,12 @@ def compile_groupby(q: dict, registry: DatasourceRegistry,
         group_names = ["__bucket"] + group_names
 
     if legacy_specs:
-        # single scan of the base for the legacy path: the Column
-        # aggregation AND every Arrow HLLC fold read one persisted
-        # input instead of re-scanning the source per subtree (the two
-        # subtrees have different agg lists, so exchange reuse can't
-        # collapse them). MEMORY_AND_DISK keeps the 100 TB shape
-        # honest: one scan + local re-reads beats N remote scans.
-        # The cached projection is NARROWED to the columns the query
-        # can reference (r16 review: caching the full-width base
-        # pinned every column), and a small LRU unpersists the oldest
-        # cached base so a long-lived server session doesn't
-        # accumulate one pinned scan per legacy query.
-        from pyspark import StorageLevel
-
-        needed = _referenced_columns(q, df, group_names, legacy_specs)
-        if needed is not None:
-            df = df.select(*needed)
-        df = df.persist(StorageLevel.MEMORY_AND_DISK)
-        _LEGACY_PERSIST_LRU.append(df)
-        if len(_LEGACY_PERSIST_LRU) > 4:
-            _LEGACY_PERSIST_LRU.pop(0).unpersist(blocking=False)
+        df = _persist_legacy_base(q, df, group_names, legacy_specs)
 
     def _join_legacy_folds(out_df, keys):
-        """Join each legacy hyperUnique's Arrow fold back onto the
-        Column-aggregated rows. eqNullSafe per key: Druid returns
-        null-dimension groups, and a plain equi-join would silently
-        drop them (r15 advice)."""
-        from apache_druid_spark.ingest.hllc import hllc_rollup
-
-        for spec in legacy_specs:
-            field = spec["fieldName"]
-            mode = ("blobs" if isinstance(df.schema[field].dataType,
-                                          T.BinaryType) else "values")
-            folded = hllc_rollup(
-                df.select(*keys, field), list(keys), field,
-                mode=mode, out_col=spec["name"], finalize=finalize)
-            if keys:
-                cond = None
-                for k in keys:
-                    c = out_df[k].eqNullSafe(folded[k])
-                    cond = c if cond is None else (cond & c)
-                out_df = out_df.join(folded, cond)
-                for k in keys:
-                    out_df = out_df.drop(folded[k])
-            else:  # grand-total query: both sides are one row
-                out_df = out_df.crossJoin(folded)
-        return out_df
+        return _attach_legacy_folds(
+            df, out_df, [(k, F.col(k)) for k in keys], legacy_specs,
+            finalize)
 
     def _per_set_union(sets):
         """One result block per subtotal set (GroupByQuery.java:117):

@@ -416,17 +416,78 @@ def test_native_groupby_legacy_values_mode(spark, legacy_reg):
     assert out[0]["uniq"] == want
 
 
-def test_native_timeseries_legacy_raises(spark, legacy_reg):
+def test_native_timeseries_legacy_hyperunique(spark, legacy_reg,
+                                              legacy_df):
+    """timeseries + legacy hyperUnique (r16 — previously a loud
+    NotImplementedError): the dashboards' unique-users-over-time
+    shape. Grand total (granularity all) folds every blob."""
     from apache_druid_spark.plans.compiler import compile_query
 
-    with pytest.raises(NotImplementedError, match="groupBy"):
-        compile_query({
-            "queryType": "timeseries", "dataSource": "legacy_seg",
-            "granularity": "all",
-            "aggregations": [{"type": "hyperUnique", "name": "u",
-                              "fieldName": "uniq_state",
-                              "legacy": True}],
-        }, legacy_reg).collect()
+    out = compile_query({
+        "queryType": "timeseries", "dataSource": "legacy_seg",
+        "granularity": "all",
+        "aggregations": [
+            {"type": "count", "name": "rows"},
+            {"type": "hyperUnique", "name": "u",
+             "fieldName": "uniq_state", "legacy": True}],
+    }, legacy_reg).collect()
+    assert len(out) == 1
+    n_true = len(set().union(*legacy_df.truth.values()))
+    assert abs(out[0]["u"] - n_true) < n_true * 0.05
+    assert out[0]["rows"] == 12
+
+
+def test_native_timeseries_legacy_bucketed(spark, legacy_reg,
+                                           legacy_df):
+    """Per-bucket timeseries: all legacy rows share one __time, so
+    one hour bucket carries the full fold."""
+    from apache_druid_spark.plans.compiler import compile_query
+
+    out = compile_query({
+        "queryType": "timeseries", "dataSource": "legacy_seg",
+        "granularity": "hour",
+        "aggregations": [{"type": "hyperUnique", "name": "u",
+                          "fieldName": "uniq_state", "legacy": True}],
+    }, legacy_reg).collect()
+    assert len(out) == 1
+    n_true = len(set().union(*legacy_df.truth.values()))
+    assert abs(out[0]["u"] - n_true) < n_true * 0.05
+    assert str(out[0]["__time"]).startswith("2001-01-01 00:00")
+
+
+def test_native_topn_legacy_metric_ranks_on_fold(spark):
+    """topN ORDERED BY the legacy hyperUnique estimate — the fold
+    joins back before ranking, so 'top event types by unique users'
+    ranks on the folded estimate (distinct cardinalities per type so
+    the ranking is determined by the fold, not a tie-break)."""
+    from apache_druid_spark.model.datasource import DatasourceRegistry
+    from apache_druid_spark.plans.compiler import compile_query
+
+    sizes = {"alpha": 80, "beta": 35, "gamma": 10}
+    rows = []
+    for et, n in sizes.items():
+        for part in range(3):  # several blobs per type to fold
+            users = [f"{et}-u{i}" for i in range(part, n, 3)]
+            rows.append((et, bytearray(collector_of(users).to_bytes())))
+    df = spark.createDataFrame(
+        rows, "event_type string, uniq_state binary").withColumn(
+        "__time", F.lit("2001-01-01 00:00:00").cast("timestamp"))
+    reg = DatasourceRegistry(spark)
+    reg.register("topn_legacy_seg", df)
+    out = compile_query({
+        "queryType": "topN", "dataSource": "topn_legacy_seg",
+        "granularity": "all", "dimension": "event_type",
+        "metric": "u", "threshold": 2,
+        "aggregations": [
+            {"type": "count", "name": "rows"},
+            {"type": "hyperUnique", "name": "u",
+             "fieldName": "uniq_state", "legacy": True}],
+    }, reg).collect()
+    assert [r["event_type"] for r in out] == ["alpha", "beta"]
+    for r in out:
+        n_true = sizes[r["event_type"]]
+        assert abs(r["u"] - n_true) < max(2, n_true * 0.05)
+        assert r["rows"] == 3
 
 
 # -- vectorized batch paths ---------------------------------------------------
