@@ -56,7 +56,8 @@ import zipfile
 
 __all__ = [
     "DruidSegmentError", "SmooshedFiles", "read_segment_dir",
-    "read_segment_zip", "segment_schema", "scan_segments",
+    "read_segment_zip", "segment_schema", "segment_metadata",
+    "scan_segments",
 ]
 
 
@@ -991,6 +992,84 @@ def read_segment_zip(zip_path: str, lenient: bool = False):
     SmooshedFiles streams zip members in memory, so a migration task
     over thousands of zips touches only its own heap."""
     return read_segment_dir(zip_path, lenient=lenient)
+
+
+def segment_metadata(path: str) -> dict:
+    """SegmentMetadataQuery's analyses computed from the CONTAINER
+    itself (SegmentMetadataQuery.java:50-59 — CARDINALITY, SIZE,
+    INTERVAL, MINMAX; AGGREGATORS/ROLLUP/QUERYGRANULARITY come from
+    metadata.drd verbatim): per-column type, serialized byte size,
+    dictionary cardinality, and — because string dictionaries are
+    stored SORTED (GenericIndexed allowReverseLookup) — minValue /
+    maxValue as the first/last dictionary entries. Row count from
+    the __time column header; NO value chunk is ever decompressed.
+    The inspect-before-migrate companion of scan_segments."""
+    smoosh = SmooshedFiles(path)
+    try:
+        _check_version(smoosh)
+        info = _read_index_drd(smoosh)
+        meta = info.get("metadata") or {}
+        columns: dict[str, dict] = {}
+        n_rows = None
+        for col in ["__time"] + info["columns"]:
+            if col not in smoosh.entries:
+                columns[col] = {"type": "STRING", "size": 0,
+                                "cardinality": 0, "null_only": True}
+                continue
+            chunk, start, end = smoosh.entries[col]
+            buf = _Buf(smoosh.prefix(col, 4))
+            desc_len = buf.i32()
+            head = smoosh.prefix(col, 4 + desc_len + 64)
+            desc = json.loads(bytes(head[4:4 + desc_len])
+                              .decode("utf-8"))
+            entry = {"type": desc.get("valueType"),
+                     "size": end - start,
+                     "hasMultipleValues":
+                         bool(desc.get("hasMultipleValues"))}
+            part = (desc.get("parts") or [{}])[0]
+            if part.get("type") == "stringDictionary":
+                # dictionary GI sits right after version+flags: read
+                # its header for cardinality, then the dict region for
+                # min/max (raw bytes, no decompression)
+                blob = smoosh.file(col)
+                b = _Buf(blob, 4 + desc_len)
+                v = b.u8()
+                if v >= 0x2:
+                    b.i32()  # flags
+                dict_start = b.pos
+                dictionary = read_generic_indexed(b)
+                entry["cardinality"] = len(dictionary)
+                entry["dictionary_bytes"] = b.pos - dict_start
+                non_null = [d for d in dictionary if d is not None]
+                if non_null:
+                    entry["minValue"] = non_null[0].decode("utf-8")
+                    entry["maxValue"] = non_null[-1].decode("utf-8")
+            elif part.get("type") == "complex":
+                entry["complexType"] = part.get("typeName")
+            elif desc.get("valueType") in ("LONG", "FLOAT", "DOUBLE"):
+                # numeric header: totalSize = row count (longV2 has a
+                # 4-byte offset first)
+                b = _Buf(head, 4 + desc_len)
+                if part.get("type", "").endswith("V2"):
+                    b.i32()
+                b.u8()  # version
+                entry["rows"] = b.i32()
+                if col == "__time":
+                    n_rows = entry["rows"]
+            columns[col] = entry
+        return {
+            "rows": n_rows,
+            "interval_start_ms": info["interval_start_ms"],
+            "interval_end_ms": info["interval_end_ms"],
+            "dimensions": info["dimensions"],
+            "bitmap_type": info["bitmap_type"],
+            "columns": columns,
+            "aggregators": meta.get("aggregators"),
+            "rollup": meta.get("rollup"),
+            "queryGranularity": meta.get("queryGranularity"),
+        }
+    finally:
+        smoosh.close()
 
 
 def segment_schema(path: str):

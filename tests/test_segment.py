@@ -646,3 +646,30 @@ def test_druid_input_source_dedups_overlapping_paths(spark, tmp_path):
         "segments": [str(base / "seg.zip")],
         "baseDir": str(base)}})
     assert df.count() == 3  # NOT 6 — same container named twice
+
+
+def test_segment_metadata_analyses():
+    """SegmentMetadataQuery analyses from the container itself (no
+    chunk decompression): cardinality, sorted-dictionary MINMAX,
+    size, interval, rows — plus metadata.drd aggregators/rollup
+    verbatim where present."""
+    from apache_druid_spark.ingest.segment import segment_metadata
+
+    m = segment_metadata(GOLDEN_ZIP)
+    assert m["rows"] == 3
+    assert m["dimensions"] == ["host"]
+    host = m["columns"]["host"]
+    assert host["cardinality"] == 3
+    assert host["minValue"] == "a.example.com"
+    assert host["maxValue"] == "c.example.com"
+    assert m["columns"]["unique_hosts"]["complexType"] == "hyperUnique"
+    assert m["columns"]["visited_sum"]["rows"] == 3
+    assert m["columns"]["host"]["size"] == 581  # meta.smoosh range
+
+    m2 = segment_metadata(V8_DIR)
+    assert m2["rows"] == 6
+    assert m2["rollup"] is True
+    assert m2["aggregators"][0]["type"] == "longSum"
+    assert m2["queryGranularity"] == {"type": "none"}
+    d0 = m2["columns"]["dim0"]
+    assert d0["hasMultipleValues"] and d0["cardinality"] == 3
