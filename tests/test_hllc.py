@@ -635,3 +635,29 @@ def test_property_fold_matches_union_truth():
         assert wire.to_bytes() == live.to_bytes()
         n_union = len(set(a_vals) | set(b_vals))
         assert abs(live.estimate() - n_union) <= max(3, 0.1 * n_union)
+
+
+def test_legacy_timeseries_postagg_over_estimate(spark, legacy_reg,
+                                                 legacy_df):
+    """Post-aggregators reference the folded legacy estimate (the
+    join-back runs BEFORE apply_post_aggregations in all three query
+    paths) — arithmetic over unique-users works in timeseries."""
+    from apache_druid_spark.plans.compiler import compile_query
+
+    out = compile_query({
+        "queryType": "timeseries", "dataSource": "legacy_seg",
+        "granularity": "all",
+        "aggregations": [
+            {"type": "count", "name": "rows"},
+            {"type": "hyperUnique", "name": "u",
+             "fieldName": "uniq_state", "legacy": True}],
+        "postAggregations": [
+            {"type": "arithmetic", "name": "rows_per_user", "fn": "/",
+             "fields": [
+                 {"type": "fieldAccess", "fieldName": "rows"},
+                 {"type": "hyperUniqueCardinality", "fieldName": "u"},
+             ]}],
+    }, legacy_reg).collect()
+    assert len(out) == 1
+    assert abs(out[0]["rows_per_user"]
+               - out[0]["rows"] / out[0]["u"]) < 1e-9
