@@ -205,6 +205,69 @@ def lz4_block_decompress(src, max_out: int) -> bytearray:
     return out
 
 
+def lz4_block_compress(src: bytes) -> bytes:
+    """Greedy LZ4 block encoder (hash-table matcher over 4-byte
+    prefixes, standard end-of-block literal rules). Exists so tests
+    and benches can round-trip MATCH-BEARING chunks through the
+    decoder and so synthetic containers exercise the real decode
+    path; correctness over ratio/speed — production chunks are
+    written by Druid, not by us."""
+    n = len(src)
+    if n == 0:
+        return b"\x00"
+    out = bytearray()
+    table: dict[int, int] = {}
+    anchor = 0
+    i = 0
+    # spec: the last match must start >= 12 bytes before the end and
+    # the last 5 bytes are always literals
+    limit = n - 12
+    while i <= limit:
+        key = src[i:i + 4]
+        k = int.from_bytes(key, "little")
+        cand = table.get(k)
+        table[k] = i
+        if (cand is None or i - cand > 0xFFFF
+                or src[cand:cand + 4] != key):
+            i += 1
+            continue
+        mlen = 4
+        while (i + mlen < n - 5
+               and src[cand + mlen] == src[i + mlen]):
+            mlen += 1
+        lit = src[anchor:i]
+        _emit_sequence(out, lit, i - cand, mlen)
+        i += mlen
+        anchor = i
+    lit = src[anchor:]
+    _emit_sequence(out, lit, None, None)
+    return bytes(out)
+
+
+def _emit_sequence(out: bytearray, lit: bytes, offset, mlen) -> None:
+    ll = len(lit)
+    ml = 0 if mlen is None else mlen - 4
+    token_l = 15 if ll >= 15 else ll
+    token_m = 15 if ml >= 15 else ml
+    out.append((token_l << 4) | (0 if mlen is None else token_m))
+    rem = ll - 15
+    if rem >= 0:
+        while rem >= 255:
+            out.append(255)
+            rem -= 255
+        out.append(rem)
+    out += lit
+    if mlen is None:
+        return
+    out += offset.to_bytes(2, "little")
+    rem = ml - 15
+    if rem >= 0:
+        while rem >= 255:
+            out.append(255)
+            rem -= 255
+        out.append(rem)
+
+
 def lzf_decompress(src) -> bytearray:
     """com.ning LZFDecoder chunked format ("ZV" chunks; type 0 raw,
     type 1 LZF-block-compressed) — CompressionStrategy.LZF (0x0),

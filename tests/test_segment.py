@@ -673,3 +673,37 @@ def test_segment_metadata_analyses():
     assert m2["queryGranularity"] == {"type": "none"}
     d0 = m2["columns"]["dim0"]
     assert d0["hasMultipleValues"] and d0["cardinality"] == 3
+
+
+def test_lz4_compressor_roundtrip_property():
+    """Seeded round-trip sweep through the greedy LZ4 encoder — the
+    match-bearing streams (overlapping copies, long runs, structured
+    LE-long chunks) exercise decoder paths the literal-only fixtures
+    can't."""
+    import random
+
+    from apache_druid_spark.ingest.segment import (
+        lz4_block_compress, lz4_block_decompress,
+    )
+
+    rng = random.Random(20260818)
+    cases = [b"", b"x", bytes(4096), b"abcd" * 1000,
+             (b"ab" * 7 + b"xyz") * 300]
+    for _ in range(40):
+        kind = rng.randrange(3)
+        if kind == 0:  # random (incompressible)
+            c = bytes(rng.randrange(256)
+                      for _ in range(rng.randrange(1, 3000)))
+        elif kind == 1:  # repetitive phrases (matches + overlaps)
+            words = [rng.randbytes(rng.randrange(2, 9))
+                     for _ in range(4)]
+            c = b"".join(words[rng.randrange(4)]
+                         for _ in range(rng.randrange(10, 800)))
+        else:  # structured ascending longs (a real chunk shape)
+            base = rng.randrange(2**40)
+            c = b"".join(struct.pack("<q", base + i * 1000)
+                         for i in range(rng.randrange(1, 600)))
+        cases.append(c)
+    for c in cases:
+        z = lz4_block_compress(c)
+        assert bytes(lz4_block_decompress(z, len(c) + 8)) == c

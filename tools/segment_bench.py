@@ -2,8 +2,9 @@
 
 Builds a synthetic v9 container with the WRITER-side formats the
 reader consumes (GenericIndexed v1, compressed-longs envelope with
-literal-form LZ4 chunks — valid LZ4 with no matches — dictionary ids
-as CompressedVSize, sparse-HLLC complex blobs), then times
+REAL greedy-LZ4 chunks — matches engage the back-reference decode
+path — dictionary ids as CompressedVSize, sparse-HLLC complex
+blobs), then times
 read_segment_dir and the Spark scan. The binary fixtures validate
 CORRECTNESS (tests/test_segment.py); this measures DECODE RATE so the
 "one segment per task" migration cost model in SCALE.md has a number
@@ -37,17 +38,12 @@ def _generic_indexed_v1(elements) -> bytes:
 
 
 def _lz4_literal_block(raw: bytes) -> bytes:
-    """Valid LZ4: one literal-only sequence (token + extension)."""
-    n = len(raw)
-    if n < 15:
-        return bytes([n << 4]) + raw
-    out = bytearray([0xF0])
-    n -= 15
-    while n >= 255:
-        out.append(255)
-        n -= 255
-    out.append(n)
-    return bytes(out) + raw
+    """REAL greedy LZ4 (ingest/segment.py lz4_block_compress) — the
+    chunks carry matches, so the bench measures the match-copy decode
+    path, not just the literal fast path."""
+    from apache_druid_spark.ingest.segment import lz4_block_compress
+
+    return lz4_block_compress(raw)
 
 
 def _longs_column(vals, size_per=8192, lz4=True) -> bytes:
