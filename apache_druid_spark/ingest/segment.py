@@ -132,17 +132,25 @@ def read_generic_indexed(buf: _Buf) -> list[bytes | None]:
     header_end = buf.pos + 4 * n
     value_base = header_end
     out: list[bytes | None] = []
-    prev_end = 0
-    for i in range(n):
-        end = struct.unpack_from(">i", buf.b, buf.pos + 4 * i)[0]
-        size_marker = struct.unpack_from(
-            ">i", buf.b, value_base + prev_end)[0]
-        start = prev_end + 4
-        if end - start == 0 and size_marker == -1:
-            out.append(None)
-        else:
-            out.append(bytes(buf.b[value_base + start:value_base + end]))
-        prev_end = end
+    if n:
+        # vectorized walk (a 1M-element complex column was 1.8 s of
+        # per-element struct.unpack before): offsets via one
+        # frombuffer, value area copied once, elements sliced from the
+        # flat bytes. Null iff the 4-byte size marker is -1 (an empty
+        # element's marker is 0).
+        import numpy as np
+
+        ends = np.frombuffer(buf.b, dtype=">i4", count=n,
+                             offset=buf.pos).astype(np.int64)
+        flat = bytes(buf.b[value_base:value_base + int(ends[-1])])
+        prev = 0
+        null_marker = b"\xff\xff\xff\xff"
+        for end in ends.tolist():
+            if end - prev == 4 and flat[prev:prev + 4] == null_marker:
+                out.append(None)
+            else:
+                out.append(flat[prev + 4:end])
+            prev = end
     # totalSize counts from the numElements int onward
     buf.pos = header_end - 4 * n - 4 + total_size
     return out
@@ -978,8 +986,12 @@ def _read_string_part(buf: _Buf, part: dict, bitmap_type: str):
     else:
         ids = read_compressed_vsize_ints(buf, little)
     # bitmap indexes follow — parsed past implicitly (we never read
-    # beyond; Spark filters replace them)
-    return [lookup(i) for i in ids]
+    # beyond; Spark filters replace them). One vectorized gather
+    # instead of a per-row lookup loop.
+    import numpy as np
+
+    return np.array(dictionary, dtype=object)[
+        np.asarray(ids, dtype=np.int64)].tolist()
 
 
 # ---------------------------------------------------------------------------
