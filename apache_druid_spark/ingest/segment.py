@@ -142,6 +142,15 @@ def read_generic_indexed(buf: _Buf) -> list[bytes | None]:
 
         ends = np.frombuffer(buf.b, dtype=">i4", count=n,
                              offset=buf.pos).astype(np.int64)
+        # loud on overrun: Python slice semantics would silently
+        # truncate every element of a damaged header (r16 review),
+        # where the old per-element unpack raised at the first one
+        end_max = int(ends.max())
+        if end_max > len(buf.b) - value_base or int(ends.min()) < 0:
+            raise DruidSegmentError(
+                f"corrupt GenericIndexed: element offsets reach "
+                f"{end_max} but only {len(buf.b) - value_base} value "
+                "bytes exist — truncated or damaged container")
         flat = bytes(buf.b[value_base:value_base + int(ends[-1])])
         prev = 0
         null_marker = b"\xff\xff\xff\xff"
@@ -1103,15 +1112,20 @@ def segment_metadata(path: str) -> dict:
                          bool(desc.get("hasMultipleValues"))}
             part = (desc.get("parts") or [{}])[0]
             if part.get("type") == "stringDictionary":
-                # dictionary GI sits right after version+flags: read
-                # its header for cardinality, then the dict region for
-                # min/max (raw bytes, no decompression)
-                blob = smoosh.file(col)
-                b = _Buf(blob, 4 + desc_len)
+                # dictionary GI sits right after version+flags: peek
+                # its totalSize from a tiny prefix, then read ONLY the
+                # dictionary region — never the (potentially hundreds
+                # of MB) id/bitmap regions behind it (r16 review)
+                b = _Buf(head, 4 + desc_len)
                 v = b.u8()
                 if v >= 0x2:
                     b.i32()  # flags
                 dict_start = b.pos
+                b.u8()  # GI version
+                b.u8()  # allowReverseLookup
+                gi_total = b.i32()
+                blob = smoosh.prefix(col, dict_start + 6 + gi_total)
+                b = _Buf(blob, dict_start)
                 dictionary = read_generic_indexed(b)
                 entry["cardinality"] = len(dictionary)
                 entry["dictionary_bytes"] = b.pos - dict_start

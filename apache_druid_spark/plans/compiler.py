@@ -515,6 +515,8 @@ def compile_timeseries(q: dict, registry: DatasourceRegistry) -> DataFrame:
     if q.get("context", {}).get("grandTotal"):
         totals = df.agg(*aggs).select(
             F.lit(None).cast("timestamp").alias(TIME_COLUMN), "*")
+        if no_aggs:
+            totals = totals.drop("__ts_rows")
         if legacy_specs:
             totals = _attach_legacy_folds(df, totals, [], legacy_specs,
                                           finalize=True)
@@ -919,7 +921,7 @@ def compile_topn(q: dict, registry: DatasourceRegistry) -> DataFrame:
     if "__topn_rows" in out.columns:
         out = out.drop("__topn_rows")
     if legacy_specs:
-        keys = [(dim_name, F.col(dim_name))]
+        keys = [(dim_name, fcol(dim_name))]
         if bucket is not None:
             keys = [(TIME_COLUMN,
                      time_floor_col(F.col(TIME_COLUMN), bucket[1],
@@ -1128,11 +1130,18 @@ def _attach_legacy_folds(base_df: DataFrame, out_df: DataFrame,
     """Join each legacy hyperUnique's Arrow fold back onto the
     Column-aggregated rows. ``key_exprs`` is a list of
     (output-name, Column-over-base) pairs — a timeseries/topN bucket
-    is a floor EXPRESSION, not a base column. eqNullSafe per key:
-    Druid returns null-dimension groups, and a plain equi-join would
-    silently drop them (r15 advice). LEFT join so zero-filled
-    timeseries buckets survive; ``zero_fill`` coalesces a finalized
-    estimate to 0.0 there (an empty collector's estimate)."""
+    is a floor EXPRESSION, not a base column. The fold runs over
+    SAFE temp key names (``__lk*``) so dotted output names (join
+    prefixes like ``j0.col``) never reach a string groupBy, and the
+    field is read via fcol (backtick-quoted) for the same reason.
+    eqNullSafe per key: Druid returns null-dimension groups, and a
+    plain equi-join would silently drop them (r15 advice). LEFT join
+    so zero-filled timeseries buckets survive; ``zero_fill``
+    coalesces a finalized estimate to 0.0 there. The GLOBAL (no-key)
+    fold also left-joins on TRUE: applyInPandas yields ZERO rows on
+    empty input, and a crossJoin would annihilate the engine's
+    one-row global aggregate — the estimate coalesces to 0.0, the
+    value the non-legacy path returns on empty input."""
     from apache_druid_spark.ingest.hllc import hllc_rollup
 
     for spec in legacy_specs:
@@ -1140,24 +1149,28 @@ def _attach_legacy_folds(base_df: DataFrame, out_df: DataFrame,
         mode = ("blobs" if isinstance(base_df.schema[field].dataType,
                                       T.BinaryType) else "values")
         names = [n for n, _ in key_exprs]
-        sel = [c.alias(n) for n, c in key_exprs] + [F.col(field)]
-        folded = hllc_rollup(base_df.select(*sel), names, field,
+        safe = [f"__lk{i}" for i in range(len(key_exprs))]
+        sel = [c.alias(s) for (_, c), s in zip(key_exprs, safe)] \
+            + [fcol(field).alias("__lfield")]
+        folded = hllc_rollup(base_df.select(*sel), safe, "__lfield",
                              mode=mode, out_col=spec["name"],
                              finalize=finalize)
         if names:
             cond = None
-            for k in names:
-                c = out_df[k].eqNullSafe(folded[k])
+            for n, s in zip(names, safe):
+                c = out_df[n].eqNullSafe(folded[s])
                 cond = c if cond is None else (cond & c)
-            out_df = out_df.join(folded, cond, "left")
-            for k in names:
-                out_df = out_df.drop(folded[k])
+            out_df = out_df.join(folded, cond, "left").drop(*safe)
             if zero_fill and finalize:
                 out_df = out_df.withColumn(
                     spec["name"],
-                    F.coalesce(F.col(spec["name"]), F.lit(0.0)))
-        else:  # grand-total query: both sides are one row
-            out_df = out_df.crossJoin(folded)
+                    F.coalesce(fcol(spec["name"]), F.lit(0.0)))
+        else:  # global aggregate: one row joins the (<=1 row) fold
+            out_df = out_df.join(folded, F.lit(True), "left")
+            if finalize:
+                out_df = out_df.withColumn(
+                    spec["name"],
+                    F.coalesce(fcol(spec["name"]), F.lit(0.0)))
     return out_df
 
 
@@ -1279,7 +1292,7 @@ def compile_groupby(q: dict, registry: DatasourceRegistry,
 
     def _join_legacy_folds(out_df, keys):
         return _attach_legacy_folds(
-            df, out_df, [(k, F.col(k)) for k in keys], legacy_specs,
+            df, out_df, [(k, fcol(k)) for k in keys], legacy_specs,
             finalize)
 
     def _per_set_union(sets):

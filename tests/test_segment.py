@@ -707,3 +707,39 @@ def test_lz4_compressor_roundtrip_property():
     for c in cases:
         z = lz4_block_compress(c)
         assert bytes(lz4_block_decompress(z, len(c) + 8)) == c
+
+
+def test_generic_indexed_overrun_is_loud():
+    """r16 review: the vectorized element walk must raise on
+    header offsets past the buffer, not silently truncate."""
+    from apache_druid_spark.ingest.segment import (
+        _Buf, read_generic_indexed,
+    )
+
+    good = _generic_indexed_v1([b"abc", b"defg"])
+    # corrupt the LAST end-offset to point far past the value area
+    bad = bytearray(good)
+    struct.pack_into(">i", bad, 2 + 4 + 4 + 4, 10_000)
+    with pytest.raises(DruidSegmentError, match="offsets reach"):
+        read_generic_indexed(_Buf(bytes(bad)))
+
+
+def test_segment_metadata_never_reads_full_columns(monkeypatch):
+    """r16 review: the metadata peek must stay bounded — dictionary
+    prefix only, never the id/bitmap regions (SmooshedFiles.file is
+    not called at all; only prefix/read_aux are)."""
+    from apache_druid_spark.ingest import segment as seg_mod
+
+    calls = []
+    orig = seg_mod.SmooshedFiles.file
+
+    def spy(self, name):
+        calls.append(name)
+        return orig(self, name)
+
+    monkeypatch.setattr(seg_mod.SmooshedFiles, "file", spy)
+    m = seg_mod.segment_metadata(V8_DIR)
+    assert m["columns"]["dim0"]["cardinality"] == 3
+    # only the tiny index/metadata files go through file(); every
+    # COLUMN read is a bounded prefix
+    assert set(calls) <= {"index.drd", "metadata.drd"}
