@@ -661,3 +661,52 @@ def test_legacy_timeseries_postagg_over_estimate(spark, legacy_reg,
     assert len(out) == 1
     assert abs(out[0]["rows_per_user"]
                - out[0]["rows"] / out[0]["u"]) < 1e-9
+
+
+def test_legacy_global_fold_survives_empty_input(spark, legacy_reg):
+    """r16 second-review: a filter matching ZERO rows must still
+    return the engine's one-row global aggregate with estimate 0.0
+    (applyInPandas yields no rows on empty input; a crossJoin used to
+    annihilate the row, count included)."""
+    from apache_druid_spark.plans.compiler import compile_query
+
+    for qtype in ("timeseries", "groupBy"):
+        q = {
+            "queryType": qtype, "dataSource": "legacy_seg",
+            "granularity": "all",
+            "filter": {"type": "selector", "dimension": "event_type",
+                       "value": "no-such-type"},
+            "aggregations": [
+                {"type": "count", "name": "rows"},
+                {"type": "hyperUnique", "name": "u",
+                 "fieldName": "uniq_state", "legacy": True}],
+        }
+        if qtype == "groupBy":
+            q["dimensions"] = []
+        out = compile_query(q, legacy_reg).collect()
+        assert len(out) == 1, qtype
+        assert out[0]["rows"] == 0
+        assert out[0]["u"] == 0.0
+
+
+def test_legacy_timeseries_grandtotal_only_legacy_agg(spark,
+                                                      legacy_reg,
+                                                      legacy_df):
+    """r16 second-review: grandTotal with ONLY a legacy aggregator
+    used to die on a schema mismatch (__ts_rows dropped from one
+    union side)."""
+    from apache_druid_spark.plans.compiler import compile_query
+
+    out = compile_query({
+        "queryType": "timeseries", "dataSource": "legacy_seg",
+        "granularity": "hour",
+        "context": {"grandTotal": True},
+        "aggregations": [{"type": "hyperUnique", "name": "u",
+                          "fieldName": "uniq_state", "legacy": True}],
+    }, legacy_reg).collect()
+    # one hour bucket + the grand-total row (null __time)
+    assert len(out) == 2
+    n_true = len(set().union(*legacy_df.truth.values()))
+    for r in out:
+        assert abs(r["u"] - n_true) < n_true * 0.05
+    assert sum(1 for r in out if r["__time"] is None) == 1
