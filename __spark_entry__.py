@@ -5891,23 +5891,65 @@ _R16_WINDOW = (
 _R16_NEXT = ('granularity_none_identity', 'scan_result_envelope',
              'lambda_realtime_union')
 
+# Round-17 gate window (VERDICT r16 task #1): the 4 evidence
+# stragglers first — the 3 r12-age leftovers (_R16_NEXT) plus
+# legacy_hllc_timeseries (registry entry #201, added late in r16 and
+# never inside a driver window) — then 46 of the 50 entries whose
+# latest driver evidence is r13 (cohort computed by union-diffing all
+# 16 CORRECTNESS files). The 50-cap forces FOUR r13 entries to stay
+# behind: sql_floor_to_unit, sql_safe_divide, sql_scalar_shims,
+# sql_time_ops — pure scalar-function translations with dense golden
+# suite coverage (test_golden_scalars/test_golden_macros), the
+# lowest-risk deferral; they front the r18 rotation (_R17_NEXT).
+# After r17 no driver evidence predates r13, and those four are the
+# only r13 holdovers.
+_R17_WINDOW = (
+    'granularity_none_identity', 'scan_result_envelope',
+    'lambda_realtime_union', 'legacy_hllc_timeseries',
+    # r13-evidence cohort (46 of 50)
+    'asof_join_events', 'bound_version_comparator', 'c4_clean_filters',
+    'compaction_lifecycle', 'corpus_top_ngrams', 'dedup_components',
+    'doc_chunks', 'expression_array_fold', 'expression_cartesian',
+    'expression_hyper_unique_fold', 'expression_time_format',
+    'filter_bound_lexicographic', 'gopher_quality_rules',
+    'histogram_quantity', 'human_readable_formats',
+    'hyperunique_complex_requery', 'info_schema_lookup_catalog',
+    'ipv4_custkey_subnets', 'leakage_safe_split_counts',
+    'lifecycle_publish_query', 'momentsketch_quartiles',
+    'mv_filter_any_match', 'null_dim_three_valued',
+    'quantile_postagg_family', 'quantiles_sketch_median',
+    'rollup_reaggregate', 'scan_time_desc', 'search_fragment_multi',
+    'search_regex', 'segment_metadata_orders', 'session_window_user',
+    'sql_array_fns', 'sql_bit_aggs', 'sql_bloom_filter_test',
+    'sql_earliest_by', 'sql_frozen_current_timestamp', 'sql_ipv4',
+    'sql_mv_first_word', 'streaming_rollup_hourly',
+    'tdigest_quantile_price', 'text_normalize_scrub',
+    'text_unigram_logprob', 'theta_rollup_merge',
+    'theta_setop_postagg', 'timeseries_zero_fill',
+    'timewarp_week_over_week',
+)
+# r13-evidence leftovers — front the r18 rotation
+_R17_NEXT = ('sql_floor_to_unit', 'sql_safe_divide',
+             'sql_scalar_shims', 'sql_time_ops')
+
 
 def _entry_order(name: str) -> tuple:
+    if name in _R17_WINDOW:
+        return (0, _R17_WINDOW.index(name))
+    if name in _R17_NEXT:
+        return (1, _R17_NEXT.index(name))
     if name in _R16_WINDOW:
-        return (0, _R16_WINDOW.index(name))
+        return (2, _R16_WINDOW.index(name))
     if name in _R16_NEXT:
-        return (1, _R16_NEXT.index(name))
+        return (3, _R16_NEXT.index(name))
     if name in _R15_WINDOW:
-        return (2, _R15_WINDOW.index(name))
-    # freshest evidence last: r12 window passed in r12, r13 in r13,
-    # r14 in r14
-    if name in _R12_WINDOW:
-        return (4, _R12_WINDOW.index(name))
+        return (4, _R15_WINDOW.index(name))
+    # freshest evidence last: r13 window passed in r13, r14 in r14
     if name in _R13_WINDOW:
-        return (5, _R13_WINDOW.index(name))
+        return (6, _R13_WINDOW.index(name))
     if name in _R14_WINDOW:
-        return (6, _R14_WINDOW.index(name))
-    return (3, 0)  # stable within group (dict keeps file order)
+        return (7, _R14_WINDOW.index(name))
+    return (5, 0)  # stable within group (dict keeps file order)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
