@@ -218,8 +218,9 @@ def _read_druid_segments(spark: SparkSession, src: dict) -> DataFrame:
             'a "baseDir" holding segment dirs / index.zips — there is '
             "no coordinator to resolve a dataSource name against")
     # a container named in "segments" AND discovered under "baseDir"
-    # must not be ingested twice (doubled rows, silently wrong sums)
-    paths = list(dict.fromkeys(os.path.abspath(p) for p in paths))
+    # must not be ingested twice (doubled rows, silently wrong sums);
+    # realpath, not abspath, so a symlink and its target dedupe too
+    paths = list(dict.fromkeys(os.path.realpath(p) for p in paths))
     df = scan_segments(spark, paths)
     interval = src.get("interval")
     if interval:

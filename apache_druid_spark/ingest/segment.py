@@ -151,6 +151,13 @@ def read_generic_indexed(buf: _Buf) -> list[bytes | None]:
                 f"corrupt GenericIndexed: element offsets reach "
                 f"{end_max} but only {len(buf.b) - value_base} value "
                 "bytes exist — truncated or damaged container")
+        if n > 1 and bool(np.any(np.diff(ends) < 0)):
+            # decreasing end-offsets pass the min/max bounds check but
+            # would yield silently empty/truncated elements (r17
+            # advice) — fail as loudly as an overrun does
+            raise DruidSegmentError(
+                "corrupt GenericIndexed: element end-offsets are not "
+                "monotonically non-decreasing — damaged header")
         flat = bytes(buf.b[value_base:value_base + int(ends[-1])])
         prev = 0
         null_marker = b"\xff\xff\xff\xff"
@@ -1122,7 +1129,12 @@ def segment_metadata(path: str) -> dict:
                     b.i32()  # flags
                 dict_start = b.pos
                 b.u8()  # GI version
-                b.u8()  # allowReverseLookup
+                # allowReverseLookup==1 iff the dictionary is sorted
+                # (GenericIndexed.java writes it only for sorted
+                # writers); first/last entries are min/max ONLY then
+                # (r17 advice — an unsorted dictionary would report
+                # wrong bounds)
+                sorted_dict = b.u8() == 0x1
                 gi_total = b.i32()
                 blob = smoosh.prefix(col, dict_start + 6 + gi_total)
                 b = _Buf(blob, dict_start)
@@ -1130,7 +1142,7 @@ def segment_metadata(path: str) -> dict:
                 entry["cardinality"] = len(dictionary)
                 entry["dictionary_bytes"] = b.pos - dict_start
                 non_null = [d for d in dictionary if d is not None]
-                if non_null:
+                if non_null and sorted_dict:
                     entry["minValue"] = non_null[0].decode("utf-8")
                     entry["maxValue"] = non_null[-1].decode("utf-8")
             elif part.get("type") == "complex":

@@ -1046,8 +1046,28 @@ def _verify_groupby_output_names(q: dict) -> None:
 # bounded registry of legacy-path cached bases: the newest few stay
 # pinned for their (imminent) materialization, older ones unpersist so
 # a long-lived server session doesn't accumulate one cached scan per
-# legacy query (r16 review finding)
+# legacy query (r16 review finding). Eviction is safe-by-correctness:
+# an evicted base that a not-yet-materialized plan still references
+# simply re-scans the source (unpersist never invalidates a plan) —
+# the single-scan guarantee holds for the newest
+# ``_LEGACY_PERSIST_CAP`` legacy queries, which covers a compile→run
+# cycle; a server that wants a hard boundary calls
+# ``unpersist_legacy_cache()`` between requests or at shutdown
+# (DruidHttpServer.stop does).
 _LEGACY_PERSIST_LRU: list = []
+_LEGACY_PERSIST_CAP = 4
+
+
+def unpersist_legacy_cache(blocking: bool = False) -> int:
+    """Explicitly unpin every cached legacy-path base projection
+    (r16 verdict #6 / r17 advice): returns the number of DataFrames
+    unpersisted. Safe at any time — a still-referenced plan falls back
+    to re-scanning its source."""
+    n = 0
+    while _LEGACY_PERSIST_LRU:
+        _LEGACY_PERSIST_LRU.pop().unpersist(blocking=blocking)
+        n += 1
+    return n
 
 _IDENT_RE = __import__("re").compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
@@ -1119,7 +1139,7 @@ def _persist_legacy_base(q: dict, df: DataFrame, group_names,
         df = df.select(*needed)
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     _LEGACY_PERSIST_LRU.append(df)
-    if len(_LEGACY_PERSIST_LRU) > 4:
+    if len(_LEGACY_PERSIST_LRU) > _LEGACY_PERSIST_CAP:
         _LEGACY_PERSIST_LRU.pop(0).unpersist(blocking=False)
     return df
 

@@ -218,3 +218,10 @@ class DruidHttpServer:
     def stop(self) -> None:
         self._httpd.shutdown()
         self._httpd.server_close()
+        # release any legacy-path cached base projections pinned by
+        # queries this server compiled (r16 verdict #6)
+        from apache_druid_spark.plans.compiler import (
+            unpersist_legacy_cache,
+        )
+
+        unpersist_legacy_cache()
