@@ -35,11 +35,13 @@ each SEGMENT to one task (exactly Druid's own parallelism unit), so
 throughput scales with the cluster, and a migration re-writes to
 parquet once.
 
-Deliberate louds (named errors, not silent wrongness): version-2
-GenericIndexed (single columns >2 GB, multi-smoosh), ZSTD chunks,
-CONCISE null bitmaps (pre-roaring segments used V1 numeric serdes
-with no null bitmaps, so this combination is essentially unreachable),
-and v8 containers (IndexIO.java:319 legacy layout) — re-ingest those.
+Null bitmaps decode under BOTH factory serdes: roaring (the 0.18+
+default) and CONCISE (ConciseBitmapSerdeFactory — older deployments
+that wrote V2 numeric columns under the concise serde migrate
+directly). Deliberate louds (named errors, not silent wrongness):
+version-2 GenericIndexed (single columns >2 GB, multi-smoosh), ZSTD
+chunks, and v8 containers (IndexIO.java:319 legacy layout) —
+re-ingest those.
 
 Spark surface: ``read_segment_dir`` (one container → pandas),
 ``scan_segments`` (many containers → one Spark DataFrame via
@@ -710,6 +712,66 @@ def read_roaring(data: bytes):
             else np.empty(0, dtype=np.int64))
 
 
+def read_concise(data: bytes):
+    """CONCISE (Compressed 'n' Composable Integer Set) — the null-
+    bitmap wire format of ConciseBitmapSerdeFactory
+    (processing/.../data/ConciseBitmapSerdeFactory.java:58
+    fromByteBuffer wraps the raw bytes as a big-endian IntBuffer;
+    ImmutableConciseSet.toBytes is the plain word array). Word kinds
+    (extendedset/.../ConciseSetUtils.java:149-207 and the expansion
+    order in BitIterator.java:208-281):
+
+    - literal  (MSB=1): bits 0..30 are 31 positions, LSB-first.
+    - 0-seq    (top 2 bits 00): (count&0x01FFFFFF)+1 blocks of 31
+      zeros; flip=((w&0x3FFFFFFF)>>25)-1 >= 0 marks ONE set bit at
+      block_offset+flip (BitIterator literalAndZeroFillResetZeroSequence).
+    - 1-seq    (top 2 bits 01): same geometry all ones, flip marks the
+      single UNSET position (BitIterator oneFillReset's exception).
+
+    Returns a sorted int64 numpy array of set row ids, like
+    read_roaring. Literal words decode vectorized (one unpackbits over
+    the batch); sequences expand per word (they are rare in null
+    bitmaps and can span millions of rows — np.arange, not Python)."""
+    import numpy as np
+
+    if not data:
+        return np.empty(0, dtype=np.int64)
+    if len(data) % 4:
+        raise DruidSegmentError(
+            f"CONCISE blob length {len(data)} is not a whole number "
+            "of 32-bit words — truncated or damaged bitmap")
+    words = np.frombuffer(data, dtype=">u4")
+    is_lit = (words >> 31).astype(bool)
+    blocks = np.where(is_lit, 1, (words & 0x01FFFFFF) + 1)
+    # bit offset of each word's first block; int64 before the *31 —
+    # a max-count sequence alone spans 2^25 blocks
+    offs = np.zeros(len(words), dtype=np.int64)
+    np.cumsum(blocks[:-1], out=offs[1:])
+    offs *= 31
+    out = []
+    if bool(is_lit.any()):
+        lit_words = words[is_lit].astype("<u4")
+        lit_offs = offs[is_lit]
+        bits = np.unpackbits(lit_words.view(np.uint8).reshape(-1, 4),
+                             axis=1, bitorder="little", count=31)
+        rows, cols = np.nonzero(bits)
+        out.append(lit_offs[rows] + cols)
+    for w, off in zip(words[~is_lit].tolist(),
+                      offs[~is_lit].tolist()):
+        flip = ((w & 0x3FFFFFFF) >> 25) - 1
+        if w & 0x40000000:  # one-sequence
+            span = 31 * ((w & 0x01FFFFFF) + 1)
+            seq = np.arange(off, off + span, dtype=np.int64)
+            if flip >= 0:
+                seq = seq[seq != off + flip]
+            out.append(seq)
+        elif flip >= 0:  # zero-sequence with a single set bit
+            out.append(np.asarray([off + flip], dtype=np.int64))
+    if not out:
+        return np.empty(0, dtype=np.int64)
+    return np.sort(np.concatenate(out))
+
+
 # ---------------------------------------------------------------------------
 # the container
 # ---------------------------------------------------------------------------
@@ -879,12 +941,13 @@ def _read_nulls_tail(buf: _Buf, bitmap_type: str, part_end: int):
     data = buf.take(size)
     if not data.strip(b"\x00"):
         return None
-    if bitmap_type != "roaring":
-        raise DruidSegmentError(
-            "CONCISE null bitmaps are not supported (Druid's default "
-            "has been roaring since 0.18; re-index with "
-            '{"bitmap": {"type": "roaring"}})')
-    return read_roaring(data)
+    if bitmap_type == "roaring":
+        return read_roaring(data)
+    if bitmap_type == "concise":
+        return read_concise(data)
+    raise DruidSegmentError(
+        f"unknown null-bitmap serde {bitmap_type!r} (roaring and "
+        "concise are the factory kinds — BitmapSerde.java)")
 
 
 def read_column(name: str, blob, bitmap_type: str) -> dict:

@@ -382,23 +382,27 @@ def test_float_column_lz4_chunks():
     assert col["values"].tolist() == [0.5, -1.25, 3.0]
 
 
-def test_concise_null_bitmap_is_loud():
+def test_concise_null_bitmap_decodes():
+    """The r16 loud retired (VERDICT r16 task #2): concise-serde null
+    bitmaps now decode — full coverage in tests/test_concise.py, this
+    pins the read_column wiring."""
     from apache_druid_spark.ingest.segment import read_column
 
     desc = json.dumps({"valueType": "LONG", "hasMultipleValues": False,
                        "parts": [{"type": "longV2",
                                   "byteOrder": "LITTLE_ENDIAN"}]}) \
         .encode()
-    vals = [7]
-    chunk = struct.pack("<q", 7)
-    longs = (b"\x02" + struct.pack(">ii", 1, 8) + b"\xff"
+    vals = [7, 0, 9]
+    chunk = b"".join(struct.pack("<q", v) for v in vals)
+    longs = (b"\x02" + struct.pack(">ii", len(vals), 8) + b"\xff"
              + _generic_indexed_v1([chunk]))
-    nulls = b"\x01\x02\x03\x04"  # non-empty, non-roaring
+    # CONCISE literal word with bit 1 set → row 1 is null
+    nulls = struct.pack(">I", 0x80000002)
     part = struct.pack(">i", len(longs)) + longs \
         + struct.pack(">i", len(nulls)) + nulls
     blob = struct.pack(">i", len(desc)) + desc + part
-    with pytest.raises(DruidSegmentError, match="CONCISE"):
-        read_column("m", blob, "concise")
+    col = read_column("m", blob, "concise")
+    assert col["values"].tolist() == [7, None, 9]
 
 
 # -- the reference's {"type": "druid"} re-ingestion input source -------------
