@@ -29,9 +29,12 @@ Implemented parts (reference file:line in each reader):
       other complex types surface as binary + their typeName
   null              all-null column (serde/NullColumnPartSerde.java)
 
-LZ4 block and LZF decompression are pure Python (neither lib is in
-this rig); correctness over speed — the distributed read path gives
-each SEGMENT to one task (exactly Druid's own parallelism unit), so
+LZ4 chunks decode through the SYSTEM liblz4 via ctypes when present
+(it is ambient on any Spark image — Spark's own codecs ship lz4 — so
+native rate costs no install), falling back to a tested pure-Python
+block decoder; ZSTD (newer-Druid strategy 0x2) likewise through
+libzstd; LZF is pure Python. The distributed read path gives each
+SEGMENT to one task (exactly Druid's own parallelism unit), so
 throughput scales with the cluster, and a migration re-writes to
 parquet once.
 
@@ -40,8 +43,8 @@ default) and CONCISE (ConciseBitmapSerdeFactory — older deployments
 that wrote V2 numeric columns under the concise serde migrate
 directly). Deliberate louds (named errors, not silent wrongness):
 version-2 GenericIndexed (single columns >2 GB, multi-smoosh), ZSTD
-chunks, and v8 containers (IndexIO.java:319 legacy layout) —
-re-ingest those.
+chunks on a host with no libzstd, and v8 containers
+(IndexIO.java:319 legacy layout) — re-ingest those.
 
 Spark surface: ``read_segment_dir`` (one container → pandas),
 ``scan_segments`` (many containers → one Spark DataFrame via
@@ -181,7 +184,18 @@ def read_generic_indexed(buf: _Buf) -> list[bytes | None]:
 
 def lz4_block_decompress(src, max_out: int) -> bytearray:
     """Raw LZ4 block format (the public spec; what
-    CompressionStrategy.LZ4's safeDecompressor consumes)."""
+    CompressionStrategy.LZ4's safeDecompressor consumes).
+
+    Pure-Python FALLBACK behind the native seam in ``_decompress``
+    (r16 verdict #5) — a ctypes handle to the system liblz4 serves
+    the hot path at native rate when present. This loop was A/B'd
+    against preallocated-memoryview and bytearray-slice-assign
+    variants and against a fully numpy-vectorized decoder
+    (per-position parse + pointer-doubling gather-map): the
+    append-style loop below is the fastest pure shape (~13 MB/s on
+    match-heavy structured chunks; the vector path loses because the
+    per-byte parse does 4× the work of the ~8 k real tokens) —
+    numbers in SCALE.md r17."""
     out = bytearray()
     i, n = 0, len(src)
     while i < n:
@@ -335,18 +349,103 @@ def lzf_decompress(src) -> bytearray:
     return out
 
 
+# Native decode seam (r16 verdict #5). Resolution order for LZ4
+# chunks: python-lz4's block module if someone installed it, else a
+# ctypes handle to the SYSTEM liblz4 — which is ambient on any Spark
+# image (Spark's own shuffle/IO codecs depend on lz4), so the native
+# ~70× rate needs no pip install at all — else the pure-Python loop
+# above. ZSTD chunks (strategy 0x2, written by newer Druid versions
+# than this reference) decode through libzstd the same way; without
+# it they stay a named loud.
+
+
+def _load_lz4_ctypes():
+    import ctypes
+    import ctypes.util
+
+    for name in ("liblz4.so.1", "liblz4.so",
+                 ctypes.util.find_library("lz4")):
+        if not name:
+            continue
+        try:
+            fn = ctypes.CDLL(name).LZ4_decompress_safe
+        except (OSError, AttributeError):
+            continue
+        fn.restype = ctypes.c_int
+        fn.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                       ctypes.c_int, ctypes.c_int]
+        return fn
+    return None
+
+
+def _load_zstd_ctypes():
+    import ctypes
+    import ctypes.util
+
+    for name in ("libzstd.so.1", "libzstd.so",
+                 ctypes.util.find_library("zstd")):
+        if not name:
+            continue
+        try:
+            lib = ctypes.CDLL(name)
+            dec, err = lib.ZSTD_decompress, lib.ZSTD_isError
+        except (OSError, AttributeError):
+            continue
+        dec.restype = ctypes.c_size_t
+        dec.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                        ctypes.c_char_p, ctypes.c_size_t]
+        err.restype = ctypes.c_uint
+        err.argtypes = [ctypes.c_size_t]
+        return dec, err
+    return None
+
+
+try:  # pragma: no cover - not installed in this rig
+    from lz4.block import decompress as _lz4_block_mod
+except ImportError:
+    _lz4_block_mod = None
+_lz4_ctypes = _load_lz4_ctypes()
+_zstd_ctypes = _load_zstd_ctypes()
+
+
 def _decompress(strategy: int, data, max_out: int) -> bytes:
     if strategy == 0x1:  # LZ4
+        if _lz4_block_mod is not None:  # pragma: no cover
+            try:
+                return _lz4_block_mod(bytes(data),
+                                      uncompressed_size=max_out)
+            except Exception as e:
+                raise DruidSegmentError(
+                    f"corrupt LZ4 chunk: {e}") from e
+        if _lz4_ctypes is not None:
+            import ctypes
+
+            dst = ctypes.create_string_buffer(max_out)
+            rc = _lz4_ctypes(bytes(data), dst, len(data), max_out)
+            if rc < 0:
+                raise DruidSegmentError(
+                    f"corrupt LZ4 chunk: native decoder rc={rc}")
+            return dst.raw[:rc]
         return bytes(lz4_block_decompress(data, max_out))
     if strategy == 0x0:  # LZF
         return bytes(lzf_decompress(data))
     if strategy == 0xFF:  # UNCOMPRESSED
         return bytes(data)
-    if strategy == 0x2:
-        raise DruidSegmentError(
-            "ZSTD-compressed segment chunks are not supported by this "
-            "reader — re-ingest with lz4 (the Druid default) or "
-            "export the datasource")
+    if strategy == 0x2:  # ZSTD (newer Druid than this reference)
+        if _zstd_ctypes is None:
+            raise DruidSegmentError(
+                "ZSTD-compressed segment chunks need a system "
+                "libzstd (none found) — install libzstd, or "
+                "re-ingest with lz4 (the Druid default)")
+        import ctypes
+
+        dec, is_err = _zstd_ctypes
+        dst = ctypes.create_string_buffer(max_out)
+        rc = dec(dst, max_out, bytes(data), len(data))
+        if is_err(rc):
+            raise DruidSegmentError(
+                f"corrupt ZSTD chunk: native decoder rc={rc}")
+        return dst.raw[:rc]
     raise DruidSegmentError(f"unknown compression strategy "
                             f"{strategy:#x}")
 

@@ -134,12 +134,27 @@ def main() -> int:
         size_mb = round(os.path.getsize(
             os.path.join(seg, "00000.smoosh")) / 1e6, 1)
 
+        from apache_druid_spark.ingest import segment as seg_mod
         from apache_druid_spark.ingest.segment import read_segment_dir
 
         t0 = time.time()
         pdf, info = read_segment_dir(seg)
         read_s = round(time.time() - t0, 2)
         assert len(pdf) == rows
+        # warm read isolates decode rate from import/page-cache cost
+        t0 = time.time()
+        read_segment_dir(seg)
+        read_warm_s = round(time.time() - t0, 2)
+        # forced pure-Python LZ4 (the fallback a host with no liblz4
+        # gets) for the native-vs-pure attribution in SCALE.md
+        native = seg_mod._lz4_ctypes is not None \
+            or seg_mod._lz4_block_mod is not None
+        saved = seg_mod._lz4_ctypes, seg_mod._lz4_block_mod
+        seg_mod._lz4_ctypes = seg_mod._lz4_block_mod = None
+        t0 = time.time()
+        read_segment_dir(seg)
+        read_pure_s = round(time.time() - t0, 2)
+        seg_mod._lz4_ctypes, seg_mod._lz4_block_mod = saved
 
         from apache_druid_spark import get_spark
         from apache_druid_spark.ingest.segment import scan_segments
@@ -157,8 +172,11 @@ def main() -> int:
 
         print(json.dumps({
             "rows": rows, "container_mb": size_mb, "build_sec": build_s,
-            "read_sec": read_s,
-            "rows_per_sec": int(rows / max(read_s, 1e-9)),
+            "read_sec": read_s, "read_warm_sec": read_warm_s,
+            "read_pure_lz4_sec": read_pure_s,
+            "lz4_native_resolved": native,
+            "rows_per_sec": int(rows / max(read_warm_s, 1e-9)),
+            "rows_per_sec_pure": int(rows / max(read_pure_s, 1e-9)),
             "spark_scan_sec": spark_s, "spark_scan_x8_sec": spark8_s,
             "load_1min": round(os.getloadavg()[0], 1),
         }))
