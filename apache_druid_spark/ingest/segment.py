@@ -512,10 +512,27 @@ def _read_long_encoding_header(buf: _Buf, comp_id: int):
     return comp_id, encoding
 
 
-def read_compressed_longs(buf: _Buf, little_endian: bool = True):
+def _chunk_sel(rows, done: int, count: int):
+    """Row-mask slice for the chunk covering [done, done+count),
+    rebased to chunk-local positions (``rows`` is sorted)."""
+    import numpy as np
+
+    lo = int(np.searchsorted(rows, done, "left"))
+    hi = int(np.searchsorted(rows, done + count, "left"))
+    return rows[lo:hi] - done
+
+
+def read_compressed_longs(buf: _Buf, little_endian: bool = True,
+                          rows=None):
     """CompressedColumnarLongsSupplier.java:100: version 0x1 (LZF,
     LONGS) or 0x2 (compression byte, optional encoding flag), then a
-    GenericIndexed of compressed chunks of sizePer values each."""
+    GenericIndexed of compressed chunks of sizePer values each.
+
+    ``rows`` (sorted int64 row ids) enables bitmap-pushdown chunk
+    skipping: chunks with no selected row are never DECOMPRESSED
+    (the reference's own pre-filter split,
+    QueryableIndexStorageAdapter.java:404) and only the selected
+    values are returned, in mask order."""
     import numpy as np
 
     version = buf.u8()
@@ -531,30 +548,41 @@ def read_compressed_longs(buf: _Buf, little_endian: bool = True):
         if kind == "LONGS":
             raw = buf.take(total * 8)
             dt = "<i8" if little_endian else ">i8"
-            return np.frombuffer(raw, dtype=dt).astype(np.int64)
-        raw = buf.take(buf.remaining())
-        ids = _unpack_bits(raw, arg[1], total)
-        return (arg[0] + ids if kind == "DELTA"
-                else np.asarray(arg[0], dtype=np.int64)[ids])
+            out = np.frombuffer(raw, dtype=dt).astype(np.int64)
+        else:
+            raw = buf.take(buf.remaining())
+            ids = _unpack_bits(raw, arg[1], total)
+            out = (arg[0] + ids if kind == "DELTA"
+                   else np.asarray(arg[0], dtype=np.int64)[ids])
+        return out if rows is None else out[rows]
     chunks = read_generic_indexed(buf)
-    out = np.empty(total, dtype=np.int64)
-    done = 0
+    out = np.empty(total if rows is None else len(rows),
+                   dtype=np.int64)
+    done = written = 0
     kind, arg = encoding
     for c in chunks:
         count = min(size_per, total - done)
         if count <= 0:
             break
+        if rows is not None:
+            sel = _chunk_sel(rows, done, count)
+            if len(sel) == 0:
+                done += count
+                continue
+        raw = _decompress(comp, c, size_per * 8 + 8)
         if kind == "LONGS":
-            raw = _decompress(comp, c, size_per * 8 + 8)
             dt = "<i8" if little_endian else ">i8"
             vals = np.frombuffer(raw[:count * 8], dtype=dt) \
                 .astype(np.int64)
         else:
-            raw = _decompress(comp, c, size_per * 8 + 8)
             ids = _unpack_bits(raw, arg[1], count)
             vals = (arg[0] + ids if kind == "DELTA"
                     else np.asarray(arg[0], dtype=np.int64)[ids])
-        out[done:done + count] = vals
+        if rows is None:
+            out[done:done + count] = vals
+        else:
+            out[written:written + len(sel)] = vals[sel]
+            written += len(sel)
         done += count
     if done != total:
         raise DruidSegmentError(f"longs column truncated: {done} of "
@@ -563,19 +591,30 @@ def read_compressed_longs(buf: _Buf, little_endian: bool = True):
 
 
 def _read_compressed_fixed(buf: _Buf, total: int, size_per: int,
-                           comp: int, width: int, dtype: str):
+                           comp: int, width: int, dtype: str,
+                           rows=None):
     import numpy as np
 
     chunks = read_generic_indexed(buf)
-    out = np.empty(total, dtype=dtype[1:])
-    done = 0
+    out = np.empty(total if rows is None else len(rows),
+                   dtype=dtype[1:])
+    done = written = 0
     for c in chunks:
         count = min(size_per, total - done)
         if count <= 0:
             break
+        if rows is not None:
+            sel = _chunk_sel(rows, done, count)
+            if len(sel) == 0:
+                done += count
+                continue
         raw = _decompress(comp, c, size_per * width + 8)
-        out[done:done + count] = np.frombuffer(
-            raw[:count * width], dtype=dtype)
+        vals = np.frombuffer(raw[:count * width], dtype=dtype)
+        if rows is None:
+            out[done:done + count] = vals
+        else:
+            out[written:written + len(sel)] = vals[sel]
+            written += len(sel)
         done += count
     if done != total:
         raise DruidSegmentError(f"numeric column truncated: {done} "
@@ -583,7 +622,8 @@ def _read_compressed_fixed(buf: _Buf, total: int, size_per: int,
     return out
 
 
-def read_compressed_floats(buf: _Buf, little_endian: bool = True):
+def read_compressed_floats(buf: _Buf, little_endian: bool = True,
+                           rows=None):
     """CompressedColumnarFloatsSupplier.java:85."""
     version = buf.u8()
     if version not in (0x1, 0x2):
@@ -592,11 +632,12 @@ def read_compressed_floats(buf: _Buf, little_endian: bool = True):
     total, size_per = buf.i32(), buf.i32()
     comp = buf.u8() if version == 0x2 else 0x0
     return _read_compressed_fixed(
-        buf, total, size_per, comp, 4, "<f4" if little_endian
-        else ">f4")
+        buf, total, size_per, comp, 4,
+        "<f4" if little_endian else ">f4", rows)
 
 
-def read_compressed_doubles(buf: _Buf, little_endian: bool = True):
+def read_compressed_doubles(buf: _Buf, little_endian: bool = True,
+                            rows=None):
     """CompressedColumnarDoublesSuppliers (same envelope as floats)."""
     version = buf.u8()
     if version not in (0x1, 0x2):
@@ -605,8 +646,8 @@ def read_compressed_doubles(buf: _Buf, little_endian: bool = True):
     total, size_per = buf.i32(), buf.i32()
     comp = buf.u8() if version == 0x2 else 0x0
     return _read_compressed_fixed(
-        buf, total, size_per, comp, 8, "<f8" if little_endian
-        else ">f8")
+        buf, total, size_per, comp, 8,
+        "<f8" if little_endian else ">f8", rows)
 
 
 # ---------------------------------------------------------------------------
@@ -652,11 +693,13 @@ def _le_ints(raw: bytes, num_bytes: int, count: int):
     return vals
 
 
-def read_compressed_vsize_ints(buf: _Buf, little_endian: bool = True):
+def read_compressed_vsize_ints(buf: _Buf, little_endian: bool = True,
+                               rows=None):
     """CompressedVSizeColumnarIntsSupplier.java:143: version 0x2,
     byte numBytes, int totalSize, int sizePer, compression byte, then
     GenericIndexed chunks of sizePer values x numBytes (column byte
-    order) each."""
+    order) each. ``rows`` skips whole chunks like
+    read_compressed_longs."""
     import numpy as np
 
     version = buf.u8()
@@ -667,18 +710,29 @@ def read_compressed_vsize_ints(buf: _Buf, little_endian: bool = True):
     total, size_per = buf.i32(), buf.i32()
     comp = buf.u8()
     chunks = read_generic_indexed(buf)
-    out = np.empty(total, dtype=np.int64)
-    done = 0
+    out = np.empty(total if rows is None else len(rows),
+                   dtype=np.int64)
+    done = written = 0
     for c in chunks:
         count = min(size_per, total - done)
         if count <= 0:
             break
+        if rows is not None:
+            sel = _chunk_sel(rows, done, count)
+            if len(sel) == 0:
+                done += count
+                continue
         raw = _decompress(comp, c, size_per * num_bytes + 4)
         if little_endian:
-            out[done:done + count] = _le_ints(raw, num_bytes, count)
+            vals = _le_ints(raw, num_bytes, count)
         else:
-            out[done:done + count] = _be_ints(
+            vals = _be_ints(
                 np.frombuffer(raw, dtype=np.uint8), num_bytes, count)
+        if rows is None:
+            out[done:done + count] = vals
+        else:
+            out[written:written + len(sel)] = vals[sel]
+            written += len(sel)
         done += count
     if done != total:
         raise DruidSegmentError(f"ids column truncated: {done} of "
@@ -1049,9 +1103,14 @@ def _read_nulls_tail(buf: _Buf, bitmap_type: str, part_end: int):
         "concise are the factory kinds — BitmapSerde.java)")
 
 
-def read_column(name: str, blob, bitmap_type: str) -> dict:
+def read_column(name: str, blob, bitmap_type: str,
+                rows=None) -> dict:
     """One smooshed column: 4-byte-len descriptor JSON, then each
-    part's binary per its serde (ColumnDescriptor.read)."""
+    part's binary per its serde (ColumnDescriptor.read). ``rows``
+    (sorted int64 row ids) restricts the decode to those rows —
+    numeric and single-value dictionary columns SKIP whole compressed
+    chunks with no selected row (bitmap pushdown, r16 verdict #4);
+    multi-value and complex columns decode fully then gather."""
     import numpy as np
 
     buf = _Buf(blob)
@@ -1065,44 +1124,50 @@ def read_column(name: str, blob, bitmap_type: str) -> dict:
             == "LITTLE_ENDIAN"
         part_end = len(blob)  # parts are sequential; last wins
         if ptype == "stringDictionary":
-            out["values"] = _read_string_part(buf, part, bitmap_type)
+            out["values"] = _read_string_part(buf, part, bitmap_type,
+                                              rows)
         elif ptype in ("long", "longV2"):
             offset_end = None
             if ptype == "longV2":
                 offset = buf.i32()
                 offset_end = buf.pos + offset
-            vals = read_compressed_longs(buf, little)
+            vals = read_compressed_longs(buf, little, rows)
             nulls = None
             if ptype == "longV2":
                 buf.pos = offset_end
                 nulls = _read_nulls_tail(buf, bitmap_type, part_end)
-            out["values"] = _apply_nulls(vals, nulls)
+            out["values"] = _apply_nulls(vals, nulls, rows=rows)
         elif ptype in ("float", "floatV2"):
             offset_end = None
             if ptype == "floatV2":
                 offset = buf.i32()
                 offset_end = buf.pos + offset
-            vals = read_compressed_floats(buf, little)
+            vals = read_compressed_floats(buf, little, rows)
             nulls = None
             if ptype == "floatV2":
                 buf.pos = offset_end
                 nulls = _read_nulls_tail(buf, bitmap_type, part_end)
             out["values"] = _apply_nulls(
-                vals.astype(np.float64), nulls, float_nan=True)
+                vals.astype(np.float64), nulls, float_nan=True,
+                rows=rows)
         elif ptype in ("double", "doubleV2"):
             offset_end = None
             if ptype == "doubleV2":
                 offset = buf.i32()
                 offset_end = buf.pos + offset
-            vals = read_compressed_doubles(buf, little)
+            vals = read_compressed_doubles(buf, little, rows)
             nulls = None
             if ptype == "doubleV2":
                 buf.pos = offset_end
                 nulls = _read_nulls_tail(buf, bitmap_type, part_end)
-            out["values"] = _apply_nulls(vals, nulls, float_nan=True)
+            out["values"] = _apply_nulls(vals, nulls, float_nan=True,
+                                         rows=rows)
         elif ptype == "complex":
             out["complex_type"] = part.get("typeName")
-            out["values"] = read_generic_indexed(buf)
+            vals = read_generic_indexed(buf)
+            if rows is not None:
+                vals = [vals[int(i)] for i in rows]
+            out["values"] = vals
         elif ptype == "null":
             out["values"] = None  # row count filled by the caller
             out["all_null"] = True
@@ -1112,9 +1177,18 @@ def read_column(name: str, blob, bitmap_type: str) -> dict:
     return out
 
 
-def _apply_nulls(vals, nulls, float_nan: bool = False):
+def _apply_nulls(vals, nulls, float_nan: bool = False, rows=None):
+    """``nulls`` holds GLOBAL row ids; with a pushdown ``rows`` mask
+    the values array is mask-RELATIVE, so null positions remap
+    through searchsorted membership."""
+    import numpy as np
+
     if nulls is None or len(nulls) == 0:
         return vals
+    if rows is not None:
+        nulls = np.nonzero(np.isin(rows, nulls))[0]
+        if len(nulls) == 0:
+            return vals
     if float_nan:
         out = vals.astype("float64").copy()
         out[nulls] = float("nan")
@@ -1125,8 +1199,11 @@ def _apply_nulls(vals, nulls, float_nan: bool = False):
     return out
 
 
-def _read_string_part(buf: _Buf, part: dict, bitmap_type: str):
-    """DictionaryEncodedColumnPartSerde.java:286."""
+def _read_string_part(buf: _Buf, part: dict, bitmap_type: str,
+                      rows=None):
+    """DictionaryEncodedColumnPartSerde.java:286. ``rows`` restricts
+    the decode (single-value compressed ids skip whole chunks;
+    multi-value decodes fully then gathers)."""
     version = buf.u8()
     if version > 0x3:
         raise DruidSegmentError(
@@ -1143,9 +1220,9 @@ def _read_string_part(buf: _Buf, part: dict, bitmap_type: str):
 
     if multi:
         if version in (0x1, 0x3):
-            rows = read_vsize_multi_ints(buf)
+            mv_rows = read_vsize_multi_ints(buf)
         elif flags & 0x2:  # MULTI_VALUE_V3 (compressed)
-            rows = read_v3_multi_ints(buf, little)
+            mv_rows = read_v3_multi_ints(buf, little)
         else:  # compressed MULTI_VALUE: version 0x2, two
             # CompressedVSize columns — OFFSETS (row boundaries,
             # rows+1 entries) then VALUES
@@ -1156,20 +1233,219 @@ def _read_string_part(buf: _Buf, part: dict, bitmap_type: str):
                     f"unknown compressed multi-ints version {v2}")
             offsets = read_compressed_vsize_ints(buf, little)
             values = read_compressed_vsize_ints(buf, little)
-            rows = [values[offsets[i]:offsets[i + 1]]
-                    for i in range(len(offsets) - 1)]
-        return [[lookup(i) for i in r] for r in rows]
+            mv_rows = [values[offsets[i]:offsets[i + 1]]
+                       for i in range(len(offsets) - 1)]
+        if rows is not None:
+            mv_rows = [mv_rows[int(i)] for i in rows]
+        return [[lookup(i) for i in r] for r in mv_rows]
     if version in (0x0, 0x3):
         ids = read_vsize_ints(buf)
+        if rows is not None:
+            ids = ids[rows]
     else:
-        ids = read_compressed_vsize_ints(buf, little)
-    # bitmap indexes follow — parsed past implicitly (we never read
-    # beyond; Spark filters replace them). One vectorized gather
-    # instead of a per-row lookup loop.
+        ids = read_compressed_vsize_ints(buf, little, rows)
+    # bitmap indexes follow — read on demand by _read_bitmap_index
+    # for filter pushdown; the value decode never touches them.
+    # One vectorized gather instead of a per-row lookup loop.
     import numpy as np
 
     return np.array(dictionary, dtype=object)[
         np.asarray(ids, dtype=np.int64)].tolist()
+
+
+def skip_generic_indexed(buf: _Buf) -> None:
+    """Jump the cursor past a GenericIndexed without touching its
+    elements (header: version, flag, totalSize — totalSize counts
+    from the numElements int onward)."""
+    version = buf.u8()
+    if version != 0x1:
+        raise DruidSegmentError(
+            f"unknown GenericIndexed version {version}")
+    buf.u8()  # allowReverseLookup
+    buf.pos += 4 + buf.i32()  # numElements int + payload
+
+
+_NO_BITMAP_INDEX = 0x4  # DictionaryEncodedColumnPartSerde.Feature
+
+
+def _read_bitmap_index(blob, bitmap_type: str):
+    """Parse a string column's per-value bitmap index region
+    (DictionaryEncodedColumnPartSerde.java:347: after the id
+    section, GenericIndexed<ImmutableBitmap> in dictionary order,
+    absent when Feature.NO_BITMAP_INDEX is set).
+
+    Returns (dictionary: list[str|None], bitmap_blobs: list[bytes])
+    or None when the column carries no bitmap index. Value regions
+    are SKIPPED via their size headers — nothing is decompressed."""
+    buf = _Buf(blob)
+    desc = json.loads(_read_prefixed_string(buf))
+    part = next((p for p in desc.get("parts", [])
+                 if p.get("type") == "stringDictionary"), None)
+    if part is None:
+        return None
+    version = buf.u8()
+    if version > 0x3:
+        return None
+    flags = buf.i32() if version >= 0x2 else (
+        0x1 if version == 0x1 else 0)
+    if flags & _NO_BITMAP_INDEX:
+        return None
+    multi = bool(flags & 0x1 or flags & 0x2)
+    dictionary = [None if b is None else b.decode("utf-8")
+                  for b in read_generic_indexed(buf)]
+    # skip the id section without decoding
+    if multi and version in (0x1, 0x3):
+        buf.u8()  # VSizeMulti version
+        buf.u8()  # numBytes
+        buf.pos += buf.i32()
+    elif multi and flags & 0x2:  # MULTI_VALUE_V3
+        v = buf.u8()
+        if v != 0x3:
+            raise DruidSegmentError(
+                f"unknown V3 multi-ints version {v}")
+        # compressed OFFSETS envelope then compressed VALUES envelope
+        ov = buf.u8()
+        if ov != 0x2:
+            raise DruidSegmentError(
+                f"unknown compressed-ints version {ov}")
+        buf.pos += 9  # totalSize, sizePer, compression byte
+        skip_generic_indexed(buf)
+        _skip_compressed_vsize(buf)
+    elif multi:  # compressed MULTI_VALUE: two CompressedVSize columns
+        v2 = buf.u8()
+        if v2 != 0x2:
+            raise DruidSegmentError(
+                f"unknown compressed multi-ints version {v2}")
+        _skip_compressed_vsize(buf)
+        _skip_compressed_vsize(buf)
+    elif version in (0x0, 0x3):  # uncompressed VSize single
+        buf.u8()  # version
+        buf.u8()  # numBytes
+        buf.pos += buf.i32()
+    else:
+        _skip_compressed_vsize(buf)
+    bitmaps = read_generic_indexed(buf)
+    if len(bitmaps) != len(dictionary):
+        raise DruidSegmentError(
+            f"bitmap index has {len(bitmaps)} entries for "
+            f"{len(dictionary)} dictionary values")
+    return dictionary, bitmaps
+
+
+def _skip_compressed_vsize(buf: _Buf) -> None:
+    v = buf.u8()
+    if v != 0x2:
+        raise DruidSegmentError(
+            f"unknown CompressedVSize version {v}")
+    buf.pos += 10  # numBytes, totalSize, sizePer, compression byte
+    skip_generic_indexed(buf)
+
+
+def _decode_bitmap(blob, bitmap_type: str):
+    import numpy as np
+
+    if blob is None or len(blob) == 0:
+        return np.empty(0, dtype=np.int64)
+    if bitmap_type == "concise":
+        return read_concise(blob)
+    return read_roaring(blob)
+
+
+def _filter_row_mask(flt, smoosh: "SmooshedFiles", bitmap_type: str,
+                     n_rows: int, cache: dict):
+    """Compile the bitmap-indexable part of a DimFilter to a sorted
+    row-id mask BEFORE any chunk decode — the reference's own
+    pre-filter split (QueryableIndexStorageAdapter.java:404).
+
+    Returns (mask | None, exact: bool). A non-exact mask is a
+    SUPERSET of the matching rows (safe: the Spark-side filter always
+    re-applies); ``not`` demands an exact child and otherwise
+    degrades to None (no pushdown)."""
+    import numpy as np
+
+    if not isinstance(flt, dict):
+        return None, False
+    kind = flt.get("type")
+
+    def col_index(dim):
+        if dim in cache:
+            return cache[dim]
+        out = None
+        if dim in smoosh.entries:
+            try:
+                out = _read_bitmap_index(smoosh.file(dim), bitmap_type)
+            except (DruidSegmentError, KeyError, ValueError,
+                    struct.error, IndexError):
+                out = None
+        cache[dim] = out
+        return out
+
+    def rows_for_values(dim, values):
+        idx = col_index(dim)
+        if idx is None:
+            return None, False
+        dictionary, blobs = idx
+        parts = []
+        want = set(values)
+        exact = True
+        # null and "" are interchangeable under Druid's LEGACY null
+        # handling but distinct under SQL-compatible mode — include
+        # both (a SUPERSET either way) and mark INEXACT so a ``not``
+        # over this mask degrades instead of dropping rows
+        if None in want or "" in want:
+            want |= {None, ""}
+            exact = False
+        for i, d in enumerate(dictionary):
+            if d in want:
+                parts.append(_decode_bitmap(blobs[i], bitmap_type))
+        if not parts:
+            return np.empty(0, dtype=np.int64), exact
+        return np.unique(np.concatenate(parts)), exact
+
+    if kind == "selector":
+        m, e = rows_for_values(flt.get("dimension"),
+                               [flt.get("value")])
+        return (m, e) if m is not None else (None, False)
+    if kind == "in":
+        m, e = rows_for_values(flt.get("dimension"),
+                               list(flt.get("values") or []))
+        return (m, e) if m is not None else (None, False)
+    if kind == "and":
+        masks, exact = [], True
+        for f in flt.get("fields", []) or []:
+            m, e = _filter_row_mask(f, smoosh, bitmap_type, n_rows,
+                                    cache)
+            if m is None:
+                exact = False
+                continue
+            exact = exact and e
+            masks.append(m)
+        if not masks:
+            return None, False
+        out = masks[0]
+        for m in masks[1:]:
+            out = np.intersect1d(out, m, assume_unique=True)
+        return out, exact
+    if kind == "or":
+        masks, exact = [], True
+        for f in flt.get("fields", []) or []:
+            m, e = _filter_row_mask(f, smoosh, bitmap_type, n_rows,
+                                    cache)
+            if m is None:
+                return None, False  # union with unknown = unknown
+            exact = exact and e
+            masks.append(m)
+        if not masks:
+            return None, False
+        return np.unique(np.concatenate(masks)), exact
+    if kind == "not":
+        m, e = _filter_row_mask(flt.get("field"), smoosh, bitmap_type,
+                                n_rows, cache)
+        if m is None or not e:
+            return None, False
+        all_rows = np.arange(n_rows, dtype=np.int64)
+        return np.setdiff1d(all_rows, m, assume_unique=True), True
+    return None, False
 
 
 # ---------------------------------------------------------------------------
@@ -1177,7 +1453,23 @@ def _read_string_part(buf: _Buf, part: dict, bitmap_type: str):
 # ---------------------------------------------------------------------------
 
 
-def read_segment_dir(dirpath: str, lenient: bool = False):
+def _peek_row_count(smoosh: "SmooshedFiles") -> int:
+    """Row count from the __time column header (numeric totalSize)
+    without decompressing anything — same bounded peek
+    segment_metadata uses."""
+    buf = _Buf(smoosh.prefix("__time", 4))
+    desc_len = buf.i32()
+    head = smoosh.prefix("__time", 4 + desc_len + 16)
+    desc = json.loads(bytes(head[4:4 + desc_len]).decode("utf-8"))
+    b = _Buf(head, 4 + desc_len)
+    if (desc.get("parts") or [{}])[0].get("type", "").endswith("V2"):
+        b.i32()
+    b.u8()  # version
+    return b.i32()
+
+
+def read_segment_dir(dirpath: str, lenient: bool = False,
+                     dim_filter: dict | None = None):
     """Open a v9 segment directory → (pandas.DataFrame, info dict).
 
     Column types map as: __time/LONG -> int64 (ms for __time), FLOAT/
@@ -1185,6 +1477,15 @@ def read_segment_dir(dirpath: str, lenient: bool = False):
     null; lists for multi-value), COMPLEX -> object of bytes + the
     typeName recorded in info["complex"][name] (hyperUnique bytes
     feed ingest/hllc.py estimate_bytes/hllc_rollup directly).
+
+    ``dim_filter`` (a Druid DimFilter dict) engages BITMAP-INDEX
+    PUSHDOWN: the selector/in-expressible part compiles to a row mask
+    from the container's own per-value bitmaps before any value chunk
+    is decompressed, and every column decode skips chunks with no
+    selected row. The mask may be a SUPERSET of the filter's matches
+    (inexpressible subtrees drop out of an AND) — callers re-apply
+    the full filter; info["pushdown_rows"] records the mask size, or
+    -1 when the filter was not indexable.
 
     ``lenient=True`` mirrors Druid's lazy column loading
     (V9IndexLoaderTest.testLoadSegmentDamagedFileWithLazy): a column
@@ -1199,8 +1500,14 @@ def read_segment_dir(dirpath: str, lenient: bool = False):
     smoosh = SmooshedFiles(dirpath)
     _check_version(smoosh)
     info = _read_index_drd(smoosh)
+    mask = None
+    if dim_filter is not None:
+        total = _peek_row_count(smoosh)
+        mask, _ = _filter_row_mask(dim_filter, smoosh,
+                                   info["bitmap_type"], total, {})
+        info["pushdown_rows"] = -1 if mask is None else len(mask)
     time_col = read_column("__time", smoosh.file("__time"),
-                           info["bitmap_type"])
+                           info["bitmap_type"], rows=mask)
     n_rows = len(time_col["values"])
     data = {"__time": time_col["values"]}
     complex_types = {}
@@ -1210,7 +1517,7 @@ def read_segment_dir(dirpath: str, lenient: bool = False):
             continue
         try:
             parsed = read_column(col, smoosh.file(col),
-                                 info["bitmap_type"])
+                                 info["bitmap_type"], rows=mask)
         except (DruidSegmentError, KeyError, ValueError,
                 IndexError, struct.error) as e:
             if not lenient:
@@ -1239,12 +1546,14 @@ def read_segment_dir(dirpath: str, lenient: bool = False):
     return pd.DataFrame(data), info
 
 
-def read_segment_zip(zip_path: str, lenient: bool = False):
+def read_segment_zip(zip_path: str, lenient: bool = False,
+                     dim_filter: dict | None = None):
     """A deep-storage index.zip → read IN PLACE (the loadSpec shape
     every Druid deep store uses). Nothing is extracted to disk:
     SmooshedFiles streams zip members in memory, so a migration task
     over thousands of zips touches only its own heap."""
-    return read_segment_dir(zip_path, lenient=lenient)
+    return read_segment_dir(zip_path, lenient=lenient,
+                            dim_filter=dim_filter)
 
 
 def segment_metadata(path: str) -> dict:
@@ -1384,11 +1693,12 @@ def segment_schema(path: str):
         smoosh.close()
 
 
-def _first_segment(path: str):
-    return read_segment_dir(path)
+def _first_segment(path: str, dim_filter: dict | None = None):
+    return read_segment_dir(path, dim_filter=dim_filter)
 
 
-def scan_segments(spark, paths: list[str]):
+def scan_segments(spark, paths: list[str],
+                  dim_filter: dict | None = None):
     """Many segment containers → ONE Spark DataFrame: the migration
     scan. Parallelism unit = one SEGMENT per task (mapInPandas over
     the path list) — exactly Druid's own processing granularity, so
@@ -1396,7 +1706,13 @@ def scan_segments(spark, paths: list[str]):
     cluster; each task streams one container's rows as an Arrow
     batch. Schema comes from the first container (driver peek);
     containers must be schema-compatible (same datasource), like
-    Druid requires."""
+    Druid requires.
+
+    ``dim_filter`` pushes the selector/in-indexable part of a Druid
+    DimFilter into each task's container read (bitmap row mask +
+    chunk skipping — see read_segment_dir); the emitted rows may be
+    a SUPERSET of the filter's matches, so callers must still apply
+    the full filter on the DataFrame (ingest/batch.py does)."""
     from pyspark.sql import functions as F  # noqa: F401
 
     if not paths:
@@ -1410,7 +1726,7 @@ def scan_segments(spark, paths: list[str]):
 
         for pdf in batches:
             for p in pdf["path"]:
-                seg, seg_info = _first_segment(p)
+                seg, seg_info = _first_segment(p, dim_filter)
                 out = pd.DataFrame()
                 for c in col_order:
                     if c == "__time":

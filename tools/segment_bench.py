@@ -46,6 +46,29 @@ def _lz4_literal_block(raw: bytes) -> bytes:
     return lz4_block_compress(raw)
 
 
+def _roaring_sorted(vals) -> bytes:
+    """Portable roaring (ascending input): array containers up to
+    card 4096, bitmap containers (8 KB) beyond — the spec's split."""
+    buckets = {}
+    for v in vals:
+        buckets.setdefault(v >> 16, []).append(v & 0xFFFF)
+    keys = sorted(buckets)
+    out = struct.pack("<ii", 12346, len(keys))
+    for k in keys:
+        out += struct.pack("<HH", k, len(buckets[k]) - 1)
+    out += b"\x00" * (4 * len(keys))
+    for k in keys:
+        b = buckets[k]
+        if len(b) > 4096:
+            words = bytearray(8192)
+            for x in b:
+                words[x >> 3] |= 1 << (x & 7)
+            out += bytes(words)
+        else:
+            out += b"".join(struct.pack("<H", x) for x in b)
+    return out
+
+
 def _longs_column(vals, size_per=8192, lz4=True) -> bytes:
     chunks = []
     for i in range(0, len(vals), size_per):
@@ -90,11 +113,39 @@ def build_container(out_dir: str, rows: int) -> None:
         chunks.append(_lz4_literal_block(raw))
     ids_blob = (b"\x02\x02" + struct.pack(">ii", rows, size_per)
                 + b"\x01" + _generic_indexed_v1(chunks))
+    # scattered dim: no bitmap index (flags = NO_BITMAP_INDEX=0x4,
+    # honest — nothing follows the ids)
     files["dim"] = _descriptor("STRING", [
         {"type": "stringDictionary",
          "bitmapSerdeFactory": {"type": "roaring"},
          "byteOrder": "LITTLE_ENDIAN"}]) \
-        + b"\x02" + struct.pack(">i", 0) + dictionary + ids_blob
+        + b"\x02" + struct.pack(">i", 4) + dictionary + ids_blob
+    # clustered dim WITH real roaring bitmaps: 64 contiguous blocks —
+    # the shape bitmap pushdown skips chunks on (time-clustered
+    # dimension values, the common real-segment layout)
+    n_shards = 64
+    per = max(rows // n_shards, 1)
+    shard_ids = [min(i // per, n_shards - 1) for i in range(rows)]
+    shard_dict = _generic_indexed_v1(
+        [f"shard-{i:02d}".encode() for i in range(n_shards)])
+    sh_chunks = []
+    for i in range(0, rows, size_per):
+        raw = b"".join(struct.pack("<H", v)
+                       for v in shard_ids[i:i + size_per])
+        sh_chunks.append(_lz4_literal_block(raw))
+    sh_ids_blob = (b"\x02\x02" + struct.pack(">ii", rows, size_per)
+                   + b"\x01" + _generic_indexed_v1(sh_chunks))
+    sh_bitmaps = _generic_indexed_v1(
+        [_roaring_sorted(range(k * per, min((k + 1) * per, rows))
+                         if k < n_shards - 1
+                         else range(k * per, rows))
+         for k in range(n_shards)])
+    files["shard"] = _descriptor("STRING", [
+        {"type": "stringDictionary",
+         "bitmapSerdeFactory": {"type": "roaring"},
+         "byteOrder": "LITTLE_ENDIAN"}]) \
+        + b"\x02" + struct.pack(">i", 0) + shard_dict \
+        + sh_ids_blob + sh_bitmaps
     # complex: one small sparse HLLC blob per 1000-row group, cycled
     blobs = [collector_of([f"u{g}-{j}" for j in range(5)]).to_bytes()
              for g in range(64)]
@@ -102,8 +153,8 @@ def build_container(out_dir: str, rows: int) -> None:
         {"type": "complex", "typeName": "hyperUnique"}]) \
         + _generic_indexed_v1([blobs[i % 64] for i in range(rows)])
     # index.drd: cols, dims, interval, bitmap json
-    gi_cols = _generic_indexed_v1([b"dim", b"uniq", b"value"])
-    gi_dims = _generic_indexed_v1([b"dim"])
+    gi_cols = _generic_indexed_v1([b"dim", b"shard", b"uniq", b"value"])
+    gi_dims = _generic_indexed_v1([b"dim", b"shard"])
     bitmap = json.dumps({"type": "roaring"}).encode()
     files["index.drd"] = (gi_cols + gi_dims
                           + struct.pack(">qq", t0, t0 + rows * 1000)
@@ -155,6 +206,15 @@ def main() -> int:
         read_segment_dir(seg)
         read_pure_s = round(time.time() - t0, 2)
         seg_mod._lz4_ctypes, seg_mod._lz4_block_mod = saved
+        # bitmap pushdown: selector on the clustered dim — 1 of 64
+        # blocks — must decode only the chunks covering that block
+        t0 = time.time()
+        fdf, finfo = read_segment_dir(seg, dim_filter={
+            "type": "selector", "dimension": "shard",
+            "value": "shard-07"})
+        filtered_s = round(time.time() - t0, 2)
+        assert len(fdf) == finfo["pushdown_rows"] > 0
+        assert set(fdf["shard"]) == {"shard-07"}
 
         from apache_druid_spark import get_spark
         from apache_druid_spark.ingest.segment import scan_segments
@@ -174,6 +234,8 @@ def main() -> int:
             "rows": rows, "container_mb": size_mb, "build_sec": build_s,
             "read_sec": read_s, "read_warm_sec": read_warm_s,
             "read_pure_lz4_sec": read_pure_s,
+            "filtered_read_sec": filtered_s,
+            "pushdown_rows": int(finfo["pushdown_rows"]),
             "lz4_native_resolved": native,
             "rows_per_sec": int(rows / max(read_warm_s, 1e-9)),
             "rows_per_sec_pure": int(rows / max(read_pure_s, 1e-9)),
