@@ -5944,11 +5944,15 @@ def _entry_order(name: str) -> tuple:
         return (3, _R16_NEXT.index(name))
     if name in _R15_WINDOW:
         return (4, _R15_WINDOW.index(name))
-    # freshest evidence last: r13 window passed in r13, r14 in r14
+    # freshest evidence last: r12 window passed in r12, r13 in r13,
+    # r14 in r14 (every r12/r13 entry not already placed above keeps
+    # its staleness-ordered slot — r17 review #6)
+    if name in _R12_WINDOW:
+        return (6, _R12_WINDOW.index(name))
     if name in _R13_WINDOW:
-        return (6, _R13_WINDOW.index(name))
+        return (7, _R13_WINDOW.index(name))
     if name in _R14_WINDOW:
-        return (7, _R14_WINDOW.index(name))
+        return (8, _R14_WINDOW.index(name))
     return (5, 0)  # stable within group (dict keeps file order)
 
 

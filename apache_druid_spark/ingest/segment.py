@@ -400,23 +400,18 @@ def _load_zstd_ctypes():
     return None
 
 
-try:  # pragma: no cover - not installed in this rig
-    from lz4.block import decompress as _lz4_block_mod
-except ImportError:
-    _lz4_block_mod = None
+# NOTE deliberately NOT python-lz4's block module: its
+# uncompressed_size kwarg demands the EXACT payload size, but Druid
+# chunk envelopes only give a capacity bound (size_per*width + pad),
+# so it would reject every valid chunk (r17 review #2). The ctypes
+# LZ4_decompress_safe has capacity-bound semantics, matching the
+# reference's safeDecompressor.
 _lz4_ctypes = _load_lz4_ctypes()
 _zstd_ctypes = _load_zstd_ctypes()
 
 
 def _decompress(strategy: int, data, max_out: int) -> bytes:
     if strategy == 0x1:  # LZ4
-        if _lz4_block_mod is not None:  # pragma: no cover
-            try:
-                return _lz4_block_mod(bytes(data),
-                                      uncompressed_size=max_out)
-            except Exception as e:
-                raise DruidSegmentError(
-                    f"corrupt LZ4 chunk: {e}") from e
         if _lz4_ctypes is not None:
             import ctypes
 
@@ -865,7 +860,7 @@ def read_roaring(data: bytes):
             else np.empty(0, dtype=np.int64))
 
 
-def read_concise(data: bytes):
+def read_concise(data: bytes, max_rows: int | None = None):
     """CONCISE (Compressed 'n' Composable Integer Set) — the null-
     bitmap wire format of ConciseBitmapSerdeFactory
     (processing/.../data/ConciseBitmapSerdeFactory.java:58
@@ -884,7 +879,13 @@ def read_concise(data: bytes):
     Returns a sorted int64 numpy array of set row ids, like
     read_roaring. Literal words decode vectorized (one unpackbits over
     the batch); sequences expand per word (they are rare in null
-    bitmaps and can span millions of rows — np.arange, not Python)."""
+    bitmaps and can span millions of rows — np.arange, not Python).
+
+    ``max_rows`` bounds the decoded span: a corrupt sequence word
+    with a huge block count would otherwise materialize gigabytes
+    before anything notices (r17 review #4); without it the CONCISE
+    format's own ceiling (MAX_ALLOWED_INTEGER,
+    ConciseSetUtils.java:45) still applies."""
     import numpy as np
 
     if not data:
@@ -896,6 +897,16 @@ def read_concise(data: bytes):
     words = np.frombuffer(data, dtype=">u4")
     is_lit = (words >> 31).astype(bool)
     blocks = np.where(is_lit, 1, (words & 0x01FFFFFF) + 1)
+    span = int(blocks.sum()) * 31
+    # writers pad at most one trailing block past the last set bit;
+    # allow two blocks of slack over the caller's row count
+    limit = (max_rows + 62 if max_rows is not None
+             else 31 * (1 << 25) + 31)  # MAX_ALLOWED_INTEGER bound
+    if span > limit:
+        raise DruidSegmentError(
+            f"corrupt CONCISE bitmap: spans {span} positions but at "
+            f"most {limit} are plausible here — damaged sequence "
+            "word")
     # bit offset of each word's first block; int64 before the *31 —
     # a max-count sequence alone spans 2^25 blocks
     offs = np.zeros(len(words), dtype=np.int64)
@@ -1085,9 +1096,11 @@ def _read_index_drd(smoosh: SmooshedFiles) -> dict:
             "bitmap_type": bitmap_type, "metadata": meta}
 
 
-def _read_nulls_tail(buf: _Buf, bitmap_type: str, part_end: int):
+def _read_nulls_tail(buf: _Buf, bitmap_type: str, part_end: int,
+                     n_rows: int | None = None):
     """The *V2 numeric serdes (LongNumericColumnPartSerdeV2.java:143)
-    append an ImmutableBitmap (4-byte size + bytes) of null rows."""
+    append an ImmutableBitmap (4-byte size + bytes) of null rows.
+    ``n_rows`` bounds a corrupt CONCISE sequence word's expansion."""
     if buf.pos >= part_end:
         return None
     size = buf.i32()
@@ -1097,7 +1110,7 @@ def _read_nulls_tail(buf: _Buf, bitmap_type: str, part_end: int):
     if bitmap_type == "roaring":
         return read_roaring(data)
     if bitmap_type == "concise":
-        return read_concise(data)
+        return read_concise(data, n_rows)
     raise DruidSegmentError(
         f"unknown null-bitmap serde {bitmap_type!r} (roaring and "
         "concise are the factory kinds — BitmapSerde.java)")
@@ -1128,38 +1141,56 @@ def read_column(name: str, blob, bitmap_type: str,
                                               rows)
         elif ptype in ("long", "longV2"):
             offset_end = None
+            n_total = None
             if ptype == "longV2":
                 offset = buf.i32()
                 offset_end = buf.pos + offset
+                # envelope row count (version byte, then totalSize) —
+                # bounds corrupt-CONCISE expansion in the nulls tail
+                n_total = struct.unpack_from(">i", blob,
+                                             buf.pos + 1)[0]
             vals = read_compressed_longs(buf, little, rows)
             nulls = None
             if ptype == "longV2":
                 buf.pos = offset_end
-                nulls = _read_nulls_tail(buf, bitmap_type, part_end)
+                nulls = _read_nulls_tail(buf, bitmap_type, part_end,
+                                         n_total)
             out["values"] = _apply_nulls(vals, nulls, rows=rows)
         elif ptype in ("float", "floatV2"):
             offset_end = None
+            n_total = None
             if ptype == "floatV2":
                 offset = buf.i32()
                 offset_end = buf.pos + offset
+                # envelope row count (version byte, then totalSize) —
+                # bounds corrupt-CONCISE expansion in the nulls tail
+                n_total = struct.unpack_from(">i", blob,
+                                             buf.pos + 1)[0]
             vals = read_compressed_floats(buf, little, rows)
             nulls = None
             if ptype == "floatV2":
                 buf.pos = offset_end
-                nulls = _read_nulls_tail(buf, bitmap_type, part_end)
+                nulls = _read_nulls_tail(buf, bitmap_type, part_end,
+                                         n_total)
             out["values"] = _apply_nulls(
                 vals.astype(np.float64), nulls, float_nan=True,
                 rows=rows)
         elif ptype in ("double", "doubleV2"):
             offset_end = None
+            n_total = None
             if ptype == "doubleV2":
                 offset = buf.i32()
                 offset_end = buf.pos + offset
+                # envelope row count (version byte, then totalSize) —
+                # bounds corrupt-CONCISE expansion in the nulls tail
+                n_total = struct.unpack_from(">i", blob,
+                                             buf.pos + 1)[0]
             vals = read_compressed_doubles(buf, little, rows)
             nulls = None
             if ptype == "doubleV2":
                 buf.pos = offset_end
-                nulls = _read_nulls_tail(buf, bitmap_type, part_end)
+                nulls = _read_nulls_tail(buf, bitmap_type, part_end,
+                                         n_total)
             out["values"] = _apply_nulls(vals, nulls, float_nan=True,
                                          rows=rows)
         elif ptype == "complex":
@@ -1341,18 +1372,19 @@ def _skip_compressed_vsize(buf: _Buf) -> None:
     skip_generic_indexed(buf)
 
 
-def _decode_bitmap(blob, bitmap_type: str):
+def _decode_bitmap(blob, bitmap_type: str,
+                   max_rows: int | None = None):
     import numpy as np
 
     if blob is None or len(blob) == 0:
         return np.empty(0, dtype=np.int64)
     if bitmap_type == "concise":
-        return read_concise(blob)
+        return read_concise(blob, max_rows)
     return read_roaring(blob)
 
 
 def _filter_row_mask(flt, smoosh: "SmooshedFiles", bitmap_type: str,
-                     n_rows: int, cache: dict):
+                     n_rows: int, cache: dict, file_fn=None):
     """Compile the bitmap-indexable part of a DimFilter to a sorted
     row-id mask BEFORE any chunk decode — the reference's own
     pre-filter split (QueryableIndexStorageAdapter.java:404).
@@ -1360,12 +1392,18 @@ def _filter_row_mask(flt, smoosh: "SmooshedFiles", bitmap_type: str,
     Returns (mask | None, exact: bool). A non-exact mask is a
     SUPERSET of the matching rows (safe: the Spark-side filter always
     re-applies); ``not`` demands an exact child and otherwise
-    degrades to None (no pushdown)."""
+    degrades to None (no pushdown). A selector/in carrying an
+    extractionFn is NEVER pushed down — the dictionary holds raw
+    values, and looking the filter value up raw would drop rows that
+    match only after extraction (r17 review #1). ``file_fn`` lets the
+    caller memoize column blob reads (read_segment_dir shares them
+    with the value decode)."""
     import numpy as np
 
     if not isinstance(flt, dict):
         return None, False
     kind = flt.get("type")
+    read_file = file_fn if file_fn is not None else smoosh.file
 
     def col_index(dim):
         if dim in cache:
@@ -1373,7 +1411,7 @@ def _filter_row_mask(flt, smoosh: "SmooshedFiles", bitmap_type: str,
         out = None
         if dim in smoosh.entries:
             try:
-                out = _read_bitmap_index(smoosh.file(dim), bitmap_type)
+                out = _read_bitmap_index(read_file(dim), bitmap_type)
             except (DruidSegmentError, KeyError, ValueError,
                     struct.error, IndexError):
                 out = None
@@ -1386,7 +1424,11 @@ def _filter_row_mask(flt, smoosh: "SmooshedFiles", bitmap_type: str,
             return None, False
         dictionary, blobs = idx
         parts = []
-        want = set(values)
+        # Druid accepts non-string filter values in JSON; the engine
+        # stringifies before matching (operators/filters.py selector)
+        # — match the dictionary the same way or numeric values
+        # produce a false-empty mask (r17 review #3)
+        want = {v if v is None else str(v) for v in values}
         exact = True
         # null and "" are interchangeable under Druid's LEGACY null
         # handling but distinct under SQL-compatible mode — include
@@ -1397,11 +1439,14 @@ def _filter_row_mask(flt, smoosh: "SmooshedFiles", bitmap_type: str,
             exact = False
         for i, d in enumerate(dictionary):
             if d in want:
-                parts.append(_decode_bitmap(blobs[i], bitmap_type))
+                parts.append(_decode_bitmap(blobs[i], bitmap_type,
+                                            n_rows))
         if not parts:
             return np.empty(0, dtype=np.int64), exact
         return np.unique(np.concatenate(parts)), exact
 
+    if kind in ("selector", "in") and flt.get("extractionFn"):
+        return None, False  # dictionary holds RAW values only
     if kind == "selector":
         m, e = rows_for_values(flt.get("dimension"),
                                [flt.get("value")])
@@ -1414,7 +1459,7 @@ def _filter_row_mask(flt, smoosh: "SmooshedFiles", bitmap_type: str,
         masks, exact = [], True
         for f in flt.get("fields", []) or []:
             m, e = _filter_row_mask(f, smoosh, bitmap_type, n_rows,
-                                    cache)
+                                    cache, file_fn)
             if m is None:
                 exact = False
                 continue
@@ -1430,7 +1475,7 @@ def _filter_row_mask(flt, smoosh: "SmooshedFiles", bitmap_type: str,
         masks, exact = [], True
         for f in flt.get("fields", []) or []:
             m, e = _filter_row_mask(f, smoosh, bitmap_type, n_rows,
-                                    cache)
+                                    cache, file_fn)
             if m is None:
                 return None, False  # union with unknown = unknown
             exact = exact and e
@@ -1440,7 +1485,7 @@ def _filter_row_mask(flt, smoosh: "SmooshedFiles", bitmap_type: str,
         return np.unique(np.concatenate(masks)), exact
     if kind == "not":
         m, e = _filter_row_mask(flt.get("field"), smoosh, bitmap_type,
-                                n_rows, cache)
+                                n_rows, cache, file_fn)
         if m is None or not e:
             return None, False
         all_rows = np.arange(n_rows, dtype=np.int64)
@@ -1500,13 +1545,24 @@ def read_segment_dir(dirpath: str, lenient: bool = False,
     smoosh = SmooshedFiles(dirpath)
     _check_version(smoosh)
     info = _read_index_drd(smoosh)
+    # memoized column blob reads: a filtered dimension's blob is
+    # needed TWICE (bitmap-index parse, then value decode) — read it
+    # once (r17 review #5)
+    blob_memo: dict = {}
+
+    def _blob(col):
+        if col not in blob_memo:
+            blob_memo[col] = smoosh.file(col)
+        return blob_memo[col]
+
     mask = None
     if dim_filter is not None:
         total = _peek_row_count(smoosh)
         mask, _ = _filter_row_mask(dim_filter, smoosh,
-                                   info["bitmap_type"], total, {})
+                                   info["bitmap_type"], total, {},
+                                   file_fn=_blob)
         info["pushdown_rows"] = -1 if mask is None else len(mask)
-    time_col = read_column("__time", smoosh.file("__time"),
+    time_col = read_column("__time", _blob("__time"),
                            info["bitmap_type"], rows=mask)
     n_rows = len(time_col["values"])
     data = {"__time": time_col["values"]}
@@ -1516,7 +1572,8 @@ def read_segment_dir(dirpath: str, lenient: bool = False,
         if col == "__time" or col not in smoosh.entries:
             continue
         try:
-            parsed = read_column(col, smoosh.file(col),
+            parsed = read_column(col, blob_memo.pop(col, None)
+                                 or smoosh.file(col),
                                  info["bitmap_type"], rows=mask)
         except (DruidSegmentError, KeyError, ValueError,
                 IndexError, struct.error) as e:

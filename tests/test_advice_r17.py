@@ -33,16 +33,9 @@ GOLDEN_ZIP = ("/root/reference/indexing-hadoop/src/test/resources/"
               "test-segment/index.zip")
 
 
-def _generic_indexed_v1(elements):
-    ends, acc = [], 0
-    for e in elements:
-        acc += 4 + len(e)
-        ends.append(acc)
-    header = b"".join(struct.pack(">i", e) for e in ends)
-    values = b"".join(struct.pack(">i", len(e)) + e for e in elements)
-    total = 4 + len(header) + len(values)
-    return (b"\x01\x00" + struct.pack(">ii", total, len(elements))
-            + header + values)
+from segment_format import (
+    generic_indexed_v1 as _generic_indexed_v1,
+)
 
 
 # -- 1: non-monotonic GenericIndexed header ---------------------------------

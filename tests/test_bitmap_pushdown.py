@@ -33,18 +33,7 @@ V8_DIR = ("/root/reference/processing/src/test/resources/"
 # -- synthetic multi-chunk container with real bitmap indexes ---------------
 
 
-def _gi(elements):
-    ends, acc = [], 0
-    for e in elements:
-        acc += 4 + len(e)
-        ends.append(acc)
-    header = b"".join(struct.pack(">i", e) for e in ends)
-    values = b"".join(
-        (struct.pack(">i", -1) if e is None
-         else struct.pack(">i", len(e)) + e) for e in elements)
-    total = 4 + len(header) + len(values)
-    return (b"\x01\x00" + struct.pack(">ii", total, len(elements))
-            + header + values)
+from segment_format import generic_indexed_v1 as _gi  # noqa: E402
 
 
 def _roaring(vals) -> bytes:
@@ -268,3 +257,95 @@ def test_spark_reingestion_filter_equivalence(spark, tmp_path):
         if r["dim"] in ("alpha", "gamma"))
     assert sorted(r["value"] for r in pushed.collect()) == expect
     assert pushed.count() == 32
+
+
+# -- r17 review findings ----------------------------------------------------
+
+
+def test_extraction_fn_selector_never_pushes_down(tmp_path):
+    """r17 review #1: the dictionary holds RAW values — a selector
+    with an extractionFn must degrade to no-pushdown, not look the
+    extracted value up raw (which produced a false-EMPTY mask)."""
+    path = _build(tmp_path)
+    got, info = read_segment_dir(path, dim_filter={
+        "type": "selector", "dimension": "dim", "value": "b",
+        "extractionFn": {"type": "substring", "index": 0,
+                         "length": 1}})
+    assert info["pushdown_rows"] == -1
+    assert len(got) == N_ROWS  # engine filter applies downstream
+
+
+def test_extraction_fn_golden_end_to_end(spark):
+    """The exact repro from the review: re-ingesting the golden zip
+    with a substring-extractionFn selector must keep the matching
+    row (the engine's compile_filter supports extractionFn)."""
+    from apache_druid_spark.ingest.batch import read_input
+
+    df = read_input(spark, {"inputSource": {
+        "type": "druid", "segments": [GOLDEN_ZIP],
+        "filter": {"type": "selector", "dimension": "host",
+                   "value": "b",
+                   "extractionFn": {"type": "substring", "index": 0,
+                                    "length": 1}}}})
+    rows = df.collect()
+    assert [r["host"] for r in rows] == ["b.example.com"]
+
+
+def test_numeric_filter_values_are_stringified(tmp_path):
+    """r17 review #3: Druid JSON accepts non-string filter values;
+    the mask must match them against the dictionary as strings or
+    rows vanish."""
+    d = tmp_path / "seg"
+    d.mkdir()
+    files = {}
+    t0 = 1_400_000_000_000
+    files["__time"] = _desc("LONG", [
+        {"type": "long", "byteOrder": "LITTLE_ENDIAN"}]) \
+        + _longs_col([t0 + i for i in range(4)], 4)
+    dictionary = _gi([b"3", b"5", b"7", b"9"])
+    ids_blob = (b"\x02\x02" + struct.pack(">ii", 4, 4)
+                + b"\xff" + _gi([b"".join(
+                    struct.pack("<H", v) for v in range(4))]))
+    bitmaps = _gi([_roaring([k]) for k in range(4)])
+    files["num"] = _desc("STRING", [
+        {"type": "stringDictionary",
+         "bitmapSerdeFactory": {"type": "roaring"},
+         "byteOrder": "LITTLE_ENDIAN"}]) \
+        + b"\x02" + struct.pack(">i", 0) + dictionary + ids_blob \
+        + bitmaps
+    gi_cols = _gi([b"num"])
+    bm = json.dumps({"type": "roaring"}).encode()
+    files["index.drd"] = (gi_cols + _gi([b"num"])
+                          + struct.pack(">qq", t0, t0 + 10)
+                          + struct.pack(">i", len(bm)) + bm)
+    (d / "version.bin").write_bytes(struct.pack(">i", 9))
+    blob = b"".join(files.values())
+    (d / "00000.smoosh").write_bytes(blob)
+    lines = ["v1,2147483647,1"]
+    pos = 0
+    for name, b in files.items():
+        lines.append(f"{name},0,{pos},{pos + len(b)}")
+        pos += len(b)
+    (d / "meta.smoosh").write_text("\n".join(lines) + "\n")
+    got, info = read_segment_dir(str(d), dim_filter={
+        "type": "in", "dimension": "num", "values": [5, 9]})
+    assert info["pushdown_rows"] == 2
+    assert sorted(got["num"]) == ["5", "9"]
+
+
+def test_filtered_dim_blob_read_once(tmp_path, monkeypatch):
+    """r17 review #5: the filtered dimension's column blob must be
+    read ONCE, shared between the bitmap-index parse and the value
+    decode."""
+    path = _build(tmp_path)
+    reads = []
+    orig = seg.SmooshedFiles.file
+
+    def spy(self, name):
+        reads.append(name)
+        return orig(self, name)
+
+    monkeypatch.setattr(seg.SmooshedFiles, "file", spy)
+    read_segment_dir(path, dim_filter={
+        "type": "selector", "dimension": "dim", "value": "beta"})
+    assert reads.count("dim") == 1

@@ -279,16 +279,9 @@ def test_alternating_block_parity():
 # -- end-to-end: longV2 column with CONCISE nulls ---------------------------
 
 
-def _generic_indexed_v1(elements):
-    ends, acc = [], 0
-    for e in elements:
-        acc += 4 + len(e)
-        ends.append(acc)
-    header = b"".join(struct.pack(">i", e) for e in ends)
-    values = b"".join(struct.pack(">i", len(e)) + e for e in elements)
-    total = 4 + len(header) + len(values)
-    return (b"\x01\x00" + struct.pack(">ii", total, len(elements))
-            + header + values)
+from segment_format import (
+    generic_indexed_v1 as _generic_indexed_v1,
+)
 
 
 def test_longv2_column_with_concise_nulls():
@@ -331,3 +324,24 @@ def test_unknown_bitmap_serde_is_loud():
     blob = struct.pack(">i", len(desc)) + desc + part
     with pytest.raises(DruidSegmentError, match="unknown null-bitmap"):
         read_column("m", blob, "wah")
+
+
+def test_corrupt_huge_sequence_is_loud():
+    """r17 review #4: a damaged one-sequence word with a huge block
+    count must raise, not materialize gigabytes."""
+    # one-seq, count = 0x01FFFFFF -> 2^25 blocks ~ 1.04e9 positions
+    w = struct.pack(">I", 0x40000000 | 0x01FFFFFF)
+    with pytest.raises(DruidSegmentError, match="plausible"):
+        read_concise(w, max_rows=1000)
+    # two of them exceed even the format's own MAX_ALLOWED_INTEGER
+    with pytest.raises(DruidSegmentError, match="plausible"):
+        read_concise(w + w)
+
+
+def test_max_rows_slack_allows_legit_padding():
+    # last set bit at row 999 of a 1000-row segment: zero-fill +
+    # literal spans to the block boundary — within the slack
+    wr = _ConciseWriter()
+    wr.add(999)
+    assert read_concise(wr.to_bytes(),
+                        max_rows=1000).tolist() == [999]

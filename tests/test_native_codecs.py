@@ -61,7 +61,6 @@ def test_native_lz4_matches_pure_decoder():
 
 
 def test_pure_fallback_serves_when_no_native(monkeypatch):
-    monkeypatch.setattr(seg, "_lz4_block_mod", None)
     monkeypatch.setattr(seg, "_lz4_ctypes", None)
     for c in _cases(8):
         z = lz4_block_compress(c)

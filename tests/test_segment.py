@@ -244,20 +244,9 @@ def test_scanned_segment_queryable_via_native_path(spark):
     assert abs(out[0]["uniq"] - 3.0) < 0.01
 
 
-def _generic_indexed_v1(elements: list[bytes]) -> bytes:
-    header = b"".join(struct.pack(">i", e) for e in _ends(elements))
-    values = b"".join(struct.pack(">i", len(e)) + e for e in elements)
-    total = 4 + len(header) + len(values)
-    return (b"\x01\x00" + struct.pack(">ii", total, len(elements))
-            + header + values)
-
-
-def _ends(elements):
-    out, acc = [], 0
-    for e in elements:
-        acc += 4 + len(e)
-        out.append(acc)
-    return out
+from segment_format import (  # noqa: E402 (shared writer helper)
+    generic_indexed_v1 as _generic_indexed_v1,
+)
 
 
 def _pack_bits(vals, bits):

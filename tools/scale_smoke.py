@@ -271,11 +271,77 @@ def engine_main(n: int) -> int:
         return sim.pq_topk(amplify(emb, s, "vec_id"), [1.0] * 64,
                            k=10, rerank=None, encode="numpy")
 
+    # legacy-HLLC base (r16 verdict #7): REAL HyperLogLogCollector
+    # wire blobs, row count amplified — exercises the Arrow fold +
+    # floor-key join-back at scale. Distinct counts per group stay
+    # fixed under replication; the wall-clock axis is ROWS FOLDED.
+    from apache_druid_spark.ingest.hllc import collector_of
+
+    legacy_rows = [
+        (g, f"et{g % 20}",
+         bytearray(collector_of(
+             [f"g{g}-u{i}" for i in range(20)]).to_bytes()))
+        for g in range(500)]
+    legacy_base = spark.createDataFrame(
+        legacy_rows, "id long, event_type string, uniq_state binary"
+    ).withColumn("__time", F.to_timestamp(F.lit("2001-01-01"))
+                 + F.make_interval(days=(F.col("id") % 30)
+                                   .cast("int")))
+
+    def legacy_reg(scale: int) -> DatasourceRegistry:
+        r = DatasourceRegistry(spark)
+        r.register("legacy_seg",
+                   amplify(legacy_base, scale, "id"))
+        return r
+
+    legacy_regs = {1: legacy_reg(1), n: legacy_reg(n)}
+
+    def q_legacy_ts(s):
+        return compile_query({
+            "queryType": "timeseries", "dataSource": "legacy_seg",
+            "granularity": "week", "intervals": ["1000/3000"],
+            "aggregations": [
+                {"type": "count", "name": "rows"},
+                {"type": "hyperUnique", "name": "uniq",
+                 "fieldName": "uniq_state", "legacy": True}],
+        }, legacy_regs[s])
+
+    def q_legacy_topn(s):
+        return compile_query({
+            "queryType": "topN", "dataSource": "legacy_seg",
+            "granularity": "all", "intervals": ["1000/3000"],
+            "dimension": "event_type", "metric": "uniq",
+            "threshold": 8,
+            "aggregations": [
+                {"type": "hyperUnique", "name": "uniq",
+                 "fieldName": "uniq_state", "legacy": True}],
+        }, legacy_regs[s])
+
+    # multi-container segment scan (r16 verdict #7): one 100k-row v9
+    # container scanned 1× vs n× paths — one segment per task, so the
+    # axis is TASK THROUGHPUT on 32 threads (ideal ratio n/32)
+    import tempfile
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import segment_bench as _segb
+
+    from apache_druid_spark.ingest.segment import scan_segments
+
+    seg_dir = os.path.join(tempfile.mkdtemp(prefix="scale_seg_"),
+                           "seg")
+    _segb.build_container(seg_dir, 100_000)
+
+    def p_segment_scan(s):
+        return scan_segments(spark, [seg_dir] * s)
+
     ops = {
         "engine_timeseries_month": q_timeseries,
         "engine_groupby_2dim": q_groupby,
         "engine_scan_filter_limit": q_scan,
         "engine_join_orders_customers": q_join,
+        "engine_legacy_hllc_timeseries": q_legacy_ts,
+        "engine_legacy_hllc_topn": q_legacy_topn,
+        "engine_segment_scan_containers": p_segment_scan,
         "pipeline_exact_dedup": p_exact_dedup,
         "pipeline_ngram_jaccard": p_ngram_jaccard,
         "pipeline_leakage_safe_split": p_leakage_split,

@@ -198,14 +198,13 @@ def main() -> int:
         read_warm_s = round(time.time() - t0, 2)
         # forced pure-Python LZ4 (the fallback a host with no liblz4
         # gets) for the native-vs-pure attribution in SCALE.md
-        native = seg_mod._lz4_ctypes is not None \
-            or seg_mod._lz4_block_mod is not None
-        saved = seg_mod._lz4_ctypes, seg_mod._lz4_block_mod
-        seg_mod._lz4_ctypes = seg_mod._lz4_block_mod = None
+        native = seg_mod._lz4_ctypes is not None
+        saved = seg_mod._lz4_ctypes
+        seg_mod._lz4_ctypes = None
         t0 = time.time()
         read_segment_dir(seg)
         read_pure_s = round(time.time() - t0, 2)
-        seg_mod._lz4_ctypes, seg_mod._lz4_block_mod = saved
+        seg_mod._lz4_ctypes = saved
         # bitmap pushdown: selector on the clustered dim — 1 of 64
         # blocks — must decode only the chunks covering that block
         t0 = time.time()
