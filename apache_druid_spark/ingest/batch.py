@@ -221,10 +221,13 @@ def _read_druid_segments(spark: SparkSession, src: dict) -> DataFrame:
     # must not be ingested twice (doubled rows, silently wrong sums);
     # realpath, not abspath, so a symlink and its target dedupe too
     paths = list(dict.fromkeys(os.path.realpath(p) for p in paths))
-    # bitmap-index pushdown: the selector/in-indexable part of the
-    # DimFilter becomes a per-container row mask BEFORE chunk decode
-    # (superset-safe — the exact compile_filter below still applies)
-    df = scan_segments(spark, paths, dim_filter=src.get("filter"))
+    # pushdown: the indexable part of the DimFilter becomes a
+    # per-container bitmap row mask, and the interval becomes a
+    # contiguous row range over the time-sorted container — both
+    # BEFORE chunk decode (superset-safe: the exact compile_filter /
+    # interval_predicate below still apply)
+    df = scan_segments(spark, paths, dim_filter=src.get("filter"),
+                       interval=src.get("interval"))
     interval = src.get("interval")
     if interval:
         from apache_druid_spark.operators.filters import (

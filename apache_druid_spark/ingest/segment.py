@@ -1305,9 +1305,12 @@ def _read_bitmap_index(blob, bitmap_type: str):
     section, GenericIndexed<ImmutableBitmap> in dictionary order,
     absent when Feature.NO_BITMAP_INDEX is set).
 
-    Returns (dictionary: list[str|None], bitmap_blobs: list[bytes])
-    or None when the column carries no bitmap index. Value regions
-    are SKIPPED via their size headers — nothing is decompressed."""
+    Returns (dictionary: list[str|None], bitmap_blobs: list[bytes],
+    sorted_dict: bool) or None when the column carries no bitmap
+    index. ``sorted_dict`` is the dictionary GI's allowReverseLookup
+    byte — range (bound / like-prefix) pushdown is only sound over a
+    sorted dictionary. Value regions are SKIPPED via their size
+    headers — nothing is decompressed."""
     buf = _Buf(blob)
     desc = json.loads(_read_prefixed_string(buf))
     part = next((p for p in desc.get("parts", [])
@@ -1322,6 +1325,8 @@ def _read_bitmap_index(blob, bitmap_type: str):
     if flags & _NO_BITMAP_INDEX:
         return None
     multi = bool(flags & 0x1 or flags & 0x2)
+    sorted_dict = len(blob) > buf.pos + 1 \
+        and blob[buf.pos + 1] == 0x1  # GI allowReverseLookup byte
     dictionary = [None if b is None else b.decode("utf-8")
                   for b in read_generic_indexed(buf)]
     # skip the id section without decoding
@@ -1360,7 +1365,7 @@ def _read_bitmap_index(blob, bitmap_type: str):
         raise DruidSegmentError(
             f"bitmap index has {len(bitmaps)} entries for "
             f"{len(dictionary)} dictionary values")
-    return dictionary, bitmaps
+    return dictionary, bitmaps, sorted_dict
 
 
 def _skip_compressed_vsize(buf: _Buf) -> None:
@@ -1422,7 +1427,7 @@ def _filter_row_mask(flt, smoosh: "SmooshedFiles", bitmap_type: str,
         idx = col_index(dim)
         if idx is None:
             return None, False
-        dictionary, blobs = idx
+        dictionary, blobs, _sorted = idx
         parts = []
         # Druid accepts non-string filter values in JSON; the engine
         # stringifies before matching (operators/filters.py selector)
@@ -1445,8 +1450,104 @@ def _filter_row_mask(flt, smoosh: "SmooshedFiles", bitmap_type: str,
             return np.empty(0, dtype=np.int64), exact
         return np.unique(np.concatenate(parts)), exact
 
-    if kind in ("selector", "in") and flt.get("extractionFn"):
+    def _sorted_dict_range(dim):
+        """(encoded non-null values, null_count, blobs) for a SORTED
+        dictionary, else None — the precondition for range scans."""
+        idx = col_index(dim)
+        if idx is None or not idx[2]:
+            return None
+        dictionary, blobs, _ = idx
+        nulls = sum(1 for d in dictionary if d is None)
+        if nulls > 1 or (nulls == 1 and dictionary[0] is not None):
+            return None  # null must be the single leading entry
+        enc = [d.encode("utf-8") for d in dictionary[nulls:]]
+        return enc, nulls, blobs
+
+    def _union_ids(blobs, ids, extra=()):
+        parts = [_decode_bitmap(blobs[i], bitmap_type, n_rows)
+                 for i in ids] + [
+            _decode_bitmap(blobs[i], bitmap_type, n_rows)
+            for i in extra]
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(parts))
+
+    def rows_for_bound(flt):
+        """Lexicographic bound over a SORTED dictionary → contiguous
+        id range → bitmap union (BoundFilter.getBitmapColumnIndex's
+        own strategy). The dictionary sort and Spark's UTF8String
+        comparison are both UTF-8 byte order, so the range is EXACT
+        vs the downstream engine filter. Nulls match iff no lower
+        bound (BoundFilter.java:227)."""
+        import bisect
+
+        ordering = flt.get("ordering") or (
+            "alphanumeric" if flt.get("alphaNumeric")
+            else "lexicographic")
+        if ordering != "lexicographic":
+            return None, False
+        rng = _sorted_dict_range(flt.get("dimension"))
+        if rng is None:
+            return None, False
+        enc, n_null, blobs = rng
+        lower, upper = flt.get("lower"), flt.get("upper")
+        lo_i = 0
+        if lower is not None:
+            lb = str(lower).encode("utf-8")
+            lo_i = (bisect.bisect_right(enc, lb)
+                    if flt.get("lowerStrict")
+                    else bisect.bisect_left(enc, lb))
+        hi_i = len(enc)
+        if upper is not None:
+            ub = str(upper).encode("utf-8")
+            hi_i = (bisect.bisect_left(enc, ub)
+                    if flt.get("upperStrict")
+                    else bisect.bisect_right(enc, ub))
+        ids = range(n_null + lo_i, n_null + max(hi_i, lo_i))
+        extra = range(n_null) if lower is None else ()
+        return _union_ids(blobs, ids, extra), True
+
+    def rows_for_like(flt):
+        """LIKE with a literal prefix: 'pre%' (no other wildcards) is
+        an EXACT contiguous dictionary range; 'pre%x_y' narrows to
+        the same prefix range as a SUPERSET (the engine's full like
+        re-applies). No literal prefix → no pushdown."""
+        pattern = flt.get("pattern")
+        if not isinstance(pattern, str) or flt.get("escape"):
+            return None, False
+        cut = len(pattern)
+        for i, ch in enumerate(pattern):
+            if ch in "%_":
+                cut = i
+                break
+        prefix = pattern[:cut]
+        if not prefix:
+            return None, False
+        rng = _sorted_dict_range(flt.get("dimension"))
+        if rng is None:
+            return None, False
+        enc, n_null, blobs = rng
+        import bisect
+
+        p = prefix.encode("utf-8")
+        lo_i = bisect.bisect_left(enc, p)
+        hi_i = lo_i
+        while hi_i < len(enc) and enc[hi_i].startswith(p):
+            hi_i += 1
+        exact = pattern == prefix + "%" or pattern == prefix
+        if pattern == prefix:  # no wildcard at all: equality
+            hi_i = lo_i + (1 if lo_i < len(enc) and enc[lo_i] == p
+                           else 0)
+        ids = range(n_null + lo_i, n_null + hi_i)
+        return _union_ids(blobs, ids), exact
+
+    if kind in ("selector", "in", "bound", "like") \
+            and flt.get("extractionFn"):
         return None, False  # dictionary holds RAW values only
+    if kind == "bound":
+        return rows_for_bound(flt)
+    if kind == "like":
+        return rows_for_like(flt)
     if kind == "selector":
         m, e = rows_for_values(flt.get("dimension"),
                                [flt.get("value")])
@@ -1498,6 +1599,29 @@ def _filter_row_mask(flt, smoosh: "SmooshedFiles", bitmap_type: str,
 # ---------------------------------------------------------------------------
 
 
+def _interval_to_ms(interval: str) -> tuple[int, int]:
+    """'start/end' ISO-8601 → [start_ms, end_ms) epoch UTC, with
+    Druid's eternity years clamped to the representable extremes
+    (same semantics as operators/filters._iso_interval_bounds)."""
+    import re as _re
+    from datetime import datetime, timezone
+
+    from apache_druid_spark.operators.filters import _pad_partial_iso
+
+    def parse(s: str, is_end: bool) -> int:
+        s = _pad_partial_iso(s).replace("Z", "+00:00")
+        m = _re.match(r"^(-?\d+)-", s)
+        if m and not 1 <= int(m.group(1)) <= 9999:
+            return (-(1 << 62)) if int(m.group(1)) < 1 else (1 << 62)
+        dt = datetime.fromisoformat(s)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return int(dt.timestamp() * 1000)
+
+    lo_s, hi_s = interval.split("/")
+    return parse(lo_s, False), parse(hi_s, True)
+
+
 def _peek_row_count(smoosh: "SmooshedFiles") -> int:
     """Row count from the __time column header (numeric totalSize)
     without decompressing anything — same bounded peek
@@ -1514,7 +1638,8 @@ def _peek_row_count(smoosh: "SmooshedFiles") -> int:
 
 
 def read_segment_dir(dirpath: str, lenient: bool = False,
-                     dim_filter: dict | None = None):
+                     dim_filter: dict | None = None,
+                     interval=None):
     """Open a v9 segment directory → (pandas.DataFrame, info dict).
 
     Column types map as: __time/LONG -> int64 (ms for __time), FLOAT/
@@ -1564,8 +1689,24 @@ def read_segment_dir(dirpath: str, lenient: bool = False,
         info["pushdown_rows"] = -1 if mask is None else len(mask)
     time_col = read_column("__time", _blob("__time"),
                            info["bitmap_type"], rows=mask)
-    n_rows = len(time_col["values"])
-    data = {"__time": time_col["values"]}
+    time_vals = time_col["values"]
+    if interval is not None:
+        # segment rows are TIME-SORTED (IndexMerger persists by
+        # __time), so an interval is a contiguous row range; decode
+        # __time once, narrow the mask, and every OTHER column
+        # chunk-skips to the range. Exact — no downstream superset.
+        import numpy as np
+
+        lo, hi = (_interval_to_ms(interval)
+                  if isinstance(interval, str) else interval)
+        tv = np.asarray(time_vals, dtype=np.int64)
+        keep = (tv >= lo) & (tv < hi)
+        time_vals = tv[keep]
+        mask = (np.nonzero(keep)[0].astype(np.int64)
+                if mask is None else mask[keep])
+        info["pushdown_rows"] = len(mask)
+    n_rows = len(time_vals)
+    data = {"__time": time_vals}
     complex_types = {}
     info["column_errors"] = {}
     for col in info["columns"]:
@@ -1604,13 +1745,13 @@ def read_segment_dir(dirpath: str, lenient: bool = False,
 
 
 def read_segment_zip(zip_path: str, lenient: bool = False,
-                     dim_filter: dict | None = None):
+                     dim_filter: dict | None = None, interval=None):
     """A deep-storage index.zip → read IN PLACE (the loadSpec shape
     every Druid deep store uses). Nothing is extracted to disk:
     SmooshedFiles streams zip members in memory, so a migration task
     over thousands of zips touches only its own heap."""
     return read_segment_dir(zip_path, lenient=lenient,
-                            dim_filter=dim_filter)
+                            dim_filter=dim_filter, interval=interval)
 
 
 def segment_metadata(path: str) -> dict:
@@ -1750,12 +1891,14 @@ def segment_schema(path: str):
         smoosh.close()
 
 
-def _first_segment(path: str, dim_filter: dict | None = None):
-    return read_segment_dir(path, dim_filter=dim_filter)
+def _first_segment(path: str, dim_filter: dict | None = None,
+                   interval=None):
+    return read_segment_dir(path, dim_filter=dim_filter,
+                            interval=interval)
 
 
 def scan_segments(spark, paths: list[str],
-                  dim_filter: dict | None = None):
+                  dim_filter: dict | None = None, interval=None):
     """Many segment containers → ONE Spark DataFrame: the migration
     scan. Parallelism unit = one SEGMENT per task (mapInPandas over
     the path list) — exactly Druid's own processing granularity, so
@@ -1783,7 +1926,7 @@ def scan_segments(spark, paths: list[str],
 
         for pdf in batches:
             for p in pdf["path"]:
-                seg, seg_info = _first_segment(p, dim_filter)
+                seg, seg_info = _first_segment(p, dim_filter, interval)
                 out = pd.DataFrame()
                 for c in col_order:
                     if c == "__time":

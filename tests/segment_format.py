@@ -7,8 +7,9 @@ from __future__ import annotations
 import struct
 
 
-def generic_indexed_v1(elements) -> bytes:
-    """GenericIndexed v1 blob: version, allowReverseLookup=0,
+def generic_indexed_v1(elements, sorted_flag: bool = False) -> bytes:
+    """GenericIndexed v1 blob: version, allowReverseLookup (1 for a
+    sorted writer -- range pushdown needs it on dictionaries),
     totalSize, numElements, end-offset header, 4-byte-size-prefixed
     values (size -1 marks a null element)."""
     ends, acc = [], 0
@@ -24,5 +25,6 @@ def generic_indexed_v1(elements) -> bytes:
     header = b"".join(struct.pack(">i", e) for e in ends)
     values = b"".join(payload)
     total = 4 + len(header) + len(values)
-    return (b"\x01\x00" + struct.pack(">ii", total, len(elements))
+    flag = b"\x01" if sorted_flag else b"\x00"
+    return (b"\x01" + flag + struct.pack(">ii", total, len(elements))
             + header + values)

@@ -70,7 +70,7 @@ def _desc(vtype, parts, multi=False):
 
 N_ROWS = 64
 SIZE_PER = 8  # 8 chunks per column
-DIM_VALUES = ["alpha", "beta", "gamma", "delta"]
+DIM_VALUES = ["alpha", "beta", "delta", "gamma"]  # sorted
 
 
 def _build(tmp_path, with_bitmaps=True):
@@ -86,7 +86,8 @@ def _build(tmp_path, with_bitmaps=True):
     files["value"] = _desc("LONG", [
         {"type": "long", "byteOrder": "LITTLE_ENDIAN"}]) \
         + _longs_col([i * 7 for i in range(N_ROWS)], SIZE_PER)
-    dictionary = _gi([v.encode() for v in DIM_VALUES])
+    dictionary = _gi([v.encode() for v in DIM_VALUES],
+                     sorted_flag=True)
     ids = [i // 16 for i in range(N_ROWS)]
     id_chunks = []
     for i in range(0, N_ROWS, SIZE_PER):
@@ -349,3 +350,107 @@ def test_filtered_dim_blob_read_once(tmp_path, monkeypatch):
     read_segment_dir(path, dim_filter={
         "type": "selector", "dimension": "dim", "value": "beta"})
     assert reads.count("dim") == 1
+
+
+# -- r17 phase 2: bound / like-prefix / interval pushdown -------------------
+
+
+def test_bound_pushdown_exact(tmp_path, monkeypatch):
+    """Lexicographic bound over the sorted dictionary: contiguous id
+    range -> bitmap union, chunk-skip engaged, exact (supports
+    not)."""
+    path = _build(tmp_path)
+    full, _ = read_segment_dir(path)
+
+    def run(flt):
+        got, info = read_segment_dir(path, dim_filter=flt)
+        return got.reset_index(drop=True), info
+
+    # alpha < beta < delta < gamma lexicographically
+    got, info = run({"type": "bound", "dimension": "dim",
+                     "lower": "beta", "upper": "delta"})
+    expect = full[(full["dim"] >= "beta")
+                  & (full["dim"] <= "delta")].reset_index(drop=True)
+    assert info["pushdown_rows"] == len(expect) == 32
+    assert got.equals(expect)
+    # strict bounds
+    got, info = run({"type": "bound", "dimension": "dim",
+                     "lower": "beta", "upper": "delta",
+                     "lowerStrict": True, "upperStrict": True})
+    assert info["pushdown_rows"] == 0
+    # bound is EXACT -> not(bound) pushes down
+    got, info = run({"type": "not", "field": {
+        "type": "bound", "dimension": "dim", "lower": "beta",
+        "upper": "delta"}})
+    expect = full[~((full["dim"] >= "beta")
+                    & (full["dim"] <= "delta"))] \
+        .reset_index(drop=True)
+    assert got.equals(expect)
+    # numeric ordering: dictionary order unusable -> no pushdown
+    _, info = run({"type": "bound", "dimension": "dim",
+                   "lower": "1", "ordering": "numeric"})
+    assert info["pushdown_rows"] == -1
+
+
+def test_like_prefix_pushdown(tmp_path):
+    path = _build(tmp_path)
+    full, _ = read_segment_dir(path)
+    # 'ga%' -> gamma rows, exact
+    got, info = read_segment_dir(path, dim_filter={
+        "type": "like", "dimension": "dim", "pattern": "ga%"})
+    assert info["pushdown_rows"] == 16
+    assert set(got["dim"]) == {"gamma"}
+    # not(like 'ga%') exact complement
+    got, _ = read_segment_dir(path, dim_filter={
+        "type": "not", "field": {"type": "like", "dimension": "dim",
+                                 "pattern": "ga%"}})
+    assert set(got["dim"]) == {"alpha", "beta", "delta"}
+    # wildcard tail: prefix range is a SUPERSET; engine re-filters
+    got, info = read_segment_dir(path, dim_filter={
+        "type": "like", "dimension": "dim", "pattern": "de%ta"})
+    assert set(got["dim"]) == {"delta"}  # superset == exact here
+    # no literal prefix -> no pushdown
+    _, info = read_segment_dir(path, dim_filter={
+        "type": "like", "dimension": "dim", "pattern": "%ta"})
+    assert info["pushdown_rows"] == -1
+
+
+def test_interval_pushdown_row_range(tmp_path, monkeypatch):
+    """The interval becomes a contiguous row range over the
+    time-sorted container; other columns chunk-skip to it."""
+    path = _build(tmp_path)
+    full, _ = read_segment_dir(path)
+    # rows 16..31 => t0+16000 .. t0+31000
+    lo = 1_400_000_000_000 + 16_000
+    hi = 1_400_000_000_000 + 32_000
+    calls = _count_decompress(monkeypatch)
+    got, info = read_segment_dir(path, interval=(lo, hi))
+    assert info["pushdown_rows"] == 16
+    assert got["value"].tolist() == [i * 7 for i in range(16, 32)]
+    # __time decodes fully (8 chunks); value + dim ids skip to 2
+    # chunks each -> 8 + 2 + 2
+    assert len(calls) == 12
+
+
+def test_interval_iso_string_and_filter_compose(tmp_path):
+    path = _build(tmp_path)
+    got, info = read_segment_dir(
+        path,
+        dim_filter={"type": "selector", "dimension": "dim",
+                    "value": "beta"},
+        interval="2014-05-13T16:53:36/2014-05-13T16:53:44")
+    # interval covers rows 16..23 (t0 = 2014-05-13T16:53:20Z);
+    # beta covers 16..31; intersection = 16..23
+    assert info["pushdown_rows"] == 8
+    assert set(got["dim"]) == {"beta"}
+    assert len(got) == 8
+
+
+def test_spark_reingestion_interval_pushdown(spark, tmp_path):
+    from apache_druid_spark.ingest.batch import read_input
+
+    path = _build(tmp_path)
+    df = read_input(spark, {"inputSource": {
+        "type": "druid", "segments": [path],
+        "interval": "2014-05-13T16:53:36/2014-05-13T16:53:44"}})
+    assert df.count() == 8
