@@ -41,10 +41,12 @@ parquet once.
 Null bitmaps decode under BOTH factory serdes: roaring (the 0.18+
 default) and CONCISE (ConciseBitmapSerdeFactory — older deployments
 that wrote V2 numeric columns under the concise serde migrate
-directly). Deliberate louds (named errors, not silent wrongness):
-version-2 GenericIndexed (single columns >2 GB, multi-smoosh), ZSTD
-chunks on a host with no libzstd, and v8 containers
-(IndexIO.java:319 legacy layout) — re-ingest those.
+directly). GenericIndexed version 2 (multi-smoosh, single columns
+>2 GB) reads through the same surfaces as v1 — dictionaries, complex
+columns, chunk indexes, bitmap regions (r17). Deliberate louds
+(named errors, not silent wrongness): ZSTD chunks on a host with no
+libzstd, and v8 containers (IndexIO.java:319 legacy layout) —
+re-ingest those.
 
 Spark surface: ``read_segment_dir`` (one container → pandas),
 ``scan_segments`` (many containers → one Spark DataFrame via
@@ -115,19 +117,31 @@ def _read_prefixed_string(buf: _Buf) -> str:
     return buf.take(buf.i32()).decode("utf-8")
 
 
-def read_generic_indexed(buf: _Buf) -> list[bytes | None]:
+def read_generic_indexed(buf: _Buf,
+                         mapper=None) -> list[bytes | None]:
     """GenericIndexed version 1 (GenericIndexed.java:605 layout):
     byte version, byte allowReverseLookup, int totalSize (= 4 +
     header + values), int numElements, numElements BE ints of END
     offsets into the value area, then the value area where element i
-    is a 4-byte size int (-1 marks null) followed by its bytes."""
+    is a 4-byte size int (-1 marks null) followed by its bytes.
+
+    Version 2 (multi-smoosh, single columns >2 GB —
+    GenericIndexed.createGenericIndexedVersionTwo) carries only META
+    inline: [allowReverseLookup][int bagSizePower][int numElements]
+    [prefixed column name]; the element bytes live in sibling smoosh
+    members ``<name>_value_<i>`` (1<<bagSizePower elements each) with
+    a ``<name>_header`` member of NATIVE-order int32 end offsets that
+    RESTART per value file. Needs ``mapper`` (the SmooshedFiles) to
+    resolve those members."""
     version = buf.u8()
     if version == 0x2:
-        raise DruidSegmentError(
-            "GenericIndexed version 2 (multi-smoosh, >2 GB single "
-            "column) is not supported — split the segment (reduce "
-            "targetRowsPerSegment) and re-ingest, or export the "
-            "datasource instead of reading the container directly")
+        if mapper is None:
+            raise DruidSegmentError(
+                "GenericIndexed version 2 (multi-smoosh, >2 GB "
+                "single column) appeared in a context with no smoosh "
+                "mapper — damaged container, or an unsupported "
+                "nesting")
+        return _read_generic_indexed_v2(buf, mapper)
     if version != 0x1:
         raise DruidSegmentError(
             f"unknown GenericIndexed version {version}")
@@ -174,6 +188,68 @@ def read_generic_indexed(buf: _Buf) -> list[bytes | None]:
             prev = end
     # totalSize counts from the numElements int onward
     buf.pos = header_end - 4 * n - 4 + total_size
+    return out
+
+
+def _read_generic_indexed_v2(buf: _Buf, mapper) -> list[bytes | None]:
+    """Body of the v2 (multi-file) GenericIndexed read; ``buf`` sits
+    just past the version byte. Header ints are written in the
+    WRITER's native byte order (GenericIndexedWriter.writeHeaderLong
+    allocates nativeOrder and GenericIndexed.java:300 reads the same
+    way) — little-endian on every production platform; if the LE
+    parse violates per-file monotonicity we retry BE (a big-endian
+    writer) before declaring the header damaged."""
+    import numpy as np
+
+    buf.u8()  # allowReverseLookup
+    bag_power = buf.i32()
+    n = buf.i32()
+    name = _read_prefixed_string(buf)
+    per_file = 1 << bag_power
+    n_files = (n + per_file - 1) // per_file
+    header = bytes(mapper.file(f"{name}_header"))
+    if len(header) < 4 * n:
+        raise DruidSegmentError(
+            f"GenericIndexed v2 header for {name!r} holds "
+            f"{len(header) // 4} offsets for {n} elements")
+    flats = [bytes(mapper.file(f"{name}_value_{f}"))
+             for f in range(n_files)]
+
+    def parse(order: str):
+        ends = np.frombuffer(header, dtype=f"{order}i4",
+                             count=n).astype(np.int64)
+        for f in range(n_files):
+            part = ends[f * per_file:(f + 1) * per_file]
+            # writeToMultiFiles sizes each value file to EXACTLY its
+            # bag's bytes, so the last relative offset must equal the
+            # file length — this also disambiguates the byte order
+            if len(part) == 0 or int(part.min()) < 4 \
+                    or int(part[-1]) != len(flats[f]) \
+                    or (len(part) > 1
+                        and bool(np.any(np.diff(part) < 0))):
+                return None
+        return ends
+
+    ends = parse("<")
+    if ends is None:
+        ends = parse(">")
+    if ends is None:
+        raise DruidSegmentError(
+            f"corrupt GenericIndexed v2 header for {name!r}: "
+            "offsets fail monotonicity / file-length checks in "
+            "either byte order — damaged header or truncated value "
+            "file")
+    out: list[bytes | None] = []
+    null_marker = b"\xff\xff\xff\xff"
+    for f in range(n_files):
+        flat = flats[f]
+        prev = 0
+        for end in ends[f * per_file:(f + 1) * per_file].tolist():
+            if end - prev == 4 and flat[prev:prev + 4] == null_marker:
+                out.append(None)
+            else:
+                out.append(flat[prev + 4:end])
+            prev = end
     return out
 
 
@@ -518,7 +594,7 @@ def _chunk_sel(rows, done: int, count: int):
 
 
 def read_compressed_longs(buf: _Buf, little_endian: bool = True,
-                          rows=None):
+                          rows=None, mapper=None):
     """CompressedColumnarLongsSupplier.java:100: version 0x1 (LZF,
     LONGS) or 0x2 (compression byte, optional encoding flag), then a
     GenericIndexed of compressed chunks of sizePer values each.
@@ -550,7 +626,7 @@ def read_compressed_longs(buf: _Buf, little_endian: bool = True,
             out = (arg[0] + ids if kind == "DELTA"
                    else np.asarray(arg[0], dtype=np.int64)[ids])
         return out if rows is None else out[rows]
-    chunks = read_generic_indexed(buf)
+    chunks = read_generic_indexed(buf, mapper)
     out = np.empty(total if rows is None else len(rows),
                    dtype=np.int64)
     done = written = 0
@@ -587,10 +663,10 @@ def read_compressed_longs(buf: _Buf, little_endian: bool = True,
 
 def _read_compressed_fixed(buf: _Buf, total: int, size_per: int,
                            comp: int, width: int, dtype: str,
-                           rows=None):
+                           rows=None, mapper=None):
     import numpy as np
 
-    chunks = read_generic_indexed(buf)
+    chunks = read_generic_indexed(buf, mapper)
     out = np.empty(total if rows is None else len(rows),
                    dtype=dtype[1:])
     done = written = 0
@@ -618,7 +694,7 @@ def _read_compressed_fixed(buf: _Buf, total: int, size_per: int,
 
 
 def read_compressed_floats(buf: _Buf, little_endian: bool = True,
-                           rows=None):
+                           rows=None, mapper=None):
     """CompressedColumnarFloatsSupplier.java:85."""
     version = buf.u8()
     if version not in (0x1, 0x2):
@@ -628,11 +704,11 @@ def read_compressed_floats(buf: _Buf, little_endian: bool = True,
     comp = buf.u8() if version == 0x2 else 0x0
     return _read_compressed_fixed(
         buf, total, size_per, comp, 4,
-        "<f4" if little_endian else ">f4", rows)
+        "<f4" if little_endian else ">f4", rows, mapper)
 
 
 def read_compressed_doubles(buf: _Buf, little_endian: bool = True,
-                            rows=None):
+                            rows=None, mapper=None):
     """CompressedColumnarDoublesSuppliers (same envelope as floats)."""
     version = buf.u8()
     if version not in (0x1, 0x2):
@@ -642,7 +718,7 @@ def read_compressed_doubles(buf: _Buf, little_endian: bool = True,
     comp = buf.u8() if version == 0x2 else 0x0
     return _read_compressed_fixed(
         buf, total, size_per, comp, 8,
-        "<f8" if little_endian else ">f8", rows)
+        "<f8" if little_endian else ">f8", rows, mapper)
 
 
 # ---------------------------------------------------------------------------
@@ -689,7 +765,7 @@ def _le_ints(raw: bytes, num_bytes: int, count: int):
 
 
 def read_compressed_vsize_ints(buf: _Buf, little_endian: bool = True,
-                               rows=None):
+                               rows=None, mapper=None):
     """CompressedVSizeColumnarIntsSupplier.java:143: version 0x2,
     byte numBytes, int totalSize, int sizePer, compression byte, then
     GenericIndexed chunks of sizePer values x numBytes (column byte
@@ -704,7 +780,7 @@ def read_compressed_vsize_ints(buf: _Buf, little_endian: bool = True,
     num_bytes = buf.u8()
     total, size_per = buf.i32(), buf.i32()
     comp = buf.u8()
-    chunks = read_generic_indexed(buf)
+    chunks = read_generic_indexed(buf, mapper)
     out = np.empty(total if rows is None else len(rows),
                    dtype=np.int64)
     done = written = 0
@@ -764,7 +840,8 @@ def read_vsize_multi_ints(buf: _Buf):
     return rows
 
 
-def read_v3_multi_ints(buf: _Buf, little_endian: bool = True):
+def read_v3_multi_ints(buf: _Buf, little_endian: bool = True,
+                       mapper=None):
     """V3CompressedVSizeColumnarMultiIntsSupplier.java:59: version
     0x3, then compressed OFFSETS (CompressedColumnarInts: version 0x2,
     totalSize, sizePer, compression, 4-byte-value chunks) and
@@ -783,7 +860,7 @@ def read_v3_multi_ints(buf: _Buf, little_endian: bool = True):
     o_comp = buf.u8()
     offsets = np.empty(o_total, dtype=np.int64)
     done = 0
-    for c in read_generic_indexed(buf):
+    for c in read_generic_indexed(buf, mapper):
         count = min(o_per, o_total - done)
         if count <= 0:
             break
@@ -792,7 +869,8 @@ def read_v3_multi_ints(buf: _Buf, little_endian: bool = True):
         offsets[done:done + count] = np.frombuffer(
             raw[:count * 4], dtype=dt)
         done += count
-    values = read_compressed_vsize_ints(buf, little_endian)
+    values = read_compressed_vsize_ints(buf, little_endian,
+                                        mapper=mapper)
     # offsets has totalSize = rows+1 boundaries (0, end0, end1, ...)
     return [values[offsets[i]:offsets[i + 1]]
             for i in range(o_total - 1)]
@@ -1117,7 +1195,7 @@ def _read_nulls_tail(buf: _Buf, bitmap_type: str, part_end: int,
 
 
 def read_column(name: str, blob, bitmap_type: str,
-                rows=None) -> dict:
+                rows=None, mapper=None) -> dict:
     """One smooshed column: 4-byte-len descriptor JSON, then each
     part's binary per its serde (ColumnDescriptor.read). ``rows``
     (sorted int64 row ids) restricts the decode to those rows —
@@ -1138,7 +1216,7 @@ def read_column(name: str, blob, bitmap_type: str,
         part_end = len(blob)  # parts are sequential; last wins
         if ptype == "stringDictionary":
             out["values"] = _read_string_part(buf, part, bitmap_type,
-                                              rows)
+                                              rows, mapper)
         elif ptype in ("long", "longV2"):
             offset_end = None
             n_total = None
@@ -1149,7 +1227,7 @@ def read_column(name: str, blob, bitmap_type: str,
                 # bounds corrupt-CONCISE expansion in the nulls tail
                 n_total = struct.unpack_from(">i", blob,
                                              buf.pos + 1)[0]
-            vals = read_compressed_longs(buf, little, rows)
+            vals = read_compressed_longs(buf, little, rows, mapper)
             nulls = None
             if ptype == "longV2":
                 buf.pos = offset_end
@@ -1166,7 +1244,8 @@ def read_column(name: str, blob, bitmap_type: str,
                 # bounds corrupt-CONCISE expansion in the nulls tail
                 n_total = struct.unpack_from(">i", blob,
                                              buf.pos + 1)[0]
-            vals = read_compressed_floats(buf, little, rows)
+            vals = read_compressed_floats(buf, little, rows,
+                                          mapper)
             nulls = None
             if ptype == "floatV2":
                 buf.pos = offset_end
@@ -1185,7 +1264,8 @@ def read_column(name: str, blob, bitmap_type: str,
                 # bounds corrupt-CONCISE expansion in the nulls tail
                 n_total = struct.unpack_from(">i", blob,
                                              buf.pos + 1)[0]
-            vals = read_compressed_doubles(buf, little, rows)
+            vals = read_compressed_doubles(buf, little, rows,
+                                           mapper)
             nulls = None
             if ptype == "doubleV2":
                 buf.pos = offset_end
@@ -1195,7 +1275,7 @@ def read_column(name: str, blob, bitmap_type: str,
                                          rows=rows)
         elif ptype == "complex":
             out["complex_type"] = part.get("typeName")
-            vals = read_generic_indexed(buf)
+            vals = read_generic_indexed(buf, mapper)
             if rows is not None:
                 vals = [vals[int(i)] for i in rows]
             out["values"] = vals
@@ -1231,7 +1311,7 @@ def _apply_nulls(vals, nulls, float_nan: bool = False, rows=None):
 
 
 def _read_string_part(buf: _Buf, part: dict, bitmap_type: str,
-                      rows=None):
+                      rows=None, mapper=None):
     """DictionaryEncodedColumnPartSerde.java:286. ``rows`` restricts
     the decode (single-value compressed ids skip whole chunks;
     multi-value decodes fully then gathers)."""
@@ -1244,7 +1324,7 @@ def _read_string_part(buf: _Buf, part: dict, bitmap_type: str,
     multi = bool(flags & 0x1 or flags & 0x2)  # MULTI_VALUE(_V3)
     little = part.get("byteOrder", "LITTLE_ENDIAN") == "LITTLE_ENDIAN"
     dictionary = [None if b is None else b.decode("utf-8")
-                  for b in read_generic_indexed(buf)]
+                  for b in read_generic_indexed(buf, mapper)]
 
     def lookup(i):
         return dictionary[int(i)]
@@ -1253,7 +1333,7 @@ def _read_string_part(buf: _Buf, part: dict, bitmap_type: str,
         if version in (0x1, 0x3):
             mv_rows = read_vsize_multi_ints(buf)
         elif flags & 0x2:  # MULTI_VALUE_V3 (compressed)
-            mv_rows = read_v3_multi_ints(buf, little)
+            mv_rows = read_v3_multi_ints(buf, little, mapper)
         else:  # compressed MULTI_VALUE: version 0x2, two
             # CompressedVSize columns — OFFSETS (row boundaries,
             # rows+1 entries) then VALUES
@@ -1262,8 +1342,10 @@ def _read_string_part(buf: _Buf, part: dict, bitmap_type: str,
             if v2 != 0x2:
                 raise DruidSegmentError(
                     f"unknown compressed multi-ints version {v2}")
-            offsets = read_compressed_vsize_ints(buf, little)
-            values = read_compressed_vsize_ints(buf, little)
+            offsets = read_compressed_vsize_ints(buf, little,
+                                                 mapper=mapper)
+            values = read_compressed_vsize_ints(buf, little,
+                                                mapper=mapper)
             mv_rows = [values[offsets[i]:offsets[i + 1]]
                        for i in range(len(offsets) - 1)]
         if rows is not None:
@@ -1274,7 +1356,7 @@ def _read_string_part(buf: _Buf, part: dict, bitmap_type: str,
         if rows is not None:
             ids = ids[rows]
     else:
-        ids = read_compressed_vsize_ints(buf, little, rows)
+        ids = read_compressed_vsize_ints(buf, little, rows, mapper)
     # bitmap indexes follow — read on demand by _read_bitmap_index
     # for filter pushdown; the value decode never touches them.
     # One vectorized gather instead of a per-row lookup loop.
@@ -1286,9 +1368,16 @@ def _read_string_part(buf: _Buf, part: dict, bitmap_type: str,
 
 def skip_generic_indexed(buf: _Buf) -> None:
     """Jump the cursor past a GenericIndexed without touching its
-    elements (header: version, flag, totalSize — totalSize counts
-    from the numElements int onward)."""
+    elements (v1 header: version, flag, totalSize — totalSize counts
+    from the numElements int onward; v2 carries only META inline —
+    the element bytes live in sibling smoosh members)."""
     version = buf.u8()
+    if version == 0x2:
+        buf.u8()  # allowReverseLookup
+        buf.i32()  # bagSizePower
+        buf.i32()  # numElements
+        buf.pos += buf.i32()  # prefixed column name
+        return
     if version != 0x1:
         raise DruidSegmentError(
             f"unknown GenericIndexed version {version}")
@@ -1299,7 +1388,7 @@ def skip_generic_indexed(buf: _Buf) -> None:
 _NO_BITMAP_INDEX = 0x4  # DictionaryEncodedColumnPartSerde.Feature
 
 
-def _read_bitmap_index(blob, bitmap_type: str):
+def _read_bitmap_index(blob, bitmap_type: str, mapper=None):
     """Parse a string column's per-value bitmap index region
     (DictionaryEncodedColumnPartSerde.java:347: after the id
     section, GenericIndexed<ImmutableBitmap> in dictionary order,
@@ -1328,7 +1417,7 @@ def _read_bitmap_index(blob, bitmap_type: str):
     sorted_dict = len(blob) > buf.pos + 1 \
         and blob[buf.pos + 1] == 0x1  # GI allowReverseLookup byte
     dictionary = [None if b is None else b.decode("utf-8")
-                  for b in read_generic_indexed(buf)]
+                  for b in read_generic_indexed(buf, mapper)]
     # skip the id section without decoding
     if multi and version in (0x1, 0x3):
         buf.u8()  # VSizeMulti version
@@ -1360,7 +1449,7 @@ def _read_bitmap_index(blob, bitmap_type: str):
         buf.pos += buf.i32()
     else:
         _skip_compressed_vsize(buf)
-    bitmaps = read_generic_indexed(buf)
+    bitmaps = read_generic_indexed(buf, mapper)
     if len(bitmaps) != len(dictionary):
         raise DruidSegmentError(
             f"bitmap index has {len(bitmaps)} entries for "
@@ -1416,7 +1505,8 @@ def _filter_row_mask(flt, smoosh: "SmooshedFiles", bitmap_type: str,
         out = None
         if dim in smoosh.entries:
             try:
-                out = _read_bitmap_index(read_file(dim), bitmap_type)
+                out = _read_bitmap_index(read_file(dim), bitmap_type,
+                                         mapper=smoosh)
             except (DruidSegmentError, KeyError, ValueError,
                     struct.error, IndexError):
                 out = None
@@ -1688,7 +1778,8 @@ def read_segment_dir(dirpath: str, lenient: bool = False,
                                    file_fn=_blob)
         info["pushdown_rows"] = -1 if mask is None else len(mask)
     time_col = read_column("__time", _blob("__time"),
-                           info["bitmap_type"], rows=mask)
+                           info["bitmap_type"], rows=mask,
+                           mapper=smoosh)
     time_vals = time_col["values"]
     if interval is not None:
         # segment rows are TIME-SORTED (IndexMerger persists by
@@ -1715,7 +1806,8 @@ def read_segment_dir(dirpath: str, lenient: bool = False,
         try:
             parsed = read_column(col, blob_memo.pop(col, None)
                                  or smoosh.file(col),
-                                 info["bitmap_type"], rows=mask)
+                                 info["bitmap_type"], rows=mask,
+                                 mapper=smoosh)
         except (DruidSegmentError, KeyError, ValueError,
                 IndexError, struct.error) as e:
             if not lenient:
@@ -1797,17 +1889,26 @@ def segment_metadata(path: str) -> dict:
                 if v >= 0x2:
                     b.i32()  # flags
                 dict_start = b.pos
-                b.u8()  # GI version
+                gi_version = b.u8()
                 # allowReverseLookup==1 iff the dictionary is sorted
                 # (GenericIndexed.java writes it only for sorted
                 # writers); first/last entries are min/max ONLY then
                 # (r17 advice — an unsorted dictionary would report
                 # wrong bounds)
                 sorted_dict = b.u8() == 0x1
-                gi_total = b.i32()
-                blob = smoosh.prefix(col, dict_start + 6 + gi_total)
-                b = _Buf(blob, dict_start)
-                dictionary = read_generic_indexed(b)
+                if gi_version == 0x2:
+                    # v2 dictionary meta is tiny (name + ints); the
+                    # element bytes live in sibling members — still a
+                    # dictionary-only read, never ids/bitmaps
+                    blob = smoosh.prefix(col, dict_start + 64 + 1024)
+                    b = _Buf(blob, dict_start)
+                    dictionary = read_generic_indexed(b, smoosh)
+                else:
+                    gi_total = b.i32()
+                    blob = smoosh.prefix(col,
+                                         dict_start + 6 + gi_total)
+                    b = _Buf(blob, dict_start)
+                    dictionary = read_generic_indexed(b)
                 entry["cardinality"] = len(dictionary)
                 entry["dictionary_bytes"] = b.pos - dict_start
                 non_null = [d for d in dictionary if d is not None]

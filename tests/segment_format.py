@@ -28,3 +28,20 @@ def generic_indexed_v1(elements, sorted_flag: bool = False) -> bytes:
     flag = b"\x01" if sorted_flag else b"\x00"
     return (b"\x01" + flag + struct.pack(">ii", total, len(elements))
             + header + values)
+
+
+def roaring_array(vals) -> bytes:
+    """Portable roaring serialization, array containers only
+    (cards <= 4096 per 65536-bucket)."""
+    vals = sorted(vals)
+    buckets: dict[int, list[int]] = {}
+    for v in vals:
+        buckets.setdefault(v >> 16, []).append(v & 0xFFFF)
+    keys = sorted(buckets)
+    out = struct.pack("<ii", 12346, len(keys))
+    for k in keys:
+        out += struct.pack("<HH", k, len(buckets[k]) - 1)
+    out += b"\x00" * (4 * len(keys))  # offset header (reader skips)
+    for k in keys:
+        out += b"".join(struct.pack("<H", v) for v in buckets[k])
+    return out

@@ -36,20 +36,7 @@ V8_DIR = ("/root/reference/processing/src/test/resources/"
 from segment_format import generic_indexed_v1 as _gi  # noqa: E402
 
 
-def _roaring(vals) -> bytes:
-    """Portable roaring serialization, array containers only."""
-    vals = sorted(vals)
-    buckets: dict[int, list[int]] = {}
-    for v in vals:
-        buckets.setdefault(v >> 16, []).append(v & 0xFFFF)
-    keys = sorted(buckets)
-    out = struct.pack("<ii", 12346, len(keys))
-    for k in keys:
-        out += struct.pack("<HH", k, len(buckets[k]) - 1)
-    out += b"\x00" * (4 * len(keys))  # offset header (reader skips)
-    for k in keys:
-        out += b"".join(struct.pack("<H", v) for v in buckets[k])
-    return out
+from segment_format import roaring_array as _roaring  # noqa: E402
 
 
 def _longs_col(vals, size_per):
