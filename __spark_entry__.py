@@ -2303,6 +2303,43 @@ def _druid_segment_scan(spark, sf_dir):
             .orderBy("__time"))
 
 
+@_q("druid_segment_pushdown_scan", """
+SELECT * FROM (VALUES
+  (TIMESTAMP '2014-10-22 01:00:00', 'b.example.com',
+   CAST(150 AS BIGINT)),
+  (TIMESTAMP '2014-10-22 02:00:00', 'c.example.com',
+   CAST(200 AS BIGINT))
+) AS t(__time, host, visited_sum)
+ORDER BY __time
+""")
+def _druid_segment_pushdown_scan(spark, sf_dir):
+    """r17 bitmap/interval/projection pushdown through the
+    {"type":"druid"} re-ingestion source, against the reference's own
+    committed golden segment (whose bitmap indexes are CONCISE — this
+    gate drives the r17 CONCISE decoder on reference-written binary
+    bitmaps): an OR of a selector (bitmap union) and a lexicographic
+    bound (sorted-dictionary range), an interval narrowing the
+    time-sorted container to a row range BEFORE chunk decode, and a
+    dimensions/metrics projection. The exact Spark-side filter
+    re-applies downstream, so the result is hash-gated against the
+    documented row values."""
+    from apache_druid_spark.ingest.batch import read_input
+
+    zip_path = ("/root/reference/indexing-hadoop/src/test/resources/"
+                "test-segment/index.zip")
+    df = read_input(spark, {"inputSource": {
+        "type": "druid", "segments": [zip_path],
+        "interval": "2014-10-22T00:30:00/2014-10-23T00:00:00",
+        "filter": {"type": "or", "fields": [
+            {"type": "selector", "dimension": "host",
+             "value": "b.example.com"},
+            {"type": "bound", "dimension": "host", "lower": "c",
+             "ordering": "lexicographic"}]},
+        "dimensions": ["host"], "metrics": ["visited_sum"]}})
+    return df.select("__time", "host", "visited_sum") \
+        .orderBy("__time")
+
+
 @_q("sql_frozen_current_timestamp", """
 SELECT o_orderpriority,
        COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS total

@@ -222,12 +222,33 @@ def _read_druid_segments(spark: SparkSession, src: dict) -> DataFrame:
     # realpath, not abspath, so a symlink and its target dedupe too
     paths = list(dict.fromkeys(os.path.realpath(p) for p in paths))
     # pushdown: the indexable part of the DimFilter becomes a
-    # per-container bitmap row mask, and the interval becomes a
-    # contiguous row range over the time-sorted container — both
-    # BEFORE chunk decode (superset-safe: the exact compile_filter /
-    # interval_predicate below still apply)
+    # per-container bitmap row mask, the interval becomes a
+    # contiguous row range over the time-sorted container, and a
+    # dimensions/metrics projection stops unlisted columns from ever
+    # deserializing — all BEFORE chunk decode (superset-safe: the
+    # exact compile_filter / interval_predicate below still apply).
+    # The decode set must also cover filter-REFERENCED dims: the
+    # filter evaluates before the projection.
+    dims, mets = src.get("dimensions"), src.get("metrics")
+    decode_cols = None
+    if dims is not None or mets is not None:
+        decode_cols = set((dims or []) + (mets or []))
+
+        def _filter_dims(f):
+            if isinstance(f, dict):
+                d = f.get("dimension")
+                if isinstance(d, str):
+                    decode_cols.add(d)
+                for v in f.values():
+                    _filter_dims(v)
+            elif isinstance(f, list):
+                for v in f:
+                    _filter_dims(v)
+
+        _filter_dims(src.get("filter"))
     df = scan_segments(spark, paths, dim_filter=src.get("filter"),
-                       interval=src.get("interval"))
+                       interval=src.get("interval"),
+                       columns=decode_cols)
     interval = src.get("interval")
     if interval:
         from apache_druid_spark.operators.filters import (

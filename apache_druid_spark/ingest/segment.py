@@ -1729,7 +1729,7 @@ def _peek_row_count(smoosh: "SmooshedFiles") -> int:
 
 def read_segment_dir(dirpath: str, lenient: bool = False,
                      dim_filter: dict | None = None,
-                     interval=None):
+                     interval=None, columns=None):
     """Open a v9 segment directory → (pandas.DataFrame, info dict).
 
     Column types map as: __time/LONG -> int64 (ms for __time), FLOAT/
@@ -1746,6 +1746,11 @@ def read_segment_dir(dirpath: str, lenient: bool = False,
     (inexpressible subtrees drop out of an AND) — callers re-apply
     the full filter; info["pushdown_rows"] records the mask size, or
     -1 when the filter was not indexable.
+
+    ``columns`` (an iterable of names) is PROJECTION pushdown: only
+    the listed columns (plus ``__time``) are deserialized at all —
+    a migration that keeps 3 of 40 columns never touches the other
+    37 byte ranges.
 
     ``lenient=True`` mirrors Druid's lazy column loading
     (V9IndexLoaderTest.testLoadSegmentDamagedFileWithLazy): a column
@@ -1800,8 +1805,11 @@ def read_segment_dir(dirpath: str, lenient: bool = False,
     data = {"__time": time_vals}
     complex_types = {}
     info["column_errors"] = {}
+    keep_cols = None if columns is None else set(columns)
     for col in info["columns"]:
         if col == "__time" or col not in smoosh.entries:
+            continue
+        if keep_cols is not None and col not in keep_cols:
             continue
         try:
             parsed = read_column(col, blob_memo.pop(col, None)
@@ -1828,7 +1836,8 @@ def read_segment_dir(dirpath: str, lenient: bool = False,
     # null-only 0.23+ columns restored from all-cols appear with no
     # smoosh entry — they are the `data[col] = None * n` case above
     for col in info["columns"]:
-        if col not in data:
+        if col not in data and (keep_cols is None
+                                or col in keep_cols):
             data[col] = [None] * n_rows
     info["complex"] = complex_types
     info["rows"] = n_rows
@@ -1993,13 +2002,14 @@ def segment_schema(path: str):
 
 
 def _first_segment(path: str, dim_filter: dict | None = None,
-                   interval=None):
+                   interval=None, columns=None):
     return read_segment_dir(path, dim_filter=dim_filter,
-                            interval=interval)
+                            interval=interval, columns=columns)
 
 
 def scan_segments(spark, paths: list[str],
-                  dim_filter: dict | None = None, interval=None):
+                  dim_filter: dict | None = None, interval=None,
+                  columns=None):
     """Many segment containers → ONE Spark DataFrame: the migration
     scan. Parallelism unit = one SEGMENT per task (mapInPandas over
     the path list) — exactly Druid's own processing granularity, so
@@ -2020,6 +2030,12 @@ def scan_segments(spark, paths: list[str],
         raise DruidSegmentError("scan_segments: empty path list")
     schema, info = segment_schema(paths[0])
     complex_cols = set(info["complex"])
+    if columns is not None:
+        from pyspark.sql import types as T
+
+        keep = set(columns) | {"__time"}
+        schema = T.StructType(
+            [f for f in schema.fields if f.name in keep])
     col_order = [f.name for f in schema.fields]
 
     def read_all(batches):
@@ -2027,7 +2043,8 @@ def scan_segments(spark, paths: list[str],
 
         for pdf in batches:
             for p in pdf["path"]:
-                seg, seg_info = _first_segment(p, dim_filter, interval)
+                seg, seg_info = _first_segment(p, dim_filter,
+                                               interval, columns)
                 out = pd.DataFrame()
                 for c in col_order:
                     if c == "__time":

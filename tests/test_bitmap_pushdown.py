@@ -441,3 +441,34 @@ def test_spark_reingestion_interval_pushdown(spark, tmp_path):
         "type": "druid", "segments": [path],
         "interval": "2014-05-13T16:53:36/2014-05-13T16:53:44"}})
     assert df.count() == 8
+
+
+# -- r17 phase 3: projection pushdown ---------------------------------------
+
+
+def test_projection_pushdown_skips_columns(tmp_path, monkeypatch):
+    """Only listed columns deserialize: projecting 'value' away from
+    'dim' decodes 8 __time + 8 value chunks and ZERO dim id chunks."""
+    path = _build(tmp_path)
+    calls = _count_decompress(monkeypatch)
+    got, _ = read_segment_dir(path, columns={"value"})
+    assert list(got.columns) == ["__time", "value"]
+    assert len(got) == N_ROWS
+    assert len(calls) == 16  # 8 __time + 8 value, no dim
+
+
+def test_projection_with_filter_on_dropped_column(spark, tmp_path):
+    """The filter evaluates BEFORE the projection (Druid transform
+    semantics): filtering on dim while projecting it away must work
+    end-to-end through the input source."""
+    from apache_druid_spark.ingest.batch import read_input
+
+    path = _build(tmp_path)
+    df = read_input(spark, {"inputSource": {
+        "type": "druid", "segments": [path],
+        "filter": {"type": "selector", "dimension": "dim",
+                   "value": "beta"},
+        "dimensions": [], "metrics": ["value"]}})
+    assert df.columns == ["__time", "value"]
+    assert sorted(r["value"] for r in df.collect()) \
+        == [i * 7 for i in range(16, 32)]
