@@ -232,15 +232,33 @@ def _read_druid_segments(spark: SparkSession, src: dict) -> DataFrame:
     dims, mets = src.get("dimensions"), src.get("metrics")
     decode_cols = None
     if dims is not None or mets is not None:
+        import re as _re
+
         decode_cols = set((dims or []) + (mets or []))
+        ident = _re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
         def _filter_dims(f):
+            # every column-referencing shape a DimFilter can take:
+            # "dimension" (selector/bound/like/regex/search/spatial/
+            # bloom/interval), "dimensions" (columnComparison — bare
+            # strings or DimensionSpec dicts), and "expression"
+            # (identifier tokens, over-approximated — decoding an
+            # extra column is harmless, SKIPPING a referenced one
+            # silently nulls it, r17 review #1)
             if isinstance(f, dict):
-                d = f.get("dimension")
-                if isinstance(d, str):
-                    decode_cols.add(d)
-                for v in f.values():
-                    _filter_dims(v)
+                for k, v in f.items():
+                    if k == "dimension" and isinstance(v, str):
+                        decode_cols.add(v)
+                    elif k == "dimensions" and isinstance(v, list):
+                        for x in v:
+                            if isinstance(x, str):
+                                decode_cols.add(x)
+                            elif isinstance(x, dict):
+                                _filter_dims(x)
+                    elif k == "expression" and isinstance(v, str):
+                        decode_cols.update(ident.findall(v))
+                    else:
+                        _filter_dims(v)
             elif isinstance(f, list):
                 for v in f:
                     _filter_dims(v)

