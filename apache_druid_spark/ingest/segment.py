@@ -43,10 +43,12 @@ default) and CONCISE (ConciseBitmapSerdeFactory — older deployments
 that wrote V2 numeric columns under the concise serde migrate
 directly). GenericIndexed version 2 (multi-smoosh, single columns
 >2 GB) reads through the same surfaces as v1 — dictionaries, complex
-columns, chunk indexes, bitmap regions (r17). Deliberate louds
-(named errors, not silent wrongness): ZSTD chunks on a host with no
-libzstd, and v8 containers (IndexIO.java:319 legacy layout) —
-re-ingest those.
+columns, chunk indexes, bitmap regions (r17). LEGACY v8 containers
+(IndexIO.java DefaultIndexIOHandler.mapDir — pre-2015 index.drd /
+dim_*.drd / met_*.drd / time_*.drd members) read end-to-end too
+(r17), so every container version a Druid deployment can hold
+migrates. The one remaining deliberate loud: ZSTD chunks on a host
+with no libzstd.
 
 Spark surface: ``read_segment_dir`` (one container → pandas),
 ``scan_segments`` (many containers → one Spark DataFrame via
@@ -1132,14 +1134,24 @@ class SmooshedFiles:
         self._members.clear()
 
 
+def _segment_version(smoosh: SmooshedFiles) -> int:
+    """SegmentUtils.getVersionFromDir: the version.bin int when
+    present, else the first byte of index.drd (the pre-v9 layout
+    stores its version there)."""
+    try:
+        return struct.unpack(
+            ">i", smoosh.read_aux("version.bin")[:4])[0]
+    except DruidSegmentError:
+        return int(memoryview(smoosh.file("index.drd"))[0])
+
+
 def _check_version(smoosh: SmooshedFiles) -> None:
-    version = struct.unpack(">i", smoosh.read_aux("version.bin")[:4])[0]
+    version = _segment_version(smoosh)
     if version != 9:
         raise DruidSegmentError(
-            f"segment binary version {version} unsupported (only the "
-            "v9 layout of IndexIO.V9IndexLoader is implemented; v8 "
-            "segments predate 2015 — run Druid's own upgrade or "
-            "re-ingest)")
+            f"segment binary version {version} unsupported (v9 via "
+            "IndexIO.V9IndexLoader and v8 via the legacy "
+            "DefaultIndexIOHandler layout are implemented)")
 
 
 def _read_index_drd(smoosh: SmooshedFiles) -> dict:
@@ -1727,6 +1739,139 @@ def _interval_to_ms(interval: str) -> tuple[int, int]:
     return parse(lo_s), parse(hi_s)
 
 
+def _read_v8_frame(smoosh: "SmooshedFiles", lenient: bool,
+                   interval, columns):
+    """The LEGACY v8 container layout (IndexIO.java
+    DefaultIndexIOHandler.mapDir:313-420) — smooshed members:
+
+    - ``index.drd``: [byte 0x8][GI dims][GI metrics][prefixed ISO
+      interval string]
+    - ``time_<ORDER>.drd``: CompressedColumnarLongsSupplier (the v8
+      writer used the platform's native order in the file NAME)
+    - ``met_<name>_<ORDER>.drd``: MetricHolder — [byte 0x0]
+      [prefixed name][prefixed typeName], then compressed floats or
+      a GenericIndexed of complex blobs (MetricHolder.java:41; LONG
+      metrics are unsupported there too)
+    - ``dim_<name>.drd``: [prefixed name][GI dictionary]
+      [VSizeColumnarMultiInts rows] — dims are ALWAYS the
+      multi-value layout in v8, so they surface as array<string>
+    - ``inverted.drd`` (per-value CONCISE bitmaps) and
+      ``spatial.drd`` are parsed past — Spark filters replace them.
+
+    Returns (pandas frame, info). ``interval`` applies as an exact
+    post-decode row slice over the time-sorted rows; ``columns``
+    projection skips unlisted dim/metric members entirely."""
+    import numpy as np
+    import pandas as pd
+
+    try:
+        buf = _Buf(smoosh.file("index.drd"))
+    except KeyError:
+        raise DruidSegmentError(
+            "v8 container has no index.drd member") from None
+    ver = buf.u8()
+    if ver != 0x8:
+        raise DruidSegmentError(
+            f"v8 index.drd carries version {ver}")
+    dims = [d.decode("utf-8") for d in read_generic_indexed(buf)
+            if d is not None]
+    mets = [m.decode("utf-8") for m in read_generic_indexed(buf)
+            if m is not None]
+    interval_str = _read_prefixed_string(buf)
+    start_ms, end_ms = _interval_to_ms(interval_str)
+
+    time_name = next(
+        (n for n in ("time_LITTLE_ENDIAN.drd", "time_BIG_ENDIAN.drd")
+         if n in smoosh.entries), None)
+    if time_name is None:
+        raise DruidSegmentError("v8 container has no time_*.drd")
+    little = "LITTLE" in time_name
+    tv = read_compressed_longs(_Buf(smoosh.file(time_name)), little)
+
+    keep = None if columns is None else set(columns)
+    data = {"__time": tv}
+    complex_types: dict = {}
+    errors: dict = {}
+    for dim in dims:
+        if keep is not None and dim not in keep:
+            continue
+        try:
+            b = _Buf(smoosh.file(f"dim_{dim}.drd"))
+            fname = _read_prefixed_string(b)
+            if fname != dim:
+                raise DruidSegmentError(
+                    f"dim file for {dim!r} names {fname!r}")
+            dictionary = [None if x is None else x.decode("utf-8")
+                          for x in read_generic_indexed(b, smoosh)]
+            rows = read_vsize_multi_ints(b)
+            data[dim] = [[dictionary[int(i)] for i in r]
+                         for r in rows]
+        except (DruidSegmentError, KeyError, ValueError, IndexError,
+                struct.error) as e:
+            if not lenient:
+                raise
+            errors[dim] = str(e) or type(e).__name__
+            data[dim] = [None] * len(tv)
+    for met in mets:
+        if keep is not None and met not in keep:
+            continue
+        met_name = next(
+            (n for o in ("LITTLE_ENDIAN", "BIG_ENDIAN")
+             for n in (f"met_{met}_{o}.drd",)
+             if n in smoosh.entries), None)
+        try:
+            if met_name is None:
+                raise DruidSegmentError(f"no met_{met}_*.drd member")
+            b = _Buf(smoosh.file(met_name))
+            hver = b.u8()
+            if hver != 0x0:
+                raise DruidSegmentError(
+                    f"unknown MetricHolder version {hver}")
+            fname = _read_prefixed_string(b)
+            type_name = _read_prefixed_string(b)
+            if fname != met:
+                raise DruidSegmentError(
+                    f"metric file for {met!r} names {fname!r}")
+            if type_name == "float":
+                vals = read_compressed_floats(
+                    b, "LITTLE" in met_name)
+                data[met] = vals.astype(np.float64)
+            elif type_name == "long":
+                # MetricHolder.fromByteBuffer throws for LONG too
+                raise DruidSegmentError(
+                    "v8 MetricHolder LONG is unsupported upstream "
+                    "as well (MetricHolder.java:65)")
+            else:  # complex
+                data[met] = read_generic_indexed(b, smoosh)
+                complex_types[met] = type_name
+        except (DruidSegmentError, KeyError, ValueError, IndexError,
+                struct.error) as e:
+            if not lenient:
+                raise
+            errors[met] = str(e) or type(e).__name__
+            data[met] = [None] * len(tv)
+    pdf = pd.DataFrame(data)
+    pushdown = None
+    if interval is not None:
+        lo, hi = (_interval_to_ms(interval)
+                  if isinstance(interval, str) else interval)
+        pdf = pdf[(pdf["__time"] >= lo)
+                  & (pdf["__time"] < hi)].reset_index(drop=True)
+        pushdown = len(pdf)
+    info = {
+        "columns": [c for c in dims + mets
+                    if keep is None or c in keep],
+        "dimensions": dims,
+        "interval_start_ms": start_ms, "interval_end_ms": end_ms,
+        "bitmap_type": "concise", "metadata": None,
+        "column_errors": errors, "complex": complex_types,
+        "rows": len(pdf), "v8": True,
+    }
+    if pushdown is not None:
+        info["pushdown_rows"] = pushdown
+    return pdf, info
+
+
 def _peek_row_count(smoosh: "SmooshedFiles") -> int:
     """Row count from the __time column header (numeric totalSize)
     without decompressing anything — same bounded peek
@@ -1778,6 +1923,15 @@ def read_segment_dir(dirpath: str, lenient: bool = False,
     import pandas as pd
 
     smoosh = SmooshedFiles(dirpath)
+    if _segment_version(smoosh) == 8:
+        try:
+            pdf, info = _read_v8_frame(smoosh, lenient, interval,
+                                       columns)
+        finally:
+            smoosh.close()
+        if dim_filter is not None and "pushdown_rows" not in info:
+            info["pushdown_rows"] = -1  # Spark filter serves it
+        return pdf, info
     _check_version(smoosh)
     info = _read_index_drd(smoosh)
     # memoized column blob reads: a filtered dimension's blob is
@@ -1884,6 +2038,8 @@ def segment_metadata(path: str) -> dict:
     The inspect-before-migrate companion of scan_segments."""
     smoosh = SmooshedFiles(path)
     try:
+        if _segment_version(smoosh) == 8:
+            return _v8_metadata(smoosh)
         _check_version(smoosh)
         info = _read_index_drd(smoosh)
         meta = info.get("metadata") or {}
@@ -1991,6 +2147,8 @@ def segment_schema(path: str):
 
     smoosh = SmooshedFiles(path)
     try:
+        if _segment_version(smoosh) == 8:
+            return _v8_schema(smoosh)
         _check_version(smoosh)
         info = _read_index_drd(smoosh)
         info["complex"] = {}
@@ -2026,6 +2184,118 @@ def segment_schema(path: str):
         return T.StructType(fields), info
     finally:
         smoosh.close()
+
+
+def _v8_peek(smoosh: "SmooshedFiles"):
+    """(dims, mets with typeName, interval string) from the tiny v8
+    headers — index.drd plus each metric member's prefix; no chunk
+    is decompressed."""
+    buf = _Buf(smoosh.file("index.drd"))
+    if buf.u8() != 0x8:
+        raise DruidSegmentError("not a v8 index.drd")
+    dims = [d.decode("utf-8") for d in read_generic_indexed(buf)
+            if d is not None]
+    mets = [m.decode("utf-8") for m in read_generic_indexed(buf)
+            if m is not None]
+    interval_str = _read_prefixed_string(buf)
+    met_types = {}
+    for met in mets:
+        for o in ("LITTLE_ENDIAN", "BIG_ENDIAN"):
+            name = f"met_{met}_{o}.drd"
+            if name in smoosh.entries:
+                head = smoosh.prefix(name, 256)
+                b = _Buf(head)
+                b.u8()
+                _read_prefixed_string(b)  # metric name
+                met_types[met] = _read_prefixed_string(b)
+                break
+    return dims, mets, met_types, interval_str
+
+
+def _v8_metadata(smoosh: "SmooshedFiles") -> dict:
+    """segment_metadata analyses for a v8 container — header peeks
+    only: rows from the time envelope, per-dim cardinality from the
+    dictionary GI header, sizes from meta.smoosh ranges."""
+    dims, mets, met_types, interval_str = _v8_peek(smoosh)
+    start_ms, end_ms = _interval_to_ms(interval_str)
+    time_name = next(
+        (n for n in ("time_LITTLE_ENDIAN.drd", "time_BIG_ENDIAN.drd")
+         if n in smoosh.entries), None)
+    n_rows = None
+    if time_name:
+        head = smoosh.prefix(time_name, 16)
+        n_rows = struct.unpack_from(">i", head, 1)[0]
+        chunk, start, end = smoosh.entries[time_name]
+        columns = {"__time": {"type": "LONG", "size": end - start,
+                              "rows": n_rows,
+                              "hasMultipleValues": False}}
+    else:
+        columns = {}
+    for d in dims:
+        name = f"dim_{d}.drd"
+        if name not in smoosh.entries:
+            columns[d] = {"type": "STRING", "size": 0,
+                          "cardinality": 0, "null_only": True}
+            continue
+        chunk, start, end = smoosh.entries[name]
+        # [prefixed name][GI dict...]: peek the GI header for
+        # cardinality without walking elements
+        head = smoosh.prefix(name, 4 + len(d.encode()) + 16)
+        b = _Buf(head)
+        _read_prefixed_string(b)
+        gi_ver = b.u8()
+        sorted_dict = b.u8() == 0x1
+        card = None
+        if gi_ver == 0x1:
+            b.i32()  # totalSize
+            card = b.i32()
+        entry = {"type": "STRING", "size": end - start,
+                 "hasMultipleValues": True}
+        if card is not None:
+            entry["cardinality"] = card
+        columns[d] = entry
+    for m in mets:
+        for o in ("LITTLE_ENDIAN", "BIG_ENDIAN"):
+            name = f"met_{m}_{o}.drd"
+            if name in smoosh.entries:
+                chunk, start, end = smoosh.entries[name]
+                t = met_types.get(m, "complex")
+                entry = {"size": end - start,
+                         "hasMultipleValues": False}
+                if t == "float":
+                    entry["type"] = "FLOAT"
+                else:
+                    entry["type"] = "COMPLEX"
+                    entry["complexType"] = t
+                columns[m] = entry
+                break
+    return {
+        "rows": n_rows, "interval_start_ms": start_ms,
+        "interval_end_ms": end_ms, "dimensions": dims,
+        "bitmap_type": "concise", "columns": columns,
+        "aggregators": None, "rollup": None,
+        "queryGranularity": None, "v8": True,
+    }
+
+
+def _v8_schema(smoosh: "SmooshedFiles"):
+    from pyspark.sql import types as T
+
+    dims, mets, met_types, _ = _v8_peek(smoosh)
+    info = {"complex": {}, "columns": dims + mets,
+            "dimensions": dims, "v8": True}
+    fields = [T.StructField("__time", T.TimestampType())]
+    for d in dims:
+        # v8 dims are always the multi-value layout
+        fields.append(T.StructField(d, T.ArrayType(T.StringType())))
+    for m in mets:
+        t = met_types.get(m, "complex")
+        if t == "float":
+            fields.append(T.StructField(m, T.DoubleType()))
+        else:
+            fields.append(T.StructField(m, T.BinaryType()))
+            info["complex"][m] = t
+    return T.StructType(fields), info
 
 
 def _first_segment(path: str, dim_filter: dict | None = None,

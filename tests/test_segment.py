@@ -135,12 +135,21 @@ def test_damaged_column_lenient_recovers_others():
 
 
 def test_version_guard(tmp_path):
-    seg = tmp_path / "v8seg"
+    # v8 is SUPPORTED since r17 (tests/test_v8.py) — the guard now
+    # fires for genuinely unknown versions, and a version-8 marker
+    # with no index.drd is loud about the missing member
+    seg = tmp_path / "v7seg"
     seg.mkdir()
-    (seg / "version.bin").write_bytes(struct.pack(">i", 8))
+    (seg / "version.bin").write_bytes(struct.pack(">i", 7))
     (seg / "meta.smoosh").write_text("v1,2147483647,1\n")
-    with pytest.raises(DruidSegmentError, match="version 8"):
+    with pytest.raises(DruidSegmentError, match="version 7"):
         read_segment_dir(str(seg))
+    seg2 = tmp_path / "v8seg"
+    seg2.mkdir()
+    (seg2 / "version.bin").write_bytes(struct.pack(">i", 8))
+    (seg2 / "meta.smoosh").write_text("v1,2147483647,1\n")
+    with pytest.raises(DruidSegmentError, match="index.drd"):
+        read_segment_dir(str(seg2))
 
 
 def test_smoosh_overrun_is_loud(tmp_path):
