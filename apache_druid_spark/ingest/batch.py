@@ -209,8 +209,12 @@ def _read_druid_segments(spark: SparkSession, src: dict) -> DataFrame:
     if base:
         for name in sorted(os.listdir(base)):
             p = os.path.join(base, name)
+            # v9 dirs carry version.bin; LEGACY v8 dirs do not (the
+            # version byte lives in index.drd) — meta.smoosh is the
+            # marker both layouts share
             if name.endswith(".zip") or os.path.exists(
-                    os.path.join(p, "version.bin")):
+                    os.path.join(p, "version.bin")) or os.path.exists(
+                    os.path.join(p, "meta.smoosh")):
                 paths.append(p)
     if not paths:
         raise DruidSegmentError(

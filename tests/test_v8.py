@@ -222,3 +222,16 @@ def test_non_segment_version_still_loud(tmp_path):
         f"{len(files['index.drd'])}\n")
     with pytest.raises(DruidSegmentError, match="version 7"):
         read_segment_dir(str(d))
+
+
+def test_v8_discovered_under_base_dir(spark, tmp_path):
+    """True v8 dirs have NO version.bin — baseDir discovery keys on
+    meta.smoosh, which both layouts share."""
+    from apache_druid_spark.ingest.batch import read_input
+
+    base = tmp_path / "store"
+    base.mkdir()
+    _build_v8(base)  # creates base/v8seg WITHOUT version.bin
+    df = read_input(spark, {"inputSource": {
+        "type": "druid", "baseDir": str(base)}})
+    assert df.count() == N_ROWS
