@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from apache_druid_spark.pipeline._util import parallelize_scan
+from apache_druid_spark.pipeline._util import parallelize_scan, staged_explode
 from apache_druid_spark.pipeline.dedup import _shingles, _tokens
 
 
@@ -36,13 +36,14 @@ def _gram_hashes(df: DataFrame, text_col: str, id_col: str | None,
     n-grams (same hash family as ngram_jaccard_pairs — 2^-60
     collisions are far below any contamination noise floor)."""
     cols = ([F.col(id_col)] if id_col else [])
-    return (parallelize_scan(df).select(
+    staged = parallelize_scan(df).select(
         # stage tokens first — see _shingles docstring (O(n^2) otherwise)
         *cols, _tokens(F.col(text_col)).alias("__toks"))
-        .select(
-        *cols,
-        F.explode(F.array_distinct(_shingles(F.col("__toks"), ngram))
-                  ).alias("__gram"))
+    # staged_explode: shingle array evaluated once per row, no inferred
+    # filter duplicating the tree (see _util.guarded_explode)
+    return (staged_explode(
+        staged, cols,
+        F.array_distinct(_shingles(F.col("__toks"), ngram)), "__gram")
         .select(*cols,
                 F.conv(F.substring(F.md5("__gram"), 1, 15), 16, 10)
                 .cast("long").alias("h")))
@@ -60,17 +61,21 @@ def contamination_report(train: DataFrame, test: DataFrame,
     single 13-gram collision; raise ``min_matches`` to tolerate
     boilerplate)."""
     tr = _gram_hashes(train, text_col, id_col, ngram)
-    te = _gram_hashes(test, text_col, None, ngram).distinct()
+    # the test vocabulary is a distinct set, so a LEFT join against it
+    # preserves every train gram exactly once and marks the hits — ONE
+    # tokenize/shingle pass over the train corpus and ONE groupBy(doc)
+    # computes both the size and the hit count (the two-aggregate
+    # sizes-join-hits shape ran the train gram projection twice and
+    # paid a second doc-keyed shuffle + join — measured 2.16 -> 1.31 s
+    # median at sf0.1, same rows; OPTIMIZATION_r17.md Finding 3)
+    te = (_gram_hashes(test, text_col, None, ngram).distinct()
+          .withColumn("__hit", F.lit(1)))
     if broadcast_test:
         te = F.broadcast(te)
-    sizes = tr.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_ngrams"))
-    hits = (tr.join(te, "h")
+    return (tr.join(te, "h", "left")
             .groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("n_contaminated")))
-    return (sizes.join(hits, id_col, "left")
-            .select(id_col, "n_ngrams",
-                    F.coalesce("n_contaminated", F.lit(0)).cast("long")
-                    .alias("n_contaminated"))
+            .agg(F.count(F.lit(1)).alias("n_ngrams"),
+                 F.count("__hit").cast("long").alias("n_contaminated"))
             .withColumn("is_contaminated",
                         F.col("n_contaminated") >= min_matches))
 

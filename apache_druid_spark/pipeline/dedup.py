@@ -374,13 +374,17 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     OS-cached) source. At 100 TB, if the source scan is the bottleneck,
     write the posting table to a staging table once and feed THAT here
     as ``df`` pre-shingled — the plan shape is unchanged."""
-    posting = parallelize_scan(df).select(
+    from apache_druid_spark.pipeline._util import staged_explode
+
+    staged = parallelize_scan(df).select(
         # stage tokens first — see _shingles docstring (O(n^2) otherwise)
         F.col(id_col), _tokens(F.col(text_col)).alias("__toks"),
-    ).select(
-        F.col(id_col),
-        F.explode(F.array_distinct(_shingles(F.col("__toks"), shingle_k))
-                  ).alias("shingle"),
+    )
+    # staged_explode: shingle array evaluated once per row, no inferred
+    # filter duplicating the tree (see _util.guarded_explode)
+    posting = staged_explode(
+        staged, [F.col(id_col)],
+        F.array_distinct(_shingles(F.col("__toks"), shingle_k)), "shingle",
     ).select(
         F.col(id_col),
         F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from apache_druid_spark.pipeline._util import parallelize_scan
+from apache_druid_spark.pipeline._util import parallelize_scan, staged_explode
 from apache_druid_spark.pipeline.dedup import _shingles, _tokens
 
 
@@ -45,9 +45,10 @@ def _gram_buckets(df: DataFrame, text_col: str, id_col: str | None,
     staged = parallelize_scan(df).select(
         *cols, _tokens(F.col(text_col)).alias("__toks"))
     gram_arrays = [_shingles(F.col("__toks"), n) for n in ngrams]
-    grams = (staged.select(
-        *cols,
-        F.explode(F.flatten(F.array(*gram_arrays))).alias("__gram")))
+    # staged_explode: gram array evaluated once per row, no inferred
+    # filter duplicating the shingle tree (see _util.guarded_explode)
+    grams = staged_explode(staged, cols,
+                           F.flatten(F.array(*gram_arrays)), "__gram")
     bucket = F.pmod(
         F.conv(F.substring(F.md5("__gram"), 1, 15), 16, 10).cast("long"),
         F.lit(n_buckets))
@@ -73,13 +74,17 @@ def bucket_log_ratios(raw: DataFrame, target: DataFrame,
     # tfidf_top_terms shape) — an unpartitioned window here would be
     # provably bounded (<= n_buckets rows) but spams `WindowExec: No
     # Partition Defined` warnings that could mask a real regression
-    # (VERDICT r4). The totals subtree re-reads the gram tables with a
-    # plain count (no per-bucket hash aggregate); at scale callers pass
-    # a persisted/staged ``raw_grams`` (importance_weights does), which
-    # makes that second read a cache hit, and the target corpus is
-    # small by DSIR contract.
-    raw_total = raw_grams.agg(F.count(F.lit(1)).alias("__t_raw"))
-    tgt_total = tgt_grams.agg(F.count(F.lit(1)).alias("__t_tgt"))
+    # (VERDICT r4). Every gram lands in exactly one bucket, so the
+    # totals are the SUMS of the per-bucket counts — <= n_buckets rows
+    # each — never a second pass over the gram tables (the r16 shape
+    # re-tokenized the whole target corpus for its count and re-read
+    # the raw cache; guide §1.2: don't compute things twice).
+    # coalesce(0) covers the empty-corpus edge (sum over zero rows is
+    # NULL where count was 0).
+    raw_total = raw_counts.agg(
+        F.coalesce(F.sum("c_raw"), F.lit(0)).alias("__t_raw"))
+    tgt_total = tgt_counts.agg(
+        F.coalesce(F.sum("c_tgt"), F.lit(0)).alias("__t_tgt"))
     joined = (raw_counts.join(tgt_counts, "bucket", "full")
               .select("bucket",
                       F.coalesce("c_raw", F.lit(0)).alias("c_raw"),
@@ -180,8 +185,8 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
     ln(k / (N + k * V)) via the left join's null count. Deterministic
     to fixed rounding — oracle-checkable."""
     source = ref if ref is not None else docs
-    ref_toks = parallelize_scan(source).select(
-        F.explode(_tokens(F.col(text_col))).alias("__tok"))
+    ref_toks = staged_explode(parallelize_scan(source), [],
+                              _tokens(F.col(text_col)), "__tok")
     counts = ref_toks.groupBy("__tok").agg(
         F.count(F.lit(1)).alias("__c"))
     n, v = counts.agg(F.sum("__c"), F.count(F.lit(1))).first()
@@ -196,8 +201,8 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
         v_eff = float(max_vocab) + 1.0  # +1: the OOV symbol
         counts = F.broadcast(counts)    # bounded by construction
     denom = float(n) + k * v_eff
-    doc_toks = parallelize_scan(docs).select(
-        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("__tok"))
+    doc_toks = staged_explode(parallelize_scan(docs), [F.col(id_col)],
+                              _tokens(F.col(text_col)), "__tok")
     lp = F.log((F.coalesce(F.col("__c"), F.lit(oov_count)) + F.lit(k))
                / F.lit(denom))
     return (doc_toks.join(counts, "__tok", "left")

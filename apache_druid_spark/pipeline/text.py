@@ -324,12 +324,15 @@ def top_ngrams(df: DataFrame, text_col: str = "text", ngram: int = 3,
     top-k is TakeOrderedAndProject (per-partition k-heaps, driver
     merges k*P rows) — never a global sort. Count-desc then gram-asc
     makes the cut deterministic."""
+    from apache_druid_spark.pipeline._util import staged_explode
     from apache_druid_spark.pipeline.dedup import _shingles, _tokens
 
     staged = parallelize_scan(df).select(
         _tokens(F.col(text_col)).alias("__toks"))
-    grams = _shingles(F.col("__toks"), ngram)
-    return (staged.select(F.explode(grams).alias("gram"))
+    # staged_explode: gram array evaluated once per row, no inferred
+    # filter duplicating the tree (see _util.guarded_explode)
+    return (staged_explode(staged, [],
+                           _shingles(F.col("__toks"), ngram), "gram")
             .groupBy("gram")
             .agg(F.count(F.lit(1)).alias("occurrences"))
             .orderBy(F.col("occurrences").desc(), F.col("gram").asc())
@@ -515,22 +518,33 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
 
     Shape at scale: one tokenize+explode pass feeds a (doc, term)
     count — partial-aggregated map-side, one shuffle on (doc, term).
-    Document frequency is derived from that tf table (GROUP BY term —
-    vocabulary-sized, never a second corpus pass), the corpus doc
-    count joins in as a broadcast single-row aggregate, and the final
-    top-k is one window shuffle on the doc id. Four keyed shuffles
-    total, each on a natural key; no driver state, no collects.
+    Document frequency is a window count over that tf table
+    partitioned by term — NEVER a second corpus pass: the r16
+    groupBy(term)+join shape let Catalyst prune the unused tf column
+    out of the dfreq branch, which made the two (doc, term) exchanges
+    structurally different, defeated ReuseExchange, and silently
+    tokenized + shuffled the whole corpus twice (visible as two Scan
+    parquet subtrees in plans/r17/tfidf_top_terms_before.txt; guide
+    §2.4). The corpus doc count joins in as a broadcast single-row
+    aggregate, and the final top-k is one window shuffle on the doc
+    id. Three keyed shuffles total, each on a natural key; no driver
+    state, no collects.
     """
     from pyspark.sql.window import Window
 
+    from apache_druid_spark.pipeline._util import guarded_explode
+
     staged = parallelize_scan(df).select(
         F.col(id_col), _tokens(F.col(text_col)).alias("__toks"))
-    tf = (staged.select(F.col(id_col), F.explode("__toks").alias("term"))
+    # guarded_explode: keeps InferFiltersFromGenerate from duplicating
+    # the tokenize tree into a pushed-down pre-filter (_util docstring)
+    tf = (staged.select(F.col(id_col),
+                        guarded_explode("__toks").alias("term"))
           .groupBy(id_col, "term")
           .agg(F.count(F.lit(1)).alias("tf")))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("__n_docs"))
-    scored = (tf.join(dfreq, "term")
+    scored = (tf.withColumn(
+                  "df", F.count(F.lit(1)).over(Window.partitionBy("term")))
               .crossJoin(F.broadcast(n_docs))
               .withColumn(
                   "score",
