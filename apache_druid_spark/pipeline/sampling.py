@@ -129,10 +129,17 @@ def mixture_weights(df: DataFrame, target: dict[str, float],
     factor for epochs > 1.
 
     Shape at scale: token counting fuses into the scan, the groupBy is
-    partial-aggregated map-side into ≤ |groups| rows, totals join in
-    as a broadcast single-row aggregate, and the target table is a
-    broadcast literal. One shuffle of group-count size; no collects.
+    partial-aggregated map-side into ≤ |groups| rows, the corpus total
+    is a window sum over those ≤ |groups| rows (a constant partition
+    key keeps the window defined — the r16 ``per.agg`` total subtree
+    could not share the groupBy exchange because column pruning
+    stripped n_docs from its branch, so the corpus was scanned and
+    tokenized TWICE; see plans/r17/mixture_weights_lang_before.txt and
+    OPTIMIZATION_r17.md), and the target table is a broadcast literal.
+    One corpus pass, one shuffle of group-count size; no collects.
     """
+    from pyspark.sql.window import Window
+
     from apache_druid_spark.pipeline._util import parallelize_scan
 
     toks = F.size(F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
@@ -140,11 +147,13 @@ def mixture_weights(df: DataFrame, target: dict[str, float],
     per = (parallelize_scan(df).groupBy(F.col(group_col).alias("grp"))
            .agg(F.count(F.lit(1)).alias("n_docs"),
                 F.sum(toks).alias("n_tokens")))
-    total = per.agg(F.sum("n_tokens").alias("__total"))
+    per = per.withColumn(
+        "__total",
+        F.sum("n_tokens").over(Window.partitionBy(F.lit(1))))
     tgt = df.sparkSession.createDataFrame(
         [(str(k), float(v)) for k, v in sorted(target.items())],
         "grp string, target_share double")
-    return (per.crossJoin(F.broadcast(total))
+    return (per
             .join(F.broadcast(tgt), "grp", "left")
             .select(
                 F.col("grp").alias(group_col), "n_docs", "n_tokens",
