@@ -222,9 +222,15 @@ def embedding_cosine_pairs(df: DataFrame, dim: int,
     are exact_dedup's job, not pair expansion's. The oversized-cell
     set is found by a vector-free (table, bucket) aggregation and
     broadcast as a LEFT ANTI join — the embedding payload is never
-    shuffled for the cap, only for the one blocked self-join. At
-    100 TB the buckets are materialized at ingest and the table
-    clustered by them, making the self-join co-partitioned.
+    shuffled for the cap, only for the one blocked self-join. (r18
+    A/B, tools/ab_embcos.py: a window-count cap keyed on the join key
+    looked cheaper on paper — no second aggregate — but the
+    exchange+sort+window pair under both join sides measured x2 WORSE
+    at 10x amplified collision density, 6.4 s vs 3.2 s median, while
+    tying at sf0.1; the vector-free aggregate over the persisted
+    buckets stays.) At 100 TB the buckets are materialized at ingest
+    and the table clustered by them, making the self-join
+    co-partitioned.
 
     ``verify="expression"`` (default) runs the exact-cosine pass as
     built-in expressions — oracle-exact, UDF-free, and (r14) unrolled
@@ -236,8 +242,7 @@ def embedding_cosine_pairs(df: DataFrame, dim: int,
     when buckets carry real collision load; memory per task is bounded
     by max_bucket_size^2 doubles. Both paths round to ``round_to``
     before thresholding and agree (equivalence-tested)."""
-    from functools import reduce
-
+    from apache_druid_spark.pipeline._util import staged_explode
     from apache_druid_spark.pipeline.similarity import (
         _dot_cols, _norm, hyperplanes, lsh_bucket,
     )
@@ -247,15 +252,23 @@ def embedding_cosine_pairs(df: DataFrame, dim: int,
                          f"got {verify!r}")
 
     base = parallelize_scan(df).select(F.col(id_col), F.col(vec_col))
-    views = []
-    for t in range(tables):
-        planes = hyperplanes(bits, dim, seed=f"emb{t}:")
-        views.append(base.select(
-            F.col(id_col), F.col(vec_col),
+    # ONE scan: all tables' sign buckets in one projection, fanned out
+    # by a staged (guard-wrapped) explode — the r17 per-table-view
+    # union scanned the source once per table. The tables x bits
+    # hyperplane dots still run exactly once per row.
+    cells = F.array(*[
+        F.struct(
             F.lit(t).alias("__table"),
-            lsh_bucket(f"`{vec_col}`", planes).alias("__bucket")))
-    blocked = reduce(lambda x, y: x.unionAll(y), views)
-    # The bucketed union feeds the oversized-cell aggregate AND (via
+            lsh_bucket(f"`{vec_col}`",
+                       hyperplanes(bits, dim, seed=f"emb{t}:"))
+            .alias("__bucket"))
+        for t in range(tables)])
+    blocked = staged_explode(
+        base, [F.col(id_col), F.col(vec_col)], cells, "__tb",
+    ).select(F.col(id_col), F.col(vec_col),
+             F.col("__tb.__table").alias("__table"),
+             F.col("__tb.__bucket").alias("__bucket"))
+    # The bucketed table feeds the oversized-cell aggregate AND (via
     # the anti join) both self-join sides; persist it so the
     # tables×bits hyperplane dot products run once per row, not once
     # per consumer. The 100 TB shape is the same buckets materialized
@@ -359,21 +372,30 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     run AFTER minhash_lsh_pairs at full scale; on its own it is fine
     up to ~10M docs.
 
-    The posting table (id, h) feeds three consumers — the stop-list
-    aggregate, the per-doc set sizes, and both sides of the pair
-    self-join. It is deliberately NOT persisted (VERDICT r4 #4 history:
-    r1-r4 cached it, which both leaked a session-lived cache that
-    contended with neighboring queries AND measured slower than
-    recompute — 2.6-2.9 s vs 2.1-2.7 s at sf0.1): the expensive
-    consumer pair, the two self-join sides, hash-shuffle the IDENTICAL
-    subtree on ``h``, so Catalyst's exchange reuse materializes that
-    shuffle once and serves both sides from shuffle files — a
-    disk-backed "cache" scoped exactly to the query. The shingle
-    explode itself is a cheap codegen projection; the stop and
-    set-size aggregates each re-scan it from the (columnar, usually
-    OS-cached) source. At 100 TB, if the source scan is the bottleneck,
-    write the posting table to a staging table once and feed THAT here
-    as ``df`` pre-shingled — the plan shape is unchanged."""
+    The posting table (id, h) feeds the stop-list aggregate and both
+    sides of the pair self-join. It is deliberately NOT persisted
+    (VERDICT r4 #4 history: r1-r4 cached it, which both leaked a
+    session-lived cache that contended with neighboring queries AND
+    measured slower than recompute — 2.6-2.9 s vs 2.1-2.7 s at
+    sf0.1): the expensive consumer pair, the two self-join sides,
+    share the IDENTICAL subtree, so Catalyst's exchange reuse
+    materializes its shuffle once and serves both sides from shuffle
+    files — a disk-backed "cache" scoped exactly to the query. At
+    100 TB, if the source scan is the bottleneck, write the posting
+    table to a staging table once and feed THAT here as ``df``
+    pre-shingled — the plan shape is unchanged.
+
+    Per-doc set sizes ride along as a window count over the kept
+    posting rows partitioned on the doc id (r18; guide §2.4): the
+    count is value-identical to the old groupBy(id)+join-back pair,
+    but the join sides now CARRY their sizes, which deletes the two
+    post-aggregation size joins and the separate sizes pass — the
+    posting subtree evaluates twice total (stop aggregate + the
+    reused join input) instead of six times (the two size branches
+    each re-derived posting and, under broadcast joins, re-derived it
+    again on each build side)."""
+    from pyspark.sql.window import Window
+
     from apache_druid_spark.pipeline._util import staged_explode
 
     staged = parallelize_scan(df).select(
@@ -393,26 +415,26 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     stop = (posting.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > max_shingle_freq)
             .select("h"))
-    sh = posting.join(F.broadcast(stop), "h", "left_anti")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    sh = (posting.join(F.broadcast(stop), "h", "left_anti")
+          .withColumn("set_size",
+                      F.count(F.lit(1)).over(Window.partitionBy(id_col))))
     a, b = sh.alias("a"), sh.alias("b")
+    # min(set_size) per group == the group's constant size (every row
+    # of a doc carries the same window count); min keeps the aggregate
+    # deterministic
     shared = (
         a.join(b, [F.col("a.h") == F.col("b.h"),
                    F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
          .groupBy(F.col(f"a.{id_col}").alias("id_a"),
                   F.col(f"b.{id_col}").alias("id_b"))
-         .agg(F.count(F.lit(1)).alias("shared")))
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    out = (
-        shared.join(sa, F.col("id_a") == F.col(f"sa.{id_col}"))
-              .join(sb, F.col("id_b") == F.col(f"sb.{id_col}"))
-              .select(
-                  "id_a", "id_b",
-                  (F.col("shared") /
-                   (F.col("sa.set_size") + F.col("sb.set_size") - F.col("shared"))
-                   ).alias("jaccard"))
-    )
+         .agg(F.count(F.lit(1)).alias("shared"),
+              F.min("a.set_size").alias("__size_a"),
+              F.min("b.set_size").alias("__size_b")))
+    out = shared.select(
+        "id_a", "id_b",
+        (F.col("shared")
+         / (F.col("__size_a") + F.col("__size_b") - F.col("shared"))
+         ).alias("jaccard"))
     return out.filter(F.col("jaccard") >= threshold)
 
 
