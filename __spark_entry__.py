@@ -1681,8 +1681,12 @@ def _dsir_importance_weights(spark, sf_dir):
     from apache_druid_spark.pipeline import importance_weights
 
     docs = _registry(spark, sf_dir).table("documents")
+    # target_within_raw: the en target IS a slice of the scored corpus,
+    # so its bucket counts come from the persisted raw gram table (one
+    # tokenize pass total instead of two; importance.py r18)
     return importance_weights(
-        docs, docs.filter(F.col("lang") == "en"), n_buckets=1024)
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=1024,
+        target_within_raw=True)
 
 
 @_q("text_unigram_logprob", f"""

@@ -145,11 +145,20 @@ def test_unigram_logprob_oov_bucket_math(spark):
 
 
 def test_unigram_logprob_uncapped_no_forced_broadcast(spark):
+    # uncapped mode must not force-broadcast the COUNT table (its
+    # vocab grows with the corpus — unbounded). The r18 lazy-totals
+    # rewrite adds one legitimate hint: the single-row (N, V)
+    # aggregate, bounded by construction. Assert the hint count is
+    # exactly that one and that it wraps the totals aggregate, not
+    # the per-token count table.
     docs = spark.createDataFrame([(1, "a b"), (2, "b c")],
                                  "doc_id long, text string")
     analyzed = unigram_logprob(docs)._jdf.queryExecution() \
         .analyzed().toString()
-    assert "ResolvedHint" not in analyzed
+    assert analyzed.count("ResolvedHint") == 1
+    hinted = analyzed.split("ResolvedHint", 1)[1]
+    first_agg = hinted.split("Aggregate", 1)[1].split("\n", 1)[0]
+    assert "sum(__c" in first_agg and "count(1)" in first_agg, first_agg
 
 
 def test_unigram_logprob_capped_broadcasts_bounded_table(spark):
