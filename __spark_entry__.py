@@ -5973,8 +5973,62 @@ _R17_WINDOW = (
 _R17_NEXT = ('sql_floor_to_unit', 'sql_safe_divide',
              'sql_scalar_shims', 'sql_time_ops')
 
+# Round-18 gate window (VERDICT r17 task #6): the never-driver-checked
+# pushdown gate first, then the four r13-evidence holdovers
+# (_R17_NEXT), then the five entries whose CODE churned in the r18
+# optimization round while their evidence predates it —
+# dedup_embedding_cosine (r15 evidence; single-scan bucket fan-out),
+# dedup_ngram_jaccard (r16; windowed set sizes), dedup_components +
+# leakage_safe_split_counts (r17; one-join label rounds),
+# text_unigram_logprob (r17; lazy totals) — then 40 of the 47
+# r14-evidence entries (the oldest cohort left, computed by
+# union-diffing all 17 CORRECTNESS files), fronted by the two that
+# ALSO sit on r18-churned code (dsir_importance_weights on
+# importance.py, dedup_components_star on graph.py). The 50-cap
+# forces SEVEN r14 entries to stay behind (_R18_NEXT): pure
+# SQL-dialect scalar/shim translations and the two spatial filters —
+# code untouched since r14, dense golden-suite coverage
+# (test_golden_macros / test_golden_filter_spatial), the lowest-risk
+# deferral. After r18 no driver evidence predates r14.
+_R18_WINDOW = (
+    'druid_segment_pushdown_scan',
+    # r13 holdovers
+    'sql_floor_to_unit', 'sql_safe_divide', 'sql_scalar_shims',
+    'sql_time_ops',
+    # r18-churned, pre-r18 evidence
+    'dedup_embedding_cosine', 'dedup_ngram_jaccard', 'dedup_components',
+    'leakage_safe_split_counts', 'text_unigram_logprob',
+    # r14-evidence cohort (40 of 47), churn overlap first
+    'dsir_importance_weights', 'dedup_components_star',
+    'agg_filtered_sum', 'bloom_dim_filter', 'cardinality_by_value',
+    'decontaminate_report', 'dedup_edit_distance', 'dedup_simhash',
+    'dedup_substring_overlap', 'deterministic_shuffle_order',
+    'expression_lambda_agg', 'filter_interval_expression',
+    'hll_estimation_mode', 'hll_sketch_rollup_merge',
+    'hll_user_cardinality', 'ingest_inline_csv',
+    'interval_filter_extraction_fn', 'kll_estimation_mode',
+    'leakage_split_string_keys', 'mixture_weights_lang',
+    'multimodal_features', 'multimodal_frame_sample', 'multimodal_resize',
+    'pack_sequences_budget', 'scrub_common_lines',
+    'segment_pruned_timeseries', 'similarity_ivf_topk',
+    'similarity_ivfpq_refined', 'similarity_lsh_topk',
+    'similarity_pq_topk', 'sql_insert_extern', 'sql_theta_set_ops',
+    'streaming_stateful_running_agg', 'text_fingerprint',
+    'text_language_id', 'text_repetition', 'text_token_stats',
+    'tfidf_top_terms', 'theta_estimation_mode', 'theta_set_ops',
+)
+# r14-evidence leftovers — the only pre-r15 evidence after r18
+_R18_NEXT = ('sql_scalar_shims2', 'sql_scalar_shims3',
+             'sql_parameterized', 'sql_array_agg_sorted',
+             'sql_lookup_schema_join', 'spatial_rectangular',
+             'spatial_polygon')
+
 
 def _entry_order(name: str) -> tuple:
+    if name in _R18_WINDOW:
+        return (-2, _R18_WINDOW.index(name))
+    if name in _R18_NEXT:
+        return (-1, _R18_NEXT.index(name))
     if name in _R17_WINDOW:
         return (0, _R17_WINDOW.index(name))
     if name in _R17_NEXT:

@@ -12,13 +12,15 @@ Shape at scale (100 TB train corpus vs a benchmark suite):
 - Both sides shingle to k-token n-grams hashed to 60-bit md5 prefixes
   — the join key is an 8-byte long, never the n-gram text.
 - The test-set n-gram vocabulary is TINY by construction (benchmarks
-  are thousands of documents, not billions), so it broadcasts: the
-  contamination check is a broadcast semi-join against every train
-  partition — zero shuffle of the train corpus. ``broadcast_test=
-  False`` falls back to a shuffle hash join for the rare
-  train-vs-train audit.
-- The per-doc report is one partial/final count aggregate keyed on
-  doc id.
+  are thousands of documents, not billions), so its DISTINCT grams
+  broadcast: the contamination check is ONE broadcast LEFT OUTER join
+  of the train grams against that vocabulary (r17 shape) — the train
+  corpus shingles once, never shuffles for the check, and each gram
+  carries a hit marker. ``broadcast_test=False`` falls back to a
+  shuffle join for the rare train-vs-train audit.
+- The per-doc report is one partial/final aggregate keyed on doc id
+  computing n_ngrams = count(1) and n_contaminated = count(marker)
+  together — the join output's only shuffle.
 """
 
 from __future__ import annotations

@@ -137,6 +137,14 @@ def mixture_weights(df: DataFrame, target: dict[str, float],
     tokenized TWICE; see plans/r17/mixture_weights_lang_before.txt and
     OPTIMIZATION_r17.md), and the target table is a broadcast literal.
     One corpus pass, one shuffle of group-count size; no collects.
+
+    Cardinality assumption (ADVICE r17): the single-partition window
+    is sized for mixture GROUPS — languages, domains, source buckets —
+    i.e. at most a few thousand aggregate rows through one task. If
+    ``group_col`` is high-cardinality (per-domain-of-millions,
+    per-url), pre-aggregate to a coarser mixture key first or replace
+    the window with a broadcast single-row total; the weights math is
+    unchanged.
     """
     from pyspark.sql.window import Window
 

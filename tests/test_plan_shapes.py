@@ -568,3 +568,54 @@ def test_materialized_ann_prunes_partitions_and_columns(reg, tmp_path):
     # the ADC lookups stay expression-side: no HOF fold, no Python
     assert "aggregate(" not in plan
     assert "EvalPython" not in plan
+
+
+# -- r18 (ADVICE r17 #1): guarded/staged explode shape, all call sites ----
+
+
+def _assert_no_inferred_generate_filter(df):
+    """The InferFiltersFromGenerate guard (pipeline/_util): the
+    optimized plan must keep the CASE-WHEN-size guard as the Generate
+    input and must NOT carry a Filter that re-runs the tokenize/
+    shingle tree (every such tree contains a split(); the measured
+    regression when the rule fires is 13-18x — _util.guarded_explode
+    docstring)."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "explode(CASE WHEN (size(" in plan.replace("  ", " "), \
+        plan[:2000]
+    for line in plan.splitlines():
+        if line.lstrip().startswith(("Filter", "+- Filter")) \
+                and "split(" in line:
+            raise AssertionError(
+                f"tokenize tree inlined into a Filter:\n{line[:400]}")
+
+
+def test_guarded_explode_shape_all_sites(reg):
+    """Every staged_explode/guarded_explode call site keeps the guard
+    (ngram_jaccard_pairs, contamination_report, importance_weights'
+    gram buckets, top_ngrams, tfidf_top_terms, unigram_logprob,
+    embedding_cosine_pairs)."""
+    from pyspark.sql import functions as F
+
+    from apache_druid_spark.pipeline.decontam import contamination_report
+    from apache_druid_spark.pipeline.dedup import (
+        embedding_cosine_pairs, ngram_jaccard_pairs)
+    from apache_druid_spark.pipeline.importance import (
+        importance_weights, unigram_logprob)
+    from apache_druid_spark.pipeline.text import tfidf_top_terms, top_ngrams
+
+    docs = reg.table("documents")
+    emb = reg.table("embeddings")
+    for df in (
+        ngram_jaccard_pairs(docs, shingle_k=5, threshold=0.2,
+                            max_shingle_freq=100),
+        contamination_report(docs, docs.limit(5)),
+        importance_weights(docs, docs.filter(F.col("lang") == "en"),
+                           n_buckets=512, target_within_raw=True),
+        top_ngrams(docs, ngram=3, k=20),
+        tfidf_top_terms(docs, top_k=3),
+        unigram_logprob(docs),
+        embedding_cosine_pairs(emb, dim=64, threshold=0.35, bits=8,
+                               tables=2),
+    ):
+        _assert_no_inferred_generate_filter(df)

@@ -28,11 +28,22 @@ def _load(path, name):
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # accept both --runs=N and --runs N (ADVICE r17)
+    argv = sys.argv[1:]
     runs = 3
-    for a in sys.argv[1:]:
-        if a.startswith("--runs"):
+    args = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--runs":
+            runs = int(argv[i + 1])
+            i += 2
+            continue
+        if a.startswith("--runs="):
             runs = int(a.split("=", 1)[1])
+        elif not a.startswith("--"):
+            args.append(a)
+        i += 1
     entry = _load("/root/repo/__spark_entry__.py", "entry")
     from apache_druid_spark.session import get_spark
 
