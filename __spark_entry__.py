@@ -1613,12 +1613,16 @@ def _semantic_dedup_embeddings(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): k-means-cell blocking + within-
     cell cosine prune, greedy min-id representative
     (pipeline/semdedup.py). Reference has no embedding surface; this
-    extends the engine for training-data curation."""
+    extends the engine for training-data curation. prune="grouped"
+    (r18): the within-cell pass is the Arrow matmul the scale mode
+    already hash-gates — row-identical to the expression prune on
+    every test SF and 24x faster at 10x collision density
+    (semdedup.py docstring; tests/test_advice_r18.py)."""
     from apache_druid_spark.pipeline import semantic_dedup
 
     return semantic_dedup(
         _registry(spark, sf_dir).table("embeddings"), dim=64,
-        n_cells=16, threshold=0.35)
+        n_cells=16, threshold=0.35, prune="grouped")
 
 
 @_q("semantic_dedup_scale_mode", _semdedup_oracle(n_cells=24,

@@ -100,7 +100,8 @@ def semantic_dedup(df: DataFrame, dim: int, n_cells: int = 16,
                    centroids: list[list[float]] | None = None,
                    centroid_table: DataFrame | None = None,
                    max_cell_size: int = 10000,
-                   round_to: int | None = 6) -> DataFrame:
+                   round_to: int | None = 6,
+                   prune: str = "expression") -> DataFrame:
     """(id, cell, is_kept) for every row: ``is_kept`` is False iff the
     row has a within-cell neighbor with cosine >= ``threshold`` and a
     smaller id. ``df.join(result.filter('is_kept'), id)`` is the
@@ -116,21 +117,31 @@ def semantic_dedup(df: DataFrame, dim: int, n_cells: int = 16,
     within-cell prune becomes ONE Arrow group batch per cell with a
     single normalized ``(p x dim) @ (dim x p)`` matmul (the SemDeDup
     reference implementation's own shape — per-cluster similarity
-    matrix on one worker, bounded by ``max_cell_size``). The
-    expression path below stays the oracle-exact default: per-pair
-    HOF dot products are evaluated interpreted by Catalyst, which is
-    fine for the small-cell oracle config but measured ~13 µs/pair —
-    the matmul is two orders cheaper when cells carry real load."""
+    matrix on one worker, bounded by ``max_cell_size``).
+
+    ``prune`` picks the within-cell pass for the literal-centroid
+    path: ``"expression"`` (default) is the per-pair HOF-dot
+    self-join — UDF-free, but Catalyst evaluates the folds
+    interpreted at ~13 µs/pair, which turns into a cliff when cells
+    carry real collision load (r18 measurement: 192 s vs 8 s at 10x
+    amplified density); ``"grouped"`` runs the SAME
+    ``_prune_cells_grouped`` Arrow matmul the scale mode uses. Both
+    round to 6 dp before thresholding and produce IDENTICAL outputs —
+    equivalence verified row-exact on sf0.001/sf0.01/sf0.1 and the
+    10x-amplified set (tests/test_advice_r18.py pins it)."""
     from pyspark import StorageLevel
 
     from apache_druid_spark.pipeline.similarity import (
         _dot_cols, _norm, ivf_assign)
 
+    if prune not in ("expression", "grouped"):
+        raise ValueError(f"prune must be 'expression' or 'grouped', "
+                         f"got {prune!r}")
     base = parallelize_scan(df).select(F.col(id_col), F.col(vec_col))
     if centroid_table is not None:
         assigned = assign_cells(base, centroid_table, vec_col, id_col)
         return _prune_cells_grouped(assigned, threshold, vec_col,
-                                    id_col, max_cell_size)
+                                    id_col, max_cell_size, round_to)
     if centroids is None:
         from apache_druid_spark.pipeline.similarity import ivf_centroids
 
@@ -138,6 +149,9 @@ def semantic_dedup(df: DataFrame, dim: int, n_cells: int = 16,
     assigned = base.select(
         F.col(id_col), F.col(vec_col),
         ivf_assign(f"`{vec_col}`", centroids).alias("__cell"))
+    if prune == "grouped":
+        return _prune_cells_grouped(assigned, threshold, vec_col,
+                                    id_col, max_cell_size, round_to)
     # one scan: cell argmax + norm; persisted because it feeds the cap
     # aggregate and both self-join sides (ingest-materialized at 100 TB)
     cells = assigned.select(
@@ -174,7 +188,8 @@ def semantic_dedup(df: DataFrame, dim: int, n_cells: int = 16,
 
 def _prune_cells_grouped(assigned: DataFrame, threshold: float,
                          vec_col: str, id_col: str,
-                         max_cell_size: int) -> DataFrame:
+                         max_cell_size: int,
+                         round_to: int | None = 6) -> DataFrame:
     """Scale-mode within-cell prune: one shuffle on the cell id, then
     one Arrow batch per cell — normalize, one p x p cosine matmul,
     drop every row with a smaller-id neighbor >= threshold. Cells past
@@ -196,7 +211,9 @@ def _prune_cells_grouped(assigned: DataFrame, threshold: float,
         n = np.sqrt((v * v).sum(axis=1))
         n[n == 0.0] = 1.0
         sims = (v / n[:, None]) @ (v / n[:, None]).T
-        near = np.round(sims, 6) >= threshold
+        if round_to is not None:
+            sims = np.round(sims, round_to)
+        near = sims >= threshold
         # row j dropped iff any i < j is near (ids sorted ascending)
         dropped = np.triu(near, k=1).any(axis=0)
         return pd.DataFrame(
