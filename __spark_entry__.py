@@ -834,10 +834,19 @@ def _window_moving_avg(spark, sf_dir):
         chunked_trailing_window, finalize_chunked,
     )
 
+    from pyspark import StorageLevel
+
     reg = _registry(spark, sf_dir)
+    # persisted (r18): the per-day aggregate — bounded by the time
+    # range — feeds the min/max bounds branch, the zero-fill join, and
+    # (via the join) both chunk-stitch union branches; without
+    # materialization, column pruning strips `rev` out of the bounds
+    # branch, ReuseExchange cannot fire, and the source is scanned and
+    # aggregated FOUR times (plans/r18/window_moving_avg_before.txt)
     daily = (reg.table("orders")
              .groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
-             .agg(F.sum("o_totalprice").alias("rev")))
+             .agg(F.sum("o_totalprice").alias("rev"))
+             .persist(StorageLevel.MEMORY_AND_DISK))
     # Zero-fill the day grid (missing buckets contribute 0, matching
     # DoubleMeanAverager.java:31-46) — also makes the grid dense, which
     # the chunk stitch requires. The generated side is provably small;

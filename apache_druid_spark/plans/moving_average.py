@@ -83,6 +83,18 @@ def compile_moving_average(q: dict, registry) -> DataFrame:
     for s in seqs[1:]:
         buckets_df = buckets_df.unionByName(s)
     if dims:
+        # the dim-combo grid AND the zero-fill join both consume
+        # `inner`; without materialization, column pruning strips the
+        # aggregate columns out of the combos branch, the two partial
+        # aggregates become structurally different, ReuseExchange
+        # cannot fire, and the source is scanned+aggregated TWICE
+        # (r18, plans/r18/moving_average_monthly_before.txt — the
+        # tfidf r17 disease). `inner` is a (bucket x dim-combo)
+        # aggregate, bounded by the grid size, so persisting it is
+        # cheap at any scale.
+        from pyspark import StorageLevel
+
+        inner = inner.persist(StorageLevel.MEMORY_AND_DISK)
         combos = inner.select(*dims).distinct()
         grid = buckets_df.crossJoin(combos)
     else:
