@@ -135,18 +135,19 @@ def test_dead_windows_removed():
                  "_R09_WINDOW", "_R11_NEXT", "_R12_NEXT"):
         assert not hasattr(e, dead)
     # live rotation state is well-formed: the CURRENT window is
-    # exactly 50 known queries (r16 names; earlier windows stay live —
+    # exactly 50 known queries (r18 names; earlier windows stay live —
     # they order the freshest-evidence groups at the back, and each
     # _RNN_NEXT is consumed into the following window)
     qs = set(e.queries())
-    assert len(e._R17_WINDOW) == 50
-    assert set(e._R17_WINDOW) <= qs
-    assert set(e._R17_NEXT) <= qs
+    assert len(e._R18_WINDOW) == 50
+    assert set(e._R18_WINDOW) <= qs
+    assert set(e._R18_NEXT) <= qs
+    assert set(e._R17_NEXT) <= set(e._R18_WINDOW)
     assert set(e._R16_NEXT) <= set(e._R17_WINDOW)
     assert set(e._R14_NEXT) <= set(e._R15_WINDOW)
     assert set(e._R13_NEXT) <= set(e._R14_WINDOW)
     # the window fronts the driver's 50-entry correctness pass
-    assert list(e.queries())[:50] == list(e._R17_WINDOW)
+    assert list(e.queries())[:50] == list(e._R18_WINDOW)
 
 
 # -- round-12 scale item: registry-backed extent for published

@@ -81,6 +81,32 @@ def new_shape(posting, threshold=0.2, max_freq=100):
     return out.filter(F.col("jaccard") >= threshold)
 
 
+def allwin_shape(posting, threshold=0.2, max_freq=100):
+    """Variant C: stop filter AND set sizes both as windows — ONE
+    tokenize pass total (the stop aggregate no longer re-derives
+    posting), at the cost of an extra keyed exchange in the chain."""
+    sh = (posting
+          .withColumn("__df",
+                      F.count(F.lit(1)).over(Window.partitionBy("h")))
+          .filter(F.col("__df") <= max_freq)
+          .drop("__df")
+          .withColumn("set_size",
+                      F.count(F.lit(1)).over(Window.partitionBy("doc_id"))))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (a.join(b, [F.col("a.h") == F.col("b.h"),
+                         F.col("a.doc_id") < F.col("b.doc_id")])
+              .groupBy(F.col("a.doc_id").alias("id_a"),
+                       F.col("b.doc_id").alias("id_b"))
+              .agg(F.count(F.lit(1)).alias("shared"),
+                   F.min("a.set_size").alias("__size_a"),
+                   F.min("b.set_size").alias("__size_b")))
+    out = shared.select(
+        "id_a", "id_b",
+        (F.col("shared") / (F.col("__size_a") + F.col("__size_b")
+                            - F.col("shared"))).alias("jaccard"))
+    return out.filter(F.col("jaccard") >= threshold)
+
+
 def main() -> None:
     from apache_druid_spark.session import get_spark
 
@@ -92,24 +118,24 @@ def main() -> None:
     def run(df):
         df.write.mode("overwrite").format("noop").save()
 
-    # warm both
-    run(old_shape(posting))
-    run(new_shape(posting))
-    olds, news = [], []
+    variants = [("old", old_shape, []), ("new", new_shape, []),
+                ("win", allwin_shape, [])]
+    for _, builder, _s in variants:
+        run(builder(posting))
     for i in range(rounds):
-        for label, builder, sink in (("old", old_shape, olds),
-                                     ("new", new_shape, news)):
+        line = []
+        for label, builder, sink in variants:
             spark.catalog.clearCache()
             spark.sparkContext.setJobDescription(f"{label}:{i}")
             t0 = time.time()
             run(builder(posting))
             sink.append(round(time.time() - t0, 3))
-        print(f"round {i}: old={olds[-1]} new={news[-1]} "
+            line.append(f"{label}={sink[-1]}")
+        print(f"round {i}: {' '.join(line)} "
               f"load1={os.getloadavg()[0]:.1f}", flush=True)
-    print(f"OLD samples={olds} min={min(olds)} "
-          f"median={statistics.median(olds)}")
-    print(f"NEW samples={news} min={min(news)} "
-          f"median={statistics.median(news)}")
+    for label, _b, sink in variants:
+        print(f"{label.upper()} samples={sink} min={min(sink)} "
+              f"median={statistics.median(sink)}")
 
 
 if __name__ == "__main__":
