@@ -1694,12 +1694,13 @@ def _dsir_importance_weights(spark, sf_dir):
     from apache_druid_spark.pipeline import importance_weights
 
     docs = _registry(spark, sf_dir).table("documents")
-    # target_within_raw: the en target IS a slice of the scored corpus,
-    # so its bucket counts come from the persisted raw gram table (one
-    # tokenize pass total instead of two; importance.py r18)
+    # target_predicate: the en target IS a predicate-defined slice of
+    # the scored corpus, so the flag rides each gram row and both
+    # bucket counts fall out of one conditional aggregate — no id
+    # semi-join, no count join, one tokenize pass (importance.py r18)
     return importance_weights(
         docs, docs.filter(F.col("lang") == "en"), n_buckets=1024,
-        target_within_raw=True)
+        target_predicate=F.col("lang") == "en")
 
 
 @_q("text_unigram_logprob", f"""

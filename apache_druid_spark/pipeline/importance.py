@@ -37,41 +37,56 @@ from apache_druid_spark.pipeline.dedup import _shingles, _tokens
 
 
 def _gram_buckets(df: DataFrame, text_col: str, id_col: str | None,
-                  n_buckets: int, ngrams: tuple[int, ...]) -> DataFrame:
-    """(id?, bucket) — one row per n-gram OCCURRENCE (bag semantics,
-    not set: DSIR weights count every occurrence)."""
-    cols = [F.col(id_col)] if id_col else []
+                  n_buckets: int, ngrams: tuple[int, ...],
+                  flag=None) -> DataFrame:
+    """(id?, flag?, bucket) — one row per n-gram OCCURRENCE (bag
+    semantics, not set: DSIR weights count every occurrence).
+    ``flag`` (a boolean Column over ``df``) rides along as ``__tgt``
+    so a membership predicate costs one byte per gram row instead of a
+    join (importance_weights target_predicate, r18)."""
+    names = ([id_col] if id_col else []) + (["__tgt"] if flag is not None
+                                            else [])
+    proj = [F.col(id_col)] if id_col else []
+    if flag is not None:
+        proj.append(flag.alias("__tgt"))
     # stage tokens first — see dedup._shingles docstring (O(n^2) otherwise)
     staged = parallelize_scan(df).select(
-        *cols, _tokens(F.col(text_col)).alias("__toks"))
+        *proj, _tokens(F.col(text_col)).alias("__toks"))
     gram_arrays = [_shingles(F.col("__toks"), n) for n in ngrams]
     # staged_explode: gram array evaluated once per row, no inferred
     # filter duplicating the shingle tree (see _util.guarded_explode)
-    grams = staged_explode(staged, cols,
+    grams = staged_explode(staged, [F.col(n) for n in names],
                            F.flatten(F.array(*gram_arrays)), "__gram")
     bucket = F.pmod(
         F.conv(F.substring(F.md5("__gram"), 1, 15), 16, 10).cast("long"),
         F.lit(n_buckets))
-    return grams.select(*cols, bucket.alias("bucket"))
+    return grams.select(*names, bucket.alias("bucket"))
 
 
 def bucket_log_ratios(raw: DataFrame, target: DataFrame,
                       text_col: str = "text", n_buckets: int = 8192,
                       ngrams: tuple[int, ...] = (1, 2),
                       raw_grams: DataFrame | None = None,
-                      tgt_grams: DataFrame | None = None) -> DataFrame:
+                      tgt_grams: DataFrame | None = None,
+                      joined_counts: DataFrame | None = None) -> DataFrame:
     """(bucket, log_ratio): log p_target - log p_raw with +1 smoothing.
     At most ``n_buckets`` rows — broadcastable by construction.
     ``raw_grams``/``tgt_grams`` let importance_weights share one
     materialized raw gram table between the corpus counts and the
-    per-doc weights instead of re-tokenizing a corpus."""
+    per-doc weights instead of re-tokenizing a corpus.
+    ``joined_counts`` goes further: a precomputed (bucket, c_raw,
+    c_tgt) table (one conditional aggregate when the target is a
+    flagged slice of raw — see importance_weights target_predicate)
+    replaces both per-side counts AND their full join."""
+    from pyspark.sql.window import Window
+
+    if joined_counts is not None:
+        return _ratios_from_counts(joined_counts, n_buckets)
     if raw_grams is None:
         raw_grams = _gram_buckets(raw, text_col, None, n_buckets, ngrams)
     if tgt_grams is None:
         tgt_grams = _gram_buckets(target, text_col, None, n_buckets,
                                   ngrams)
-    from pyspark.sql.window import Window
-
     raw_counts = (raw_grams.groupBy("bucket")
                   .agg(F.count(F.lit(1)).alias("c_raw")))
     tgt_counts = (tgt_grams.groupBy("bucket")
@@ -97,6 +112,14 @@ def bucket_log_ratios(raw: DataFrame, target: DataFrame,
               .select("bucket",
                       F.coalesce("c_raw", F.lit(0)).alias("c_raw"),
                       F.coalesce("c_tgt", F.lit(0)).alias("c_tgt")))
+    return _ratios_from_counts(joined, n_buckets)
+
+
+def _ratios_from_counts(joined: DataFrame, n_buckets: int) -> DataFrame:
+    """(bucket, log_ratio) from a (bucket, c_raw, c_tgt) count table
+    (<= n_buckets rows by construction — see bucket_log_ratios)."""
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy(F.lit(1))
     t_raw = F.coalesce(F.sum("c_raw").over(w), F.lit(0))
     t_tgt = F.coalesce(F.sum("c_tgt").over(w), F.lit(0))
@@ -111,7 +134,8 @@ def importance_weights(raw: DataFrame, target: DataFrame,
                        n_buckets: int = 8192,
                        ngrams: tuple[int, ...] = (1, 2),
                        round_to: int | None = 4,
-                       target_within_raw: bool = False) -> DataFrame:
+                       target_within_raw: bool = False,
+                       target_predicate=None) -> DataFrame:
     """(id, n_grams, weight) per raw document: the DSIR log importance
     weight. Higher = more target-like; resample/top-k on it to select.
 
@@ -131,11 +155,38 @@ def importance_weights(raw: DataFrame, target: DataFrame,
     guide §1.2: don't compute things twice). Value-identical to the
     two-pass form by construction; AQE broadcasts the id side when it
     is small, and at 100 TB shuffling (id, bucket) longs is far
-    cheaper than re-tokenizing the slice."""
+    cheaper than re-tokenizing the slice.
+
+    ``target_predicate`` (a boolean Column over ``raw``) goes one step
+    further for the common case where the target slice is DEFINED by a
+    predicate on the scored corpus (e.g. ``lang == 'en'``): the flag
+    rides every gram row as one boolean, and both corpus bucket counts
+    come from ONE conditional aggregate over the persisted gram table —
+    no id semi-join, no per-side count tables, no full-outer count
+    join, one fewer pass over the gram table (r18; guide §2.4).
+    Value-identical to ``target_within_raw`` with
+    ``target = raw.filter(target_predicate)``: the slice's gram bag is
+    exactly the flagged gram rows (count(when(flag, 1)) counts only
+    predicate-TRUE rows, matching filter()'s null handling), and since
+    the slice is a subset of raw, the flagged aggregate covers the same
+    bucket set as the old full join. Supersedes ``target`` /
+    ``target_within_raw`` when given."""
     from pyspark import StorageLevel
 
-    doc_grams = _gram_buckets(raw, text_col, id_col, n_buckets, ngrams
+    doc_grams = _gram_buckets(raw, text_col, id_col, n_buckets, ngrams,
+                              flag=target_predicate
                               ).persist(StorageLevel.MEMORY_AND_DISK)
+    if target_predicate is not None:
+        joined_counts = doc_grams.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("c_raw"),
+            F.count(F.when(F.col("__tgt"), 1)).alias("c_tgt"))
+        ratios = F.broadcast(
+            bucket_log_ratios(raw, target, text_col, n_buckets, ngrams,
+                              joined_counts=joined_counts))
+        return (doc_grams.join(ratios, "bucket")
+                .groupBy(id_col)
+                .agg(F.count(F.lit(1)).alias("n_grams"),
+                     _weight_expr(round_to).alias("weight")))
     tgt_grams = None
     if target_within_raw:
         tgt_grams = (doc_grams
@@ -145,13 +196,17 @@ def importance_weights(raw: DataFrame, target: DataFrame,
         bucket_log_ratios(raw, target, text_col, n_buckets, ngrams,
                           raw_grams=doc_grams.select("bucket"),
                           tgt_grams=tgt_grams))
-    weight = F.sum("log_ratio")
-    if round_to is not None:
-        weight = F.round(weight, round_to)
     return (doc_grams.join(ratios, "bucket")
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_grams"),
-                 weight.alias("weight")))
+                 _weight_expr(round_to).alias("weight")))
+
+
+def _weight_expr(round_to: int | None):
+    weight = F.sum("log_ratio")
+    if round_to is not None:
+        weight = F.round(weight, round_to)
+    return weight
 
 
 def dsir_select(raw: DataFrame, target: DataFrame, k: int,

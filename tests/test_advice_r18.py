@@ -139,3 +139,26 @@ def test_dsir_target_within_raw_matches_two_pass(spark):
                 docs, tgt, n_buckets=512,
                 target_within_raw=True).collect()}
     assert two_pass == semi and len(semi) > 0
+
+
+def test_dsir_target_predicate_matches_two_pass(spark):
+    """The r18 flagged-gram conditional aggregate (one pass, no
+    semi-join, no count join) is row-exact against the two-pass form,
+    including a null-predicate row (lang null must count as
+    non-target, matching filter()'s three-valued logic)."""
+    from apache_druid_spark.pipeline import importance_weights
+
+    docs = _docs(spark)
+    extra = (docs.limit(1)
+             .withColumn("doc_id", F.col("doc_id") + 100000)
+             .withColumn("lang", F.lit(None).cast("string")))
+    docs = docs.union(extra.select(docs.columns))
+    tgt = docs.filter(F.col("lang") == "en")
+    two_pass = {(r["doc_id"], r["n_grams"], r["weight"])
+                for r in importance_weights(docs, tgt,
+                                            n_buckets=512).collect()}
+    flagged = {(r["doc_id"], r["n_grams"], r["weight"])
+               for r in importance_weights(
+                   docs, tgt, n_buckets=512,
+                   target_predicate=F.col("lang") == "en").collect()}
+    assert two_pass == flagged and len(flagged) > 0

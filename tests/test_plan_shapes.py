@@ -612,6 +612,9 @@ def test_guarded_explode_shape_all_sites(reg):
         contamination_report(docs, docs.limit(5)),
         importance_weights(docs, docs.filter(F.col("lang") == "en"),
                            n_buckets=512, target_within_raw=True),
+        importance_weights(docs, docs.filter(F.col("lang") == "en"),
+                           n_buckets=512,
+                           target_predicate=F.col("lang") == "en"),
         top_ngrams(docs, ngram=3, k=20),
         tfidf_top_terms(docs, top_k=3),
         unigram_logprob(docs),
