@@ -58,10 +58,14 @@ def assign_cells(df: DataFrame, centroids: DataFrame,
     cells where the matmul takes well under a second), and a literal
     expression does not scale past a few hundred cells. The centroid
     table is collected once at plan time (small by construction —
-    100k x 64 doubles ~ 50 MB) and ships to executors inside the UDF
-    closure, exactly like FAISS loads its coarse quantizer onto every
-    worker. No shuffle at all: assignment happens where the rows live.
-    Tie-break (score DESC, cell DESC) matches ivf_assign."""
+    100k x 64 doubles ~ 50 MB) and ships as a Spark BROADCAST variable
+    (r18, guide §4.5): the UDF closure pickles only the handle, each
+    executor fetches the matrix once and reused Python workers keep it
+    across tasks — the pre-r18 closure capture re-deserialized ~50 MB
+    per TASK at paper scale. Exactly like FAISS loads its coarse
+    quantizer onto every worker. No shuffle at all: assignment happens
+    where the rows live. Tie-break (score DESC, cell DESC) matches
+    ivf_assign."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -78,15 +82,17 @@ def assign_cells(df: DataFrame, centroids: DataFrame,
     order = np.argsort(cell_ids)
     cell_ids = cell_ids[order]
     scoremat = scoremat[:, order]
+    bc = df.sparkSession.sparkContext.broadcast((cell_ids, scoremat))
 
     def _assign_batch(vecs):
+        ids, mat = bc.value
         v = np.stack(vecs.to_numpy()).astype(np.float64)
-        scores = v @ scoremat
+        scores = v @ mat
         # np.argmax takes the FIRST max; flipping columns makes it the
         # last (= highest cell id), matching the struct-max tie-break
         flipped = scores[:, ::-1]
         idx = scores.shape[1] - 1 - np.argmax(flipped, axis=1)
-        return pd.Series(cell_ids[idx])
+        return pd.Series(ids[idx])
 
     _assign = pandas_udf(_assign_batch, "int")
 
